@@ -1,0 +1,112 @@
+"""Catalog: named access to the engine's table layers.
+
+The reference spreads state over four MySQL databases
+(``config.ini:1-23``; SURVEY.md §1.1). Here each layer is a namespace
+of Parquet paths; a :class:`Catalog` binds a root directory and hands
+out DataFrames. The driver's synthetic TPC-H-ish tables
+(``TESTDATA.md``) are exposed through the same interface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the test-data generator materializes per scale factor.
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Warehouse layers (the 4-database split of the reference, §1.1).
+LAYERS = ("control", "landing", "staging", "warehouse", "mart")
+
+
+class Catalog:
+    """Resolve table names to DataFrames under a root directory.
+
+    ``Catalog(spark, "/root/testdata/sf0.01").table("lineitem")``
+    reads ``<root>/lineitem.parquet``. Layered warehouse tables live
+    at ``<root>/<layer>/<name>`` (directory-style Parquet, possibly
+    partitioned).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    def path(self, name: str, layer: str | None = None) -> str:
+        if layer is None:
+            return f"{self.root}/{name}.parquet"
+        return f"{self.root}/{layer}/{name}"
+
+    def table(self, name: str, layer: str | None = None) -> DataFrame:
+        return self.spark.read.parquet(self.path(name, layer))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        layer: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Write a layer table; returns the path written.
+
+        ``partition_by`` + session conf
+        ``spark.sql.sources.partitionOverwriteMode=dynamic`` gives the
+        engine's upsert story: recompute the affected partitions and
+        overwrite only those (SURVEY §2.1 S8 — replaces
+        ``INSERT ... ON DUPLICATE KEY UPDATE``).
+        """
+        path = self.path(name, layer)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return path
+
+    def register_views(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+        """Register flat tables as temp views for the SQL entry point."""
+        for name in names:
+            p = self.path(name)
+            if os.path.exists(p):
+                self.spark.read.parquet(p).createOrReplaceTempView(name)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test-data table, normalizing timestamp precision.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's
+    vectorized Parquet reader rejects; we read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
+    microsecond timestamp — the same truncation DuckDB applies when
+    casting TIMESTAMP_NS to its micro-precision TIMESTAMP, so both
+    engines see identical values.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test-data table present under ``sf_dir``."""
+    cat = Catalog(spark, sf_dir)
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        if os.path.exists(cat.path(name)):
+            out[name] = cat.table(name)
+    return out

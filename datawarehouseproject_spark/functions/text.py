@@ -1,0 +1,133 @@
+"""Text-analysis expressions for training-data pipelines.
+
+Language-ID, quality scoring, token counting, and fingerprinting over
+a ``documents(text string)`` table — all built-in column expressions
+(JVM-side, codegen), no Python in the hot path. Each has an ANSI-SQL
+oracle twin in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import md5_long
+
+#: Tiny per-language marker lexicons for the n-gram/stopword heuristic
+#: language identifier. Deterministic and oracle-expressible.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con"),
+    "fr": ("le", "la", "les", "des", "est", "une", "que", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "ein", "nicht"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+#: BPE-ish tokenizer: letter runs, digit runs, or single non-space
+#: symbols — the shape a byte-pair pre-tokenizer sees.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, trim, collapse runs of whitespace to single spaces."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def word_tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty text)."""
+    norm = normalize_text(col)
+    return F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RE), 0))
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """All character n-grams (shingles) of the normalized text.
+
+    Built with ``sequence`` + ``transform`` so generation stays
+    JVM-side and per-row (no explode needed until the caller wants
+    one). Empty/short text yields an empty array.
+    """
+    norm = normalize_text(col)
+    positions = F.sequence(F.lit(1), F.length(norm) - (n - 1))
+    # Guard: Spark's sequence(1, 0) DESCENDS instead of returning [],
+    # so short texts need an explicit empty array.
+    return F.when(
+        F.length(norm) < n, F.array().cast("array<string>")
+    ).otherwise(F.transform(positions, lambda i: norm.substr(i, F.lit(n))))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1].
+
+    Blend of: non-trivial length, alphabetic ratio, stopword presence,
+    and punctuation sanity — the standard cheap pre-filter shape for
+    LLM corpus cleaning. Deterministic, oracle-expressible.
+    """
+    raw = _c(col)
+    norm = normalize_text(col)
+    n_chars = F.length(norm)
+    alpha_ratio = F.when(n_chars > 0,
+                         F.length(F.regexp_replace(norm, r"[^a-z]", "")) / n_chars
+                         ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0,
+                         F.length(F.regexp_replace(norm, r"[^.,;:!?]", "")) / n_chars
+                         ).otherwise(F.lit(0.0))
+    tokens = token_count(col)
+    stop_hits = sum(
+        (F.when(F.array_contains(F.split(norm, " "), w), 1).otherwise(0)
+         for w in LANG_MARKERS["en"]),
+        F.lit(0),
+    )
+    length_component = F.least(tokens / F.lit(100.0), F.lit(1.0))
+    stop_component = F.least(stop_hits / F.lit(4.0), F.lit(1.0))
+    punct_component = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.lit(1.0) - (punct_ratio - 0.2) * 5)
+    )
+    score = (
+        0.3 * length_component + 0.3 * alpha_ratio + 0.2 * stop_component
+        + 0.2 * punct_component
+    )
+    return F.round(score, 4)
+
+
+def language_id(col: Column | str) -> Column:
+    """Predict language by marker-token hits; ties broken by lang code.
+
+    For each language, count marker tokens present in the text's
+    whitespace token set; the argmax wins, 'und' if no hits.
+    """
+    toks = word_tokens(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # deterministic tie-break: first-seen wins
+        hits = sum(
+            (F.when(F.array_contains(toks, w), 1).otherwise(0)
+             for w in LANG_MARKERS[lang]),
+            F.lit(0),
+        )
+        take = hits > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, hits).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """64-bit-ish content fingerprint of the normalized text (BIGINT).
+
+    md5-based so it is portable across engines; used for exact-dup
+    detection where comparing full text would shuffle too many bytes.
+    """
+    return md5_long(normalize_text(col))

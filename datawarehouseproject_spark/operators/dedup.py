@@ -1,0 +1,284 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all partition-parallel with no driver-side loops:
+
+- :func:`exact_dedup` — hash-groupBy exact dedup (content md5).
+- :func:`fingerprint_dedup` — dedup on a normalized 64-bit
+  fingerprint (cheap shuffle key: 8 bytes instead of full text).
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash
+  over character shingles + banded LSH candidate pairs (the
+  standard near-dup pipeline: shingle -> minhash -> band -> bucket
+  join).
+- :func:`simhash64` — per-document SimHash from token hashes.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard verification
+  for candidate pairs.
+- :func:`embedding_near_dup_pairs` — cosine near-dup over an
+  embedding column, LSH-bucketed (random-hyperplane signs) so the
+  pair join never goes quadratic in the corpus.
+
+Hashing is md5-based (:mod:`..functions.hashing`) so every step is
+bit-reproducible in the ANSI-SQL oracles. At 100 TB the dominant
+costs are the shingle explode (bounded by ``max_shingles``) and the
+band-bucket self-join (bounded by band cardinality); both shuffle
+compact integer keys, never raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import char_ngrams, normalize_text, word_tokens, fingerprint64
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document per exact (md5) content hash.
+
+    groupBy on a 16-byte hash, not the raw text — the shuffle moves
+    hashes + ids only. Equivalent oracle: ``GROUP BY md5(text)`` with
+    ``min(id)`` then semi-join.
+    """
+    hashed = df.withColumn("__h", F.md5(F.col(text_col)))
+    keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return (
+        hashed.join(keep, [ "__h", id_col], "left_semi").drop("__h")
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the normalized 64-bit fingerprint (whitespace/
+    case-insensitive)."""
+    hashed = df.withColumn("__fp", fingerprint64(text_col))
+    keep = hashed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, shingle_len: int
+) -> DataFrame:
+    """(id, shingle) exploded + distinct — the Jaccard set elements."""
+    return (
+        df.select(F.col(id_col), char_ngrams(text_col, shingle_len).alias("__sh"))
+        .select(id_col, F.explode("__sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_len: int = 5,
+) -> DataFrame:
+    """MinHash signature per document: ``num_perm`` min-agg columns
+    ``h0..h{n-1}`` over salted shingle hashes.
+
+    One explode + one groupBy; each ``min()`` combines map-side, so
+    the shuffle carries ``num_perm`` longs per (partition, doc).
+    """
+    shingles = _shingle_hashes(df, id_col, text_col, shingle_len)
+    aggs = [
+        F.min(md5_long(F.col("shingle"), salt=f"p{i}:")).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_len: int = 5,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature split into ``bands`` bands of ``num_perm//bands`` rows;
+    documents sharing any band key become a candidate pair
+    (id_a < id_b, with the estimated Jaccard = fraction of equal
+    signature components). Pair join happens per-band on a single
+    64-bit band key — the scale-safe layout (no all-pairs join).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_len)
+
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"h{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            md5_long(F.concat_ws("|", *parts), salt=f"band{b}:").alias(f"band{b}")
+        )
+    banded = sig.select(id_col, *[F.col(f"h{i}") for i in range(num_perm)], *band_cols)
+
+    # long-form (id, band_index, band_key) -> self-join per band bucket
+    stacked = banded.select(
+        id_col,
+        *[F.col(f"h{i}") for i in range(num_perm)],
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    left = stacked.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(num_perm)],
+        "band_idx",
+        "band_key",
+    )
+    right = stacked.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(num_perm)],
+        "band_idx",
+        "band_key",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            *[F.col(f"a_h{i}") for i in range(num_perm)],
+            *[F.col(f"b_h{i}") for i in range(num_perm)],
+        )
+        .distinct()
+    )
+    matches = sum(
+        (F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
+         for i in range(num_perm)),
+        F.lit(0),
+    )
+    return pairs.select(
+        "id_a", "id_b", (matches / F.lit(float(num_perm))).alias("est_jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash over word tokens (default 32 bits so the
+    value stays oracle-portable in signed 64-bit arithmetic).
+
+    Classic construction: each token hashes to ``bits`` bits; bit b of
+    the document hash is 1 iff the (+1/-1) vote sum over tokens is
+    positive. Implemented as ``bits`` conditional sums in one groupBy
+    — map-side combinable, shuffle carries ``bits`` ints per doc.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(text_col)).alias("tok")
+    )
+    h = md5_long(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    sim = sum(
+        (F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+         for b in range(bits)),
+        F.lit(0).cast("long"),
+    )
+    return per_doc.select(id_col, sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (id_a, id_b).
+
+    Verification stage after LSH: |A∩B| via a shingle equi-join
+    restricted to candidate pairs, |A∪B| = |A|+|B|−|A∩B|. All joins
+    are equi-joins on ids/shingles — no quadratic blowup beyond the
+    candidate set.
+    """
+    sh = _shingle_hashes(df, id_col, text_col, shingle_len).withColumn(
+        "sh_h", md5_long(F.col("shingle"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("sh_h").alias("ha"))
+    b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("sh_h").alias("hb"))
+    inter = (
+        candidates.select("id_a", "id_b")
+        .join(a_sh, "id_a")
+        .join(b_sh.withColumnRenamed("id_b", "rb"), (F.col("id_b") == F.col("rb")) & (F.col("ha") == F.col("hb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        candidates.select("id_a", "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine near-duplicates via random-hyperplane LSH buckets.
+
+    Hyperplane coefficients are deterministic ±1 derived from
+    md5(plane, dim-index) — reproducible in SQL oracles. Vectors
+    sharing the full sign-pattern bucket are exact-cosine checked;
+    with ``n_planes`` planes the expected bucket fraction is
+    ``2^-n_planes`` of the corpus, keeping the self-join subquadratic.
+    Recall is approximate (sign-LSH), which is the documented
+    trade-off of the scale path; the brute-force operator in
+    :mod:`.similarity` is the exact baseline.
+    """
+    from ..functions.vectors import cosine_similarity
+    from .similarity import sign_lsh_bucket
+
+    bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
+    bucketed = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,181 @@
+"""SCD Type-2 maintenance as a set-based DataFrame operator.
+
+Re-derives the reference's ``SP_ETL_SCD_Update_Product``
+(db_staging.sql:4929-4991) — a 5-statement MySQL dataflow with an
+UPDATE and a scratch table — as pure joins + unions over immutable
+Parquet. Exact semantic parity (SURVEY.md §2.9 quirks 2-3):
+
+- **Key asymmetry**: membership (new-key detection) uses the single
+  business key (``TEN``, db_staging.sql:4951); change tracking and
+  expiry use the compound key (``TEN``,``LINK``)
+  (db_staging.sql:4958-4988).
+- **Sequencing**: the reference inserts brand-new keys FIRST, then
+  detects changes against the post-insert history. With same-TEN /
+  different-LINK staging rows this fans out (a new row can be
+  expired in the same run) — reproduced by unioning the new rows
+  into history before change detection.
+- **NULL-unsafe compare**: attribute diff uses ``<>`` — NULLs never
+  register as changed. We use ``!=``, not a negated ``eqNullSafe``.
+- -1 sentinels flow through untouched (they are real values here).
+
+Scale design: history is assumed large (years of daily runs at
+100 TB); staging is one day. Both joins are equi-joins on the
+business key — Catalyst/AQE picks broadcast when staging is small.
+The changed-keys intermediate (the reference's ``EXPIRED_KEYS``
+scratch table) is a cached DataFrame reused by three downstream
+branches. The rewrite only touches *current* rows; closed history
+partitions are carried over unchanged — when the history table is
+partitioned by an ``is_current`` flag or EXPIRED_AT date, only the
+current partition is rewritten (see :func:`..sources.parquet
+.overwrite_atomic` for the temp-path swap).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import SCD_OPEN
+
+AUDIT_COLS = ("CREATED_AT", "UPDATED_AT", "EXPIRED_AT")
+
+
+@dataclass
+class Scd2Result:
+    """Output of one SCD2 run.
+
+    ``history`` is the full rewritten history; the count fields mirror
+    the reference's OUT params (p_RowsInput / p_RowsInserted /
+    p_RowsUpdated, db_staging.sql:4936-4990) and are computed lazily
+    via :meth:`metrics` so the happy path stays one job.
+    """
+
+    history: DataFrame
+    new_rows: DataFrame
+    reinserted: DataFrame
+    expired: DataFrame
+    staging: DataFrame
+
+    def metrics(self) -> dict[str, int]:
+        return {
+            "rows_input": self.staging.count(),
+            "rows_inserted": self.new_rows.count() + self.reinserted.count(),
+            "rows_updated": self.expired.count(),
+        }
+
+
+def _neq_any(left: str, right: str, cols: list[str]) -> Column:
+    """OR-chain of NULL-unsafe ``!=`` over compare columns."""
+    out: Column | None = None
+    for c in cols:
+        neq = F.col(f"{left}.{c}") != F.col(f"{right}.{c}")
+        out = neq if out is None else out | neq
+    assert out is not None
+    return out
+
+
+def scd2_apply(
+    staging: DataFrame,
+    history: DataFrame | None,
+    member_key: str = "TEN",
+    track_keys: tuple[str, ...] = ("TEN", "LINK"),
+    compare_cols: tuple[str, ...] = (
+        "GIA_CU",
+        "GIA_MOI",
+        "KICH_THUOC_MAN_HINH",
+        "RAM",
+        "BO_NHO",
+    ),
+    now: str | None = None,
+    open_sentinel: str = SCD_OPEN,
+) -> Scd2Result:
+    """Apply one staging batch to the SCD2 history.
+
+    ``staging`` carries the payload columns only (no audit columns);
+    ``history`` carries payload + CREATED_AT/UPDATED_AT/EXPIRED_AT
+    (None for a first run). ``now`` is an ISO timestamp string —
+    parameterized rather than ``current_timestamp()`` so runs are
+    deterministic and replayable (the reference stamps NOW() at
+    execution time, db_staging.sql:4948).
+    """
+    now_ts = F.to_timestamp(F.lit(now)) if now else F.current_timestamp()
+    open_ts = F.to_timestamp(F.lit(open_sentinel))
+    payload_cols = staging.columns
+
+    def as_current(df: DataFrame) -> DataFrame:
+        return (
+            df.select(*payload_cols)
+            .withColumn("CREATED_AT", now_ts)
+            .withColumn("UPDATED_AT", now_ts)
+            .withColumn("EXPIRED_AT", open_ts)
+        )
+
+    hist_cols = payload_cols + list(AUDIT_COLS)
+    if history is None:
+        history = staging.sparkSession.createDataFrame(
+            [], as_current(staging.limit(0)).schema
+        )
+    history = history.select(*hist_cols)
+
+    current0 = history.filter(F.col("EXPIRED_AT") == open_ts)
+
+    # 1. Brand-new members: staging TEN with no current history row
+    #    (left anti == the reference's LEFT JOIN ... WHERE t.TEN IS
+    #    NULL, db_staging.sql:4940-4953).
+    new_rows = as_current(
+        staging.join(
+            current0.select(member_key).distinct(), on=member_key, how="left_anti"
+        )
+    )
+
+    # 2. Post-insert history; change detection runs against THIS state
+    #    (reference sequencing — the new-key INSERT precedes the
+    #    EXPIRED_KEYS scan).
+    hist1 = history.unionByName(new_rows)
+    current1 = hist1.filter(F.col("EXPIRED_AT") == open_ts)
+
+    # 3. Changed keys (the EXPIRED_KEYS scratch table,
+    #    db_staging.sql:4957-4969): current ⋈ staging on the member
+    #    key with a NULL-unsafe any-attribute-differs residual; keys
+    #    taken from the HISTORY side (t.TEN, t.LINK).
+    changed_keys = (
+        current1.alias("t")
+        .join(staging.alias("s"), F.col(f"t.{member_key}") == F.col(f"s.{member_key}"))
+        .filter(_neq_any("t", "s", list(compare_cols)))
+        .select(*[F.col(f"t.{k}").alias(k) for k in track_keys])
+        .distinct()
+    )
+
+    # 4. Expire: current rows matching changed keys on the compound
+    #    key get EXPIRED_AT=UPDATED_AT=now (db_staging.sql:4971-4976).
+    expired = (
+        current1.join(changed_keys, on=list(track_keys), how="left_semi")
+        .withColumn("EXPIRED_AT", now_ts)
+        .withColumn("UPDATED_AT", now_ts)
+        .select(*hist_cols)
+    )
+    untouched_current = current1.join(
+        changed_keys, on=list(track_keys), how="left_anti"
+    ).select(*hist_cols)
+    closed = hist1.filter(F.col("EXPIRED_AT") != open_ts).select(*hist_cols)
+
+    # 5. Re-insert fresh current versions for the changed keys
+    #    (db_staging.sql:4978-4988).
+    reinserted = as_current(
+        staging.join(changed_keys, on=list(track_keys), how="left_semi")
+    )
+
+    new_history = (
+        closed.unionByName(untouched_current)
+        .unionByName(expired)
+        .unionByName(reinserted)
+    )
+    return Scd2Result(
+        history=new_history,
+        new_rows=new_rows,
+        reinserted=reinserted,
+        expired=expired,
+        staging=staging,
+    )

@@ -1,0 +1,438 @@
+"""Training-data-pipeline queries (dedup / similarity / text) with
+DuckDB oracle twins.
+
+Beyond-reference operators (BASELINE.json north star): each dedup
+family, ANN similarity, and text-analysis op registered as a named
+query over the driver's ``documents``/``embeddings`` tables. Oracle
+SQL is generated programmatically from the same parameters (number of
+permutations, bands, hyperplane coefficients) that drive the Spark
+plans, so both engines execute the same math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hyperplane_coeffs
+from ..functions.text import (
+    LANG_MARKERS,
+    BPE_TOKEN_RE,
+    fingerprint64,
+    language_id,
+    bpe_token_count,
+    quality_score,
+    token_count,
+    normalize_text,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from ..operators.similarity import brute_force_topk, lsh_bucketed_topk
+from .registry import register
+
+
+from ..catalog import load_table as _t  # noqa: E402  (shared reader)
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+#: DuckDB twin of :func:`..functions.hashing.md5_long`.
+def _sql_md5_long(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+#: DuckDB twin of :func:`..functions.text.normalize_text`.
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# ============================ dedup ============================
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT d.* FROM documents d
+    JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+          FROM documents GROUP BY 1) k
+      ON md5(d.text) = k.h AND d.doc_id = k.doc_id
+    """,
+    tags=("dedup", "exact"),
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep lowest doc_id per md5(text); the shuffle
+    carries 16-byte hashes, never document bodies."""
+    _utc(spark)
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "fingerprint_dedup",
+    oracle=f"""
+    WITH fp AS (SELECT *, {_sql_md5_long(_SQL_NORM)} AS f FROM documents)
+    SELECT doc_id, text, lang, source, n_chars FROM fp
+    JOIN (SELECT f AS kf, min(doc_id) AS kid FROM fp GROUP BY 1) k
+      ON fp.f = k.kf AND fp.doc_id = k.kid
+    """,
+    tags=("dedup", "fingerprint"),
+)
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on the normalized 64-bit fingerprint
+    (case/whitespace-insensitive)."""
+    _utc(spark)
+    return fingerprint_dedup(_t(spark, sf_dir, "documents"))
+
+
+_NUM_PERM = 16
+_BANDS = 4
+_SHINGLE = 5
+_ROWS_PER_BAND = _NUM_PERM // _BANDS
+
+
+def _minhash_oracle() -> str:
+    minh_aggs = ", ".join(
+        "min(" + _sql_md5_long(f"'p{i}:' || sh") + f") AS h{i}"
+        for i in range(_NUM_PERM)
+    )
+    band_exprs = []
+    for b in range(_BANDS):
+        parts = ", ".join(
+            f"CAST(h{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(_ROWS_PER_BAND)
+        )
+        band_exprs.append(
+            _sql_md5_long(f"'band{b}:' || concat_ws('|', {parts})") + f" AS band{b}"
+        )
+    band_select = ", ".join(band_exprs)
+    pair_unions = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM banded a JOIN banded b ON a.band{b} = b.band{b} "
+        f"WHERE a.doc_id < b.doc_id"
+        for b in range(_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_NUM_PERM)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, length(t) - {_SHINGLE - 1}),
+                              i -> substring(t, i, {_SHINGLE}))) AS sh
+      FROM docs),
+    sig AS (SELECT doc_id, {minh_aggs} FROM sh GROUP BY doc_id),
+    banded AS (SELECT *, {band_select} FROM sig),
+    pairs AS (
+{pair_unions}
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(({matches}) AS DOUBLE) / {float(_NUM_PERM)} AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    """
+
+
+@register("minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + 4-band LSH candidate pairs with estimated
+    Jaccard — the shingle→minhash→band→bucket-join near-dup pipeline."""
+    _utc(spark)
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_perm=_NUM_PERM,
+        shingle_len=_SHINGLE,
+        bands=_BANDS,
+    )
+
+
+_SIM_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SIM_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(_SIM_BITS)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM docs),
+    th AS (SELECT doc_id, {_sql_md5_long('tok')} AS h FROM toks),
+    votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from token-hash majority votes."""
+    _utc(spark)
+    return simhash64(_t(spark, sf_dir, "documents"), bits=_SIM_BITS)
+
+
+_JACCARD_SHINGLE = 5
+
+
+def _jaccard_oracle() -> str:
+    minhash = _minhash_oracle().strip()
+    # candidate pairs from the minhash oracle, then exact Jaccard over
+    # distinct 5-gram shingle sets
+    return f"""
+    WITH cand AS ({minhash}),
+    docs2 AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    shx AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, length(t) - {_JACCARD_SHINGLE - 1}),
+                              i -> substring(t, i, {_JACCARD_SHINGLE}))) AS sh
+      FROM docs2),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shx a ON a.doc_id = c.id_a
+      JOIN shx b ON b.doc_id = c.id_b AND a.sh = b.sh
+      GROUP BY c.id_a, c.id_b)
+    SELECT c.id_a, c.id_b,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (na.n + nb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes na ON na.doc_id = c.id_a
+    JOIN sizes nb ON nb.doc_id = c.id_b
+    """
+
+
+@register("ngram_jaccard_verify", oracle=_jaccard_oracle(), tags=("dedup", "jaccard"))
+def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard — the
+    two-stage near-dup pipeline's verification half."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        docs, num_perm=_NUM_PERM, shingle_len=_SHINGLE, bands=_BANDS
+    )
+    return ngram_jaccard_pairs(docs, cand, shingle_len=_JACCARD_SHINGLE)
+
+
+# ============================ similarity ============================
+
+_EMB_DIM = 64
+_TOPK = 5
+_N_QUERIES = 8
+
+
+def _cosine_sql(qv: str, cv: str) -> str:
+    dot = f"list_dot_product({qv}, {cv})"
+    nq = f"sqrt(list_dot_product({qv}, {qv}))"
+    nc = f"sqrt(list_dot_product({cv}, {cv}))"
+    return (
+        f"CASE WHEN {nq} * {nc} = 0 THEN 0.0 "
+        f"ELSE {dot} / ({nq} * {nc}) END"
+    )
+
+
+@register(
+    "embedding_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_cosine_sql('qv', 'cv')}, 6) AS cosine
+      FROM q CROSS JOIN c),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_TOPK}
+    """,
+    tags=("similarity", "ann", "brute-force"),
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query batch × corpus scan, scored
+    with JVM higher-order functions, windowed top-k."""
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=_TOPK)
+
+
+_LSH_PLANES = 6
+
+
+def _lsh_topk_oracle() -> str:
+    coeffs = hyperplane_coeffs(_EMB_DIM, _LSH_PLANES)
+
+    def sign_sql(p: int, vec: str) -> str:
+        terms = " + ".join(
+            f"({coeffs[p][i]}) * {vec}[{i + 1}]" for i in range(_EMB_DIM)
+        )
+        return f"CASE WHEN ({terms}) >= 0 THEN 1 ELSE 0 END"
+
+    def bucket_sql(vec: str) -> str:
+        parts = [sign_sql(0, vec)] + [
+            f"{sign_sql(p, vec)} * {2 ** p}" for p in range(1, _LSH_PLANES)
+        ]
+        return " + ".join(parts)
+
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    ci AS (SELECT neighbor_id, cv, {bucket_sql('cv')} AS bucket FROM c),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    qi AS (SELECT query_id, qv, {bucket_sql('qv')} AS bucket FROM q),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_cosine_sql('qv', 'cv')}, 6) AS cosine
+      FROM qi JOIN ci USING (bucket)),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_TOPK}
+    """
+
+
+@register("embedding_lsh_topk", oracle=_lsh_topk_oracle(), tags=("similarity", "lsh"))
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-LSH bucket probing — the scale path
+    (~2^-planes of the corpus scored per query)."""
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(emb, queries, dim=_EMB_DIM, k=_TOPK, n_planes=_LSH_PLANES)
+
+
+# ============================ text analysis ============================
+
+def _langid_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    hit_cols = []
+    for lang in langs:
+        hits = " + ".join(
+            f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+            for w in LANG_MARKERS[lang]
+        )
+        hit_cols.append(f"({hits}) AS h_{lang}")
+    # first-max-wins in sorted language order (ties keep the earlier
+    # language), 0 hits -> 'und' — mirrors the Spark when-chain.
+    case_branches = []
+    for idx, lang in enumerate(langs):
+        conds = [f"h_{lang} > 0"] + [
+            f"h_{lang} >= h_{other}" for other in langs[idx + 1:]
+        ] + [f"h_{lang} > h_{other}" for other in langs[:idx]]
+        case_branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = " ".join(case_branches)
+    return f"""
+    WITH docs AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+                  FROM documents),
+    hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM docs)
+    SELECT doc_id, CASE {case_sql} ELSE 'und' END AS lang_pred FROM hits
+    """
+
+
+@register("language_id", oracle=_langid_oracle(), tags=("text", "langid"))
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (argmax of stopword hits)."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+_EN_STOP_HITS = " + ".join(
+    f"CASE WHEN list_contains(string_split({_SQL_NORM}, ' '), '{w}') "
+    "THEN 1 ELSE 0 END"
+    for w in LANG_MARKERS["en"]
+)
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_NORM} AS norm,
+             ({_EN_STOP_HITS}) AS stop_hits
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+        CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS toks,
+        CASE WHEN length(norm) > 0
+             THEN length(regexp_replace(norm, '[^a-z]', '', 'g')) / length(norm)
+             ELSE 0.0 END AS alpha_ratio,
+        CASE WHEN length(norm) > 0
+             THEN length(regexp_replace(norm, '[^.,;:!?]', '', 'g')) / length(norm)
+             ELSE 0.0 END AS punct_ratio,
+        stop_hits
+      FROM base)
+    SELECT doc_id,
+      round(0.3 * least(toks / 100.0, 1.0)
+          + 0.3 * alpha_ratio
+          + 0.2 * least(stop_hits / 4.0, 1.0)
+          + 0.2 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                   ELSE greatest(0.0, 1.0 - (punct_ratio - 0.2) * 5) END),
+        4) AS quality
+    FROM feat
+    """,
+    tags=("text", "quality"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length, alphabetic ratio, stopword
+    presence, punctuation sanity."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+      CASE WHEN {_SQL_NORM} = '' THEN 0
+           ELSE CAST(len(string_split({_SQL_NORM}, ' ')) AS INTEGER)
+      END AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INTEGER)
+        AS n_bpe_tokens,
+      CAST(length({_SQL_NORM}) AS INTEGER) AS n_chars_norm
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts and normalized length."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_ws_tokens"),
+        bpe_token_count("text").cast("int").alias("n_bpe_tokens"),
+        F.length(normalize_text("text")).cast("int").alias("n_chars_norm"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"SELECT doc_id, {_sql_md5_long(_SQL_NORM)} AS fp FROM documents",
+    tags=("text", "fingerprint"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit normalized-content fingerprint per document."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint64("text").alias("fp"))

@@ -1,0 +1,818 @@
+"""Reference-surface queries (SURVEY.md §2) with DuckDB oracle twins.
+
+Each query re-expresses one (or a composition) of the reference's
+operators over the driver's synthetic tables (TESTDATA.md). The
+"dirty" product fixtures are constructed *inside the query* from the
+``part`` table using SQL fragments shared verbatim between the Spark
+plan (``selectExpr``) and the DuckDB oracle, so both engines see
+bit-identical inputs.
+
+Determinism rules used throughout (see registry module docstring):
+DECIMAL for money sums then cast DOUBLE, explicit INT casts on date
+parts, explicit aliases everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.brands import BRAND_LADDER, brand_ladder
+from ..functions.cleaning import sentinel_greatest, sentinel_least
+from ..functions.dates import date_dim
+from ..operators.clean import clean_products
+from ..operators.dims import upsert_dim
+from ..operators.rollups import midrange
+from ..operators.scd2 import scd2_apply
+from ..operators.topk import top1_per_group
+from .registry import register
+
+DIM_START = "2020-01-01"
+DIM_END = "2030-12-31"
+
+
+from ..catalog import load_table as _t  # noqa: E402  (shared reader)
+
+
+def _utc(spark: SparkSession) -> None:
+    # Deterministic date/timestamp derivations regardless of the
+    # driver session's environment.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# --------------------------------------------------------------------
+# Shared dirty-fixture fragments (identical text fed to both engines).
+# Shapes mirror FIXTURES.md F1: dirty VN price strings, GB suffixes,
+# junk rows, out-of-dim-range dates.
+# --------------------------------------------------------------------
+DIRTY_FRAGMENTS: dict[str, str] = {
+    "ID": "p_partkey",
+    "TEN": (
+        "CASE WHEN p_partkey % 37 = 0 THEN 'x' ELSE concat(p_name, ' ', "
+        "CASE CAST(p_partkey % 10 AS INTEGER) "
+        "WHEN 0 THEN 'iPhone 15 Pro' WHEN 1 THEN 'Samsung Galaxy S24' "
+        "WHEN 2 THEN 'Xiaomi 14' WHEN 3 THEN 'OPPO Reno11' "
+        "WHEN 4 THEN 'vivo V30e' WHEN 5 THEN 'realme GT Neo' "
+        "WHEN 6 THEN 'Nokia G42' WHEN 7 THEN 'ASUS ROG Phone' "
+        "WHEN 8 THEN 'iPhone va Samsung combo' ELSE 'Tecno Spark 20' END) END"
+    ),
+    "LINK": (
+        "CASE WHEN p_partkey % 23 = 0 THEN '' "
+        "ELSE concat('/p/', CAST(p_partkey AS VARCHAR(20))) END"
+    ),
+    "LINK_ANH": "concat('img/', CAST(p_partkey AS VARCHAR(20)), '.jpg')",
+    "GIA_CU": (
+        "CASE CAST(p_partkey % 5 AS INTEGER) "
+        "WHEN 0 THEN '' WHEN 1 THEN '-1' "
+        "WHEN 2 THEN concat(CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR(20)), "
+        "'.990.000đ') "
+        "WHEN 3 THEN concat(CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR(20)), "
+        "',499,000 ₫') "
+        "ELSE concat(CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR(20)), '000') END"
+    ),
+    "GIA_MOI": (
+        "CASE CAST(p_partkey % 7 AS INTEGER) "
+        "WHEN 0 THEN '' "
+        "WHEN 1 THEN concat(CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR(20)), "
+        "'.490.000đ') "
+        "ELSE concat(CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR(20)), '900 ₫') END"
+    ),
+    "KICH_THUOC_MAN_HINH": (
+        "CASE WHEN p_partkey % 11 = 0 THEN '' "
+        "ELSE concat(CAST(p_size % 10 AS VARCHAR(4)), '.', "
+        "CAST(p_partkey % 10 AS VARCHAR(4)), ' inches') END"
+    ),
+    "RAM": (
+        "CASE CAST(p_partkey % 4 AS INTEGER) WHEN 0 THEN '8 GB' "
+        "WHEN 1 THEN '12GB' WHEN 2 THEN '' ELSE '256 GB' END"
+    ),
+    "BO_NHO": (
+        "CASE CAST(p_partkey % 4 AS INTEGER) WHEN 0 THEN '256 GB' "
+        "WHEN 1 THEN '1 TB' WHEN 2 THEN '512GB' ELSE '' END"
+    ),
+    "NGAY": (
+        "CASE WHEN p_partkey % 40 >= 35 THEN TIMESTAMP '2019-06-01 00:00:00' "
+        "ELSE CAST(DATE '2024-01-01' + CAST(p_partkey % 40 AS INTEGER) "
+        "AS TIMESTAMP) END"
+    ),
+    "ID_CONFIG": "CAST(p_partkey % 2 + 1 AS INTEGER)",
+}
+
+DIRTY_SELECT = ", ".join(f"{sql} AS {col}" for col, sql in DIRTY_FRAGMENTS.items())
+
+#: DuckDB-side replica of the cleaning battery
+#: (:mod:`..functions.cleaning`), used by several oracles.
+ORACLE_CLEAN = f"""
+WITH dirty AS (SELECT {DIRTY_SELECT} FROM part),
+dd AS (
+  SELECT CAST(d AS DATE) AS full_date,
+         CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS date_sk
+  FROM generate_series(DATE '{DIM_START}', DATE '{DIM_END}', INTERVAL 1 DAY) t(d)
+),
+clean AS (
+  SELECT
+    ID,
+    coalesce(nullif(TEN, ''), 'Unknown') AS TEN,
+    coalesce(nullif(LINK, ''), 'Unknown') AS LINK,
+    coalesce(nullif(LINK_ANH, ''), 'Unknown') AS LINK_ANH,
+    CASE WHEN GIA_CU IS NULL OR GIA_CU = '' OR GIA_CU = '-1'
+         THEN CAST(-1 AS DECIMAL(18,2))
+         ELSE CAST(coalesce(nullif(regexp_extract(
+                regexp_replace(GIA_CU, '[.,\\s ]', '', 'g'),
+                '^-?[0-9]+', 0), ''), '0') AS DECIMAL(18,2)) END AS GIA_CU,
+    CASE WHEN GIA_MOI IS NULL OR GIA_MOI = '' OR GIA_MOI = '-1'
+         THEN CAST(-1 AS DECIMAL(18,2))
+         ELSE CAST(coalesce(nullif(regexp_extract(
+                regexp_replace(GIA_MOI, '[.,\\s ]', '', 'g'),
+                '^-?[0-9]+', 0), ''), '0') AS DECIMAL(18,2)) END AS GIA_MOI,
+    CASE WHEN KICH_THUOC_MAN_HINH IS NULL OR KICH_THUOC_MAN_HINH = ''
+         THEN CAST(-1 AS DECIMAL(4,2))
+         ELSE coalesce(CAST(nullif(regexp_extract(KICH_THUOC_MAN_HINH,
+                '[0-9]*\\.?[0-9]+', 0), '') AS DECIMAL(4,2)),
+              CAST(0 AS DECIMAL(4,2))) END AS KICH_THUOC_MAN_HINH,
+    CASE WHEN RAM IS NULL OR RAM = '' THEN -1
+         ELSE coalesce(CAST(nullif(regexp_extract(
+                regexp_replace(RAM, 'GB|\\s| ', '', 'g'),
+                '^-?[0-9]+', 0), '') AS INTEGER), 0) END AS RAM,
+    CASE WHEN BO_NHO IS NULL OR BO_NHO = '' THEN -1
+         ELSE coalesce(CAST(nullif(regexp_extract(
+                regexp_replace(BO_NHO, 'GB|\\s| ', '', 'g'),
+                '^-?[0-9]+', 0), '') AS INTEGER), 0) END AS BO_NHO,
+    coalesce(dd.date_sk, 0) AS SK_DATE,
+    NGAY,
+    ID_CONFIG
+  FROM dirty
+  LEFT JOIN dd ON CAST(NGAY AS DATE) = dd.full_date
+  WHERE length(coalesce(TEN, '')) + length(coalesce(LINK, ''))
+        + length(coalesce(LINK_ANH, '')) > 10
+)
+"""
+
+
+def _dirty_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").selectExpr(
+        *[f"{sql} AS {col}" for col, sql in DIRTY_FRAGMENTS.items()]
+    )
+
+
+# ===================== scans / projections / aggregations =====================
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_items,
+           sum(l_quantity) AS sum_qty,
+           max(l_extendedprice) AS max_price,
+           min(l_extendedprice) AS min_price,
+           (max(l_extendedprice) + min(l_extendedprice)) / 2 AS mid_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+    GROUP BY p_brand
+    """,
+    tags=("flagship", "A1", "J1", "scan", "agg"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: filter -> broadcast join -> groupBy max/min/midrange.
+
+    The A1 rollup shape (load_datamart.py:115-131) on lineitem/part.
+    Filter pushes to the Parquet scan; part broadcasts; max/min are
+    partial-aggregated map-side.
+    """
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("2000-12-01")
+    )
+    pt = _t(spark, sf_dir, "part")
+    gmax = F.max("l_extendedprice")
+    gmin = F.min("l_extendedprice")
+    return (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            gmax.alias("max_price"),
+            gmin.alias("min_price"),
+            midrange(gmax, gmin).alias("mid_price"),
+        )
+    )
+
+
+@register(
+    "clean_products",
+    oracle=ORACLE_CLEAN + "SELECT * FROM clean",
+    tags=("P1", "P2", "J1", "cleaning"),
+)
+def q_clean_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SP_ETL_Clean_Data battery on synthesized dirty rows.
+
+    Junk filter (P2), null repair, price strip-cast, screen-size
+    regex extract, GB strip, date-dim left join with 0 sentinel (J1)
+    — db_staging.sql:4883-4920 end to end.
+    """
+    _utc(spark)
+    return clean_products(_dirty_products(spark, sf_dir), date_dim(spark))
+
+
+_ORACLE_DATE_DIM = f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS d,
+         CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS sk,
+         CAST((dayofweek(CAST(d AS DATE)) + 6) % 7 AS INTEGER) AS py_wd
+  FROM generate_series(DATE '{DIM_START}', DATE '{DIM_END}', INTERVAL 1 DAY) t(d)
+),
+attrs AS (
+  SELECT *,
+    d - CAST((py_wd + 1) % 7 AS INTEGER) AS sun_week,
+    d - py_wd AS mon_week,
+    make_date(CAST(year(d) AS INTEGER), 1, 1) AS jan1
+  FROM days
+),
+weeks AS (
+  SELECT *,
+    CAST(floor(datediff('day', jan1, sun_week) / 7.0) + 1 AS INTEGER) AS sun_woy,
+    CAST(floor(datediff('day', jan1, mon_week) / 7.0) + 1 AS INTEGER) AS mon_woy
+  FROM attrs
+)
+SELECT
+  sk AS DATE_SK,
+  d AS FULL_DATE,
+  CAST(day(d) AS INTEGER) AS INT_DAY,
+  CAST(month(d) AS INTEGER) AS INT_MONTH,
+  ['Thứ Hai','Thứ Ba','Thứ Tư','Thứ Năm','Thứ Sáu','Thứ Bảy','Chủ Nhật'][py_wd + 1]
+    AS DAY_OF_WEEK,
+  concat('Tháng ', CAST(month(d) AS VARCHAR(2))) AS CALENDAR_MONTH,
+  CAST(year(d) AS INTEGER) AS CALENDAR_YEAR,
+  strftime(d, '%Y-%m') AS CALENDAR_YEAR_MONTH,
+  CAST(day(d) AS INTEGER) AS DATE_OF_MONTH,
+  CAST(dayofyear(d) AS INTEGER) AS DAY_OF_YEAR,
+  sun_woy AS SUN_WEEK_OF_YEAR,
+  concat(CAST(year(d) AS VARCHAR(4)), '-W',
+         lpad(CAST(sun_woy AS VARCHAR(2)), 2, '0'), ' (Sun)') AS SUN_YEAR_WEEK,
+  sun_week AS SUN_WEEK,
+  mon_woy AS MON_WEEK_OF_YEAR,
+  concat(CAST(year(d) AS VARCHAR(4)), '-W',
+         lpad(CAST(mon_woy AS VARCHAR(2)), 2, '0'), ' (Mon)') AS MON_YEAR_WEEK,
+  mon_week AS MON_WEEK,
+  concat('Q', CAST(quarter(d) AS VARCHAR(1))) AS QUARTER,
+  date_trunc('quarter', d) AS QUARTER_OF_YEAR,
+  'Không' AS HOLIDAY,
+  CASE WHEN py_wd >= 5 THEN 'Cuối tuần' ELSE 'Ngày thường' END AS DAY_TYPE
+FROM weeks
+"""
+
+
+@register("date_dim", oracle=_ORACLE_DATE_DIM, tags=("F4", "generator", "dates"))
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIM_DATE 2020-2030: 4018 rows, 20 attributes, non-ISO week-0
+    quirk (populate_dim_date.py:36-81)."""
+    _utc(spark)
+    return date_dim(spark, DIM_START, DIM_END)
+
+
+@register(
+    "events_date_join",
+    oracle=f"""
+    WITH dd AS (
+      SELECT CAST(d AS DATE) AS full_date,
+             CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS date_sk
+      FROM generate_series(DATE '{DIM_START}', DATE '{DIM_END}', INTERVAL 1 DAY) t(d)
+    )
+    SELECT event_id, coalesce(dd.date_sk, 0) AS date_sk
+    FROM events LEFT JOIN dd ON CAST(ts AS DATE) = dd.full_date
+    """,
+    tags=("J1", "join"),
+)
+def q_events_date_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact left-joins the broadcast date dim; unmatched -> 0."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    dd = F.broadcast(date_dim(spark).select("DATE_SK", "FULL_DATE"))
+    return ev.join(dd, F.to_date(ev["ts"]) == dd["FULL_DATE"], "left").select(
+        "event_id", F.coalesce(F.col("DATE_SK"), F.lit(0)).alias("date_sk")
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("W1", "window", "topk"),
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 set-based: argmax per group replaces the reference's per-row
+    `ORDER BY ... LIMIT 1` N+1 loop (load_staging.py:89-102)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return top1_per_group(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "new_users_day2",
+    oracle="""
+    SELECT DISTINCT user_id FROM events e2
+    WHERE CAST(ts AS DATE) > DATE '2024-01-15'
+      AND NOT EXISTS (
+        SELECT 1 FROM events e1
+        WHERE CAST(e1.ts AS DATE) <= DATE '2024-01-15'
+          AND e1.user_id = e2.user_id)
+    """,
+    tags=("J2", "anti-join"),
+)
+def q_new_users_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-anti new-key detection (db_staging.sql:4949-4953)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    d1 = ev.filter(F.to_date("ts") <= F.lit("2024-01-15")).select("user_id")
+    d2 = ev.filter(F.to_date("ts") > F.lit("2024-01-15")).select("user_id").distinct()
+    return d2.join(d1, "user_id", "left_anti")
+
+
+_PROFILE_SQL = """
+  SELECT user_id,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+         max(event_type) AS top_type
+  FROM events {where}
+  GROUP BY user_id
+"""
+
+
+def _profile(spark: SparkSession, sf_dir: str, upper_date: str | None) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    if upper_date:
+        ev = ev.filter(F.to_date("ts") <= F.lit(upper_date))
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        F.max("event_type").alias("top_type"),
+    )
+
+
+@register(
+    "changed_users_theta",
+    oracle=(
+        "WITH p1 AS ("
+        + _PROFILE_SQL.format(where="WHERE CAST(ts AS DATE) <= DATE '2024-01-15'")
+        + "), p2 AS ("
+        + _PROFILE_SQL.format(where="")
+        + """)
+    SELECT p1.user_id,
+           p1.n_events AS n_events_d1, p2.n_events AS n_events_d2,
+           p1.total_value AS total_d1, p2.total_value AS total_d2
+    FROM p1 JOIN p2 ON p1.user_id = p2.user_id
+    WHERE p1.n_events <> p2.n_events OR p1.total_value <> p2.total_value
+       OR p1.top_type <> p2.top_type
+    """
+    ),
+    tags=("J3", "theta-join"),
+)
+def q_changed_users_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: equi-join + NULL-unsafe any-attribute-differs residual
+    (db_staging.sql:4957-4969)."""
+    _utc(spark)
+    p1 = _profile(spark, sf_dir, "2024-01-15").alias("p1")
+    p2 = _profile(spark, sf_dir, None).alias("p2")
+    neq = (
+        (F.col("p1.n_events") != F.col("p2.n_events"))
+        | (F.col("p1.total_value") != F.col("p2.total_value"))
+        | (F.col("p1.top_type") != F.col("p2.top_type"))
+    )
+    return (
+        p1.join(p2, F.col("p1.user_id") == F.col("p2.user_id"))
+        .filter(neq)
+        .select(
+            F.col("p1.user_id").alias("user_id"),
+            F.col("p1.n_events").alias("n_events_d1"),
+            F.col("p2.n_events").alias("n_events_d2"),
+            F.col("p1.total_value").alias("total_d1"),
+            F.col("p2.total_value").alias("total_d2"),
+        )
+    )
+
+
+@register(
+    "orders_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+    """,
+    tags=("J5", "semi-join"),
+)
+def q_orders_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left-semi selection (db_staging.sql:4978-4988 pattern)."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return orders.join(
+        rich, orders["o_custkey"] == rich["c_custkey"], "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "monthly_price_rollup",
+    oracle="""
+    SELECT l_partkey,
+           CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS calendar_year,
+           CAST(month(CAST(l_shipdate AS DATE)) AS INTEGER) AS calendar_month,
+           count(*) AS n_obs,
+           max(l_extendedprice) AS max_price,
+           min(l_extendedprice) AS min_price,
+           (max(l_extendedprice) + min(l_extendedprice)) / 2 AS avg_price
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    """,
+    tags=("A1", "rollup"),
+)
+def q_monthly_price_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the monthly mart GROUP BY with the midrange-as-AVG quirk
+    (load_datamart.py:115-131)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    gmax = F.max("l_extendedprice")
+    gmin = F.min("l_extendedprice")
+    return li.groupBy(
+        "l_partkey",
+        F.year(F.to_date("l_shipdate")).alias("calendar_year"),
+        F.month(F.to_date("l_shipdate")).alias("calendar_month"),
+    ).agg(
+        F.count("*").alias("n_obs"),
+        gmax.alias("max_price"),
+        gmin.alias("min_price"),
+        midrange(gmax, gmin).alias("avg_price"),
+    )
+
+
+@register(
+    "quarterly_trend_rollup",
+    oracle="""
+    SELECT l_partkey,
+           CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS calendar_year,
+           concat('Q', concat('Q', CAST(quarter(CAST(l_shipdate AS DATE))
+                  AS VARCHAR(1)))) AS quarter_name,
+           min(l_extendedprice) AS quarter_min_price,
+           max(l_extendedprice) AS quarter_max_price,
+           (min(l_extendedprice) + max(l_extendedprice)) / 2 AS quarter_avg_price
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    """,
+    tags=("A2", "J7", "rollup", "quirk-QQ"),
+)
+def q_quarterly_trend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 incl. the 'QQ1' double-prefix label quirk
+    (load_datamart.py:141-158; SURVEY §2.9 quirk 5)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    dim_quarter = F.concat(
+        F.lit("Q"), F.quarter(F.to_date("l_shipdate")).cast("string")
+    )
+    gmin = F.min("l_extendedprice")
+    gmax = F.max("l_extendedprice")
+    return li.groupBy(
+        "l_partkey",
+        F.year(F.to_date("l_shipdate")).alias("calendar_year"),
+        F.concat(F.lit("Q"), dim_quarter).alias("quarter_name"),
+    ).agg(
+        gmin.alias("quarter_min_price"),
+        gmax.alias("quarter_max_price"),
+        midrange(gmin, gmax).alias("quarter_avg_price"),
+    )
+
+
+_BRAND_CASE = " ".join(
+    f"WHEN position('{tok}' IN lower(TEN)) > 0 THEN '{brand}'"
+    for tok, brand in BRAND_LADDER
+)
+
+
+@register(
+    "brand_dim_ladder",
+    oracle=f"""
+    WITH dirty AS (SELECT {DIRTY_SELECT} FROM part)
+    SELECT CASE {_BRAND_CASE} ELSE 'Khác' END AS brand_name,
+           count(*) AS n_products
+    FROM dirty
+    GROUP BY 1
+    """,
+    tags=("dim-brand", "ladder", "quirk-order"),
+)
+def q_brand_dim_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered brand contains-ladder, first match wins
+    (load_dwh.py:141-153; SURVEY §2.9 quirk 10)."""
+    _utc(spark)
+    dirty = _dirty_products(spark, sf_dir)
+    return dirty.groupBy(brand_ladder("TEN").alias("brand_name")).agg(
+        F.count("*").alias("n_products")
+    )
+
+
+@register(
+    "sentinel_minmax",
+    oracle="""
+    WITH px AS (
+      SELECT o_orderkey,
+        CASE CAST(o_orderkey % 4 AS INTEGER)
+          WHEN 0 THEN CAST(-1 AS DECIMAL(18,2))
+          WHEN 1 THEN NULL
+          ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS gia_cu,
+        CASE CAST(o_orderkey % 3 AS INTEGER)
+          WHEN 0 THEN CAST(-1 AS DECIMAL(18,2))
+          ELSE CAST(o_totalprice AS DECIMAL(18,2)) - 500 END AS gia_moi
+      FROM orders)
+    SELECT o_orderkey,
+      CAST(least(nullif(gia_cu, -1), nullif(gia_moi, -1)) AS DOUBLE) AS min_price,
+      CAST(greatest(nullif(gia_cu, -1), nullif(gia_moi, -1)) AS DOUBLE)
+        AS max_price,
+      CAST(coalesce(least(nullif(gia_cu, -1), nullif(gia_moi, -1)),
+               CAST(-1 AS DECIMAL(18,2))) AS DOUBLE) AS min_price_sentinel
+    FROM px
+    """,
+    tags=("A6", "sentinels"),
+)
+def q_sentinel_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-row min/max with -1/NULL treated as missing — the
+    4-branch case of load_dwh.py:166-184 as least/greatest algebra."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    px = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(-1).cast("decimal(18,2)"))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit(None).cast("decimal(18,2)"))
+        .otherwise(F.col("o_totalprice").cast("decimal(18,2)"))
+        .alias("gia_cu"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(-1).cast("decimal(18,2)"))
+        .otherwise(F.col("o_totalprice").cast("decimal(18,2)") - 500)
+        .alias("gia_moi"),
+    )
+    return px.select(
+        "o_orderkey",
+        sentinel_least("gia_cu", "gia_moi").cast("double").alias("min_price"),
+        sentinel_greatest("gia_cu", "gia_moi").cast("double").alias("max_price"),
+        F.coalesce(
+            sentinel_least("gia_cu", "gia_moi"), F.lit(-1).cast("decimal(18,2)")
+        ).cast("double").alias("min_price_sentinel"),
+    )
+
+
+@register(
+    "union_dedup",
+    oracle="""
+    SELECT DISTINCT * FROM (
+      SELECT * FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT * FROM events WHERE value > 100
+    )
+    """,
+    tags=("U1", "U2", "union", "dedup"),
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2: multi-source union then key dedup (crawl.py:303-305,
+    db_staging_sql.sql:94-96)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("value") > 100)
+    return a.unionByName(b).dropDuplicates(["event_id"])
+
+
+@register(
+    "count_guards",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("A4", "A5", "counts"),
+)
+def q_count_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5: the status-count guards and per-stage row metrics as one
+    grouped aggregation (plus a distinct-agg, free in Spark)."""
+    _utc(spark)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+@register(
+    "nullsafe_lookup",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'AUTOMOBILE') AS seg FROM customer),
+    lookup AS (
+      SELECT seg, concat('seg:', coalesce(seg, 'NULL')) AS seg_code
+      FROM (SELECT DISTINCT seg FROM src))
+    SELECT s.c_custkey, l.seg_code
+    FROM src s JOIN lookup l ON s.seg IS NOT DISTINCT FROM l.seg
+    """,
+    tags=("P6", "null-safe"),
+)
+def q_nullsafe_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: NULL-aware point lookup as a null-safe equi-join
+    (load_dwh.py:22-31 builds `IS NULL` predicates per key)."""
+    _utc(spark)
+    src = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif("c_mktsegment", F.lit("AUTOMOBILE")).alias("seg")
+    )
+    lookup = src.select("seg").distinct().select(
+        "seg", F.concat(F.lit("seg:"), F.coalesce("seg", F.lit("NULL"))).alias(
+            "seg_code"
+        )
+    )
+    return src.alias("s").join(
+        F.broadcast(lookup).alias("l"),
+        F.col("s.seg").eqNullSafe(F.col("l.seg")),
+    ).select("s.c_custkey", "l.seg_code")
+
+
+@register(
+    "snapshot_literals",
+    oracle="""
+    SELECT p_partkey AS product_sk,
+           CAST(1500 AS INTEGER) AS date_sk,
+           CAST(2024 AS INTEGER) AS calendar_year,
+           CAST(2 AS INTEGER) AS calendar_month,
+           CAST(p_retailprice AS DECIMAL(18,2)) AS max_price,
+           CAST(p_retailprice * 0.8 AS DECIMAL(18,2)) AS min_price
+    FROM part
+    """,
+    tags=("A3", "snapshot"),
+)
+def q_snapshot_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the daily AGGREGATE snapshot — dim state projected with
+    constant date keys (load_aggregate.py:88-112)."""
+    _utc(spark)
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("product_sk"),
+        F.lit(1500).cast("int").alias("date_sk"),
+        F.lit(2024).cast("int").alias("calendar_year"),
+        F.lit(2).cast("int").alias("calendar_month"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("max_price"),
+        (F.col("p_retailprice") * 0.8).cast("decimal(18,2)").alias("min_price"),
+    )
+
+
+@register(
+    "dim_maintenance",
+    oracle=(
+        "WITH b1 AS ("
+        + _PROFILE_SQL.format(where="WHERE CAST(ts AS DATE) <= DATE '2024-01-15'")
+        + "), b2 AS ("
+        + _PROFILE_SQL.format(where="")
+        + """),
+    d1 AS (
+      SELECT CAST(row_number() OVER (ORDER BY user_id) AS INTEGER) AS user_sk, *
+      FROM b1),
+    matched AS (
+      SELECT d1.user_sk, b2.* FROM b2 JOIN d1 USING (user_id)),
+    minted AS (
+      SELECT CAST((SELECT max(user_sk) FROM d1)
+             + row_number() OVER (ORDER BY user_id) AS INTEGER) AS user_sk, b2.*
+      FROM b2 WHERE user_id NOT IN (SELECT user_id FROM d1))
+    SELECT * FROM matched UNION ALL SELECT * FROM minted
+    """
+    ),
+    tags=("S9", "J6", "dim-upsert"),
+)
+def q_dim_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/J6: set-based get_or_create_sk — day-1 dim build, then a
+    day-2 merge that keeps existing SKs, mints sequential SKs for new
+    keys, and overwrites attributes (load_dwh.py:18-44,155-225)."""
+    _utc(spark)
+    b1 = _profile(spark, sf_dir, "2024-01-15")
+    b2 = _profile(spark, sf_dir, None)
+    d1 = upsert_dim(None, b1, ["user_id"], "USER_SK", order_col="user_id")
+    d2 = upsert_dim(d1, b2, ["user_id"], "USER_SK", order_col="user_id")
+    return d2.select(
+        F.col("USER_SK").alias("user_sk"),
+        "user_id",
+        "n_events",
+        "total_value",
+        "top_type",
+    )
+
+
+# ===================== SCD2 (the stateful core) =====================
+
+_STAGING_SQL = """
+  SELECT concat('u', CAST(user_id AS VARCHAR(10))) AS TEN,
+         concat('L', CAST(user_id % 50 AS VARCHAR(10))) AS LINK,
+         concat('A', CAST(user_id AS VARCHAR(10))) AS LINK_ANH,
+         CAST(max(value) AS DECIMAL(18,2)) AS GIA_CU,
+         CAST(min(value) AS DECIMAL(18,2)) AS GIA_MOI,
+         CAST(count(*) % 100 AS DECIMAL(4,2)) AS KICH_THUOC_MAN_HINH,
+         CAST(count(*) AS INTEGER) AS RAM,
+         CAST(user_id % 1024 AS INTEGER) AS BO_NHO,
+         user_id AS ID,
+         CAST(user_id % 2 + 1 AS INTEGER) AS ID_CONFIG
+  FROM events WHERE CAST(ts AS DATE) <= DATE '{cutoff}'
+  GROUP BY user_id
+"""
+
+_SCD_OPEN_TS = "TIMESTAMP '9999-12-31 00:00:00'"
+_DAY1_TS = "TIMESTAMP '2024-01-15 12:00:00'"
+_DAY2_TS = "TIMESTAMP '2024-01-31 12:00:00'"
+
+_SCD_COMPARE = (
+    "t.GIA_CU <> s.GIA_CU OR t.GIA_MOI <> s.GIA_MOI OR "
+    "t.KICH_THUOC_MAN_HINH <> s.KICH_THUOC_MAN_HINH OR "
+    "t.RAM <> s.RAM OR t.BO_NHO <> s.BO_NHO"
+)
+
+_SCD_PAYLOAD = (
+    "TEN, LINK, LINK_ANH, GIA_CU, GIA_MOI, KICH_THUOC_MAN_HINH, RAM, BO_NHO, "
+    "ID, ID_CONFIG"
+)
+
+_ORACLE_SCD2 = f"""
+WITH st1 AS ({_STAGING_SQL.format(cutoff='2024-01-15')}),
+st2 AS ({_STAGING_SQL.format(cutoff='2024-02-01')}),
+h1 AS (
+  SELECT {_SCD_PAYLOAD}, {_DAY1_TS} AS CREATED_AT, {_DAY1_TS} AS UPDATED_AT,
+         {_SCD_OPEN_TS} AS EXPIRED_AT
+  FROM st1),
+new2 AS (
+  SELECT s.* FROM st2 s
+  WHERE NOT EXISTS (SELECT 1 FROM h1 t WHERE t.TEN = s.TEN
+                    AND t.EXPIRED_AT = {_SCD_OPEN_TS})),
+h2pre AS (
+  SELECT * FROM h1
+  UNION ALL
+  SELECT {_SCD_PAYLOAD}, {_DAY2_TS}, {_DAY2_TS}, {_SCD_OPEN_TS} FROM new2),
+changed AS (
+  SELECT DISTINCT t.TEN, t.LINK
+  FROM h2pre t JOIN st2 s ON t.TEN = s.TEN AND t.EXPIRED_AT = {_SCD_OPEN_TS}
+  WHERE {_SCD_COMPARE}),
+cur AS (SELECT * FROM h2pre WHERE EXPIRED_AT = {_SCD_OPEN_TS}),
+closed AS (SELECT * FROM h2pre WHERE EXPIRED_AT <> {_SCD_OPEN_TS})
+SELECT * FROM closed
+UNION ALL
+SELECT * FROM cur
+WHERE NOT EXISTS (SELECT 1 FROM changed c
+                  WHERE c.TEN = cur.TEN AND c.LINK = cur.LINK)
+UNION ALL
+SELECT {_SCD_PAYLOAD}, CREATED_AT, {_DAY2_TS} AS UPDATED_AT,
+       {_DAY2_TS} AS EXPIRED_AT
+FROM cur
+WHERE EXISTS (SELECT 1 FROM changed c
+              WHERE c.TEN = cur.TEN AND c.LINK = cur.LINK)
+UNION ALL
+SELECT {_SCD_PAYLOAD}, {_DAY2_TS}, {_DAY2_TS}, {_SCD_OPEN_TS}
+FROM st2 s
+WHERE EXISTS (SELECT 1 FROM changed c
+              WHERE c.TEN = s.TEN AND c.LINK = s.LINK)
+"""
+
+
+def _scd_staging(spark: SparkSession, sf_dir: str, cutoff: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.to_date("ts") <= F.lit(cutoff))
+    return ev.groupBy("user_id").agg(
+        F.max("value").cast("decimal(18,2)").alias("GIA_CU"),
+        F.min("value").cast("decimal(18,2)").alias("GIA_MOI"),
+        (F.count("*") % 100).cast("decimal(4,2)").alias("KICH_THUOC_MAN_HINH"),
+        F.count("*").cast("int").alias("RAM"),
+    ).select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("TEN"),
+        F.concat(F.lit("L"), (F.col("user_id") % 50).cast("string")).alias("LINK"),
+        F.concat(F.lit("A"), F.col("user_id").cast("string")).alias("LINK_ANH"),
+        "GIA_CU",
+        "GIA_MOI",
+        "KICH_THUOC_MAN_HINH",
+        "RAM",
+        (F.col("user_id") % 1024).cast("int").alias("BO_NHO"),
+        F.col("user_id").alias("ID"),
+        (F.col("user_id") % 2 + 1).cast("int").alias("ID_CONFIG"),
+    )
+
+
+@register("scd2_two_day", oracle=_ORACLE_SCD2, tags=("scd2", "J2", "J3", "J4", "J5"))
+def q_scd2_two_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 over two consecutive batches: day-1 bootstrap (all
+    inserts), day-2 insert/expire/re-insert with the reference's key
+    asymmetry and NULL-unsafe compare (db_staging.sql:4929-4991)."""
+    _utc(spark)
+    st1 = _scd_staging(spark, sf_dir, "2024-01-15")
+    st2 = _scd_staging(spark, sf_dir, "2024-02-01")
+    r1 = scd2_apply(st1, None, now="2024-01-15 12:00:00")
+    r2 = scd2_apply(st2, r1.history, now="2024-01-31 12:00:00")
+    return r2.history

@@ -1,0 +1,61 @@
+"""Dedup-family operators on crafted fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouseproject_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (3, "The  quick   brown fox jumps over the lazy dog near the river BANK"),
+        (4, "completely different text about spark shuffles and partitions"),
+        (5, "the quick brown fox jumps over the lazy dog near the river dock"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # 2 is an exact dup of 1
+
+
+def test_fingerprint_dedup_normalizes(spark):
+    out = fingerprint_dedup(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 5]  # 3 collapses with 1 after normalization
+
+
+def test_minhash_identical_docs_est_one(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0  # identical after normalization
+    # near-dup (one word changed) should be found with high estimate
+    assert (1, 5) in pairs and pairs[(1, 5)] > 0.5
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_simhash_identical_for_same_tokens(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[1] != out[4]
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = _docs(spark)
+    cand = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    j = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in ngram_jaccard_pairs(docs, cand).collect()}
+    assert j[(1, 2)] == 1.0
+    assert j[(1, 4)] < 0.2

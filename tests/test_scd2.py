@@ -1,0 +1,116 @@
+"""SCD2 operator semantics (db_staging.sql:4929-4991 parity).
+
+Covers the quirks a set-based rewrite can silently lose: member-key /
+track-key asymmetry with fan-out (quirk 2), NULL-unsafe compare
+(quirk 3), idempotent re-run, and the one-current-row invariant.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouseproject_spark.functions.cleaning import SCD_OPEN
+from datawarehouseproject_spark.operators.scd2 import scd2_apply
+
+SCHEMA = (
+    "TEN string, LINK string, GIA_CU decimal(18,2), GIA_MOI decimal(18,2), "
+    "KICH_THUOC_MAN_HINH decimal(4,2), RAM int, BO_NHO int"
+)
+COMPARE = ("GIA_CU", "GIA_MOI", "KICH_THUOC_MAN_HINH", "RAM", "BO_NHO")
+
+
+def _staging(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _d(x):
+    return Decimal(x) if x is not None else None
+
+
+def row(ten, link, gia_cu="10.00", gia_moi="9.00", ktm="6.50", ram=8, bo=256):
+    return (ten, link, _d(gia_cu), _d(gia_moi), _d(ktm), ram, bo)
+
+
+def _apply(st, hist, now):
+    return scd2_apply(st, hist, compare_cols=COMPARE, now=now)
+
+
+def current(hist):
+    return hist.filter(F.col("EXPIRED_AT") == F.to_timestamp(F.lit(SCD_OPEN)))
+
+
+def test_bootstrap_all_inserted(spark):
+    st = _staging(spark, [row("a", "L1"), row("b", "L2")])
+    res = _apply(st, None, "2024-01-01 00:00:00")
+    m = res.metrics()
+    assert m == {"rows_input": 2, "rows_inserted": 2, "rows_updated": 0}
+    assert current(res.history).count() == 2
+
+
+def test_change_expires_and_reinserts(spark):
+    st1 = _staging(spark, [row("a", "L1", gia_moi="9.00")])
+    r1 = _apply(st1, None, "2024-01-01 00:00:00")
+    st2 = _staging(spark, [row("a", "L1", gia_moi="7.00")])
+    r2 = _apply(st2, r1.history, "2024-01-02 00:00:00")
+    assert r2.metrics() == {"rows_input": 1, "rows_inserted": 1, "rows_updated": 1}
+    hist = r2.history.collect()
+    assert len(hist) == 2
+    cur = [h for h in hist if str(h["EXPIRED_AT"]).startswith("9999")]
+    assert len(cur) == 1 and cur[0]["GIA_MOI"] == Decimal("7.00")
+
+
+def test_unchanged_is_noop_and_idempotent(spark):
+    st = _staging(spark, [row("a", "L1"), row("b", "L2")])
+    r1 = _apply(st, None, "2024-01-01 00:00:00")
+    r2 = _apply(st, r1.history, "2024-01-02 00:00:00")
+    assert r2.metrics() == {"rows_input": 2, "rows_inserted": 0, "rows_updated": 0}
+    assert r2.history.count() == 2
+
+
+def test_null_unsafe_compare_skips_nulls(spark):
+    # NULL attribute never registers as changed (quirk 3: `<>` is
+    # NULL-unsafe in the reference's EXPIRED_KEYS scan)
+    st1 = _staging(spark, [row("a", "L1", gia_moi=None)])
+    r1 = _apply(st1, None, "2024-01-01 00:00:00")
+    st2 = _staging(spark, [row("a", "L1", gia_moi="5.00")])
+    r2 = _apply(st2, r1.history, "2024-01-02 00:00:00")
+    # NULL <> 5.00 is NULL -> not changed; other attrs equal -> no-op
+    assert r2.metrics() == {"rows_input": 1, "rows_inserted": 0, "rows_updated": 0}
+
+
+def test_key_asymmetry_fanout(spark):
+    """Same TEN on two LINKs (quirk 2): membership is by TEN, so the
+    day-2 row is NOT a new member; change tracking is by (TEN, LINK),
+    and cross-LINK attribute diffs expire BOTH rows — including the
+    reference's sequencing where day-2's insert happens first."""
+    st1 = _staging(spark, [row("a", "L1", gia_moi="9.00")])
+    r1 = _apply(st1, None, "2024-01-01 00:00:00")
+    # day 2: same TEN, different LINK, different attrs
+    st2 = _staging(spark, [row("a", "L2", gia_moi="7.00")])
+    r2 = _apply(st2, r1.history, "2024-01-02 00:00:00")
+    hist = r2.history.collect()
+    # L1's current row was expired (attrs differ via the TEN join);
+    # L2 was never inserted (TEN already a member, and (a, L2) only
+    # enters EXPIRED_KEYS from the history side -> no L2 rows at all).
+    links = sorted((h["LINK"], str(h["EXPIRED_AT"])[:4]) for h in hist)
+    assert links == [("L1", "2024")]
+
+
+def test_one_current_row_per_track_key(spark):
+    st1 = _staging(
+        spark, [row("a", "L1"), row("b", "L2", gia_moi="1.00"), row("c", "L3")]
+    )
+    r1 = _apply(st1, None, "2024-01-01 00:00:00")
+    st2 = _staging(
+        spark,
+        [row("a", "L1", ram=16), row("b", "L2", gia_moi="2.00"), row("d", "L4")],
+    )
+    r2 = _apply(st2, r1.history, "2024-01-02 00:00:00")
+    cur = current(r2.history).groupBy("TEN", "LINK").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+    # history only ever grows: 3 day-1 rows (a,b expired; c current)
+    # + d inserted + a,b re-inserted = 6
+    assert r2.history.count() == 6
