@@ -22,6 +22,30 @@ def py_md5_long(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
+#: Mersenne prime 2^31-1: modulus of the universal-hash family used
+#: to derive many MinHash permutations from ONE md5 per shingle.
+MERSENNE31 = (1 << 31) - 1
+
+
+def universal_coeffs(n: int, salt: str = "minhash") -> list[tuple[int, int, int]]:
+    """(a, b, c) coefficient triples for ``n`` universal hash
+    functions over the two 30-bit halves of an md5-derived base:
+    ``h_i(x) = (a_i*x_lo + b_i*x_hi + c_i) mod (2^31-1)``.
+
+    One md5 per input + n cheap integer ops replaces n salted md5s —
+    the standard many-permutations MinHash trick. All products stay
+    below 2^62, so 64-bit arithmetic is exact in any engine and the
+    SQL oracle reproduces values bit-for-bit.
+    """
+    out = []
+    for i in range(n):
+        a = py_md5_long(f"{salt}-a:{i}") % MERSENNE31 or 1
+        b = py_md5_long(f"{salt}-b:{i}") % MERSENNE31 or 1
+        c = py_md5_long(f"{salt}-c:{i}") % MERSENNE31
+        out.append((a, b, c))
+    return out
+
+
 def hyperplane_coeffs(
     dim: int, n_planes: int, salt: str = ""
 ) -> list[list[float]]:

@@ -53,14 +53,22 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RE), 0))
 
 
-def char_ngrams(col: Column | str, n: int = 3) -> Column:
+def char_ngrams(
+    col: Column | str, n: int = 3, pre_normalized: bool = False
+) -> Column:
     """All character n-grams (shingles) of the normalized text.
 
     Built with ``sequence`` + ``transform`` so generation stays
     JVM-side and per-row (no explode needed until the caller wants
     one). Empty/short text yields an empty array.
+
+    PERF: expressions inside a ``transform`` lambda are re-evaluated
+    per array element. Callers on a hot path must materialize the
+    normalized text into a column first and pass
+    ``pre_normalized=True`` — otherwise the normalization regex runs
+    once per shingle (~300× per document).
     """
-    norm = normalize_text(col)
+    norm = _c(col) if pre_normalized else normalize_text(col)
     positions = F.sequence(F.lit(1), F.length(norm) - (n - 1))
     # Guard: Spark's sequence(1, 0) DESCENDS instead of returning [],
     # so short texts need an explicit empty array.
@@ -106,18 +114,19 @@ def quality_score(col: Column | str) -> Column:
 def language_id(col: Column | str) -> Column:
     """Predict language by marker-token hits; ties broken by lang code.
 
-    For each language, count marker tokens present in the text's
-    whitespace token set; the argmax wins, 'und' if no hits.
+    For each language, count DISTINCT marker tokens present in the
+    text's whitespace token set (``size(array_intersect(...))`` — one
+    set op per language instead of a per-word branch ladder, which
+    keeps the generated code small enough for whole-stage codegen);
+    the argmax wins, 'und' if no hits. First-seen language wins ties
+    (languages scanned in sorted order).
     """
     toks = word_tokens(col)
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang in sorted(LANG_MARKERS):  # deterministic tie-break: first-seen wins
-        hits = sum(
-            (F.when(F.array_contains(toks, w), 1).otherwise(0)
-             for w in LANG_MARKERS[lang]),
-            F.lit(0),
-        )
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.array_intersect(toks, markers))
         take = hits > best_score
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, hits).otherwise(best_score)

@@ -61,10 +61,30 @@ def fingerprint_dedup(
 def _shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, shingle_len: int
 ) -> DataFrame:
-    """(id, shingle) exploded + distinct — the Jaccard set elements."""
+    """(id, base-hash) of each distinct shingle — the Jaccard set
+    elements, hashed to one 60-bit md5 integer so the distinct
+    shuffles 8-byte keys instead of raw shingle strings.
+
+    The text is normalized into a materialized column BEFORE shingle
+    generation (see :func:`..functions.text.char_ngrams` perf note),
+    and the input is rebalanced across the cluster first: shingling
+    is ~300× row amplification, so an extra shuffle of the raw
+    documents is cheap insurance against a few huge input splits
+    gating the whole stage (on tiny local files it's the difference
+    between 1 core and all of them).
+    """
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    normed = df.repartition(spread).select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__t")
+    )
     return (
-        df.select(F.col(id_col), char_ngrams(text_col, shingle_len).alias("__sh"))
-        .select(id_col, F.explode("__sh").alias("shingle"))
+        normed.select(
+            id_col,
+            F.explode(
+                char_ngrams(F.col("__t"), shingle_len, pre_normalized=True)
+            ).alias("shingle"),
+        )
+        .select(id_col, md5_long(F.col("shingle")).alias("base"))
         .distinct()
     )
 
@@ -77,15 +97,24 @@ def minhash_signatures(
     shingle_len: int = 5,
 ) -> DataFrame:
     """MinHash signature per document: ``num_perm`` min-agg columns
-    ``h0..h{n-1}`` over salted shingle hashes.
+    ``h0..h{n-1}``.
 
-    One explode + one groupBy; each ``min()`` combines map-side, so
-    the shuffle carries ``num_perm`` longs per (partition, doc).
+    ONE md5 per distinct shingle; each permutation is a universal
+    hash ``(a*x_lo + b*x_hi + c) mod 2^31-1`` over the md5's 30-bit
+    halves (:func:`..functions.hashing.universal_coeffs`) — integer
+    ops inside codegen, ~num_perm× cheaper than salted re-hashing.
+    One explode + one groupBy; every ``min()`` combines map-side.
     """
+    from ..functions.hashing import MERSENNE31, universal_coeffs
+
     shingles = _shingle_hashes(df, id_col, text_col, shingle_len)
+    # base < 2^60, so the halves are exact in 64-bit integer math
+    x_lo = F.col("base") % F.lit(1 << 30)
+    x_hi = F.shiftright(F.col("base"), 30)
+    coeffs = universal_coeffs(num_perm)
     aggs = [
-        F.min(md5_long(F.col("shingle"), salt=f"p{i}:")).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min((F.lit(a) * x_lo + F.lit(b) * x_hi + F.lit(c)) % F.lit(MERSENNE31)).alias(f"h{i}")
+        for i, (a, b, c) in enumerate(coeffs)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
 
@@ -107,7 +136,7 @@ def minhash_lsh_pairs(
     64-bit band key — the scale-safe layout (no all-pairs join).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_len)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_len).cache()
 
     band_cols = []
     for b in range(bands):
@@ -118,46 +147,42 @@ def minhash_lsh_pairs(
         band_cols.append(
             md5_long(F.concat_ws("|", *parts), salt=f"band{b}:").alias(f"band{b}")
         )
-    banded = sig.select(id_col, *[F.col(f"h{i}") for i in range(num_perm)], *band_cols)
 
-    # long-form (id, band_index, band_key) -> self-join per band bucket
-    stacked = banded.select(
+    # long-form (id, band_index, band_key); the self-join shuffles
+    # only 3 longs per row, signatures are re-joined onto the (small)
+    # distinct pair set afterwards.
+    stacked = sig.select(
         id_col,
-        *[F.col(f"h{i}") for i in range(num_perm)],
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
-            "band_idx", "band_key"
-        ),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
     )
-    left = stacked.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(num_perm)],
-        "band_idx",
-        "band_key",
-    )
-    right = stacked.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(num_perm)],
-        "band_idx",
-        "band_key",
-    )
+    left = stacked.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    right = stacked.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     pairs = (
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            *[F.col(f"a_h{i}") for i in range(num_perm)],
-            *[F.col(f"b_h{i}") for i in range(num_perm)],
-        )
+        .select("id_a", "id_b")
         .distinct()
+    )
+
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(num_perm)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(num_perm)],
     )
     matches = sum(
         (F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
          for i in range(num_perm)),
         F.lit(0),
     )
-    return pairs.select(
-        "id_a", "id_b", (matches / F.lit(float(num_perm))).alias("est_jaccard")
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a", "id_b", (matches / F.lit(float(num_perm))).alias("est_jaccard")
+        )
     )
 
 
@@ -203,18 +228,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b).
 
-    Verification stage after LSH: |A∩B| via a shingle equi-join
+    Verification stage after LSH: |A∩B| via a shingle-hash equi-join
     restricted to candidate pairs, |A∪B| = |A|+|B|−|A∩B|. All joins
-    are equi-joins on ids/shingles — no quadratic blowup beyond the
+    are equi-joins on ids/hashes — no quadratic blowup beyond the
     candidate set.
     """
-    sh = _shingle_hashes(df, id_col, text_col, shingle_len).withColumn(
-        "sh_h", md5_long(F.col("shingle"))
-    )
+    sh = _shingle_hashes(df, id_col, text_col, shingle_len)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
 
-    a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("sh_h").alias("ha"))
-    b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("sh_h").alias("hb"))
+    a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("base").alias("ha"))
+    b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("base").alias("hb"))
     inter = (
         candidates.select("id_a", "id_b")
         .join(a_sh, "id_a")

@@ -104,6 +104,12 @@ def scd2_apply(
     open_ts = F.to_timestamp(F.lit(open_sentinel))
     payload_cols = staging.columns
 
+    # staging feeds four branches (anti-join, change scan, re-insert,
+    # metrics) — cache it so upstream lineage (often a full
+    # clean/aggregate pipeline) runs once, mirroring the reference's
+    # materialized PRODUCTS_TRANSFORM table.
+    staging = staging.cache()
+
     def as_current(df: DataFrame) -> DataFrame:
         return (
             df.select(*payload_cols)
@@ -133,7 +139,9 @@ def scd2_apply(
     # 2. Post-insert history; change detection runs against THIS state
     #    (reference sequencing — the new-key INSERT precedes the
     #    EXPIRED_KEYS scan).
-    hist1 = history.unionByName(new_rows)
+    # hist1 feeds the change scan plus three output branches; cached
+    # for the same reason (the reference's history table is physical).
+    hist1 = history.unionByName(new_rows).cache()
     current1 = hist1.filter(F.col("EXPIRED_AT") == open_ts)
 
     # 3. Changed keys (the EXPIRED_KEYS scratch table,
@@ -146,6 +154,7 @@ def scd2_apply(
         .filter(_neq_any("t", "s", list(compare_cols)))
         .select(*[F.col(f"t.{k}").alias(k) for k in track_keys])
         .distinct()
+        .cache()  # the EXPIRED_KEYS scratch table (db_staging.sql:4957)
     )
 
     # 4. Expire: current rows matching changed keys on the compound

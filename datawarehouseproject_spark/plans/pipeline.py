@@ -1,0 +1,178 @@
+"""The 6-stage warehouse pipeline as one Spark application.
+
+The reference's ``run_all.bat`` chain — crawl -> load_staging ->
+transform (clean + SCD2) -> load_dwh -> load_aggregate ->
+load_datamart — re-expressed as DataFrame stages over a
+:class:`..catalog.Catalog`, with ledger guards replacing the batch
+file's errorlevel dance (SURVEY.md §3.1). Each stage persists a layer
+table; the SCD2 history rewrite uses the atomic temp-path swap.
+
+Scale posture: every stage is a single declarative plan — no per-row
+round-trips (the reference's load_dwh does 2 MySQL calls per row,
+load_dwh.py:141-227). AGGREGATE and the daily mart are partitioned by
+DATE_SK and written with dynamic partition overwrite, so a daily run
+touches one partition regardless of history size.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.brands import brand_ladder
+from ..functions.cleaning import SCD_OPEN, sentinel_greatest, sentinel_least
+from ..functions.dates import date_dim
+from ..operators.clean import clean_products
+from ..operators.dims import upsert_dim
+from ..operators.rollups import monthly_rollup, quarterly_rollup
+from ..operators.scd2 import scd2_apply
+from ..operators.snapshot import daily_snapshot
+from ..sources.parquet import overwrite_atomic
+from .ledger import RunLedger, SUCCESS
+
+
+class Pipeline:
+    """Daily warehouse run bound to a catalog root."""
+
+    def __init__(self, catalog: Catalog, ledger: RunLedger | None = None):
+        self.cat = catalog
+        self.spark = catalog.spark
+        self.ledger = ledger
+
+    # ---------------- stage 1: dim_date (one-time) ----------------
+    def ensure_dim_date(self) -> DataFrame:
+        path = self.cat.path("dim_date", "warehouse")
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            dd = date_dim(self.spark)
+            dd.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+
+    # ---------------- stage 2: clean (staging) ----------------
+    def clean(self, raw: DataFrame) -> DataFrame:
+        """PRODUCTS_GENERAL -> PRODUCTS_TRANSFORM (truncate-reload)."""
+        out = clean_products(raw, self.ensure_dim_date())
+        self.cat.write(out, "products_transform", "staging")
+        return self.cat.table("products_transform", "staging")
+
+    # ---------------- stage 3: SCD2 (staging history) ----------------
+    def scd2(self, staging: DataFrame, now: str | None = None) -> dict[str, int]:
+        """PRODUCTS_EXPIRED maintenance with atomic history swap."""
+        hist_path = self.cat.path("products_expired", "staging")
+        try:
+            history = self.spark.read.parquet(hist_path)
+        except Exception:
+            history = None
+        res = scd2_apply(staging, history, now=now)
+        metrics = res.metrics()  # computed before the swap invalidates lineage
+        overwrite_atomic(res.history, hist_path)
+        if self.ledger:
+            self.ledger.log("transform_scd2", SUCCESS, metrics)
+        return metrics
+
+    # ---------------- stage 4: dims (warehouse) ----------------
+    def load_dims(self) -> tuple[DataFrame, DataFrame]:
+        """Current SCD rows -> DIM_BRAND + DIM_PRODUCT (set-based
+        replacement of the reference's per-row loop)."""
+        hist = self.cat.table("products_expired", "staging")
+        current = hist.filter(
+            F.col("EXPIRED_AT") == F.to_timestamp(F.lit(SCD_OPEN))
+        ).withColumn("BRAND_NAME", brand_ladder("TEN"))
+
+        try:
+            dim_brand = self.cat.table("dim_brand", "warehouse").withColumn(
+                "__ord", F.col("BRAND_NAME")
+            )
+        except Exception:
+            dim_brand = None
+        brands = current.select("BRAND_NAME").distinct().withColumn(
+            "__ord", F.col("BRAND_NAME")
+        )
+        dim_brand = upsert_dim(
+            dim_brand, brands, ["BRAND_NAME"], "BRAND_SK", order_col="__ord"
+        ).drop("__ord").cache()
+
+        product_updates = (
+            current.join(F.broadcast(dim_brand), "BRAND_NAME")
+            .select(
+                "LINK",
+                "TEN",
+                "LINK_ANH",
+                "KICH_THUOC_MAN_HINH",
+                "RAM",
+                "BO_NHO",
+                sentinel_least("GIA_CU", "GIA_MOI").alias("MIN_PRICE"),
+                sentinel_greatest("GIA_CU", "GIA_MOI").alias("MAX_PRICE"),
+                "BRAND_SK",
+                "ID_CONFIG",
+                F.col("ID").alias("__ord"),  # processing order (quirk 11)
+            )
+        )
+        try:
+            dim_product = self.cat.table("dim_product", "warehouse")
+            dim_product = dim_product.withColumn("__ord", F.col("PRODUCT_SK"))
+        except Exception:
+            dim_product = None
+        dim_product = upsert_dim(
+            dim_product, product_updates, ["LINK"], "PRODUCT_SK", order_col="__ord"
+        ).drop("__ord")
+
+        overwrite_atomic(dim_brand.drop("__ord"), self.cat.path("dim_brand", "warehouse"))
+        overwrite_atomic(dim_product, self.cat.path("dim_product", "warehouse"))
+        return (
+            self.cat.table("dim_brand", "warehouse"),
+            self.cat.table("dim_product", "warehouse"),
+        )
+
+    # ---------------- stage 5: aggregate snapshot ----------------
+    def load_aggregate(self, for_date: datetime.date) -> DataFrame:
+        dd = self.ensure_dim_date()
+        key = dd.filter(F.col("FULL_DATE") == F.lit(for_date)).select(
+            "DATE_SK", "CALENDAR_YEAR", "INT_MONTH"
+        ).first()
+        dim_product = self.cat.table("dim_product", "warehouse")
+        snap = daily_snapshot(
+            dim_product,
+            date_sk=key["DATE_SK"],
+            calendar_year=key["CALENDAR_YEAR"],
+            calendar_month=key["INT_MONTH"],
+        )
+        # S8 upsert: dynamic overwrite of just this DATE_SK partition
+        snap.write.mode("overwrite").partitionBy("DATE_SK").parquet(
+            self.cat.path("aggregate", "warehouse")
+        )
+        return self.cat.table("aggregate", "warehouse")
+
+    # ---------------- stage 6: marts ----------------
+    def load_marts(self) -> tuple[DataFrame, DataFrame]:
+        agg = self.cat.table("aggregate", "warehouse")
+        dd = self.ensure_dim_date()
+        monthly = monthly_rollup(agg)
+        quarterly = quarterly_rollup(agg, dd)
+        self.cat.write(monthly, "dm_product_daily_price", "mart")
+        self.cat.write(quarterly, "dm_product_quarterly_trend", "mart")
+        return (
+            self.cat.table("dm_product_daily_price", "mart"),
+            self.cat.table("dm_product_quarterly_trend", "mart"),
+        )
+
+    # ---------------- full daily run ----------------
+    def run_day(
+        self, raw: DataFrame, for_date: datetime.date, now: str | None = None
+    ) -> dict[str, int]:
+        """One run_all.bat equivalent: clean -> scd2 -> dims ->
+        aggregate -> marts, with once-per-day guard."""
+        if self.ledger and self.ledger.succeeded_today("pipeline", for_date):
+            return {"skipped": 1}
+        staging = self.clean(raw)
+        metrics = self.scd2(staging, now=now)
+        self.load_dims()
+        self.load_aggregate(for_date)
+        self.load_marts()
+        if self.ledger:
+            self.ledger.log("pipeline", SUCCESS, metrics)
+        return metrics

@@ -94,9 +94,13 @@ _ROWS_PER_BAND = _NUM_PERM // _BANDS
 
 
 def _minhash_oracle() -> str:
+    from ..functions.hashing import MERSENNE31, universal_coeffs
+
+    coeffs = universal_coeffs(_NUM_PERM)
     minh_aggs = ", ".join(
-        "min(" + _sql_md5_long(f"'p{i}:' || sh") + f") AS h{i}"
-        for i in range(_NUM_PERM)
+        f"min(({a} * (base % 1073741824) + {b} * (base >> 30) + {c}) "
+        f"% {MERSENNE31}) AS h{i}"
+        for i, (a, b, c) in enumerate(coeffs)
     )
     band_exprs = []
     for b in range(_BANDS):
@@ -117,13 +121,15 @@ def _minhash_oracle() -> str:
     matches = " + ".join(
         f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_NUM_PERM)
     )
+    base_hash = _sql_md5_long("sh")
     return f"""
     WITH docs AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
+    shs AS (
+      SELECT doc_id,
         unnest(list_transform(generate_series(1, length(t) - {_SHINGLE - 1}),
                               i -> substring(t, i, {_SHINGLE}))) AS sh
       FROM docs),
+    sh AS (SELECT DISTINCT doc_id, {base_hash} AS base FROM shs),
     sig AS (SELECT doc_id, {minh_aggs} FROM sh GROUP BY doc_id),
     banded AS (SELECT *, {band_select} FROM sig),
     pairs AS (
@@ -188,11 +194,12 @@ def _jaccard_oracle() -> str:
     return f"""
     WITH cand AS ({minhash}),
     docs2 AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
-    shx AS (
-      SELECT DISTINCT doc_id,
+    shx0 AS (
+      SELECT doc_id,
         unnest(list_transform(generate_series(1, length(t) - {_JACCARD_SHINGLE - 1}),
                               i -> substring(t, i, {_JACCARD_SHINGLE}))) AS sh
       FROM docs2),
+    shx AS (SELECT DISTINCT doc_id, {_sql_md5_long('sh')} AS sh FROM shx0),
     sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS n_inter

@@ -1,0 +1,156 @@
+"""Extended surface: streaming-shaped, star-join, SQL-registry, and
+multimodal queries.
+
+The streaming operators run here over batch frames (identical plans;
+watermarks only apply on streaming sources), so they get full DuckDB
+oracles. The multimodal query is genuinely non-SQL-expressible
+(Arrow-batched Python decode) — registered without an oracle, the
+driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as _t
+from ..operators.multimodal import documents_as_media, extract_media_features
+from ..streaming.windows import sessionize_batch, windowed_event_counts
+from .registry import register
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+@register(
+    "windowed_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation — the Structured
+    Streaming operator evaluated on a batch frame (same plan; the
+    watermark binds only on a streaming source)."""
+    _utc(spark)
+    return windowed_event_counts(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+               OR lag(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "sessionization", "stateful"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): the batch twin of the
+    ``applyInPandasWithState`` streaming operator — lag/cumsum over a
+    per-user window."""
+    _utc(spark)
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@register(
+    "star_join",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2, 3
+    """,
+    tags=("J7", "J8", "star-schema"),
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop star join (fact -> dim -> dim -> dim) with all dims
+    broadcast — the J7/J8 pattern at warehouse shape."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+#: The engine's SQL entry point: named SQL texts executed over
+#: registered views — the ``sql_commands`` registry made native
+#: (SURVEY.md §1.3; transform_staging.py:9-22 loads SQL from a table).
+SQL_COMMANDS: dict[str, str] = {
+    "TOP_SPENDERS": """
+        SELECT o_custkey AS custkey,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_spent
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 10
+    """,
+}
+
+
+@register(
+    "sql_registry",
+    oracle=SQL_COMMANDS["TOP_SPENDERS"],
+    tags=("registry", "sql-surface"),
+)
+def q_sql_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-as-data: run a registered SQL text via ``spark.sql`` over
+    temp views — proving the engine answers the same ANSI SQL the
+    oracle runs (the stored ``sql_commands`` lifecycle, SURVEY §3.2,
+    minus the MySQL-dialect regex surgery)."""
+    _utc(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_COMMANDS["TOP_SPENDERS"])
+
+
+@register("multimodal_features", oracle=None, tags=("multimodal", "mapInPandas"))
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched
+    mapInPandas (decode stubbed — see operators/multimodal.py). Not
+    SQL-expressible; the driver records a rows-only check."""
+    _utc(spark)
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return extract_media_features(media)

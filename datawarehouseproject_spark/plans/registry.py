@@ -55,6 +55,7 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from . import queries_ref  # noqa: F401
     from . import queries_data  # noqa: F401
+    from . import queries_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,135 @@
+"""Golden end-to-end: two daily runs through the full pipeline.
+
+Replays the reference's observed lifecycle (SURVEY.md §5): dirty
+landing rows -> clean -> SCD2 -> dims -> aggregate -> marts, across
+two days with changed/unchanged/new/junk rows, asserting the
+row-count accounting the reference logs per stage.
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouseproject_spark.catalog import Catalog
+from datawarehouseproject_spark.plans.ledger import RunLedger
+from datawarehouseproject_spark.plans.pipeline import Pipeline
+
+RAW_SCHEMA = (
+    "ID long, TEN string, LINK string, LINK_ANH string, GIA_CU string, "
+    "GIA_MOI string, KICH_THUOC_MAN_HINH string, RAM string, BO_NHO string, "
+    "NGAY timestamp, ID_CONFIG int"
+)
+
+
+def _raw(spark, day, rows):
+    ts = datetime.datetime(2024, 1, day, 21, 0, 0)
+    return spark.createDataFrame(
+        [(i, *r, ts, 1) for i, r in enumerate(rows, start=1)], RAW_SCHEMA
+    )
+
+
+DAY1 = [
+    ("iPhone 15 Pro", "/p/iphone15", "img1", "34.990.000đ", "32.990.000đ", "6.1 inches", "8 GB", "256 GB"),
+    ("Samsung Galaxy S24", "/p/s24", "img2", "27.990.000đ", "25.990.000đ", "6.2 inches", "12GB", "512GB"),
+    ("Tecno Spark 20", "/p/tecno", "img3", "", "4.290.000đ", "6.6 inches", "", "1 TB"),
+    ("x", "", "", "1", "2", "", "", ""),  # junk row (P2 filter)
+]
+
+DAY2 = [
+    # unchanged
+    ("iPhone 15 Pro", "/p/iphone15", "img1", "34.990.000đ", "32.990.000đ", "6.1 inches", "8 GB", "256 GB"),
+    # price drop -> SCD2 expire + re-insert
+    ("Samsung Galaxy S24", "/p/s24", "img2", "27.990.000đ", "23.990.000đ", "6.2 inches", "12GB", "512GB"),
+    # brand-new product
+    ("Xiaomi 14", "/p/mi14", "img4", "22.990.000đ", "21.990.000đ", "6.36 inches", "16 GB", "512 GB"),
+]
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wh"))
+    cat = Catalog(spark, root)
+    ledger = RunLedger(spark, f"{root}/control/process_log")
+    pipe = Pipeline(cat, ledger)
+    m1 = pipe.run_day(_raw(spark, 1, DAY1), datetime.date(2024, 1, 1),
+                      now="2024-01-01 21:30:00")
+    m2 = pipe.run_day(_raw(spark, 2, DAY2), datetime.date(2024, 1, 2),
+                      now="2024-01-02 21:30:00")
+    return cat, pipe, m1, m2
+
+
+def test_scd2_metrics_match_reference_accounting(warehouse):
+    _, _, m1, m2 = warehouse
+    # day 1: 3 clean rows (junk filtered), all inserted
+    assert m1 == {"rows_input": 3, "rows_inserted": 3, "rows_updated": 0}
+    # day 2: 3 input; samsung expired+reinserted; xiaomi new
+    assert m2 == {"rows_input": 3, "rows_inserted": 2, "rows_updated": 1}
+
+
+def test_history_and_current_state(warehouse):
+    cat, _, _, _ = warehouse
+    hist = cat.table("products_expired", "staging")
+    assert hist.count() == 5  # 3 day-1 + samsung v2 + xiaomi
+    cur = hist.filter(F.col("EXPIRED_AT") >= F.lit("9999-01-01"))
+    assert cur.count() == 4
+    sam = cur.filter(F.col("LINK") == "/p/s24").first()
+    assert sam["GIA_MOI"] == Decimal("23990000.00")
+
+
+def test_dims(warehouse):
+    cat, _, _, _ = warehouse
+    brands = {r["BRAND_NAME"]: r["BRAND_SK"]
+              for r in cat.table("dim_brand", "warehouse").collect()}
+    assert set(brands) == {"Apple", "Samsung", "Xiaomi", "Khác"}
+    prods = {r["LINK"]: r for r in cat.table("dim_product", "warehouse").collect()}
+    assert len(prods) == 4
+    assert prods["/p/s24"]["MIN_PRICE"] == Decimal("23990000.00")
+    assert prods["/p/s24"]["MAX_PRICE"] == Decimal("27990000.00")
+    assert prods["/p/tecno"]["BO_NHO"] == 1  # the '1 TB' quirk
+    assert prods["/p/tecno"]["RAM"] == -1
+    # SK stability: iphone existed day 1, keeps SK 1..3 range assigned then
+    assert prods["/p/iphone15"]["PRODUCT_SK"] != prods["/p/mi14"]["PRODUCT_SK"]
+
+
+def test_aggregate_partitions_and_marts(warehouse):
+    cat, _, _, _ = warehouse
+    agg = cat.table("aggregate", "warehouse")
+    # two DATE_SK partitions (2024-01-01, 2024-01-02)
+    assert agg.select("DATE_SK").distinct().count() == 2
+    monthly = cat.table("dm_product_daily_price", "mart")
+    row = monthly.filter(
+        (F.col("CALENDAR_MONTH") == 1)
+    ).filter(F.col("MAX_PRICE") == Decimal("27990000.00")).first()
+    # midrange mislabeled AVG (quirk 4)
+    assert row["AVG_PRICE"] == (row["MAX_PRICE"] + row["MIN_PRICE"]) / 2
+    quarterly = cat.table("dm_product_quarterly_trend", "mart")
+    assert quarterly.first()["QUARTER_NAME"] == "QQ1"  # quirk 5
+
+
+def test_once_per_day_guard(spark, warehouse):
+    cat, pipe, _, _ = warehouse
+    # ledger logged SUCCESS today (wall clock), so a re-run is skipped
+    m = pipe.run_day(
+        _raw(spark, 2, DAY2), datetime.date.today(), now="2024-01-02 22:00:00"
+    )
+    assert m == {"skipped": 1}
+
+
+def test_multimodal_features(spark):
+    from datawarehouseproject_spark.operators.multimodal import (
+        documents_as_media,
+        extract_media_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "aaaa")], ["doc_id", "text"]
+    )
+    out = {r["media_id"]: r for r in
+           extract_media_features(documents_as_media(docs)).collect()}
+    assert out[1]["n_bytes"] == 11
+    assert out[2]["byte_entropy"] == 0.0  # uniform payload
+    assert out[1]["thumb_checksum"] > 0
