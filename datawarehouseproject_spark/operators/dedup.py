@@ -284,16 +284,23 @@ def embedding_near_dup_pairs(
     trade-off of the scale path; the brute-force operator in
     :mod:`.similarity` is the exact baseline.
     """
-    from ..functions.vectors import cosine_similarity
-    from .similarity import sign_lsh_bucket
+    from ..functions.vectors import l2_norm
+    from .similarity import _cosine_pair, sign_lsh_bucket
 
     bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
-    bucketed = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("norm"),  # once per vector
+        bucket.alias("bucket"),
+    )
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"), "bucket",
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"), "bucket",
     )
     return (
         a.join(b, "bucket")
@@ -301,7 +308,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(_cosine_pair("va", "vb", "na", "nb"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

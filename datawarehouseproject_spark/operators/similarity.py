@@ -18,7 +18,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hyperplane_coeffs
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+
+
+def _cosine_pair(a: str, b: str, na: str, nb: str) -> Column:
+    """Pair-level cosine with PREcomputed norms: the same
+    ``dot/(na*nb)`` float path as the inline form and the SQL
+    oracles, but each norm is evaluated once per vector instead of
+    once per candidate pair."""
+    denom = F.col(na) * F.col(nb)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot_product(F.col(a), F.col(b)) / denom
+    )
 
 
 def brute_force_topk(
@@ -36,15 +47,22 @@ def brute_force_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qv")
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
         )
     )
+    # norms are per-vector, so compute them once per side; the pair
+    # expression is one dot product + the oracle's exact
+    # dot/(nq*nc) formula (identical float path, identical values)
     scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     ).crossJoin(q).select(
         query_id_col,
         "neighbor_id",
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(_cosine_pair("__qv", "__cv", "__qn", "__cn"), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -70,10 +88,18 @@ def sign_lsh_bucket(
     v = vec_col.cast("array<double>")
 
     def sign(p: int) -> Column:
-        terms = [
-            F.element_at(v, i + 1) * F.lit(coeffs[p][i]) for i in range(dim)
-        ]
-        s = sum(terms[1:], terms[0])
+        # zip_with + aggregate keeps the expression tree O(1) in dim
+        # (a 64-term element_at chain cripples analysis/codegen) and
+        # accumulates left-to-right — bit-identical to the SQL
+        # oracle's literal term-by-term sum. One lit() for the whole
+        # plane: per-element lit chains cost a py4j call each and
+        # dominate plan-build time.
+        plane = F.lit(coeffs[p])
+        s = F.aggregate(
+            F.zip_with(v, plane, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
         return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
 
     out = sign(0)
@@ -102,19 +128,21 @@ def lsh_bucketed_topk(
     indexed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         sign_lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     probes = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
             sign_lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
         )
     )
     scored = indexed.join(probes, "bucket").select(
         query_id_col,
         "neighbor_id",
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(_cosine_pair("__qv", "__cv", "__qn", "__cn"), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

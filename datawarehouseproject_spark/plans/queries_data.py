@@ -315,6 +315,55 @@ def _lsh_topk_oracle() -> str:
     """
 
 
+_NDUP_PLANES = 4
+_NDUP_THRESHOLD = 0.2
+
+
+def _near_dup_oracle() -> str:
+    coeffs = hyperplane_coeffs(_EMB_DIM, _NDUP_PLANES)
+
+    def sign_sql(p: int, vec: str) -> str:
+        terms = " + ".join(
+            f"({coeffs[p][i]}) * {vec}[{i + 1}]" for i in range(_EMB_DIM)
+        )
+        return f"CASE WHEN ({terms}) >= 0 THEN 1 ELSE 0 END"
+
+    def bucket_sql(vec: str) -> str:
+        parts = [sign_sql(0, vec)] + [
+            f"{sign_sql(p, vec)} * {2 ** p}" for p in range(1, _NDUP_PLANES)
+        ]
+        return " + ".join(parts)
+
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    b AS (SELECT vec_id, ve, {bucket_sql('ve')} AS bucket FROM v)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round({_cosine_sql('a.ve', 'c.ve')}, 6) AS cosine
+    FROM b a JOIN b c USING (bucket)
+    WHERE a.vec_id < c.vec_id
+      AND round({_cosine_sql('a.ve', 'c.ve')}, 6) >= {_NDUP_THRESHOLD}
+    """
+
+
+@register(
+    "embedding_near_dup",
+    oracle=_near_dup_oracle(),
+    tags=("dedup", "embedding", "lsh"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-LSH bucketed so the
+    self-join stays ~2^-planes subquadratic."""
+    _utc(spark)
+    from ..operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        dim=_EMB_DIM,
+        n_planes=_NDUP_PLANES,
+        threshold=_NDUP_THRESHOLD,
+    )
+
+
 @register("embedding_lsh_topk", oracle=_lsh_topk_oracle(), tags=("similarity", "lsh"))
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-LSH bucket probing — the scale path
