@@ -30,10 +30,14 @@ HEADLINE = [
     "quarterly_trend_rollup",
     "latest_event_per_user",
     "dim_maintenance",
+    "star_join",
+    "asof_join",
+    "sessionize",
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash",
     "embedding_topk",
+    "embedding_near_dup",
     "token_stats",
 ]
 
@@ -44,6 +48,10 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     fns = queries()
+
+    # warm the JVM/codegen path once so the first measured query
+    # isn't charged Spark's startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

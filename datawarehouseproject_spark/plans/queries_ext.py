@@ -146,6 +146,121 @@ def q_sql_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_COMMANDS["TOP_SPENDERS"])
 
 
+@register(
+    "asof_join",
+    oracle="""
+    WITH err AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'error'),
+    clk AS (SELECT event_id AS click_id, user_id, ts, value FROM events
+            WHERE event_type = 'click')
+    SELECT e.user_id, e.ts, e.event_id,
+           c.click_id AS last_click_id,
+           c.value AS last_click_value
+    FROM err e ASOF LEFT JOIN clk c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    tags=("asof", "time-series", "window"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks up the user's latest click
+    at-or-before it — union+window implementation (linear, one
+    shuffle/side) vs DuckDB's native ASOF JOIN as the oracle."""
+    _utc(spark)
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("last_click_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("last_click_value"),
+    )
+    return asof_join(
+        err, clk, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["last_click_id", "last_click_value"],
+    )
+
+
+@register(
+    "sales_cube",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    tags=("cube", "grouping-sets"),
+)
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) — multidimensional rollup the
+    reference lacks, free via Catalyst (SURVEY §2.4 note)."""
+    _utc(spark)
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@register(
+    "users_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+    INTERSECT
+    SELECT user_id FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'
+    """,
+    tags=("set-ops", "intersect"),
+)
+def q_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of first/second-half-of-month user sets (set ops the
+    reference lacks; free in Spark)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    d1 = ev.filter(F.to_date("ts") <= F.lit("2024-01-15")).select("user_id")
+    d2 = ev.filter(F.to_date("ts") > F.lit("2024-01-15")).select("user_id")
+    return d1.intersect(d2)
+
+
+@register(
+    "percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           round(avg(o_totalprice), 4) AS mean
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("percentile", "agg"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile`
+    == ANSI quantile_cont linear interpolation)."""
+    _utc(spark)
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean"),
+        )
+    )
+
+
 @register("multimodal_features", oracle=None, tags=("multimodal", "mapInPandas"))
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched
