@@ -24,6 +24,7 @@ from ..functions.text import (
     quality_score,
     token_count,
     normalize_text,
+    word_tokens,
 )
 from ..operators.dedup import (
     exact_dedup,
@@ -479,6 +480,63 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").cast("int").alias("n_ws_tokens"),
         bpe_token_count("text").cast("int").alias("n_bpe_tokens"),
         F.length(normalize_text("text")).cast("int").alias("n_chars_norm"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS n_tok FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_total FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.n_tok * ln((n.n_total + 1.0) / (df.n_docs + 1.0)), 6)
+               AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS INTEGER)
+               AS rank
+      FROM scored)
+    SELECT doc_id, tok, score, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: explode -> tf -> df ->
+    broadcast corpus size -> window top-k. The df table is small
+    (vocabulary) and broadcasts; the only big shuffle is the tf
+    groupBy on (doc, token)."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(word_tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n_tok"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("n_docs"))
+    n = docs.agg(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("n_tok")
+                * F.log((F.col("n_total") + 1.0) / (F.col("n_docs") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "score", "rank")
     )
 
 

@@ -261,6 +261,81 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_range_join",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+               OR lag(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sess_id)
+    SELECT p.event_id, p.user_id, s.session_start, s.session_end, s.n_events
+    FROM events p JOIN sessions s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.session_start AND p.ts <= s.session_end
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("range-join", "interval", "sessionization"),
+)
+def q_session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases attributed to their session window —
+    bucketized equi-join + residual filter (no nested-loop join) vs a
+    plain non-equi join in the oracle."""
+    _utc(spark)
+    from ..operators.ranges import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = sessionize_batch(ev, gap_seconds=1800)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return range_join(
+        purchases, sessions, on=["user_id"], ts_col="ts",
+        start_col="session_start", end_col="session_end",
+        bucket_seconds=3600,
+    ).select("event_id", "user_id", "session_start", "session_end", "n_events")
+
+
+@register(
+    "rollup_cascade",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("continuous-aggregate", "rollup-reuse"),
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: the daily rollup is computed FROM
+    the hourly rollup (sum of partials), not from raw events — the
+    hypertable/materialized-rollup reuse shape; the oracle aggregates
+    raw events directly, proving the cascade is lossless."""
+    _utc(spark)
+    hourly = windowed_event_counts(_t(spark, sf_dir, "events"), "1 hour")
+    return (
+        hourly.groupBy(
+            F.to_date("window_start").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+        .select("day", "event_type", "n_events", F.col("total_value").cast("double").alias("total_value"))
+    )
+
+
 @register("multimodal_features", oracle=None, tags=("multimodal", "mapInPandas"))
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched
