@@ -108,6 +108,126 @@ def sign_lsh_bucket(
     return out
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF (inverted-file) index: assign every vector to its nearest
+    centroid.
+
+    Centroids are picked deterministically from the corpus
+    (``id % stride == 0`` — a fixed sample standing in for k-means;
+    a production index would refine them with a few Lloyd
+    iterations, which is just this assignment join repeated + a
+    groupBy mean). Assignment is one broadcast join + argmin over
+    ``n_centroids`` dot products — a single corpus pass; the result
+    is the persistent index you partition by ``centroid_id``.
+
+    Returns (centroids, assigned) — ``assigned`` carries
+    (id, vec, norm, centroid_id).
+    """
+    stride = centroid_stride
+    if stride is None:
+        # deterministic without a count() pass when stride given;
+        # fallback derives it from the corpus size
+        n = corpus.count()
+        stride = max(n // n_centroids, 1)
+    centroids = F.broadcast(
+        corpus.filter((F.col(id_col) % stride == 0))
+        .select(
+            (F.col(id_col) / stride).cast("int").alias("centroid_id"),
+            F.col(vec_col).alias("__centroid"),
+        )
+        .filter(F.col("centroid_id") < n_centroids)
+    )
+    scored = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+    ).crossJoin(centroids).select(
+        id_col,
+        vec_col,
+        "__norm",
+        "centroid_id",
+        dot_product(F.col(vec_col), F.col("__centroid")).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col("__norm").alias("norm"), "centroid_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_stride: int | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: score only the ``nprobe`` nearest
+    centroid cells per query.
+
+    The scale path complementary to sign-LSH: the index is one
+    assignment pass (reusable, partitioned by cell), each query
+    probes nprobe/n_centroids of the corpus, recall grows with
+    nprobe. Deterministic end to end — SQL-oracle checkable.
+    """
+    centroids, assigned = ivf_index(
+        corpus, n_centroids, id_col, vec_col, centroid_stride
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    q_scored = q.crossJoin(centroids).select(
+        query_id_col,
+        "__qv",
+        "__qn",
+        "centroid_id",
+        dot_product(F.col("__qv"), F.col("__centroid")).alias("__sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = F.broadcast(
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, "__qv", "__qn", "centroid_id")
+    )
+    scored = assigned.join(probes, "centroid_id").select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            F.when(F.col("__qn") * F.col("norm") == 0, F.lit(0.0)).otherwise(
+                dot_product(F.col("__qv"), F.col(vec_col))
+                / (F.col("__qn") * F.col("norm"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -70,11 +70,49 @@ class RunLedger:
 
     def running_count(self, process: str | None = None) -> int:
         """Mutual-exclusion guard (COUNT_RUNNING_PROCESS_LOG,
-        db_control_sql.sql:315-317)."""
-        df = self._read().filter(F.col("STATUS") == RUNNING)
+        db_control_sql.sql:315-317).
+
+        The ledger is append-only (no UPDATE on Parquet), so a run is
+        'running' iff the LATEST record for its process says RUNNING
+        — a terminal SUCCESS/FAIL append supersedes it.
+        """
+        from pyspark.sql import Window
+
+        df = self._read()
         if process:
             df = df.filter(F.col("PROCESS") == process)
-        return df.count()
+        w = Window.partitionBy("PROCESS").orderBy(
+            F.col("END_TIME").desc(), F.col("STATUS").asc()
+        )
+        latest = df.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        )
+        return latest.filter(F.col("STATUS") == RUNNING).count()
+
+    def acquire(self, process: str) -> bool:
+        """Single-writer handoff (transform_staging.py:138-162): if
+        another run of ``process`` is RUNNING, record WAITING and
+        yield (returns False); otherwise claim RUNNING and return
+        True. The caller logs SUCCESS/FAIL with :meth:`log` when
+        done.
+
+        NOTE: like the reference's COUNT-then-INSERT, this is a
+        cooperative check, not a linearizable lock — the warehouse
+        contract is a single daily scheduler; the guard catches
+        overlapping *scheduled* runs, not adversarial racers.
+        """
+        if self.running_count(process) > 0:
+            self.log(process, WAITING, "another run active")
+            return False
+        self.log(process, RUNNING, "claimed")
+        return True
+
+    def release(self, process: str, status: str, message: dict | str = "") -> None:
+        """Finalize a claimed run (the UPDATE-log-status analogue,
+        db_control_sql.sql:280-305): appends the terminal record; the
+        RUNNING row is superseded by reading only the LATEST status
+        per process in :meth:`running_count`."""
+        self.log(process, status, message)
 
     def succeeded_today(self, process: str, today: datetime.date | None = None) -> bool:
         """Once-per-day idempotency guard (check_status.py:19-36)."""

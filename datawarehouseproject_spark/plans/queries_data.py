@@ -365,6 +365,73 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENTROIDS = 8
+_IVF_NPROBE = 2
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH params AS (
+      SELECT greatest(count(*) // {_IVF_CENTROIDS}, 1) AS stride FROM embeddings),
+    cent AS (
+      SELECT CAST(vec_id // stride AS INTEGER) AS centroid_id,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings, params
+      WHERE vec_id % stride = 0 AND vec_id // stride < {_IVF_CENTROIDS}),
+    corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS norm
+      FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, norm, centroid_id FROM (
+        SELECT corp.*, cent.centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY list_dot_product(v, cv) DESC, centroid_id ASC) AS rn
+        FROM corp CROSS JOIN cent)
+      WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS qn
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+      SELECT query_id, qv, qn, centroid_id FROM (
+        SELECT q.*, cent.centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_dot_product(qv, cv) DESC, centroid_id ASC) AS rn
+        FROM q CROSS JOIN cent)
+      WHERE rn <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(CASE WHEN p.qn * a.norm = 0 THEN 0.0
+                   ELSE list_dot_product(p.qv, a.v) / (p.qn * a.norm) END, 6)
+               AS cosine
+      FROM assign a JOIN probes p USING (centroid_id)),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_TOPK}
+    """
+
+
+@register("embedding_ivf_topk", oracle=_ivf_oracle(), tags=("similarity", "ivf"))
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: one-pass centroid index, nprobe-cell
+    probing — the inverted-file ANN path next to sign-LSH."""
+    _utc(spark)
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, n_centroids=_IVF_CENTROIDS, nprobe=_IVF_NPROBE, k=_TOPK
+    )
+
+
 @register("embedding_lsh_topk", oracle=_lsh_topk_oracle(), tags=("similarity", "lsh"))
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-LSH bucket probing — the scale path

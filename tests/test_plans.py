@@ -1,0 +1,57 @@
+"""Plan-shape regression tests: lock the scale properties.
+
+Correctness is the oracle gate's job; these assert the physical
+plans keep the properties that matter at 100 TB — pushdown, pruning,
+broadcast dims, map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datawarehouseproject_spark.plans.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_broadcast_partial_agg(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan" in plan
+    assert "BroadcastHashJoin" in plan
+    # partial + final aggregation pair (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+    # column pruning: the lineitem scan must not read unused columns
+    assert "l_tax" not in plan and "l_returnflag" not in plan
+
+
+def test_clean_products_broadcasts_date_dim(spark):
+    plan = _plan(spark, "clean_products")
+    assert "BroadcastHashJoin" in plan and "LeftOuter, BuildRight" in plan
+    # part scan pruned to the 4 source columns
+    assert "p_type" not in plan and "p_brand" not in plan
+
+
+def test_rollup_partial_aggregation(spark):
+    plan = _plan(spark, "monthly_price_rollup")
+    assert plan.count("HashAggregate") >= 2
+    assert "ReadSchema: struct<l_partkey:bigint,l_extendedprice:double," in plan
+
+
+def test_star_join_all_dims_broadcast(spark):
+    plan = _plan(spark, "star_join")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_shuffles_hashes_not_text(spark):
+    # the minhash explode->distinct must shuffle the 8-byte base hash,
+    # never the shingle strings
+    plan = _plan(spark, "minhash_lsh_pairs")
+    assert "hashpartitioning" in plan
+    for exchange_line in [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]:
+        assert "shingle" not in exchange_line
