@@ -31,13 +31,19 @@ HEADLINE = [
     "latest_event_per_user",
     "dim_maintenance",
     "star_join",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
     "asof_join",
+    "session_range_join",
     "sessionize",
+    "rollup_cascade",
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash",
     "embedding_topk",
     "embedding_near_dup",
+    "embedding_ivf_topk",
+    "tfidf_top_terms",
     "token_stats",
 ]
 

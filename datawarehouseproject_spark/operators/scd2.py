@@ -159,21 +159,25 @@ def scd2_apply(
 
     # 4. Expire: current rows matching changed keys on the compound
     #    key get EXPIRED_AT=UPDATED_AT=now (db_staging.sql:4971-4976).
+    #    One marker join replaces the semi+anti pair — expired and
+    #    untouched are filters over the same join output.
+    marker = changed_keys.withColumn("__chg", F.lit(1))
+    cur_marked = current1.join(marker, on=list(track_keys), how="left")
     expired = (
-        current1.join(changed_keys, on=list(track_keys), how="left_semi")
+        cur_marked.filter(F.col("__chg") == 1)
         .withColumn("EXPIRED_AT", now_ts)
         .withColumn("UPDATED_AT", now_ts)
         .select(*hist_cols)
     )
-    untouched_current = current1.join(
-        changed_keys, on=list(track_keys), how="left_anti"
-    ).select(*hist_cols)
+    untouched_current = cur_marked.filter(F.col("__chg").isNull()).select(*hist_cols)
     closed = hist1.filter(F.col("EXPIRED_AT") != open_ts).select(*hist_cols)
 
     # 5. Re-insert fresh current versions for the changed keys
     #    (db_staging.sql:4978-4988).
     reinserted = as_current(
-        staging.join(changed_keys, on=list(track_keys), how="left_semi")
+        staging.join(marker, on=list(track_keys), how="left")
+        .filter(F.col("__chg") == 1)
+        .drop("__chg")
     )
 
     new_history = (
