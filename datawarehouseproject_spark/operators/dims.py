@@ -79,9 +79,13 @@ def upsert_dim(
 
     new_rows = latest.join(dim_keys, key_cond(latest, dim_keys), "left_anti")
     max_sk = dim.agg(F.coalesce(F.max(sk_col), F.lit(0)).alias("__max_sk"))
-    w = Window.orderBy(F.col(order_col).asc())
+    # dense sequential SKs without a global single-task window — the
+    # two-stage range-partition rank (operators/ids.py) parallelizes
+    # arbitrarily large key backfills
+    from .ids import dense_ids
+
     minted = (
-        new_rows.withColumn("__rank", F.row_number().over(w))
+        dense_ids(new_rows, order_col, id_col="__rank")
         .crossJoin(F.broadcast(max_sk))
         .withColumn(sk_col, (F.col("__max_sk") + F.col("__rank")).cast("int"))
         .select(sk_col, *[c for c in latest.columns])

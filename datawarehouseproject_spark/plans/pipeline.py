@@ -54,9 +54,21 @@ class Pipeline:
 
     # ---------------- stage 2: clean (staging) ----------------
     def clean(self, raw: DataFrame) -> DataFrame:
-        """PRODUCTS_GENERAL -> PRODUCTS_TRANSFORM (truncate-reload)."""
-        out = clean_products(raw, self.ensure_dim_date())
+        """PRODUCTS_GENERAL -> PRODUCTS_TRANSFORM (truncate-reload).
+
+        Row accounting rides the write itself via ``Observation`` —
+        the reference's per-stage ROW_COUNT()/rowcount metrics
+        (SURVEY §2.4 A5) without a second pass over the data.
+        """
+        from pyspark.sql import Observation
+
+        obs = Observation("clean")
+        out = clean_products(raw, self.ensure_dim_date()).observe(
+            obs, F.count(F.lit(1)).alias("rows_out")
+        )
         self.cat.write(out, "products_transform", "staging")
+        if self.ledger:
+            self.ledger.log("clean", SUCCESS, {"rows_out": obs.get["rows_out"]})
         return self.cat.table("products_transform", "staging")
 
     # ---------------- stage 3: SCD2 (staging history) ----------------

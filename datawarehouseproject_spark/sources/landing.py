@@ -63,6 +63,17 @@ def read_landing_csv(
     )
 
 
+def write_landing_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink (S2, crawl.py:296-306): header row, UTF-8.
+
+    ``single_file`` coalesces to one part (the reference writes one
+    file per day) — only for control-plane-sized data; distributed
+    multi-part is the default.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
 def column_intersection(df: DataFrame, target_schema: T.StructType) -> DataFrame:
     """Schema reconciliation: keep only columns the target declares
     (the reference's DESCRIBE ∩ CSV-header step,

@@ -36,6 +36,17 @@ def test_landing_csv_roundtrip(spark, tmp_path):
     assert latest_landing_path(str(tmp_path)).endswith("2024_01_01.csv")
 
 
+def test_csv_sink_roundtrip(spark, tmp_path):
+    from datawarehouseproject_spark.sources.landing import write_landing_csv
+
+    df = spark.createDataFrame([(1, "iPhone", "34.990.000đ")], ["ID", "TEN", "GIA_CU"])
+    out = str(tmp_path / "csv_out")
+    write_landing_csv(df, out, single_file=True)
+    back = spark.read.option("header", True).csv(out)
+    row = back.collect()[0]
+    assert row["TEN"] == "iPhone" and row["GIA_CU"] == "34.990.000đ"
+
+
 def test_availablenow_incremental_ingest(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()
