@@ -55,7 +55,13 @@ def clean_price(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(c, PRICE_JUNK, "")
     leading = F.nullif(F.regexp_extract(stripped, LEADING_NUM_RE, 0), F.lit(""))
-    parsed = F.coalesce(leading, F.lit("0")).cast("decimal(18,2)")
+    # try_cast + saturation: MySQL CAST saturates out-of-range values
+    # to the type maximum (warning, not error); Spark 4 ANSI mode
+    # would abort the job instead.
+    parsed = F.coalesce(
+        F.coalesce(leading, F.lit("0")).try_cast("decimal(18,2)"),
+        F.lit("9999999999999999.99").cast("decimal(18,2)"),
+    )
     return F.when(
         c.isNull() | (c == "") | (c == "-1"), F.lit(MISSING_NUM).cast("decimal(18,2)")
     ).otherwise(parsed)
@@ -73,11 +79,16 @@ def clean_screen_size(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     extracted = F.nullif(F.regexp_extract(c, DECIMAL_RE, 0), F.lit(""))
+    # saturate >=100 to DECIMAL(4,2) max like MySQL (ANSI Spark would
+    # raise); no-match casts to 0 as MySQL does
+    parsed = F.coalesce(
+        extracted.try_cast("decimal(4,2)"),
+        F.when(extracted.isNotNull(), F.lit("99.99").cast("decimal(4,2)")),
+        F.lit(0).cast("decimal(4,2)"),
+    )
     return F.when(
         c.isNull() | (c == ""), F.lit(MISSING_NUM).cast("decimal(4,2)")
-    ).otherwise(
-        F.coalesce(extracted.cast("decimal(4,2)"), F.lit(0).cast("decimal(4,2)"))
-    )
+    ).otherwise(parsed)
 
 
 def clean_gb(col: Column | str) -> Column:
@@ -90,9 +101,14 @@ def clean_gb(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(c, r"GB|\s| ", "")
     leading_int = F.nullif(F.regexp_extract(stripped, LEADING_NUM_RE, 0), F.lit(""))
-    return F.when(c.isNull() | (c == ""), F.lit(MISSING_NUM)).otherwise(
-        F.coalesce(leading_int.cast("int"), F.lit(0))
+    # try_cast: digit runs beyond int range saturate (MySQL-style)
+    # instead of aborting under ANSI mode
+    parsed = F.coalesce(
+        leading_int.try_cast("int"),
+        F.when(leading_int.isNotNull(), F.lit(2147483647)),
+        F.lit(0),
     )
+    return F.when(c.isNull() | (c == ""), F.lit(MISSING_NUM)).otherwise(parsed)
 
 
 def junk_row_filter(

@@ -822,6 +822,88 @@ def _scd_staging_both(
     return staging("1"), staging("2")
 
 
+_BRAND_CASE_CUR = " ".join(
+    f"WHEN position('{tok}' IN lower(TEN)) > 0 THEN '{brand}'"
+    for tok, brand in BRAND_LADDER
+)
+
+#: End-to-end oracle: the whole day-1 pipeline in SQL over the same
+#: dirty fixture. Bootstrap SCD2 leaves exactly the clean rows
+#: current (expire+reinsert of same-TEN fan-out rows is a no-op on
+#: the current set), so dims derive straight from the clean CTE.
+_ORACLE_PIPELINE_DAY = ORACLE_CLEAN + f"""
+, cur AS (SELECT * FROM clean),
+branded AS (
+  SELECT *, CASE {_BRAND_CASE_CUR} ELSE 'Khác' END AS BRAND_NAME FROM cur),
+dim_brand AS (
+  SELECT BRAND_NAME,
+         CAST(row_number() OVER (ORDER BY BRAND_NAME) AS INTEGER) AS BRAND_SK
+  FROM (SELECT DISTINCT BRAND_NAME FROM branded)),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY LINK ORDER BY ID DESC) AS rn
+    FROM branded) WHERE rn = 1),
+dim_product AS (
+  SELECT CAST(row_number() OVER (ORDER BY l.ID) AS INTEGER) AS PRODUCT_SK,
+         l.LINK, l.BRAND_NAME, l.ID_CONFIG,
+         least(nullif(l.GIA_CU, -1), nullif(l.GIA_MOI, -1)) AS MIN_PRICE,
+         greatest(nullif(l.GIA_CU, -1), nullif(l.GIA_MOI, -1)) AS MAX_PRICE
+  FROM latest l),
+agg AS (
+  SELECT b.BRAND_SK, p.PRODUCT_SK, p.ID_CONFIG,
+         CAST(datediff('day', DATE '{DIM_START}', DATE '2024-01-05') + 1
+              AS INTEGER) AS DATE_SK,
+         CAST(2024 AS INTEGER) AS CALENDAR_YEAR,
+         CAST(1 AS INTEGER) AS CALENDAR_MONTH,
+         p.MAX_PRICE, p.MIN_PRICE
+  FROM dim_product p JOIN dim_brand b USING (BRAND_NAME))
+SELECT DATE_SK, PRODUCT_SK, BRAND_SK, ID_CONFIG, CALENDAR_YEAR,
+       CALENDAR_MONTH,
+       CAST(max(MAX_PRICE) AS DOUBLE) AS MAX_PRICE,
+       CAST(min(MIN_PRICE) AS DOUBLE) AS MIN_PRICE,
+       CAST((max(MAX_PRICE) + min(MIN_PRICE)) / 2 AS DOUBLE) AS AVG_PRICE
+FROM agg
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+@register(
+    "pipeline_day",
+    oracle=_ORACLE_PIPELINE_DAY,
+    tags=("pipeline", "end-to-end", "scd2", "dims", "mart"),
+)
+def q_pipeline_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END QUERY: one full daily warehouse run — clean ->
+    SCD2 bootstrap -> dim maintenance -> AGGREGATE snapshot ->
+    monthly mart — executed through the real Pipeline (layered
+    Parquet writes, atomic swaps, ledger) into a temp warehouse, with
+    the entire dataflow replicated in one SQL oracle.
+    """
+    import datetime as _dtm
+    import tempfile
+
+    _utc(spark)
+    from ..catalog import Catalog
+    from ..plans.pipeline import Pipeline
+
+    root = tempfile.mkdtemp(prefix="dw_pipeline_day_")
+    pipe = Pipeline(Catalog(spark, root))
+    raw = _dirty_products(spark, sf_dir)
+    pipe.run_day(raw, _dtm.date(2024, 1, 5), now="2024-01-05 21:30:00")
+    mart = pipe.cat.table("dm_product_daily_price", "mart")
+    return mart.select(
+        "DATE_SK",
+        "PRODUCT_SK",
+        "BRAND_SK",
+        "ID_CONFIG",
+        "CALENDAR_YEAR",
+        "CALENDAR_MONTH",
+        F.col("MAX_PRICE").cast("double").alias("MAX_PRICE"),
+        F.col("MIN_PRICE").cast("double").alias("MIN_PRICE"),
+        F.col("AVG_PRICE").cast("double").alias("AVG_PRICE"),
+    )
+
+
 @register("scd2_two_day", oracle=_ORACLE_SCD2, tags=("scd2", "J2", "J3", "J4", "J5"))
 def q_scd2_two_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 over two consecutive batches: day-1 bootstrap (all
