@@ -165,6 +165,56 @@ def ivf_index(
     return centroids, assigned
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd iterations over the IVF centroids.
+
+    Each iteration = the IVF assignment join (argmax dot product
+    against broadcast centroids) + an element-wise mean per cell:
+    vectors explode to (centroid, dim, value), mean per (centroid,
+    dim), re-assemble with ``sort_array(collect_list(struct))`` —
+    every step linear in corpus size, centroids stay broadcastable.
+    Returns refined centroids (centroid_id, __centroid).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        scored = corpus.select(F.col(id_col), v.alias("__v")).crossJoin(
+            F.broadcast(centroids)
+        ).select(
+            id_col,
+            "__v",
+            "centroid_id",
+            dot_product(F.col("__v"), F.col("__centroid")).alias("__sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__sim").desc(), F.col("centroid_id").asc()
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "__v", "centroid_id")
+        )
+        exploded = assigned.select(
+            "centroid_id", F.posexplode("__v").alias("dim", "val")
+        )
+        means = exploded.groupBy("centroid_id", "dim").agg(F.avg("val").alias("m"))
+        centroids = F.broadcast(
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("__centroid")
+            )
+        )
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -36,6 +36,33 @@ def overwrite_atomic(df: DataFrame, path: str) -> None:
         shutil.rmtree(old)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a table into ~target-size files.
+
+    Append-heavy tables (the run ledger, streaming sinks) accumulate
+    one file per micro-batch; scan cost then scales with file count,
+    not data size. Compaction reads, coalesces to
+    ``max(bytes/target_bytes, 1)`` files (or an explicit count), and
+    swaps atomically. Returns the new file count.
+    """
+    import glob
+
+    df = spark.read.parquet(path)
+    if target_files is None:
+        n_bytes = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        target_files = max(n_bytes // target_bytes, 1)
+    overwrite_atomic(df.coalesce(int(target_files)), path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
 def upsert_partitions(
     df: DataFrame, path: str, partition_cols: list[str]
 ) -> None:

@@ -1,0 +1,54 @@
+"""IVF index + k-means refinement on separable toy clusters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouseproject_spark.operators.similarity import (
+    ivf_index,
+    ivf_topk,
+    kmeans_refine,
+)
+
+
+def _clustered(spark):
+    # two tight clusters around e1 and e2
+    rows = []
+    for i in range(20):
+        eps = (i % 5) * 0.01
+        rows.append((i, [1.0, eps, 0.0, 0.0]))
+        rows.append((100 + i, [eps, 0.0, 1.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_assignment_partitions_clusters(spark):
+    emb = _clustered(spark)
+    _, assigned = ivf_index(emb, n_centroids=2, centroid_stride=100)
+    cells = {
+        r["vec_id"]: r["centroid_id"] for r in assigned.collect()
+    }
+    # all cluster-A members share a cell, all cluster-B share the other
+    a_cells = {cells[i] for i in range(20)}
+    b_cells = {cells[100 + i] for i in range(20)}
+    assert len(a_cells) == 1 and len(b_cells) == 1 and a_cells != b_cells
+
+
+def test_kmeans_refine_moves_centroids_to_means(spark):
+    emb = _clustered(spark)
+    centroids, _ = ivf_index(emb, n_centroids=2, centroid_stride=100)
+    refined = kmeans_refine(emb, centroids, iters=1)
+    got = {r["centroid_id"]: r["__centroid"] for r in refined.collect()}
+    # cluster A mean: [1.0, mean(eps), 0, 0] with mean(eps)=0.02
+    a = [v for v in got.values() if v[0] > 0.5][0]
+    assert abs(a[0] - 1.0) < 1e-9 and abs(a[1] - 0.02) < 1e-9
+
+
+def test_ivf_topk_recall_on_clusters(spark):
+    emb = _clustered(spark)
+    q = emb.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    got = ivf_topk(emb, q, n_centroids=2, nprobe=1, k=5, centroid_stride=100)
+    rows = got.collect()
+    assert len(rows) == 5
+    # all neighbors come from the query's own cluster
+    assert all(r["neighbor_id"] < 100 for r in rows)
+    assert rows[0]["neighbor_id"] == 0 and rows[0]["cosine"] == 1.0
