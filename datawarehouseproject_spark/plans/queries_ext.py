@@ -443,6 +443,93 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "moving_average",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5,
+           CAST(count(*) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_win
+    FROM events
+    """,
+    tags=("window", "frame", "moving-average"),
+)
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row trailing moving average per user — bounded window frame
+    (state = 5 rows per partition regardless of history length)."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("ma5"),
+        F.count("*").over(w).alias("n_win"),
+    )
+
+
+@register(
+    "price_change_lag",
+    oracle="""
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           round(l_extendedprice
+                 - lag(l_extendedprice) OVER (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber),
+                 2) AS price_delta
+    FROM lineitem
+    """,
+    tags=("window", "lag", "time-series"),
+)
+def q_price_change_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-product price delta vs the previous observation (lag over
+    a deterministic time order) — the day-over-day price-change shape
+    the reference's marts summarize."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") - F.lag("l_extendedprice").over(w), 2
+        ).alias("price_delta"),
+    )
+
+
+@register(
+    "browsing_only_days",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    EXCEPT
+    SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("set-ops", "except"),
+)
+def q_browsing_only_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: (user, day) pairs with activity but no purchase —
+    set-difference at composite-key granularity."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("day"))
+    bought = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    return active.subtract(bought)  # EXCEPT (distinct) semantics
+
+
 @register("multimodal_features", oracle=None, tags=("multimodal", "mapInPandas"))
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched
