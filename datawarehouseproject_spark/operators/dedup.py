@@ -126,6 +126,7 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     shingle_len: int = 5,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -134,6 +135,12 @@ def minhash_lsh_pairs(
     (id_a < id_b, with the estimated Jaccard = fraction of equal
     signature components). Pair join happens per-band on a single
     64-bit band key — the scale-safe layout (no all-pairs join).
+
+    ``max_bucket_size``: skip band buckets larger than this (a
+    k-member bucket emits k² pairs — degenerate mega-clusters, e.g.
+    boilerplate-dominated corpora, belong to exact/fingerprint dedup
+    first; this cap is the standard production guard). None = no cap
+    (exact LSH semantics, what the SQL oracle replicates).
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_len).cache()
@@ -155,6 +162,14 @@ def minhash_lsh_pairs(
         id_col,
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
     )
+    if max_bucket_size is not None:
+        small = (
+            stacked.groupBy("band_idx", "band_key")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        stacked = stacked.join(small, ["band_idx", "band_key"], "left_semi")
     left = stacked.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     right = stacked.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     pairs = (

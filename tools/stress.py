@@ -1,0 +1,114 @@
+"""Scale stress harness: the training-data operators at ~1M docs.
+
+Amplifies the sf0.1 tables (unique ids, perturbed content so dedup
+stays non-trivial) and measures wall time + throughput for the
+operators whose cost profile changes with volume: minhash LSH,
+simhash, exact dedup, text battery, embedding near-dup, IVF topk.
+
+Usage: python tools/stress.py [amplification] [sf_dir]
+Prints one JSON line per operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    amp = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from datawarehouseproject_spark.session import get_spark
+    from datawarehouseproject_spark.catalog import load_table
+    from datawarehouseproject_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash64,
+    )
+    from datawarehouseproject_spark.operators.similarity import ivf_topk
+    from datawarehouseproject_spark.functions.text import (
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    docs0 = load_table(spark, sf_dir, "documents")
+    n0 = docs0.count()
+    # amplification: unique ids; ~30% of copies keep the original text
+    # (real near-dups for LSH to find), the rest get a per-copy suffix
+    copies = spark.range(amp).withColumnRenamed("id", "copy")
+    docs = (
+        docs0.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * n0).alias("doc_id"),
+            F.when(F.col("copy") % 3 == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" v"), F.col("copy").cast("string"))
+            ).alias("text"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_docs = docs.count()
+
+    emb0 = load_table(spark, sf_dir, "embeddings")
+    e0 = emb0.count()
+    emb = (
+        emb0.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * e0).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + F.col("copy") * 0.001,
+            ).alias("embedding"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_emb = emb.count()
+
+    def run(name, df, unit_count):
+        # noop sink: forces full column evaluation (a bare count()
+        # lets Catalyst prune the projections away)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        n_out = df.count()
+        print(json.dumps({
+            "op": name, "input_rows": unit_count, "output_rows": n_out,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(unit_count / dt) if dt else None,
+        }))
+
+    run("text_battery", docs.select(
+        "doc_id", token_count("text"), quality_score("text"), language_id("text")
+    ), n_docs)
+    deduped = exact_dedup(docs).cache()
+    run("exact_dedup", deduped, n_docs)
+    n_dedup = deduped.count()
+    run("simhash", simhash64(docs), n_docs)
+    # production shape: near-dup LSH AFTER exact dedup, with the
+    # mega-bucket guard (this corpus is pathologically self-similar)
+    run(
+        "minhash_lsh_pairs_post_dedup",
+        minhash_lsh_pairs(deduped, max_bucket_size=100),
+        n_dedup,
+    )
+    queries = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run("ivf_topk_64q", ivf_topk(emb, queries, n_centroids=32, nprobe=4, k=10), n_emb)
+
+
+if __name__ == "__main__":
+    main()
