@@ -530,6 +530,35 @@ def q_browsing_only_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.subtract(bought)  # EXCEPT (distinct) semantics
 
 
+@register(
+    "json_log_payload",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(
+             event_id := event_id,
+             event_type := event_type,
+             n := CAST(1 AS BIGINT))) AS payload
+    FROM events
+    """,
+    tags=("json", "scalar", "control-plane"),
+)
+def q_json_log_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 json.dumps parity: structured log payloads as
+    ``to_json(struct(...))`` — identical rendering in both engines."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.lit(1).cast("long").alias("n"),
+            )
+        ).alias("payload"),
+    )
+
+
 @register("multimodal_features", oracle=None, tags=("multimodal", "mapInPandas"))
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched

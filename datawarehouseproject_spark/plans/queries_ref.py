@@ -317,24 +317,24 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "new_users_day2",
+    "anti_join_new_keys",
     oracle="""
-    SELECT DISTINCT user_id FROM events e2
-    WHERE CAST(ts AS DATE) > DATE '2024-01-15'
-      AND NOT EXISTS (
-        SELECT 1 FROM events e1
-        WHERE CAST(e1.ts AS DATE) <= DATE '2024-01-15'
-          AND e1.user_id = e2.user_id)
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
     """,
     tags=("J2", "anti-join"),
 )
-def q_new_users_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: left-anti new-key detection (db_staging.sql:4949-4953)."""
+def q_anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-anti new-key detection (db_staging.sql:4949-4953) —
+    customers with no urgent order (non-empty at every sf)."""
     _utc(spark)
-    ev = _t(spark, sf_dir, "events")
-    d1 = ev.filter(F.to_date("ts") <= F.lit("2024-01-15")).select("user_id")
-    d2 = ev.filter(F.to_date("ts") > F.lit("2024-01-15")).select("user_id").distinct()
-    return d2.join(d1, "user_id", "left_anti")
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(urgent, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
 _PROFILE_SQL = """
