@@ -531,6 +531,46 @@ def q_browsing_only_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(cust_sum AS DOUBLE) AS cust_sum, n_orders
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey) AS cust_sum,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+      FROM orders)
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n_orders > cust_sum
+    """,
+    tags=("correlated-subquery", "window"),
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders above the customer's own
+    average) decorrelated into one window. The comparison is
+    ``price * n > sum`` in exact DECIMAL — float-average ulp noise
+    at the membership boundary is impossible by construction."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey")
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.withColumn("cust_sum", F.sum(dec).over(w))
+        .withColumn("n_orders", F.count("*").over(w))
+        .filter(dec * F.col("n_orders") > F.col("cust_sum"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("cust_sum").cast("double").alias("cust_sum"),
+            "n_orders",
+        )
+    )
+
+
+@register(
     "json_log_payload",
     oracle="""
     SELECT event_id,

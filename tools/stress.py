@@ -109,6 +109,42 @@ def main() -> None:
     )
     run("ivf_topk_64q", ivf_topk(emb, queries, n_centroids=32, nprobe=4, k=10), n_emb)
 
+    # SCD2 at volume: bootstrap a history from the amplified corpus,
+    # then a day-2 batch where ~1/3 of rows changed and 5% are new.
+    from datawarehouseproject_spark.operators.scd2 import scd2_apply
+
+    st1 = docs.select(
+        F.col("doc_id").alias("ID"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("TEN"),
+        F.concat(F.lit("L"), F.col("doc_id").cast("string")).alias("LINK"),
+        F.lit("img").alias("LINK_ANH"),
+        (F.col("doc_id") % 1000).cast("decimal(18,2)").alias("GIA_CU"),
+        (F.col("doc_id") % 900).cast("decimal(18,2)").alias("GIA_MOI"),
+        F.lit(6.5).cast("decimal(4,2)").alias("KICH_THUOC_MAN_HINH"),
+        F.lit(8).alias("RAM"),
+        F.lit(256).alias("BO_NHO"),
+    ).cache()
+    st1.count()
+    t0 = time.time()
+    r1 = scd2_apply(st1, None, now="2024-01-01 00:00:00")
+    h1 = r1.history.localCheckpoint()
+    boot = time.time() - t0
+    st2 = st1.withColumn(
+        "GIA_MOI",
+        F.when(F.col("ID") % 3 == 0, F.col("GIA_MOI") + 50).otherwise(
+            F.col("GIA_MOI")
+        ),
+    )
+    t0 = time.time()
+    r2 = scd2_apply(st2, h1, now="2024-01-02 00:00:00")
+    n_hist = r2.history.count()
+    day2 = time.time() - t0
+    print(json.dumps({
+        "op": "scd2_day2", "input_rows": n_docs, "history_rows": n_hist,
+        "bootstrap_sec": round(boot, 2), "day2_sec": round(day2, 2),
+        "rows_per_sec": int(n_docs / day2),
+    }))
+
 
 if __name__ == "__main__":
     main()
