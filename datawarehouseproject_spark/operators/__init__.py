@@ -22,4 +22,16 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     embedding_near_dup_pairs,
 )
-from .similarity import brute_force_topk, lsh_bucketed_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    lsh_bucketed_topk,
+    ivf_index,
+    ivf_topk,
+    kmeans_refine,
+    sign_lsh_bucket,
+)
+from .asof import asof_join  # noqa: F401
+from .ranges import range_join  # noqa: F401
+from .skew import salted_join  # noqa: F401
+from .ids import dense_ids  # noqa: F401
+from .multimodal import extract_media_features, documents_as_media  # noqa: F401

@@ -16,7 +16,7 @@ boundaries land, so results are deterministic across cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

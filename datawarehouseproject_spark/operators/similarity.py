@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hyperplane_coeffs
-from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+from ..functions.vectors import dot_product, l2_norm
 
 
 def _cosine_pair(a: str, b: str, na: str, nb: str) -> Column:

@@ -14,7 +14,7 @@ parts, explicit aliases everywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.brands import BRAND_LADDER, brand_ladder
