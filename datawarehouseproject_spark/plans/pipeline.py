@@ -17,6 +17,7 @@ touches one partition regardless of history size.
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,12 +46,12 @@ class Pipeline:
     # ---------------- stage 1: dim_date (one-time) ----------------
     def ensure_dim_date(self) -> DataFrame:
         path = self.cat.path("dim_date", "warehouse")
-        try:
-            return self.spark.read.parquet(path)
-        except Exception:
-            dd = date_dim(self.spark)
-            dd.write.mode("overwrite").parquet(path)
-            return self.spark.read.parquet(path)
+        # os.path existence probes, not read-and-catch: a failed read
+        # attempt logs an async analyzer error from the listener bus
+        # (local FS here; a deployment would use the Hadoop FS API)
+        if not os.path.exists(path):
+            date_dim(self.spark).write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
 
     # ---------------- stage 2: clean (staging) ----------------
     def clean(self, raw: DataFrame) -> DataFrame:
@@ -60,9 +61,13 @@ class Pipeline:
         the reference's per-stage ROW_COUNT()/rowcount metrics
         (SURVEY §2.4 A5) without a second pass over the data.
         """
+        import uuid
+
         from pyspark.sql import Observation
 
-        obs = Observation("clean")
+        # unique name per run: listener registrations are per-name and
+        # a reused name throws (benign but noisy) on the second run
+        obs = Observation(f"clean_{uuid.uuid4().hex[:8]}")
         out = clean_products(raw, self.ensure_dim_date()).observe(
             obs, F.count(F.lit(1)).alias("rows_out")
         )
@@ -75,10 +80,11 @@ class Pipeline:
     def scd2(self, staging: DataFrame, now: str | None = None) -> dict[str, int]:
         """PRODUCTS_EXPIRED maintenance with atomic history swap."""
         hist_path = self.cat.path("products_expired", "staging")
-        try:
-            history = self.spark.read.parquet(hist_path)
-        except Exception:
-            history = None
+        history = (
+            self.spark.read.parquet(hist_path)
+            if os.path.exists(hist_path)
+            else None
+        )
         res = scd2_apply(staging, history, now=now)
         metrics = res.metrics()  # computed before the swap invalidates lineage
         overwrite_atomic(res.history, hist_path)
@@ -95,12 +101,14 @@ class Pipeline:
             F.col("EXPIRED_AT") == F.to_timestamp(F.lit(SCD_OPEN))
         ).withColumn("BRAND_NAME", brand_ladder("TEN"))
 
-        try:
-            dim_brand = self.cat.table("dim_brand", "warehouse").withColumn(
+        brand_path = self.cat.path("dim_brand", "warehouse")
+        dim_brand = (
+            self.cat.table("dim_brand", "warehouse").withColumn(
                 "__ord", F.col("BRAND_NAME")
             )
-        except Exception:
-            dim_brand = None
+            if os.path.exists(brand_path)
+            else None
+        )
         brands = current.select("BRAND_NAME").distinct().withColumn(
             "__ord", F.col("BRAND_NAME")
         )
@@ -124,11 +132,14 @@ class Pipeline:
                 F.col("ID").alias("__ord"),  # processing order (quirk 11)
             )
         )
-        try:
-            dim_product = self.cat.table("dim_product", "warehouse")
-            dim_product = dim_product.withColumn("__ord", F.col("PRODUCT_SK"))
-        except Exception:
-            dim_product = None
+        product_path = self.cat.path("dim_product", "warehouse")
+        dim_product = (
+            self.cat.table("dim_product", "warehouse").withColumn(
+                "__ord", F.col("PRODUCT_SK")
+            )
+            if os.path.exists(product_path)
+            else None
+        )
         dim_product = upsert_dim(
             dim_product, product_updates, ["LINK"], "PRODUCT_SK", order_col="__ord"
         ).drop("__ord")

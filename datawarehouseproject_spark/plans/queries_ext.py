@@ -20,7 +20,13 @@ from .registry import register
 
 
 def _utc(spark: SparkSession) -> None:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Apply ALL engine runtime confs, not just the timezone: the
+    # driver hands us ITS session, and without dynamic partition
+    # overwrite the pipeline queries' day-2 partition write would
+    # clobber day-1 (caught by driver-simulation verification).
+    from ..session import tune_session
+
+    tune_session(spark)
 
 
 @register(

@@ -35,9 +35,13 @@ from ..catalog import load_table as _t  # noqa: E402  (shared reader)
 
 
 def _utc(spark: SparkSession) -> None:
-    # Deterministic date/timestamp derivations regardless of the
-    # driver session's environment.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Apply ALL engine runtime confs, not just the timezone: the
+    # driver hands us ITS session, and without dynamic partition
+    # overwrite the pipeline queries' day-2 partition write would
+    # clobber day-1 (caught by driver-simulation verification).
+    from ..session import tune_session
+
+    tune_session(spark)
 
 
 # --------------------------------------------------------------------
@@ -100,16 +104,11 @@ DIRTY_FRAGMENTS: dict[str, str] = {
 
 DIRTY_SELECT = ", ".join(f"{sql} AS {col}" for col, sql in DIRTY_FRAGMENTS.items())
 
-#: DuckDB-side replica of the cleaning battery
-#: (:mod:`..functions.cleaning`), used by several oracles.
-ORACLE_CLEAN = f"""
-WITH dirty AS (SELECT {DIRTY_SELECT} FROM part),
-dd AS (
-  SELECT CAST(d AS DATE) AS full_date,
-         CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS date_sk
-  FROM generate_series(DATE '{DIM_START}', DATE '{DIM_END}', INTERVAL 1 DAY) t(d)
-),
-clean AS (
+def _clean_cte(dirty_cte: str, out_cte: str) -> str:
+    """DuckDB-side replica of the cleaning battery over any dirty
+    CTE — reused by the single-day and two-day pipeline oracles."""
+    return f"""
+{out_cte} AS (
   SELECT
     ID,
     coalesce(nullif(TEN, ''), 'Unknown') AS TEN,
@@ -141,12 +140,27 @@ clean AS (
     coalesce(dd.date_sk, 0) AS SK_DATE,
     NGAY,
     ID_CONFIG
-  FROM dirty
+  FROM {dirty_cte}
   LEFT JOIN dd ON CAST(NGAY AS DATE) = dd.full_date
   WHERE length(coalesce(TEN, '')) + length(coalesce(LINK, ''))
         + length(coalesce(LINK_ANH, '')) > 10
+)"""
+
+
+#: Shared date-dim CTE (DATE_SK = days since DIM_START + 1).
+_DD_CTE = f"""dd AS (
+  SELECT CAST(d AS DATE) AS full_date,
+         CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS date_sk
+  FROM generate_series(DATE '{DIM_START}', DATE '{DIM_END}', INTERVAL 1 DAY) t(d)
+)"""
+
+#: Single-day form (used by several oracles): ``clean`` over the
+#: standard dirty fixture.
+ORACLE_CLEAN = (
+    f"WITH dirty AS (SELECT {DIRTY_SELECT} FROM part),\n{_DD_CTE},\n"
+    + _clean_cte("dirty", "clean")
+    + "\n"
 )
-"""
 
 
 def _dirty_products(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,6 +904,153 @@ def q_pipeline_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = Pipeline(Catalog(spark, root))
     raw = _dirty_products(spark, sf_dir)
     pipe.run_day(raw, _dtm.date(2024, 1, 5), now="2024-01-05 21:30:00")
+    mart = pipe.cat.table("dm_product_daily_price", "mart")
+    return mart.select(
+        "DATE_SK",
+        "PRODUCT_SK",
+        "BRAND_SK",
+        "ID_CONFIG",
+        "CALENDAR_YEAR",
+        "CALENDAR_MONTH",
+        F.col("MAX_PRICE").cast("double").alias("MAX_PRICE"),
+        F.col("MIN_PRICE").cast("double").alias("MIN_PRICE"),
+        F.col("AVG_PRICE").cast("double").alias("AVG_PRICE"),
+    )
+
+
+# ---------------- two-day pipeline (update path) ----------------
+# Day-2 feed: same catalog with a price drop on every third product,
+# plus a batch of brand-new products. Fragments shared verbatim with
+# the oracle.
+DIRTY2_FRAGMENTS = dict(DIRTY_FRAGMENTS)
+DIRTY2_FRAGMENTS["GIA_MOI"] = (
+    "CASE WHEN p_partkey % 3 = 0 THEN "
+    "concat(CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR(20)), '500 ₫') "
+    "ELSE " + DIRTY_FRAGMENTS["GIA_MOI"] + " END"
+)
+DIRTY2_SELECT = ", ".join(f"{sql} AS {col}" for col, sql in DIRTY2_FRAGMENTS.items())
+
+NEW_PRODUCT_EXPRS = [
+    "p_partkey + 1000000 AS ID",
+    "concat('Moi ', p_name) AS TEN",
+    "concat('/p/n/', CAST(p_partkey AS VARCHAR(20))) AS LINK",
+    "concat('img/n', CAST(p_partkey AS VARCHAR(20)), '.jpg') AS LINK_ANH",
+    "'5.000.000đ' AS GIA_CU",
+    "'4.500.000đ' AS GIA_MOI",
+    "'6.1 inches' AS KICH_THUOC_MAN_HINH",
+    "'8 GB' AS RAM",
+    "'128 GB' AS BO_NHO",
+    "TIMESTAMP '2024-01-06 00:00:00' AS NGAY",
+    "CAST(1 AS INTEGER) AS ID_CONFIG",
+]
+NEW_PRODUCTS_SELECT = ", ".join(NEW_PRODUCT_EXPRS)
+
+_P1_CTES = f"""
+branded1 AS (
+  SELECT *, CASE {{brand_case}} ELSE 'Khác' END AS BRAND_NAME FROM clean1),
+dim_brand AS (
+  SELECT BRAND_NAME,
+         CAST(row_number() OVER (ORDER BY BRAND_NAME) AS INTEGER) AS BRAND_SK
+  FROM (SELECT DISTINCT BRAND_NAME FROM branded1)),
+latest1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY LINK ORDER BY ID DESC) AS rn
+    FROM branded1) WHERE rn = 1),
+products1 AS (
+  SELECT CAST(row_number() OVER (ORDER BY l.ID) AS INTEGER) AS PRODUCT_SK,
+         l.LINK, l.BRAND_NAME, l.ID_CONFIG, l.ID,
+         least(nullif(l.GIA_CU, -1), nullif(l.GIA_MOI, -1)) AS MIN_PRICE,
+         greatest(nullif(l.GIA_CU, -1), nullif(l.GIA_MOI, -1)) AS MAX_PRICE
+  FROM latest1 l)"""
+
+_P2_CTES = """
+branded2 AS (
+  SELECT *, CASE {brand_case} ELSE 'Khác' END AS BRAND_NAME FROM clean2),
+latest2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY LINK ORDER BY ID DESC) AS rn
+    FROM branded2) WHERE rn = 1),
+products2 AS (
+  SELECT p1.PRODUCT_SK, l.LINK, l.BRAND_NAME, l.ID_CONFIG,
+         least(nullif(l.GIA_CU, -1), nullif(l.GIA_MOI, -1)) AS MIN_PRICE,
+         greatest(nullif(l.GIA_CU, -1), nullif(l.GIA_MOI, -1)) AS MAX_PRICE
+  FROM latest2 l JOIN products1 p1 USING (LINK)
+  UNION ALL
+  SELECT CAST((SELECT max(PRODUCT_SK) FROM products1)
+              + row_number() OVER (ORDER BY l.ID) AS INTEGER) AS PRODUCT_SK,
+         l.LINK, l.BRAND_NAME, l.ID_CONFIG,
+         least(nullif(l.GIA_CU, -1), nullif(l.GIA_MOI, -1)) AS MIN_PRICE,
+         greatest(nullif(l.GIA_CU, -1), nullif(l.GIA_MOI, -1)) AS MAX_PRICE
+  FROM latest2 l
+  WHERE NOT EXISTS (SELECT 1 FROM products1 p WHERE p.LINK = l.LINK))"""
+
+
+def _two_day_oracle() -> str:
+    date_sk = "CAST(datediff('day', DATE '{start}', DATE '{day}') + 1 AS INTEGER)"
+    return (
+        f"WITH dirty1 AS (SELECT {DIRTY_SELECT} FROM part),\n"
+        f"dirty2 AS (SELECT {DIRTY2_SELECT} FROM part\n"
+        f"           UNION ALL SELECT {NEW_PRODUCTS_SELECT} FROM part\n"
+        f"           WHERE p_partkey % 20 = 0),\n"
+        + _DD_CTE + ",\n"
+        + _clean_cte("dirty1", "clean1") + ",\n"
+        + _clean_cte("dirty2", "clean2") + ",\n"
+        + _P1_CTES.format(brand_case=_BRAND_CASE_CUR) + ",\n"
+        + _P2_CTES.format(brand_case=_BRAND_CASE_CUR) + ",\n"
+        + f"""
+agg AS (
+  SELECT b.BRAND_SK, p.PRODUCT_SK, p.ID_CONFIG,
+         {date_sk.format(start=DIM_START, day='2024-01-05')} AS DATE_SK,
+         CAST(2024 AS INTEGER) AS CALENDAR_YEAR, CAST(1 AS INTEGER) AS CALENDAR_MONTH,
+         p.MAX_PRICE, p.MIN_PRICE
+  FROM products1 p JOIN dim_brand b USING (BRAND_NAME)
+  UNION ALL
+  SELECT b.BRAND_SK, p.PRODUCT_SK, p.ID_CONFIG,
+         {date_sk.format(start=DIM_START, day='2024-01-06')} AS DATE_SK,
+         CAST(2024 AS INTEGER), CAST(1 AS INTEGER),
+         p.MAX_PRICE, p.MIN_PRICE
+  FROM products2 p JOIN dim_brand b USING (BRAND_NAME))
+SELECT DATE_SK, PRODUCT_SK, BRAND_SK, ID_CONFIG, CALENDAR_YEAR,
+       CALENDAR_MONTH,
+       CAST(max(MAX_PRICE) AS DOUBLE) AS MAX_PRICE,
+       CAST(min(MIN_PRICE) AS DOUBLE) AS MIN_PRICE,
+       CAST((max(MAX_PRICE) + min(MIN_PRICE)) / 2 AS DOUBLE) AS AVG_PRICE
+FROM agg GROUP BY 1, 2, 3, 4, 5, 6
+"""
+    )
+
+
+@register(
+    "pipeline_two_day",
+    oracle=_two_day_oracle(),
+    tags=("pipeline", "end-to-end", "scd2-update", "dim-update", "partition-overwrite"),
+)
+def q_pipeline_two_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two consecutive daily runs through the real Pipeline: day 2
+    carries price changes (SCD2 expire/re-insert), brand-new products
+    (dim SK minting after existing max), and a second AGGREGATE
+    partition via dynamic overwrite — the monthly mart over BOTH days
+    checked against one SQL oracle."""
+    import datetime as _dtm
+    import tempfile
+
+    _utc(spark)
+    from ..catalog import Catalog
+    from ..plans.pipeline import Pipeline
+
+    root = tempfile.mkdtemp(prefix="dw_pipeline_2day_")
+    pipe = Pipeline(Catalog(spark, root))
+    part = _t(spark, sf_dir, "part")
+    raw1 = part.selectExpr(
+        *[f"{sql} AS {col}" for col, sql in DIRTY_FRAGMENTS.items()]
+    )
+    raw2 = part.selectExpr(
+        *[f"{sql} AS {col}" for col, sql in DIRTY2_FRAGMENTS.items()]
+    ).unionByName(
+        part.filter("p_partkey % 20 = 0").selectExpr(*NEW_PRODUCT_EXPRS)
+    )
+    pipe.run_day(raw1, _dtm.date(2024, 1, 5), now="2024-01-05 21:30:00")
+    pipe.run_day(raw2, _dtm.date(2024, 1, 6), now="2024-01-06 21:30:00")
     mart = pipe.cat.table("dm_product_daily_price", "mart")
     return mart.select(
         "DATE_SK",
