@@ -7,6 +7,12 @@ every cell (floats via repr) — stricter than the driver is likely to
 be, so passing here is a good predictor.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --vanilla [sf_dir] [query ...]
+
+``--vanilla`` runs the Spark side on a DEFAULT SparkSession (no
+engine confs) — the closest simulation of the correctness driver's
+environment; query callables must self-apply whatever runtime confs
+they need.
 """
 
 from __future__ import annotations
@@ -40,13 +46,26 @@ def canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    from datawarehouseproject_spark.session import get_spark
     from datawarehouseproject_spark.plans.registry import queries, oracle_sql
 
-    spark = get_spark("check_oracle")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+    else:
+        from datawarehouseproject_spark.session import get_spark
+
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
