@@ -84,6 +84,87 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Batch image resize via mapInPandas.
+
+    The pixel work is STUBBED (no imaging libs in this container):
+    the stub emits a deterministic payload of the target byte size so
+    partitioning/schema/batch behavior is real and testable; swap
+    ``_resize_stub`` for PIL's ``Image.resize`` in production.
+    """
+
+    def _resize_stub(payload: bytes) -> bytes:
+        # deterministic fake: tile the source bytes to w*h length
+        target = width * height
+        if not payload:
+            return bytes(target)
+        reps = target // len(payload) + 1
+        return (payload * reps)[:target]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "payload": [_resize_stub(bytes(p)) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling via mapInPandas (1:N row expansion).
+
+    Frame DECODING requires ffmpeg, absent here — the batch iterator,
+    schema, and row-expansion plumbing are real; the decode call site
+    raises so production wiring is a one-function swap.
+    """
+
+    def _decode_frames(payload: bytes, every_n: int) -> list[bytes]:
+        raise NotImplementedError(
+            "video decode requires ffmpeg/pyav — not available in this "
+            "environment; replace _decode_frames to enable"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for i, fr in enumerate(_decode_frames(bytes(p), every_n)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for tests/bench: treat document text bytes as an
     opaque payload with fake image metadata."""

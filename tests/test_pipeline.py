@@ -133,3 +133,22 @@ def test_multimodal_features(spark):
     assert out[1]["n_bytes"] == 11
     assert out[2]["byte_entropy"] == 0.0  # uniform payload
     assert out[1]["thumb_checksum"] > 0
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    import pytest as _pytest
+    from datawarehouseproject_spark.operators.multimodal import (
+        documents_as_media,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = documents_as_media(docs)
+    resized = resize_images(media, width=8, height=4).collect()
+    assert len(resized[0]["payload"]) == 32
+    assert (resized[0]["width"], resized[0]["height"]) == (8, 4)
+
+    # frame sampling plumbing is real; the decode is stubbed to raise
+    with _pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(media).collect()
