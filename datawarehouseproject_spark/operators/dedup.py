@@ -95,6 +95,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 16,
     shingle_len: int = 5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: ``num_perm`` min-agg columns
     ``h0..h{n-1}``.
@@ -107,7 +108,8 @@ def minhash_signatures(
     """
     from ..functions.hashing import MERSENNE31, universal_coeffs
 
-    shingles = _shingle_hashes(df, id_col, text_col, shingle_len)
+    if shingles is None:
+        shingles = _shingle_hashes(df, id_col, text_col, shingle_len)
     # base < 2^60, so the halves are exact in 64-bit integer math
     x_lo = F.col("base") % F.lit(1 << 30)
     x_hi = F.shiftright(F.col("base"), 30)
@@ -127,6 +129,7 @@ def minhash_lsh_pairs(
     shingle_len: int = 5,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -143,7 +146,9 @@ def minhash_lsh_pairs(
     (exact LSH semantics, what the SQL oracle replicates).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_len).cache()
+    sig = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_len, shingles=shingles
+    ).cache()
 
     band_cols = []
     for b in range(bands):
@@ -240,6 +245,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_len: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b).
 
@@ -248,7 +254,11 @@ def ngram_jaccard_pairs(
     are equi-joins on ids/hashes — no quadratic blowup beyond the
     candidate set.
     """
-    sh = _shingle_hashes(df, id_col, text_col, shingle_len)
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingle_hashes(df, id_col, text_col, shingle_len)
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
 
     a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("base").alias("ha"))

@@ -227,13 +227,20 @@ def _jaccard_oracle() -> str:
 @register("ngram_jaccard_verify", oracle=_jaccard_oracle(), tags=("dedup", "jaccard"))
 def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard — the
-    two-stage near-dup pipeline's verification half."""
+    two-stage near-dup pipeline's verification half. The shingle-hash
+    set is computed once and shared between the LSH and verify stages
+    (same shingle length), halving the explode+distinct cost."""
     _utc(spark)
+    from ..operators.dedup import _shingle_hashes
+
     docs = _t(spark, sf_dir, "documents")
+    sh = _shingle_hashes(docs, "doc_id", "text", _SHINGLE).cache()
     cand = minhash_lsh_pairs(
-        docs, num_perm=_NUM_PERM, shingle_len=_SHINGLE, bands=_BANDS
+        docs, num_perm=_NUM_PERM, shingle_len=_SHINGLE, bands=_BANDS, shingles=sh
     )
-    return ngram_jaccard_pairs(docs, cand, shingle_len=_JACCARD_SHINGLE)
+    return ngram_jaccard_pairs(
+        docs, cand, shingle_len=_JACCARD_SHINGLE, shingles=sh
+    )
 
 
 # ============================ similarity ============================
