@@ -290,6 +290,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def corpus_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    num_perm: int = 16,
+    shingle_len: int = 5,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The packaged training-corpus dedup pipeline: exact dedup ->
+    MinHash LSH candidates -> exact Jaccard verify -> drop near-dups.
+
+    Keeps, per duplicate cluster, the lowest-id representative:
+    exact dups collapse first (identity clusters never reach the
+    LSH stage), then any document whose verified Jaccard with a
+    LOWER-id survivor is >= threshold is dropped. One shingle pass
+    feeds both LSH and verification.
+
+    Returns the surviving rows of ``df`` (all columns).
+    """
+    survivors = exact_dedup(df, text_col=text_col, id_col=id_col)
+    sh = _shingle_hashes(survivors, id_col, text_col, shingle_len).cache()
+    cand = minhash_lsh_pairs(
+        survivors,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        shingle_len=shingle_len,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+        shingles=sh,
+    )
+    verified = ngram_jaccard_pairs(
+        survivors, cand, id_col=id_col, text_col=text_col,
+        shingle_len=shingle_len, shingles=sh,
+    )
+    # id_a < id_b by construction: dropping every id_b with a
+    # qualifying lower-id partner keeps exactly one representative
+    # per connected near-dup cluster reachable via lower ids.
+    drop = (
+        verified.filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(drop, id_col, "left_anti")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

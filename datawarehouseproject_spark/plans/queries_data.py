@@ -100,7 +100,7 @@ _SHINGLE = 5
 _ROWS_PER_BAND = _NUM_PERM // _BANDS
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(source: str = "documents") -> str:
     from ..functions.hashing import MERSENNE31, universal_coeffs
 
     coeffs = universal_coeffs(_NUM_PERM)
@@ -130,7 +130,7 @@ def _minhash_oracle() -> str:
     )
     base_hash = _sql_md5_long("sh")
     return f"""
-    WITH docs AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    WITH docs AS (SELECT doc_id, {_SQL_NORM} AS t FROM {source}),
     shs AS (
       SELECT doc_id,
         unnest(list_transform(generate_series(1, length(t) - {_SHINGLE - 1}),
@@ -157,6 +157,69 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
+        num_perm=_NUM_PERM,
+        shingle_len=_SHINGLE,
+        bands=_BANDS,
+    )
+
+
+_DEDUP_THRESHOLD = 0.8
+
+
+def _corpus_dedup_oracle() -> str:
+    minhash = _minhash_oracle(source="keep").strip()
+    norm_keep = _SQL_NORM  # operates on the 'text' column of keep
+    return f"""
+    WITH keep AS (
+      SELECT d.* FROM documents d
+      JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+            FROM documents GROUP BY 1) k
+        ON md5(d.text) = k.h AND d.doc_id = k.doc_id),
+    cand AS ({minhash}),
+    docs2 AS (SELECT doc_id, {norm_keep} AS t FROM keep),
+    shx0 AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, length(t) - {_SHINGLE - 1}),
+                              i -> substring(t, i, {_SHINGLE}))) AS sh
+      FROM docs2),
+    shx AS (SELECT DISTINCT doc_id, {_sql_md5_long('sh')} AS sh FROM shx0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shx a ON a.doc_id = c.id_a
+      JOIN shx b ON b.doc_id = c.id_b AND a.sh = b.sh
+      GROUP BY c.id_a, c.id_b),
+    jacc AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                   / (na.n + nb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes na ON na.doc_id = c.id_a
+      JOIN sizes nb ON nb.doc_id = c.id_b),
+    dropped AS (
+      SELECT DISTINCT id_b FROM jacc WHERE jaccard >= {_DEDUP_THRESHOLD})
+    SELECT k.* FROM keep k
+    WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.id_b = k.doc_id)
+    """
+
+
+@register(
+    "corpus_dedup",
+    oracle=_corpus_dedup_oracle(),
+    tags=("dedup", "pipeline", "minhash", "jaccard"),
+)
+def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packaged corpus-dedup pipeline: exact dedup -> MinHash LSH
+    -> exact-Jaccard verify -> drop near-dups (lowest-id survivor per
+    cluster) — one shingle pass shared across stages."""
+    _utc(spark)
+    from ..operators.dedup import corpus_dedup
+
+    return corpus_dedup(
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=_DEDUP_THRESHOLD,
         num_perm=_NUM_PERM,
         shingle_len=_SHINGLE,
         bands=_BANDS,

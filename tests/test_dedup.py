@@ -52,6 +52,16 @@ def test_simhash_identical_for_same_tokens(spark):
     assert out[1] != out[4]
 
 
+def test_corpus_dedup_pipeline(spark):
+    from datawarehouseproject_spark.operators.dedup import corpus_dedup
+
+    out = corpus_dedup(_docs(spark), jaccard_threshold=0.8)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 2 = exact dup of 1; 3 = normalization dup (jaccard 1.0);
+    # 5 = near-dup (one word) above 0.8; 4 survives
+    assert ids == [1, 4]
+
+
 def test_ngram_jaccard_exact_values(spark):
     docs = _docs(spark)
     cand = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
