@@ -1,0 +1,78 @@
+"""Iterative graph operators: connected components.
+
+Near-dup pairs form a graph; cluster-level dedup policy (keep one
+representative per component, audit cluster sizes) needs connected
+components. This is the engine's iterative-algorithm class: a
+driver-side loop over fully distributed steps — each iteration is
+one join + aggregation, the driver only inspects a convergence
+COUNT, never data.
+
+Algorithm: min-label propagation. Every node starts labeled with
+itself; each round, every node adopts the smallest label among
+itself and its neighbors; stop when no label changed. Rounds needed
+= graph diameter (small for near-dup clusters); ``max_iter`` bounds
+pathological chains. For billion-edge graphs the same loop applies
+with the edges bucketed/persisted by node — the alternating
+large-star/small-star optimization drops in here without changing
+the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) with component = min node id reachable.
+
+    ``edges`` is undirected input (each pair once is enough).
+    Isolated nodes don't appear (callers union them back with
+    label = own id if needed).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # localCheckpoint (eager) truncates the lineage each round —
+        # without it the plan doubles per iteration and the analyzer
+        # stack-overflows after ~10 rounds (cache() alone does NOT
+        # truncate lineage for planning purposes)
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "__changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

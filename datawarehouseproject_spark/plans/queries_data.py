@@ -226,6 +226,48 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_EST = 0.75
+
+
+def _components_oracle() -> str:
+    minhash = _minhash_oracle().strip()
+    return f"""
+    WITH cand AS ({minhash}),
+    e AS (SELECT id_a, id_b FROM cand WHERE est_jaccard >= {_CC_EST}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM e
+            UNION SELECT id_b, id_a FROM e),
+    walk AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT s.b, r.label FROM r JOIN sym s ON s.a = r.node
+      )
+      SELECT node, min(label) AS component FROM r GROUP BY node)
+    SELECT node, component FROM walk
+    """
+
+
+@register(
+    "dedup_components",
+    oracle=_components_oracle(),
+    tags=("graph", "iterative", "connected-components"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the
+    iterative label-propagation loop (driver inspects only a
+    convergence count) vs a recursive-CTE oracle."""
+    _utc(spark)
+    from ..operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_perm=_NUM_PERM,
+        shingle_len=_SHINGLE,
+        bands=_BANDS,
+    ).filter(F.col("est_jaccard") >= _CC_EST)
+    return connected_components(pairs)
+
+
 _SIM_BITS = 32
 
 

@@ -1,0 +1,27 @@
+"""Connected components: chains, separate clusters, convergence."""
+
+from __future__ import annotations
+
+from datawarehouseproject_spark.operators.graph import connected_components
+
+
+def test_components_chain_and_clusters(spark):
+    # chain 1-2-3-4 (diameter 3), pair {10,11}, triangle {20,21,22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_components_long_chain_converges(spark):
+    # 15-node chain: needs multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], ["id_a", "id_b"]
+    )
+    got = connected_components(edges, max_iter=20).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 16
