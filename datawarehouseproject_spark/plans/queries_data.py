@@ -226,6 +226,51 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def _split_sql() -> str:
+    h = _sql_md5_long("'split:' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"CASE WHEN {h} % 10000 < 8000 THEN 'train' "
+        f"WHEN {h} % 10000 < 9000 THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "corpus_split_sample",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT *, {_split_sql()} AS split FROM documents),
+    sampled AS (
+      SELECT * FROM assigned
+      WHERE {_sql_md5_long("'sample:' || CAST(doc_id AS VARCHAR)")} % 10000 <
+        CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                    WHEN 'src2' THEN 2500 ELSE 0 END)
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM sampled GROUP BY split, source
+    """,
+    tags=("sampling", "split", "mixture"),
+)
+def q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shaping: hash-deterministic train/val/test
+    split + per-source mixture down-sampling (src0 100%, src1 50%,
+    src2 25%, others dropped) — stable across engines and re-runs,
+    unlike RNG sampling."""
+    _utc(spark)
+    from ..operators.sampling import deterministic_split, weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    assigned = deterministic_split(docs, "doc_id", _SPLIT_WEIGHTS)
+    sampled = weighted_sample(assigned, "doc_id", _MIX_RATES, "source")
+    return sampled.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 _CC_EST = 0.75
 
 
