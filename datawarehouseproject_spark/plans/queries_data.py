@@ -771,6 +771,89 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocabulary_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT tok, count(*) AS n_total,
+             count(DISTINCT doc_id) AS n_docs
+      FROM toks GROUP BY tok)
+    SELECT tok, n_total, n_docs,
+           CAST(row_number() OVER (ORDER BY n_total DESC, tok ASC)
+                AS INTEGER) AS rank
+    FROM counts
+    ORDER BY n_total DESC, tok ASC LIMIT 100
+    """,
+    tags=("text", "vocabulary", "topk"),
+)
+def q_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency with document
+    frequency — the tokenizer-training / vocab-audit primitive
+    (explode -> count with map-side combine -> global top-N)."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(word_tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_total").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .orderBy(F.col("n_total").desc(), F.col("tok").asc())
+    )
+
+
+@register(
+    "bigram_counts",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+                  FROM documents),
+    bigrams AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+      FROM docs)
+    SELECT bigram, count(*) AS n
+    FROM bigrams GROUP BY bigram HAVING count(*) >= 20
+    """,
+    tags=("text", "ngram-lm"),
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (n-gram LM statistics): per-row token
+    zipping via sequence+transform (JVM-side, no explode until the
+    bigram level), frequency-thresholded."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    # materialize the token array BEFORE the transform lambda —
+    # expressions referenced inside lambdas re-evaluate per element
+    # (see functions/text.py char_ngrams perf note)
+    tokd = docs.select(
+        F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    toks = F.col("toks")
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    return (
+        tokd.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle=f"SELECT doc_id, {_sql_md5_long(_SQL_NORM)} AS fp FROM documents",
     tags=("text", "fingerprint"),
