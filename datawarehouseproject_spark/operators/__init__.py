@@ -21,7 +21,10 @@ from .dedup import (  # noqa: F401
     simhash64,
     ngram_jaccard_pairs,
     embedding_near_dup_pairs,
+    corpus_dedup,
 )
+from .graph import connected_components  # noqa: F401
+from .sampling import deterministic_split, weighted_sample  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
     lsh_bucketed_topk,
