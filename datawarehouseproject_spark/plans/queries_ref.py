@@ -985,7 +985,7 @@ products2 AS (
   WHERE NOT EXISTS (SELECT 1 FROM products1 p WHERE p.LINK = l.LINK))"""
 
 
-def _two_day_oracle() -> str:
+def _two_day_base() -> str:
     date_sk = "CAST(datediff('day', DATE '{start}', DATE '{day}') + 1 AS INTEGER)"
     return (
         f"WITH dirty1 AS (SELECT {DIRTY_SELECT} FROM part),\n"
@@ -1010,6 +1010,12 @@ agg AS (
          CAST(2024 AS INTEGER), CAST(1 AS INTEGER),
          p.MAX_PRICE, p.MIN_PRICE
   FROM products2 p JOIN dim_brand b USING (BRAND_NAME))
+"""
+    )
+
+
+def _two_day_oracle() -> str:
+    return _two_day_base() + """
 SELECT DATE_SK, PRODUCT_SK, BRAND_SK, ID_CONFIG, CALENDAR_YEAR,
        CALENDAR_MONTH,
        CAST(max(MAX_PRICE) AS DOUBLE) AS MAX_PRICE,
@@ -1017,7 +1023,19 @@ SELECT DATE_SK, PRODUCT_SK, BRAND_SK, ID_CONFIG, CALENDAR_YEAR,
        CAST((max(MAX_PRICE) + min(MIN_PRICE)) / 2 AS DOUBLE) AS AVG_PRICE
 FROM agg GROUP BY 1, 2, 3, 4, 5, 6
 """
-    )
+
+
+def _two_day_quarterly_oracle() -> str:
+    # QUARTER_NAME = 'Q' || dim quarter label ('Q1') -> 'QQ1' quirk
+    return _two_day_base() + """
+SELECT PRODUCT_SK, BRAND_SK, ID_CONFIG, CALENDAR_YEAR,
+       concat('QQ', CAST(1 AS VARCHAR(1))) AS QUARTER_NAME,
+       CAST(min(MIN_PRICE) AS DOUBLE) AS QUARTER_MIN_PRICE,
+       CAST(max(MAX_PRICE) AS DOUBLE) AS QUARTER_MAX_PRICE,
+       CAST((min(MIN_PRICE) + max(MAX_PRICE)) / 2 AS DOUBLE)
+         AS QUARTER_AVG_PRICE
+FROM agg GROUP BY 1, 2, 3, 4
+"""
 
 
 @register(
@@ -1062,6 +1080,49 @@ def q_pipeline_two_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("MAX_PRICE").cast("double").alias("MAX_PRICE"),
         F.col("MIN_PRICE").cast("double").alias("MIN_PRICE"),
         F.col("AVG_PRICE").cast("double").alias("AVG_PRICE"),
+    )
+
+
+@register(
+    "pipeline_two_day_quarterly",
+    oracle=_two_day_quarterly_oracle(),
+    tags=("pipeline", "mart", "quarterly", "quirk-QQ"),
+)
+def q_pipeline_two_day_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUARTERLY mart from the two-day pipeline run — both
+    AGGREGATE partitions rolled up per quarter with the 'QQ1' label
+    quirk, checked against one SQL oracle (completing mart-layer
+    oracle coverage; the monthly mart is pipeline_two_day)."""
+    import datetime as _dtm
+    import tempfile
+
+    _utc(spark)
+    from ..catalog import Catalog
+    from ..plans.pipeline import Pipeline
+
+    root = tempfile.mkdtemp(prefix="dw_pipeline_2dq_")
+    pipe = Pipeline(Catalog(spark, root))
+    part = _t(spark, sf_dir, "part")
+    raw1 = part.selectExpr(
+        *[f"{sql} AS {col}" for col, sql in DIRTY_FRAGMENTS.items()]
+    )
+    raw2 = part.selectExpr(
+        *[f"{sql} AS {col}" for col, sql in DIRTY2_FRAGMENTS.items()]
+    ).unionByName(
+        part.filter("p_partkey % 20 = 0").selectExpr(*NEW_PRODUCT_EXPRS)
+    )
+    pipe.run_day(raw1, _dtm.date(2024, 1, 5), now="2024-01-05 21:30:00")
+    pipe.run_day(raw2, _dtm.date(2024, 1, 6), now="2024-01-06 21:30:00")
+    mart = pipe.cat.table("dm_product_quarterly_trend", "mart")
+    return mart.select(
+        "PRODUCT_SK",
+        "BRAND_SK",
+        "ID_CONFIG",
+        "CALENDAR_YEAR",
+        "QUARTER_NAME",
+        F.col("QUARTER_MIN_PRICE").cast("double").alias("QUARTER_MIN_PRICE"),
+        F.col("QUARTER_MAX_PRICE").cast("double").alias("QUARTER_MAX_PRICE"),
+        F.col("QUARTER_AVG_PRICE").cast("double").alias("QUARTER_AVG_PRICE"),
     )
 
 
