@@ -70,21 +70,24 @@ def clean_price(col: Column | str) -> Column:
 def clean_screen_size(col: Column | str) -> Column:
     """Screen-size string -> DECIMAL(4,2) via decimal regex extract.
 
-    ``CAST(REGEXP_SUBSTR(col,'[0-9]*\\.?[0-9]+') AS DECIMAL(4,2))``
-    (db_staging.sql:4902-4904); missing/no-match -> -1. This is the
-    *intended* decimal extract ('6.9 inches' -> 6.90); the deployed
-    reference's pattern observably matched only the integer part
-    (6.00 at db_staging.sql:4638) — a documented divergence
-    (SURVEY.md §2.7).
+    ``COALESCE(CAST(REGEXP_SUBSTR(col,'[0-9]*\\.?[0-9]+') AS
+    DECIMAL(4,2)), -1)`` (db_staging.sql:4902-4904); missing -> -1.
+    Unlike the price battery (plain CAST, where MySQL parses garbage
+    to 0), REGEXP_SUBSTR yields NULL on no match and CAST(NULL) stays
+    NULL, so a non-empty digitless string ('inch') also lands on the
+    -1 sentinel via the COALESCE. This is the *intended* decimal
+    extract ('6.9 inches' -> 6.90); the deployed reference's pattern
+    observably matched only the integer part (6.00 at
+    db_staging.sql:4638) — a documented divergence (SURVEY.md §2.7).
     """
     c = F.col(col) if isinstance(col, str) else col
     extracted = F.nullif(F.regexp_extract(c, DECIMAL_RE, 0), F.lit(""))
     # saturate >=100 to DECIMAL(4,2) max like MySQL (ANSI Spark would
-    # raise); no-match casts to 0 as MySQL does
+    # raise); no-match stays NULL -> -1 through the COALESCE
     parsed = F.coalesce(
         extracted.try_cast("decimal(4,2)"),
         F.when(extracted.isNotNull(), F.lit("99.99").cast("decimal(4,2)")),
-        F.lit(0).cast("decimal(4,2)"),
+        F.lit(MISSING_NUM).cast("decimal(4,2)"),
     )
     return F.when(
         c.isNull() | (c == ""), F.lit(MISSING_NUM).cast("decimal(4,2)")

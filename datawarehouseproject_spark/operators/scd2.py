@@ -170,7 +170,10 @@ def scd2_apply(
         .select(*hist_cols)
     )
     untouched_current = cur_marked.filter(F.col("__chg").isNull()).select(*hist_cols)
-    closed = hist1.filter(F.col("EXPIRED_AT") != open_ts).select(*hist_cols)
+    # negated null-safe equality: a NULL EXPIRED_AT (malformed ingest)
+    # lands in `closed` instead of vanishing — `!= open_ts` would drop
+    # it from both branches silently
+    closed = hist1.filter(~F.col("EXPIRED_AT").eqNullSafe(open_ts)).select(*hist_cols)
 
     # 5. Re-insert fresh current versions for the changed keys
     #    (db_staging.sql:4978-4988).

@@ -115,7 +115,12 @@ class RunLedger:
         self.log(process, status, message)
 
     def succeeded_today(self, process: str, today: datetime.date | None = None) -> bool:
-        """Once-per-day idempotency guard (check_status.py:19-36)."""
+        """Once-per-day idempotency guard (check_status.py:19-36).
+
+        Reference-faithful form: compares the WALLCLOCK success time,
+        so it only dedups same-day reruns. For a guard keyed on the
+        logical run date (backfills included) use :meth:`succeeded_for`.
+        """
         day = today or datetime.date.today()
         return (
             self._read()
@@ -123,6 +128,28 @@ class RunLedger:
                 (F.col("PROCESS") == process)
                 & (F.col("STATUS") == SUCCESS)
                 & (F.to_date("END_TIME") == F.lit(day))
+            )
+            .count()
+            > 0
+        )
+
+    def succeeded_for(self, process: str, for_date: datetime.date) -> bool:
+        """Idempotency guard keyed on the LOGICAL run date.
+
+        Matches SUCCESS records whose MESSAGE JSON carries
+        ``for_date`` — so re-running a backfill date is skipped even
+        when the wallclock day differs (the wallclock-keyed reference
+        guard can't express that).
+        """
+        return (
+            self._read()
+            .filter(
+                (F.col("PROCESS") == process)
+                & (F.col("STATUS") == SUCCESS)
+                & (
+                    F.get_json_object("MESSAGE", "$.for_date")
+                    == F.lit(str(for_date))
+                )
             )
             .count()
             > 0

@@ -78,16 +78,42 @@ class Pipeline:
 
     # ---------------- stage 3: SCD2 (staging history) ----------------
     def scd2(self, staging: DataFrame, now: str | None = None) -> dict[str, int]:
-        """PRODUCTS_EXPIRED maintenance with atomic history swap."""
+        """PRODUCTS_EXPIRED maintenance, O(current) per day.
+
+        History is laid out partitioned by ``IS_CURRENT`` so the daily
+        job never touches closed rows (the reference's UPDATE hits only
+        changed rows, db_staging.sql:4971-4974; a full-history rewrite
+        would make the nightly run O(total history) — a 100 TB rewrite
+        at scale):
+
+        - the operator runs against the CURRENT partition only (closed
+          rows can't join, expire, or re-insert — they're dead weight
+          to the algorithm);
+        - rows expired today are *appended* to the ``IS_CURRENT=0``
+          partition (existing closed files are never rewritten);
+        - the new current set atomically replaces the ``IS_CURRENT=1``
+          partition directory via the temp-path swap.
+        """
         hist_path = self.cat.path("products_expired", "staging")
-        history = (
-            self.spark.read.parquet(hist_path)
-            if os.path.exists(hist_path)
+        cur_path = os.path.join(hist_path, "IS_CURRENT=1")
+        current = (
+            self.spark.read.parquet(cur_path)
+            if os.path.exists(cur_path)
             else None
         )
-        res = scd2_apply(staging, history, now=now)
+        res = scd2_apply(staging, current, now=now)
         metrics = res.metrics()  # computed before the swap invalidates lineage
-        overwrite_atomic(res.history, hist_path)
+        # 1. newly-closed rows: append-only into the closed partition
+        #    (write happens while the old current files are still in
+        #    place — the lineage reads them)
+        res.expired.withColumn("IS_CURRENT", F.lit(0)).write.mode(
+            "append"
+        ).partitionBy("IS_CURRENT").parquet(hist_path)
+        self.spark.catalog.refreshByPath(hist_path)  # appended files
+        # 2. new current set: atomic swap of just the current partition
+        open_ts = F.to_timestamp(F.lit(SCD_OPEN))
+        new_current = res.history.filter(F.col("EXPIRED_AT") == open_ts)
+        overwrite_atomic(new_current, cur_path)
         if self.ledger:
             self.ledger.log("transform_scd2", SUCCESS, metrics)
         return metrics
@@ -97,9 +123,11 @@ class Pipeline:
         """Current SCD rows -> DIM_BRAND + DIM_PRODUCT (set-based
         replacement of the reference's per-row loop)."""
         hist = self.cat.table("products_expired", "staging")
-        current = hist.filter(
-            F.col("EXPIRED_AT") == F.to_timestamp(F.lit(SCD_OPEN))
-        ).withColumn("BRAND_NAME", brand_ladder("TEN"))
+        # IS_CURRENT is the partition key: the filter prunes the scan
+        # to the current partition (closed history is never read)
+        current = hist.filter(F.col("IS_CURRENT") == 1).withColumn(
+            "BRAND_NAME", brand_ladder("TEN")
+        )
 
         brand_path = self.cat.path("dim_brand", "warehouse")
         dim_brand = (
@@ -188,8 +216,11 @@ class Pipeline:
         self, raw: DataFrame, for_date: datetime.date, now: str | None = None
     ) -> dict[str, int]:
         """One run_all.bat equivalent: clean -> scd2 -> dims ->
-        aggregate -> marts, with once-per-day guard."""
-        if self.ledger and self.ledger.succeeded_today("pipeline", for_date):
+        aggregate -> marts, with a once-per-run-date guard (keyed on
+        the LOGICAL ``for_date`` recorded in the ledger MESSAGE, so
+        backfill re-runs are idempotent too — a wallclock-day guard
+        only dedups same-day reruns)."""
+        if self.ledger and self.ledger.succeeded_for("pipeline", for_date):
             return {"skipped": 1}
         staging = self.clean(raw)
         metrics = self.scd2(staging, now=now)
@@ -197,5 +228,7 @@ class Pipeline:
         self.load_aggregate(for_date)
         self.load_marts()
         if self.ledger:
-            self.ledger.log("pipeline", SUCCESS, metrics)
+            self.ledger.log(
+                "pipeline", SUCCESS, {**metrics, "for_date": str(for_date)}
+            )
         return metrics

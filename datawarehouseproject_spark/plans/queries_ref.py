@@ -128,7 +128,7 @@ def _clean_cte(dirty_cte: str, out_cte: str) -> str:
          THEN CAST(-1 AS DECIMAL(4,2))
          ELSE coalesce(CAST(nullif(regexp_extract(KICH_THUOC_MAN_HINH,
                 '[0-9]*\\.?[0-9]+', 0), '') AS DECIMAL(4,2)),
-              CAST(0 AS DECIMAL(4,2))) END AS KICH_THUOC_MAN_HINH,
+              CAST(-1 AS DECIMAL(4,2))) END AS KICH_THUOC_MAN_HINH,
     CASE WHEN RAM IS NULL OR RAM = '' THEN -1
          ELSE coalesce(CAST(nullif(regexp_extract(
                 regexp_replace(RAM, 'GB|\\s| ', '', 'g'),
@@ -215,7 +215,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "clean_products",
-    oracle=ORACLE_CLEAN + "SELECT * FROM clean",
+    oracle=ORACLE_CLEAN
+    + """
+SELECT ID, TEN, LINK, LINK_ANH,
+       CAST(GIA_CU AS DOUBLE) AS GIA_CU,
+       CAST(GIA_MOI AS DOUBLE) AS GIA_MOI,
+       CAST(KICH_THUOC_MAN_HINH AS DOUBLE) AS KICH_THUOC_MAN_HINH,
+       RAM, BO_NHO, SK_DATE, NGAY, ID_CONFIG
+FROM clean""",
     tags=("P1", "P2", "J1", "cleaning"),
 )
 def q_clean_products(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,10 +230,28 @@ def q_clean_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Junk filter (P2), null repair, price strip-cast, screen-size
     regex extract, GB strip, date-dim left join with 0 sentinel (J1)
-    — db_staging.sql:4883-4920 end to end.
+    — db_staging.sql:4883-4920 end to end. The battery runs in
+    DECIMAL (reference types); the query projects the money/size
+    columns to DOUBLE on BOTH sides so the comparison is
+    representation-stable (DECIMAL survives exact compare but pandas
+    renders Spark Decimals vs DuckDB float64 differently).
     """
     _utc(spark)
-    return clean_products(_dirty_products(spark, sf_dir), date_dim(spark))
+    out = clean_products(_dirty_products(spark, sf_dir), date_dim(spark))
+    return out.select(
+        "ID",
+        "TEN",
+        "LINK",
+        "LINK_ANH",
+        F.col("GIA_CU").cast("double").alias("GIA_CU"),
+        F.col("GIA_MOI").cast("double").alias("GIA_MOI"),
+        F.col("KICH_THUOC_MAN_HINH").cast("double").alias("KICH_THUOC_MAN_HINH"),
+        "RAM",
+        "BO_NHO",
+        "SK_DATE",
+        "NGAY",
+        "ID_CONFIG",
+    )
 
 
 _ORACLE_DATE_DIM = f"""
@@ -666,23 +691,33 @@ def q_nullsafe_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1500 AS INTEGER) AS date_sk,
            CAST(2024 AS INTEGER) AS calendar_year,
            CAST(2 AS INTEGER) AS calendar_month,
-           CAST(p_retailprice AS DECIMAL(18,2)) AS max_price,
-           CAST(p_retailprice * 0.8 AS DECIMAL(18,2)) AS min_price
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS max_price,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.8 AS DECIMAL(2,1))
+                AS DOUBLE) AS min_price
     FROM part
     """,
     tags=("A3", "snapshot"),
 )
 def q_snapshot_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: the daily AGGREGATE snapshot — dim state projected with
-    constant date keys (load_aggregate.py:88-112)."""
+    constant date keys (load_aggregate.py:88-112).
+
+    Price math is decimal-native on both sides (decimal × decimal is
+    exact — no double product to round, so no HALF_UP/HALF_EVEN skew)
+    and the outputs are projected to DOUBLE for representation-stable
+    comparison.
+    """
     _utc(spark)
+    from decimal import Decimal
+
+    price_dec = F.col("p_retailprice").cast("decimal(18,2)")
     return _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("product_sk"),
         F.lit(1500).cast("int").alias("date_sk"),
         F.lit(2024).cast("int").alias("calendar_year"),
         F.lit(2).cast("int").alias("calendar_month"),
-        F.col("p_retailprice").cast("decimal(18,2)").alias("max_price"),
-        (F.col("p_retailprice") * 0.8).cast("decimal(18,2)").alias("min_price"),
+        price_dec.cast("double").alias("max_price"),
+        (price_dec * F.lit(Decimal("0.8"))).cast("double").alias("min_price"),
     )
 
 
@@ -758,6 +793,18 @@ _SCD_PAYLOAD = (
     "ID, ID_CONFIG"
 )
 
+_SCD2_FINAL = """
+SELECT TEN, LINK, LINK_ANH,
+       CAST(GIA_CU AS DOUBLE) AS GIA_CU,
+       CAST(GIA_MOI AS DOUBLE) AS GIA_MOI,
+       CAST(KICH_THUOC_MAN_HINH AS DOUBLE) AS KICH_THUOC_MAN_HINH,
+       RAM, BO_NHO, ID, ID_CONFIG,
+       CAST(CREATED_AT AS VARCHAR) AS CREATED_AT,
+       CAST(UPDATED_AT AS VARCHAR) AS UPDATED_AT,
+       CAST(EXPIRED_AT AS VARCHAR) AS EXPIRED_AT
+FROM hist_out
+"""
+
 _ORACLE_SCD2 = f"""
 WITH st1 AS ({_STAGING_SQL.format(cutoff='2024-01-15')}),
 st2 AS ({_STAGING_SQL.format(cutoff='2024-02-01')}),
@@ -778,7 +825,8 @@ changed AS (
   FROM h2pre t JOIN st2 s ON t.TEN = s.TEN AND t.EXPIRED_AT = {_SCD_OPEN_TS}
   WHERE {_SCD_COMPARE}),
 cur AS (SELECT * FROM h2pre WHERE EXPIRED_AT = {_SCD_OPEN_TS}),
-closed AS (SELECT * FROM h2pre WHERE EXPIRED_AT <> {_SCD_OPEN_TS})
+closed AS (SELECT * FROM h2pre WHERE EXPIRED_AT <> {_SCD_OPEN_TS}),
+hist_out AS (
 SELECT * FROM closed
 UNION ALL
 SELECT * FROM cur
@@ -795,7 +843,7 @@ SELECT {_SCD_PAYLOAD}, {_DAY2_TS}, {_DAY2_TS}, {_SCD_OPEN_TS}
 FROM st2 s
 WHERE EXISTS (SELECT 1 FROM changed c
               WHERE c.TEN = s.TEN AND c.LINK = s.LINK)
-"""
+){_SCD2_FINAL}"""
 
 
 def _scd_staging_both(
@@ -1130,9 +1178,30 @@ def q_pipeline_two_day_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scd2_two_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 over two consecutive batches: day-1 bootstrap (all
     inserts), day-2 insert/expire/re-insert with the reference's key
-    asymmetry and NULL-unsafe compare (db_staging.sql:4929-4991)."""
+    asymmetry and NULL-unsafe compare (db_staging.sql:4929-4991).
+
+    Output normalization (comparison-harness compatibility): the
+    9999-12-31 open-row sentinel overflows pandas' nanosecond
+    timestamps, so the audit columns are projected as STRING, and the
+    DECIMAL payload columns as DOUBLE, on BOTH sides. The operator
+    itself still runs on native TIMESTAMP/DECIMAL types.
+    """
     _utc(spark)
     st1, st2 = _scd_staging_both(spark, sf_dir, "2024-01-15", "2024-02-01")
     r1 = scd2_apply(st1, None, now="2024-01-15 12:00:00")
     r2 = scd2_apply(st2, r1.history, now="2024-01-31 12:00:00")
-    return r2.history
+    return r2.history.select(
+        "TEN",
+        "LINK",
+        "LINK_ANH",
+        F.col("GIA_CU").cast("double").alias("GIA_CU"),
+        F.col("GIA_MOI").cast("double").alias("GIA_MOI"),
+        F.col("KICH_THUOC_MAN_HINH").cast("double").alias("KICH_THUOC_MAN_HINH"),
+        "RAM",
+        "BO_NHO",
+        "ID",
+        "ID_CONFIG",
+        F.col("CREATED_AT").cast("string").alias("CREATED_AT"),
+        F.col("UPDATED_AT").cast("string").alias("UPDATED_AT"),
+        F.col("EXPIRED_AT").cast("string").alias("EXPIRED_AT"),
+    )

@@ -41,13 +41,16 @@ def test_clean_price(spark):
 
 
 def test_clean_screen_size(spark):
+    # 'inch' (non-empty, digitless): REGEXP_SUBSTR -> NULL ->
+    # CAST(NULL) -> NULL -> COALESCE -> -1 (unlike the price battery's
+    # plain CAST, where MySQL parses garbage to 0)
     out = _vals(spark, clean_screen_size, ["6.9 inches", '6.7"', "", None, "inch"])
     assert out == [
         Decimal("6.90"),
         Decimal("6.70"),
         Decimal("-1.00"),
         Decimal("-1.00"),
-        Decimal("0.00"),
+        Decimal("-1.00"),
     ]
 
 

@@ -112,11 +112,63 @@ def test_aggregate_partitions_and_marts(warehouse):
 
 def test_once_per_day_guard(spark, warehouse):
     cat, pipe, _, _ = warehouse
-    # ledger logged SUCCESS today (wall clock), so a re-run is skipped
+    # guard keys on the LOGICAL run date: re-running an already-
+    # succeeded backfill date is skipped regardless of wallclock day
     m = pipe.run_day(
-        _raw(spark, 2, DAY2), datetime.date.today(), now="2024-01-02 22:00:00"
+        _raw(spark, 2, DAY2), datetime.date(2024, 1, 2), now="2024-01-02 22:00:00"
     )
     assert m == {"skipped": 1}
+    # a date that never ran is NOT skipped by the guard (day-3 feed
+    # equals day-2 -> no SCD2 changes, nothing inserted)
+    m3 = pipe.run_day(
+        _raw(spark, 3, DAY2), datetime.date(2024, 1, 3), now="2024-01-03 21:30:00"
+    )
+    assert m3 == {"rows_input": 3, "rows_inserted": 0, "rows_updated": 0}
+
+
+def test_scd2_closed_partition_untouched(spark, tmp_path):
+    """The daily SCD2 job is O(current): rows expired earlier live in
+    the IS_CURRENT=0 partition and their files are never rewritten —
+    a later run only appends newly-expired rows there and swaps the
+    IS_CURRENT=1 partition (at 100 TB a full-history daily rewrite
+    would be the scale-killer)."""
+    import glob
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(cat)
+    pipe.run_day(_raw(spark, 1, DAY1), datetime.date(2024, 1, 1),
+                 now="2024-01-01 21:30:00")
+    pipe.run_day(_raw(spark, 2, DAY2), datetime.date(2024, 1, 2),
+                 now="2024-01-02 21:30:00")  # samsung price drop -> 1 closed row
+
+    hist_path = cat.path("products_expired", "staging")
+    closed_glob = os.path.join(hist_path, "IS_CURRENT=0", "*.parquet")
+    before = {f: os.stat(f).st_mtime_ns for f in glob.glob(closed_glob)}
+    assert before, "day-2 expiry should land in the closed partition"
+
+    day3 = [
+        # iphone price drop -> expire v1 + re-insert
+        ("iPhone 15 Pro", "/p/iphone15", "img1", "33.990.000đ", "30.990.000đ",
+         "6.1 inches", "8 GB", "256 GB"),
+        DAY2[1],  # samsung v2 unchanged
+        DAY2[2],  # xiaomi unchanged
+    ]
+    pipe.run_day(_raw(spark, 3, day3), datetime.date(2024, 1, 3),
+                 now="2024-01-03 21:30:00")
+
+    after = {f: os.stat(f).st_mtime_ns for f in glob.glob(closed_glob)}
+    for f, mtime in before.items():
+        assert after.get(f) == mtime, f"closed file rewritten: {f}"
+    assert len(after) > len(before), "day-3 expiry should append"
+
+    hist = cat.table("products_expired", "staging")
+    assert hist.filter(F.col("IS_CURRENT") == 0).count() == 2
+    assert hist.filter(F.col("IS_CURRENT") == 1).count() == 4
+    cur_iphone = hist.filter(
+        (F.col("IS_CURRENT") == 1) & (F.col("LINK") == "/p/iphone15")
+    ).first()
+    assert cur_iphone["GIA_MOI"] == Decimal("30990000.00")
 
 
 def test_multimodal_features(spark):

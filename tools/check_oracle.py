@@ -13,6 +13,18 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 engine confs) — the closest simulation of the correctness driver's
 environment; query callables must self-apply whatever runtime confs
 they need.
+
+Two comparisons run per query:
+
+1. exact — ``collect()`` vs ``fetchall()``, repr of every cell.
+   Decimal stays Decimal on both sides, so this checks VALUES.
+2. pandas — ``toPandas()`` vs duckdb ``.df()``, str() of every cell.
+   This mimics the driver's hash path, where REPRESENTATION also
+   matters: Spark DECIMAL becomes object(Decimal('-1.00')) while
+   DuckDB DECIMAL becomes float64(-1.0) — equal values, different
+   hash (the round-1 clean_products/snapshot_literals mismatches).
+   Out-of-range timestamps (9999-12-31) crash here exactly like the
+   driver's harness. Queries must pass BOTH.
 """
 
 from __future__ import annotations
@@ -42,6 +54,25 @@ def canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
         return repr(v)
 
     out = [tuple(cell(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def canon_pandas(pdf) -> list[tuple]:
+    """Driver-style canonical form: lowercase + sort columns, str()
+    every cell (so Decimal('-1.00') != -1.0 — the representation skew
+    a value-hash sees), sort rows. Midnight timestamps are folded to
+    their date ('2020-01-01 00:00:00' -> '2020-01-01'): Spark DATE
+    comes back as datetime.date while DuckDB .df() widens DATE to
+    datetime64, and round-1 driver results (date_dim, rollup_cascade
+    green) show its hash treats those as equal."""
+    pdf = pdf.rename(columns={c: c.lower() for c in pdf.columns})
+    pdf = pdf[sorted(pdf.columns)]
+
+    def cell(v) -> str:
+        s = str(v)
+        return s[:-9] if s.endswith(" 00:00:00") else s
+
+    out = [tuple(cell(v) for v in row) for row in pdf.itertuples(index=False)]
     return sorted(out)
 
 
@@ -82,6 +113,11 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
+        try:
+            spdf = sdf.toPandas()
+            spdf_err = None
+        except Exception as e:  # noqa: BLE001  (driver-path crash == driver err)
+            spdf, spdf_err = None, str(e).splitlines()[-1][:150]
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  {name:28s} rows={len(srows):8d} spark={t_spark:6.1f}s "
@@ -94,6 +130,7 @@ def main() -> int:
             ddf = con.sql(oracles[name])
             dcols = ddf.columns
             drows = ddf.fetchall()
+            dpdf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"  {name:28s} ORACLE ERROR: {str(e).splitlines()[0][:150]}")
             failures.append((name, f"oracle error: {e}"))
@@ -112,6 +149,19 @@ def main() -> int:
                 n_bad = sum(1 for a, b in zip(cs, cd) if a != b)
                 ex = next(((a, b) for a, b in zip(cs, cd) if a != b), None)
                 status.append(f"VALUES {n_bad}/{len(cs)} differ; first: {ex}")
+        if not status:
+            # driver-path representation check (pandas on both sides)
+            if spdf_err is not None:
+                status.append(f"PANDAS-PATH spark toPandas err: {spdf_err}")
+            else:
+                ps = canon_pandas(spdf)
+                pd_ = canon_pandas(dpdf)
+                if ps != pd_:
+                    n_bad = sum(1 for a, b in zip(ps, pd_) if a != b)
+                    ex = next(((a, b) for a, b in zip(ps, pd_) if a != b), None)
+                    status.append(
+                        f"PANDAS-REPR {n_bad}/{len(ps)} differ; first: {ex}"
+                    )
         ok = "OK " if not status else "FAIL"
         print(f"  {name:28s} {ok} rows={len(srows):8d} spark={t_spark:6.1f}s "
               f"duck={t_duck:6.1f}s {'; '.join(status)[:300]}")
