@@ -55,9 +55,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     fns = queries()
 
-    # warm the JVM/codegen path once so the first measured query
-    # isn't charged Spark's startup cost
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the paths the measured queries actually exercise — parquet
+    # reader + filter/agg codegen + the noop sink (a bare spark.range
+    # warm-up leaves the first measured query paying reader/codegen
+    # init, inflating it ~2x)
+    warm = (
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+        .filter("r_regionkey >= 0")
+        .groupBy("r_name")
+        .count()
+    )
+    warm.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -28,12 +28,18 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
 
     ``edges`` is undirected input (each pair once is enough).
     Isolated nodes don't appear (callers union them back with
     label = own id if needed).
+
+    Raises if label propagation has not converged after ``max_iter``
+    rounds (a graph with diameter > max_iter would otherwise return
+    silently-wrong component labels); pass ``strict=False`` to accept
+    the partial labeling instead (a warning is printed).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -75,4 +81,14 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels.select("node", F.col("label").alias("component"))

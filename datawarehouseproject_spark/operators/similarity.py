@@ -114,35 +114,51 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_stride: int | None = None,
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index: assign every vector to its nearest
     centroid.
 
-    Centroids are picked deterministically from the corpus
-    (``id % stride == 0`` — a fixed sample standing in for k-means;
-    a production index would refine them with a few Lloyd
-    iterations, which is just this assignment join repeated + a
-    groupBy mean). Assignment is one broadcast join + argmin over
-    ``n_centroids`` dot products — a single corpus pass; the result
-    is the persistent index you partition by ``centroid_id``.
+    Seed centroids are picked deterministically from the corpus
+    (``id % stride == 0``); ``refine_iters`` Lloyd iterations
+    (:func:`kmeans_refine`) optionally move them to cluster means
+    before the final assignment. Assignment is one broadcast join +
+    argmin over ``n_centroids`` dot products — a single corpus pass;
+    the result is the persistent index you partition by
+    ``centroid_id``.
+
+    When ``centroid_stride`` is None the stride is derived from the
+    corpus size INSIDE the plan (a 1-row count aggregate cross-joined
+    in — the same scalar-subquery shape as the SQL oracle), so the
+    index build stays one declarative plan with no driver-side
+    action. Pass an explicit stride to skip the extra count scan.
 
     Returns (centroids, assigned) — ``assigned`` carries
     (id, vec, norm, centroid_id).
     """
-    stride = centroid_stride
-    if stride is None:
-        # deterministic without a count() pass when stride given;
-        # fallback derives it from the corpus size
-        n = corpus.count()
-        stride = max(n // n_centroids, 1)
+    if centroid_stride is not None:
+        seed_src = corpus
+        stride = F.lit(centroid_stride).cast("long")
+    else:
+        stride_df = corpus.agg(
+            F.greatest(
+                F.floor(F.count(F.lit(1)) / n_centroids), F.lit(1).cast("long")
+            ).alias("__stride")
+        )
+        seed_src = corpus.crossJoin(F.broadcast(stride_df))
+        stride = F.col("__stride")
     centroids = F.broadcast(
-        corpus.filter((F.col(id_col) % stride == 0))
+        seed_src.filter((F.col(id_col) % stride == 0))
         .select(
             (F.col(id_col) / stride).cast("int").alias("centroid_id"),
             F.col(vec_col).alias("__centroid"),
         )
         .filter(F.col("centroid_id") < n_centroids)
     )
+    if refine_iters > 0:
+        centroids = kmeans_refine(
+            corpus, centroids, iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
     scored = corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -225,6 +241,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroid_stride: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: score only the ``nprobe`` nearest
     centroid cells per query.
@@ -232,10 +249,14 @@ def ivf_topk(
     The scale path complementary to sign-LSH: the index is one
     assignment pass (reusable, partitioned by cell), each query
     probes nprobe/n_centroids of the corpus, recall grows with
-    nprobe. Deterministic end to end — SQL-oracle checkable.
+    nprobe (and with ``refine_iters`` k-means refinement of the
+    centroids). Deterministic end to end — SQL-oracle checkable at
+    refine_iters=0; refined centroids are cluster means, whose
+    floating-point sums are not oracle-stable, so the k-means path is
+    validated by a recall-vs-brute-force test instead.
     """
     centroids, assigned = ivf_index(
-        corpus, n_centroids, id_col, vec_col, centroid_stride
+        corpus, n_centroids, id_col, vec_col, centroid_stride, refine_iters
     )
     q = queries.select(
         F.col(query_id_col),

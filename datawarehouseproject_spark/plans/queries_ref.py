@@ -333,6 +333,98 @@ def q_events_date_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CSV_STR_COLS = (
+    "TEN", "LINK", "LINK_ANH", "GIA_CU", "GIA_MOI",
+    "KICH_THUOC_MAN_HINH", "RAM", "BO_NHO",
+)
+
+_CSV_STR_SELECT = ",\n           ".join(
+    f"coalesce({c}, '') AS {c}" for c in _CSV_STR_COLS
+)
+
+
+@register(
+    "csv_roundtrip",
+    oracle=f"""
+    WITH dirty AS (SELECT {DIRTY_SELECT} FROM part)
+    SELECT ID,
+           {_CSV_STR_SELECT},
+           NGAY, ID_CONFIG
+    FROM dirty
+    """,
+    tags=("S2", "S4", "csv", "landing"),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S4: the landing CSV sink -> source round-trip.
+
+    The dirty product fixture is written through the crawl-side CSV
+    sink (crawl.py:296-306: header, UTF-8, the reference's Vietnamese
+    currency strings) and read back through the explicit-schema
+    landing source (load_staging.py:144-156; never inferSchema).
+    CSV cannot distinguish NULL from '' — and neither does the
+    reference (IFNULL(NULLIF(col,'')), db_staging.sql:4893) — so
+    string columns are normalized ``coalesce(col, '')`` on BOTH
+    sides; everything else (unicode, commas inside quoted fields,
+    timestamps) must round-trip exactly.
+    """
+    import tempfile
+
+    _utc(spark)
+    from ..sources.landing import read_landing_csv, write_landing_csv
+
+    root = tempfile.mkdtemp(prefix="dw_landing_rt_")
+    path = f"{root}/products_raw_2024_01_05.csv"
+    write_landing_csv(_dirty_products(spark, sf_dir), path)
+    back = read_landing_csv(spark, path)
+    return back.select(
+        "ID",
+        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in _CSV_STR_COLS],
+        "NGAY",
+        "ID_CONFIG",
+    )
+
+
+@register(
+    "latest_partition",
+    oracle=f"""
+    WITH dirty AS (SELECT {DIRTY_SELECT} FROM part)
+    SELECT ID, coalesce(TEN, '') AS TEN, coalesce(GIA_MOI, '') AS GIA_MOI,
+           ID_CONFIG
+    FROM dirty WHERE ID % 3 = 2
+    """,
+    tags=("S3", "W3", "landing", "latest-file"),
+)
+def q_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/W3: three dated landing drops; the loader picks the newest
+    file by mtime (load_staging.py:25-32) and loads only it. File
+    mtimes are pinned with ``os.utime`` so the pick is deterministic,
+    not write-order dependent.
+    """
+    import os as _os
+    import tempfile
+
+    _utc(spark)
+    from ..sources.landing import (
+        latest_landing_path,
+        read_landing_csv,
+        write_landing_csv,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_landing_lp_")
+    dirty = _dirty_products(spark, sf_dir)
+    for i, day in enumerate(("04", "05", "06")):
+        p = f"{root}/products_raw_2024_01_{day}.csv"
+        write_landing_csv(dirty.filter(F.col("ID") % 3 == i), p)
+        _os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    back = read_landing_csv(spark, latest_landing_path(root))
+    return back.select(
+        "ID",
+        F.coalesce("TEN", F.lit("")).alias("TEN"),
+        F.coalesce("GIA_MOI", F.lit("")).alias("GIA_MOI"),
+        "ID_CONFIG",
+    )
+
+
 @register(
     "latest_event_per_user",
     oracle="""

@@ -25,3 +25,18 @@ def test_components_long_chain_converges(spark):
     got = connected_components(edges, max_iter=20).collect()
     assert all(r["component"] == 0 for r in got)
     assert len(got) == 16
+
+
+def test_components_nonconvergence_raises(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], ["id_a", "id_b"]
+    )
+    # diameter 15 chain can't finish in 2 rounds: strict mode raises
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    # lenient mode returns the partial labeling with a warning
+    with pytest.warns(UserWarning, match="did not converge"):
+        partial = connected_components(edges, max_iter=2, strict=False)
+    assert partial.count() == 16

@@ -52,3 +52,48 @@ def test_ivf_topk_recall_on_clusters(spark):
     # all neighbors come from the query's own cluster
     assert all(r["neighbor_id"] < 100 for r in rows)
     assert rows[0]["neighbor_id"] == 0 and rows[0]["cosine"] == 1.0
+
+
+def test_ivf_index_stride_derived_in_plan(spark):
+    """No centroid_stride -> the stride comes from a count aggregate
+    INSIDE the plan (scalar-subquery shape), not a driver action."""
+    emb = _clustered(spark)  # 40 vectors, ids 0..19 and 100..119
+    centroids, assigned = ivf_index(emb, n_centroids=4)
+    # stride = max(40 // 4, 1) = 10 -> seeds at ids 0,10,100(->10? no:
+    # 100/10=10 >= 4 filtered), so ids 0,10 (cells 0,1) survive
+    cells = {r["centroid_id"] for r in centroids.collect()}
+    assert cells == {0, 1}
+    assert assigned.count() == 40  # every vector assigned
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """Quantitative ANN story: recall@k of the IVF probe against the
+    exact brute-force top-k on the real embeddings table; k-means
+    refinement must not degrade it below threshold."""
+    from datawarehouseproject_spark.catalog import load_table
+    from datawarehouseproject_spark.operators.similarity import brute_force_topk
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 5
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=k).collect()
+    }
+
+    def recall(refine_iters: int) -> float:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, n_centroids=8, nprobe=4, k=k,
+                refine_iters=refine_iters,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r0 >= 0.5, f"seed-centroid IVF recall@{k} too low: {r0}"
+    assert r2 >= 0.5, f"k-means-refined IVF recall@{k} too low: {r2}"
