@@ -45,6 +45,10 @@ HEADLINE = [
     "embedding_ivf_topk",
     "tfidf_top_terms",
     "token_stats",
+    "benchmark_contamination",
+    "quality_rules",
+    "token_shard_packing",
+    "pii_redaction",
 ]
 
 

@@ -133,6 +133,47 @@ def language_id(col: Column | str) -> Column:
     return best_lang
 
 
+def word_ngrams(col: Column | str, n: int = 3, pre_tokenized: bool = False) -> Column:
+    """All word n-grams of the normalized text, space-joined
+    (array<string>); texts shorter than ``n`` words yield [].
+
+    Same JVM-side ``sequence`` + ``transform`` shape as
+    :func:`char_ngrams`; pass ``pre_tokenized=True`` with a
+    materialized token-array column on hot paths (the lambda body
+    re-evaluates per element).
+    """
+    toks = _c(col) if pre_tokenized else word_tokens(col)
+    positions = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(positions, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+#: PII patterns shared by the Spark battery and the SQL oracle —
+#: deliberately restricted to syntax Java regex and RE2 (DuckDB)
+#: interpret identically (no lookaround, no backrefs).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-z0-9.#_%+-]+@[a-z0-9.-]+\.[a-z][a-z]+", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\+[0-9][0-9] [0-9]{7,12}", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, URLs, and international phone numbers with
+    typed placeholder tokens — the standard scrubbing pass before
+    training-corpus release. Pattern order matters (emails first: the
+    URL pattern would otherwise swallow address tails); all patterns
+    are engine-portable (tested against RE2 semantics).
+    """
+    out = _c(col)
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def fingerprint64(col: Column | str) -> Column:
     """64-bit-ish content fingerprint of the normalized text (BIGINT).
 

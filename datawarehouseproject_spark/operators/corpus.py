@@ -1,0 +1,168 @@
+"""Corpus-level training-data operators.
+
+Beyond-reference components a 100 TB pretraining pipeline needs on
+top of dedup/similarity (SURVEY.md §6 scope): benchmark-contamination
+detection, Gopher/C4-style quality rule filtering, token-budget shard
+packing, and PII redaction (the redaction expression itself lives in
+``..functions.text.redact_pii``).
+
+All set-based: contamination is an n-gram equi-join against a
+broadcast benchmark set, quality rules are one explode + two
+aggregations, packing rides the two-stage scalable cumsum
+(:func:`..operators.ids.running_total`) instead of a single-task
+global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, word_ngrams, word_tokens
+from .ids import running_total
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark-overlap fraction (decontamination scan).
+
+    For each corpus document: the fraction of its DISTINCT word
+    n-grams that appear anywhere in the benchmark set — the standard
+    pre-training decontamination signal (docs overlapping an eval
+    benchmark get dropped or flagged).
+
+    Scale shape: the benchmark n-gram set is distinct-ed and
+    broadcast (eval benchmarks are small by definition); the corpus
+    side explodes to (doc_id, ngram) ONCE, the join is a broadcast
+    hash join, and the per-doc fraction is one map-side-combinable
+    aggregation. Returns (id, n_ngrams, n_contaminated, fraction).
+    """
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__gram")
+        ).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "__gram"
+        ),
+    )
+    hits = doc_grams.join(
+        bench_grams.withColumn("__hit", F.lit(1)), "__gram", "left"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_ngrams")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def quality_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_word_len: tuple[float, float] = (3.0, 10.0),
+    max_top_word_frac: float = 0.10,
+    max_dup_word_frac: float = 0.60,
+) -> DataFrame:
+    """Gopher/C4-style quality rule battery, one verdict row per doc.
+
+    Rules (each its own boolean column, plus the composite ``keep``):
+
+    - ``rule_len``: word count within [min_words, max_words];
+    - ``rule_mean_word_len``: mean word length within bounds
+      (derived exactly from char/word counts — single-spaced
+      normalized text has ``chars = total_word_len + words - 1``);
+    - ``rule_top_word``: most frequent word's share <= threshold
+      (repetition signal);
+    - ``rule_dup_words``: 1 - distinct/total words <= threshold.
+
+    One explode + (doc, word) count + per-doc aggregation; every
+    aggregate is map-side combinable, all ratios are exact integer
+    divisions (identical across engines).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__w")
+    )
+    word_counts = toks.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = word_counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_words"),
+        F.countDistinct("__w").alias("n_distinct"),
+        F.max("__c").alias("__top"),
+        F.sum(F.length("__w") * F.col("__c")).alias("__chars"),
+    )
+    n_words = F.col("n_words")
+    mean_len = F.col("__chars") / n_words
+    top_frac = F.col("__top") / n_words
+    dup_frac = F.lit(1.0) - F.col("n_distinct") / n_words
+    rule_len = (n_words >= min_words) & (n_words <= max_words)
+    rule_mean = (mean_len >= mean_word_len[0]) & (mean_len <= mean_word_len[1])
+    rule_top = top_frac <= max_top_word_frac
+    rule_dup = dup_frac <= max_dup_word_frac
+    return per_doc.select(
+        id_col,
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_word_frac"),
+        rule_len.alias("rule_len"),
+        rule_mean.alias("rule_mean_word_len"),
+        rule_top.alias("rule_top_word"),
+        rule_dup.alias("rule_dup_words"),
+        (rule_len & rule_mean & rule_top & rule_dup).alias("keep"),
+    )
+
+
+def pack_by_token_budget(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget shards.
+
+    Shard = floor(start_offset / budget) where start_offset is the
+    running token total of all PRECEDING docs in ``id_col`` order —
+    deterministic, order-stable bin packing (documents stay in
+    sequence; a shard may overflow by at most one document, the
+    standard streaming-packing contract).
+
+    Scale shape: the running total uses the two-stage
+    range-partitioned cumsum, NOT a global window (a bare
+    ``sum() OVER (ORDER BY id)`` would pull the whole corpus through
+    one task). Returns (id, n_tokens, token_start, shard).
+    """
+    with_tokens = docs.select(
+        F.col(id_col),
+        (F.col(token_col) if token_col else token_count(F.col(text_col)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    cum = running_total(with_tokens, id_col, "n_tokens", out_col="__cum")
+    return cum.select(
+        id_col,
+        "n_tokens",
+        (F.col("__cum") - F.col("n_tokens")).alias("token_start"),
+        F.floor((F.col("__cum") - F.col("n_tokens")) / budget)
+        .cast("int")
+        .alias("shard"),
+    )

@@ -52,3 +52,48 @@ def dense_ids(
         .withColumn(id_col, (F.col("__offset") + F.col("__lrank") + offset).cast("long"))
         .drop("__pid", "__lrank", "__offset")
     )
+
+
+def running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "__cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach ``out_col`` = inclusive running sum of ``value_col`` in
+    ``order_col`` order — the weighted generalization of
+    :func:`dense_ids`.
+
+    A bare ``sum() OVER (ORDER BY ...)`` funnels the whole table
+    through one task; here stage 1 range-partitions and cumsums
+    locally, stage 2 prefix-sums the per-partition TOTALS (one tiny
+    row per partition) and broadcasts the offsets back. The result
+    depends only on the global order (``order_col`` must be unique),
+    not on where range boundaries land.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__lcum", F.sum(value_col).over(w_local))
+
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__n"))
+    w_prefix = (
+        Window.orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_prefix), F.lit(0)).alias("__offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__offset") + F.col("__lcum")).cast("long"))
+        .drop("__pid", "__lcum", "__offset")
+    )

@@ -1,0 +1,195 @@
+"""Corpus-pipeline queries: contamination, quality rules, packing, PII.
+
+Beyond-reference training-data operators (SURVEY.md §6 scope) with
+DuckDB oracle twins. The normalized-token CTEs mirror
+``..functions.text.normalize_text``/``word_tokens`` exactly
+(lower -> collapse whitespace -> trim -> split on single space), so
+every count/ratio is integer-derived and engine-exact; the only
+floats are exact integer divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as _t
+from ..functions.text import PII_PATTERNS, redact_pii
+from ..operators.corpus import (
+    benchmark_contamination,
+    pack_by_token_budget,
+    quality_rules,
+)
+from .registry import register
+
+
+def _utc(spark: SparkSession) -> None:
+    from ..session import tune_session
+
+    tune_session(spark)
+
+
+#: Shared DuckDB CTEs: normalized text and word tokens over documents.
+_NORM_CTE = """
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+"""
+
+#: Word 3-grams per doc (space-joined; [] for short docs).
+_GRAMS_CTE = """
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> array_to_string(w[i:i+2], ' '))) AS gram
+  FROM toks)
+"""
+
+_BENCH_MOD = 20  # benchmark set = every 20th document
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH {_NORM_CTE}, {_GRAMS_CTE},
+    doc_grams AS (SELECT DISTINCT doc_id, gram FROM grams),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_BENCH_MOD} = 0)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS contamination
+    FROM doc_grams d LEFT JOIN bench b USING (gram)
+    GROUP BY d.doc_id
+    """,
+    tags=("corpus", "decontamination", "ngram-join"),
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: fraction of each document's distinct word
+    3-grams that appear in the benchmark subset (every 20th doc). The
+    benchmark n-gram set is broadcast; the corpus explodes once and
+    aggregates map-side."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    return benchmark_contamination(docs, bench, n=3)
+
+
+@register(
+    "quality_rules",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_c,
+             CAST(sum(length(word) * c) AS BIGINT) AS chars
+      FROM wc GROUP BY doc_id)
+    SELECT doc_id, n_words,
+           CAST(chars AS DOUBLE) / n_words AS mean_word_len,
+           CAST(top_c AS DOUBLE) / n_words AS top_word_frac,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+           (n_words >= 20 AND n_words <= 100000) AS rule_len,
+           (CAST(chars AS DOUBLE) / n_words >= 3.0
+            AND CAST(chars AS DOUBLE) / n_words <= 10.0)
+             AS rule_mean_word_len,
+           (CAST(top_c AS DOUBLE) / n_words <= 0.12) AS rule_top_word,
+           (1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.6) AS rule_dup_words,
+           ((n_words >= 20 AND n_words <= 100000)
+            AND (CAST(chars AS DOUBLE) / n_words >= 3.0
+                 AND CAST(chars AS DOUBLE) / n_words <= 10.0)
+            AND (CAST(top_c AS DOUBLE) / n_words <= 0.12)
+            AND (1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.6)) AS keep
+    FROM per
+    """,
+    tags=("corpus", "quality", "gopher-rules"),
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality battery: length, mean word length,
+    top-word share, duplicate-word fraction — one boolean per rule
+    plus the composite keep verdict, all exact integer-ratio math."""
+    _utc(spark)
+    return quality_rules(
+        _t(spark, sf_dir, "documents"),
+        min_words=20,
+        max_words=100_000,
+        mean_word_len=(3.0, 10.0),
+        max_top_word_frac=0.12,
+        max_dup_word_frac=0.60,
+    )
+
+
+_PACK_BUDGET = 500
+
+
+@register(
+    "token_shard_packing",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    counted AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS token_start
+      FROM counted)
+    SELECT doc_id, n_tokens, token_start,
+           CAST(token_start // {_PACK_BUDGET} AS INTEGER) AS shard
+    FROM cum
+    """,
+    tags=("corpus", "packing", "scalable-cumsum"),
+)
+def q_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: docs assigned to fixed-budget
+    shards by running token total in doc_id order. The oracle uses a
+    plain global window; the engine uses the two-stage
+    range-partitioned cumsum (identical values, no single-task
+    bottleneck)."""
+    _utc(spark)
+    return pack_by_token_budget(
+        _t(spark, sf_dir, "documents"), budget=_PACK_BUDGET
+    )
+
+
+#: PII fixture: synthesized contact lines over customer (shared
+#: verbatim with the oracle); every 4th row is PII-free prose.
+_PII_TEXT_SQL = (
+    "CASE WHEN c_custkey % 4 = 0 THEN "
+    "concat('segment note ', lower(c_mktsegment), ' for account ', "
+    "CAST(c_acctbal AS VARCHAR(20)), ' no contact on file') "
+    "ELSE concat('contact ', lower(c_name), ' at ', "
+    "lower(replace(c_name, '#', '.')), '@example.com or +84 ', "
+    "CAST(c_custkey % 900000000 + 100000000 AS VARCHAR(12)), "
+    "' see https://shop.example/p/', CAST(c_custkey AS VARCHAR(12)), "
+    "' .') END"
+)
+
+
+def _pii_oracle() -> str:
+    out = "text"
+    for pat, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH src AS (SELECT c_custkey AS id, {_PII_TEXT_SQL} AS text FROM customer)
+    SELECT id, {out} AS redacted FROM src
+    """
+
+
+@register("pii_redaction", oracle=_pii_oracle(), tags=("corpus", "pii", "regex"))
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails, URLs, and international phone numbers
+    replaced with typed placeholders. Patterns restricted to
+    Java-regex/RE2-identical syntax; every 4th row carries no PII and
+    must pass through byte-identical."""
+    _utc(spark)
+    src = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS id", f"{_PII_TEXT_SQL} AS text"
+    )
+    return src.select("id", redact_pii("text").alias("redacted"))

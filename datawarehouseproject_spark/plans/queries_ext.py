@@ -605,11 +605,50 @@ def q_json_log_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal", "mapInPandas"))
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+    pos AS (
+      SELECT media_id, text, n, unnest(generate_series(1, n)) AS i FROM docs),
+    byts AS (
+      SELECT media_id, n, i, ascii(substr(text, CAST(i AS INTEGER), 1)) AS b
+      FROM pos),
+    counts AS (
+      SELECT media_id, n, b, count(*) AS c FROM byts GROUP BY media_id, n, b),
+    ent AS (
+      SELECT media_id,
+             round(-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)),
+                   6) AS byte_entropy
+      FROM counts GROUP BY media_id),
+    chk AS (
+      SELECT media_id,
+             CAST(sum(i * b) AS BIGINT) % 2147483648 AS thumb_checksum
+      FROM byts WHERE i <= 64 GROUP BY media_id)
+    SELECT d.media_id, CAST(d.n AS BIGINT) AS n_bytes,
+           e.byte_entropy, c.thumb_checksum
+    FROM docs d JOIN ent e USING (media_id) JOIN chk c USING (media_id)
+    """,
+    tags=("multimodal", "mapInPandas"),
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched
-    mapInPandas (decode stubbed — see operators/multimodal.py). Not
-    SQL-expressible; the driver records a rows-only check."""
+    mapInPandas (decode stubbed — see operators/multimodal.py).
+
+    The stub's statistics ARE SQL-expressible over this corpus (the
+    documents are pure ASCII, so utf-8 bytes == codepoints), which
+    buys the mapInPandas path a value-level oracle: n_bytes and the
+    positional checksum are integer-exact; byte entropy is rounded to
+    6dp on both sides (the float sum order differs between Python's
+    counter loop and SQL aggregation).
+    """
     _utc(spark)
     media = documents_as_media(_t(spark, sf_dir, "documents"))
-    return extract_media_features(media)
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        "thumb_checksum",
+    )

@@ -56,6 +56,7 @@ def _load_all() -> None:
     from . import queries_ref  # noqa: F401
     from . import queries_data  # noqa: F401
     from . import queries_ext  # noqa: F401
+    from . import queries_corpus  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,95 @@
+"""Corpus-pipeline operators: contamination, quality rules, packing, PII."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datawarehouseproject_spark.functions.text import redact_pii, word_ngrams
+from datawarehouseproject_spark.operators.corpus import (
+    benchmark_contamination,
+    pack_by_token_budget,
+    quality_rules,
+)
+from datawarehouseproject_spark.operators.ids import running_total
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",), ("",)], ["text"])
+    got = [r[0] for r in df.select(word_ngrams("text", 3)).collect()]
+    assert got == [["a b c", "b c d"], [], []]
+
+
+def test_benchmark_contamination_fractions(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # == benchmark doc
+            (2, "alpha beta gamma zeta eta"),     # 1 of 3 grams hit
+            (3, "one two three four five"),       # no overlap
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(9, "alpha beta gamma delta")],
+                                  ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           benchmark_contamination(docs, bench, n=3).collect()}
+    assert got[1]["contamination"] == 1.0
+    assert got[2]["n_ngrams"] == 3 and got[2]["n_contaminated"] == 1
+    assert got[3]["contamination"] == 0.0
+
+
+def test_quality_rules_verdicts(spark):
+    spammy = "spam " * 30 + "other words here"     # top-word dominated
+    good = " ".join(f"word{i} tok{i} mid{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, good), (2, spammy), (3, "too short")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in quality_rules(
+        docs, min_words=20, max_top_word_frac=0.12).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["rule_top_word"] is False and got[2]["keep"] is False
+    assert got[3]["rule_len"] is False
+
+
+def test_running_total_matches_global_window(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11 + 1) for i in range(200)], ["id", "v"]
+    )
+    got = {r["id"]: r["cum"] for r in
+           running_total(df, "id", "v", out_col="cum",
+                         num_partitions=8).collect()}
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["id"]: r["cum"] for r in
+            df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_pack_by_token_budget_boundaries(spark):
+    # 6 docs x 40 tokens, budget 100: starts 0,40,80,120,... ->
+    # shards 0,0,0,1,1,2
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 40)) for i in range(6)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in
+           pack_by_token_budget(docs, budget=100).collect()}
+    assert [got[i]["shard"] for i in range(6)] == [0, 0, 0, 1, 1, 2]
+    assert got[3]["token_start"] == 120 and got[3]["n_tokens"] == 40
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith@corp.example.com now",),
+            ("go to https://a.example/x?q=1 please",),
+            ("call +84 123456789 today",),
+            ("nothing sensitive here",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(redact_pii("text")).collect()]
+    assert got == [
+        "mail <EMAIL> now",
+        "go to <URL> please",
+        "call <PHONE> today",
+        "nothing sensitive here",
+    ]
