@@ -42,16 +42,25 @@ def benchmark_contamination(
     hash join, and the per-doc fraction is one map-side-combinable
     aggregation. Returns (id, n_ngrams, n_contaminated, fraction).
     """
+    # materialize the token array BEFORE the n-gram transform: the
+    # lambda body re-evaluates per element, so an inline
+    # normalize+split would re-tokenize the document once per n-gram
     bench_grams = F.broadcast(
-        benchmark.select(
-            F.explode(word_ngrams(F.col(text_col), n)).alias("__gram")
-        ).distinct()
+        benchmark.select(word_tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.explode(word_ngrams(F.col("__toks"), n, pre_tokenized=True)).alias(
+                "__gram"
+            )
+        )
+        .distinct()
     )
     doc_grams = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
-            "__gram"
-        ),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("__toks"), n, pre_tokenized=True))
+        ).alias("__gram"),
     )
     hits = doc_grams.join(
         bench_grams.withColumn("__hit", F.lit(1)), "__gram", "left"
