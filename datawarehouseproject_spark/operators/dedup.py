@@ -121,6 +121,35 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def stacked_band_keys(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """Long-form LSH band keys (id, band_idx, band_key) from a
+    signature frame.
+
+    This is the persistable LSH *index* layout: one 64-bit key per
+    (doc, band), so probe joins shuffle 3 longs per row and the index
+    parquet is tiny relative to the corpus. Shared by the batch pair
+    generator (:func:`minhash_lsh_pairs`) and the incremental probe
+    (:mod:`.incremental`), so index and probe always agree on the key
+    construction.
+    """
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"h{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            md5_long(F.concat_ws("|", *parts), salt=f"band{b}:").alias(f"band{b}")
+        )
+    return sig.select(
+        id_col,
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -145,28 +174,14 @@ def minhash_lsh_pairs(
     first; this cap is the standard production guard). None = no cap
     (exact LSH semantics, what the SQL oracle replicates).
     """
-    rows_per_band = num_perm // bands
     sig = minhash_signatures(
         df, id_col, text_col, num_perm, shingle_len, shingles=shingles
     ).cache()
 
-    band_cols = []
-    for b in range(bands):
-        parts = [
-            F.col(f"h{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        band_cols.append(
-            md5_long(F.concat_ws("|", *parts), salt=f"band{b}:").alias(f"band{b}")
-        )
-
     # long-form (id, band_index, band_key); the self-join shuffles
     # only 3 longs per row, signatures are re-joined onto the (small)
     # distinct pair set afterwards.
-    stacked = sig.select(
-        id_col,
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
-    )
+    stacked = stacked_band_keys(sig, id_col, num_perm, bands)
     if max_bucket_size is not None:
         small = (
             stacked.groupBy("band_idx", "band_key")

@@ -1,0 +1,286 @@
+"""Incremental corpus dedup against a persisted LSH index.
+
+The LLM-pipeline analogue of the reference's daily SCD batch
+(``/root/reference/sql_script/db_staging.sql:4929-4991`` processes
+only the day's staging rows against current history): a NEW day's
+documents are deduplicated against the historical corpus WITHOUT
+re-reading or re-shingling historical text. The history is
+represented by a compact three-part index:
+
+- ``hashes``    — (doc_id, h): md5 of the raw text (exact dedup);
+- ``shingles``  — (doc_id, base): 60-bit hashes of the distinct
+  character shingles (exact-Jaccard verification);
+- ``bands``     — (doc_id, band_idx, band_key): banded MinHash LSH
+  keys (candidate generation).
+
+All three are derived columns an index build writes once per batch;
+a daily increment appends the new survivors' rows and never rewrites
+a historical file (append-only, mirroring ``Pipeline.scd2``'s closed
+partition). At 100 TB the index is a few percent of corpus bytes and
+every probe join shuffles 8-byte keys, never text.
+
+Semantics: a new document is dropped when it is an exact duplicate of
+history or of a lower-id new document, or when its verified shingle
+Jaccard with ANY historical survivor (history always wins, regardless
+of id order) or with a lower-id surviving new document reaches the
+threshold. Equivalent to re-running :func:`.dedup.corpus_dedup` over
+history ∪ new restricted to the new batch, minus transitive chains
+that pass through already-dropped docs — the standard incremental
+trade-off.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _shingle_hashes, minhash_signatures, stacked_band_keys
+
+
+@dataclass
+class IndexFrames:
+    """The in-memory view of a dedup index (three DataFrames)."""
+
+    hashes: DataFrame  # (doc_id, h)
+    shingles: DataFrame  # (doc_id, base)
+    bands: DataFrame  # (doc_id, band_idx, band_key)
+
+
+def index_components(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_len: int = 5,
+    bands: int = 4,
+) -> IndexFrames:
+    """Derive the three index frames for a document batch.
+
+    One normalize+shingle pass feeds both the shingle set and the
+    MinHash signatures (same sharing as ``corpus_dedup``)."""
+    hashes = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    shingles = _shingle_hashes(docs, id_col, text_col, shingle_len)
+    sig = minhash_signatures(
+        docs, id_col, text_col, num_perm, shingle_len, shingles=shingles
+    )
+    return IndexFrames(
+        hashes=hashes,
+        shingles=shingles,
+        bands=stacked_band_keys(sig, id_col, num_perm, bands),
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: IndexFrames,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    num_perm: int = 16,
+    shingle_len: int = 5,
+    bands: int = 4,
+) -> tuple[DataFrame, IndexFrames]:
+    """Dedup ``new_docs`` against the index and within itself.
+
+    Returns ``(survivors, new_components)`` where ``survivors`` is
+    the surviving subset of ``new_docs`` (all columns) and
+    ``new_components`` holds the survivors' index rows, ready to
+    append to the persisted index. Historical text is never read —
+    every history-side input is an index frame.
+    """
+    # ---- stage 1: exact dedup (within new, then vs history hashes)
+    hashed = new_docs.withColumn("__h", F.md5(F.col(text_col)))
+    keep_keys = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    new_keep = (
+        hashed.join(keep_keys, ["__h", id_col], "left_semi")
+        .join(
+            index.hashes.select(F.col("h").alias("__h")), "__h", "left_anti"
+        )
+        .drop("__h")
+        .cache()
+    )
+
+    # ---- stage 2: shingle + band the exact survivors only
+    new_sh = _shingle_hashes(new_keep, id_col, text_col, shingle_len).cache()
+    new_sig = minhash_signatures(
+        new_keep, id_col, text_col, num_perm, shingle_len, shingles=new_sh
+    )
+    new_bands = stacked_band_keys(new_sig, id_col, num_perm, bands)
+
+    # ---- stage 3: candidates via band-bucket probe (equi-joins on
+    # (band_idx, band_key) — 3 longs per row, never text)
+    nb = new_bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    cross = (
+        index.bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+        .join(nb, ["band_idx", "band_key"])
+        .select("id_a", "id_b")
+    )
+    nb_a = new_bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    within = (
+        nb_a.join(nb, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = cross.unionByName(within).distinct()
+
+    # ---- stage 4: exact-Jaccard verify (shingle-hash equi-join
+    # restricted to candidates; history sizes come from the index,
+    # and the index scan is semi-joined down to candidate ids FIRST —
+    # a day's candidates touch a tiny slice of a 100 TB-corpus index,
+    # so the per-doc size agg must not walk the whole index)
+    all_sh = index.shingles.unionByName(new_sh)
+    a_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
+    a_side = all_sh.join(a_ids, id_col, "left_semi")
+    sizes_a = a_side.groupBy(id_col).agg(F.count("*").alias("n_a"))
+    sizes_b = new_sh.groupBy(id_col).agg(F.count("*").alias("n_b"))
+    a_sh = a_side.select(F.col(id_col).alias("id_a"), F.col("base").alias("ha"))
+    b_sh = new_sh.select(F.col(id_col).alias("id_b"), F.col("base").alias("hb"))
+    inter = (
+        cand.join(a_sh, "id_a")
+        .join(
+            b_sh.withColumnRenamed("id_b", "rb"),
+            (F.col("id_b") == F.col("rb")) & (F.col("ha") == F.col("hb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    # round-6 before the threshold compare — bit-identical to the SQL
+    # oracle and to ngram_jaccard_pairs' verified output
+    drop = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes_a.withColumnRenamed(id_col, "id_a"), "id_a")
+        .join(sizes_b.withColumnRenamed(id_col, "id_b"), "id_b")
+        .filter(
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            )
+            >= jaccard_threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    survivors = new_keep.join(drop, id_col, "left_anti")
+
+    surv_sh = new_sh.join(survivors.select(id_col), id_col, "left_semi")
+    surv_sig = minhash_signatures(
+        survivors, id_col, text_col, num_perm, shingle_len, shingles=surv_sh
+    )
+    new_components = IndexFrames(
+        hashes=survivors.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("h")
+        ),
+        shingles=surv_sh,
+        bands=stacked_band_keys(surv_sig, id_col, num_perm, bands),
+    )
+    return survivors, new_components
+
+
+# ---------------- persisted index ----------------
+
+_PARTS = ("hashes", "shingles", "bands")
+
+
+class DedupIndex:
+    """Persisted dedup index rooted at a directory.
+
+    Layout: ``{root}/hashes``, ``{root}/shingles``, ``{root}/bands``
+    parquet tables. Appends are append-only (new files only; existing
+    files byte-untouched — asserted by ``tests/test_incremental.py``),
+    so daily increments never rewrite history, mirroring the SCD2
+    closed-partition layout in :class:`..plans.pipeline.Pipeline`.
+    Single-writer, like every sink in this package.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, part: str) -> str:
+        return os.path.join(self.root, part)
+
+    def exists(self) -> bool:
+        return all(os.path.exists(self._path(p)) for p in _PARTS)
+
+    def build(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_perm: int = 16,
+        shingle_len: int = 5,
+        bands: int = 4,
+    ) -> None:
+        """Bootstrap the index from an initial (already-deduped) corpus."""
+        comp = index_components(
+            docs, id_col, text_col, num_perm, shingle_len, bands
+        )
+        for part, df in (
+            ("hashes", comp.hashes),
+            ("shingles", comp.shingles),
+            ("bands", comp.bands),
+        ):
+            df.write.mode("overwrite").parquet(self._path(part))
+
+    def frames(self) -> IndexFrames:
+        return IndexFrames(
+            hashes=self.spark.read.parquet(self._path("hashes")),
+            shingles=self.spark.read.parquet(self._path("shingles")),
+            bands=self.spark.read.parquet(self._path("bands")),
+        )
+
+    def add_batch(
+        self,
+        new_docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        jaccard_threshold: float = 0.8,
+        num_perm: int = 16,
+        shingle_len: int = 5,
+        bands: int = 4,
+    ) -> DataFrame:
+        """Dedup a new batch against the index, append the survivors'
+        index rows, return the survivors.
+
+        The survivors are ``localCheckpoint``-ed BEFORE the first
+        append: their lazy lineage reads the index parquet paths, and
+        appending to those paths mid-evaluation would have later
+        writes (and the returned DataFrame) see the batch's own rows
+        as history — self-dup everything. The checkpoint severs the
+        lineage at the pre-append state; the append rows are then
+        re-derived from the settled survivors (a day's batch — cheap).
+        """
+        survivors, _ = incremental_dedup(
+            new_docs,
+            self.frames(),
+            id_col=id_col,
+            text_col=text_col,
+            jaccard_threshold=jaccard_threshold,
+            num_perm=num_perm,
+            shingle_len=shingle_len,
+            bands=bands,
+        )
+        survivors = survivors.localCheckpoint(eager=True)
+        comp = index_components(
+            survivors,
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            shingle_len=shingle_len,
+            bands=bands,
+        )
+        for part, df in (
+            ("hashes", comp.hashes),
+            ("shingles", comp.shingles),
+            ("bands", comp.bands),
+        ):
+            df.write.mode("append").parquet(self._path(part))
+            self.spark.catalog.refreshByPath(self._path(part))
+        return survivors

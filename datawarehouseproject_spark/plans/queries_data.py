@@ -226,6 +226,125 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_oracle() -> str:
+    """Incremental dedup twin: history = even doc_ids, new = odd.
+
+    Mirrors :func:`..operators.incremental.incremental_dedup` exactly:
+    exact dedup of the new batch (within-batch min-id, then vs history
+    md5s), banded-LSH candidates (history×new plus new×new lower-id),
+    round-6 shingle-Jaccard verify, drop at threshold.
+    """
+    from ..functions.hashing import MERSENNE31, universal_coeffs
+
+    coeffs = universal_coeffs(_NUM_PERM)
+    minh_aggs = ", ".join(
+        f"min(({a} * (base % 1073741824) + {b} * (base >> 30) + {c}) "
+        f"% {MERSENNE31}) AS h{i}"
+        for i, (a, b, c) in enumerate(coeffs)
+    )
+    band_exprs = []
+    for b in range(_BANDS):
+        parts = ", ".join(
+            f"CAST(h{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(_ROWS_PER_BAND)
+        )
+        band_exprs.append(
+            _sql_md5_long(f"'band{b}:' || concat_ws('|', {parts})") + f" AS band{b}"
+        )
+    band_select = ", ".join(band_exprs)
+    cross_unions = "\n      UNION\n".join(
+        f"      SELECT h.doc_id AS id_a, n.doc_id AS id_b "
+        f"FROM hband h JOIN nband n ON h.band{b} = n.band{b}"
+        for b in range(_BANDS)
+    )
+    within_unions = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM nband a JOIN nband b ON a.band{b} = b.band{b} "
+        f"WHERE a.doc_id < b.doc_id"
+        for b in range(_BANDS)
+    )
+    shingle_unnest = (
+        f"unnest(list_transform(generate_series(1, length(t) - {_SHINGLE - 1}),"
+        f" i -> substring(t, i, {_SHINGLE}))) AS sh"
+    )
+    return f"""
+    WITH hdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    nraw AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    nkeep AS (
+      SELECT d.* FROM nraw d
+      JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+            FROM nraw GROUP BY 1) k
+        ON md5(d.text) = k.h AND d.doc_id = k.doc_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hdocs x WHERE md5(x.text) = md5(d.text))),
+    hn AS (SELECT doc_id, {_SQL_NORM} AS t FROM hdocs),
+    nn AS (SELECT doc_id, {_SQL_NORM} AS t FROM nkeep),
+    hsh0 AS (SELECT doc_id, {shingle_unnest} FROM hn),
+    hsh AS (SELECT DISTINCT doc_id, {_sql_md5_long('sh')} AS base FROM hsh0),
+    nsh0 AS (SELECT doc_id, {shingle_unnest} FROM nn),
+    nsh AS (SELECT DISTINCT doc_id, {_sql_md5_long('sh')} AS base FROM nsh0),
+    hsig AS (SELECT doc_id, {minh_aggs} FROM hsh GROUP BY doc_id),
+    nsig AS (SELECT doc_id, {minh_aggs} FROM nsh GROUP BY doc_id),
+    hband AS (SELECT *, {band_select} FROM hsig),
+    nband AS (SELECT *, {band_select} FROM nsig),
+    cand AS (
+{cross_unions}
+      UNION
+{within_unions}
+    ),
+    allsh AS (SELECT * FROM hsh UNION ALL SELECT * FROM nsh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM allsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN allsh a ON a.doc_id = c.id_a
+      JOIN nsh b ON b.doc_id = c.id_b AND a.base = b.base
+      GROUP BY c.id_a, c.id_b),
+    dropped AS (
+      SELECT DISTINCT c.id_b FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes na ON na.doc_id = c.id_a
+      JOIN sizes nb ON nb.doc_id = c.id_b
+      WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                  / (na.n + nb.n - coalesce(i.n_inter, 0)), 6)
+            >= {_DEDUP_THRESHOLD})
+    SELECT k.* FROM nkeep k
+    WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.id_b = k.doc_id)
+    """
+
+
+@register(
+    "incremental_dedup",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "incremental", "lsh-index"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: a new day's batch (odd doc_ids)
+    deduplicated against the persisted LSH index of history (even
+    doc_ids) — exact-hash probe, banded-LSH candidates, shingle-
+    Jaccard verify — without re-shingling historical text. The
+    persisted-index append path (untouched historical files) is
+    covered by tests/test_incremental.py."""
+    _utc(spark)
+    from ..operators.incremental import incremental_dedup, index_components
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = index_components(
+        hist, num_perm=_NUM_PERM, shingle_len=_SHINGLE, bands=_BANDS
+    )
+    survivors, _ = incremental_dedup(
+        new,
+        idx,
+        jaccard_threshold=_DEDUP_THRESHOLD,
+        num_perm=_NUM_PERM,
+        shingle_len=_SHINGLE,
+        bands=_BANDS,
+    )
+    return survivors
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
