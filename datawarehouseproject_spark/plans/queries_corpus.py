@@ -132,7 +132,11 @@ _PACK_BUDGET = 500
     "token_shard_packing",
     oracle=f"""
     WITH {_NORM_CTE},
-    counted AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+    counted AS (
+      SELECT doc_id,
+             CAST(CASE WHEN t = '' THEN 0
+                       ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tokens
+      FROM norm),
     cum AS (
       SELECT doc_id, n_tokens,
              CAST(coalesce(sum(n_tokens) OVER (
