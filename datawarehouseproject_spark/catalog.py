@@ -83,22 +83,86 @@ class Catalog:
                 self.spark.read.parquet(p).createOrReplaceTempView(name)
 
 
+#: Expected column -> dtype per test-data table (TESTDATA.md / FIXTURES.md).
+#: ``events.ts`` is polymorphic across generator versions: TIMESTAMP(NANOS)
+#: (arrives as ``bigint`` under nanosAsLong) or TIMESTAMP(MICROS) (arrives
+#: as ``timestamp``/``timestamp_ntz``); ``load_table`` normalizes either to
+#: a microsecond timestamp so downstream plans see one shape.
+EXPECTED_SCHEMAS: dict[str, dict[str, tuple[str, ...]]] = {
+    "events": {
+        "event_id": ("bigint",),
+        "ts": ("bigint", "timestamp", "timestamp_ntz"),
+        "user_id": ("bigint",),
+        "event_type": ("string",),
+        "value": ("double",),
+        "props": ("string",),
+    },
+    "documents": {
+        "doc_id": ("bigint",),
+        "text": ("string",),
+        "lang": ("string",),
+        "source": ("string",),
+        "n_chars": ("bigint",),
+    },
+    "embeddings": {
+        "vec_id": ("bigint",),
+        "embedding": ("array<float>", "array<double>"),
+        "label": ("int", "bigint"),
+    },
+}
+
+
+def _check_schema(name: str, dtypes: dict[str, str]) -> None:
+    """Fail fast, with a column-level message, on test-data drift.
+
+    A silent generator change (round 3: ``events.ts`` flipped from
+    TIMESTAMP(NANOS) to TIMESTAMP(MICROS)) should produce ONE clear
+    error naming the drifted column — not an opaque failure in every
+    downstream query.
+    """
+    expected = EXPECTED_SCHEMAS.get(name)
+    if not expected:
+        return
+    for col, allowed in expected.items():
+        got = dtypes.get(col)
+        if got is None:
+            raise ValueError(
+                f"testdata drift: table {name!r} is missing expected column "
+                f"{col!r} (has: {sorted(dtypes)})"
+            )
+        if got not in allowed:
+            raise ValueError(
+                f"testdata drift: {name}.{col} has dtype {got!r}, expected "
+                f"one of {allowed}; the generator's schema changed — update "
+                f"catalog.EXPECTED_SCHEMAS / load_table normalization"
+            )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test-data table, normalizing timestamp precision.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's
-    vectorized Parquet reader rejects; we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
+    Older generator versions write ``events.ts`` as TIMESTAMP(NANOS),
+    which Spark's vectorized Parquet reader rejects; we read nanos as
+    long (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
     microsecond timestamp — the same truncation DuckDB applies when
     casting TIMESTAMP_NS to its micro-precision TIMESTAMP, so both
-    engines see identical values.
+    engines see identical values. Newer generators write
+    TIMESTAMP(MICROS) directly (arrives as ``timestamp_ntz``); that is
+    used as-is, cast to session-local ``timestamp`` for a stable
+    downstream dtype. The shim is guarded on the OBSERVED dtype so a
+    testdata regeneration cannot break the loader again.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _check_schema(name, dict(df.dtypes))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
