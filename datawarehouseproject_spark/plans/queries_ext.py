@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as _t
-from ..operators.multimodal import documents_as_media, extract_media_features
+from ..operators.multimodal import (
+    documents_as_media,
+    extract_image_features,
+    extract_media_features,
+    resize_bmp,
+    synthesize_bmp_media,
+)
 from ..streaming.windows import sessionize_batch, windowed_event_counts
 from .registry import register
 
@@ -652,3 +658,84 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("byte_entropy", 6).alias("byte_entropy"),
         "thumb_checksum",
     )
+
+
+# Shared CTE: per-document synthetic image size + the pixel-formula
+# channel expressions, mirroring functions/bmp.py synth_size/synth_pixel.
+_BMP_SYNTH_SQL = """
+    m AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h
+      FROM documents)
+"""
+
+
+@register(
+    "bmp_image_features",
+    oracle=f"""
+    WITH {_BMP_SYNTH_SQL},
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m),
+    xy AS (
+      SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      FROM xs)
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum((media_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((media_id * 11 + x * 2 + y * 13) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((media_id * 3 + x * 17 + y) % 256) AS BIGINT) AS sum_b
+    FROM xy
+    GROUP BY media_id, w, h
+    """,
+    tags=("multimodal", "mapInPandas", "bmp"),
+)
+def q_bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-checked: synthesize one 24-bit BMP per
+    document (size and pixels are modular arithmetic over doc_id),
+    then parse the actual binary format — header fields, bottom-up BGR
+    rows, 4-byte row padding — inside Arrow-batched mapInPandas and
+    aggregate integer channel sums. The oracle recomputes every sum
+    from the pixel formula, so a single stride/byte-order/row-order
+    bug in the decoder breaks the hash (VERDICT r3 item 5: de-stub
+    extract_media_features)."""
+    _utc(spark)
+    media = synthesize_bmp_media(_t(spark, sf_dir, "documents"))
+    return extract_image_features(media)
+
+
+@register(
+    "bmp_resize_features",
+    oracle=f"""
+    WITH {_BMP_SYNTH_SQL},
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, 4)) AS tx FROM m),
+    xy AS (
+      SELECT media_id, w, h, tx, unnest(generate_series(0, 3)) AS ty
+      FROM xs),
+    src AS (
+      SELECT media_id, (tx * w) // 5 AS x, (ty * h) // 4 AS y FROM xy)
+    SELECT media_id,
+           CAST(5 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(20 AS BIGINT) AS n_pixels,
+           CAST(sum((media_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((media_id * 11 + x * 2 + y * 13) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((media_id * 3 + x * 17 + y) % 256) AS BIGINT) AS sum_b
+    FROM src
+    GROUP BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "bmp"),
+)
+def q_bmp_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed REAL pipeline: synthesize BMP -> decode -> nearest-
+    neighbor resample to 5x4 -> re-encode BMP -> decode again for
+    features. The oracle maps each target pixel back to its source
+    via the same floor-division index (``tx*w//5``), so the resized
+    channel sums are integer-exact; passing proves the resize output
+    is itself a well-formed BMP the decoder round-trips."""
+    _utc(spark)
+    media = synthesize_bmp_media(_t(spark, sf_dir, "documents"))
+    return extract_image_features(resize_bmp(media, 5, 4))
