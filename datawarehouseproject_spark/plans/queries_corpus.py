@@ -5,7 +5,10 @@ DuckDB oracle twins. The normalized-token CTEs mirror
 ``..functions.text.normalize_text``/``word_tokens`` exactly
 (lower -> collapse whitespace -> trim -> split on single space), so
 every count/ratio is integer-derived and engine-exact; the only
-floats are exact integer divisions.
+floats are exact integer divisions. Exception: the packing oracle's
+counted CTE mirrors ``token_count`` instead, whose empty-string guard
+yields 0 tokens for empty/whitespace-only text (DuckDB's
+``string_split('')`` would return ``['']`` = 1 token).
 """
 
 from __future__ import annotations

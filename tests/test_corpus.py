@@ -76,6 +76,31 @@ def test_pack_by_token_budget_boundaries(spark):
     assert got[3]["token_start"] == 120 and got[3]["n_tokens"] == 40
 
 
+def test_pack_by_token_budget_empty_and_whitespace_docs(spark):
+    # ADVICE r3: empty/whitespace-only docs must count 0 tokens (the
+    # token_count guard, matching the oracle's fixed empty-string CTE)
+    # and must not advance the running offset.
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(["w"] * 40)),
+            (1, ""),            # empty: 0 tokens
+            (2, "   \t  "),     # whitespace-only: 0 tokens
+            (3, " ".join(["w"] * 70)),
+            (4, " ".join(["w"] * 40)),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           pack_by_token_budget(docs, budget=100).collect()}
+    assert got[1]["n_tokens"] == 0 and got[2]["n_tokens"] == 0
+    # empty docs inherit the current offset and shard, zero-width
+    assert got[1]["token_start"] == 40 and got[1]["shard"] == 0
+    assert got[2]["token_start"] == 40 and got[2]["shard"] == 0
+    # offsets continue as if the empty docs weren't there
+    assert got[3]["token_start"] == 40 and got[3]["shard"] == 0
+    assert got[4]["token_start"] == 110 and got[4]["shard"] == 1
+
+
 def test_redact_pii(spark):
     df = spark.createDataFrame(
         [
