@@ -44,25 +44,14 @@ def encode_bmp(width: int, height: int, pixels: list[list[tuple[int, int, int]]]
     """
     if height != len(pixels) or any(len(row) != width for row in pixels):
         raise ValueError("pixels must be height rows of width (r,g,b) tuples")
-    stride = row_stride(width)
-    image_size = stride * height
-    out = bytearray(HEADER_BYTES + image_size)
-    _FILE_HEADER.pack_into(out, 0, b"BM", len(out), 0, 0, HEADER_BYTES)
+    image = encode_pixel_array(width, height, pixels)
+    header = bytearray(HEADER_BYTES)
+    _FILE_HEADER.pack_into(header, 0, b"BM", HEADER_BYTES + len(image), 0, 0, HEADER_BYTES)
     _INFO_HEADER.pack_into(
-        out, _FILE_HEADER.size, 40, width, height, 1, 24, 0, image_size,
+        header, _FILE_HEADER.size, 40, width, height, 1, 24, 0, len(image),
         2835, 2835, 0, 0,
     )
-    pos = HEADER_BYTES
-    for y in range(height - 1, -1, -1):  # bottom-up
-        row = pixels[y]
-        p = pos
-        for r, g, b in row:
-            out[p] = b
-            out[p + 1] = g
-            out[p + 2] = r
-            p += 3
-        pos += stride  # pad bytes already zero
-    return bytes(out)
+    return bytes(header) + image
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
@@ -88,20 +77,49 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
         )
     bottom_up = height > 0
     height = abs(height)
+    rows = parse_pixel_array(payload, pixel_offset, width, height, bottom_up)
+    return width, height, rows
+
+
+def parse_pixel_array(
+    payload: bytes, offset: int, width: int, height: int, bottom_up: bool = True
+) -> list[list[tuple[int, int, int]]]:
+    """Parse a raw 24-bit DIB pixel array (padded BGR rows) to
+    top-down RGB rows. Shared by :func:`decode_bmp` and the AVI
+    demuxer (``00db`` chunks carry exactly this layout)."""
     stride = row_stride(width)
-    if len(payload) < pixel_offset + stride * height:
+    if len(payload) < offset + stride * height:
         raise ValueError("truncated BMP pixel array")
     rows: list[list[tuple[int, int, int]]] = []
     for y in range(height):
         src_y = (height - 1 - y) if bottom_up else y
-        base = pixel_offset + src_y * stride
+        base = offset + src_y * stride
         rows.append(
             [
                 (payload[base + 3 * x + 2], payload[base + 3 * x + 1], payload[base + 3 * x])
                 for x in range(width)
             ]
         )
-    return width, height, rows
+    return rows
+
+
+def encode_pixel_array(
+    width: int, height: int, pixels: list[list[tuple[int, int, int]]]
+) -> bytes:
+    """Encode top-down RGB rows as a raw bottom-up padded-BGR DIB
+    pixel array (the BMP body / AVI ``00db`` chunk payload)."""
+    stride = row_stride(width)
+    out = bytearray(stride * height)
+    pos = 0
+    for y in range(height - 1, -1, -1):
+        p = pos
+        for r, g, b in pixels[y]:
+            out[p] = b
+            out[p + 1] = g
+            out[p + 2] = r
+            p += 3
+        pos += stride
+    return bytes(out)
 
 
 def resize_nearest(

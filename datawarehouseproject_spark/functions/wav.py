@@ -1,0 +1,103 @@
+"""Pure-Python WAV (RIFF PCM) codec for the multimodal audio path.
+
+16-bit PCM WAV needs no codec library: a 12-byte RIFF header, a
+16-byte ``fmt `` chunk, and a ``data`` chunk of little-endian int16
+frames (channel-interleaved). This gives the audio half of the
+multimodal surface a REAL bytes→samples decode with an integer-exact
+DuckDB oracle, mirroring what :mod:`.bmp` does for images.
+
+Layout (all little-endian):
+
+- ``RIFF`` u32 size ``WAVE``;
+- ``fmt `` u32 16, u16 format=1 (PCM), u16 channels, u32 sample rate,
+  u32 byte rate, u16 block align, u16 bits=16;
+- ``data`` u32 size, then frames of ``channels`` int16 samples.
+
+The demuxer walks chunks generically (skipping unknown ones such as
+``LIST``/``fact``), so real-world WAV files with metadata decode too.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def encode_wav(sample_rate: int, channels: int, frames: list[tuple[int, ...]]) -> bytes:
+    """Encode interleaved int16 frames as a PCM WAV file.
+
+    ``frames[i]`` holds one int16 sample per channel (range checked:
+    a sample outside [-32768, 32767] raises rather than silently
+    wrapping).
+    """
+    if channels < 1 or any(len(f) != channels for f in frames):
+        raise ValueError("each frame must have one sample per channel")
+    flat = [s for f in frames for s in f]
+    data = struct.pack(f"<{len(flat)}h", *flat)
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[tuple[int, ...]]]:
+    """Decode a 16-bit PCM WAV to (sample_rate, channels, frames).
+
+    Walks RIFF sub-chunks generically; unknown chunks (LIST, fact,
+    cue…) are skipped, honoring RIFF's odd-size pad byte. Raises
+    ``ValueError`` on non-WAV magic, non-PCM format, or non-16-bit
+    samples — per-payload, so one corrupt record is attributable.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    sample_rate = channels = None
+    data: bytes | None = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_format != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant (format={audio_format} "
+                    f"bits={bits}); only 16-bit PCM"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF pads odd chunks
+    if sample_rate is None or channels is None:
+        raise ValueError("missing fmt chunk")
+    if data is None:
+        raise ValueError("missing data chunk")
+    n = len(data) // (2 * channels)
+    flat = struct.unpack_from(f"<{n * channels}h", data, 0)
+    frames = [tuple(flat[i * channels : (i + 1) * channels]) for i in range(n)]
+    return sample_rate, channels, frames
+
+
+def synth_sample(seed: int, i: int, c: int) -> int:
+    """Deterministic int16 sample — mirrored verbatim in the DuckDB
+    oracle: ``(seed*13 + i*7 + c*101) % 65536 - 32768``."""
+    return (seed * 13 + i * 7 + c * 101) % 65536 - 32768
+
+
+def synth_audio_shape(seed: int) -> tuple[int, int, int]:
+    """Per-seed (sample_rate, channels, n_frames): rates cycle
+    8000/12000/16000, mono/stereo alternate, 50..69 frames."""
+    return 8000 + (seed % 3) * 4000, 1 + seed % 2, 50 + seed % 20
+
+
+def synth_wav(seed: int) -> bytes:
+    """Synthesize the deterministic test clip for ``seed``."""
+    rate, channels, n = synth_audio_shape(seed)
+    frames = [
+        tuple(synth_sample(seed, i, c) for c in range(channels)) for i in range(n)
+    ]
+    return encode_wav(rate, channels, frames)

@@ -8,14 +8,21 @@ shape a 100 TB multimodal training pipeline needs from Spark:
 - feature extraction is per-batch Python over Arrow buffers;
 - partitioning is by content size so decode work balances.
 
-Image decode is REAL for 24-bit BMP: ``extract_image_features`` and
-``resize_bmp`` parse/emit the actual binary format via the pure-Python
-codec in :mod:`..functions.bmp` (no codec libs needed), with
-integer-exact DuckDB oracles over synthesized images. The generic
-byte-statistics path (``decode_stub``) remains for arbitrary payloads,
-and video frame decode still requires ffmpeg (``sample_frames``
-raises) — swap in PIL/torchaudio/ffmpeg for other codecs in
-production.
+Decode is REAL for the codec-free formats of each modality, all via
+pure-Python parsers (no codec libs needed) with integer-exact DuckDB
+oracles over synthesized media:
+
+- image: 24-bit BMP (``extract_image_features``, ``resize_bmp``;
+  :mod:`..functions.bmp`);
+- audio: 16-bit PCM WAV (``extract_audio_features``;
+  :mod:`..functions.wav`);
+- video: uncompressed-DIB AVI (``sample_frames``;
+  :mod:`..functions.avi`), sampled frames re-encoded as BMPs so the
+  image operators compose downstream.
+
+The generic byte-statistics path (``decode_stub``) remains for
+arbitrary payloads; compressed formats (JPEG/MP3/H.264…) still need
+PIL/torchaudio/ffmpeg — swap the per-batch decode call in production.
 """
 
 from __future__ import annotations
@@ -141,27 +148,33 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling via mapInPandas (1:N row expansion).
+    """REAL video frame sampling via mapInPandas (1:N row expansion).
 
-    Frame DECODING requires ffmpeg, absent here — the batch iterator,
-    schema, and row-expansion plumbing are real; the decode call site
-    raises so production wiring is a one-function swap.
+    Demuxes uncompressed-DIB AVI payloads (pure-Python RIFF walker,
+    :mod:`..functions.avi` — no ffmpeg needed for this codec), keeps
+    every ``every_n``-th frame, and re-encodes each kept frame as a
+    standalone BMP so downstream image operators
+    (:func:`extract_image_features`, :func:`resize_bmp`) compose
+    directly. ``frame_idx`` is the ORIGINAL stream index (0, n, 2n…).
+    Compressed codecs still need ffmpeg/pyav — swap the decode call
+    for production formats.
     """
 
-    def _decode_frames(payload: bytes, every_n: int) -> list[bytes]:
-        raise NotImplementedError(
-            "video decode requires ffmpeg/pyav — not available in this "
-            "environment; replace _decode_frames to enable"
-        )
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.avi import decode_avi
+        from ..functions.bmp import encode_bmp
+
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                for i, fr in enumerate(_decode_frames(bytes(p), every_n)):
-                    ids.append(mid)
+                try:
+                    w, h, all_frames = decode_avi(bytes(p))
+                except ValueError as e:
+                    raise ValueError(f"media_id={mid}: {e}") from e
+                for i in range(0, len(all_frames), every_n):
+                    ids.append(int(mid))
                     idxs.append(i)
-                    frames.append(fr)
+                    frames.append(encode_bmp(w, h, all_frames[i]))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )
@@ -169,9 +182,100 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
-IMAGE_FEATURE_SCHEMA = T.StructType(
+def synthesize_avi_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of real uncompressed-DIB AVI
+    clips (``functions/avi.py:synth_avi``): frame count, size, and
+    every pixel derive from the id by modular arithmetic."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.avi import synth_avi
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids_.values, "payload": [synth_avi(int(i)) for i in ids_]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return ids.select(id_col).mapInPandas(batches, schema=schema)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sum_amplitude", T.LongType()),
+        T.StructField("sum_abs_amplitude", T.LongType()),
+    ]
+)
+
+
+def synthesize_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of real 16-bit PCM WAV clips
+    (``functions/wav.py:synth_wav``), deterministic per id."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import synth_wav
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids_.values, "payload": [synth_wav(int(i)) for i in ids_]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return ids.select(id_col).mapInPandas(batches, schema=schema)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode: RIFF/PCM WAV header+sample parse per
+    payload via Arrow-batched mapInPandas.
+
+    Emits integer-exact statistics (frame count, signed and absolute
+    amplitude sums over all channels) so the value oracle needs no
+    float tolerance; rate/channel metadata come from the actual fmt
+    chunk, not the synthesis formula.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import decode_wav
+
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "sample_rate", "channels",
+                                   "n_frames", "sum_amplitude",
+                                   "sum_abs_amplitude")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, channels, frames = decode_wav(bytes(p))
+                except ValueError as e:
+                    raise ValueError(f"media_id={mid}: {e}") from e
+                flat = [s for f in frames for s in f]
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["n_frames"].append(len(frames))
+                out["sum_amplitude"].append(sum(flat))
+                out["sum_abs_amplitude"].append(sum(abs(s) for s in flat))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+#: Feature columns appended to the passthrough (non-payload) columns.
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_pixels", T.LongType()),
@@ -217,30 +321,37 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     padding) and aggregates integer channel sums — exact, so the
     value-level oracle needs no float tolerance. One pass, no shuffle;
     a malformed payload raises with its media_id so corrupt records
-    are attributable at scale.
+    are attributable at scale. Every non-``payload`` input column is
+    passed through (so e.g. ``frame_idx`` from :func:`sample_frames`
+    survives into the feature rows).
     """
+    keep = [f for f in media.schema.fields if f.name != "payload"]
+    schema = T.StructType(list(keep) + list(IMAGE_FEATURE_SCHEMA.fields))
+    keep_names = [f.name for f in keep]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.bmp import decode_bmp
 
         for pdf in it:
-            out = {k: [] for k in ("media_id", "width", "height", "n_pixels",
-                                   "sum_r", "sum_g", "sum_b")}
+            feats = {k: [] for k in ("width", "height", "n_pixels",
+                                     "sum_r", "sum_g", "sum_b")}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     w, h, rows = decode_bmp(bytes(p))
                 except ValueError as e:
                     raise ValueError(f"media_id={mid}: {e}") from e
-                out["media_id"].append(int(mid))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_pixels"].append(w * h)
-                out["sum_r"].append(sum(px[0] for row in rows for px in row))
-                out["sum_g"].append(sum(px[1] for row in rows for px in row))
-                out["sum_b"].append(sum(px[2] for row in rows for px in row))
-            yield pd.DataFrame(out)
+                feats["width"].append(w)
+                feats["height"].append(h)
+                feats["n_pixels"].append(w * h)
+                feats["sum_r"].append(sum(px[0] for row in rows for px in row))
+                feats["sum_g"].append(sum(px[1] for row in rows for px in row))
+                feats["sum_b"].append(sum(px[2] for row in rows for px in row))
+            out = pdf[keep_names].reset_index(drop=True)
+            for k, v in feats.items():
+                out[k] = v
+            yield out
 
-    return media.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)
+    return media.mapInPandas(batches, schema=schema)
 
 
 def resize_bmp(media: DataFrame, width: int, height: int) -> DataFrame:

@@ -16,10 +16,14 @@ from pyspark.sql import functions as F
 from ..catalog import load_table as _t
 from ..operators.multimodal import (
     documents_as_media,
+    extract_audio_features,
     extract_image_features,
     extract_media_features,
     resize_bmp,
+    sample_frames,
+    synthesize_avi_media,
     synthesize_bmp_media,
+    synthesize_wav_media,
 )
 from ..streaming.windows import sessionize_batch, windowed_event_counts
 from .registry import register
@@ -739,3 +743,89 @@ def q_bmp_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     media = synthesize_bmp_media(_t(spark, sf_dir, "documents"))
     return extract_image_features(resize_bmp(media, 5, 4))
+
+
+@register(
+    "wav_audio_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8000 + (doc_id % 3) * 4000 AS rate,
+             1 + doc_id % 2 AS channels,
+             50 + doc_id % 20 AS n
+      FROM documents),
+    fr AS (
+      SELECT media_id, rate, channels, n,
+             unnest(generate_series(0, n - 1)) AS i FROM m),
+    sm AS (
+      SELECT media_id, rate, channels, n, i,
+             unnest(generate_series(0, channels - 1)) AS c FROM fr),
+    v AS (
+      SELECT media_id, rate, channels, n,
+             (media_id * 13 + i * 7 + c * 101) % 65536 - 32768 AS s
+      FROM sm)
+    SELECT media_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(channels AS INTEGER) AS channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(sum(s) AS BIGINT) AS sum_amplitude,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs_amplitude
+    FROM v
+    GROUP BY media_id, rate, channels, n
+    """,
+    tags=("multimodal", "mapInPandas", "audio"),
+)
+def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-checked: synthesize one 16-bit PCM
+    WAV per document (rate/channels/frames and every int16 sample are
+    modular arithmetic over doc_id), then parse the actual RIFF
+    format — fmt chunk, interleaved frames — inside Arrow-batched
+    mapInPandas. Amplitude sums are integer-exact; rate and channel
+    count come from the decoded fmt chunk, not the formula."""
+    _utc(spark)
+    media = synthesize_wav_media(_t(spark, sf_dir, "documents"))
+    return extract_audio_features(media)
+
+
+@register(
+    "avi_frame_features",
+    oracle=f"""
+    WITH {_BMP_SYNTH_SQL},
+    ts AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS t
+      FROM m),
+    tt AS (SELECT * FROM ts WHERE t % 3 = 0),
+    xs AS (
+      SELECT media_id, w, h, t, unnest(generate_series(0, w - 1)) AS x
+      FROM tt),
+    xy AS (
+      SELECT media_id, w, h, t, x, unnest(generate_series(0, h - 1)) AS y
+      FROM xs)
+    SELECT media_id,
+           CAST(t AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum((media_id * 7 + x * 3 + y * 5 + t * 19) % 256)
+                AS BIGINT) AS sum_r,
+           CAST(sum((media_id * 11 + x * 2 + y * 13 + t * 23) % 256)
+                AS BIGINT) AS sum_g,
+           CAST(sum((media_id * 3 + x * 17 + y + t * 29) % 256)
+                AS BIGINT) AS sum_b
+    FROM xy
+    GROUP BY media_id, t, w, h
+    """,
+    tags=("multimodal", "mapInPandas", "video"),
+)
+def q_avi_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline, value-checked: synthesize one
+    uncompressed-DIB AVI clip per document (frame count = width
+    formula = 4 + doc_id%5, pixels = BMP formula + per-frame t term),
+    demux the actual RIFF container, keep every 3rd frame (1:N row
+    expansion), re-encode each as BMP, and decode those for integer
+    channel sums. De-stubs round 3's NotImplementedError
+    ``sample_frames`` with a genuinely parseable format."""
+    _utc(spark)
+    media = synthesize_avi_media(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n=3).withColumnRenamed("frame", "payload")
+    return extract_image_features(frames)
