@@ -33,6 +33,13 @@ HEADLINE = [
     "star_join",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
     "asof_join",
     "session_range_join",
     "sessionize",
@@ -49,6 +56,9 @@ HEADLINE = [
     "quality_rules",
     "token_shard_packing",
     "pii_redaction",
+    "bmp_image_features",
+    "avi_frame_features",
+    "wav_audio_features",
 ]
 
 
