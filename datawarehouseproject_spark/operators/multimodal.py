@@ -313,42 +313,61 @@ def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(batches, schema=schema)
 
 
-def extract_image_features(media: DataFrame) -> DataFrame:
+def extract_image_features(media: DataFrame, permissive: bool = False) -> DataFrame:
     """REAL image decode: BMP header+pixel parse per payload, via
     Arrow-batched mapInPandas (de-stubs VERDICT r3 item 5).
 
     Parses the actual binary format (bottom-up BGR rows, 4-byte row
     padding) and aggregates integer channel sums — exact, so the
-    value-level oracle needs no float tolerance. One pass, no shuffle;
-    a malformed payload raises with its media_id so corrupt records
-    are attributable at scale. Every non-``payload`` input column is
-    passed through (so e.g. ``frame_idx`` from :func:`sample_frames`
-    survives into the feature rows).
+    value-level oracle needs no float tolerance. One pass, no shuffle.
+    Every non-``payload`` input column is passed through (so e.g.
+    ``frame_idx`` from :func:`sample_frames` survives into the
+    feature rows).
+
+    Error contract, chosen per job: strict (default) raises with the
+    offending media_id — right for synthesized/trusted inputs where a
+    decode error means a code bug; ``permissive=True`` emits the row
+    with NULL features and the message in ``decode_error`` — right
+    for web-scale corpora where one corrupt payload must not kill a
+    100 TB job (mirrors Spark's PERMISSIVE reader mode +
+    ``_corrupt_record``).
     """
     keep = [f for f in media.schema.fields if f.name != "payload"]
-    schema = T.StructType(list(keep) + list(IMAGE_FEATURE_SCHEMA.fields))
+    fields = list(keep) + list(IMAGE_FEATURE_SCHEMA.fields)
+    if permissive:
+        fields.append(T.StructField("decode_error", T.StringType()))
+    schema = T.StructType(fields)
     keep_names = [f.name for f in keep]
+    feat_names = ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.bmp import decode_bmp
 
         for pdf in it:
-            feats = {k: [] for k in ("width", "height", "n_pixels",
-                                     "sum_r", "sum_g", "sum_b")}
+            feats: dict[str, list] = {k: [] for k in feat_names}
+            errors: list[str | None] = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     w, h, rows = decode_bmp(bytes(p))
                 except ValueError as e:
-                    raise ValueError(f"media_id={mid}: {e}") from e
+                    if not permissive:
+                        raise ValueError(f"media_id={mid}: {e}") from e
+                    for k in feat_names:
+                        feats[k].append(None)
+                    errors.append(str(e))
+                    continue
                 feats["width"].append(w)
                 feats["height"].append(h)
                 feats["n_pixels"].append(w * h)
                 feats["sum_r"].append(sum(px[0] for row in rows for px in row))
                 feats["sum_g"].append(sum(px[1] for row in rows for px in row))
                 feats["sum_b"].append(sum(px[2] for row in rows for px in row))
+                errors.append(None)
             out = pdf[keep_names].reset_index(drop=True)
             for k, v in feats.items():
                 out[k] = v
+            if permissive:
+                out["decode_error"] = errors
             yield out
 
     return media.mapInPandas(batches, schema=schema)

@@ -10,7 +10,7 @@ bit-for-bit).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
@@ -75,3 +75,30 @@ def weighted_sample(
         rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
     rate = rate.otherwise(F.lit(int(default_rate * RATE_DENOM)))
     return df.filter(bucket < rate)
+
+
+def training_shuffle(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shuffle:"
+) -> DataFrame:
+    """Deterministic global pseudo-random permutation for training
+    order: every row gets a ``(shard, position)`` address.
+
+    A training job must read documents in an order uncorrelated with
+    ingestion order, yet reproducible across re-runs and engines.
+    ``ORDER BY rand()`` is neither; a single global
+    ``row_number() OVER (ORDER BY hash)`` would pull the whole corpus
+    through one task. Instead: ``shard = md5(id) % n_shards`` (the
+    md5 also serves as the permutation key), ``position`` =
+    row_number within the shard ordered by (md5, id). Each window
+    partition is one shard (~corpus/n_shards rows), so the sort
+    parallelizes; readers stream shard files sequentially and the
+    concatenation order shard 0..n-1 × position is the permutation.
+    """
+    key = md5_long(F.col(id_col).cast("string"), salt=salt)
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", (F.col("__key") % n_shards).cast("int"))
+        .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__key")
+    )

@@ -390,6 +390,39 @@ def q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "training_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {_sql_md5_long("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS k
+      FROM documents)
+    SELECT doc_id,
+           CAST(k % {_SHUFFLE_SHARDS} AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY k % {_SHUFFLE_SHARDS} ORDER BY k, doc_id) - 1
+             AS BIGINT) AS position
+    FROM keyed
+    """,
+    tags=("sampling", "shuffle", "training-order"),
+)
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order permutation: every doc gets a
+    reproducible (shard, position) address via md5 — uncorrelated
+    with ingestion order, identical across engines/re-runs, and
+    computed with per-shard windows (no global sort task)."""
+    _utc(spark)
+    from ..operators.sampling import training_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return training_shuffle(docs, "doc_id", _SHUFFLE_SHARDS).select(
+        "doc_id", "shard", "position"
+    )
+
+
 _CC_EST = 0.75
 
 

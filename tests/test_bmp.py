@@ -133,3 +133,23 @@ def test_resize_bmp_spark(spark):
         assert (r.sum_r, r.sum_g, r.sum_b) == tuple(
             sum(p[c] for p in px) for c in range(3)
         )
+
+
+def test_extract_image_features_permissive(spark):
+    from pyspark.sql import functions as F
+
+    good = synth_bmp(3)
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a bmp")), (3, bytearray(good[:20]))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in
+            extract_image_features(media, permissive=True).collect()}
+    w, h = synth_size(3)
+    assert rows[1].width == w and rows[1].decode_error is None
+    assert rows[2].width is None and "magic" in rows[2].decode_error
+    assert rows[3].width is None and rows[3].decode_error
+    # strict mode on the same frame raises with the offending id
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="media_id"):
+        extract_image_features(media).collect()

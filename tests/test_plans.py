@@ -85,3 +85,39 @@ def test_dedup_shuffles_hashes_not_text(spark):
     assert "hashpartitioning" in plan
     for exchange_line in [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]:
         assert "shingle" not in exchange_line
+
+
+def test_tpch_q6_pushdown_no_join(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    # the whole predicate battery reaches the scan; no join anywhere
+    assert "PushedFilters" in plan and "IsNotNull(l_discount)" in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    # 4-column pruning on a 11-column table
+    assert "l_returnflag" not in plan and "l_tax" not in plan
+
+
+def test_tpch_q7_broadcasts_both_nation_paths(spark):
+    plan = _plan(spark, "tpch_q7_nation_volume")
+    # supplier + both nation aliases broadcast; only orders<->lineitem
+    # (and possibly customer) may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q10_take_ordered_not_full_sort(spark):
+    plan = _plan(spark, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q17_broadcast_decorrelated_agg(spark):
+    plan = _plan(spark, "tpch_q17_small_quantity")
+    # both the brand-filtered part dim and the per-part avg aggregate
+    # must broadcast — the probe side stays shuffle-free
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q18_semi_join_broadcast(spark):
+    plan = _plan(spark, "tpch_q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan

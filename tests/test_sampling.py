@@ -45,3 +45,28 @@ def test_sample_membership_is_superset_stable(spark):
     quarter = {r["doc_id"] for r in
                weighted_sample(docs, "doc_id", {"s1": 0.25}, "source").collect()}
     assert quarter <= half
+
+
+def test_training_shuffle_deterministic_and_dense(spark):
+    from datawarehouseproject_spark.operators.sampling import training_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: (r.shard, r.position) for r in
+         training_shuffle(df, "doc_id", 8).collect()}
+    b = {r.doc_id: (r.shard, r.position) for r in
+         training_shuffle(df, "doc_id", 8).collect()}
+    assert a == b  # reproducible
+    # positions are dense 0..n-1 within each shard
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+    # the permutation actually scrambles ingestion order: consecutive
+    # ids rarely stay consecutive in (shard, position) space
+    same_shard_adjacent = sum(
+        1 for i in range(499)
+        if a[i][0] == a[i + 1][0] and abs(a[i][1] - a[i + 1][1]) == 1
+    )
+    assert same_shard_adjacent < 25
