@@ -37,7 +37,13 @@ def _utc(spark: SparkSession) -> None:
     tune_session(spark)
 
 
-_REV = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+def _rev():
+    """Revenue term, built lazily: Column construction needs an active
+    SparkContext, and this module must import session-free (test
+    collection, driver import order)."""
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
 
 
 @register(
@@ -133,7 +139,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year(F.to_date("l_shipdate")).cast("int").alias("l_year"),
         )
-        .agg(F.sum(_REV).cast("double").alias("revenue"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
 
 
@@ -179,7 +185,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").cast("double").alias("acctbal"),
             F.col("n_name").alias("nation"),
         )
-        .agg(F.sum(_REV).cast("double").alias("revenue"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "acctbal", "nation")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -247,12 +253,12 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = F.broadcast(_t(spark, sf_dir, "part"))
     promo = F.when(
-        F.col("p_type").like("PROMO%"), _REV
+        F.col("p_type").like("PROMO%"), _rev()
     ).otherwise(F.lit(0).cast("decimal(18,4)"))
     return (
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .agg(
-            F.round(F.lit(100.00) * F.sum(promo) / F.sum(_REV), 6)
+            F.round(F.lit(100.00) * F.sum(promo) / F.sum(_rev()), 6)
             .cast("double")
             .alias("promo_revenue_pct")
         )
