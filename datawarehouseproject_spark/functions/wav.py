@@ -82,6 +82,17 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[tuple[int, ...]]]:
     return sample_rate, channels, frames
 
 
+def decimate(
+    frames: list[tuple[int, ...]], factor: int
+) -> list[tuple[int, ...]]:
+    """Keep every ``factor``-th frame (sample-rate / factor): the
+    index mapping ``i*factor`` is mirrored in the DuckDB oracle, so
+    decimated amplitude sums are integer-exact. (No anti-alias filter
+    — this is the nearest-neighbor analogue for audio; a windowed-sinc
+    resampler is a documented extension.)"""
+    return frames[::factor]
+
+
 def synth_sample(seed: int, i: int, c: int) -> int:
     """Deterministic int16 sample — mirrored verbatim in the DuckDB
     oracle: ``(seed*13 + i*7 + c*101) % 65536 - 32768``."""

@@ -239,6 +239,35 @@ def synthesize_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(batches, schema=schema)
 
 
+def resample_wav(media: DataFrame, factor: int) -> DataFrame:
+    """REAL audio resample: decode WAV -> integer decimation (every
+    ``factor``-th frame) -> re-encode at rate/factor, per Arrow batch.
+
+    Output payloads are valid WAVs, so :func:`extract_audio_features`
+    composes downstream (the audio analogue of :func:`resize_bmp`).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import decimate, decode_wav, encode_wav
+
+        for pdf in it:
+            payloads = []
+            for p in pdf["payload"]:
+                rate, channels, frames = decode_wav(bytes(p))
+                payloads.append(
+                    encode_wav(rate // factor, channels, decimate(frames, factor))
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """REAL audio decode: RIFF/PCM WAV header+sample parse per
     payload via Arrow-batched mapInPandas.

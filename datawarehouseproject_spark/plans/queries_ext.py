@@ -19,6 +19,7 @@ from ..operators.multimodal import (
     extract_audio_features,
     extract_image_features,
     extract_media_features,
+    resample_wav,
     resize_bmp,
     sample_frames,
     synthesize_avi_media,
@@ -785,6 +786,49 @@ def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     media = synthesize_wav_media(_t(spark, sf_dir, "documents"))
     return extract_audio_features(media)
+
+
+@register(
+    "wav_resample_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8000 + (doc_id % 3) * 4000 AS rate,
+             1 + doc_id % 2 AS channels,
+             50 + doc_id % 20 AS n
+      FROM documents),
+    fr AS (
+      SELECT media_id, rate, channels, n,
+             unnest(generate_series(0, n - 1)) AS i FROM m),
+    kept AS (SELECT * FROM fr WHERE i % 4 = 0),
+    sm AS (
+      SELECT media_id, rate, channels, n, i,
+             unnest(generate_series(0, channels - 1)) AS c FROM kept),
+    v AS (
+      SELECT media_id, rate, channels, n,
+             (media_id * 13 + i * 7 + c * 101) % 65536 - 32768 AS s
+      FROM sm)
+    SELECT media_id,
+           CAST(rate // 4 AS INTEGER) AS sample_rate,
+           CAST(channels AS INTEGER) AS channels,
+           CAST((n + 3) // 4 AS BIGINT) AS n_frames,
+           CAST(sum(s) AS BIGINT) AS sum_amplitude,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs_amplitude
+    FROM v
+    GROUP BY media_id, rate, channels, n
+    """,
+    tags=("multimodal", "mapInPandas", "audio"),
+)
+def q_wav_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed REAL audio pipeline: synthesize WAV -> decode ->
+    4x integer decimation -> re-encode at rate/4 -> decode again for
+    features. The oracle keeps frames where i % 4 = 0 (the same
+    ``frames[::4]`` mapping), so decimated amplitude sums and the new
+    rate/frame count are integer-exact; passing proves the resampled
+    output is itself a well-formed WAV the decoder round-trips."""
+    _utc(spark)
+    media = synthesize_wav_media(_t(spark, sf_dir, "documents"))
+    return extract_audio_features(resample_wav(media, 4))
 
 
 @register(

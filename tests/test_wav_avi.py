@@ -171,3 +171,46 @@ def test_sample_frames_spark(spark):
             assert (r.sum_r, r.sum_g, r.sum_b) == tuple(
                 sum(p[c] for p in px) for c in range(3)
             )
+
+
+def test_resample_wav_spark(spark):
+    from datawarehouseproject_spark.operators.multimodal import resample_wav
+
+    ids = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    resampled = resample_wav(synthesize_wav_media(ids), 4)
+    rows = {r.media_id: r for r in extract_audio_features(resampled).collect()}
+    for seed in range(6):
+        rate, channels, n = synth_audio_shape(seed)
+        kept = [
+            synth_sample(seed, i, c)
+            for i in range(0, n, 4)
+            for c in range(channels)
+        ]
+        r = rows[seed]
+        assert (r.sample_rate, r.channels, r.n_frames) == (
+            rate // 4, channels, (n + 3) // 4
+        )
+        assert (r.sum_amplitude, r.sum_abs_amplitude) == (
+            sum(kept), sum(abs(s) for s in kept)
+        )
+
+
+def test_read_media_files_binary_source(spark, tmp_path):
+    """Files-on-disk ingestion: write real BMPs + a decoy, read via
+    the binaryFile source with a glob pushdown, decode distributed."""
+    from datawarehouseproject_spark.functions.bmp import synth_bmp
+    from datawarehouseproject_spark.sources.media_files import read_media_files
+
+    for seed in range(4):
+        (tmp_path / f"img{seed}.bmp").write_bytes(synth_bmp(seed))
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    media = read_media_files(spark, str(tmp_path), glob="*.bmp", keep_path=True)
+    feats = extract_image_features(media.drop("path")).collect()
+    assert len(feats) == 4  # decoy filtered by the glob, never decoded
+    by_path = {r.path.rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(by_path) == {f"img{s}.bmp" for s in range(4)}
+    # ids are distinct and stable across a second read
+    again = {r.media_id for r in
+             read_media_files(spark, str(tmp_path), glob="*.bmp").collect()}
+    assert again == {r.media_id for r in media.collect()} and len(again) == 4
