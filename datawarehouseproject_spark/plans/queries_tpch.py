@@ -7,14 +7,23 @@ column subset (no ``partsupp``, ``l_shipmode``, ``l_commitdate``,
 ``c_phone`` — queries needing those are adapted to equivalent shapes
 and documented as such):
 
+- Q4  order-priority count via EXISTS semi join (late-shipment
+      predicate adapted from commit/receipt dates to ship lag)
 - Q6  selective scan + agg (pushdown showcase)
 - Q7  bi-nation volume (two dim paths into one fact, year rollup)
+- Q8  national market share (7-table snowflake, conditional ratio)
+- Q9  product profit by nation/year (supplycost adapted to
+      retailprice in the profit term)
 - Q10 returned-item revenue top-N (fact→dims, TakeOrdered)
 - Q13 customer order-count distribution (left join + double agg)
 - Q14 promo revenue share (conditional agg over a part join)
+- Q15 top supplier (agg view + scalar-max equality join)
 - Q17 small-quantity avg-threshold (self-agg join — correlated
       subquery decorrelated into a broadcast agg)
 - Q18 large-volume orders (having-filtered semi agg join)
+- Q19 OR-block predicate revenue (brand/size/quantity bands)
+- Q22 dormant wealthy customers (cross-multiplied avg threshold +
+      anti join; phone country codes adapted to nation keys)
 
 Scale notes: every dim side that fits an executor is broadcast; the
 only shuffles are the fact-side aggregations, which all partial-agg
@@ -357,4 +366,338 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "exists-semi-join"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders that have at least
+    one problematic lineitem, expressed as EXISTS → left-semi join.
+    The generated schema has no commit/receipt dates, so "late" is
+    adapted to "shipped more than 60 days after the order date" — the
+    same orders↔lineitem semi join with a non-equi residual. The
+    quarter filter prunes the probe side before the join."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(round(
+             sum(CASE WHEN nation = 'NATION_3' THEN volume
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) / sum(volume), 6)
+             AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+               AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+                                          AND DATE '1996-12-31'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("tpch", "snowflake-join", "conditional-agg"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a regional
+    market for one part type, by order year. Seven tables; every dim
+    (part-filtered part, supplier, both nation aliases, region)
+    broadcasts, so the only shuffled joins are lineitem↔orders and
+    ↔customer. The share divides two exact DECIMAL sums, rounded to 6
+    places, so the hash is accumulation-order-proof."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n_cust = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"),
+            F.col("n_regionkey").alias("c_rkey"),
+        )
+    )
+    n_supp = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+        )
+    )
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(n_cust, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(region, F.col("c_rkey") == F.col("r_regionkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year(F.to_date("o_orderdate")).cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", _rev()).otherwise(zero))
+                / F.sum(_rev()),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+               - CAST(p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    tags=("tpch", "multi-join"),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a part-name-filtered product line by
+    supplier nation and order year. The generated schema has no
+    partsupp, so ``ps_supplycost * l_quantity`` is adapted to
+    ``p_retailprice * l_quantity`` — same join tree, same arithmetic
+    shape, cost sourced from the broadcast part dim instead. Both
+    profit terms run in exact DECIMAL before the final cast."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    amount = _rev() - (F.col("p_retailprice") * F.col("l_quantity")).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("o_orderdate")).cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "agg-view", "scalar-max"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the
+    supplier(s) hitting the maximum. The revenue aggregate is tiny
+    (|supplier| rows), so the scalar max comes from a broadcast
+    one-row cross join rather than a second scan-wide shuffle; the
+    equality compares exact DECIMAL sums, so ties and float drift
+    can't desync the two engines."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue")
+    )
+    top = F.broadcast(revenue.agg(F.max("total_revenue").alias("__max")))
+    return (
+        revenue.join(top, revenue["total_revenue"] == top["__max"])
+        .join(supp, F.col("supplier_no") == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_brand_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "or-predicates"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR-ed brand/size/quantity
+    predicate blocks straddling the join (part attrs + lineitem
+    attrs). The schema has no shipmode/shipinstruct, so those legs
+    are dropped; what remains still exercises the disjunctive
+    cross-table residual that defeats naive pushdown. Part broadcasts
+    and the OR evaluates post-join in codegen."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    blocks = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .filter(blocks)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    thresh AS (
+      SELECT sum(bal) AS total, count(*) AS cnt
+      FROM pool WHERE bal > 0
+    )
+    SELECT CAST(c_nationkey AS INTEGER) AS cntrycode,
+           count(*) AS numcust,
+           CAST(sum(bal) AS DOUBLE) AS totacctbal
+    FROM pool, thresh
+    WHERE bal * cnt > total
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+    tags=("tpch", "anti-join", "scalar-threshold"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in a country
+    set with no recent orders. Phone country codes don't exist in the
+    generated schema, so the country bucket is the nation key
+    directly, and (since every customer here has at least one order
+    ever) "no orders" is adapted to "no orders since 1999". The
+    avg threshold is compared cross-multiplied — ``bal * cnt >
+    sum`` in exact DECIMAL — so neither engine divides and the
+    boundary can't drift; the threshold row broadcasts, and recent
+    orders anti-join on the customer key."""
+    _utc(spark)
+    pool = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+    )
+    thresh = F.broadcast(
+        pool.filter(F.col("bal") > 0).agg(
+            F.sum("bal").alias("total"), F.count("*").alias("cnt")
+        )
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") >= F.lit("1999-01-01")
+    )
+    return (
+        pool.crossJoin(thresh)
+        .filter(F.col("bal") * F.col("cnt") > F.col("total"))
+        .join(recent, pool["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
     )

@@ -201,6 +201,7 @@ def test_multimodal_resize_and_frame_sampling(spark):
     assert len(resized[0]["payload"]) == 32
     assert (resized[0]["width"], resized[0]["height"]) == (8, 4)
 
-    # frame sampling plumbing is real; the decode is stubbed to raise
-    with _pytest.raises(Exception, match="ffmpeg"):
+    # frame sampling decodes real AVI payloads (functions/avi.py); a
+    # text payload must fail loudly, naming the offending media_id
+    with _pytest.raises(Exception, match="media_id=1.*AVI"):
         sample_frames(media).collect()

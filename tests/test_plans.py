@@ -121,3 +121,45 @@ def test_tpch_q18_semi_join_broadcast(spark):
     plan = _plan(spark, "tpch_q18_large_orders")
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q4_semi_join_with_residual(spark):
+    plan = _plan(spark, "tpch_q4_order_priority")
+    # EXISTS lowers to a semi join; the quarter filter reaches the
+    # orders scan so the probe side is pruned before shuffling
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_tpch_q8_all_dims_broadcast(spark):
+    plan = _plan(spark, "tpch_q8_market_share")
+    # part, supplier, both nation aliases and region all broadcast —
+    # only the fact-side joins may shuffle
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_tpch_q9_dims_broadcast(spark):
+    plan = _plan(spark, "tpch_q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q15_no_sort_merge(spark):
+    plan = _plan(spark, "tpch_q15_top_supplier")
+    # the revenue aggregate is |supplier|-sized: both the scalar max
+    # and the supplier dim broadcast, nothing sort-merges
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q19_broadcast_or_residual(spark):
+    plan = _plan(spark, "tpch_q19_brand_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q22_anti_join_broadcast_threshold(spark):
+    plan = _plan(spark, "tpch_q22_dormant_customers")
+    # one-row threshold broadcasts (nested-loop), recent orders anti-join
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
