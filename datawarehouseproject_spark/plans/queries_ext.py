@@ -873,3 +873,106 @@ def q_avi_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_avi_media(_t(spark, sf_dir, "documents"))
     frames = sample_frames(media, every_n=3).withColumnRenamed("frame", "payload")
     return extract_image_features(frames)
+
+
+@register(
+    "orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+    tags=("orc", "source", "sink", "roundtrip"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> source round-trip with a post-read filter.
+
+    Orders are exported through the ORC sink (``sources/columnar.py``)
+    and read back; the status filter applies to the READ-BACK frame,
+    so the plan must show ORC-side predicate pushdown (asserted in
+    ``tests/test_plans.py``) — proving the export stays an efficient
+    scan target, not just a byte-accurate copy.
+    """
+    import tempfile
+
+    _utc(spark)
+    from ..sources.columnar import read_orc, write_orc
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.to_date("o_orderdate").alias("orderdate"),
+        "o_orderpriority",
+    )
+    path = tempfile.mkdtemp(prefix="dw_orc_rt_") + "/orders_orc"
+    write_orc(orders, path)
+    return read_orc(spark, path).filter(F.col("o_orderstatus") == "O")
+
+
+#: Known event types — passed to pivot() explicitly so Spark skips the
+#: extra values-discovery job (a full distinct scan at 100 TB).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "event_type_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'click'
+                THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS click_value,
+           CAST(sum(CASE WHEN event_type = 'error'
+                THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS error_value,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS purchase_value,
+           CAST(sum(CASE WHEN event_type = 'signup'
+                THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS signup_value,
+           CAST(sum(CASE WHEN event_type = 'view'
+                THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS view_value
+    FROM events
+    GROUP BY day
+    """,
+    tags=("pivot", "conditional-agg"),
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format daily metrics: one row per day, one value column
+    per event type. ``pivot(col, values)`` with the EXPLICIT value
+    list skips the values-discovery job (a full distinct scan at
+    100 TB) and compiles to a two-phase aggregate — pre-agg by
+    (day, type), then pivotfirst by day — both map-side combined, so
+    the second shuffle moves only day x type pre-aggregated rows.
+    Semantically it's the CASE-WHEN battery the oracle spells out;
+    day/type combos with no events yield NULL on both engines, and
+    value sums run in exact DECIMAL."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    n_events = sum(
+        (F.coalesce(F.col(f"{t}_n"), F.lit(0)) for t in EVENT_TYPES),
+        F.lit(0),
+    )
+    return piv.select(
+        "day",
+        n_events.cast("bigint").alias("n_events"),
+        *[
+            F.col(f"{t}_v").cast("double").alias(f"{t}_value")
+            for t in EVENT_TYPES
+        ],
+    )

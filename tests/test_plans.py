@@ -163,3 +163,24 @@ def test_tpch_q22_anti_join_broadcast_threshold(spark):
     # one-row threshold broadcasts (nested-loop), recent orders anti-join
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_orc_roundtrip_pushdown(spark):
+    plan = _plan(spark, "orc_roundtrip")
+    # the status filter must push into the ORC scan, proving the
+    # export stays an efficient scan target
+    assert "FileScan orc" in plan
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]" in plan
+
+
+def test_event_type_pivot_two_phase_agg(spark):
+    plan = _plan(spark, "event_type_pivot")
+    # explicit pivot values compile to pivotfirst (no values-discovery
+    # job): pre-agg by (day, type) then pivot by day — at most two
+    # shuffles, both fed by map-side partial aggregates, and the
+    # second moves only day x type pre-aggregated rows
+    assert "pivotfirst" in plan
+    assert plan.count("HashAggregate") >= 4
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 2
