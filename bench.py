@@ -88,6 +88,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        # drop caches the query pinned (operators cache() for intra-job
+        # reuse but the blocks outlive the job): without this, storage
+        # memory fills over the run and late queries pay eviction + GC
+        # pressure for earlier queries' dead blocks (observed: minhash
+        # at 24s mid-run vs 6.6s isolated, same code, same data)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
