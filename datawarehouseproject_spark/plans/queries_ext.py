@@ -976,3 +976,74 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in EVENT_TYPES
         ],
     )
+
+
+def _hll_users_oracle() -> str:
+    from ..operators.sketches import sql_hll_oracle
+
+    est = sql_hll_oracle("events", "user_id", p=8).strip()
+    return f"""
+    WITH est AS ({est}),
+    ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+    SELECT buckets_used, hll_estimate, exact_distinct FROM est, ex
+    """
+
+
+@register(
+    "hll_distinct_users",
+    oracle=_hll_users_oracle(),
+    tags=("sketch", "hll", "approx-distinct"),
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user estimate, hash-checked
+    against a DuckDB oracle computing the IDENTICAL sketch — every
+    step integer-exact (md5 buckets, string-length ranks, scaled
+    register sums), one final IEEE division (``operators/sketches``).
+    The exact distinct count rides along for an accuracy read. At
+    100 TB the sketch side replaces the exact count: ≤256 two-long
+    rows cross the wire instead of a full distinct shuffle, and daily
+    sketches merge with a max()."""
+    _utc(spark)
+    from ..operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", p=8)
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "salted_star_join",
+    oracle="""
+    SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey
+    """,
+    tags=("skew", "salted-join"),
+)
+def q_salted_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events→customer join routed through :func:`salted_join`
+    (``operators/skew.py``): the fact side salts on a whole-row hash,
+    the dim side replicates n_salts×, so a pathologically hot user_id
+    spreads over 16 reducers instead of one — the explicit fallback
+    for skew AQE can't split (single-key hot spots). The oracle is
+    the PLAIN join: salting must be invisible in the result."""
+    _utc(spark)
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = salted_join(ev, cust, on=["user_id"], n_salts=16)
+    return joined.groupBy(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
