@@ -156,3 +156,96 @@ def sql_hll_oracle(
                                 AS DOUBLE) AS hll_estimate
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: heavy-hitter frequency estimation, same portability
+# contract as the HLL above — md5 positions, integer counters, no floats.
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch as a DataFrame: ``(row_idx, pos, cnt)``.
+
+    Each input value increments one counter per hash row (depth
+    independent md5-salted hashes, position = hash % width). The
+    frame is at most ``depth*width`` rows — map-side combinable
+    (it's a count agg), mergeable across inputs with
+    ``groupBy(row_idx, pos).sum(cnt)``, persistable as parquet. Point
+    estimates (:func:`cms_estimate`) upper-bound true counts; the
+    overestimate shrinks as width grows (ε ≈ e/width).
+    """
+    hashes = [
+        (md5_long(F.col(col).cast("string"), salt=f"cms{i}:") % width).alias(
+            f"p{i}"
+        )
+        for i in range(depth)
+    ]
+    return (
+        df.select(*hashes)
+        .select(F.posexplode(F.array(*[f"p{i}" for i in range(depth)])).alias(
+            "row_idx", "pos"
+        ))
+        .groupBy("row_idx", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-estimate the frequency of each value in ``items[col]``:
+    min over that value's ``depth`` counters (the classic CM upper
+    bound; missing counters mean a true zero). Joins on the tiny
+    (row_idx, pos) key — the sketch side is ≤ depth*width rows, so it
+    broadcasts."""
+    hashes = [
+        (md5_long(F.col(col).cast("string"), salt=f"cms{i}:") % width).alias(
+            f"p{i}"
+        )
+        for i in range(depth)
+    ]
+    probes = items.select(F.col(col), *hashes).select(
+        col,
+        F.posexplode(F.array(*[f"p{i}" for i in range(depth)])).alias(
+            "row_idx", "pos"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "pos"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def sql_cms_oracle(
+    table: str, col: str, depth: int = 4, width: int = 64
+) -> str:
+    """DuckDB twin of sketch+estimate over the distinct values of
+    ``col`` in ``table`` — identical salted positions and counters."""
+    rows = ", ".join(f"({i})" for i in range(depth))
+    pos = (
+        f"CAST('0x' || substring(md5('cms' || CAST(row_idx AS VARCHAR) || ':' "
+        f"|| CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) % {width}"
+    )
+    return f"""
+    WITH rows_t(row_idx) AS (VALUES {rows}),
+    sk AS (
+      SELECT row_idx, {pos} AS pos, count(*) AS cnt
+      FROM {table} CROSS JOIN rows_t
+      GROUP BY row_idx, pos
+    ),
+    probe AS (
+      SELECT DISTINCT {col}, row_idx, {pos} AS pos
+      FROM {table} CROSS JOIN rows_t
+    )
+    SELECT p.{col}, min(coalesce(s.cnt, 0)) AS est_count
+    FROM probe p LEFT JOIN sk s ON p.row_idx = s.row_idx AND p.pos = s.pos
+    GROUP BY p.{col}
+    """

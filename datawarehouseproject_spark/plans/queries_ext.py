@@ -1047,3 +1047,93 @@ def q_salted_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+def _cms_events_oracle() -> str:
+    from ..operators.sketches import sql_cms_oracle
+
+    est = sql_cms_oracle("events", "event_type", depth=4, width=64).strip()
+    return f"""
+    WITH est AS ({est}),
+    ex AS (SELECT event_type, count(*) AS exact_count
+           FROM events GROUP BY event_type)
+    SELECT ex.event_type, est.est_count, ex.exact_count
+    FROM est JOIN ex ON est.event_type = ex.event_type
+    """
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=_cms_events_oracle(),
+    tags=("sketch", "count-min", "heavy-hitters"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for every event type, beside the
+    exact counts. Like the HLL row, the sketch is portable integer
+    arithmetic (md5 positions, count counters) so DuckDB reproduces
+    the ESTIMATES exactly (``operators/sketches.py``). At 100 TB the
+    depth×width counter frame (≤256 rows here) replaces a full
+    groupBy for approximate membership/frequency questions, merges
+    across shards by summing counters, and broadcasts into probes."""
+    _utc(spark)
+    from ..operators.sketches import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "event_type", depth=4, width=64)
+    items = ev.select("event_type").distinct()
+    est = cms_estimate(sketch, items, "event_type", depth=4, width=64)
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "event_type").select(
+        "event_type", "est_count", "exact_count"
+    )
+
+
+@register(
+    "bucketed_orders_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("bucketing", "co-located-join", "source"),
+)
+def q_bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders↔lineitem join through BUCKETED tables
+    (``sources/bucketed.py``): both sides land hash-bucketed on the
+    order key via ``bucketBy + saveAsTable``, so the join reads
+    co-located buckets — no Exchange on either side (the property
+    ``tests/test_bucketed.py`` pins). This is the pay-the-shuffle-
+    once layout for the fact joins a warehouse repeats daily; the
+    oracle is the plain join over the raw parquet."""
+    _utc(spark)
+    from ..sources.bucketed import write_bucketed
+
+    n = 8
+    write_bucketed(
+        _t(spark, sf_dir, "orders"), "bq_orders", ["o_orderkey"], n_buckets=n
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem"),
+        "bq_lineitem",
+        ["l_orderkey"],
+        n_buckets=n,
+    )
+    orders = spark.table("bq_orders")
+    li = spark.table("bq_lineitem")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

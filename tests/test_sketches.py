@@ -61,3 +61,50 @@ def test_hll_sketch_bounded_size(spark):
     """The sketch never exceeds 2^p rows no matter the input size."""
     df = spark.range(0, 50_000).select(F.col("id").alias("k"))
     assert hll_sketch(df, "k", p=8).count() <= 256
+
+
+def test_cms_upper_bounds_and_merge(spark):
+    from datawarehouseproject_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "v string")
+    items = df.select("v").distinct()
+    sk = cms_sketch(df, "v")
+    est = {r["v"]: r["est_count"] for r in
+           cms_estimate(sk, items, "v").collect()}
+    # CM never underestimates, and with 3 values in a 4x64 sketch the
+    # collision probability is tiny — expect exact
+    assert est["a"] >= 100 and est["b"] >= 10 and est["c"] >= 1
+    assert est == {"a": 100, "b": 10, "c": 1}
+
+    # merging two halves == sketching the whole
+    from pyspark.sql import functions as _F
+
+    h1 = spark.createDataFrame(rows[:50], "v string")
+    h2 = spark.createDataFrame(rows[50:], "v string")
+    merged = (
+        cms_sketch(h1, "v")
+        .union(cms_sketch(h2, "v"))
+        .groupBy("row_idx", "pos")
+        .agg(_F.sum("cnt").alias("cnt"))
+    )
+    est_m = {r["v"]: r["est_count"] for r in
+             cms_estimate(merged, items, "v").collect()}
+    assert est_m == est
+
+
+def test_cms_absent_value_zero(spark):
+    from datawarehouseproject_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([("a",)] * 5, "v string")
+    probe = spark.createDataFrame([("zzz",)], "v string")
+    est = cms_estimate(cms_sketch(df, "v"), probe, "v").collect()
+    # 4 independent hash rows over a 64-wide table with ONE occupied
+    # cell per row: a probe colliding in ALL rows is ~(1/64)^4
+    assert est[0]["est_count"] == 0
