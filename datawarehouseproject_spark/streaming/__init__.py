@@ -11,3 +11,7 @@ with watermarks, stateful sessionization) the reference lacks.
 
 from .landing_stream import landing_to_staging_stream  # noqa: F401
 from .windows import windowed_event_counts, sessionize  # noqa: F401
+from .upsert_stream import (  # noqa: F401
+    stream_dedup_events,
+    stream_upsert_partitions,
+)

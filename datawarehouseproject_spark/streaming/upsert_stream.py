@@ -1,0 +1,81 @@
+"""Streaming upsert sink and exactly-once event dedup.
+
+Two pieces the reference's daily-batch world gets from MySQL
+(``INSERT ... ON DUPLICATE KEY UPDATE``, primary-key uniqueness —
+load_staging.py upsert loops; SURVEY §2.1 S8/U2) re-expressed on a
+streaming source:
+
+- :func:`stream_upsert_partitions` — each micro-batch recomputes the
+  partitions it touches and dynamic-partition-overwrites ONLY those
+  through ``foreachBatch``. Late re-deliveries of a partition's data
+  converge to last-write-wins per partition, closed partitions stay
+  byte-untouched, and the checkpoint makes replays idempotent: the
+  streaming twin of the batch upsert (``sources/parquet.py``).
+- :func:`stream_dedup_events` — ``dropDuplicatesWithinWatermark``:
+  at-least-once sources (Kafka redeliveries, file re-drops) are
+  reduced to exactly-once rows while keeping BOUNDED state — keys
+  older than the watermark are evicted, so state holds only the
+  de-dup horizon, not all history (at 100 TB/day an unbounded
+  ``dropDuplicates`` would OOM the state store).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..sources.parquet import upsert_partitions
+
+
+def stream_upsert_partitions(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    table_path: str,
+    partition_cols: list[str],
+    checkpoint_dir: str,
+):
+    """Ingest all unseen source files (AvailableNow) and upsert each
+    micro-batch into ``table_path`` by partition.
+
+    The sink is a plain batch dynamic-partition-overwrite inside
+    ``foreachBatch`` — exactly-once per micro-batch via the
+    checkpoint, partition-granular via the overwrite mode.
+    Returns the finished StreamingQuery.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_partitions(batch_df, table_path, partition_cols)
+
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def stream_dedup_events(
+    events: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once rows from an at-least-once stream, bounded state.
+
+    ``withWatermark(ts, horizon)`` + ``dropDuplicatesWithinWatermark``
+    keeps a key in state only until the watermark passes it: a
+    duplicate arriving within ``horizon`` of the original is dropped,
+    and the state store never grows beyond the horizon's key count.
+    On a batch frame this degrades to plain ``dropDuplicates`` (the
+    oracle-checkable semantics; the eviction behavior is
+    streaming-only and covered by test).
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates([id_col])
+    return events.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
