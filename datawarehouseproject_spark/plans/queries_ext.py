@@ -1137,3 +1137,44 @@ def q_bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN 'UNKNOWN'
+                ELSE o_orderpriority END AS priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("schema-evolution", "mergeSchema", "source"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: an old extract
+    (status 'F', written BEFORE the priority column existed) and a
+    new extract (all columns) land in one directory;
+    ``mergeSchema=true`` unions the schemas, old files surface the
+    missing column as NULL, and the query normalizes it with a
+    sentinel — the add-a-column migration every long-lived warehouse
+    feed goes through, with zero rewrite of historical files. The
+    oracle recreates the same semantics from the unsplit table."""
+    import tempfile
+
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="dw_schema_evo_") + "/orders_evo"
+    orders.filter(F.col("o_orderstatus") == "F").drop(
+        "o_orderpriority"
+    ).write.parquet(root)
+    orders.filter(F.col("o_orderstatus") != "F").write.mode(
+        "append"
+    ).parquet(root)
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy(
+        "o_orderstatus",
+        F.coalesce(F.col("o_orderpriority"), F.lit("UNKNOWN")).alias(
+            "priority"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
