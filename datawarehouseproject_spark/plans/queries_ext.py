@@ -1108,18 +1108,26 @@ def q_bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_bucketed.py`` pins). This is the pay-the-shuffle-
     once layout for the fact joins a warehouse repeats daily; the
     oracle is the plain join over the raw parquet."""
+    import tempfile
+
     _utc(spark)
     from ..sources.bucketed import write_bucketed
 
     n = 8
+    root = tempfile.mkdtemp(prefix="dw_bucketed_")
     write_bucketed(
-        _t(spark, sf_dir, "orders"), "bq_orders", ["o_orderkey"], n_buckets=n
+        _t(spark, sf_dir, "orders"),
+        "bq_orders",
+        ["o_orderkey"],
+        n_buckets=n,
+        path=f"{root}/bq_orders",
     )
     write_bucketed(
         _t(spark, sf_dir, "lineitem"),
         "bq_lineitem",
         ["l_orderkey"],
         n_buckets=n,
+        path=f"{root}/bq_lineitem",
     )
     orders = spark.table("bq_orders")
     li = spark.table("bq_lineitem")

@@ -23,16 +23,28 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) table.
 
     ``sort_cols`` additionally sorts within buckets, upgrading joins
     to zero-sort SortMergeJoin and making range scans on the sort key
     cheap.
+
+    ``path`` makes it an EXTERNAL bucketed table at that location
+    (bucket spec is still catalog-recorded). Use it when the default
+    warehouse dir may hold a stale location from a previous session —
+    a managed-table overwrite can only drop locations the CURRENT
+    session's catalog knows about (LOCATION_ALREADY_EXISTS otherwise).
+    A same-name registration from earlier in this session is dropped
+    first so the name rebinds cleanly.
     """
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 
