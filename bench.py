@@ -32,19 +32,29 @@ HEADLINE = [
     "dim_maintenance",
     "star_join",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
+    "tpch_q19_brand_revenue",
+    "tpch_q22_dormant_customers",
     "asof_join",
     "session_range_join",
     "sessionize",
     "rollup_cascade",
     "exact_dedup",
+    "event_type_pivot",
+    "hll_distinct_users",
+    "cms_heavy_hitters",
+    "salted_star_join",
     "minhash_lsh_pairs",
     "simhash",
     "embedding_topk",
