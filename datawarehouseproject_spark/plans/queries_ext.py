@@ -1186,3 +1186,109 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority"
         ),
     ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "merge_cdc_customers",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS delta,
+             count(*) AS n_open
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    ),
+    src AS (
+      SELECT a.c_custkey, c.c_name, c.c_nationkey,
+             CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) + a.delta
+                  AS DECIMAL(18,2)) AS bal,
+             c.c_mktsegment,
+             a.n_open > 9 AS is_delete
+      FROM agg a JOIN customer c ON a.c_custkey = c.c_custkey
+      UNION ALL
+      SELECT a.c_custkey + 100000,
+             'NEW_' || CAST(a.c_custkey + 100000 AS VARCHAR),
+             CAST(a.c_custkey % 25 AS INTEGER),
+             a.delta, 'BUILDING', FALSE
+      FROM agg a WHERE a.c_custkey % 100 = 0
+    )
+    SELECT c.c_custkey, c.c_name,
+           CAST(c.c_nationkey AS INTEGER) AS nationkey,
+           CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+           c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT s.c_custkey, s.c_name, CAST(s.c_nationkey AS INTEGER),
+           CAST(s.bal AS DOUBLE), s.c_mktsegment
+    FROM src s JOIN customer c ON s.c_custkey = c.c_custkey
+    WHERE NOT s.is_delete
+    UNION ALL
+    SELECT s.c_custkey, s.c_name, CAST(s.c_nationkey AS INTEGER),
+           CAST(s.bal AS DOUBLE), s.c_mktsegment
+    FROM src s
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = s.c_custkey)
+    """,
+    tags=("merge", "cdc", "upsert-delete"),
+)
+def q_merge_cdc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE in one distributed plan (``operators/merge.py``):
+    a CDC-shaped source (new balances for customers with open orders,
+    a delete marker for heavy accounts, brand-new rows for a key
+    slice) merges into the customer dim — matched-update,
+    matched-delete, not-matched-insert, untouched-keep, all from ONE
+    full-outer shuffle. The oracle spells the same four-way outcome
+    as explicit unions. Replaces the reference's row-at-a-time
+    ``ON DUPLICATE KEY UPDATE`` loop (SURVEY §2.1 S8) with delete
+    support the reference lacks entirely."""
+    _utc(spark)
+    from ..operators.merge import merge_into
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "c_acctbal", F.col("c_acctbal").cast("decimal(18,2)")
+    )
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("delta"),
+            F.count(F.lit(1)).alias("n_open"),
+        )
+    )
+    upd = agg.join(cust.select("c_custkey", "c_name", "c_nationkey",
+                               "c_acctbal", "c_mktsegment"), "c_custkey").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.col("delta")).cast("decimal(18,2)").alias(
+            "c_acctbal"
+        ),
+        "c_mktsegment",
+        (F.col("n_open") > 9).alias("is_delete"),
+    )
+    ins = agg.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        F.concat(
+            F.lit("NEW_"), (F.col("c_custkey") + 100000).cast("string")
+        ).alias("c_name"),
+        (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("delta").alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+        F.lit(False).alias("is_delete"),
+    )
+    merged = merge_into(
+        cust,
+        upd.unionByName(ins),
+        on=["c_custkey"],
+        update_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        delete_col="is_delete",
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        "c_mktsegment",
+    )
