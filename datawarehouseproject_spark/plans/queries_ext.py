@@ -1292,3 +1292,69 @@ def q_merge_cdc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("acctbal"),
         "c_mktsegment",
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register(
+    "grouping_sets_sales",
+    oracle=_GROUPING_SETS_SQL,
+    tags=("grouping-sets", "cube-family"),
+)
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization CUBE/ROLLUP
+    specialize — `sales_cube`/`rollup_cascade` cover those): three
+    chosen groupings in ONE scan+shuffle instead of three queries,
+    with ``grouping()`` flags disambiguating a real NULL key from a
+    rolled-up 'ALL'. Runs through the engine's SQL surface over a
+    registered view; DuckDB runs the identical text."""
+    _utc(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "unpivot_line_metrics",
+    oracle="""
+    SELECT metric,
+           CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           count(*) AS n
+    FROM (SELECT l_quantity, l_discount, l_tax FROM lineitem)
+    UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+    GROUP BY metric
+    """,
+    tags=("unpivot", "melt", "reshape"),
+)
+def q_unpivot_line_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (the inverse of `event_type_pivot`):
+    ``unpivot`` emits one (metric, value) row per measure column —
+    a cheap in-task row expansion (no shuffle, no join; the 1:N
+    explode happens inside the scan stage), then the usual partial
+    aggregation. The melt every feature-store export needs."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            [],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+        .groupBy("metric")
+        .agg(
+            F.sum(F.col("val").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
