@@ -41,3 +41,4 @@ from .multimodal import extract_media_features, documents_as_media  # noqa: F401
 from .sketches import hll_distinct, hll_estimate, hll_sketch  # noqa: F401
 from .sketches import cms_estimate, cms_sketch  # noqa: F401
 from .merge import merge_into  # noqa: F401
+from .quality_gate import assert_expectations, check_expectations  # noqa: F401

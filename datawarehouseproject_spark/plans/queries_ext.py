@@ -1358,3 +1358,99 @@ def q_unpivot_line_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    WITH base AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN NOT coalesce(l_quantity > 0, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty_positive,
+             CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.1,
+                 FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_discount_band,
+             CAST(sum(CASE WHEN NOT coalesce(l_shipdate IS NOT NULL, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_shipdate_set,
+             CAST(sum(CASE WHEN NOT coalesce(l_extendedprice >= 900, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_price_floor
+      FROM lineitem
+    )
+    SELECT 'qty_positive' AS rule, n AS n_rows,
+           v_qty_positive AS n_violations, v_qty_positive = 0 AS pass
+    FROM base
+    UNION ALL
+    SELECT 'discount_band', n, v_discount_band, v_discount_band = 0 FROM base
+    UNION ALL
+    SELECT 'shipdate_set', n, v_shipdate_set, v_shipdate_set = 0 FROM base
+    UNION ALL
+    SELECT 'price_floor', n, v_price_floor, v_price_floor = 0 FROM base
+    """,
+    tags=("data-quality", "expectations", "A4"),
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ gate (``operators/quality_gate.py``): four
+    expectations over lineitem evaluated in ONE scan (conditional
+    aggregates, zero shuffles before the 1-row agg), reported as
+    (rule, n_rows, n_violations, pass). Generalizes the reference's
+    COUNT(*) guards (SURVEY §2.5 A4) to a rule battery; NULL rule
+    results count as violations (the three-valued-logic trap).
+    price_floor is deliberately violable so the report shows a
+    failing rule."""
+    _utc(spark)
+    from ..operators.quality_gate import check_expectations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return check_expectations(
+        li,
+        {
+            "qty_positive": F.col("l_quantity") > 0,
+            "discount_band": F.col("l_discount").between(0.0, 0.1),
+            "shipdate_set": F.col("l_shipdate").isNotNull(),
+            "price_floor": F.col("l_extendedprice") >= 900,
+        },
+    )
+
+
+@register(
+    "incremental_rollup",
+    oracle="""
+    SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+           CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS mo,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("incremental", "materialized-view", "partial-agg-merge"),
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly rollup
+    is built as BASE (orders before 2001) + DELTA (2001 orders)
+    partial aggregates merged by re-aggregation — sums add, counts
+    add — never rescanning base history. The oracle computes the same
+    rollup from scratch; matching proves the incremental path is
+    lossless. At 100 TB this is the difference between touching one
+    day's partitions and recomputing years (pair with
+    upsert_partitions to rewrite only the merged months)."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year(F.to_date("o_orderdate")).cast("int").alias("yr"),
+            F.month(F.to_date("o_orderdate")).cast("int").alias("mo"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__t"),
+        )
+
+    base = rollup(orders.filter(F.to_date("o_orderdate") < "2001-01-01"))
+    delta = rollup(orders.filter(F.to_date("o_orderdate") >= "2001-01-01"))
+    return (
+        base.unionByName(delta)
+        .groupBy("yr", "mo")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("__t").cast("double").alias("total"),
+        )
+    )
