@@ -1454,3 +1454,52 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__t").cast("double").alias("total"),
         )
     )
+
+
+def _zorder_oracle() -> str:
+    from ..sources.layout import sql_zorder_key
+
+    zk = sql_zorder_key("(o_custkey % 65536)", "dayofyear(o_orderdate)", 16)
+    return f"""
+    WITH keyed AS (
+      SELECT {zk} AS zkey FROM orders
+    )
+    SELECT CAST(zkey >> 14 AS BIGINT) AS tile,
+           count(*) AS n_orders,
+           min(zkey) AS min_key,
+           max(zkey) AS max_key
+    FROM keyed GROUP BY tile
+    """
+
+
+@register(
+    "zorder_tiles",
+    oracle=_zorder_oracle(),
+    tags=("zorder", "layout", "clustering"),
+)
+def q_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key two-dimensional clustering
+    (``sources/layout.py:zorder_key``): orders keyed by interleaving
+    (custkey, day-of-year) bits, rolled up per 2^14-key tile. A tile
+    is a square in (customer, season) space, so files range-laid on
+    this key serve min-max pruning for predicates on EITHER column —
+    the no-table-format Z-ORDER. Pure shifts/masks in codegen; the
+    oracle evaluates the literally identical bit expression."""
+    _utc(spark)
+    from ..sources.layout import zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    zk = zorder_key(
+        F.col("o_custkey") % 65536,
+        F.dayofyear(F.to_date("o_orderdate")),
+        16,
+    )
+    return (
+        orders.select(zk.alias("zkey"))
+        .groupBy(F.shiftright(F.col("zkey"), 14).alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("zkey").alias("min_key"),
+            F.max("zkey").alias("max_key"),
+        )
+    )

@@ -39,3 +39,42 @@ def layout_for_scans(
         else df.repartitionByRange(*range_cols)
     )
     return parts.sortWithinPartitions(*(sort_cols or range_cols))
+
+
+def zorder_key(
+    x: Column | str, y: Column | str, bits: int = 16
+) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` of two
+    non-negative integer columns — ``x`` in even positions, ``y`` in
+    odd.
+
+    Feed this to :func:`layout_for_scans` as the range column to
+    cluster files on TWO dimensions at once: a range of the Z-key is
+    a tile in (x, y) space, so min-max pruning bites for predicates
+    on EITHER column — single-column range layout can only serve one.
+    Pure shifts/masks (codegen, no UDF), and the identical expression
+    is writable in any SQL dialect, so oracle checks are exact.
+    """
+    from pyspark.sql import functions as F
+
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(cx.cast("long"), i).bitwiseAND(1), 2 * i)
+            + F.shiftleft(
+                F.shiftright(cy.cast("long"), i).bitwiseAND(1), 2 * i + 1
+            )
+        )
+    return out
+
+
+def sql_zorder_key(x: str, y: str, bits: int = 16) -> str:
+    """SQL twin of :func:`zorder_key` (same shifts, same masks)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -58,3 +58,30 @@ def test_layout_clusters_minmax_ranges(spark, tmp_path):
     s = spans(scattered)
     domain = s[-1][1] - s[0][0]
     assert all((hi - lo) > 0.8 * domain for lo, hi in s), s
+
+
+def test_zorder_key_matches_reference_bits(spark):
+    """Spark zorder_key equals a Python bit-interleave reference, and
+    preserves the defining property: nearby (x, y) points share key
+    prefixes (tile locality)."""
+    from datawarehouseproject_spark.sources.layout import zorder_key
+
+    def ref(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    pts = [(0, 0), (1, 0), (0, 1), (255, 255), (1499, 366), (65535, 65535)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key("x", "y").alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == ref(x, y), (x, y)
+    # locality: a 2x2 block shares all but the low 2 bits
+    assert ref(2, 2) >> 2 == ref(3, 3) >> 2 == ref(2, 3) >> 2
