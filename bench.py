@@ -52,9 +52,15 @@ HEADLINE = [
     "rollup_cascade",
     "exact_dedup",
     "event_type_pivot",
+    "unpivot_line_metrics",
+    "grouping_sets_sales",
     "hll_distinct_users",
     "cms_heavy_hitters",
     "salted_star_join",
+    "merge_cdc_customers",
+    "incremental_rollup",
+    "dq_expectations",
+    "zorder_tiles",
     "minhash_lsh_pairs",
     "simhash",
     "embedding_topk",
