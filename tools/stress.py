@@ -145,6 +145,38 @@ def main() -> None:
         "rows_per_sec": int(n_docs / day2),
     }))
 
+    # MERGE at volume: CDC feed touching ~38% of the target (1/3
+    # updates, 5% inserts, flagged deletes on every 50th key)
+    from datawarehouseproject_spark.operators.merge import merge_into
+
+    tgt = docs.select(
+        F.col("doc_id").alias("k"), (F.col("doc_id") % 997).alias("v")
+    ).cache()
+    tgt.count()
+    upd = tgt.filter(F.col("k") % 3 == 0).select(
+        "k", (F.col("v") + 1).alias("v"), (F.col("k") % 50 == 0).alias("is_del")
+    )
+    ins = spark.range(n_docs * 10, n_docs * 10 + n_docs // 20).select(
+        F.col("id").alias("k"), F.lit(0).alias("v"),
+        F.lit(False).alias("is_del"),
+    )
+    run(
+        "merge_cdc",
+        merge_into(tgt, upd.unionByName(ins), on=["k"],
+                   update_cols=["v"], delete_col="is_del"),
+        n_docs,
+    )
+
+    # sketches at volume: the shuffle carries <=2^p / depth*width rows
+    # however large the input
+    from datawarehouseproject_spark.operators.sketches import (
+        cms_sketch,
+        hll_distinct,
+    )
+
+    run("hll_distinct", hll_distinct(docs, "doc_id", p=12), n_docs)
+    run("cms_sketch", cms_sketch(docs, "doc_id", depth=4, width=1024), n_docs)
+
 
 if __name__ == "__main__":
     main()
