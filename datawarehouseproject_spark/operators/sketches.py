@@ -249,3 +249,98 @@ def sql_cms_oracle(
     FROM probe p LEFT JOIN sk s ON p.row_idx = s.row_idx AND p.pos = s.pos
     GROUP BY p.{col}
     """
+
+
+def hll_sketch_by(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    p: int = 8,
+    salt: str = "hll:",
+) -> DataFrame:
+    """Group-wise HLL sketch: ``(*group_cols, bucket, mrank)``.
+
+    One shuffle keyed on (group, bucket) — at most ``2^p`` rows per
+    group survive, so per-dimension uniques over billions of rows
+    reduce to |groups| * 2^p two-long rows. Merges exactly like the
+    global sketch (max per (group, bucket)); a day's sketches roll up
+    into month/quarter uniques without touching raw data — the thing
+    COUNT(DISTINCT) per dimension fundamentally can't do.
+    """
+    m = 1 << p
+    w = _HASH_BITS - p
+    h = md5_long(F.col(col).cast("string"), salt=salt)
+    zlen = F.length(F.conv(F.col("__z").cast("string"), 10, 2))
+    rank = F.when(F.col("__z") == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - zlen
+    )
+    return (
+        df.select(*group_cols, h.alias("__h"))
+        .select(
+            *group_cols,
+            (F.col("__h") % m).alias("bucket"),
+            F.expr(f"__h div {m}").alias("__z"),
+        )
+        .select(*group_cols, "bucket", rank.alias("__rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rank").alias("mrank"))
+    )
+
+
+def hll_estimate_by(
+    sketch: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Per-group estimates from a group-wise sketch:
+    ``(*group_cols, buckets_used, hll_estimate)`` — same exactness
+    contract as :func:`hll_estimate` (scaled-integer register sums,
+    one IEEE division per group)."""
+    m = 1 << p
+    w = _HASH_BITS - p
+    scale = 1 << (w + 1)
+    numerator = _alpha(m) * m * m * scale
+    return sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("buckets_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - mrank)"))
+        .alias("__present"),
+    ).select(
+        *group_cols,
+        "buckets_used",
+        (
+            F.lit(numerator)
+            / (
+                F.col("__present")
+                + (F.lit(m) - F.col("buckets_used")) * F.lit(scale)
+            ).cast("double")
+        ).alias("hll_estimate"),
+    )
+
+
+def sql_hll_by_oracle(
+    table: str, group_expr: str, col: str, p: int = 8, salt: str = "hll:"
+) -> str:
+    """DuckDB twin of group-wise sketch+estimate; ``group_expr`` must
+    alias to ``grp``."""
+    m = 1 << p
+    w = _HASH_BITS - p
+    scale = 1 << (w + 1)
+    numerator = _alpha(m) * m * m * scale
+    return f"""
+    WITH h AS (
+      SELECT {group_expr} AS grp,
+             CAST('0x' || substring(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM {table}
+    ),
+    r AS (
+      SELECT grp, hv % {m} AS bucket,
+             CASE WHEN hv // {m} = 0 THEN {w + 1}
+                  ELSE {w + 1} - length(bin(hv // {m})) END AS rnk
+      FROM h
+    ),
+    s AS (SELECT grp, bucket, max(rnk) AS mrank FROM r GROUP BY grp, bucket)
+    SELECT grp, count(*) AS buckets_used,
+           {numerator!r} / CAST(sum(1::BIGINT << ({w + 1} - mrank))
+                + ({m} - count(*)) * {scale}::BIGINT AS DOUBLE)
+             AS hll_estimate
+    FROM s GROUP BY grp
+    """

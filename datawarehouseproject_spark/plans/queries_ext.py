@@ -1503,3 +1503,45 @@ def q_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").alias("max_key"),
         )
     )
+
+
+def _hll_by_type_oracle() -> str:
+    from ..operators.sketches import sql_hll_by_oracle
+
+    est = sql_hll_by_oracle("events", "event_type", "user_id", p=8).strip()
+    return f"""
+    WITH est AS ({est}),
+    ex AS (SELECT event_type AS grp, count(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY event_type)
+    SELECT ex.grp AS event_type, est.buckets_used, est.hll_estimate,
+           ex.exact_distinct
+    FROM est JOIN ex ON est.grp = ex.grp
+    """
+
+
+@register(
+    "hll_uniques_by_type",
+    oracle=_hll_by_type_oracle(),
+    tags=("sketch", "hll", "group-wise"),
+)
+def q_hll_uniques_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension unique users via GROUP-WISE HLL
+    (``operators/sketches.py:hll_sketch_by``): one shuffle keyed on
+    (event_type, bucket), ≤2^p register rows per group — the shape
+    that lets daily per-dimension uniques roll up into month/quarter
+    uniques by register max, which COUNT(DISTINCT) can never do.
+    Estimates hash-match DuckDB computing the identical registers;
+    exact counts ride along."""
+    _utc(spark)
+    from ..operators.sketches import hll_estimate_by, hll_sketch_by
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_estimate_by(
+        hll_sketch_by(ev, ["event_type"], "user_id", p=8), ["event_type"], p=8
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "buckets_used", "hll_estimate", "exact_distinct"
+    )

@@ -108,3 +108,52 @@ def test_cms_absent_value_zero(spark):
     # 4 independent hash rows over a 64-wide table with ONE occupied
     # cell per row: a probe colliding in ALL rows is ~(1/64)^4
     assert est[0]["est_count"] == 0
+
+
+def test_hll_groupwise_matches_global_per_group(spark):
+    """A group-wise sketch restricted to one group equals the global
+    sketch of that group's rows — same registers, same estimate."""
+    from datawarehouseproject_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_sketch_by,
+    )
+
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    by = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate_by(
+            hll_sketch_by(df, ["g"], "k"), ["g"]
+        ).collect()
+    }
+    solo = hll_distinct(df.filter(F.col("g") == "1"), "k").collect()[0][
+        "hll_estimate"
+    ]
+    assert by["1"] == solo
+
+
+def test_hll_groupwise_rollup_merge(spark):
+    """Two days' group-wise sketches merged by register max equal the
+    sketch of the union — the month-from-days rollup."""
+    from datawarehouseproject_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_sketch_by,
+    )
+
+    d1 = spark.range(0, 3000).select(
+        F.lit("a").alias("g"), F.col("id").alias("k")
+    )
+    d2 = spark.range(1500, 4500).select(
+        F.lit("a").alias("g"), F.col("id").alias("k")
+    )
+    merged = (
+        hll_sketch_by(d1, ["g"], "k")
+        .union(hll_sketch_by(d2, ["g"], "k"))
+        .groupBy("g", "bucket")
+        .agg(F.max("mrank").alias("mrank"))
+    )
+    whole = hll_sketch_by(d1.union(d2), ["g"], "k")
+    a = hll_estimate_by(merged, ["g"]).collect()[0]["hll_estimate"]
+    b = hll_estimate_by(whole, ["g"]).collect()[0]["hll_estimate"]
+    assert a == b
