@@ -15,3 +15,4 @@ from .upsert_stream import (  # noqa: F401
     stream_dedup_events,
     stream_upsert_partitions,
 )
+from .joins import stream_interval_join  # noqa: F401

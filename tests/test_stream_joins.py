@@ -1,0 +1,74 @@
+"""stream_interval_join: real streaming execution + batch parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datawarehouseproject_spark.streaming.joins import stream_interval_join
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+ERRORS = [
+    (1, "2024-01-01 10:10:00", 100),  # has a click 5 min before
+    (1, "2024-01-01 12:00:00", 101),  # nearest click 115 min before: out
+    (2, "2024-01-01 10:10:00", 102),  # other user's click: no match
+]
+CLICKS = [
+    (1, "2024-01-01 10:05:00", 900),
+    (3, "2024-01-01 10:05:00", 901),
+]
+
+
+def test_interval_join_batch_semantics(spark):
+    out = stream_interval_join(
+        _rows(spark, ERRORS),
+        _rows(spark, CLICKS),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lookback="10 minutes",
+    ).collect()
+    assert [(r["event_id"], r["r_event_id"]) for r in out] == [(100, 900)]
+
+
+def test_interval_join_streaming_end_to_end(spark, tmp_path):
+    """Both sides as real file streams; the joined output through a
+    memory sink must equal the batch result."""
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    _rows(spark, ERRORS).write.parquet(ldir)
+    _rows(spark, CLICKS).write.parquet(rdir)
+
+    lstream = spark.readStream.schema(SCHEMA).parquet(ldir)
+    rstream = spark.readStream.schema(SCHEMA).parquet(rdir)
+    joined = stream_interval_join(
+        lstream, rstream, on="user_id", left_ts="ts", right_ts="ts",
+        lookback="10 minutes",
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("select * from ij_out").collect()
+    ]
+    assert got == [(100, 900)]
