@@ -1545,3 +1545,49 @@ def q_hll_uniques_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "buckets_used", "hll_estimate", "exact_distinct"
     )
+
+
+@register(
+    "json_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    """,
+    tags=("json", "source", "sink", "roundtrip"),
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink -> source round-trip (the third format next to
+    `csv_roundtrip` and `orc_roundtrip`): events written as JSONL,
+    read back with an EXPLICIT schema (never inferSchema — an extra
+    full scan at 100 TB, and type guesses drift between files), with
+    timestamps surviving as ISO-8601 text. The filter applies to the
+    read-back frame; values must match the parquet-sourced oracle
+    exactly."""
+    import tempfile
+
+    _utc(spark)
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"), "ts",
+    )
+    path = tempfile.mkdtemp(prefix="dw_json_rt_") + "/events_json"
+    # default JSON timestampFormat truncates to milliseconds; pin a
+    # microsecond format on BOTH sides so ts round-trips losslessly
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.option("timestampFormat", ts_fmt).json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("timestampFormat", ts_fmt).json(path)
+    return back.filter(F.col("event_type").isin("purchase", "signup"))
