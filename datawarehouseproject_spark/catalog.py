@@ -89,6 +89,57 @@ class Catalog:
 #: as ``timestamp``/``timestamp_ntz``); ``load_table`` normalizes either to
 #: a microsecond timestamp so downstream plans see one shape.
 EXPECTED_SCHEMAS: dict[str, dict[str, tuple[str, ...]]] = {
+    "region": {
+        "r_regionkey": ("int", "bigint"),
+        "r_name": ("string",),
+    },
+    "nation": {
+        "n_nationkey": ("int", "bigint"),
+        "n_name": ("string",),
+        "n_regionkey": ("int", "bigint"),
+    },
+    "customer": {
+        "c_custkey": ("bigint", "int"),
+        "c_name": ("string",),
+        "c_nationkey": ("int", "bigint"),
+        "c_acctbal": ("double",),
+        "c_mktsegment": ("string",),
+    },
+    "supplier": {
+        "s_suppkey": ("bigint", "int"),
+        "s_name": ("string",),
+        "s_nationkey": ("int", "bigint"),
+        "s_acctbal": ("double",),
+    },
+    "part": {
+        "p_partkey": ("bigint", "int"),
+        "p_name": ("string",),
+        "p_brand": ("string",),
+        "p_type": ("string",),
+        "p_size": ("int", "bigint"),
+        "p_retailprice": ("double",),
+    },
+    "orders": {
+        "o_orderkey": ("bigint", "int"),
+        "o_custkey": ("bigint", "int"),
+        "o_orderstatus": ("string",),
+        "o_totalprice": ("double",),
+        "o_orderdate": ("timestamp", "timestamp_ntz", "date"),
+        "o_orderpriority": ("string",),
+    },
+    "lineitem": {
+        "l_orderkey": ("bigint", "int"),
+        "l_partkey": ("bigint", "int"),
+        "l_suppkey": ("bigint", "int"),
+        "l_linenumber": ("int", "bigint"),
+        "l_quantity": ("double",),
+        "l_extendedprice": ("double",),
+        "l_discount": ("double",),
+        "l_tax": ("double",),
+        "l_returnflag": ("string",),
+        "l_linestatus": ("string",),
+        "l_shipdate": ("timestamp", "timestamp_ntz", "date"),
+    },
     "events": {
         "event_id": ("bigint",),
         "ts": ("bigint", "timestamp", "timestamp_ntz"),

@@ -60,3 +60,34 @@ def test_registry_query_constructs(spark, name):
     fn = registry.queries()[name]
     df = fn(spark, SF_DIR)
     assert df.schema.fields, f"{name}: empty schema"
+
+
+def test_schema_drift_raises_named_column(spark, tmp_path):
+    """A regenerated table with a retyped column must fail with ONE
+    clear error naming the drifted column — not an opaque failure in
+    every downstream query (the round-3 postmortem contract)."""
+    import pytest as _pytest
+
+    drifted = str(tmp_path)
+    # orders with o_totalprice as STRING instead of double
+    spark.createDataFrame(
+        [(1, 1, "O", "9.99", "2024-01-01 00:00:00", "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice string, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate", "o_orderpriority",
+    ).write.parquet(f"{drifted}/orders.parquet")
+    with _pytest.raises(ValueError, match="orders.o_totalprice.*string"):
+        load_table(spark, drifted, "orders")
+
+
+def test_schema_drift_missing_column(spark, tmp_path):
+    drifted = str(tmp_path)
+    spark.createDataFrame([(1,)], "r_regionkey int").write.parquet(
+        f"{drifted}/region.parquet"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing expected column 'r_name'"):
+        load_table(spark, drifted, "region")
