@@ -21,6 +21,12 @@ FLAGSHIPS = [
     "scd2_two_day",
     "minhash_lsh_pairs",
     "embedding_topk",
+    "tpch_q8_market_share",
+    "tpch_q17_small_quantity",
+    "event_type_pivot",
+    "hll_distinct_users",
+    "merge_cdc_customers",
+    "zorder_tiles",
 ]
 
 HEADER = """# Captured physical plans (sf0.001)
