@@ -1591,3 +1591,99 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.schema(schema).option("timestampFormat", ts_fmt).json(path)
     return back.filter(F.col("event_type").isin("purchase", "signup"))
+
+
+@register(
+    "customer_rank_battery",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_nationkey AS INTEGER) AS nationkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS wealth_quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cume,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "ranking", "analytics"),
+)
+def q_customer_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery per nation partition: ntile quartiles,
+    percent_rank, cume_dist, row_number in ONE window (one shuffle on
+    the partition key, one sort). The sort key is (acctbal, custkey) —
+    unique — because ntile/row_number are order-dependent under ties
+    and would desync from the oracle otherwise. percent_rank/cume
+    divide exact integer rank/count pairs, so the doubles match
+    bit-for-bit."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.ntile(4).over(w).cast("int").alias("wealth_quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+
+
+@register(
+    "forward_fill_series",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    users AS (SELECT DISTINCT user_id FROM events),
+    spine AS (SELECT user_id, day FROM users CROSS JOIN days),
+    obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             max(CAST(value AS DECIMAL(12,2))) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, day
+    )
+    SELECT s.user_id, s.day,
+           CAST(last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS last_purchase_value
+    FROM spine s LEFT JOIN obs o
+      ON s.user_id = o.user_id AND s.day = o.day
+    """,
+    tags=("time-series", "gap-fill", "window"),
+)
+def q_forward_fill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series: a (user × observed-day) spine left-
+    joined to per-day purchase observations, forward-filled with
+    ``last(..., ignorenulls=True)`` — the LOCF (last observation
+    carried forward) every feature-store daily snapshot needs. One
+    window sort per user partition; days with no purchase yet are
+    NULL on both engines. Observations aggregate in exact DECIMAL
+    before the fill."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(days)
+    obs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.max(F.col("value").cast("decimal(12,2)")).alias("v"))
+    )
+    return (
+        spine.join(obs, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("v", ignorenulls=True)
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("double")
+            .alias("last_purchase_value"),
+        )
+    )
