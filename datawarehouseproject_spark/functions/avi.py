@@ -28,6 +28,8 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
+
 from .bmp import encode_pixel_array, parse_pixel_array, row_stride, synth_size
 
 _AVIH = struct.Struct("<14I")
@@ -46,10 +48,14 @@ def _list(list_type: bytes, body: bytes) -> bytes:
 def encode_avi(
     width: int,
     height: int,
-    frames: list[list[list[tuple[int, int, int]]]],
+    frames,
     fps: int = 10,
 ) -> bytes:
-    """Mux top-down RGB frame arrays into an uncompressed DIB AVI."""
+    """Mux top-down RGB frame arrays into an uncompressed DIB AVI.
+
+    ``frames`` is array-like of shape ``(n_frames, height, width, 3)``
+    (or any sequence of ``(height, width, 3)`` RGB arrays)."""
+    frames = np.asarray(frames, dtype=np.uint8)
     frame_bytes = row_stride(width) * height
     avih = _chunk(
         b"avih",
@@ -90,10 +96,12 @@ def _walk(payload: bytes, pos: int, end: int) -> Iterator[tuple[bytes, bytes | N
         pos = body_start + size + (size & 1)
 
 
-def decode_avi(payload: bytes) -> tuple[int, int, list[list[list[tuple[int, int, int]]]]]:
+def decode_avi(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Demux an uncompressed DIB AVI to (width, height, frames).
 
-    Frames come back as top-down RGB row arrays in stream order.
+    ``frames`` is a ``(n_frames, height, width, 3)`` uint8 array of
+    top-down RGB frames in stream order (each frame decoded by the
+    vectorized :func:`..functions.bmp.parse_pixel_array` kernel).
     Unknown chunks (``idx1``, ``JUNK``, vendor lists) are skipped;
     raises ``ValueError`` on non-AVI magic, missing headers, or a
     compressed/paletted video stream.
@@ -102,7 +110,7 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[list[list[tuple[int, int,
         raise ValueError("not an AVI payload (missing RIFF/'AVI ' magic)")
     width = height = None
     bottom_up = True
-    frames: list[list[list[tuple[int, int, int]]]] = []
+    frames: list[np.ndarray] = []
 
     def visit(pos: int, end: int) -> None:
         nonlocal width, height, bottom_up
@@ -129,7 +137,12 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[list[list[tuple[int, int,
     visit(12, 8 + struct.unpack_from("<I", payload, 4)[0])
     if width is None:
         raise ValueError("missing strf video header")
-    return width, height, frames
+    stacked = (
+        np.stack(frames)
+        if frames
+        else np.empty((0, height, width, 3), dtype=np.uint8)
+    )
+    return width, height, stacked
 
 
 def synth_frame_pixel(seed: int, x: int, y: int, t: int) -> tuple[int, int, int]:
@@ -148,12 +161,22 @@ def synth_frame_count(seed: int) -> int:
     return 4 + seed % 5
 
 
+def synth_frames(seed: int, width: int, height: int, n_frames: int) -> np.ndarray:
+    """Vectorized :func:`synth_frame_pixel` over the full clip:
+    broadcasts the x/y/t index grids through the same modular
+    formulas, returning ``(n_frames, height, width, 3)`` uint8."""
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)[:, None]
+    t = np.arange(n_frames, dtype=np.int64)[:, None, None]
+    shape = (n_frames, height, width)
+    r = np.broadcast_to((seed * 7 + x * 3 + y * 5 + t * 19) % 256, shape)
+    g = np.broadcast_to((seed * 11 + x * 2 + y * 13 + t * 23) % 256, shape)
+    b = np.broadcast_to((seed * 3 + x * 17 + y + t * 29) % 256, shape)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
 def synth_avi(seed: int) -> bytes:
     """Synthesize the deterministic test clip for ``seed``; frame
     size reuses :func:`..functions.bmp.synth_size`."""
     w, h = synth_size(seed)
-    frames = [
-        [[synth_frame_pixel(seed, x, y, t) for x in range(w)] for y in range(h)]
-        for t in range(synth_frame_count(seed))
-    ]
-    return encode_avi(w, h, frames)
+    return encode_avi(w, h, synth_frames(seed, w, h, synth_frame_count(seed)))

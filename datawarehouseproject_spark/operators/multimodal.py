@@ -64,16 +64,27 @@ def decode_stub(payload: bytes) -> dict:
 
     Production would return pixels/samples; the stub derives cheap,
     reproducible statistics so tests exercise the full batch path.
-    Raise-on-use variants belong here too (e.g. frame sampling needs
-    ffmpeg): ``raise NotImplementedError("ffmpeg not available")``.
+    Vectorized (``np.bincount`` histogram + weighted prefix sum) so
+    even the generic path has no per-byte Python.
     """
     import math
-    from collections import Counter
 
-    counts = Counter(payload)
-    n = len(payload) or 1
-    entropy = -sum((c / n) * math.log2(c / n) for c in counts.values())
-    checksum = sum((i + 1) * b for i, b in enumerate(payload[:64])) % (1 << 31)
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = arr.size or 1
+    # histogram via bincount; the -p*log2(p) sum runs over <=256
+    # unique byte values in FIRST-OCCURRENCE order, exactly matching
+    # the original Counter-based formula (the oracle compares float
+    # repr, so summation order must stay bit-identical)
+    if arr.size:
+        vals, first_idx = np.unique(arr, return_index=True)
+        counts = np.bincount(arr)[vals][np.argsort(first_idx)]
+        entropy = -sum((int(c) / n) * math.log2(int(c) / n) for c in counts)
+    else:
+        entropy = 0.0
+    head = arr[:64].astype(np.int64)
+    checksum = int((head * np.arange(1, head.size + 1)).sum() % (1 << 31))
     return {"n_bytes": len(payload), "byte_entropy": entropy, "thumb_checksum": checksum}
 
 
@@ -290,13 +301,13 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     rate, channels, frames = decode_wav(bytes(p))
                 except ValueError as e:
                     raise ValueError(f"media_id={mid}: {e}") from e
-                flat = [s for f in frames for s in f]
+                wide = frames.astype("int64")  # vectorized amplitude sums
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(rate)
                 out["channels"].append(channels)
                 out["n_frames"].append(len(frames))
-                out["sum_amplitude"].append(sum(flat))
-                out["sum_abs_amplitude"].append(sum(abs(s) for s in flat))
+                out["sum_amplitude"].append(int(wide.sum()))
+                out["sum_abs_amplitude"].append(int(abs(wide).sum()))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
@@ -385,12 +396,13 @@ def extract_image_features(media: DataFrame, permissive: bool = False) -> DataFr
                         feats[k].append(None)
                     errors.append(str(e))
                     continue
+                sums = rows.astype("int64").sum(axis=(0, 1))  # vectorized channel sums
                 feats["width"].append(w)
                 feats["height"].append(h)
                 feats["n_pixels"].append(w * h)
-                feats["sum_r"].append(sum(px[0] for row in rows for px in row))
-                feats["sum_g"].append(sum(px[1] for row in rows for px in row))
-                feats["sum_b"].append(sum(px[2] for row in rows for px in row))
+                feats["sum_r"].append(int(sums[0]))
+                feats["sum_g"].append(int(sums[1]))
+                feats["sum_b"].append(int(sums[2]))
                 errors.append(None)
             out = pdf[keep_names].reset_index(drop=True)
             for k, v in feats.items():

@@ -3,6 +3,7 @@ operators (VERDICT r3 item 5: de-stub extract_media_features)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from datawarehouseproject_spark.functions.bmp import (
@@ -37,7 +38,7 @@ GOLDEN_PIXELS = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
 def test_decode_golden_bytes():
     w, h, rows = decode_bmp(GOLDEN_2X2)
     assert (w, h) == (2, 2)
-    assert rows == GOLDEN_PIXELS
+    assert np.array_equal(rows, GOLDEN_PIXELS)
 
 
 def test_encode_matches_golden_bytes():
@@ -51,7 +52,8 @@ def test_roundtrip_all_stride_remainders(width, height):
         [((x * 31 + y * 17) % 256, (x * 7) % 256, (y * 13) % 256) for x in range(width)]
         for y in range(height)
     ]
-    assert decode_bmp(encode_bmp(width, height, pixels)) == (width, height, pixels)
+    w, h, rows = decode_bmp(encode_bmp(width, height, pixels))
+    assert (w, h) == (width, height) and np.array_equal(rows, pixels)
 
 
 def test_decode_top_down_negative_height():
@@ -61,7 +63,8 @@ def test_decode_top_down_negative_height():
 
     struct.pack_into("<i", payload, 22, -2)  # height field
     flipped_storage = GOLDEN_PIXELS[::-1]  # stored order becomes top-down
-    assert decode_bmp(bytes(payload)) == (2, 2, flipped_storage)
+    w, h, rows = decode_bmp(bytes(payload))
+    assert (w, h) == (2, 2) and np.array_equal(rows, flipped_storage)
 
 
 @pytest.mark.parametrize(
@@ -79,19 +82,18 @@ def test_decode_rejects_malformed(mutate, msg):
 
 def test_resize_nearest_identity_and_downsample():
     pixels = [[(x, y, x + y) for x in range(4)] for y in range(2)]
-    assert resize_nearest(pixels, 4, 2) == pixels
+    assert np.array_equal(resize_nearest(pixels, 4, 2), pixels)
     half = resize_nearest(pixels, 2, 1)
-    assert half == [[(0, 0, 0), (2, 0, 2)]]  # x*4//2 = 0,2; y*2//1 = 0
+    assert np.array_equal(half, [[(0, 0, 0), (2, 0, 2)]])  # x*4//2 = 0,2; y*2//1 = 0
 
 
 def test_synth_bmp_decodes_to_formula():
     for seed in (0, 1, 17, 123456789):
         w, h = synth_size(seed)
-        got = decode_bmp(synth_bmp(seed))
-        assert got == (
-            w,
-            h,
-            [[synth_pixel(seed, x, y) for x in range(w)] for y in range(h)],
+        gw, gh, rows = decode_bmp(synth_bmp(seed))
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(
+            rows, [[synth_pixel(seed, x, y) for x in range(w)] for y in range(h)]
         )
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pytest
 
 from datawarehouseproject_spark.functions.avi import (
@@ -43,7 +44,8 @@ GOLDEN_WAV = bytes.fromhex(
 
 
 def test_decode_golden_wav():
-    assert decode_wav(GOLDEN_WAV) == (8000, 1, [(1,), (-2,)])
+    rate, ch, frames = decode_wav(GOLDEN_WAV)
+    assert (rate, ch) == (8000, 1) and np.array_equal(frames, [(1,), (-2,)])
 
 
 def test_encode_matches_golden_wav():
@@ -56,7 +58,8 @@ def test_wav_roundtrip(rate, channels, n):
         tuple(((i * 1000 + c * 77) % 65536) - 32768 for c in range(channels))
         for i in range(n)
     ]
-    assert decode_wav(encode_wav(rate, channels, frames)) == (rate, channels, frames)
+    grate, gch, gframes = decode_wav(encode_wav(rate, channels, frames))
+    assert (grate, gch) == (rate, channels) and np.array_equal(gframes, frames)
 
 
 def test_wav_skips_unknown_chunks():
@@ -67,7 +70,8 @@ def test_wav_skips_unknown_chunks():
     extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
     patched = bytearray(base[:fmt_end] + extra + base[fmt_end:])
     struct.pack_into("<I", patched, 4, len(patched) - 8)
-    assert decode_wav(bytes(patched)) == (8000, 1, [(5,), (-6,)])
+    rate, ch, frames = decode_wav(bytes(patched))
+    assert (rate, ch) == (8000, 1) and np.array_equal(frames, [(5,), (-6,)])
 
 
 @pytest.mark.parametrize(
@@ -90,7 +94,9 @@ def test_synth_wav_decodes_to_formula():
             tuple(synth_sample(seed, i, c) for c in range(channels))
             for i in range(n)
         ]
-        assert decode_wav(synth_wav(seed)) == (rate, channels, frames)
+        grate, gch, gframes = decode_wav(synth_wav(seed))
+        assert (grate, gch) == (rate, channels)
+        assert np.array_equal(gframes, frames)
 
 
 def test_avi_roundtrip_multiframe():
@@ -100,7 +106,8 @@ def test_avi_roundtrip_multiframe():
     ]
     payload = encode_avi(3, 2, frames)
     assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
-    assert decode_avi(payload) == (3, 2, frames)
+    w, h, gframes = decode_avi(payload)
+    assert (w, h) == (3, 2) and np.array_equal(gframes, frames)
 
 
 def test_avi_skips_junk_and_idx1():
@@ -112,7 +119,8 @@ def test_avi_skips_junk_and_idx1():
     tail += struct.pack("<4sI", b"idx1", 16) + b"\x00" * 16
     patched = bytearray(bytes(base) + tail)
     struct.pack_into("<I", patched, 4, len(patched) - 8)
-    assert decode_avi(bytes(patched)) == (1, 1, frames)
+    w, h, gframes = decode_avi(bytes(patched))
+    assert (w, h) == (1, 1) and np.array_equal(gframes, frames)
 
 
 def test_avi_rejects_malformed():
@@ -133,7 +141,8 @@ def test_synth_avi_decodes_to_formula():
             [[synth_frame_pixel(seed, x, y, t) for x in range(w)] for y in range(h)]
             for t in range(nf)
         ]
-        assert decode_avi(synth_avi(seed)) == (w, h, want)
+        gw, gh, gframes = decode_avi(synth_avi(seed))
+        assert (gw, gh) == (w, h) and np.array_equal(gframes, want)
 
 
 def test_extract_audio_features_spark(spark):
