@@ -34,7 +34,12 @@ def check_expectations(
     for name, col in rules.items():
         ok = F.coalesce(col.cast("boolean"), F.lit(False))
         aggs.append(
-            F.sum(F.when(~ok, 1).otherwise(0)).alias(f"__v_{name}")
+            # coalesce: sum() over an EMPTY frame is NULL, which would
+            # make every rule "fail" with n_violations=NULL on a
+            # no-new-data day; an empty input passes vacuously
+            F.coalesce(
+                F.sum(F.when(~ok, 1).otherwise(0)), F.lit(0)
+            ).alias(f"__v_{name}")
         )
     counted = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
     per_rule = [

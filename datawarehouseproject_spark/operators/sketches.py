@@ -61,6 +61,10 @@ def hll_sketch(
     Merge sketches from different inputs with
     ``union().groupBy("bucket").agg(max("mrank"))`` — exactly what
     this returns, so merging is closed over the format.
+
+    NULL values are ignored (standard HLL semantics; ADVICE r4 — a
+    NULL used to hash into a register and perturb the estimate). The
+    SQL oracle twin filters identically.
     """
     m = 1 << p
     w = _HASH_BITS - p  # bits feeding the rank
@@ -70,7 +74,8 @@ def hll_sketch(
         F.lit(w + 1) - zlen
     )
     return (
-        df.select(h.alias("__h"))
+        df.filter(F.col(col).isNotNull())
+        .select(h.alias("__h"))
         .select(
             (F.col("__h") % m).alias("bucket"),
             F.expr(f"__h div {m}").alias("__z"),
@@ -138,6 +143,7 @@ def sql_hll_oracle(
       SELECT CAST('0x' || substring(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 15)
                   AS BIGINT) AS hv
       FROM {table}
+      WHERE {col} IS NOT NULL
     ),
     r AS (
       SELECT hv % {m} AS bucket,
@@ -275,7 +281,8 @@ def hll_sketch_by(
         F.lit(w + 1) - zlen
     )
     return (
-        df.select(*group_cols, h.alias("__h"))
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, h.alias("__h"))
         .select(
             *group_cols,
             (F.col("__h") % m).alias("bucket"),
@@ -330,6 +337,7 @@ def sql_hll_by_oracle(
              CAST('0x' || substring(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 15)
                   AS BIGINT) AS hv
       FROM {table}
+      WHERE {col} IS NOT NULL
     ),
     r AS (
       SELECT grp, hv % {m} AS bucket,

@@ -10,6 +10,11 @@ driver records a rows-only check.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,6 +33,25 @@ from ..operators.multimodal import (
 )
 from ..streaming.windows import sessionize_batch, windowed_event_counts
 from .registry import register
+
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(name: str) -> str:
+    """Per-process scratch path for queries that materialize an
+    intermediate layout (ORC/JSON exports, bucketed tables, schema
+    generations): ONE root per process, a subdir per query, recreated
+    fresh on each call and removed at interpreter exit — repeated
+    gate/bench runs no longer leak a new mkdtemp per run (ADVICE r4).
+    """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="dw_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    sub = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(sub, ignore_errors=True)
+    return sub
 
 
 def _utc(spark: SparkSession) -> None:
@@ -896,8 +920,6 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_plans.py``) — proving the export stays an efficient
     scan target, not just a byte-accurate copy.
     """
-    import tempfile
-
     _utc(spark)
     from ..sources.columnar import read_orc, write_orc
 
@@ -909,7 +931,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("orderdate"),
         "o_orderpriority",
     )
-    path = tempfile.mkdtemp(prefix="dw_orc_rt_") + "/orders_orc"
+    path = _scratch("orders_orc")
     write_orc(orders, path)
     return read_orc(spark, path).filter(F.col("o_orderstatus") == "O")
 
@@ -953,28 +975,26 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second shuffle moves only day x type pre-aggregated rows.
     Semantically it's the CASE-WHEN battery the oracle spells out;
     day/type combos with no events yield NULL on both engines, and
-    value sums run in exact DECIMAL."""
+    value sums run in exact DECIMAL.
+
+    ``n_events`` comes from a separate count(*) aggregate joined on
+    day — NOT from summing the pivot cells — so a new or NULL
+    event_type in regenerated testdata still counts (ADVICE r4: the
+    pivot-cell sum silently desyncs from the oracle's count(*))."""
     _utc(spark)
     ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
     piv = (
         ev.groupBy(F.to_date("ts").alias("day"))
         .pivot("event_type", list(EVENT_TYPES))
-        .agg(
-            F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")))
     )
-    n_events = sum(
-        (F.coalesce(F.col(f"{t}_n"), F.lit(0)) for t in EVENT_TYPES),
-        F.lit(0),
-    )
-    return piv.select(
+    return piv.join(totals, "day").select(
         "day",
-        n_events.cast("bigint").alias("n_events"),
-        *[
-            F.col(f"{t}_v").cast("double").alias(f"{t}_value")
-            for t in EVENT_TYPES
-        ],
+        "n_events",
+        *[F.col(t).cast("double").alias(f"{t}_value") for t in EVENT_TYPES],
     )
 
 
@@ -1108,13 +1128,11 @@ def q_bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_bucketed.py`` pins). This is the pay-the-shuffle-
     once layout for the fact joins a warehouse repeats daily; the
     oracle is the plain join over the raw parquet."""
-    import tempfile
-
     _utc(spark)
     from ..sources.bucketed import write_bucketed
 
     n = 8
-    root = tempfile.mkdtemp(prefix="dw_bucketed_")
+    root = _scratch("bucketed")
     write_bucketed(
         _t(spark, sf_dir, "orders"),
         "bq_orders",
@@ -1168,11 +1186,9 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel — the add-a-column migration every long-lived warehouse
     feed goes through, with zero rewrite of historical files. The
     oracle recreates the same semantics from the unsplit table."""
-    import tempfile
-
     _utc(spark)
     orders = _t(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="dw_schema_evo_") + "/orders_evo"
+    root = _scratch("orders_evo")
     orders.filter(F.col("o_orderstatus") == "F").drop(
         "o_orderpriority"
     ).write.parquet(root)
@@ -1566,8 +1582,6 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps surviving as ISO-8601 text. The filter applies to the
     read-back frame; values must match the parquet-sourced oracle
     exactly."""
-    import tempfile
-
     _utc(spark)
     from pyspark.sql import types as T
 
@@ -1575,7 +1589,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type",
         F.col("value").cast("double").alias("value"), "ts",
     )
-    path = tempfile.mkdtemp(prefix="dw_json_rt_") + "/events_json"
+    path = _scratch("events_json")
     # default JSON timestampFormat truncates to milliseconds; pin a
     # microsecond format on BOTH sides so ts round-trips losslessly
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"

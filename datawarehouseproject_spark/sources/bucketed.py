@@ -36,10 +36,16 @@ def write_bucketed(
     warehouse dir may hold a stale location from a previous session —
     a managed-table overwrite can only drop locations the CURRENT
     session's catalog knows about (LOCATION_ALREADY_EXISTS otherwise).
-    A same-name registration from earlier in this session is dropped
-    first so the name rebinds cleanly.
+
+    On ``mode='overwrite'`` (the default) a same-name registration
+    from earlier in this session is DROPPED first so the name rebinds
+    cleanly — dropping a managed table deletes its data. On
+    ``mode='append'`` the existing table is left in place and rows
+    are added to it (ADVICE r4: the unconditional drop made append
+    silently destroy the table being appended to).
     """
-    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    if mode == "overwrite":
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

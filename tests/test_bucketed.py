@@ -48,3 +48,20 @@ def test_bucketed_join_has_no_shuffle(spark, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_append_preserves_existing_rows(spark):
+    """mode='append' must ADD to an existing bucketed table — the
+    unconditional DROP used to delete the table being appended to
+    (ADVICE r4), silently losing all prior rows."""
+    day1 = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    day2 = spark.range(100, 150).selectExpr("id AS k", "id * 2 AS v")
+    write_bucketed(day1, "b_append", ["k"], n_buckets=4)
+    try:
+        write_bucketed(day2, "b_append", ["k"], n_buckets=4, mode="append")
+        assert spark.table("b_append").count() == 150
+        # overwrite still replaces
+        write_bucketed(day2, "b_append", ["k"], n_buckets=4)
+        assert spark.table("b_append").count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_append")

@@ -33,6 +33,20 @@ def test_one_pass_multiple_rules(spark):
     assert not out["s_set"]["pass"] and out["s_set"]["n_violations"] == 1
 
 
+def test_empty_input_passes_vacuously(spark):
+    """sum() over an empty frame is NULL; the gate must report
+    n_violations=0 / pass=true for every rule on a no-new-data day
+    instead of a NULL-filled failure (ADVICE r4)."""
+    df = spark.createDataFrame([], "x int, s string")
+    rules = {"x_pos": F.col("x") > 0, "s_set": F.col("s").isNotNull()}
+    out = {r["rule"]: r for r in check_expectations(df, rules).collect()}
+    for name in rules:
+        assert out[name]["n_rows"] == 0
+        assert out[name]["n_violations"] == 0
+        assert out[name]["pass"] is True
+    assert_expectations(df, rules)  # must not raise
+
+
 def test_assert_expectations_raises_with_rule_names(spark):
     df = spark.createDataFrame([(0,)], "x int")
     with pytest.raises(AssertionError, match="x_pos"):
