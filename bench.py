@@ -73,6 +73,7 @@ HEADLINE = [
     "token_shard_packing",
     "pii_redaction",
     "bmp_image_features",
+    "png_image_features",
     "avi_frame_features",
     "wav_audio_features",
 ]

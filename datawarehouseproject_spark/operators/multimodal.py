@@ -353,16 +353,44 @@ def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(batches, schema=schema)
 
 
-def extract_image_features(media: DataFrame, permissive: bool = False) -> DataFrame:
-    """REAL image decode: BMP header+pixel parse per payload, via
-    Arrow-batched mapInPandas (de-stubs VERDICT r3 item 5).
+def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of real 8-bit truecolor PNG
+    bytes (``functions/png.py:synth_png``): size and every pixel
+    derive from the id by modular arithmetic (distinct formulas from
+    the BMP family), then pass through filter + DEFLATE encoding —
+    so the oracle-checked decode has to undo real compression."""
 
-    Parses the actual binary format (bottom-up BGR rows, 4-byte row
-    padding) and aggregates integer channel sums — exact, so the
-    value-level oracle needs no float tolerance. One pass, no shuffle.
-    Every non-``payload`` input column is passed through (so e.g.
-    ``frame_idx`` from :func:`sample_frames` survives into the
-    feature rows).
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import synth_png
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids_.values, "payload": [synth_png(int(i)) for i in ids_]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return ids.select(id_col).mapInPandas(batches, schema=schema)
+
+
+def extract_image_features(
+    media: DataFrame, permissive: bool = False, codec: str = "bmp"
+) -> DataFrame:
+    """REAL image decode per payload, via Arrow-batched mapInPandas.
+
+    ``codec='bmp'`` parses the uncompressed DIB format (bottom-up BGR
+    rows, 4-byte row padding); ``codec='png'`` runs the full
+    compressed path (chunk walk + CRC + DEFLATE inflate + per-row
+    un-filtering, :mod:`..functions.png`). Both aggregate integer
+    channel sums — exact, so the value-level oracle needs no float
+    tolerance. One pass, no shuffle. Every non-``payload`` input
+    column is passed through (so e.g. ``frame_idx`` from
+    :func:`sample_frames` survives into the feature rows).
 
     Error contract, chosen per job: strict (default) raises with the
     offending media_id — right for synthesized/trusted inputs where a
@@ -372,6 +400,8 @@ def extract_image_features(media: DataFrame, permissive: bool = False) -> DataFr
     100 TB job (mirrors Spark's PERMISSIVE reader mode +
     ``_corrupt_record``).
     """
+    if codec not in ("bmp", "png"):
+        raise ValueError(f"unsupported image codec {codec!r}")
     keep = [f for f in media.schema.fields if f.name != "payload"]
     fields = list(keep) + list(IMAGE_FEATURE_SCHEMA.fields)
     if permissive:
@@ -381,7 +411,10 @@ def extract_image_features(media: DataFrame, permissive: bool = False) -> DataFr
     feat_names = ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.bmp import decode_bmp
+        if codec == "png":
+            from ..functions.png import decode_png as decode_bmp
+        else:
+            from ..functions.bmp import decode_bmp
 
         for pdf in it:
             feats: dict[str, list] = {k: [] for k in feat_names}

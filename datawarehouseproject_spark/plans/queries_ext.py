@@ -736,6 +736,48 @@ def q_bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_image_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             5 + doc_id % 6 AS w,
+             4 + doc_id % 5 AS h
+      FROM documents),
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m),
+    xy AS (
+      SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      FROM xs)
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum((media_id * 5 + x * 7 + y * 3) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((media_id * 9 + x * 4 + y * 11) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((media_id * 13 + x + y * 19) % 256) AS BIGINT) AS sum_b
+    FROM xy
+    GROUP BY media_id, w, h
+    """,
+    tags=("multimodal", "mapInPandas", "png", "compressed"),
+)
+def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image decode, value-checked: synthesize one
+    8-bit truecolor PNG per document (pixels from modular arithmetic
+    over doc_id, distinct formulas from the BMP family), encoded
+    through per-row filters (None/Sub/Up cycle) + DEFLATE — then walk
+    the chunk stream, verify CRCs, inflate, un-filter, and aggregate
+    integer channel sums inside Arrow-batched mapInPandas
+    (``functions/png.py``, stdlib zlib only; VERDICT r4 item 2). The
+    oracle recomputes every sum from the pixel formula, so any
+    filter/inflate/chunk bug breaks the hash."""
+    _utc(spark)
+    from ..operators.multimodal import synthesize_png_media
+
+    media = synthesize_png_media(_t(spark, sf_dir, "documents"))
+    return extract_image_features(media, codec="png")
+
+
+@register(
     "bmp_resize_features",
     oracle=f"""
     WITH {_BMP_SYNTH_SQL},

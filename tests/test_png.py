@@ -1,0 +1,196 @@
+"""Tests for the stdlib-zlib PNG codec: the first COMPRESSED media
+format in the multimodal surface (chunk walk + CRC + DEFLATE +
+per-row filters)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from datawarehouseproject_spark.functions.png import (
+    PNG_SIG,
+    decode_png,
+    encode_png,
+    synth_png,
+    synth_png_pixel,
+    synth_png_pixels,
+    synth_png_size,
+)
+from datawarehouseproject_spark.operators.multimodal import (
+    extract_image_features,
+    synthesize_png_media,
+)
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload))
+    )
+
+
+def _png_from_scanlines(width: int, height: int, lines: bytes) -> bytes:
+    """Assemble a PNG BY HAND from raw (filter byte + row) scanlines —
+    pins the container format independently of encode_png."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(lines))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# 2x2 image [[red, green], [blue, white]], both rows filter 0 —
+# assembled by hand, not via encode_png.
+GOLDEN_PIXELS = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+GOLDEN_2X2 = _png_from_scanlines(
+    2, 2, b"\x00" + bytes((255, 0, 0, 0, 255, 0)) + b"\x00" + bytes((0, 0, 255, 255, 255, 255))
+)
+
+
+def test_decode_golden_bytes():
+    w, h, rows = decode_png(GOLDEN_2X2)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(rows, GOLDEN_PIXELS)
+
+
+@pytest.mark.parametrize("width,height", [(1, 1), (2, 3), (3, 4), (5, 7), (8, 2)])
+def test_roundtrip(width, height):
+    pixels = [
+        [((x * 31 + y * 17) % 256, (x * 7 + 5) % 256, (y * 13 + 99) % 256) for x in range(width)]
+        for y in range(height)
+    ]
+    w, h, rows = decode_png(encode_png(width, height, pixels))
+    assert (w, h) == (width, height) and np.array_equal(rows, pixels)
+
+
+def test_encoder_uses_sub_and_up_filters():
+    # height >= 3 must exercise the None/Sub/Up cycle in the stream
+    payload = encode_png(4, 3, synth_png_pixels(7, 4, 3))
+    # locate the IDAT chunk and inflate it
+    pos = len(PNG_SIG)
+    raw = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        if payload[pos + 4 : pos + 8] == b"IDAT":
+            raw = zlib.decompress(payload[pos + 8 : pos + 8 + length])
+        pos += 12 + length
+    filters = [raw[y * (1 + 4 * 3)] for y in range(3)]
+    assert filters == [0, 1, 2]
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_decode_every_filter_type(filter_type):
+    """Forward-filter a known image by the spec's formulas and check
+    the decoder reconstructs it — covers Average/Paeth, which our
+    encoder never emits but real-world files use."""
+    width, height, bpp = 3, 3, 3
+    pixels = np.array(
+        [[(x * 50 + y * 30 + c * 7) % 256 for c in range(3)] for y in range(height) for x in range(width)],
+        dtype=np.uint8,
+    ).reshape(height, width, 3)
+    flat = pixels.reshape(height, width * bpp).astype(int)
+    lines = bytearray()
+    for y in range(height):
+        prior = flat[y - 1] if y > 0 else np.zeros(width * bpp, dtype=int)
+        row = flat[y]
+        filt = []
+        for x in range(width * bpp):
+            a = row[x - bpp] if x >= bpp else 0  # recon left == raw left
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt.append((int(row[x]) - int(pred)) & 0xFF)
+        lines.append(filter_type)
+        lines += bytes(filt)
+    w, h, rows = decode_png(_png_from_scanlines(width, height, bytes(lines)))
+    assert (w, h) == (width, height) and np.array_equal(rows, pixels)
+
+
+def test_decode_concatenates_multiple_idat_and_skips_ancillary():
+    base = encode_png(2, 2, GOLDEN_PIXELS)
+    # rebuild: split the zlib stream across two IDAT chunks and add a
+    # tEXt chunk between them (spec: IDAT payloads concatenate)
+    pos = len(PNG_SIG)
+    ihdr = idat = None
+    while pos + 8 <= len(base):
+        (length,) = struct.unpack_from(">I", base, pos)
+        ctype = base[pos + 4 : pos + 8]
+        body = base[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat = body
+        pos += 12 + length
+    patched = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat[:3])
+        + _chunk(b"tEXt", b"Comment\x00hi")
+        + _chunk(b"IDAT", idat[3:])
+        + _chunk(b"IEND", b"")
+    )
+    w, h, rows = decode_png(patched)
+    assert (w, h) == (2, 2) and np.array_equal(rows, GOLDEN_PIXELS)
+
+
+def test_decode_rejects_malformed():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"XXXX" + GOLDEN_2X2[4:])
+    # corrupt one IDAT byte -> CRC mismatch
+    bad = bytearray(GOLDEN_2X2)
+    idat_off = bad.index(b"IDAT") + 4
+    bad[idat_off] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # unsupported profile: grayscale (color type 0)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    gray = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00\x05")) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(gray)
+
+
+def test_synth_png_decodes_to_formula():
+    for seed in (0, 1, 11, 987654321):
+        w, h = synth_png_size(seed)
+        gw, gh, rows = decode_png(synth_png(seed))
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(
+            rows, [[synth_png_pixel(seed, x, y) for x in range(w)] for y in range(h)]
+        )
+
+
+def test_extract_png_features_spark(spark):
+    ids = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    rows = {
+        r.media_id: r
+        for r in extract_image_features(
+            synthesize_png_media(ids), codec="png"
+        ).collect()
+    }
+    assert len(rows) == 10
+    for seed in range(10):
+        w, h = synth_png_size(seed)
+        px = [synth_png_pixel(seed, x, y) for y in range(h) for x in range(w)]
+        r = rows[seed]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(
+            sum(p[c] for p in px) for c in range(3)
+        )
