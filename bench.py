@@ -56,6 +56,7 @@ HEADLINE = [
     "grouping_sets_sales",
     "hll_distinct_users",
     "cms_heavy_hitters",
+    "quantile_sketch_prices",
     "salted_star_join",
     "merge_cdc_customers",
     "incremental_rollup",

@@ -352,3 +352,111 @@ def sql_hll_by_oracle(
              AS hll_estimate
     FROM s GROUP BY grp
     """
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: deterministic bottom-k-by-hash sampling, same
+# portability contract as HLL/CMS — the DuckDB oracle reproduces every
+# estimate bit-for-bit.
+#
+# Why not literal KLL: KLL's compaction outcome depends on coin flips
+# AND on element arrival order, so two engines (or two shard orders)
+# legitimately produce different sketches — unverifiable by a
+# value-hash oracle and not even self-consistent across Spark task
+# retries. The deterministic alternative with the same shape
+# (bounded size, mergeable, rank-error O(1/sqrt(k))): keep the k rows
+# whose md5(row key) is smallest. Selection is per-row and
+# order-independent, so bottom_k(A union B) ==
+# bottom_k(bottom_k(A) union bottom_k(B)) — merge is union + re-take,
+# associative and exact. Rank selection over the sample uses integer
+# arithmetic only ((p * (n-1)) // 100 with (val, hv) tie-breaks), so
+# Spark and SQL agree on every estimated value. KLL's O(1/k) error
+# needs ~sqrt factor fewer rows; this trades that constant for
+# engine-portable determinism, the property this module is for.
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame, value_col: str, key_col: str, k: int = 256, salt: str = "qs:"
+) -> DataFrame:
+    """Mergeable quantile sketch: the ``k`` rows ``(hv, val)`` with the
+    smallest ``md5(salt || key)``.
+
+    ``key_col`` must identify rows (a primary key); hashing the KEY
+    rather than the value keeps duplicate values independently
+    sampleable, so the sample is uniform over ROWS. Compiles to
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    the driver-side single reducer; nothing resembling a global sort.
+    Merge sketches from different shards/days with
+    ``union().orderBy('hv').limit(k)`` — closed over the format.
+    """
+    hv = md5_long(F.col(key_col).cast("string"), salt=salt)
+    return (
+        df.select(hv.alias("hv"), F.col(value_col).alias("val"))
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def quantile_merge(sketches: list[DataFrame], k: int = 256) -> DataFrame:
+    """Merge per-shard sketches: union then re-take the k smallest
+    hashes. Associative/commutative; identical to sketching the
+    concatenated input (tested)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("hv").limit(k)
+
+
+def quantile_estimate(
+    sketch: DataFrame, percents: list[int]
+) -> DataFrame:
+    """Estimate the ``p``-th percentile for each integer ``p`` in
+    ``percents`` from a sketch: order the sample by ``(val, hv)``
+    (fully deterministic under ties), take the element at integer
+    rank ``(p * (n-1)) // 100``. Returns ``(p, est_val)``. Runs
+    entirely on the ≤k-row sketch frame."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("val", "hv")
+    ranked = sketch.select(
+        "val",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count("*").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    ps = F.explode(F.array(*[F.lit(int(p)) for p in percents])).alias("p")
+    probes = ranked.select(ps, "val", "rk", "n")
+    return probes.filter(F.expr("rk = (p * (n - 1)) div 100")).select(
+        "p", F.col("val").alias("est_val")
+    )
+
+
+def sql_quantile_oracle(
+    table: str,
+    value_col: str,
+    key_col: str,
+    percents: list[int],
+    k: int = 256,
+    salt: str = "qs:",
+) -> str:
+    """DuckDB twin of sketch+estimate — same bottom-k sample, same
+    integer rank selection."""
+    pvals = ", ".join(f"({int(p)})" for p in percents)
+    return f"""
+    WITH s AS (
+      SELECT hv, val FROM (
+        SELECT CAST('0x' || substring(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv,
+               {value_col} AS val
+        FROM {table}
+      ) ORDER BY hv LIMIT {k}
+    ),
+    r AS (
+      SELECT val, row_number() OVER (ORDER BY val, hv) - 1 AS rk,
+             count(*) OVER () AS n
+      FROM s
+    )
+    SELECT p.p, r.val AS est_val
+    FROM r JOIN (VALUES {pvals}) AS p(p)
+      ON r.rk = (p.p * (r.n - 1)) // 100
+    """

@@ -1040,6 +1040,41 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantile_prices_oracle() -> str:
+    from ..operators.sketches import sql_quantile_oracle
+
+    return sql_quantile_oracle(
+        "orders", "o_totalprice", "o_orderkey",
+        percents=[1, 5, 25, 50, 75, 90, 95, 99], k=256,
+    )
+
+
+@register(
+    "quantile_sketch_prices",
+    oracle=_quantile_prices_oracle(),
+    tags=("sketch", "quantile", "mergeable"),
+)
+def q_quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value percentiles from a mergeable quantile sketch
+    (``operators/sketches.py:quantile_sketch``): the 256 rows with
+    the smallest md5(o_orderkey) form a deterministic uniform sample
+    — selection is per-row and order-independent, so per-shard
+    sketches merge by union + re-take (tested associative) — and
+    estimates come from integer rank selection ((p*(n-1)) div 100
+    over (val, hv) order). The DuckDB oracle runs the IDENTICAL
+    sample + rank arithmetic, so every estimated value hash-matches —
+    the portability contract engine-private percentile_approx /
+    KLL registers can't offer. At 100 TB: TakeOrdered top-k per
+    partition, a 256-row merge, zero full sorts."""
+    _utc(spark)
+    from ..operators.sketches import quantile_estimate, quantile_sketch
+
+    sk = quantile_sketch(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", k=256
+    )
+    return quantile_estimate(sk, [1, 5, 25, 50, 75, 90, 95, 99])
+
+
 def _hll_users_oracle() -> str:
     from ..operators.sketches import sql_hll_oracle
 

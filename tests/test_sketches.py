@@ -157,3 +157,57 @@ def test_hll_groupwise_rollup_merge(spark):
     a = hll_estimate_by(merged, ["g"]).collect()[0]["hll_estimate"]
     b = hll_estimate_by(whole, ["g"]).collect()[0]["hll_estimate"]
     assert a == b
+
+
+def test_quantile_merge_equals_whole(spark):
+    """bottom-k-by-hash is per-row and order-independent, so merging
+    per-shard sketches must equal sketching the whole input."""
+    from datawarehouseproject_spark.operators.sketches import (
+        quantile_merge,
+        quantile_sketch,
+    )
+
+    whole = spark.range(0, 5000).selectExpr(
+        "id AS k", "cast((id * 37) % 1000 as double) AS v"
+    )
+    shard_a = whole.filter("k < 2000")
+    shard_b = whole.filter("k >= 2000")
+    sk_whole = quantile_sketch(whole, "v", "k", k=128)
+    merged = quantile_merge(
+        [quantile_sketch(shard_a, "v", "k", k=128),
+         quantile_sketch(shard_b, "v", "k", k=128)],
+        k=128,
+    )
+    assert sorted(map(tuple, sk_whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_quantile_estimate_exact_on_small_input(spark):
+    """When k >= n the sample IS the data, so rank selection must
+    return the exact percentile elements."""
+    from datawarehouseproject_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    df = spark.range(0, 101).selectExpr("id AS k", "cast(id as double) AS v")
+    sk = quantile_sketch(df, "v", "k", k=256)
+    got = {r.p: r.est_val for r in quantile_estimate(sk, [0, 25, 50, 100]).collect()}
+    assert got == {0: 0.0, 25: 25.0, 50: 50.0, 100: 100.0}
+
+
+def test_quantile_accuracy_envelope(spark):
+    """With k=256 of 20000 uniform values, every estimated percentile
+    must land within ~10 rank points of truth (loose envelope; the
+    point is the sample is unbiased, not tight)."""
+    from datawarehouseproject_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    df = spark.range(0, 20000).selectExpr("id AS k", "cast(id as double) AS v")
+    sk = quantile_sketch(df, "v", "k", k=256)
+    for r in quantile_estimate(sk, [10, 50, 90]).collect():
+        true_pct = r.est_val / 20000 * 100
+        assert abs(true_pct - r.p) < 10, (r.p, r.est_val)
