@@ -67,6 +67,7 @@ HEADLINE = [
     "embedding_topk",
     "embedding_near_dup",
     "embedding_ivf_topk",
+    "semantic_dedup",
     "tfidf_top_terms",
     "token_stats",
     "benchmark_contamination",

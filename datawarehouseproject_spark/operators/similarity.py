@@ -299,6 +299,64 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int | None = None,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style embedding-cluster deduplication: keep one
+    representative per group of semantically-near documents.
+
+    Completes the dedup ladder (exact → fuzzy-text → embedding-pair →
+    embedding-CLUSTER): cluster the corpus into IVF cells
+    (:func:`ivf_index`, optionally k-means-refined), compare pairs
+    only WITHIN a cell, and drop every document whose cosine to a
+    lower-id document in its cell reaches ``threshold`` (deterministic
+    keep-first policy — same drop rule as the text LSH dedup). Returns
+    the kept rows ``(id, centroid_id)``.
+
+    100 TB posture: the only quadratic work is within cells, so
+    ``n_centroids`` scales with the corpus to hold expected cell size
+    constant (SemDeDup's published setting is ~100k clusters for
+    web-scale corpora); the cell join is an equi-join on centroid_id,
+    and the drop is one left-anti join. With ``refine_iters=0`` the
+    whole plan is oracle-deterministic; refined centroids are float
+    cluster means, validated by tests instead.
+    """
+    _, assigned = ivf_index(
+        corpus, n_centroids, id_col, vec_col, centroid_stride, refine_iters
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("norm").alias("__na"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("norm").alias("__nb"),
+        "centroid_id",
+    )
+    dup_ids = (
+        a.join(b, "centroid_id")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(
+            F.round(_cosine_pair("__va", "__vb", "__na", "__nb"), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dup_ids, id_col, "left_anti").select(
+        id_col, "centroid_id"
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

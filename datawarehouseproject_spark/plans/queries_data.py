@@ -747,6 +747,65 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_THRESHOLD = 0.25
+
+
+def _semantic_dedup_oracle() -> str:
+    cos = (
+        "CASE WHEN a.norm * b.norm = 0 THEN 0.0 "
+        "ELSE list_dot_product(a.v, b.v) / (a.norm * b.norm) END"
+    )
+    return f"""
+    WITH params AS (
+      SELECT greatest(count(*) // {_IVF_CENTROIDS}, 1) AS stride FROM embeddings),
+    cent AS (
+      SELECT CAST(vec_id // stride AS INTEGER) AS centroid_id,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings, params
+      WHERE vec_id % stride = 0 AND vec_id // stride < {_IVF_CENTROIDS}),
+    corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS norm
+      FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, norm, centroid_id FROM (
+        SELECT corp.*, cent.centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY list_dot_product(v, cv) DESC, centroid_id ASC) AS rn
+        FROM corp CROSS JOIN cent)
+      WHERE rn = 1),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b USING (centroid_id)
+      WHERE a.vec_id < b.vec_id
+        AND round({cos}, 6) >= {_SEMDEDUP_THRESHOLD})
+    SELECT vec_id, centroid_id FROM assign
+    WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "embedding", "ivf", "semdedup"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster dedup: IVF-cluster the embeddings, drop
+    within-cell documents whose cosine to a lower-id cellmate reaches
+    the threshold, keep the rest. Completes the dedup ladder (exact →
+    fuzzy-text → embedding-pair → embedding-cluster); the oracle
+    replays the identical IVF assignment + pair comparison in SQL."""
+    _utc(spark)
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        n_centroids=_IVF_CENTROIDS,
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
 @register("embedding_lsh_topk", oracle=_lsh_topk_oracle(), tags=("similarity", "lsh"))
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-LSH bucket probing — the scale path

@@ -97,3 +97,55 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     r0, r2 = recall(0), recall(2)
     assert r0 >= 0.5, f"seed-centroid IVF recall@{k} too low: {r0}"
     assert r2 >= 0.5, f"k-means-refined IVF recall@{k} too low: {r2}"
+
+def test_semantic_dedup_keep_first_within_cluster(spark):
+    """Within a cell, every doc with a lower-id near-dup at or above
+    the threshold drops; the lowest id of each near-dup group and all
+    isolated docs survive."""
+    from datawarehouseproject_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        # cluster A: three near-identical vectors + one orthogonal-ish
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0, 0.0]),   # ~dup of 0
+        (2, [1.0, 0.0, 0.02, 0.0]),   # ~dup of 0
+        (3, [0.6, 0.8, 0.0, 0.0]),    # same cell, cosine 0.6 to id 0
+        # cluster B: a pair of near-dups
+        (100, [0.0, 0.0, 1.0, 0.0]),
+        (101, [0.0, 0.0, 1.0, 0.01]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semantic_dedup(
+        emb, n_centroids=2, threshold=0.95, centroid_stride=100
+    )
+    assert {r["vec_id"] for r in kept.collect()} == {0, 3, 100}
+
+
+def test_semantic_dedup_threshold_one_keeps_all_distinct(spark):
+    from datawarehouseproject_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i + 1), float((i * 7) % 5), 1.0, 0.0]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semantic_dedup(emb, n_centroids=3, threshold=1.01, centroid_stride=4)
+    assert kept.count() == 12  # nothing reaches an impossible threshold
+
+
+def test_semantic_dedup_with_refined_centroids(spark):
+    """refine_iters>0 path (float cluster means, not oracle-stable):
+    the drop policy must still hold on separable clusters."""
+    from datawarehouseproject_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    for i in range(10):
+        eps = (i % 5) * 0.01
+        rows.append((i, [1.0, eps, 0.0, 0.0]))
+        rows.append((100 + i, [eps, 0.0, 1.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semantic_dedup(
+        emb, n_centroids=2, threshold=0.999, centroid_stride=100,
+        refine_iters=1,
+    )
+    ids = {r["vec_id"] for r in kept.collect()}
+    # every within-cluster pair has cosine > 0.999 (eps <= 0.04 barely
+    # tilts the angle), so only the lowest id of each cluster survives
+    assert ids == {0, 100}
