@@ -59,10 +59,25 @@ class Scd2Result:
     staging: DataFrame
 
     def metrics(self) -> dict[str, int]:
+        # ONE job for all four counts (tagged union + groupBy) instead
+        # of four count() jobs — the branches share the cached staging
+        # / post-insert-history frames, so each is a cheap re-filter
+        def tagged(df: DataFrame, t: str) -> DataFrame:
+            return df.select(F.lit(t).alias("__t"))
+
+        counts = dict(
+            tagged(self.staging, "input")
+            .unionAll(tagged(self.new_rows, "new"))
+            .unionAll(tagged(self.reinserted, "reinserted"))
+            .unionAll(tagged(self.expired, "expired"))
+            .groupBy("__t")
+            .count()
+            .collect()
+        )
         return {
-            "rows_input": self.staging.count(),
-            "rows_inserted": self.new_rows.count() + self.reinserted.count(),
-            "rows_updated": self.expired.count(),
+            "rows_input": counts.get("input", 0),
+            "rows_inserted": counts.get("new", 0) + counts.get("reinserted", 0),
+            "rows_updated": counts.get("expired", 0),
         }
 
 

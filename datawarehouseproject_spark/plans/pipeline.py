@@ -124,9 +124,14 @@ class Pipeline:
         replacement of the reference's per-row loop)."""
         hist = self.cat.table("products_expired", "staging")
         # IS_CURRENT is the partition key: the filter prunes the scan
-        # to the current partition (closed history is never read)
-        current = hist.filter(F.col("IS_CURRENT") == 1).withColumn(
-            "BRAND_NAME", brand_ladder("TEN")
+        # to the current partition (closed history is never read).
+        # cache(): this frame feeds three downstream jobs (brand
+        # distinct, the product-updates write, the dim_product write)
+        # that would each re-scan history + recompute the brand ladder
+        current = (
+            hist.filter(F.col("IS_CURRENT") == 1)
+            .withColumn("BRAND_NAME", brand_ladder("TEN"))
+            .cache()
         )
 
         brand_path = self.cat.path("dim_brand", "warehouse")
