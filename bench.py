@@ -72,6 +72,7 @@ HEADLINE = [
     "token_stats",
     "benchmark_contamination",
     "quality_rules",
+    "repetition_rules",
     "token_shard_packing",
     "pii_redaction",
     "bmp_image_features",

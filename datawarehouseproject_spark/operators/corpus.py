@@ -140,6 +140,87 @@ def quality_rules(
     )
 
 
+def repetition_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_bigram_frac: float = 0.15,
+    max_top_trigram_frac: float = 0.15,
+    max_dup_5gram_frac: float = 0.10,
+) -> DataFrame:
+    """Gopher-style n-gram REPETITION battery, one verdict per doc —
+    the companion to :func:`quality_rules` (word-level stats): these
+    rules catch boilerplate/looping text that word-level fractions
+    miss (a doc can have diverse words yet repeat one phrase).
+
+    - ``top_bigram_frac`` / ``top_trigram_frac``: words covered by
+      the single most frequent word 2-/3-gram as a fraction of the
+      doc (``max_count * n / n_words`` — the word-fraction analogue
+      of Gopher's character fractions);
+    - ``dup_5gram_frac``: fraction of 5-gram OCCURRENCES that are
+      repeats (``1 - distinct/total``), 0 for docs shorter than 5
+      words.
+
+    One token-array projection feeds the three n-gram explosions;
+    every aggregate is map-side combinable and every fraction derives
+    from exact integer counts, so the SQL oracle matches bit-for-bit.
+    """
+    toks = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__w")
+    )
+    base = toks.select(id_col, F.size("__w").cast("long").alias("n_words"))
+
+    def top_ngram(n: int) -> DataFrame:
+        grams = toks.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col("__w"), n=n, pre_tokenized=True)).alias("__g"),
+        )
+        return (
+            grams.groupBy(id_col, "__g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(id_col)
+            .agg(F.max("__c").alias(f"__top{n}"))
+        )
+
+    five = (
+        toks.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col("__w"), n=5, pre_tokenized=True)).alias("__g"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__total5"),
+            F.countDistinct("__g").alias("__dist5"),
+        )
+    )
+
+    joined = (
+        base.join(top_ngram(2), id_col, "left")
+        .join(top_ngram(3), id_col, "left")
+        .join(five, id_col, "left")
+    )
+    n_words = F.col("n_words")
+    top2_frac = F.coalesce(F.col("__top2") * 2 / n_words, F.lit(0.0))
+    top3_frac = F.coalesce(F.col("__top3") * 3 / n_words, F.lit(0.0))
+    dup5_frac = F.when(
+        F.coalesce(F.col("__total5"), F.lit(0)) <= 0, F.lit(0.0)
+    ).otherwise(F.lit(1.0) - F.col("__dist5") / F.col("__total5"))
+    rule2 = top2_frac <= max_top_bigram_frac
+    rule3 = top3_frac <= max_top_trigram_frac
+    rule5 = dup5_frac <= max_dup_5gram_frac
+    return joined.select(
+        id_col,
+        "n_words",
+        top2_frac.alias("top_bigram_frac"),
+        top3_frac.alias("top_trigram_frac"),
+        dup5_frac.alias("dup_5gram_frac"),
+        rule2.alias("rule_top_bigram"),
+        rule3.alias("rule_top_trigram"),
+        rule5.alias("rule_dup_5gram"),
+        (rule2 & rule3 & rule5).alias("keep"),
+    )
+
+
 def pack_by_token_budget(
     docs: DataFrame,
     budget: int,

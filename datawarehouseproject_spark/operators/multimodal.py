@@ -476,6 +476,35 @@ def resize_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
+def resize_png(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL compressed-image resize: inflate + un-filter PNG ->
+    nearest-neighbor resample -> re-filter + deflate PNG, per Arrow
+    batch. Same floor-division index mapping as :func:`resize_bmp`,
+    so resized features stay integer-exact; output payloads are valid
+    PNGs and compose with ``extract_image_features(codec='png')``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.bmp import resize_nearest
+        from ..functions.png import decode_png, encode_png
+
+        for pdf in it:
+            payloads = []
+            for p in pdf["payload"]:
+                _, _, rows = decode_png(bytes(p))
+                payloads.append(
+                    encode_png(width, height, resize_nearest(rows, width, height))
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for tests/bench: treat document text bytes as an
     opaque payload with fake image metadata."""

@@ -22,6 +22,7 @@ from ..operators.corpus import (
     benchmark_contamination,
     pack_by_token_budget,
     quality_rules,
+    repetition_rules,
 )
 from .registry import register
 
@@ -125,6 +126,67 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_word_len=(3.0, 10.0),
         max_top_word_frac=0.12,
         max_dup_word_frac=0.60,
+    )
+
+
+@register(
+    "repetition_rules",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM toks),
+    g2 AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                    i -> array_to_string(w[i:i+1], ' '))) AS g
+           FROM toks),
+    t2 AS (SELECT doc_id, max(c) AS top2 FROM (
+             SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+           GROUP BY doc_id),
+    g3 AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                    i -> array_to_string(w[i:i+2], ' '))) AS g
+           FROM toks),
+    t3 AS (SELECT doc_id, max(c) AS top3 FROM (
+             SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+           GROUP BY doc_id),
+    g5 AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                    i -> array_to_string(w[i:i+4], ' '))) AS g
+           FROM toks),
+    s5 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total5,
+                  CAST(count(DISTINCT g) AS BIGINT) AS dist5
+           FROM g5 GROUP BY doc_id),
+    m AS (
+      SELECT b.doc_id, b.n_words,
+             coalesce(CAST(t2.top2 * 2 AS DOUBLE) / b.n_words, 0.0) AS f2,
+             coalesce(CAST(t3.top3 * 3 AS DOUBLE) / b.n_words, 0.0) AS f3,
+             CASE WHEN coalesce(s5.total5, 0) <= 0 THEN 0.0
+                  ELSE 1.0 - CAST(s5.dist5 AS DOUBLE) / s5.total5 END AS f5
+      FROM base b
+      LEFT JOIN t2 ON b.doc_id = t2.doc_id
+      LEFT JOIN t3 ON b.doc_id = t3.doc_id
+      LEFT JOIN s5 ON b.doc_id = s5.doc_id)
+    SELECT doc_id, n_words,
+           f2 AS top_bigram_frac, f3 AS top_trigram_frac,
+           f5 AS dup_5gram_frac,
+           f2 <= 0.15 AS rule_top_bigram,
+           f3 <= 0.15 AS rule_top_trigram,
+           f5 <= 0.10 AS rule_dup_5gram,
+           (f2 <= 0.15 AND f3 <= 0.15 AND f5 <= 0.10) AS keep
+    FROM m
+    """,
+    tags=("corpus", "quality", "gopher-repetition"),
+)
+def q_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition battery: top-bigram/trigram
+    coverage and duplicate-5-gram fraction per doc, each a boolean
+    rule plus the composite keep — catches boilerplate/looping text
+    that word-level quality_rules misses."""
+    _utc(spark)
+    return repetition_rules(
+        _t(spark, sf_dir, "documents"),
+        max_top_bigram_frac=0.15,
+        max_top_trigram_frac=0.15,
+        max_dup_5gram_frac=0.10,
     )
 
 

@@ -778,6 +778,47 @@ def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_resize_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             5 + doc_id % 6 AS w,
+             4 + doc_id % 5 AS h
+      FROM documents),
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, 5)) AS tx FROM m),
+    xy AS (
+      SELECT media_id, w, h, tx, unnest(generate_series(0, 4)) AS ty
+      FROM xs),
+    src AS (
+      SELECT media_id, (tx * w) // 6 AS x, (ty * h) // 5 AS y FROM xy)
+    SELECT media_id,
+           CAST(6 AS INTEGER) AS width,
+           CAST(5 AS INTEGER) AS height,
+           CAST(30 AS BIGINT) AS n_pixels,
+           CAST(sum((media_id * 5 + x * 7 + y * 3) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((media_id * 9 + x * 4 + y * 11) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((media_id * 13 + x + y * 19) % 256) AS BIGINT) AS sum_b
+    FROM src
+    GROUP BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "png", "compressed"),
+)
+def q_png_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed COMPRESSED pipeline: synthesize PNG -> inflate +
+    un-filter -> nearest-neighbor resample to 6x5 -> re-filter +
+    deflate -> decode again for features. Passing proves the resize
+    output is itself a well-formed PNG (filters, CRCs, DEFLATE) that
+    the decoder round-trips, with integer-exact channel sums via the
+    same floor-division index mapping as the BMP twin."""
+    _utc(spark)
+    from ..operators.multimodal import resize_png, synthesize_png_media
+
+    media = synthesize_png_media(_t(spark, sf_dir, "documents"))
+    return extract_image_features(resize_png(media, 6, 5), codec="png")
+
+
+@register(
     "bmp_resize_features",
     oracle=f"""
     WITH {_BMP_SYNTH_SQL},

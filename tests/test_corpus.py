@@ -118,3 +118,31 @@ def test_redact_pii(spark):
         "call <PHONE> today",
         "nothing sensitive here",
     ]
+
+
+def test_repetition_rules_flags_looping_text(spark):
+    """A doc that repeats one phrase must fail the n-gram rules while
+    a diverse doc passes; a short doc gets dup_5gram_frac = 0."""
+    from datawarehouseproject_spark.operators.corpus import repetition_rules
+
+    looping = " ".join(["click here to win"] * 10)          # 40 words
+    diverse = " ".join(f"w{i}" for i in range(40))
+    short = "just four words here"
+    docs = spark.createDataFrame(
+        [(1, looping), (2, diverse), (3, short)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_rules(docs).collect()}
+
+    loop = out[1]
+    # "to win click here" style bigrams each appear ~10x: top bigram
+    # covers 2*10/40 = 0.5 of the doc; 5-grams are near-total repeats
+    assert loop["top_bigram_frac"] >= 0.45
+    assert loop["dup_5gram_frac"] > 0.8
+    assert not loop["keep"]
+
+    div = out[2]
+    assert div["top_bigram_frac"] == 2 / 40
+    assert div["dup_5gram_frac"] == 0.0
+    assert div["keep"]
+
+    assert out[3]["dup_5gram_frac"] == 0.0  # < 5 words, vacuous

@@ -177,6 +177,21 @@ def main() -> None:
     run("hll_distinct", hll_distinct(docs, "doc_id", p=12), n_docs)
     run("cms_sketch", cms_sketch(docs, "doc_id", depth=4, width=1024), n_docs)
 
+    from datawarehouseproject_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    run(
+        "quantile_sketch",
+        quantile_estimate(
+            quantile_sketch(docs.withColumn("v", (F.col("doc_id") % 100000).cast("double")),
+                            "v", "doc_id", k=1024),
+            [1, 25, 50, 75, 99],
+        ),
+        n_docs,
+    )
+
 
 if __name__ == "__main__":
     main()
