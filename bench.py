@@ -62,6 +62,7 @@ HEADLINE = [
     "incremental_rollup",
     "dq_expectations",
     "zorder_tiles",
+    "dpp_partitioned_join",
     "minhash_lsh_pairs",
     "simhash",
     "embedding_topk",

@@ -1323,6 +1323,47 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dpp_partitioned_join",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+    GROUP BY 1
+    """,
+    tags=("dpp", "partition-pruning", "scale"),
+)
+def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: events land date-PARTITIONED, the
+    dim side is the date generator filtered to one week, and the join
+    on the partition column makes Spark prune the fact scan to the
+    dim's days at RUNTIME (the executed plan shows
+    ``dynamicpruningexpression`` + ``SubqueryAdaptiveBroadcast`` in
+    PartitionFilters — pinned in tests/test_plans.py). At 100 TB this
+    is the difference between scanning a week and scanning years:
+    partition-major layout + DPP means fact I/O scales with the dim
+    selection, not table size. The oracle is the plain filtered
+    aggregate over the raw events."""
+    _utc(spark)
+    from ..functions.dates import date_dim
+
+    root = _scratch("events_by_day")
+    ev = _t(spark, sf_dir, "events")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(root)
+    fact = spark.read.parquet(root)
+    dim = date_dim(spark).filter(
+        (F.col("FULL_DATE") >= "2024-01-10") & (F.col("FULL_DATE") <= "2024-01-16")
+    ).select(F.col("FULL_DATE").alias("day"))
+    return fact.join(dim, "day").groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register(
     "merge_cdc_customers",
     oracle="""
     WITH agg AS (
