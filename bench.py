@@ -74,6 +74,7 @@ HEADLINE = [
     "benchmark_contamination",
     "quality_rules",
     "repetition_rules",
+    "unigram_surprisal",
     "token_shard_packing",
     "pii_redaction",
     "bmp_image_features",

@@ -221,6 +221,62 @@ def repetition_rules(
     )
 
 
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model quality score with INTEGER-quantized
+    log-probabilities, so the estimate verifies cross-engine.
+
+    The standard LM filter (CCNet/KenLM-style) scores documents by
+    mean token log-probability; floating-point ``ln`` differs across
+    libm implementations, so a float score can't be hash-checked.
+    Quantize instead: a token seen ``c`` times in an ``N``-token
+    corpus gets surprisal ``bit_length(N div c)`` ≈ log2(1/p) — an
+    integer derived from the base-2 digit count of an exact integer
+    division, identical in any engine (Spark ``conv(x,10,2)`` length,
+    DuckDB ``bin(x)`` length — the HLL rank trick, reused).
+
+    Returns per doc ``(id, n_tokens, total_surprisal,
+    mean_surprisal)``: rare-token-heavy (surprising / low-quality or
+    off-domain) docs score high, common-word prose scores low. One
+    explode + one corpus-count aggregate + one token equi-join; the
+    1-row corpus total broadcasts.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__w")
+    )
+    vocab = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    scored = (
+        vocab.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__s",
+            F.length(
+                F.conv(F.expr("__n div __c").cast("string"), 10, 2)
+            ).cast("long"),
+        )
+        .select("__w", "__s")
+    )
+    return (
+        toks.join(scored, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__s").alias("total_surprisal"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "total_surprisal",
+            (F.col("total_surprisal") / F.col("n_tokens")).alias(
+                "mean_surprisal"
+            ),
+        )
+    )
+
+
 def pack_by_token_budget(
     docs: DataFrame,
     budget: int,

@@ -23,6 +23,7 @@ from ..operators.corpus import (
     pack_by_token_budget,
     quality_rules,
     repetition_rules,
+    unigram_surprisal,
 )
 from .registry import register
 
@@ -188,6 +189,34 @@ def q_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_top_trigram_frac=0.15,
         max_dup_5gram_frac=0.10,
     )
+
+
+@register(
+    "unigram_surprisal",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+    vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+              FROM words GROUP BY word),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+    scored AS (SELECT word, CAST(length(bin(n // c)) AS BIGINT) AS s
+               FROM vocab, tot)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(s.s) AS BIGINT) AS total_surprisal,
+           CAST(sum(s.s) AS DOUBLE) / count(*) AS mean_surprisal
+    FROM words w JOIN scored s USING (word)
+    GROUP BY w.doc_id
+    """,
+    tags=("corpus", "lm-quality", "integer-quantized"),
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score with integer-quantized log-probs
+    (surprisal = bit_length(N div c), the HLL rank trick) — the
+    CCNet/KenLM-style perplexity filter made hash-verifiable across
+    engines; rare-token-heavy docs score high."""
+    _utc(spark)
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
 _PACK_BUDGET = 500

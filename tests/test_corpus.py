@@ -146,3 +146,19 @@ def test_repetition_rules_flags_looping_text(spark):
     assert div["keep"]
 
     assert out[3]["dup_5gram_frac"] == 0.0  # < 5 words, vacuous
+
+
+def test_unigram_surprisal_quantization(spark):
+    """Hand-check the integer quantization: corpus of 8 tokens where
+    'a' appears 4x (N div c = 2, bit_length 2), 'b' 2x (4 -> 3 bits),
+    'c' and 'd' once each (8 -> 4 bits)."""
+    from datawarehouseproject_spark.operators.corpus import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b b c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    assert out[1]["total_surprisal"] == 4 * 2       # four 'a' at 2 bits
+    assert out[2]["total_surprisal"] == 2 * 3 + 4 + 4  # b,b,c,d
+    assert out[1]["mean_surprisal"] == 2.0
+    assert out[2]["mean_surprisal"] == 14 / 4
