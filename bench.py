@@ -57,6 +57,7 @@ HEADLINE = [
     "hll_distinct_users",
     "cms_heavy_hitters",
     "quantile_sketch_prices",
+    "cms_join_size",
     "salted_star_join",
     "merge_cdc_customers",
     "incremental_rollup",

@@ -257,6 +257,77 @@ def sql_cms_oracle(
     """
 
 
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Join-cardinality estimate from two count-min sketches built on
+    the SAME (col, depth, width): the classic CM inner-product
+    estimator ``|A ⋈ B| ≈ min_row Σ_pos cntA·cntB`` (an upper bound
+    that tightens as width grows, like the point estimates).
+
+    The optimizer question this answers at 100 TB: "how big is this
+    join going to be?" — WITHOUT scanning either table again. Each
+    side's sketch is ≤ depth×width counter rows (persistable,
+    mergeable across shards by summing counters); the estimate is one
+    tiny equi-join on (row_idx, pos) + a depth-row min. Same
+    portability contract as every sketch here: pure integer
+    arithmetic, so the SQL oracle reproduces the estimate exactly.
+    """
+    prod = (
+        sketch_a.alias("a")
+        .join(
+            sketch_b.alias("b"),
+            (F.col("a.row_idx") == F.col("b.row_idx"))
+            & (F.col("a.pos") == F.col("b.pos")),
+        )
+        .select(
+            F.col("a.row_idx").alias("row_idx"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("__p"),
+        )
+    )
+    per_row = prod.groupBy("row_idx").agg(F.sum("__p").alias("__dot"))
+    return per_row.agg(F.min("__dot").alias("est_join_size"))
+
+
+def sql_cms_join_size_oracle(
+    table_a: str,
+    col_a: str,
+    table_b: str,
+    col_b: str,
+    depth: int = 4,
+    width: int = 64,
+) -> str:
+    """DuckDB twin of two cms_sketch builds + :func:`cms_join_size`,
+    with the exact join size alongside."""
+    rows = ", ".join(f"({i})" for i in range(depth))
+
+    def pos(col: str) -> str:
+        return (
+            f"CAST('0x' || substring(md5('cms' || CAST(row_idx AS VARCHAR) || ':' "
+            f"|| CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) % {width}"
+        )
+
+    return f"""
+    WITH rows_t(row_idx) AS (VALUES {rows}),
+    ska AS (
+      SELECT row_idx, {pos(col_a)} AS pos, count(*) AS cnt
+      FROM {table_a} CROSS JOIN rows_t GROUP BY row_idx, pos),
+    skb AS (
+      SELECT row_idx, {pos(col_b)} AS pos, count(*) AS cnt
+      FROM {table_b} CROSS JOIN rows_t GROUP BY row_idx, pos),
+    dots AS (
+      SELECT a.row_idx, sum(a.cnt * b.cnt) AS dot
+      FROM ska a JOIN skb b ON a.row_idx = b.row_idx AND a.pos = b.pos
+      GROUP BY a.row_idx),
+    ex AS (
+      SELECT count(*) AS exact_join_size
+      FROM {table_a} a JOIN {table_b} b ON a.{col_a} = b.{col_b}),
+    est AS (SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM dots)
+    SELECT est.est_join_size, CAST(ex.exact_join_size AS BIGINT) AS exact_join_size
+    FROM est, ex
+    """
+
+
 def hll_sketch_by(
     df: DataFrame,
     group_cols: list[str],

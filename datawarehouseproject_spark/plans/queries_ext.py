@@ -1226,6 +1226,44 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_join_size_oracle() -> str:
+    from ..operators.sketches import sql_cms_join_size_oracle
+
+    return sql_cms_join_size_oracle(
+        "orders", "o_orderkey", "lineitem", "l_orderkey",
+        depth=4, width=65536,
+    )
+
+
+@register(
+    "cms_join_size",
+    oracle=_cms_join_size_oracle(),
+    tags=("sketch", "count-min", "join-cardinality"),
+)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT running the join: the
+    count-min inner-product estimator over orders ⋈ lineitem on the
+    order key (``operators/sketches.py:cms_join_size``), beside the
+    exact size. Each side reduces to ≤ depth×width integer counters
+    (mergeable across shards); the estimate is a tiny (row_idx, pos)
+    equi-join + depth-row min — the "how big will this join be?"
+    optimizer question answered from persisted sketches at 100 TB.
+    Integer-exact, so the oracle reproduces the ESTIMATE bit-for-bit."""
+    _utc(spark)
+    from ..operators.sketches import cms_join_size, cms_sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ska = cms_sketch(orders, "o_orderkey", depth=4, width=65536)
+    skb = cms_sketch(li, "l_orderkey", depth=4, width=65536)
+    est = cms_join_size(ska, skb, depth=4)
+    exact = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(exact)
+
+
 @register(
     "bucketed_orders_join",
     oracle="""

@@ -211,3 +211,21 @@ def test_quantile_accuracy_envelope(spark):
     for r in quantile_estimate(sk, [10, 50, 90]).collect():
         true_pct = r.est_val / 20000 * 100
         assert abs(true_pct - r.p) < 10, (r.p, r.est_val)
+
+
+def test_cms_join_size_upper_bound_and_accuracy(spark):
+    """The inner-product estimate upper-bounds the true join size and
+    tightens with width (exact when width >> key collisions)."""
+    from datawarehouseproject_spark.operators.sketches import (
+        cms_join_size,
+        cms_sketch,
+    )
+
+    a = spark.range(0, 500).selectExpr("id % 100 AS k")       # 5 rows/key
+    b = spark.range(0, 300).selectExpr("id % 100 AS k")       # 3 rows/key
+    true_size = 100 * 5 * 3
+    ska = cms_sketch(a, "k", depth=4, width=4096)
+    skb = cms_sketch(b, "k", depth=4, width=4096)
+    est = cms_join_size(ska, skb, depth=4).collect()[0]["est_join_size"]
+    assert est >= true_size            # CM never underestimates
+    assert est <= true_size * 1.1      # 100 keys in 4096 slots: near-exact
