@@ -80,6 +80,7 @@ HEADLINE = [
     "pii_redaction",
     "bmp_image_features",
     "png_image_features",
+    "gif_image_features",
     "avi_frame_features",
     "wav_audio_features",
 ]

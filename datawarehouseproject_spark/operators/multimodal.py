@@ -378,6 +378,31 @@ def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(batches, schema=schema)
 
 
+def synthesize_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of real GIF87a bytes
+    (``functions/gif.py:synth_gif``): palette indices from modular
+    arithmetic over the id, then REAL variable-width LZW encoding —
+    the second compressed format, with a different compression
+    algorithm than PNG's DEFLATE."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.gif import synth_gif
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids_.values, "payload": [synth_gif(int(i)) for i in ids_]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return ids.select(id_col).mapInPandas(batches, schema=schema)
+
+
 def extract_image_features(
     media: DataFrame, permissive: bool = False, codec: str = "bmp"
 ) -> DataFrame:
@@ -400,7 +425,7 @@ def extract_image_features(
     100 TB job (mirrors Spark's PERMISSIVE reader mode +
     ``_corrupt_record``).
     """
-    if codec not in ("bmp", "png"):
+    if codec not in ("bmp", "png", "gif"):
         raise ValueError(f"unsupported image codec {codec!r}")
     keep = [f for f in media.schema.fields if f.name != "payload"]
     fields = list(keep) + list(IMAGE_FEATURE_SCHEMA.fields)
@@ -413,6 +438,8 @@ def extract_image_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if codec == "png":
             from ..functions.png import decode_png as decode_bmp
+        elif codec == "gif":
+            from ..functions.gif import decode_gif as decode_bmp
         else:
             from ..functions.bmp import decode_bmp
 

@@ -778,6 +778,51 @@ def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gif_image_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             6 + doc_id % 6 AS w,
+             4 + doc_id % 6 AS h
+      FROM documents),
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m),
+    xy AS (
+      SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      FROM xs),
+    px AS (
+      SELECT media_id, w, h,
+             (media_id * 3 + x * 11 + y * 7) % 256 AS idx
+      FROM xy)
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(idx) AS BIGINT) AS sum_r,
+           CAST(sum((2 * idx + 9) % 256) AS BIGINT) AS sum_g,
+           CAST(sum(255 - idx) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY media_id, w, h
+    """,
+    tags=("multimodal", "mapInPandas", "gif", "compressed", "lzw"),
+)
+def q_gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND compressed decode, different algorithm: GIF87a with
+    real variable-width LZW (9→12-bit codes, dictionary growth,
+    CLEAR/EOI, KwKwK — ``functions/gif.py``) vs PNG's DEFLATE. One
+    palette-indexed image per document; the decoder walks the block
+    structure, inflates the LZW stream, and maps indices through the
+    color table in one vectorized gather. The oracle recomputes
+    channel sums from the index formula + palette mapping
+    (r=idx, g=(2·idx+9)%256, b=255−idx)."""
+    _utc(spark)
+    from ..operators.multimodal import synthesize_gif_media
+
+    media = synthesize_gif_media(_t(spark, sf_dir, "documents"))
+    return extract_image_features(media, codec="gif")
+
+
+@register(
     "png_resize_features",
     oracle="""
     WITH m AS (
