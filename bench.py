@@ -77,6 +77,8 @@ HEADLINE = [
     "repetition_rules",
     "unigram_surprisal",
     "token_shard_packing",
+    "chunk_documents",
+    "scd2_as_of",
     "pii_redaction",
     "bmp_image_features",
     "png_image_features",

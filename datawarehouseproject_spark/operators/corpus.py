@@ -277,6 +277,50 @@ def unigram_surprisal(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the RAG /
+    context-window preprocessing step (LangChain-style recursive
+    splitters reduce to this once text is tokenized).
+
+    Chunks start every ``chunk_tokens - overlap`` tokens and span
+    ``chunk_tokens`` (the final chunk is shorter); every document
+    yields at least one chunk. Output: ``(id, chunk_idx, token_start,
+    n_chunk_tokens, chunk_text)``, deterministic and 1:N in-task (a
+    ``sequence`` + ``transform`` over the token array, then one
+    explode — no shuffle until whatever consumes the chunks).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__w")
+    )
+    n = F.size("__w")
+    # chunk start offsets 0, stride, 2*stride … < n (always ≥ one)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = toks.select(
+        F.col(id_col),
+        F.col("__w"),
+        F.posexplode(starts).alias("chunk_idx", "token_start"),
+    )
+    piece = F.slice(F.col("__w"), F.col("token_start") + 1, chunk_tokens)
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.col("token_start").cast("long").alias("token_start"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def pack_by_token_budget(
     docs: DataFrame,
     budget: int,

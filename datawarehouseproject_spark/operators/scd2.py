@@ -81,6 +81,20 @@ class Scd2Result:
         }
 
 
+def as_of(history: DataFrame, ts: str) -> DataFrame:
+    """Point-in-time reconstruction (time travel): the rows that were
+    CURRENT at ``ts`` — ``CREATED_AT <= ts < EXPIRED_AT``.
+
+    This is the query SCD2 history exists to answer ("what did the
+    catalog look like last Tuesday?"); the open sentinel 9999-12-31
+    makes live rows satisfy the upper bound naturally. A pure filter:
+    when history is partitioned by IS_CURRENT / EXPIRED_AT date,
+    partition pruning bounds the scan.
+    """
+    t = F.to_timestamp(F.lit(ts))
+    return history.filter((F.col("CREATED_AT") <= t) & (F.col("EXPIRED_AT") > t))
+
+
 def _neq_any(left: str, right: str, cols: list[str]) -> Column:
     """OR-chain of NULL-unsafe ``!=`` over compare columns."""
     out: Column | None = None

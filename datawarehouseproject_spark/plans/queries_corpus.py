@@ -20,6 +20,7 @@ from ..catalog import load_table as _t
 from ..functions.text import PII_PATTERNS, redact_pii
 from ..operators.corpus import (
     benchmark_contamination,
+    chunk_documents,
     pack_by_token_budget,
     quality_rules,
     repetition_rules,
@@ -217,6 +218,47 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; rare-token-heavy docs score high."""
     _utc(spark)
     return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 24, 8
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    starts AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, greatest(len(w) - 1, 0),
+                    {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS token_start
+      FROM toks),
+    idxed AS (
+      SELECT doc_id, w, token_start,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY token_start) - 1 AS INTEGER) AS chunk_idx
+      FROM starts),
+    pieces AS (
+      SELECT doc_id, chunk_idx, CAST(token_start AS BIGINT) AS token_start,
+             w[token_start + 1 : token_start + {_CHUNK_TOKENS}] AS piece
+      FROM idxed)
+    SELECT doc_id, chunk_idx, token_start,
+           CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(piece, ' ') AS chunk_text
+    FROM pieces
+    """,
+    tags=("corpus", "chunking", "rag"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window prep):
+    chunks start every stride tokens and span the window, 1:N in-task
+    with no shuffle; the oracle replays the same window arithmetic
+    with DuckDB list slicing."""
+    _utc(spark)
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+    )
 
 
 _PACK_BUDGET = 500

@@ -23,7 +23,7 @@ from ..functions.dates import date_dim
 from ..operators.clean import clean_products
 from ..operators.dims import upsert_dim
 from ..operators.rollups import midrange
-from ..operators.scd2 import scd2_apply
+from ..operators.scd2 import as_of, scd2_apply
 from ..operators.topk import top1_per_group
 from .registry import register
 
@@ -1263,6 +1263,49 @@ def q_pipeline_two_day_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("QUARTER_MIN_PRICE").cast("double").alias("QUARTER_MIN_PRICE"),
         F.col("QUARTER_MAX_PRICE").cast("double").alias("QUARTER_MAX_PRICE"),
         F.col("QUARTER_AVG_PRICE").cast("double").alias("QUARTER_AVG_PRICE"),
+    )
+
+
+_AS_OF_TS = "2024-01-20 00:00:00"
+
+#: Same dataflow as _ORACLE_SCD2, final select filtered to the rows
+#: live at the probe instant (time travel over the identical history).
+_ORACLE_SCD2_AS_OF = _ORACLE_SCD2.replace(
+    "FROM hist_out",
+    f"FROM hist_out WHERE CREATED_AT <= TIMESTAMP '{_AS_OF_TS}' "
+    f"AND EXPIRED_AT > TIMESTAMP '{_AS_OF_TS}'",
+)
+
+
+@register("scd2_as_of", oracle=_ORACLE_SCD2_AS_OF, tags=("scd2", "time-travel"))
+def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction over the two-day SCD2 history:
+    the state AS OF an instant between the runs (operators/scd2.py
+    as_of — CREATED_AT <= t < EXPIRED_AT). Day-2 expiries must
+    reappear in their day-1 version and day-2 inserts must vanish;
+    the oracle applies the identical interval filter to the same
+    SQL-rebuilt history. Same output normalization as scd2_two_day
+    (sentinel timestamps as STRING, decimals as DOUBLE)."""
+    _utc(spark)
+    st1, st2 = _scd_staging_both(spark, sf_dir, "2024-01-15", "2024-02-01")
+    r1 = scd2_apply(st1, None, now="2024-01-15 12:00:00")
+    r2 = scd2_apply(
+        st2, r1.history.localCheckpoint(eager=False), now="2024-01-31 12:00:00"
+    )
+    return as_of(r2.history, _AS_OF_TS).select(
+        "TEN",
+        "LINK",
+        "LINK_ANH",
+        F.col("GIA_CU").cast("double").alias("GIA_CU"),
+        F.col("GIA_MOI").cast("double").alias("GIA_MOI"),
+        F.col("KICH_THUOC_MAN_HINH").cast("double").alias("KICH_THUOC_MAN_HINH"),
+        "RAM",
+        "BO_NHO",
+        "ID",
+        "ID_CONFIG",
+        F.col("CREATED_AT").cast("string").alias("CREATED_AT"),
+        F.col("UPDATED_AT").cast("string").alias("UPDATED_AT"),
+        F.col("EXPIRED_AT").cast("string").alias("EXPIRED_AT"),
     )
 
 

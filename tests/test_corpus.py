@@ -162,3 +162,36 @@ def test_unigram_surprisal_quantization(spark):
     assert out[2]["total_surprisal"] == 2 * 3 + 4 + 4  # b,b,c,d
     assert out[1]["mean_surprisal"] == 2.0
     assert out[2]["mean_surprisal"] == 14 / 4
+
+
+def test_chunk_documents_window_arithmetic(spark):
+    """20 tokens, window 8, overlap 3 (stride 5): starts 0,5,10,15;
+    final chunk truncates to 5 tokens; overlap regions repeat."""
+    from datawarehouseproject_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(20))
+    docs = spark.createDataFrame([(1, text), (2, "solo")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=8, overlap=3)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    assert sorted(i for (d, i) in rows if d == 1) == [0, 1, 2, 3]
+    assert rows[(1, 0)]["chunk_text"].split() == [f"t{i}" for i in range(8)]
+    assert rows[(1, 1)]["token_start"] == 5
+    assert rows[(1, 1)]["chunk_text"].split() == [f"t{i}" for i in range(5, 13)]
+    assert rows[(1, 3)]["n_chunk_tokens"] == 5  # tokens 15..19
+    # a short doc still yields exactly one chunk
+    assert rows[(2, 0)]["chunk_text"] == "solo"
+    assert len([k for k in rows if k[0] == 2]) == 1
+    # overlap consistency: last 3 tokens of chunk k = first 3 of k+1
+    for k in range(3):
+        a = rows[(1, k)]["chunk_text"].split()
+        b = rows[(1, k + 1)]["chunk_text"].split()
+        assert a[-3:] == b[:3]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from datawarehouseproject_spark.operators.corpus import chunk_documents
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -114,3 +114,28 @@ def test_one_current_row_per_track_key(spark):
     # history only ever grows: 3 day-1 rows (a,b expired; c current)
     # + d inserted + a,b re-inserted = 6
     assert r2.history.count() == 6
+
+
+def test_as_of_time_travel(spark):
+    """State as of an instant between runs = the day-1 current set:
+    day-2 expiries reappear in their day-1 version, day-2 inserts
+    vanish, and probing before day 1 returns nothing."""
+    from datawarehouseproject_spark.operators.scd2 import as_of, scd2_apply
+
+    st1 = spark.createDataFrame(
+        [("a", "L1", "x", 10, 20, 5, 8, 256), ("b", "L2", "y", 11, 21, 5, 8, 256)],
+        "TEN string, LINK string, LINK_ANH string, GIA_CU int, GIA_MOI int, "
+        "KICH_THUOC_MAN_HINH int, RAM int, BO_NHO int",
+    )
+    st2 = spark.createDataFrame(
+        [("a", "L1", "x", 99, 20, 5, 8, 256), ("c", "L3", "z", 12, 22, 5, 8, 256)],
+        st1.schema,
+    )
+    r1 = scd2_apply(st1, None, now="2024-01-01 00:00:00")
+    r2 = scd2_apply(st2, r1.history, now="2024-01-03 00:00:00")
+
+    mid = {(r["TEN"], r["GIA_CU"]) for r in as_of(r2.history, "2024-01-02 00:00:00").collect()}
+    assert mid == {("a", 10), ("b", 11)}  # day-1 state, no 'c', old 'a'
+    after = {(r["TEN"], r["GIA_CU"]) for r in as_of(r2.history, "2024-01-04 00:00:00").collect()}
+    assert after == {("a", 99), ("b", 11), ("c", 12)}
+    assert as_of(r2.history, "2023-12-31 00:00:00").count() == 0
