@@ -778,6 +778,67 @@ def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "csv_permissive_parse",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN o_orderkey % 13 <> 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_price
+    FROM orders
+    """,
+    tags=("csv", "permissive", "corrupt-record", "robustness"),
+)
+def q_csv_permissive_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness: orders export where every 13th line
+    carries an unparseable price, read back with an explicit schema in
+    PERMISSIVE mode + ``_corrupt_record`` — bad lines surface as
+    quarantine rows instead of failing the job (the 100 TB reality:
+    a crawl/feed ALWAYS contains garbage, and one bad line must not
+    kill the pipeline). Sums run in DECIMAL so the value is exact
+    regardless of partition order; the oracle recomputes the same
+    split from the clean table."""
+    _utc(spark)
+    root = _scratch("orders_csv_dirty")
+    orders = _t(spark, sf_dir, "orders")
+    line = F.when(
+        F.col("o_orderkey") % 13 == 0,
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(",not_a_number")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        )
+    )
+    orders.select(line.alias("value")).write.text(root)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("price", T.DecimalType(18, 2)),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(root)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price").alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
+@register(
     "gif_image_features",
     oracle="""
     WITH m AS (
