@@ -503,6 +503,56 @@ def resize_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
+ADPCM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("encoded_bytes", T.LongType()),
+        T.StructField("sum_amplitude", T.LongType()),
+        T.StructField("max_abs_error", T.LongType()),
+    ]
+)
+
+
+def adpcm_roundtrip_features(media: DataFrame) -> DataFrame:
+    """COMPRESSED audio: IMA ADPCM 4:1 round-trip per WAV payload
+    (:mod:`..functions.adpcm` — the audio analogue of PNG/GIF's
+    compressed decode, but LOSSY and inherently sequential, so the
+    registry entry is rows-only; the state machine is pinned by
+    tests/test_adpcm.py goldens instead of a SQL oracle).
+
+    Per clip: decode WAV, take channel 0, encode to 4-bit ADPCM,
+    decode back, and report reconstruction stats — sample count,
+    compressed size, amplitude sum of the reconstruction, and the
+    max absolute reconstruction error vs the original.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.adpcm import decode_adpcm, encode_adpcm
+        from ..functions.wav import decode_wav
+
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "n_samples", "encoded_bytes",
+                                   "sum_amplitude", "max_abs_error")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, _, frames = decode_wav(bytes(p))
+                mono = frames[:, 0].astype(np.int64)
+                enc = encode_adpcm(mono)
+                rec = decode_adpcm(enc).astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(int(mono.size))
+                out["encoded_bytes"].append(len(enc))
+                out["sum_amplitude"].append(int(rec.sum()))
+                out["max_abs_error"].append(
+                    int(np.abs(rec - mono).max()) if mono.size else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=ADPCM_FEATURE_SCHEMA)
+
+
 def resize_png(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL compressed-image resize: inflate + un-filter PNG ->
     nearest-neighbor resample -> re-filter + deflate PNG, per Arrow

@@ -960,6 +960,24 @@ def q_bmp_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "adpcm_audio_features",
+    tags=("multimodal", "mapInPandas", "adpcm", "compressed", "rows-only"),
+)
+def q_adpcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio (IMA ADPCM 4:1): synth WAV clips round-trip
+    through the 4-bit adaptive-step codec per Arrow batch; reports
+    sample counts, compressed sizes, reconstruction amplitude sums,
+    and max abs error. Rows-only by necessity — the decoder is a
+    sequential integer state machine no SQL can replay; semantics
+    are pinned by tests/test_adpcm.py goldens."""
+    _utc(spark)
+    from ..operators.multimodal import adpcm_roundtrip_features
+
+    media = synthesize_wav_media(_t(spark, sf_dir, "documents"))
+    return adpcm_roundtrip_features(media)
+
+
+@register(
     "wav_audio_features",
     oracle="""
     WITH m AS (
