@@ -27,6 +27,12 @@ FLAGSHIPS = [
     "hll_distinct_users",
     "merge_cdc_customers",
     "zorder_tiles",
+    "dpp_partitioned_join",
+    "quantile_sketch_prices",
+    "cms_join_size",
+    "semantic_dedup",
+    "repetition_rules",
+    "chunk_documents",
 ]
 
 HEADER = """# Captured physical plans (sf0.001)
