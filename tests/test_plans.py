@@ -176,14 +176,16 @@ def test_orc_roundtrip_pushdown(spark):
 def test_event_type_pivot_two_phase_agg(spark):
     plan = _plan(spark, "event_type_pivot")
     # explicit pivot values compile to pivotfirst (no values-discovery
-    # job): pre-agg by (day, type) then pivot by day — at most two
-    # shuffles, both fed by map-side partial aggregates, and the
-    # second moves only day x type pre-aggregated rows
+    # job): pre-agg by (day, type) then pivot by day, PLUS the
+    # separate count(*) aggregate (robust n_events, ADVICE r4) joined
+    # back on day via broadcast — three shuffles total, all fed by
+    # map-side partial aggregates, and the join adds no exchange
     assert "pivotfirst" in plan
-    assert plan.count("HashAggregate") >= 4
+    assert plan.count("HashAggregate") >= 6
+    assert "BroadcastHashJoin" in plan
     import re as _re
 
-    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 3
 
 
 def test_dpp_partitioned_join_prunes_at_runtime(spark):
