@@ -78,6 +78,7 @@ HEADLINE = [
     "unigram_surprisal",
     "token_shard_packing",
     "chunk_documents",
+    "subword_tokens",
     "scd2_as_of",
     "pii_redaction",
     "bmp_image_features",

@@ -321,6 +321,137 @@ def chunk_documents(
     )
 
 
+#: Greedy-longest-match subword vocabulary (WordPiece-style): a few
+#: multi-char merges plus every lowercase letter and digit, so any
+#: alphanumeric word tokenizes totally. Shared verbatim with the SQL
+#: oracle builder.
+SUBWORD_VOCAB = (
+    ["data", "tab", "able", "ble", "qu", "ue", "ry", "th", "he", "in",
+     "er", "an", "re", "or", "on", "st", "at", "le", "row", "scan", "val"]
+    + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [str(d) for d in range(10)]
+)
+
+
+def subword_tokenize_counts(
+    docs: DataFrame,
+    vocab: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece-style subword tokenization with ZERO Python UDFs.
+
+    Greedy longest-match-first against a fixed vocabulary — the
+    deterministic core of real subword tokenizers (BPE inference is
+    this walk once merges are flattened to a vocab). The trick that
+    keeps it set-based: tokenize each DISTINCT word once, then join
+    counts back onto the corpus — at 100 TB the walk is bounded by
+    the corpus VOCABULARY (millions), not the token stream
+    (trillions).
+
+    Dataflow:
+
+    1. ``steps``: for every (word, position), the LONGEST vocab piece
+       matching there (one union of per-length broadcast substring
+       joins + a max).
+    2. ``walk``: iterate position += step from 1, max-word-length
+       times (driver-bounded loop like the connected-components
+       operator; each round is one broadcast-ish equi-join). Words
+       finish when the walk steps past their last char.
+    3. join subword counts back to the exploded corpus and aggregate
+       per doc: ``(id, n_words, n_subwords)``.
+
+    Un-tokenizable words (characters outside the vocab) drop from
+    BOTH the engine and the oracle (inner joins on both sides).
+    """
+    vocab = SUBWORD_VOCAB if vocab is None else vocab
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("word")
+    )
+    words = toks.select("word").distinct().cache()
+    spark = docs.sparkSession
+
+    pos = words.select(
+        "word",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("p"),
+    )
+    by_len: dict[int, list[str]] = {}
+    for piece in vocab:
+        by_len.setdefault(len(piece), []).append(piece)
+    match_parts = []
+    for plen, pieces in sorted(by_len.items()):
+        vdf = F.broadcast(
+            spark.createDataFrame([(p,) for p in pieces], "piece string")
+        )
+        match_parts.append(
+            pos.join(
+                vdf, F.col("word").substr(F.col("p"), F.lit(plen)) == F.col("piece")
+            ).select("word", "p", F.lit(plen).alias("step"))
+        )
+    matches = match_parts[0]
+    for m in match_parts[1:]:
+        matches = matches.unionByName(m)
+    steps = matches.groupBy("word", "p").agg(F.max("step").alias("step")).cache()
+
+    max_len = words.agg(F.max(F.length("word"))).first()[0] or 0
+    state = words.select("word", F.lit(1).alias("p"), F.lit(0).alias("cnt"))
+    finished = []
+    for i in range(int(max_len)):
+        advanced = state.join(steps, ["word", "p"]).select(
+            "word",
+            (F.col("p") + F.col("step")).alias("p"),
+            (F.col("cnt") + 1).alias("cnt"),
+        )
+        if i % 4 == 3:  # truncate the growing join lineage
+            advanced = advanced.localCheckpoint(eager=False)
+        finished.append(advanced.filter(F.col("p") == F.length("word") + 1))
+        state = advanced.filter(F.col("p") <= F.length("word"))
+    done = finished[0]
+    for f in finished[1:]:
+        done = done.unionByName(f)
+    done = done.select("word", F.col("cnt").alias("n_subwords"))
+
+    return (
+        toks.join(done, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_subwords"),
+        )
+    )
+
+
+def sql_subword_oracle(vocab: list[str] | None = None) -> str:
+    """DuckDB twin: same vocab, same greedy walk as a recursive CTE
+    over the precomputed longest-match table."""
+    vocab = SUBWORD_VOCAB if vocab is None else vocab
+    vocab_vals = ", ".join(f"('{p}', {len(p)})" for p in vocab)
+    return f"""
+    WITH RECURSIVE
+    norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+             FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM norm),
+    words AS (SELECT DISTINCT word FROM toks),
+    vocab(piece, plen) AS (VALUES {vocab_vals}),
+    pos AS (SELECT word, unnest(generate_series(1, len(word))) AS p FROM words),
+    matches AS (
+      SELECT pos.word, pos.p, max(v.plen) AS step
+      FROM pos JOIN vocab v ON substr(pos.word, pos.p, v.plen) = v.piece
+      GROUP BY pos.word, pos.p),
+    walk(word, p, cnt) AS (
+      SELECT word, 1, 0 FROM words
+      UNION ALL
+      SELECT w.word, w.p + m.step, w.cnt + 1
+      FROM walk w JOIN matches m ON m.word = w.word AND m.p = w.p),
+    done AS (SELECT word, cnt AS n_subwords FROM walk WHERE p = len(word) + 1)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(d.n_subwords) AS BIGINT) AS n_subwords
+    FROM toks t JOIN done d USING (word)
+    GROUP BY t.doc_id
+    """
+
+
 def pack_by_token_budget(
     docs: DataFrame,
     budget: int,

@@ -261,6 +261,33 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "subword_tokens",
+    oracle=None,  # set below after import (needs the builder)
+    tags=("corpus", "tokenizer", "wordpiece", "no-udf"),
+)
+def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy longest-match subword tokenization with
+    zero Python UDFs: per-distinct-word longest-match walk (bounded
+    driver loop over broadcast substring joins), counts joined back
+    to the corpus. The oracle replays the identical walk as a
+    recursive CTE over the same vocabulary."""
+    _utc(spark)
+    from ..operators.corpus import subword_tokenize_counts
+
+    return subword_tokenize_counts(_t(spark, sf_dir, "documents"))
+
+
+def _install_subword_oracle() -> None:
+    from ..operators.corpus import sql_subword_oracle
+    from .registry import QUERIES
+
+    QUERIES["subword_tokens"].oracle = sql_subword_oracle()
+
+
+_install_subword_oracle()
+
+
 _PACK_BUDGET = 500
 
 

@@ -195,3 +195,36 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_subword_tokenize_greedy_longest_match(spark):
+    """Hand-checked greedy walk with the default vocab: 'data' is one
+    piece; 'datatable' = data+tab+le = 3; 'query' = qu+er+y = 3
+    (greedy takes 'qu' then 'er', never backtracks for 'query');
+    'zzz' = z+z+z = 3 single-char fallbacks."""
+    from datawarehouseproject_spark.operators.corpus import (
+        subword_tokenize_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "data datatable"), (2, "query zzz")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in subword_tokenize_counts(docs).collect()}
+    assert (out[1]["n_words"], out[1]["n_subwords"]) == (2, 1 + 3)
+    assert (out[2]["n_words"], out[2]["n_subwords"]) == (2, 3 + 3)
+
+
+def test_subword_tokenize_drops_untokenizable(spark):
+    """Words with out-of-vocab characters drop from the counts on
+    both engine and oracle (consistent inner joins)."""
+    from datawarehouseproject_spark.operators.corpus import (
+        subword_tokenize_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "data ... data")], "doc_id long, text string"
+    )
+    out = subword_tokenize_counts(docs).collect()
+    assert len(out) == 1
+    assert (out[0]["n_words"], out[0]["n_subwords"]) == (2, 2)  # '...' gone
