@@ -70,6 +70,7 @@ HEADLINE = [
     "embedding_near_dup",
     "embedding_ivf_topk",
     "semantic_dedup",
+    "canonical_docs",
     "tfidf_top_terms",
     "token_stats",
     "benchmark_contamination",

@@ -92,3 +92,42 @@ def connected_components(
 
         warnings.warn(msg, stacklevel=2)
     return labels.select("node", F.col("label").alias("component"))
+
+
+def canonical_map(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "n_chars",
+) -> DataFrame:
+    """Full dedup map ``(id, canonical_id)``: every document points
+    at its cluster's KEPT representative.
+
+    Production dedup keeps the BEST member of each near-dup cluster
+    (longest / highest-quality), not the lowest id — this selects
+    argmax(``rank_col``, ties by min id) per component, and maps
+    singletons (docs in no component) to themselves. The output is
+    the reusable artifact: filter ``id = canonical_id`` for the kept
+    corpus, or join it onto downstream tables to re-point references
+    at canonical docs. One window over components + one anti join —
+    nothing scales with pair count.
+    """
+    from pyspark.sql import Window
+
+    member = components.join(
+        docs.select(F.col(id_col), F.col(rank_col)),
+        components["node"] == F.col(id_col),
+    ).select("component", F.col(id_col), F.col(rank_col))
+    w = Window.partitionBy("component").orderBy(
+        F.col(rank_col).desc(), F.col(id_col).asc()
+    )
+    canon = (
+        member.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("component", F.col(id_col).alias("canonical_id"))
+    )
+    mapped = member.join(canon, "component").select(id_col, "canonical_id")
+    singles = docs.join(
+        components, docs[id_col] == components["node"], "left_anti"
+    ).select(F.col(id_col), F.col(id_col).alias("canonical_id"))
+    return mapped.unionByName(singles)

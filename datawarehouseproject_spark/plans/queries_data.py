@@ -465,6 +465,62 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _canonical_oracle() -> str:
+    minhash = _minhash_oracle().strip()
+    return f"""
+    WITH cand AS ({minhash}),
+    e AS (SELECT id_a, id_b FROM cand WHERE est_jaccard >= {_CC_EST}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM e
+            UNION SELECT id_b, id_a FROM e),
+    walk AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT s.b, r.label FROM r JOIN sym s ON s.a = r.node
+      )
+      SELECT node, min(label) AS component FROM r GROUP BY node),
+    member AS (
+      SELECT w.component, d.doc_id, d.n_chars
+      FROM walk w JOIN documents d ON w.node = d.doc_id),
+    canon AS (
+      SELECT component, doc_id AS canonical_id FROM (
+        SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                 ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM member) WHERE rn = 1),
+    mapped AS (
+      SELECT m.doc_id, c.canonical_id
+      FROM member m JOIN canon c USING (component))
+    SELECT doc_id, canonical_id FROM mapped
+    UNION ALL
+    SELECT d.doc_id, d.doc_id AS canonical_id
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM walk w WHERE w.node = d.doc_id)
+    """
+
+
+@register(
+    "canonical_docs",
+    oracle=_canonical_oracle(),
+    tags=("dedup", "graph", "canonical-selection"),
+)
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup MAP: near-dup clusters (LSH pairs → connected
+    components) each keep their argmax(n_chars, min-id) member;
+    every doc maps to its cluster's canonical id (singletons to
+    themselves). Production dedup keeps the BEST duplicate, not the
+    first — filter id = canonical_id for the kept corpus, or join
+    the map onto downstream tables to re-point references."""
+    _utc(spark)
+    from ..operators.graph import canonical_map, connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=_NUM_PERM, shingle_len=_SHINGLE, bands=_BANDS
+    ).filter(F.col("est_jaccard") >= _CC_EST)
+    return canonical_map(docs, connected_components(pairs))
+
+
 _SIM_BITS = 32
 
 

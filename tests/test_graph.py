@@ -40,3 +40,25 @@ def test_components_nonconvergence_raises(spark):
     with pytest.warns(UserWarning, match="did not converge"):
         partial = connected_components(edges, max_iter=2, strict=False)
     assert partial.count() == 16
+
+
+def test_canonical_map_keeps_best_member(spark):
+    """Cluster {1,2,3} keeps the longest member (2); tie on length in
+    {10,11} keeps the lower id; singleton 99 maps to itself."""
+    from datawarehouseproject_spark.operators.graph import (
+        canonical_map,
+        connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 80), (3, 20), (10, 40), (11, 40), (99, 7)],
+        "doc_id long, n_chars long",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comps = connected_components(edges)
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in canonical_map(docs, comps).collect()}
+    assert out == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10, 99: 99}
