@@ -170,27 +170,54 @@ def sql_hll_oracle(
 # ---------------------------------------------------------------------------
 
 
+def _cms_position_cols(depth: int, width: int) -> list:
+    """``depth`` position columns over ``__lo``/``__hi`` (the two
+    30-bit halves of one md5): ``(a_i*lo + b_i*hi + c_i) mod (2^31-1)
+    mod width``. One md5 per row instead of ``depth`` salted md5s —
+    at trillions of rows the hashing is the dominant sketch-build
+    cost. All products < 2^62, so the arithmetic is exact in any
+    engine (and in the SQL oracle twin)."""
+    from ..functions.hashing import MERSENNE31, universal_coeffs
+
+    return [
+        (
+            (F.col("__lo") * F.lit(a) + F.col("__hi") * F.lit(b) + F.lit(c))
+            % MERSENNE31
+            % width
+        ).alias(f"p{i}")
+        for i, (a, b, c) in enumerate(universal_coeffs(depth, salt="cms"))
+    ]
+
+
+def _cms_halves(df: DataFrame, col: str) -> DataFrame:
+    """Project the two exact 30-bit halves of md5('cms:' || col),
+    keeping all original columns (integer div — float division would
+    lose bits above 2^53)."""
+    h = md5_long(F.col(col).cast("string"), salt="cms:")
+    return df.withColumn("__h", h).selectExpr(
+        "*", "__h % 1073741824 AS __lo", "__h div 1073741824 AS __hi"
+    ).drop("__h")
+
+
 def cms_sketch(
     df: DataFrame, col: str, depth: int = 4, width: int = 64
 ) -> DataFrame:
     """Count-min sketch as a DataFrame: ``(row_idx, pos, cnt)``.
 
-    Each input value increments one counter per hash row (depth
-    independent md5-salted hashes, position = hash % width). The
-    frame is at most ``depth*width`` rows — map-side combinable
-    (it's a count agg), mergeable across inputs with
-    ``groupBy(row_idx, pos).sum(cnt)``, persistable as parquet. Point
-    estimates (:func:`cms_estimate`) upper-bound true counts; the
-    overestimate shrinks as width grows (ε ≈ e/width).
+    Each input value increments one counter per hash row; the
+    ``depth`` positions derive from ONE md5 via universal hashing
+    (``(a_i*h_lo + b_i*h_hi + c_i) mod (2^31-1) mod width`` over the
+    two 30-bit halves — the minhash many-permutations trick), so the
+    per-row hashing cost is constant in depth. The frame is at most
+    ``depth*width`` rows — map-side combinable (it's a count agg),
+    mergeable across inputs with ``groupBy(row_idx, pos).sum(cnt)``,
+    persistable as parquet. Point estimates (:func:`cms_estimate`)
+    upper-bound true counts; the overestimate shrinks as width grows
+    (ε ≈ e/width).
     """
-    hashes = [
-        (md5_long(F.col(col).cast("string"), salt=f"cms{i}:") % width).alias(
-            f"p{i}"
-        )
-        for i in range(depth)
-    ]
+    base = _cms_halves(df.select(col), col)
     return (
-        df.select(*hashes)
+        base.select(*_cms_position_cols(depth, width))
         .select(F.posexplode(F.array(*[f"p{i}" for i in range(depth)])).alias(
             "row_idx", "pos"
         ))
@@ -211,13 +238,8 @@ def cms_estimate(
     bound; missing counters mean a true zero). Joins on the tiny
     (row_idx, pos) key — the sketch side is ≤ depth*width rows, so it
     broadcasts."""
-    hashes = [
-        (md5_long(F.col(col).cast("string"), salt=f"cms{i}:") % width).alias(
-            f"p{i}"
-        )
-        for i in range(depth)
-    ]
-    probes = items.select(F.col(col), *hashes).select(
+    base = _cms_halves(items.select(col), col)
+    probes = base.select(F.col(col), *_cms_position_cols(depth, width)).select(
         col,
         F.posexplode(F.array(*[f"p{i}" for i in range(depth)])).alias(
             "row_idx", "pos"
@@ -230,26 +252,48 @@ def cms_estimate(
     )
 
 
+def _sql_cms_rows(depth: int) -> str:
+    """(row_idx, a, b, c) VALUES rows matching
+    :func:`_cms_position_cols`'s universal-hash coefficients."""
+    from ..functions.hashing import universal_coeffs
+
+    return ", ".join(
+        f"({i}, {a}, {b}, {c})"
+        for i, (a, b, c) in enumerate(universal_coeffs(depth, salt="cms"))
+    )
+
+
+#: SQL fragment: the 60-bit md5 base hash of a column expression.
+def _sql_cms_hash(col: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5('cms:' || CAST({col} AS VARCHAR)), 1, 15) "
+        "AS BIGINT)"
+    )
+
+
+_SQL_CMS_POS = (
+    "(((h % 1073741824) * a + (h // 1073741824) * b + c) % 2147483647) % {width}"
+)
+
+
 def sql_cms_oracle(
     table: str, col: str, depth: int = 4, width: int = 64
 ) -> str:
     """DuckDB twin of sketch+estimate over the distinct values of
-    ``col`` in ``table`` — identical salted positions and counters."""
-    rows = ", ".join(f"({i})" for i in range(depth))
-    pos = (
-        f"CAST('0x' || substring(md5('cms' || CAST(row_idx AS VARCHAR) || ':' "
-        f"|| CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) % {width}"
-    )
+    ``col`` in ``table`` — identical one-md5 universal-hash positions
+    and counters."""
+    pos = _SQL_CMS_POS.format(width=width)
     return f"""
-    WITH rows_t(row_idx) AS (VALUES {rows}),
+    WITH rows_t(row_idx, a, b, c) AS (VALUES {_sql_cms_rows(depth)}),
+    hashed AS (SELECT {col}, {_sql_cms_hash(col)} AS h FROM {table}),
     sk AS (
       SELECT row_idx, {pos} AS pos, count(*) AS cnt
-      FROM {table} CROSS JOIN rows_t
+      FROM hashed CROSS JOIN rows_t
       GROUP BY row_idx, pos
     ),
     probe AS (
       SELECT DISTINCT {col}, row_idx, {pos} AS pos
-      FROM {table} CROSS JOIN rows_t
+      FROM hashed CROSS JOIN rows_t
     )
     SELECT p.{col}, min(coalesce(s.cnt, 0)) AS est_count
     FROM probe p LEFT JOIN sk s ON p.row_idx = s.row_idx AND p.pos = s.pos
@@ -299,22 +343,17 @@ def sql_cms_join_size_oracle(
 ) -> str:
     """DuckDB twin of two cms_sketch builds + :func:`cms_join_size`,
     with the exact join size alongside."""
-    rows = ", ".join(f"({i})" for i in range(depth))
-
-    def pos(col: str) -> str:
-        return (
-            f"CAST('0x' || substring(md5('cms' || CAST(row_idx AS VARCHAR) || ':' "
-            f"|| CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) % {width}"
-        )
-
+    pos = _SQL_CMS_POS.format(width=width)
     return f"""
-    WITH rows_t(row_idx) AS (VALUES {rows}),
+    WITH rows_t(row_idx, a, b, c) AS (VALUES {_sql_cms_rows(depth)}),
+    ha AS (SELECT {_sql_cms_hash(col_a)} AS h FROM {table_a}),
+    hb AS (SELECT {_sql_cms_hash(col_b)} AS h FROM {table_b}),
     ska AS (
-      SELECT row_idx, {pos(col_a)} AS pos, count(*) AS cnt
-      FROM {table_a} CROSS JOIN rows_t GROUP BY row_idx, pos),
+      SELECT row_idx, {pos} AS pos, count(*) AS cnt
+      FROM ha CROSS JOIN rows_t GROUP BY row_idx, pos),
     skb AS (
-      SELECT row_idx, {pos(col_b)} AS pos, count(*) AS cnt
-      FROM {table_b} CROSS JOIN rows_t GROUP BY row_idx, pos),
+      SELECT row_idx, {pos} AS pos, count(*) AS cnt
+      FROM hb CROSS JOIN rows_t GROUP BY row_idx, pos),
     dots AS (
       SELECT a.row_idx, sum(a.cnt * b.cnt) AS dot
       FROM ska a JOIN skb b ON a.row_idx = b.row_idx AND a.pos = b.pos
