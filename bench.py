@@ -69,6 +69,7 @@ HEADLINE = [
     "embedding_topk",
     "embedding_near_dup",
     "embedding_ivf_topk",
+    "embedding_quantized_topk",
     "semantic_dedup",
     "canonical_docs",
     "tfidf_top_terms",

@@ -299,6 +299,91 @@ def ivf_topk(
     )
 
 
+def int8_quantize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: ``q_i = trunc(x_i * 127 /
+    max|x|)`` (zero vectors quantize to zeros).
+
+    The standard 4× storage/bandwidth lever for vector search at
+    scale — the quantized index is what ships to disk and over the
+    shuffle. Truncation (not rounding) is deliberate: double→int
+    truncates identically in every engine, while round() half-case
+    behavior differs, so the SQL oracle reproduces every code
+    bit-for-bit.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(m == 0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(v, lambda x: (x * 127.0 / m).cast("long"))
+    )
+    return df.withColumn(out_col, q)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Cosine top-k over int8-QUANTIZED vectors: integer dot products
+    (exact in any engine — |q| ≤ 127, sums ≪ 2^53) with one final
+    float division per pair. Same shape as :func:`brute_force_topk`
+    but the scored payload is a quarter the bytes — at 100 TB the
+    quantized index is the resident set and full-precision vectors
+    stay in cold storage for optional re-ranking."""
+    qc = int8_quantize(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("__cq"),
+        F.sqrt(
+            F.aggregate(
+                F.transform("qvec", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).cast("double")
+        ).alias("__cn"),
+    )
+    qq = F.broadcast(
+        int8_quantize(queries, vec_col).select(
+            F.col(query_id_col),
+            F.col("qvec").alias("__qq"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform("qvec", lambda x: x * x),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                ).cast("double")
+            ).alias("__qn"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("__qq", "__cq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    scored = qc.crossJoin(qq).select(
+        query_id_col,
+        "neighbor_id",
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                dot.cast("double") / denom
+            ),
+            6,
+        ).alias("qcosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "qcosine", "rank")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     n_centroids: int = 8,

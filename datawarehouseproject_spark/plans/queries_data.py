@@ -803,6 +803,55 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantized_topk_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> trunc(x * 127.0 / m)) END AS qv
+      FROM (SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+            FROM base)),
+    n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+    corpus AS (SELECT vec_id AS neighbor_id, qv AS cq, nrm AS cn FROM n),
+    probes AS (SELECT vec_id AS query_id, qv AS qq, nrm AS qn FROM n
+               WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(CASE WHEN qn * cn = 0 THEN 0.0
+                   ELSE list_dot_product(qq, cq) / (qn * cn) END, 6) AS qcosine
+      FROM probes CROSS JOIN corpus),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY qcosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, qcosine, rank FROM ranked WHERE rank <= {_TOPK}
+    """
+
+
+@register(
+    "embedding_quantized_topk",
+    oracle=_quantized_topk_oracle(),
+    tags=("similarity", "quantization", "int8"),
+)
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-QUANTIZED embeddings (trunc(x*127/max),
+    the 4x storage/bandwidth lever for vector serving): integer dot
+    products — exact in any engine — with one float division per
+    pair, so the oracle hash-matches every score. Truncation over
+    rounding is deliberate: round() half-cases differ across engines."""
+    _utc(spark)
+    from ..operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(emb, queries, k=_TOPK)
+
+
 _SEMDEDUP_THRESHOLD = 0.25
 
 

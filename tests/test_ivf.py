@@ -149,3 +149,34 @@ def test_semantic_dedup_with_refined_centroids(spark):
     # every within-cluster pair has cosine > 0.999 (eps <= 0.04 barely
     # tilts the angle), so only the lowest id of each cluster survives
     assert ids == {0, 100}
+
+
+def test_int8_quantize_bounds_and_zero_vector(spark):
+    from datawarehouseproject_spark.operators.similarity import int8_quantize
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["qvec"] for r in int8_quantize(emb).collect()}
+    assert out[1] == [127, -63, 31, 0]  # trunc(127*x/max), not round
+    assert out[2] == [0, 0, 0, 0]       # zero vector stays zero
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """Quantization noise must not break top-1 on separable clusters."""
+    from datawarehouseproject_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _clustered(spark)
+    queries = emb.filter(F.col("vec_id").isin(0, 100)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in brute_force_topk(emb, queries, k=1).collect()}
+    quant = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in quantized_topk(emb, queries, k=1).collect()}
+    assert exact == quant
