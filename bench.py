@@ -81,6 +81,7 @@ HEADLINE = [
     "token_shard_packing",
     "chunk_documents",
     "subword_tokens",
+    "corpus_datasheet",
     "scd2_as_of",
     "pii_redaction",
     "bmp_image_features",

@@ -288,6 +288,66 @@ def _install_subword_oracle() -> None:
 _install_subword_oracle()
 
 
+@register(
+    "corpus_datasheet",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, lang, n_chars,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY n_chars, doc_id) - 1 AS rk,
+             count(*) OVER (PARTITION BY source, lang) AS n
+      FROM documents),
+    base AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(min(n_chars) AS BIGINT) AS min_chars,
+             CAST(max(n_chars) AS BIGINT) AS max_chars
+      FROM documents GROUP BY source, lang),
+    p50 AS (SELECT source, lang, CAST(n_chars AS BIGINT) AS p50_chars
+            FROM ranked WHERE rk = (50 * (n - 1)) // 100),
+    p90 AS (SELECT source, lang, CAST(n_chars AS BIGINT) AS p90_chars
+            FROM ranked WHERE rk = (90 * (n - 1)) // 100)
+    SELECT b.source, b.lang, b.n_docs, b.total_chars, b.min_chars,
+           b.max_chars, p50.p50_chars, p90.p90_chars
+    FROM base b
+    JOIN p50 ON b.source = p50.source AND b.lang = p50.lang
+    JOIN p90 ON b.source = p90.source AND b.lang = p90.lang
+    """,
+    tags=("corpus", "datasheet", "percentiles"),
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary: per (source, lang) — doc counts,
+    char totals/extremes, and exact p50/p90 length via deterministic
+    integer rank selection ((p*(n-1)) div 100 over (n_chars, doc_id)
+    order — the same rank arithmetic as the quantile sketch, so the
+    oracle agrees on every tie). One scan + one window; at 100 TB the
+    per-group window swaps for the mergeable quantile sketch."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "lang", "n_chars",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count("*").over(Window.partitionBy("source", "lang")).alias("n"),
+    )
+    base = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    p50 = ranked.filter(F.expr("rk = (50 * (n - 1)) div 100")).select(
+        "source", "lang", F.col("n_chars").alias("p50_chars")
+    )
+    p90 = ranked.filter(F.expr("rk = (90 * (n - 1)) div 100")).select(
+        "source", "lang", F.col("n_chars").alias("p90_chars")
+    )
+    return base.join(p50, ["source", "lang"]).join(p90, ["source", "lang"])
+
+
 _PACK_BUDGET = 500
 
 
