@@ -58,6 +58,57 @@ def stream_upsert_partitions(
     return query
 
 
+def stream_hll_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    sketch_path: str,
+    checkpoint_dir: str,
+    col: str,
+    p: int = 8,
+):
+    """Streaming sketch maintenance: fold each micro-batch's HLL into
+    a PERSISTED register table via ``foreachBatch``.
+
+    The composition that makes sketches pay off operationally: the
+    distinct-count state is a ≤2^p-row parquet table, each batch
+    costs one partial sketch + a register-wise max-merge (never a
+    rescan of history), and the checkpoint makes replays idempotent
+    because max-merge is idempotent — re-folding the same batch
+    changes nothing. Query the live estimate any time with
+    ``hll_estimate(spark.read.parquet(sketch_path))``.
+    """
+    import os
+
+    from ..operators.sketches import hll_sketch
+    from ..sources.parquet import overwrite_atomic
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sketch = hll_sketch(batch_df, col, p=p)
+        if os.path.exists(sketch_path):
+            merged = (
+                spark.read.parquet(sketch_path)
+                .unionByName(batch_sketch)
+                .groupBy("bucket")
+                .agg({"mrank": "max"})
+                .withColumnRenamed("max(mrank)", "mrank")
+            )
+        else:
+            merged = batch_sketch
+        overwrite_atomic(merged, sketch_path)
+
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def stream_dedup_events(
     events: DataFrame,
     id_col: str = "event_id",

@@ -92,3 +92,52 @@ def test_windowed_event_counts_batch(spark):
     out = {(r["event_type"], r["n_events"]) for r in
            windowed_event_counts(ev, "1 hour").collect()}
     assert out == {("click", 2), ("view", 1)}
+
+
+def test_stream_hll_maintenance_incremental_and_idempotent(spark, tmp_path):
+    """Daily files fold into a persisted <=2^p-row register table;
+    the live estimate equals the batch sketch over all data, and
+    re-running with the same checkpoint is a no-op (max-merge +
+    exactly-once batches)."""
+    from pyspark.sql import types as T
+
+    from datawarehouseproject_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+    )
+    from datawarehouseproject_spark.streaming.upsert_stream import (
+        stream_hll_maintenance,
+    )
+
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+    src = tmp_path / "src"
+    src.mkdir()
+    day1 = spark.range(0, 3000).selectExpr("id AS user_id")
+    day2 = spark.range(2000, 6000).selectExpr("id AS user_id")
+    day1.write.parquet(str(src / "d1"))
+    sketch_path = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_hll_maintenance(
+        spark, str(src) + "/*", schema, sketch_path, ckpt, "user_id", p=8
+    )
+    est1 = hll_estimate(spark.read.parquet(sketch_path), p=8).collect()[0]
+    day2.write.parquet(str(src / "d2"))
+    stream_hll_maintenance(
+        spark, str(src) + "/*", schema, sketch_path, ckpt, "user_id", p=8
+    )
+    est2 = hll_estimate(spark.read.parquet(sketch_path), p=8).collect()[0]
+
+    # live estimate == one-shot batch sketch over the union
+    both = day1.unionByName(day2)
+    batch = hll_distinct(both, "user_id", p=8).collect()[0]
+    assert est2["hll_estimate"] == batch["hll_estimate"]
+    assert est2["buckets_used"] == batch["buckets_used"]
+    assert est2["hll_estimate"] > est1["hll_estimate"]  # day 2 grew it
+
+    # replay with the same checkpoint: no new batches, sketch unchanged
+    stream_hll_maintenance(
+        spark, str(src) + "/*", schema, sketch_path, ckpt, "user_id", p=8
+    )
+    est3 = hll_estimate(spark.read.parquet(sketch_path), p=8).collect()[0]
+    assert est3 == est2
