@@ -58,6 +58,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "quantile_sketch_prices",
     "cms_join_size",
+    "bloom_membership",
     "salted_star_join",
     "merge_cdc_customers",
     "incremental_rollup",

@@ -570,3 +570,115 @@ def sql_quantile_oracle(
     FROM r JOIN (VALUES {pvals}) AS p(p)
       ON r.rk = (p.p * (r.n - 1)) // 100
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: set membership, completing the sketch family (HLL =
+# distinct count, CMS = frequency, bottom-k = quantiles, Bloom =
+# membership). Same portability contract: one md5, universal-hash bit
+# positions, integer arithmetic only.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_position_cols(k: int, m_bits: int) -> list:
+    """``k`` bit positions over ``__lo``/``__hi`` (see
+    :func:`_cms_position_cols`); salt differs so Bloom and CMS
+    positions are independent."""
+    from ..functions.hashing import MERSENNE31, universal_coeffs
+
+    return [
+        (
+            (F.col("__lo") * F.lit(a) + F.col("__hi") * F.lit(b) + F.lit(c))
+            % MERSENNE31
+            % m_bits
+        ).alias(f"b{i}")
+        for i, (a, b, c) in enumerate(universal_coeffs(k, salt="bloom"))
+    ]
+
+
+def _bloom_halves(df: DataFrame, col: str) -> DataFrame:
+    h = md5_long(F.col(col).cast("string"), salt="bloom:")
+    return df.withColumn("__h", h).selectExpr(
+        "*", "__h % 1073741824 AS __lo", "__h div 1073741824 AS __hi"
+    ).drop("__h")
+
+
+def bloom_build(
+    df: DataFrame, col: str, k: int = 5, m_bits: int = 256
+) -> DataFrame:
+    """Build the Bloom filter as a DataFrame of DISTINCT set bit
+    positions ``(bit_idx)`` — at most ``m_bits`` rows however large
+    the input. Merge filters from different shards/days with
+    ``union().distinct()`` (bitwise OR); persist as parquet;
+    broadcast into probes. The false-positive rate is the classic
+    ``(1 - e^(-k·n/m))^k``."""
+    base = _bloom_halves(df.select(col), col)
+    return (
+        base.select(*_bloom_position_cols(k, m_bits))
+        .select(F.explode(F.array(*[f"b{i}" for i in range(k)])).alias("bit_idx"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame, items: DataFrame, col: str, k: int = 5, m_bits: int = 256
+) -> DataFrame:
+    """Probe: an item is "maybe present" iff ALL ``k`` of its bit
+    positions are set (count of matched bits == k); definitely absent
+    otherwise — the Bloom guarantee of no false negatives. One
+    explode + broadcast join on the ≤m_bits-row filter."""
+    base = _bloom_halves(items, col)
+    probes = base.select(
+        "*", F.explode(F.array(*_bloom_position_cols(k, m_bits))).alias("bit_idx")
+    ).drop("__lo", "__hi")
+    marked = probes.join(
+        F.broadcast(bloom.withColumn("__set", F.lit(1))), "bit_idx", "left"
+    )
+    keep = [c for c in items.columns]
+    return (
+        marked.groupBy(*keep)
+        .agg((F.count("__set") == k).alias("in_bloom"))
+    )
+
+
+def sql_bloom_oracle(
+    member_pred: str, k: int = 5, m_bits: int = 256
+) -> str:
+    """DuckDB twin of build-over-members + probe-all-documents,
+    aggregated to membership/false-positive counts. ``member_pred``
+    is the SQL predicate selecting the member docs."""
+    from ..functions.hashing import universal_coeffs
+
+    rows = ", ".join(
+        f"({i}, {a}, {b}, {c})"
+        for i, (a, b, c) in enumerate(universal_coeffs(k, salt="bloom"))
+    )
+    h = ("CAST('0x' || substring(md5('bloom:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+         "AS BIGINT)")
+    pos = f"(((h % 1073741824) * a + (h // 1073741824) * b + c) % 2147483647) % {m_bits}"
+    return f"""
+    WITH coeffs(i, a, b, c) AS (VALUES {rows}),
+    hashed AS (SELECT doc_id, {h} AS h, ({member_pred}) AS is_member
+               FROM documents),
+    bloom AS (
+      SELECT DISTINCT {pos} AS bit_idx
+      FROM hashed CROSS JOIN coeffs WHERE is_member),
+    probes AS (
+      SELECT doc_id, is_member, {pos} AS bit_idx
+      FROM hashed CROSS JOIN coeffs),
+    verdict AS (
+      SELECT p.doc_id, p.is_member,
+             count(b.bit_idx) = {k} AS in_bloom
+      FROM probes p LEFT JOIN bloom b ON p.bit_idx = b.bit_idx
+      GROUP BY p.doc_id, p.is_member)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_maybe,
+           CAST(sum(CASE WHEN in_bloom AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(sum(CASE WHEN is_member AND NOT in_bloom THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives
+    FROM verdict
+    """

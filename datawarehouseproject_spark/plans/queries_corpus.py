@@ -348,6 +348,59 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(p50, ["source", "lang"]).join(p90, ["source", "lang"])
 
 
+_BLOOM_K, _BLOOM_BITS = 5, 256
+
+
+def _bloom_oracle() -> str:
+    from ..operators.sketches import sql_bloom_oracle
+
+    return sql_bloom_oracle(
+        f"doc_id % {_BENCH_MOD} = 0", k=_BLOOM_K, m_bits=_BLOOM_BITS
+    )
+
+
+@register(
+    "bloom_membership",
+    oracle=_bloom_oracle(),
+    tags=("sketch", "bloom", "membership"),
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership, completing the sketch family (HLL =
+    distinct, CMS = frequency, bottom-k = quantiles, Bloom =
+    membership): build the filter over the benchmark doc ids (≤256
+    bit rows, mergeable by union+distinct), probe EVERY document, and
+    report member/maybe/false-positive counts — no false negatives by
+    construction (asserted by the oracle's n_false_negatives = 0).
+    The filter is deliberately undersized (k=5, m=256, n=25) so real
+    false positives appear and the FP arithmetic is exercised, not
+    vacuous. Positions are one-md5 universal hashes, so the oracle
+    reproduces every bit."""
+    _utc(spark)
+    from ..operators.sketches import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    members = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    bloom = bloom_build(members, "doc_id", k=_BLOOM_K, m_bits=_BLOOM_BITS)
+    probed = bloom_probe(
+        bloom,
+        docs.select("doc_id", (F.col("doc_id") % _BENCH_MOD == 0).alias("is_member")),
+        "doc_id",
+        k=_BLOOM_K,
+        m_bits=_BLOOM_BITS,
+    )
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(F.when(F.col("in_bloom"), 1).otherwise(0)).alias("n_maybe"),
+        F.sum(
+            F.when(F.col("in_bloom") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_positives"),
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("in_bloom"), 1).otherwise(0)
+        ).alias("n_false_negatives"),
+    )
+
+
 _PACK_BUDGET = 500
 
 

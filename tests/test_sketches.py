@@ -229,3 +229,44 @@ def test_cms_join_size_upper_bound_and_accuracy(spark):
     est = cms_join_size(ska, skb, depth=4).collect()[0]["est_join_size"]
     assert est >= true_size            # CM never underestimates
     assert est <= true_size * 1.1      # 100 keys in 4096 slots: near-exact
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every member must probe as present (the Bloom guarantee), and
+    merging per-shard filters (union+distinct) must equal building
+    over the whole set."""
+    from datawarehouseproject_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 200).selectExpr("id * 7 AS k")
+    bloom = bloom_build(members, "k", k=5, m_bits=1024)
+    probed = bloom_probe(bloom, members.select("k"), "k", k=5, m_bits=1024)
+    assert probed.filter(~F.col("in_bloom")).count() == 0
+
+    half_a = members.filter("k < 700")
+    half_b = members.filter("k >= 700")
+    merged = (
+        bloom_build(half_a, "k", k=5, m_bits=1024)
+        .unionByName(bloom_build(half_b, "k", k=5, m_bits=1024))
+        .distinct()
+    )
+    whole = {r["bit_idx"] for r in bloom.collect()}
+    assert {r["bit_idx"] for r in merged.collect()} == whole
+
+
+def test_bloom_rejects_most_non_members(spark):
+    from datawarehouseproject_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 50).selectExpr("id AS k")
+    others = spark.range(1000, 3000).selectExpr("id AS k")
+    bloom = bloom_build(members, "k", k=5, m_bits=2048)
+    probed = bloom_probe(bloom, others.select("k"), "k", k=5, m_bits=2048)
+    fp = probed.filter(F.col("in_bloom")).count()
+    assert fp < 20  # expected FP rate ~(1-e^-0.12)^5 << 1%
