@@ -59,6 +59,8 @@ HEADLINE = [
     "quantile_sketch_prices",
     "cms_join_size",
     "bloom_membership",
+    "quantile_sketch_by_status",
+    "inverted_index_search",
     "salted_star_join",
     "merge_cdc_customers",
     "incremental_rollup",

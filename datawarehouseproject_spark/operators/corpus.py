@@ -452,6 +452,43 @@ def sql_subword_oracle(vocab: list[str] | None = None) -> str:
     """
 
 
+def build_inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Posting lists ``(token, id, tf)`` — the classic IR index as a
+    DataFrame: one explode + count, partition/persist by token for
+    reuse. At 100 TB this is the artifact you bucket by token so
+    term probes touch one bucket."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def search_all_terms(
+    index: DataFrame, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """AND search over the inverted index: documents containing EVERY
+    query term, scored by total term frequency. Equi-join the tiny
+    term set onto the posting lists, then a group-filter on distinct
+    matched terms — no scan of document text at query time."""
+    spark = index.sparkSession
+    tdf = F.broadcast(spark.createDataFrame([(t,) for t in terms], "token string"))
+    return (
+        index.join(tdf, "token")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("token").alias("__hits"),
+            F.sum("tf").alias("score"),
+        )
+        .filter(F.col("__hits") == len(terms))
+        .select(id_col, "score")
+    )
+
+
 def pack_by_token_budget(
     docs: DataFrame,
     budget: int,

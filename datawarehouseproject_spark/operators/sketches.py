@@ -682,3 +682,51 @@ def sql_bloom_oracle(
                 AS BIGINT) AS n_false_negatives
     FROM verdict
     """
+
+
+def quantile_sketch_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    salt: str = "qs:",
+) -> DataFrame:
+    """Group-wise quantile sketch: the k smallest-hash rows PER GROUP
+    ``(*group_cols, hv, val)`` — the quantile analogue of
+    :func:`hll_sketch_by`. One shuffle keyed on the group; the
+    per-group window keeps ≤k rows each, so per-dimension percentiles
+    over billions of rows reduce to |groups|·k rows. Merges like the
+    global sketch (union + re-take per group)."""
+    from pyspark.sql import Window
+
+    hv = md5_long(F.col(key_col).cast("string"), salt=salt)
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        df.select(*group_cols, hv.alias("hv"), F.col(value_col).alias("val"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantile_estimate_by(
+    sketch: DataFrame, group_cols: list[str], percents: list[int]
+) -> DataFrame:
+    """Per-group percentile estimates from a group-wise sketch:
+    ``(*group_cols, p, est_val)`` — same integer rank selection as
+    :func:`quantile_estimate`, windowed per group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("val", "hv")
+    ranked = sketch.select(
+        *group_cols,
+        "val",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count("*").over(Window.partitionBy(*group_cols)).alias("n"),
+    )
+    ps = F.explode(F.array(*[F.lit(int(p)) for p in percents])).alias("p")
+    probes = ranked.select(*group_cols, ps, "val", "rk", "n")
+    return probes.filter(F.expr("rk = (p * (n - 1)) div 100")).select(
+        *group_cols, "p", F.col("val").alias("est_val")
+    )

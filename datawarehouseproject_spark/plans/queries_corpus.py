@@ -348,6 +348,39 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(p50, ["source", "lang"]).join(p90, ["source", "lang"])
 
 
+_SEARCH_TERMS = ("data", "table", "query")
+
+
+@register(
+    "inverted_index_search",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    postings AS (
+      SELECT token, doc_id, count(*) AS tf FROM (
+        SELECT doc_id, unnest(w) AS token FROM toks)
+      GROUP BY token, doc_id),
+    hits AS (
+      SELECT doc_id, count(DISTINCT token) AS nh,
+             CAST(sum(tf) AS BIGINT) AS score
+      FROM postings
+      WHERE token IN {_SEARCH_TERMS!r}
+      GROUP BY doc_id)
+    SELECT doc_id, score FROM hits WHERE nh = {len(_SEARCH_TERMS)}
+    """.replace("'data', 'table', 'query'", "'data', 'table', 'query'"),
+    tags=("corpus", "inverted-index", "search"),
+)
+def q_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic IR over the corpus: build posting lists (token, doc,
+    tf) once, then AND-search — docs containing EVERY query term,
+    scored by total term frequency, with no text scan at query time.
+    The index is the reusable artifact (bucket by token at scale)."""
+    _utc(spark)
+    from ..operators.corpus import build_inverted_index, search_all_terms
+
+    idx = build_inverted_index(_t(spark, sf_dir, "documents"))
+    return search_all_terms(idx, list(_SEARCH_TERMS))
+
+
 _BLOOM_K, _BLOOM_BITS = 5, 256
 
 

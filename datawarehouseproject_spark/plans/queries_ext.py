@@ -1240,6 +1240,47 @@ def q_quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_estimate(sk, [1, 5, 25, 50, 75, 90, 95, 99])
 
 
+@register(
+    "quantile_sketch_by_status",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus, hv, val FROM (
+        SELECT o_orderstatus,
+               CAST('0x' || substring(md5('qs:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv,
+               o_totalprice AS val,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY CAST('0x' || substring(md5('qs:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                               AS BIGINT)) AS rn
+        FROM orders)
+      WHERE rn <= 128),
+    r AS (
+      SELECT o_orderstatus, val, hv,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY val, hv) - 1 AS rk,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM s)
+    SELECT r.o_orderstatus, p.p, r.val AS est_val
+    FROM r JOIN (VALUES (25), (50), (75), (95)) AS p(p)
+      ON r.rk = (p.p * (r.n - 1)) // 100
+    """,
+    tags=("sketch", "quantile", "group-wise"),
+)
+def q_quantile_sketch_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension percentiles from GROUP-WISE quantile sketches
+    (the quantile analogue of group-wise HLL): k smallest-hash rows
+    per order status, integer rank selection per group — |groups|·k
+    rows of state however large the fact table."""
+    _utc(spark)
+    from ..operators.sketches import quantile_estimate_by, quantile_sketch_by
+
+    sk = quantile_sketch_by(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus"], "o_totalprice", "o_orderkey", k=128,
+    )
+    return quantile_estimate_by(sk, ["o_orderstatus"], [25, 50, 75, 95])
+
+
 def _hll_users_oracle() -> str:
     from ..operators.sketches import sql_hll_oracle
 

@@ -228,3 +228,20 @@ def test_subword_tokenize_drops_untokenizable(spark):
     out = subword_tokenize_counts(docs).collect()
     assert len(out) == 1
     assert (out[0]["n_words"], out[0]["n_subwords"]) == (2, 2)  # '...' gone
+
+
+def test_inverted_index_and_search(spark):
+    from datawarehouseproject_spark.operators.corpus import (
+        build_inverted_index,
+        search_all_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "cat bird"), (3, "dog dog cat dog")],
+        "doc_id long, text string",
+    )
+    idx = build_inverted_index(docs)
+    got = {r["doc_id"]: r["score"]
+           for r in search_all_terms(idx, ["cat", "dog"]).collect()}
+    # docs 1 and 3 contain both; score = total tf of the query terms
+    assert got == {1: 3, 3: 4}

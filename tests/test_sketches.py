@@ -270,3 +270,22 @@ def test_bloom_rejects_most_non_members(spark):
     probed = bloom_probe(bloom, others.select("k"), "k", k=5, m_bits=2048)
     fp = probed.filter(F.col("in_bloom")).count()
     assert fp < 20  # expected FP rate ~(1-e^-0.12)^5 << 1%
+
+
+def test_quantile_sketch_by_group_isolation(spark):
+    """Per-group sketches must estimate from their OWN group's rows:
+    two groups with disjoint value ranges get disjoint medians."""
+    from datawarehouseproject_spark.operators.sketches import (
+        quantile_estimate_by,
+        quantile_sketch_by,
+    )
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "cast(CASE WHEN id % 2 = 0 THEN id ELSE id + 100000 END as double) AS v",
+    )
+    sk = quantile_sketch_by(df, ["g"], "v", "k", k=64)
+    est = {(r["g"], r["p"]): r["est_val"]
+           for r in quantile_estimate_by(sk, ["g"], [50]).collect()}
+    assert est[("a", 50)] < 2000 and est[("b", 50)] > 100000
