@@ -90,6 +90,7 @@ HEADLINE = [
     "bmp_image_features",
     "png_image_features",
     "gif_image_features",
+    "image_phash",
     "avi_frame_features",
     "wav_audio_features",
 ]

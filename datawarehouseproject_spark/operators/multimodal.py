@@ -582,6 +582,51 @@ def resize_png(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(batches, schema=schema)
 
 
+PHASH_W, PHASH_H = 7, 9  # 63 bits — fits signed BIGINT exactly
+
+
+def image_phash(media: DataFrame, codec: str = "bmp") -> DataFrame:
+    """Perceptual average-hash per image — the content-based IMAGE
+    dedup key (byte-level dedup misses re-encodes; aHash survives
+    them): decode, nearest-neighbor resample to a fixed 7×9 grid
+    (63 cells so the hash fits a signed BIGINT), integer grayscale
+    ``(r+g+b) div 3``, threshold each cell at the integer mean
+    ``sum div 63``, pack bits little-endian. Every step is integer
+    arithmetic on the floor-division resample — the DuckDB oracle
+    recomputes the hash bit-for-bit from the synth-pixel formula.
+    Returns ``(media_id, phash)``; near-dup images then dedup by
+    exact hash equality (or Hamming-distance bucketing at scale).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.bmp import decode_bmp, resize_nearest
+
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, _, rows = decode_bmp(bytes(p))
+                grid = resize_nearest(rows, PHASH_W, PHASH_H).astype(np.int64)
+                gray = grid.sum(axis=2) // 3  # integer grayscale per cell
+                mean = int(gray.sum()) // (PHASH_W * PHASH_H)
+                bits = (gray >= mean).reshape(-1)  # row-major, y*W+x
+                h = int(
+                    (bits.astype(np.int64) << np.arange(PHASH_W * PHASH_H)).sum()
+                )
+                ids.append(int(mid))
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for tests/bench: treat document text bytes as an
     opaque payload with fake image metadata."""

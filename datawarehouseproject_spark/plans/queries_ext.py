@@ -884,6 +884,48 @@ def q_gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_phash",
+    oracle=f"""
+    WITH {_BMP_SYNTH_SQL},
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, 6)) AS tx FROM m),
+    xy AS (
+      SELECT media_id, w, h, tx, unnest(generate_series(0, 8)) AS ty
+      FROM xs),
+    cell AS (
+      SELECT media_id, tx, ty,
+             (((media_id * 7 + ((tx * w) // 7) * 3 + ((ty * h) // 9) * 5) % 256)
+              + ((media_id * 11 + ((tx * w) // 7) * 2 + ((ty * h) // 9) * 13) % 256)
+              + ((media_id * 3 + ((tx * w) // 7) * 17 + ((ty * h) // 9)) % 256))
+             // 3 AS gray
+      FROM xy),
+    means AS (
+      SELECT media_id, CAST(sum(gray) AS BIGINT) // 63 AS mn
+      FROM cell GROUP BY media_id)
+    SELECT c.media_id,
+           CAST(sum(CASE WHEN c.gray >= m.mn
+                THEN 1::BIGINT << (c.ty * 7 + c.tx) ELSE 0 END) AS BIGINT)
+             AS phash
+    FROM cell c JOIN means m USING (media_id)
+    GROUP BY c.media_id
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per synthesized BMP — the
+    content-based image dedup key (survives re-encodes that break
+    byte-level hashing): decode → 7×9 floor-division resample →
+    integer grayscale → threshold at the integer mean → 63-bit pack.
+    The oracle recomputes every bit from the pixel formula, so one
+    wrong resample index or threshold tie-break breaks the hash."""
+    _utc(spark)
+    from ..operators.multimodal import image_phash
+
+    media = synthesize_bmp_media(_t(spark, sf_dir, "documents"))
+    return image_phash(media)
+
+
+@register(
     "png_resize_features",
     oracle="""
     WITH m AS (

@@ -155,3 +155,28 @@ def test_extract_image_features_permissive(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="media_id"):
         extract_image_features(media).collect()
+
+
+def test_image_phash_invariant_to_reencode_and_upscale(spark):
+    """The perceptual hash must survive a nearest-neighbor upscale +
+    re-encode (content unchanged, bytes different) — the property
+    byte-level dedup lacks."""
+    from datawarehouseproject_spark.operators.multimodal import (
+        image_phash,
+        resize_bmp,
+        synthesize_bmp_media,
+    )
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    media = synthesize_bmp_media(ids)
+    base = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    # 2x nearest-neighbor upscale: every 7x9-grid sample maps to the
+    # same source pixel, so the hash is bit-identical
+    up = resize_bmp(media, 16, 12)
+    upscaled = {r["media_id"]: r["phash"] for r in image_phash(up).collect()}
+    for seed in range(8):
+        w, h = 4 + seed % 5, 3 + seed % 4
+        if 16 % w == 0 and 12 % h == 0:  # exact integer upscale only
+            assert upscaled[seed] == base[seed], seed
+    # distinct images get distinct hashes here
+    assert len(set(base.values())) == len(base)
