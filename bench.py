@@ -82,6 +82,7 @@ HEADLINE = [
     "repetition_rules",
     "unigram_surprisal",
     "token_shard_packing",
+    "training_export",
     "chunk_documents",
     "subword_tokens",
     "corpus_datasheet",

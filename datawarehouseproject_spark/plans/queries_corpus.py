@@ -434,6 +434,79 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXPORT_BUDGET = 2000
+
+
+@register(
+    "training_export",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_c,
+             CAST(sum(length(word) * c) AS BIGINT) AS chars
+      FROM wc GROUP BY doc_id),
+    keep AS (
+      SELECT doc_id FROM per
+      WHERE n_words >= 20 AND n_words <= 100000
+        AND CAST(chars AS DOUBLE) / n_words >= 3.0
+        AND CAST(chars AS DOUBLE) / n_words <= 10.0
+        AND CAST(top_c AS DOUBLE) / n_words <= 0.12
+        AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.6),
+    keyed AS (
+      SELECT n.doc_id,
+             CAST('0x' || substring(md5('export:' || CAST(n.doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS k,
+             CAST(CASE WHEN n.t = '' THEN 0
+                       ELSE len(string_split(n.t, ' ')) END AS BIGINT) AS n_tokens
+      FROM norm n JOIN keep USING (doc_id)),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS token_start
+      FROM keyed)
+    SELECT doc_id, n_tokens, token_start,
+           CAST(token_start // {_EXPORT_BUDGET} AS INTEGER) AS shard
+    FROM cum
+    """,
+    tags=("corpus", "export", "composition"),
+)
+def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data EXPORT manifest, composing three
+    operators: quality-filter (Gopher/C4 battery keep verdict) →
+    deterministic md5 shuffle order → fixed-token-budget shard
+    packing over that order (range-partitioned cumsum, no global
+    window). Output (doc_id, n_tokens, token_start, shard) is what a
+    loader consumes; every stage is the already-oracle-checked
+    operator, and the composition itself is verified end-to-end."""
+    _utc(spark)
+    from ..functions.hashing import md5_long
+    from ..operators.corpus import pack_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    verdicts = quality_rules(
+        docs, min_words=20, max_words=100_000, mean_word_len=(3.0, 10.0),
+        max_top_word_frac=0.12, max_dup_word_frac=0.60,
+    )
+    kept = docs.join(
+        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    keyed = kept.select(
+        "doc_id",
+        "text",
+        md5_long(F.col("doc_id").cast("string"), salt="export:").alias("__k"),
+    )
+    packed = pack_by_token_budget(keyed, budget=_EXPORT_BUDGET, id_col="__k")
+    return packed.join(keyed.select("doc_id", "__k"), "__k").select(
+        "doc_id", "n_tokens", "token_start", "shard"
+    )
+
+
 _PACK_BUDGET = 500
 
 
