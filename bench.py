@@ -49,6 +49,8 @@ HEADLINE = [
     "asof_join",
     "session_range_join",
     "sessionize",
+    "event_funnel",
+    "retention_cohorts",
     "rollup_cascade",
     "exact_dedup",
     "event_type_pivot",
@@ -69,6 +71,7 @@ HEADLINE = [
     "dpp_partitioned_join",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_hamming_pairs",
     "embedding_topk",
     "embedding_near_dup",
     "embedding_ivf_topk",

@@ -400,3 +400,66 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRS via Hamming-ball search — the pair
+    finder SimHash exists for (:func:`simhash64` alone only produces
+    the hashes).
+
+    Pigeonhole candidate generation: split the hash into ``bands``
+    equal bit-bands; two hashes within Hamming distance
+    ``max_hamming < bands`` MUST agree on at least one band, so an
+    equi-join on (band_idx, band_value) finds every true pair while
+    touching only same-band buckets (never all pairs). The verify
+    step is exact: ``bit_count(a XOR b) <= max_hamming`` — integer
+    ops both engines share. Returns (id_a, id_b, hamming).
+    """
+    assert bits % bands == 0 and max_hamming < bands
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    hashes = simhash64(df, id_col, text_col, bits=bits)
+    banded = hashes.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("__ha"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("__hb"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.expr("__ha").bitwiseXOR(F.expr("__hb"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -542,6 +542,52 @@ def _simhash_oracle() -> str:
     """
 
 
+_SH_BANDS, _SH_MAXHAM = 4, 3
+
+
+def _simhash_pairs_oracle() -> str:
+    sim = _simhash_oracle().strip()
+    band_bits = _SIM_BITS // _SH_BANDS
+    mask = (1 << band_bits) - 1
+    return f"""
+    WITH sims AS ({sim}),
+    banded AS (
+      SELECT doc_id, simhash, band_idx,
+             (simhash >> (band_idx * {band_bits})) & {mask} AS band_val
+      FROM sims CROSS JOIN (
+        SELECT unnest(generate_series(0, {_SH_BANDS - 1})) AS band_idx))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAXHAM}
+    """
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=_simhash_pairs_oracle(),
+    tags=("dedup", "simhash", "hamming", "pigeonhole"),
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding: hashes within
+    Hamming distance 3 must share one of 4 bit-bands, so the
+    candidate join touches same-band buckets only; the verify is the
+    exact bit_count(XOR) both engines share. Completes SimHash from
+    hash-producer to pair-finder."""
+    _utc(spark)
+    from ..operators.dedup import simhash_hamming_pairs
+
+    out = simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"),
+        bits=_SIM_BITS, bands=_SH_BANDS, max_hamming=_SH_MAXHAM,
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 @register("simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from token-hash majority votes."""

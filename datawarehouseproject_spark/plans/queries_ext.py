@@ -1323,6 +1323,106 @@ def q_quantile_sketch_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_estimate_by(sk, ["o_orderstatus"], [25, 50, 75, 95])
 
 
+@register(
+    "event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS n_signup,
+           (SELECT count(*) FROM s2) AS n_then_click,
+           (SELECT count(*) FROM s3) AS n_then_purchase
+    """,
+    tags=("analytics", "funnel", "sequence"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → later click → later
+    purchase): each step is a min-timestamp aggregate gated on the
+    PREVIOUS step's time, so ordering is enforced per user — the
+    product-analytics sequence query, as three set-based stages
+    instead of a per-user loop."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_then_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_then_purchase")))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_date,
+             datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_date, CAST(day_offset AS INTEGER) AS day_offset,
+           count(*) AS n_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_date, day_offset
+    """,
+    tags=("analytics", "retention", "cohort"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity date,
+    distinct-user counts per (cohort, day offset ≤ 7) — the classic
+    growth-analytics triangle, one first-touch aggregate + one
+    distinct activity join."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def _hll_users_oracle() -> str:
     from ..operators.sketches import sql_hll_oracle
 

@@ -69,3 +69,22 @@ def test_ngram_jaccard_exact_values(spark):
          for r in ngram_jaccard_pairs(docs, cand).collect()}
     assert j[(1, 2)] == 1.0
     assert j[(1, 4)] < 0.2
+
+
+def test_simhash_hamming_pairs_pigeonhole_recall(spark):
+    """Identical docs pair at hamming 0; unrelated docs don't pair.
+    The banding must not lose any pair within the Hamming budget
+    (pigeonhole: distance <= 3 over 4 bands => one band equal)."""
+    from datawarehouseproject_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, "entirely different words here xyzzy " * 5)],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_hamming_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
