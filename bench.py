@@ -90,6 +90,7 @@ HEADLINE = [
     "subword_tokens",
     "corpus_datasheet",
     "scd2_as_of",
+    "scd2_diff",
     "pii_redaction",
     "bmp_image_features",
     "png_image_features",

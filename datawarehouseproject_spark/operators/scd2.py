@@ -95,6 +95,54 @@ def as_of(history: DataFrame, ts: str) -> DataFrame:
     return history.filter((F.col("CREATED_AT") <= t) & (F.col("EXPIRED_AT") > t))
 
 
+def diff_between(
+    history: DataFrame,
+    ts_a: str,
+    ts_b: str,
+    track_keys: tuple[str, ...] = ("TEN", "LINK"),
+    compare_cols: tuple[str, ...] = (
+        "GIA_CU",
+        "GIA_MOI",
+        "KICH_THUOC_MAN_HINH",
+        "RAM",
+        "BO_NHO",
+    ),
+) -> DataFrame:
+    """Change summary between two instants — "what changed between
+    Tuesday and Friday": full-outer join of the two :func:`as_of`
+    reconstructions on the track keys, classifying each key as
+    ``added`` (only in B), ``removed`` (only in A), or ``changed``
+    (present in both with any compare column differing — the same
+    NULL-unsafe ``!=`` the SCD itself uses). Unchanged keys are
+    dropped. Returns ``(*track_keys, change_type)``.
+    """
+    a = as_of(history, ts_a).alias("a")
+    b = as_of(history, ts_b).alias("b")
+    cond = None
+    for k in track_keys:
+        c = F.col(f"a.{k}") == F.col(f"b.{k}")
+        cond = c if cond is None else cond & c
+    joined = a.join(b, cond, "full_outer")
+    a_key0 = F.col(f"a.{track_keys[0]}")
+    b_key0 = F.col(f"b.{track_keys[0]}")
+    change = (
+        F.when(a_key0.isNull(), F.lit("added"))
+        .when(b_key0.isNull(), F.lit("removed"))
+        .when(_neq_any("a", "b", list(compare_cols)), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k)
+                for k in track_keys
+            ],
+            "change_type",
+        )
+    )
+
+
 def _neq_any(left: str, right: str, cols: list[str]) -> Column:
     """OR-chain of NULL-unsafe ``!=`` over compare columns."""
     out: Column | None = None

@@ -23,7 +23,7 @@ from ..functions.dates import date_dim
 from ..operators.clean import clean_products
 from ..operators.dims import upsert_dim
 from ..operators.rollups import midrange
-from ..operators.scd2 import as_of, scd2_apply
+from ..operators.scd2 import as_of, diff_between, scd2_apply
 from ..operators.topk import top1_per_group
 from .registry import register
 
@@ -1306,6 +1306,53 @@ def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("CREATED_AT").cast("string").alias("CREATED_AT"),
         F.col("UPDATED_AT").cast("string").alias("UPDATED_AT"),
         F.col("EXPIRED_AT").cast("string").alias("EXPIRED_AT"),
+    )
+
+
+_DIFF_SQL = """
+SELECT coalesce(a.TEN, b.TEN) AS TEN,
+       coalesce(a.LINK, b.LINK) AS LINK,
+       CASE WHEN a.TEN IS NULL THEN 'added'
+            WHEN b.TEN IS NULL THEN 'removed'
+            WHEN a.GIA_CU <> b.GIA_CU OR a.GIA_MOI <> b.GIA_MOI
+              OR a.KICH_THUOC_MAN_HINH <> b.KICH_THUOC_MAN_HINH
+              OR a.RAM <> b.RAM OR a.BO_NHO <> b.BO_NHO THEN 'changed'
+       END AS change_type
+FROM (SELECT * FROM hist_out
+      WHERE CREATED_AT <= TIMESTAMP '2024-01-20 00:00:00'
+        AND EXPIRED_AT > TIMESTAMP '2024-01-20 00:00:00') a
+FULL OUTER JOIN
+     (SELECT * FROM hist_out
+      WHERE CREATED_AT <= TIMESTAMP '2024-02-02 00:00:00'
+        AND EXPIRED_AT > TIMESTAMP '2024-02-02 00:00:00') b
+  ON a.TEN = b.TEN AND a.LINK = b.LINK
+WHERE (CASE WHEN a.TEN IS NULL THEN 'added'
+            WHEN b.TEN IS NULL THEN 'removed'
+            WHEN a.GIA_CU <> b.GIA_CU OR a.GIA_MOI <> b.GIA_MOI
+              OR a.KICH_THUOC_MAN_HINH <> b.KICH_THUOC_MAN_HINH
+              OR a.RAM <> b.RAM OR a.BO_NHO <> b.BO_NHO THEN 'changed'
+       END) IS NOT NULL
+"""
+
+_ORACLE_SCD2_DIFF = _ORACLE_SCD2.replace(_SCD2_FINAL, _DIFF_SQL)
+
+
+@register("scd2_diff", oracle=_ORACLE_SCD2_DIFF, tags=("scd2", "time-travel", "diff"))
+def q_scd2_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change summary between two as-of instants over the two-day
+    SCD2 history (operators/scd2.py diff_between): keys only in the
+    later snapshot are 'added', only in the earlier 'removed', in
+    both with any compare attribute differing (the SCD's own
+    NULL-unsafe !=) 'changed'; unchanged keys drop. The oracle diffs
+    the same SQL-rebuilt history with the identical interval filters."""
+    _utc(spark)
+    st1, st2 = _scd_staging_both(spark, sf_dir, "2024-01-15", "2024-02-01")
+    r1 = scd2_apply(st1, None, now="2024-01-15 12:00:00")
+    r2 = scd2_apply(
+        st2, r1.history.localCheckpoint(eager=False), now="2024-01-31 12:00:00"
+    )
+    return diff_between(
+        r2.history, "2024-01-20 00:00:00", "2024-02-02 00:00:00"
     )
 
 

@@ -139,3 +139,29 @@ def test_as_of_time_travel(spark):
     after = {(r["TEN"], r["GIA_CU"]) for r in as_of(r2.history, "2024-01-04 00:00:00").collect()}
     assert after == {("a", 99), ("b", 11), ("c", 12)}
     assert as_of(r2.history, "2023-12-31 00:00:00").count() == 0
+
+
+def test_diff_between_classifies_changes(spark):
+    from datawarehouseproject_spark.operators.scd2 import (
+        diff_between,
+        scd2_apply,
+    )
+
+    st1 = spark.createDataFrame(
+        [("a", "L1", "x", 10, 20, 5, 8, 256), ("b", "L2", "y", 11, 21, 5, 8, 256)],
+        "TEN string, LINK string, LINK_ANH string, GIA_CU int, GIA_MOI int, "
+        "KICH_THUOC_MAN_HINH int, RAM int, BO_NHO int",
+    )
+    st2 = spark.createDataFrame(
+        [("a", "L1", "x", 99, 20, 5, 8, 256), ("c", "L3", "z", 12, 22, 5, 8, 256)],
+        st1.schema,
+    )
+    r1 = scd2_apply(st1, None, now="2024-01-01 00:00:00")
+    r2 = scd2_apply(st2, r1.history, now="2024-01-03 00:00:00")
+    got = {(r["TEN"], r["change_type"])
+           for r in diff_between(
+               r2.history, "2024-01-02 00:00:00", "2024-01-04 00:00:00"
+           ).collect()}
+    # 'a' changed price, 'c' added; 'b' unchanged (dropped); SCD2
+    # never removes, so no 'removed' rows in this history
+    assert got == {("a", "changed"), ("c", "added")}
