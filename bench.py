@@ -91,6 +91,11 @@ HEADLINE = [
     "corpus_datasheet",
     "scd2_as_of",
     "scd2_diff",
+    "entity_resolution",
+    "bitmap_distinct_users",
+    "event_transitions",
+    "activity_gaps",
+    "doc_length_histogram",
     "pii_redaction",
     "bmp_image_features",
     "png_image_features",

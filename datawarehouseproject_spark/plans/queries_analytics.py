@@ -1,0 +1,277 @@
+"""Behavioral-analytics and entity-matching queries (round 5b).
+
+Beyond-reference surface in the same spirit as ``queries_data.py``:
+operators a warehouse team layers on the reference's marts once the
+relational core exists (reference scope: ``load_datamart.py`` builds
+sale/trend marts only — ref `load_datamart.py:60-158`). Everything
+here is built-in column functions — zero Python UDFs — and every
+query carries an exact DuckDB oracle.
+
+Scale notes are per-query; the common theme is map-side-combinable
+aggregation states (bitmap longs, counts) and blocked joins instead
+of quadratic self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as _t
+from .registry import register
+
+
+def _utc(spark: SparkSession) -> None:
+    from ..session import tune_session
+
+    tune_session(spark)
+
+
+@register(
+    "entity_resolution",
+    oracle="""
+    SELECT DISTINCT
+           least(a.c_custkey, b.c_custkey)    AS custkey_a,
+           greatest(a.c_custkey, b.c_custkey) AS custkey_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS name_dist,
+           round(abs(a.c_acctbal - b.c_acctbal), 2)     AS bal_diff
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE abs(a.c_acctbal - b.c_acctbal) <= 1.0
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    tags=("entity-resolution", "fuzzy-join", "blocking", "levenshtein"),
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: candidate duplicate customer records
+    (same nation, account balance within 1.0, name edit-distance <= 2).
+
+    Scale design: the oracle's naive formulation is an O(n^2/25)
+    within-nation self-join — quadratic and dead at 100 TB. The Spark
+    plan uses *banded numeric blocking*: every record lands in bucket
+    floor(acctbal); the probe side explodes to {bucket, bucket+1} so
+    any pair within 1.0 of balance shares an equi-join key (floor is
+    non-expansive, so |balance diff| <= 1.0 implies |bucket diff| <= 1).
+    The join is then a plain shuffled equi-join on (nation, bucket)
+    whose block sizes are bounded by balance locality, with the
+    expensive ``levenshtein`` evaluated only inside blocks. Pairs that
+    share a bucket are found in both probe directions, so the output
+    canonicalizes with least/greatest + distinct.
+    """
+    _utc(spark)
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    build = c.withColumn("bucket", F.floor("c_acctbal").cast("bigint"))
+    probe = build.withColumn(
+        "probe", F.explode(F.array(F.col("bucket"), F.col("bucket") + F.lit(1)))
+    )
+    a, b = probe.alias("a"), build.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") != F.col("b.c_custkey")),
+        )
+        .where(
+            (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= F.lit(1.0))
+            & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= F.lit(2))
+        )
+        .select(
+            F.least(F.col("a.c_custkey"), F.col("b.c_custkey")).alias("custkey_a"),
+            F.greatest(F.col("a.c_custkey"), F.col("b.c_custkey")).alias(
+                "custkey_b"
+            ),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            .cast("int")
+            .alias("name_dist"),
+            F.round(
+                F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")), 2
+            ).alias("bal_diff"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("bitmap", "exact-distinct", "roaring", "map-side-combine"),
+)
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via bitmap aggregation
+    (roaring-bitmap idea on builtin longs).
+
+    ``count(DISTINCT x)`` shuffles every distinct (group, x) pair.
+    For dense integer ids the bitmap form shuffles 63 ids per long:
+    map ids to (chunk=id DIV 63, bit=id%63), OR the single-bit longs
+    per (group, chunk) — ``bit_or`` is map-side combinable, so each
+    partition emits at most one long per (group, chunk) — then sum
+    ``bit_count`` per group. Same exact answer as the oracle's
+    COUNT(DISTINCT), ~63x less shuffle on dense keys, and the
+    per-chunk bitmaps are mergeable across days/shards like the HLL
+    registers in ``operators/sketches.py`` (but exact). 63-bit chunks
+    keep ``1 << bit`` inside a signed long on both engines.
+    """
+    _utc(spark)
+    e = _t(spark, sf_dir, "events")
+    chunks = (
+        e.select(
+            "event_type",
+            F.expr("user_id DIV 63").alias("chunk"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "chunk")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return chunks.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
+    )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), counted AS (
+        SELECT event_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST((10000 * n) // sum(n) OVER (PARTITION BY event_type)
+                AS BIGINT) AS p_bp
+    FROM counted
+    """,
+    tags=("sequence-mining", "markov", "window", "lead"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    for each (event_type -> next_type) pair, the count and the
+    transition probability in integer basis points.
+
+    ``lead`` over (user, time) needs one shuffle by user; the
+    transition count is then a tiny |types|^2 aggregate. Probability
+    is integer floor-division basis points ((10000*n) DIV total) so
+    the value is bit-exact on both engines — no float division in the
+    compared output. State per window partition is one row.
+    """
+    _utc(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    counted = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counted.select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST((10000 * n) DIV sum(n) OVER (PARTITION BY event_type) AS BIGINT)").alias(
+            "p_bp"
+        ),
+    )
+
+
+@register(
+    "activity_gaps",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               lag(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_day
+        FROM events
+    )
+    SELECT user_id, prev_day AS gap_start, day AS gap_end,
+           CAST(date_diff('day', prev_day, day) AS BIGINT) AS gap_days
+    FROM seq
+    WHERE prev_day IS NOT NULL
+      AND date_diff('day', prev_day, day) >= 2
+    """,
+    tags=("time-series", "gap-detection", "lag"),
+)
+def q_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk gap detection: spans of >= 2 days between a user's
+    consecutive events (the dual of ``forward_fill_series``, which
+    fills gaps; this one reports them).
+
+    One shuffle by user_id for the lag window (same partitioning the
+    sessionize/funnel family uses — on a real pipeline these share a
+    repartition); the gap filter happens before anything wide.
+    """
+    _utc(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.lag(F.col("ts").cast("date")).over(w).alias("prev_day"),
+    )
+    return seq.where(
+        F.col("prev_day").isNotNull()
+        & (F.datediff("day", "prev_day") >= F.lit(2))
+    ).select(
+        "user_id",
+        F.col("prev_day").alias("gap_start"),
+        F.col("day").alias("gap_end"),
+        F.datediff("day", "prev_day").cast("bigint").alias("gap_days"),
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(length(bin(n_chars)) AS INT) AS bit_bucket,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, bit_bucket
+    """,
+    tags=("histogram", "datasheet", "log-scale"),
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 length histogram of the corpus per language — the
+    power-of-two length distribution every dataset datasheet plots.
+
+    The bucket is the integer *bit length* of n_chars, computed as
+    ``length(bin(x))`` = floor(log2(x))+1 — pure integer/string
+    builtins, so the bucket edge at exact powers of two is bit-exact
+    on both engines (a float ``log2`` could flip floor() at 2^k).
+    Map-side combinable aggregate over ~|langs|*40 groups; no window,
+    no shuffle beyond the one partial/final agg exchange.
+    """
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.length(F.bin("n_chars")).cast("int").alias("bit_bucket"), "n_chars")
+        .groupBy("lang", "bit_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

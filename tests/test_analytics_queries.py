@@ -1,0 +1,118 @@
+"""Semantic pins for the behavioral-analytics / entity-matching
+queries (``plans/queries_analytics.py``).
+
+Each test cross-checks the scalable plan against a naive recompute on
+the real sf0.001 testdata — e.g. the banded-blocking fuzzy join must
+return exactly the pairs the quadratic within-nation join returns, and
+the bitmap distinct must equal countDistinct. The DuckDB oracle gate
+covers value-parity; these pin the *algorithmic* equivalences the
+oracles rely on.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouseproject_spark.plans import registry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"{SF_DIR} not present"
+)
+
+
+def _run(spark, name):
+    return registry.queries()[name](spark, SF_DIR)
+
+
+@needs_testdata
+def test_entity_resolution_matches_naive_quadratic(spark):
+    """Banded blocking must find EXACTLY the naive O(n^2) pair set."""
+    from datawarehouseproject_spark.catalog import load_table
+
+    got = {
+        (r.custkey_a, r.custkey_b, r.name_dist)
+        for r in _run(spark, "entity_resolution").collect()
+    }
+    c = load_table(spark, SF_DIR, "customer")
+    a, b = c.alias("a"), c.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(
+            (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 1.0)
+            & (F.levenshtein("a.c_name", "b.c_name") <= 2)
+        )
+        .select(
+            F.col("a.c_custkey").alias("ka"),
+            F.col("b.c_custkey").alias("kb"),
+            F.levenshtein("a.c_name", "b.c_name").cast("int").alias("d"),
+        )
+    )
+    want = {(r.ka, r.kb, r.d) for r in naive.collect()}
+    assert got == want
+    assert all(ka < kb and d <= 2 for ka, kb, d in got)
+
+
+@needs_testdata
+def test_bitmap_distinct_equals_count_distinct(spark):
+    from datawarehouseproject_spark.catalog import load_table
+
+    got = {
+        r.event_type: r.n_users
+        for r in _run(spark, "bitmap_distinct_users").collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+@needs_testdata
+def test_event_transitions_probabilities(spark):
+    rows = _run(spark, "event_transitions").collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert 0 <= r.p_bp <= 10000
+        by_src.setdefault(r.event_type, []).append(r)
+    for src, grp in by_src.items():
+        total = sum(r.n for r in grp)
+        for r in grp:
+            assert r.p_bp == (10000 * r.n) // total
+        # floor-division rows sum to <= 10000 and within |grp| of it
+        s = sum(r.p_bp for r in grp)
+        assert 10000 - len(grp) < s <= 10000
+
+
+@needs_testdata
+def test_activity_gaps_bounds(spark):
+    rows = _run(spark, "activity_gaps").collect()
+    assert rows, "threshold should produce rows on the synthetic data"
+    for r in rows:
+        assert r.gap_days >= 2
+        assert (r.gap_end - r.gap_start).days == r.gap_days
+
+
+@needs_testdata
+def test_doc_length_histogram_buckets(spark):
+    from datawarehouseproject_spark.catalog import load_table
+
+    rows = _run(spark, "doc_length_histogram").collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        # bucket is the bit length of every member's n_chars
+        assert r.bit_bucket == int(r.min_chars).bit_length()
+        assert r.bit_bucket == int(r.max_chars).bit_length()
