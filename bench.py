@@ -96,6 +96,9 @@ HEADLINE = [
     "event_transitions",
     "activity_gaps",
     "doc_length_histogram",
+    "stratified_sample",
+    "mad_outliers",
+    "orders_yoy",
     "pii_redaction",
     "bmp_image_features",
     "png_image_features",

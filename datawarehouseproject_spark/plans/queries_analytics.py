@@ -275,3 +275,165 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, lang, n_chars,
+               row_number() OVER (PARTITION BY source, lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+    SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 50
+    """,
+    tags=("sampling", "stratified", "per-source-cap"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum cap sampling: keep at most 50 documents per
+    (source, lang), chosen by deterministic md5 rank — the standard
+    "cap any one source's share of the training mix" operator
+    (complements the proportional split in ``operators/sampling.py``).
+
+    Deterministic (hash order, not rand()) so reruns and engines
+    agree. One shuffle by the stratum key; the per-stratum window
+    state is a counter, and rows past the cap short-circuit. At 100 TB
+    the stratum count (sources × langs) is tiny vs rows, so skew is
+    the per-stratum row count — for pathological mega-strata, pre-cap
+    with a bucketed two-level rank before the exact window.
+    """
+    _utc(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 50)
+    )
+
+
+@register(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, e.value - med.m AS dev
+        FROM events e JOIN med USING (event_type)),
+    mad AS (
+        SELECT event_type, quantile_cont(abs(dev), 0.5) AS mad
+        FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type,
+           round(d.value, 4) AS value,
+           round(abs(d.dev), 4) AS abs_dev,
+           round(mad.mad, 4)  AS mad
+    FROM dev d JOIN mad USING (event_type)
+    WHERE abs(d.dev) > 3 * mad.mad
+    """,
+    tags=("outliers", "mad", "robust-stats", "quality"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from the
+    per-type median by more than 3 median-absolute-deviations. MAD is
+    the standard robust scale estimate (a z-score's mean/stddev are
+    themselves dragged by the outliers being hunted).
+
+    Two exact interpolated medians per group (Spark ``percentile`` ==
+    ANSI quantile_cont, the `percentiles` query's proven pairing),
+    each a single agg over ~|types| groups; both per-type stat frames
+    are broadcast back against events, so the fact table is scanned
+    twice but never shuffled.
+    """
+    _utc(spark)
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("value") - F.col("m")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(dev), 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("dev")) > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(F.abs(F.col("dev")), 4).alias("abs_dev"),
+            F.round("mad", 4).alias("mad"),
+        )
+    )
+
+
+@register(
+    "orders_yoy",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INT)  AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY yr, mo)
+    SELECT yr, mo, revenue_cents,
+           revenue_cents - lag(revenue_cents, 12)
+               OVER (ORDER BY yr, mo) AS yoy_delta_cents
+    FROM monthly
+    """,
+    tags=("time-series", "yoy", "period-over-period"),
+)
+def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the period-comparative
+    report every sales mart ships (the reference's trend mart stops at
+    plain monthly sums, ref `load_datamart.py:100-130`).
+
+    Money is summed in integer CENTS (prices carry exactly 2 decimals,
+    so round(x*100) is integer-exact) — the cross-engine float-sum
+    accumulation-order problem does not exist here, and the 12-month
+    lag subtraction stays exact. The unpartitioned lag window runs
+    over the ALREADY-AGGREGATED frame (one row per month — dozens of
+    rows at any data scale), so the single-partition window is not a
+    scale hazard; the heavy lifting is the map-side-combinable
+    monthly sum.
+    """
+    _utc(spark)
+    from pyspark.sql import Window
+
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents")
+        )
+    )
+    w = Window.orderBy("yr", "mo")
+    return monthly.select(
+        "yr",
+        "mo",
+        "revenue_cents",
+        (F.col("revenue_cents") - F.lag("revenue_cents", 12).over(w)).alias(
+            "yoy_delta_cents"
+        ),
+    )

@@ -116,3 +116,46 @@ def test_doc_length_histogram_buckets(spark):
         # bucket is the bit length of every member's n_chars
         assert r.bit_bucket == int(r.min_chars).bit_length()
         assert r.bit_bucket == int(r.max_chars).bit_length()
+
+
+@needs_testdata
+def test_stratified_sample_caps_every_stratum(spark):
+    rows = _run(spark, "stratified_sample").collect()
+    per = {}
+    for r in rows:
+        assert r.rk <= 50
+        per[(r.source, r.lang)] = per.get((r.source, r.lang), 0) + 1
+    assert per
+    from datawarehouseproject_spark.catalog import load_table
+
+    sizes = {
+        (r.source, r.lang): r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for key, n_sampled in per.items():
+        assert n_sampled == min(50, sizes[key])
+
+
+@needs_testdata
+def test_mad_outliers_all_beyond_threshold(spark):
+    rows = _run(spark, "mad_outliers").collect()
+    assert rows
+    for r in rows:
+        assert r.abs_dev > 3 * r.mad - 1e-3  # rounded columns
+
+
+@needs_testdata
+def test_orders_yoy_lag_alignment(spark):
+    rows = {(r.yr, r.mo): r for r in _run(spark, "orders_yoy").collect()}
+    assert rows
+    n_checked = 0
+    for (yr, mo), r in rows.items():
+        prev = rows.get((yr - 1, mo))
+        if r.yoy_delta_cents is not None:
+            assert prev is not None
+            assert r.yoy_delta_cents == r.revenue_cents - prev.revenue_cents
+            n_checked += 1
+    assert n_checked
