@@ -201,3 +201,42 @@ def test_dpp_partitioned_join_prunes_at_runtime(spark):
     # would mean the testdata date range drifted and the query proves
     # nothing — surface that here rather than silently passing)
     assert queries()["dpp_partitioned_join"](spark, SF).count() > 0
+
+
+def test_entity_resolution_equi_join_not_nested_loop(spark):
+    """Banded blocking must produce a hash-partitioned EQUI join —
+    the whole point vs the oracle's quadratic theta-join."""
+    plan = _plan(spark, "entity_resolution")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_bitmap_distinct_partial_aggregation(spark):
+    """bit_or chunks must combine map-side: two HashAggregate pairs
+    (chunk level + type level), no Expand/distinct shuffle of raw ids."""
+    plan = _plan(spark, "bitmap_distinct_users")
+    assert plan.count("HashAggregate") >= 4
+    assert "Expand" not in plan  # the count-distinct rewrite shape
+
+
+def test_mad_outliers_broadcast_stats(spark):
+    """Per-type medians/MADs join back via broadcast — events is
+    scanned, never shuffled."""
+    plan = _plan(spark, "mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_doc_length_histogram_partial_agg_pruned_scan(spark):
+    plan = _plan(spark, "doc_length_histogram")
+    assert plan.count("HashAggregate") >= 2
+    # documents scan pruned: text/source not read
+    assert "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_stratified_sample_single_shuffle(spark):
+    """One exchange for the stratum window; no extra repartition."""
+    plan = _plan(spark, "stratified_sample")
+    assert plan.count("Exchange hashpartitioning") == 1
