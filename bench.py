@@ -99,6 +99,8 @@ HEADLINE = [
     "stratified_sample",
     "mad_outliers",
     "orders_yoy",
+    "pareto_frontier",
+    "equi_depth_histogram",
     "pii_redaction",
     "bmp_image_features",
     "png_image_features",

@@ -437,3 +437,136 @@ def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_delta_cents"
         ),
     )
+
+
+@register(
+    "pareto_frontier",
+    oracle="""
+    SELECT p.p_partkey,
+           round(p.p_retailprice, 2) AS price,
+           CAST(p.p_size AS INT)     AS size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size))
+    """,
+    tags=("skyline", "pareto", "dominance"),
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts that are Pareto-optimal on (cheap price,
+    large size) — no other part is at-most-as-expensive AND
+    at-least-as-large with one strict. Records with identical
+    (price, size) don't dominate each other, so co-optimal ties all
+    survive.
+
+    The oracle states dominance as the quadratic NOT EXISTS; the
+    Spark plan is the sort-scan skyline: collapse to one row per
+    DISTINCT price (max size + that max's tie count), prefix-max
+    sizes in price order, keep prices whose max size strictly beats
+    every cheaper price's, then join back for the surviving rows.
+    The only ordered scan runs on the price-level frame (|distinct
+    prices| rows, already aggregated); at extreme price cardinality
+    it swaps to the range-partitioned prefix-max pattern used by
+    ``token_shard_packing`` (partial max per range, broadcast the
+    per-range prefix).
+    """
+    _utc(spark)
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    # one row per distinct price: the best (max) size at that price
+    per_price = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("smax")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_prices = (
+        per_price.select(
+            F.col("p_retailprice").alias("fp_price"),
+            "smax",
+            F.max("smax").over(w).alias("prev_max"),
+        )
+        .where(F.col("prev_max").isNull() | (F.col("smax") > F.col("prev_max")))
+        .select("fp_price", "smax")
+    )
+    # surviving rows: at a frontier price, exactly the max-size ties
+    return (
+        p.join(
+            F.broadcast(frontier_prices),
+            (F.col("p_retailprice") == F.col("fp_price"))
+            & (F.col("p_size") == F.col("smax")),
+        )
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+    )
+
+
+@register(
+    "equi_depth_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_cont(l_extendedprice,
+                   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+        FROM lineitem),
+    assigned AS (
+        SELECT l.l_extendedprice AS v,
+               1 + len(list_filter(b.bs, x -> x < l.l_extendedprice))
+                   AS bucket
+        FROM lineitem l, bounds b)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(v), 2) AS lo,
+           round(max(v), 2) AS hi
+    FROM assigned GROUP BY bucket
+    """,
+    tags=("histogram", "equi-depth", "optimizer-stats"),
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) 8-bucket histogram of
+    l_extendedprice — the optimizer-statistics / data-profiling
+    primitive. Bucket k holds values between the (k-1)/8 and k/8
+    quantiles; ties land in the lower bucket on both engines because
+    assignment counts strictly-smaller boundaries.
+
+    Scale shape: ONE aggregate computes all seven interpolated
+    boundaries (exact ``percentile`` here; at 100 TB swap in
+    ``percentile_approx`` or the KLL sketch from
+    ``operators/sketches.py`` — same plan shape), the 7-element
+    boundary array rides along as a broadcast scalar subquery, and
+    assignment + counting are map-side combinable. No global sort —
+    the naive equi-depth via ntile() would single-partition the
+    whole table.
+    """
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.expr(
+            "percentile(l_extendedprice,"
+            " array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D))"
+        ).alias("bs")
+    )
+    assigned = li.crossJoin(F.broadcast(bounds)).select(
+        F.col("l_extendedprice").alias("v"),
+        (
+            F.lit(1)
+            + F.size(
+                F.filter("bs", lambda x: x < F.col("l_extendedprice"))
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("v"), 2).alias("lo"),
+        F.round(F.max("v"), 2).alias("hi"),
+    )

@@ -159,3 +159,38 @@ def test_orders_yoy_lag_alignment(spark):
             assert r.yoy_delta_cents == r.revenue_cents - prev.revenue_cents
             n_checked += 1
     assert n_checked
+
+
+@needs_testdata
+def test_pareto_frontier_no_dominators(spark):
+    """No frontier row may be dominated by ANY part (brute check)."""
+    from datawarehouseproject_spark.catalog import load_table
+
+    frontier = _run(spark, "pareto_frontier").collect()
+    assert frontier
+    allp = [
+        (r.p_retailprice, r.p_size)
+        for r in load_table(spark, SF_DIR, "part")
+        .select("p_retailprice", "p_size")
+        .collect()
+    ]
+    for f in frontier:
+        for price, size in allp:
+            dominated = (
+                price <= f.price
+                and size >= f.size
+                and (price < f.price or size > f.size)
+            )
+            assert not dominated, (f, price, size)
+
+
+@needs_testdata
+def test_equi_depth_histogram_depths(spark):
+    """Buckets are contiguous, cover all rows, and are near-equal."""
+    rows = sorted(_run(spark, "equi_depth_histogram").collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, 9))
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert abs(r.n - total / 8) / (total / 8) < 0.02
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
