@@ -101,6 +101,8 @@ HEADLINE = [
     "orders_yoy",
     "pareto_frontier",
     "equi_depth_histogram",
+    "user_paths",
+    "table_checksum",
     "pii_redaction",
     "bmp_image_features",
     "png_image_features",

@@ -570,3 +570,106 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 2).alias("lo"),
         F.round(F.max("v"), 2).alias("hi"),
     )
+
+
+@register(
+    "user_paths",
+    oracle="""
+    WITH paths AS (
+        SELECT user_id,
+               array_to_string(
+                   list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+        FROM events GROUP BY user_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    """,
+    tags=("clickstream", "path-analysis", "collect-list"),
+)
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: each user's first three event types
+    joined into an ordered path, counted across users — the onboarding
+    funnel's raw material (which openings lead anywhere).
+
+    ``collect_list(struct(ts, event_id, event_type))`` + ``array_sort``
+    orders INSIDE the aggregation buffer, so per-user paths need no
+    window and no secondary sort — one shuffle by user, then a tiny
+    path-count aggregate. Per-group state is bounded by that user's
+    events; the struct sort is bytewise-deterministic (ts, then
+    event_id tiebreak).
+    """
+    _utc(spark)
+    e = _t(spark, sf_dir, "events")
+    paths = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    1,
+                    3,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+@register(
+    "table_checksum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST('0x' || substring(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+               || '|' ||
+               CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
+               CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+           ), 1, 15) AS BIGINT)) AS xor_hash,
+           CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("checksum", "reconciliation", "anti-entropy"),
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint per partition key — the
+    replica-reconciliation / migration-verification primitive: equal
+    (n_rows, xor_hash, sum_key) on two copies proves them identical
+    without moving data.
+
+    XOR of per-row 60-bit md5 keys is commutative+associative, so the
+    checksum is insensitive to row order and partitioning and combines
+    map-side; floats enter the hash as integer cents and timestamps
+    as date strings, so the representation is engine-stable. Verifying
+    a 100 TB copy costs one scan per side and shuffles |groups| rows.
+    """
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .cast("string"),
+        F.col("l_quantity").cast("bigint").cast("string"),
+        F.col("l_shipdate").cast("date").cast("string"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.bit_xor(row_hash).alias("xor_hash"),
+        F.sum("l_orderkey").cast("bigint").alias("sum_key"),
+    )

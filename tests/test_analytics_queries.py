@@ -194,3 +194,57 @@ def test_equi_depth_histogram_depths(spark):
         assert abs(r.n - total / 8) / (total / 8) < 0.02
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
+
+
+@needs_testdata
+def test_user_paths_covers_all_users(spark):
+    from datawarehouseproject_spark.catalog import load_table
+
+    rows = _run(spark, "user_paths").collect()
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 3
+
+
+@needs_testdata
+def test_table_checksum_order_independent(spark):
+    """Shuffled/odd-partitioned input must yield identical checksums."""
+    from datawarehouseproject_spark.plans.registry import queries
+
+    base = {
+        r.l_returnflag: (r.n_rows, r.xor_hash, r.sum_key)
+        for r in _run(spark, "table_checksum").collect()
+    }
+    assert base
+    # recompute from a deliberately re-partitioned, re-ordered scan
+    from datawarehouseproject_spark.catalog import load_table
+    from pyspark.sql import functions as F2
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .repartition(7, "l_partkey")
+        .sortWithinPartitions(F2.desc("l_extendedprice"))
+    )
+    row_repr = F2.concat_ws(
+        "|",
+        F2.col("l_orderkey").cast("string"),
+        F2.col("l_linenumber").cast("string"),
+        F2.round(F2.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+        F2.col("l_quantity").cast("bigint").cast("string"),
+        F2.col("l_shipdate").cast("date").cast("string"),
+    )
+    row_hash = F2.conv(F2.substring(F2.md5(row_repr), 1, 15), 16, 10).cast("long")
+    again = {
+        r.l_returnflag: (r.n_rows, r.xor_hash, r.sum_key)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F2.count(F2.lit(1)).cast("bigint").alias("n_rows"),
+            F2.bit_xor(row_hash).alias("xor_hash"),
+            F2.sum("l_orderkey").cast("bigint").alias("sum_key"),
+        )
+        .collect()
+    }
+    assert base == again
