@@ -103,6 +103,8 @@ HEADLINE = [
     "equi_depth_histogram",
     "user_paths",
     "table_checksum",
+    "referential_audit",
+    "time_weighted_avg",
     "pii_redaction",
     "bmp_image_features",
     "png_image_features",

@@ -673,3 +673,123 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(row_hash).alias("xor_hash"),
         F.sum("l_orderkey").cast("bigint").alias("sum_key"),
     )
+
+
+@register(
+    "referential_audit",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name,
+           CAST(count(*) AS BIGINT)  AS n_violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_without_order',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'customer_invalid_nation',
+           CAST(count(*) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_nationkey IS NULL
+    UNION ALL
+    SELECT 'supplier_invalid_nation',
+           CAST(count(*) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_nationkey IS NULL
+    """,
+    tags=("data-quality", "referential-integrity", "anti-join"),
+)
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for the
+    star schema's four foreign-key edges — the relationship-level
+    complement of the row-level rule battery in
+    ``operators/quality_gate.py``.
+
+    Each check is an anti join + count. Nation (25 rows) and customer
+    broadcast; lineitem->orders is the one genuinely big-big edge and
+    stays a shuffled semi/anti join on the 8-byte key — at 100 TB
+    that's one co-partitionable shuffle, or free if both tables are
+    bucketed by orderkey (``sources/bucketed.py``).
+    """
+    _utc(spark)
+
+    def orphans(name, child, child_key, parent, parent_key):
+        return (
+            child.join(
+                parent, child[child_key] == parent[parent_key], "left_anti"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        orphans("orders_without_customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            orphans("lineitem_without_order", li, "l_orderkey", o, "o_orderkey")
+        )
+        .unionByName(
+            orphans("customer_invalid_nation", c, "c_nationkey", n, "n_nationkey")
+        )
+        .unionByName(
+            orphans("supplier_invalid_nation", s, "s_nationkey", n, "n_nationkey")
+        )
+    )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, value,
+               floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id)))::BIGINT
+               - floor(epoch(ts))::BIGINT AS dt_secs
+        FROM events)
+    SELECT user_id,
+           CAST(sum(dt_secs) AS BIGINT) AS span_secs,
+           round(sum(value * dt_secs) / sum(dt_secs), 4) AS twap
+    FROM spans
+    WHERE dt_secs IS NOT NULL AND dt_secs > 0
+    GROUP BY user_id
+    """,
+    tags=("time-series", "twap", "time-weighted"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    weighted by how long it was 'current' (seconds until the next
+    event) — the right average for irregularly-sampled series, where
+    the plain mean over-weights bursts.
+
+    Weights are INTEGER epoch-second spans from a lead window (one
+    shuffle by user); sum(value*dt)/sum(dt) then aggregates
+    map-side. Integer weights keep the weighted sum's magnitude
+    deterministic; the final division is one float op per group,
+    rounded like the `percentiles` family.
+    """
+    _utc(spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (
+            F.lead(F.unix_timestamp("ts")).over(w) - F.unix_timestamp("ts")
+        ).alias("dt_secs"),
+    )
+    return (
+        spans.where(F.col("dt_secs").isNotNull() & (F.col("dt_secs") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("dt_secs").cast("bigint").alias("span_secs"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_secs")) / F.sum("dt_secs"), 4
+            ).alias("twap"),
+        )
+    )
