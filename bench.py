@@ -105,6 +105,7 @@ HEADLINE = [
     "table_checksum",
     "referential_audit",
     "time_weighted_avg",
+    "trailing_hour_counts",
     "pii_redaction",
     "bmp_image_features",
     "png_image_features",

@@ -793,3 +793,42 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@register(
+    "trailing_hour_counts",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (PARTITION BY user_id
+                ORDER BY floor(epoch(ts))::BIGINT
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_last_hour
+    FROM events
+    """,
+    tags=("window", "range-frame", "time-interval", "rate-limiting"),
+)
+def q_trailing_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity count: for every event, how
+    many of the same user's events (itself included) fall in the
+    preceding 3600 seconds — the rate-limiting / burst-detection
+    primitive.
+
+    This is a RANGE frame over integer epoch seconds (a VALUE-based
+    frame — ``moving_average`` covers the ROWS-based kind): frame
+    membership follows the ordering value, so same-second events
+    share a count on both engines with no tiebreak ambiguity. State
+    per partition is one sliding hour of rows; one shuffle by user.
+    """
+    _utc(spark)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+    )

@@ -310,3 +310,29 @@ def test_time_weighted_avg_bounds(spark):
         lo, hi = lim[r.user_id]
         assert lo - 1e-4 <= r.twap <= hi + 1e-4
         assert r.span_secs > 0
+
+
+@needs_testdata
+def test_trailing_hour_counts_brute(spark):
+    """Brute-force the hour window for a sample of users."""
+    from datawarehouseproject_spark.catalog import load_table
+
+    got = {
+        r.event_id: r.n_last_hour
+        for r in _run(spark, "trailing_hour_counts").collect()
+    }
+    evs = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", F.unix_timestamp("ts").alias("s"))
+        .collect()
+    )
+    by_user = {}
+    for r in evs:
+        by_user.setdefault(r.user_id, []).append((r.s, r.event_id))
+    checked = 0
+    for user, rows in list(by_user.items())[:25]:
+        for s, eid in rows:
+            want = sum(1 for s2, _ in rows if s - 3600 <= s2 <= s)
+            assert got[eid] == want
+            checked += 1
+    assert checked
