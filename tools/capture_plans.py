@@ -33,6 +33,11 @@ FLAGSHIPS = [
     "semantic_dedup",
     "repetition_rules",
     "chunk_documents",
+    "entity_resolution",
+    "bitmap_distinct_users",
+    "equi_depth_histogram",
+    "table_checksum",
+    "mad_outliers",
 ]
 
 HEADER = """# Captured physical plans (sf0.001)
