@@ -730,3 +730,138 @@ def quantile_estimate_by(
     return probes.filter(F.expr("rk = (p * (n - 1)) div 100")).select(
         *group_cols, "p", F.col("val").alias("est_val")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: union via register max-merge, intersection via
+# inclusion-exclusion — the reason sketches beat exact counts at
+# 100 TB: segment overlaps come from merging two <=2^p-row frames,
+# never from re-shuffling the raw keys.
+# ---------------------------------------------------------------------------
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of HLL sketches: register-wise max over the unioned
+    frames. Closed over the sketch format (returns another
+    ``(bucket, mrank)`` frame), so daily/per-segment sketches merge
+    associatively without touching the raw data."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("bucket").agg(F.max("mrank").alias("mrank"))
+
+
+def hll_set_ops(
+    df_a: DataFrame, df_b: DataFrame, col: str, p: int = 8
+) -> DataFrame:
+    """One-row frame of segment-overlap estimates from two inputs:
+    ``(est_a, est_b, est_union, est_overlap)``.
+
+    ``est_union`` comes from the max-merged registers (the HLL union
+    is exact over sketch states); ``est_overlap`` is
+    inclusion-exclusion ``est_a + est_b - est_union`` — the standard
+    HLL intersection estimator. All three estimates are the
+    deterministic single-division values of :func:`hll_estimate`, so
+    a DuckDB oracle (:func:`sql_hll_setops_oracle`) reproduces every
+    output bit-for-bit. At scale the inputs are typically per-segment
+    sketches persisted by earlier jobs; this recomputes them inline
+    so the query is self-contained."""
+    a = hll_sketch(df_a, col, p)
+    b = hll_sketch(df_b, col, p)
+    u = hll_merge(a, b)
+
+    def est(sk: DataFrame, name: str) -> DataFrame:
+        return hll_estimate(sk, p).select(F.col("hll_estimate").alias(name))
+
+    return (
+        est(a, "est_a")
+        .crossJoin(est(b, "est_b"))
+        .crossJoin(est(u, "est_union"))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_overlap"
+            ),
+        )
+    )
+
+
+def sql_hll_setops_oracle(
+    table: str, col: str, pred_a: str, pred_b: str, p: int = 8,
+    salt: str = "hll:",
+) -> str:
+    """DuckDB twin of :func:`hll_set_ops` over ``table`` rows split by
+    two SQL predicates — same buckets, ranks, max-merge, and the same
+    left-associated inclusion-exclusion arithmetic."""
+    m = 1 << p
+    w = _HASH_BITS - p
+    scale = 1 << (w + 1)
+    numerator = _alpha(m) * m * m * scale
+
+    def regs(pred: str, name: str) -> str:
+        return f"""
+    {name}_r AS (
+      SELECT hv % {m} AS bucket,
+             max(CASE WHEN hv // {m} = 0 THEN {w + 1}
+                 ELSE {w + 1} - length(bin(hv // {m})) END) AS mrank
+      FROM (
+        SELECT CAST('0x' || substring(
+                 md5('{salt}' || CAST({col} AS VARCHAR)), 1, 15)
+               AS BIGINT) AS hv
+        FROM {table} WHERE ({pred}) AND {col} IS NOT NULL)
+      GROUP BY bucket)"""
+
+    def est(src: str, name: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT {numerator!r} / CAST(
+               sum(1::BIGINT << ({w + 1} - mrank))
+               + ({m} - count(*)) * {scale}::BIGINT AS DOUBLE) AS v
+      FROM {src})"""
+
+    return f"""
+    WITH {regs(pred_a, 'a')},
+    {regs(pred_b, 'b')},
+    u_r AS (
+      SELECT bucket, max(mrank) AS mrank
+      FROM (SELECT * FROM a_r UNION ALL SELECT * FROM b_r)
+      GROUP BY bucket),
+    {est('a_r', 'ea')},
+    {est('b_r', 'eb')},
+    {est('u_r', 'eu')}
+    SELECT ea.v AS est_a, eb.v AS est_b, eu.v AS est_union,
+           ea.v + eb.v - eu.v AS est_overlap
+    FROM ea, eb, eu
+    """
+
+
+def bloom_prefilter(
+    bloom: DataFrame, items: DataFrame, col: str, k: int = 5,
+    m_bits: int = 256,
+) -> DataFrame:
+    """Filter ``items`` to rows whose ``col`` is *maybe* in the Bloom
+    filter — the join-prefilter shape (à la Spark's own runtime
+    bloom-filter join pushdown, expressed as an explicit operator).
+
+    Unlike :func:`bloom_probe` (which explodes k rows per item and
+    re-aggregates), this collapses the filter to ONE row holding the
+    set-bit array (≤ ``m_bits`` ints), broadcasts it, and evaluates
+    all ``k`` ``array_contains`` probes map-side — zero added shuffle
+    on the probe table, which is the point when the probe side is the
+    100 TB fact. No false negatives (Bloom guarantee): downstream
+    equi-joins produce exactly the rows they would without the
+    prefilter, minus most non-matching input.
+    """
+    from functools import reduce
+
+    bits = bloom.agg(F.collect_set("bit_idx").alias("__bits"))
+    base = _bloom_halves(items, col)
+    probed = base.crossJoin(F.broadcast(bits))
+    cond = reduce(
+        lambda acc, c: acc & F.array_contains(F.col("__bits"), c),
+        _bloom_position_cols(k, m_bits),
+        F.lit(True),
+    )
+    return probed.filter(cond).select(*items.columns)

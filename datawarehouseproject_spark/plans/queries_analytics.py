@@ -832,3 +832,215 @@ def q_trailing_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
     )
+
+
+@register(
+    "interpolate_series",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    bounds AS (
+      SELECT user_id, min(day) AS lo, max(day) AS hi
+      FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds),
+    joined AS (
+      SELECT s.user_id, s.day, d.v FROM spine s
+      LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+    w AS (
+      SELECT user_id, day, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined)
+    SELECT user_id, day, v IS NOT NULL AS observed,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv)
+                     * (CAST(datediff('day', pd, day) AS DOUBLE)
+                        / CAST(datediff('day', pd, nd) AS DOUBLE)) END
+             AS v_filled
+    FROM w
+    """,
+    tags=("time-series", "interpolation", "date-spine", "gap-fill"),
+)
+def q_interpolate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over per-user date spines: daily average
+    value, densified to every calendar day between each user's first
+    and last active day, with gaps filled by straight-line
+    interpolation between the bracketing observations — the numeric
+    companion to ``forward_fill_series``'s LOCF (step) fill.
+
+    Scale design: the spine is bounded per user (``sequence(min_day,
+    max_day)``), so densification is proportional to real activity
+    spans, not |users|x|global days|; the fill is two
+    mirror-image IGNORE-NULLS windows over ONE shuffle by user.
+    Determinism: daily means aggregate in exact DECIMAL with a single
+    IEEE division; the interpolation arithmetic is the identical
+    left-associated double expression on both engines over integer
+    day offsets, emitted UNROUNDED (bit-identical doubles beat
+    cross-engine round()-at-the-half-ulp disagreements). Spine endpoints are
+    observed days, so every gap is bracketed and no fill is NULL.
+    """
+    _utc(spark)
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    prev_w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    next_w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    w = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(prev_w).alias("pv"),
+        F.first("v", ignorenulls=True).over(next_w).alias("nv"),
+        F.last(obs_day, ignorenulls=True).over(prev_w).alias("pd"),
+        F.first(obs_day, ignorenulls=True).over(next_w).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    return w.select(
+        "user_id",
+        "day",
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("v_filled"),
+    )
+
+
+@register(
+    "winsorized_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders),
+    bounds AS (
+      SELECT o_orderpriority, o_totalprice, rk, n,
+             max(CASE WHEN rk = (n * 5 + 99) // 100
+                 THEN o_totalprice END) OVER (PARTITION BY o_orderpriority)
+               AS lo,
+             max(CASE WHEN rk = (n * 95 + 99) // 100
+                 THEN o_totalprice END) OVER (PARTITION BY o_orderpriority)
+               AS hi
+      FROM ranked)
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(lo AS DOUBLE) AS p05,
+           CAST(hi AS DOUBLE) AS p95,
+           round(CAST(sum(least(greatest(o_totalprice, lo), hi)) AS DOUBLE)
+                 / n, 4) AS winsorized_mean,
+           round(CAST(sum(o_totalprice) AS DOUBLE) / n, 4) AS raw_mean
+    FROM bounds
+    GROUP BY o_orderpriority, n, lo, hi
+    """,
+    tags=("robust-stats", "winsorize", "exact-percentile", "window"),
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order totals per priority: clamp values
+    below the exact 5th / above the exact 95th percentile to those
+    bounds, then average — the robust mean that tolerates fat tails
+    without discarding rows (companion to ``mad_outliers``, which
+    flags rather than clamps).
+
+    Percentiles are ORDER STATISTICS, not interpolations: rank
+    ``ceil(q·n)`` under a deterministic (value, orderkey) tiebreak,
+    computed with pure integer arithmetic (``(n·5+99) div 100``), so
+    bound values are actual DECIMAL data values and both engines pick
+    the identical row. Clamping and summing stay in exact DECIMAL;
+    the only float ops are two final divisions per group. One shuffle
+    by priority; the rank/count/bounds windows all share that single
+    sort — no extra exchange (same pattern the plan tests pin for
+    ``customer_rank_battery``)."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    part = Window.partitionBy("o_orderpriority")
+    ranked = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(part.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    lo_rk = F.expr("(n * 5 + 99) div 100")
+    hi_rk = F.expr("(n * 95 + 99) div 100")
+    bounds = ranked.select(
+        "*",
+        F.max(F.when(F.col("rk") == lo_rk, F.col("o_totalprice")))
+        .over(part)
+        .alias("lo"),
+        F.max(F.when(F.col("rk") == hi_rk, F.col("o_totalprice")))
+        .over(part)
+        .alias("hi"),
+    )
+    return (
+        bounds.groupBy("o_orderpriority", "n", "lo", "hi")
+        .agg(
+            F.round(
+                F.sum(
+                    F.least(
+                        F.greatest(F.col("o_totalprice"), F.col("lo")),
+                        F.col("hi"),
+                    )
+                ).cast("double")
+                / F.col("n"),
+                4,
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum("o_totalprice").cast("double") / F.col("n"), 4
+            ).alias("raw_mean"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("lo").cast("double").alias("p05"),
+            F.col("hi").cast("double").alias("p95"),
+            "winsorized_mean",
+            "raw_mean",
+        )
+    )

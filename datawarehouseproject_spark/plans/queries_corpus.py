@@ -579,3 +579,92 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey AS id", f"{_PII_TEXT_SQL} AS text"
     )
     return src.select("id", redact_pii("text").alias("redacted"))
+
+
+@register(
+    "chunk_dedup_ratio",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws
+      FROM documents),
+    c AS (
+      SELECT doc_id, source,
+             unnest(generate_series(
+               0,
+               CAST(greatest(1, ceil(len(ws) / 3.0)) AS INT) - 1)) AS i,
+             ws
+      FROM w),
+    chunks AS (
+      SELECT doc_id, source,
+             md5(array_to_string(ws[(i*3+1):(i*3+3)], ' ')) AS chash
+      FROM c),
+    freq AS (
+      SELECT chash, count(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chash)
+    SELECT doc_id, source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS shared_ratio
+    FROM chunks JOIN freq USING (chash)
+    GROUP BY doc_id, source
+    """,
+    tags=("dedup", "chunk-level", "ccnet", "cross-document"),
+)
+def q_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level duplication (the CCNet/RefinedWeb
+    paragraph-dedup signal at sub-document granularity): split every
+    document into non-overlapping 3-word chunks, count how many
+    documents each chunk appears in corpus-wide, and score each
+    document by the fraction of its chunks shared with at least one
+    other document. Documents scoring high are boilerplate/mirror
+    candidates that DOC-level dedup (``exact_dedup``,
+    ``minhash_lsh_pairs``) misses because their full texts differ.
+
+    Scale design: chunks shuffle as 32-hex md5 keys, never chunk
+    text; the global frequency table is one count-distinct aggregate
+    and joins back on the same hash (both shuffles key on chash, so
+    AQE plans them back-to-back without re-exchange). Chunking itself
+    is ``transform(sequence(...))`` over the split array — per-row
+    codegen, no explode of word-level rows. Ratios are exact integer
+    divisions. The ws[i*3+1 : i*3+3] inclusive slice in the oracle is
+    Spark's slice(ws, i*3+1, 3); trailing short chunks match, and the
+    greatest(1, ...) guard gives empty docs one empty chunk on both
+    engines (Spark's sequence(0,-1) would step BACKWARD, not return
+    empty)."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    n_chunks = F.expr("CAST(greatest(1, ceil(size(ws) / 3.0)) AS INT)")
+    chunks = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice("ws", i * 3 + 1, 3), " "
+                    ),
+                )
+            ).alias("chunk"),
+        )
+        .select("doc_id", "source", F.md5("chunk").alias("chash"))
+    )
+    freq = chunks.groupBy("chash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    return (
+        chunks.join(freq, "chash")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            shared.cast("bigint").alias("n_shared_chunks"),
+            (shared.cast("double") / F.count(F.lit(1))).alias(
+                "shared_ratio"
+            ),
+        )
+    )

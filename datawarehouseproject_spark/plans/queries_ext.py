@@ -2205,3 +2205,190 @@ def q_forward_fill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("last_purchase_value"),
         )
     )
+
+
+def _hll_setops_oracle() -> str:
+    from ..operators.sketches import sql_hll_setops_oracle
+
+    return sql_hll_setops_oracle(
+        "events", "user_id",
+        "event_type = 'click'", "event_type = 'purchase'", p=8,
+    )
+
+
+@register(
+    "hll_set_ops",
+    oracle=_hll_setops_oracle(),
+    tags=("sketch", "hll", "set-algebra", "overlap"),
+)
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-overlap estimation by HLL set algebra: clickers vs
+    purchasers, union by register max-merge, intersection by
+    inclusion-exclusion (``operators/sketches.py:hll_set_ops``).
+
+    The audience-overlap question (`how many users did BOTH X and
+    Y?`) is exactly the query that stops scaling as an exact
+    ``COUNT(DISTINCT)`` — it needs a distinct shuffle of every key in
+    both segments, per segment PAIR. With sketches each segment is
+    ≤2^p two-long rows computed once (map-side combinable max agg),
+    any pair's union merges register-wise, and the overlap falls out
+    arithmetically. Every output value is deterministic (integer
+    registers, one IEEE division each) so the DuckDB oracle
+    hash-matches all four estimates."""
+    _utc(spark)
+    from ..operators.sketches import hll_set_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_set_ops(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        p=8,
+    )
+
+
+@register(
+    "bloom_join_prefilter",
+    oracle="""
+    SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY month
+    """,
+    tags=("bloom", "join-prefilter", "semi-join-reduction"),
+)
+def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly urgent-order revenue through an explicit Bloom-filter
+    join prefilter: build a ≤8192-bit filter over the urgent
+    orderkeys, broadcast it as ONE array row, drop non-matching
+    lineitem rows map-side (5 ``array_contains`` probes), THEN join.
+
+    The oracle is the plain join — the point of the query: Bloom
+    prefiltering is result-invariant (no false negatives; false
+    positives die in the equi-join), so the gate proves the
+    optimization preserves semantics exactly. At 100 TB this is the
+    difference between shuffling all of lineitem and shuffling ~the
+    matching fraction; ``m_bits`` scales with the build-side count
+    (bits ≈ 10·|build| for ~1% FP). Spark's AQE can inject the same
+    shape automatically; the explicit operator makes it available to
+    sinks/incremental jobs where the optimizer can't see the join.
+    """
+    _utc(spark)
+    from ..operators.sketches import bloom_build, bloom_prefilter
+
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    bloom = bloom_build(
+        urgent.select("o_orderkey"), "o_orderkey", k=5, m_bits=8192
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    li_pre = bloom_prefilter(bloom, li, "l_orderkey", k=5, m_bits=8192)
+    return (
+        li_pre.join(urgent, li_pre.l_orderkey == urgent.o_orderkey)
+        .groupBy(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "shot_boundaries",
+    oracle=f"""
+    WITH {_BMP_SYNTH_SQL},
+    ts AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS t
+      FROM m),
+    xs AS (
+      SELECT media_id, w, h, t, unnest(generate_series(0, w - 1)) AS x
+      FROM ts),
+    xy AS (
+      SELECT media_id, w, h, t, x, unnest(generate_series(0, h - 1)) AS y
+      FROM xs),
+    fr AS (
+      SELECT media_id, t,
+             w * h AS n_pixels,
+             sum((media_id * 7 + x * 3 + y * 5 + t * 19) % 256
+               + (media_id * 11 + x * 2 + y * 13 + t * 23) % 256
+               + (media_id * 3 + x * 17 + y + t * 29) % 256) AS intensity
+      FROM xy
+      GROUP BY media_id, t, w, h),
+    d AS (
+      SELECT media_id, t AS frame_idx,
+             CAST(intensity AS BIGINT) AS intensity,
+             CAST(coalesce(intensity - lag(intensity) OVER (
+               PARTITION BY media_id ORDER BY t), 0) AS BIGINT) AS delta,
+             n_pixels
+      FROM fr)
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx, intensity,
+           delta,
+           abs(delta) > n_pixels * 30 AS is_cut
+    FROM d
+    """,
+    tags=("multimodal", "video", "shot-boundary", "window"),
+)
+def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded video: demux every
+    frame of the synthetic DIB-AVI clips, decode to channel sums, and
+    flag frames whose total-intensity jump from the previous frame
+    exceeds 30·n_pixels — the classic frame-differencing cut
+    detector.
+
+    Composes the container demux (1:N ``mapInPandas`` expansion) with
+    a lag window per clip — the temporal-analysis pattern (scene
+    segmentation, keyframe selection) that pure per-frame features
+    can't express. Frame stats are exact integers, so the lag deltas
+    and the boundary verdicts hash-match the arithmetic oracle; the
+    window shuffles one row per FRAME FEATURE (five longs), never
+    pixel data. The first frame of each clip has delta 0 (no
+    predecessor) and is never a cut on either engine."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    media = synthesize_avi_media(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n=1).withColumnRenamed(
+        "frame", "payload"
+    )
+    feats = extract_image_features(frames).select(
+        "media_id",
+        "frame_idx",
+        (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")).alias("intensity"),
+        "n_pixels",
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    d = feats.select(
+        "media_id",
+        "frame_idx",
+        F.col("intensity").cast("bigint").alias("intensity"),
+        F.coalesce(
+            F.col("intensity") - F.lag("intensity").over(w), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("delta"),
+        "n_pixels",
+    )
+    return d.select(
+        "media_id",
+        "frame_idx",
+        "intensity",
+        "delta",
+        (F.abs("delta") > F.col("n_pixels") * 30).alias("is_cut"),
+    )

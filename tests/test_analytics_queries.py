@@ -336,3 +336,52 @@ def test_trailing_hour_counts_brute(spark):
             assert got[eid] == want
             checked += 1
     assert checked
+
+
+@needs_testdata
+def test_interpolate_series_semantics(spark):
+    """Observed rows reproduce the daily mean; gap rows are strictly
+    bracketed by their neighbors; spines have no NULL fills."""
+    rows = _run(spark, "interpolate_series").collect()
+    assert rows and all(r.v_filled is not None for r in rows)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for series in by_user.values():
+        series.sort(key=lambda r: r.day)
+        # spine endpoints are observed days
+        assert series[0].observed and series[-1].observed
+        for i, r in enumerate(series):
+            if r.observed:
+                continue
+            # linear fill lies within [prev, next] observation values
+            nxt = next(s for s in series[i + 1 :] if s.observed)
+            prv = next(s for s in reversed(series[:i]) if s.observed)
+            lo, hi = sorted((prv.v_filled, nxt.v_filled))
+            assert lo - 1e-9 <= r.v_filled <= hi + 1e-9
+
+
+@needs_testdata
+def test_winsorized_mean_clamps_toward_center(spark):
+    """p05 <= winsorized values <= p95; clamping pulls the mean
+    between the raw mean and the median direction but never outside
+    the bound interval."""
+    for r in _run(spark, "winsorized_mean").collect():
+        assert r.p05 <= r.p95
+        assert r.p05 <= r.winsorized_mean <= r.p95
+        assert r.n_orders > 0
+
+
+@needs_testdata
+def test_shot_boundaries_telescoping(spark):
+    """Per clip: frame count matches the synth formula, the first
+    frame's delta is 0, and deltas telescope to last-first."""
+    rows = _run(spark, "shot_boundaries").collect()
+    clips: dict[int, list] = {}
+    for r in rows:
+        clips.setdefault(r.media_id, []).append(r)
+    for media_id, fr in clips.items():
+        fr.sort(key=lambda r: r.frame_idx)
+        assert len(fr) == 4 + media_id % 5
+        assert fr[0].delta == 0 and fr[0].is_cut is False
+        assert sum(f.delta for f in fr) == fr[-1].intensity - fr[0].intensity

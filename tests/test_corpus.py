@@ -245,3 +245,57 @@ def test_inverted_index_and_search(spark):
            for r in search_all_terms(idx, ["cat", "dog"]).collect()}
     # docs 1 and 3 contain both; score = total tf of the query terms
     assert got == {1: 3, 3: 4}
+
+
+def test_chunk_dedup_ratio_matches_posexplode_recompute(spark):
+    """The transform(sequence(...)) chunking must agree with a naive
+    word-level posexplode + floor(pos/3) regrouping, per document."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip(f"{sf} not present")
+    from datawarehouseproject_spark.plans import registry
+
+    got = {
+        (r.doc_id, r.n_chunks, r.n_shared_chunks)
+        for r in registry.queries()["chunk_dedup_ratio"](spark, sf).collect()
+    }
+
+    from datawarehouseproject_spark.catalog import load_table
+
+    words = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    )
+    naive_chunks = (
+        words.groupBy("doc_id", F.expr("pos div 3").alias("i"))
+        # collect_list order is shuffle-dependent: sort by pos explicitly
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.w,
+                ),
+                " ",
+            ).alias("chunk")
+        )
+        .select("doc_id", F.md5("chunk").alias("chash"))
+    )
+    freq = naive_chunks.groupBy("chash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    naive = (
+        naive_chunks.join(freq, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+    )
+    want = {(r.doc_id, r.n_chunks, r.n_shared) for r in naive.collect()}
+    assert got == want

@@ -289,3 +289,55 @@ def test_quantile_sketch_by_group_isolation(spark):
     est = {(r["g"], r["p"]): r["est_val"]
            for r in quantile_estimate_by(sk, ["g"], [50]).collect()}
     assert est[("a", 50)] < 2000 and est[("b", 50)] > 100000
+
+
+def test_hll_set_ops_inclusion_exclusion(spark):
+    """est_overlap must be exactly est_a + est_b - est_union, and the
+    union estimate must equal the estimate of sketching A∪B directly
+    (set algebra closed over the sketch format)."""
+    from datawarehouseproject_spark.operators.sketches import hll_set_ops
+
+    a = spark.range(0, 4000).select(F.col("id").alias("k"))
+    b = spark.range(3000, 7000).select(F.col("id").alias("k"))
+    row = hll_set_ops(a, b, "k", p=8).collect()[0]
+    assert row["est_overlap"] == row["est_a"] + row["est_b"] - row["est_union"]
+    direct = hll_distinct(a.union(b), "k", p=8).collect()[0]["hll_estimate"]
+    assert row["est_union"] == direct
+    # accuracy envelope: true overlap 1000, union 7000; raw-HLL p=8
+    # relative error ~6.5%, inclusion-exclusion compounds it — allow 3x
+    assert abs(row["est_union"] - 7000) / 7000 < 0.2
+    assert abs(row["est_overlap"] - 1000) / 1000 < 0.6
+
+
+def test_bloom_prefilter_no_false_negatives_and_join_invariant(spark):
+    """Every true member survives the prefilter, the output is a
+    subset of the input, and joining after the prefilter returns
+    exactly the rows the plain join returns."""
+    from datawarehouseproject_spark.operators.sketches import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    members = spark.range(0, 300).select((F.col("id") * 7).alias("k"))
+    items = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("payload")
+    )
+    bloom = bloom_build(members, "k", k=5, m_bits=4096)
+    kept = bloom_prefilter(bloom, items, "k", k=5, m_bits=4096)
+    assert kept.columns == items.columns
+
+    kept_keys = {r.k for r in kept.collect()}
+    member_keys = {r.k for r in members.collect()}
+    item_keys = {r.k for r in items.collect()}
+    # no false negatives: every member that exists in items survives
+    assert (member_keys & item_keys) <= kept_keys
+    # subset of input
+    assert kept_keys <= item_keys
+
+    plain = {
+        (r.k, r.payload) for r in items.join(members, "k").collect()
+    }
+    prefiltered = {
+        (r.k, r.payload) for r in kept.join(members, "k").collect()
+    }
+    assert plain == prefiltered
