@@ -107,12 +107,22 @@ HEADLINE = [
     "time_weighted_avg",
     "trailing_hour_counts",
     "pii_redaction",
+    "hll_set_ops",
+    "bloom_join_prefilter",
+    "incremental_join_view",
+    "ab_assignment_lift",
+    "embedding_dim_stats",
+    "interpolate_series",
+    "winsorized_mean",
+    "chunk_dedup_ratio",
     "bmp_image_features",
     "png_image_features",
     "gif_image_features",
     "image_phash",
     "avi_frame_features",
+    "shot_boundaries",
     "wav_audio_features",
+    "audio_activity_segments",
 ]
 
 

@@ -639,3 +639,44 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             (F.col("doc_id") % 480).cast("int").alias("height"),
         ).alias("meta"),
     )
+
+
+def audio_frame_energy(media: DataFrame) -> DataFrame:
+    """REAL audio decode to per-frame energy rows: ``(media_id,
+    frame_idx, energy)`` where energy is the integer sum of absolute
+    amplitudes across channels for that frame — the 1:N expansion
+    that temporal audio operators (VAD-style activity segmentation,
+    silence trimming) window over.
+
+    Vectorized per Arrow batch: one ``np.abs(...).sum(axis=1)`` per
+    payload, no per-sample Python. Only three longs per frame leave
+    the executor — raw samples never ship. Composes with
+    :func:`resample_wav` upstream (payloads are plain WAVs)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import decode_wav
+
+        for pdf in it:
+            mids, idxs, energies = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, _, frames = decode_wav(bytes(p))
+                e = np.abs(frames.astype(np.int64)).sum(axis=1)
+                n = len(e)
+                mids.extend([int(mid)] * n)
+                idxs.extend(range(n))
+                energies.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "energy": energies}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=schema
+    )

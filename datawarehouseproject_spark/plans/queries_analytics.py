@@ -1044,3 +1044,105 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_mean",
         )
     )
+
+
+@register(
+    "ab_assignment_lift",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substring(
+                    md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchases,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(12,2))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS purchase_value
+      FROM events GROUP BY user_id),
+    v AS (
+      SELECT
+        sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS cu,
+        sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS tu,
+        sum(CASE WHEN variant = 'control' THEN n_purchases ELSE 0 END) AS cp,
+        sum(CASE WHEN variant = 'treatment' THEN n_purchases ELSE 0 END) AS tp,
+        CAST(sum(CASE WHEN variant = 'control' THEN purchase_value
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS cv,
+        CAST(sum(CASE WHEN variant = 'treatment' THEN purchase_value
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS tv
+      FROM per_user)
+    SELECT CAST(cu AS BIGINT) AS control_users,
+           CAST(tu AS BIGINT) AS treatment_users,
+           CAST(cp AS BIGINT) AS control_purchases,
+           CAST(tp AS BIGINT) AS treatment_purchases,
+           cv / cu AS control_value_per_user,
+           tv / tu AS treatment_value_per_user,
+           (tv / tu) / (cv / cu) AS lift
+    FROM v
+    """,
+    tags=("experimentation", "ab-test", "hash-assignment", "lift"),
+)
+def q_ab_assignment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based experiment assignment + lift readout: every user
+    deterministically lands in control/treatment by md5 parity (the
+    stable, join-free bucketing real experimentation systems use — no
+    assignment table, any engine recomputes the same split), then
+    per-variant purchase-value-per-user and the treatment/control
+    lift ratio.
+
+    One row out; purchase values aggregate in exact DECIMAL, counts
+    are integers, and the three ratios are the identical
+    left-associated double divisions on both engines — hash-exact
+    without any tolerance. At 100 TB assignment is a map-side
+    expression on the fact scan (no dimension join), and the whole
+    readout is one partial-agg pass."""
+    _utc(spark)
+    from ..functions.hashing import md5_long
+
+    dec0 = F.lit(0).cast("decimal(12,2)")
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.when(md5_long(F.col("user_id"), salt="exp1:") % 2 == 0, "control")
+            .otherwise("treatment")
+            .alias("variant"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(12,2)"),
+                ).otherwise(dec0)
+            ).alias("purchase_value"),
+        )
+    )
+    is_c = F.col("variant") == "control"
+    is_t = F.col("variant") == "treatment"
+    v = per_user.agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("cu"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("tu"),
+        F.sum(F.when(is_c, F.col("n_purchases")).otherwise(0)).alias("cp"),
+        F.sum(F.when(is_t, F.col("n_purchases")).otherwise(0)).alias("tp"),
+        F.sum(F.when(is_c, F.col("purchase_value")).otherwise(dec0))
+        .cast("double")
+        .alias("cv"),
+        F.sum(F.when(is_t, F.col("purchase_value")).otherwise(dec0))
+        .cast("double")
+        .alias("tv"),
+    )
+    return v.select(
+        F.col("cu").cast("bigint").alias("control_users"),
+        F.col("tu").cast("bigint").alias("treatment_users"),
+        F.col("cp").cast("bigint").alias("control_purchases"),
+        F.col("tp").cast("bigint").alias("treatment_purchases"),
+        (F.col("cv") / F.col("cu")).alias("control_value_per_user"),
+        (F.col("tv") / F.col("tu")).alias("treatment_value_per_user"),
+        ((F.col("tv") / F.col("tu")) / (F.col("cv") / F.col("cu"))).alias(
+            "lift"
+        ),
+    )

@@ -1225,3 +1225,79 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint64("text").alias("fp"))
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             CASE WHEN list_max(list_transform(
+                         CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0
+                  THEN list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(trunc(x * 127.0 / list_max(
+                           list_transform(CAST(embedding AS DOUBLE[]),
+                                          y -> abs(y)))) AS BIGINT))
+             END AS qv
+      FROM embeddings),
+    ex AS (
+      SELECT label,
+             unnest(generate_series(0, len(qv) - 1)) AS dim,
+             unnest(qv) AS code
+      FROM q)
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(dim AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(code) AS DOUBLE) / count(*) AS mean_q,
+           sqrt(CAST(count(*) * sum(code * code) - sum(code) * sum(code)
+                     AS DOUBLE)
+                / CAST(count(*) * count(*) AS DOUBLE)) AS std_q,
+           CAST(min(code) AS BIGINT) AS min_q,
+           CAST(max(code) AS BIGINT) AS max_q
+    FROM ex
+    GROUP BY label, dim
+    """,
+    tags=("embeddings", "feature-stats", "profiling", "quantization"),
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension feature statistics over int8-QUANTIZED
+    embeddings — the feature-distribution profile (drift monitoring,
+    normalization constants, dead-dimension detection) a training
+    pipeline computes before standardizing or re-projecting vectors.
+
+    Determinism design: raw float sums are order-dependent, so stats
+    run on the int8 codes (``trunc(x·127/max|x|)`` — the exact
+    quantization ``embedding_quantized_topk`` ships): all sums are
+    exact BIGINTs, mean is one IEEE division, and the population
+    std comes from the integer identity ``n·Σx² − (Σx)²`` with a
+    single correctly-rounded sqrt — bit-identical in any engine.
+    posexplode keys the shuffle on (label, dim): |labels|·|dims|
+    groups, each a handful of longs, however many vectors flow in."""
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qv = F.when(
+        m == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(F.transform(v, lambda x: (x * 127.0 / m).cast("long")))
+    ex = emb.select(
+        F.col("label").cast("int").alias("label"),
+        F.posexplode(qv).alias("dim", "code"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            n.cast("bigint").alias("n"),
+            (F.sum("code").cast("double") / n).alias("mean_q"),
+            F.sqrt(
+                (n * F.sum(F.col("code") * F.col("code"))
+                 - F.sum("code") * F.sum("code")).cast("double")
+                / (n * n).cast("double")
+            ).alias("std_q"),
+            F.min("code").cast("bigint").alias("min_q"),
+            F.max("code").cast("bigint").alias("max_q"),
+        )
+    )

@@ -2392,3 +2392,193 @@ def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         (F.abs("delta") > F.col("n_pixels") * 30).alias("is_cut"),
     )
+
+
+@register(
+    "users_except",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-03'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-03'
+    """,
+    tags=("set-ops", "except", "anti-segment"),
+)
+def q_users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: users who clicked on Jan 3 but did not purchase that
+    day — the negative-segment query (completes the set-op surface
+    next to ``users_intersect`` and ``union_dedup``). Day-scoped so
+    the difference is non-trivial on the synthetic data (over all
+    time every user hits every event type). Spark plans EXCEPT as a
+    left-anti hash join on the distinct sets — no sort-based set
+    difference needed."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    jan3 = ev.filter(F.to_date("ts") == F.lit("2024-01-03"))
+    clickers = jan3.filter(F.col("event_type") == "click").select("user_id")
+    buyers = jan3.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers)
+
+
+@register(
+    "incremental_join_view",
+    oracle="""
+    SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+           CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("incremental", "materialized-view", "delta-join"),
+)
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view with deltas on BOTH
+    sides — the delta-join algebra ``Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔC ∪
+    ΔA⋈ΔB`` that generalizes ``incremental_rollup`` (which only
+    handles one appending fact) to views over two evolving tables.
+
+    Orders split into base (pre-2001) + delta (2001+); customers
+    split into base + a simulated late-arriving cohort (custkey % 10
+    = 0). The view — per-(nation, year) order counts and revenue — is
+    built as base-view + three delta joins, merged by partial-agg
+    re-aggregation. The oracle recomputes the join from scratch;
+    matching proves the algebra is lossless. At 100 TB the three
+    delta joins each touch |Δ|·matching-rows, never |base|×|base| —
+    the CDC-driven refresh a warehouse needs once dimensions also
+    churn."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    o_base = orders.filter(F.to_date("o_orderdate") < "2001-01-01")
+    o_delta = orders.filter(F.to_date("o_orderdate") >= "2001-01-01")
+    c_base = cust.filter(F.col("c_custkey") % 10 != 0)
+    c_delta = cust.filter(F.col("c_custkey") % 10 == 0)
+
+    def view(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(
+                F.col("c_nationkey").cast("int").alias("nationkey"),
+                F.year(F.to_date("o_orderdate")).cast("int").alias("yr"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "__t"
+                ),
+            )
+        )
+
+    parts = (
+        view(o_base, c_base)
+        .unionByName(view(o_delta, c_base))
+        .unionByName(view(o_base, c_delta))
+        .unionByName(view(o_delta, c_delta))
+    )
+    return parts.groupBy("nationkey", "yr").agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("__t").cast("double").alias("total"),
+    )
+
+
+_WAV_SYNTH_CTE = """
+    m AS (
+      SELECT doc_id AS media_id,
+             1 + doc_id % 2 AS channels,
+             50 + doc_id % 20 AS n
+      FROM documents),
+    fr AS (
+      SELECT media_id, channels, n,
+             unnest(generate_series(0, n - 1)) AS i FROM m),
+    sm AS (
+      SELECT media_id, channels, n, i,
+             unnest(generate_series(0, channels - 1)) AS c FROM fr),
+    en AS (
+      SELECT media_id, i,
+             sum(abs((media_id * 13 + i * 7 + c * 101) % 65536 - 32768))
+               AS energy
+      FROM sm GROUP BY media_id, i)
+"""
+
+
+@register(
+    "audio_activity_segments",
+    oracle=f"""
+    WITH {_WAV_SYNTH_CTE},
+    act AS (SELECT media_id, i FROM en WHERE energy > 20000),
+    isl AS (
+      SELECT media_id,
+             i - row_number() OVER (PARTITION BY media_id ORDER BY i)
+               AS grp
+      FROM act),
+    runs AS (
+      SELECT media_id, grp, count(*) AS run_len
+      FROM isl GROUP BY media_id, grp),
+    seg AS (
+      SELECT media_id, count(*) AS n_segments, max(run_len) AS longest
+      FROM runs GROUP BY media_id),
+    base AS (
+      SELECT media_id, count(*) AS n_frames,
+             sum(CASE WHEN energy > 20000 THEN 1 ELSE 0 END) AS n_active
+      FROM en GROUP BY media_id)
+    SELECT base.media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(longest, 0) AS BIGINT) AS longest_run
+    FROM base LEFT JOIN seg USING (media_id)
+    """,
+    tags=("multimodal", "audio", "vad", "gaps-and-islands"),
+)
+def q_audio_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style activity segmentation over REAL decoded audio:
+    per-frame energy (sum of |amplitude| across channels, integer)
+    from the PCM decode, thresholded, then grouped into maximal runs
+    of consecutive active frames with the gaps-and-islands idiom
+    (frame_idx − row_number is constant within a run). Reports frame
+    counts, active counts, segment counts, and the longest segment
+    per clip — the silence-trimming / speech-extent primitive.
+
+    Only (media_id, frame_idx, energy) rows leave the decoder
+    (``operators/multimodal.py:audio_frame_energy``, vectorized
+    numpy) — raw samples never shuffle. Energies are exact integers,
+    so run boundaries and all counts hash-match the arithmetic
+    oracle."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import audio_frame_energy, synthesize_wav_media
+
+    en = audio_frame_energy(
+        synthesize_wav_media(_t(spark, sf_dir, "documents"))
+    ).withColumn("active", F.col("energy") > 20000)
+    base = en.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.col("active").cast("int")).cast("bigint").alias("n_active"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    runs = (
+        en.filter("active")
+        .withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+        .groupBy("media_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    seg = runs.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+    )
+    return base.join(seg, "media_id", "left").select(
+        "media_id",
+        "n_frames",
+        "n_active",
+        F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce("longest_run", F.lit(0)).cast("bigint").alias(
+            "longest_run"
+        ),
+    )

@@ -385,3 +385,65 @@ def test_shot_boundaries_telescoping(spark):
         assert len(fr) == 4 + media_id % 5
         assert fr[0].delta == 0 and fr[0].is_cut is False
         assert sum(f.delta for f in fr) == fr[-1].intensity - fr[0].intensity
+
+
+@needs_testdata
+def test_ab_assignment_deterministic_and_partitioning(spark):
+    """The hash split is stable across runs and covers every user
+    exactly once."""
+    r1 = _run(spark, "ab_assignment_lift").collect()[0]
+    r2 = _run(spark, "ab_assignment_lift").collect()[0]
+    assert r1 == r2
+    from datawarehouseproject_spark.catalog import load_table
+
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert r1.control_users + r1.treatment_users == n_users
+    assert r1.control_users > 0 and r1.treatment_users > 0
+
+
+@needs_testdata
+def test_embedding_dim_stats_shape(spark):
+    """Every (label, dim) cell is present, stds are non-negative and
+    codes stay in the int8 envelope."""
+    rows = _run(spark, "embedding_dim_stats").collect()
+    from datawarehouseproject_spark.catalog import load_table
+    from pyspark.sql import functions as FF
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    dim = emb.select(FF.size("embedding").alias("d")).first().d
+    assert len(rows) == n_labels * dim
+    for r in rows:
+        assert r.std_q >= 0
+        assert -127 <= r.min_q <= r.max_q <= 127
+        assert r.min_q <= r.mean_q <= r.max_q
+
+
+@needs_testdata
+def test_incremental_join_view_matches_direct(spark):
+    """Delta-join maintenance must be lossless vs the direct join."""
+    got = {
+        (r.nationkey, r.yr): (r.n_orders, r.total)
+        for r in _run(spark, "incremental_join_view").collect()
+    }
+    from datawarehouseproject_spark.catalog import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    direct = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.year(F.to_date("o_orderdate")).cast("int").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("t"),
+        )
+    )
+    want = {(r.nationkey, r.yr): (r.n, r.t) for r in direct.collect()}
+    assert got == want

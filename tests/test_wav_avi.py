@@ -223,3 +223,25 @@ def test_read_media_files_binary_source(spark, tmp_path):
     again = {r.media_id for r in
              read_media_files(spark, str(tmp_path), glob="*.bmp").collect()}
     assert again == {r.media_id for r in media.collect()} and len(again) == 4
+
+
+def test_audio_frame_energy_matches_direct_decode(spark):
+    """Per-frame energies from the distributed path must equal a
+    driver-side decode of the same synthetic payloads."""
+    from datawarehouseproject_spark.functions.wav import decode_wav, synth_wav
+    from datawarehouseproject_spark.operators.multimodal import (
+        audio_frame_energy,
+        synthesize_wav_media,
+    )
+
+    ids = spark.range(3, 9).selectExpr("id AS doc_id")
+    got = {
+        (r.media_id, r.frame_idx): r.energy
+        for r in audio_frame_energy(synthesize_wav_media(ids)).collect()
+    }
+    want = {}
+    for mid in range(3, 9):
+        _, _, frames = decode_wav(synth_wav(mid))
+        for i, e in enumerate(np.abs(frames.astype(np.int64)).sum(axis=1)):
+            want[(mid, i)] = int(e)
+    assert got == want
