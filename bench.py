@@ -111,6 +111,7 @@ HEADLINE = [
     "bloom_join_prefilter",
     "incremental_join_view",
     "ab_assignment_lift",
+    "table_diff",
     "embedding_dim_stats",
     "interpolate_series",
     "winsorized_mean",

@@ -596,15 +596,26 @@ def _bloom_position_cols(k: int, m_bits: int) -> list:
     ]
 
 
-def _bloom_halves(df: DataFrame, col: str) -> DataFrame:
-    h = md5_long(F.col(col).cast("string"), salt="bloom:")
+def _bloom_halves(df: DataFrame, col: str, native: bool = False) -> DataFrame:
+    """``native=False``: md5-based 60-bit hash — portable, so SQL
+    oracles reproduce bit positions (membership queries).
+    ``native=True``: ``xxhash64`` masked to 60 bits — engine-private
+    but pure codegen integer ops, ~10x cheaper per row. Legitimate
+    wherever the RESULT doesn't depend on which bits are set (the
+    join-prefilter: false positives die in the join), illegitimate
+    wherever positions themselves are checked."""
+    if native:
+        h = F.xxhash64(F.col(col)).bitwiseAND(F.lit((1 << 60) - 1))
+    else:
+        h = md5_long(F.col(col).cast("string"), salt="bloom:")
     return df.withColumn("__h", h).selectExpr(
         "*", "__h % 1073741824 AS __lo", "__h div 1073741824 AS __hi"
     ).drop("__h")
 
 
 def bloom_build(
-    df: DataFrame, col: str, k: int = 5, m_bits: int = 256
+    df: DataFrame, col: str, k: int = 5, m_bits: int = 256,
+    native: bool = False,
 ) -> DataFrame:
     """Build the Bloom filter as a DataFrame of DISTINCT set bit
     positions ``(bit_idx)`` — at most ``m_bits`` rows however large
@@ -612,7 +623,7 @@ def bloom_build(
     ``union().distinct()`` (bitwise OR); persist as parquet;
     broadcast into probes. The false-positive rate is the classic
     ``(1 - e^(-k·n/m))^k``."""
-    base = _bloom_halves(df.select(col), col)
+    base = _bloom_halves(df.select(col), col, native=native)
     return (
         base.select(*_bloom_position_cols(k, m_bits))
         .select(F.explode(F.array(*[f"b{i}" for i in range(k)])).alias("bit_idx"))
@@ -839,29 +850,64 @@ def sql_hll_setops_oracle(
 
 def bloom_prefilter(
     bloom: DataFrame, items: DataFrame, col: str, k: int = 5,
-    m_bits: int = 256,
+    m_bits: int = 256, native: bool = False,
 ) -> DataFrame:
     """Filter ``items`` to rows whose ``col`` is *maybe* in the Bloom
     filter — the join-prefilter shape (à la Spark's own runtime
     bloom-filter join pushdown, expressed as an explicit operator).
 
-    Unlike :func:`bloom_probe` (which explodes k rows per item and
-    re-aggregates), this collapses the filter to ONE row holding the
-    set-bit array (≤ ``m_bits`` ints), broadcasts it, and evaluates
-    all ``k`` ``array_contains`` probes map-side — zero added shuffle
-    on the probe table, which is the point when the probe side is the
-    100 TB fact. No false negatives (Bloom guarantee): downstream
-    equi-joins produce exactly the rows they would without the
-    prefilter, minus most non-matching input.
+    The filter is packed into ``m_bits/64`` bitmap longs COLLECTED to
+    the driver (a Bloom filter is sketch metadata — kilobytes however
+    large the build side, same class as IVF centroids or DQ rule
+    counts) and folded into the probe plan as a LITERAL array:
+    Catalyst constant-folds it once and the probe is a pure
+    whole-stage-codegen scan + filter with O(1) ``element_at`` +
+    bit-test per probe — no join node, no shuffle, no per-row
+    broadcast-array copying. (Both alternatives measured 15-45x
+    slower at m_bits=8192 on 600k probe rows: ``array_contains`` over
+    a set-bit array is a linear scan per probe, and shipping the
+    bitmap through a broadcast nested-loop join re-copies the array
+    per row.) Pass ``native=True`` here AND in :func:`bloom_build`
+    for the xxhash64 position hash: filter pushdown inlines the
+    position expressions into every short-circuit conjunct, so with
+    the md5 hash each surviving row pays ~10 md5+conv evaluations —
+    measured 4x the whole probe cost. Eager: calling this
+    materializes ``bloom``.
+
+    No false negatives (Bloom guarantee): downstream equi-joins
+    produce exactly the rows they would without the prefilter, minus
+    most non-matching input.
     """
     from functools import reduce
 
-    bits = bloom.agg(F.collect_set("bit_idx").alias("__bits"))
-    base = _bloom_halves(items, col)
-    probed = base.crossJoin(F.broadcast(bits))
-    cond = reduce(
-        lambda acc, c: acc & F.array_contains(F.col("__bits"), c),
-        _bloom_position_cols(k, m_bits),
-        F.lit(True),
+    n_words = (m_bits + 63) // 64
+    words = [0] * n_words
+    for r in bloom.select("bit_idx").collect():
+        words[r.bit_idx >> 6] |= 1 << (r.bit_idx & 63)
+    # Java longs are signed: wrap the unsigned python ints. ONE
+    # Literal array object (F.lit(list)), not an array(...) SQL text:
+    # k inlined 128-literal CreateArrays blow the generated-code size
+    # past the codegen method limit and drop the stage to interpreted
+    # mode (measured 5x slower).
+    arr = F.lit(
+        [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     )
-    return probed.filter(cond).select(*items.columns)
+    keep = list(items.columns)
+    base = _bloom_halves(items, col, native=native)
+    probed = base.select(
+        *keep,
+        *[
+            c.alias(f"__p{i}")
+            for i, c in enumerate(_bloom_position_cols(k, m_bits))
+        ],
+    )
+
+    def probe(i: int):
+        word = F.element_at(arr, (F.col(f"__p{i}") / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 64 AS INT))"
+        )
+        return word.bitwiseAND(mask) != 0
+
+    cond = reduce(lambda acc, i: acc & probe(i), range(k), F.lit(True))
+    return probed.filter(cond).select(*keep)

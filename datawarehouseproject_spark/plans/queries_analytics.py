@@ -1146,3 +1146,105 @@ def q_ab_assignment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift"
         ),
     )
+
+
+@register(
+    "table_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                 || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                 || '|' || o_orderpriority) AS fp
+      FROM orders),
+    b_src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 89 = 0),
+    b AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                 || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                 || '|' || o_orderpriority) AS fp
+      FROM b_src),
+    classified AS (
+      SELECT CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.fp <> b.fp THEN 'changed'
+                  ELSE 'unchanged' END AS diff_status
+      FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT diff_status, CAST(count(*) AS BIGINT) AS n_rows
+    FROM classified GROUP BY diff_status
+    """,
+    tags=("reconciliation", "data-diff", "full-outer", "migration"),
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions (the data-diff /
+    migration-verification operator): classify every key as added,
+    removed, changed, or unchanged between orders and a simulated
+    next-day snapshot (deterministic deletes %97, price updates %101,
+    inserts %89 re-keyed) — what a warehouse runs to validate a
+    backfill, a replication lag, or a vendor migration, complementing
+    ``table_checksum`` (which detects THAT copies differ; this says
+    WHERE).
+
+    Scale shape: one 32-hex fingerprint per row (floats as integer
+    cents, dates as ISO strings — the ``table_checksum``
+    representation contract) and ONE full-outer shuffle on the key —
+    the MERGE cost model — instead of column-by-column comparisons.
+    Output is |statuses| rows however wide or tall the tables."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        fp = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                "o_orderstatus",
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+                F.col("o_orderdate").cast("date").cast("string"),
+                "o_orderpriority",
+            )
+        )
+        return df.select(F.col("o_orderkey").alias("k"), fp.alias("fp"))
+
+    a = fingerprint(orders)
+    b = fingerprint(
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(status.alias("diff_status"))
+        .groupBy("diff_status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )

@@ -2286,12 +2286,15 @@ def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     bloom = bloom_build(
-        urgent.select("o_orderkey"), "o_orderkey", k=5, m_bits=8192
+        urgent.select("o_orderkey"), "o_orderkey", k=5, m_bits=8192,
+        native=True,
     )
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    li_pre = bloom_prefilter(bloom, li, "l_orderkey", k=5, m_bits=8192)
+    li_pre = bloom_prefilter(
+        bloom, li, "l_orderkey", k=5, m_bits=8192, native=True
+    )
     return (
         li_pre.join(urgent, li_pre.l_orderkey == urgent.o_orderkey)
         .groupBy(

@@ -447,3 +447,23 @@ def test_incremental_join_view_matches_direct(spark):
     )
     want = {(r.nationkey, r.yr): (r.n, r.t) for r in direct.collect()}
     assert got == want
+
+
+@needs_testdata
+def test_table_diff_counts_reconcile(spark):
+    """added = |%89 keys|, removed = |%97 keys|, changed = |%101 keys
+    surviving the delete|, and the four classes partition A∪B."""
+    from datawarehouseproject_spark.catalog import load_table
+
+    got = {r.diff_status: r.n_rows for r in _run(spark, "table_diff").collect()}
+    o = load_table(spark, SF_DIR, "orders")
+    n = o.count()
+    n_del = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    n_ins = o.filter(F.col("o_orderkey") % 89 == 0).count()
+    n_upd = o.filter(
+        (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
+    ).count()
+    assert got.get("removed", 0) == n_del
+    assert got.get("added", 0) == n_ins
+    assert got.get("changed", 0) == n_upd
+    assert got.get("unchanged", 0) == n - n_del - n_upd

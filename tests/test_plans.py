@@ -240,3 +240,66 @@ def test_stratified_sample_single_shuffle(spark):
     """One exchange for the stratum window; no extra repartition."""
     plan = _plan(spark, "stratified_sample")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bloom_prefilter_is_pure_scan_filter(spark):
+    """The Bloom probe must be a literal-bitmap Filter over the scan
+    (xxhash64 positions + element_at bit tests) — no join node, no
+    shuffle, no md5 on the probe side — so the membership test is
+    map-side codegen and only the real equi-join shuffles."""
+    plan = _plan(spark, "bloom_join_prefilter")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "element_at" in plan and "xxhash64" in plan
+    # exactly one equi-join (the real orders join)
+    assert (
+        plan.count("BroadcastHashJoin")
+        + plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        == 1
+    )
+
+
+def test_winsorized_windows_share_one_exchange(spark):
+    """rank / count / bound windows all run off the single
+    priority-hash exchange."""
+    plan = _plan(spark, "winsorized_mean")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hll_set_ops_no_raw_key_distinct(spark):
+    """Sketch aggregation must be partial-agg max (no Expand /
+    count-distinct rewrite anywhere)."""
+    plan = _plan(spark, "hll_set_ops")
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_interpolate_series_single_user_shuffle_for_windows(spark):
+    """Both IGNORE-NULLS fill windows share the per-user sort; no
+    second exchange for the mirror window."""
+    plan = _plan(spark, "interpolate_series")
+    # one exchange for daily agg, one for the spine join/windows is
+    # acceptable; the two window frames must not add a third
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("Window") <= 2
+
+
+def test_chunk_dedup_chains_on_chash(spark):
+    """Frequency agg and join-back both key on chash so AQE chains
+    them; no join on raw chunk text."""
+    plan = _plan(spark, "chunk_dedup_ratio")
+    assert "chash" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_audio_segments_only_feature_rows_shuffle(spark):
+    """The islands window partitions by media_id AFTER the decode
+    emits (media_id, frame_idx, energy) — payload bytes must not
+    appear past the mapInPandas node."""
+    plan = _plan(spark, "audio_activity_segments")
+    assert "MapInPandas" in plan
+    # feature-level window, one per-media exchange for it
+    assert "Window" in plan
+    assert "payload" not in plan.split("MapInPandas")[0]
