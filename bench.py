@@ -120,6 +120,7 @@ HEADLINE = [
     "png_image_features",
     "gif_image_features",
     "image_phash",
+    "image_phash_dedup",
     "avi_frame_features",
     "shot_boundaries",
     "wav_audio_features",

@@ -882,8 +882,17 @@ def bloom_prefilter(
 
     n_words = (m_bits + 63) // 64
     words = [0] * n_words
-    for r in bloom.select("bit_idx").collect():
-        words[r.bit_idx >> 6] |= 1 << (r.bit_idx & 63)
+    # pack bits into words ENGINE-SIDE first: the collect is then
+    # <= m_bits/64 rows however many bits are set (a raw bit_idx
+    # collect is up to m_bits rows — millions for a fact-sized build)
+    packed = bloom.groupBy(F.expr("bit_idx div 64").alias("__w")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(bit_idx % 64 AS INT)))"
+        ).alias("__bits")
+    )
+    for r in packed.collect():
+        words[r["__w"]] = r["__bits"] & ((1 << 64) - 1)
     # Java longs are signed: wrap the unsigned python ints. ONE
     # Literal array object (F.lit(list)), not an array(...) SQL text:
     # k inlined 128-literal CreateArrays blow the generated-code size

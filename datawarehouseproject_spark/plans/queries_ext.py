@@ -2585,3 +2585,67 @@ def q_audio_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longest_run"
         ),
     )
+
+
+@register(
+    "image_phash_dedup",
+    oracle=f"""
+    WITH {_BMP_SYNTH_SQL},
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, 6)) AS tx FROM m),
+    xy AS (
+      SELECT media_id, w, h, tx, unnest(generate_series(0, 8)) AS ty
+      FROM xs),
+    cell AS (
+      SELECT media_id, tx, ty,
+             (((media_id * 7 + ((tx * w) // 7) * 3 + ((ty * h) // 9) * 5) % 256)
+              + ((media_id * 11 + ((tx * w) // 7) * 2 + ((ty * h) // 9) * 13) % 256)
+              + ((media_id * 3 + ((tx * w) // 7) * 17 + ((ty * h) // 9)) % 256))
+             // 3 AS gray
+      FROM xy),
+    means AS (
+      SELECT media_id, CAST(sum(gray) AS BIGINT) // 63 AS mn
+      FROM cell GROUP BY media_id),
+    ph AS (
+      SELECT c.media_id,
+             CAST(sum(CASE WHEN c.gray >= m.mn
+                  THEN 1::BIGINT << (c.ty * 7 + c.tx) ELSE 0 END) AS BIGINT)
+               AS phash
+      FROM cell c JOIN means m USING (media_id)
+      GROUP BY c.media_id)
+    SELECT phash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(media_id) AS BIGINT) AS canonical_id
+    FROM ph
+    GROUP BY phash
+    HAVING count(*) >= 2
+    """,
+    tags=("multimodal", "dedup", "phash", "clustering"),
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based image dedup by perceptual-hash clustering:
+    decode every BMP, compute the 63-bit average-hash, group images
+    sharing a hash, and elect the min-id member canonical — the
+    media analogue of ``exact_dedup`` (which clusters by BYTE hash
+    and misses re-encodes; the perceptual key survives them).
+
+    The visual-duplicate groupBy is LINEAR in the corpus — one
+    shuffle of (media_id, 8-byte phash) rows, no pairwise join — so
+    unlike a pair-finder its output can't go quadratic inside large
+    duplicate families (the synthetic corpus has many: small frames
+    upsampled to the 7x9 grid collide often, which is exactly the
+    shape a crawl's thumbnail farm produces). Every bit of every
+    hash is pinned by the arithmetic oracle."""
+    _utc(spark)
+    from ..operators.multimodal import image_phash
+
+    media = synthesize_bmp_media(_t(spark, sf_dir, "documents"))
+    return (
+        image_phash(media)
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("media_id").cast("bigint").alias("canonical_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )

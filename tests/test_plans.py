@@ -303,3 +303,12 @@ def test_audio_segments_only_feature_rows_shuffle(spark):
     # feature-level window, one per-media exchange for it
     assert "Window" in plan
     assert "payload" not in plan.split("MapInPandas")[0]
+
+
+def test_image_phash_dedup_linear_no_pair_join(spark):
+    """Visual dedup must be a groupBy on the 8-byte hash — no
+    self-join anywhere (pair-finders go quadratic inside duplicate
+    families; the cluster form can't)."""
+    plan = _plan(spark, "image_phash_dedup")
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
