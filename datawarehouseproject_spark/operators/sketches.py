@@ -622,13 +622,43 @@ def bloom_build(
     the input. Merge filters from different shards/days with
     ``union().distinct()`` (bitwise OR); persist as parquet;
     broadcast into probes. The false-positive rate is the classic
-    ``(1 - e^(-k·n/m))^k``."""
+    ``(1 - e^(-k·n/m))^k``.
+
+    The (k, m_bits, native) build parameters are stamped into the
+    ``bit_idx`` field metadata so probes can detect a parameter
+    mismatch — probing with a different hash/k/m than the build
+    would cause FALSE NEGATIVES (silently dropped matching rows),
+    the one failure mode a Bloom filter must never have."""
     base = _bloom_halves(df.select(col), col, native=native)
+    meta = {"bloom_k": k, "bloom_m_bits": m_bits, "bloom_native": native}
     return (
         base.select(*_bloom_position_cols(k, m_bits))
         .select(F.explode(F.array(*[f"b{i}" for i in range(k)])).alias("bit_idx"))
         .distinct()
+        .select(F.col("bit_idx").alias("bit_idx", metadata=meta))
     )
+
+
+def _check_bloom_params(
+    bloom: DataFrame, k: int, m_bits: int, native: bool, where: str
+) -> None:
+    """Raise if the filter frame's stamped build parameters disagree
+    with the probe parameters (metadata survives union/persist; a
+    frame without the stamp — e.g. read back from a bare format —
+    is accepted as-is)."""
+    try:
+        meta = bloom.schema["bit_idx"].metadata or {}
+    except (KeyError, TypeError):
+        return
+    want = {"bloom_k": k, "bloom_m_bits": m_bits, "bloom_native": native}
+    stamped = {k_: meta[k_] for k_ in want if k_ in meta}
+    bad = {k_: (v, want[k_]) for k_, v in stamped.items() if v != want[k_]}
+    if bad:
+        raise ValueError(
+            f"{where}: bloom probe parameters disagree with the build "
+            f"(built vs probed): {bad} — this would cause false "
+            "negatives (silently dropped rows)"
+        )
 
 
 def bloom_probe(
@@ -638,6 +668,7 @@ def bloom_probe(
     positions are set (count of matched bits == k); definitely absent
     otherwise — the Bloom guarantee of no false negatives. One
     explode + broadcast join on the ≤m_bits-row filter."""
+    _check_bloom_params(bloom, k, m_bits, False, "bloom_probe")
     base = _bloom_halves(items, col)
     probes = base.select(
         "*", F.explode(F.array(*_bloom_position_cols(k, m_bits))).alias("bit_idx")
@@ -880,6 +911,7 @@ def bloom_prefilter(
     """
     from functools import reduce
 
+    _check_bloom_params(bloom, k, m_bits, native, "bloom_prefilter")
     n_words = (m_bits + 63) // 64
     words = [0] * n_words
     # pack bits into words ENGINE-SIDE first: the collect is then

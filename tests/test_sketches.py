@@ -341,3 +341,31 @@ def test_bloom_prefilter_no_false_negatives_and_join_invariant(spark):
         (r.k, r.payload) for r in kept.join(members, "k").collect()
     }
     assert plain == prefiltered
+
+
+def test_bloom_param_mismatch_raises(spark):
+    """Probing with different (k, m_bits, native) than the build must
+    raise, not silently drop matching rows (false negatives)."""
+    import pytest
+
+    from datawarehouseproject_spark.operators.sketches import (
+        bloom_build,
+        bloom_prefilter,
+        bloom_probe,
+    )
+
+    members = spark.range(0, 50).select(F.col("id").alias("k"))
+    items = spark.range(0, 100).select(F.col("id").alias("k"))
+    bloom = bloom_build(members, "k", k=5, m_bits=1024, native=True)
+    with pytest.raises(ValueError, match="false"):
+        bloom_prefilter(bloom, items, "k", k=5, m_bits=1024, native=False)
+    with pytest.raises(ValueError, match="false"):
+        bloom_prefilter(bloom, items, "k", k=7, m_bits=1024, native=True)
+    with pytest.raises(ValueError, match="false"):
+        bloom_probe(bloom, items, "k", k=5, m_bits=2048)
+    # matching parameters still work
+    assert (
+        bloom_prefilter(bloom, items, "k", k=5, m_bits=1024, native=True)
+        .count()
+        >= 50
+    )

@@ -68,26 +68,26 @@ def main() -> None:
     key_span = 1 + orders0.agg(F.max("o_orderkey")).collect()[0][0]
     copies = spark.range(amp).withColumnRenamed("id", "copy")
 
+    # repartition BEFORE the crossJoin: sf0.1 parquet is one file, so
+    # the amplification would otherwise generate 60M rows in ONE task
     orders = (
-        orders0.crossJoin(copies)
+        orders0.repartition(32).crossJoin(copies)
         .select(
             (F.col("o_orderkey") + F.col("copy") * key_span).alias(
                 "o_orderkey"
             ),
             "o_orderpriority",
         )
-        .repartition(64)
         .cache()
     )
     li = (
-        li0.crossJoin(copies)
+        li0.repartition(64).crossJoin(copies)
         .select(
             (F.col("l_orderkey") + F.col("copy") * key_span).alias(
                 "l_orderkey"
             ),
             "l_extendedprice",
         )
-        .repartition(64)
         .cache()
     )
     n_orders, n_li = orders.count(), li.count()
