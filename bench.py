@@ -112,6 +112,9 @@ HEADLINE = [
     "incremental_join_view",
     "ab_assignment_lift",
     "table_diff",
+    "dau_wau_mau",
+    "purchase_attribution",
+    "key_skew_report",
     "embedding_dim_stats",
     "interpolate_series",
     "winsorized_mean",

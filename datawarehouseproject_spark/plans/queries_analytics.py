@@ -1248,3 +1248,239 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("diff_status")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+@register(
+    "dau_wau_mau",
+    oracle="""
+    WITH bits AS (
+      SELECT CAST(ts AS DATE) AS day,
+             user_id // 63 AS chunk,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS b
+      FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM bits),
+    chunks AS (SELECT DISTINCT chunk FROM bits),
+    spine AS (
+      SELECT d.day, c.chunk, coalesce(b.b, 0) AS b
+      FROM days d CROSS JOIN chunks c
+      LEFT JOIN bits b ON b.day = d.day AND b.chunk = c.chunk),
+    rolled AS (
+      SELECT day, chunk, b,
+        bit_or(b) OVER (PARTITION BY chunk ORDER BY epoch_days
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS wb,
+        bit_or(b) OVER (PARTITION BY chunk ORDER BY epoch_days
+          RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS mb
+      FROM (SELECT *, datediff('day', DATE '1970-01-01', day) AS epoch_days
+            FROM spine))
+    SELECT day,
+           CAST(sum(bit_count(b)) AS BIGINT) AS dau,
+           CAST(sum(bit_count(wb)) AS BIGINT) AS wau,
+           CAST(sum(bit_count(mb)) AS BIGINT) AS mau
+    FROM rolled GROUP BY day
+    """,
+    tags=("engagement", "bitmap", "sliding-distinct", "dau-wau-mau"),
+)
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU engagement curves with EXACT trailing distinct
+    counts via sliding bitmap OR — the metric every product team
+    computes, and the classic case where naive COUNT(DISTINCT) over a
+    28-day self-join re-shuffles every (day, user) pair 28 times.
+
+    Here each day compresses to |users|/63 bitmap longs
+    (``bitmap_distinct_users``'s chunk scheme); the trailing windows
+    OR those longs per chunk (a RANGE value frame over integer epoch
+    days, so calendar gaps are handled), and popcounts sum per day.
+    Sliding-window state is chunks·longs, not user sets; everything
+    is exact integers, bit-identical to the oracle. The dense
+    day×chunk spine keeps a chunk's bits visible to the frame on days
+    the chunk itself was idle."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    bits = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.expr("user_id div 63").alias("chunk"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("day", "chunk")
+        .agg(F.bit_or("bit").alias("b"))
+    )
+    days = bits.select("day").distinct()
+    chunks = bits.select("chunk").distinct()
+    spine = (
+        days.crossJoin(chunks)
+        .join(bits, ["day", "chunk"], "left")
+        .select(
+            "day",
+            "chunk",
+            F.coalesce("b", F.lit(0)).alias("b"),
+            F.datediff("day", F.lit("1970-01-01")).alias("epoch_days"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("chunk")
+        .orderBy("epoch_days")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    w28 = (
+        Window.partitionBy("chunk")
+        .orderBy("epoch_days")
+        .rangeBetween(-27, Window.currentRow)
+    )
+    rolled = spine.select(
+        "day",
+        "b",
+        F.bit_or("b").over(w7).alias("wb"),
+        F.bit_or("b").over(w28).alias("mb"),
+    )
+    return rolled.groupBy("day").agg(
+        F.sum(F.bit_count("b")).cast("bigint").alias("dau"),
+        F.sum(F.bit_count("wb")).cast("bigint").alias("wau"),
+        F.sum(F.bit_count("mb")).cast("bigint").alias("mau"),
+    )
+
+
+@register(
+    "purchase_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, value, ts, event_id,
+        first_value(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+          IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      FROM events)
+    SELECT first_touch,
+           coalesce(last_touch, 'none') AS last_touch,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY first_touch, coalesce(last_touch, 'none')
+    """,
+    tags=("attribution", "marketing", "window", "first-last-touch"),
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every purchase credited to the user's
+    FIRST-ever touch (acquisition channel) and the LAST non-purchase
+    touch before it (conversion trigger), rolled up to a (first,
+    last) matrix of purchase counts and value.
+
+    One shuffle by user; both touches come from the same sort (an
+    unbounded first_value and an IGNORE-NULLS last_value over the
+    1-preceding frame — LOCF restricted to non-purchase rows).
+    Purchases with no prior touch attribute to 'none' on both
+    engines; values aggregate in exact DECIMAL. Deterministic under
+    the (ts, event_id) tiebreak."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    base = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+    )
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.first("event_type")
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("first_touch"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(base.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("last_touch"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "first_touch",
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH kc AS (
+      SELECT l_orderkey AS k, count(*) AS cnt
+      FROM lineitem GROUP BY l_orderkey),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rk,
+             count(*) OVER () AS n_keys, sum(cnt) OVER () AS n_rows
+      FROM kc)
+    SELECT CAST(max(n_rows) AS BIGINT) AS n_rows,
+           CAST(max(n_keys) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_key_rows,
+           CAST(10000 * max(cnt) // max(n_rows) AS BIGINT)
+             AS top_key_share_bp,
+           CAST(10000 * max(cnt) * max(n_keys) // max(n_rows) AS BIGINT)
+             AS skew_vs_avg_bp,
+           CAST(max(CASE WHEN rk = (n_keys * 50 + 99) // 100
+                THEN cnt END) AS BIGINT) AS p50_key_rows,
+           CAST(max(CASE WHEN rk = (n_keys * 99 + 99) // 100
+                THEN cnt END) AS BIGINT) AS p99_key_rows
+    FROM ranked
+    """,
+    tags=("diagnostics", "skew", "join-planning", "profiling"),
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for lineitem.l_orderkey — the
+    pre-flight report that decides whether a join needs salting
+    (``salted_star_join``), AQE skew splitting, or nothing: total and
+    distinct-key counts, the hottest key's row count and its share,
+    skew-vs-average ratio, and exact p50/p99 per-key cardinalities.
+
+    All integer arithmetic (shares in basis points via integer
+    division; percentiles by rank selection under a (cnt, key)
+    tiebreak), one count aggregate plus one |keys|-sized window pass.
+    At 100 TB the per-key count frame is exactly what AQE's skew
+    statistics see — this just surfaces it as a queryable table."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    kc = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    full = Window.partitionBy()
+    ranked = kc.select(
+        "cnt",
+        F.row_number().over(full.orderBy("cnt", "k")).alias("rk"),
+        F.count(F.lit(1)).over(full).alias("n_keys"),
+        F.sum("cnt").over(full).alias("n_rows"),
+    )
+    p50_rk = F.expr("(n_keys * 50 + 99) div 100")
+    p99_rk = F.expr("(n_keys * 99 + 99) div 100")
+    return ranked.agg(
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.max("n_keys").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+        F.expr("CAST(10000 * max(cnt) div max(n_rows) AS BIGINT)").alias(
+            "top_key_share_bp"
+        ),
+        F.expr(
+            "CAST(10000 * max(cnt) * max(n_keys) div max(n_rows) AS BIGINT)"
+        ).alias("skew_vs_avg_bp"),
+        F.max(F.when(F.col("rk") == p50_rk, F.col("cnt")))
+        .cast("bigint")
+        .alias("p50_key_rows"),
+        F.max(F.when(F.col("rk") == p99_rk, F.col("cnt")))
+        .cast("bigint")
+        .alias("p99_key_rows"),
+    )

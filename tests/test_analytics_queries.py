@@ -467,3 +467,52 @@ def test_table_diff_counts_reconcile(spark):
     assert got.get("added", 0) == n_ins
     assert got.get("changed", 0) == n_upd
     assert got.get("unchanged", 0) == n - n_del - n_upd
+
+
+@needs_testdata
+def test_dau_wau_mau_invariants(spark):
+    """WAU >= DAU, MAU >= WAU every day; single-day identity on the
+    first day; DAU equals exact count distinct per day."""
+    from datawarehouseproject_spark.catalog import load_table
+
+    rows = sorted(_run(spark, "dau_wau_mau").collect(), key=lambda r: r.day)
+    assert rows
+    assert rows[0].dau == rows[0].wau == rows[0].mau
+    for r in rows:
+        assert r.dau <= r.wau <= r.mau
+    exact = {
+        r.day: r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.dau == exact[r.day]
+
+
+@needs_testdata
+def test_purchase_attribution_totals(spark):
+    """Attribution cells partition the purchase set exactly."""
+    from datawarehouseproject_spark.catalog import load_table
+
+    rows = _run(spark, "purchase_attribution").collect()
+    n_purch = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == n_purch
+    assert all(r.total_value > 0 for r in rows)
+
+
+@needs_testdata
+def test_key_skew_report_consistency(spark):
+    from datawarehouseproject_spark.catalog import load_table
+
+    r = _run(spark, "key_skew_report").collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert r.n_rows == li.count()
+    assert r.n_keys == li.select("l_orderkey").distinct().count()
+    assert r.p50_key_rows <= r.p99_key_rows <= r.max_key_rows
+    assert r.skew_vs_avg_bp >= 10000  # max >= avg always
