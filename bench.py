@@ -115,6 +115,8 @@ HEADLINE = [
     "dau_wau_mau",
     "purchase_attribution",
     "key_skew_report",
+    "market_basket",
+    "conversion_latency",
     "embedding_dim_stats",
     "interpolate_series",
     "winsorized_mean",

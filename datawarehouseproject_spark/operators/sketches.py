@@ -923,8 +923,12 @@ def bloom_prefilter(
             " CAST(bit_idx % 64 AS INT)))"
         ).alias("__bits")
     )
-    for r in packed.collect():
-        words[r["__w"]] = r["__bits"] & ((1 << 64) - 1)
+    # Arrow transfer: at fact-sized filters the word frame is
+    # m_bits/64 rows (500k+ for a 3M-key build) and row-at-a-time
+    # py4j collect() is minutes; toPandas is sub-second
+    pdf = packed.toPandas()
+    for w_idx, bits in zip(pdf["__w"], pdf["__bits"]):
+        words[int(w_idx)] = int(bits) & ((1 << 64) - 1)
     # Java longs are signed: wrap the unsigned python ints. ONE
     # Literal array object (F.lit(list)), not an array(...) SQL text:
     # k inlined 128-literal CreateArrays blow the generated-code size

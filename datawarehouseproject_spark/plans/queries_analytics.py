@@ -1484,3 +1484,195 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p99_key_rows"),
     )
+
+
+@register(
+    "market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    pc AS (SELECT l_partkey, count(*) AS part_orders
+           FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS pair_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2)
+    SELECT part_a, part_b,
+           CAST(pair_orders AS BIGINT) AS pair_orders,
+           CAST(10000 * pair_orders // pa.part_orders AS BIGINT)
+             AS confidence_ab_bp,
+           CAST(10000 * pair_orders * n.n_orders
+                // (pa.part_orders * pb.part_orders) AS BIGINT) AS lift_bp
+    FROM pairs
+    JOIN pc pa ON pa.l_partkey = part_a
+    JOIN pc pb ON pb.l_partkey = part_b
+    CROSS JOIN n
+    """,
+    tags=("market-basket", "association-rules", "co-occurrence"),
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order lines: support
+    (orders containing both parts), confidence(A→B), and lift, for
+    every part pair co-purchased at least twice — the classic
+    co-occurrence mining the reference's sale marts stop short of.
+
+    Scale shape: the pair generation is a SELF-JOIN ON THE ORDER KEY,
+    so work is Σ(order_size²)/2 — bounded by basket size (≤7 here),
+    never |parts|². Pair counts shuffle on the compact (part, part)
+    key; per-part totals and the scalar order count join back
+    (broadcast-sized). Confidence and lift are integer basis points
+    (floor division), so every row is bit-exact cross-engine."""
+    _utc(spark)
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pc = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("part_orders")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 2)
+    )
+    pa = pc.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("part_orders").alias("na"),
+    )
+    pb = pc.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("part_orders").alias("nb"),
+    )
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_orders").cast("bigint").alias("pair_orders"),
+            F.expr("CAST(10000 * pair_orders div na AS BIGINT)").alias(
+                "confidence_ab_bp"
+            ),
+            F.expr(
+                "CAST(10000 * pair_orders * n_orders div (na * nb)"
+                " AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
+
+
+@register(
+    "conversion_latency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id,
+             floor(epoch(min(e.ts)))::BIGINT
+               - floor(epoch(s.signup_ts))::BIGINT AS lat_secs
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id, s.signup_ts),
+    ranked AS (
+      SELECT lat_secs, row_number() OVER (ORDER BY lat_secs, user_id)
+               AS rk, count(*) OVER () AS n
+      FROM p),
+    tot AS (SELECT count(*) AS n_signup FROM s)
+    SELECT CAST(max(tot.n_signup) AS BIGINT) AS n_signup_users,
+           CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(10000 * max(n) // max(tot.n_signup) AS BIGINT)
+             AS conversion_bp,
+           CAST(max(CASE WHEN rk = (n * 25 + 99) // 100
+                THEN lat_secs END) AS BIGINT) AS p25_secs,
+           CAST(max(CASE WHEN rk = (n * 50 + 99) // 100
+                THEN lat_secs END) AS BIGINT) AS p50_secs,
+           CAST(max(CASE WHEN rk = (n * 75 + 99) // 100
+                THEN lat_secs END) AS BIGINT) AS p75_secs,
+           CAST(max(CASE WHEN rk = (n * 90 + 99) // 100
+                THEN lat_secs END) AS BIGINT) AS p90_secs
+    FROM ranked CROSS JOIN tot
+    """,
+    tags=("funnel", "latency", "conversion", "exact-percentile"),
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase conversion latency distribution: per
+    converting user the integer seconds from first signup to first
+    subsequent purchase, summarized as conversion rate plus exact
+    p25/p50/p75/p90 order statistics — the time-to-value readout
+    that complements ``event_funnel``'s step counts.
+
+    Latencies are integer epoch-second diffs (cross-engine exact);
+    percentiles use the integer-rank selection pattern
+    (``winsorized_mean``) under a (latency, user) tiebreak. Two
+    narrow aggregates per user (first signup, first qualifying
+    purchase) then a |converted|-row window — the heavy table never
+    sorts globally."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            (
+                F.unix_timestamp(F.min("ts"))
+                - F.unix_timestamp("signup_ts")
+            ).alias("lat_secs")
+        )
+    )
+    full = Window.partitionBy()
+    ranked = p.select(
+        "lat_secs",
+        F.row_number().over(full.orderBy("lat_secs", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(full).alias("n"),
+    )
+    n_signup = s.agg(F.count(F.lit(1)).alias("n_signup"))
+
+    def pct(q: int, name: str):
+        return (
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr(f"(n * {q} + 99) div 100"),
+                    F.col("lat_secs"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return ranked.crossJoin(F.broadcast(n_signup)).agg(
+        F.max("n_signup").cast("bigint").alias("n_signup_users"),
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.expr("CAST(10000 * max(n) div max(n_signup) AS BIGINT)").alias(
+            "conversion_bp"
+        ),
+        pct(25, "p25_secs"),
+        pct(50, "p50_secs"),
+        pct(75, "p75_secs"),
+        pct(90, "p90_secs"),
+    )

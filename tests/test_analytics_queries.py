@@ -516,3 +516,52 @@ def test_key_skew_report_consistency(spark):
     assert r.n_keys == li.select("l_orderkey").distinct().count()
     assert r.p50_key_rows <= r.p99_key_rows <= r.max_key_rows
     assert r.skew_vs_avg_bp >= 10000  # max >= avg always
+
+
+@needs_testdata
+def test_market_basket_bounds(spark):
+    """Support/confidence/lift invariants: pair support cannot exceed
+    either part's order count; confidence <= 10000 bp; symmetric
+    support consistency with a naive recount of one pair."""
+    rows = _run(spark, "market_basket").collect()
+    assert rows
+    from datawarehouseproject_spark.catalog import load_table
+
+    items = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    counts = {
+        r.l_partkey: r.n
+        for r in items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.pair_orders >= 2
+        assert r.pair_orders <= min(counts[r.part_a], counts[r.part_b])
+        assert 0 < r.confidence_ab_bp <= 10000
+    # spot-verify the most frequent pair by direct recount
+    top = max(rows, key=lambda r: r.pair_orders)
+    n_direct = (
+        items.filter(F.col("l_partkey") == top.part_a)
+        .select("l_orderkey")
+        .join(
+            items.filter(F.col("l_partkey") == top.part_b).select(
+                "l_orderkey"
+            ),
+            "l_orderkey",
+        )
+        .count()
+    )
+    assert n_direct == top.pair_orders
+
+
+@needs_testdata
+def test_conversion_latency_monotone(spark):
+    r = _run(spark, "conversion_latency").collect()[0]
+    assert r.n_converted <= r.n_signup_users
+    assert 0 <= r.p25_secs <= r.p50_secs <= r.p75_secs <= r.p90_secs
+    assert r.conversion_bp == 10000 * r.n_converted // r.n_signup_users
