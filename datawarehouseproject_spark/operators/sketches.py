@@ -36,6 +36,8 @@ daily sketches union+merge without rescanning history.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -956,3 +958,138 @@ def bloom_prefilter(
 
     cond = reduce(lambda acc, i: acc & probe(i), range(k), F.lit(True))
     return probed.filter(cond).select(*keep)
+
+
+# ---------------------------------------------------------------------------
+# Large-build Bloom prefilter: numpy bitmap + Arrow-batched probe.
+# The literal-array variant above is right for SMALL filters (the
+# python->Literal conversion and plan size are O(m_bits/64); fine to
+# ~2^16 bits). For fact-sized builds (millions of keys, megabyte
+# bitmaps) the bitmap must travel as DATA, not as plan text: pack it
+# engine-side, materialize m/64 words on the driver via Arrow, and
+# probe inside a pandas UDF whose closure holds the numpy bitmap —
+# vectorized splitmix64 hashing, zero py4j per-element costs, task
+# binary grows by exactly the bitmap's bytes.
+# ---------------------------------------------------------------------------
+
+#: splitmix64 finalizer constants (public domain, Steele et al.) —
+#: identical avalanche mixing in numpy uint64 (wraparound) on both
+#: the build and probe paths, so there are no false negatives.
+_SM64_C1 = 0xBF58476D1CE4E5B9
+_SM64_C2 = 0x94D049BB133111EB
+_SM64_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def _np_mix64(arr):
+    """Vectorized splitmix64 over a numpy int64/uint64 array."""
+    import numpy as np
+
+    z = arr.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z = z + np.uint64(_SM64_GOLDEN)
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(_SM64_C1)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(_SM64_C2)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _np_bloom_positions(keys, k: int, m_bits: int):
+    """k position arrays for integer keys; m_bits must be a power of
+    two (positions via double-mix + high-bits take)."""
+    import numpy as np
+
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    shift = np.uint64(64 - m_bits.bit_length() + 1)
+    h = _np_mix64(keys)
+    out = []
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            salt = np.uint64((_SM64_GOLDEN * (i + 1)) & ((1 << 64) - 1))
+            hi = _np_mix64(h ^ salt)
+            out.append((hi >> shift).astype(np.int64))
+    return out
+
+
+def bloom_prefilter_large(
+    build: DataFrame,
+    items: DataFrame,
+    build_col: str,
+    probe_col: str,
+    k: int = 5,
+    m_bits: int = 1 << 25,
+) -> DataFrame:
+    """Filter ``items`` to rows whose integer ``probe_col`` is maybe
+    among ``build[build_col]`` — the fact-scale Bloom join prefilter.
+
+    Build: each partition packs its keys into a local numpy bitmap
+    inside ``mapInPandas`` and emits only its NONZERO (word, bits)
+    rows; a ``bit_or`` groupBy merges partitions and Arrow delivers
+    the ≤ m_bits/64-word bitmap to the driver — driver traffic is
+    bounded by the bitmap, never the build cardinality. Probe: an
+    Arrow-batched pandas UDF holds the bitmap as a numpy closure and
+    tests all k positions vectorized. The same splitmix64 mixing runs
+    on both sides, so the no-false-negative guarantee holds and
+    downstream equi-joins return exactly the unfiltered result.
+
+    Integer keys only (the join-key case); ~10 bits/key for ~1% FP
+    at k=5. Eager: materializes the build side once.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    n_words = m_bits // 64
+
+    def pack(it):
+        for pdf in it:
+            local = np.zeros(n_words, dtype=np.uint64)
+            keys = pdf[build_col].to_numpy(dtype=np.int64)
+            for pos in _np_bloom_positions(keys, k, m_bits):
+                np.bitwise_or.at(
+                    local,
+                    pos >> 6,
+                    np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)),
+                )
+            nz = np.nonzero(local)[0]
+            yield pd.DataFrame(
+                {
+                    "word": nz.astype("int64"),
+                    "bits": local[nz].view(np.int64),
+                }
+            )
+
+    packed = (
+        build.select(build_col)
+        .mapInPandas(
+            pack,
+            T.StructType(
+                [
+                    T.StructField("word", T.LongType()),
+                    T.StructField("bits", T.LongType()),
+                ]
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .toPandas()
+    )
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    bitmap[packed["word"].to_numpy(dtype=np.int64)] = packed[
+        "bits"
+    ].to_numpy(dtype=np.int64).view(np.uint64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def maybe_member(keys: pd.Series) -> pd.Series:
+        kv = keys.to_numpy(dtype=np.int64)
+        ok = np.ones(len(kv), dtype=bool)
+        for pos in _np_bloom_positions(kv, k, m_bits):
+            word = bitmap[pos >> 6]
+            bit = np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
+            ok &= (word & bit) != 0
+        return pd.Series(ok)
+
+    return items.filter(maybe_member(F.col(probe_col)))

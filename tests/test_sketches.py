@@ -369,3 +369,36 @@ def test_bloom_param_mismatch_raises(spark):
         .count()
         >= 50
     )
+
+
+def test_bloom_prefilter_large_no_false_negatives(spark):
+    """numpy-bitmap prefilter: every true member survives and the
+    post-join result is identical to the plain join."""
+    from datawarehouseproject_spark.operators.sketches import (
+        bloom_prefilter_large,
+    )
+
+    members = spark.range(0, 500).select((F.col("id") * 11).alias("mk"))
+    items = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("payload")
+    )
+    kept = bloom_prefilter_large(
+        members, items, "mk", "k", k=5, m_bits=1 << 14
+    )
+    assert kept.columns == items.columns
+    kept_keys = {r.k for r in kept.collect()}
+    member_keys = {r.mk for r in members.collect()}
+    item_keys = {r.k for r in items.collect()}
+    assert (member_keys & item_keys) <= kept_keys
+    assert kept_keys <= item_keys
+    plain = {
+        (r.k, r.payload)
+        for r in items.join(members, items.k == members.mk).collect()
+    }
+    pre = {
+        (r.k, r.payload)
+        for r in kept.join(members, kept.k == members.mk).collect()
+    }
+    assert plain == pre
+    # and the filter actually filters (FP rate far below 1 at 10 bits/key)
+    assert len(kept_keys) < 3000

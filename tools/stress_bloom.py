@@ -50,8 +50,7 @@ def main() -> None:
 
     from datawarehouseproject_spark.catalog import load_table
     from datawarehouseproject_spark.operators.sketches import (
-        bloom_build,
-        bloom_prefilter,
+        bloom_prefilter_large,
     )
     from datawarehouseproject_spark.session import get_spark
 
@@ -111,14 +110,15 @@ def main() -> None:
     plain = agg(li.join(urgent, li.l_orderkey == urgent.o_orderkey))
     r_plain = run("plain_join", plain, n_li)
 
-    # size the filter ~10 bits/key for ~1% FP at k=5
+    # size the filter ~10 bits/key for ~1% FP at k=5; the numpy-bitmap
+    # large path (driver traffic = bitmap words, probe = Arrow UDF)
     m_bits = 1 << max(10, (n_build * 10).bit_length())
     t0 = time.time()
-    bloom = bloom_build(urgent, "o_orderkey", k=5, m_bits=m_bits, native=True)
-    pre = bloom_prefilter(
-        bloom, li, "l_orderkey", k=5, m_bits=m_bits, native=True
+    pre = bloom_prefilter_large(
+        urgent, li, "o_orderkey", "l_orderkey", k=5, m_bits=m_bits
     )
-    build_s = time.time() - t0  # lazy: real build cost lands in the run
+    print(json.dumps({"op": "bloom_build", "sec": round(time.time() - t0, 2),
+                      "m_bits": m_bits}), flush=True)
     bloomed = agg(pre.join(urgent, pre.l_orderkey == urgent.o_orderkey))
     r_bloom = run("bloom_prefiltered_join", bloomed, n_li)
 
@@ -126,7 +126,6 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "m_bits": m_bits,
                 "probe_rows_kept": kept,
                 "kept_fraction": round(kept / n_li, 4),
                 "results_identical": r_plain == r_bloom,
@@ -135,7 +134,6 @@ def main() -> None:
         flush=True,
     )
     assert r_plain == r_bloom, "bloom prefilter changed the join result"
-    del build_s
     spark.stop()
 
 
