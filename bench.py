@@ -117,6 +117,8 @@ HEADLINE = [
     "key_skew_report",
     "market_basket",
     "conversion_latency",
+    "fd_discovery",
+    "completeness_profile",
     "embedding_dim_stats",
     "interpolate_series",
     "winsorized_mean",

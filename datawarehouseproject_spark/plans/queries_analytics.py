@@ -1676,3 +1676,144 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct(75, "p75_secs"),
         pct(90, "p90_secs"),
     )
+
+
+@register(
+    "fd_discovery",
+    oracle="""
+    WITH checks(lhs, rhs) AS (VALUES
+      ('o_orderkey', 'o_custkey'),
+      ('o_custkey', 'o_orderpriority'),
+      ('o_orderpriority', 'o_orderstatus'),
+      ('o_orderdate', 'o_orderstatus')),
+    cols AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus,
+             o_orderdate FROM orders),
+    pairs AS (
+      SELECT c.lhs, c.rhs,
+             CASE c.lhs WHEN 'o_orderkey' THEN CAST(o_orderkey AS VARCHAR)
+                        WHEN 'o_custkey' THEN CAST(o_custkey AS VARCHAR)
+                        WHEN 'o_orderpriority' THEN o_orderpriority
+                        ELSE CAST(o_orderdate AS VARCHAR) END AS lv,
+             CASE c.rhs WHEN 'o_custkey' THEN CAST(o_custkey AS VARCHAR)
+                        WHEN 'o_orderpriority' THEN o_orderpriority
+                        ELSE o_orderstatus END AS rv
+      FROM cols CROSS JOIN checks c),
+    per_lhs AS (
+      SELECT lhs, rhs, lv, count(DISTINCT rv) AS n_rhs
+      FROM pairs GROUP BY lhs, rhs, lv)
+    SELECT lhs, rhs,
+           CAST(count(*) AS BIGINT) AS n_lhs_values,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_lhs,
+           sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+    FROM per_lhs
+    GROUP BY lhs, rhs
+    """,
+    tags=("profiling", "functional-dependency", "data-quality"),
+)
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs
+    of orders (does A determine B?): per pair, the count of LHS
+    values mapping to more than one RHS value — the schema-profiling
+    primitive behind key detection, normalization advice, and
+    dirty-denormalization checks (o_orderkey→o_custkey holds; the
+    reverse-direction candidates fail with measured violation
+    counts, not just a boolean).
+
+    All four pair checks run in ONE scan: the pair battery unpivots
+    via a literal cross join (4 rows), then a (pair, lhs-value)
+    distinct-count aggregate. Shuffle keys are the stringified
+    values; output is |pairs| rows."""
+    _utc(spark)
+    checks = [
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderdate", "o_orderstatus"),
+    ]
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+    )
+    pairs = None
+    for lhs, rhs in checks:
+        part = o.select(
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.col(lhs).alias("lv"),
+            F.col(rhs).alias("rv"),
+        )
+        pairs = part if pairs is None else pairs.unionByName(part)
+    per_lhs = pairs.groupBy("lhs", "rhs", "lv").agg(
+        F.count_distinct("rv").alias("n_rhs")
+    )
+    viol = F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+    return per_lhs.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+        viol.cast("bigint").alias("n_violating_lhs"),
+        (viol == 0).alias("fd_holds"),
+    )
+
+
+@register(
+    "completeness_profile",
+    oracle="""
+    WITH t AS (SELECT count(*) AS n FROM customer)
+    SELECT col, CAST(n AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(10000 * (n - n_null) // n AS BIGINT) AS filled_bp
+    FROM (
+      SELECT 'c_name' AS col, count(*) - count(c_name) AS n_null,
+             count(DISTINCT c_name) AS n_distinct FROM customer
+      UNION ALL
+      SELECT 'c_custkey', count(*) - count(c_custkey),
+             count(DISTINCT c_custkey) FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', count(*) - count(c_nationkey),
+             count(DISTINCT c_nationkey) FROM customer
+      UNION ALL
+      SELECT 'c_acctbal', count(*) - count(c_acctbal),
+             count(DISTINCT c_acctbal) FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', count(*) - count(c_mktsegment),
+             count(DISTINCT c_mktsegment) FROM customer
+    ) CROSS JOIN t
+    """,
+    tags=("profiling", "completeness", "datasheet", "data-quality"),
+)
+def q_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column completeness/cardinality profile of customer — the
+    per-column null-rate and distinct-count report every ingest
+    pipeline publishes next to its datasheet (``corpus_datasheet``
+    covers documents; this is the relational twin).
+
+    One scan computes all five columns' stats as a single aggregate
+    row (count/count-distinct pairs), then melts to one row per
+    column driver-side — no per-column jobs, no shuffle beyond the
+    count-distinct. Fill rates are integer basis points."""
+    _utc(spark)
+    cols = ["c_name", "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    c = _t(spark, sf_dir, "customer")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for col in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(col)).alias(f"null_{col}"))
+        aggs.append(F.count_distinct(col).alias(f"dist_{col}"))
+    one = c.agg(*aggs)
+    melted = None
+    for col in cols:
+        row = one.select(
+            F.lit(col).alias("col"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col(f"null_{col}").cast("bigint").alias("n_null"),
+            F.col(f"dist_{col}").cast("bigint").alias("n_distinct"),
+            F.expr(f"CAST(10000 * (n - null_{col}) div n AS BIGINT)").alias(
+                "filled_bp"
+            ),
+        )
+        melted = row if melted is None else melted.unionByName(row)
+    return melted
