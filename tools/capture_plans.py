@@ -38,6 +38,14 @@ FLAGSHIPS = [
     "equi_depth_histogram",
     "table_checksum",
     "mad_outliers",
+    "bloom_join_prefilter",
+    "hll_set_ops",
+    "dau_wau_mau",
+    "table_diff",
+    "winsorized_mean",
+    "market_basket",
+    "chunk_dedup_ratio",
+    "incremental_join_view",
 ]
 
 HEADER = """# Captured physical plans (sf0.001)
