@@ -119,6 +119,8 @@ HEADLINE = [
     "conversion_latency",
     "fd_discovery",
     "completeness_profile",
+    "weekday_seasonality",
+    "embedding_random_projection",
     "embedding_dim_stats",
     "interpolate_series",
     "winsorized_mean",

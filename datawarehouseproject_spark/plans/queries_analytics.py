@@ -1817,3 +1817,60 @@ def q_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         melted = row if melted is None else melted.unionByName(row)
     return melted
+
+
+@register(
+    "weekday_seasonality",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events),
+    per AS (
+      SELECT event_type, dow, count(*) AS n,
+             CAST(sum(v) AS DOUBLE) / count(*) AS avg_value
+      FROM base GROUP BY event_type, dow),
+    tot AS (
+      SELECT event_type, sum(n) AS n_type FROM per GROUP BY event_type)
+    SELECT per.event_type, CAST(dow AS INTEGER) AS dow,
+           CAST(n AS BIGINT) AS n_events,
+           avg_value,
+           CAST(10000 * n // n_type AS BIGINT) AS share_bp
+    FROM per JOIN tot ON per.event_type = tot.event_type
+    """,
+    tags=("seasonality", "weekday-profile", "time-series"),
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile per event type: ISO day-of-week
+    event counts, mean values, and each weekday's share of the type's
+    volume in basis points — the baseline against which day-level
+    anomalies are judged (seasonal-naive expectation).
+
+    ISO weekday on both engines (Spark ``weekday()+1`` == DuckDB
+    ``isodow``) avoids the 1=Sunday vs 0=Sunday trap; means divide
+    exact DECIMAL sums once; shares are integer floor-division bp.
+    Two small aggregates over one scan, shuffles keyed on (type,
+    dow) — 35 groups however large the fact."""
+    _utc(spark)
+    per = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.weekday(F.to_date("ts")) + 1).alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+    )
+    tot = per.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    return per.join(tot, "event_type").select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n").cast("bigint").alias("n_events"),
+        "avg_value",
+        F.expr("CAST(10000 * n div n_type AS BIGINT)").alias("share_bp"),
+    )

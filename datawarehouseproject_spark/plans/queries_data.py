@@ -1301,3 +1301,65 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("code").cast("bigint").alias("max_q"),
         )
     )
+
+
+_PROJ_PLANES = 8
+_PROJ_DIM = 64
+
+
+def _projection_oracle() -> str:
+    from ..functions.hashing import hyperplane_coeffs
+
+    planes = hyperplane_coeffs(_PROJ_DIM, _PROJ_PLANES, salt="proj")
+    exprs = []
+    for p in range(_PROJ_PLANES):
+        terms = " + ".join(
+            f"v[{i + 1}] * {planes[p][i]!r}" for i in range(_PROJ_DIM)
+        )
+        exprs.append(f"0.0 + {terms}")
+    lst = ", ".join(exprs)
+    return f"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    proj AS (
+      SELECT vec_id,
+             unnest(generate_series(0, {_PROJ_PLANES - 1})) AS pdim,
+             unnest(list_value({lst})) AS pval
+      FROM c)
+    SELECT vec_id, CAST(pdim AS INTEGER) AS pdim, pval FROM proj
+    """
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_projection_oracle(),
+    tags=("embeddings", "random-projection", "dimensionality-reduction"),
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection of the 64-dim
+    embeddings onto 8 deterministic ±1 hyperplanes (md5-derived
+    signs, the same family the sign-LSH bucketer uses) — the
+    dimensionality-reduction step before cheap clustering or
+    coarse-quantized storage; distances are preserved within the JL
+    bound while vectors shrink 8x.
+
+    The projection is zip_with + aggregate per plane — JVM-side
+    higher-order functions, no UDF — with STRICT left-to-right
+    accumulation from 0.0, mirrored term-for-term in the oracle's
+    generated expression, so every projected double is bit-identical.
+    Map-side only: no shuffle at all (the plan is scan → project →
+    explode)."""
+    _utc(spark)
+    from ..functions.hashing import hyperplane_coeffs
+
+    planes = hyperplane_coeffs(_PROJ_DIM, _PROJ_PLANES, salt="proj")
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    projs = []
+    for p in range(_PROJ_PLANES):
+        signs = F.array(*[F.lit(s) for s in planes[p]])
+        prod = F.zip_with(v, signs, lambda x, s: x * s)
+        projs.append(F.aggregate(prod, F.lit(0.0), lambda a, x: a + x))
+    return emb.select(
+        "vec_id", F.posexplode(F.array(*projs)).alias("pdim", "pval")
+    )
