@@ -1419,22 +1419,27 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH kc AS (
       SELECT l_orderkey AS k, count(*) AS cnt
       FROM lineitem GROUP BY l_orderkey),
-    ranked AS (
-      SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rk,
-             count(*) OVER () AS n_keys, sum(cnt) OVER () AS n_rows
-      FROM kc)
+    hist AS (
+      SELECT cnt, count(*) AS n_with FROM kc GROUP BY cnt),
+    cum AS (
+      SELECT cnt, n_with,
+             sum(n_with) OVER (ORDER BY cnt) AS cum_keys,
+             sum(n_with) OVER () AS n_keys,
+             sum(cnt * n_with) OVER () AS n_rows,
+             max(cnt) OVER () AS max_cnt
+      FROM hist)
     SELECT CAST(max(n_rows) AS BIGINT) AS n_rows,
            CAST(max(n_keys) AS BIGINT) AS n_keys,
-           CAST(max(cnt) AS BIGINT) AS max_key_rows,
-           CAST(10000 * max(cnt) // max(n_rows) AS BIGINT)
+           CAST(max(max_cnt) AS BIGINT) AS max_key_rows,
+           CAST(10000 * max(max_cnt) // max(n_rows) AS BIGINT)
              AS top_key_share_bp,
-           CAST(10000 * max(cnt) * max(n_keys) // max(n_rows) AS BIGINT)
+           CAST(10000 * max(max_cnt) * max(n_keys) // max(n_rows) AS BIGINT)
              AS skew_vs_avg_bp,
-           CAST(max(CASE WHEN rk = (n_keys * 50 + 99) // 100
+           CAST(min(CASE WHEN cum_keys >= (n_keys * 50 + 99) // 100
                 THEN cnt END) AS BIGINT) AS p50_key_rows,
-           CAST(max(CASE WHEN rk = (n_keys * 99 + 99) // 100
+           CAST(min(CASE WHEN cum_keys >= (n_keys * 99 + 99) // 100
                 THEN cnt END) AS BIGINT) AS p99_key_rows
-    FROM ranked
+    FROM cum
     """,
     tags=("diagnostics", "skew", "join-planning", "profiling"),
 )
@@ -1445,11 +1450,14 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-key counts, the hottest key's row count and its share,
     skew-vs-average ratio, and exact p50/p99 per-key cardinalities.
 
-    All integer arithmetic (shares in basis points via integer
-    division; percentiles by rank selection under a (cnt, key)
-    tiebreak), one count aggregate plus one |keys|-sized window pass.
-    At 100 TB the per-key count frame is exactly what AQE's skew
-    statistics see — this just surfaces it as a queryable table."""
+    Scale shape: per-key counts reduce to a COUNT HISTOGRAM
+    (distinct multiplicities — dozens of rows however many keys), and
+    the exact percentiles come from a cumulative sum over that tiny
+    frame: value at rank r = min cnt with cumulative keys ≥ r. No
+    |keys|-sized global window anywhere (the naive rank-selection
+    form funnels every key through one window partition — the exact
+    bottleneck this report exists to catch). All integer arithmetic,
+    shares in basis points."""
     _utc(spark)
     from pyspark.sql import Window
 
@@ -1458,29 +1466,34 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("k"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    hist = kc.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_with"))
     full = Window.partitionBy()
-    ranked = kc.select(
+    cum = hist.select(
         "cnt",
-        F.row_number().over(full.orderBy("cnt", "k")).alias("rk"),
-        F.count(F.lit(1)).over(full).alias("n_keys"),
-        F.sum("cnt").over(full).alias("n_rows"),
+        F.sum("n_with")
+        .over(full.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_keys"),
+        F.sum("n_with").over(full).alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("n_with")).over(full).alias("n_rows"),
+        F.max("cnt").over(full).alias("max_cnt"),
     )
     p50_rk = F.expr("(n_keys * 50 + 99) div 100")
     p99_rk = F.expr("(n_keys * 99 + 99) div 100")
-    return ranked.agg(
+    return cum.agg(
         F.max("n_rows").cast("bigint").alias("n_rows"),
         F.max("n_keys").cast("bigint").alias("n_keys"),
-        F.max("cnt").cast("bigint").alias("max_key_rows"),
-        F.expr("CAST(10000 * max(cnt) div max(n_rows) AS BIGINT)").alias(
-            "top_key_share_bp"
-        ),
+        F.max("max_cnt").cast("bigint").alias("max_key_rows"),
         F.expr(
-            "CAST(10000 * max(cnt) * max(n_keys) div max(n_rows) AS BIGINT)"
+            "CAST(10000 * max(max_cnt) div max(n_rows) AS BIGINT)"
+        ).alias("top_key_share_bp"),
+        F.expr(
+            "CAST(10000 * max(max_cnt) * max(n_keys) div max(n_rows)"
+            " AS BIGINT)"
         ).alias("skew_vs_avg_bp"),
-        F.max(F.when(F.col("rk") == p50_rk, F.col("cnt")))
+        F.min(F.when(F.col("cum_keys") >= p50_rk, F.col("cnt")))
         .cast("bigint")
         .alias("p50_key_rows"),
-        F.max(F.when(F.col("rk") == p99_rk, F.col("cnt")))
+        F.min(F.when(F.col("cum_keys") >= p99_rk, F.col("cnt")))
         .cast("bigint")
         .alias("p99_key_rows"),
     )
