@@ -994,7 +994,11 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only float ops are two final divisions per group. One shuffle
     by priority; the rank/count/bounds windows all share that single
     sort — no extra exchange (same pattern the plan tests pin for
-    ``customer_rank_battery``)."""
+    ``customer_rank_battery``). Scale note: exact per-group order
+    statistics put each group through one window partition — right
+    for moderate group sizes; at fact-scale groups swap the bounds
+    to ``quantile_sketch_by_status``'s mergeable sketch and keep the
+    DECIMAL clamp+mean unchanged."""
     _utc(spark)
     from pyspark.sql import Window
 
@@ -1603,24 +1607,26 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN s ON e.user_id = s.user_id
       WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
       GROUP BY e.user_id, s.signup_ts),
-    ranked AS (
-      SELECT lat_secs, row_number() OVER (ORDER BY lat_secs, user_id)
-               AS rk, count(*) OVER () AS n
-      FROM p),
+    hist AS (SELECT lat_secs, count(*) AS n_with FROM p GROUP BY lat_secs),
+    cum AS (
+      SELECT lat_secs,
+             sum(n_with) OVER (ORDER BY lat_secs) AS cum_u,
+             sum(n_with) OVER () AS n
+      FROM hist),
     tot AS (SELECT count(*) AS n_signup FROM s)
     SELECT CAST(max(tot.n_signup) AS BIGINT) AS n_signup_users,
            CAST(max(n) AS BIGINT) AS n_converted,
            CAST(10000 * max(n) // max(tot.n_signup) AS BIGINT)
              AS conversion_bp,
-           CAST(max(CASE WHEN rk = (n * 25 + 99) // 100
+           CAST(min(CASE WHEN cum_u >= (n * 25 + 99) // 100
                 THEN lat_secs END) AS BIGINT) AS p25_secs,
-           CAST(max(CASE WHEN rk = (n * 50 + 99) // 100
+           CAST(min(CASE WHEN cum_u >= (n * 50 + 99) // 100
                 THEN lat_secs END) AS BIGINT) AS p50_secs,
-           CAST(max(CASE WHEN rk = (n * 75 + 99) // 100
+           CAST(min(CASE WHEN cum_u >= (n * 75 + 99) // 100
                 THEN lat_secs END) AS BIGINT) AS p75_secs,
-           CAST(max(CASE WHEN rk = (n * 90 + 99) // 100
+           CAST(min(CASE WHEN cum_u >= (n * 90 + 99) // 100
                 THEN lat_secs END) AS BIGINT) AS p90_secs
-    FROM ranked CROSS JOIN tot
+    FROM cum CROSS JOIN tot
     """,
     tags=("funnel", "latency", "conversion", "exact-percentile"),
 )
@@ -1632,11 +1638,11 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     that complements ``event_funnel``'s step counts.
 
     Latencies are integer epoch-second diffs (cross-engine exact);
-    percentiles use the integer-rank selection pattern
-    (``winsorized_mean``) under a (latency, user) tiebreak. Two
-    narrow aggregates per user (first signup, first qualifying
-    purchase) then a |converted|-row window — the heavy table never
-    sorts globally."""
+    percentiles come from a LATENCY HISTOGRAM + cumulative-rank
+    selection (value at rank r = min latency with cumulative users
+    ≥ r) — the windowed frame is |distinct latencies| rows, so no
+    |users|-sized data ever passes through a single global window
+    partition (the ``key_skew_report`` scalability pattern)."""
     _utc(spark)
     from pyspark.sql import Window
 
@@ -1658,19 +1664,26 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lat_secs")
         )
     )
+    hist = p.groupBy("lat_secs").agg(F.count(F.lit(1)).alias("n_with"))
     full = Window.partitionBy()
-    ranked = p.select(
+    cum = hist.select(
         "lat_secs",
-        F.row_number().over(full.orderBy("lat_secs", "user_id")).alias("rk"),
-        F.count(F.lit(1)).over(full).alias("n"),
+        F.sum("n_with")
+        .over(
+            full.orderBy("lat_secs").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum_u"),
+        F.sum("n_with").over(full).alias("n"),
     )
     n_signup = s.agg(F.count(F.lit(1)).alias("n_signup"))
 
     def pct(q: int, name: str):
         return (
-            F.max(
+            F.min(
                 F.when(
-                    F.col("rk") == F.expr(f"(n * {q} + 99) div 100"),
+                    F.col("cum_u") >= F.expr(f"(n * {q} + 99) div 100"),
                     F.col("lat_secs"),
                 )
             )
@@ -1678,7 +1691,7 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(name)
         )
 
-    return ranked.crossJoin(F.broadcast(n_signup)).agg(
+    return cum.crossJoin(F.broadcast(n_signup)).agg(
         F.max("n_signup").cast("bigint").alias("n_signup_users"),
         F.max("n").cast("bigint").alias("n_converted"),
         F.expr("CAST(10000 * max(n) div max(n_signup) AS BIGINT)").alias(
