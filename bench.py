@@ -107,6 +107,8 @@ HEADLINE = [
     "time_weighted_avg",
     "trailing_hour_counts",
     "pii_redaction",
+    "json_props_parse",
+    "json_array_explode",
     "hll_set_ops",
     "bloom_join_prefilter",
     "incremental_join_view",

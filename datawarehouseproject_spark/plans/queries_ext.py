@@ -2649,3 +2649,107 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_images") >= 2)
     )
+
+
+@register(
+    "json_props_parse",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT))
+                AS INTEGER) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
+                AS INTEGER) AS max_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "semi-structured", "from_json", "parse"),
+)
+def q_json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload PARSING (the read side of
+    ``json_log_payload``'s serialization): ``from_json`` lifts the
+    events.props JSON into a typed struct in the scan projection, and
+    integer stats aggregate per event type, with a NULL count
+    surfacing unparseable payloads instead of crashing the batch
+    (PERMISSIVE semantics — the corrupt-record posture
+    ``csv_permissive_parse`` pins for CSV, here for JSON).
+
+    The parse is a JVM-side expression (Jackson under codegen) in
+    the map stage — no extra pass, no UDF; only (type, int) pairs
+    reach the aggregate. Exact integer sums keep the oracle
+    hash-exact."""
+    _utc(spark)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unparsed"),
+        )
+    )
+
+
+@register(
+    "json_array_explode",
+    oracle="""
+    WITH e AS (SELECT event_id FROM events),
+    ix AS (
+      SELECT event_id,
+             unnest(generate_series(1, 1 + event_id % 3)) AS idx
+      FROM e)
+    SELECT CAST(idx AS INTEGER) AS idx,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((event_id * idx) % 97) AS BIGINT) AS sum_val
+    FROM ix
+    GROUP BY idx
+    """,
+    tags=("json", "semi-structured", "explode", "nested-array"),
+)
+def q_json_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON-array round-trip + lateral explode: each event
+    serializes a variable-length array of (idx, val) structs to a
+    JSON string (``to_json``), parses it BACK with an
+    ``array<struct>`` schema (``from_json``), explodes the parsed
+    array 1:N, and aggregates per idx — the full semi-structured
+    ingestion path (serialize → store → parse → flatten) in one
+    verified plan. The oracle recomputes the arithmetic from
+    ``generate_series`` directly, so a parse or explode defect
+    anywhere breaks value equality, not just row counts.
+
+    Parse and explode run in the scan stage (no shuffle before the
+    1:N); only exploded integers reach the aggregate."""
+    _utc(spark)
+    items = F.transform(
+        F.sequence(F.lit(1), 1 + F.col("event_id") % 3),
+        lambda i: F.struct(
+            i.alias("idx"), ((F.col("event_id") * i) % 97).alias("val")
+        ),
+    )
+    payload = F.to_json(items)
+    parsed = F.from_json(
+        payload, "array<struct<idx: bigint, val: bigint>>"
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.explode(parsed).alias("item"))
+        .select(
+            F.col("item.idx").cast("int").alias("idx"),
+            F.col("item.val").alias("val"),
+        )
+        .groupBy("idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        )
+    )
