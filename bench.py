@@ -122,6 +122,8 @@ HEADLINE = [
     "fd_discovery",
     "completeness_profile",
     "weekday_seasonality",
+    "seasonal_anomalies",
+    "distribution_drift",
     "embedding_random_projection",
     "embedding_dim_stats",
     "interpolate_series",

@@ -1900,3 +1900,139 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_value",
         F.expr("CAST(10000 * n div n_type AS BIGINT)").alias("share_bp"),
     )
+
+
+@register(
+    "seasonal_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             isodow(CAST(ts AS DATE)) AS dow, count(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    base AS (
+      SELECT event_type, dow,
+             sum(n) AS tot_n, count(*) AS n_days
+      FROM daily GROUP BY event_type, dow)
+    SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n_events,
+           CAST(b.tot_n // b.n_days AS BIGINT) AS expected_n,
+           CAST(10000 * d.n * b.n_days // b.tot_n AS BIGINT)
+             AS vs_baseline_bp,
+           10000 * d.n * b.n_days // b.tot_n NOT BETWEEN 5000 AND 20000
+             AS is_anomaly
+    FROM daily d JOIN base b
+      ON d.event_type = b.event_type AND d.dow = b.dow
+    """,
+    tags=("anomaly-detection", "seasonal-baseline", "monitoring"),
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive volume anomaly detection: each (event type,
+    day) compared against that type's SAME-WEEKDAY average (the
+    ``weekday_seasonality`` baseline), flagged when outside
+    0.5x-2.0x — the monitoring alarm that doesn't false-positive on
+    ordinary weekend dips because weekends are their own baseline.
+
+    Ratios are integer basis points (10000·n·days/total, floor), so
+    flags are bit-exact; the baseline join keys on (type, dow) — 35
+    rows, broadcast — and the daily aggregate is one partial-agg
+    scan."""
+    _utc(spark)
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            (F.weekday(F.to_date("ts")) + 1).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = daily.groupBy("event_type", "dow").agg(
+        F.sum("n").alias("tot_n"), F.count(F.lit(1)).alias("n_days")
+    )
+    joined = daily.join(F.broadcast(base), ["event_type", "dow"])
+    ratio = F.expr("10000 * n * n_days div tot_n")
+    return joined.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr("CAST(tot_n div n_days AS BIGINT)").alias("expected_n"),
+        ratio.cast("bigint").alias("vs_baseline_bp"),
+        (~ratio.between(5000, 20000)).alias("is_anomaly"),
+    )
+
+
+@register(
+    "distribution_drift",
+    oracle="""
+    WITH labeled AS (
+      SELECT CASE WHEN o_orderdate < DATE '2001-01-01'
+                  THEN 'a' ELSE 'b' END AS period,
+             least(CAST(o_totalprice AS BIGINT) // 50000, 9) AS bucket
+      FROM orders),
+    counts AS (
+      SELECT bucket,
+             sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
+      FROM labeled GROUP BY bucket),
+    tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(10000 * na // ta AS BIGINT) AS share_a_bp,
+           CAST(10000 * nb // tb AS BIGINT) AS share_b_bp,
+           CAST(100 * (10000 * na // ta - 10000 * nb // tb)
+                    * (10000 * na // ta - 10000 * nb // tb)
+                // (10000 * na // ta + 10000 * nb // tb) AS BIGINT)
+             AS share_chi2_x100
+    FROM counts CROSS JOIN tot
+    WHERE 10000 * na // ta + 10000 * nb // tb > 0
+    """,
+    tags=("drift", "psi", "monitoring", "distribution-compare"),
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two periods (the PSI/chi-square
+    family every ML-ops pipeline runs before trusting fresh data):
+    order totals bucketed into fixed 50k bands, per-bucket shares of
+    the pre-2001 vs 2001+ periods, and a chi-square-style per-bucket
+    drift contribution on the BASIS-POINT shares — ENTIRELY integer
+    arithmetic over bounded operands (shares ≤ 10000, so every
+    product ≤ 1e10 regardless of table size) so the drift report is
+    bit-exact cross-engine, unlike the textbook PSI whose ln()
+    differs by ulps across libms.
+
+    One scan, one 10-bucket aggregate, one broadcast of the scalar
+    totals; drift contributions are per-bucket rows (sum them for
+    the scalar statistic) so no cross-partition float summation
+    exists anywhere."""
+    _utc(spark)
+    labeled = _t(spark, sf_dir, "orders").select(
+        F.when(F.to_date("o_orderdate") < "2001-01-01", "a")
+        .otherwise("b")
+        .alias("period"),
+        F.least(
+            F.expr("CAST(o_totalprice AS BIGINT) div 50000"), F.lit(9)
+        ).alias("bucket"),
+    )
+    counts = labeled.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("nb"),
+    )
+    tot = counts.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(
+            F.expr("10000 * na div ta + 10000 * nb div tb > 0")
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.expr("CAST(10000 * na div ta AS BIGINT)").alias("share_a_bp"),
+            F.expr("CAST(10000 * nb div tb AS BIGINT)").alias("share_b_bp"),
+            F.expr(
+                "CAST(100 * (10000 * na div ta - 10000 * nb div tb)"
+                " * (10000 * na div ta - 10000 * nb div tb)"
+                " div (10000 * na div ta + 10000 * nb div tb) AS BIGINT)"
+            ).alias("share_chi2_x100"),
+        )
+    )
