@@ -124,6 +124,7 @@ HEADLINE = [
     "weekday_seasonality",
     "seasonal_anomalies",
     "distribution_drift",
+    "rfm_segmentation",
     "embedding_random_projection",
     "embedding_dim_stats",
     "interpolate_series",

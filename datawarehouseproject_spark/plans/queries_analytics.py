@@ -2036,3 +2036,144 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_chi2_x100"),
         )
     )
+
+
+def _rfm_threshold_sql(metric: str) -> str:
+    """CTE text: exact q25/q50/q75 of ``metric`` over rfm via the
+    count-histogram + cumulative-rank pattern."""
+    return f"""
+    {metric}_h AS (
+      SELECT {metric} AS v, count(*) AS n_with FROM rfm GROUP BY {metric}),
+    {metric}_c AS (
+      SELECT v, sum(n_with) OVER (ORDER BY v) AS cum,
+             sum(n_with) OVER () AS n
+      FROM {metric}_h),
+    {metric}_q AS (
+      SELECT min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN v END) AS q25,
+             min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS q50,
+             min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN v END) AS q75
+      FROM {metric}_c)"""
+
+
+@register(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH maxd AS (
+      SELECT max(CAST(ts AS DATE)) AS asof FROM events),
+    rfm AS (
+      SELECT user_id,
+             datediff('day', max(CAST(ts AS DATE)), max(maxd.asof))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS monetary_cents
+      FROM events CROSS JOIN maxd
+      WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    {_rfm_threshold_sql("recency_days")},
+    {_rfm_threshold_sql("frequency")},
+    {_rfm_threshold_sql("monetary_cents")}
+    SELECT user_id,
+           CAST(recency_days AS INTEGER) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary_cents,
+           CAST(4 - (CASE WHEN recency_days > r.q25 THEN 1 ELSE 0 END
+                   + CASE WHEN recency_days > r.q50 THEN 1 ELSE 0 END
+                   + CASE WHEN recency_days > r.q75 THEN 1 ELSE 0 END)
+                AS INTEGER) AS r_score,
+           CAST(1 + (CASE WHEN frequency > f.q25 THEN 1 ELSE 0 END
+                   + CASE WHEN frequency > f.q50 THEN 1 ELSE 0 END
+                   + CASE WHEN frequency > f.q75 THEN 1 ELSE 0 END)
+                AS INTEGER) AS f_score,
+           CAST(1 + (CASE WHEN monetary_cents > m.q25 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary_cents > m.q50 THEN 1 ELSE 0 END
+                   + CASE WHEN monetary_cents > m.q75 THEN 1 ELSE 0 END)
+                AS INTEGER) AS m_score
+    FROM rfm
+    CROSS JOIN recency_days_q r
+    CROSS JOIN frequency_q f
+    CROSS JOIN monetary_cents_q m
+    """,
+    tags=("rfm", "segmentation", "customer-analytics"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per purchasing user the classic
+    recency / frequency / monetary triple, each scored 1-4 against
+    the population's exact quartiles (recency inverted — recent =
+    high) — the segmentation every retention team runs.
+
+    All three metrics are integers (days, counts, cents from DECIMAL
+    sums), and quartile thresholds come from the count-histogram +
+    cumulative-rank pattern (``key_skew_report``), so no |users|-row
+    global window and every score is bit-exact. Thresholds broadcast
+    back as one 3-scalar row per metric; the scoring pass is
+    map-side."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("asof"))
+    rfm = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(maxd))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("asof"), F.max(F.to_date("ts"))).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+
+    full = Window.partitionBy()
+
+    def quartiles(metric: str) -> DataFrame:
+        hist = rfm.groupBy(F.col(metric).alias("v")).agg(
+            F.count(F.lit(1)).alias("n_with")
+        )
+        cum = hist.select(
+            "v",
+            F.sum("n_with")
+            .over(
+                full.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("cum"),
+            F.sum("n_with").over(full).alias("n"),
+        )
+
+        def q(pct: int, name: str):
+            return F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {pct} + 99) div 100"),
+                    F.col("v"),
+                )
+            ).alias(name)
+
+        return cum.agg(
+            q(25, f"{metric}_q25"), q(50, f"{metric}_q50"),
+            q(75, f"{metric}_q75"),
+        )
+
+    out = rfm
+    for metric in ("recency_days", "frequency", "monetary_cents"):
+        out = out.crossJoin(F.broadcast(quartiles(metric)))
+
+    def score(metric: str) -> F.Column:
+        above = sum(
+            F.when(F.col(metric) > F.col(f"{metric}_q{p}"), 1).otherwise(0)
+            for p in (25, 50, 75)
+        )
+        return above
+
+    return out.select(
+        "user_id",
+        F.col("recency_days").cast("int").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary_cents",
+        (F.lit(4) - score("recency_days")).cast("int").alias("r_score"),
+        (F.lit(1) + score("frequency")).cast("int").alias("f_score"),
+        (F.lit(1) + score("monetary_cents")).cast("int").alias("m_score"),
+    )

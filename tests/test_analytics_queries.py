@@ -565,3 +565,24 @@ def test_conversion_latency_monotone(spark):
     assert r.n_converted <= r.n_signup_users
     assert 0 <= r.p25_secs <= r.p50_secs <= r.p75_secs <= r.p90_secs
     assert r.conversion_bp == 10000 * r.n_converted // r.n_signup_users
+
+
+@needs_testdata
+def test_rfm_scores_in_range_and_cover_users(spark):
+    from datawarehouseproject_spark.catalog import load_table
+
+    rows = _run(spark, "rfm_segmentation").collect()
+    n_buyers = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_buyers
+    for r in rows:
+        assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4
+        assert 1 <= r.m_score <= 4
+        assert r.recency_days >= 0 and r.frequency > 0
+    # quartile scoring must use all four bins on real data
+    assert {r.f_score for r in rows} >= {1, 4}
