@@ -125,6 +125,8 @@ HEADLINE = [
     "seasonal_anomalies",
     "distribution_drift",
     "rfm_segmentation",
+    "cumulative_monthly_revenue",
+    "cohort_ltv",
     "embedding_random_projection",
     "embedding_dim_stats",
     "interpolate_series",

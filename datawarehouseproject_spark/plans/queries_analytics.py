@@ -2177,3 +2177,147 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1) + score("frequency")).cast("int").alias("f_score"),
         (F.lit(1) + score("monetary_cents")).cast("int").alias("m_score"),
     )
+
+
+@register(
+    "cumulative_monthly_revenue",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1)
+    SELECT CAST(month AS DATE) AS month,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(sum(rev) OVER (ORDER BY month) AS DOUBLE) AS cum_revenue,
+           CAST(sum(n_orders) OVER (ORDER BY month) AS BIGINT) AS cum_orders
+    FROM monthly
+    """,
+    tags=("bi", "running-total", "cumulative"),
+)
+def q_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue curve — the most-charted BI shape: monthly
+    order counts and revenue plus their running totals since the
+    first month.
+
+    The heavy table collapses to |months| rows FIRST (one partial-agg
+    scan); the running-total window then runs over that tiny frame —
+    never a cumulative window over raw orders (which would drag every
+    row through one global sort partition). Revenue accumulates in
+    exact DECIMAL through the window and casts to double once per
+    row, so the running values are cross-engine exact."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+    cum = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.select(
+        "month",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(cum).cast("double").alias("cum_revenue"),
+        F.sum("n_orders").over(cum).cast("bigint").alias("cum_orders"),
+    )
+
+
+@register(
+    "cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(date_trunc('month', CAST(o_orderdate AS DATE)))
+               AS cohort_month
+      FROM orders GROUP BY o_custkey),
+    rev AS (
+      SELECT f.cohort_month,
+             datediff('month', f.cohort_month,
+                      date_trunc('month', CAST(o.o_orderdate AS DATE)))
+               AS month_offset,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev,
+             count(DISTINCT o.o_custkey) AS n_active
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2),
+    sizes AS (
+      SELECT cohort_month, count(*) AS cohort_size
+      FROM firsts GROUP BY cohort_month)
+    SELECT CAST(r.cohort_month AS DATE) AS cohort_month,
+           CAST(r.month_offset AS INTEGER) AS month_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(r.rev AS DOUBLE) AS revenue,
+           CAST(sum(r.rev) OVER (PARTITION BY r.cohort_month
+                ORDER BY r.month_offset) AS DOUBLE) AS cum_revenue
+    FROM rev r JOIN sizes s ON r.cohort_month = s.cohort_month
+    WHERE r.month_offset <= 24
+    """,
+    tags=("bi", "cohort", "ltv", "retention-revenue"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order month,
+    revenue per (cohort, months-since-first) cell with active-buyer
+    counts and the cumulative-revenue curve per cohort — the
+    revenue-side companion to ``retention_cohorts``' user counts,
+    and the table behind every LTV/CAC readout.
+
+    One first-touch aggregate, one fact join keyed on the customer
+    (the first-touch frame is |customers| rows — co-partitioned with
+    the fact on the same key, so AQE chains the shuffles), then
+    cumulative windows over the tiny (cohort × offset) triangle.
+    Revenue accumulates in exact DECIMAL; offsets are integer month
+    diffs (date_trunc parity pinned on both engines)."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("omonth"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("omonth").alias("cohort_month")
+    )
+    rev = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between("omonth", F.col("cohort_month"))
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(
+            F.sum("price").alias("rev"),
+            F.count_distinct("o_custkey").alias("n_active"),
+        )
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.filter(F.col("month_offset") <= 24)
+        .join(sizes, "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("rev").cast("double").alias("revenue"),
+            F.sum("rev").over(cum).cast("double").alias("cum_revenue"),
+        )
+    )
