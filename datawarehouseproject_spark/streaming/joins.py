@@ -63,3 +63,32 @@ def stream_interval_join(
             if c != on
         ],
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins against a STATIC (batch) dimension — the star-schema
+    lookup inside a live pipeline (events × customer, clicks ×
+    catalog).
+
+    Stream-static joins are stateless on the stream side (no
+    watermark, no buffered state — Spark re-plans the static side
+    per micro-batch, so a broadcast-sized dim is broadcast every
+    batch and dim REFRESHES between batches are picked up), which is
+    why this is the preferred enrichment shape over stream-stream
+    whenever one side is slowly-changing. Left join keeps unmatched
+    stream rows (late dim arrival shows as NULLs, not dropped
+    facts).
+
+    Works identically on batch frames (plain left join) — the parity
+    the tests pin.
+    """
+    from pyspark.sql import functions as F
+
+    keep = dim.select(on, *dim_cols)
+    return stream.join(F.broadcast(keep), on, "left")

@@ -72,3 +72,45 @@ def test_interval_join_streaming_end_to_end(spark, tmp_path):
         for r in spark.sql("select * from ij_out").collect()
     ]
     assert got == [(100, 900)]
+
+
+DIM = [
+    (1, "BUILDING"),
+    (2, "MACHINERY"),
+]
+
+
+def test_stream_static_enrich_end_to_end(spark, tmp_path):
+    """Events as a real file stream enriched against a static dim;
+    memory-sink output must equal the batch left join (including the
+    NULL for the dimless user)."""
+    from datawarehouseproject_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    sdir = str(tmp_path / "s")
+    _rows(spark, ERRORS).write.parquet(sdir)
+    dim = spark.createDataFrame(DIM, "user_id long, segment string")
+
+    batch = stream_static_enrich(
+        _rows(spark, ERRORS), dim, on="user_id", dim_cols=["segment"]
+    )
+    want = {(r.event_id, r.segment) for r in batch.collect()}
+    assert want == {(100, "BUILDING"), (101, "BUILDING"), (102, "MACHINERY")}
+
+    stream = spark.readStream.schema(SCHEMA).parquet(sdir)
+    out = stream_static_enrich(
+        stream, dim, on="user_id", dim_cols=["segment"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.segment)
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert got == want
