@@ -1917,7 +1917,7 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(b.tot_n // b.n_days AS BIGINT) AS expected_n,
            CAST(10000 * d.n * b.n_days // b.tot_n AS BIGINT)
              AS vs_baseline_bp,
-           10000 * d.n * b.n_days // b.tot_n NOT BETWEEN 5000 AND 20000
+           10000 * d.n * b.n_days // b.tot_n NOT BETWEEN 8500 AND 11500
              AS is_anomaly
     FROM daily d JOIN base b
       ON d.event_type = b.event_type AND d.dow = b.dow
@@ -1928,8 +1928,10 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive volume anomaly detection: each (event type,
     day) compared against that type's SAME-WEEKDAY average (the
     ``weekday_seasonality`` baseline), flagged when outside
-    0.5x-2.0x — the monitoring alarm that doesn't false-positive on
-    ordinary weekend dips because weekends are their own baseline.
+    0.85x-1.15x (a band chosen to flag the tails of this corpus's
+    daily variation; the threshold is the alarm's sensitivity knob) —
+    the monitoring alarm that doesn't false-positive on ordinary
+    weekend dips because weekends are their own baseline.
 
     Ratios are integer basis points (10000·n·days/total, floor), so
     flags are bit-exact; the baseline join keys on (type, dow) — 35
@@ -1956,7 +1958,7 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         F.expr("CAST(tot_n div n_days AS BIGINT)").alias("expected_n"),
         ratio.cast("bigint").alias("vs_baseline_bp"),
-        (~ratio.between(5000, 20000)).alias("is_anomaly"),
+        (~ratio.between(8500, 11500)).alias("is_anomaly"),
     )
 
 
