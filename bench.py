@@ -127,6 +127,8 @@ HEADLINE = [
     "rfm_segmentation",
     "cumulative_monthly_revenue",
     "cohort_ltv",
+    "uniqueness_audit",
+    "session_window_agg",
     "embedding_random_projection",
     "embedding_dim_stats",
     "interpolate_series",

@@ -2323,3 +2323,134 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").over(cum).cast("double").alias("cum_revenue"),
         )
     )
+
+
+@register(
+    "uniqueness_audit",
+    oracle="""
+    SELECT 'orders_pk' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicated,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_affected
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'customer_pk', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+    FROM (SELECT c_custkey, count(*) AS n FROM customer GROUP BY 1)
+    UNION ALL
+    SELECT 'lineitem_composite_pk', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+    FROM (SELECT l_orderkey, l_linenumber, count(*) AS n
+          FROM lineitem GROUP BY 1, 2)
+    UNION ALL
+    SELECT 'events_pk', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+    FROM (SELECT event_id, count(*) AS n FROM events GROUP BY 1)
+    """,
+    tags=("data-quality", "uniqueness", "primary-key", "audit"),
+)
+def q_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the star schema — the
+    constraint check a parquet lake can't enforce declaratively
+    (no PK constraints in open formats), so it must be ASSERTED by
+    scan: per key-set, the distinct key count, how many key values
+    are duplicated, and how many rows those duplicates cover
+    (completes the DQ battery: ``referential_audit`` = FK edges,
+    ``dq_expectations`` = row rules, this = key constraints).
+
+    Each check is one partial-agg groupBy on its key; the four run
+    as a union of |1|-row summaries, so one job audits every
+    constraint. Composite keys audit the same way as scalar ones."""
+    _utc(spark)
+
+    def check(name: str, table: str, keys: list[str]) -> DataFrame:
+        kc = (
+            _t(spark, sf_dir, table)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return kc.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_duplicated"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_affected"),
+        )
+
+    return (
+        check("orders_pk", "orders", ["o_orderkey"])
+        .unionByName(check("customer_pk", "customer", ["c_custkey"]))
+        .unionByName(
+            check(
+                "lineitem_composite_pk",
+                "lineitem",
+                ["l_orderkey", "l_linenumber"],
+            )
+        )
+        .unionByName(check("events_pk", "events", ["event_id"]))
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_start) OVER (PARTITION BY user_id
+               ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq)
+    SELECT user_id,
+           min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("session-window", "builtin", "sessionization"),
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN ``session_window``
+    aggregation (30-minute inactivity gap): per (user, session) the
+    start time, event count, and DECIMAL value total — the native
+    operator behind both batch and streaming session aggregation
+    (the engine merges overlapping [ts, ts+gap) intervals
+    internally; ``sessionize`` pins the equivalent hand-rolled
+    gaps-and-islands form, so the two queries cross-validate the
+    builtin against first principles).
+
+    The oracle IS that first-principles form — lag gap-flag +
+    running session id — so the builtin's session boundaries are
+    value-pinned, not just row-counted. One shuffle by user; the
+    session merge is in the aggregation, no extra window pass."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
