@@ -79,6 +79,7 @@ HEADLINE = [
     "semantic_dedup",
     "canonical_docs",
     "tfidf_top_terms",
+    "hashed_features",
     "token_stats",
     "benchmark_contamination",
     "quality_rules",

@@ -1363,3 +1363,60 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     return emb.select(
         "vec_id", F.posexplode(F.array(*projs)).alias("pdim", "pval")
     )
+
+
+_HASH_DIM = 256
+
+
+@register(
+    "hashed_features",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM docs
+      WHERE t <> ''),
+    dims AS (
+      SELECT doc_id,
+             {_sql_md5_long("'feat:' || tok")} % {_HASH_DIM} AS dim
+      FROM toks)
+    SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM dims GROUP BY doc_id, dim
+    """,
+    tags=("featurization", "hashing-trick", "bag-of-words"),
+)
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the HashingTF idea without MLlib): every
+    token maps to one of 256 dimensions by md5, and per-doc
+    term frequencies aggregate per dimension — the fixed-width
+    bag-of-words featurization that needs NO vocabulary pass, no
+    fitted state, and no driver-side dictionary, which is why it's
+    the featurizer that survives unbounded vocabularies at corpus
+    scale.
+
+    One explode + one (doc, dim) count aggregate; the hash is the
+    portable md5 (oracle reproduces every dimension id exactly, so
+    collisions — the hashing trick's documented trade-off — land
+    identically in both engines). Output is the sparse COO triple
+    (doc_id, dim, tf), the join-ready layout for downstream linear
+    models or similarity."""
+    _utc(spark)
+    from ..functions.hashing import md5_long
+    from ..functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text("text").alias("t")
+    )
+    toks = docs.filter(F.col("t") != "").select(
+        "doc_id", F.explode(F.split("t", " ")).alias("tok")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            (md5_long(F.col("tok"), salt="feat:") % _HASH_DIM)
+            .cast("int")
+            .alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
