@@ -46,6 +46,10 @@ FLAGSHIPS = [
     "market_basket",
     "chunk_dedup_ratio",
     "incremental_join_view",
+    "session_window_agg",
+    "rfm_segmentation",
+    "cohort_ltv",
+    "hashed_features",
 ]
 
 HEADER = """# Captured physical plans (sf0.001)
