@@ -130,6 +130,8 @@ HEADLINE = [
     "cohort_ltv",
     "uniqueness_audit",
     "session_window_agg",
+    "audience_overlap_matrix",
+    "daily_value_bands",
     "embedding_random_projection",
     "embedding_dim_stats",
     "interpolate_series",

@@ -2454,3 +2454,183 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "total_value")
     )
+
+
+@register(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH bits AS (
+      SELECT event_type, user_id // 63 AS chunk,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS b
+      FROM events GROUP BY 1, 2),
+    sizes AS (
+      SELECT event_type, sum(bit_count(b)) AS n_users
+      FROM bits GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             sum(bit_count(a.b & b.b)) AS n_both
+      FROM bits a JOIN bits b
+        ON a.chunk = b.chunk AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b,
+           CAST(sa.n_users AS BIGINT) AS n_a,
+           CAST(sb.n_users AS BIGINT) AS n_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(10000 * p.n_both
+                // (sa.n_users + sb.n_users - p.n_both) AS BIGINT)
+             AS jaccard_bp
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+    tags=("bitmap", "set-algebra", "audience-overlap", "jaccard"),
+)
+def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise audience overlap matrix: for every event-type
+    pair, both segment sizes, the intersection size, and Jaccard in
+    basis points — computed by ANDing the per-type chunk bitmaps
+    (``bitmap_distinct_users``'s 63-bit scheme) and popcounting, so
+    ALL pairs resolve from one bitmap build without ever
+    re-shuffling raw user ids per pair (the exact counterpart to
+    ``hll_set_ops``' sketched overlap — use this when ids are dense
+    integers, the sketch when they're arbitrary).
+
+    The pair join keys on the chunk id: |types|²/2 × |chunks| bitmap
+    rows of two longs, map-side combinable popcount sums, all
+    integers — bit-exact. Segment sizes join back from the same
+    bitmap frame (one scan total)."""
+    _utc(spark)
+    bits = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("user_id div 63").alias("chunk"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "chunk")
+        .agg(F.bit_or("bit").alias("b"))
+    )
+    sizes = bits.groupBy("event_type").agg(
+        F.sum(F.bit_count("b")).alias("n_users")
+    )
+    a, b = bits.alias("a"), bits.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(
+                F.bit_count(F.col("a.b").bitwiseAND(F.col("b.b")))
+            ).alias("n_both")
+        )
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("na")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.expr(
+                "CAST(10000 * n_both div (na + nb - n_both) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+    )
+
+
+@register(
+    "daily_value_bands",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    hist AS (
+      SELECT day, c, count(*) AS n_with FROM cents GROUP BY day, c),
+    cum AS (
+      SELECT day, c,
+             sum(n_with) OVER (PARTITION BY day ORDER BY c) AS cum,
+             sum(n_with) OVER (PARTITION BY day) AS n
+      FROM hist)
+    SELECT day,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN cum >= (n * 10 + 99) // 100
+                THEN c END) AS BIGINT) AS p10_cents,
+           CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100
+                THEN c END) AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100
+                THEN c END) AS BIGINT) AS p90_cents
+    FROM cum GROUP BY day
+    """,
+    tags=("percentile-bands", "grouped-exact-percentiles", "time-series"),
+)
+def q_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p10/p50/p90 value bands (the shaded-band time-series
+    chart): EXACT grouped percentiles at scale by running the
+    count-histogram + cumulative-rank pattern PER GROUP — values
+    quantize to integer cents, so each day's histogram is bounded by
+    the value domain (~1k rows), not the event count, and the
+    per-day window runs over that bounded frame.
+
+    This is the exact companion to ``quantile_sketch_by_status``
+    (approximate, unbounded domains): when the metric has a bounded
+    discrete domain — money, ratings, latencies in ms buckets —
+    grouped EXACT percentiles cost one (group, value) aggregate plus
+    a tiny windowed pass, at any row count. All integer arithmetic;
+    round-half-even on value*100 matches CAST BIGINT rounding in
+    DuckDB and Spark's round() HALF_UP only at exact .5 cents, which
+    the two-decimal generator never produces."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    cents = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    hist = cents.groupBy("day", "c").agg(
+        F.count(F.lit(1)).alias("n_with")
+    )
+    wday = Window.partitionBy("day")
+    cum = hist.select(
+        "day",
+        "c",
+        F.sum("n_with")
+        .over(wday.orderBy("c").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("n_with").over(wday).alias("n"),
+    )
+
+    def band(q: int, name: str):
+        return (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {q} + 99) div 100"),
+                    F.col("c"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return cum.groupBy("day").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        band(10, "p10_cents"),
+        band(50, "p50_cents"),
+        band(90, "p90_cents"),
+    )

@@ -586,3 +586,32 @@ def test_rfm_scores_in_range_and_cover_users(spark):
         assert r.recency_days >= 0 and r.frequency > 0
     # quartile scoring must use all four bins on real data
     assert {r.f_score for r in rows} >= {1, 4}
+
+
+@needs_testdata
+def test_audience_overlap_exact(spark):
+    """Bitmap AND overlaps must equal python set intersections."""
+    from datawarehouseproject_spark.catalog import load_table
+
+    rows = _run(spark, "audience_overlap_matrix").collect()
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    segs: dict[str, set] = {}
+    for r in ev.collect():
+        segs.setdefault(r.event_type, set()).add(r.user_id)
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        want = len(segs[r.type_a] & segs[r.type_b])
+        assert (r.n_a, r.n_b, r.n_both) == (
+            len(segs[r.type_a]),
+            len(segs[r.type_b]),
+            want,
+        )
+        assert r.jaccard_bp == 10000 * want // (r.n_a + r.n_b - want)
+
+
+@needs_testdata
+def test_daily_value_bands_monotone(spark):
+    for r in _run(spark, "daily_value_bands").collect():
+        assert r.p10_cents <= r.p50_cents <= r.p90_cents
+        assert r.n_events > 0
