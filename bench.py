@@ -132,6 +132,7 @@ HEADLINE = [
     "session_window_agg",
     "audience_overlap_matrix",
     "daily_value_bands",
+    "cusum_change_detection",
     "embedding_random_projection",
     "embedding_dim_stats",
     "interpolate_series",

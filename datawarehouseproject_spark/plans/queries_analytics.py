@@ -2634,3 +2634,77 @@ def q_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(50, "p50_cents"),
         band(90, "p90_cents"),
     )
+
+
+@register(
+    "cusum_change_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, sum(n) AS t, count(*) AS d
+      FROM daily GROUP BY 1),
+    dev AS (
+      SELECT dl.event_type, dl.day, dl.n,
+             dl.n * tt.d - tt.t AS dv, tt.t
+      FROM daily dl JOIN tot tt USING (event_type)),
+    s AS (
+      SELECT *, sum(dv) OVER (PARTITION BY event_type ORDER BY day) AS cs
+      FROM dev)
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           CAST(cs - min(cs) OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS cusum_scaled,
+           (cs - min(cs) OVER (PARTITION BY event_type ORDER BY day)) * 2
+             > t AS drift_alarm
+    FROM s
+    """,
+    tags=("change-point", "cusum", "monitoring", "quality-control"),
+)
+def q_cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over daily volumes per event
+    type: the classic quality-control statistic that accumulates
+    deviations from the mean and alarms on sustained upward drift —
+    catching slow regime changes that per-day anomaly flags
+    (``seasonal_anomalies``) miss because no single day is extreme.
+
+    The textbook CUSUM is a RECURSION (max(0, prev + dev)), which
+    looks window-inexpressible — but it has the closed form
+    ``S_t − min_{s≤t} S_s`` over the plain running sum, so two
+    stacked windows compute it declaratively. Deviations are scaled
+    integers (``n·D − T`` per day: exactly mean-zero with NO
+    division), so the statistic and the ``2·cusum > T`` alarm are
+    bit-exact. The heavy table collapses to |type×day| rows before
+    any window."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("d")
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") * F.col("d") - F.col("t")).alias("dv"),
+        "t",
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = dev.withColumn("cs", F.sum("dv").over(run))
+    cusum = F.col("cs") - F.min("cs").over(run)
+    return s.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        cusum.cast("bigint").alias("cusum_scaled"),
+        (cusum * 2 > F.col("t")).alias("drift_alarm"),
+    )
