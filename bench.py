@@ -133,6 +133,7 @@ HEADLINE = [
     "audience_overlap_matrix",
     "daily_value_bands",
     "cusum_change_detection",
+    "daily_metric_correlation",
     "embedding_random_projection",
     "embedding_dim_stats",
     "interpolate_series",

@@ -2708,3 +2708,101 @@ def q_cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.cast("bigint").alias("cusum_scaled"),
         (cusum * 2 > F.col("t")).alias("drift_alarm"),
     )
+
+
+@register(
+    "daily_metric_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM daily),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    spine AS (
+      SELECT t.event_type, d.day, coalesce(dl.n, 0) AS n
+      FROM days d CROSS JOIN types t
+      LEFT JOIN daily dl
+        ON dl.day = d.day AND dl.event_type = t.event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS d,
+             sum(a.n) AS sx, sum(b.n) AS sy,
+             sum(a.n * b.n) AS sxy,
+             sum(a.n * a.n) AS sxx, sum(b.n * b.n) AS syy
+      FROM spine a JOIN spine b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(d AS BIGINT) AS n_days,
+           CASE WHEN (d*sxx - sx*sx) * (d*syy - sy*sy) = 0 THEN 0.0
+                ELSE CAST(d*sxy - sx*sy AS DOUBLE)
+                     / (sqrt(CAST(d*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(d*syy - sy*sy AS DOUBLE))) END
+             AS pearson_r
+    FROM pairs
+    """,
+    tags=("correlation", "cross-metric", "diagnostics"),
+)
+def q_daily_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' daily-volume
+    series — the cross-metric diagnostic behind "do errors move with
+    traffic?" dashboards — computed BIT-EXACTLY: all five correlation
+    moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact BIGINTs over
+    the zero-filled day spine, and the final r is two
+    correctly-rounded sqrts and one division of exactly-derived
+    doubles, identical in any engine (the engine-native ``corr()``
+    accumulates floats in partition order and is NOT reproducible).
+
+    The heavy table collapses to |types|×|days| rows first; the pair
+    join is |types|²/2 × |days| tiny rows keyed on the day. Zero
+    variance (a constant series) yields r = 0.0 by convention on
+    both engines. Moment magnitudes bound the integer range: exact
+    up to ~1e8 events/day/type (D·max² < 2^63)."""
+    _utc(spark)
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    spine = (
+        days.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    a, b = spine.alias("a"), spine.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("d"),
+            F.sum("a.n").alias("sx"),
+            F.sum("b.n").alias("sy"),
+            F.sum(F.col("a.n") * F.col("b.n")).alias("sxy"),
+            F.sum(F.col("a.n") * F.col("a.n")).alias("sxx"),
+            F.sum(F.col("b.n") * F.col("b.n")).alias("syy"),
+        )
+    )
+    vx = F.col("d") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("d") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("d") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("d").cast("bigint").alias("n_days"),
+        F.when(vx * vy == 0, F.lit(0.0))
+        .otherwise(
+            cov.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        )
+        .alias("pearson_r"),
+    )

@@ -615,3 +615,28 @@ def test_daily_value_bands_monotone(spark):
     for r in _run(spark, "daily_value_bands").collect():
         assert r.p10_cents <= r.p50_cents <= r.p90_cents
         assert r.n_events > 0
+
+
+@needs_testdata
+def test_daily_metric_correlation_matches_numpy(spark):
+    import numpy as np
+
+    from datawarehouseproject_spark.catalog import load_table
+
+    rows = _run(spark, "daily_metric_correlation").collect()
+    ev = load_table(spark, SF_DIR, "events")
+    daily = {}
+    for r in (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        daily.setdefault(r.event_type, {})[r.day] = r.n
+    all_days = sorted({d for m in daily.values() for d in m})
+    assert rows
+    for r in rows:
+        x = np.array([daily[r.type_a].get(d, 0) for d in all_days], float)
+        y = np.array([daily[r.type_b].get(d, 0) for d in all_days], float)
+        want = float(np.corrcoef(x, y)[0, 1])
+        assert abs(r.pearson_r - want) < 1e-9
+        assert -1.0 <= r.pearson_r <= 1.0
