@@ -134,6 +134,7 @@ HEADLINE = [
     "daily_value_bands",
     "cusum_change_detection",
     "daily_metric_correlation",
+    "volume_trend",
     "embedding_random_projection",
     "embedding_dim_stats",
     "interpolate_series",

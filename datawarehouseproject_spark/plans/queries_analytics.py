@@ -2806,3 +2806,86 @@ def q_daily_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("pearson_r"),
     )
+
+
+@register(
+    "volume_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, n,
+             datediff('day',
+               min(day) OVER (PARTITION BY event_type), day) AS x
+      FROM daily),
+    m AS (
+      SELECT event_type, count(*) AS d,
+             sum(x) AS sx, sum(n) AS sy,
+             sum(x * n) AS sxy, sum(x * x) AS sxx
+      FROM idx GROUP BY event_type)
+    SELECT event_type, CAST(d AS BIGINT) AS n_days,
+           CASE WHEN d*sxx - sx*sx = 0 THEN 0.0
+                ELSE CAST(d*sxy - sx*sy AS DOUBLE)
+                     / CAST(d*sxx - sx*sx AS DOUBLE) END
+             AS slope_per_day,
+           (CAST(sy AS DOUBLE) - (CASE WHEN d*sxx - sx*sx = 0 THEN 0.0
+                ELSE CAST(d*sxy - sx*sy AS DOUBLE)
+                     / CAST(d*sxx - sx*sx AS DOUBLE) END)
+             * CAST(sx AS DOUBLE)) / CAST(d AS DOUBLE) AS intercept,
+           d*sxy - sx*sy > 0 AS growing
+    FROM m
+    """,
+    tags=("regression", "trend", "ols", "forecast-input"),
+)
+def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume trend line: ordinary-least-squares slope and
+    intercept of daily event counts against the day index — the
+    growing/declining readout behind capacity planning, with the
+    growth verdict decided on the EXACT integer covariance sign (no
+    float compare at the boundary).
+
+    Same exactness discipline as ``daily_metric_correlation``: all
+    OLS moments are BIGINTs (day indexes are small ints, counts
+    exact), slope is one IEEE division of exactly-derived values,
+    intercept one more multiply/subtract/divide in identical order —
+    bit-reproducible, unlike ``regr_slope``-style float
+    accumulators. The fact collapses to |type×day| rows before any
+    arithmetic."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    idx = daily.select(
+        "event_type",
+        "n",
+        F.datediff(
+            "day", F.min("day").over(Window.partitionBy("event_type"))
+        ).alias("x"),
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("x").alias("sx"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("x") * F.col("n")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("d") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("d") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(den == 0, F.lit(0.0)).otherwise(
+        num.cast("double") / den.cast("double")
+    )
+    return m.select(
+        "event_type",
+        F.col("d").cast("bigint").alias("n_days"),
+        slope.alias("slope_per_day"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("d").cast("double")
+        ).alias("intercept"),
+        (num > 0).alias("growing"),
+    )
