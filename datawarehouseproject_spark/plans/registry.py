@@ -58,6 +58,7 @@ def _load_all() -> None:
     from . import queries_ext  # noqa: F401
     from . import queries_corpus  # noqa: F401
     from . import queries_tpch  # noqa: F401
+    from . import queries_tpch2  # noqa: F401
     from . import queries_analytics  # noqa: F401
 
 
