@@ -31,6 +31,7 @@ HEADLINE = [
     "latest_event_per_user",
     "dim_maintenance",
     "star_join",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_volume",
@@ -39,12 +40,17 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_priority_split",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
     "tpch_q19_brand_revenue",
+    "tpch_q20_dominant_part_suppliers",
+    "tpch_q21_suppliers_kept_waiting",
     "tpch_q22_dormant_customers",
     "asof_join",
     "session_range_join",

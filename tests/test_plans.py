@@ -312,3 +312,56 @@ def test_image_phash_dedup_linear_no_pair_join(spark):
     plan = _plan(spark, "image_phash_dedup")
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
+
+
+def test_tpch_q2_min_equality_join_all_broadcast(spark):
+    """Q2's decorrelated scalar-min: the per-part best-cost agg and
+    every dim path broadcast — only the lineitem cost agg shuffles."""
+    plan = _plan(spark, "tpch_q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q11_threshold_is_one_row_broadcast(spark):
+    """Q11's HAVING-vs-global-total: the scalar total must arrive as
+    a one-row broadcast nested loop, not a shuffled join, and the
+    per-part agg partial-aggregates map-side."""
+    plan = _plan(spark, "tpch_q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+
+
+def test_tpch_q12_lag_filter_before_band_agg(spark):
+    """Q12 joins two facts on the orderkey; the one-year ship window
+    must reach the lineitem scan so only ~1/5 of the fact shuffles."""
+    plan = _plan(spark, "tpch_q12_ship_priority_split")
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q16_blocklist_is_broadcast_anti(spark):
+    """Q16's NOT IN lowers to a broadcast LEFT ANTI against the
+    dim-sized complaint list — no shuffle for the exclusion."""
+    plan = _plan(spark, "tpch_q16_supplier_part_counts")
+    assert "LeftAnti, BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q20_nested_aggs_share_partkey_shuffle(spark):
+    """Q20's two nested aggs both key on l_partkey; the per-part
+    totals re-enter as a broadcast, and the supplier dim joins the
+    deduped dominant set semi-style."""
+    plan = _plan(spark, "tpch_q20_dominant_part_suppliers")
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q21_single_pass_no_self_joins(spark):
+    """Q21's EXISTS + NOT-EXISTS pair is rewritten into ONE per-order
+    aggregation — the plan must contain no lineitem self-join (the
+    naive form scans lineitem three times)."""
+    plan = _plan(spark, "tpch_q21_suppliers_kept_waiting")
+    # exactly one fact-fact join (orders x lineitem); supplier path broadcast
+    assert plan.count("SortMergeJoin") <= 1
+    assert "TakeOrderedAndProject" in plan
