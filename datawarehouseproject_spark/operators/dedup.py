@@ -463,3 +463,82 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 5,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """All document pairs with shingle-Jaccard ≥ num/den, found via
+    PPJoin-style prefix filtering instead of the quadratic all-pairs
+    join (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW'08 — public algorithm).
+
+    Sort every document's shingle set by GLOBAL document frequency
+    (rarest first, hash as tie-break); two sets with Jaccard ≥ t must
+    share at least one element among each one's first
+    ``n - ceil(t·n) + 1`` elements under any common total order, so
+    only prefix shingles generate candidates. With rarest-first
+    ordering the prefixes hold exactly the shingles with the fewest
+    partners, collapsing the candidate count; exact Jaccard then
+    verifies candidates only.
+
+    The threshold is a rational (num/den) and every comparison is
+    integer cross-multiplied (``den·|∩| ≥ num·|∪|``) — no float
+    boundary anywhere. Scale: the only quadratic risk is a shingle
+    shared by many PREFIXES; rarest-first ordering makes that the
+    rarest shingles, and the document-frequency join is keyed on the
+    8-byte shingle hash (never strings). Returns (id_a, id_b,
+    n_inter, n_union) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    t_num, t_den = threshold_num, threshold_den
+    sh = _shingle_hashes(df, id_col, text_col, shingle_len).cache()
+    dfreq = sh.groupBy("base").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(id_col).orderBy("df", "base")
+    ranked = (
+        sh.join(dfreq, "base")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    # L = n - ceil(t*n) + 1, computed in integers:
+    # ceil(num*n/den) = floor((num*n + den - 1) / den)
+    ceil_tn = F.floor((t_num * F.col("n") + (t_den - 1)) / t_den)
+    prefix = ranked.filter(F.col("rk") <= F.col("n") - ceil_tn + 1).select(
+        F.col(id_col).alias("pid"), "base"
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.base") == F.col("pb.base"))
+            & (F.col("pa.pid") < F.col("pb.pid")),
+        )
+        .select(F.col("pa.pid").alias("id_a"), F.col("pb.pid").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col(f"sb.{id_col}"))
+            & (F.col("sa.base") == F.col("sb.base")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .filter(t_den * F.col("n_inter") >= t_num * F.col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union")
+    )

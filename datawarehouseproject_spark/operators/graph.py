@@ -131,3 +131,47 @@ def canonical_map(
         components, docs[id_col] == components["node"], "left_anti"
     ).select(F.col(id_col), F.col(id_col).alias("canonical_id"))
     return mapped.unionByName(singles)
+
+
+def bounded_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """(node, hops): minimum hop distance from any seed, hops ≤ max_hops.
+
+    Frontier-based breadth-first search as a driver-side loop of
+    distributed steps: each round joins only the NEW frontier against
+    the edge list and anti-joins already-reached nodes, so every edge
+    is traversed at most once per frontier membership — the textbook
+    distributed BFS (Pregel's traversal pattern as DataFrame ops).
+    The recursive-CTE equivalent without frontier dedup re-expands
+    every path and goes exponential on dense graphs.
+
+    ``edges`` is directed (callers symmetrize for undirected graphs);
+    ``seeds`` holds distinct starting nodes in column ``node``.
+    ``localCheckpoint`` truncates lineage per round (same reason as
+    :func:`connected_components`); the loop exits early when the
+    frontier empties, so max_hops only bounds the work.
+    """
+    reached = seeds.select(F.col(node).alias("node")).distinct().withColumn(
+        "hops", F.lit(0)
+    ).localCheckpoint()
+    frontier = reached.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return reached

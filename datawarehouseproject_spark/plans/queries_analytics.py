@@ -2889,3 +2889,68 @@ def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         (num > 0).alias("growing"),
     )
+
+
+@register(
+    "part_reachability_bfs",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    bfs AS (
+      SELECT p_partkey AS node, 0 AS hops
+      FROM part WHERE p_type = 'PROMO' AND p_size = 50
+      UNION
+      SELECT e.dst, b.hops + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.hops < 3
+    )
+    SELECT node AS p_partkey, CAST(min(hops) AS INT) AS hops
+    FROM bfs GROUP BY node
+    """,
+    tags=("graph", "bfs", "iterative", "recursive-cte"),
+)
+def q_part_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from seed parts over the co-purchase
+    graph (parts sharing an order are adjacent), bounded at 3 hops —
+    the engine's bounded-traversal class, the DataFrame answer to a
+    recursive CTE (which the reference's MySQL 8 could run but its
+    pipeline never does; sql_commands has no WITH RECURSIVE).
+
+    The oracle IS a recursive CTE; the engine runs frontier BFS
+    (:func:`~..operators.graph.bounded_bfs`): per round, only the
+    newly-reached frontier joins the edge list, then anti-joins the
+    reached set — each round is one shuffle keyed on the partkey, and
+    dense graphs can't re-expand paths the way naive UNION ALL
+    recursion does. Edge building is the only fact-fact self-join
+    (keyed on l_orderkey — bucket-friendly); at 100 TB the edge list
+    would persist bucketed by src and every BFS reuses it
+    shuffle-free."""
+    _utc(spark)
+    from ..operators.graph import bounded_bfs
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "PROMO") & (F.col("p_size") == 50))
+        .select(F.col("p_partkey").alias("node"))
+    )
+    out = bounded_bfs(edges, seeds, max_hops=3)
+    return out.select(
+        F.col("node").alias("p_partkey"), F.col("hops").cast("int").alias("hops")
+    )

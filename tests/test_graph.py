@@ -62,3 +62,36 @@ def test_canonical_map_keeps_best_member(spark):
     out = {r["doc_id"]: r["canonical_id"]
            for r in canonical_map(docs, comps).collect()}
     assert out == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10, 99: 99}
+
+
+def test_bounded_bfs_min_hops_and_early_exit(spark):
+    """Diamond + tail: two paths of different length to the same node
+    must record the MIN hop; nodes beyond max_hops are absent; the
+    frontier empties before max_hops (early exit, no error)."""
+    from datawarehouseproject_spark.operators.graph import bounded_bfs
+
+    #  0 -> 1 -> 2 -> 3 -> 4   and a shortcut 0 -> 2
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["hops"]
+           for r in bounded_bfs(edges, seeds, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}  # 2 via shortcut, 4 cut off
+    # max_hops beyond the graph: early exit returns everything
+    got_all = {r["node"]: r["hops"]
+               for r in bounded_bfs(edges, seeds, max_hops=10).collect()}
+    assert got_all == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_bounded_bfs_multi_seed_disconnected(spark):
+    from datawarehouseproject_spark.operators.graph import bounded_bfs
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], ["node"])
+    got = {r["node"]: r["hops"]
+           for r in bounded_bfs(edges, seeds, max_hops=3).collect()}
+    # 20-island unreachable; both seeds at hop 0
+    assert got == {1: 0, 10: 0, 2: 1, 11: 1, 3: 2}
