@@ -50,6 +50,9 @@ FLAGSHIPS = [
     "rfm_segmentation",
     "cohort_ltv",
     "hashed_features",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_suppliers_kept_waiting",
+    "prefix_filter_jaccard_join",
 ]
 
 HEADER = """# Captured physical plans (sf0.001)
