@@ -2954,3 +2954,57 @@ def q_part_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("p_partkey"), F.col("hops").cast("int").alias("hops")
     )
+
+
+@register(
+    "part_triangle_enumeration",
+    oracle="""
+    WITH e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 2
+    )
+    SELECT e1.u AS node_a, e1.v AS node_b, e2.v AS node_c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    tags=("graph", "triangles", "wedge-join", "degree-orientation"),
+)
+def q_part_triangle_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the support-≥2 co-purchase graph (parts bought
+    together in ≥2 distinct orders) — the cluster-cohesion primitive
+    under community detection and recommendation features.
+
+    The oracle enumerates by id order (e1⋈e2⋈e3); the engine runs the
+    degree-ORIENTED wedge join (:func:`~..operators.graph.
+    triangle_enumeration`): edges point from the (degree, id)-smaller
+    endpoint, wedges form only at sources, so max out-degree is
+    O(sqrt(m)) and a hub part with 10k partners contributes ~m wedges
+    instead of 10k² — the difference between a plan that survives a
+    power-law co-purchase graph at 100 TB and one that doesn't. Both
+    produce identical sorted triples. The support threshold (exact
+    count-distinct per pair, keyed on the pair) prunes the noise
+    edges BEFORE any quadratic step."""
+    _utc(spark)
+    from ..operators.graph import triangle_enumeration
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return triangle_enumeration(edges)

@@ -95,3 +95,39 @@ def test_bounded_bfs_multi_seed_disconnected(spark):
            for r in bounded_bfs(edges, seeds, max_hops=3).collect()}
     # 20-island unreachable; both seeds at hop 0
     assert got == {1: 0, 10: 0, 2: 1, 11: 1, 3: 2}
+
+
+def test_triangle_enumeration_exact_and_once(spark):
+    """K4 has exactly 4 triangles; a hub star adds none; each triangle
+    appears exactly once as a sorted triple regardless of input edge
+    order."""
+    from itertools import combinations
+
+    from datawarehouseproject_spark.operators.graph import (
+        triangle_enumeration,
+    )
+
+    k4 = list(combinations([1, 2, 3, 4], 2))
+    star = [(100, i) for i in range(5, 40)]     # hub, no triangles
+    extra = [(5, 6), (100, 5), (100, 6)]        # one triangle via hub
+    # scramble orientation: half the edges reversed, one duplicate
+    edges = [(b, a) if (a + b) % 2 else (a, b)
+             for a, b in k4 + star + extra] + [(2, 1)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = sorted(
+        (r["node_a"], r["node_b"], r["node_c"])
+        for r in triangle_enumeration(df).collect()
+    )
+    expected = sorted(
+        [t for t in combinations([1, 2, 3, 4], 3)] + [(5, 6, 100)]
+    )
+    assert got == expected
+
+
+def test_triangle_enumeration_no_triangles(spark):
+    from datawarehouseproject_spark.operators.graph import (
+        triangle_enumeration,
+    )
+
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
+    assert triangle_enumeration(chain).count() == 0
