@@ -243,3 +243,50 @@ def triangle_enumeration(
     return closed.select(
         tri[0].alias("node_a"), tri[1].alias("node_b"), tri[2].alias("node_c")
     )
+
+
+def common_neighbor_candidates(
+    edges: DataFrame, min_common: int = 2, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Link prediction by common-neighbor count: NON-adjacent node
+    pairs sharing ≥ ``min_common`` neighbors, with the count — the
+    "customers who bought X also bought Y" primitive (integer-exact,
+    no log-weighted Adamic-Adar term whose float sum order could
+    drift between engines).
+
+    Open wedges are the exact complement of the triangle join: the
+    same wedge formation, then an ANTI join against the edge set
+    instead of a closing join. The wedge count is bounded by the same
+    degree algebra as :func:`triangle_enumeration` — callers with
+    skewed graphs should pre-filter edges (support thresholds) the
+    same way. Returns (node_a, node_b, common_neighbors), node_a <
+    node_b, each pair once."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    sym = e.select(F.col("lo").alias("s"), F.col("hi").alias("n")).unionAll(
+        e.select(F.col("hi").alias("s"), F.col("lo").alias("n"))
+    )
+    w1 = sym.select("s", F.col("n").alias("y"))
+    w2 = sym.select("s", F.col("n").alias("z"))
+    wedges = (
+        w1.join(w2, "s")
+        .filter(F.col("y") < F.col("z"))
+        .groupBy("y", "z")
+        .agg(F.count("*").alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    return wedges.join(
+        e.select(F.col("lo").alias("y"), F.col("hi").alias("z")),
+        ["y", "z"],
+        "left_anti",
+    ).select(
+        F.col("y").alias("node_a"),
+        F.col("z").alias("node_b"),
+        "common_neighbors",
+    )

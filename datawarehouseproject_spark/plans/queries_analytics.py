@@ -3008,3 +3008,59 @@ def q_part_triangle_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return triangle_enumeration(edges)
+
+
+@register(
+    "link_prediction_common_neighbors",
+    oracle="""
+    WITH e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 2
+    ),
+    sym AS (SELECT u AS s, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    wedge AS (
+      SELECT a.n AS node_a, b.n AS node_b, count(*) AS common_neighbors
+      FROM sym a JOIN sym b ON a.s = b.s AND a.n < b.n
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT node_a, node_b, common_neighbors
+    FROM wedge w
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e WHERE e.u = w.node_a AND e.v = w.node_b
+    )
+    """,
+    tags=("graph", "link-prediction", "wedge-join", "anti-join"),
+)
+def q_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation candidates on the support-≥2 co-purchase graph:
+    part pairs NEVER bought together that share ≥2 co-purchase
+    partners — common-neighbor link prediction, the open-wedge
+    complement of `part_triangle_enumeration` (same wedge formation,
+    ANTI join against the edge set instead of the closing join). The
+    score is an integer count, so there is no Adamic-Adar-style float
+    sum for the engines to disagree on; the NOT EXISTS lowers to a
+    broadcast-able anti join on the (node_a, node_b) pair key."""
+    _utc(spark)
+    from ..operators.graph import common_neighbor_candidates
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return common_neighbor_candidates(edges, min_common=2)

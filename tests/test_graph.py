@@ -131,3 +131,28 @@ def test_triangle_enumeration_no_triangles(spark):
 
     chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
     assert triangle_enumeration(chain).count() == 0
+
+
+def test_common_neighbor_candidates_excludes_adjacent(spark):
+    """Square 1-2-3-4-1: diagonals (1,3) and (2,4) each share two
+    neighbors and are non-adjacent -> predicted; adjacent pairs are
+    excluded even when they also share neighbors (add diagonal 1-3
+    as an edge and it must disappear from predictions)."""
+    from datawarehouseproject_spark.operators.graph import (
+        common_neighbor_candidates,
+    )
+
+    square = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(square, ["u", "v"])
+    got = {
+        (r["node_a"], r["node_b"]): r["common_neighbors"]
+        for r in common_neighbor_candidates(df, min_common=2).collect()
+    }
+    assert got == {(1, 3): 2, (2, 4): 2}
+
+    with_diag = spark.createDataFrame(square + [(3, 1)], ["u", "v"])
+    got2 = {
+        (r["node_a"], r["node_b"]): r["common_neighbors"]
+        for r in common_neighbor_candidates(with_diag, min_common=2).collect()
+    }
+    assert got2 == {(2, 4): 2}
