@@ -3064,3 +3064,45 @@ def q_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> Data
         .select("u", "v")
     )
     return common_neighbor_candidates(edges, min_common=2)
+
+
+@register(
+    "k_anonymity_report",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS INT) AS bal_band,
+             count(*) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band, class_size
+    FROM classes
+    WHERE class_size < 5
+    """,
+    tags=("governance", "privacy", "k-anonymity"),
+)
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk report: quasi-identifier equivalence
+    classes (nation × market segment × coarsened balance band)
+    smaller than k=5 — the rows a release would have to suppress or
+    generalize further before publication (Sweeney's k-anonymity;
+    the same report drives the generalize/suppress loop in any
+    release pipeline). Pure groupBy-HAVING: one shuffle on the
+    quasi-identifier key with map-side partial counts; at 100 TB the
+    class table is cardinality-bounded by the QI domain, not the row
+    count, so the risk scan stays dim-sized no matter how large the
+    release is. Complements `pii_redaction` (column-level masking)
+    with row-level linkage risk."""
+    _utc(spark)
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+        )
+        .agg(F.count("*").alias("class_size"))
+        .filter(F.col("class_size") < 5)
+    )
