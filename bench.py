@@ -155,6 +155,11 @@ HEADLINE = [
     "shot_boundaries",
     "wav_audio_features",
     "audio_activity_segments",
+    "part_triangle_enumeration",
+    "part_reachability_bfs",
+    "link_prediction_common_neighbors",
+    "prefix_filter_jaccard_join",
+    "k_anonymity_report",
 ]
 
 
@@ -192,14 +197,44 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    full_line = json.dumps(payload)
+    # The driver captures a bounded tail of the output; in round 5 the
+    # single ~4 KB JSON line had its HEAD cut by that window (VERDICT
+    # r5: BENCH_r05.json parsed:null).  Emit three redundant forms so
+    # any capture parses:
+    #   1. the full JSON (with per-query timings) as the FIRST stdout
+    #      line,
+    #   2. the same object persisted to BENCH.json next to this script,
+    #   3. a compact LAST line small enough to always fit whole in a
+    #      tail window (metric/value/unit/sf + a pointer to the file).
+    print(full_line)
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+    )
+    try:
+        with open(bench_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # never let the artifact write kill the run
+        print(f"# BENCH.json write failed: {exc}", file=sys.stderr)
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries_file": "BENCH.json",
             }
         )
     )

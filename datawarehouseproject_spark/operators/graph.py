@@ -246,7 +246,11 @@ def triangle_enumeration(
 
 
 def common_neighbor_candidates(
-    edges: DataFrame, min_common: int = 2, src: str = "u", dst: str = "v"
+    edges: DataFrame,
+    min_common: int = 2,
+    src: str = "u",
+    dst: str = "v",
+    max_center_degree: int | None = None,
 ) -> DataFrame:
     """Link prediction by common-neighbor count: NON-adjacent node
     pairs sharing ≥ ``min_common`` neighbors, with the count — the
@@ -254,13 +258,33 @@ def common_neighbor_candidates(
     no log-weighted Adamic-Adar term whose float sum order could
     drift between engines).
 
-    Open wedges are the exact complement of the triangle join: the
-    same wedge formation, then an ANTI join against the edge set
-    instead of a closing join. The wedge count is bounded by the same
-    degree algebra as :func:`triangle_enumeration` — callers with
-    skewed graphs should pre-filter edges (support thresholds) the
-    same way. Returns (node_a, node_b, common_neighbors), node_a <
-    node_b, each pair once."""
+    Open wedges are the complement of the triangle join, but their
+    cost algebra is NOT: triangle enumeration can orient every edge
+    from its (degree, id)-smaller endpoint because each triangle has
+    exactly one all-out apex, which caps wedge formation at
+    out-degree O(sqrt(m)). An open wedge y–s–z has no closing edge to
+    recover from another orientation — a wedge whose center ``s``
+    only has in-edges is visible at ``s`` alone — so EXACT counting
+    must materialize all C(d, 2) wedge instances at every center: a
+    degree-d hub inherently contributes d² intermediate rows, no
+    orientation trick removes them (the output itself can contain the
+    d² follower pairs).
+
+    The scalable mitigation is therefore semantic, not physical:
+    ``max_center_degree`` drops centers whose degree exceeds the cap
+    BEFORE wedge formation, bounding the wedge join at
+    O(m · max_center_degree) rows total. This is the standard
+    recommender-system move — a common neighbor shared by everyone
+    ("also bought the best-seller") carries no signal, so discarding
+    ultra-popular centers changes scores only where they were least
+    informative. The cap is a deterministic predicate on the degree
+    table, so an oracle engine applying the same cap produces
+    identical counts — callers at 100 TB pick a cap (e.g. 256) and
+    encode it on both sides. ``None`` keeps exact semantics for
+    small/pre-thresholded graphs.
+
+    Returns (node_a, node_b, common_neighbors), node_a < node_b,
+    each pair once."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -272,6 +296,16 @@ def common_neighbor_candidates(
     sym = e.select(F.col("lo").alias("s"), F.col("hi").alias("n")).unionAll(
         e.select(F.col("hi").alias("s"), F.col("lo").alias("n"))
     )
+    if max_center_degree is not None:
+        keep = (
+            sym.groupBy("s")
+            .agg(F.count("*").alias("__deg"))
+            .filter(F.col("__deg") <= F.lit(max_center_degree))
+            .select("s")
+        )
+        # broadcast-able in the common case (few distinct nodes vs
+        # wedge rows); Spark picks shuffle-hash/SMJ if it isn't
+        sym = sym.join(keep, "s")
     w1 = sym.select("s", F.col("n").alias("y"))
     w2 = sym.select("s", F.col("n").alias("z"))
     wedges = (

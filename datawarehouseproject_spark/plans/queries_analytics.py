@@ -3021,9 +3021,11 @@ def q_part_triangle_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING count(DISTINCT a.l_orderkey) >= 2
     ),
     sym AS (SELECT u AS s, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    keep AS (SELECT s FROM sym GROUP BY s HAVING count(*) <= 256),
+    capped AS (SELECT sym.s, sym.n FROM sym JOIN keep ON keep.s = sym.s),
     wedge AS (
       SELECT a.n AS node_a, b.n AS node_b, count(*) AS common_neighbors
-      FROM sym a JOIN sym b ON a.s = b.s AND a.n < b.n
+      FROM capped a JOIN capped b ON a.s = b.s AND a.n < b.n
       GROUP BY 1, 2
       HAVING count(*) >= 2
     )
@@ -3043,7 +3045,17 @@ def q_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> Data
     ANTI join against the edge set instead of the closing join). The
     score is an integer count, so there is no Adamic-Adar-style float
     sum for the engines to disagree on; the NOT EXISTS lowers to a
-    broadcast-able anti join on the (node_a, node_b) pair key."""
+    broadcast-able anti join on the (node_a, node_b) pair key.
+
+    Centers with degree > 256 are dropped before wedge formation —
+    on BOTH sides, so the oracle stays value-exact — bounding the
+    wedge join at O(m·256) rows on any graph (see
+    :func:`~..operators.graph.common_neighbor_candidates` for why
+    exact open-wedge counting is inherently Σd² at hubs: unlike
+    triangles there is no closing edge to re-orient against). At the
+    test SFs max degree is 13 so the cap is inert; on a power-law
+    co-purchase graph at 100 TB it is the difference between a
+    bounded plan and a best-seller-part d² blowup."""
     _utc(spark)
     from ..operators.graph import common_neighbor_candidates
 
@@ -3063,7 +3075,7 @@ def q_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("w") >= 2)
         .select("u", "v")
     )
-    return common_neighbor_candidates(edges, min_common=2)
+    return common_neighbor_candidates(edges, min_common=2, max_center_degree=256)
 
 
 @register(

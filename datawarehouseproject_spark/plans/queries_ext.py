@@ -2151,9 +2151,17 @@ def q_customer_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "forward_fill_series",
     oracle="""
-    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
-    users AS (SELECT DISTINCT user_id FROM events),
-    spine AS (SELECT user_id, day FROM users CROSS JOIN days),
+    WITH span AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
     obs AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
              max(CAST(value AS DECIMAL(12,2))) AS v
@@ -2171,20 +2179,36 @@ def q_customer_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("time-series", "gap-fill", "window"),
 )
 def q_forward_fill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-filled daily series: a (user × observed-day) spine left-
-    joined to per-day purchase observations, forward-filled with
+    """Gap-filled daily series: a per-user daily spine left-joined to
+    per-day purchase observations, forward-filled with
     ``last(..., ignorenulls=True)`` — the LOCF (last observation
     carried forward) every feature-store daily snapshot needs. One
     window sort per user partition; days with no purchase yet are
     NULL on both engines. Observations aggregate in exact DECIMAL
-    before the fill."""
+    before the fill.
+
+    The spine is each user's own ``sequence(min(day), max(day))``
+    exploded — NOT ``users × global-days`` (the round-5 shape): a
+    dense cross-join spine is |users|·|days| rows and at 100 TB
+    (billions of users × years) dwarfs the fact table, while the
+    per-user span is proportional to each user's activity window and
+    is the same bounded shape ``interpolate_series`` uses. No
+    CartesianProduct appears in the plan."""
     _utc(spark)
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    days = ev.select(F.to_date("ts").alias("day")).distinct()
-    users = ev.select("user_id").distinct()
-    spine = users.crossJoin(days)
+    spine = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            F.max(F.to_date("ts")).alias("d1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
     obs = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.to_date("ts").alias("day"))
