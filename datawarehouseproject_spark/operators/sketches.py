@@ -574,6 +574,60 @@ def sql_quantile_oracle(
     """
 
 
+def equi_depth_bounds(sketch: DataFrame, n_buckets: int) -> DataFrame:
+    """Equi-depth bucket boundaries from a bottom-k quantile sketch:
+    a 1-row frame with ``bs`` = array of ``n_buckets - 1`` boundary
+    values (the sample elements at integer ranks
+    ``(j * (n-1)) div n_buckets``, sample ordered by ``(val, hv)`` —
+    the same deterministic rank convention as
+    :func:`quantile_estimate`).
+
+    This is the 100 TB path for equi-depth histograms: the full-data
+    exact ``percentile()`` aggregate buffers EVERY value in one
+    aggregation state (a single-point memory hazard), while the
+    sketch shuffles ≤k rows no matter the input size and the boundary
+    selection runs on that k-row frame. Determinism makes the bounds
+    oracle-twinnable (see :func:`sql_equi_depth_bounds`)."""
+    arr = sketch.agg(
+        F.array_sort(F.collect_list(F.struct("val", "hv"))).alias("s")
+    )
+    return arr.select(
+        F.expr(
+            f"transform(sequence(1, {int(n_buckets) - 1}), "
+            f"j -> element_at(s, CAST((j * (size(s) - 1)) DIV "
+            f"{int(n_buckets)} AS INT) + 1).val)"
+        ).alias("bs")
+    )
+
+
+def sql_equi_depth_bounds(
+    table: str,
+    value_col: str,
+    key_expr: str,
+    n_buckets: int,
+    k: int = 256,
+    salt: str = "qs:",
+) -> str:
+    """DuckDB twin of ``quantile_sketch`` + :func:`equi_depth_bounds`:
+    a CTE body (``SELECT bs``) producing the identical boundary
+    array. ``key_expr`` is the row-key SQL expression (VARCHAR)."""
+    return f"""
+    SELECT list_transform(range(1, {int(n_buckets)}),
+             j -> vs[CAST((j * (n - 1)) // {int(n_buckets)} AS INT) + 1]) AS bs
+    FROM (
+      SELECT list(val ORDER BY val, hv) AS vs, count(*) AS n
+      FROM (
+        SELECT hv, val FROM (
+          SELECT CAST('0x' || substring(md5('{salt}' || {key_expr}), 1, 15)
+                      AS BIGINT) AS hv,
+                 {value_col} AS val
+          FROM {table}
+        ) ORDER BY hv LIMIT {int(k)}
+      )
+    )
+    """
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: set membership, completing the sketch family (HLL =
 # distinct count, CMS = frequency, bottom-k = quantiles, Bloom =

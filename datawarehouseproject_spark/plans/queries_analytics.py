@@ -538,13 +538,17 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment counts strictly-smaller boundaries.
 
     Scale shape: ONE aggregate computes all seven interpolated
-    boundaries (exact ``percentile`` here; at 100 TB swap in
-    ``percentile_approx`` or the KLL sketch from
-    ``operators/sketches.py`` — same plan shape), the 7-element
-    boundary array rides along as a broadcast scalar subquery, and
-    assignment + counting are map-side combinable. No global sort —
-    the naive equi-depth via ntile() would single-partition the
-    whole table.
+    boundaries, the 7-element boundary array rides along as a
+    broadcast scalar subquery, and assignment + counting are
+    map-side combinable. No global sort — the naive equi-depth via
+    ntile() would single-partition the whole table.
+
+    The exact ``percentile()`` here buffers every value in one
+    aggregation state — fine at test SF, a single-point memory
+    hazard at 100 TB; `equi_depth_histogram_sketch` is the SAME plan
+    with the boundary aggregate swapped for the bottom-k quantile
+    sketch (≤k rows shuffled regardless of input), and
+    ``tests/test_sketches.py`` pins the two within depth tolerance.
     """
     _utc(spark)
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
@@ -554,6 +558,13 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D))"
         ).alias("bs")
     )
+    return _equi_depth_assign(li, bounds)
+
+
+def _equi_depth_assign(li: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Shared equi-depth tail: broadcast the 1-row boundary array,
+    assign each value the count of strictly-smaller boundaries + 1,
+    then a map-side-combinable (bucket → n, lo, hi) aggregate."""
     assigned = li.crossJoin(F.broadcast(bounds)).select(
         F.col("l_extendedprice").alias("v"),
         (
@@ -570,6 +581,64 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 2).alias("lo"),
         F.round(F.max("v"), 2).alias("hi"),
     )
+
+
+def _equi_depth_sketch_oracle() -> str:
+    from ..operators.sketches import sql_equi_depth_bounds
+
+    bounds = sql_equi_depth_bounds(
+        "lineitem",
+        "l_extendedprice",
+        "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)",
+        n_buckets=8,
+        k=1024,
+    )
+    return f"""
+    WITH bounds AS ({bounds}),
+    assigned AS (
+        SELECT l.l_extendedprice AS v,
+               1 + len(list_filter(b.bs, x -> x < l.l_extendedprice))
+                   AS bucket
+        FROM lineitem l, bounds b)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(v), 2) AS lo,
+           round(max(v), 2) AS hi
+    FROM assigned GROUP BY bucket
+    """
+
+
+@register(
+    "equi_depth_histogram_sketch",
+    oracle=_equi_depth_sketch_oracle(),
+    tags=("histogram", "equi-depth", "sketch", "bottom-k"),
+)
+def q_equi_depth_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`equi_depth_histogram`'s 100 TB path: identical assignment and
+    counting plan, but the 7 boundaries come from the deterministic
+    bottom-k quantile sketch (``operators/sketches.py``) instead of
+    the exact ``percentile()`` aggregate. The sketch's aggregation
+    state is ≤k (hash, value) pairs — constant memory at any input
+    size — where exact percentile buffers EVERY value in one
+    aggregation buffer. Rows are sampled uniformly by hashing the
+    (l_orderkey, l_linenumber) primary key, so the sample (and hence
+    every boundary) is bitwise-reproducible on any engine: the DuckDB
+    oracle recomputes the same bottom-1024 sample and hash-matches
+    the bucket counts exactly."""
+    _utc(spark)
+    from ..operators.sketches import equi_depth_bounds, quantile_sketch
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+    )
+    sk = quantile_sketch(li, "l_extendedprice", "rid", k=1024)
+    bounds = equi_depth_bounds(sk, n_buckets=8)
+    return _equi_depth_assign(li.select("l_extendedprice"), bounds)
 
 
 @register(

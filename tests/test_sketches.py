@@ -402,3 +402,39 @@ def test_bloom_prefilter_large_no_false_negatives(spark):
     assert plain == pre
     # and the filter actually filters (FP rate far below 1 at 10 bits/key)
     assert len(kept_keys) < 3000
+
+
+def test_equi_depth_sketch_parity_sf01(spark):
+    """The sketch-backed equi-depth histogram approximates the exact
+    one at bench scale (sf0.1): same total row count, every bucket
+    within 30% of the ideal depth N/8 (k=1024 bottom-k sample ⇒
+    ~128 samples per bucket, 3σ ≈ 26%), and boundaries consistent
+    (bucket lo/hi ranges non-overlapping in order)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    from datawarehouseproject_spark.plans.registry import queries
+
+    fns = queries()
+    exact = {
+        r["bucket"]: r
+        for r in fns["equi_depth_histogram"](spark, sf_dir).collect()
+    }
+    sk = {
+        r["bucket"]: r
+        for r in fns["equi_depth_histogram_sketch"](spark, sf_dir).collect()
+    }
+    total_exact = sum(r["n"] for r in exact.values())
+    total_sk = sum(r["n"] for r in sk.values())
+    assert total_exact == total_sk  # assignment never drops rows
+    ideal = total_exact / 8
+    for b, r in sk.items():
+        assert abs(r["n"] - ideal) / ideal < 0.30, (b, r["n"], ideal)
+    # bucket value ranges are ordered and non-overlapping
+    ordered = [sk[b] for b in sorted(sk)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["hi"] <= b["lo"]
