@@ -160,6 +160,9 @@ HEADLINE = [
     "link_prediction_common_neighbors",
     "prefix_filter_jaccard_join",
     "k_anonymity_report",
+    "part_k_truss",
+    "part_pagerank",
+    "equi_depth_histogram_sketch",
 ]
 
 

@@ -324,3 +324,162 @@ def common_neighbor_candidates(
         F.col("z").alias("node_b"),
         "common_neighbors",
     )
+
+
+def edge_support(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-edge triangle support: (lo, hi, support) for every edge
+    that closes ≥1 triangle, via the degree-ORIENTED triangle join
+    (:func:`triangle_enumeration`) — each triangle contributes one
+    count to each of its three edges, so support falls out of an
+    explode + groupBy on the enumerated triples. Inherits the
+    O(sqrt(m)) wedge bound; edges in no triangle are absent (callers
+    coalesce to 0)."""
+    tri = triangle_enumeration(edges, src=src, dst=dst)
+    pairs = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("node_a").alias("lo"), F.col("node_b").alias("hi")
+                ),
+                F.struct(
+                    F.col("node_a").alias("lo"), F.col("node_c").alias("hi")
+                ),
+                F.struct(
+                    F.col("node_b").alias("lo"), F.col("node_c").alias("hi")
+                ),
+            )
+        ).alias("e")
+    ).select("e.lo", "e.hi")
+    return pairs.groupBy("lo", "hi").agg(F.count("*").alias("support"))
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 12,
+    strict: bool = True,
+) -> DataFrame:
+    """The k-truss of an undirected graph: the maximal subgraph whose
+    every edge participates in ≥ k-2 triangles WITHIN the subgraph —
+    the standard cohesive-community primitive one notch stronger than
+    connected components (Cohen 2008; public algorithm).
+
+    Iterative peeling as a driver-side loop over distributed rounds:
+    each round computes per-edge support with the degree-oriented
+    triangle join (:func:`edge_support`, O(m^1.5) worst case,
+    hub-safe) and drops edges below k-2; removal can break other
+    edges' triangles, so the loop repeats until a round removes
+    nothing. Rounds needed = peeling depth (small in practice);
+    ``max_rounds`` bounds pathological chains and, like
+    :func:`connected_components`, the default is to RAISE rather
+    than return a silently-non-maximal subgraph. ``localCheckpoint``
+    truncates lineage per round.
+
+    Returns surviving edges as (node_a, node_b, support), node_a <
+    node_b, support = triangle count in the final subgraph."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        sup = edge_support(e, src="lo", dst="hi")
+        kept = (
+            e.join(sup, ["lo", "hi"], "left")
+            .withColumn("support", F.coalesce("support", F.lit(0)))
+            .filter(F.col("support") >= F.lit(k - 2))
+            .localCheckpoint()
+        )
+        n_old, n_new = e.count(), kept.count()
+        e = kept.select("lo", "hi")
+        if n_new == n_old or n_new == 0:
+            return kept.select(
+                F.col("lo").alias("node_a"),
+                F.col("hi").alias("node_b"),
+                F.col("support").cast("bigint").alias("support"),
+            )
+    msg = f"k_truss did not converge in {max_rounds} peeling rounds"
+    if strict:
+        raise RuntimeError(msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=2)
+    return kept.select(
+        F.col("lo").alias("node_a"),
+        F.col("hi").alias("node_b"),
+        F.col("support").cast("bigint").alias("support"),
+    )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "u",
+    dst: str = "v",
+    one: int = 1_000_000,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the symmetrized graph in INTEGER
+    micro-units — every rank is a BIGINT multiple of 1/``one``, every
+    per-edge contribution is ``rank DIV degree`` and the damped
+    update is ``(100-damp)*one/100 + damp*sum DIV 100``: pure integer
+    arithmetic, so sums are associative and the result is
+    bit-identical on any engine and any partitioning (the float
+    formulation's sum order would drift between engines — the same
+    trick as the integer-quantized surprisal scores).
+
+    Each iteration is one join (ranks → edges) + one aggregation
+    (sum by destination) — the Pregel message pattern as DataFrame
+    ops, lineage truncated per round. Undirected symmetrization means
+    no dangling nodes (every node has out-degree ≥ 1). Returns
+    (node, rank_micros)."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+            .filter(F.col("s") != F.col("d"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
+    base = int((100 - damp_pct) * one) // 100
+    ranks = deg.select(
+        F.col("s").alias("node"), F.lit(int(one)).cast("bigint").alias("r")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            sym.join(deg, "s")
+            .join(ranks, sym["s"] == ranks["node"])
+            .select(
+                F.col("d"),
+                F.expr("r DIV deg").alias("c"),
+            )
+        )
+        agg = contrib.groupBy(F.col("d").alias("node")).agg(
+            F.sum("c").alias("m")
+        )
+        ranks = (
+            deg.select(F.col("s").alias("node"))
+            .join(agg, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({int(damp_pct)} * coalesce(m, 0L)) DIV 100"
+                    )
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_micros"))

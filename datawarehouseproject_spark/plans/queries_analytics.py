@@ -3060,23 +3060,7 @@ def q_part_triangle_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from ..operators.graph import triangle_enumeration
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.countDistinct("a.l_orderkey").alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
-    return triangle_enumeration(edges)
+    return triangle_enumeration(_copurchase_edges(spark, sf_dir))
 
 
 @register(
@@ -3128,10 +3112,29 @@ def q_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> Data
     _utc(spark)
     from ..operators.graph import common_neighbor_candidates
 
+    return common_neighbor_candidates(
+        _copurchase_edges(spark, sf_dir), min_common=2, max_center_degree=256
+    )
+
+
+_COPURCHASE_EDGES_SQL = """
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 2
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-≥2 co-purchase part graph — the shared input of the
+    graph family (triangles, BFS, link prediction, k-truss,
+    PageRank): distinct part pairs bought together in ≥2 distinct
+    orders, u < v."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -3144,7 +3147,114 @@ def q_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("w") >= 2)
         .select("u", "v")
     )
-    return common_neighbor_candidates(edges, min_common=2, max_center_degree=256)
+
+
+def _ktruss_oracle(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled peeling oracle: DuckDB can't aggregate in a recursive
+    CTE, so each peel round is its own (sym, support, filter) CTE
+    chain; extra rounds past convergence are no-ops, and the ENGINE
+    raises if it ever needs more than its max_rounds, so the fixed
+    unroll can't silently diverge. Final support is recomputed on the
+    converged edge set. Every CTE is MATERIALIZED — default inlining
+    would expand the round chain into 3^rounds copies of the lineitem
+    self-join (observed as an fd-exhaustion blowup)."""
+    parts = [f"WITH e0 AS MATERIALIZED ({_COPURCHASE_EDGES_SQL})"]
+    for i in range(rounds):
+        parts.append(f"""
+    , sym{i} AS MATERIALIZED (SELECT u AS s, v AS n FROM e{i}
+                 UNION ALL SELECT v, u FROM e{i}),
+    sup{i} AS MATERIALIZED (
+      SELECT e{i}.u, e{i}.v, count(*) AS s
+      FROM e{i} JOIN sym{i} a ON a.s = e{i}.u
+                JOIN sym{i} b ON b.s = e{i}.v AND b.n = a.n
+      GROUP BY e{i}.u, e{i}.v
+    ),
+    e{i + 1} AS MATERIALIZED (SELECT u, v FROM sup{i} WHERE s >= {k - 2})""")
+    parts.append(f"""
+    , symF AS MATERIALIZED (SELECT u AS s, v AS n FROM e{rounds}
+               UNION ALL SELECT v, u FROM e{rounds}),
+    supF AS MATERIALIZED (
+      SELECT e{rounds}.u, e{rounds}.v, count(*) AS s
+      FROM e{rounds} JOIN symF a ON a.s = e{rounds}.u
+                     JOIN symF b ON b.s = e{rounds}.v AND b.n = a.n
+      GROUP BY e{rounds}.u, e{rounds}.v
+    )
+    SELECT u AS node_a, v AS node_b, CAST(s AS BIGINT) AS support
+    FROM supF WHERE s >= {k - 2}""")
+    return "".join(parts)
+
+
+@register(
+    "part_k_truss",
+    oracle=_ktruss_oracle(k=3, rounds=6),
+    tags=("graph", "k-truss", "community", "iterative"),
+)
+def q_part_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the co-purchase graph: the maximal subgraph where
+    every surviving edge still closes ≥1 triangle AFTER weaker edges
+    are peeled away — the cohesive product-community core one notch
+    stronger than connected components (a bridge edge joins two
+    components; it never survives a truss). Engine: iterative peeling
+    with per-round support from the degree-ORIENTED triangle join
+    (`operators/graph.py:k_truss`), hub-safe at 100 TB; rounds =
+    peeling depth, convergence enforced (raises rather than return a
+    non-maximal subgraph). Oracle: the same peeling unrolled to 6
+    fixed rounds (no-op past convergence)."""
+    _utc(spark)
+    from ..operators.graph import k_truss
+
+    return k_truss(_copurchase_edges(spark, sf_dir), k=3)
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled integer-PageRank oracle: one (message, rank) CTE pair
+    per iteration, BIGINT micro-unit arithmetic identical to the
+    engine's (`//` floor-division on positives == Spark's DIV)."""
+    parts = [
+        f"WITH e AS ({_COPURCHASE_EDGES_SQL})",
+        """
+    , sym AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+    r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS r FROM deg)""",
+    ]
+    for i in range(iterations):
+        parts.append(f"""
+    , m{i} AS (
+      SELECT sym.d AS node, sum(r{i}.r // deg.deg) AS m
+      FROM sym JOIN deg ON deg.s = sym.s JOIN r{i} ON r{i}.node = sym.s
+      GROUP BY sym.d
+    ),
+    r{i + 1} AS (
+      SELECT deg.s AS node,
+             CAST(150000 + (85 * coalesce(m{i}.m, 0)) // 100 AS BIGINT) AS r
+      FROM deg LEFT JOIN m{i} ON m{i}.node = deg.s
+    )""")
+    parts.append(f"""
+    SELECT node AS p_partkey, r AS rank_micros FROM r{iterations}""")
+    return "".join(parts)
+
+
+@register(
+    "part_pagerank",
+    oracle=_pagerank_oracle(iterations=5),
+    tags=("graph", "pagerank", "iterative", "integer-deterministic"),
+)
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-iteration PageRank over the co-purchase graph in integer
+    micro-units (`operators/graph.py:pagerank_integer`): per-edge
+    contributions are `rank DIV degree`, the damped update is
+    `150000 + 85·sum DIV 100` — all BIGINT, so sums are associative
+    and the ranks are bit-identical across engines, partitionings,
+    and execution orders (a float PageRank's sum order would drift;
+    same determinism trick as the integer-quantized surprisal).
+    Each iteration is one join + one sum-by-destination — the Pregel
+    message pattern as DataFrame ops, lineage truncated per round."""
+    _utc(spark)
+    from ..operators.graph import pagerank_integer
+
+    return pagerank_integer(
+        _copurchase_edges(spark, sf_dir), iterations=5
+    ).select(F.col("node").alias("p_partkey"), "rank_micros")
 
 
 @register(

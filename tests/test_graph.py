@@ -156,3 +156,79 @@ def test_common_neighbor_candidates_excludes_adjacent(spark):
         for r in common_neighbor_candidates(with_diag, min_common=2).collect()
     }
     assert got2 == {(2, 4): 2}
+
+
+def test_k_truss_peels_bridge_and_pendant(spark):
+    """K4 ∪ pendant edge ∪ a bridge to a separate triangle: the
+    3-truss keeps K4 and the triangle (every edge in ≥1 triangle
+    within the survivor set), drops the pendant and the bridge; K4
+    edges report support 2, triangle edges support 1."""
+    from datawarehouseproject_spark.operators.graph import k_truss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tri = [(10, 11), (10, 12), (11, 12)]
+    extra = [(4, 5), (4, 10)]  # pendant + bridge
+    df = spark.createDataFrame(k4 + tri + extra, ["u", "v"])
+    out = {
+        (r.node_a, r.node_b): r.support for r in k_truss(df, k=3).collect()
+    }
+    assert set(out) == set(k4) | set(tri)
+    assert all(out[e] == 2 for e in k4)
+    assert all(out[e] == 1 for e in tri)
+
+
+def test_k_truss_cascading_peel(spark):
+    """Two triangles sharing an edge, plus a tail triangle hanging by
+    one shared VERTEX: 4-truss requires support ≥2, so the outer
+    triangles peel first and their removal cascades until nothing
+    with support ≥2 remains (this graph has no 4-truss)."""
+    from datawarehouseproject_spark.operators.graph import k_truss
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (4, 6), (5, 6)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    assert k_truss(df, k=4).count() == 0
+    # but the diamond 1-2-3-4 IS a 3-truss member set
+    out3 = {(r.node_a, r.node_b) for r in k_truss(df, k=3).collect()}
+    assert {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)} <= out3
+
+
+def test_k_truss_k4_is_4_truss(spark):
+    from datawarehouseproject_spark.operators.graph import k_truss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(k4, ["u", "v"])
+    out = {(r.node_a, r.node_b): r.support for r in k_truss(df, k=4).collect()}
+    assert set(out) == set(k4)
+    assert all(s == 2 for s in out.values())
+
+
+def test_pagerank_integer_symmetry_and_order(spark):
+    """On a path graph a-b-c, the center must outrank the endpoints
+    and symmetric endpoints must tie EXACTLY (integer determinism);
+    on a 4-cycle all nodes tie exactly."""
+    from datawarehouseproject_spark.operators.graph import pagerank_integer
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
+    r = {x.node: x.rank_micros for x in pagerank_integer(path).collect()}
+    assert r[1] == r[3]
+    assert r[2] > r[1]
+
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], ["u", "v"])
+    rc = {x.node: x.rank_micros for x in pagerank_integer(cyc).collect()}
+    assert len(set(rc.values())) == 1
+    # degree-2 everywhere, rank conserved: each node keeps ~one unit
+    assert abs(rc[1] - 1_000_000) < 10
+
+
+def test_pagerank_integer_star_hub(spark):
+    """Star graph: the hub strictly outranks the leaves, leaves tie
+    exactly, and total rank mass is conserved up to integer-division
+    truncation (sum ≤ n·one, deficit < n·iterations)."""
+    from datawarehouseproject_spark.operators.graph import pagerank_integer
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 7)], ["u", "v"])
+    r = {x.node: x.rank_micros for x in pagerank_integer(star).collect()}
+    leaves = [r[i] for i in range(1, 7)]
+    assert len(set(leaves)) == 1
+    assert r[0] > leaves[0]
+    assert sum(r.values()) <= 7 * 1_000_000
