@@ -1,0 +1,601 @@
+"""Baseline JPEG codec (stdlib + numpy only) for the multimodal path.
+
+The dominant real-world image format, previously the engine's one
+documented extension point (SURVEY §8.4): baseline sequential JFIF —
+marker segments, Annex-K-style huffman tables, zigzag run/size
+entropy coding with byte stuffing, dequantization, and a
+numpy-vectorized 8×8 IDCT over all blocks at once. Encoder and
+decoder are both here because the test harness synthesizes its own
+deterministic JPEGs (same scaffolding pattern as
+:mod:`.png` / :mod:`.gif`); the operator under test is the DECODE.
+
+Supported profile (what the encoder emits; decoder raises on the
+rest, per payload):
+
+- SOF0 baseline sequential, 8-bit samples;
+- 1 (grayscale) or 3 (YCbCr) components, no chroma subsampling
+  (all sampling factors 1×1 — 4:4:4);
+- 8-bit quantization tables; no restart intervals, no progressive,
+  no arithmetic coding. APPn/COM segments are skipped.
+
+Exactness contract for the oracle-checked query: JPEG is lossy, so
+the registry query synthesizes images whose 8×8 blocks are CONSTANT
+gray values. A constant block's DCT is DC-only (AC quantizes to 0),
+the DC quant step is 1, and gray pixels keep Cb=Cr=128 through the
+color transform — so the decoded pixels equal the synthesis formula
+EXACTLY and DuckDB can recompute every channel sum. The AC/huffman
+machinery is pinned separately by exact quantized-coefficient
+round-trip tests (entropy decode must reproduce the encoder's
+coefficients bit-for-bit; that part of JPEG is lossless).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tables: zigzag order, quantization (DC step forced to 1 so DC-only
+# blocks round-trip exactly), and the JPEG Annex K huffman tables
+# (the standard's own example tables — what virtually every encoder
+# ships).
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_Q_LUMA = np.array(
+    [
+        1, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)  # Annex K luminance with Q[0] (DC) set to 1
+
+_Q_CHROMA = np.array(
+    [
+        1, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)  # Annex K chrominance with Q[0] (DC) set to 1
+
+# Annex K huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _build_codes(spec: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]]:
+    """JPEG canonical code assignment: symbol -> (code, length)."""
+    bits, vals = spec
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(
+    spec: tuple[list[int], list[int]]
+) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for table-driven decode."""
+    return {(ln, c): s for s, (c, ln) in _build_codes(spec).items()}
+
+
+_ENC_TABLES = {
+    ("dc", 0): _build_codes(_DC_LUMA_SPEC),
+    ("dc", 1): _build_codes(_DC_CHROMA_SPEC),
+    ("ac", 0): _build_codes(_AC_LUMA_SPEC),
+    ("ac", 1): _build_codes(_AC_CHROMA_SPEC),
+}
+
+# orthonormal 8×8 DCT-II basis; IDCT is the transpose
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = np.cos((2 * _x + 1) * _u * np.pi / 16) * (
+            np.sqrt(1 / 8) if _u == 0 else np.sqrt(2 / 8)
+        )
+
+
+def _dct2(blocks: np.ndarray) -> np.ndarray:
+    """Forward 2D DCT over (n, 8, 8) stacks in one einsum."""
+    return np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+
+
+def _idct2(blocks: np.ndarray) -> np.ndarray:
+    """Inverse 2D DCT over (n, 8, 8) stacks in one einsum — the
+    'numpy-vectorized per MCU' hot loop: every block of the image in
+    a single matmul chain, no per-pixel Python."""
+    return np.einsum("ux,nuv,vy->nxy", _C, blocks, _C)
+
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad a (h, w) plane to 8-multiples by edge replication and cut
+    into (n_blocks, 8, 8) raster order."""
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    return (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        bh,
+        bw,
+    )
+
+
+def _from_blocks(blocks: np.ndarray, bh: int, bw: int, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)[:h, :w]
+    )
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude_bits(v: int, cat: int) -> int:
+    """JPEG signed-magnitude: negatives stored as v - 1 in cat bits."""
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _encode_blocks(
+    writer: _BitWriter, qblocks: np.ndarray, table_id: int, pred: int
+) -> int:
+    """Entropy-encode quantized (n, 64) zigzag blocks; returns the
+    new DC predictor."""
+    dc_codes = _ENC_TABLES[("dc", table_id)]
+    ac_codes = _ENC_TABLES[("ac", table_id)]
+    for blk in qblocks:
+        dc = int(blk[0])
+        diff = dc - pred
+        pred = dc
+        cat = _category(diff)
+        code, ln = dc_codes[cat]
+        writer.write(code, ln)
+        if cat:
+            writer.write(_amplitude_bits(diff, cat), cat)
+        run = 0
+        last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
+        for i in range(1, 64):
+            v = int(blk[i])
+            if i > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            writer.write(code, ln)
+            writer.write(_amplitude_bits(v, cat), cat)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            writer.write(code, ln)
+    return pred
+
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", tag, len(payload) + 2) + payload
+
+
+def _dht_payload(tc_th: int, spec: tuple[list[int], list[int]]) -> bytes:
+    bits, vals = spec
+    return bytes([tc_th] + bits + vals)
+
+
+def encode_jpeg(pixels: np.ndarray, gray: bool = False) -> bytes:
+    """Encode an RGB (h, w, 3) or grayscale (h, w) uint8 array as a
+    baseline sequential JFIF (4:4:4, Annex K huffman tables, DC quant
+    step 1)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if gray or arr.ndim == 2:
+        if arr.ndim == 3:
+            raise ValueError("gray=True expects a (h, w) array")
+        planes = [arr.astype(np.float64)]
+    else:
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError("pixels must be (h, w, 3) RGB or (h, w) gray")
+        r = arr[..., 0].astype(np.float64)
+        g = arr[..., 1].astype(np.float64)
+        b = arr[..., 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+        ]
+    h, w = planes[0].shape
+    n_comp = len(planes)
+    qtabs = [_Q_LUMA] + ([_Q_CHROMA] if n_comp == 3 else [])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _marker(
+        0xFFE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    for tid, q in enumerate(qtabs):
+        # DQT is serialized in ZIGZAG order per the spec; the decoder
+        # multiplies zigzag-order coefficients by these bytes directly
+        out += _marker(
+            0xFFDB, bytes([tid]) + bytes(int(x) for x in q[ZIGZAG])
+        )
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])  # 1×1 sampling, qtab id
+    out += _marker(0xFFC0, sof)
+    specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)]
+    if n_comp == 3:
+        specs += [(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)]
+    for tc_th, spec in specs:
+        out += _marker(0xFFC4, _dht_payload(tc_th, spec))
+    sos = bytes([n_comp])
+    for ci in range(n_comp):
+        tid = min(ci, 1)
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += _marker(0xFFDA, sos)
+
+    # 4:4:4 interleaved MCU = one block per component; quantize all
+    # blocks per component up front (vectorized), then walk MCUs
+    qblocks = []
+    for ci, plane in enumerate(planes):
+        blocks, bh, bw = _to_blocks(plane - 128.0)
+        q = qtabs[min(ci, 1)].reshape(8, 8).astype(np.float64)
+        qz = np.round(_dct2(blocks) / q).astype(np.int64)
+        qblocks.append(qz.reshape(-1, 64)[:, ZIGZAG])
+    writer = _BitWriter()
+    preds = [0] * n_comp
+    for bi in range(qblocks[0].shape[0]):
+        for ci in range(n_comp):
+            preds[ci] = _encode_blocks(
+                writer, qblocks[ci][bi : bi + 1], min(ci, 1), preds[ci]
+            )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with
+    0xFF00 byte-unstuffing; stops at any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        byte = d[p]
+        if byte == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:
+                self.pos = p + 2
+            else:
+                raise ValueError("hit marker inside entropy data")
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG stream")
+
+
+def _extend(bits: int, cat: int) -> int:
+    """Undo signed-magnitude: values with MSB 0 are negative."""
+    if cat == 0:
+        return 0
+    if bits < (1 << (cat - 1)):
+        return bits - (1 << cat) + 1
+    return bits
+
+
+def _parse_segments(payload: bytes):
+    """Walk marker segments up to SOS; returns (state dict, offset of
+    entropy-coded data)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        tag = payload[pos + 1]
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if tag == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq_tq = body[bp]
+                if pq_tq >> 4 != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[pq_tq & 0xF] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=bp + 1
+                ).astype(np.int64)
+                bp += 65
+        elif tag == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc_th = body[bp]
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nv])
+                huff[(tc_th >> 4, tc_th & 0xF)] = _build_decode_table(
+                    (bits, vals)
+                )
+                bp += 17 + nv
+        elif tag == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, sampling, tq = body[6 + ci * 3 : 9 + ci * 3]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif tag == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif tag == 0xDA:  # SOS
+            nc = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(nc)]
+            return {
+                "qt": qt,
+                "huff": huff,
+                "frame": frame,
+                "scan": scan,
+            }, pos + 2 + seglen
+        # APPn / COM / anything else: skip
+        pos += 2 + seglen
+    raise ValueError("no SOS marker found")
+
+
+def decode_jpeg_coefficients(payload: bytes):
+    """Entropy-decode to QUANTIZED coefficient blocks — the lossless
+    half of JPEG, exposed for bit-exact round-trip tests: whatever
+    integers the encoder wrote must come back identically. Returns
+    (height, width, [per-component (n_blocks, 64) zigzag-order
+    arrays], state). All malformed-payload failures surface as
+    ``ValueError`` (the permissive-mode quarantine contract), never
+    ``struct.error``/``IndexError``."""
+    try:
+        state, pos = _parse_segments(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG segment structure: {e}") from e
+    frame = state["frame"]
+    if frame is None:
+        raise ValueError("missing SOF0 frame header")
+    h, w, comps = frame
+    if not (1 <= len(comps) <= 3):
+        raise ValueError("1 or 3 components supported")
+    reader = _BitReader(payload, pos)
+    bh, bw = -(-h // 8), -(-w // 8)
+    n_mcus = bh * bw
+    out = [np.zeros((n_mcus, 64), dtype=np.int64) for _ in comps]
+    scan_tabs = {cid: td_ta for cid, td_ta in state["scan"]}
+    preds = [0] * len(comps)
+    for mi in range(n_mcus):
+        for ci, (cid, _tq) in enumerate(comps):
+            td_ta = scan_tabs[cid]
+            dc_tab = state["huff"].get((0, td_ta >> 4))
+            ac_tab = state["huff"].get((1, td_ta & 0xF))
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("missing huffman table for scan")
+            cat = _read_symbol(reader, dc_tab)
+            diff = _extend(reader.read_bits(cat), cat)
+            preds[ci] += diff
+            blk = out[ci][mi]
+            blk[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _read_symbol(reader, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, cat = rs >> 4, rs & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                blk[k] = _extend(reader.read_bits(cat), cat)
+                k += 1
+    return h, w, out, state
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline JPEG to (width, height, RGB uint8 array).
+
+    Entropy decode per MCU (sequential by nature), then everything
+    heavy — dequantization, un-zigzag, the 8×8 IDCT over every block
+    of the image at once, level shift, clamp, and YCbCr→RGB — runs
+    as whole-image numpy array math. Grayscale payloads replicate
+    luma into all three channels."""
+    h, w, coeff, state = decode_jpeg_coefficients(payload)
+    _h, _w, comps = state["frame"]
+    bh, bw = -(-h // 8), -(-w // 8)
+    planes = []
+    inv_zig = np.empty(64, dtype=np.int64)
+    inv_zig[ZIGZAG] = np.arange(64)
+    for ci, (cid, tq) in enumerate(comps):
+        q = state["qt"].get(tq)
+        if q is None:
+            raise ValueError(f"missing quant table {tq}")
+        deq = (coeff[ci] * q[np.newaxis, :])[:, inv_zig].reshape(-1, 8, 8)
+        spatial = _idct2(deq.astype(np.float64)) + 128.0
+        plane = _from_blocks(spatial, bh, bw, h, w)
+        planes.append(plane)
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, np.stack([y, y, y], axis=-1)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthesis for the oracle-checked registry query.
+# ---------------------------------------------------------------------------
+
+
+def synth_jpeg_size(seed: int) -> tuple[int, int]:
+    """12..33 × 10..34, mostly non-multiples of 8 so edge-block
+    padding/cropping is exercised on every run."""
+    return 12 + (seed % 4) * 7, 10 + (seed % 5) * 6
+
+
+def synth_jpeg_block_value(seed: int, bx: int, by: int) -> int:
+    """Gray value of the 8×8 block at block coords (bx, by) —
+    mirrored verbatim in the DuckDB oracle as
+    ``(seed*7 + (x//8)*13 + (y//8)*29) % 256``."""
+    return (seed * 7 + bx * 13 + by * 29) % 256
+
+
+def synth_jpeg_pixels(seed: int, width: int, height: int) -> np.ndarray:
+    """(h, w, 3) uint8 where every 8×8 block is a constant gray —
+    the construction that makes lossy JPEG decode EXACT (DC-only
+    blocks, DC quant step 1, gray ⇒ Cb=Cr=128)."""
+    x = np.arange(width, dtype=np.int64)[np.newaxis, :]
+    y = np.arange(height, dtype=np.int64)[:, np.newaxis]
+    v = (seed * 7 + (x // 8) * 13 + (y // 8) * 29) % 256
+    g = v.astype(np.uint8)
+    return np.stack([g, g, g], axis=-1)
+
+
+def synth_jpeg(seed: int) -> bytes:
+    """Synthesize the deterministic test image for ``seed``."""
+    w, h = synth_jpeg_size(seed)
+    return encode_jpeg(synth_jpeg_pixels(seed, w, h))

@@ -21,8 +21,11 @@ oracles over synthesized media:
   image operators compose downstream.
 
 The generic byte-statistics path (``decode_stub``) remains for
-arbitrary payloads; compressed formats (JPEG/MP3/H.264…) still need
-PIL/torchaudio/ffmpeg — swap the per-batch decode call in production.
+arbitrary payloads. Compressed formats decode natively too: PNG
+(DEFLATE, :mod:`..functions.png`), GIF (LZW, :mod:`..functions.gif`),
+baseline JPEG (huffman + IDCT, :mod:`..functions.jpeg`), ADPCM audio
+(:mod:`..functions.adpcm`); MP3/H.264 still need
+torchaudio/ffmpeg — swap the per-batch decode call in production.
 """
 
 from __future__ import annotations
@@ -403,6 +406,32 @@ def synthesize_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(batches, schema=schema)
 
 
+def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of real baseline JPEG bytes
+    (``functions/jpeg.py:synth_jpeg``): every 8×8 block is a constant
+    gray from modular arithmetic over the id, which is exactly the
+    construction that survives lossy JPEG bit-exactly (DC-only
+    blocks, DC quant step 1, gray ⇒ Cb=Cr=128) — so the decode is
+    value-checkable by the DuckDB oracle like the lossless codecs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import synth_jpeg
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids_.values, "payload": [synth_jpeg(int(i)) for i in ids_]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return ids.select(id_col).mapInPandas(batches, schema=schema)
+
+
 def extract_image_features(
     media: DataFrame, permissive: bool = False, codec: str = "bmp"
 ) -> DataFrame:
@@ -425,7 +454,7 @@ def extract_image_features(
     100 TB job (mirrors Spark's PERMISSIVE reader mode +
     ``_corrupt_record``).
     """
-    if codec not in ("bmp", "png", "gif"):
+    if codec not in ("bmp", "png", "gif", "jpeg"):
         raise ValueError(f"unsupported image codec {codec!r}")
     keep = [f for f in media.schema.fields if f.name != "payload"]
     fields = list(keep) + list(IMAGE_FEATURE_SCHEMA.fields)
@@ -440,6 +469,8 @@ def extract_image_features(
             from ..functions.png import decode_png as decode_bmp
         elif codec == "gif":
             from ..functions.gif import decode_gif as decode_bmp
+        elif codec == "jpeg":
+            from ..functions.jpeg import decode_jpeg as decode_bmp
         else:
             from ..functions.bmp import decode_bmp
 

@@ -778,6 +778,59 @@ def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_image_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             12 + (doc_id % 4) * 7 AS w,
+             10 + (doc_id % 5) * 6 AS h
+      FROM documents),
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m),
+    xy AS (
+      SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      FROM xs),
+    px AS (
+      SELECT media_id, w, h,
+             (media_id * 7 + (x // 8) * 13 + (y // 8) * 29) % 256 AS g
+      FROM xy)
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(g) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(g) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY media_id, w, h
+    """,
+    tags=("multimodal", "mapInPandas", "jpeg", "lossy", "compressed"),
+)
+def q_jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LOSSY-FORMAT image decode, value-checked: synthesize one
+    baseline JPEG per document and run the full decode — marker/DQT/
+    DHT/SOF0/SOS parse, huffman entropy decode with byte-unstuffing,
+    dequantization, un-zigzag, vectorized 8×8 IDCT, level shift,
+    YCbCr→RGB — inside Arrow-batched mapInPandas
+    (``functions/jpeg.py``, stdlib + numpy only; VERDICT r5 item 5).
+
+    A lossy codec normally can't be value-oracled, so the synthesis
+    is chosen to make the loss EXACTLY zero: every 8×8 block is a
+    constant gray (DCT is DC-only; AC quantizes to 0), the DC quant
+    step is 1 (DC survives quantization exactly), and gray pixels
+    keep Cb=Cr=128 through the color transform. The oracle recomputes
+    channel sums from the block formula; any huffman/zigzag/IDCT/
+    color-transform bug shifts pixels and breaks the hash. The AC
+    (non-constant) machinery is pinned by bit-exact quantized-
+    coefficient round-trips in ``tests/test_jpeg.py``."""
+    _utc(spark)
+    from ..operators.multimodal import synthesize_jpeg_media
+
+    media = synthesize_jpeg_media(_t(spark, sf_dir, "documents"))
+    return extract_image_features(media, codec="jpeg")
+
+
+@register(
     "csv_permissive_parse",
     oracle="""
     SELECT count(*) AS n_rows,
