@@ -21,149 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datawarehouseproject_spark.session import get_spark  # noqa: E402
 from datawarehouseproject_spark.plans.registry import queries  # noqa: E402
 
-HEADLINE = [
-    "pricing_summary",
-    "clean_products",
-    "date_dim",
-    "scd2_two_day",
-    "monthly_price_rollup",
-    "quarterly_trend_rollup",
-    "latest_event_per_user",
-    "dim_maintenance",
-    "star_join",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_ship_priority_split",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_brand_revenue",
-    "tpch_q20_dominant_part_suppliers",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q22_dormant_customers",
-    "asof_join",
-    "session_range_join",
-    "sessionize",
-    "event_funnel",
-    "retention_cohorts",
-    "rollup_cascade",
-    "exact_dedup",
-    "event_type_pivot",
-    "unpivot_line_metrics",
-    "grouping_sets_sales",
-    "hll_distinct_users",
-    "cms_heavy_hitters",
-    "quantile_sketch_prices",
-    "cms_join_size",
-    "bloom_membership",
-    "quantile_sketch_by_status",
-    "inverted_index_search",
-    "salted_star_join",
-    "merge_cdc_customers",
-    "incremental_rollup",
-    "dq_expectations",
-    "zorder_tiles",
-    "dpp_partitioned_join",
-    "minhash_lsh_pairs",
-    "simhash",
-    "simhash_hamming_pairs",
-    "embedding_topk",
-    "embedding_near_dup",
-    "embedding_ivf_topk",
-    "embedding_quantized_topk",
-    "semantic_dedup",
-    "canonical_docs",
-    "tfidf_top_terms",
-    "hashed_features",
-    "token_stats",
-    "benchmark_contamination",
-    "quality_rules",
-    "repetition_rules",
-    "unigram_surprisal",
-    "token_shard_packing",
-    "training_export",
-    "chunk_documents",
-    "subword_tokens",
-    "corpus_datasheet",
-    "scd2_as_of",
-    "scd2_diff",
-    "entity_resolution",
-    "bitmap_distinct_users",
-    "event_transitions",
-    "activity_gaps",
-    "doc_length_histogram",
-    "stratified_sample",
-    "mad_outliers",
-    "orders_yoy",
-    "pareto_frontier",
-    "equi_depth_histogram",
-    "user_paths",
-    "table_checksum",
-    "referential_audit",
-    "time_weighted_avg",
-    "trailing_hour_counts",
-    "pii_redaction",
-    "json_props_parse",
-    "json_array_explode",
-    "hll_set_ops",
-    "bloom_join_prefilter",
-    "incremental_join_view",
-    "ab_assignment_lift",
-    "table_diff",
-    "dau_wau_mau",
-    "purchase_attribution",
-    "key_skew_report",
-    "market_basket",
-    "conversion_latency",
-    "fd_discovery",
-    "completeness_profile",
-    "weekday_seasonality",
-    "seasonal_anomalies",
-    "distribution_drift",
-    "rfm_segmentation",
-    "cumulative_monthly_revenue",
-    "cohort_ltv",
-    "uniqueness_audit",
-    "session_window_agg",
-    "audience_overlap_matrix",
-    "daily_value_bands",
-    "cusum_change_detection",
-    "daily_metric_correlation",
-    "volume_trend",
-    "embedding_random_projection",
-    "embedding_dim_stats",
-    "interpolate_series",
-    "winsorized_mean",
-    "chunk_dedup_ratio",
-    "bmp_image_features",
-    "png_image_features",
-    "gif_image_features",
-    "image_phash",
-    "image_phash_dedup",
-    "avi_frame_features",
-    "shot_boundaries",
-    "wav_audio_features",
-    "audio_activity_segments",
-    "part_triangle_enumeration",
-    "part_reachability_bfs",
-    "link_prediction_common_neighbors",
-    "prefix_filter_jaccard_join",
-    "k_anonymity_report",
-    "part_k_truss",
-    "part_pagerank",
-    "equi_depth_histogram_sketch",
-]
+# Bench EVERY registry query — the no-silent-caps policy (VERDICT r5
+# flagged the heaviest queries as silently absent from the timed
+# list). The flagship reference surface runs first (warmup target =
+# first entry = pricing_summary, the registry's first registration);
+# everything else follows in registry order.
+HEADLINE = list(queries())
 
 
 def main() -> None:
