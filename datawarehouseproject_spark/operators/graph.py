@@ -483,3 +483,58 @@ def pagerank_integer(
             .localCheckpoint()
         )
     return ranks.select("node", F.col("r").alias("rank_micros"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS label propagation communities
+    (Raghavan et al. 2007, made deterministic): every node starts
+    labeled with itself; each round every node adopts the most
+    frequent label among its neighbors, ties broken by SMALLEST
+    label. Synchronous update + deterministic tie-break means the
+    result is a pure function of the graph — no RNG, no visit order,
+    no engine drift — at the cost of possible two-coloring
+    oscillation on bipartite structures, which a FIXED iteration
+    count turns into a well-defined (and oracle-twinnable) output
+    rather than a nontermination hazard.
+
+    Each round is one join (labels onto the symmetrized edge list) +
+    one count aggregate + one argmax window partitioned by node —
+    all shuffles on node ids, nothing scales with degree skew beyond
+    the edge list itself. Returns (node, community) after
+    ``iterations`` rounds."""
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("n"))
+        .filter(F.col("s") != F.col("n"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("n"))
+            .filter(F.col("s") != F.col("n"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        counts = (
+            sym.join(labels, sym["n"] == labels["node"])
+            .groupBy(F.col("s").alias("node"), F.col("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -3257,6 +3257,62 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("p_partkey"), "rank_micros")
 
 
+def _lpa_oracle(iterations: int = 4) -> str:
+    """Unrolled synchronous-LPA oracle: per round one neighbor-label
+    count CTE + one argmax CTE (row_number ordered by count DESC,
+    label ASC — the deterministic tie-break). MATERIALIZED to stop
+    DuckDB inlining the round chain (same fd blowup the k-truss
+    oracle hit)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_COPURCHASE_EDGES_SQL})",
+        """
+    , sym AS MATERIALIZED
+        (SELECT u AS s, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    lab0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM sym)""",
+    ]
+    for i in range(iterations):
+        parts.append(f"""
+    , cnt{i} AS MATERIALIZED (
+      SELECT sym.s AS node, l.label, count(*) AS c
+      FROM sym JOIN lab{i} l ON l.node = sym.n
+      GROUP BY sym.s, l.label
+    ),
+    lab{i + 1} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM cnt{i})
+      WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT node AS p_partkey, label AS community FROM lab{iterations}""")
+    return "".join(parts)
+
+
+@register(
+    "part_communities_lpa",
+    oracle=_lpa_oracle(iterations=4),
+    tags=("graph", "communities", "label-propagation", "iterative"),
+)
+def q_part_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product communities by synchronous label propagation over the
+    co-purchase graph (`operators/graph.py:label_propagation`):
+    4 fixed rounds of adopt-the-most-frequent-neighbor-label with a
+    smallest-label tie-break — fully deterministic (no RNG, no visit
+    order), so the DuckDB oracle replays the identical rounds and the
+    community assignment hash-matches. Completes the graph family's
+    community lens: connected components (reachability), k-truss
+    (cohesion), LPA (density clusters without a minimum-triangle
+    requirement)."""
+    _utc(spark)
+    from ..operators.graph import label_propagation
+
+    return label_propagation(
+        _copurchase_edges(spark, sf_dir), iterations=4
+    ).select(F.col("node").alias("p_partkey"), "community")
+
+
 @register(
     "k_anonymity_report",
     oracle="""

@@ -232,3 +232,31 @@ def test_pagerank_integer_star_hub(spark):
     assert len(set(leaves)) == 1
     assert r[0] > leaves[0]
     assert sum(r.values()) <= 7 * 1_000_000
+
+
+def test_label_propagation_two_cliques_and_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA assigns each
+    clique a single community (the clique's min id) and keeps the
+    two communities distinct — the bridge is outvoted by clique
+    neighbors."""
+    from datawarehouseproject_spark.operators.graph import label_propagation
+
+    c1 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    c2 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    df = spark.createDataFrame(c1 + c2 + [(4, 10)], ["u", "v"])
+    out = {r.node: r.community for r in label_propagation(df).collect()}
+    assert len({out[n] for n in (1, 2, 3)}) == 1
+    assert len({out[n] for n in (11, 12, 13)}) == 1
+    assert out[1] != out[11]
+
+
+def test_label_propagation_deterministic(spark):
+    """Synchronous update + min-label tie-break: two runs produce the
+    identical assignment (no RNG anywhere)."""
+    from datawarehouseproject_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 7 + 3) % 20) for i in range(20) if i != (i * 7 + 3) % 20]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    a = sorted((r.node, r.community) for r in label_propagation(df).collect())
+    b = sorted((r.node, r.community) for r in label_propagation(df).collect())
+    assert a == b
