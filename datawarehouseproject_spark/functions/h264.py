@@ -1,0 +1,293 @@
+"""H.264 Annex B structure codec: NAL walk + exp-Golomb SPS parse.
+
+The video analogue of :mod:`.mpeg_audio`: corpus-scale video
+triage needs "what are the dimensions, how many key frames, is the
+bitstream intact?" BEFORE any pixel work decides what's worth
+transcoding. This is a REAL bit-level parse of the H.264 byte
+stream (ITU-T H.264 Annex B, public spec): start-code scan,
+emulation-prevention (0x000003) removal, NAL type classification,
+and a full exp-Golomb sequence-parameter-set parse that recovers
+profile/level and the true picture dimensions (macroblock counts
+minus frame cropping). Slice-level macroblock decode (CABAC/CAVLC →
+pixels) remains the documented extension point; structure is native.
+
+The synthesizer emits a valid stream — SPS (with cropping when the
+size isn't a macroblock multiple), PPS, one IDR slice, and a
+deterministic number of non-IDR slices — whose payload bytes are
+chosen to CONTAIN 0x000001/0x000003-lookalike sequences, so the
+escape/unescape machinery is exercised on every document.
+"""
+
+from __future__ import annotations
+
+NAL_SPS = 7
+NAL_PPS = 8
+NAL_IDR = 5
+NAL_NON_IDR = 1
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def ue(self, value: int) -> None:
+        """Unsigned exp-Golomb: (leading zeros)·0 + 1 + value+1 bits."""
+        code = value + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def rbsp(self) -> bytes:
+        """Close with the RBSP stop bit + alignment, then escape."""
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            raw.append(b)
+        return _escape(bytes(raw))
+
+
+def _escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention 0x03 after any 0x0000 that would
+    otherwise form 0x000000/0x000001/0x000002/0x000003."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _unescape(ebsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(ebsp):
+        b = ebsp[i]
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-Golomb code too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def encode_sps(width: int, height: int) -> bytes:
+    """Baseline-profile SPS encoding arbitrary even dimensions via
+    macroblock counts + frame cropping (4:2:0 crop units = 2 px)."""
+    if width % 2 or height % 2:
+        raise ValueError("dimensions must be even (4:2:0 crop units)")
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    crop_r = (mb_w * 16 - width) // 2
+    crop_b = (mb_h * 16 - height) // 2
+    w = _BitWriter()
+    w.u(66, 8)  # profile_idc: baseline (no chroma_format block in SPS)
+    w.u(0, 8)  # constraint flags + reserved
+    w.u(30, 8)  # level_idc 3.0
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(4)  # log2_max_frame_num_minus4
+    w.ue(2)  # pic_order_cnt_type = 2 (no extra fields)
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(mb_w - 1)  # pic_width_in_mbs_minus1
+    w.ue(mb_h - 1)  # pic_height_in_map_units_minus1
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(0, 1)  # direct_8x8_inference_flag
+    if crop_r or crop_b:
+        w.u(1, 1)  # frame_cropping_flag
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    return bytes([0x67]) + w.rbsp()  # nal_ref_idc=3, type=7
+
+
+def parse_sps(nal: bytes) -> dict:
+    """Exp-Golomb SPS parse → profile, level, true width/height.
+
+    Follows the spec field order for non-high profiles; high-profile
+    (100/110/122/244/44/83/86/118/128) chroma-format blocks are
+    parsed far enough to keep field alignment (no scaling lists)."""
+    if (nal[0] & 0x1F) != NAL_SPS:
+        raise ValueError("not an SPS NAL unit")
+    r = _BitReader(_unescape(nal[1:]))
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags
+    level_idc = r.u(8)
+    r.ue()  # sps id
+    chroma_format_idc = 1
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            raise ValueError("scaling lists unsupported")
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)
+    mb_w = r.ue() + 1
+    mb_h_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop = [0, 0, 0, 0]
+    if r.u(1):  # frame_cropping_flag
+        crop = [r.ue(), r.ue(), r.ue(), r.ue()]
+    mb_h = (2 - frame_mbs_only) * mb_h_units
+    # 4:2:0 / 4:2:2 crop units: x2 horizontally (and x2 vertically for
+    # 4:2:0 frame-coded); 4:4:4 crops in luma samples
+    cw = 2 if chroma_format_idc in (1, 2) else 1
+    ch = (2 if chroma_format_idc == 1 else 1) * (2 - frame_mbs_only)
+    width = mb_w * 16 - cw * (crop[0] + crop[1])
+    height = mb_h * 16 - ch * (crop[2] + crop[3])
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "width": width,
+        "height": height,
+    }
+
+
+def synth_h264_params(seed: int) -> tuple[int, int, int]:
+    """(width, height, n_non_idr_slices) — even dimensions that are
+    mostly NOT macroblock multiples, so cropping is exercised."""
+    return 48 + (seed % 9) * 2, 32 + (seed % 7) * 2, 2 + seed % 5
+
+
+def synth_h264(seed: int) -> bytes:
+    """A valid Annex B stream: SPS + PPS + IDR + n non-IDR slices.
+    Slice payloads deliberately contain 0x000001/0x000002 byte runs
+    so emulation prevention is exercised both ways."""
+    width, height, n_slices = synth_h264_params(seed)
+    start = b"\x00\x00\x00\x01"
+    pps_w = _BitWriter()
+    pps_w.ue(0)  # pps id
+    pps_w.ue(0)  # sps id
+    pps_w.u(0, 2)  # entropy flag + bottom_field_pic_order
+    pps_w.ue(0)  # num_slice_groups_minus1
+    out = bytearray()
+    out += start + encode_sps(width, height)
+    out += start + bytes([0x68]) + pps_w.rbsp()
+    for i in range(n_slices + 1):  # slice 0 is the IDR
+        w = _BitWriter()
+        w.ue(0)  # first_mb_in_slice
+        w.ue(7 if i == 0 else 5)  # slice_type: I / P (..5/7 variants)
+        w.ue(0)  # pps id
+        w.u((seed + i) % 16, 4)  # frame_num (log2_max_frame_num = 8 -> 8 bits)
+        w.u((seed + i) % 16, 4)
+        # filler engineered to hit zero runs after byte alignment
+        for j in range(24):
+            w.u(0 if (j + i) % 3 else 1, 8)
+        body = w.rbsp()
+        out += start + bytes([0x65 if i == 0 else 0x41]) + body
+    return bytes(out)
+
+
+def scan_h264(payload: bytes) -> dict:
+    """Walk an Annex B byte stream: start-code scan (3- and 4-byte
+    forms), NAL type histogram, SPS dimensions. Returns integer-exact
+    ``width``, ``height``, ``profile_idc``, ``level_idc``,
+    ``n_nal_units``, ``n_idr_slices``, ``n_slices``,
+    ``payload_bytes``. Raises on streams with no SPS or no start
+    code (permissive-harness contract)."""
+    nals = []
+    i = 0
+    n = len(payload)
+    first = payload.find(b"\x00\x00\x01")
+    if first < 0:
+        raise ValueError("no Annex B start code found")
+    i = first + 3
+    start = i
+    while True:
+        nxt = payload.find(b"\x00\x00\x01", i)
+        if nxt < 0:
+            nals.append(payload[start:n])
+            break
+        end = nxt
+        if end > start and payload[end - 1] == 0:
+            end -= 1  # 4-byte start code: 00 00 00 01
+        nals.append(payload[start:end])
+        i = nxt + 3
+        start = i
+    sps = None
+    n_idr = 0
+    n_slices = 0
+    for nal in nals:
+        if not nal:
+            raise ValueError("empty NAL unit")
+        ntype = nal[0] & 0x1F
+        if ntype == NAL_SPS and sps is None:
+            sps = parse_sps(nal)
+        elif ntype == NAL_IDR:
+            n_idr += 1
+            n_slices += 1
+        elif ntype == NAL_NON_IDR:
+            n_slices += 1
+    if sps is None:
+        raise ValueError("no SPS in stream")
+    return {
+        "width": sps["width"],
+        "height": sps["height"],
+        "profile_idc": sps["profile_idc"],
+        "level_idc": sps["level_idc"],
+        "n_nal_units": len(nals),
+        "n_idr_slices": n_idr,
+        "n_slices": n_slices,
+        "payload_bytes": len(payload),
+    }

@@ -711,3 +711,135 @@ def audio_frame_energy(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=schema
     )
+
+
+def synthesize_mp3_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of real MPEG-1 Layer III
+    frame sequences behind ID3v2 tags (``functions/mpeg_audio.py``):
+    frame count, VBR bitrate ladder, paddings and tag size all derive
+    from the id by modular arithmetic, so the oracle can recompute
+    every statistic the frame walk extracts — including the total
+    byte length, which validates the 144·kbps/rate arithmetic."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mpeg_audio import synth_mp3
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids_.values, "payload": [synth_mp3(int(i)) for i in ids_]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return ids.select(id_col).mapInPandas(batches, schema=schema)
+
+
+def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of valid H.264 Annex B byte
+    streams (``functions/h264.py``): SPS (with real exp-Golomb
+    dimension/cropping encoding) + PPS + IDR + id-derived non-IDR
+    slices, with payload bytes engineered to exercise emulation
+    prevention."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.h264 import synth_h264
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids_.values, "payload": [synth_h264(int(i)) for i in ids_]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return ids.select(id_col).mapInPandas(batches, schema=schema)
+
+
+MP3_STRUCTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("total_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("sum_kbps", T.LongType()),
+        T.StructField("n_padded", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+H264_STRUCTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("profile_idc", T.IntegerType()),
+        T.StructField("level_idc", T.IntegerType()),
+        T.StructField("n_nal_units", T.IntegerType()),
+        T.StructField("n_idr_slices", T.IntegerType()),
+        T.StructField("n_slices", T.IntegerType()),
+    ]
+)
+
+
+def extract_stream_structure(
+    media: DataFrame, fmt: str, permissive: bool = False
+) -> DataFrame:
+    """REAL bit-level container/structure parse per payload — the
+    ffprobe-style triage a 100 TB multimodal corpus runs BEFORE
+    deciding what to decode: ``fmt='mp3'`` walks MPEG-1 Layer III
+    frame headers (ID3v2 skip, sync check, bitrate/rate tables,
+    length arithmetic), ``fmt='h264'`` walks Annex B NAL units
+    (start-code scan, emulation-prevention removal, exp-Golomb SPS
+    parse for true dimensions). Full PCM/pixel decode for these two
+    formats is the remaining documented extension point; structure is
+    native. Arrow-batched mapInPandas, one pass, no shuffle; same
+    strict/permissive error contract as
+    :func:`extract_image_features`."""
+    if fmt not in ("mp3", "h264"):
+        raise ValueError(f"unsupported stream format {fmt!r}")
+    feat_schema = MP3_STRUCTURE_SCHEMA if fmt == "mp3" else H264_STRUCTURE_SCHEMA
+    keep = [f for f in media.schema.fields if f.name != "payload"]
+    fields = list(keep) + list(feat_schema.fields)
+    if permissive:
+        fields.append(T.StructField("decode_error", T.StringType()))
+    schema = T.StructType(fields)
+    keep_names = [f.name for f in keep]
+    feat_names = [f.name for f in feat_schema.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if fmt == "mp3":
+            from ..functions.mpeg_audio import scan_mp3 as scan
+        else:
+            from ..functions.h264 import scan_h264 as scan
+
+        for pdf in it:
+            feats: dict[str, list] = {k: [] for k in feat_names}
+            errors: list[str | None] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    st = scan(bytes(p))
+                except ValueError as e:
+                    if not permissive:
+                        raise ValueError(f"media_id={mid}: {e}") from e
+                    for k in feat_names:
+                        feats[k].append(None)
+                    errors.append(str(e))
+                    continue
+                for k in feat_names:
+                    feats[k].append(st[k])
+                errors.append(None)
+            out = pdf[keep_names].reset_index(drop=True)
+            for k, v in feats.items():
+                out[k] = v
+            if permissive:
+                out["decode_error"] = errors
+            yield out
+
+    return media.mapInPandas(batches, schema=schema)

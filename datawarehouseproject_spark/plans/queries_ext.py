@@ -831,6 +831,106 @@ def q_jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mp3_stream_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             6 + doc_id % 7 AS n_frames,
+             doc_id % 3 AS rate_idx,
+             doc_id % 100 AS tag_body
+      FROM documents),
+    rates AS (
+      SELECT media_id, n_frames, tag_body,
+             CASE rate_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           ELSE 32000 END AS rate
+      FROM m),
+    frames AS (
+      SELECT media_id, n_frames, tag_body, rate,
+             unnest(generate_series(0, n_frames - 1)) AS i
+      FROM rates),
+    per_frame AS (
+      SELECT media_id, n_frames, tag_body, rate, i,
+             ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+               [CAST((media_id + i * 5) % 14 AS INT) + 1] AS kbps,
+             (media_id + i) % 2 AS pad
+      FROM frames)
+    SELECT media_id,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 1152 AS BIGINT) AS total_samples,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(sum(kbps) AS BIGINT) AS sum_kbps,
+           CAST(sum(pad) AS INTEGER) AS n_padded,
+           CAST(10 + tag_body
+                + sum((144000 * kbps) // rate + pad) AS BIGINT)
+             AS payload_bytes
+    FROM per_frame
+    GROUP BY media_id, n_frames, rate, tag_body
+    """,
+    tags=("multimodal", "mapInPandas", "mp3", "frame-walk"),
+)
+def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-audio structure parse, value-checked: synthesize one
+    VBR MPEG-1 Layer III stream per document (ID3v2 tag + id-derived
+    bitrate ladder) and walk the actual frame headers — syncsafe tag
+    skip, sync verification, bitrate/sample-rate table decode,
+    144·kbps/rate+padding length arithmetic — inside Arrow-batched
+    mapInPandas (``functions/mpeg_audio.py``). The oracle recomputes
+    every statistic INCLUDING the total byte count, so a single
+    off-by-one in the frame-length walk (the bug class that silently
+    miscounts duration on a real corpus) breaks the hash. Full
+    subband/IMDCT PCM decode stays a documented extension point —
+    this is the ffprobe-style triage a corpus pipeline actually runs
+    at 100 TB."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_stream_structure,
+        synthesize_mp3_media,
+    )
+
+    media = synthesize_mp3_media(_t(spark, sf_dir, "documents"))
+    return extract_stream_structure(media, fmt="mp3")
+
+
+@register(
+    "h264_stream_scan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(48 + (doc_id % 9) * 2 AS INTEGER) AS width,
+           CAST(32 + (doc_id % 7) * 2 AS INTEGER) AS height,
+           CAST(66 AS INTEGER) AS profile_idc,
+           CAST(30 AS INTEGER) AS level_idc,
+           CAST(2 + doc_id % 5 + 3 AS INTEGER) AS n_nal_units,
+           CAST(1 AS INTEGER) AS n_idr_slices,
+           CAST(2 + doc_id % 5 + 1 AS INTEGER) AS n_slices
+    FROM documents
+    """,
+    tags=("multimodal", "mapInPandas", "h264", "nal-walk", "exp-golomb"),
+)
+def q_h264_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 bitstream structure parse, value-checked:
+    synthesize one Annex B stream per document (SPS + PPS + IDR +
+    id-derived non-IDR slices, payloads engineered to trigger
+    emulation prevention) and walk the actual byte stream —
+    start-code scan (3- and 4-byte), 0x000003 unescaping, NAL type
+    histogram, and a full exp-Golomb SPS parse recovering the TRUE
+    picture dimensions (macroblock counts minus frame cropping; the
+    synthesized sizes are deliberately non-multiples of 16) — inside
+    Arrow-batched mapInPandas (``functions/h264.py``). The oracle
+    recomputes dimensions and NAL counts from the synthesis formulas;
+    a bit-alignment error anywhere in the exp-Golomb reader shifts
+    every later field and breaks the hash. Slice-level macroblock
+    decode stays the documented extension point."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_stream_structure,
+        synthesize_h264_media,
+    )
+
+    media = synthesize_h264_media(_t(spark, sf_dir, "documents"))
+    return extract_stream_structure(media, fmt="h264")
+
+
+@register(
     "csv_permissive_parse",
     oracle="""
     SELECT count(*) AS n_rows,
