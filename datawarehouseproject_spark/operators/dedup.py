@@ -523,6 +523,21 @@ def prefix_filtered_jaccard_pairs(
         .select(F.col("pa.pid").alias("id_a"), F.col("pb.pid").alias("id_b"))
         .distinct()
     )
+    # PPJoin's length filter: Jaccard ≥ t forces |∩| ≤ min(na, nb)
+    # and |∪| ≥ max(na, nb), so den·min ≥ num·max is NECESSARY —
+    # prune candidates on two broadcast joins before paying the
+    # full-shingle intersection join for them (pure pruning: the
+    # final threshold re-checks the exact counts, results unchanged)
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    cand = (
+        cand.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(
+            t_den * F.least("na", "nb") >= t_num * F.greatest("na", "nb")
+        )
+        .select("id_a", "id_b")
+    )
     inter = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
         .join(
@@ -533,8 +548,6 @@ def prefix_filtered_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (
         inter.join(F.broadcast(na), "id_a")
         .join(F.broadcast(nb), "id_b")

@@ -3353,3 +3353,48 @@ def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("class_size"))
         .filter(F.col("class_size") < 5)
     )
+
+
+@register(
+    "l_diversity_report",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS INT) AS bal_band,
+             count(*) AS class_size,
+             count(DISTINCT c_mktsegment) AS diversity
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, bal_band,
+           CAST(class_size AS BIGINT) AS class_size,
+           CAST(diversity AS BIGINT) AS diversity
+    FROM classes
+    WHERE diversity < 3
+    """,
+    tags=("governance", "privacy", "l-diversity"),
+)
+def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribute-disclosure companion to `k_anonymity_report`
+    (Machanavajjhala et al.'s l-diversity): a QI class can satisfy
+    k-anonymity and still leak — if all k members share the SAME
+    sensitive value, linking someone to the class reveals it. Here
+    the quasi-identifier is (nation × balance band), the sensitive
+    attribute is market segment, and the report lists classes with
+    fewer than l=3 distinct sensitive values — what a release would
+    generalize further even after passing the k-check. One shuffle
+    on the QI key with a distinct-count aggregate; class table is
+    QI-domain-bounded at any row count, like the k-report."""
+    _utc(spark)
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("class_size"),
+            F.countDistinct("c_mktsegment").cast("bigint").alias("diversity"),
+        )
+        .filter(F.col("diversity") < 3)
+    )
