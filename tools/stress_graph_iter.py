@@ -28,6 +28,7 @@ def main() -> None:
 
     from datawarehouseproject_spark.operators.graph import (
         k_truss,
+        label_propagation,
         pagerank_integer,
     )
     from datawarehouseproject_spark.session import get_spark
@@ -47,6 +48,11 @@ def main() -> None:
         t_truss = time.time() - t0
 
         t0 = time.time()
+        lpa = label_propagation(edges, iterations=4)
+        n_comm = lpa.select("community").distinct().count()
+        t_lpa = time.time() - t0
+
+        t0 = time.time()
         pr = pagerank_integer(edges, iterations=5)
         total_rank = pr.agg(F.sum("rank_micros")).first()[0]
         n_nodes_ranked = pr.count()
@@ -59,6 +65,8 @@ def main() -> None:
                     "n_edges": m,
                     "k3_truss_edges": truss_edges,
                     "k_truss_sec": round(t_truss, 2),
+                    "lpa_communities": n_comm,
+                    "lpa_4iter_sec": round(t_lpa, 2),
                     "pagerank_nodes": n_nodes_ranked,
                     "pagerank_total_rank_micros": total_rank,
                     "pagerank_5iter_sec": round(t_pr, 2),
