@@ -53,6 +53,14 @@ FLAGSHIPS = [
     "tpch_q2_min_cost_supplier",
     "tpch_q21_suppliers_kept_waiting",
     "prefix_filter_jaccard_join",
+    "part_triangle_enumeration",
+    "link_prediction_common_neighbors",
+    "equi_depth_histogram_sketch",
+    "forward_fill_series",
+    "jpeg_image_features",
+    "mp3_stream_scan",
+    "h264_stream_scan",
+    "l_diversity_report",
 ]
 
 HEADER = """# Captured physical plans (sf0.001)
