@@ -831,6 +831,78 @@ def q_jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_travel_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM events
+      WHERE event_type = 'purchase' AND dayofmonth(CAST(ts AS DATE)) <= 15
+      GROUP BY 1),
+    v2 AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY 1)
+    SELECT coalesce(v2.day, v1.day) AS day,
+           v1.revenue AS revenue_v1,
+           v2.revenue AS revenue_v2,
+           CASE WHEN v1.day IS NULL THEN 'added'
+                WHEN v2.day IS NULL THEN 'removed'
+                WHEN v1.revenue <> v2.revenue THEN 'changed'
+                ELSE 'same' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.day = v2.day
+    """,
+    tags=("lakehouse", "time-travel", "versioned-table", "snapshot"),
+)
+def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on a versioned table
+    (``sources/versioned.py`` — the lakehouse commit pattern:
+    immutable ``v{N}`` directories + an atomically swapped manifest,
+    i.e. Delta/Iceberg's mechanism reduced to filesystem
+    essentials). The query commits two versions of a daily revenue
+    rollup (an early-month load, then the full backfill), reads BOTH
+    snapshots back by version number, and diffs them — the
+    what-changed-between-runs audit every reproducible training
+    pipeline needs ("which feature rows differ from what the model
+    saw?"). Readers of v1 are never affected by the v2 commit: the
+    writer creates new files only, and the commit is one manifest
+    rename — no swap window at all, unlike rewrite-in-place. The
+    oracle recomputes both snapshots from the raw events and the
+    same full-outer diff."""
+    _utc(spark)
+    from ..sources.versioned import read_version, write_version
+
+    root = _scratch("versioned_revenue")
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    write_version(daily.filter(F.dayofmonth("day") <= 15), root)
+    write_version(daily, root)
+    v1 = read_version(spark, root, version=1)
+    v2 = read_version(spark, root, version=2)
+    a, b = v1.alias("a"), v2.alias("b")
+    return a.join(b, F.col("a.day") == F.col("b.day"), "full_outer").select(
+        F.coalesce(F.col("b.day"), F.col("a.day")).alias("day"),
+        F.col("a.revenue").alias("revenue_v1"),
+        F.col("b.revenue").alias("revenue_v2"),
+        F.when(F.col("a.day").isNull(), F.lit("added"))
+        .when(F.col("b.day").isNull(), F.lit("removed"))
+        .when(F.col("a.revenue") != F.col("b.revenue"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("status"),
+    )
+
+
+@register(
     "mp3_stream_scan",
     oracle="""
     WITH m AS (

@@ -1,0 +1,92 @@
+"""Tests for the versioned parquet table (snapshot isolation, time
+travel, vacuum) — sources/versioned.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datawarehouseproject_spark.sources.versioned import (
+    current_version,
+    read_version,
+    vacuum,
+    write_version,
+)
+
+
+def test_versions_commit_and_read_back(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert current_version(path) == 0
+    assert write_version(spark.range(0, 3), path) == 1
+    assert write_version(spark.range(0, 5), path) == 2
+    assert current_version(path) == 2
+    assert read_version(spark, path).count() == 5  # latest
+    assert read_version(spark, path, version=1).count() == 3
+    assert read_version(spark, path, version=2).count() == 5
+
+
+def test_snapshot_isolation_old_reader_unaffected(spark, tmp_path):
+    """A DataFrame resolved at v1 keeps returning v1's rows after v2
+    commits — the writer never touches v1's files."""
+    path = str(tmp_path / "t")
+    write_version(spark.range(0, 4), path)
+    v1 = read_version(spark, path, version=1)
+    assert v1.count() == 4
+    write_version(spark.range(0, 9), path)
+    assert v1.count() == 4  # re-executed AFTER the v2 commit
+    assert read_version(spark, path).count() == 9
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="no committed versions"):
+        read_version(spark, path)
+    write_version(spark.range(2), path)
+    with pytest.raises(ValueError, match="not available"):
+        read_version(spark, path, version=2)
+    with pytest.raises(ValueError, match="not available"):
+        read_version(spark, path, version=0)
+
+
+def test_vacuum_retains_last_k(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for n in (1, 2, 3, 4):
+        write_version(spark.range(n), path)
+    dropped = vacuum(path, keep_last=2)
+    assert dropped == [1, 2]
+    assert read_version(spark, path, version=4).count() == 4
+    assert read_version(spark, path, version=3).count() == 3
+    with pytest.raises(ValueError, match="not available"):
+        read_version(spark, path, version=1)
+
+
+def test_vacuum_clears_uncommitted_orphan(spark, tmp_path):
+    """A crash between data write and manifest rename leaves an
+    orphan dir > latest; readers never see it and vacuum drops it."""
+    path = str(tmp_path / "t")
+    write_version(spark.range(3), path)
+    orphan = os.path.join(path, "v2")
+    spark.range(99).write.parquet(orphan)  # simulated uncommitted write
+    assert current_version(path) == 1
+    assert read_version(spark, path).count() == 3
+    with pytest.raises(ValueError, match="not available"):
+        read_version(spark, path, version=2)
+    assert vacuum(path, keep_last=2) == [2]
+    assert not os.path.exists(orphan)
+    # and the next commit reuses the slot cleanly
+    assert write_version(spark.range(7), path) == 2
+    assert read_version(spark, path, version=2).count() == 7
+
+
+def test_rollback_is_manifest_only(spark, tmp_path):
+    """Restoring an old version = reading it and committing it as the
+    new head; the bytes of v1 are never copied by the manifest
+    machinery itself."""
+    path = str(tmp_path / "t")
+    write_version(spark.range(4), path)
+    write_version(spark.range(9), path)
+    restored = read_version(spark, path, version=1)
+    write_version(restored, path)
+    assert current_version(path) == 3
+    assert read_version(spark, path).count() == 4
