@@ -632,12 +632,24 @@ def image_phash(media: DataFrame, codec: str = "bmp") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ..functions.bmp import decode_bmp, resize_nearest
+        from ..functions.bmp import resize_nearest
+
+        # same codec dispatch as extract_image_features — the codec
+        # parameter was previously accepted but silently ignored
+        # (every payload was parsed as BMP)
+        if codec == "png":
+            from ..functions.png import decode_png as decode_img
+        elif codec == "gif":
+            from ..functions.gif import decode_gif as decode_img
+        elif codec == "jpeg":
+            from ..functions.jpeg import decode_jpeg as decode_img
+        else:
+            from ..functions.bmp import decode_bmp as decode_img
 
         for pdf in it:
             ids, hashes = [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                _, _, rows = decode_bmp(bytes(p))
+                _, _, rows = decode_img(bytes(p))
                 grid = resize_nearest(rows, PHASH_W, PHASH_H).astype(np.int64)
                 gray = grid.sum(axis=2) // 3  # integer grayscale per cell
                 mean = int(gray.sum()) // (PHASH_W * PHASH_H)

@@ -175,3 +175,35 @@ def test_permissive_mode_quarantines_bad_payload(spark):
     assert got[1]["n_pixels"] == got[1]["width"] * got[1]["height"]
     assert got[2]["decode_error"] is not None
     assert got[2]["width"] is None
+
+
+def test_image_phash_jpeg_matches_bmp_content(spark):
+    """The phash codec dispatch (fixed in round 6: the codec param
+    was silently ignored): hashing the SAME pixel content through
+    the BMP and JPEG codecs gives the SAME perceptual hash, because
+    the block-constant gray synthesis decodes losslessly."""
+    import pandas as pd
+
+    from datawarehouseproject_spark.functions.bmp import encode_bmp
+    from datawarehouseproject_spark.operators.multimodal import image_phash
+
+    rows_bmp, rows_jpg = [], []
+    for seed in range(12):
+        w, h = synth_jpeg_size(seed)
+        px = synth_jpeg_pixels(seed, w, h)
+        rows_bmp.append((seed, bytearray(encode_bmp(w, h, px))))
+        rows_jpg.append((seed, bytearray(synth_jpeg(seed))))
+    schema = "media_id: long, payload: binary"
+    bmp_h = {
+        r["media_id"]: r["phash"]
+        for r in image_phash(
+            spark.createDataFrame(rows_bmp, schema), codec="bmp"
+        ).collect()
+    }
+    jpg_h = {
+        r["media_id"]: r["phash"]
+        for r in image_phash(
+            spark.createDataFrame(rows_jpg, schema), codec="jpeg"
+        ).collect()
+    }
+    assert bmp_h == jpg_h
