@@ -390,6 +390,91 @@ def q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "temperature_mixture_sample",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, chars,
+             CAST(floor(sqrt(chars)) AS BIGINT) AS wgt
+      FROM src),
+    tot AS (
+      SELECT CAST(sum(chars) AS BIGINT) AS total,
+             CAST(sum(wgt) AS BIGINT) AS z
+      FROM w),
+    rates AS (
+      SELECT source, chars, wgt,
+             least(1000000,
+                   ((total // 2) * wgt * 1000000) // (z * chars))
+               AS rate_millionths
+      FROM w, tot),
+    kept AS (
+      SELECT d.source, d.n_chars, r.rate_millionths
+      FROM documents d JOIN rates r ON r.source = d.source
+      WHERE CAST('0x' || substring(
+              md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            % 1000000 < r.rate_millionths)
+    SELECT source,
+           CAST(any_value(rate_millionths) AS BIGINT) AS rate_millionths,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+    FROM kept GROUP BY source
+    """,
+    tags=("sampling", "mixture", "temperature", "training-data"),
+)
+def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing — the data-mixing move
+    every large LM run makes (sample low-resource sources MORE than
+    their natural share, high-resource LESS: target share ∝ mass^α
+    with α=1/2 here): compute per-source char mass, take the α-power
+    weights, and keep each document where a deterministic per-doc
+    hash falls under its source's rate, budgeted to half the corpus.
+
+    Every quantity is INTEGER — weights are floor(sqrt(chars)), rates
+    are millionths computed by integer multiply/divide, membership is
+    an md5 threshold — so there is no float sum whose order could
+    differ between engines, and the oracle reproduces the sample
+    EXACTLY (same trick as the integer PageRank). One dim-sized
+    aggregate + a broadcast join of 20 rates onto the corpus: at
+    100 TB the plan is a scan with a map-side filter, nothing scales
+    with source count."""
+    _utc(spark)
+    from ..functions.hashing import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars")
+    )
+    w = src.select(
+        "source",
+        "chars",
+        F.floor(F.sqrt(F.col("chars"))).cast("bigint").alias("wgt"),
+    )
+    tot = w.agg(
+        F.sum("chars").cast("bigint").alias("total"),
+        F.sum("wgt").cast("bigint").alias("z"),
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "chars",
+        F.least(
+            F.lit(1_000_000),
+            F.expr("((total DIV 2) * wgt * 1000000) DIV (z * chars)"),
+        ).alias("rate_millionths"),
+    )
+    kept = docs.join(F.broadcast(rates), "source").filter(
+        md5_long(F.col("doc_id").cast("string"), salt="mix:") % 1_000_000
+        < F.col("rate_millionths")
+    )
+    return kept.groupBy("source").agg(
+        F.first("rate_millionths").cast("bigint").alias("rate_millionths"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+    )
+
+
 _SHUFFLE_SHARDS = 8
 
 
