@@ -90,3 +90,43 @@ def test_rollback_is_manifest_only(spark, tmp_path):
     write_version(restored, path)
     assert current_version(path) == 3
     assert read_version(spark, path).count() == 4
+
+
+def test_streaming_commits_versions_per_batch(spark, tmp_path):
+    """Composition with Structured Streaming: a foreachBatch sink
+    that commits one table version per micro-batch — the CDC shape
+    where every ingest tick yields an auditable, time-travelable
+    snapshot. Two source drops → two versions; v1 stays readable
+    (and unchanged) after v2 commits."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _bid: write_version(df, table) and None)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    assert current_version(table) == 1
+    assert read_version(spark, table, version=1).count() == 2
+
+    spark.createDataFrame([(3, "c")], schema).write.mode("append").parquet(src)
+    run_once()
+    assert current_version(table) == 2
+    assert read_version(spark, table, version=1).count() == 2
+    assert read_version(spark, table, version=2).count() == 1  # the delta batch
