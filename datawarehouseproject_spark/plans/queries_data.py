@@ -1257,6 +1257,111 @@ def q_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "duplicate_substring_spans",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS arr
+      FROM documents),
+    wins AS (
+      SELECT doc_id, i AS pos,
+             md5('w:' || array_to_string(arr[i+1:i+8], ' ')) AS h
+      FROM arrs, unnest(generate_series(0, len(arr) - 8)) AS t(i)
+      WHERE len(arr) >= 8),
+    dup AS (SELECT h FROM wins GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER w > 8 OR
+                       lag(pos) OVER w IS NULL THEN 1 ELSE 0 END AS newi
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+      FROM islands GROUP BY doc_id, island)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+           CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens
+    FROM spans GROUP BY doc_id
+    """,
+    tags=("dedup", "substring", "exact", "islands"),
+)
+def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cross-document substring dedup (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    primitive, windowed): flag every maximal token span whose 8-token
+    windows appear in ≥2 distinct documents, and report per-document
+    duplicated-token mass. Doc-level near-dup (MinHash) misses a
+    boilerplate paragraph shared by otherwise-different pages; this
+    catches exactly that.
+
+    Plan: one tokenize pass, window strings by array slice (no
+    re-tokenization per window), hash to 8 bytes immediately — only
+    hashes shuffle — then a distinct-doc-count filter, a semi join
+    back to positions, and the classic gap-merge (lag + running sum
+    of island breaks) to fuse overlapping windows into maximal
+    spans. Everything is integer/hash arithmetic — both engines
+    produce identical spans. At 100 TB the shuffle is (hash, doc,
+    pos) tuples, linear in token count, and the suffix-array
+    alternative this replaces is the part that does NOT distribute."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+    from ..functions.text import word_tokens
+
+    K = 8
+    docs = _t(spark, sf_dir, "documents")
+    arrs = docs.select("doc_id", word_tokens("text").alias("arr")).filter(
+        F.size("arr") >= K
+    )
+    wins = arrs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("arr") - K),
+                lambda i: F.concat_ws(" ", F.slice("arr", i + 1, K)),
+            )
+        ).alias("pos", "win"),
+    ).select("doc_id", "pos", md5_long(F.col("win"), salt="w:").alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = wins.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "newi",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > K),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("newi").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + K - 1).alias("e")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1)
+        .cast("bigint")
+        .alias("max_span_tokens"),
+    )
+
+
+@register(
     "bigram_counts",
     oracle=f"""
     WITH docs AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks

@@ -299,3 +299,40 @@ def test_chunk_dedup_ratio_matches_posexplode_recompute(spark):
     )
     want = {(r.doc_id, r.n_chunks, r.n_shared) for r in naive.collect()}
     assert got == want
+
+
+def test_duplicate_substring_spans_finds_shared_paragraph(spark):
+    """Two docs sharing a 12-token boilerplate paragraph (otherwise
+    disjoint) produce exactly one maximal span each of 12 tokens;
+    a third fully-unique doc produces nothing. Within-doc repetition
+    alone does NOT count (cross-document definition)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouseproject_spark.plans.queries_data import (
+        q_duplicate_substring_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, shared + " seven eight nine ten eleven twelve"),
+            (3, "unique words only here nothing repeats across documents at all"),
+            # within-doc repetition, no cross-doc match
+            (4, ("xx yy zz ww vv uu tt ss " * 3).strip()),
+        ],
+        "doc_id: long, text: string",
+    )
+
+    import datawarehouseproject_spark.plans.queries_data as qd
+
+    orig = qd._t
+    try:
+        qd._t = lambda spark_, sf_dir_, name: docs
+        out = {r["doc_id"]: r for r in q_duplicate_substring_spans(spark, "ignored").collect()}
+    finally:
+        qd._t = orig
+    assert set(out) == {1, 2}
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 12
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 12
+    assert out[1]["max_span_tokens"] == 12
