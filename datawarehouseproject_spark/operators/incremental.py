@@ -60,9 +60,15 @@ def index_components(
     """Derive the three index frames for a document batch.
 
     One normalize+shingle pass feeds both the shingle set and the
-    MinHash signatures (same sharing as ``corpus_dedup``)."""
+    MinHash signatures (same sharing as ``corpus_dedup``). The
+    shingle frame is cached: a probe consumes it THREE times
+    (signature build, union into the verify side, size aggregate)
+    and without the cache each consumer re-shingles the full corpus.
+    This derive-in-memory path is for batch-sized corpora — at
+    100 TB the index lives as the persisted parquet
+    :class:`DedupIndex`, where the same reuse is a file re-read."""
     hashes = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
-    shingles = _shingle_hashes(docs, id_col, text_col, shingle_len)
+    shingles = _shingle_hashes(docs, id_col, text_col, shingle_len).cache()
     sig = minhash_signatures(
         docs, id_col, text_col, num_perm, shingle_len, shingles=shingles
     )
