@@ -388,6 +388,7 @@ def k_truss(
         .distinct()
         .localCheckpoint()
     )
+    n_old = e.count()
     for _ in range(max_rounds):
         sup = edge_support(e, src="lo", dst="hi")
         kept = (
@@ -396,7 +397,7 @@ def k_truss(
             .filter(F.col("support") >= F.lit(k - 2))
             .localCheckpoint()
         )
-        n_old, n_new = e.count(), kept.count()
+        n_new = kept.count()  # n_old carried from the previous round
         e = kept.select("lo", "hi")
         if n_new == n_old or n_new == 0:
             return kept.select(
@@ -404,6 +405,7 @@ def k_truss(
                 F.col("hi").alias("node_b"),
                 F.col("support").cast("bigint").alias("support"),
             )
+        n_old = n_new
     msg = f"k_truss did not converge in {max_rounds} peeling rounds"
     if strict:
         raise RuntimeError(msg)
@@ -538,3 +540,65 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 30,
+    strict: bool = True,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node keeps degree ≥ k — the cheaper cousin of
+    :func:`k_truss` (node-degree peeling instead of per-edge triangle
+    support; Seidman 1983, public algorithm). Used as the standard
+    pre-filter before expensive cohesion analysis: nodes outside the
+    2-core can't be in any triangle, nodes outside the k-core can't
+    be in any (k+1)-clique.
+
+    Each peel round is one degree aggregate + one semi join on node
+    ids (no wedge join at all), so rounds cost O(m) regardless of
+    skew; rounds needed = peeling depth. Same convergence contract as
+    the other iterative operators: raises after ``max_rounds`` rather
+    than returning a non-maximal subgraph. Returns surviving edges as
+    (node_a, node_b), node_a < node_b."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_old = e.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("lo").alias("n"))
+            .unionAll(e.select(F.col("hi").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= F.lit(k)).select("n")
+        kept = (
+            e.join(keep.withColumnRenamed("n", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("n", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint()
+        )
+        n_new = kept.count()  # n_old carried from the previous round
+        e = kept
+        if n_new == n_old or n_new == 0:
+            return e.select(
+                F.col("lo").alias("node_a"), F.col("hi").alias("node_b")
+            )
+        n_old = n_new
+    msg = f"k_core did not converge in {max_rounds} peeling rounds"
+    if strict:
+        raise RuntimeError(msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=2)
+    return e.select(F.col("lo").alias("node_a"), F.col("hi").alias("node_b"))

@@ -3290,6 +3290,48 @@ def _lpa_oracle(iterations: int = 4) -> str:
     return "".join(parts)
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled node-degree peeling (same fixed-unroll +
+    MATERIALIZED-CTE contract as the k-truss oracle; the engine
+    raises past its max_rounds, so the unroll can't silently
+    diverge)."""
+    parts = [f"WITH e0 AS MATERIALIZED ({_COPURCHASE_EDGES_SQL})"]
+    for i in range(rounds):
+        parts.append(f"""
+    , deg{i} AS MATERIALIZED (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM e{i} UNION ALL SELECT v FROM e{i})
+      GROUP BY n),
+    keep{i} AS MATERIALIZED (SELECT n FROM deg{i} WHERE d >= {k}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e{i}.u, e{i}.v FROM e{i}
+      JOIN keep{i} ka ON ka.n = e{i}.u
+      JOIN keep{i} kb ON kb.n = e{i}.v)""")
+    parts.append(f"""
+    SELECT u AS node_a, v AS node_b FROM e{rounds}""")
+    return "".join(parts)
+
+
+@register(
+    "part_k_core",
+    oracle=_kcore_oracle(k=3, rounds=10),
+    tags=("graph", "k-core", "peeling", "iterative"),
+)
+def q_part_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph: iterative node-degree peeling
+    (`operators/graph.py:k_core`) — the standard cheap pre-filter
+    before cohesion analysis (a node outside the 2-core is in no
+    triangle; outside the k-core, in no (k+1)-clique). Each round is
+    a degree aggregate + two semi joins, O(m) regardless of skew —
+    no wedge join anywhere, unlike k-truss. Oracle unrolls 10 peel
+    rounds (no-ops past convergence; engine raises if it ever needs
+    more)."""
+    _utc(spark)
+    from ..operators.graph import k_core
+
+    return k_core(_copurchase_edges(spark, sf_dir), k=3)
+
+
 @register(
     "part_communities_lpa",
     oracle=_lpa_oracle(iterations=4),

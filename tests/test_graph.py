@@ -260,3 +260,27 @@ def test_label_propagation_deterministic(spark):
     a = sorted((r.node, r.community) for r in label_propagation(df).collect())
     b = sorted((r.node, r.community) for r in label_propagation(df).collect())
     assert a == b
+
+
+def test_k_core_peels_cascading_tail(spark):
+    """Triangle + a chain hanging off it: the chain peels one link
+    per round (degree-1 endpoints cascade), leaving exactly the
+    triangle as the 2-core; the 3-core of the same graph is empty
+    (triangle nodes have degree 2)."""
+    from datawarehouseproject_spark.operators.graph import k_core
+
+    tri = [(1, 2), (1, 3), (2, 3)]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(tri + chain, ["u", "v"])
+    core2 = {(r.node_a, r.node_b) for r in k_core(df, k=2).collect()}
+    assert core2 == set(tri)
+    assert k_core(df, k=3).count() == 0
+
+
+def test_k_core_k4_survives_3_core(spark):
+    from datawarehouseproject_spark.operators.graph import k_core
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(4, 9)]
+    df = spark.createDataFrame(k4 + pendant, ["u", "v"])
+    assert {(r.node_a, r.node_b) for r in k_core(df, k=3).collect()} == set(k4)
