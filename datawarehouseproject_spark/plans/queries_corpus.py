@@ -132,6 +132,90 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation_pipeline",
+    oracle="""
+    WITH survivors AS (
+      SELECT d.* FROM documents d
+      JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+            FROM documents GROUP BY 1) k
+        ON md5(d.text) = k.h AND d.doc_id = k.doc_id),
+    norm AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM survivors),
+    toks AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM norm),
+    words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM words
+           GROUP BY doc_id, word),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_c,
+             CAST(sum(length(word) * c) AS BIGINT) AS chars
+      FROM wc GROUP BY doc_id),
+    passed AS (
+      SELECT doc_id, n_words FROM per
+      WHERE n_words >= 20 AND n_words <= 100000
+        AND CAST(chars AS DOUBLE) / n_words >= 3.0
+        AND CAST(chars AS DOUBLE) / n_words <= 10.0
+        AND CAST(top_c AS DOUBLE) / n_words <= 0.12
+        AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.6),
+    final AS (
+      SELECT t.source, p.n_words,
+             CASE WHEN CAST('0x' || substring(
+                    md5('split:' || CAST(t.doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10000 < 8000 THEN 'train'
+                  WHEN CAST('0x' || substring(
+                    md5('split:' || CAST(t.doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM toks t JOIN passed p USING (doc_id))
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM final GROUP BY split, source
+    """,
+    tags=("corpus", "pipeline", "curation", "end-to-end"),
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packaged LLM-side pipeline, mirroring `pipeline_day` on
+    the reference side: exact dedup (md5 min-id survivor) → Gopher/C4
+    quality gate (the `quality_rules` composite keep) → deterministic
+    80/10/10 split, reported per (split, source) with document and
+    word counts — one DataFrame DAG checked against ONE SQL oracle,
+    proving the stages COMPOSE, not just pass individually. Every
+    stage is hash/integer-deterministic, so the composed result is
+    engine-exact end to end. Plan: the dedup groupBy shuffles 16-byte
+    hashes, the quality gate is one explode + two map-side-combinable
+    aggregates, the split is a stateless hash expression — nothing in
+    the composition adds a shuffle beyond its stages."""
+    _utc(spark)
+    from ..operators.dedup import exact_dedup
+    from ..operators.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs)
+    verdicts = quality_rules(
+        survivors,
+        min_words=20,
+        max_words=100_000,
+        mean_word_len=(3.0, 10.0),
+        max_top_word_frac=0.12,
+        max_dup_word_frac=0.60,
+    )
+    passed = verdicts.filter(F.col("keep")).select("doc_id", "n_words")
+    kept = survivors.join(passed, "doc_id")
+    split = deterministic_split(
+        kept, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )
+
+
+@register(
     "repetition_rules",
     oracle=f"""
     WITH {_NORM_CTE},
