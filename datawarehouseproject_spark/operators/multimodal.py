@@ -216,7 +216,7 @@ def synthesize_avi_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return ids.select(id_col).mapInPandas(batches, schema=schema)
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -250,7 +250,7 @@ def synthesize_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return ids.select(id_col).mapInPandas(batches, schema=schema)
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
 def resample_wav(media: DataFrame, factor: int) -> DataFrame:
@@ -329,6 +329,18 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _balanced_ids(ids: DataFrame, id_col: str) -> DataFrame:
+    """Round-robin the id column across the session's parallelism
+    before a per-payload mapInPandas: the documents table is a single
+    small parquet file (1 input split), so without this EVERY
+    synthesized payload is encoded and decoded on ONE Python worker —
+    observed as jpeg_image_features running ~12× slower than its
+    single-thread codec cost. The shuffled rows are bare ids, so the
+    exchange is a few KB; the payload work is what gets spread."""
+    n = ids.sparkSession.sparkContext.defaultParallelism
+    return ids.select(id_col).repartition(n)
+
+
 def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of real 24-bit BMP bytes.
 
@@ -353,7 +365,7 @@ def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return ids.select(id_col).mapInPandas(batches, schema=schema)
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
 def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -378,7 +390,7 @@ def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return ids.select(id_col).mapInPandas(batches, schema=schema)
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
 def synthesize_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -403,7 +415,7 @@ def synthesize_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return ids.select(id_col).mapInPandas(batches, schema=schema)
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
 def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -429,7 +441,7 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return ids.select(id_col).mapInPandas(batches, schema=schema)
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
 def extract_image_features(
@@ -748,7 +760,7 @@ def synthesize_mp3_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return ids.select(id_col).mapInPandas(batches, schema=schema)
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
 def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -773,7 +785,7 @@ def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    return ids.select(id_col).mapInPandas(batches, schema=schema)
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
 MP3_STRUCTURE_SCHEMA = T.StructType(
