@@ -812,6 +812,71 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "monthly_price_ohlc",
+    oracle="""
+    WITH px AS (
+      SELECT l_partkey,
+             date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+             l_extendedprice AS p,
+             (CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+              * 1000000000000)
+               + l_orderkey * 100 + l_linenumber AS ord
+      FROM lineitem WHERE l_partkey % 50 = 0)
+    SELECT l_partkey, month,
+           round(arg_min(p, ord), 2) AS open,
+           round(max(p), 2) AS high,
+           round(min(p), 2) AS low,
+           round(arg_max(p, ord), 2) AS close,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM px GROUP BY l_partkey, month
+    """,
+    tags=("time-series", "resample", "ohlc", "min_by-max_by"),
+)
+def q_monthly_price_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part monthly OHLC resample (the financial candlestick
+    shape applied to shipment prices): open/close are the price at
+    the earliest/latest (shipdate, orderkey, linenumber) — a TOTAL
+    order, so `min_by`/`max_by` are deterministic and the DuckDB
+    `arg_min`/`arg_max` twin picks the identical rows (the order key
+    is composed into one BIGINT — days*10^12 + orderkey*100 +
+    linenumber — because arg_min takes scalar keys; valid while
+    orderkey < 10^10, far past TPC-H SF 1000); high/low are
+    plain min/max. ONE aggregation pass — no window sort, no
+    self-join: min_by/max_by keep a single (key, value) pair of
+    running state per group, so the resample is map-side combinable
+    and scales like any other groupBy, where the naive
+    first/last-via-window formulation pays a full per-group sort.
+    Filtered to every 50th part to keep the output bench-sized; the
+    plan is identical without the filter."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 0)
+    ordk = (
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01")).cast("long")
+        * F.lit(1_000_000_000_000)
+        + F.col("l_orderkey") * 100
+        + F.col("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_partkey",
+            F.date_trunc("month", F.to_date("l_shipdate"))
+            .cast("date")
+            .alias("month"),
+            F.col("l_extendedprice").alias("p"),
+            ordk.alias("ord"),
+        )
+        .groupBy("l_partkey", "month")
+        .agg(
+            F.round(F.min_by("p", "ord"), 2).alias("open"),
+            F.round(F.max("p"), 2).alias("high"),
+            F.round(F.min("p"), 2).alias("low"),
+            F.round(F.max_by("p", "ord"), 2).alias("close"),
+            F.count("*").cast("bigint").alias("n_trades"),
+        )
+    )
+
+
+@register(
     "time_weighted_avg",
     oracle="""
     WITH spans AS (
