@@ -172,7 +172,11 @@ def bounded_bfs(
         )
         if nxt.isEmpty():
             break
-        reached = reached.unionByName(nxt).localCheckpoint()
+        # no checkpoint on the union: every input is already a
+        # checkpointed frontier, so the union tree is max_hops deep
+        # (bounded, shallow) and skipping the eager materialization
+        # saves one Spark job per hop
+        reached = reached.unionByName(nxt)
         frontier = nxt.select("node")
     return reached
 
