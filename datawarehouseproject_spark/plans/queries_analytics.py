@@ -745,6 +745,61 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "late_arriving_dim_repair",
+    oracle="""
+    WITH dim AS (
+      SELECT * FROM customer WHERE c_custkey % 97 <> 0),
+    conformed AS (
+      SELECT coalesce(d.c_custkey, 0) AS custkey_conformed,
+             coalesce(d.c_nationkey, -1) AS nation_conformed,
+             o.o_totalprice
+      FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey)
+    SELECT CAST(nation_conformed AS BIGINT) AS nation_conformed,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(sum(CASE WHEN custkey_conformed = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repaired
+    FROM conformed GROUP BY nation_conformed
+    """,
+    tags=("data-quality", "late-arriving-dimension", "sentinel", "repair"),
+)
+def q_late_arriving_dim_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPAIR counterpart to `referential_audit`'s report: facts
+    whose dimension row hasn't arrived yet (simulated by withholding
+    every 97th customer) are conformed to the 0/-1 sentinel member
+    instead of being dropped or failing the load — the reference's
+    own sentinel move (SURVEY §2.9: -1/'Unknown'/0 members) as the
+    standard late-arriving-dimension pattern. Revenue is conserved
+    by construction: every order lands in exactly one bucket, orphans
+    visibly pooled under the sentinel nation for later
+    re-attribution. One broadcast dim join + a map-side-combinable
+    aggregate in exact DECIMAL — no fact-table shuffle beyond the
+    final dim-sized groupBy."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 97 != 0)
+    conformed = orders.join(
+        F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"], "left"
+    ).select(
+        F.coalesce(F.col("c_custkey"), F.lit(0)).alias("custkey_conformed"),
+        F.coalesce(F.col("c_nationkey"), F.lit(-1))
+        .cast("bigint")
+        .alias("nation_conformed"),
+        "o_totalprice",
+    )
+    return conformed.groupBy("nation_conformed").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.sum((F.col("custkey_conformed") == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_repaired"),
+    )
+
+
+@register(
     "referential_audit",
     oracle="""
     SELECT 'orders_without_customer' AS check_name,
