@@ -93,6 +93,8 @@ class _BitReader:
     def u(self, n: int) -> int:
         v = 0
         for _ in range(n):
+            if (self.pos >> 3) >= len(self.data):
+                raise ValueError("truncated RBSP bitstream")
             byte = self.data[self.pos >> 3]
             v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
             self.pos += 1
@@ -151,7 +153,7 @@ def parse_sps(nal: bytes) -> dict:
     Follows the spec field order for non-high profiles; high-profile
     (100/110/122/244/44/83/86/118/128) chroma-format blocks are
     parsed far enough to keep field alignment (no scaling lists)."""
-    if (nal[0] & 0x1F) != NAL_SPS:
+    if not nal or (nal[0] & 0x1F) != NAL_SPS:
         raise ValueError("not an SPS NAL unit")
     r = _BitReader(_unescape(nal[1:]))
     profile_idc = r.u(8)

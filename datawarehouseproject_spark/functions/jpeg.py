@@ -506,7 +506,11 @@ def decode_jpeg_coefficients(payload: bytes):
     preds = [0] * len(comps)
     for mi in range(n_mcus):
         for ci, (cid, _tq) in enumerate(comps):
-            td_ta = scan_tabs[cid]
+            td_ta = scan_tabs.get(cid)
+            if td_ta is None:
+                raise ValueError(
+                    f"SOS references unknown component id {cid}"
+                )
             dc_tab = state["huff"].get((0, td_ta >> 4))
             ac_tab = state["huff"].get((1, td_ta & 0xF))
             if dc_tab is None or ac_tab is None:

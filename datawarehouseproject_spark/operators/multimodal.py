@@ -640,6 +640,8 @@ def image_phash(media: DataFrame, codec: str = "bmp") -> DataFrame:
     Returns ``(media_id, phash)``; near-dup images then dedup by
     exact hash equality (or Hamming-distance bucketing at scale).
     """
+    if codec not in ("bmp", "png", "gif", "jpeg"):
+        raise ValueError(f"unsupported image codec {codec!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -588,6 +588,10 @@ def equi_depth_bounds(sketch: DataFrame, n_buckets: int) -> DataFrame:
     sketch shuffles ≤k rows no matter the input size and the boundary
     selection runs on that k-row frame. Determinism makes the bounds
     oracle-twinnable (see :func:`sql_equi_depth_bounds`)."""
+    if n_buckets < 2:
+        # sequence(1, 0) in Spark counts DOWN ([1, 0]) — a 1-bucket
+        # request would emit two phantom boundaries instead of none
+        raise ValueError("n_buckets must be >= 2")
     arr = sketch.agg(
         F.array_sort(F.collect_list(F.struct("val", "hv"))).alias("s")
     )
@@ -611,6 +615,8 @@ def sql_equi_depth_bounds(
     """DuckDB twin of ``quantile_sketch`` + :func:`equi_depth_bounds`:
     a CTE body (``SELECT bs``) producing the identical boundary
     array. ``key_expr`` is the row-key SQL expression (VARCHAR)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
     return f"""
     SELECT list_transform(range(1, {int(n_buckets)}),
              j -> vs[CAST((j * (n - 1)) // {int(n_buckets)} AS INT) + 1]) AS bs

@@ -3269,12 +3269,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ktruss_oracle(k: int = 3, rounds: int = 6) -> str:
+def _ktruss_oracle(k: int = 3, rounds: int = 12) -> str:
     """Unrolled peeling oracle: DuckDB can't aggregate in a recursive
     CTE, so each peel round is its own (sym, support, filter) CTE
-    chain; extra rounds past convergence are no-ops, and the ENGINE
-    raises if it ever needs more than its max_rounds, so the fixed
-    unroll can't silently diverge. Final support is recomputed on the
+    chain; extra rounds past convergence are no-ops. The unroll count
+    EQUALS the engine's max_rounds (12): any dataset the engine
+    completes on (it raises past max_rounds) converges within the
+    unroll, so engine and oracle can never silently diverge on a
+    peeling depth in between. Final support is recomputed on the
     converged edge set. Every CTE is MATERIALIZED — default inlining
     would expand the round chain into 3^rounds copies of the lineitem
     self-join (observed as an fd-exhaustion blowup)."""
@@ -3306,7 +3308,7 @@ def _ktruss_oracle(k: int = 3, rounds: int = 6) -> str:
 
 @register(
     "part_k_truss",
-    oracle=_ktruss_oracle(k=3, rounds=6),
+    oracle=_ktruss_oracle(k=3, rounds=12),
     tags=("graph", "k-truss", "community", "iterative"),
 )
 def q_part_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3410,11 +3412,13 @@ def _lpa_oracle(iterations: int = 4) -> str:
     return "".join(parts)
 
 
-def _kcore_oracle(k: int = 3, rounds: int = 10) -> str:
+def _kcore_oracle(k: int = 3, rounds: int = 30) -> str:
     """Unrolled node-degree peeling (same fixed-unroll +
-    MATERIALIZED-CTE contract as the k-truss oracle; the engine
-    raises past its max_rounds, so the unroll can't silently
-    diverge)."""
+    MATERIALIZED-CTE contract as the k-truss oracle). The unroll
+    EQUALS the engine's max_rounds (30): the engine raises past it,
+    so any completed run converges within the unroll and the two
+    sides can't silently diverge on deeper peeling chains (e.g. a
+    long path peels one link per round)."""
     parts = [f"WITH e0 AS MATERIALIZED ({_COPURCHASE_EDGES_SQL})"]
     for i in range(rounds):
         parts.append(f"""
@@ -3434,7 +3438,7 @@ def _kcore_oracle(k: int = 3, rounds: int = 10) -> str:
 
 @register(
     "part_k_core",
-    oracle=_kcore_oracle(k=3, rounds=10),
+    oracle=_kcore_oracle(k=3, rounds=30),
     tags=("graph", "k-core", "peeling", "iterative"),
 )
 def q_part_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3443,9 +3447,9 @@ def q_part_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     before cohesion analysis (a node outside the 2-core is in no
     triangle; outside the k-core, in no (k+1)-clique). Each round is
     a degree aggregate + two semi joins, O(m) regardless of skew —
-    no wedge join anywhere, unlike k-truss. Oracle unrolls 10 peel
-    rounds (no-ops past convergence; engine raises if it ever needs
-    more)."""
+    no wedge join anywhere, unlike k-truss. Oracle unrolls the
+    engine's max_rounds=30 (no-ops past convergence; the engine
+    raises if it ever needs more, so no silent divergence)."""
     _utc(spark)
     from ..operators.graph import k_core
 

@@ -406,8 +406,9 @@ def q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w),
     rates AS (
       SELECT source, chars, wgt,
-             least(1000000,
-                   ((total // 2) * wgt * 1000000) // (z * chars))
+             CAST(least(CAST(1000000 AS HUGEINT),
+                   ((CAST(total AS HUGEINT) // 2) * wgt * 1000000)
+                     // (CAST(z AS HUGEINT) * chars)) AS BIGINT)
                AS rate_millionths
       FROM w, tot),
     kept AS (
@@ -459,9 +460,16 @@ def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = w.crossJoin(F.broadcast(tot)).select(
         "source",
         "chars",
-        F.least(
-            F.lit(1_000_000),
-            F.expr("((total DIV 2) * wgt * 1000000) DIV (z * chars)"),
+        # 128-bit arithmetic (DECIMAL(38,0) / DuckDB HUGEINT): at the
+        # 100 TB scale this targets, (total/2)·wgt·10^6 exceeds BIGINT
+        # (~1.5e26 for a 10^14-char corpus) and non-ANSI Spark would
+        # wrap silently to garbage rates
+        F.expr(
+            "CAST(least(CAST(1000000 AS DECIMAL(38,0)),"
+            " ((CAST(total AS DECIMAL(38,0)) DIV 2)"
+            "  * CAST(wgt AS DECIMAL(38,0)) * 1000000)"
+            " DIV (CAST(z AS DECIMAL(38,0))"
+            "      * CAST(chars AS DECIMAL(38,0)))) AS BIGINT)"
         ).alias("rate_millionths"),
     )
     kept = docs.join(F.broadcast(rates), "source").filter(

@@ -101,7 +101,14 @@ def read_version(
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Drop data dirs of all but the last ``keep_last`` committed
     versions (plus any uncommitted orphans beyond the manifest).
-    Returns the dropped version numbers."""
+    Returns the dropped version numbers.
+
+    SINGLE-WRITER contract (shared by every sink in this package):
+    vacuum must not run concurrently with :func:`write_version` — a
+    dir numbered past the manifest is indistinguishable from a
+    crashed writer's orphan, so vacuuming under a live commit would
+    delete the in-progress snapshot. Retained READERS are safe at
+    any time provided their version is within ``keep_last``."""
     latest = current_version(path)
     dropped = []
     for name in sorted(os.listdir(path)):

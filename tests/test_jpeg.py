@@ -207,3 +207,14 @@ def test_image_phash_jpeg_matches_bmp_content(spark):
         ).collect()
     }
     assert bmp_h == jpg_h
+
+
+def test_bad_sos_component_id_raises_valueerror():
+    """Round-6 review finding: an SOS referencing an unknown
+    component id used to escape the permissive quarantine as
+    KeyError."""
+    payload = bytearray(synth_jpeg(3))
+    i = payload.find(b"\xff\xda")
+    payload[i + 5] = 9
+    with pytest.raises(ValueError, match="unknown component"):
+        decode_jpeg(bytes(payload))

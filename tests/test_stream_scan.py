@@ -142,3 +142,29 @@ def test_spark_h264_structure_permissive(spark):
     assert (out[1]["width"], out[1]["height"]) == (w, h)
     assert out[2]["decode_error"] is not None
     assert out[2]["width"] is None
+
+
+def test_truncated_sps_raises_valueerror_not_indexerror():
+    """Round-6 review finding: a truncated SPS used to escape the
+    permissive quarantine as IndexError."""
+    with pytest.raises(ValueError):
+        scan_h264(b"\x00\x00\x00\x01\x67\x42")
+    payload = synth_h264(4)
+    with pytest.raises(ValueError):
+        scan_h264(payload[:9])
+
+
+def test_spark_permissive_quarantines_truncated_sps(spark):
+    rows = [
+        (1, bytearray(synth_h264(1))),
+        (2, bytearray(b"\x00\x00\x00\x01\x67\x42")),
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    out = {
+        r["media_id"]: r
+        for r in extract_stream_structure(
+            media, fmt="h264", permissive=True
+        ).collect()
+    }
+    assert out[1]["decode_error"] is None
+    assert out[2]["decode_error"] is not None

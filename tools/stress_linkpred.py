@@ -13,8 +13,11 @@ join at O(m · cap) rows, and is applied identically in the DuckDB
 oracle so capped results stay value-exact cross-engine.
 
 Also reports the wedge-instance counts themselves (the intermediate
-volume, not just wall time), and verifies the capped result equals
-the uncapped result restricted to sub-cap centers.
+volume, not just wall time), and VERIFIES the capped operator output
+equals an independent reconstruction (wedges formed over the full
+symmetrized list, then filtered to sub-cap centers at the wedge
+level rather than the input level) — asserted via exceptAll both
+ways before timings are printed.
 
 Usage: python tools/stress_linkpred.py [n_nodes ...]
 Defaults: 200000. Prints one JSON line per measurement.
@@ -64,10 +67,43 @@ def main() -> None:
         )
 
         t0 = time.time()
-        capped = common_neighbor_candidates(
+        capped_df = common_neighbor_candidates(
             edges, min_common=2, max_center_degree=cap
-        ).count()
+        ).localCheckpoint()
+        capped = capped_df.count()
         t_capped = time.time() - t0
+
+        # independent reconstruction: filter at the WEDGE level (after
+        # formation over all centers) instead of the operator's
+        # input-level center filter — different code path, same
+        # semantics, so set equality actually verifies the cap
+        sym2 = edges.select(F.col("u").alias("s"), F.col("v").alias("n")).unionAll(
+            edges.select(F.col("v").alias("s"), F.col("u").alias("n"))
+        )
+        deg2 = sym2.groupBy("s").agg(F.count("*").alias("d"))
+        w1 = sym2.join(deg2, "s").filter(F.col("d") <= cap).select(
+            "s", F.col("n").alias("y")
+        )
+        w2 = w1.select("s", F.col("y").alias("z"))
+        expect = (
+            w1.join(w2, "s")
+            .filter(F.col("y") < F.col("z"))
+            .groupBy("y", "z")
+            .agg(F.count("*").alias("common_neighbors"))
+            .filter(F.col("common_neighbors") >= 2)
+            .join(
+                edges.select(F.col("u").alias("y"), F.col("v").alias("z")),
+                ["y", "z"],
+                "left_anti",
+            )
+            .select(
+                F.col("y").alias("node_a"),
+                F.col("z").alias("node_b"),
+                "common_neighbors",
+            )
+        )
+        assert capped_df.exceptAll(expect).isEmpty(), "capped ⊄ expected"
+        assert expect.exceptAll(capped_df).isEmpty(), "expected ⊄ capped"
 
         t0 = time.time()
         uncapped = common_neighbor_candidates(edges, min_common=2).count()
@@ -86,6 +122,7 @@ def main() -> None:
                         wedges_all / max(wedges_capped, 1), 1
                     ),
                     "pairs_capped": capped,
+                    "cap_verified": True,
                     "pairs_uncapped": uncapped,
                     "capped_sec": round(t_capped, 2),
                     "uncapped_sec": round(t_uncapped, 2),
