@@ -524,3 +524,118 @@ def pack_by_token_budget(
         .cast("int")
         .alias("shard"),
     )
+
+
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_freq_rank: int | None = None,
+) -> DataFrame:
+    """LEARN a byte-pair-encoding merge table from the corpus —
+    the training half of the subword story (``subword_tokenize_counts``
+    is the inference half): Sennrich et al. 2016's algorithm, public,
+    expressed as a driver-side loop of fully distributed rounds.
+
+    Classic BPE trains on the WORD-FREQUENCY table, not the token
+    stream — the corpus collapses to (distinct word, count) once, so
+    at 100 TB the iteration state is vocabulary-sized (millions of
+    rows) regardless of corpus size. Each round:
+
+    1. count adjacent symbol pairs, weighted by word frequency
+       (one explode + sum aggregate, map-side combinable);
+    2. pick the most frequent pair — ties broken lexicographically,
+       so the learned table is a pure function of the corpus
+       (the 1-row argmax is the only thing the driver ever sees);
+    3. merge that pair in every word's symbol array with a JVM-side
+       ``aggregate`` fold (greedy left-to-right, exactly the
+       reference algorithm's semantics — a freshly merged token
+       never re-merges with the next symbol in the same pass).
+
+    Returns the merge table ``(rank, left, right, merged, pair_count)``
+    — ``n_merges`` rows, deterministic, the artifact a tokenizer
+    ships. Words are lowercase-normalized words of the corpus
+    (same tokenization as the rest of the text family); symbols
+    start as single characters. No SQL oracle can replay the
+    argmax-per-round loop, so the registry query is rows-only and
+    the VALUES are pinned by ``tests/test_bpe.py`` against an
+    independent pure-Python reference implementation.
+    """
+    from ..functions.text import word_tokens
+
+    words = (
+        docs.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if max_word_freq_rank is not None:
+        from pyspark.sql import Window
+
+        rw = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        words = (
+            words.withColumn("__r", F.row_number().over(rw))
+            .filter(F.col("__r") <= max_word_freq_rank)
+            .drop("__r")
+        )
+    syms = words.select(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("s"),
+        "cnt",
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(element_at(s, i) AS a,"
+                        "             element_at(s, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(
+            F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
+        ).first()
+        if top is None:
+            break
+        a, b, n = top["a"], top["b"], top["n"]
+        merges.append((rank, a, b, a + b, int(n)))
+        syms = syms.select(
+            F.expr(
+                "aggregate(s, CAST(array() AS array<string>), (acc, x) ->"
+                " IF(size(acc) > 0 AND element_at(acc, -1) = {a} AND x = {b},"
+                "    concat(slice(acc, 1, size(acc) - 1), array({a} || {b})),"
+                "    concat(acc, array(x))))".format(
+                    a=_sql_str(a), b=_sql_str(b)
+                )
+            ).alias("s"),
+            "cnt",
+        ).localCheckpoint()
+
+    spark = docs.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("left", T.StringType()),
+            T.StructField("right", T.StringType()),
+            T.StructField("merged", T.StringType()),
+            T.StructField("pair_count", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal (single quotes doubled; the only escape the
+    normalized token alphabet can need)."""
+    return "'" + s.replace("'", "''") + "'"

@@ -132,6 +132,33 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_merge_rules",
+    tags=("corpus", "tokenizer", "bpe", "training", "rows-only"),
+)
+def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN a BPE merge table from the corpus (Sennrich et al.
+    2016) — the tokenizer-TRAINING half of the subword story
+    (`subword_tokens` applies a vocabulary; this is where one comes
+    from). Classic BPE iterates on the word-frequency table, so the
+    loop state is vocabulary-sized at any corpus size; each round is
+    one weighted pair-count aggregate + a 1-row argmax
+    (lexicographic tie-break ⇒ fully deterministic) + a JVM-side
+    greedy merge fold (`operators/corpus.py:bpe_learn`). Rows-only
+    registry entry: no SQL oracle can replay the per-round argmax,
+    so the VALUES are pinned by ``tests/test_bpe.py`` against an
+    independent pure-Python reference implementation (exact match on
+    both synthetic and real-document corpora), the same contract as
+    `adpcm_audio_features`. Capped to the top-2000 words by
+    frequency (rank is deterministic) purely to bound gate runtime —
+    the algorithm itself scales with the full vocabulary."""
+    _utc(spark)
+    from ..operators.corpus import bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_learn(docs, n_merges=16, max_word_freq_rank=2000)
+
+
+@register(
     "corpus_curation_pipeline",
     oracle="""
     WITH survivors AS (
