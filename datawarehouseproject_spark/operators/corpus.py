@@ -566,18 +566,19 @@ def bpe_learn(
 
     words = (
         docs.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+        # word_tokens('') yields [''] — an empty word would become a
+        # ['', ''] symbol array (sequence(1, 0) counts DOWN) and its
+        # phantom ('','') pair sorts FIRST on the tie-break
+        .filter(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
     if max_word_freq_rank is not None:
-        from pyspark.sql import Window
-
-        rw = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
-        words = (
-            words.withColumn("__r", F.row_number().over(rw))
-            .filter(F.col("__r") <= max_word_freq_rank)
-            .drop("__r")
-        )
+        # TakeOrderedAndProject (per-partition top-k + k-row merge),
+        # not a global row_number window (single-partition sort)
+        words = words.orderBy(
+            F.col("cnt").desc(), F.col("w").asc()
+        ).limit(int(max_word_freq_rank))
     syms = words.select(
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .alias("s"),
@@ -608,14 +609,27 @@ def bpe_learn(
             break
         a, b, n = top["a"], top["b"], top["n"]
         merges.append((rank, a, b, a + b, int(n)))
+        # Column-API fold (no SQL string literals: symbols can contain
+        # quote/backslash bytes that Spark's literal parser would
+        # reinterpret — review r6 finding)
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def _merge_step(acc, x):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb)
+            )
+            return F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lab)
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
         syms = syms.select(
-            F.expr(
-                "aggregate(s, CAST(array() AS array<string>), (acc, x) ->"
-                " IF(size(acc) > 0 AND element_at(acc, -1) = {a} AND x = {b},"
-                "    concat(slice(acc, 1, size(acc) - 1), array({a} || {b})),"
-                "    concat(acc, array(x))))".format(
-                    a=_sql_str(a), b=_sql_str(b)
-                )
+            F.aggregate(
+                "s", F.array().cast("array<string>"), _merge_step
             ).alias("s"),
             "cnt",
         ).localCheckpoint()
@@ -633,9 +647,3 @@ def bpe_learn(
         ]
     )
     return spark.createDataFrame(merges, schema)
-
-
-def _sql_str(s: str) -> str:
-    """SQL string literal (single quotes doubled; the only escape the
-    normalized token alphabet can need)."""
-    return "'" + s.replace("'", "''") + "'"

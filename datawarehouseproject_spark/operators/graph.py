@@ -181,6 +181,25 @@ def bounded_bfs(
     return reached
 
 
+def _canonical_edges(
+    edges: DataFrame, src: str, dst: str, checkpoint: bool = False
+) -> DataFrame:
+    """Canonical undirected edge list (lo, hi): self-loops dropped,
+    endpoints ordered, duplicates collapsed — the shared preamble of
+    every pairwise-graph operator in this module. ``checkpoint``
+    eagerly materializes it for operators that re-derive from it
+    every iteration."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    return e.localCheckpoint() if checkpoint else e
+
+
 def triangle_enumeration(
     edges: DataFrame, src: str = "u", dst: str = "v"
 ) -> DataFrame:
@@ -199,14 +218,7 @@ def triangle_enumeration(
 
     ``edges`` holds each undirected edge once in any order; self
     loops are dropped. Returns (node_a, node_b, node_c)."""
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
-        )
-        .distinct()
-    )
+    e = _canonical_edges(edges, src, dst)
     deg = (
         e.select(F.col("lo").alias("n"))
         .unionAll(e.select(F.col("hi").alias("n")))
@@ -289,14 +301,7 @@ def common_neighbor_candidates(
 
     Returns (node_a, node_b, common_neighbors), node_a < node_b,
     each pair once."""
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
-        )
-        .distinct()
-    )
+    e = _canonical_edges(edges, src, dst)
     sym = e.select(F.col("lo").alias("s"), F.col("hi").alias("n")).unionAll(
         e.select(F.col("hi").alias("s"), F.col("lo").alias("n"))
     )
@@ -383,15 +388,7 @@ def k_truss(
 
     Returns surviving edges as (node_a, node_b, support), node_a <
     node_b, support = triangle count in the final subgraph."""
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    e = _canonical_edges(edges, src, dst, checkpoint=True)
     n_old = e.count()
     for _ in range(max_rounds):
         sup = edge_support(e, src="lo", dst="hi")
@@ -568,15 +565,7 @@ def k_core(
     the other iterative operators: raises after ``max_rounds`` rather
     than returning a non-maximal subgraph. Returns surviving edges as
     (node_a, node_b), node_a < node_b."""
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    e = _canonical_edges(edges, src, dst, checkpoint=True)
     n_old = e.count()
     for _ in range(max_rounds):
         deg = (

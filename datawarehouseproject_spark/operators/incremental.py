@@ -61,14 +61,20 @@ def index_components(
 
     One normalize+shingle pass feeds both the shingle set and the
     MinHash signatures (same sharing as ``corpus_dedup``). The
-    shingle frame is cached: a probe consumes it THREE times
-    (signature build, union into the verify side, size aggregate)
-    and without the cache each consumer re-shingles the full corpus.
-    This derive-in-memory path is for batch-sized corpora — at
-    100 TB the index lives as the persisted parquet
-    :class:`DedupIndex`, where the same reuse is a file re-read."""
+    shingle frame is localCheckpoint-ed: a probe consumes it THREE
+    times (signature build, union into the verify side, size
+    aggregate) and without materialization each consumer re-shingles
+    the full corpus. Checkpoint, not cache(): its blocks are freed
+    when the frame is garbage-collected, where an un-unpersisted
+    cache would accumulate per ingested batch in a long-lived
+    session (review r6). This derive-in-memory path is for
+    batch-sized corpora — at 100 TB the index lives as the persisted
+    parquet :class:`DedupIndex`, where the same reuse is a file
+    re-read."""
     hashes = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
-    shingles = _shingle_hashes(docs, id_col, text_col, shingle_len).cache()
+    shingles = _shingle_hashes(
+        docs, id_col, text_col, shingle_len
+    ).localCheckpoint()
     sig = minhash_signatures(
         docs, id_col, text_col, num_perm, shingle_len, shingles=shingles
     )

@@ -112,6 +112,11 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     latest = current_version(path)
     dropped = []
     for name in sorted(os.listdir(path)):
+        if name.startswith("._VERSION."):
+            # temp manifest from a commit that crashed before its
+            # rename — nothing else ever cleans these (review r6)
+            os.remove(os.path.join(path, name))
+            continue
         if not name.startswith("v"):
             continue
         try:

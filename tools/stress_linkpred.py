@@ -73,20 +73,21 @@ def main() -> None:
         capped = capped_df.count()
         t_capped = time.time() - t0
 
-        # independent reconstruction: filter at the WEDGE level (after
-        # formation over all centers) instead of the operator's
-        # input-level center filter — different code path, same
-        # semantics, so set equality actually verifies the cap
+        # independent reconstruction: form wedges over ALL centers
+        # first, join degrees onto the FORMED wedges, and drop
+        # over-cap centers at the wedge level — pays the full d² cost
+        # on purpose so the check shares no cap placement with the
+        # operator's input-level filter
         sym2 = edges.select(F.col("u").alias("s"), F.col("v").alias("n")).unionAll(
             edges.select(F.col("v").alias("s"), F.col("u").alias("n"))
         )
         deg2 = sym2.groupBy("s").agg(F.count("*").alias("d"))
-        w1 = sym2.join(deg2, "s").filter(F.col("d") <= cap).select(
-            "s", F.col("n").alias("y")
-        )
-        w2 = w1.select("s", F.col("y").alias("z"))
+        w1 = sym2.select("s", F.col("n").alias("y"))
+        w2 = sym2.select("s", F.col("n").alias("z"))
         expect = (
             w1.join(w2, "s")
+            .join(deg2, "s")
+            .filter(F.col("d") <= cap)
             .filter(F.col("y") < F.col("z"))
             .groupBy("y", "z")
             .agg(F.count("*").alias("common_neighbors"))
