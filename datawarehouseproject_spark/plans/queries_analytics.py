@@ -3480,6 +3480,90 @@ def q_part_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "item_similarity_cosine",
+    oracle="""
+    WITH w AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             count(DISTINCT a.l_orderkey) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 2),
+    strength AS (
+      SELECT u AS node, sum(w) AS s FROM w GROUP BY u
+      UNION ALL
+      SELECT v, sum(w) FROM w GROUP BY v),
+    st AS (SELECT node, CAST(sum(s) AS BIGINT) AS s
+           FROM strength GROUP BY node)
+    SELECT w.u AS node_a, w.v AS node_b,
+           CAST(w.w AS BIGINT) AS cooccur,
+           round(w.w / sqrt(CAST(sa.s * sb.s AS DOUBLE)), 6) AS cosine
+    FROM w JOIN st sa ON sa.node = w.u JOIN st sb ON sb.node = w.v
+    """,
+    tags=("graph", "recommender", "cosine", "co-occurrence"),
+)
+def q_item_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item similarity on the weighted co-purchase graph — the
+    collaborative-filtering primitive one step past raw co-occurrence
+    counts: cosine-normalize each pair's weight by the endpoints'
+    total co-purchase strength, so a pair of niche parts that
+    always sell together outranks a pair that co-occurs only because
+    both are popular (the same popularity correction the
+    link-prediction cap applies structurally). The strength table is
+    one aggregate over the edge list; the normalization is one
+    integer product, one sqrt and one division per pair — identical
+    single IEEE ops on both engines, rounded at 6 places — so the
+    scores hash-match the oracle. At 100 TB everything is keyed on
+    part ids; nothing touches the fact table after the edge build."""
+    _utc(spark)
+    edges = (
+        _copurchase_edges_weighted(spark, sf_dir)
+        .select("u", "v", "w")
+    )
+    strength = (
+        edges.select(F.col("u").alias("node"), "w")
+        .unionAll(edges.select(F.col("v").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").cast("bigint").alias("s"))
+    )
+    sa = strength.select(F.col("node").alias("u"), F.col("s").alias("sa"))
+    sb = strength.select(F.col("node").alias("v"), F.col("s").alias("sb"))
+    return (
+        edges.join(sa, "u")
+        .join(sb, "v")
+        .select(
+            F.col("u").alias("node_a"),
+            F.col("v").alias("node_b"),
+            F.col("w").cast("bigint").alias("cooccur"),
+            F.round(
+                F.col("w")
+                / F.sqrt((F.col("sa") * F.col("sb")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+def _copurchase_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_copurchase_edges` with the support weight retained."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+
+
+@register(
     "k_anonymity_report",
     oracle="""
     WITH classes AS (
