@@ -3480,6 +3480,76 @@ def q_part_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "brand_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT p_brand, r,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY r, l_partkey) AS rk
+      FROM rev)
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(r) AS DOUBLE) AS total_revenue,
+           round((2 * CAST(sum(rk * r) AS DOUBLE)
+                  - (count(*) + 1) * CAST(sum(r) AS DOUBLE))
+                 / (count(*) * CAST(sum(r) AS DOUBLE)), 6) AS gini
+    FROM ranked GROUP BY p_brand
+    """,
+    tags=("profiling", "inequality", "gini", "window"),
+)
+def q_brand_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile per brand: the Gini coefficient
+    of part-level revenue — 0 when every part sells equally, →1 when
+    one part carries the brand (the assortment-risk metric every
+    category manager tracks, and the skew early-warning for
+    partitioning by part key). Computed by the rank formula
+    G = (2·Σ rank·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over a per-brand window
+    ordered by (revenue, partkey) — a TOTAL order, so ranks and both
+    sums are deterministic; sums run in exact DECIMAL and the only
+    float work is one subtraction/division per brand, rounded at 6
+    places (hash-exact cross-engine). Window partitions are
+    brand-sized, never global."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("r")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("r", "l_partkey")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    n = F.count("*")
+    tot = F.sum("r").cast("double")
+    return ranked.groupBy("p_brand").agg(
+        n.cast("bigint").alias("n_parts"),
+        tot.alias("total_revenue"),
+        F.round(
+            (
+                2 * F.sum(F.col("rk") * F.col("r")).cast("double")
+                - (n + 1) * tot
+            )
+            / (n * tot),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
     "item_similarity_cosine",
     oracle="""
     WITH w AS (
