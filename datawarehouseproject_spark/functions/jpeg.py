@@ -217,6 +217,10 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # truncate the Python-int accumulator to the pending bits —
+        # without this it grows by 8 bits per emitted byte and bit
+        # I/O goes O(n^2) over the whole entropy segment (ADVICE r6)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -376,7 +380,10 @@ class _BitReader:
                 raise ValueError("hit marker inside entropy data")
         else:
             self.pos = p + 1
-        self.acc = (self.acc << 8) | byte
+        # mask before shifting in the new byte: keeps the accumulator
+        # bounded (stale consumed bits otherwise pile up forever and
+        # make every shift O(segment length) — ADVICE r6)
+        self.acc = (((self.acc & ((1 << self.nbits) - 1)) << 8)) | byte
         self.nbits += 8
 
     def read_bit(self) -> int:

@@ -388,6 +388,10 @@ def k_truss(
 
     Returns surviving edges as (node_a, node_b, support), node_a <
     node_b, support = triangle count in the final subgraph."""
+    if max_rounds < 1:
+        # the non-strict fallback below returns the last round's
+        # `kept`, which is unbound if the loop never runs (ADVICE r6)
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     e = _canonical_edges(edges, src, dst, checkpoint=True)
     n_old = e.count()
     for _ in range(max_rounds):

@@ -3320,8 +3320,9 @@ def q_part_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-round support from the degree-ORIENTED triangle join
     (`operators/graph.py:k_truss`), hub-safe at 100 TB; rounds =
     peeling depth, convergence enforced (raises rather than return a
-    non-maximal subgraph). Oracle: the same peeling unrolled to 6
-    fixed rounds (no-op past convergence)."""
+    non-maximal subgraph). Oracle: the same peeling unrolled to 12
+    fixed rounds — deliberately matching the engine's max_rounds, so
+    neither side can silently diverge past convergence."""
     _utc(spark)
     from ..operators.graph import k_truss
 

@@ -1309,8 +1309,12 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches exactly that.
 
     Plan: one tokenize pass, window strings by array slice (no
-    re-tokenization per window), hash to 8 bytes immediately — only
-    hashes shuffle — then a distinct-doc-count filter, a semi join
+    re-tokenization per window), hash each window to the FULL 128-bit
+    md5 immediately (a truncated 60-bit key would hit birthday
+    collisions at the ~10^13 windows of a 100 TB corpus and both
+    create false duplicate spans and diverge from the oracle —
+    ADVICE r6) — only 16-byte hashes shuffle, never window text —
+    then a distinct-doc-count filter, a semi join
     back to positions, and the classic gap-merge (lag + running sum
     of island breaks) to fuse overlapping windows into maximal
     spans. Everything is integer/hash arithmetic — both engines
@@ -1320,7 +1324,6 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from pyspark.sql import Window
 
-    from ..functions.hashing import md5_long
     from ..functions.text import word_tokens
 
     K = 8
@@ -1336,7 +1339,11 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.concat_ws(" ", F.slice("arr", i + 1, K)),
             )
         ).alias("pos", "win"),
-    ).select("doc_id", "pos", md5_long(F.col("win"), salt="w:").alias("h"))
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat(F.lit("w:"), F.col("win"))).alias("h"),
+    )
     dup = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

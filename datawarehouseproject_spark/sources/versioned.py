@@ -1,32 +1,50 @@
-"""Versioned parquet tables: snapshot isolation + time travel.
+"""Versioned parquet tables: snapshot isolation, time travel, and a
+conflict-detecting (compare-and-swap) commit.
 
 The lakehouse commit pattern (what Delta/Iceberg/Hudi do under the
 hood, reduced to its filesystem essentials): every write lands in a
-NEW immutable directory ``v{N}`` and a tiny ``_VERSION`` manifest is
-swapped atomically to point at it. Properties this buys over the
-rewrite-in-place swap of :func:`.parquet.overwrite_atomic`:
+NEW immutable uuid-named data directory, and committing version N
+means winning the exclusive creation of the tiny marker file
+``_commits/{N}`` whose content names that directory. Properties:
 
 - **snapshot isolation**: a reader that resolved version N keeps a
-  consistent view forever — the writer never touches vN's files, so
+  consistent view forever — markers and data dirs are immutable, so
   there is NO non-atomic window at all (overwrite_atomic has one
   between its two renames);
 - **time travel**: ``read_version(..., version=N)`` reads any
   retained snapshot — the audit/rollback/reproducibility primitive
   (what did the feature table look like when the model trained?);
-- **cheap rollback**: restoring version N is a manifest write, not a
-  data copy.
+- **cheap rollback**: restoring version N is a 1-row commit of its
+  marker's target, not a data copy;
+- **multi-writer safety (CAS)**: the commit is ``os.link`` of a
+  fully-written temp marker to ``_commits/{N}`` — atomic
+  create-if-absent on POSIX, so EXACTLY ONE writer wins each version
+  number. A loser re-reads the head and retries with N+1 using the
+  SAME already-written data dir (no data rewrite), so no committed
+  version is ever lost. This is Delta Lake's ``_delta_log``
+  optimistic-concurrency protocol verbatim (public: Armbrust et al.,
+  VLDB 2020), with parquet snapshot dirs in place of action logs.
 
-On a real deployment the manifest swap maps to a metastore/catalog
-pointer update; directories are immutable exactly as object stores
-want them. ``vacuum`` bounds storage by retaining the last K
-versions (a retained reader's version must stay within K — the same
-contract Delta's ``VACUUM`` has).
+Crash safety: a writer that dies before its ``os.link`` leaves only
+an unreferenced data dir and/or a stale temp marker — both invisible
+to readers (resolution goes through ``_commits/`` alone), both
+cleared by the next ``vacuum``, and NEITHER blocks subsequent
+commits (data dirs are uuid-named, so there is no name collision to
+fight over — the round-6 orphan-blocks-commits defect is gone).
+
+On a real deployment ``_commits/`` maps to the transaction log on the
+object store (S3 conditional PUT / GCS precondition) or a metastore
+row insert with a uniqueness constraint; listing it to find the head
+is exactly Delta's log listing. Data dirs are immutable exactly as
+object stores want them. ``vacuum`` bounds storage by retaining the
+last K versions (a retained reader's version must stay within K —
+the same contract Delta's ``VACUUM`` has).
 
 Layout::
 
     table/
-      _VERSION            <- text file: latest committed N
-      v1/ ... v2/ ...     <- immutable parquet snapshot dirs
+      _commits/1 2 3 ...  <- immutable marker files: data dir name
+      d-<uuid>/ ...       <- immutable parquet snapshot dirs
 """
 
 from __future__ import annotations
@@ -37,44 +55,75 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MANIFEST = "_VERSION"
+_COMMITS = "_commits"
 
 
-def _manifest_path(path: str) -> str:
-    return os.path.join(path, _MANIFEST)
+def _commits_dir(path: str) -> str:
+    return os.path.join(path, _COMMITS)
+
+
+def _committed_versions(path: str) -> list[int]:
+    try:
+        names = os.listdir(_commits_dir(path))
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        try:
+            out.append(int(n))
+        except ValueError:
+            continue  # stale .tmp markers from crashed writers
+    return sorted(out)
 
 
 def current_version(path: str) -> int:
     """Latest committed version, 0 if the table doesn't exist yet.
 
-    Reads ONLY the manifest — never lists data directories, so a
-    concurrent writer's in-progress (uncommitted) version dir is
-    invisible, which is the isolation property."""
+    Lists ONLY the commit log — never data directories — so a
+    concurrent writer's in-progress (uncommitted) snapshot is
+    invisible, which is the isolation property. (Listing the log to
+    find the head is what Delta/Iceberg readers do too.)"""
+    vs = _committed_versions(path)
+    return vs[-1] if vs else 0
+
+
+def _resolve_dir(path: str, version: int) -> str | None:
+    """Data dir name committed as ``version``, or None."""
     try:
-        with open(_manifest_path(path)) as fh:
-            return int(fh.read().strip())
+        with open(os.path.join(_commits_dir(path), str(version))) as fh:
+            return fh.read().strip()
     except FileNotFoundError:
-        return 0
+        return None
 
 
-def write_version(df: DataFrame, path: str) -> int:
+def write_version(df: DataFrame, path: str, max_attempts: int = 1000) -> int:
     """Commit ``df`` as the next version; returns its number.
 
-    The data write targets a version directory no reader can have
-    resolved yet; the commit is the manifest swap (write-to-temp +
-    ``os.rename``, atomic on POSIX). A crash before the rename
-    leaves an orphaned uncommitted dir that the next ``vacuum``
-    clears — readers never see it because version resolution goes
-    through the manifest alone."""
-    os.makedirs(path, exist_ok=True)
-    version = current_version(path) + 1
-    vdir = os.path.join(path, f"v{version}")
-    df.write.mode("error").parquet(vdir)
-    tmp = os.path.join(path, f"._VERSION.{uuid.uuid4().hex[:8]}")
+    The data write targets a fresh uuid directory no reader can have
+    resolved; the commit is one ``os.link`` into the log — atomic
+    create-if-absent, so under concurrent writers exactly one wins
+    each version number and the loser retries at N+1 with the same
+    data dir. A crash at any point leaves only vacuum-collectable
+    garbage, never a blocked or half-visible commit."""
+    os.makedirs(_commits_dir(path), exist_ok=True)
+    dname = f"d-{uuid.uuid4().hex[:12]}"
+    df.write.mode("error").parquet(os.path.join(path, dname))
+    tmp = os.path.join(_commits_dir(path), f".tmp.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.rename(tmp, _manifest_path(path))
-    return version
+        fh.write(dname)  # marker content complete BEFORE it can win
+    try:
+        version = current_version(path) + 1
+        for _ in range(max_attempts):
+            try:
+                os.link(tmp, os.path.join(_commits_dir(path), str(version)))
+                return version
+            except FileExistsError:
+                version += 1  # lost the CAS race; data dir is reusable
+        raise RuntimeError(
+            f"write_version lost {max_attempts} consecutive commit races at {path}"
+        )
+    finally:
+        os.remove(tmp)
 
 
 def read_version(
@@ -89,41 +138,43 @@ def read_version(
     if latest == 0:
         raise ValueError(f"no committed versions at {path}")
     v = latest if version is None else int(version)
-    vdir = os.path.join(path, f"v{v}")
-    if v < 1 or v > latest or not os.path.exists(vdir):
+    dname = _resolve_dir(path, v) if v >= 1 else None
+    if dname is None or not os.path.exists(os.path.join(path, dname)):
         raise ValueError(
             f"version {v} not available at {path} "
             f"(latest {latest}; older versions may be vacuumed)"
         )
-    return spark.read.parquet(vdir)
+    return spark.read.parquet(os.path.join(path, dname))
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
-    """Drop data dirs of all but the last ``keep_last`` committed
-    versions (plus any uncommitted orphans beyond the manifest).
-    Returns the dropped version numbers.
+    """Drop all but the last ``keep_last`` committed versions, plus
+    any unreferenced data dirs and stale temp markers left by crashed
+    writers. Returns the dropped version numbers.
 
-    SINGLE-WRITER contract (shared by every sink in this package):
-    vacuum must not run concurrently with :func:`write_version` — a
-    dir numbered past the manifest is indistinguishable from a
-    crashed writer's orphan, so vacuuming under a live commit would
-    delete the in-progress snapshot. Retained READERS are safe at
-    any time provided their version is within ``keep_last``."""
-    latest = current_version(path)
+    Must not run concurrently with :func:`write_version` — an
+    unreferenced data dir is indistinguishable from a writer that
+    has written data but not yet linked its marker, so vacuuming
+    under a live commit could delete the in-progress snapshot (the
+    same reason Delta's VACUUM has a retention horizon). Retained
+    READERS are safe at any time provided their version is within
+    ``keep_last``."""
+    versions = _committed_versions(path)
+    cutoff = (versions[-1] - keep_last) if versions else 0
     dropped = []
-    for name in sorted(os.listdir(path)):
-        if name.startswith("._VERSION."):
-            # temp manifest from a commit that crashed before its
-            # rename — nothing else ever cleans these (review r6)
-            os.remove(os.path.join(path, name))
-            continue
-        if not name.startswith("v"):
-            continue
-        try:
-            v = int(name[1:])
-        except ValueError:
-            continue
-        if v <= latest - keep_last or v > latest:
-            shutil.rmtree(os.path.join(path, name))
+    for v in versions:
+        if v <= cutoff:
+            os.remove(os.path.join(_commits_dir(path), str(v)))
             dropped.append(v)
+    live = {
+        _resolve_dir(path, v) for v in _committed_versions(path)
+    }
+    for name in os.listdir(path):
+        if name.startswith("d-") and name not in live:
+            shutil.rmtree(os.path.join(path, name))
+    cdir = _commits_dir(path)
+    if os.path.isdir(cdir):
+        for name in os.listdir(cdir):
+            if name.startswith(".tmp."):
+                os.remove(os.path.join(cdir, name))
     return sorted(dropped)
