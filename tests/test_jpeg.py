@@ -218,3 +218,165 @@ def test_bad_sos_component_id_raises_valueerror():
     payload[i + 5] = 9
     with pytest.raises(ValueError, match="unknown component"):
         decode_jpeg(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 / 4:2:2 chroma subsampling + restart intervals (round 7 —
+# VERDICT r6 item 1: the profile virtually every real-world photo
+# uses).
+# ---------------------------------------------------------------------------
+
+
+def test_exact_roundtrip_420_macroblock_constant():
+    """The 4:2:0 oracle construction: every 16×16 macroblock a
+    constant gray ⇒ decode(encode(x, 420, RST every 2 MCUs)) == x
+    EXACTLY — all four luma blocks per MCU are DC-only, chroma is
+    the constant 128 (DC exactly 0), upsample replicates a
+    constant."""
+    from datawarehouseproject_spark.functions.jpeg import (
+        synth_jpeg420,
+        synth_jpeg420_pixels,
+        synth_jpeg420_size,
+    )
+
+    for seed in range(60):
+        w, h = synth_jpeg420_size(seed)
+        px = synth_jpeg420_pixels(seed, w, h)
+        w2, h2, rgb = decode_jpeg(synth_jpeg420(seed))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(rgb, px), f"seed {seed}"
+
+
+def test_quantized_coefficients_bit_exact_interleaved_420():
+    """The entropy half stays lossless under 2×2 interleaved MCUs +
+    restart intervals: huffman-decode every quantized coefficient of
+    a random RGB 4:2:0 image and compare bit-for-bit with an
+    independent recomputation (color transform → box downsample →
+    MCU-grid padding → DCT → quantize → zigzag). Random pixels
+    maximize AC activity; the restart interval exercises byte
+    alignment + DC predictor resets mid-image."""
+    rng = np.random.RandomState(99)
+    H, W = 29, 43  # non-multiples of 16: partial edge MCUs
+    px = rng.randint(0, 256, (H, W, 3), dtype=np.uint8)
+    payload = encode_jpeg(px, subsampling="420", restart_interval=2)
+    h, w, coeff, state = decode_jpeg_coefficients(payload)
+    assert (h, w) == (H, W)
+    assert state["ri"] == 2
+    r = px[..., 0].astype(float)
+    g = px[..., 1].astype(float)
+    b = px[..., 2].astype(float)
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+    ]
+    mcx, mcy = -(-W // 16), -(-H // 16)
+    for ci, (plane, q, hi, vi) in enumerate(
+        zip(planes, [_Q_LUMA, _Q_CHROMA, _Q_CHROMA], [2, 1, 1], [2, 1, 1])
+    ):
+        ry, rx = 2 // vi, 2 // hi
+        if ry > 1 or rx > 1:
+            ph, pw = -(-H // ry) * ry, -(-W // rx) * rx
+            p = np.pad(
+                plane, ((0, ph - H), (0, pw - W)), mode="edge"
+            )
+            plane = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        gh, gw = mcy * vi, mcx * hi
+        ch, cw = plane.shape
+        padded = np.pad(
+            plane, ((0, gh * 8 - ch), (0, gw * 8 - cw)), mode="edge"
+        )
+        blocks = (
+            padded.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        qz = (
+            np.round(_dct2(blocks - 128.0) / q.reshape(8, 8).astype(float))
+            .astype(np.int64)
+            .reshape(-1, 64)[:, ZIGZAG]
+        )
+        assert np.array_equal(qz, coeff[ci]), f"component {ci}"
+
+
+def test_422_constant_exact_and_smooth_bounded():
+    """4:2:2 (2×1 luma): constant image exact at awkward sizes;
+    smooth gradient bounded — pins the horizontal-only downsample/
+    upsample axis handling (an axis swap gives ~100 errors)."""
+    for w, h in [(1, 1), (17, 9), (16, 8), (33, 15)]:
+        px = np.full((h, w, 3), 119, dtype=np.uint8)
+        w2, h2, back = decode_jpeg(encode_jpeg(px, subsampling="422"))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(back, px)
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    smooth = np.stack(
+        [np.minimum(xx * 2 + yy, 255)] * 3, axis=-1
+    ).astype(np.uint8)
+    _, _, back = decode_jpeg(encode_jpeg(smooth, subsampling="422"))
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 10
+
+
+def test_restart_marker_sequence_enforced():
+    """RSTn markers must cycle 0..7; swapping one for the wrong index
+    is stream corruption and must quarantine as ValueError, not
+    silently desync the huffman decode."""
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (33, 49, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(px, subsampling="420", restart_interval=1))
+    i = payload.find(b"\xff\xd0")  # first RST0 in the entropy stream
+    assert i > 0, "restart markers must be present"
+    payload[i + 1] = 0xD5  # claim RST5 where RST0 is expected
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg_coefficients(bytes(payload))
+
+
+def test_dri_changes_stream_but_not_pixels():
+    """Restart intervals are pure framing: same pixels decode from
+    the DRI and non-DRI encodings, and the DRI stream really does
+    contain RST markers."""
+    from datawarehouseproject_spark.functions.jpeg import (
+        synth_jpeg420_pixels,
+    )
+
+    px = synth_jpeg420_pixels(7, 47, 29)
+    plain = encode_jpeg(px, subsampling="420")
+    dri = encode_jpeg(px, subsampling="420", restart_interval=1)
+    assert b"\xff\xd0" in dri and b"\xff\xd0" not in plain
+    _, _, a = decode_jpeg(plain)
+    _, _, b_ = decode_jpeg(dri)
+    assert np.array_equal(a, b_)
+    assert np.array_equal(a, px)
+
+
+def test_image_phash_420_jpeg_matches_bmp_content(spark):
+    """Re-encode invariance across a LOSSY subsampled re-encode: the
+    same macroblock-constant content encoded as BMP and as 4:2:0
+    JPEG (restart intervals and all) must produce identical
+    perceptual hashes — the property that makes phash the
+    content-based dedup key where byte hashing fails."""
+    from datawarehouseproject_spark.functions.bmp import encode_bmp
+    from datawarehouseproject_spark.functions.jpeg import (
+        synth_jpeg420,
+        synth_jpeg420_pixels,
+        synth_jpeg420_size,
+    )
+    from datawarehouseproject_spark.operators.multimodal import image_phash
+
+    rows_bmp, rows_jpg = [], []
+    for seed in range(12):
+        w, h = synth_jpeg420_size(seed)
+        px = synth_jpeg420_pixels(seed, w, h)
+        rows_bmp.append((seed, bytearray(encode_bmp(w, h, px))))
+        rows_jpg.append((seed, bytearray(synth_jpeg420(seed))))
+    schema = "media_id: long, payload: binary"
+    bmp_h = {
+        r["media_id"]: r["phash"]
+        for r in image_phash(
+            spark.createDataFrame(rows_bmp, schema), codec="bmp"
+        ).collect()
+    }
+    jpg_h = {
+        r["media_id"]: r["phash"]
+        for r in image_phash(
+            spark.createDataFrame(rows_jpg, schema), codec="jpeg"
+        ).collect()
+    }
+    assert bmp_h == jpg_h
