@@ -798,6 +798,100 @@ def synthesize_mp3_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
+def synthesize_layer1_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of real MPEG-1 Layer I mono
+    streams (``functions/mpeg_audio.py:synth_mpeg1_layer1``): frame
+    count, sample rate, per-subband allocation/scalefactor/sample
+    codes all derive from the id by modular arithmetic, so the
+    oracle can recompute every requantized amplitude the decoder
+    extracts."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mpeg_audio import synth_mpeg1_layer1
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_.values,
+                    "payload": [synth_mpeg1_layer1(int(i)) for i in ids_],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
+LAYER1_SUBBAND_SCHEMA = T.StructType(
+    [
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("subband", T.IntegerType()),
+        T.StructField("nb", T.IntegerType()),
+        T.StructField("sf_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_amp_micro", T.LongType()),
+        T.StructField("max_amp_micro", T.LongType()),
+    ]
+)
+
+
+def extract_layer1_subband_features(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """MPEG-1 Layer I SAMPLE decode per payload via Arrow-batched
+    mapInPandas: bit-exact allocation/scalefactor/sample unpacking +
+    ISO requantization to integer micro-unit amplitudes
+    (:func:`..functions.mpeg_audio.decode_mpeg1_layer1`). One output
+    row per (payload, frame, active subband) — the subband-domain
+    audio content a corpus pipeline aggregates for loudness/activity
+    features. Error contract mirrors
+    :func:`extract_image_features`: strict raises with the media_id;
+    ``permissive=True`` quarantines the payload as a single
+    NULL-feature row with ``decode_error``."""
+    keep = [f for f in media.schema.fields if f.name != "payload"]
+    fields = list(keep) + list(LAYER1_SUBBAND_SCHEMA.fields)
+    if permissive:
+        fields.append(T.StructField("decode_error", T.StringType()))
+    schema = T.StructType(fields)
+    keep_names = [f.name for f in keep]
+    feat_names = tuple(f.name for f in LAYER1_SUBBAND_SCHEMA.fields)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mpeg_audio import decode_mpeg1_layer1
+
+        for pdf in it:
+            out_rows: list[dict] = []
+            for _, row in pdf.iterrows():
+                mid = row["media_id"]
+                base = {k: row[k] for k in keep_names}
+                try:
+                    decoded = decode_mpeg1_layer1(bytes(row["payload"]))
+                except ValueError as e:
+                    if not permissive:
+                        raise ValueError(f"media_id={mid}: {e}") from e
+                    quarantined = dict(base)
+                    quarantined.update({k: None for k in feat_names})
+                    quarantined["decode_error"] = str(e)
+                    out_rows.append(quarantined)
+                    continue
+                for d in decoded:
+                    r = dict(base)
+                    r.update(d)
+                    if permissive:
+                        r["decode_error"] = None
+                    out_rows.append(r)
+            yield pd.DataFrame(
+                out_rows, columns=[f.name for f in schema.fields]
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
 def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of valid H.264 Annex B byte
     streams (``functions/h264.py``): SPS (with real exp-Golomb
