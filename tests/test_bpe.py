@@ -116,3 +116,70 @@ def test_bpe_merged_token_does_not_remerge_in_pass(spark):
     assert got[0] == ("a", "a", 9)
     # pass 2: words are now (aa, aa): pair (aa, aa) × 3 words
     assert got[1] == ("aa", "aa", 3)
+
+
+def _reference_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned merges in rank order, greedy left-to-right per
+    rule — the training-replay semantics bpe_apply implements."""
+    out = list(word)
+    for a, b in merges:
+        nxt: list[str] = []
+        for x in out:
+            if nxt and nxt[-1] == a and x == b:
+                nxt[-1] = a + b
+            else:
+                nxt.append(x)
+        out = nxt
+    return out
+
+
+def test_bpe_apply_matches_reference_end_to_end(spark):
+    """Train -> apply -> count, engine vs pure-Python reference: the
+    learned merges, every word's token array, and the token
+    frequency table must all match exactly."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from datawarehouseproject_spark.operators.corpus import (
+        bpe_apply,
+        bpe_learn,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a rat sat where the cat sat",
+        "low lower lowest of the low",
+        "the low cat and the lower rat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    learned = bpe_learn(docs, n_merges=8).orderBy("rank").collect()
+    ref_merges = _reference_bpe(_norm_words(texts), 8)
+    assert [tuple(r) for r in learned] == ref_merges
+
+    merges = [(r["left"], r["right"]) for r in learned]
+    applied = {
+        r["w"]: (r["cnt"], list(r["tokens"]))
+        for r in bpe_apply(docs, merges).collect()
+    }
+    counts = _norm_words(texts)
+    assert set(applied) == set(counts)
+    tok_freq: Counter = Counter()
+    for w, c in counts.items():
+        ref_toks = _reference_apply(w, merges)
+        assert applied[w] == (c, ref_toks), w
+        for t in ref_toks:
+            tok_freq[t] += c
+    # and the registry query's stats layer agrees with the reference
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in bpe_apply(docs, merges)
+        .select(F.explode("tokens").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .collect()
+    }
+    assert got == dict(tok_freq)
