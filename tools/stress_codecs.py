@@ -1,0 +1,147 @@
+"""Single-thread kernel throughput for the round-6/7 codecs at
+realistic media sizes — the numbers a 100 TB capacity plan needs
+(VERDICT r6 item 2: JPEG/MP3/H.264 had no STRESS rows; JPEG's
+per-coefficient Python huffman loop is exactly the kernel whose
+single-thread rate bounds the fleet size).
+
+Pure driver-side timing (no Spark): `mapInPandas` parallelizes these
+kernels per payload, so cluster throughput = single-thread rate ×
+executor cores. Content is realistic-entropy (gradient + noise), not
+the tiny constant-block oracle images, so the huffman loop sees real
+AC activity.
+
+Usage: python tools/stress_codecs.py
+Prints one JSON line per kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timeit(fn, *args, repeat: int = 3):
+    best = float("inf")
+    out = None
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main() -> None:
+    from datawarehouseproject_spark.functions.h264 import scan_h264, synth_h264
+    from datawarehouseproject_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from datawarehouseproject_spark.functions.mpeg_audio import (
+        LAYER1_SAMPLES_PER_FRAME,
+        decode_mpeg1_layer1,
+        scan_mp3,
+        synth_mp3,
+        synth_mpeg1_layer1,
+    )
+
+    rng = np.random.RandomState(42)
+    H, W = 192, 256
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    base = ((xx * 2 + yy * 3) % 256).astype(np.int16)
+    noise = rng.randint(-24, 25, (H, W, 3), dtype=np.int16)
+    px = np.clip(base[..., None] + noise, 0, 255).astype(np.uint8)
+
+    for sub in ("444", "420"):
+        payload = encode_jpeg(px, subsampling=sub, restart_interval=8)
+        secs, (w, h, rgb) = _timeit(decode_jpeg, payload)
+        assert (w, h) == (W, H) and rgb.shape == (H, W, 3)
+        print(
+            json.dumps(
+                {
+                    "kernel": f"jpeg_decode_{sub}",
+                    "media": f"{W}x{H} RGB gradient+noise",
+                    "payload_bytes": len(payload),
+                    "mpx_per_s": round(W * H / secs / 1e6, 3),
+                    "sec": round(secs, 3),
+                }
+            )
+        )
+
+    # MP3 frame-structure walk: one big VBR stream (repeat the frame
+    # ladder of many seeds into ~2 MB)
+    stream = b"".join(synth_mp3(s) for s in range(400))
+    n_bytes = len(stream)
+    # scan per original payload (scan_mp3 rejects mid-stream rate
+    # changes across seeds), which matches the per-payload harness
+    payloads = [synth_mp3(s) for s in range(400)]
+
+    def scan_all():
+        return sum(scan_mp3(p)["n_frames"] for p in payloads)
+
+    secs, n_frames = _timeit(scan_all)
+    print(
+        json.dumps(
+            {
+                "kernel": "mp3_frame_walk",
+                "media": f"{n_bytes} bytes, {n_frames} frames",
+                "mb_per_s": round(n_bytes / secs / 1e6, 1),
+                "frames_per_s": int(n_frames / secs),
+                "sec": round(secs, 3),
+            }
+        )
+    )
+
+    # Layer I sample decode: bit-unpack + requantize every sample
+    l1_payloads = [synth_mpeg1_layer1(s) for s in range(300)]
+    l1_bytes = sum(len(p) for p in l1_payloads)
+
+    def decode_all():
+        frames = 0
+        for p in l1_payloads:
+            rows = decode_mpeg1_layer1(p)
+            frames = frames + 1 + max(r["frame"] for r in rows)
+        return frames
+
+    secs, frames = _timeit(decode_all)
+    samples = frames * LAYER1_SAMPLES_PER_FRAME
+    print(
+        json.dumps(
+            {
+                "kernel": "mpeg1_layer1_sample_decode",
+                "media": f"{l1_bytes} bytes, {frames} frames",
+                "ksamples_per_s": int(samples / secs / 1e3),
+                "mb_per_s": round(l1_bytes / secs / 1e6, 2),
+                "sec": round(secs, 3),
+            }
+        )
+    )
+
+    # H.264 NAL walk + exp-Golomb SPS parse
+    h_payloads = [synth_h264(s) for s in range(400)]
+    h_bytes = sum(len(p) for p in h_payloads)
+
+    def scan_h_all():
+        return sum(scan_h264(p)["n_nal_units"] for p in h_payloads)
+
+    secs, nals = _timeit(scan_h_all)
+    print(
+        json.dumps(
+            {
+                "kernel": "h264_nal_walk",
+                "media": f"{h_bytes} bytes, {nals} NAL units",
+                "mb_per_s": round(h_bytes / secs / 1e6, 1),
+                "nals_per_s": int(nals / secs),
+                "sec": round(secs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
