@@ -892,6 +892,95 @@ def extract_layer1_subband_features(
     return media.mapInPandas(batches, schema=schema)
 
 
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("xres_num", T.IntegerType()),
+        T.StructField("datetime", T.StringType()),
+        T.StructField("iso", T.IntegerType()),
+        T.StructField("exposure_den", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_exif_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of real 4:2:0 JPEGs carrying
+    an EXIF APP1 segment (``functions/exif.py``): TIFF header with
+    id-alternating II/MM byte order, IFD0
+    (make/model/orientation/resolution/datetime) and the Exif
+    sub-IFD (ISO, exposure) — every field modular arithmetic over
+    the id, so the oracle recomputes all of them."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.exif import synth_jpeg_with_exif
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_.values,
+                    "payload": [synth_jpeg_with_exif(int(i)) for i in ids_],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
+def extract_exif_metadata(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """EXIF metadata triage per JPEG payload via Arrow-batched
+    mapInPandas: marker walk to APP1, II/MM byte-order dispatch, IFD
+    entry decode with inline-vs-offset value resolution, Exif
+    sub-IFD recursion (:func:`..functions.exif.parse_exif`). Reads a
+    few hundred header bytes per payload — no entropy decode — which
+    is the 100 TB shape of metadata extraction: the scan cost is the
+    payload fetch, not the parse. Error contract mirrors
+    :func:`extract_image_features`."""
+    keep = [f for f in media.schema.fields if f.name != "payload"]
+    fields = list(keep) + list(EXIF_SCHEMA.fields)
+    if permissive:
+        fields.append(T.StructField("decode_error", T.StringType()))
+    schema = T.StructType(fields)
+    keep_names = [f.name for f in keep]
+    feat_names = tuple(f.name for f in EXIF_SCHEMA.fields)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.exif import parse_exif
+
+        for pdf in it:
+            feats: dict[str, list] = {k: [] for k in feat_names}
+            errors: list[str | None] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    meta = parse_exif(bytes(p))
+                except ValueError as e:
+                    if not permissive:
+                        raise ValueError(f"media_id={mid}: {e}") from e
+                    for k in feat_names:
+                        feats[k].append(None)
+                    errors.append(str(e))
+                    continue
+                for k in feat_names:
+                    feats[k].append(meta[k])
+                errors.append(None)
+            out = pdf[keep_names].reset_index(drop=True)
+            for k, v in feats.items():
+                out[k] = v
+            if permissive:
+                out["decode_error"] = errors
+            yield out
+
+    return media.mapInPandas(batches, schema=schema)
+
+
 def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of valid H.264 Annex B byte
     streams (``functions/h264.py``): SPS (with real exp-Golomb

@@ -3719,3 +3719,135 @@ def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("diversity") < 3)
     )
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS INT) AS band
+      FROM customer),
+    bands AS (SELECT band, count(*) AS gcnt FROM cust GROUP BY band),
+    gb AS (
+      SELECT band,
+             sum(gcnt) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) AS gcum,
+             sum(gcnt) OVER () AS n_total,
+             count(*) OVER () AS m,
+             row_number() OVER (ORDER BY band) AS r
+      FROM bands),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n_c
+      FROM cust GROUP BY 1, 2),
+    cc AS (
+      SELECT c_nationkey, c_mktsegment, band, count(*) AS ccnt
+      FROM cust GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.n_c,
+             g.band, g.gcum, g.n_total, g.m, g.r,
+             coalesce(cc.ccnt, 0) AS ccnt
+      FROM classes c
+      CROSS JOIN gb g
+      LEFT JOIN cc ON cc.c_nationkey = c.c_nationkey
+                  AND cc.c_mktsegment = c.c_mktsegment
+                  AND cc.band = g.band),
+    cum AS (
+      SELECT *,
+             sum(ccnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                             ORDER BY band ROWS UNBOUNDED PRECEDING)
+               AS ccum
+      FROM grid),
+    emd AS (
+      SELECT c_nationkey, c_mktsegment, n_c,
+             sum(abs((1000000 * ccum) // n_c
+                     - (1000000 * gcum) // n_total)) // (max(m) - 1)
+               AS emd_micro
+      FROM cum WHERE r < m GROUP BY 1, 2, 3)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(n_c AS BIGINT) AS class_size,
+           CAST(emd_micro AS BIGINT) AS emd_micro,
+           emd_micro >= 150000 AS t_violation
+    FROM emd
+    """,
+    tags=("governance", "privacy", "t-closeness", "emd"),
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third leg of the privacy-release triple (Li et al. 2007's
+    t-closeness, after `k_anonymity_report` and
+    `l_diversity_report`): a QI class can be k-anonymous AND
+    l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    differs sharply from the global one (all-rich-members in a class
+    reveals wealth even across 3 distinct bands). For the ordered
+    sensitive attribute (account-balance band) the distance is the
+    Earth Mover's Distance, which for ordered categories reduces to
+    the mean absolute difference of cumulative distributions:
+    EMD = (1/(m-1)) * sum_j |cumP_j - cumQ_j|.
+
+    Integer determinism: both cumulative fractions are quantized to
+    micro-units with floor division BEFORE differencing
+    ((1e6*ccum) DIV n_c), so every term is exact BIGINT arithmetic —
+    identical on any engine and partitioning, within 1 micro-unit of
+    the true EMD per term, and overflow-safe at any corpus size
+    (1e6 * cumulative_count stays < 2^63 up to ~9e12 rows, where the
+    unreduced cross-product formulation would overflow at ~1e9).
+
+    Scale shape: the band domain (m ~ 11 values) broadcasts to every
+    class — the expansion is QI-domain x attribute-domain, bounded
+    regardless of row count; the per-class cumulative window
+    partitions by class. One wide shuffle on the QI key, everything
+    else dim-sized."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("band"),
+    )
+    wb = Window.orderBy("band")
+    whole = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bands = (
+        cust.groupBy("band")
+        .agg(F.count("*").alias("gcnt"))
+        .select(
+            "band",
+            F.sum("gcnt")
+            .over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("gcum"),
+            F.sum("gcnt").over(whole).alias("n_total"),
+            F.count("*").over(whole).alias("m"),
+            F.row_number().over(wb).alias("r"),
+        )
+    )
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n_c")
+    )
+    cc = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").alias("ccnt")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(bands))  # band domain: ~11 rows
+        .join(cc, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .withColumn("ccnt", F.coalesce("ccnt", F.lit(0)))
+    )
+    wc = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("band")
+    cum = grid.withColumn(
+        "ccum", F.sum("ccnt").over(wc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    emd = (
+        cum.filter(F.col("r") < F.col("m"))
+        .groupBy("c_nationkey", "c_mktsegment", "n_c")
+        .agg(
+            F.expr(
+                "sum(abs((1000000 * ccum) DIV n_c"
+                "     - (1000000 * gcum) DIV n_total)) DIV (max(m) - 1)"
+            ).alias("emd_micro")
+        )
+    )
+    return emd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_c").cast("bigint").alias("class_size"),
+        F.col("emd_micro").cast("bigint").alias("emd_micro"),
+        (F.col("emd_micro") >= 150000).alias("t_violation"),
+    )

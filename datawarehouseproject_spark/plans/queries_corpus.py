@@ -544,6 +544,131 @@ def q_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_all_terms(idx, list(_SEARCH_TERMS))
 
 
+@register(
+    "bm25_ranked_search",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    ex AS (SELECT doc_id, unnest(w) AS token FROM toks),
+    dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY doc_id),
+    scal AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_len,
+             (1000000 * sum(dl)) // count(*) AS avgdl_micro
+      FROM dl),
+    postings AS (
+      SELECT token, doc_id, count(*) AS tf FROM ex
+      WHERE token IN {_SEARCH_TERMS!r}
+      GROUP BY token, doc_id),
+    idf AS (
+      SELECT token,
+             (1000000 * (s.n_docs - count(*) + 1)) // (count(*) + 1)
+               AS idf_micro
+      FROM postings, scal s GROUP BY token, s.n_docs),
+    scored AS (
+      SELECT p.doc_id, p.token,
+             ((44000000 * p.tf) //
+              (20 * p.tf + 6 + (18000000 * d.dl) // s.avgdl_micro))
+             * i.idf_micro // 1000000 AS term_score
+      FROM postings p
+      JOIN dl d USING (doc_id)
+      JOIN idf i USING (token)
+      CROSS JOIN scal s),
+    ranked AS (
+      SELECT doc_id,
+             CAST(sum(term_score) AS BIGINT) AS score_micro,
+             CAST(count(*) AS INTEGER) AS n_terms,
+             row_number() OVER (ORDER BY sum(term_score) DESC, doc_id ASC)
+               AS rank
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, score_micro, n_terms, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+    tags=("corpus", "inverted-index", "bm25", "ranking", "search"),
+)
+def q_bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKED retrieval over the corpus — the scoring half of the IR
+    stack (`inverted_index_search` is boolean AND; real search ranks
+    disjunctive matches): BM25 (Robertson/Sparck Jones, public) with
+    k1 = 1.2, b = 0.75, reformulated in INTEGER micro-units so the
+    ranking is bit-identical on any engine and partitioning:
+
+    - tf normalization tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+      becomes 44e6·tf DIV (20·tf + 6 + (18e6·dl) DIV avgdl_micro)
+      (multiply through by 20, dl/avgdl pre-quantized to micro);
+    - the log idf is replaced by the rational
+      (1e6·(N−df+1)) DIV (df+1) — strictly decreasing in df, so
+      rare-term weighting is preserved without a
+      libm-implementation-dependent ln (the same determinism trade
+      the integer PageRank makes);
+    - doc score = Σ per-term (tf_norm · idf) DIV 1e6 — BIGINT sums,
+      associative.
+
+    Scale shape: the 3-term probe broadcasts; postings, doc lengths
+    and df are one explode + map-side-combinable aggregates; the
+    only global step is the top-20 row_number, which
+    TakeOrderedAndProject keeps at per-partition-top-k cost. The
+    corpus stats (N, total length, avgdl) are a 1-row broadcast
+    scalar."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from ..functions.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(word_tokens("text")).alias("token")
+    )
+    dl = ex.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    scal = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        F.expr("(1000000 * sum(dl)) DIV count(*)").alias("avgdl_micro"),
+    )
+    terms = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(t,) for t in _SEARCH_TERMS], "token string"
+        )
+    )
+    postings = (
+        ex.join(terms, "token").groupBy("token", "doc_id").agg(
+            F.count("*").alias("tf")
+        )
+    )
+    idf = (
+        postings.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(scal.select("n_docs")))
+        .select(
+            "token",
+            F.expr("(1000000 * (n_docs - df + 1)) DIV (df + 1)").alias(
+                "idf_micro"
+            ),
+        )
+    )
+    scored = (
+        postings.join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal.select("avgdl_micro")))
+        .join(F.broadcast(idf), "token")
+        .select(
+            "doc_id",
+            F.expr(
+                "((44000000 * tf) DIV"
+                " (20 * tf + 6 + (18000000 * dl) DIV avgdl_micro))"
+                " * idf_micro DIV 1000000"
+            ).alias("term_score"),
+        )
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score").cast("bigint").alias("score_micro"),
+            F.count("*").cast("int").alias("n_terms"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
 _BLOOM_K, _BLOOM_BITS = 5, 256
 
 

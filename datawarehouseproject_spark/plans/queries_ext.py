@@ -888,6 +888,52 @@ def q_jpeg_subsampled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_exif_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           'CAM' || CAST(doc_id % 10 AS VARCHAR) AS make,
+           'MODEL-' || CAST(doc_id % 7 AS VARCHAR) AS model,
+           CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+           CAST(72 + (doc_id % 4) * 24 AS INTEGER) AS xres_num,
+           '2026:08:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+             || ':00:00' AS datetime,
+           CAST(100 * (1 + doc_id % 32) AS INTEGER) AS iso,
+           CAST(30 + doc_id % 100 AS INTEGER) AS exposure_den
+    FROM documents
+    """,
+    tags=("multimodal", "mapInPandas", "jpeg", "exif", "metadata"),
+)
+def q_jpeg_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF extraction, value-checked: synthesize a 4:2:0 JPEG
+    with an EXIF APP1 segment per document — a genuine TIFF
+    structure with id-ALTERNATING byte order (II little-endian for
+    even ids, MM big-endian for odd: both code paths run on every
+    batch, as on a real mixed-camera corpus), IFD0 holding
+    make/model/orientation/resolution/datetime with inline AND
+    out-of-line (heap offset) values, and the 0x8769 pointer to the
+    Exif sub-IFD carrying ISO and exposure — then parse it all back
+    inside Arrow-batched mapInPandas (``functions/exif.py``).
+
+    This is the metadata side of the photo corpus the pixel queries
+    (`jpeg_subsampled_features`) cover: orientation histograms,
+    camera-model distributions, capture-time partitioning — all read
+    a few hundred header bytes per multi-MB photo, so the triage
+    pass costs payload fetch, not decode. The oracle recomputes
+    every field from the synthesis formulas; a single endianness,
+    offset-resolution, or sub-IFD bug breaks the hash."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_exif_metadata,
+        synthesize_exif_jpeg_media,
+    )
+
+    media = synthesize_exif_jpeg_media(_t(spark, sf_dir, "documents"))
+    return extract_exif_metadata(media)
+
+
+@register(
     "time_travel_diff",
     oracle="""
     WITH v1 AS (
