@@ -486,3 +486,205 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_train(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train a PRODUCT-QUANTIZATION codebook (Jégou et al. 2011, the
+    other half of the FAISS serving stack next to IVF): split the
+    ``dim``-dimensional space into ``m`` subspaces and run ``rounds``
+    Lloyd iterations of k-means with ``k`` centroids per subspace —
+    in INTEGER micro-unit arithmetic, so the trained codebook is
+    bit-identical on any engine and partitioning:
+
+    - coordinates quantize once to non-negative micro-units
+      ``floor((x + 1.0) * 1e6)`` (the +1 offset keeps every later
+      DIV on non-negative operands, where floor == truncate on both
+      engines; constant offsets cancel in distances);
+    - distances are exact BIGINT sums of squared differences;
+    - assignment ties break by centroid index (min sqdist, then
+      min c) — the deterministic argmin;
+    - centroid update is ``sum(coord) DIV count`` per dimension;
+      empty clusters keep their previous centroid;
+    - seeds are vectors ``id < k`` (deterministic, like k-means++'s
+      published derandomized variants but simpler to replay).
+
+    Scale shape: each round is two shuffles — assignment keyed on
+    (subspace, sub-dim) against the BROADCAST codebook (m·k·dim/m =
+    dim·k rows, always tiny), update keyed on (subspace, centroid,
+    sub-dim) with map-side partial sums. State between rounds is the
+    codebook, not the data: the classic Lloyd's-on-Spark shape.
+    ``localCheckpoint`` truncates lineage per round.
+
+    Returns the flattened codebook with quality stats, one row per
+    (subspace, centroid, sub-dimension): ``(s, c, dd, centroid_val,
+    n_vectors, total_sqdist)`` where the stats come from a final
+    assignment pass against the trained codebook.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    expl = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    ).select(
+        "vid",
+        (F.col("d") / sub).cast("int").alias("s"),
+        (F.col("d") % sub).cast("int").alias("dd"),
+        F.floor((F.col("x") + F.lit(1.0)) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("q"),
+    ).localCheckpoint()
+    cent = (
+        expl.filter(F.col("vid") < k)
+        .select(
+            "s",
+            F.col("vid").cast("int").alias("c"),
+            "dd",
+            F.col("q").alias("val"),
+        )
+        .localCheckpoint()
+    )
+
+    def _assign(centroids: DataFrame) -> tuple[DataFrame, DataFrame]:
+        dist = (
+            expl.join(F.broadcast(centroids), ["s", "dd"])
+            .groupBy("vid", "s", "c")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("val")) * (F.col("q") - F.col("val"))
+                ).alias("sq")
+            )
+        )
+        mind = dist.groupBy("vid", "s").agg(F.min("sq").alias("md"))
+        best = (
+            dist.join(mind, ["vid", "s"])
+            .filter(F.col("sq") == F.col("md"))
+            .groupBy("vid", "s")
+            .agg(F.min("c").alias("c"))
+        )
+        return best, mind
+
+    for _ in range(rounds):
+        best, _mind = _assign(cent)
+        upd = (
+            expl.join(best, ["vid", "s"])
+            .groupBy("s", "c", "dd")
+            .agg(F.expr("sum(q) DIV count(*)").alias("nval"))
+        )
+        cent = (
+            cent.join(upd, ["s", "c", "dd"], "left")
+            .select(
+                "s",
+                "c",
+                "dd",
+                F.coalesce("nval", "val").alias("val"),
+            )
+            .localCheckpoint()
+        )
+    best, mind = _assign(cent)
+    stats = (
+        best.join(mind, ["vid", "s"])
+        .groupBy("s", "c")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum("md").cast("bigint").alias("total_sqdist"),
+        )
+    )
+    return cent.join(stats, ["s", "c"], "left").select(
+        "s",
+        "c",
+        "dd",
+        F.col("val").cast("bigint").alias("centroid_val"),
+        F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors"),
+        F.coalesce("total_sqdist", F.lit(0)).cast("bigint").alias("total_sqdist"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    rounds: int = 3,
+    query_id: int = 0,
+    topk: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the SERVING half of
+    the product-quantization pair (:func:`pq_train` trains the
+    codebook): encode every vector as m centroid codes, precompute
+    the query's per-(subspace, centroid) squared-distance lookup
+    TABLE from its RAW coordinates (that asymmetry is the 'A' in
+    ADC — the query is never quantized, halving the error), and
+    score every vector as the sum of m table lookups. All integer:
+    the same micro-unit coordinates, exact BIGINT distances,
+    deterministic (distance, id) ranking.
+
+    Scale shape at serving time: codes are m bytes per vector; the
+    lookup table is m·k BIGINTs broadcast per query; scoring is one
+    map-side join + sum — no per-pair d-dimensional arithmetic at
+    all, which is why IVF-PQ serves billion-vector corpora. Here the
+    train → encode → serve chain runs as one DAG."""
+    codebook = pq_train(
+        emb, dim=dim, m=m, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
+    ).select("s", "c", "dd", F.col("centroid_val").alias("val"))
+    sub = dim // m
+    expl = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    ).select(
+        "vid",
+        (F.col("d") / sub).cast("int").alias("s"),
+        (F.col("d") % sub).cast("int").alias("dd"),
+        F.floor((F.col("x") + F.lit(1.0)) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("q"),
+    )
+    dist = (
+        expl.join(F.broadcast(codebook), ["s", "dd"])
+        .groupBy("vid", "s", "c")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("val")) * (F.col("q") - F.col("val"))
+            ).alias("sq")
+        )
+    )
+    mind = dist.groupBy("vid", "s").agg(F.min("sq").alias("md"))
+    codes = (
+        dist.join(mind, ["vid", "s"])
+        .filter(F.col("sq") == F.col("md"))
+        .groupBy("vid", "s")
+        .agg(F.min("c").alias("c"))
+    )
+    qtab = (
+        expl.filter(F.col("vid") == query_id)
+        .join(F.broadcast(codebook), ["s", "dd"])
+        .groupBy("s", "c")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("val")) * (F.col("q") - F.col("val"))
+            ).alias("t")
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["s", "c"])
+        .groupBy("vid")
+        .agg(F.sum("t").cast("bigint").alias("adc_sqdist"))
+    )
+    w = Window.orderBy(F.col("adc_sqdist").asc(), F.col("vid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("vid").alias(id_col), "adc_sqdist", "rank"
+        )
+    )

@@ -1672,3 +1672,156 @@ def q_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         shingle_len=12, threshold_num=4, threshold_den=5,
     )
+
+
+def _pq_oracle(
+    dim: int = 64,
+    m: int = 4,
+    k: int = 8,
+    rounds: int = 3,
+    final: str = "codebook",
+    query_id: int = 0,
+    topk: int = 20,
+) -> str:
+    """Unrolled Lloyd's-iteration oracle for the PQ codebook trainer
+    (same pattern as ``_ktruss_oracle``: DuckDB can't aggregate in a
+    recursive CTE, so each k-means round is its own
+    dist/mind/best/upd CTE chain; the unroll count EQUALS the
+    engine's ``rounds``, so neither side can silently diverge).
+    Every CTE is MATERIALIZED — default inlining would expand the
+    round chain exponentially."""
+    sub = dim // m
+    parts = [f"""
+    WITH expl AS MATERIALIZED (
+      SELECT vec_id AS vid,
+             CAST((i - 1) // {sub} AS INT) AS s,
+             CAST((i - 1) % {sub} AS INT) AS dd,
+             CAST(floor((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000000.0)
+                  AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, {dim})) AS t(i)),
+    c0 AS MATERIALIZED (
+      SELECT s, CAST(vid AS INT) AS c, dd, q AS val
+      FROM expl WHERE vid < {k})"""]
+    for r in range(rounds):
+        parts.append(f"""
+    , dist{r} AS MATERIALIZED (
+      SELECT e.vid, e.s, c.c,
+             sum((e.q - c.val) * (e.q - c.val)) AS sq
+      FROM expl e JOIN c{r} c ON c.s = e.s AND c.dd = e.dd
+      GROUP BY 1, 2, 3),
+    mind{r} AS MATERIALIZED (
+      SELECT vid, s, min(sq) AS md FROM dist{r} GROUP BY 1, 2),
+    best{r} AS MATERIALIZED (
+      SELECT d.vid, d.s, min(d.c) AS c
+      FROM dist{r} d JOIN mind{r} x
+        ON x.vid = d.vid AND x.s = d.s AND d.sq = x.md
+      GROUP BY 1, 2),
+    upd{r} AS MATERIALIZED (
+      SELECT e.s, b.c, e.dd, sum(e.q) // count(*) AS nval
+      FROM expl e JOIN best{r} b ON b.vid = e.vid AND b.s = e.s
+      GROUP BY 1, 2, 3),
+    c{r + 1} AS MATERIALIZED (
+      SELECT c.s, c.c, c.dd, coalesce(u.nval, c.val) AS val
+      FROM c{r} c LEFT JOIN upd{r} u
+        ON u.s = c.s AND u.c = c.c AND u.dd = c.dd)""")
+    parts.append(f"""
+    , distF AS MATERIALIZED (
+      SELECT e.vid, e.s, c.c,
+             sum((e.q - c.val) * (e.q - c.val)) AS sq
+      FROM expl e JOIN c{rounds} c ON c.s = e.s AND c.dd = e.dd
+      GROUP BY 1, 2, 3),
+    mindF AS MATERIALIZED (
+      SELECT vid, s, min(sq) AS md FROM distF GROUP BY 1, 2),
+    bestF AS MATERIALIZED (
+      SELECT d.vid, d.s, min(d.c) AS c
+      FROM distF d JOIN mindF x
+        ON x.vid = d.vid AND x.s = d.s AND d.sq = x.md
+      GROUP BY 1, 2),
+    stats AS MATERIALIZED (
+      SELECT b.s, b.c,
+             count(*) AS n_vectors,
+             sum(x.md) AS total_sqdist
+      FROM bestF b JOIN mindF x ON x.vid = b.vid AND x.s = b.s
+      GROUP BY 1, 2)""")
+    if final == "codebook":
+        parts.append(f"""
+    SELECT cc.s, cc.c, cc.dd,
+           CAST(cc.val AS BIGINT) AS centroid_val,
+           CAST(coalesce(st.n_vectors, 0) AS BIGINT) AS n_vectors,
+           CAST(coalesce(st.total_sqdist, 0) AS BIGINT) AS total_sqdist
+    FROM c{rounds} cc LEFT JOIN stats st
+      ON st.s = cc.s AND st.c = cc.c""")
+    else:  # adc: asymmetric-distance top-k against the raw query
+        parts.append(f"""
+    , qtab AS MATERIALIZED (
+      SELECT c.s, c.c, sum((e.q - c.val) * (e.q - c.val)) AS t
+      FROM expl e JOIN c{rounds} c ON c.s = e.s AND c.dd = e.dd
+      WHERE e.vid = {query_id}
+      GROUP BY 1, 2),
+    scoredq AS MATERIALIZED (
+      SELECT b.vid, CAST(sum(t.t) AS BIGINT) AS adc_sqdist
+      FROM bestF b JOIN qtab t ON t.s = b.s AND t.c = b.c
+      GROUP BY 1),
+    rankedq AS (
+      SELECT vid AS vec_id, adc_sqdist,
+             CAST(row_number() OVER (ORDER BY adc_sqdist ASC, vid ASC)
+                  AS INTEGER) AS rank
+      FROM scoredq)
+    SELECT vec_id, adc_sqdist, rank FROM rankedq WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
+@register(
+    "pq_codebook_train",
+    oracle=_pq_oracle(),
+    tags=("similarity", "quantization", "pq", "kmeans", "iterative"),
+)
+def q_pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a PRODUCT-QUANTIZATION codebook over the embedding
+    corpus (Jégou et al. 2011 — with `embedding_ivf_topk` this
+    completes the IVF-PQ pair that serves billion-vector ANN): 4
+    subspaces of 16 dims, 8 centroids each, 3 Lloyd k-means rounds —
+    entirely in integer micro-unit arithmetic (deterministic
+    quantize-once coordinates, exact BIGINT squared distances,
+    min-(sqdist, centroid) tie-broken argmin, DIV centroid updates,
+    empty clusters keep their centroid), so the trained codebook is
+    bit-identical on any engine and partitioning where float Lloyd's
+    would drift by summation order. The oracle replays all 3 rounds
+    unrolled (MATERIALIZED CTEs, the `part_k_truss` pattern) plus
+    the final assignment, and value-checks every centroid coordinate
+    AND the per-cluster population/distortion stats.
+
+    Scale shape: per round, assignment joins the data against the
+    BROADCAST codebook (dim·k rows — tiny at any corpus size) and
+    the update is one map-side-combinable aggregate; inter-round
+    state is the codebook only. PQ at 100 TB: codes are m bytes per
+    vector (16x compression of int8), and distance evaluation
+    becomes m table lookups — this query trains the tables."""
+    _utc(spark)
+    from ..operators.similarity import pq_train
+
+    return pq_train(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+@register(
+    "pq_adc_topk",
+    oracle=_pq_oracle(final="adc"),
+    tags=("similarity", "quantization", "pq", "adc", "topk", "composition"),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING half of product quantization, composed with
+    training in one DAG (train → encode → search): every vector is
+    encoded as 4 one-byte centroid codes, the query (vec_id 0) keeps
+    its RAW coordinates and precomputes a 4×8 squared-distance
+    lookup table against the trained codebook, and candidates score
+    as the sum of 4 table lookups — asymmetric distance computation
+    (Jégou et al. 2011), the evaluation trick that makes
+    billion-vector ANN affordable (no per-pair 64-dim arithmetic at
+    query time; codes are 16x smaller than int8 vectors). All
+    integer micro-unit arithmetic end-to-end, so the oracle replays
+    training (3 unrolled Lloyd rounds), encoding, the lookup table
+    and the final (distance, id)-ranked top-20 exactly."""
+    _utc(spark)
+    from ..operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(_t(spark, sf_dir, "embeddings"), dim=64)

@@ -2550,6 +2550,94 @@ def q_customer_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_user_activity",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS v
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT user_id, day, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM daily),
+    rec AS (
+      SELECT user_id, day, v, rn, v * 1000000 AS e
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.day, s.v, s.rn, (s.v * 1000000 + 3 * r.e) // 4
+      FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+    SELECT user_id, day,
+           CAST(v AS BIGINT) AS n_events,
+           CAST(e AS BIGINT) AS ewma_micro
+    FROM rec
+    """,
+    tags=("time-series", "ewma", "integer-exact", "fold"),
+)
+def q_ewma_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of per-user daily
+    activity with alpha = 1/4 — the trend-smoothing primitive
+    (anomaly baselines, engagement scores) — in INTEGER micro-units:
+    s_1 = 1e6·v_1, s_t = (1e6·v_t + 3·s_{t-1}) >> 2. Float EWMA's
+    recursive multiply accumulates libm-order drift; the integer
+    recurrence is bit-identical on any engine, the same determinism
+    trick as the integer PageRank.
+
+    A recurrence can't be a window function (each value depends on
+    the PREVIOUS OUTPUT, not previous inputs), so the engine folds
+    each user's date-sorted series with one JVM-side ``aggregate``
+    over a collected array and explodes it back — per-user state is
+    bounded by the date range (days, not events: the daily
+    pre-aggregation shrinks first), which is the same bounded-fold
+    contract as ``interpolate_series``. The oracle replays the exact
+    recurrence as a recursive CTE stepping rn -> rn+1."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    arr = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("a")
+    )
+    folded = arr.select(
+        "user_id",
+        F.aggregate(
+            "a",
+            F.expr(
+                "CAST(array() AS array<struct<day:date,v:bigint,e:bigint>>)"
+            ),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["v"].alias("v"),
+                        F.when(
+                            F.size(acc) == 0, x["v"] * F.lit(1_000_000)
+                        )
+                        .otherwise(
+                            F.shiftright(
+                                x["v"] * F.lit(1_000_000)
+                                + F.lit(3) * F.element_at(acc, -1)["e"],
+                                2,
+                            )
+                        )
+                        .alias("e"),
+                    )
+                ),
+            ),
+        ).alias("s"),
+    )
+    return folded.select(
+        "user_id", F.explode("s").alias("r")
+    ).select(
+        "user_id",
+        F.col("r.day").alias("day"),
+        F.col("r.v").cast("bigint").alias("n_events"),
+        F.col("r.e").cast("bigint").alias("ewma_micro"),
+    )
+
+
+@register(
     "forward_fill_series",
     oracle="""
     WITH span AS (

@@ -1,0 +1,73 @@
+"""Product-quantization trainer/server (operators/similarity.py:
+pq_train, pq_adc_topk) — engine-level invariants on top of the
+oracle value check (every centroid coordinate + distortion stats are
+DuckDB-replayed in the registry gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _toy_emb(spark, n=40, dim=8, spread=1000):
+    """Deterministic integer-friendly embeddings: two obvious
+    clusters per subspace so Lloyd's must separate them."""
+    rows = []
+    for i in range(n):
+        base = 0.4 if i % 2 == 0 else -0.4
+        vec = [base + ((i * 7 + d * 3) % spread) / 100000.0 for d in range(dim)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_codebook_shape_and_population(spark):
+    from datawarehouseproject_spark.operators.similarity import pq_train
+
+    emb = _toy_emb(spark)
+    out = pq_train(emb, dim=8, m=2, k=4, rounds=2).collect()
+    assert len(out) == 2 * 4 * 4  # m * k * sub_dim rows
+    # every vector is assigned exactly once per subspace
+    by_s = {}
+    for r in out:
+        by_s.setdefault(r["s"], set()).add(r["c"])
+        assert r["n_vectors"] >= 0 and r["total_sqdist"] >= 0
+    assert set(by_s) == {0, 1}
+    pop = {}
+    for r in out:
+        if r["dd"] == 0:
+            pop[(r["s"], r["c"])] = r["n_vectors"]
+    for s in (0, 1):
+        assert sum(pop[(s, c)] for c in range(4)) == 40
+
+
+def test_two_cluster_separation(spark):
+    """With two well-separated value clusters, final distortion must
+    be far below the 1-centroid baseline (k-means actually moved)."""
+    from datawarehouseproject_spark.operators.similarity import pq_train
+
+    emb = _toy_emb(spark)
+    out = pq_train(emb, dim=8, m=1, k=2, rounds=3).collect()
+    total = sum(r["total_sqdist"] for r in out if r["dd"] == 0)
+    # cluster means are ~0.8 apart = 8e5 micro-units; 40 vecs * 8 dims
+    # at that offset would be ~40*8*(4e5)^2 if unsplit
+    assert total < 40 * 8 * (4 * 10**5) ** 2 / 10
+
+
+def test_adc_query_ranks_itself_first(spark):
+    from datawarehouseproject_spark.operators.similarity import pq_adc_topk
+
+    emb = _toy_emb(spark)
+    out = pq_adc_topk(emb, dim=8, m=2, k=4, rounds=2, query_id=0, topk=5).collect()
+    assert len(out) == 5
+    assert out[0]["rank"] == 1
+    # the query's own code cells are its nearest centroids, so no
+    # vector can beat it (ADC distance of the query = its own
+    # quantization error, minimal by construction of the argmin)
+    ids = [r["vec_id"] for r in out]
+    assert 0 in ids and out[0]["vec_id"] == 0
+
+
+def test_dim_not_divisible_raises(spark):
+    from datawarehouseproject_spark.operators.similarity import pq_train
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(_toy_emb(spark), dim=8, m=3)
