@@ -383,3 +383,133 @@ def decode_mpeg1_layer1(payload: bytes) -> list[dict]:
     if not frames:
         raise ValueError("no Layer I frames found")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 tag frames (round 7): the metadata side of the audio corpus,
+# symmetric with EXIF for JPEG. The container format is public
+# (id3.org): 10-byte header 'ID3' + version + flags + syncsafe u28
+# size, then frames of [4-byte id][4-byte size][2 flag bytes][body];
+# text frames carry an encoding byte + text. The size field is the
+# version fork real files force a parser to get right: v2.3 uses a
+# plain big-endian u32, v2.4 a syncsafe integer — the synthesizer
+# alternates versions by seed so BOTH paths run on every batch.
+# ---------------------------------------------------------------------------
+
+
+def synth_id3_fields(seed: int) -> dict:
+    """Deterministic tag values, mirrored in the DuckDB oracle."""
+    return {
+        "version": 3 if seed % 2 == 0 else 4,
+        "title": f"Track {seed % 100}",
+        "artist": f"Artist{seed % 12}",
+        "album": f"Album{seed % 9}",
+        "track": str(1 + seed % 20),
+        "year": str(1990 + seed % 36),
+    }
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def synth_mp3_id3(seed: int) -> bytes:
+    """A real MPEG-1 Layer III stream behind a REAL ID3v2.3/v2.4 tag
+    (text frames TIT2/TPE1/TALB/TRCK + the version-appropriate year
+    frame TYER/TDRC, trailing zero padding). ``scan_mp3`` still
+    walks the audio frames — the tag size arithmetic is shared."""
+    f = synth_id3_fields(seed)
+    v4 = f["version"] == 4
+    year_id = b"TDRC" if v4 else b"TYER"
+    frames = bytearray()
+    for fid, text in (
+        (b"TIT2", f["title"]),
+        (b"TPE1", f["artist"]),
+        (b"TALB", f["album"]),
+        (b"TRCK", f["track"]),
+        (year_id, f["year"]),
+    ):
+        body = b"\x00" + text.encode("latin-1")  # encoding 0 = latin-1
+        size = _syncsafe(len(body)) if v4 else len(body).to_bytes(4, "big")
+        frames += fid + size + b"\x00\x00" + body
+    frames += bytes(11 + seed % 17)  # padding (all zero per spec)
+    header = (
+        b"ID3"
+        + bytes([4 if v4 else 3, 0, 0])
+        + _syncsafe(len(frames))
+    )
+    rate_idx, bitrate_idxs, paddings = synth_mp3_params(seed)
+    rate = SAMPLE_RATES[rate_idx]
+    out = bytearray(header + frames)
+    for i, (bi, pad) in enumerate(zip(bitrate_idxs, paddings)):
+        flen = frame_length(BITRATES_KBPS[bi], rate, pad)
+        out += _frame_header(bi, rate_idx, pad)
+        out += bytes((seed * 3 + i + j) % 256 for j in range(flen - 4))
+    return bytes(out)
+
+
+def parse_id3(payload: bytes) -> dict:
+    """Parse the leading ID3v2 tag: header validation, the
+    v2.3-vs-v2.4 frame-size fork, frame walk to the zero padding,
+    text-frame decode. Returns ``version``, the five text fields
+    (``title``, ``artist``, ``album``, ``track``, ``year`` — TDRC
+    and TYER both map to year), and ``n_frames``. Raises
+    ``ValueError`` on malformed structure (the permissive-quarantine
+    contract)."""
+    if payload[:3] != b"ID3":
+        raise ValueError("no ID3v2 tag")
+    if len(payload) < 10:
+        raise ValueError("truncated ID3v2 header")
+    version = payload[3]
+    if version not in (3, 4):
+        raise ValueError(f"unsupported ID3v2.{version}")
+    sz = payload[6:10]
+    if any(b & 0x80 for b in sz):
+        raise ValueError("invalid ID3v2 syncsafe size")
+    tag_len = (sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3]
+    end = 10 + tag_len
+    if end > len(payload):
+        raise ValueError("ID3v2 size past end of payload")
+    pos = 10
+    fields: dict[str, str | int | None] = {
+        "version": version,
+        "title": None,
+        "artist": None,
+        "album": None,
+        "track": None,
+        "year": None,
+    }
+    tag_map = {
+        "TIT2": "title",
+        "TPE1": "artist",
+        "TALB": "album",
+        "TRCK": "track",
+        "TYER": "year",
+        "TDRC": "year",
+    }
+    n_frames = 0
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid[0] == 0:  # zero padding: no more frames
+            break
+        s = payload[pos + 4 : pos + 8]
+        if version == 4:
+            if any(b & 0x80 for b in s):
+                raise ValueError("invalid v2.4 syncsafe frame size")
+            fsize = (s[0] << 21) | (s[1] << 14) | (s[2] << 7) | s[3]
+        else:
+            fsize = int.from_bytes(s, "big")
+        body = payload[pos + 10 : pos + 10 + fsize]
+        if len(body) < fsize:
+            raise ValueError("truncated ID3v2 frame body")
+        key = tag_map.get(fid.decode("latin-1", errors="replace"))
+        if key is not None:
+            if not body or body[0] != 0:
+                raise ValueError("unsupported text encoding in ID3 frame")
+            fields[key] = body[1:].decode("latin-1")
+        n_frames += 1
+        pos += 10 + fsize
+    fields["n_frames"] = n_frames
+    return fields

@@ -935,32 +935,35 @@ def synthesize_exif_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFr
     return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
-def extract_exif_metadata(media: DataFrame, permissive: bool = False) -> DataFrame:
-    """EXIF metadata triage per JPEG payload via Arrow-batched
-    mapInPandas: marker walk to APP1, II/MM byte-order dispatch, IFD
-    entry decode with inline-vs-offset value resolution, Exif
-    sub-IFD recursion (:func:`..functions.exif.parse_exif`). Reads a
-    few hundred header bytes per payload — no entropy decode — which
-    is the 100 TB shape of metadata extraction: the scan cost is the
-    payload fetch, not the parse. Error contract mirrors
-    :func:`extract_image_features`."""
+def _extract_metadata(
+    media: DataFrame,
+    feature_schema: T.StructType,
+    parser_loader,
+    permissive: bool,
+) -> DataFrame:
+    """Shared shape of all one-row-per-payload metadata extractors
+    (EXIF, ID3, protobuf): Arrow-batched mapInPandas, a dict-returning
+    parser resolved lazily ON THE EXECUTOR (``parser_loader``), and
+    the strict/permissive error contract of
+    :func:`extract_image_features`. Metadata triage reads a few
+    hundred leading bytes per payload — the 100 TB cost is the
+    payload fetch, not the parse."""
     keep = [f for f in media.schema.fields if f.name != "payload"]
-    fields = list(keep) + list(EXIF_SCHEMA.fields)
+    fields = list(keep) + list(feature_schema.fields)
     if permissive:
         fields.append(T.StructField("decode_error", T.StringType()))
     schema = T.StructType(fields)
     keep_names = [f.name for f in keep]
-    feat_names = tuple(f.name for f in EXIF_SCHEMA.fields)
+    feat_names = tuple(f.name for f in feature_schema.fields)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.exif import parse_exif
-
+        parse = parser_loader()
         for pdf in it:
             feats: dict[str, list] = {k: [] for k in feat_names}
             errors: list[str | None] = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    meta = parse_exif(bytes(p))
+                    meta = parse(bytes(p))
                 except ValueError as e:
                     if not permissive:
                         raise ValueError(f"media_id={mid}: {e}") from e
@@ -979,6 +982,128 @@ def extract_exif_metadata(media: DataFrame, permissive: bool = False) -> DataFra
             yield out
 
     return media.mapInPandas(batches, schema=schema)
+
+
+def extract_exif_metadata(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """EXIF metadata triage per JPEG payload: marker walk to APP1,
+    II/MM byte-order dispatch, IFD entry decode with
+    inline-vs-offset value resolution, Exif sub-IFD recursion
+    (:func:`..functions.exif.parse_exif`)."""
+
+    def loader():
+        from ..functions.exif import parse_exif
+
+        return parse_exif
+
+    return _extract_metadata(media, EXIF_SCHEMA, loader, permissive)
+
+
+ID3_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("album", T.StringType()),
+        T.StructField("track", T.StringType()),
+        T.StructField("year", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_id3_mp3_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of MPEG streams behind REAL
+    ID3v2.3/v2.4 tags (``functions/mpeg_audio.py:synth_mp3_id3``) —
+    version alternates by id so both frame-size codecs (big-endian
+    vs syncsafe) run on every batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mpeg_audio import synth_mp3_id3
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_.values,
+                    "payload": [synth_mp3_id3(int(i)) for i in ids_],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
+def extract_id3_tags(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """ID3v2 tag triage per MP3 payload
+    (:func:`..functions.mpeg_audio.parse_id3`): header validation,
+    the v2.3/v2.4 frame-size fork, frame walk, text decode."""
+
+    def loader():
+        from ..functions.mpeg_audio import parse_id3
+
+        return parse_id3
+
+    return _extract_metadata(media, ID3_SCHEMA, loader, permissive)
+
+
+PROTO_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("event_count", T.LongType()),
+        T.StructField("balance", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("sub_kind", T.IntegerType()),
+        T.StructField("sub_tag", T.StringType()),
+        T.StructField("packed_sum", T.LongType()),
+        T.StructField("n_unknown", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_proto_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of serialized protobuf wire
+    records (``functions/protowire.py:synth_record``): varints,
+    zigzag, fixed32, strings, a nested message, packed repeated
+    ints, and one deliberately unknown field."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.protowire import synth_record
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_.values,
+                    "payload": [synth_record(int(i)) for i in ids_],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
+def extract_proto_records(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """Protobuf wire-format decode per payload
+    (:func:`..functions.protowire.parse_record`): varint/zigzag/
+    fixed/length-delimited walk, nested-message recursion, packed
+    repeated scalars, unknown-field skipping."""
+
+    def loader():
+        from ..functions.protowire import parse_record
+
+        return parse_record
+
+    return _extract_metadata(media, PROTO_RECORD_SCHEMA, loader, permissive)
 
 
 def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:

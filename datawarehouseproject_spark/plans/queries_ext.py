@@ -1140,6 +1140,47 @@ def q_mpeg1_layer1_subband_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "mp3_id3_tags",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER)
+             AS version,
+           'Track ' || CAST(doc_id % 100 AS VARCHAR) AS title,
+           'Artist' || CAST(doc_id % 12 AS VARCHAR) AS artist,
+           'Album' || CAST(doc_id % 9 AS VARCHAR) AS album,
+           CAST(1 + doc_id % 20 AS VARCHAR) AS track,
+           CAST(1990 + doc_id % 36 AS VARCHAR) AS year,
+           CAST(5 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal", "mapInPandas", "mp3", "id3", "metadata"),
+)
+def q_mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ID3v2 tag extraction, value-checked — the metadata side
+    of the audio corpus, symmetric with `jpeg_exif_metadata` for
+    photos: synthesize an MPEG stream behind a genuine ID3v2 tag per
+    document (TIT2/TPE1/TALB/TRCK text frames plus the
+    version-appropriate year frame — TYER on v2.3, TDRC on v2.4 —
+    and zero padding), with the tag VERSION alternating by id so
+    both frame-size codecs run on every batch (v2.3 plain big-endian
+    u32 vs v2.4 syncsafe — the fork that silently corrupts naive
+    parsers on real files), then walk it all back inside
+    Arrow-batched mapInPandas (``functions/mpeg_audio.py:parse_id3``).
+    The audio frame walk behind the tag stays intact
+    (`mp3_stream_scan` shares the syncsafe skip arithmetic). Triage
+    reads only the leading tag bytes — fetch-bound, not parse-bound,
+    at 100 TB. The oracle recomputes every field."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_id3_tags,
+        synthesize_id3_mp3_media,
+    )
+
+    media = synthesize_id3_mp3_media(_t(spark, sf_dir, "documents"))
+    return extract_id3_tags(media)
+
+
+@register(
     "h264_stream_scan",
     oracle="""
     SELECT doc_id AS media_id,
@@ -3338,3 +3379,45 @@ def q_json_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val").cast("bigint").alias("sum_val"),
         )
     )
+
+
+@register(
+    "protobuf_wire_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 1000 AS BIGINT) AS event_count,
+           CAST((doc_id * 37) % 2001 - 1000 AS BIGINT) AS balance,
+           CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS checksum,
+           'rec-' || CAST(doc_id % 50 AS VARCHAR) AS name,
+           CAST(doc_id % 7 AS INTEGER) AS sub_kind,
+           'tag' || CAST(doc_id % 13 AS VARCHAR) AS sub_tag,
+           CAST(doc_id % 5 + doc_id % 11 + doc_id % 17 AS BIGINT)
+             AS packed_sum,
+           CAST(1 AS INTEGER) AS n_unknown
+    FROM documents
+    """,
+    tags=("sources", "binary", "protobuf", "wire-format", "mapInPandas"),
+)
+def q_protobuf_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL protobuf WIRE-FORMAT decode, value-checked — the opaque
+    binary record column a production event pipeline actually lands
+    (no schema compiler in the loop): synthesize one serialized
+    record per document exercising every wire construct — varints,
+    a NEGATIVE ZigZag sint64, little-endian fixed32, a UTF-8 string,
+    a nested message, PACKED repeated varints, and one field the
+    parser does not know — then decode it all back inside
+    Arrow-batched mapInPandas (``functions/protowire.py``, public
+    encoding spec). The unknown field must be skipped BY WIRE TYPE
+    and counted, not break the walk — protobuf's
+    forward-compatibility contract, the thing that lets a reader
+    survive producer schema evolution. The oracle recomputes every
+    field from the synthesis formulas; a varint continuation,
+    zigzag, endianness or skip bug breaks the hash."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_proto_records,
+        synthesize_proto_media,
+    )
+
+    media = synthesize_proto_media(_t(spark, sf_dir, "documents"))
+    return extract_proto_records(media)
