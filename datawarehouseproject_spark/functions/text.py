@@ -181,3 +181,39 @@ def fingerprint64(col: Column | str) -> Column:
     detection where comparing full text would shuffle too many bytes.
     """
     return md5_long(normalize_text(col))
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonicalize a URL for crawl dedup — the step every web-corpus
+    pipeline runs BEFORE content dedup (the same page is fetched as
+    HTTP/HTTPS, with/without www, with tracking params, in any query
+    order): lowercase scheme and host, strip a leading ``www.``,
+    strip default ports (:80 on http, :443 on https), strip one
+    trailing slash from a non-root path, drop the fragment, drop
+    ``utm_*``/``fbclid`` tracking params, and SORT the surviving
+    query params. Pure JVM-side string/array expressions (regexp +
+    split + array_sort), mirrored 1:1 in the DuckDB oracle.
+    """
+    u = _c(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("fbclid"),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)

@@ -1825,3 +1825,165 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_adc_topk
 
     return pq_adc_topk(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+@register(
+    "url_canonical_dedup",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             doc_id % 2 AS sc,            -- 0 http / 1 https
+             (doc_id // 2) % 2 AS up,     -- scheme uppercased in raw
+             doc_id % 3 AS cv,            -- host casing / www variant
+             doc_id % 5 AS h,             -- host digit
+             doc_id % 7 AS pv,            -- port variant
+             (doc_id // 3) % 3 AS pd,     -- path digit
+             (doc_id // 5) % 2 AS ts,     -- trailing slash
+             (doc_id // 7) % 4 AS qd,     -- q param value
+             (doc_id // 2) % 3 AS qo,     -- param order / utm variant
+             (doc_id // 4) % 2 AS fr      -- fragment present
+      FROM documents),
+    raw AS (
+      SELECT doc_id,
+             (CASE WHEN sc = 0 THEN (CASE WHEN up = 1 THEN 'HTTP' ELSE 'http' END)
+                   ELSE (CASE WHEN up = 1 THEN 'HTTPS' ELSE 'https' END) END)
+             || '://'
+             || (CASE cv WHEN 0 THEN 'WWW.SITE' || CAST(h AS VARCHAR) || '.COM'
+                         WHEN 1 THEN 'www.site' || CAST(h AS VARCHAR) || '.com'
+                         ELSE 'site' || CAST(h AS VARCHAR) || '.com' END)
+             || (CASE WHEN pv = 0 THEN (CASE WHEN sc = 0 THEN ':80' ELSE ':443' END)
+                      WHEN pv = 1 THEN ':8080' ELSE '' END)
+             || '/p/a' || CAST(pd AS VARCHAR)
+             || (CASE WHEN ts = 1 THEN '/' ELSE '' END)
+             || '?'
+             || (CASE qo WHEN 0 THEN 'q=' || CAST(qd AS VARCHAR) || '&x=1'
+                         WHEN 1 THEN 'x=1&q=' || CAST(qd AS VARCHAR)
+                         ELSE 'utm_source=feed&x=1&q=' || CAST(qd AS VARCHAR) END)
+             || (CASE WHEN fr = 1 THEN '#sec' ELSE '' END) AS url
+      FROM v),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query0
+      FROM raw),
+    c2 AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http'
+                  THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+                  WHEN scheme = 'https'
+                  THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+                  ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+             CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+                  ELSE regexp_replace(path0, '/$', '') END AS path,
+             array_to_string(
+               list_sort(list_filter(string_split(query0, '&'),
+                 p -> p <> '' AND NOT starts_with(p, 'utm_')
+                      AND NOT starts_with(p, 'fbclid'))), '&') AS q
+      FROM canon),
+    keyed AS (
+      SELECT doc_id,
+             scheme || '://' || host || path
+             || (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url
+      FROM c2)
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM keyed
+    GROUP BY canonical_url
+    HAVING count(*) >= 2
+    """,
+    tags=("dedup", "url", "canonicalization", "crawl", "zero-udf"),
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the step every web-corpus
+    pipeline runs BEFORE content dedup (the same page arrives as
+    HTTP vs HTTPS, WWW.SITE.COM vs site.com, with explicit default
+    ports, trailing slashes, tracking params, shuffled query order,
+    and fragments — all DIFFERENT byte strings naming one resource):
+    synthesize one messy URL per document from ten independent
+    modular variant axes, canonicalize with
+    :func:`..functions.text.canonical_url` (lowercase scheme/host,
+    strip www and default ports, strip non-root trailing slash, drop
+    fragment and utm_*/fbclid params, SORT surviving params — pure
+    JVM regexp/array expressions, zero UDFs), and group by the
+    canonical form, keeping min-id canonical. The canonical key
+    space is deliberately much smaller than the variant space, so
+    real multi-variant groups exist at every SF, and the oracle
+    replays the entire synthesis + canonicalization + grouping
+    string-for-string. Linear: one projection + one groupBy on an
+    already-compact key — the crawl-frontier shape at 100 TB."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    v = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2).alias("sc"),
+        F.expr("(doc_id DIV 2) % 2").alias("up"),
+        (F.col("doc_id") % 3).alias("cv"),
+        (F.col("doc_id") % 5).alias("h"),
+        (F.col("doc_id") % 7).alias("pv"),
+        F.expr("(doc_id DIV 3) % 3").alias("pd"),
+        F.expr("(doc_id DIV 5) % 2").alias("ts"),
+        F.expr("(doc_id DIV 7) % 4").alias("qd"),
+        F.expr("(doc_id DIV 2) % 3").alias("qo"),
+        F.expr("(doc_id DIV 4) % 2").alias("fr"),
+    )
+    raw = v.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("sc") == 0,
+                F.when(F.col("up") == 1, F.lit("HTTP")).otherwise(F.lit("http")),
+            ).otherwise(
+                F.when(F.col("up") == 1, F.lit("HTTPS")).otherwise(F.lit("https"))
+            ),
+            F.lit("://"),
+            F.when(
+                F.col("cv") == 0,
+                F.concat(F.lit("WWW.SITE"), F.col("h").cast("string"), F.lit(".COM")),
+            )
+            .when(
+                F.col("cv") == 1,
+                F.concat(F.lit("www.site"), F.col("h").cast("string"), F.lit(".com")),
+            )
+            .otherwise(
+                F.concat(F.lit("site"), F.col("h").cast("string"), F.lit(".com"))
+            ),
+            F.when(
+                F.col("pv") == 0,
+                F.when(F.col("sc") == 0, F.lit(":80")).otherwise(F.lit(":443")),
+            )
+            .when(F.col("pv") == 1, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.lit("/p/a"),
+            F.col("pd").cast("string"),
+            F.when(F.col("ts") == 1, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?"),
+            F.when(
+                F.col("qo") == 0,
+                F.concat(F.lit("q="), F.col("qd").cast("string"), F.lit("&x=1")),
+            )
+            .when(
+                F.col("qo") == 1,
+                F.concat(F.lit("x=1&q="), F.col("qd").cast("string")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("utm_source=feed&x=1&q="), F.col("qd").cast("string")
+                )
+            ),
+            F.when(F.col("fr") == 1, F.lit("#sec")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    from ..functions.text import canonical_url
+
+    return (
+        raw.select("doc_id", canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )
