@@ -1987,3 +1987,172 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_variants") >= 2)
     )
+
+
+@register(
+    "html_text_extraction",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id % 50 AS VARCHAR)
+             || '</title><script>var x=' || CAST(doc_id AS VARCHAR)
+             || ';</script><style>.a{color:red}</style></head><body>'
+             || '<nav><a href="/m1">Menu</a><a href="/m2">More</a></nav>'
+             || '<p>Para one ' || CAST(doc_id % 7 AS VARCHAR)
+             || ' words here.</p><p>Second paragraph '
+             || CAST(doc_id % 5 AS VARCHAR)
+             || ' <a href="/x' || CAST(doc_id % 3 AS VARCHAR)
+             || '">link' || CAST(doc_id % 3 AS VARCHAR) || '</a> tail.</p>'
+             || (CASE WHEN doc_id % 2 = 0
+                 THEN '<p>Bonus ' || CAST(doc_id % 11 AS VARCHAR) || '.</p>'
+                 ELSE '' END)
+             || '<footer><a href="/f">foot</a></footer></body></html>'
+               AS html
+      FROM documents),
+    stripped AS (
+      SELECT doc_id, html,
+             regexp_extract(html, '<title>([^<]*)', 1) AS title,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html,
+                     '<script[^>]*>.*?</script>', ' ', 'g'),
+                   '<style[^>]*>.*?</style>', ' ', 'g'),
+                 '<nav>.*?</nav>', ' ', 'g'),
+               '<footer>.*?</footer>', ' ', 'g') AS body0
+      FROM raw),
+    an AS (
+      SELECT doc_id, title, body0,
+             len(regexp_extract_all(body0, '<a [^>]*>')) AS n_links,
+             CAST(coalesce(len(array_to_string(
+               regexp_extract_all(body0, '<a [^>]*>([^<]*)</a>', 1), '')), 0)
+               AS BIGINT) AS anchor_chars
+      FROM stripped),
+    txt AS (
+      SELECT doc_id, title, n_links, anchor_chars,
+             trim(regexp_replace(
+               regexp_replace(body0, '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS text
+      FROM an)
+    SELECT doc_id, title,
+           text AS extracted_text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(n_links AS INTEGER) AS n_links,
+           anchor_chars,
+           CAST((1000000 * anchor_chars) // (length(text) + 1) AS BIGINT)
+             AS link_density_micro
+    FROM txt
+    """,
+    tags=("text", "html", "boilerplate", "extraction", "zero-udf"),
+)
+def q_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction — the boilerplate-stripping pass
+    a web corpus runs before any text analysis (trafilatura/justext
+    territory, reduced to its deterministic core): synthesize one
+    HTML page per document (title, script and style blocks, nav and
+    footer boilerplate, paragraphs with inline anchors — all from
+    modular formulas), then extract entirely with JVM-side regexp
+    expressions, zero UDFs: title capture; script/style elimination
+    (non-greedy, so one page's script can't swallow the next
+    paragraph); nav/footer boilerplate removal; link census (count +
+    anchor-text mass BEFORE tag stripping — the link-density signal
+    quality classifiers key on); tag strip; whitespace collapse. The
+    oracle replays the identical regex pipeline in DuckDB and the
+    FULL extracted text is hash-compared — a greedy quantifier, a
+    group-index slip or an escaping bug shifts the text and breaks
+    the hash. Link density is integer micro-units (1e6·anchor_chars
+    DIV (chars+1)), exact cross-engine. One projection, no shuffle —
+    the per-page map stage of a 100 TB crawl."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("</title><script>var x="),
+            did,
+            F.lit(";</script><style>.a{color:red}</style></head><body>"),
+            F.lit('<nav><a href="/m1">Menu</a><a href="/m2">More</a></nav>'),
+            F.lit("<p>Para one "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" words here.</p><p>Second paragraph "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(' <a href="/x'),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('">link'),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("</a> tail.</p>"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("<p>Bonus "),
+                    (F.col("doc_id") % 11).cast("string"),
+                    F.lit(".</p>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit('<footer><a href="/f">foot</a></footer></body></html>'),
+        ).alias("html"),
+    )
+    body0 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("html"), r"<script[^>]*>.*?</script>", " "
+                ),
+                r"<style[^>]*>.*?</style>",
+                " ",
+            ),
+            r"<nav>.*?</nav>",
+            " ",
+        ),
+        r"<footer>.*?</footer>",
+        " ",
+    )
+    stripped = raw.select(
+        "doc_id",
+        F.regexp_extract("html", r"<title>([^<]*)", 1).alias("title"),
+        body0.alias("body0"),
+    )
+    an = stripped.select(
+        "doc_id",
+        "title",
+        "body0",
+        F.size(F.expr("regexp_extract_all(body0, '<a [^>]*>', 0)")).alias(
+            "n_links"
+        ),
+        F.coalesce(
+            F.length(
+                F.array_join(
+                    F.expr("regexp_extract_all(body0, '<a [^>]*>([^<]*)</a>', 1)"),
+                    "",
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("anchor_chars"),
+    )
+    txt = an.select(
+        "doc_id",
+        "title",
+        "n_links",
+        "anchor_chars",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("body0", r"<[^>]*>", " "), r"\s+", " "
+            )
+        ).alias("text"),
+    )
+    return txt.select(
+        "doc_id",
+        "title",
+        F.col("text").alias("extracted_text"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.col("n_links").cast("int").alias("n_links"),
+        "anchor_chars",
+        F.expr("(1000000 * anchor_chars) DIV (length(text) + 1)")
+        .cast("bigint")
+        .alias("link_density_micro"),
+    )
