@@ -2156,3 +2156,202 @@ def q_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("link_density_micro"),
     )
+
+
+@register(
+    "robots_txt_rules",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'User-agent: *' || chr(10)
+             || '# policy rev ' || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+             || 'Crawl-delay: ' || CAST(1 + doc_id % 9 AS VARCHAR) || chr(10)
+             || 'Disallow: /private' || CAST(doc_id % 3 AS VARCHAR) || '/'
+             || chr(10)
+             || 'Allow: /private' || CAST(doc_id % 3 AS VARCHAR) || '/pub'
+             || chr(10)
+             || (CASE WHEN doc_id % 2 = 0
+                 THEN 'User-agent: DataBot' || chr(10) || 'Disallow: /'
+                      || chr(10)
+                 ELSE '' END)
+             || 'Sitemap: https://site' || CAST(doc_id % 5 AS VARCHAR)
+             || '.com/sitemap.xml' AS body
+      FROM documents),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             trim(regexp_replace(ln[i], '#.*', '')) AS line
+      FROM (SELECT doc_id, string_split(body, chr(10)) AS ln FROM raw),
+           unnest(generate_series(1, len(ln))) AS t(i)),
+    classified AS (
+      SELECT doc_id, pos,
+             lower(regexp_extract(line, '^([A-Za-z-]+):', 1)) AS directive,
+             trim(regexp_extract(line, ':(.*)$', 1)) AS value
+      FROM lines WHERE line <> ''),
+    grouped AS (
+      SELECT doc_id, pos, directive, value,
+             sum(CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM classified),
+    agents AS (
+      SELECT doc_id, grp, max(value) AS agent
+      FROM grouped WHERE directive = 'user-agent' GROUP BY 1, 2),
+    rules AS (
+      SELECT g.doc_id, a.agent, g.directive, g.value
+      FROM grouped g JOIN agents a
+        ON a.doc_id = g.doc_id AND a.grp = g.grp
+      WHERE g.directive IN ('disallow', 'allow', 'crawl-delay'))
+    SELECT r0.doc_id,
+           CAST(coalesce(ng.n_groups, 0) AS INTEGER) AS n_groups,
+           CAST(sd.star_crawl_delay AS INTEGER) AS star_crawl_delay,
+           CAST(coalesce(sn.star_n_disallow, 0) AS INTEGER)
+             AS star_n_disallow,
+           CAST(coalesce(sa.star_n_allow, 0) AS INTEGER) AS star_n_allow,
+           coalesce(db.blocked, FALSE) AS databot_blocked,
+           sm.sitemap_url
+    FROM (SELECT DISTINCT doc_id FROM raw) r0
+    LEFT JOIN (SELECT doc_id, max(grp) AS n_groups FROM grouped
+               GROUP BY 1) ng ON ng.doc_id = r0.doc_id
+    LEFT JOIN (SELECT doc_id, max(CAST(value AS INT)) AS star_crawl_delay
+               FROM rules WHERE agent = '*' AND directive = 'crawl-delay'
+               GROUP BY 1) sd ON sd.doc_id = r0.doc_id
+    LEFT JOIN (SELECT doc_id, count(*) AS star_n_disallow
+               FROM rules WHERE agent = '*' AND directive = 'disallow'
+               GROUP BY 1) sn ON sn.doc_id = r0.doc_id
+    LEFT JOIN (SELECT doc_id, count(*) AS star_n_allow
+               FROM rules WHERE agent = '*' AND directive = 'allow'
+               GROUP BY 1) sa ON sa.doc_id = r0.doc_id
+    LEFT JOIN (SELECT doc_id, TRUE AS blocked
+               FROM rules WHERE agent = 'DataBot'
+                 AND directive = 'disallow' AND value = '/'
+               GROUP BY 1) db ON db.doc_id = r0.doc_id
+    LEFT JOIN (SELECT doc_id, max(value) AS sitemap_url
+               FROM classified WHERE directive = 'sitemap'
+               GROUP BY 1) sm ON sm.doc_id = r0.doc_id
+    """,
+    tags=("text", "robots", "crawl", "config-parse", "zero-udf"),
+)
+def q_robots_txt_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing at corpus scale — the crawl-politeness
+    companion to `url_canonical_dedup` (a 100 TB crawl holds one of
+    these per host and must honor them): synthesize one policy file
+    per document (wildcard agent group with crawl-delay,
+    disallow/allow pairs, an optional per-bot block, comments, a
+    sitemap pointer), then parse it SET-BASED, zero UDFs: split to
+    lines, strip comments, classify directives by regexp, and — the
+    structural part — assign each rule to its user-agent GROUP with
+    a running count of agent headers over a per-document window
+    (robots semantics: rules bind to the most recent User-agent
+    line). Group-wise rollups then answer the questions a crawler
+    asks: the wildcard group's crawl delay and allow/disallow
+    counts, whether 'DataBot' is fully blocked, the sitemap URL.
+    Stateful-looking config parsing as one explode + one window +
+    joins; the oracle replays it line-for-line."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    nl = F.lit("\n")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("User-agent: *"), nl,
+            F.lit("# policy rev "), (F.col("doc_id") % 5).cast("string"), nl,
+            F.lit("Crawl-delay: "),
+            (F.col("doc_id") % 9 + 1).cast("string"), nl,
+            F.lit("Disallow: /private"),
+            (F.col("doc_id") % 3).cast("string"), F.lit("/"), nl,
+            F.lit("Allow: /private"),
+            (F.col("doc_id") % 3).cast("string"), F.lit("/pub"), nl,
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("User-agent: DataBot"), nl, F.lit("Disallow: /"), nl),
+            ).otherwise(F.lit("")),
+            F.lit("Sitemap: https://site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/sitemap.xml"),
+        ).alias("body"),
+    )
+    lines = raw.select(
+        "doc_id",
+        F.posexplode(F.split("body", "\n")).alias("pos", "line0"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.trim(F.regexp_replace("line0", "#.*", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    classified = lines.select(
+        "doc_id",
+        "pos",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+):", 1)).alias(
+            "directive"
+        ),
+        F.trim(F.regexp_extract("line", r":(.*)$", 1)).alias("value"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grouped = classified.withColumn(
+        "grp",
+        F.sum(
+            F.when(F.col("directive") == "user-agent", 1).otherwise(0)
+        ).over(w),
+    )
+    agents = (
+        grouped.filter(F.col("directive") == "user-agent")
+        .groupBy("doc_id", "grp")
+        .agg(F.max("value").alias("agent"))
+    )
+    rules = grouped.join(agents, ["doc_id", "grp"]).filter(
+        F.col("directive").isin("disallow", "allow", "crawl-delay")
+    )
+    star = F.col("agent") == "*"
+    ng = grouped.groupBy("doc_id").agg(F.max("grp").alias("n_groups"))
+    sd = (
+        rules.filter(star & (F.col("directive") == "crawl-delay"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("value").cast("int")).alias("star_crawl_delay"))
+    )
+    sn = (
+        rules.filter(star & (F.col("directive") == "disallow"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("star_n_disallow"))
+    )
+    sa = (
+        rules.filter(star & (F.col("directive") == "allow"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("star_n_allow"))
+    )
+    db = (
+        rules.filter(
+            (F.col("agent") == "DataBot")
+            & (F.col("directive") == "disallow")
+            & (F.col("value") == "/")
+        )
+        .groupBy("doc_id")
+        .agg(F.lit(True).alias("blocked"))
+    )
+    sm = (
+        classified.filter(F.col("directive") == "sitemap")
+        .groupBy("doc_id")
+        .agg(F.max("value").alias("sitemap_url"))
+    )
+    return (
+        docs.join(ng, "doc_id", "left")
+        .join(sd, "doc_id", "left")
+        .join(sn, "doc_id", "left")
+        .join(sa, "doc_id", "left")
+        .join(db, "doc_id", "left")
+        .join(sm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_groups", F.lit(0)).cast("int").alias("n_groups"),
+            F.col("star_crawl_delay").cast("int").alias("star_crawl_delay"),
+            F.coalesce("star_n_disallow", F.lit(0))
+            .cast("int")
+            .alias("star_n_disallow"),
+            F.coalesce("star_n_allow", F.lit(0)).cast("int").alias("star_n_allow"),
+            F.coalesce("blocked", F.lit(False)).alias("databot_blocked"),
+            "sitemap_url",
+        )
+    )
