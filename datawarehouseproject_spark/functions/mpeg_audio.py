@@ -297,8 +297,11 @@ def decode_mpeg1_layer1(payload: bytes) -> list[dict]:
     scalefactor 2·2^(−idx/3), expressed in integer micro-units via
     floor division on the non-negative magnitude:
 
-        amp_micro(raw) = |2·raw + 2 − 2^nb| · 2·10^6 · 2^(−⌊idx/3⌋)
+        amp_micro(raw) = |2·raw + 2 − 2^nb| · 4·10^6 · 2^(−⌊idx/3⌋)
                          // (2^nb − 1)
+
+    (4·10^6 = the ±2.0 peak of requantization-times-scalefactor in
+    micro-units of 2·_AMP_ONE; review r7 fixed the doc constant).
 
     (exact when idx ≡ 0 mod 3, within one part-per-2^nb otherwise —
     the synthesizer emits only multiples of 3). Per active (frame,
@@ -334,7 +337,13 @@ def decode_mpeg1_layer1(payload: bytes) -> list[dict]:
         )
         if pos + flen > len(payload):
             raise ValueError("truncated final Layer I frame")
-        r = _MsbBitReader(payload[pos + 4 : pos + flen])
+        # protection bit 0 => a 16-bit CRC precedes the audio data;
+        # skip it (not verified — the bit-exact contract covers the
+        # payload, not link-layer integrity). Reading the CRC bytes
+        # as allocation nibbles would silently shift the whole
+        # bitstream (review r7).
+        crc_skip = 0 if (hdr[1] & 0x1) else 2
+        r = _MsbBitReader(payload[pos + 4 + crc_skip : pos + flen])
         allocs = []
         for _sb in range(32):
             a = r.read(4)
@@ -501,9 +510,12 @@ def parse_id3(payload: bytes) -> dict:
             fsize = (s[0] << 21) | (s[1] << 14) | (s[2] << 7) | s[3]
         else:
             fsize = int.from_bytes(s, "big")
+        if pos + 10 + fsize > end:
+            # a frame must stay inside the tag: a corrupt size that
+            # spills into the audio data would otherwise decode sync
+            # bytes as tag text instead of raising (review r7)
+            raise ValueError("ID3v2 frame size past tag end")
         body = payload[pos + 10 : pos + 10 + fsize]
-        if len(body) < fsize:
-            raise ValueError("truncated ID3v2 frame body")
         key = tag_map.get(fid.decode("latin-1", errors="replace"))
         if key is not None:
             if not body or body[0] != 0:

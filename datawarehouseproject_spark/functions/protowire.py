@@ -109,6 +109,12 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         out |= (b & 0x7F) << shift
         if not b & 0x80:
+            if out > 0x7FFFFFFFFFFFFFFF:
+                # ten-byte varints can carry up to 70 bits; values past
+                # the signed-64 range would escape the ValueError
+                # quarantine and blow up downstream in the Arrow
+                # LongType conversion instead (review r7)
+                raise ValueError("varint exceeds signed 64-bit range")
             return out, pos
         shift += 7
         if shift > 63:

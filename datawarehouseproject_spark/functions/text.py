@@ -194,7 +194,10 @@ def canonical_url(col: Column | str) -> Column:
     query params. Pure JVM-side string/array expressions (regexp +
     split + array_sort), mirrored 1:1 in the DuckDB oracle.
     """
-    u = _c(col)
+    # drop the fragment FIRST: a '?' inside a fragment must not
+    # resurrect fragment text as query parameters (review r7 —
+    # 'http://a.com/p#sec?x=1' has no query at all)
+    u = F.regexp_replace(_c(col), r"#.*", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
     hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1))
     host = F.regexp_replace(hostport, r"^www\.", "")
@@ -204,7 +207,7 @@ def canonical_url(col: Column | str) -> Column:
     path = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     path = F.regexp_replace(path, r"/$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),

@@ -488,6 +488,103 @@ def lsh_bucketed_topk(
     )
 
 
+def _pq_explode(
+    emb, dim: int, m: int, id_col: str, vec_col: str
+):
+    """(vid, s, dd, q) micro-unit coordinate rows (shared by train,
+    encode, and the ADC query table)."""
+    sub = dim // m
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    ).select(
+        "vid",
+        (F.col("d") / sub).cast("int").alias("s"),
+        (F.col("d") % sub).cast("int").alias("dd"),
+        F.floor((F.col("x") + F.lit(1.0)) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("q"),
+    )
+
+
+def _pq_assign(expl: DataFrame, centroids: DataFrame):
+    """Deterministic argmin assignment vs a broadcast codebook:
+    (best, mind) = per-(vid, subspace) chosen centroid and its
+    squared distance. Ties break (min sqdist, then min centroid)."""
+    dist = (
+        expl.join(F.broadcast(centroids), ["s", "dd"])
+        .groupBy("vid", "s", "c")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("val")) * (F.col("q") - F.col("val"))
+            ).alias("sq")
+        )
+    )
+    mind = dist.groupBy("vid", "s").agg(F.min("sq").alias("md"))
+    best = (
+        dist.join(mind, ["vid", "s"])
+        .filter(F.col("sq") == F.col("md"))
+        .groupBy("vid", "s")
+        .agg(F.min("c").alias("c"))
+    )
+    return best, mind
+
+
+def _pq_fit(
+    emb: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    rounds: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared Lloyd's loop: returns (expl, centroids, final best,
+    final mind) so callers reuse the LAST assignment pass instead of
+    recomputing it (review r7 — pq_adc_topk used to pay the most
+    expensive shuffles twice)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    expl = _pq_explode(emb, dim, m, id_col, vec_col).localCheckpoint()
+    # seed from the k SMALLEST ids (rank-based, not `id < k`: sparse
+    # or 1-based id spaces would silently yield an empty codebook —
+    # review r7); k ids collect to the driver, always tiny
+    seed_ids = [
+        r[0]
+        for r in emb.select(F.col(id_col).alias("vid"))
+        .distinct()
+        .orderBy("vid")
+        .limit(k)
+        .collect()
+    ]
+    if len(seed_ids) < k:
+        raise ValueError(
+            f"need at least k={k} distinct vectors to seed, got {len(seed_ids)}"
+        )
+    seed_map = emb.sparkSession.createDataFrame(
+        [(int(v), c) for c, v in enumerate(seed_ids)], "vid long, c int"
+    )
+    cent = (
+        expl.join(F.broadcast(seed_map), "vid")
+        .select("s", "c", "dd", F.col("q").alias("val"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        best, _mind = _pq_assign(expl, cent)
+        upd = (
+            expl.join(best, ["vid", "s"])
+            .groupBy("s", "c", "dd")
+            .agg(F.expr("sum(q) DIV count(*)").alias("nval"))
+        )
+        cent = (
+            cent.join(upd, ["s", "c", "dd"], "left")
+            .select("s", "c", "dd", F.coalesce("nval", "val").alias("val"))
+            .localCheckpoint()
+        )
+    best, mind = _pq_assign(expl, cent)
+    return expl, cent, best, mind
+
+
 def pq_train(
     emb: DataFrame,
     dim: int,
@@ -513,8 +610,9 @@ def pq_train(
       min c) — the deterministic argmin;
     - centroid update is ``sum(coord) DIV count`` per dimension;
       empty clusters keep their previous centroid;
-    - seeds are vectors ``id < k`` (deterministic, like k-means++'s
-      published derandomized variants but simpler to replay).
+    - seeds are the vectors with the ``k`` SMALLEST ids
+      (deterministic under any id space; raises if fewer than k
+      distinct vectors exist).
 
     Scale shape: each round is two shuffles — assignment keyed on
     (subspace, sub-dim) against the BROADCAST codebook (m·k·dim/m =
@@ -525,71 +623,12 @@ def pq_train(
 
     Returns the flattened codebook with quality stats, one row per
     (subspace, centroid, sub-dimension): ``(s, c, dd, centroid_val,
-    n_vectors, total_sqdist)`` where the stats come from a final
+    n_vectors, total_sqdist)`` where the stats come from the final
     assignment pass against the trained codebook.
     """
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
-    expl = emb.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
-    ).select(
-        "vid",
-        (F.col("d") / sub).cast("int").alias("s"),
-        (F.col("d") % sub).cast("int").alias("dd"),
-        F.floor((F.col("x") + F.lit(1.0)) * F.lit(1_000_000.0))
-        .cast("long")
-        .alias("q"),
-    ).localCheckpoint()
-    cent = (
-        expl.filter(F.col("vid") < k)
-        .select(
-            "s",
-            F.col("vid").cast("int").alias("c"),
-            "dd",
-            F.col("q").alias("val"),
-        )
-        .localCheckpoint()
+    _expl, cent, best, mind = _pq_fit(
+        emb, dim, m, k, rounds, id_col, vec_col
     )
-
-    def _assign(centroids: DataFrame) -> tuple[DataFrame, DataFrame]:
-        dist = (
-            expl.join(F.broadcast(centroids), ["s", "dd"])
-            .groupBy("vid", "s", "c")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("val")) * (F.col("q") - F.col("val"))
-                ).alias("sq")
-            )
-        )
-        mind = dist.groupBy("vid", "s").agg(F.min("sq").alias("md"))
-        best = (
-            dist.join(mind, ["vid", "s"])
-            .filter(F.col("sq") == F.col("md"))
-            .groupBy("vid", "s")
-            .agg(F.min("c").alias("c"))
-        )
-        return best, mind
-
-    for _ in range(rounds):
-        best, _mind = _assign(cent)
-        upd = (
-            expl.join(best, ["vid", "s"])
-            .groupBy("s", "c", "dd")
-            .agg(F.expr("sum(q) DIV count(*)").alias("nval"))
-        )
-        cent = (
-            cent.join(upd, ["s", "c", "dd"], "left")
-            .select(
-                "s",
-                "c",
-                "dd",
-                F.coalesce("nval", "val").alias("val"),
-            )
-            .localCheckpoint()
-        )
-    best, mind = _assign(cent)
     stats = (
         best.join(mind, ["vid", "s"])
         .groupBy("s", "c")
@@ -621,53 +660,26 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes — the SERVING half of
     the product-quantization pair (:func:`pq_train` trains the
-    codebook): encode every vector as m centroid codes, precompute
-    the query's per-(subspace, centroid) squared-distance lookup
-    TABLE from its RAW coordinates (that asymmetry is the 'A' in
-    ADC — the query is never quantized, halving the error), and
-    score every vector as the sum of m table lookups. All integer:
-    the same micro-unit coordinates, exact BIGINT distances,
-    deterministic (distance, id) ranking.
+    codebook): every vector\'s m centroid codes come from the
+    trainer\'s FINAL assignment pass (reused, not recomputed — review
+    r7), the query keeps its RAW coordinates and precomputes the
+    per-(subspace, centroid) squared-distance lookup TABLE (that
+    asymmetry is the \'A\' in ADC — the query is never quantized,
+    halving the error), and every vector scores as the sum of m
+    table lookups. All integer: the same micro-unit coordinates,
+    exact BIGINT distances, deterministic (distance, id) ranking.
 
     Scale shape at serving time: codes are m bytes per vector; the
     lookup table is m·k BIGINTs broadcast per query; scoring is one
     map-side join + sum — no per-pair d-dimensional arithmetic at
     all, which is why IVF-PQ serves billion-vector corpora. Here the
     train → encode → serve chain runs as one DAG."""
-    codebook = pq_train(
-        emb, dim=dim, m=m, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
-    ).select("s", "c", "dd", F.col("centroid_val").alias("val"))
-    sub = dim // m
-    expl = emb.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
-    ).select(
-        "vid",
-        (F.col("d") / sub).cast("int").alias("s"),
-        (F.col("d") % sub).cast("int").alias("dd"),
-        F.floor((F.col("x") + F.lit(1.0)) * F.lit(1_000_000.0))
-        .cast("long")
-        .alias("q"),
-    )
-    dist = (
-        expl.join(F.broadcast(codebook), ["s", "dd"])
-        .groupBy("vid", "s", "c")
-        .agg(
-            F.sum(
-                (F.col("q") - F.col("val")) * (F.col("q") - F.col("val"))
-            ).alias("sq")
-        )
-    )
-    mind = dist.groupBy("vid", "s").agg(F.min("sq").alias("md"))
-    codes = (
-        dist.join(mind, ["vid", "s"])
-        .filter(F.col("sq") == F.col("md"))
-        .groupBy("vid", "s")
-        .agg(F.min("c").alias("c"))
+    expl, cent, codes, _mind = _pq_fit(
+        emb, dim, m, k, rounds, id_col, vec_col
     )
     qtab = (
         expl.filter(F.col("vid") == query_id)
-        .join(F.broadcast(codebook), ["s", "dd"])
+        .join(F.broadcast(cent), ["s", "dd"])
         .groupBy("s", "c")
         .agg(
             F.sum(
@@ -684,7 +696,5 @@ def pq_adc_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= topk)
-        .select(
-            F.col("vid").alias(id_col), "adc_sqdist", "rank"
-        )
+        .select(F.col("vid").alias(id_col), "adc_sqdist", "rank")
     )

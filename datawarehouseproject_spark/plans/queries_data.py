@@ -1700,8 +1700,12 @@ def _pq_oracle(
                   AS BIGINT) AS q
       FROM embeddings, unnest(generate_series(1, {dim})) AS t(i)),
     c0 AS MATERIALIZED (
-      SELECT s, CAST(vid AS INT) AS c, dd, q AS val
-      FROM expl WHERE vid < {k})"""]
+      SELECT e.s, sm.c, e.dd, e.q AS val
+      FROM expl e JOIN (
+        SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS c
+        FROM (SELECT DISTINCT vec_id AS vid FROM embeddings
+              ORDER BY vec_id LIMIT {k})
+      ) sm ON sm.vid = e.vid)"""]
     for r in range(rounds):
         parts.append(f"""
     , dist{r} AS MATERIALIZED (
@@ -1861,13 +1865,15 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE 'utm_source=feed&x=1&q=' || CAST(qd AS VARCHAR) END)
              || (CASE WHEN fr = 1 THEN '#sec' ELSE '' END) AS url
       FROM v),
+    nofrag AS (
+      SELECT doc_id, regexp_replace(url, '#.*', '') AS url FROM raw),
     canon AS (
       SELECT doc_id,
              lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
              lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
              regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
-             regexp_extract(url, '\\?([^#]*)', 1) AS query0
-      FROM raw),
+             regexp_extract(url, '\\?(.*)$', 1) AS query0
+      FROM nofrag),
     c2 AS (
       SELECT doc_id, scheme,
              CASE WHEN scheme = 'http'

@@ -80,3 +80,14 @@ def test_spark_permissive_quarantine(spark):
     }
     assert out[55]["decode_error"] is not None
     assert out[2]["title"] == synth_id3_fields(2)["title"]
+
+
+def test_frame_size_past_tag_end_raises():
+    """A corrupt frame size that spills past the tag (into audio
+    data) must raise, not decode sync bytes as tag text (review
+    r7)."""
+    payload = bytearray(synth_mp3_id3(2))  # v2.3: plain u32 sizes
+    # first frame header starts at byte 10; size field at +4..+8
+    payload[14:18] = (3000).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="past tag end"):
+        parse_id3(bytes(payload))

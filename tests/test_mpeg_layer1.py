@@ -202,3 +202,17 @@ def test_spark_permissive_quarantines_bad_payload(spark):
     good_rows = [r for r in out if r["media_id"] == 3]
     assert len(good_rows) == synth_layer1_params(3)["n_frames"] * 8
     assert all(r["decode_error"] is None for r in good_rows)
+
+
+def test_crc_protected_frame_decodes_identically():
+    """Protection bit 0 => a 16-bit CRC precedes the audio data; the
+    decoder must skip it (review r7 — reading CRC bytes as
+    allocation nibbles shifts the whole bitstream)."""
+    plain = _frame(alloc={0: 1}, sf={0: 3}, samples={0: [0, 1, 2] * 4})
+    # rebuild with protection bit 0 and 2 CRC bytes spliced in; same
+    # slot-quantized length => drop 2 trailing pad bytes
+    hdr = bytearray(plain[:4])
+    hdr[1] &= 0xFE  # protection bit 0 = CRC present
+    crc_frame = bytes(hdr) + b"\xAB\xCD" + plain[4:-2]
+    assert len(crc_frame) == len(plain)
+    assert decode_mpeg1_layer1(crc_frame) == decode_mpeg1_layer1(plain)

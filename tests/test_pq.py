@@ -71,3 +71,23 @@ def test_dim_not_divisible_raises(spark):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(_toy_emb(spark), dim=8, m=3)
+
+
+def test_sparse_id_space_seeds_by_rank(spark):
+    """1-based / offset id spaces must seed from the k smallest ids,
+    not silently produce an empty codebook (review r7)."""
+    from datawarehouseproject_spark.operators.similarity import pq_train
+
+    emb = _toy_emb(spark)
+    shifted = emb.selectExpr("vec_id + 1000 AS vec_id", "embedding")
+    out = pq_train(shifted, dim=8, m=2, k=4, rounds=2).collect()
+    assert len(out) == 2 * 4 * 4
+    assert sum(r["n_vectors"] for r in out if r["dd"] == 0) == 2 * 40
+
+
+def test_too_few_vectors_raises(spark):
+    from datawarehouseproject_spark.operators.similarity import pq_train
+
+    emb = _toy_emb(spark, n=3)
+    with pytest.raises(ValueError, match="distinct vectors to seed"):
+        pq_train(emb, dim=8, m=2, k=4, rounds=1)

@@ -86,3 +86,12 @@ def test_zigzag_helper_reference_values():
     assert _zigzag(-1) == 1
     assert _zigzag(1) == 2
     assert _zigzag(-1000) == 1999
+
+
+def test_varint_beyond_signed64_quarantines():
+    """Ten-byte varints can carry 70 bits; values past signed-64 must
+    raise ValueError (the quarantine contract), not escape and blow
+    up the Arrow LongType conversion later (review r7)."""
+    payload = b"\x08" + b"\xff" * 9 + b"\x7f"
+    with pytest.raises(ValueError, match="signed 64-bit"):
+        parse_record(payload)
