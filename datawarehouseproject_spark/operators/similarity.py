@@ -634,7 +634,12 @@ def pq_train(
         .groupBy("s", "c")
         .agg(
             F.count("*").cast("bigint").alias("n_vectors"),
-            F.sum("md").cast("bigint").alias("total_sqdist"),
+            # distortion sums in DECIMAL(38,0): per-pair sqdist is
+            # ~1e13 micro-units^2, so a BIGINT cluster sum overflows
+            # past ~1e5 vectors per cluster (hit in tools/stress_pq.py
+            # at 200k vectors); DuckDB's BIGINT sum promotes to
+            # HUGEINT, this is the Spark equivalent
+            F.sum(F.col("md").cast("decimal(38,0)")).alias("total_sqdist"),
         )
     )
     return cent.join(stats, ["s", "c"], "left").select(
@@ -643,7 +648,9 @@ def pq_train(
         "dd",
         F.col("val").cast("bigint").alias("centroid_val"),
         F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors"),
-        F.coalesce("total_sqdist", F.lit(0)).cast("bigint").alias("total_sqdist"),
+        F.coalesce(
+            "total_sqdist", F.lit(0).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("total_sqdist"),
     )
 
 

@@ -1752,7 +1752,8 @@ def _pq_oracle(
     SELECT cc.s, cc.c, cc.dd,
            CAST(cc.val AS BIGINT) AS centroid_val,
            CAST(coalesce(st.n_vectors, 0) AS BIGINT) AS n_vectors,
-           CAST(coalesce(st.total_sqdist, 0) AS BIGINT) AS total_sqdist
+           CAST(coalesce(st.total_sqdist, 0) AS DECIMAL(38,0))
+             AS total_sqdist
     FROM c{rounds} cc LEFT JOIN stats st
       ON st.s = cc.s AND st.c = cc.c""")
     else:  # adc: asymmetric-distance top-k against the raw query
