@@ -220,3 +220,31 @@ def canonical_url(col: Column | str) -> Column:
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
     return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+#: 1:1 confusable map, built programmatically so FROM and TO stay
+#: aligned: curly quotes, dashes, ellipsis, NBSP, and the full
+#: fullwidth-ASCII block (U+FF01..U+FF5E -> U+0021..U+007E).
+#: Zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) are DELETED (translate
+#: drops source chars with no target on both engines).
+_CONFUSABLE_PAIRS = [
+    ("\u2018", "'"), ("\u2019", "'"), ("\u201a", ","),
+    ("\u201c", '"'), ("\u201d", '"'), ("\u201e", '"'),
+    ("\u2013", "-"), ("\u2014", "-"), ("\u2026", "."),
+    ("\u00a0", " "),
+] + [
+    (chr(c), chr(c - 0xFF01 + 0x21)) for c in range(0xFF01, 0xFF5F)
+]
+_CONFUSABLE_DELETE = "\u200b\u200c\u200d\ufeff"
+_CONFUSABLE_FROM = "".join(f for f, _t in _CONFUSABLE_PAIRS) + _CONFUSABLE_DELETE
+_CONFUSABLE_TO = "".join(t for _f, t in _CONFUSABLE_PAIRS)
+
+
+def fold_confusables(col: Column | str) -> Column:
+    """Fold Unicode confusables to ASCII — the homoglyph normalizer
+    a dedup pipeline needs because near-dup evasion (and ordinary
+    copy-paste) swaps straight quotes for curly ones, spaces for
+    NBSP, ASCII for fullwidth forms, and hides zero-width characters
+    inside words. One JVM-side ``translate`` (1:1 map; zero-width
+    chars deleted), mirrored exactly in the DuckDB oracle."""
+    return F.translate(_c(col), _CONFUSABLE_FROM, _CONFUSABLE_TO)

@@ -2362,3 +2362,106 @@ def q_robots_txt_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sitemap_url",
         )
     )
+
+
+def _confusable_oracle() -> str:
+    from ..functions.text import _CONFUSABLE_FROM, _CONFUSABLE_TO
+
+    esc_f = _CONFUSABLE_FROM.replace("'", "''")
+    esc_t = _CONFUSABLE_TO.replace("'", "''")
+    return f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'say "hello world" '
+                 || CAST(doc_id % 40 AS VARCHAR) || ' - end.'
+               WHEN 1 THEN 'say “hello world” '
+                 || CAST(doc_id % 40 AS VARCHAR) || ' — end.'
+               WHEN 2 THEN 'say "ｈｅｌｌｏ world" '
+                 || CAST(doc_id % 40 AS VARCHAR) || ' - end．'
+               ELSE 'say "hel‍lo world" '
+                 || CAST(doc_id % 40 AS VARCHAR) || ' - end.'
+             END AS text
+      FROM documents),
+    folded AS (
+      SELECT doc_id,
+             translate(text, '{esc_f}', '{esc_t}') AS canon
+      FROM raw)
+    SELECT canon AS canonical_text,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT doc_id % 4) AS BIGINT) AS n_styles,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM folded
+    GROUP BY canon
+    HAVING count(*) >= 2
+    """
+
+
+@register(
+    "confusable_fold_dedup",
+    oracle=_confusable_oracle(),
+    tags=("dedup", "unicode", "confusables", "normalization", "zero-udf"),
+)
+def q_confusable_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-confusable folding dedup — the homoglyph normalizer
+    exact dedup needs in front of it (the same sentence arrives with
+    curly vs straight quotes, em dashes, NBSP, FULLWIDTH letters, or
+    zero-width joiners hidden inside words — ordinary copy-paste
+    artifacts and deliberate near-dup evasion alike; every variant
+    is a different byte string and a different md5): synthesize four
+    styling variants per canonical sentence, fold with ONE JVM-side
+    ``translate`` over a programmatically built 108-character map
+    (:func:`..functions.text.fold_confusables` — curly punctuation,
+    the entire fullwidth-ASCII block, NBSP; zero-width characters
+    deleted via translate's unmapped-source semantics), and group by
+    the folded text, counting how many distinct styling families
+    collapsed into each group. The oracle replays the identical
+    translate map (DuckDB shares the drop-unmapped semantics) and
+    hash-compares the canonical text itself. One projection + one
+    groupBy — exact-dedup cost, before any similarity machinery."""
+    _utc(spark)
+    from ..functions.text import fold_confusables
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n40 = (F.col("doc_id") % 40).cast("string")
+    raw = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit('say "hello world" '), n40, F.lit(" - end.")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("say “hello world” "), n40, F.lit(" — end.")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit('say "ｈｅｌｌｏ world" '),
+                n40,
+                F.lit(" - end．"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('say "hel‍lo world" '), n40, F.lit(" - end.")
+            )
+        )
+        .alias("text"),
+    )
+    return (
+        raw.select(
+            "doc_id",
+            fold_confusables("text").alias("canon"),
+            (F.col("doc_id") % 4).alias("style"),
+        )
+        .groupBy(F.col("canon").alias("canonical_text"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.countDistinct("style").cast("bigint").alias("n_styles"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )
