@@ -1106,6 +1106,63 @@ def extract_proto_records(media: DataFrame, permissive: bool = False) -> DataFra
     return _extract_metadata(media, PROTO_RECORD_SCHEMA, loader, permissive)
 
 
+ZIP_SCHEMA = T.StructType(
+    [
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("n_stored", T.IntegerType()),
+        T.StructField("n_deflated", T.IntegerType()),
+        T.StructField("total_uncompressed", T.LongType()),
+        T.StructField("member_names", T.StringType()),
+    ]
+)
+
+
+def synthesize_zip_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of ZIP archives written by
+    the STDLIB ``zipfile`` producer (``functions/zipscan.py``) — an
+    independent writer, so the scanner parses a real third-party
+    byte layout."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.zipscan import synth_zip
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_.values,
+                    "payload": [synth_zip(int(i)) for i in ids_],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
+def extract_zip_structure(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """ZIP central-directory triage per payload
+    (:func:`..functions.zipscan.scan_zip`): EOCD backward scan,
+    entry validation, central-header walk. Reads the archive TAIL —
+    member data never decompresses."""
+
+    def loader():
+        from ..functions.zipscan import scan_zip
+
+        def parse(payload: bytes) -> dict:
+            out = scan_zip(payload)
+            out.pop("members")
+            return out
+
+        return parse
+
+    return _extract_metadata(media, ZIP_SCHEMA, loader, permissive)
+
+
 def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of valid H.264 Annex B byte
     streams (``functions/h264.py``): SPS (with real exp-Golomb

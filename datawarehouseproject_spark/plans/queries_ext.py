@@ -3421,3 +3421,53 @@ def q_protobuf_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_proto_media(_t(spark, sf_dir, "documents"))
     return extract_proto_records(media)
+
+
+@register(
+    "zip_archive_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 3 AS nm FROM documents),
+    mem AS (
+      SELECT media_id, nm, i,
+             'f' || CAST(i AS VARCHAR) || '_'
+               || CAST(media_id % 9 AS VARCHAR) || '.txt' AS name,
+             CAST(10 + (media_id * 3 + i) % 40 AS BIGINT) AS usize,
+             (media_id + i) % 2 AS stored
+      FROM m, unnest(generate_series(0, nm - 1)) AS t(i))
+    SELECT media_id,
+           CAST(max(nm) AS INTEGER) AS n_members,
+           CAST(sum(stored) AS INTEGER) AS n_stored,
+           CAST(sum(1 - stored) AS INTEGER) AS n_deflated,
+           CAST(sum(usize) AS BIGINT) AS total_uncompressed,
+           array_to_string(list_sort(list(name)), ',') AS member_names
+    FROM mem
+    GROUP BY media_id
+    """,
+    tags=("sources", "archive", "zip", "mapInPandas", "triage"),
+)
+def q_zip_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ZIP central-directory scan, value-checked — archive
+    triage for corpus ingestion (how many members, which compression
+    methods, what total payload — answered from the archive TAIL,
+    never decompressing member data): synthesize one archive per
+    document with Python's STDLIB ``zipfile`` writer — an
+    INDEPENDENT producer, so unlike the self-synthesized codecs the
+    hand-rolled parser (``functions/zipscan.py``) is exercised
+    against a genuine third-party byte layout — then walk the real
+    structure inside Arrow-batched mapInPandas: the
+    end-of-central-directory record located by scanning backwards
+    through the variable-length archive comment, entry-count and
+    offset validation, and every 46-byte central file header
+    (method, sizes, CRC, name). Member plans (names, counts,
+    methods, uncompressed sizes) are modular formulas the oracle
+    recomputes; compressed sizes and CRCs are producer-dependent
+    and are pinned against ``zlib`` in ``tests/test_zipscan.py``."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_zip_structure,
+        synthesize_zip_media,
+    )
+
+    media = synthesize_zip_media(_t(spark, sf_dir, "documents"))
+    return extract_zip_structure(media)

@@ -1,0 +1,92 @@
+"""ZIP central-directory scanner tests — functions/zipscan.py. The
+synthesizer is the STDLIB zipfile writer (independent producer), so
+these pin the parser against a real third-party layout, including
+the producer-dependent fields the SQL oracle can't reach (CRCs,
+compressed sizes)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+import zlib
+
+import pytest
+
+from datawarehouseproject_spark.functions.zipscan import (
+    scan_zip,
+    synth_zip,
+    synth_zip_members,
+)
+
+
+def test_scan_matches_member_plan_and_zlib_crc():
+    for seed in range(30):
+        got = scan_zip(synth_zip(seed))
+        plan = synth_zip_members(seed)
+        assert got["n_members"] == len(plan)
+        assert got["member_names"] == ",".join(sorted(m["name"] for m in plan))
+        assert got["total_uncompressed"] == sum(len(m["content"]) for m in plan)
+        crcs = {m["name"]: zlib.crc32(m["content"]) for m in plan}
+        sizes = {m["name"]: len(m["content"]) for m in plan}
+        for m in got["members"]:
+            assert m["crc32"] == crcs[m["name"]]
+            assert m["uncomp_size"] == sizes[m["name"]]
+            if m["method"] == 0:  # STORED: comp == uncomp
+                assert m["comp_size"] == m["uncomp_size"]
+
+
+def test_eocd_found_through_comment():
+    """The archive comment sits AFTER the EOCD signature's fixed
+    fields; a forward-only scanner breaks on it."""
+    payload = synth_zip(3)
+    assert b"corpus-archive-3" in payload[-30:]
+    assert scan_zip(payload)["n_members"] == len(synth_zip_members(3))
+
+
+def test_stdlib_roundtrip_agreement():
+    """zipfile's own reader and the hand parser must agree on every
+    listed member."""
+    payload = synth_zip(7)
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        infos = {i.filename: i for i in zf.infolist()}
+    got = scan_zip(payload)
+    assert set(m["name"] for m in got["members"]) == set(infos)
+    for m in got["members"]:
+        assert m["crc32"] == infos[m["name"]].CRC
+        assert m["comp_size"] == infos[m["name"]].compress_size
+
+
+def test_malformed_archives_raise():
+    good = synth_zip(2)
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        scan_zip(b"not a zip at all")
+    # corrupt the central-header signature
+    bad = bytearray(good)
+    i = bad.find(b"PK\x01\x02")
+    bad[i + 1] = 0x00
+    with pytest.raises(ValueError, match="signature|end-of-central"):
+        scan_zip(bytes(bad))
+    # EOCD entry count inflated -> walk must fail loudly
+    bad2 = bytearray(good)
+    j = bad2.rfind(b"PK\x05\x06")
+    bad2[j + 10] = bad2[j + 10] + 1
+    with pytest.raises(ValueError):
+        scan_zip(bytes(bad2))
+
+
+def test_spark_permissive_quarantine(spark):
+    from datawarehouseproject_spark.operators.multimodal import (
+        extract_zip_structure,
+    )
+
+    rows = [
+        (1, bytearray(synth_zip(1))),
+        (42, bytearray(b"PK\x03\x04 truncated local header only")),
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    out = {
+        r["media_id"]: r
+        for r in extract_zip_structure(media, permissive=True).collect()
+    }
+    assert out[42]["decode_error"] is not None
+    assert out[1]["n_members"] == len(synth_zip_members(1))
