@@ -634,12 +634,15 @@ def pq_train(
         .groupBy("s", "c")
         .agg(
             F.count("*").cast("bigint").alias("n_vectors"),
-            # distortion sums in DECIMAL(38,0): per-pair sqdist is
-            # ~1e13 micro-units^2, so a BIGINT cluster sum overflows
-            # past ~1e5 vectors per cluster (hit in tools/stress_pq.py
-            # at 200k vectors); DuckDB's BIGINT sum promotes to
-            # HUGEINT, this is the Spark equivalent
-            F.sum(F.col("md").cast("decimal(38,0)")).alias("total_sqdist"),
+            # distortion is pre-scaled PER VECTOR (md DIV 1e6 —
+            # mega-micro-units^2) before summing: per-pair sqdist is
+            # ~1e13, so a raw BIGINT cluster sum overflows past ~1e5
+            # vectors per cluster (hit in tools/stress_pq.py at 200k
+            # vectors), while the scaled sum stays in BIGINT to
+            # ~5e11 vectors/cluster and replays exactly in any
+            # engine (a DECIMAL(38,0) column was tried first but its
+            # repr differs between engines in the value compare)
+            F.sum(F.expr("md DIV 1000000")).alias("total_sqdist_mega"),
         )
     )
     return cent.join(stats, ["s", "c"], "left").select(
@@ -648,9 +651,9 @@ def pq_train(
         "dd",
         F.col("val").cast("bigint").alias("centroid_val"),
         F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors"),
-        F.coalesce(
-            "total_sqdist", F.lit(0).cast("decimal(38,0)")
-        ).cast("decimal(38,0)").alias("total_sqdist"),
+        F.coalesce("total_sqdist_mega", F.lit(0))
+        .cast("bigint")
+        .alias("total_sqdist_mega"),
     )
 
 

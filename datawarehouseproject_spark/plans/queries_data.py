@@ -1744,7 +1744,7 @@ def _pq_oracle(
     stats AS MATERIALIZED (
       SELECT b.s, b.c,
              count(*) AS n_vectors,
-             sum(x.md) AS total_sqdist
+             sum(x.md // 1000000) AS total_sqdist_mega
       FROM bestF b JOIN mindF x ON x.vid = b.vid AND x.s = b.s
       GROUP BY 1, 2)""")
     if final == "codebook":
@@ -1752,8 +1752,8 @@ def _pq_oracle(
     SELECT cc.s, cc.c, cc.dd,
            CAST(cc.val AS BIGINT) AS centroid_val,
            CAST(coalesce(st.n_vectors, 0) AS BIGINT) AS n_vectors,
-           CAST(coalesce(st.total_sqdist, 0) AS DECIMAL(38,0))
-             AS total_sqdist
+           CAST(coalesce(st.total_sqdist_mega, 0) AS BIGINT)
+             AS total_sqdist_mega
     FROM c{rounds} cc LEFT JOIN stats st
       ON st.s = cc.s AND st.c = cc.c""")
     else:  # adc: asymmetric-distance top-k against the raw query

@@ -29,7 +29,7 @@ def test_codebook_shape_and_population(spark):
     by_s = {}
     for r in out:
         by_s.setdefault(r["s"], set()).add(r["c"])
-        assert r["n_vectors"] >= 0 and r["total_sqdist"] >= 0
+        assert r["n_vectors"] >= 0 and r["total_sqdist_mega"] >= 0
     assert set(by_s) == {0, 1}
     pop = {}
     for r in out:
@@ -46,10 +46,11 @@ def test_two_cluster_separation(spark):
 
     emb = _toy_emb(spark)
     out = pq_train(emb, dim=8, m=1, k=2, rounds=3).collect()
-    total = sum(r["total_sqdist"] for r in out if r["dd"] == 0)
+    total = sum(r["total_sqdist_mega"] for r in out if r["dd"] == 0)
     # cluster means are ~0.8 apart = 8e5 micro-units; 40 vecs * 8 dims
-    # at that offset would be ~40*8*(4e5)^2 if unsplit
-    assert total < 40 * 8 * (4 * 10**5) ** 2 / 10
+    # at that offset would be ~40*8*(4e5)^2 raw = ~5.1e7 in the
+    # DIV-1e6 mega units the stat reports
+    assert total < 40 * 8 * (4 * 10**5) ** 2 // 1_000_000 // 10
 
 
 def test_adc_query_ranks_itself_first(spark):

@@ -63,7 +63,7 @@ def main() -> None:
         out = pq_train(emb, dim=64, m=4, k=8, rounds=3)
         rows = out.count()
         secs = time.time() - t0
-        total_sq = out.agg(F.sum("total_sqdist")).first()[0]
+        total_sq = out.agg(F.sum("total_sqdist_mega")).first()[0]
         print(
             json.dumps(
                 {
@@ -71,7 +71,7 @@ def main() -> None:
                     "codebook_rows": rows,
                     "sec": round(secs, 2),
                     "vectors_per_s": int(n / secs),
-                    "total_sqdist": int(total_sq),
+                    "total_sqdist_mega": int(total_sq),
                 }
             )
         )
