@@ -623,8 +623,10 @@ def pq_train(
 
     Returns the flattened codebook with quality stats, one row per
     (subspace, centroid, sub-dimension): ``(s, c, dd, centroid_val,
-    n_vectors, total_sqdist)`` where the stats come from the final
-    assignment pass against the trained codebook.
+    n_vectors, total_sqdist_mega)`` — distortion pre-scaled per
+    vector by DIV 1e6 so the BIGINT cluster sum cannot overflow at
+    scale — where the stats come from the final assignment pass
+    against the trained codebook.
     """
     _expl, cent, best, mind = _pq_fit(
         emb, dim, m, k, rounds, id_col, vec_col
