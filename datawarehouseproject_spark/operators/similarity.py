@@ -530,25 +530,11 @@ def _pq_assign(expl: DataFrame, centroids: DataFrame):
     return best, mind
 
 
-def _pq_fit(
-    emb: DataFrame,
-    dim: int,
-    m: int,
-    k: int,
-    rounds: int,
-    id_col: str,
-    vec_col: str,
-):
-    """Shared Lloyd's loop: returns (expl, centroids, final best,
-    final mind) so callers reuse the LAST assignment pass instead of
-    recomputing it (review r7 — pq_adc_topk used to pay the most
-    expensive shuffles twice)."""
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    expl = _pq_explode(emb, dim, m, id_col, vec_col).localCheckpoint()
-    # seed from the k SMALLEST ids (rank-based, not `id < k`: sparse
-    # or 1-based id spaces would silently yield an empty codebook —
-    # review r7); k ids collect to the driver, always tiny
+def _pq_seed_map(emb: DataFrame, k: int, id_col: str) -> DataFrame:
+    """(vid, c) seed assignment from the k SMALLEST ids (rank-based,
+    not ``id < k``: sparse or 1-based id spaces would silently yield
+    an empty codebook — review r7); k ids collect to the driver,
+    always tiny."""
     seed_ids = [
         r[0]
         for r in emb.select(F.col(id_col).alias("vid"))
@@ -561,9 +547,17 @@ def _pq_fit(
         raise ValueError(
             f"need at least k={k} distinct vectors to seed, got {len(seed_ids)}"
         )
-    seed_map = emb.sparkSession.createDataFrame(
+    return emb.sparkSession.createDataFrame(
         [(int(v), c) for c, v in enumerate(seed_ids)], "vid long, c int"
     )
+
+
+def _pq_lloyd(expl: DataFrame, seed_map: DataFrame, rounds: int):
+    """The Lloyd loop over an arbitrary (vid, s, dd, q) coordinate
+    frame (plain coordinates for the coarse quantizer, RESIDUAL
+    coordinates for the fine PQ of IVF-PQ). Returns (centroids,
+    final best, final mind) — the LAST assignment pass is returned
+    so callers never recompute it."""
     cent = (
         expl.join(F.broadcast(seed_map), "vid")
         .select("s", "c", "dd", F.col("q").alias("val"))
@@ -582,6 +576,28 @@ def _pq_fit(
             .localCheckpoint()
         )
     best, mind = _pq_assign(expl, cent)
+    return cent, best, mind
+
+
+def _pq_fit(
+    emb: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    rounds: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared explode + seed + Lloyd: returns (expl, centroids,
+    final best, final mind) so callers reuse the LAST assignment
+    pass instead of recomputing it (review r7 — pq_adc_topk used to
+    pay the most expensive shuffles twice)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    expl = _pq_explode(emb, dim, m, id_col, vec_col).localCheckpoint()
+    cent, best, mind = _pq_lloyd(
+        expl, _pq_seed_map(emb, k, id_col), rounds
+    )
     return expl, cent, best, mind
 
 
@@ -709,4 +725,125 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= topk)
         .select(F.col("vid").alias(id_col), "adc_sqdist", "rank")
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    nlist: int = 4,
+    nprobe: int = 2,
+    coarse_rounds: int = 2,
+    fine_rounds: int = 2,
+    query_id: int = 0,
+    topk: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the full billion-vector ANN serving architecture
+    (Jégou et al. 2011, the FAISS ``IVFx,PQy`` index) as one
+    integer-deterministic DAG:
+
+    1. COARSE quantizer: k-means over whole vectors (``nlist``
+       cells, the Lloyd loop with m=1) partitions the corpus;
+    2. RESIDUAL encoding: each vector's offset from its cell
+       centroid (shifted +2e6 to stay non-negative for the DIV
+       centroid updates; constant shifts cancel in distances) is
+       product-quantized — residuals are tighter than raw vectors,
+       which is why IVF-PQ beats flat PQ at equal code size;
+    3. SEARCH: the query ranks cells by exact integer L2 to the
+       coarse centroids, probes the best ``nprobe``, builds a
+       PER-CELL ADC lookup table from its residual against that
+       cell (the query's residual differs per cell — the detail
+       naive implementations get wrong), and scores only vectors in
+       probed cells as the sum of m table lookups.
+
+    Everything is the same micro-unit integer arithmetic as
+    :func:`pq_train` (deterministic argmins, DIV updates), so the
+    entire index build AND the probed search replay exactly in the
+    SQL oracle. Scale shape: both quantizers broadcast; candidates
+    are bounded by the probed cells' population (nprobe/nlist of the
+    corpus on average); per-candidate cost is m lookups, not d
+    multiplications."""
+    sub = dim // m
+    expl1, coarse_cent, coarse_best, _ = _pq_fit(
+        emb, dim, 1, nlist, coarse_rounds, id_col, vec_col
+    )
+    cells = coarse_best.select("vid", F.col("c").alias("cell"))
+    cc = coarse_cent.select(
+        F.col("c").alias("cell"), "dd", F.col("val").alias("cval")
+    )
+    fine_expl = (
+        expl1.join(cells, "vid")
+        .join(F.broadcast(cc), ["cell", "dd"])
+        .select(
+            "vid",
+            (F.col("dd") / sub).cast("int").alias("s"),
+            (F.col("dd") % sub).cast("int").alias("dd_f"),
+            (F.col("q") - F.col("cval") + F.lit(2_000_000)).alias("q"),
+        )
+        .withColumnRenamed("dd_f", "dd")
+        .localCheckpoint()
+    )
+    fine_cent, fine_codes, _mind = _pq_lloyd(
+        fine_expl, _pq_seed_map(emb, k, id_col), fine_rounds
+    )
+    # probe: exact integer L2 from the query to every coarse centroid
+    qcoords = expl1.filter(F.col("vid") == query_id)
+    cell_dist = (
+        qcoords.join(F.broadcast(cc), "dd")
+        .groupBy("cell")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cval")) * (F.col("q") - F.col("cval"))
+            ).alias("cdist")
+        )
+    )
+    wp = Window.orderBy(F.col("cdist").asc(), F.col("cell").asc())
+    probed = (
+        cell_dist.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= nprobe)
+        .select("cell")
+    )
+    # per-cell ADC table from the query's PER-CELL residual
+    qres = (
+        qcoords.join(F.broadcast(cc.join(probed, "cell")), "dd")
+        .select(
+            "cell",
+            (F.col("dd") / sub).cast("int").alias("s"),
+            (F.col("dd") % sub).cast("int").alias("ddf"),
+            (F.col("q") - F.col("cval") + F.lit(2_000_000)).alias("qr"),
+        )
+    )
+    qtab = (
+        qres.join(
+            F.broadcast(fine_cent.withColumnRenamed("dd", "ddf")),
+            ["s", "ddf"],
+        )
+        .groupBy("cell", "s", "c")
+        .agg(
+            F.sum(
+                (F.col("qr") - F.col("val")) * (F.col("qr") - F.col("val"))
+            ).alias("t")
+        )
+    )
+    cand = cells.join(F.broadcast(probed), "cell")
+    scored = (
+        fine_codes.join(cand, "vid")
+        .join(F.broadcast(qtab), ["cell", "s", "c"])
+        .groupBy("vid", "cell")
+        .agg(F.sum("t").cast("bigint").alias("adc_sqdist"))
+    )
+    w = Window.orderBy(F.col("adc_sqdist").asc(), F.col("vid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            "adc_sqdist",
+            "rank",
+        )
     )

@@ -2465,3 +2465,179 @@ def q_confusable_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_variants") >= 2)
     )
+
+
+def _ivfpq_oracle(
+    dim: int = 64,
+    m: int = 4,
+    k: int = 8,
+    nlist: int = 4,
+    nprobe: int = 2,
+    coarse_rounds: int = 2,
+    fine_rounds: int = 2,
+    query_id: int = 0,
+    topk: int = 20,
+) -> str:
+    """Unrolled IVF-PQ oracle: coarse k-means (whole-vector Lloyd
+    rounds), residual product quantization (subspace Lloyd rounds on
+    shifted residuals), probe ranking, per-cell ADC tables, and the
+    final candidate scoring — every stage MATERIALIZED, unroll
+    counts equal to the engine's round parameters (the
+    `_pq_oracle`/`_ktruss_oracle` no-silent-divergence contract)."""
+    sub = dim // m
+    p = [f"""
+    WITH expl1 AS MATERIALIZED (
+      SELECT vec_id AS vid, CAST(i - 1 AS INT) AS dd,
+             CAST(floor((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000000.0)
+                  AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, {dim})) AS t(i)),
+    cseed AS MATERIALIZED (
+      SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS c
+      FROM (SELECT DISTINCT vec_id AS vid FROM embeddings
+            ORDER BY vec_id LIMIT {nlist})),
+    cc0 AS MATERIALIZED (
+      SELECT e.dd, s.c, e.q AS val
+      FROM expl1 e JOIN cseed s ON s.vid = e.vid)"""]
+    for r in range(coarse_rounds):
+        p.append(f"""
+    , cdist{r} AS MATERIALIZED (
+      SELECT e.vid, c.c, sum((e.q - c.val) * (e.q - c.val)) AS sq
+      FROM expl1 e JOIN cc{r} c ON c.dd = e.dd GROUP BY 1, 2),
+    cmind{r} AS MATERIALIZED (
+      SELECT vid, min(sq) AS md FROM cdist{r} GROUP BY 1),
+    cbest{r} AS MATERIALIZED (
+      SELECT d.vid, min(d.c) AS c
+      FROM cdist{r} d JOIN cmind{r} x ON x.vid = d.vid AND d.sq = x.md
+      GROUP BY 1),
+    cupd{r} AS MATERIALIZED (
+      SELECT b.c, e.dd, sum(e.q) // count(*) AS nval
+      FROM expl1 e JOIN cbest{r} b ON b.vid = e.vid GROUP BY 1, 2),
+    cc{r + 1} AS MATERIALIZED (
+      SELECT c.dd, c.c, coalesce(u.nval, c.val) AS val
+      FROM cc{r} c LEFT JOIN cupd{r} u ON u.c = c.c AND u.dd = c.dd)""")
+    R = coarse_rounds
+    p.append(f"""
+    , cdistF AS MATERIALIZED (
+      SELECT e.vid, c.c, sum((e.q - c.val) * (e.q - c.val)) AS sq
+      FROM expl1 e JOIN cc{R} c ON c.dd = e.dd GROUP BY 1, 2),
+    cmindF AS MATERIALIZED (
+      SELECT vid, min(sq) AS md FROM cdistF GROUP BY 1),
+    cells AS MATERIALIZED (
+      SELECT d.vid, min(d.c) AS cell
+      FROM cdistF d JOIN cmindF x ON x.vid = d.vid AND d.sq = x.md
+      GROUP BY 1),
+    fexpl AS MATERIALIZED (
+      SELECT e.vid, CAST(e.dd // {sub} AS INT) AS s,
+             CAST(e.dd % {sub} AS INT) AS dd,
+             e.q - c.val + 2000000 AS q
+      FROM expl1 e
+      JOIN cells x ON x.vid = e.vid
+      JOIN cc{R} c ON c.c = x.cell AND c.dd = e.dd),
+    fseed AS MATERIALIZED (
+      SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS c
+      FROM (SELECT DISTINCT vec_id AS vid FROM embeddings
+            ORDER BY vec_id LIMIT {k})),
+    fc0 AS MATERIALIZED (
+      SELECT e.s, s.c, e.dd, e.q AS val
+      FROM fexpl e JOIN fseed s ON s.vid = e.vid)""")
+    for r in range(fine_rounds):
+        p.append(f"""
+    , fdist{r} AS MATERIALIZED (
+      SELECT e.vid, e.s, c.c, sum((e.q - c.val) * (e.q - c.val)) AS sq
+      FROM fexpl e JOIN fc{r} c ON c.s = e.s AND c.dd = e.dd
+      GROUP BY 1, 2, 3),
+    fmind{r} AS MATERIALIZED (
+      SELECT vid, s, min(sq) AS md FROM fdist{r} GROUP BY 1, 2),
+    fbest{r} AS MATERIALIZED (
+      SELECT d.vid, d.s, min(d.c) AS c
+      FROM fdist{r} d JOIN fmind{r} x
+        ON x.vid = d.vid AND x.s = d.s AND d.sq = x.md
+      GROUP BY 1, 2),
+    fupd{r} AS MATERIALIZED (
+      SELECT e.s, b.c, e.dd, sum(e.q) // count(*) AS nval
+      FROM fexpl e JOIN fbest{r} b ON b.vid = e.vid AND b.s = e.s
+      GROUP BY 1, 2, 3),
+    fc{r + 1} AS MATERIALIZED (
+      SELECT c.s, c.c, c.dd, coalesce(u.nval, c.val) AS val
+      FROM fc{r} c LEFT JOIN fupd{r} u
+        ON u.s = c.s AND u.c = c.c AND u.dd = c.dd)""")
+    FR = fine_rounds
+    p.append(f"""
+    , fdistF AS MATERIALIZED (
+      SELECT e.vid, e.s, c.c, sum((e.q - c.val) * (e.q - c.val)) AS sq
+      FROM fexpl e JOIN fc{FR} c ON c.s = e.s AND c.dd = e.dd
+      GROUP BY 1, 2, 3),
+    fmindF AS MATERIALIZED (
+      SELECT vid, s, min(sq) AS md FROM fdistF GROUP BY 1, 2),
+    codes AS MATERIALIZED (
+      SELECT d.vid, d.s, min(d.c) AS c
+      FROM fdistF d JOIN fmindF x
+        ON x.vid = d.vid AND x.s = d.s AND d.sq = x.md
+      GROUP BY 1, 2),
+    qcdist AS MATERIALIZED (
+      SELECT c.c AS cell, sum((e.q - c.val) * (e.q - c.val)) AS cdist
+      FROM expl1 e JOIN cc{R} c ON c.dd = e.dd
+      WHERE e.vid = {query_id} GROUP BY 1),
+    probed AS MATERIALIZED (
+      SELECT cell FROM (
+        SELECT cell, row_number() OVER (ORDER BY cdist ASC, cell ASC) AS rn
+        FROM qcdist) WHERE rn <= {nprobe}),
+    qres AS MATERIALIZED (
+      SELECT c.c AS cell, CAST(e.dd // {sub} AS INT) AS s,
+             CAST(e.dd % {sub} AS INT) AS ddf,
+             e.q - c.val + 2000000 AS qr
+      FROM expl1 e
+      JOIN cc{R} c ON c.dd = e.dd
+      JOIN probed p ON p.cell = c.c
+      WHERE e.vid = {query_id}),
+    qtab AS MATERIALIZED (
+      SELECT r.cell, r.s, f.c,
+             sum((r.qr - f.val) * (r.qr - f.val)) AS t
+      FROM qres r JOIN fc{FR} f ON f.s = r.s AND f.dd = r.ddf
+      GROUP BY 1, 2, 3),
+    cand AS MATERIALIZED (
+      SELECT x.vid, x.cell FROM cells x JOIN probed p ON p.cell = x.cell),
+    scoredq AS MATERIALIZED (
+      SELECT b.vid, n.cell, CAST(sum(t.t) AS BIGINT) AS adc_sqdist
+      FROM codes b
+      JOIN cand n ON n.vid = b.vid
+      JOIN qtab t ON t.cell = n.cell AND t.s = b.s AND t.c = b.c
+      GROUP BY 1, 2)
+    SELECT vid AS vec_id, CAST(cell AS INTEGER) AS cell, adc_sqdist,
+           CAST(row_number() OVER (ORDER BY adc_sqdist ASC, vid ASC)
+                AS INTEGER) AS rank
+    FROM scoredq
+    QUALIFY rank <= {topk}""")
+    return "".join(p)
+
+
+@register(
+    "ivf_pq_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ivf", "pq", "adc", "residual", "composition"),
+)
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full billion-vector ANN serving architecture
+    (FAISS's ``IVF4,PQ4`` shape) as one oracle-replayed DAG: a
+    whole-vector integer k-means coarse quantizer partitions the
+    corpus into 4 cells; each vector's RESIDUAL from its cell
+    centroid (tighter than the raw vector — the reason IVF-PQ beats
+    flat PQ at equal code size) is product-quantized into 4 one-byte
+    codes; the query ranks cells by exact integer L2, probes the
+    best 2, builds a PER-CELL ADC lookup table from its per-cell
+    residual (the detail naive implementations get wrong — the
+    query's residual differs in every probed cell), and scores only
+    vectors in probed cells as the sum of 4 table lookups.
+
+    The entire pipeline — both k-means loops (2 coarse + 2 fine
+    Lloyd rounds, deterministic argmins, DIV updates, +2e6 residual
+    shift keeping DIV operands non-negative), probe ranking, tables,
+    and the candidate top-20 — is integer micro-unit arithmetic, so
+    the DuckDB oracle replays it stage-for-stage (fully unrolled
+    MATERIALIZED CTEs). Scale: quantizers broadcast; candidates are
+    the probed cells' population (~nprobe/nlist of the corpus);
+    per-candidate cost is m lookups, not d multiplications."""
+    _utc(spark)
+    from ..operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(_t(spark, sf_dir, "embeddings"), dim=64)

@@ -92,3 +92,22 @@ def test_too_few_vectors_raises(spark):
     emb = _toy_emb(spark, n=3)
     with pytest.raises(ValueError, match="distinct vectors to seed"):
         pq_train(emb, dim=8, m=2, k=4, rounds=1)
+
+
+def test_ivf_pq_probes_and_ranks(spark):
+    """IVF-PQ invariants on the toy corpus: results come only from
+    probed cells (at most nprobe distinct), the query ranks first
+    (its per-cell ADC table is minimized by its own codes), and
+    ranking is (distance, id)-deterministic."""
+    from datawarehouseproject_spark.operators.similarity import ivf_pq_topk
+
+    emb = _toy_emb(spark)
+    out = ivf_pq_topk(
+        emb, dim=8, m=2, k=4, nlist=3, nprobe=2,
+        coarse_rounds=2, fine_rounds=2, query_id=0, topk=10,
+    ).collect()
+    assert len(out) == 10
+    assert out[0]["vec_id"] == 0 and out[0]["rank"] == 1
+    assert len({r["cell"] for r in out}) <= 2  # nprobe bound
+    dists = [r["adc_sqdist"] for r in out]
+    assert dists == sorted(dists)
