@@ -133,3 +133,98 @@ def scan_zip(payload: bytes) -> dict:
         "member_names": ",".join(sorted(m["name"] for m in members)),
         "members": members,
     }
+
+
+# ---------------------------------------------------------------------------
+# POSIX ustar (tar) structure scan — the other archive format corpus
+# drops arrive in. Same independent-producer pattern: synthesis via
+# the stdlib ``tarfile`` writer, parsing by hand from the public
+# format (512-byte headers, NUL-padded octal numeric fields, the
+# space-blanked header checksum, NUL-block terminator).
+# ---------------------------------------------------------------------------
+
+
+def synth_tar_members(seed: int) -> list[dict]:
+    """Member plan, mirrored in the DuckDB oracle: 1 + seed%4
+    members; member i is ``d{seed%7}/m{i}.bin`` with
+    ``5 + (seed*7 + i*3) % 120`` deterministic bytes."""
+    out = []
+    for i in range(1 + seed % 4):
+        n = 5 + (seed * 7 + i * 3) % 120
+        out.append(
+            {
+                "name": f"d{seed % 7}/m{i}.bin",
+                "content": bytes((seed * 5 + i + j) % 256 for j in range(n)),
+            }
+        )
+    return out
+
+
+def synth_tar(seed: int) -> bytes:
+    """Write the archive with the STDLIB producer (fixed mtime/uids
+    keep bytes deterministic)."""
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for m in synth_tar_members(seed):
+            info = tarfile.TarInfo(m["name"])
+            info.size = len(m["content"])
+            info.mtime = 1_800_000_000
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(m["content"]))
+    return buf.getvalue()
+
+
+def _tar_octal(field: bytes) -> int:
+    s = field.split(b"\x00", 1)[0].strip()
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError as e:
+        raise ValueError(f"bad octal field {field!r}") from e
+
+
+def scan_tar(payload: bytes) -> dict:
+    """Walk 512-byte ustar headers: name, octal size, header
+    CHECKSUM verification (sum of header bytes with the checksum
+    field blanked to spaces — the format's integrity feature),
+    512-aligned content skip, NUL-block terminator. Returns
+    ``n_members``, ``total_bytes``, ``n_dirs_refd`` (distinct
+    directory prefixes), ``member_names`` (sorted, comma-joined),
+    plus per-member details. Raises ``ValueError`` on malformed
+    structure."""
+    pos = 0
+    members = []
+    while pos + 512 <= len(payload):
+        hdr = payload[pos : pos + 512]
+        if hdr == b"\x00" * 512:  # end-of-archive marker
+            break
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8")
+        if not name:
+            raise ValueError(f"empty member name at offset {pos}")
+        size = _tar_octal(hdr[124:136])
+        stored_ck = _tar_octal(hdr[148:156])
+        blanked = hdr[:148] + b" " * 8 + hdr[156:]
+        if sum(blanked) != stored_ck:
+            raise ValueError(
+                f"tar header checksum mismatch for {name!r}"
+            )
+        typeflag = hdr[156:157]
+        if typeflag not in (b"0", b"\x00", b"5"):
+            raise ValueError(f"unsupported tar entry type {typeflag!r}")
+        members.append({"name": name, "size": size})
+        pos += 512 + ((size + 511) // 512) * 512
+    else:
+        raise ValueError("missing tar end-of-archive marker")
+    if not members:
+        raise ValueError("empty tar archive")
+    dirs = {m["name"].rsplit("/", 1)[0] for m in members if "/" in m["name"]}
+    return {
+        "n_members": len(members),
+        "total_bytes": sum(m["size"] for m in members),
+        "n_dirs_refd": len(dirs),
+        "member_names": ",".join(sorted(m["name"] for m in members)),
+        "members": members,
+    }

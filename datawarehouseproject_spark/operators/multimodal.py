@@ -1163,6 +1163,59 @@ def extract_zip_structure(media: DataFrame, permissive: bool = False) -> DataFra
     return _extract_metadata(media, ZIP_SCHEMA, loader, permissive)
 
 
+TAR_SCHEMA = T.StructType(
+    [
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("n_dirs_refd", T.IntegerType()),
+        T.StructField("member_names", T.StringType()),
+    ]
+)
+
+
+def synthesize_tar_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of ustar archives written by
+    the STDLIB ``tarfile`` producer (``functions/zipscan.py``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.zipscan import synth_tar
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_.values,
+                    "payload": [synth_tar(int(i)) for i in ids_],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
+def extract_tar_structure(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """ustar header-walk triage per payload
+    (:func:`..functions.zipscan.scan_tar`): octal fields, checksum
+    verification, 512-aligned skips, end-of-archive marker."""
+
+    def loader():
+        from ..functions.zipscan import scan_tar
+
+        def parse(payload: bytes) -> dict:
+            out = scan_tar(payload)
+            out.pop("members")
+            return out
+
+        return parse
+
+    return _extract_metadata(media, TAR_SCHEMA, loader, permissive)
+
+
 def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of valid H.264 Annex B byte
     streams (``functions/h264.py``): SPS (with real exp-Golomb

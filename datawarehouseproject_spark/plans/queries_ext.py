@@ -3471,3 +3471,46 @@ def q_zip_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_zip_media(_t(spark, sf_dir, "documents"))
     return extract_zip_structure(media)
+
+
+@register(
+    "tar_archive_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 4 AS nm FROM documents),
+    mem AS (
+      SELECT media_id, nm, i,
+             'd' || CAST(media_id % 7 AS VARCHAR) || '/m'
+               || CAST(i AS VARCHAR) || '.bin' AS name,
+             CAST(5 + (media_id * 7 + i * 3) % 120 AS BIGINT) AS sz
+      FROM m, unnest(generate_series(0, nm - 1)) AS t(i))
+    SELECT media_id,
+           CAST(max(nm) AS INTEGER) AS n_members,
+           CAST(sum(sz) AS BIGINT) AS total_bytes,
+           CAST(1 AS INTEGER) AS n_dirs_refd,
+           array_to_string(list_sort(list(name)), ',') AS member_names
+    FROM mem
+    GROUP BY media_id
+    """,
+    tags=("sources", "archive", "tar", "mapInPandas", "triage"),
+)
+def q_tar_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ustar (tar) structure scan, value-checked — the
+    sequential-archive companion to `zip_archive_scan` (tar has no
+    central directory, so triage IS the 512-byte header walk):
+    synthesize one archive per document with the STDLIB ``tarfile``
+    writer (an independent producer again) and parse by hand inside
+    Arrow-batched mapInPandas: NUL-terminated names, octal size
+    fields, per-header CHECKSUM verification with the checksum field
+    blanked to spaces (the format's integrity feature — a single
+    corrupted header byte fails loudly), 512-aligned content skips,
+    and the NUL-block end-of-archive marker. Member plans are
+    modular formulas the oracle recomputes."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_tar_structure,
+        synthesize_tar_media,
+    )
+
+    media = synthesize_tar_media(_t(spark, sf_dir, "documents"))
+    return extract_tar_structure(media)

@@ -90,3 +90,38 @@ def test_spark_permissive_quarantine(spark):
     }
     assert out[42]["decode_error"] is not None
     assert out[1]["n_members"] == len(synth_zip_members(1))
+
+
+def test_tar_scan_matches_plan_and_stdlib():
+    import tarfile
+
+    from datawarehouseproject_spark.functions.zipscan import (
+        scan_tar,
+        synth_tar,
+        synth_tar_members,
+    )
+
+    for seed in range(25):
+        payload = synth_tar(seed)
+        got = scan_tar(payload)
+        plan = synth_tar_members(seed)
+        assert got["n_members"] == len(plan)
+        assert got["total_bytes"] == sum(len(m["content"]) for m in plan)
+        with tarfile.open(fileobj=io.BytesIO(payload)) as tf:
+            assert sorted(i.name for i in tf) == sorted(
+                m["name"] for m in plan
+            )
+
+
+def test_tar_checksum_and_truncation_raise():
+    from datawarehouseproject_spark.functions.zipscan import scan_tar, synth_tar
+
+    good = synth_tar(5)
+    bad = bytearray(good)
+    bad[0] = bad[0] ^ 0x01  # flip a name byte: checksum must catch it
+    with pytest.raises(ValueError, match="checksum"):
+        scan_tar(bytes(bad))
+    with pytest.raises(ValueError, match="end-of-archive"):
+        scan_tar(good[:512])  # header but no terminator
+    with pytest.raises(ValueError, match="empty tar"):
+        scan_tar(b"\x00" * 1024)
