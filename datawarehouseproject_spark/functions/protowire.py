@@ -109,12 +109,16 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         out |= (b & 0x7F) << shift
         if not b & 0x80:
-            if out > 0x7FFFFFFFFFFFFFFF:
-                # ten-byte varints can carry up to 70 bits; values past
-                # the signed-64 range would escape the ValueError
-                # quarantine and blow up downstream in the Arrow
-                # LongType conversion instead (review r7)
-                raise ValueError("varint exceeds signed 64-bit range")
+            # standard decoders truncate to 64 bits and reinterpret
+            # as two's complement: conforming encoders emit negative
+            # plain-varint ints as 10-byte values in [2^63, 2^64)
+            # (int64 -1 -> 0xFF..FF), which must DECODE, not
+            # quarantine — and the raw >64-bit value must never
+            # escape into the Arrow LongType conversion (review r7,
+            # both passes)
+            out &= (1 << 64) - 1
+            if out >= 1 << 63:
+                out -= 1 << 64
             return out, pos
         shift += 7
         if shift > 63:
@@ -127,6 +131,8 @@ def _walk(data: bytes):
     pos = 0
     while pos < len(data):
         key, pos = _read_varint(data, pos)
+        if key < 0:
+            raise ValueError("negative field key")
         field, wire = key >> 3, key & 7
         if wire == 0:
             v, pos = _read_varint(data, pos)
@@ -142,6 +148,8 @@ def _walk(data: bytes):
             pos += 4
         elif wire == 2:
             ln, pos = _read_varint(data, pos)
+            if ln < 0:
+                raise ValueError("negative length-delimited size")
             if pos + ln > len(data):
                 raise ValueError("truncated length-delimited field")
             v = data[pos : pos + ln]

@@ -93,6 +93,12 @@ def scan_zip(payload: bytes) -> dict:
     pos = cd_off
     members = []
     for _ in range(n_total):
+        if pos + 46 > idx:
+            # a corrupt name/extra length can jump pos toward a stray
+            # 'PK\\x01\\x02' in the comment with < 46 bytes left; the
+            # unpack would then raise struct.error and ESCAPE the
+            # ValueError quarantine (review r7 pass 2)
+            raise ValueError(f"central header at {pos} runs past EOCD")
         if payload[pos : pos + 4] != _CDH_SIG:
             raise ValueError(f"bad central header signature at {pos}")
         (
@@ -205,6 +211,11 @@ def scan_tar(payload: bytes) -> dict:
         if not name:
             raise ValueError(f"empty member name at offset {pos}")
         size = _tar_octal(hdr[124:136])
+        if size < 0:
+            # a crafted negative octal size makes the advance zero or
+            # negative — an infinite loop no quarantine could catch
+            # (review r7 pass 2)
+            raise ValueError(f"negative tar member size for {name!r}")
         stored_ck = _tar_octal(hdr[148:156])
         blanked = hdr[:148] + b" " * 8 + hdr[156:]
         if sum(blanked) != stored_ck:

@@ -530,13 +530,13 @@ def _pq_assign(expl: DataFrame, centroids: DataFrame):
     return best, mind
 
 
-def _pq_seed_map(emb: DataFrame, k: int, id_col: str) -> DataFrame:
-    """(vid, c) seed assignment from the k SMALLEST ids (rank-based,
-    not ``id < k``: sparse or 1-based id spaces would silently yield
-    an empty codebook — review r7); k ids collect to the driver,
-    always tiny."""
+def _pq_seed_ids(emb: DataFrame, k: int, id_col: str) -> list[int]:
+    """The k SMALLEST distinct ids (rank-based, not ``id < k``:
+    sparse or 1-based id spaces would silently yield an empty
+    codebook — review r7); k ids collect to the driver, always
+    tiny. Raises if fewer than k exist."""
     seed_ids = [
-        r[0]
+        int(r[0])
         for r in emb.select(F.col(id_col).alias("vid"))
         .distinct()
         .orderBy("vid")
@@ -547,8 +547,20 @@ def _pq_seed_map(emb: DataFrame, k: int, id_col: str) -> DataFrame:
         raise ValueError(
             f"need at least k={k} distinct vectors to seed, got {len(seed_ids)}"
         )
+    return seed_ids
+
+
+def _pq_seed_map(
+    emb: DataFrame, k: int, id_col: str, seed_ids: list[int] | None = None
+) -> DataFrame:
+    """(vid, c) seed assignment; pass ``seed_ids`` (from
+    :func:`_pq_seed_ids`, possibly over-collected and sliced) to
+    avoid repeating the distinct-sort collect (review r7 pass 2 —
+    ivf_pq_topk paid it twice)."""
+    if seed_ids is None:
+        seed_ids = _pq_seed_ids(emb, k, id_col)
     return emb.sparkSession.createDataFrame(
-        [(int(v), c) for c, v in enumerate(seed_ids)], "vid long, c int"
+        [(v, c) for c, v in enumerate(seed_ids[:k])], "vid long, c int"
     )
 
 
@@ -767,9 +779,17 @@ def ivf_pq_topk(
     are bounded by the probed cells' population (nprobe/nlist of the
     corpus on average); per-candidate cost is m lookups, not d
     multiplications."""
+    if dim % m != 0:
+        # the fine stage calls _pq_lloyd directly, bypassing
+        # _pq_fit's guard — without this a non-divisible m silently
+        # mis-decomposes the subspaces (review r7 pass 2)
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    expl1, coarse_cent, coarse_best, _ = _pq_fit(
-        emb, dim, 1, nlist, coarse_rounds, id_col, vec_col
+    # one seed collect covers both quantizers (review r7 pass 2)
+    seed_ids = _pq_seed_ids(emb, max(nlist, k), id_col)
+    expl1 = _pq_explode(emb, dim, 1, id_col, vec_col).localCheckpoint()
+    coarse_cent, coarse_best, _cm = _pq_lloyd(
+        expl1, _pq_seed_map(emb, nlist, id_col, seed_ids), coarse_rounds
     )
     cells = coarse_best.select("vid", F.col("c").alias("cell"))
     cc = coarse_cent.select(
@@ -788,7 +808,7 @@ def ivf_pq_topk(
         .localCheckpoint()
     )
     fine_cent, fine_codes, _mind = _pq_lloyd(
-        fine_expl, _pq_seed_map(emb, k, id_col), fine_rounds
+        fine_expl, _pq_seed_map(emb, k, id_col, seed_ids), fine_rounds
     )
     # probe: exact integer L2 from the query to every coarse centroid
     qcoords = expl1.filter(F.col("vid") == query_id)

@@ -88,10 +88,20 @@ def test_zigzag_helper_reference_values():
     assert _zigzag(-1000) == 1999
 
 
-def test_varint_beyond_signed64_quarantines():
-    """Ten-byte varints can carry 70 bits; values past signed-64 must
-    raise ValueError (the quarantine contract), not escape and blow
-    up the Arrow LongType conversion later (review r7)."""
-    payload = b"\x08" + b"\xff" * 9 + b"\x7f"
-    with pytest.raises(ValueError, match="signed 64-bit"):
-        parse_record(payload)
+def test_varint_twos_complement_like_standard_decoders():
+    """Conforming encoders emit negative plain-varint ints as
+    10-byte values in [2^63, 2^64): these must DECODE by 64-bit
+    truncation + two's complement (review r7, both passes — the
+    first fix quarantined them; real int64 -1 is 0xFF..FF). The
+    decoded value also fits Arrow's LongType, so nothing escapes
+    the quarantine either."""
+    # canonical protobuf encoding of int64 -1 in field 1
+    payload = b"\x08" + b"\xff" * 9 + b"\x01"
+    assert parse_record(payload)["event_count"] == -1
+    # 70 low bits all set truncates to 2^64-1 -> -1 as well
+    payload2 = b"\x08" + b"\xff" * 9 + b"\x7f"
+    assert parse_record(payload2)["event_count"] == -1
+    # a negative LENGTH is structural corruption and must still raise
+    neg_len = b"\x22" + b"\xff" * 9 + b"\x01" + b"abc"
+    with pytest.raises(ValueError, match="negative length"):
+        parse_record(neg_len)

@@ -125,3 +125,40 @@ def test_tar_checksum_and_truncation_raise():
         scan_tar(good[:512])  # header but no terminator
     with pytest.raises(ValueError, match="empty tar"):
         scan_tar(b"\x00" * 1024)
+
+
+def test_tar_negative_size_raises_not_hangs():
+    """A crafted negative octal size field used to zero the loop
+    advance — an infinite loop no quarantine could catch (review r7
+    pass 2)."""
+    from datawarehouseproject_spark.functions.zipscan import scan_tar
+
+    hdr = bytearray(512)
+    hdr[0:5] = b"a.bin"
+    hdr[124:136] = b"-0001000\x00\x00\x00\x00"
+    hdr[156:157] = b"0"
+    hdr[148:156] = b" " * 8
+    ck = sum(hdr)
+    hdr[148:156] = (oct(ck)[2:].zfill(6) + "\x00 ").encode()
+    with pytest.raises(ValueError, match="negative tar member size"):
+        scan_tar(bytes(hdr) + b"\x00" * 1024)
+
+
+def test_zip_stray_signature_in_comment_quarantines():
+    """A 'PK\\x01\\x02' planted in the archive comment with an
+    inflated entry count must raise ValueError (not struct.error,
+    which would escape the permissive quarantine — review r7
+    pass 2)."""
+    import zipfile as _zf
+
+    from datawarehouseproject_spark.functions.zipscan import scan_zip
+
+    buf = io.BytesIO()
+    with _zf.ZipFile(buf, "w") as zf:
+        zf.comment = b"PK\x01\x02 lurking"
+        zf.writestr("a.txt", b"hello")
+    payload = bytearray(buf.getvalue())
+    j = payload.rfind(b"PK\x05\x06")
+    payload[j + 10] = 2  # claim two entries; the walk must bound pos
+    with pytest.raises(ValueError):
+        scan_zip(bytes(payload))
