@@ -722,7 +722,7 @@ def bpe_apply(
 
         return _merge_step
 
-    for a, b in merges:
+    for i, (a, b) in enumerate(merges):
         _merge_step = _merge_step_for(a, b)
         syms = syms.select(
             "w",
@@ -731,4 +731,11 @@ def bpe_apply(
                 "tokens", F.array().cast("array<string>"), _merge_step
             ).alias("tokens"),
         )
+        # truncate the expression tree every few rules: each fold
+        # nests a higher-order lambda inside the previous one, and
+        # Catalyst's analysis of the 16-deep nesting costs ~16s at
+        # ANY data size (measured) while the materialized rows are
+        # vocabulary-sized and cheap
+        if (i + 1) % 4 == 0 and (i + 1) < len(merges):
+            syms = syms.localCheckpoint()
     return syms
