@@ -239,3 +239,106 @@ def scan_tar(payload: bytes) -> dict:
         "member_names": ",".join(sorted(m["name"] for m in members)),
         "members": members,
     }
+
+
+# ---------------------------------------------------------------------------
+# gzip member decode (RFC 1952) — the third archive/compression
+# container, and unlike the ZIP/tar TRIAGE scans this one runs the
+# FULL verified pipeline: header parse (magic, method, flag bits,
+# optional FNAME), raw-DEFLATE decompression via stdlib zlib (the
+# same dependency budget as the PNG decoder), and validation of the
+# CRC32 + ISIZE trailer against the recovered bytes. Synthesis uses
+# the stdlib gzip/zlib producer — independent again.
+# ---------------------------------------------------------------------------
+
+
+def synth_gzip_plan(seed: int) -> dict:
+    """Deterministic member plan, mirrored in the DuckDB oracle:
+    name ``log{seed%20}.txt``, 20 + (seed*11) % 200 content bytes
+    ``(seed*3 + j) % 256``."""
+    n = 20 + (seed * 11) % 200
+    return {
+        "fname": f"log{seed % 20}.txt",
+        "content": bytes((seed * 3 + j) % 256 for j in range(n)),
+    }
+
+
+def synth_gzip(seed: int) -> bytes:
+    """RFC 1952 member written with stdlib zlib primitives: header
+    with FNAME flag, raw deflate body, CRC32 + ISIZE trailer.
+    (Assembled field-by-field rather than via gzip.GzipFile so the
+    FNAME path is always exercised and the mtime is fixed.)"""
+    import zlib as _z
+
+    plan = synth_gzip_plan(seed)
+    co = _z.compressobj(9, _z.DEFLATED, -15)  # raw deflate
+    body = co.compress(plan["content"]) + co.flush()
+    header = (
+        b"\x1f\x8b\x08\x08"  # magic, deflate, FNAME flag
+        + struct.pack("<I", 1_800_000_000)  # fixed mtime
+        + b"\x00\x03"  # XFL, OS=unix
+        + plan["fname"].encode() + b"\x00"
+    )
+    trailer = struct.pack(
+        "<II", _z.crc32(plan["content"]), len(plan["content"]) % (1 << 32)
+    )
+    return header + body + trailer
+
+
+def decode_gzip(payload: bytes) -> dict:
+    """Full verified gzip decode: header walk (all flag-dependent
+    optional fields: FEXTRA, FNAME, FCOMMENT, FHCRC), raw-DEFLATE
+    inflate, and trailer verification — the CRC32 and ISIZE MUST
+    match the recovered bytes (a corrupt stream fails loudly, never
+    returns silently wrong content). Returns ``fname``,
+    ``n_bytes``, ``sum_bytes`` and the content. Raises
+    ``ValueError`` on any malformation."""
+    import zlib as _z
+
+    if payload[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip member (bad magic)")
+    if len(payload) < 18:
+        raise ValueError("truncated gzip member")
+    if payload[2] != 8:
+        raise ValueError(f"unsupported compression method {payload[2]}")
+    flg = payload[3]
+    if flg & 0xE0:
+        raise ValueError("reserved gzip flag bits set")
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        if pos + 2 > len(payload):
+            raise ValueError("truncated FEXTRA length")
+        (xlen,) = struct.unpack_from("<H", payload, pos)
+        pos += 2 + xlen
+    fname = None
+    if flg & 0x08:  # FNAME
+        end = payload.find(b"\x00", pos)
+        if end < 0:
+            raise ValueError("unterminated FNAME")
+        fname = payload[pos:end].decode("latin-1")
+        pos = end + 1
+    if flg & 0x10:  # FCOMMENT
+        end = payload.find(b"\x00", pos)
+        if end < 0:
+            raise ValueError("unterminated FCOMMENT")
+        pos = end + 1
+    if flg & 0x02:  # FHCRC
+        pos += 2
+    if pos >= len(payload) - 8:
+        raise ValueError("no deflate body")
+    d = _z.decompressobj(-15)
+    try:
+        content = d.decompress(payload[pos:-8]) + d.flush()
+    except _z.error as e:
+        raise ValueError(f"deflate error: {e}") from e
+    crc, isize = struct.unpack_from("<II", payload, len(payload) - 8)
+    if _z.crc32(content) != crc:
+        raise ValueError("gzip CRC32 mismatch")
+    if len(content) % (1 << 32) != isize:
+        raise ValueError("gzip ISIZE mismatch")
+    return {
+        "fname": fname,
+        "n_bytes": len(content),
+        "sum_bytes": sum(content),
+        "content": content,
+    }

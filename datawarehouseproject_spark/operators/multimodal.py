@@ -1216,6 +1216,59 @@ def extract_tar_structure(media: DataFrame, permissive: bool = False) -> DataFra
     return _extract_metadata(media, TAR_SCHEMA, loader, permissive)
 
 
+GZIP_SCHEMA = T.StructType(
+    [
+        T.StructField("fname", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sum_bytes", T.LongType()),
+    ]
+)
+
+
+def synthesize_gzip_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of RFC 1952 gzip members
+    (stdlib zlib producer, FNAME flag set, fixed mtime)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.zipscan import synth_gzip
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_.values,
+                    "payload": [synth_gzip(int(i)) for i in ids_],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
+def extract_gzip_content(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """FULL verified gzip decode per payload
+    (:func:`..functions.zipscan.decode_gzip`): header flags, raw
+    DEFLATE inflate, CRC32 + ISIZE trailer verification against the
+    recovered bytes."""
+
+    def loader():
+        from ..functions.zipscan import decode_gzip
+
+        def parse(payload: bytes) -> dict:
+            out = decode_gzip(payload)
+            out.pop("content")
+            return out
+
+        return parse
+
+    return _extract_metadata(media, GZIP_SCHEMA, loader, permissive)
+
+
 def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of valid H.264 Annex B byte
     streams (``functions/h264.py``): SPS (with real exp-Golomb

@@ -3514,3 +3514,46 @@ def q_tar_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_tar_media(_t(spark, sf_dir, "documents"))
     return extract_tar_structure(media)
+
+
+@register(
+    "gzip_member_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             20 + (doc_id * 11) % 200 AS n
+      FROM documents),
+    b AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS j
+      FROM m)
+    SELECT media_id,
+           'log' || CAST(media_id % 20 AS VARCHAR) || '.txt' AS fname,
+           CAST(max(n) AS BIGINT) AS n_bytes,
+           CAST(sum((media_id * 3 + j) % 256) AS BIGINT) AS sum_bytes
+    FROM b
+    GROUP BY media_id
+    """,
+    tags=("sources", "gzip", "deflate", "mapInPandas", "verified-decode"),
+)
+def q_gzip_member_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL verified gzip decode, value-checked — completing the
+    archive trio (`zip_archive_scan` and `tar_archive_scan` are
+    tail/header TRIAGE; gzip files carry exactly one member, so
+    triage IS decode): synthesize one RFC 1952 member per document
+    (FNAME flag, raw-deflate body via the stdlib producer, CRC32 +
+    ISIZE trailer) and run the whole pipeline inside Arrow-batched
+    mapInPandas — header walk with all four optional flag fields,
+    raw-DEFLATE inflate (stdlib zlib, the PNG decoder's dependency
+    budget), and MANDATORY trailer verification: the CRC32 and ISIZE
+    must match the recovered bytes, so a corrupt stream quarantines
+    rather than returning silently wrong content. The oracle
+    recomputes the content length and BYTE SUM from the synthesis
+    formula — wrong inflate output cannot hash-match."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_gzip_content,
+        synthesize_gzip_media,
+    )
+
+    media = synthesize_gzip_media(_t(spark, sf_dir, "documents"))
+    return extract_gzip_content(media)

@@ -162,3 +162,35 @@ def test_zip_stray_signature_in_comment_quarantines():
     payload[j + 10] = 2  # claim two entries; the walk must bound pos
     with pytest.raises(ValueError):
         scan_zip(bytes(payload))
+
+
+def test_gzip_decode_and_trailer_verification():
+    import gzip as _gz
+
+    from datawarehouseproject_spark.functions.zipscan import (
+        decode_gzip,
+        synth_gzip,
+        synth_gzip_plan,
+    )
+
+    for seed in range(25):
+        p = synth_gzip(seed)
+        got = decode_gzip(p)
+        plan = synth_gzip_plan(seed)
+        assert got["fname"] == plan["fname"]
+        assert got["content"] == plan["content"]
+        assert _gz.decompress(p) == plan["content"]  # stdlib agrees
+    good = bytearray(synth_gzip(3))
+    # flip a bit in the stored CRC: decode must refuse
+    good[-6] ^= 0x01
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        decode_gzip(bytes(good))
+    bad_isize = bytearray(synth_gzip(3))
+    bad_isize[-1] ^= 0x01
+    with pytest.raises(ValueError, match="ISIZE mismatch"):
+        decode_gzip(bytes(bad_isize))
+    with pytest.raises(ValueError, match="magic"):
+        decode_gzip(b"\x1f\x8c rest")
+    # stdlib GzipFile output (no FNAME path) also decodes
+    alt = _gz.compress(b"hello world", mtime=0)
+    assert decode_gzip(alt)["content"] == b"hello world"
