@@ -3557,3 +3557,96 @@ def q_gzip_member_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_gzip_media(_t(spark, sf_dir, "documents"))
     return extract_gzip_content(media)
+
+
+@register(
+    "versioned_change_feed",
+    oracle="""
+    WITH v1 AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM events
+      WHERE (event_type = 'purchase' OR event_type = 'error')
+        AND value >= 50
+      GROUP BY 1),
+    v2 AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY 1),
+    cdf AS (
+      SELECT coalesce(v2.day, v1.day) AS day,
+             v1.revenue AS revenue_before,
+             v2.revenue AS revenue_after,
+             CASE WHEN v1.day IS NULL THEN 'insert'
+                  WHEN v2.day IS NULL THEN 'delete'
+                  WHEN v1.revenue <> v2.revenue THEN 'update'
+                  ELSE 'same' END AS change_type
+      FROM v1 FULL OUTER JOIN v2 ON v1.day = v2.day)
+    SELECT day, change_type, revenue_before, revenue_after
+    FROM cdf WHERE change_type <> 'same'
+    """,
+    tags=("lakehouse", "cdf", "versioned-table", "time-travel"),
+)
+def q_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two committed versions of
+    a versioned table — Delta's ``table_changes`` / Iceberg's
+    changelog, the primitive that lets downstream consumers process
+    ONLY what a backfill touched instead of re-reading the snapshot
+    (`time_travel_diff` answers 'what does each version say'; this
+    emits the delta stream a pipeline subscribes to). Scenario: v1
+    is a buggy load (double-counts high-value 'error' retries as
+    revenue and drops purchases under 50); v2 is the corrected full
+    backfill. The feed classifies every changed day as
+    insert / update / delete with before/after values — unchanged
+    days are NOT emitted, which is the entire point of a CDF.
+
+    Engine path: two real commits through the CAS log
+    (``sources/versioned.py``), both snapshots read back BY VERSION
+    NUMBER, one full-outer join on the key. The oracle recomputes
+    both versions from raw events and the same classification. At
+    100 TB the diff cost is bounded by the two snapshots' key
+    cardinality, not the fact table — and a production system would
+    store per-commit row deltas to skip even that (documented
+    trade)."""
+    _utc(spark)
+    from ..sources.versioned import read_version, write_version
+
+    root = _scratch("versioned_cdf")
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,4)")
+    v1 = (
+        ev.filter(
+            ((F.col("event_type") == "purchase") | (F.col("event_type") == "error"))
+            & (F.col("value") >= 50)
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(dec).cast("double").alias("revenue"))
+    )
+    v2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(dec).cast("double").alias("revenue"))
+    )
+    write_version(v1, root)
+    write_version(v2, root)
+    r1 = read_version(spark, root, version=1).select(
+        F.col("day").alias("day1"), F.col("revenue").alias("revenue_before")
+    )
+    r2 = read_version(spark, root, version=2).select(
+        F.col("day").alias("day2"), F.col("revenue").alias("revenue_after")
+    )
+    cdf = r1.join(r2, F.col("day1") == F.col("day2"), "full_outer").select(
+        F.coalesce("day2", "day1").alias("day"),
+        F.when(F.col("day1").isNull(), F.lit("insert"))
+        .when(F.col("day2").isNull(), F.lit("delete"))
+        .when(F.col("revenue_before") != F.col("revenue_after"), F.lit("update"))
+        .otherwise(F.lit("same"))
+        .alias("change_type"),
+        "revenue_before",
+        "revenue_after",
+    )
+    return cdf.filter(F.col("change_type") != "same").select(
+        "day", "change_type", "revenue_before", "revenue_after"
+    )
