@@ -3650,3 +3650,120 @@ def q_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdf.filter(F.col("change_type") != "same").select(
         "day", "change_type", "revenue_before", "revenue_after"
     )
+
+
+@register(
+    "holt_linear_trend",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS v
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT user_id, day, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM daily),
+    rec AS (
+      SELECT user_id, day, v, rn,
+             v * 1000000 AS l, CAST(0 AS BIGINT) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.day, s.v, s.rn,
+             (s.v * 1000000 + 3 * (r.l + r.b)) >> 2,
+             (((s.v * 1000000 + 3 * (r.l + r.b)) >> 2) - r.l + 3 * r.b) >> 2
+      FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+    SELECT user_id, day,
+           CAST(v AS BIGINT) AS n_events,
+           CAST(l AS BIGINT) AS level_micro,
+           CAST(b AS BIGINT) AS trend_micro,
+           CAST(l + b AS BIGINT) AS forecast_next_micro
+    FROM rec
+    """,
+    tags=("time-series", "holt", "trend", "integer-exact", "fold"),
+)
+def q_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over per-user
+    daily activity — `ewma_user_activity`'s big sibling: a LEVEL and
+    a TREND recurrence (alpha = beta = 1/4), so the model forecasts
+    direction, not just a smoothed mean — the standard
+    engagement-trajectory / capacity-forecast primitive. Integer
+    micro-units throughout: l_t = (1e6·v_t + 3·(l+b)) >> 2,
+    b_t = (l_t − l_{t-1} + 3·b) >> 2 — ARITHMETIC right shift is
+    floor division on negatives in BOTH engines (trend goes
+    negative on declining users; a truncating DIV would diverge
+    between engines there, which is exactly why the EWMA's
+    DIV-style formulation can't be reused for signed state).
+
+    Same execution shape as the EWMA: the recurrence depends on
+    previous OUTPUT, so it folds each user's date-sorted series with
+    one JVM-side ``aggregate`` (state = (l, b), bounded by the date
+    range) and explodes back; the oracle replays the exact
+    recurrence as a recursive CTE. Emits the full smoothed stream
+    plus the one-step-ahead forecast l+b per row."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("v")
+    )
+    arr = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("a")
+    )
+    folded = arr.select(
+        "user_id",
+        F.aggregate(
+            "a",
+            F.expr(
+                "CAST(array() AS"
+                " array<struct<day:date,v:bigint,l:bigint,b:bigint>>)"
+            ),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["v"].alias("v"),
+                        F.when(
+                            F.size(acc) == 0, x["v"] * F.lit(1_000_000)
+                        )
+                        .otherwise(
+                            F.shiftright(
+                                x["v"] * F.lit(1_000_000)
+                                + F.lit(3)
+                                * (
+                                    F.element_at(acc, -1)["l"]
+                                    + F.element_at(acc, -1)["b"]
+                                ),
+                                2,
+                            )
+                        )
+                        .alias("l"),
+                        F.when(F.size(acc) == 0, F.lit(0).cast("long"))
+                        .otherwise(
+                            F.shiftright(
+                                F.shiftright(
+                                    x["v"] * F.lit(1_000_000)
+                                    + F.lit(3)
+                                    * (
+                                        F.element_at(acc, -1)["l"]
+                                        + F.element_at(acc, -1)["b"]
+                                    ),
+                                    2,
+                                )
+                                - F.element_at(acc, -1)["l"]
+                                + F.lit(3) * F.element_at(acc, -1)["b"],
+                                2,
+                            )
+                        )
+                        .alias("b"),
+                    )
+                ),
+            ),
+        ).alias("s"),
+    )
+    return folded.select("user_id", F.explode("s").alias("r")).select(
+        "user_id",
+        F.col("r.day").alias("day"),
+        F.col("r.v").cast("bigint").alias("n_events"),
+        F.col("r.l").cast("bigint").alias("level_micro"),
+        F.col("r.b").cast("bigint").alias("trend_micro"),
+        (F.col("r.l") + F.col("r.b")).cast("bigint").alias("forecast_next_micro"),
+    )
