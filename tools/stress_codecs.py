@@ -143,5 +143,72 @@ def main() -> None:
     )
 
 
+def archive_kernels() -> None:
+    """Round-7 archive codecs at REALISTIC sizes (hundreds of
+    multi-KB members per archive, ~MB payloads): ZIP/tar triage
+    should be ~memory-bandwidth-bound (they never touch member
+    data); gzip decode is deflate-bound (stdlib zlib C speed plus
+    our header/trailer framing)."""
+    import io
+    import tarfile
+    import zipfile
+    import zlib
+
+    from datawarehouseproject_spark.functions.zipscan import (
+        decode_gzip,
+        scan_tar,
+        scan_zip,
+    )
+
+    member = bytes((j * 7) % 251 for j in range(4096))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(500):
+            info = zipfile.ZipInfo(f"m{i:04d}.bin", date_time=(2026, 8, 14, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED if i % 2 else zipfile.ZIP_STORED
+            zf.writestr(info, member)
+    big_zip = buf.getvalue()
+    secs, n = _timeit(lambda: scan_zip(big_zip)["n_members"])
+    print(json.dumps({
+        "kernel": "zip_central_dir_scan",
+        "media": f"{len(big_zip)} bytes, {n} members",
+        "members_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for i in range(500):
+            info = tarfile.TarInfo(f"d/m{i:04d}.bin")
+            info.size = len(member)
+            info.mtime = 1_800_000_000
+            tf.addfile(info, io.BytesIO(member))
+    big_tar = buf.getvalue()
+    secs, n = _timeit(lambda: scan_tar(big_tar)["n_members"])
+    print(json.dumps({
+        "kernel": "tar_header_walk",
+        "media": f"{len(big_tar)} bytes, {n} members",
+        "mb_per_s": round(len(big_tar) / secs / 1e6, 1),
+        "sec": round(secs, 4),
+    }))
+
+    raw = bytes((j * 13 + (j >> 5)) % 251 for j in range(4_000_000))
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(raw) + co.flush()
+    gz = (
+        b"\x1f\x8b\x08\x00" + b"\x00" * 4 + b"\x00\x03"
+        + body
+        + __import__("struct").pack("<II", zlib.crc32(raw), len(raw) % (1 << 32))
+    )
+    secs, out = _timeit(lambda: decode_gzip(gz)["n_bytes"])
+    print(json.dumps({
+        "kernel": "gzip_verified_decode",
+        "media": f"{len(gz)} comp bytes -> {out} raw",
+        "mb_per_s_raw": round(out / secs / 1e6, 1),
+        "sec": round(secs, 4),
+    }))
+
+
 if __name__ == "__main__":
     main()
+    archive_kernels()
