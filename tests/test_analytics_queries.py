@@ -640,3 +640,75 @@ def test_daily_metric_correlation_matches_numpy(spark):
         want = float(np.corrcoef(x, y)[0, 1])
         assert abs(r.pearson_r - want) < 1e-9
         assert -1.0 <= r.pearson_r <= 1.0
+
+
+def test_holt_negative_trend_floor_semantics(spark):
+    """A strictly declining series drives the trend state negative;
+    the arithmetic-shift recurrence must floor (match Python's >>)
+    exactly — the signed-state case the EWMA's nonneg DIV can't
+    cover."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, f"2026-01-{d:02d}", 10 - d) for d in range(1, 9)]
+    ev = spark.createDataFrame(rows, "user_id: long, day: string, v: long")
+    # replicate the registry query's fold inline on a prepared frame
+    arr = ev.select(
+        "user_id", F.to_date("day").alias("day"), "v"
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("a")
+    )
+    folded = arr.select(
+        F.aggregate(
+            "a",
+            F.expr(
+                "CAST(array() AS array<struct<day:date,v:bigint,l:bigint,b:bigint>>)"
+            ),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["v"].alias("v"),
+                        F.when(F.size(acc) == 0, x["v"] * F.lit(1_000_000))
+                        .otherwise(
+                            F.shiftright(
+                                x["v"] * F.lit(1_000_000)
+                                + F.lit(3)
+                                * (F.element_at(acc, -1)["l"] + F.element_at(acc, -1)["b"]),
+                                2,
+                            )
+                        )
+                        .alias("l"),
+                        F.when(F.size(acc) == 0, F.lit(0).cast("long"))
+                        .otherwise(
+                            F.shiftright(
+                                F.shiftright(
+                                    x["v"] * F.lit(1_000_000)
+                                    + F.lit(3)
+                                    * (F.element_at(acc, -1)["l"] + F.element_at(acc, -1)["b"]),
+                                    2,
+                                )
+                                - F.element_at(acc, -1)["l"]
+                                + F.lit(3) * F.element_at(acc, -1)["b"],
+                                2,
+                            )
+                        )
+                        .alias("b"),
+                    )
+                ),
+            ),
+        ).alias("s")
+    )
+    out = folded.select(F.explode("s").alias("r")).select("r.v", "r.l", "r.b").collect()
+    # independent Python replay with >> (floor) semantics
+    l = b = None
+    for row in out:
+        v = row["v"]
+        if l is None:
+            el, eb = v * 1_000_000, 0
+        else:
+            el = (v * 1_000_000 + 3 * (l + b)) >> 2
+            eb = (el - l + 3 * b) >> 2
+        assert (row["l"], row["b"]) == (el, eb), (v, row, el, eb)
+        l, b = el, eb
+    assert out[-1]["b"] < 0  # trend really went negative
