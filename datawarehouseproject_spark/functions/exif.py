@@ -173,12 +173,16 @@ def _ascii(v: tuple | None) -> str | None:
 def _short(v: tuple | None, endian: str) -> int | None:
     if v is None:
         return None
+    if len(v[2]) < 2:  # count=0 SHORT entries would raise struct.error
+        raise ValueError("SHORT value shorter than 2 bytes")
     return struct.unpack_from(endian + "H", v[2], 0)[0]
 
 
 def _rational(v: tuple | None, endian: str) -> tuple[int, int] | None:
     if v is None:
         return None
+    if len(v[2]) < 8:
+        raise ValueError("RATIONAL value shorter than 8 bytes")
     return struct.unpack_from(endian + "II", v[2], 0)
 
 
@@ -222,9 +226,10 @@ def parse_exif(payload: bytes) -> dict:
     ifd0 = _read_ifd(tiff, endian, ifd0_off)
     sub: dict[int, tuple] = {}
     if TAG_EXIF_IFD in ifd0:
-        (sub_off,) = struct.unpack_from(
-            endian + "I", ifd0[TAG_EXIF_IFD][2], 0
-        )
+        ptr = ifd0[TAG_EXIF_IFD][2]
+        if len(ptr) < 4:  # malformed count=0 LONG; keep ValueError contract
+            raise ValueError("Exif sub-IFD pointer shorter than 4 bytes")
+        (sub_off,) = struct.unpack_from(endian + "I", ptr, 0)
         sub = _read_ifd(tiff, endian, sub_off)
     xres = _rational(ifd0.get(TAG_XRES), endian)
     expo = _rational(sub.get(TAG_EXPOSURE), endian)

@@ -179,7 +179,11 @@ def parse_record(payload: bytes) -> dict:
         if field == 1 and wire == 0:
             out["event_count"] = v
         elif field == 2 and wire == 0:
-            out["balance"] = _unzigzag(v)
+            # zigzag decode operates on the raw UNSIGNED 64-bit
+            # encoding; _read_varint reinterprets >=2^63 as negative
+            # int64, so re-mask before unzigzag (sint64 magnitudes
+            # >= 2^62 decode wrong otherwise).
+            out["balance"] = _unzigzag(v & ((1 << 64) - 1))
         elif field == 3 and wire == 5:
             out["checksum"] = v
         elif field == 4 and wire == 2:

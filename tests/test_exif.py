@@ -102,3 +102,41 @@ def test_spark_permissive_quarantine(spark):
     assert out[77]["decode_error"] is not None and out[77]["make"] is None
     assert out[4]["decode_error"] is None
     assert out[4]["make"] == synth_exif_fields(4)["make"]
+
+
+def test_count_zero_short_entry_raises_valueerror_not_struct_error():
+    """ADVICE r7: a count=0 SHORT entry (empty raw value) used to
+    raise struct.error from _short, escaping the permissive
+    quarantine's `except ValueError`. It must raise ValueError."""
+    payload = bytearray(synth_jpeg_with_exif(2))  # II
+    tiff0 = 2 + 2 + 2 + 6  # SOI + APP1 marker + len + Exif\0\0
+    # Walk IFD0 entries (offset 8 in TIFF space) to the Orientation
+    # tag and zero its count field.
+    (n,) = struct.unpack_from("<H", payload, tiff0 + 8)
+    patched = False
+    for i in range(n):
+        base = tiff0 + 8 + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", payload, base)
+        if tag == 0x0112:  # Orientation, SHORT
+            payload[base + 4 : base + 8] = struct.pack("<I", 0)
+            patched = True
+    assert patched
+    with pytest.raises(ValueError, match="SHORT value"):
+        parse_exif(bytes(payload))
+
+
+def test_count_zero_subifd_pointer_raises_valueerror():
+    """Same defect class on the Exif sub-IFD LONG pointer."""
+    payload = bytearray(synth_jpeg_with_exif(2))
+    tiff0 = 2 + 2 + 2 + 6
+    (n,) = struct.unpack_from("<H", payload, tiff0 + 8)
+    patched = False
+    for i in range(n):
+        base = tiff0 + 8 + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", payload, base)
+        if tag == 0x8769:  # Exif sub-IFD pointer
+            payload[base + 4 : base + 8] = struct.pack("<I", 0)
+            patched = True
+    assert patched
+    with pytest.raises(ValueError, match="sub-IFD pointer"):
+        parse_exif(bytes(payload))

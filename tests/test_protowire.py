@@ -105,3 +105,13 @@ def test_varint_twos_complement_like_standard_decoders():
     neg_len = b"\x22" + b"\xff" * 9 + b"\x01" + b"abc"
     with pytest.raises(ValueError, match="negative length"):
         parse_record(neg_len)
+
+
+def test_sint_large_magnitude_remasked_before_unzigzag():
+    """ADVICE r7: sint64 magnitudes >= 2^62 zigzag-encode to values
+    >= 2^63, which _read_varint reinterprets as negative int64; the
+    decode must re-mask to unsigned before unzigzag. -2^63 decoded
+    to 0 before the fix."""
+    for want in (-(2**63), 2**63 - 1, -(2**62) - 5, 2**62 + 7):
+        enc = _varint(_zigzag(want))
+        assert parse_record(b"\x10" + enc)["balance"] == want
