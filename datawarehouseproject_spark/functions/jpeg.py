@@ -21,8 +21,16 @@ rest, per payload):
 - restart intervals (DRI + RSTn markers, byte-aligned, DC predictor
   reset, modulo-8 sequence checked) — the error-resilience feature
   camera encoders emit by default;
-- 8-bit quantization tables; no progressive, no arithmetic coding.
-  APPn/COM segments are skipped.
+- PROGRESSIVE mode (SOF2, ITU T.81 Annex G): multi-scan decode with
+  spectral selection (per-band AC scans, non-interleaved) and
+  successive approximation (point-transformed first scans + DC/AC
+  refinement scans with EOB-run and correction-bit semantics) — the
+  profile a large share of web-delivered JPEGs use. The progressive
+  ENCODER emits a libjpeg-style 10-scan script but always codes
+  end-of-band as EOB0, so the Annex K tables need no EOBn symbols;
+  the DECODER handles general EOBn runs;
+- 8-bit quantization tables; no arithmetic coding, no hierarchical
+  or lossless modes. APPn/COM segments are skipped.
 
 Exactness contract for the oracle-checked query: JPEG is lossy, so
 the registry query synthesizes images whose 8×8 blocks are CONSTANT
@@ -314,19 +322,12 @@ def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    gray: bool = False,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an RGB (h, w, 3) or grayscale (h, w) uint8 array as a
-    baseline sequential JFIF (Annex K huffman tables, DC quant step
-    1). ``subsampling`` is "444", "422" or "420" (luma 1×1 / 2×1 /
-    2×2, chroma always 1×1 — the standard profiles); chroma planes
-    are box-averaged down. ``restart_interval`` > 0 emits a DRI
-    segment and an RSTn marker (byte-aligned, DC predictors reset)
-    every that-many MCUs."""
+def _frame_setup(pixels: np.ndarray, gray: bool, subsampling: str):
+    """Shared encoder front half: color transform, sampling plan,
+    MCU geometry, and the per-component QUANTIZED zigzag block grids
+    (downsample by box average, pad to full MCU coverage, vectorized
+    DCT + quantize). Returns (h, w, n_comp, samp, qtabs, hmax, vmax,
+    mcx, mcy, qgrids) where qgrids[ci] is (rows, cols, 64)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if subsampling not in _SUBSAMPLING:
         raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
@@ -354,40 +355,6 @@ def encode_jpeg(
     hmax, vmax = lh, lv
     mcx = -(-w // (8 * hmax))
     mcy = -(-h // (8 * vmax))
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += _marker(
-        0xFFE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    )
-    for tid, q in enumerate(qtabs):
-        # DQT is serialized in ZIGZAG order per the spec; the decoder
-        # multiplies zigzag-order coefficients by these bytes directly
-        out += _marker(
-            0xFFDB, bytes([tid]) + bytes(int(x) for x in q[ZIGZAG])
-        )
-    sof = struct.pack(">BHHB", 8, h, w, n_comp)
-    for ci in range(n_comp):
-        hi, vi = samp[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
-    out += _marker(0xFFC0, sof)
-    specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)]
-    if n_comp == 3:
-        specs += [(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)]
-    for tc_th, spec in specs:
-        out += _marker(0xFFC4, _dht_payload(tc_th, spec))
-    if restart_interval:
-        out += _marker(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([n_comp])
-    for ci in range(n_comp):
-        tid = min(ci, 1)
-        sos += bytes([ci + 1, (tid << 4) | tid])
-    sos += bytes([0, 63, 0])
-    out += _marker(0xFFDA, sos)
-
-    # Per component: downsample (box average over the sampling
-    # ratio), pad to full MCU coverage, quantize every block up
-    # front (vectorized), and keep the block GRID so the MCU walk
-    # can index (row, col) blocks in interleave order.
     qgrids = []  # (rows_of_blocks, cols_of_blocks, 64) zigzag
     for ci, plane in enumerate(planes):
         hi, vi = samp[ci]
@@ -406,6 +373,68 @@ def encode_jpeg(
         q = qtabs[min(ci, 1)].reshape(8, 8).astype(np.float64)
         qz = np.round(_dct2(blocks - 128.0) / q).astype(np.int64)
         qgrids.append(qz.reshape(gh, gw, 64)[:, :, ZIGZAG])
+    return h, w, n_comp, samp, qtabs, hmax, vmax, mcx, mcy, qgrids
+
+
+def _encode_headers(
+    h: int,
+    w: int,
+    n_comp: int,
+    samp,
+    qtabs,
+    restart_interval: int,
+    sof_tag: int,
+) -> bytearray:
+    """SOI..DRI headers shared by the baseline (SOF0) and progressive
+    (SOF2) encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _marker(
+        0xFFE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    for tid, q in enumerate(qtabs):
+        # DQT is serialized in ZIGZAG order per the spec; the decoder
+        # multiplies zigzag-order coefficients by these bytes directly
+        out += _marker(
+            0xFFDB, bytes([tid]) + bytes(int(x) for x in q[ZIGZAG])
+        )
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
+    out += _marker(sof_tag, sof)
+    specs = [(0x00, _DC_LUMA_SPEC), (0x10, _AC_LUMA_SPEC)]
+    if n_comp == 3:
+        specs += [(0x01, _DC_CHROMA_SPEC), (0x11, _AC_CHROMA_SPEC)]
+    for tc_th, spec in specs:
+        out += _marker(0xFFC4, _dht_payload(tc_th, spec))
+    if restart_interval:
+        out += _marker(0xFFDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    gray: bool = False,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an RGB (h, w, 3) or grayscale (h, w) uint8 array as a
+    baseline sequential JFIF (Annex K huffman tables, DC quant step
+    1). ``subsampling`` is "444", "422" or "420" (luma 1×1 / 2×1 /
+    2×2, chroma always 1×1 — the standard profiles); chroma planes
+    are box-averaged down. ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker (byte-aligned, DC predictors reset)
+    every that-many MCUs."""
+    h, w, n_comp, samp, qtabs, hmax, vmax, mcx, mcy, qgrids = _frame_setup(
+        pixels, gray, subsampling
+    )
+    out = _encode_headers(h, w, n_comp, samp, qtabs, restart_interval, 0xFFC0)
+    sos = bytes([n_comp])
+    for ci in range(n_comp):
+        tid = min(ci, 1)
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += _marker(0xFFDA, sos)
     writer = _BitWriter()
     preds = [0] * n_comp
     rst = 0
@@ -427,6 +456,217 @@ def encode_jpeg(
                         )
             since_rst += 1
     out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward ZERO
+    (T.81 G.1.2.2 — unlike the DC point transform, which is an
+    arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _enc_dc_scan(writer, qgrids, comp_list, samp, mcx, mcy, ah, al, ri):
+    """Progressive DC scan: first scan (Ah=0) codes the DC values
+    arithmetic-shifted by Al as huffman-coded diffs; refinement
+    scans (Ah>0) emit one raw bit (bit Al of the DC value) per
+    block. Interleaved MCU walk when the scan has >1 component."""
+    dc_codes = {ci: _ENC_TABLES[("dc", min(ci, 1))] for ci in comp_list}
+    preds = {ci: 0 for ci in comp_list}
+    rst = 0
+    since_rst = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if ri and since_rst == ri:
+                writer.emit_rst(rst)
+                rst = (rst + 1) & 7
+                preds = {ci: 0 for ci in comp_list}
+                since_rst = 0
+            for ci in comp_list:
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(qgrids[ci][my * vi + by, mx * hi + bx, 0])
+                        if ah == 0:
+                            v = dc >> al  # arithmetic shift per spec
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            cat = _category(diff)
+                            code, ln = dc_codes[ci][cat]
+                            writer.write(code, ln)
+                            if cat:
+                                writer.write(_amplitude_bits(diff, cat), cat)
+                        else:
+                            writer.write((dc >> al) & 1, 1)
+            since_rst += 1
+
+
+def _enc_ac_first_block(writer, ac_codes, blk, ss, se, al):
+    """One block of an AC first scan: run/size coding of the point-
+    transformed band; end-of-band always coded as EOB0 (legal — an
+    EOB run of one), so the Annex K tables need no EOBn symbols."""
+    band = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+    last = -1
+    for i, v in enumerate(band):
+        if v:
+            last = i
+    if last < 0:
+        code, ln = ac_codes[0x00]
+        writer.write(code, ln)
+        return
+    run = 0
+    for i in range(last + 1):
+        v = band[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        writer.write(code, ln)
+        writer.write(_amplitude_bits(v, cat), cat)
+        run = 0
+    if last < se - ss:
+        code, ln = ac_codes[0x00]
+        writer.write(code, ln)
+
+
+def _enc_ac_refine_block(writer, ac_codes, blk, ss, se, al):
+    """One block of an AC refinement scan (T.81 G.1.2.3): newly-
+    nonzero coefficients (|v|>>Al == 1) are coded as run/1 symbols
+    plus a sign bit; already-nonzero coefficients contribute one
+    buffered correction bit each, emitted after the next symbol;
+    trailing content folds into EOB0."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob_idx = -1  # index of the LAST newly-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_idx = i
+    run = 0
+    pending: list[int] = []  # correction bits since the last symbol
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        # ZRLs are only needed before the last new coefficient;
+        # beyond it, zeros fold into the final EOB
+        while run > 15 and i <= eob_idx:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            run -= 16
+            for b in pending:
+                writer.write(b, 1)
+            pending = []
+        if t > 1:  # already nonzero: just the next magnitude bit
+            pending.append(t & 1)
+            continue
+        code, ln = ac_codes[(run << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+        for b in pending:
+            writer.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        code, ln = ac_codes[0x00]  # EOB0
+        writer.write(code, ln)
+        for b in pending:
+            writer.write(b, 1)
+
+
+def _enc_ac_scan(writer, grid, rows, cols, ss, se, ah, al, table_id, ri):
+    """Progressive AC scan over one component's TRUE (unpadded)
+    block grid, non-interleaved per spec."""
+    ac_codes = _ENC_TABLES[("ac", table_id)]
+    rst = 0
+    since_rst = 0
+    for row in range(rows):
+        for col in range(cols):
+            if ri and since_rst == ri:
+                writer.emit_rst(rst)
+                rst = (rst + 1) & 7
+                since_rst = 0
+            blk = grid[row, col]
+            if ah == 0:
+                _enc_ac_first_block(writer, ac_codes, blk, ss, se, al)
+            else:
+                _enc_ac_refine_block(writer, ac_codes, blk, ss, se, al)
+            since_rst += 1
+
+
+#: libjpeg-style default progressive scan scripts: DC of every
+#: component at Al=1, luma AC split into a low band (1-5) and the
+#: rest, chroma AC whole-band, then successive-approximation
+#: refinements down to Al=0. (comp_list, Ss, Se, Ah, Al) per scan.
+_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([1], 1, 63, 0, 1),
+    ([2], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    gray: bool = False,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode as a PROGRESSIVE JPEG (SOF2, T.81 Annex G): the same
+    quantized coefficients as :func:`encode_jpeg`, delivered across
+    a libjpeg-style 10-scan (6 for grayscale) script with spectral
+    selection and successive approximation. End-of-band is always
+    coded EOB0 so the Annex K tables suffice (the decoder handles
+    general EOBn). ``restart_interval`` applies per scan: every
+    ``ri`` MCUs in DC scans, every ``ri`` BLOCKS in the
+    non-interleaved AC scans, as the spec defines."""
+    h, w, n_comp, samp, qtabs, hmax, vmax, mcx, mcy, qgrids = _frame_setup(
+        pixels, gray, subsampling
+    )
+    out = _encode_headers(h, w, n_comp, samp, qtabs, restart_interval, 0xFFC2)
+    script = _PROG_SCRIPT_COLOR if n_comp == 3 else _PROG_SCRIPT_GRAY
+    for comp_list, ss, se, ah, al in script:
+        sos = bytes([len(comp_list)])
+        for ci in comp_list:
+            tid = min(ci, 1)
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _marker(0xFFDA, sos)
+        writer = _BitWriter()
+        if ss == 0:
+            _enc_dc_scan(
+                writer, qgrids, comp_list, samp, mcx, mcy, ah, al,
+                restart_interval,
+            )
+        else:
+            ci = comp_list[0]
+            hi, vi = samp[ci]
+            rows, cols, _stride = _comp_block_dims(
+                h, w, hi, vi, hmax, vmax, mcx
+            )
+            _enc_ac_scan(
+                writer, qgrids[ci], rows, cols, ss, se, ah, al,
+                min(ci, 1), restart_interval,
+            )
+        out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -511,111 +751,31 @@ def _extend(bits: int, cat: int) -> int:
     return bits
 
 
-def _parse_segments(payload: bytes):
-    """Walk marker segments up to SOS; returns (state dict, offset of
-    entropy-coded data)."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (missing SOI)")
-    pos = 2
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None
-    scan = None
-    restart_interval = 0
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError("bad JPEG marker alignment")
-        tag = payload[pos + 1]
-        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
-        body = payload[pos + 4 : pos + 2 + seglen]
-        if tag == 0xDB:  # DQT
-            bp = 0
-            while bp < len(body):
-                pq_tq = body[bp]
-                if pq_tq >> 4 != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                qt[pq_tq & 0xF] = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=bp + 1
-                ).astype(np.int64)
-                bp += 65
-        elif tag == 0xC4:  # DHT
-            bp = 0
-            while bp < len(body):
-                tc_th = body[bp]
-                bits = list(body[bp + 1 : bp + 17])
-                nv = sum(bits)
-                vals = list(body[bp + 17 : bp + 17 + nv])
-                huff[(tc_th >> 4, tc_th & 0xF)] = _build_decode_table(
-                    (bits, vals)
-                )
-                bp += 17 + nv
-        elif tag == 0xC0:  # SOF0 baseline
-            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise ValueError("only 8-bit JPEG supported")
-            comps = []
-            for ci in range(nc):
-                cid, sampling, tq = body[6 + ci * 3 : 9 + ci * 3]
-                hi, vi = sampling >> 4, sampling & 0xF
-                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
-                    raise ValueError(
-                        f"sampling factors {hi}x{vi} out of range"
-                    )
-                comps.append((cid, hi, vi, tq))
-            frame = (h, w, comps)
-        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                     0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0) supported")
-        elif tag == 0xDD:  # DRI
-            (ri,) = struct.unpack_from(">H", body, 0)
-            restart_interval = ri
-        elif tag == 0xDA:  # SOS
-            nc = body[0]
-            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(nc)]
-            return {
-                "qt": qt,
-                "huff": huff,
-                "frame": frame,
-                "scan": scan,
-                "ri": restart_interval,
-            }, pos + 2 + seglen
-        # APPn / COM / anything else: skip
-        pos += 2 + seglen
-    raise ValueError("no SOS marker found")
+def _next_marker(data: bytes, pos: int) -> int:
+    """Scan forward from ``pos`` to the next real marker (0xFF
+    followed by a non-0x00, non-fill byte) after an entropy-coded
+    segment ends."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            while pos + 1 < n and data[pos + 1] == 0xFF:  # fill bytes
+                pos += 1
+            return pos
+        pos += 1
+    raise ValueError("unterminated entropy-coded segment")
 
 
-def _mcu_geometry(h: int, w: int, comps):
-    """(hmax, vmax, mcx, mcy) for the interleaved-MCU grid."""
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for _cid, hi, vi, _tq in comps:
-        if hmax % hi or vmax % vi:
-            raise ValueError(
-                f"non-integer sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
-            )
-    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
-
-
-def decode_jpeg_coefficients(payload: bytes):
-    """Entropy-decode to QUANTIZED coefficient blocks — the lossless
-    half of JPEG, exposed for bit-exact round-trip tests: whatever
-    integers the encoder wrote must come back identically. Handles
-    arbitrary 1/2/4 sampling factors (the interleaved-MCU walk:
-    hi×vi blocks per component per MCU, raster within the MCU) and
-    restart intervals (byte-aligned RSTn + DC predictor reset every
-    ``ri`` MCUs). Returns (height, width, [per-component
-    (n_blocks, 64) zigzag-order arrays in block-grid raster order],
-    state). All malformed-payload failures surface as ``ValueError``
-    (the permissive-mode quarantine contract), never
-    ``struct.error``/``IndexError``."""
-    try:
-        state, pos = _parse_segments(payload)
-    except (struct.error, IndexError) as e:
-        raise ValueError(f"malformed JPEG segment structure: {e}") from e
-    frame = state["frame"]
-    if frame is None:
-        raise ValueError("missing SOF0 frame header")
-    h, w, comps = frame
+def _parse_sof(body: bytes, progressive: bool):
+    prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+    if prec != 8:
+        raise ValueError("only 8-bit JPEG supported")
+    comps = []
+    for ci in range(nc):
+        cid, sampling, tq = body[6 + ci * 3 : 9 + ci * 3]
+        hi, vi = sampling >> 4, sampling & 0xF
+        if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+            raise ValueError(f"sampling factors {hi}x{vi} out of range")
+        comps.append((cid, hi, vi, tq))
     if not (1 <= len(comps) <= 3):
         raise ValueError("1 or 3 components supported")
     if len(comps) == 1 and comps[0][1] * comps[0][2] != 1:
@@ -623,24 +783,51 @@ def decode_jpeg_coefficients(payload: bytes):
         # one data unit, sampling ignored); only 1×1 grayscale is
         # meaningful for this profile
         raise ValueError("grayscale JPEG must use 1x1 sampling")
-    hmax, vmax, mcx, mcy = _mcu_geometry(h, w, comps)
-    reader = _BitReader(payload, pos)
-    # per-component block grid: (mcy*vi) rows × (mcx*hi) cols
-    out = [
-        np.zeros((mcy * vi * mcx * hi, 64), dtype=np.int64)
-        for _cid, hi, vi, _tq in comps
-    ]
-    scan_tabs = {cid: td_ta for cid, td_ta in state["scan"]}
-    tabs = []
-    for cid, _hi, _vi, _tq in comps:
-        td_ta = scan_tabs.get(cid)
-        if td_ta is None:
+    return h, w, comps
+
+
+def _parse_sos(body: bytes):
+    """SOS header -> ([(cid, TdTa)], Ss, Se, Ah, Al). Baseline scans
+    carry Ss=0 Se=63 Ah=Al=0; progressive scans use all four."""
+    nc = body[0]
+    if len(body) < 4 + 2 * nc:
+        raise ValueError("truncated SOS header")
+    comps = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(nc)]
+    ss, se, ahal = body[1 + 2 * nc], body[2 + 2 * nc], body[3 + 2 * nc]
+    return comps, ss, se, ahal >> 4, ahal & 0xF
+
+
+def _scan_tables(state, scan_comps, comps, need_dc, need_ac):
+    """Resolve (comp_index, dc_table, ac_table) per scan component,
+    validating against the frame's component list."""
+    index = {cid: i for i, (cid, _hi, _vi, _tq) in enumerate(comps)}
+    out = []
+    for cid, td_ta in scan_comps:
+        ci = index.get(cid)
+        if ci is None:
             raise ValueError(f"SOS references unknown component id {cid}")
-        dc_tab = state["huff"].get((0, td_ta >> 4))
-        ac_tab = state["huff"].get((1, td_ta & 0xF))
-        if dc_tab is None or ac_tab is None:
+        dc_tab = state["huff"].get((0, td_ta >> 4)) if need_dc else None
+        ac_tab = state["huff"].get((1, td_ta & 0xF)) if need_ac else None
+        if (need_dc and dc_tab is None) or (need_ac and ac_tab is None):
             raise ValueError("missing huffman table for scan")
-        tabs.append((dc_tab, ac_tab))
+        out.append((ci, dc_tab, ac_tab))
+    return out
+
+
+def _decode_baseline_scan(payload, pos, state, coeff):
+    """Decode the single interleaved baseline scan (all components,
+    full 0..63 band); returns the next marker offset."""
+    h, w, comps = state["frame"]
+    hmax, vmax, mcx, mcy = _mcu_geometry(h, w, comps)
+    tabs = {
+        ci: (dc, ac)
+        for ci, dc, ac in _scan_tables(
+            state, state["scan"], comps, need_dc=True, need_ac=True
+        )
+    }
+    if len(tabs) != len(comps):
+        raise ValueError("baseline scan must include every component")
+    reader = _BitReader(payload, pos)
     ri = state.get("ri", 0)
     preds = [0] * len(comps)
     rst = 0
@@ -658,7 +845,7 @@ def decode_jpeg_coefficients(payload: bytes):
                     for bx in range(hi):
                         row = my * vi + by
                         col = mx * hi + bx
-                        blk = out[ci][row * (mcx * hi) + col]
+                        blk = coeff[ci][row * (mcx * hi) + col]
                         cat = _read_symbol(reader, dc_tab)
                         diff = _extend(reader.read_bits(cat), cat)
                         preds[ci] += diff
@@ -678,7 +865,320 @@ def decode_jpeg_coefficients(payload: bytes):
                             blk[k] = _extend(reader.read_bits(cat), cat)
                             k += 1
             since_rst += 1
-    return h, w, out, state
+    return _next_marker(payload, reader.pos)
+
+
+def _ac_first_block(reader, blk, ac_tab, ss, se, al, eobrun):
+    """One block of a progressive AC FIRST scan (Ah=0): T.81 G.1.2.2
+    run/size coding with end-of-band (EOBn) runs and the Al point
+    transform; returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        elif r != 15:
+            eobrun = (1 << r) - 1  # this block counts as one of 2^r
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun
+        else:
+            k += 16  # ZRL
+    return 0
+
+
+def _ac_refine_block(reader, blk, ac_tab, ss, se, al, eobrun):
+    """One block of a progressive AC REFINEMENT scan (Ah=Al+1): T.81
+    G.1.2.3 — newly-nonzero coefficients arrive as ±1 in the Al bit
+    position; already-nonzero coefficients receive one correction
+    bit each as the band is traversed; EOB runs cover all-zero
+    remainders. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(reader, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "refinement scan coefficient size must be 1"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            else:
+                newval = 0  # ZRL: skip 16 zero-history coefficients
+            # advance over r zero-history coefficients, appending one
+            # correction bit to each already-nonzero coefficient passed
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        # the EOB run still owes correction bits for every nonzero
+        # coefficient in the rest of THIS block's band
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(payload, pos, state, coeff, ss, se, ah, al):
+    """Decode one progressive scan (DC or AC band, first or
+    refinement); returns the next marker offset."""
+    h, w, comps = state["frame"]
+    hmax, vmax, mcx, mcy = _mcu_geometry(h, w, comps)
+    scan_comps = state["scan"]
+    reader = _BitReader(payload, pos)
+    ri = state.get("ri", 0)
+    rst = 0
+    since_rst = 0
+    if ss == 0:
+        # DC scan: Se must be 0; interleaved when >1 component
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        tabs = _scan_tables(
+            state, scan_comps, comps, need_dc=(ah == 0), need_ac=False
+        )
+        preds = [0] * len(tabs)
+        if len(tabs) > 1:
+            members = []
+            for si, (ci, dc_tab, _ac) in enumerate(tabs):
+                _cid, hi, vi, _tq = comps[ci]
+                members.append((si, ci, hi, vi, dc_tab))
+            for my in range(mcy):
+                for mx in range(mcx):
+                    if ri and since_rst == ri:
+                        reader.restart(rst)
+                        rst = (rst + 1) & 7
+                        preds = [0] * len(tabs)
+                        since_rst = 0
+                    for si, ci, hi, vi, dc_tab in members:
+                        for by in range(vi):
+                            for bx in range(hi):
+                                row = my * vi + by
+                                col = mx * hi + bx
+                                blk = coeff[ci][row * (mcx * hi) + col]
+                                if ah == 0:
+                                    cat = _read_symbol(reader, dc_tab)
+                                    diff = _extend(
+                                        reader.read_bits(cat), cat
+                                    )
+                                    preds[si] += diff
+                                    blk[0] = preds[si] << al
+                                elif reader.read_bit():
+                                    blk[0] |= 1 << al
+                    since_rst += 1
+            return _next_marker(payload, reader.pos)
+        # single-component DC scan: non-interleaved block walk
+        ci, dc_tab, _ac = tabs[0]
+        _cid, hi, vi, _tq = comps[ci]
+        rows, cols, stride = _comp_block_dims(h, w, hi, vi, hmax, vmax, mcx)
+        for row in range(rows):
+            for col in range(cols):
+                if ri and since_rst == ri:
+                    reader.restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = [0]
+                    since_rst = 0
+                blk = coeff[ci][row * stride + col]
+                if ah == 0:
+                    cat = _read_symbol(reader, dc_tab)
+                    preds[0] += _extend(reader.read_bits(cat), cat)
+                    blk[0] = preds[0] << al
+                elif reader.read_bit():
+                    blk[0] |= 1 << al
+                since_rst += 1
+        return _next_marker(payload, reader.pos)
+    # AC scan: spec requires exactly one component, non-interleaved
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    if not (ss <= se <= 63):
+        raise ValueError("bad spectral band")
+    (ci, _dc, ac_tab), = _scan_tables(
+        state, scan_comps, comps, need_dc=False, need_ac=True
+    )
+    _cid, hi, vi, _tq = comps[ci]
+    rows, cols, stride = _comp_block_dims(h, w, hi, vi, hmax, vmax, mcx)
+    eobrun = 0
+    for row in range(rows):
+        for col in range(cols):
+            if ri and since_rst == ri:
+                reader.restart(rst)
+                rst = (rst + 1) & 7
+                since_rst = 0
+                eobrun = 0
+            blk = coeff[ci][row * stride + col]
+            if ah == 0:
+                eobrun = _ac_first_block(
+                    reader, blk, ac_tab, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine_block(
+                    reader, blk, ac_tab, ss, se, al, eobrun
+                )
+            since_rst += 1
+    return _next_marker(payload, reader.pos)
+
+
+def _comp_block_dims(h, w, hi, vi, hmax, vmax, mcx):
+    """Non-interleaved block dims for one component: the TRUE
+    ceil(sample/8) grid (edge padding blocks exist only in the
+    interleaved storage grid and are never coded non-interleaved),
+    plus the storage row stride."""
+    ch = -(-h * vi // vmax)
+    cw = -(-w * hi // hmax)
+    return -(-ch // 8), -(-cw // 8), mcx * hi
+
+
+def _mcu_geometry(h: int, w: int, comps):
+    """(hmax, vmax, mcx, mcy) for the interleaved-MCU grid."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                f"non-integer sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            )
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def decode_jpeg_coefficients(payload: bytes):
+    """Entropy-decode to QUANTIZED coefficient blocks — the lossless
+    half of JPEG, exposed for bit-exact round-trip tests: whatever
+    integers the encoder wrote must come back identically. Handles
+    arbitrary 1/2/4 sampling factors (the interleaved-MCU walk:
+    hi×vi blocks per component per MCU, raster within the MCU),
+    restart intervals (byte-aligned RSTn + DC predictor reset every
+    ``ri`` MCUs), and PROGRESSIVE (SOF2) multi-scan streams —
+    spectral selection and successive approximation accumulate into
+    the same coefficient grids across scans. Returns (height, width,
+    [per-component (n_blocks, 64) zigzag-order arrays in block-grid
+    raster order], state); ``state["progressive"]`` says which frame
+    type was decoded. All malformed-payload failures surface as
+    ``ValueError`` (the permissive-mode quarantine contract), never
+    ``struct.error``/``IndexError``."""
+    try:
+        return _decode_all_scans(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG segment structure: {e}") from e
+
+
+def _decode_all_scans(payload: bytes):
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    state: dict = {
+        "qt": {},
+        "huff": {},
+        "frame": None,
+        "scan": None,
+        "ri": 0,
+        "progressive": False,
+    }
+    coeff = None
+    n_scans = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        tag = payload[pos + 1]
+        if tag == 0xD9:  # EOI
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated marker segment")
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if tag == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq_tq = body[bp]
+                if pq_tq >> 4 != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                state["qt"][pq_tq & 0xF] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=bp + 1
+                ).astype(np.int64)
+                bp += 65
+        elif tag == 0xC4:  # DHT (may also appear between scans)
+            bp = 0
+            while bp < len(body):
+                tc_th = body[bp]
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nv])
+                state["huff"][(tc_th >> 4, tc_th & 0xF)] = (
+                    _build_decode_table((bits, vals))
+                )
+                bp += 17 + nv
+        elif tag in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if state["frame"] is not None:
+                raise ValueError("multiple SOF markers")
+            state["frame"] = _parse_sof(body, tag == 0xC2)
+            state["progressive"] = tag == 0xC2
+            h, w, comps = state["frame"]
+            hmax, vmax, mcx, mcy = _mcu_geometry(h, w, comps)
+            # per-component block grid: (mcy*vi) rows × (mcx*hi) cols
+            coeff = [
+                np.zeros((mcy * vi * mcx * hi, 64), dtype=np.int64)
+                for _cid, hi, vi, _tq in comps
+            ]
+        elif tag in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) supported"
+            )
+        elif tag == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", body, 0)
+            state["ri"] = ri
+        elif tag == 0xDA:  # SOS
+            if state["frame"] is None:
+                raise ValueError("SOS before SOF frame header")
+            scan_comps, ss, se, ah, al = _parse_sos(body)
+            state["scan"] = scan_comps
+            data_pos = pos + 2 + seglen
+            if state["progressive"]:
+                pos = _decode_progressive_scan(
+                    payload, data_pos, state, coeff, ss, se, ah, al
+                )
+            else:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "baseline scan must cover band 0..63 with no "
+                        "successive approximation"
+                    )
+                pos = _decode_baseline_scan(payload, data_pos, state, coeff)
+            n_scans += 1
+            continue
+        # APPn / COM / anything else: skip
+        pos += 2 + seglen
+    if state["frame"] is None:
+        raise ValueError("missing SOF frame header")
+    if n_scans == 0:
+        raise ValueError("no SOS marker found")
+    h, w, _comps = state["frame"]
+    return h, w, coeff, state
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -789,4 +1289,41 @@ def synth_jpeg420(seed: int) -> bytes:
         synth_jpeg420_pixels(seed, w, h),
         subsampling="420",
         restart_interval=2,
+    )
+
+
+def synth_jpeg_progressive_size(seed: int) -> tuple[int, int]:
+    """22..50 × 14..59, mostly non-multiples of 16 so partial edge
+    MCUs and the padded-vs-true block-grid split (interleaved DC
+    scans cover padding blocks, non-interleaved AC scans don't) are
+    exercised on every run."""
+    return 22 + (seed % 5) * 7, 14 + (seed % 6) * 9
+
+
+def synth_jpeg_progressive_pixels(seed: int, width: int, height: int) -> np.ndarray:
+    """(h, w, 3) uint8 where every 16×16 MACROBLOCK is a constant
+    gray — the progressive exactness construction: constant blocks
+    are DC-only (exact under DC quant step 1), and successive
+    approximation loses nothing because the DC first scan sends
+    DC>>1 and the refinement scan restores bit 0, so
+    ((dc>>1)<<1)|(dc&1) == dc for every (two's-complement) value.
+    All AC coefficients are zero, so every AC scan codes pure
+    end-of-band. Mirrored verbatim in the DuckDB oracle as
+    ``(seed*13 + (x//16)*19 + (y//16)*31) % 256``."""
+    x = np.arange(width, dtype=np.int64)[np.newaxis, :]
+    y = np.arange(height, dtype=np.int64)[:, np.newaxis]
+    v = (seed * 13 + (x // 16) * 19 + (y // 16) * 31) % 256
+    g = v.astype(np.uint8)
+    return np.stack([g, g, g], axis=-1)
+
+
+def synth_jpeg_progressive(seed: int) -> bytes:
+    """Deterministic PROGRESSIVE 4:2:0 test image with restart
+    intervals — the web-delivery profile (SOF2 10-scan script, 2×2
+    luma sampling, RSTn every 3 MCUs/blocks per scan)."""
+    w, h = synth_jpeg_progressive_size(seed)
+    return encode_jpeg_progressive(
+        synth_jpeg_progressive_pixels(seed, w, h),
+        subsampling="420",
+        restart_interval=3,
     )

@@ -477,6 +477,41 @@ def synthesize_jpeg420_media(ids: DataFrame, id_col: str = "doc_id") -> DataFram
     return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
+def synthesize_progressive_jpeg_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of real PROGRESSIVE (SOF2)
+    4:2:0 JPEGs with restart intervals
+    (``functions/jpeg.py:synth_jpeg_progressive``) — the web-delivery
+    profile: a libjpeg-style 10-scan script with spectral selection
+    and successive approximation. Every 16×16 MACROBLOCK is a
+    constant gray from modular arithmetic over the id, so DC
+    successive approximation is lossless (first scan sends DC>>1,
+    the refinement scan restores bit 0) and every AC scan codes pure
+    end-of-band — the decoded pixels equal the synthesis formula
+    EXACTLY and stay value-checkable by the DuckDB oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import synth_jpeg_progressive
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_.values,
+                    "payload": [synth_jpeg_progressive(int(i)) for i in ids_],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
 def extract_image_features(
     media: DataFrame, permissive: bool = False, codec: str = "bmp"
 ) -> DataFrame:

@@ -888,6 +888,63 @@ def q_jpeg_subsampled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_progressive_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             22 + (doc_id % 5) * 7 AS w,
+             14 + (doc_id % 6) * 9 AS h
+      FROM documents),
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m),
+    xy AS (
+      SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      FROM xs),
+    px AS (
+      SELECT media_id, w, h,
+             (media_id * 13 + (x // 16) * 19 + (y // 16) * 31) % 256 AS g
+      FROM xy)
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(g) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(g) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY media_id, w, h
+    """,
+    tags=("multimodal", "mapInPandas", "jpeg", "progressive", "restart"),
+)
+def q_jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode, value-checked (VERDICT r7
+    item 1 — the last major real-photo profile that previously
+    quarantined): synthesize one progressive 4:2:0 JPEG per document
+    — a libjpeg-style 10-scan script (interleaved DC scan at Al=1,
+    per-band non-interleaved AC first scans, AC refinement with
+    correction-bit semantics, DC refinement restoring bit 0, RSTn
+    restart markers in every scan) — and run the full multi-scan
+    decode (spectral-selection accumulation across scans,
+    successive-approximation bit assembly, EOB-run handling) inside
+    Arrow-batched mapInPandas.
+
+    The exactness construction extends the 4:2:0 trick to
+    successive approximation: constant 16×16 macroblocks are
+    DC-only, and ((dc>>1)<<1) | (dc&1) == dc for every two's-
+    complement DC value, so the scan pipeline loses nothing and the
+    oracle recomputes channel sums from the macroblock formula. The
+    refinement machinery on NON-constant data (newly-nonzero
+    insertion, correction bits, EOBn runs) is pinned by bit-exact
+    coefficient equality vs the baseline encoder and by handcrafted
+    EOBn streams in ``tests/test_jpeg.py``."""
+    _utc(spark)
+    from ..operators.multimodal import synthesize_progressive_jpeg_media
+
+    media = synthesize_progressive_jpeg_media(_t(spark, sf_dir, "documents"))
+    return extract_image_features(media, codec="jpeg")
+
+
+@register(
     "jpeg_exif_metadata",
     oracle="""
     SELECT doc_id AS media_id,
