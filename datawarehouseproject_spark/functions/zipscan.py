@@ -28,6 +28,9 @@ import zipfile
 
 _EOCD_SIG = b"PK\x05\x06"
 _CDH_SIG = b"PK\x01\x02"
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
+_LFH_SIG = b"PK\x03\x04"
 
 
 def synth_zip_members(seed: int) -> list[dict]:
@@ -53,7 +56,13 @@ def synth_zip_members(seed: int) -> list[dict]:
 def synth_zip(seed: int) -> bytes:
     """Write the archive with the STDLIB producer (fixed timestamps
     keep bytes deterministic; an archive comment exercises the
-    EOCD backward scan)."""
+    EOCD backward scan). Every 4th seed instead produces a SPARSE
+    ZIP64 archive (:func:`synth_zip64`) — >4 GiB DECLARED member
+    sizes and saturated EOCD fields, without materializing 4 GiB of
+    payload — so the scan query exercises the ZIP64 path on every
+    batch."""
+    if seed % 4 == 0:
+        return synth_zip64(seed)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
         zf.comment = b"corpus-archive-" + str(seed % 100).encode()
@@ -62,6 +71,62 @@ def synth_zip(seed: int) -> bytes:
             info.compress_type = m["method"]
             zf.writestr(info, m["content"])
     return buf.getvalue()
+
+
+def synth_zip64(seed: int) -> bytes:
+    """SPARSE ZIP64 archive: the same member-name plan as
+    :func:`synth_zip_members` but every member STORED with a
+    DECLARED uncompressed size of 4 GiB + the plan size — central
+    headers saturate both size fields to 0xFFFFFFFF and carry the
+    true values in the 0x0001 ZIP64 extra, and the EOCD saturates
+    count/size/offset and redirects through the ZIP64 locator +
+    EOCD64 record (APPNOTE 4.4.1). Member DATA is not written
+    (the central-directory scan never reads it), which is exactly
+    how a >4 GiB fixture must be synthesized without 4 GiB of
+    bytes. The EOCD64/locator byte layout is pinned against the
+    STDLIB producer separately in ``tests/test_zipscan.py`` via a
+    >65535-member ``zipfile`` archive."""
+    members = synth_zip_members(seed)
+    out = bytearray()
+    locals_ = []
+    for m in members:
+        name = m["name"].encode()
+        usize = (1 << 32) + len(m["content"])  # > 4 GiB declared
+        locals_.append((name, usize, len(out)))
+        # local header stub: ZIP64-saturated sizes + 0x0001 extra
+        extra = struct.pack("<HHQQ", 0x0001, 16, usize, usize)
+        out += _LFH_SIG + struct.pack(
+            "<HHHHHIIIHH",
+            45, 0, 0, 0x6E00, 0x5B0E,  # ver_need 4.5, mtime/mdate fixed
+            0, 0xFFFFFFFF, 0xFFFFFFFF,
+            len(name), len(extra),
+        ) + name + extra
+    cd_off = len(out)
+    for name, usize, lofs in locals_:
+        extra = struct.pack("<HHQQ", 0x0001, 16, usize, usize)
+        out += _CDH_SIG + struct.pack(
+            "<HHHHHHIIIHHHHHII",
+            45, 45, 0, 0,  # ver_made, ver_need, flags, method=stored
+            0x6E00, 0x5B0E, 0,  # mtime, mdate, crc
+            0xFFFFFFFF, 0xFFFFFFFF,  # saturated comp/uncomp
+            len(name), len(extra), 0,  # name/extra/comment lens
+            0, 0, 0,  # disk_start, internal attrs, external attrs
+            lofs,
+        ) + name + extra
+    cd_size = len(out) - cd_off
+    eocd64_off = len(out)
+    out += _EOCD64_SIG + struct.pack(
+        "<QHHIIQQQQ",
+        44, 45, 45, 0, 0,
+        len(members), len(members), cd_size, cd_off,
+    )
+    out += _EOCD64_LOC_SIG + struct.pack("<IQI", 0, eocd64_off, 1)
+    comment = b"corpus-archive64-" + str(seed % 100).encode()
+    out += _EOCD_SIG + struct.pack(
+        "<HHHHIIH",
+        0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, len(comment),
+    ) + comment
+    return bytes(out)
 
 
 def scan_zip(payload: bytes) -> dict:
@@ -88,12 +153,47 @@ def scan_zip(payload: bytes) -> dict:
         raise ValueError("EOCD comment past end of payload")
     if n_disk != n_total:
         raise ValueError("multi-disk archives unsupported")
-    if cd_off + cd_size > idx:
+    cd_end_limit = idx
+    if n_total == 0xFFFF or cd_size == 0xFFFFFFFF or cd_off == 0xFFFFFFFF:
+        # ZIP64 (APPNOTE 4.4.1): saturated EOCD fields redirect
+        # through the 20-byte EOCD64 LOCATOR immediately before the
+        # EOCD to the 8-byte-field EOCD64 record. Routine at 100 TB:
+        # >4 GiB archives and >65535-member archives both land here.
+        loc = idx - 20
+        if loc < 0 or payload[loc : loc + 4] != _EOCD64_LOC_SIG:
+            raise ValueError(
+                "saturated EOCD fields without a ZIP64 locator"
+            )
+        loc_disk, eocd64_off, n_disks = struct.unpack_from(
+            "<IQI", payload, loc + 4
+        )
+        if loc_disk != 0 or n_disks != 1:
+            raise ValueError("multi-disk ZIP64 archives unsupported")
+        if eocd64_off + 56 > loc:
+            raise ValueError("ZIP64 EOCD offset past its locator")
+        if payload[eocd64_off : eocd64_off + 4] != _EOCD64_SIG:
+            raise ValueError("bad ZIP64 EOCD signature")
+        (
+            _rec_size,
+            _ver_made64,
+            _ver_need64,
+            disk64,
+            cd_disk64,
+            n_this64,
+            n_total64,
+            cd_size64,
+            cd_off64,
+        ) = struct.unpack_from("<QHHIIQQQQ", payload, eocd64_off + 4)
+        if disk64 != 0 or cd_disk64 != 0 or n_this64 != n_total64:
+            raise ValueError("multi-disk ZIP64 archives unsupported")
+        n_total, cd_size, cd_off = n_total64, cd_size64, cd_off64
+        cd_end_limit = eocd64_off
+    if cd_off + cd_size > cd_end_limit:
         raise ValueError("central directory overlaps EOCD")
     pos = cd_off
     members = []
     for _ in range(n_total):
-        if pos + 46 > idx:
+        if pos + 46 > cd_end_limit:
             # a corrupt name/extra length can jump pos toward a stray
             # 'PK\\x01\\x02' in the comment with < 46 bytes left; the
             # unpack would then raise struct.error and ESCAPE the
@@ -119,6 +219,36 @@ def scan_zip(payload: bytes) -> dict:
         name = payload[name_start : name_start + name_len].decode("utf-8")
         if method not in (0, 8):
             raise ValueError(f"unsupported compression method {method}")
+        if uncomp_size == 0xFFFFFFFF or comp_size == 0xFFFFFFFF:
+            # true sizes live in the 0x0001 ZIP64 extra field, which
+            # carries ONLY the saturated fields, in spec order
+            # (uncompressed then compressed)
+            extra = payload[
+                name_start + name_len : name_start + name_len + extra_len
+            ]
+            z64 = None
+            ep = 0
+            while ep + 4 <= len(extra):
+                eid, esz = struct.unpack_from("<HH", extra, ep)
+                if eid == 0x0001:
+                    z64 = extra[ep + 4 : ep + 4 + esz]
+                    break
+                ep += 4 + esz
+            if z64 is None:
+                raise ValueError(
+                    f"saturated sizes for {name!r} without ZIP64 extra"
+                )
+            zp = 0
+            if uncomp_size == 0xFFFFFFFF:
+                if zp + 8 > len(z64):
+                    raise ValueError("short ZIP64 extra field")
+                (uncomp_size,) = struct.unpack_from("<Q", z64, zp)
+                zp += 8
+            if comp_size == 0xFFFFFFFF:
+                if zp + 8 > len(z64):
+                    raise ValueError("short ZIP64 extra field")
+                (comp_size,) = struct.unpack_from("<Q", z64, zp)
+                zp += 8
         members.append(
             {
                 "name": name,
@@ -153,13 +283,24 @@ def scan_zip(payload: bytes) -> dict:
 def synth_tar_members(seed: int) -> list[dict]:
     """Member plan, mirrored in the DuckDB oracle: 1 + seed%4
     members; member i is ``d{seed%7}/m{i}.bin`` with
-    ``5 + (seed*7 + i*3) % 120`` deterministic bytes."""
+    ``5 + (seed*7 + i*3) % 120`` deterministic bytes. Seeds with
+    seed%3 != 2 get >100-char paths — ``d{seed%7}/ppp…p/m{i}.bin``
+    with a ``100 + seed % 30``-char run of 'p' — which do NOT fit a
+    classic ustar name field and force the long-name mechanism of
+    whichever dialect writes the archive (pax ``x`` headers for
+    seed%3==0, GNU ``L`` entries for seed%3==1)."""
     out = []
+    longdir = "p" * (100 + seed % 30) if seed % 3 != 2 else None
     for i in range(1 + seed % 4):
         n = 5 + (seed * 7 + i * 3) % 120
+        name = (
+            f"d{seed % 7}/{longdir}/m{i}.bin"
+            if longdir
+            else f"d{seed % 7}/m{i}.bin"
+        )
         out.append(
             {
-                "name": f"d{seed % 7}/m{i}.bin",
+                "name": name,
                 "content": bytes((seed * 5 + i + j) % 256 for j in range(n)),
             }
         )
@@ -168,11 +309,21 @@ def synth_tar_members(seed: int) -> list[dict]:
 
 def synth_tar(seed: int) -> bytes:
     """Write the archive with the STDLIB producer (fixed mtime/uids
-    keep bytes deterministic)."""
+    keep bytes deterministic). The DIALECT rotates with the seed so
+    every batch exercises all three real-world layouts: seed%3==0 →
+    pax (POSIX.1-2001 ``x`` extended headers, forced by the
+    >100-char paths these seeds carry), seed%3==1 → GNU tar (``L``
+    longname entries, same trigger), seed%3==2 → classic ustar with
+    short names."""
     import tarfile
 
+    fmt = {
+        0: tarfile.PAX_FORMAT,
+        1: tarfile.GNU_FORMAT,
+        2: tarfile.USTAR_FORMAT,
+    }[seed % 3]
     buf = io.BytesIO()
-    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
         for m in synth_tar_members(seed):
             info = tarfile.TarInfo(m["name"])
             info.size = len(m["content"])
@@ -192,17 +343,50 @@ def _tar_octal(field: bytes) -> int:
         raise ValueError(f"bad octal field {field!r}") from e
 
 
+def _parse_pax_records(data: bytes) -> dict[str, str]:
+    """POSIX.1-2001 extended-header records: ``"LEN key=value\\n"``
+    where LEN is the DECIMAL length of the whole record including
+    the length digits, the spaces, and the trailing newline."""
+    out: dict[str, str] = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0:
+            raise ValueError("malformed pax record (no length)")
+        try:
+            rec_len = int(data[pos:sp])
+        except ValueError as e:
+            raise ValueError("malformed pax record length") from e
+        if rec_len <= sp - pos or pos + rec_len > len(data):
+            raise ValueError("pax record length out of bounds")
+        rec = data[pos + (sp - pos) + 1 : pos + rec_len]
+        if not rec.endswith(b"\n"):
+            raise ValueError("pax record missing newline")
+        key, _, value = rec[:-1].partition(b"=")
+        out[key.decode("utf-8")] = value.decode("utf-8")
+        pos += rec_len
+    return out
+
+
 def scan_tar(payload: bytes) -> dict:
-    """Walk 512-byte ustar headers: name, octal size, header
-    CHECKSUM verification (sum of header bytes with the checksum
-    field blanked to spaces — the format's integrity feature),
-    512-aligned content skip, NUL-block terminator. Returns
-    ``n_members``, ``total_bytes``, ``n_dirs_refd`` (distinct
-    directory prefixes), ``member_names`` (sorted, comma-joined),
-    plus per-member details. Raises ``ValueError`` on malformed
-    structure."""
+    """Walk 512-byte tar headers: name, octal size, header CHECKSUM
+    verification (sum of header bytes with the checksum field
+    blanked to spaces — the format's integrity feature),
+    512-aligned content skip, NUL-block terminator. Understands the
+    three real-world dialects: classic ustar, POSIX pax (typeflag
+    ``x`` per-member and ``g`` global extended headers whose
+    ``path``/``size`` records override the following member — how
+    >100-char paths and >8 GiB members are expressed), and GNU tar
+    (typeflag ``L`` longname / ``K`` longlink entries carrying the
+    real name as content). Returns ``n_members``, ``total_bytes``,
+    ``n_dirs_refd`` (distinct directory prefixes), ``member_names``
+    (sorted, comma-joined), plus per-member details. Raises
+    ``ValueError`` on malformed structure."""
     pos = 0
     members = []
+    pax_global: dict[str, str] = {}
+    pax_next: dict[str, str] = {}
+    gnu_longname: str | None = None
     while pos + 512 <= len(payload):
         hdr = payload[pos : pos + 512]
         if hdr == b"\x00" * 512:  # end-of-archive marker
@@ -223,9 +407,46 @@ def scan_tar(payload: bytes) -> dict:
                 f"tar header checksum mismatch for {name!r}"
             )
         typeflag = hdr[156:157]
-        if typeflag not in (b"0", b"\x00", b"5"):
+        data_end = pos + 512 + size
+        if data_end > len(payload):
+            raise ValueError(f"tar member data for {name!r} truncated")
+        if typeflag in (b"x", b"g"):  # pax extended header
+            recs = _parse_pax_records(payload[pos + 512 : data_end])
+            if typeflag == b"x":
+                pax_next.update(recs)
+            else:
+                pax_global.update(recs)
+        elif typeflag in (b"L", b"K"):  # GNU longname / longlink
+            content = payload[pos + 512 : data_end]
+            if typeflag == b"L":
+                gnu_longname = (
+                    content.split(b"\x00", 1)[0].decode("utf-8")
+                )
+        elif typeflag in (b"0", b"\x00", b"5"):
+            # ustar prefix field (155 bytes at 345) extends the name
+            # for paths the base field can't hold; pax/GNU overrides
+            # take precedence over both
+            prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8")
+            if prefix:
+                name = f"{prefix}/{name}"
+            eff = dict(pax_global)
+            eff.update(pax_next)
+            if gnu_longname is not None:
+                name = gnu_longname
+            if "path" in eff:
+                name = eff["path"]
+            if "size" in eff:
+                try:
+                    size = int(eff["size"])
+                except ValueError as e:
+                    raise ValueError("bad pax size record") from e
+                if size < 0:
+                    raise ValueError("negative pax size record")
+            pax_next = {}
+            gnu_longname = None
+            members.append({"name": name, "size": size})
+        else:
             raise ValueError(f"unsupported tar entry type {typeflag!r}")
-        members.append({"name": name, "size": size})
         pos += 512 + ((size + 511) // 512) * 512
     else:
         raise ValueError("missing tar end-of-archive marker")
