@@ -41,6 +41,20 @@ class _BitWriter:
         self.u(0, n - 1)
         self.u(code, n)
 
+    def se(self, value: int) -> None:
+        """Signed exp-Golomb: v>0 -> 2v-1, v<=0 -> -2v."""
+        self.ue(2 * value - 1 if value > 0 else -2 * value)
+
+    def align_zero(self) -> None:
+        """pcm_alignment_zero_bit padding to the next byte boundary."""
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def raw_bytes(self, data: bytes) -> None:
+        """Byte-aligned raw samples (I_PCM); caller must align first."""
+        for b in data:
+            self.u(b, 8)
+
     def rbsp(self) -> bytes:
         """Close with the RBSP stop bit + alignment, then escape."""
         bits = self.bits + [1]
@@ -111,6 +125,22 @@ class _BitReader:
     def se(self) -> int:
         k = self.ue()
         return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def align(self) -> None:
+        """Consume pcm_alignment_zero_bits to the byte boundary."""
+        while self.pos & 7:
+            if self.u(1):
+                raise ValueError("nonzero pcm_alignment bit")
+
+    def bytes_aligned(self, n: int) -> bytes:
+        """Read n byte-aligned raw bytes (I_PCM samples)."""
+        if self.pos & 7:
+            raise ValueError("raw byte read while not byte-aligned")
+        start = self.pos >> 3
+        if start + n > len(self.data):
+            raise ValueError("truncated I_PCM samples")
+        self.pos += 8 * n
+        return self.data[start : start + n]
 
 
 def encode_sps(width: int, height: int) -> bytes:
@@ -241,15 +271,9 @@ def synth_h264(seed: int) -> bytes:
     return bytes(out)
 
 
-def scan_h264(payload: bytes) -> dict:
-    """Walk an Annex B byte stream: start-code scan (3- and 4-byte
-    forms), NAL type histogram, SPS dimensions. Returns integer-exact
-    ``width``, ``height``, ``profile_idc``, ``level_idc``,
-    ``n_nal_units``, ``n_idr_slices``, ``n_slices``,
-    ``payload_bytes``. Raises on streams with no SPS or no start
-    code (permissive-harness contract)."""
+def _split_nals(payload: bytes) -> list[bytes]:
+    """Annex B start-code scan (3- and 4-byte forms) -> NAL units."""
     nals = []
-    i = 0
     n = len(payload)
     first = payload.find(b"\x00\x00\x01")
     if first < 0:
@@ -267,6 +291,17 @@ def scan_h264(payload: bytes) -> dict:
         nals.append(payload[start:end])
         i = nxt + 3
         start = i
+    return nals
+
+
+def scan_h264(payload: bytes) -> dict:
+    """Walk an Annex B byte stream: start-code scan (3- and 4-byte
+    forms), NAL type histogram, SPS dimensions. Returns integer-exact
+    ``width``, ``height``, ``profile_idc``, ``level_idc``,
+    ``n_nal_units``, ``n_idr_slices``, ``n_slices``,
+    ``payload_bytes``. Raises on streams with no SPS or no start
+    code (permissive-harness contract)."""
+    nals = _split_nals(payload)
     sps = None
     n_idr = 0
     n_slices = 0
@@ -293,3 +328,250 @@ def scan_h264(payload: bytes) -> dict:
         "n_slices": n_slices,
         "payload_bytes": len(payload),
     }
+
+
+# ---------------------------------------------------------------------------
+# I_PCM macroblock pixel decode (round 8 — VERDICT r7 item 3: the
+# honest first PIXEL path for H.264). I_PCM (ITU-T H.264 §7.3.5,
+# mb_type 25 in I slices) carries RAW luma/chroma samples in the
+# bitstream — byte-aligned, losslessly, with NO entropy machinery —
+# so an all-I_PCM stream is value-oracle-checkable exactly like the
+# other codecs. Full CAVLC/CABAC residual decode remains the
+# documented extension point; this gives the spec-correct slice
+# header / PPS / macroblock-layer walk those decoders would sit in.
+# ---------------------------------------------------------------------------
+
+MB_TYPE_I_PCM = 25  # I-slice mb_type table, ITU-T H.264 table 7-11
+
+
+def encode_pps() -> bytes:
+    """Spec-complete minimal PPS: CAVLC entropy, one slice group, no
+    deblocking-control or redundant-count fields in slice headers."""
+    w = _BitWriter()
+    w.ue(0)  # pic_parameter_set_id
+    w.ue(0)  # seq_parameter_set_id
+    w.u(0, 1)  # entropy_coding_mode_flag: CAVLC
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)  # weighted_pred_flag
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(0, 1)  # deblocking_filter_control_present_flag
+    w.u(0, 1)  # constrained_intra_pred_flag
+    w.u(0, 1)  # redundant_pic_cnt_present_flag
+    return bytes([0x68]) + w.rbsp()
+
+
+def parse_pps(nal: bytes) -> dict:
+    """Minimal PPS parse — enough to validate the profile this
+    decoder supports (CAVLC, single slice group, no slice-header
+    extras)."""
+    if not nal or (nal[0] & 0x1F) != NAL_PPS:
+        raise ValueError("not a PPS NAL unit")
+    r = _BitReader(_unescape(nal[1:]))
+    pps_id = r.ue()
+    sps_id = r.ue()
+    entropy_coding_mode = r.u(1)
+    bottom_field_poc = r.u(1)
+    n_slice_groups = r.ue() + 1
+    if entropy_coding_mode != 0:
+        raise ValueError("CABAC streams unsupported (CAVLC only)")
+    if n_slice_groups != 1:
+        raise ValueError("slice groups unsupported")
+    r.ue()  # num_ref_idx_l0
+    r.ue()  # num_ref_idx_l1
+    r.u(1)  # weighted_pred_flag
+    r.u(2)  # weighted_bipred_idc
+    r.se()  # pic_init_qp_minus26
+    r.se()  # pic_init_qs_minus26
+    r.se()  # chroma_qp_index_offset
+    deblock_ctrl = r.u(1)
+    r.u(1)  # constrained_intra_pred_flag
+    redundant_cnt = r.u(1)
+    return {
+        "pps_id": pps_id,
+        "sps_id": sps_id,
+        "deblocking_control": bool(deblock_ctrl),
+        "redundant_pic_cnt": bool(redundant_cnt),
+        "bottom_field_poc": bool(bottom_field_poc),
+    }
+
+
+def encode_h264_ipcm(y, cb, cr) -> bytes:
+    """Encode YCbCr 4:2:0 planes (uint8 arrays: y is (h, w) with h,
+    w EVEN; cb/cr are (h/2, w/2)) as a valid Annex B stream whose
+    single IDR slice codes every macroblock I_PCM — lossless raw
+    samples, byte-aligned per macroblock, emulation-escaped like any
+    RBSP. SPS cropping expresses non-multiple-of-16 dims."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    h, w_ = y.shape
+    if h % 2 or w_ % 2:
+        raise ValueError("dimensions must be even (4:2:0)")
+    if cb.shape != (h // 2, w_ // 2) or cr.shape != cb.shape:
+        raise ValueError("chroma planes must be (h/2, w/2)")
+    mb_w, mb_h = -(-w_ // 16), -(-h // 16)
+    ypad = np.pad(y, ((0, mb_h * 16 - h), (0, mb_w * 16 - w_)), mode="edge")
+    cpad = [
+        np.pad(
+            c,
+            ((0, mb_h * 8 - h // 2), (0, mb_w * 8 - w_ // 2)),
+            mode="edge",
+        )
+        for c in (cb, cr)
+    ]
+    start = b"\x00\x00\x00\x01"
+    out = bytearray()
+    out += start + encode_sps(w_, h)
+    out += start + encode_pps()
+    wtr = _BitWriter()
+    wtr.ue(0)  # first_mb_in_slice
+    wtr.ue(7)  # slice_type: I (the ..7 "all slices are I" variant)
+    wtr.ue(0)  # pic_parameter_set_id
+    wtr.u(0, 8)  # frame_num (log2_max_frame_num = 8)
+    wtr.ue(0)  # idr_pic_id
+    # pic_order_cnt_type = 2 in the SPS: no POC fields
+    wtr.u(0, 1)  # no_output_of_prior_pics_flag
+    wtr.u(0, 1)  # long_term_reference_flag
+    wtr.se(0)  # slice_qp_delta
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            wtr.ue(MB_TYPE_I_PCM)
+            wtr.align_zero()
+            wtr.raw_bytes(
+                ypad[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+                .tobytes()
+            )
+            for c in cpad:
+                wtr.raw_bytes(
+                    c[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].tobytes()
+                )
+    out += start + bytes([0x65]) + wtr.rbsp()
+    return bytes(out)
+
+
+def decode_h264_ipcm(payload: bytes) -> dict:
+    """Decode an all-I_PCM Annex B stream to pixel planes: NAL walk,
+    SPS/PPS parse, spec-order IDR slice header, then the macroblock
+    layer — mb_type must be I_PCM (25); anything else raises the
+    documented "CAVLC residual decode not implemented" boundary.
+    Returns ``width``, ``height``, ``n_mbs`` and the CROPPED ``y``,
+    ``cb``, ``cr`` planes (numpy uint8). Raises ``ValueError`` on
+    malformed streams (permissive-quarantine contract)."""
+    import numpy as np
+
+    nals = _split_nals(payload)
+    sps = None
+    pps = None
+    planes = None
+    n_mbs = 0
+    for nal in nals:
+        if not nal:
+            raise ValueError("empty NAL unit")
+        ntype = nal[0] & 0x1F
+        if ntype == NAL_SPS and sps is None:
+            sps = parse_sps(nal)
+            if sps["profile_idc"] in (100, 110, 122, 244, 44, 83, 86,
+                                      118, 128):
+                raise ValueError("high-profile pixel decode unsupported")
+        elif ntype == NAL_PPS and pps is None:
+            pps = parse_pps(nal)
+        elif ntype in (NAL_IDR, NAL_NON_IDR):
+            if sps is None or pps is None:
+                raise ValueError("slice before SPS/PPS")
+            if ntype == NAL_NON_IDR:
+                raise ValueError("only IDR (all-intra) pixel decode")
+            w_, h = sps["width"], sps["height"]
+            mb_w, mb_h = -(-w_ // 16), -(-h // 16)
+            r = _BitReader(_unescape(nal[1:]))
+            first_mb = r.ue()
+            slice_type = r.ue()
+            if slice_type % 5 != 2:  # 2/7 are the I-slice codes
+                raise ValueError("only I slices supported")
+            r.ue()  # pic_parameter_set_id
+            r.u(8)  # frame_num (log2_max_frame_num = 8)
+            r.ue()  # idr_pic_id
+            # pic_order_cnt_type = 2: no POC fields
+            r.u(1)  # no_output_of_prior_pics_flag
+            r.u(1)  # long_term_reference_flag
+            r.se()  # slice_qp_delta
+            if pps["deblocking_control"] or pps["redundant_pic_cnt"]:
+                raise ValueError("PPS slice-header extras unsupported")
+            ymat = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+            cmats = [
+                np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+                for _ in range(2)
+            ]
+            for mb in range(first_mb, mb_w * mb_h):
+                mb_type = r.ue()
+                if mb_type != MB_TYPE_I_PCM:
+                    raise ValueError(
+                        f"mb_type {mb_type}: CAVLC residual decode not "
+                        "implemented (I_PCM only)"
+                    )
+                r.align()
+                my, mx = divmod(mb, mb_w)
+                ymat[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    np.frombuffer(r.bytes_aligned(256), dtype=np.uint8)
+                    .reshape(16, 16)
+                )
+                for c in cmats:
+                    c[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                        np.frombuffer(r.bytes_aligned(64), dtype=np.uint8)
+                        .reshape(8, 8)
+                    )
+                n_mbs += 1
+            planes = (
+                ymat[:h, :w_],
+                cmats[0][: h // 2, : w_ // 2],
+                cmats[1][: h // 2, : w_ // 2],
+            )
+    if sps is None:
+        raise ValueError("no SPS in stream")
+    if planes is None:
+        raise ValueError("no decodable IDR slice in stream")
+    return {
+        "width": sps["width"],
+        "height": sps["height"],
+        "n_mbs": n_mbs,
+        "y": planes[0],
+        "cb": planes[1],
+        "cr": planes[2],
+    }
+
+
+def synth_h264_ipcm_params(seed: int) -> tuple[int, int]:
+    """(width, height): even, mostly NOT macroblock multiples so SPS
+    cropping and partial edge macroblocks are exercised."""
+    return 34 + (seed % 6) * 2, 18 + (seed % 5) * 2
+
+
+def synth_h264_ipcm_planes(seed: int, width: int, height: int):
+    """Deterministic YCbCr planes, mirrored verbatim in the DuckDB
+    oracle: Y[y][x] = (seed*5 + x*3 + y*7) % 256 on the luma grid;
+    Cb/Cr[y][x] = (seed*11 + x + y*2) % 256 / (seed*17 + x*2 + y) %
+    256 on the (w/2, h/2) chroma grid. I_PCM is lossless, so decode
+    returns these EXACTLY."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[np.newaxis, :]
+    y = np.arange(height, dtype=np.int64)[:, np.newaxis]
+    luma = ((seed * 5 + x * 3 + y * 7) % 256).astype(np.uint8)
+    cx = np.arange(width // 2, dtype=np.int64)[np.newaxis, :]
+    cy = np.arange(height // 2, dtype=np.int64)[:, np.newaxis]
+    cb = ((seed * 11 + cx + cy * 2) % 256).astype(np.uint8)
+    cr = ((seed * 17 + cx * 2 + cy) % 256).astype(np.uint8)
+    return luma, cb, cr
+
+
+def synth_h264_ipcm(seed: int) -> bytes:
+    """Deterministic all-I_PCM test stream for ``seed``."""
+    w_, h = synth_h264_ipcm_params(seed)
+    return encode_h264_ipcm(*synth_h264_ipcm_planes(seed, w_, h))

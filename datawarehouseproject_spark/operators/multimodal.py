@@ -1329,6 +1329,102 @@ def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
+def synthesize_h264_ipcm_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of all-I_PCM H.264 streams
+    (``functions/h264.py:synth_h264_ipcm``): SPS with cropping, a
+    spec-complete PPS, and one IDR slice whose every macroblock is
+    I_PCM — RAW byte-aligned YCbCr samples in the bitstream, so the
+    pixel decode is LOSSLESS and the modular-formula planes are
+    value-checkable by the DuckDB oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.h264 import synth_h264_ipcm
+
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_.values,
+                    "payload": [synth_h264_ipcm(int(i)) for i in ids_],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
+H264_IPCM_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_mbs", T.IntegerType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("sum_cb", T.LongType()),
+        T.StructField("sum_cr", T.LongType()),
+    ]
+)
+
+
+def extract_h264_ipcm_features(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """H.264 PIXEL decode per payload (I_PCM profile) via
+    Arrow-batched mapInPandas: NAL walk, SPS/PPS parse, IDR slice
+    header, macroblock-layer walk, raw sample extraction, SPS crop —
+    then integer plane sums (exact, no float tolerance). Same
+    strict/permissive error contract as the other codecs."""
+    keep = [f for f in media.schema.fields if f.name != "payload"]
+    fields = list(keep) + list(H264_IPCM_SCHEMA.fields)
+    if permissive:
+        fields.append(T.StructField("decode_error", T.StringType()))
+    schema = T.StructType(fields)
+    keep_names = [f.name for f in keep]
+    feat_names = [f.name for f in H264_IPCM_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.h264 import decode_h264_ipcm
+
+        for pdf in it:
+            feats: dict[str, list] = {k: [] for k in feat_names}
+            errors: list[str | None] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = decode_h264_ipcm(bytes(p))
+                    row = {
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_mbs": d["n_mbs"],
+                        "sum_y": int(d["y"].sum(dtype="int64")),
+                        "sum_cb": int(d["cb"].sum(dtype="int64")),
+                        "sum_cr": int(d["cr"].sum(dtype="int64")),
+                    }
+                except ValueError as e:
+                    if not permissive:
+                        raise ValueError(f"media_id={mid}: {e}") from e
+                    for k in feat_names:
+                        feats[k].append(None)
+                    errors.append(str(e))
+                    continue
+                for k in feat_names:
+                    feats[k].append(row[k])
+                errors.append(None)
+            out = pdf[keep_names].reset_index(drop=True)
+            for k, v in feats.items():
+                out[k] = v
+            if permissive:
+                out["decode_error"] = errors
+            yield out
+
+    return media.mapInPandas(batches, schema=schema)
+
+
 MP3_STRUCTURE_SCHEMA = T.StructType(
     [
         T.StructField("n_frames", T.IntegerType()),
