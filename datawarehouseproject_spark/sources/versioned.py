@@ -178,3 +178,66 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
             if name.startswith(".tmp."):
                 os.remove(os.path.join(cdir, name))
     return sorted(dropped)
+
+
+def snapshot_file_count(path: str, version: int) -> int:
+    """Parquet part-file count of a committed snapshot — the
+    small-file metric OPTIMIZE exists to fix."""
+    dname = _resolve_dir(path, version)
+    if dname is None:
+        raise ValueError(f"version {version} not committed at {path}")
+    return sum(
+        1
+        for n in os.listdir(os.path.join(path, dname))
+        if n.endswith(".parquet")
+    )
+
+
+def compact_version(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE: rewrite the LATEST snapshot's parquet files into
+    ``target_files`` larger ones and commit the result as a NEW
+    version — no semantic change (the change feed between the two
+    versions is empty), so time travel to the pre-compaction version
+    still works until vacuumed. This is the first operational need
+    of any commit log: every ``write_version`` of a wide job leaves
+    one file per task, and a 100 TB table read pays per-file open
+    cost forever unless someone rewrites.
+
+    CONFLICT DETECTION, not blind CAS retry: the compacted data is a
+    rewrite of version N, so it may only become version N+1. If the
+    ``os.link`` loses — a real writer committed N+1 first — retrying
+    at N+2 would silently REVERT that writer's data; instead the
+    orphaned compacted dir is removed and ``ConflictError`` raised
+    for the caller to re-run against the new head. (Delta's OPTIMIZE
+    makes the same abort-on-conflict choice for non-commutable
+    transactions.)"""
+    base = current_version(path)
+    if base == 0:
+        raise ValueError(f"no committed versions at {path}")
+    df = read_version(spark, path, base)
+    dname = f"d-{uuid.uuid4().hex[:12]}"
+    df.coalesce(target_files).write.mode("error").parquet(
+        os.path.join(path, dname)
+    )
+    tmp = os.path.join(_commits_dir(path), f".tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(dname)
+    try:
+        try:
+            os.link(tmp, os.path.join(_commits_dir(path), str(base + 1)))
+        except FileExistsError:
+            shutil.rmtree(os.path.join(path, dname), ignore_errors=True)
+            raise ConflictError(
+                f"version {base + 1} was committed while compacting "
+                f"{base}; re-run against the new head"
+            ) from None
+    finally:
+        os.remove(tmp)
+    return base + 1
+
+
+class ConflictError(RuntimeError):
+    """A non-commutable commit (compaction) lost its CAS race to a
+    real write and must be re-run against the new head."""

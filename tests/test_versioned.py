@@ -170,3 +170,84 @@ def test_streaming_commits_versions_per_batch(spark, tmp_path):
     assert current_version(table) == 2
     assert read_version(spark, table, version=1).count() == 2
     assert read_version(spark, table, version=2).count() == 1  # the delta batch
+
+
+# ---------------------------------------------------------------------------
+# Compaction / OPTIMIZE (round 8 — VERDICT r7 item 6).
+# ---------------------------------------------------------------------------
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    from datawarehouseproject_spark.sources.versioned import (
+        compact_version,
+        snapshot_file_count,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(0, 100).repartition(8), path)
+    assert snapshot_file_count(path, 1) == 8  # the small-file problem
+    v = compact_version(spark, path, target_files=1)
+    assert v == 2
+    assert snapshot_file_count(path, 2) == 1
+    # no semantic change: row sets identical across the commit...
+    before = {r["id"] for r in read_version(spark, path, 1).collect()}
+    after = {r["id"] for r in read_version(spark, path, 2).collect()}
+    assert before == after == set(range(100))
+    # ...and time travel to the pre-compaction snapshot still works
+    assert read_version(spark, path, version=1).count() == 100
+
+
+def test_compact_conflict_aborts_never_reverts(spark, tmp_path, monkeypatch):
+    """If a real write lands between the compactor's read and its
+    commit, the compaction must ABORT (ConflictError) — a blind CAS
+    retry at N+2 would silently revert the intervening write."""
+    import os
+
+    import datawarehouseproject_spark.sources.versioned as V
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(0, 10).repartition(4), path)
+    # a real writer commits version 2 "during" the compaction of
+    # version 1: pin the compactor's head read to the stale base
+    write_version(spark.range(0, 999), path)
+    monkeypatch.setattr(V, "current_version", lambda p: 1)
+    with pytest.raises(V.ConflictError, match="re-run against the new head"):
+        V.compact_version(spark, path)
+    monkeypatch.undo()
+    # the intervening write is intact, never reverted
+    assert read_version(spark, path).count() == 999
+    # and its orphaned compacted dir doesn't block the retry
+    v = V.compact_version(spark, path)
+    assert v == 3
+    assert read_version(spark, path).count() == 999
+    # exactly the live dirs remain: v1, v2, v3 (conflict dir removed)
+    dirs = [n for n in os.listdir(path) if n.startswith("d-")]
+    assert len(dirs) == 3
+
+
+def test_compact_then_vacuum_drops_small_file_snapshots(spark, tmp_path):
+    """The OPTIMIZE+VACUUM lifecycle: compaction leaves both
+    snapshots readable; vacuum(keep_last=1) then drops the
+    small-file version AND its now-unreferenced data dir, while the
+    compacted head keeps serving."""
+    import os
+
+    from datawarehouseproject_spark.sources.versioned import (
+        compact_version,
+        snapshot_file_count,
+        vacuum,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(0, 50).repartition(6), path)
+    compact_version(spark, path, target_files=1)
+    assert read_version(spark, path, version=1).count() == 50
+    dropped = vacuum(path, keep_last=1)
+    assert dropped == [1]
+    with pytest.raises(ValueError, match="not available"):
+        read_version(spark, path, version=1)
+    assert read_version(spark, path).count() == 50
+    assert snapshot_file_count(path, 2) == 1
+    # exactly one data dir remains on disk
+    dirs = [n for n in os.listdir(path) if n.startswith("d-")]
+    assert len(dirs) == 1
