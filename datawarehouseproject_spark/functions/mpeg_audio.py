@@ -164,6 +164,18 @@ def scan_mp3(payload: bytes) -> dict:
 # emits is integer-exact (micro-unit amplitudes via floor division
 # on non-negative integers), so the DuckDB oracle can recompute all
 # of it from the synthesis formulas.
+#
+# SCOPE BOUNDARY (round 8, deliberate): sample decode covers Layer I
+# ONLY; Layers II and III remain STRUCTURE-level (scan_mp3). Layer II
+# requantization needs the tabulated bit-allocation tables of
+# ISO/IEC 11172-3 Table 3-B.2 (per-subband allocation classes,
+# 3/5/9-level grouped sample packing) and Layer III needs the huffman
+# code tables + IMDCT windows — none of which can be reproduced here
+# verifiably, and fabricating them from memory would produce a
+# decoder that is confidently WRONG on real audio. A deployment that
+# needs PCM from Layer II/III routes those payloads to ffmpeg; this
+# module keeps the triage pass (frame walk, duration, bitrate,
+# intactness) that decides what is worth routing.
 # ---------------------------------------------------------------------------
 
 LAYER1_BITRATES_KBPS = (

@@ -7,10 +7,13 @@ from "uncompressed formats" (BMP/PCM-WAV/DIB-AVI) to genuine
 compressed decode, with the same integer-exact DuckDB oracle pattern
 as :mod:`.bmp` (VERDICT r4 item 2).
 
-Supported subset: 8-bit-depth truecolor (color type 2), no
-interlacing — the most common lossless-RGB profile. All five PNG row
-filters decode (None/Sub/Up vectorized with numpy; Average/Paeth per
-the spec's sequential recurrence); the encoder cycles filters
+Supported subset: 8-bit-depth truecolor (color type 2), sequential
+AND Adam7-interlaced (round 8 — the progressive-delivery profile,
+the PNG analogue of progressive JPEG: seven passes over a fixed 8×8
+sub-sampling grid, each pass an independently-filtered sub-image,
+empty passes contributing no scanlines). All five PNG row filters
+decode (None/Sub/Up vectorized with numpy; Average/Paeth per the
+spec's sequential recurrence); the encoder cycles filters
 None→Sub→Up per row so round-trips exercise the filter machinery,
 not just the DEFLATE wrapper.
 
@@ -38,6 +41,17 @@ import numpy as np
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _BPP = 3  # bytes per pixel (8-bit RGB)
 
+#: Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass.
+ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
 
 def _chunk(ctype: bytes, payload: bytes) -> bytes:
     return (
@@ -48,18 +62,11 @@ def _chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int, pixels) -> bytes:
-    """Encode top-down RGB rows as an 8-bit truecolor PNG.
-
-    Each scanline is filtered before DEFLATE with the filter cycle
-    ``y % 3`` → None(0) / Sub(1) / Up(2), so every encoded image
-    exercises real filter arithmetic (uint8 wraparound differences),
-    and Sub/Up rows compress well on the synthetic gradients.
-    """
-    arr = np.asarray(pixels, dtype=np.uint8)
-    if arr.shape != (height, width, 3):
-        raise ValueError("pixels must be a (height, width, 3) RGB array")
-    flat = arr.reshape(height, width * _BPP)
+def _filter_rows(flat: np.ndarray) -> bytes:
+    """Filter a (rows, stride) sub-image with the None→Sub→Up cycle;
+    each call starts the cycle (and the Up 'prior' row) fresh — the
+    per-pass independence Adam7 requires."""
+    height = flat.shape[0]
     lines = bytearray()
     for y in range(height):
         f = y % 3
@@ -73,7 +80,38 @@ def encode_png(width: int, height: int, pixels) -> bytes:
             f, filt = 0, row
         lines.append(f)
         lines += filt.tobytes()
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return bytes(lines)
+
+
+def encode_png(width: int, height: int, pixels, interlace: bool = False) -> bytes:
+    """Encode top-down RGB rows as an 8-bit truecolor PNG.
+
+    Each scanline is filtered before DEFLATE with the filter cycle
+    ``y % 3`` → None(0) / Sub(1) / Up(2), so every encoded image
+    exercises real filter arithmetic (uint8 wraparound differences),
+    and Sub/Up rows compress well on the synthetic gradients.
+    ``interlace=True`` writes the Adam7 layout: seven sub-images in
+    pass order, each independently filtered, empty passes omitted,
+    all compressed as ONE zlib stream (as the spec requires).
+    """
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.shape != (height, width, 3):
+        raise ValueError("pixels must be a (height, width, 3) RGB array")
+    if not interlace:
+        lines = _filter_rows(arr.reshape(height, width * _BPP))
+    else:
+        parts = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass: no scanlines at all
+            parts += _filter_rows(
+                sub.reshape(sub.shape[0], sub.shape[1] * _BPP)
+            )
+        lines = bytes(parts)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -97,6 +135,7 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("not a PNG payload (missing signature)")
     pos = len(PNG_SIG)
     width = height = None
+    interlace = 0
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -111,11 +150,13 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+            if depth != 8 or color != 2 or comp != 0 or filt != 0:
                 raise ValueError(
-                    f"unsupported PNG variant (depth={depth} color={color} "
-                    f"interlace={interlace}); only 8-bit truecolor"
+                    f"unsupported PNG variant (depth={depth} color={color}); "
+                    "only 8-bit truecolor"
                 )
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -129,13 +170,32 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    stride = 1 + width * _BPP
-    if len(raw) < stride * height:
-        raise ValueError("truncated PNG scanline data")
-    lines = np.frombuffer(raw, dtype=np.uint8, count=stride * height).reshape(
-        height, stride
-    )
-    return width, height, _unfilter(lines, width, height)
+    if not interlace:
+        stride = 1 + width * _BPP
+        if len(raw) < stride * height:
+            raise ValueError("truncated PNG scanline data")
+        lines = np.frombuffer(
+            raw, dtype=np.uint8, count=stride * height
+        ).reshape(height, stride)
+        return width, height, _unfilter(lines, width, height)
+    # Adam7: seven independently-filtered sub-images in pass order,
+    # scattered back onto the 8x8 grid; empty passes carry no bytes
+    out = np.zeros((height, width, _BPP), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = 1 + pw * _BPP
+        if off + stride * ph > len(raw):
+            raise ValueError("truncated Adam7 pass data")
+        lines = np.frombuffer(
+            raw, dtype=np.uint8, count=stride * ph, offset=off
+        ).reshape(ph, stride)
+        off += stride * ph
+        out[y0::dy, x0::dx] = _unfilter(lines, pw, ph)
+    return width, height, out
 
 
 def _unfilter(lines: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -200,11 +260,18 @@ def synth_png_pixels(seed: int, width: int, height: int) -> np.ndarray:
 
 def synth_png_size(seed: int) -> tuple[int, int]:
     """Per-seed image size 5..10 × 4..8 — heights cycle ≥3 rows so
-    every encoded image carries all three encoder filters."""
+    every encoded image carries all three encoder filters, and the
+    small dims leave several Adam7 passes EMPTY on interlaced seeds
+    (the edge case sequential-minded decoders get wrong)."""
     return 5 + seed % 6, 4 + seed % 5
 
 
 def synth_png(seed: int) -> bytes:
-    """Synthesize the deterministic test image for ``seed``."""
+    """Synthesize the deterministic test image for ``seed``. Every
+    3rd seed is Adam7-INTERLACED (same pixels, same oracle — the
+    progressive-delivery layout must decode to identical content),
+    so the registry query exercises both layouts in every batch."""
     w, h = synth_png_size(seed)
-    return encode_png(w, h, synth_png_pixels(seed, w, h))
+    return encode_png(
+        w, h, synth_png_pixels(seed, w, h), interlace=(seed % 3 == 0)
+    )

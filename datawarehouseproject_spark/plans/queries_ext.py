@@ -769,7 +769,14 @@ def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer channel sums inside Arrow-batched mapInPandas
     (``functions/png.py``, stdlib zlib only; VERDICT r4 item 2). The
     oracle recomputes every sum from the pixel formula, so any
-    filter/inflate/chunk bug breaks the hash."""
+    filter/inflate/chunk bug breaks the hash.
+
+    Every 3rd document is Adam7-INTERLACED (round 8 — the
+    progressive-delivery layout): seven independently-filtered
+    sub-image passes on the 8×8 grid, empty passes omitted, one zlib
+    stream. Same pixels, same oracle — a deinterlacing bug anywhere
+    (pass geometry, per-pass filter restart, scatter) breaks the
+    hash for a third of the rows."""
     _utc(spark)
     from ..operators.multimodal import synthesize_png_media
 

