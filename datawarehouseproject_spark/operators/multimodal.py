@@ -1329,6 +1329,114 @@ def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
+def _synthesize_media(ids: DataFrame, id_col: str, synth_loader) -> DataFrame:
+    """Shared shape of the per-id payload synthesizers: resolve the
+    synth function lazily ON THE EXECUTOR, emit (media_id, payload)
+    via Arrow-batched mapInPandas over salt-balanced ids."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        synth = synth_loader()
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_.values,
+                    "payload": [synth(int(i)) for i in ids_],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
+def synthesize_webp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of WebP RIFF containers
+    (``functions/webp.py``) — the profile rotates per id: lossy VP8,
+    lossless VP8L, extended VP8X (with EXIF chunks and RIFF padding
+    on odd sizes)."""
+
+    def loader():
+        from ..functions.webp import synth_webp
+
+        return synth_webp
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def synthesize_flac_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of FLAC files with
+    STREAMINFO + Vorbis-comment metadata blocks
+    (``functions/flac.py``)."""
+
+    def loader():
+        from ..functions.flac import synth_flac
+
+        return synth_flac
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+WEBP_SCHEMA = T.StructType(
+    [
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("has_alpha", T.IntegerType()),
+        T.StructField("has_exif", T.IntegerType()),
+        T.StructField("has_animation", T.IntegerType()),
+        T.StructField("n_chunks", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+FLAC_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("total_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_webp_structure(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """WebP container triage per payload: RIFF chunk walk + the
+    image-header bits of VP8/VP8L/VP8X
+    (:func:`..functions.webp.scan_webp`)."""
+
+    def loader():
+        from ..functions.webp import scan_webp
+
+        return scan_webp
+
+    return _extract_metadata(media, WEBP_SCHEMA, loader, permissive)
+
+
+def extract_flac_metadata(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """FLAC metadata triage per payload: STREAMINFO bit unpacking +
+    Vorbis-comment TITLE (:func:`..functions.flac.scan_flac`)."""
+
+    def loader():
+        from ..functions.flac import scan_flac
+
+        return scan_flac
+
+    return _extract_metadata(media, FLAC_SCHEMA, loader, permissive)
+
+
 def synthesize_h264_ipcm_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1355,6 +1355,97 @@ def q_h264_ipcm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "webp_structure_scan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'VP8' WHEN 1 THEN 'VP8L'
+                ELSE 'VP8X' END AS fmt,
+           CAST(20 + (doc_id * 3) % 2000 AS INTEGER) AS width,
+           CAST(12 + (doc_id * 11) % 1500 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 2 END
+                AS INTEGER) AS has_alpha,
+           CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 2 = 1 THEN 1
+                ELSE 0 END AS INTEGER) AS has_exif,
+           CAST(0 AS INTEGER) AS has_animation,
+           CAST(CASE WHEN doc_id % 3 <> 2 THEN 1
+                WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END
+                AS INTEGER) AS n_chunks
+    FROM documents
+    """,
+    tags=("multimodal", "mapInPandas", "webp", "riff", "triage"),
+)
+def q_webp_structure_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP container triage, value-checked (round 8): synthesize
+    one WebP per document with the profile ROTATING per id — lossy
+    VP8 (24-bit LE frame tag, keyframe start code, 14-bit dims),
+    lossless VP8L (LSB-first packed 32-bit header), extended VP8X
+    (flag byte, 24-bit canvas dims, EXIF metadata chunks that force
+    RIFF odd-size padding) — and walk the real RIFF structure inside
+    Arrow-batched mapInPandas (``functions/webp.py``; RFC 9649 +
+    RFC 6386 header layouts). The second-most-served lossy web image
+    format: a crawl corpus triages dimensions/alpha/animation from
+    tens of header bytes before any pixel work. VP8 entropy decode
+    (boolean coder + DCT) is the documented boundary, as CAVLC is
+    for H.264. The oracle recomputes every field from the synthesis
+    formulas; ``payload_bytes`` is producer-dependent and pinned in
+    ``tests/test_webp_flac.py``."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_webp_structure,
+        synthesize_webp_media,
+    )
+
+    media = synthesize_webp_media(_t(spark, sf_dir, "documents"))
+    return extract_webp_structure(media).drop("payload_bytes")
+
+
+@register(
+    "flac_stream_info",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  WHEN 2 THEN 96000 ELSE 22050 END AS rate,
+             1000 + (doc_id * 37) % 100000 AS total
+      FROM documents)
+    SELECT media_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(1 + media_id % 2 AS INTEGER) AS channels,
+           CAST(CASE WHEN media_id % 2 = 0 THEN 16 ELSE 24 END
+                AS INTEGER) AS bits_per_sample,
+           CAST(total AS BIGINT) AS total_samples,
+           CAST(total * 1000 // rate AS BIGINT) AS duration_ms,
+           'track-' || CAST(media_id % 50 AS VARCHAR) AS title,
+           CAST(2 AS INTEGER) AS n_blocks
+    FROM m
+    """,
+    tags=("multimodal", "mapInPandas", "flac", "audio", "metadata"),
+)
+def q_flac_stream_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC metadata triage, value-checked (round 8): synthesize one
+    FLAC per document — STREAMINFO (the 64-bit BE field packing
+    sample rate 20 bits / channels 3 / bit depth 5 / total samples
+    36) plus a Vorbis-comment block (little-endian length-prefixed
+    ``KEY=value`` records) — and unpack it inside Arrow-batched
+    mapInPandas (``functions/flac.py``; RFC 9639 layouts). The
+    lossless-audio counterpart of `mp3_stream_scan` + `mp3_id3_tags`
+    in one pass: duration (integer floor ms), rate/depth/channels
+    histograms, and the TITLE tag, all from the leading metadata
+    blocks. Frame (LPC) decode is the documented boundary, like
+    Layer III. The oracle recomputes every field — a single bit-
+    offset error in the 64-bit unpack shifts rate into channels and
+    breaks the hash."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_flac_metadata,
+        synthesize_flac_media,
+    )
+
+    media = synthesize_flac_media(_t(spark, sf_dir, "documents"))
+    return extract_flac_metadata(media).drop("payload_bytes")
+
+
+@register(
     "csv_permissive_parse",
     oracle="""
     SELECT count(*) AS n_rows,
