@@ -209,6 +209,140 @@ def archive_kernels() -> None:
     }))
 
 
+def round8_kernels() -> None:
+    """Round-8 codecs at realistic sizes: progressive JPEG (same
+    huffman-bound pixel loop as baseline plus the multi-scan
+    refinement walks), H.264 I_PCM (raw-sample path — bit-reader
+    bound, no entropy machinery), Adam7 PNG (DEFLATE + per-pass
+    unfilter + scatter), ZIP64 central-dir scan at >65535 members,
+    pax/GNU long-name tar walks, and the WebP/FLAC header triage
+    (which should be ~free: tens of bytes per payload)."""
+    import io
+    import tarfile
+    import zipfile
+
+    from datawarehouseproject_spark.functions.flac import (
+        scan_flac,
+        synth_flac,
+    )
+    from datawarehouseproject_spark.functions.h264 import (
+        decode_h264_ipcm,
+        encode_h264_ipcm,
+    )
+    from datawarehouseproject_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from datawarehouseproject_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+    from datawarehouseproject_spark.functions.webp import (
+        scan_webp,
+        synth_webp,
+    )
+    from datawarehouseproject_spark.functions.zipscan import (
+        scan_tar,
+        scan_zip,
+    )
+
+    rng = np.random.RandomState(7)
+    H, W = 192, 256
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    base = ((xx * 2 + yy * 3) % 256).astype(np.int16)
+    noise = rng.randint(-24, 25, (H, W, 3), dtype=np.int16)
+    px = np.clip(base[..., None] + noise, 0, 255).astype(np.uint8)
+
+    payload = encode_jpeg_progressive(px, subsampling="420", restart_interval=8)
+    secs, (w, h, rgb) = _timeit(decode_jpeg, payload)
+    assert (w, h) == (W, H)
+    print(json.dumps({
+        "kernel": "jpeg_progressive_decode_420",
+        "media": f"{W}x{H} RGB gradient+noise, 10 scans",
+        "payload_bytes": len(payload),
+        "mpx_per_s": round(W * H / secs / 1e6, 3),
+        "sec": round(secs, 3),
+    }))
+
+    yplane = px[..., 0]
+    cb = px[::2, ::2, 1].copy()
+    cr = px[::2, ::2, 2].copy()
+    ipcm = encode_h264_ipcm(yplane, cb, cr)
+    secs, out = _timeit(decode_h264_ipcm, ipcm)
+    assert out["width"] == W
+    print(json.dumps({
+        "kernel": "h264_ipcm_pixel_decode",
+        "media": f"{W}x{H} mono->4:2:0, {out['n_mbs']} MBs",
+        "payload_bytes": len(ipcm),
+        "mpx_per_s": round(W * H / secs / 1e6, 3),
+        "sec": round(secs, 3),
+    }))
+
+    il = encode_png(W, H, px, interlace=True)
+    secs, (w, h, back) = _timeit(decode_png, il)
+    assert (w, h) == (W, H) and np.array_equal(back, px)
+    print(json.dumps({
+        "kernel": "png_adam7_decode",
+        "media": f"{W}x{H} RGB, 7 passes",
+        "payload_bytes": len(il),
+        "mpx_per_s": round(W * H / secs / 1e6, 3),
+        "sec": round(secs, 3),
+    }))
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", allowZip64=True) as zf:
+        for i in range(70000):
+            zf.writestr(
+                zipfile.ZipInfo(f"m{i:05d}", date_time=(2026, 1, 1, 0, 0, 0)),
+                b"",
+            )
+    big64 = buf.getvalue()
+    secs, n = _timeit(lambda: scan_zip(big64)["n_members"])
+    print(json.dumps({
+        "kernel": "zip64_central_dir_scan",
+        "media": f"{len(big64)} bytes, {n} members (EOCD64)",
+        "members_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
+    member = bytes((j * 7) % 251 for j in range(2048))
+    for fmt, name in ((tarfile.PAX_FORMAT, "pax"), (tarfile.GNU_FORMAT, "gnu")):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            for i in range(400):
+                info = tarfile.TarInfo("d/" + "p" * 120 + f"/m{i:04d}.bin")
+                info.size = len(member)
+                info.mtime = 1_800_000_000
+                tf.addfile(info, io.BytesIO(member))
+        big = buf.getvalue()
+        secs, n = _timeit(lambda b=big: scan_tar(b)["n_members"])
+        print(json.dumps({
+            "kernel": f"tar_{name}_longname_walk",
+            "media": f"{len(big)} bytes, {n} members, 120-char dirs",
+            "mb_per_s": round(len(big) / secs / 1e6, 1),
+            "sec": round(secs, 4),
+        }))
+
+    webp_payloads = [synth_webp(s) for s in range(2000)]
+    secs, n = _timeit(lambda: sum(scan_webp(p)["n_chunks"] for p in webp_payloads))
+    print(json.dumps({
+        "kernel": "webp_header_triage",
+        "media": f"{sum(map(len, webp_payloads))} bytes, 2000 files",
+        "files_per_s": int(2000 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    flac_payloads = [synth_flac(s) for s in range(2000)]
+    secs, n = _timeit(lambda: sum(scan_flac(p)["n_blocks"] for p in flac_payloads))
+    print(json.dumps({
+        "kernel": "flac_metadata_triage",
+        "media": f"{sum(map(len, flac_payloads))} bytes, 2000 files",
+        "files_per_s": int(2000 / secs),
+        "sec": round(secs, 4),
+    }))
+
+
 if __name__ == "__main__":
     main()
     archive_kernels()
+    round8_kernels()
