@@ -254,3 +254,160 @@ def synth_gif(seed: int) -> bytes:
     y = np.arange(h, dtype=np.int64)[:, None]
     idx = (seed * 3 + x * 11 + y * 7) % 256
     return encode_gif(w, h, palette()[np.broadcast_to(idx, (h, w))])
+
+
+# ---------------------------------------------------------------------------
+# GIF89a animation triage (round 8). Real-world GIFs are mostly
+# animations: a NETSCAPE2.0 looping extension, then per frame a
+# Graphic Control Extension (delay in centiseconds, disposal method)
+# and an image descriptor whose rectangle is usually a DIRTY
+# SUB-RECT of the canvas, not the full frame. Triage answers "how
+# many frames, how long, does it loop, is the container intact?"
+# WITHOUT LZW-decoding any frame — the sub-block walk skips pixel
+# data by length prefix, so cost is per-frame-header, not per-pixel.
+# ---------------------------------------------------------------------------
+
+
+def synth_gif_anim_plan(seed: int) -> dict:
+    """Animation plan, mirrored in the DuckDB oracle."""
+    n = 2 + seed % 5
+    return {
+        "width": 10 + seed % 6,
+        "height": 8 + seed % 5,
+        "n_frames": n,
+        "delays": [4 + (seed + i) % 12 for i in range(n)],
+        "loop_count": seed % 4,  # 0 = loop forever
+    }
+
+
+def synth_gif_anim(seed: int) -> bytes:
+    """A real GIF89a animation: NETSCAPE loop extension + per-frame
+    GCE + dirty-rect image descriptors, frames LZW-compressed with
+    the module's own encoder."""
+    p = synth_gif_anim_plan(seed)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", p["width"], p["height"], 0xF7, 0, 0)
+    out += palette().tobytes()
+    # NETSCAPE2.0 application extension: sub-block 01 + u16le loop
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+    out += struct.pack("<H", p["loop_count"]) + b"\x00"
+    for i, delay in enumerate(p["delays"]):
+        disposal = 1 + (seed + i) % 3
+        packed = disposal << 2
+        out += b"\x21\xf9\x04" + bytes([packed])
+        out += struct.pack("<H", delay) + b"\x00\x00"
+        # dirty-rect frame
+        x, y = i % 3, i % 2
+        fw = 3 + (seed + i) % 5
+        fh = 2 + (seed * 3 + i) % 4
+        idx = bytes(
+            (seed + i + 7 * j) % 256 for j in range(fw * fh)
+        )
+        lzw = _lzw_compress(idx)
+        out += struct.pack("<sHHHHB", b",", x, y, fw, fh, 0)
+        out += bytes([_MIN_CODE_SIZE])
+        for k in range(0, len(lzw), 255):
+            chunk = lzw[k : k + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b";"
+    return bytes(out)
+
+
+def scan_gif_anim(payload: bytes) -> dict:
+    """Animation triage: block walk with NO pixel decode. Returns
+    ``width``, ``height``, ``n_frames``, ``total_delay_cs`` (sum of
+    GCE delays), ``loop_count`` (None when no NETSCAPE extension —
+    a plain one-shot GIF), ``n_extensions``, ``payload_bytes``.
+    Raises ``ValueError`` on malformed structure."""
+    if len(payload) < 13 or payload[:3] != b"GIF" or payload[3:6] not in (
+        b"87a",
+        b"89a",
+    ):
+        raise ValueError("not a GIF payload (bad magic/version)")
+    width, height, flags, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if flags & 0x80:
+        pos += (2 << (flags & 0x07)) * 3
+    n_frames = 0
+    total_delay = 0
+    loop_count = None
+    n_ext = 0
+    saw_trailer = False
+    while pos < len(payload):
+        marker = payload[pos]
+        if marker == 0x3B:  # trailer
+            saw_trailer = True
+            break
+        if marker == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("truncated extension header")
+            label = payload[pos + 1]
+            n_ext += 1
+            bp = pos + 2
+            first = True
+            while True:
+                if bp >= len(payload):
+                    raise ValueError("truncated extension sub-blocks")
+                ln = payload[bp]
+                if ln == 0:
+                    bp += 1
+                    break
+                body = payload[bp + 1 : bp + 1 + ln]
+                if len(body) != ln:
+                    raise ValueError("truncated extension sub-block")
+                if label == 0xF9 and first:
+                    if ln != 4:
+                        raise ValueError("GCE block must be 4 bytes")
+                    (delay,) = struct.unpack_from("<H", body, 1)
+                    total_delay += delay
+                elif label == 0xFF and first:
+                    if body[:11] == b"NETSCAPE2.0":
+                        # loop sub-block follows as its own sub-block
+                        nb = bp + 1 + ln
+                        if (
+                            nb + 4 <= len(payload)
+                            and payload[nb] == 3
+                            and payload[nb + 1] == 1
+                        ):
+                            (loop_count,) = struct.unpack_from(
+                                "<H", payload, nb + 2
+                            )
+                first = False
+                bp += 1 + ln
+            pos = bp
+        elif marker == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated image descriptor")
+            x, y, iw, ih, iflags = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            if x + iw > width or y + ih > height:
+                raise ValueError("frame rect outside the logical screen")
+            pos += 10
+            if iflags & 0x80:  # local color table
+                pos += (2 << (iflags & 0x07)) * 3
+            pos += 1  # LZW min code size
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated frame data")
+                ln = payload[pos]
+                pos += 1 + ln
+                if ln == 0:
+                    break
+            n_frames += 1
+        else:
+            raise ValueError(f"unknown GIF block marker 0x{marker:02x}")
+    if not saw_trailer:
+        raise ValueError("missing GIF trailer")
+    if n_frames == 0:
+        raise ValueError("no frames in GIF")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "total_delay_cs": total_delay,
+        "loop_count": loop_count,
+        "n_extensions": n_ext,
+        "payload_bytes": len(payload),
+    }

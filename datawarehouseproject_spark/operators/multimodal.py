@@ -1381,6 +1381,48 @@ def synthesize_flac_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _synthesize_media(ids, id_col, loader)
 
 
+def synthesize_gif_anim_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of GIF89a ANIMATIONS
+    (``functions/gif.py:synth_gif_anim``): NETSCAPE loop extension,
+    per-frame Graphic Control Extensions, dirty-rect frames."""
+
+    def loader():
+        from ..functions.gif import synth_gif_anim
+
+        return synth_gif_anim
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+GIF_ANIM_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("total_delay_cs", T.LongType()),
+        T.StructField("loop_count", T.IntegerType()),
+        T.StructField("n_extensions", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_gif_animation(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """GIF animation triage per payload: block walk with NO pixel
+    decode (:func:`..functions.gif.scan_gif_anim`)."""
+
+    def loader():
+        from ..functions.gif import scan_gif_anim
+
+        return scan_gif_anim
+
+    return _extract_metadata(media, GIF_ANIM_SCHEMA, loader, permissive)
+
+
 WEBP_SCHEMA = T.StructType(
     [
         T.StructField("fmt", T.StringType()),

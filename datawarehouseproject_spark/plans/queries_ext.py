@@ -1355,6 +1355,53 @@ def q_h264_ipcm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gif_animation_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 5 AS nf FROM documents),
+    f AS (
+      SELECT media_id, nf, unnest(generate_series(0, nf - 1)) AS i
+      FROM m),
+    d AS (
+      SELECT media_id, nf,
+             sum(4 + (media_id + i) % 12) AS total_delay
+      FROM f GROUP BY media_id, nf)
+    SELECT media_id,
+           CAST(10 + media_id % 6 AS INTEGER) AS width,
+           CAST(8 + media_id % 5 AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(total_delay AS BIGINT) AS total_delay_cs,
+           CAST(media_id % 4 AS INTEGER) AS loop_count,
+           CAST(nf + 1 AS INTEGER) AS n_extensions
+    FROM d
+    """,
+    tags=("multimodal", "mapInPandas", "gif", "animation", "triage"),
+)
+def q_gif_animation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF89a ANIMATION triage, value-checked (round 8): synthesize
+    one real animation per document — NETSCAPE2.0 looping extension
+    (u16 loop count), a Graphic Control Extension per frame (delay
+    centiseconds, disposal method), and DIRTY-RECT frames (each
+    image descriptor covers a sub-rectangle validated against the
+    logical screen, as real encoders emit) with genuine LZW pixel
+    data — then walk the block structure WITHOUT decoding any frame
+    (``functions/gif.py:scan_gif_anim``): sub-block length prefixes
+    skip pixel data, so cost is per-frame-header, not per-pixel.
+    Real-world GIFs are mostly animations; frame count / duration /
+    loop triage decides what is worth full LZW decode
+    (`gif_image_features` is the single-frame pixel path). The
+    oracle recomputes every field from the synthesis formulas."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_gif_animation,
+        synthesize_gif_anim_media,
+    )
+
+    media = synthesize_gif_anim_media(_t(spark, sf_dir, "documents"))
+    return extract_gif_animation(media).drop("payload_bytes")
+
+
+@register(
     "webp_structure_scan",
     oracle="""
     SELECT doc_id AS media_id,

@@ -130,3 +130,73 @@ def test_extract_gif_features_spark(spark):
         assert (r.sum_r, r.sum_g, r.sum_b) == tuple(
             int(sum(p[c] for p in px)) for c in range(3)
         )
+
+
+# ---------------------------------------------------------------------------
+# GIF89a animation triage (round 8).
+# ---------------------------------------------------------------------------
+
+
+def test_gif_animation_scan_matches_plan():
+    from datawarehouseproject_spark.functions.gif import (
+        scan_gif_anim,
+        synth_gif_anim,
+        synth_gif_anim_plan,
+    )
+
+    for seed in range(25):
+        p = synth_gif_anim_plan(seed)
+        payload = synth_gif_anim(seed)
+        got = scan_gif_anim(payload)
+        assert got["n_frames"] == p["n_frames"]
+        assert got["total_delay_cs"] == sum(p["delays"])
+        assert got["loop_count"] == p["loop_count"]
+        assert (got["width"], got["height"]) == (p["width"], p["height"])
+        assert got["payload_bytes"] == len(payload)
+
+
+def test_gif_animation_scan_handles_single_frame_87a():
+    """A plain GIF87a (the pixel-path synthesizer's output) is a
+    one-frame, zero-delay, no-loop animation to the triage scan."""
+    import numpy as np
+
+    from datawarehouseproject_spark.functions.gif import (
+        encode_gif,
+        palette,
+        scan_gif_anim,
+    )
+
+    idx = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    px = palette()[idx.astype(np.int64)]
+    got = scan_gif_anim(encode_gif(5, 4, px))
+    assert got["n_frames"] == 1
+    assert got["total_delay_cs"] == 0
+    assert got["loop_count"] is None
+    assert got["n_extensions"] == 0
+
+
+def test_gif_animation_malformed_quarantines():
+    import pytest as _pt
+
+    from datawarehouseproject_spark.functions.gif import (
+        scan_gif_anim,
+        synth_gif_anim,
+    )
+
+    good = bytearray(synth_gif_anim(3))
+    with _pt.raises(ValueError, match="magic"):
+        scan_gif_anim(b"GIF99a rest")
+    # missing trailer
+    with _pt.raises(ValueError, match="trailer|truncated"):
+        scan_gif_anim(bytes(good[:-1]))
+    # a frame rect outside the logical screen must be rejected; the
+    # first image descriptor sits right after the first GCE (0x2C
+    # bytes also occur inside the palette, so don't search for ',')
+    i = good.find(b"\x21\xf9") + 8
+    assert good[i] == 0x2C
+    bad = bytearray(good)
+    import struct as _st
+
+    bad[i + 1 : i + 3] = _st.pack("<H", 60000)  # x way outside
+    with _pt.raises(ValueError, match="outside the logical screen"):
+        scan_gif_anim(bytes(bad))
