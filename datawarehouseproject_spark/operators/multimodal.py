@@ -1381,6 +1381,51 @@ def synthesize_flac_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _synthesize_media(ids, id_col, loader)
 
 
+def synthesize_jpeg_profile_pair_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> TWO payloads per id of the SAME pixel content in
+    different delivery profiles: media_id 2·id is baseline 4:2:0
+    (restart intervals), 2·id+1 is PROGRESSIVE 4:2:0 (the 10-scan
+    SOF2 script). Pixels are the constant-macroblock progressive
+    formula, exact under both codecs — the fixture for cross-profile
+    content-hash invariance."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+            synth_jpeg_progressive_pixels,
+            synth_jpeg_progressive_size,
+        )
+
+        for pdf in it:
+            mids, payloads = [], []
+            for i in pdf[id_col].astype("int64"):
+                seed = int(i)
+                w, h = synth_jpeg_progressive_size(seed)
+                px = synth_jpeg_progressive_pixels(seed, w, h)
+                mids.append(2 * seed)
+                payloads.append(
+                    encode_jpeg(px, subsampling="420", restart_interval=2)
+                )
+                mids.append(2 * seed + 1)
+                payloads.append(
+                    encode_jpeg_progressive(
+                        px, subsampling="420", restart_interval=3
+                    )
+                )
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
 def synthesize_gif_anim_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

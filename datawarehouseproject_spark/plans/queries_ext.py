@@ -1355,6 +1355,79 @@ def q_h264_ipcm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_cross_profile_phash",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS d,
+             22 + (doc_id % 5) * 7 AS w,
+             14 + (doc_id % 6) * 9 AS h
+      FROM documents),
+    xs AS (
+      SELECT d, w, h, unnest(generate_series(0, 6)) AS tx FROM m),
+    xy AS (
+      SELECT d, w, h, tx, unnest(generate_series(0, 8)) AS ty FROM xs),
+    cell AS (
+      SELECT d, tx, ty,
+             (d * 13 + (((tx * w) // 7) // 16) * 19
+              + (((ty * h) // 9) // 16) * 31) % 256 AS gray
+      FROM xy),
+    means AS (
+      SELECT d, CAST(sum(gray) AS BIGINT) // 63 AS mn
+      FROM cell GROUP BY d),
+    ph AS (
+      SELECT c.d,
+             CAST(sum(CASE WHEN c.gray >= m.mn
+                  THEN 1::BIGINT << (c.ty * 7 + c.tx) ELSE 0 END) AS BIGINT)
+               AS phash
+      FROM cell c JOIN means m USING (d)
+      GROUP BY c.d),
+    both_encodings AS (
+      SELECT phash, unnest([2 * d, 2 * d + 1]) AS media_id FROM ph)
+    SELECT phash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(media_id) AS BIGINT) AS canonical_id
+    FROM both_encodings
+    GROUP BY phash
+    HAVING count(*) >= 2
+    """,
+    tags=("multimodal", "dedup", "phash", "jpeg", "progressive",
+          "composition"),
+)
+def q_jpeg_cross_profile_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DELIVERY-PROFILE content dedup (round 8): every
+    document's pixel content is encoded TWICE — baseline 4:2:0 with
+    restart intervals, and progressive SOF2 with the 10-scan script
+    — producing byte-level-unrelated payloads that must collide on
+    the perceptual hash, because both decode paths (interleaved MCU
+    walk vs multi-scan spectral/successive-approximation assembly)
+    recover the identical pixels. This is the property that makes
+    phash the dedup key for a web corpus, where the same image
+    circulates re-encoded across profiles; a pixel defect in EITHER
+    decode path splits a pair and breaks the hash. The oracle
+    computes each document's 63-bit hash once from the macroblock
+    formula and expects BOTH encodings in its group (plus cross-
+    document formula collisions merging groups)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        image_phash,
+        synthesize_jpeg_profile_pair_media,
+    )
+
+    media = synthesize_jpeg_profile_pair_media(
+        _t(spark, sf_dir, "documents")
+    )
+    hashes = image_phash(media, codec="jpeg")
+    return (
+        hashes.groupBy("phash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.min("media_id").cast("bigint").alias("canonical_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
+
+
+@register(
     "gif_animation_scan",
     oracle="""
     WITH m AS (
