@@ -765,7 +765,7 @@ def _next_marker(data: bytes, pos: int) -> int:
     raise ValueError("unterminated entropy-coded segment")
 
 
-def _parse_sof(body: bytes, progressive: bool):
+def _parse_sof(body: bytes):
     prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
     if prec != 8:
         raise ValueError("only 8-bit JPEG supported")
@@ -1083,7 +1083,11 @@ def decode_jpeg_coefficients(payload: bytes):
     ``struct.error``/``IndexError``."""
     try:
         return _decode_all_scans(payload)
-    except (struct.error, IndexError) as e:
+    except (struct.error, IndexError, OverflowError) as e:
+        # OverflowError: a malformed DHT can define symbols >= 64,
+        # making read_bits() produce values too large for the int64
+        # coefficient store (review r8 pass 1 — fuzz-found); all
+        # three escape routes collapse to the quarantine ValueError
         raise ValueError(f"malformed JPEG segment structure: {e}") from e
 
 
@@ -1135,7 +1139,7 @@ def _decode_all_scans(payload: bytes):
         elif tag in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if state["frame"] is not None:
                 raise ValueError("multiple SOF markers")
-            state["frame"] = _parse_sof(body, tag == 0xC2)
+            state["frame"] = _parse_sof(body)
             state["progressive"] = tag == 0xC2
             h, w, comps = state["frame"]
             hmax, vmax, mcx, mcy = _mcu_geometry(h, w, comps)

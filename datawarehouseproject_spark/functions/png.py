@@ -141,7 +141,10 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(payload):
+            # the second clause covers truncation INSIDE the 4 CRC
+            # bytes, where unpack_from would raise struct.error and
+            # escape the permissive quarantine (review r8 pass 1)
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if crc != zlib.crc32(ctype + body):

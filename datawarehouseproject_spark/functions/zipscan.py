@@ -154,16 +154,20 @@ def scan_zip(payload: bytes) -> dict:
     if n_disk != n_total:
         raise ValueError("multi-disk archives unsupported")
     cd_end_limit = idx
-    if n_total == 0xFFFF or cd_size == 0xFFFFFFFF or cd_off == 0xFFFFFFFF:
+    loc = idx - 20
+    has_locator = loc >= 0 and payload[loc : loc + 4] == _EOCD64_LOC_SIG
+    if has_locator and (
+        n_total == 0xFFFF or cd_size == 0xFFFFFFFF or cd_off == 0xFFFFFFFF
+    ):
         # ZIP64 (APPNOTE 4.4.1): saturated EOCD fields redirect
         # through the 20-byte EOCD64 LOCATOR immediately before the
         # EOCD to the 8-byte-field EOCD64 record. Routine at 100 TB:
         # >4 GiB archives and >65535-member archives both land here.
-        loc = idx - 20
-        if loc < 0 or payload[loc : loc + 4] != _EOCD64_LOC_SIG:
-            raise ValueError(
-                "saturated EOCD fields without a ZIP64 locator"
-            )
+        # The redirect requires the LOCATOR, not just saturation:
+        # 0xFFFF is also the LEGAL literal count of an exactly-
+        # 65535-member archive (CPython's zipfile writes exactly
+        # that, with no EOCD64 — review r8 pass 1), so a saturated
+        # field without a locator falls back to the literal values.
         loc_disk, eocd64_off, n_disks = struct.unpack_from(
             "<IQI", payload, loc + 4
         )

@@ -491,25 +491,12 @@ def synthesize_progressive_jpeg_media(
     end-of-band — the decoded pixels equal the synthesis formula
     EXACTLY and stay value-checkable by the DuckDB oracle."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.jpeg import synth_jpeg_progressive
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids_.values,
-                    "payload": [synth_jpeg_progressive(int(i)) for i in ids_],
-                }
-            )
+        return synth_jpeg_progressive
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def extract_image_features(
@@ -1534,25 +1521,12 @@ def synthesize_h264_ipcm_media(
     pixel decode is LOSSLESS and the modular-formula planes are
     value-checkable by the DuckDB oracle."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.h264 import synth_h264_ipcm
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids_.values,
-                    "payload": [synth_h264_ipcm(int(i)) for i in ids_],
-                }
-            )
+        return synth_h264_ipcm
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 H264_IPCM_SCHEMA = T.StructType(
@@ -1575,49 +1549,24 @@ def extract_h264_ipcm_features(
     header, macroblock-layer walk, raw sample extraction, SPS crop —
     then integer plane sums (exact, no float tolerance). Same
     strict/permissive error contract as the other codecs."""
-    keep = [f for f in media.schema.fields if f.name != "payload"]
-    fields = list(keep) + list(H264_IPCM_SCHEMA.fields)
-    if permissive:
-        fields.append(T.StructField("decode_error", T.StringType()))
-    schema = T.StructType(fields)
-    keep_names = [f.name for f in keep]
-    feat_names = [f.name for f in H264_IPCM_SCHEMA.fields]
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.h264 import decode_h264_ipcm
 
-        for pdf in it:
-            feats: dict[str, list] = {k: [] for k in feat_names}
-            errors: list[str | None] = []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    d = decode_h264_ipcm(bytes(p))
-                    row = {
-                        "width": d["width"],
-                        "height": d["height"],
-                        "n_mbs": d["n_mbs"],
-                        "sum_y": int(d["y"].sum(dtype="int64")),
-                        "sum_cb": int(d["cb"].sum(dtype="int64")),
-                        "sum_cr": int(d["cr"].sum(dtype="int64")),
-                    }
-                except ValueError as e:
-                    if not permissive:
-                        raise ValueError(f"media_id={mid}: {e}") from e
-                    for k in feat_names:
-                        feats[k].append(None)
-                    errors.append(str(e))
-                    continue
-                for k in feat_names:
-                    feats[k].append(row[k])
-                errors.append(None)
-            out = pdf[keep_names].reset_index(drop=True)
-            for k, v in feats.items():
-                out[k] = v
-            if permissive:
-                out["decode_error"] = errors
-            yield out
+        def parse(payload: bytes) -> dict:
+            d = decode_h264_ipcm(payload)
+            return {
+                "width": d["width"],
+                "height": d["height"],
+                "n_mbs": d["n_mbs"],
+                "sum_y": int(d["y"].sum(dtype="int64")),
+                "sum_cb": int(d["cb"].sum(dtype="int64")),
+                "sum_cr": int(d["cr"].sum(dtype="int64")),
+            }
 
-    return media.mapInPandas(batches, schema=schema)
+        return parse
+
+    return _extract_metadata(media, H264_IPCM_SCHEMA, loader, permissive)
 
 
 MP3_STRUCTURE_SCHEMA = T.StructType(

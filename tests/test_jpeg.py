@@ -568,3 +568,23 @@ def test_progressive_malformed_scans_raise():
         decode_jpeg_coefficients(bytes(bad))
     with pytest.raises(ValueError):
         decode_jpeg_coefficients(bytes(payload[: len(payload) - 20]))
+
+
+def test_malformed_dht_oversized_symbol_quarantines_not_overflow():
+    """A DHT defining a DC symbol >= 64 drives read_bits(sym) to
+    values too large for the int64 coefficient store; the resulting
+    OverflowError must surface as the quarantine ValueError (review
+    r8 pass 1 — fuzz-found escape)."""
+    import struct
+
+    payload = bytearray(synth_jpeg(3))
+    i = payload.find(b"\xff\xc4")  # first DHT (DC luma)
+    # spec bytes: [tc_th][bits x16][vals...]; put symbol 70 as the
+    # single length-2 code
+    (seglen,) = struct.unpack_from(">H", payload, i + 2)
+    body = bytearray(payload[i + 4 : i + 2 + seglen])
+    body[1:17] = bytes([0, 1] + [0] * 14)  # one code of length 2
+    body[17] = 70  # category symbol WAY past the valid 0..11
+    payload[i + 4 : i + 2 + seglen] = body[: seglen - 2]
+    with pytest.raises(ValueError):
+        decode_jpeg_coefficients(bytes(payload))

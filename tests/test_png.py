@@ -278,3 +278,17 @@ def test_unknown_interlace_method_rejected():
     payload[16 + 13 : 16 + 17] = _st.pack(">I", crc)
     with _pt.raises(ValueError, match="interlace method"):
         decode_png(bytes(payload))
+
+
+def test_truncation_inside_chunk_crc_raises_valueerror():
+    """Truncation INSIDE the 4 CRC bytes used to escape as
+    struct.error (review r8 pass 1); every truncation offset must
+    quarantine as ValueError."""
+    import pytest as _pt
+
+    payload = synth_png(0)
+    for cut in range(8, len(payload)):
+        try:
+            decode_png(payload[:cut])
+        except ValueError:
+            pass  # the only acceptable failure type

@@ -257,11 +257,14 @@ def test_zip64_malformed_structures_raise():
     )
 
     good = synth_zip64(0)
-    # saturated EOCD but the locator signature clobbered
+    # saturated EOCD with the locator signature clobbered: the scan
+    # falls back to the LITERAL EOCD values (a 65535-member archive
+    # legally has count 0xFFFF with no EOCD64 — review r8 pass 1),
+    # and the nonsense literal offsets then quarantine in the walk
     no_loc = bytearray(good)
     loc_at = good.rfind(b"PK\x06\x07")
     no_loc[loc_at + 3] ^= 0xFF
-    with pytest.raises(ValueError, match="ZIP64 locator"):
+    with pytest.raises(ValueError, match="overlaps|runs past"):
         scan_zip(bytes(no_loc))
     # saturated member sizes but the 0x0001 extra id clobbered
     no_extra = bytearray(good)
@@ -364,3 +367,26 @@ def test_tar_ustar_prefix_field_extends_name():
         tf.addfile(info, io.BytesIO(b"abc"))
     got = scan_tar(buf.getvalue())
     assert got["member_names"] == name
+
+
+def test_exactly_65535_members_is_legal_without_zip64():
+    """0xFFFF is also the LEGAL literal count of an exactly-65535-
+    member archive; CPython's zipfile writes it with a plain EOCD
+    and NO EOCD64 (review r8 pass 1 — the first ZIP64 detection
+    quarantined these as malformed)."""
+    import io
+    import zipfile
+
+    from datawarehouseproject_spark.functions.zipscan import scan_zip
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", allowZip64=True) as zf:
+        for i in range(65535):
+            zf.writestr(
+                zipfile.ZipInfo(f"m{i}", date_time=(2026, 1, 1, 0, 0, 0)),
+                b"",
+            )
+    data = buf.getvalue()
+    assert b"PK\x06\x06" not in data  # stdlib wrote NO EOCD64
+    got = scan_zip(data)
+    assert got["n_members"] == 65535
