@@ -488,6 +488,14 @@ def decode_h264_ipcm(payload: bytes) -> dict:
                 raise ValueError("slice before SPS/PPS")
             if ntype == NAL_NON_IDR:
                 raise ValueError("only IDR (all-intra) pixel decode")
+            if planes is not None:
+                # a second access unit would overwrite the planes
+                # while n_mbs kept summing (review r8 pass 2) — this
+                # decoder is single-frame by design; multi-AU streams
+                # go through scan_h264 triage
+                raise ValueError(
+                    "multiple IDR frames: single-frame decode only"
+                )
             w_, h = sps["width"], sps["height"]
             mb_w, mb_h = -(-w_ // 16), -(-h // 16)
             r = _BitReader(_unescape(nal[1:]))

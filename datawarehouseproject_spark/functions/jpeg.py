@@ -754,7 +754,13 @@ def _extend(bits: int, cat: int) -> int:
 def _next_marker(data: bytes, pos: int) -> int:
     """Scan forward from ``pos`` to the next real marker (0xFF
     followed by a non-0x00, non-fill byte) after an entropy-coded
-    segment ends."""
+    segment ends. End-of-payload with no marker is treated as an
+    implicit EOI (``len(data)`` returned): a stream whose scan data
+    decoded completely but whose trailing EOI was cut off —
+    interrupted transfers, common in crawled corpora — still yields
+    its pixels (review r8 pass 2: the multi-scan rewrite had
+    regressed this vs the single-scan parser). Truncation INSIDE
+    scan data still raises, from the bit reader."""
     n = len(data)
     while pos + 1 < n:
         if data[pos] == 0xFF and data[pos + 1] != 0x00:
@@ -762,7 +768,7 @@ def _next_marker(data: bytes, pos: int) -> int:
                 pos += 1
             return pos
         pos += 1
-    raise ValueError("unterminated entropy-coded segment")
+    return n
 
 
 def _parse_sof(body: bytes):

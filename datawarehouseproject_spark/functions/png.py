@@ -150,6 +150,8 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         if crc != zlib.crc32(ctype + body):
             raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if length != 13:  # spec-fixed size; unpack would raise
+                raise ValueError("IHDR chunk must be 13 bytes")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )

@@ -201,22 +201,12 @@ def synthesize_avi_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     clips (``functions/avi.py:synth_avi``): frame count, size, and
     every pixel derive from the id by modular arithmetic."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.avi import synth_avi
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {"media_id": ids_.values, "payload": [synth_avi(int(i)) for i in ids_]}
-            )
+        return synth_avi
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -235,22 +225,12 @@ def synthesize_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of real 16-bit PCM WAV clips
     (``functions/wav.py:synth_wav``), deterministic per id."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.wav import synth_wav
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {"media_id": ids_.values, "payload": [synth_wav(int(i)) for i in ids_]}
-            )
+        return synth_wav
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def resample_wav(media: DataFrame, factor: int) -> DataFrame:
@@ -350,22 +330,12 @@ def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the test-scaffolding half; the operator under test is the DECODE.
     """
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.bmp import synth_bmp
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {"media_id": ids_.values, "payload": [synth_bmp(int(i)) for i in ids_]}
-            )
+        return synth_bmp
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -375,22 +345,12 @@ def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the BMP family), then pass through filter + DEFLATE encoding —
     so the oracle-checked decode has to undo real compression."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.png import synth_png
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {"media_id": ids_.values, "payload": [synth_png(int(i)) for i in ids_]}
-            )
+        return synth_png
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def synthesize_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -400,22 +360,12 @@ def synthesize_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the second compressed format, with a different compression
     algorithm than PNG's DEFLATE."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.gif import synth_gif
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {"media_id": ids_.values, "payload": [synth_gif(int(i)) for i in ids_]}
-            )
+        return synth_gif
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -426,22 +376,12 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     blocks, DC quant step 1, gray ⇒ Cb=Cr=128) — so the decode is
     value-checkable by the DuckDB oracle like the lossless codecs."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.jpeg import synth_jpeg
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {"media_id": ids_.values, "payload": [synth_jpeg(int(i)) for i in ids_]}
-            )
+        return synth_jpeg
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def synthesize_jpeg420_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -456,25 +396,12 @@ def synthesize_jpeg420_media(ids: DataFrame, id_col: str = "doc_id") -> DataFram
     upsampling of a constant is exact — so even the subsampled lossy
     path is value-checkable by the DuckDB oracle."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.jpeg import synth_jpeg420
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids_.values,
-                    "payload": [synth_jpeg420(int(i)) for i in ids_],
-                }
-            )
+        return synth_jpeg420
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def synthesize_progressive_jpeg_media(
@@ -802,22 +729,12 @@ def synthesize_mp3_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     every statistic the frame walk extracts — including the total
     byte length, which validates the 144·kbps/rate arithmetic."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.mpeg_audio import synth_mp3
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {"media_id": ids_.values, "payload": [synth_mp3(int(i)) for i in ids_]}
-            )
+        return synth_mp3
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def synthesize_layer1_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -828,25 +745,12 @@ def synthesize_layer1_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame
     oracle can recompute every requantized amplitude the decoder
     extracts."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.mpeg_audio import synth_mpeg1_layer1
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids_.values,
-                    "payload": [synth_mpeg1_layer1(int(i)) for i in ids_],
-                }
-            )
+        return synth_mpeg1_layer1
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 LAYER1_SUBBAND_SCHEMA = T.StructType(
@@ -936,25 +840,12 @@ def synthesize_exif_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFr
     sub-IFD (ISO, exposure) — every field modular arithmetic over
     the id, so the oracle recomputes all of them."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.exif import synth_jpeg_with_exif
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids_.values,
-                    "payload": [synth_jpeg_with_exif(int(i)) for i in ids_],
-                }
-            )
+        return synth_jpeg_with_exif
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def _extract_metadata(
@@ -1039,25 +930,12 @@ def synthesize_id3_mp3_media(ids: DataFrame, id_col: str = "doc_id") -> DataFram
     version alternates by id so both frame-size codecs (big-endian
     vs syncsafe) run on every batch."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.mpeg_audio import synth_mp3_id3
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids_.values,
-                    "payload": [synth_mp3_id3(int(i)) for i in ids_],
-                }
-            )
+        return synth_mp3_id3
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def extract_id3_tags(media: DataFrame, permissive: bool = False) -> DataFrame:
@@ -1093,25 +971,12 @@ def synthesize_proto_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     zigzag, fixed32, strings, a nested message, packed repeated
     ints, and one deliberately unknown field."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.protowire import synth_record
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids_.values,
-                    "payload": [synth_record(int(i)) for i in ids_],
-                }
-            )
+        return synth_record
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def extract_proto_records(media: DataFrame, permissive: bool = False) -> DataFrame:
@@ -1145,25 +1010,12 @@ def synthesize_zip_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     independent writer, so the scanner parses a real third-party
     byte layout."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.zipscan import synth_zip
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids_.values,
-                    "payload": [synth_zip(int(i)) for i in ids_],
-                }
-            )
+        return synth_zip
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def extract_zip_structure(media: DataFrame, permissive: bool = False) -> DataFrame:
@@ -1199,25 +1051,12 @@ def synthesize_tar_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of ustar archives written by
     the STDLIB ``tarfile`` producer (``functions/zipscan.py``)."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.zipscan import synth_tar
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids_.values,
-                    "payload": [synth_tar(int(i)) for i in ids_],
-                }
-            )
+        return synth_tar
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def extract_tar_structure(media: DataFrame, permissive: bool = False) -> DataFrame:
@@ -1251,25 +1090,12 @@ def synthesize_gzip_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of RFC 1952 gzip members
     (stdlib zlib producer, FNAME flag set, fixed mtime)."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.zipscan import synth_gzip
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids_.values,
-                    "payload": [synth_gzip(int(i)) for i in ids_],
-                }
-            )
+        return synth_gzip
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def extract_gzip_content(media: DataFrame, permissive: bool = False) -> DataFrame:
@@ -1298,22 +1124,12 @@ def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     slices, with payload bytes engineered to exercise emulation
     prevention."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def loader():
         from ..functions.h264 import synth_h264
 
-        for pdf in it:
-            ids_ = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {"media_id": ids_.values, "payload": [synth_h264(int(i)) for i in ids_]}
-            )
+        return synth_h264
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-    return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _synthesize_media(ids, id_col, loader)
 
 
 def _synthesize_media(ids: DataFrame, id_col: str, synth_loader) -> DataFrame:
