@@ -588,3 +588,27 @@ def test_malformed_dht_oversized_symbol_quarantines_not_overflow():
     payload[i + 4 : i + 2 + seglen] = body[: seglen - 2]
     with pytest.raises(ValueError):
         decode_jpeg_coefficients(bytes(payload))
+
+
+def test_missing_eoi_still_decodes():
+    """A stream whose entropy data decoded completely but whose EOI
+    marker was cut off (interrupted transfer) must still yield its
+    pixels (review r8 pass 2 — the multi-scan rewrite briefly
+    regressed this)."""
+    from datawarehouseproject_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    for seed in (3, 7):
+        w, h = synth_jpeg_size(seed)
+        px = synth_jpeg_pixels(seed, w, h)
+        full = synth_jpeg(seed)
+        assert full.endswith(b"\xff\xd9")
+        _, _, rgb = decode_jpeg(full[:-2])
+        assert np.array_equal(rgb, px)
+    # progressive too: EOI after the final scan
+    px = synth_jpeg_pixels(5, 32, 16)
+    prog = encode_jpeg_progressive(px, subsampling="420")
+    _, _, a = decode_jpeg(prog)
+    _, _, b = decode_jpeg(prog[:-2])
+    assert np.array_equal(a, b)

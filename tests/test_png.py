@@ -292,3 +292,26 @@ def test_truncation_inside_chunk_crc_raises_valueerror():
             decode_png(payload[:cut])
         except ValueError:
             pass  # the only acceptable failure type
+
+
+def test_ihdr_wrong_length_raises_valueerror():
+    """An IHDR declaring length != 13 with a matching CRC used to
+    raise struct.error from the fixed-size unpack (review r8
+    pass 2)."""
+    import pytest as _pt
+    import struct as _st
+    import zlib as _z
+
+    payload = bytearray(synth_png(2))
+    # rebuild the IHDR chunk with a 12-byte body and a VALID crc
+    body = payload[16 : 16 + 12]
+    bad = (
+        payload[:8]
+        + _st.pack(">I", 12)
+        + b"IHDR"
+        + body
+        + _st.pack(">I", _z.crc32(b"IHDR" + bytes(body)))
+        + payload[16 + 13 + 4 :]
+    )
+    with _pt.raises(ValueError, match="IHDR chunk must be 13"):
+        decode_png(bytes(bad))

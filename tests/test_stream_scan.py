@@ -293,3 +293,22 @@ def test_spark_h264_ipcm_features_permissive(spark):
     assert out[4]["sum_cb"] == int(cb.sum(dtype="int64"))
     assert out[4]["sum_cr"] == int(cr.sum(dtype="int64"))
     assert out[9]["decode_error"] is not None and out[9]["sum_y"] is None
+
+
+def test_h264_ipcm_rejects_second_idr_frame():
+    """Two concatenated access units: single-frame decode must raise
+    (n_mbs summed across frames while planes were overwritten —
+    review r8 pass 2)."""
+    import pytest as _pt
+
+    from datawarehouseproject_spark.functions.h264 import (
+        decode_h264_ipcm,
+        synth_h264_ipcm,
+    )
+
+    one = synth_h264_ipcm(2)
+    # append the IDR NAL of the same stream again (SPS/PPS reused)
+    idr_at = one.find(b"\x00\x00\x00\x01\x65")
+    two = one + one[idr_at:]
+    with _pt.raises(ValueError, match="multiple IDR"):
+        decode_h264_ipcm(two)
