@@ -1157,6 +1157,23 @@ def _synthesize_media(ids: DataFrame, id_col: str, synth_loader) -> DataFrame:
     return _balanced_ids(ids, id_col).mapInPandas(batches, schema=schema)
 
 
+def synthesize_palette_png_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of PALETTE (color type 3)
+    PNGs (``functions/png.py:synth_png_palette``): index planes from
+    modular arithmetic through a fixed 256-entry PLTE table; every
+    2nd seed Adam7-interlaced on top — the icon/web-graphic profile
+    that dominates real PNG corpora by file count."""
+
+    def loader():
+        from ..functions.png import synth_png_palette
+
+        return synth_png_palette
+
+    return _synthesize_media(ids, id_col, loader)
+
+
 def synthesize_webp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of WebP RIFF containers
     (``functions/webp.py``) — the profile rotates per id: lossy VP8,

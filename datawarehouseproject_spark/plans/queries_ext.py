@@ -785,6 +785,52 @@ def q_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_palette_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             9 + (doc_id % 8) * 2 AS w,
+             7 + (doc_id % 7) * 2 AS h
+      FROM documents),
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m),
+    xy AS (
+      SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      FROM xs),
+    px AS (
+      SELECT media_id, w, h,
+             (media_id * 7 + x * 3 + y * 5) % 256 AS i
+      FROM xy)
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(i) AS BIGINT) AS sum_r,
+           CAST(sum((2 * i + 9) % 256) AS BIGINT) AS sum_g,
+           CAST(sum(255 - i) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY media_id, w, h
+    """,
+    tags=("multimodal", "mapInPandas", "png", "palette", "adam7"),
+)
+def q_png_palette_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTE (color type 3) PNG decode, value-checked (round 8):
+    the icon/web-graphic profile that dominates real PNG corpora by
+    file count — one byte per pixel filtered at bpp=1, a PLTE chunk,
+    and a palette gather at the end; every 2nd document is ALSO
+    Adam7-interlaced, composing the two round-8 PNG extensions. The
+    palette maps index i -> (i, (2i+9)%256, 255-i), so the oracle
+    recomputes all three channel sums per cell from the index
+    formula; a bpp mixup in the filter distance, a PLTE parse bug,
+    or a pass-geometry error each shift sums and break the hash."""
+    _utc(spark)
+    from ..operators.multimodal import synthesize_palette_png_media
+
+    media = synthesize_palette_png_media(_t(spark, sf_dir, "documents"))
+    return extract_image_features(media, codec="png")
+
+
+@register(
     "jpeg_image_features",
     oracle="""
     WITH m AS (

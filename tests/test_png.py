@@ -160,11 +160,17 @@ def test_decode_rejects_malformed():
     bad[idat_off] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # unsupported profile: grayscale (color type 0)
+    # grayscale (color type 0) DECODES as of round 8 — the 1x1
+    # hand-built payload replicates its sample into all channels
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
     gray = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00\x05")) + _chunk(b"IEND", b"")
+    _, _, px = decode_png(gray)
+    assert px.tolist() == [[[5, 5, 5]]]
+    # genuinely unsupported: RGBA (color type 6)
+    ihdr6 = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    rgba = PNG_SIG + _chunk(b"IHDR", ihdr6) + _chunk(b"IDAT", zlib.compress(b"\x00\x05\x05\x05\xff")) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="unsupported"):
-        decode_png(gray)
+        decode_png(rgba)
 
 
 def test_synth_png_decodes_to_formula():
@@ -315,3 +321,81 @@ def test_ihdr_wrong_length_raises_valueerror():
     )
     with _pt.raises(ValueError, match="IHDR chunk must be 13"):
         decode_png(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# Grayscale + palette color types (round 8).
+# ---------------------------------------------------------------------------
+
+
+def test_gray_and_palette_roundtrip_both_layouts():
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    pal = np.stack(
+        [
+            np.arange(256),
+            (2 * np.arange(256) + 9) % 256,
+            255 - np.arange(256),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    for t in range(8):
+        h, w = rng.randint(1, 25, 2)
+        g = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        idx = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        for il in (False, True):
+            _, _, back = decode_png(
+                encode_png(w, h, g, interlace=il, color_type=0)
+            )
+            assert np.array_equal(back, np.stack([g, g, g], axis=-1))
+            _, _, back = decode_png(
+                encode_png(w, h, idx, interlace=il, color_type=3, palette=pal)
+            )
+            assert np.array_equal(back, pal[idx.astype(np.int64)])
+
+
+def test_palette_synth_matches_formula():
+    import numpy as np
+
+    from datawarehouseproject_spark.functions.png import (
+        synth_png_palette,
+        synth_png_palette_indices,
+        synth_png_palette_size,
+        synth_png_palette_table,
+    )
+
+    pal = synth_png_palette_table()
+    for seed in range(20):
+        w, h = synth_png_palette_size(seed)
+        payload = synth_png_palette(seed)
+        if seed % 2 == 1:
+            # interlaced seeds carry the Adam7 flag in IHDR byte 12
+            assert payload[16 + 12] == 1
+        w2, h2, rgb = decode_png(payload)
+        assert (w2, h2) == (w, h)
+        idx = synth_png_palette_indices(seed, w, h)
+        assert np.array_equal(rgb, pal[idx.astype(np.int64)]), seed
+
+
+def test_palette_errors_quarantine():
+    import numpy as np
+    import pytest as _pt
+
+    from datawarehouseproject_spark.functions.png import (
+        synth_png_palette,
+    )
+
+    good = bytearray(synth_png_palette(2))
+    # strip the PLTE chunk: palette PNG without PLTE must reject
+    p = good.index(b"PLTE") - 4
+    (ln,) = struct.unpack_from(">I", good, p)
+    no_plte = good[:p] + good[p + 12 + ln :]
+    with _pt.raises(ValueError, match="without a PLTE"):
+        decode_png(bytes(no_plte))
+    # an out-of-range index vs a SHORT palette must reject: re-build
+    # with a 4-entry palette and an index of 9
+    short_pal = np.zeros((4, 3), dtype=np.uint8)
+    with _pt.raises(ValueError, match="outside the palette"):
+        encode_png(2, 1, np.array([[1, 9]], dtype=np.uint8),
+                   color_type=3, palette=short_pal)
