@@ -1174,6 +1174,47 @@ def synthesize_palette_png_media(
     return _synthesize_media(ids, id_col, loader)
 
 
+def synthesize_tiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of MULTI-PAGE TIFFs
+    (``functions/tiff.py:synth_tiff``): chained IFDs, alternating
+    byte order per id, word-aligned directories."""
+
+    def loader():
+        from ..functions.tiff import synth_tiff
+
+        return synth_tiff
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+TIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("compression", T.IntegerType()),
+        T.StructField("total_pixels", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_tiff_structure(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Multi-page TIFF triage per payload: IFD-chain walk with
+    cycle detection (:func:`..functions.tiff.scan_tiff`)."""
+
+    def loader():
+        from ..functions.tiff import scan_tiff
+
+        return scan_tiff
+
+    return _extract_metadata(media, TIFF_SCHEMA, loader, permissive)
+
+
 def synthesize_webp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of WebP RIFF containers
     (``functions/webp.py``) — the profile rotates per id: lossy VP8,

@@ -1474,6 +1474,59 @@ def q_jpeg_cross_profile_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tiff_container_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 4 AS np_ FROM documents),
+    pg AS (
+      SELECT media_id, np_, unnest(generate_series(0, np_ - 1)) AS p
+      FROM m),
+    dims AS (
+      SELECT media_id, np_, p,
+             40 + (media_id * 3 + p * 7) % 500 AS w,
+             30 + (media_id * 11 + p * 13) % 400 AS h
+      FROM pg),
+    tot AS (
+      SELECT media_id, np_, sum(w * h) AS tp FROM dims
+      GROUP BY media_id, np_)
+    SELECT t.media_id,
+           CASE WHEN t.media_id % 2 = 0 THEN 'II' ELSE 'MM' END
+             AS byte_order,
+           CAST(t.np_ AS INTEGER) AS n_pages,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           CAST(CASE (t.media_id) % 3 WHEN 0 THEN 1 WHEN 1 THEN 8
+                ELSE 8 END AS INTEGER) AS bits_per_sample,
+           CAST(CASE (t.media_id) % 3 WHEN 0 THEN 1 WHEN 1 THEN 5
+                ELSE 7 END AS INTEGER) AS compression,
+           CAST(t.tp AS BIGINT) AS total_pixels
+    FROM tot t JOIN dims d ON d.media_id = t.media_id AND d.p = 0
+    """,
+    tags=("multimodal", "mapInPandas", "tiff", "multipage", "triage"),
+)
+def q_tiff_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PAGE TIFF triage, value-checked (round 8): synthesize
+    one multi-page TIFF per document — chained IFDs (the next-IFD
+    pointer the EXIF profile never exercises), byte order
+    ALTERNATING per id, word-aligned directories, SHORT and LONG
+    integer tags mixed — and walk the page chain inside
+    Arrow-batched mapInPandas (``functions/tiff.py``, reusing the
+    EXIF IFD reader). Scanned-document corpora are multi-page TIFFs;
+    page count / dims / compression triage decides OCR routing
+    without reading a single strip byte. Cycle detection bounds a
+    crafted next-IFD loop (the tar negative-size lesson). The oracle
+    recomputes every field from the page-plan formulas."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_tiff_structure,
+        synthesize_tiff_media,
+    )
+
+    media = synthesize_tiff_media(_t(spark, sf_dir, "documents"))
+    return extract_tiff_structure(media).drop("payload_bytes")
+
+
+@register(
     "gif_animation_scan",
     oracle="""
     WITH m AS (
