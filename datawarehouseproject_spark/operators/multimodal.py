@@ -1174,6 +1174,49 @@ def synthesize_palette_png_media(
     return _synthesize_media(ids, id_col, loader)
 
 
+def synthesize_parquet_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of REAL parquet files
+    written by pyarrow (``functions/parquet_footer.py``) — the
+    independent producer pinning the hand-rolled Thrift reader."""
+
+    def loader():
+        from ..functions.parquet_footer import synth_parquet
+
+        return synth_parquet
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+PARQUET_FOOTER_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_row_groups", T.IntegerType()),
+        T.StructField("n_columns", T.IntegerType()),
+        T.StructField("total_byte_size", T.LongType()),
+        T.StructField("created_by", T.StringType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_parquet_footer(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Parquet footer triage per payload: Thrift compact-protocol
+    FileMetaData parse
+    (:func:`..functions.parquet_footer.scan_parquet_footer`)."""
+
+    def loader():
+        from ..functions.parquet_footer import scan_parquet_footer
+
+        return scan_parquet_footer
+
+    return _extract_metadata(media, PARQUET_FOOTER_SCHEMA, loader, permissive)
+
+
 def synthesize_tiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of MULTI-PAGE TIFFs
     (``functions/tiff.py:synth_tiff``): chained IFDs, alternating

@@ -1474,6 +1474,57 @@ def q_jpeg_cross_profile_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_footer_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             20 + (doc_id * 7) % 300 AS nr,
+             2 + doc_id % 3 AS nc
+      FROM documents)
+    SELECT media_id,
+           CAST(2 AS INTEGER) AS version,
+           CAST(nr AS BIGINT) AS n_rows,
+           CAST((nr + 24) // 25 AS INTEGER) AS n_row_groups,
+           CAST(nc AS INTEGER) AS n_columns
+    FROM m
+    """,
+    tags=("sources", "parquet", "thrift", "mapInPandas", "triage"),
+)
+def q_parquet_footer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER triage, value-checked (round 8): the engine's
+    OWN storage format scanned from raw bytes — synthesize one real
+    parquet file per document with PYARROW (a genuinely independent
+    producer, like stdlib zipfile for the ZIP scan) and parse the
+    FileMetaData footer by hand inside Arrow-batched mapInPandas:
+    the PAR1 magic + u32le length tail, then the Thrift COMPACT
+    protocol (delta-encoded field headers, zigzag varints,
+    size-prefixed lists, nested structs with unknown-field skip —
+    the forward-compatibility contract protobuf-style readers need).
+    Extracts version / num_rows / row-group count / leaf-column
+    count, and CHECKS the per-row-group row sums against the file
+    total (an inconsistent footer fails loudly).
+
+    This is how a 100 TB lakehouse plans work: splits and file
+    pruning read the last few KB of each file, never the column
+    chunks — the read-the-index-not-the-data shape of the ZIP
+    central-directory scan, applied to the engine's own tables. The
+    oracle recomputes every field from the writer plan; created_by
+    and byte sizes are producer-dependent and pinned in
+    ``tests/test_parquet_footer.py`` (which also scans the DRIVER'S
+    testdata files — a second independent producer)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_parquet_footer,
+        synthesize_parquet_media,
+    )
+
+    media = synthesize_parquet_media(_t(spark, sf_dir, "documents"))
+    return extract_parquet_footer(media).select(
+        "media_id", "version", "n_rows", "n_row_groups", "n_columns"
+    )
+
+
+@register(
     "tiff_container_scan",
     oracle="""
     WITH m AS (

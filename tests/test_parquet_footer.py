@@ -1,0 +1,103 @@
+"""Parquet footer scanner — functions/parquet_footer.py (round 8):
+hand-parsed Thrift compact protocol pinned against TWO independent
+producers (pyarrow in-process, and the driver's Spark-written
+testdata files)."""
+
+from __future__ import annotations
+
+import glob
+import struct
+
+import pytest
+
+from datawarehouseproject_spark.functions.parquet_footer import (
+    scan_parquet_footer,
+    synth_parquet,
+    synth_parquet_plan,
+)
+
+
+def test_scan_matches_pyarrow_writer_plan():
+    for seed in range(20):
+        plan = synth_parquet_plan(seed)
+        payload = synth_parquet(seed)
+        got = scan_parquet_footer(payload)
+        assert got["n_rows"] == plan["n_rows"]
+        assert got["n_row_groups"] == plan["n_row_groups"]
+        assert got["n_columns"] == plan["n_columns"]
+        assert "arrow" in (got["created_by"] or "").lower()
+        assert got["total_byte_size"] > 0
+        assert got["payload_bytes"] == len(payload)
+
+
+def test_scan_reads_driver_testdata_files():
+    """Second independent producer: the per-round driver-generated
+    parquet tables must scan, and the row counts must agree with a
+    real reader (duckdb)."""
+    import duckdb
+
+    files = sorted(glob.glob("/root/testdata/sf0.001/*.parquet"))
+    assert files, "driver testdata missing"
+    for f in files[:4]:
+        got = scan_parquet_footer(open(f, "rb").read())
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{f}')"
+        ).fetchone()[0]
+        assert got["n_rows"] == n, f
+        assert got["n_columns"] >= 1 and got["n_row_groups"] >= 1
+
+
+def test_inconsistent_footer_fails_loudly():
+    """Per-row-group rows must sum to the file total; a tampered
+    count is an integrity failure, not a silent wrong answer."""
+    payload = bytearray(synth_parquet(3))
+    # hand-build a FileMetaData whose file-level num_rows (10)
+    # disagrees with its single row group (5): field 3 i64 then
+    # field 4 list<struct> in compact wire form
+    meta = bytes(
+        [
+            0x36, 20,        # field 3 (delta 3, i64): zigzag(10)
+            0x19, 0x1C,      # field 4 (delta 1, list): 1 x struct
+            0x36, 10,        # RowGroup field 3 (i64): zigzag(5)
+            0x00,            # stop (RowGroup)
+            0x00,            # stop (FileMetaData)
+        ]
+    )
+    fake = b"PAR1" + meta + struct.pack("<I", len(meta)) + b"PAR1"
+    with pytest.raises(ValueError, match="inconsistent footer"):
+        scan_parquet_footer(fake)
+    # malformed structures quarantine as ValueError
+    with pytest.raises(ValueError, match="PAR1"):
+        scan_parquet_footer(b"not parquet")
+    with pytest.raises(ValueError, match="PAR1"):
+        scan_parquet_footer(b"PAR1" + b"\x00" * 10)  # missing tail magic
+    bad_len = bytearray(payload)
+    struct.pack_into("<I", bad_len, len(bad_len) - 8, 2**31)
+    with pytest.raises(ValueError, match="footer length"):
+        scan_parquet_footer(bytes(bad_len))
+    # truncated thrift data inside the footer
+    (flen,) = struct.unpack_from("<I", payload, len(payload) - 8)
+    start = len(payload) - 8 - flen
+    chopped = payload[: start + flen // 2] + payload[len(payload) - 8 :]
+    with pytest.raises(ValueError):
+        scan_parquet_footer(bytes(chopped))
+
+
+def test_spark_permissive_quarantine(spark):
+    from datawarehouseproject_spark.operators.multimodal import (
+        extract_parquet_footer,
+    )
+
+    rows = [
+        (1, bytearray(synth_parquet(1))),
+        (9, bytearray(b"PAR1 garbage PAR")),
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    out = {
+        r["media_id"]: r
+        for r in extract_parquet_footer(media, permissive=True).collect()
+    }
+    plan = synth_parquet_plan(1)
+    assert out[1]["decode_error"] is None
+    assert out[1]["n_rows"] == plan["n_rows"]
+    assert out[9]["decode_error"] is not None and out[9]["n_rows"] is None
