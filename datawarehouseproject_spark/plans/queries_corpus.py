@@ -956,3 +956,131 @@ def q_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "srt_subtitle_parse",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 2 + doc_id % 4 AS nc FROM documents),
+    cue AS (
+      SELECT doc_id, nc, unnest(generate_series(0, nc - 1)) AS i
+      FROM m),
+    t AS (
+      SELECT doc_id, nc, i,
+             (doc_id * 97) % 5000 + i * 4000 AS start_ms,
+             800 + (doc_id + i * 7) % 2200 AS dur_ms,
+             5 + 2 * (1 + (doc_id + i) % 5) AS text_chars
+      FROM cue)
+    SELECT doc_id,
+           CAST(max(nc) AS INTEGER) AS n_cues,
+           CAST(sum(dur_ms) AS BIGINT) AS total_duration_ms,
+           CAST(sum(text_chars) AS BIGINT) AS total_text_chars,
+           CAST(max(start_ms + dur_ms) AS BIGINT) AS max_end_ms
+    FROM t
+    GROUP BY doc_id
+    """,
+    tags=("corpus", "subtitles", "srt", "zero-udf", "hof"),
+)
+def q_srt_subtitle_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT subtitle GENERATE-then-PARSE, fully JVM-side (round 8):
+    the text companion of the video-triage family — transcripts for
+    a video corpus arrive as SubRip cue files ("N\\n
+    HH:MM:SS,mmm --> HH:MM:SS,mmm\\ntext\\n\\n"), and alignment /
+    dedup / packing all need per-file cue statistics.
+
+    Each document SYNTHESIZES its cue file with higher-order
+    functions (``transform`` over a ``sequence`` building every
+    block, zero UDFs), then PARSES it back through a DIFFERENT code
+    path: split on blank lines, per-cue ``regexp_extract`` of the
+    two HH:MM:SS,mmm timestamps, component arithmetic to
+    milliseconds, text-length accumulation — also zero UDFs. The
+    oracle recomputes the expected statistics directly from the cue
+    formulas, so the value match proves the PARSE (a regex group
+    off-by-one, a 60-vs-1000 carry slip, or a split that eats the
+    final cue each break the hash)."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def fmt(ms):
+        return F.concat(
+            F.lpad((ms / 3600000).cast("int").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((ms / 60000).cast("int") % 60).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((ms / 1000).cast("int") % 60).cast("string"), 2, "0"),
+            F.lit(","),
+            F.lpad((ms % 1000).cast("string"), 3, "0"),
+        )
+
+    gen = docs.withColumn(
+        "srt",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), (F.col("doc_id") % 4 + 1).cast("int")),
+                lambda i: F.concat(
+                    (i + 1).cast("string"),
+                    F.lit("\n"),
+                    fmt(
+                        (F.col("doc_id") * 97) % 5000 + i.cast("bigint") * 4000
+                    ),
+                    F.lit(" --> "),
+                    fmt(
+                        (F.col("doc_id") * 97) % 5000
+                        + i.cast("bigint") * 4000
+                        + 800
+                        + (F.col("doc_id") + i.cast("bigint") * 7) % 2200
+                    ),
+                    F.lit("\n"),
+                    F.lit("line "),
+                    F.repeat(
+                        F.lit("ab"),
+                        (1 + (F.col("doc_id") + i.cast("bigint")) % 5).cast(
+                            "int"
+                        ),
+                    ),
+                    F.lit("\n\n"),
+                ),
+            ),
+        ),
+    ).select("doc_id", "srt")
+
+    # PARSE path: blank-line split -> per-cue regex + arithmetic
+    ts = r"(\d{2}):(\d{2}):(\d{2}),(\d{3})"
+    pat = ts + r" --> " + ts
+
+    def comp(cue, grp):
+        return F.regexp_extract(cue, pat, grp).cast("bigint")
+
+    def to_ms(cue, base):
+        return (
+            comp(cue, base) * 3600000
+            + comp(cue, base + 1) * 60000
+            + comp(cue, base + 2) * 1000
+            + comp(cue, base + 3)
+        )
+
+    cues = gen.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.col("srt"), "\n\n"), lambda c: c != F.lit("")
+            )
+        ).alias("cue"),
+    ).select(
+        "doc_id",
+        to_ms(F.col("cue"), 1).alias("start_ms"),
+        to_ms(F.col("cue"), 5).alias("end_ms"),
+        F.length(F.element_at(F.split(F.col("cue"), "\n"), 3)).alias(
+            "text_chars"
+        ),
+    )
+    return cues.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_cues"),
+        F.sum(F.col("end_ms") - F.col("start_ms"))
+        .cast("bigint")
+        .alias("total_duration_ms"),
+        F.sum("text_chars").cast("bigint").alias("total_text_chars"),
+        F.max("end_ms").cast("bigint").alias("max_end_ms"),
+    )
