@@ -346,3 +346,58 @@ if __name__ == "__main__":
     main()
     archive_kernels()
     round8_kernels()
+    round8b_kernels()
+
+
+def round8b_kernels() -> None:
+    """Late round-8 scanners: palette PNG (bpp=1 filters + gather),
+    multi-page TIFF chains, parquet footers (Thrift compact), SRT is
+    JVM-side (no Python kernel to measure)."""
+    from datawarehouseproject_spark.functions.parquet_footer import (
+        scan_parquet_footer,
+        synth_parquet,
+    )
+    from datawarehouseproject_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+    from datawarehouseproject_spark.functions.tiff import (
+        scan_tiff,
+        synth_tiff,
+    )
+
+    rng = np.random.RandomState(11)
+    H, W = 256, 256
+    idx = rng.randint(0, 256, (H, W), dtype=np.uint8)
+    pal = np.stack(
+        [np.arange(256), (2 * np.arange(256) + 9) % 256,
+         255 - np.arange(256)], axis=-1
+    ).astype(np.uint8)
+    payload = encode_png(W, H, idx, interlace=True, color_type=3, palette=pal)
+    secs, (w, h, back) = _timeit(decode_png, payload)
+    assert (w, h) == (W, H)
+    print(json.dumps({
+        "kernel": "png_palette_adam7_decode",
+        "media": f"{W}x{H} palette, 7 passes",
+        "payload_bytes": len(payload),
+        "mpx_per_s": round(W * H / secs / 1e6, 3),
+        "sec": round(secs, 4),
+    }))
+
+    tiffs = [synth_tiff(s) for s in range(2000)]
+    secs, n = _timeit(lambda: sum(scan_tiff(t)["n_pages"] for t in tiffs))
+    print(json.dumps({
+        "kernel": "tiff_chain_triage",
+        "media": f"{sum(map(len, tiffs))} bytes, 2000 files, {n} pages",
+        "files_per_s": int(2000 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    pqs = [synth_parquet(s) for s in range(300)]
+    secs, n = _timeit(lambda: sum(scan_parquet_footer(p)["n_rows"] for p in pqs))
+    print(json.dumps({
+        "kernel": "parquet_footer_triage",
+        "media": f"{sum(map(len, pqs))} bytes, 300 files, {n} rows",
+        "files_per_s": int(300 / secs),
+        "sec": round(secs, 4),
+    }))
