@@ -1,0 +1,67 @@
+"""Media format sniffing: magic-byte dispatch for unlabeled corpora.
+
+A real crawl corpus does NOT arrive labeled — content-type headers
+lie, extensions lie, and the first routing decision every multimodal
+pipeline makes is "what IS this payload?" from its leading bytes.
+This is the dispatcher in front of the per-format triage scanners
+(SURVEY §8.4): cheap (a few byte compares per payload), exhaustive
+over the formats this engine parses, and honest about the rest
+(``unknown``, never a guess).
+
+All signatures are public format facts: JPEG ``FF D8 FF``, PNG's
+8-byte signature, ``GIF8``, ``BM``, RIFF fourccs (WEBP/AVI /WAVE),
+``fLaC``, TIFF ``II*\\0``/``MM\\0*``, ZIP local/EOCD ``PK``, gzip
+``1F 8B``, MP3 (ID3v2 tag or an 11-bit frame sync), H.264 Annex B
+start codes, parquet ``PAR1`` at BOTH ends (the head magic alone
+also matches the footer-only tail of a partial file — requiring
+both avoids that false positive), FLAC, and MPEG-1 Layer I's sync
+with layer bits 11 (folded into ``mpeg_audio``).
+"""
+
+from __future__ import annotations
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_media_format(payload: bytes) -> str:
+    """Leading-bytes format dispatch. Returns one of: jpeg, png,
+    gif, bmp, webp, avi, wav, flac, tiff, zip, gzip, mpeg_audio,
+    h264, parquet, unknown. Never raises — an unrecognizable
+    payload IS the answer ``unknown`` (sniffing feeds the
+    quarantine decision, it must not need one itself)."""
+    if len(payload) < 4:
+        return "unknown"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return "png"
+    if payload[:4] == b"GIF8":
+        return "gif"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:4] == b"RIFF" and len(payload) >= 12:
+        fourcc = payload[8:12]
+        if fourcc == b"WEBP":
+            return "webp"
+        if fourcc == b"AVI ":
+            return "avi"
+        if fourcc == b"WAVE":
+            return "wav"
+        return "unknown"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x06\x06"):
+        return "zip"
+    if payload[:2] == b"\x1f\x8b":
+        return "gzip"
+    if payload[:4] == b"PAR1" and payload[-4:] == b"PAR1":
+        return "parquet"
+    if payload[:3] == b"ID3":
+        return "mpeg_audio"
+    if payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":
+        return "h264"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        return "mpeg_audio"  # 11-bit frame sync (any MPEG layer)
+    return "unknown"

@@ -22,10 +22,18 @@ oracles over synthesized media:
 
 The generic byte-statistics path (``decode_stub``) remains for
 arbitrary payloads. Compressed formats decode natively too: PNG
-(DEFLATE, :mod:`..functions.png`), GIF (LZW, :mod:`..functions.gif`),
-baseline JPEG (huffman + IDCT, :mod:`..functions.jpeg`), ADPCM audio
-(:mod:`..functions.adpcm`); MP3/H.264 still need
-torchaudio/ffmpeg — swap the per-batch decode call in production.
+(DEFLATE + Adam7 + gray/palette, :mod:`..functions.png`), GIF (LZW +
+89a animation triage, :mod:`..functions.gif`), JPEG — baseline,
+subsampled 4:2:0/4:2:2 with restarts, AND progressive SOF2
+(:mod:`..functions.jpeg`), ADPCM audio (:mod:`..functions.adpcm`),
+MPEG-1 Layer I samples (:mod:`..functions.mpeg_audio`), H.264 I_PCM
+pixels (:mod:`..functions.h264`). Structure/metadata triage covers
+MP3/ID3, H.264 NAL/SPS, EXIF/TIFF, WebP, FLAC, ZIP/ZIP64, tar
+(pax/GNU), gzip, protobuf, and parquet footers. The remaining
+decode boundaries are documented per module: MP3 Layer II/III PCM
+(unreproducible ISO tables), H.264 CAVLC/CABAC residuals, VP8
+entropy, TIFF strips — a production pipeline routes those payloads
+to ffmpeg AFTER this triage layer decides what is worth routing.
 """
 
 from __future__ import annotations
@@ -1172,6 +1180,60 @@ def synthesize_palette_png_media(
         return synth_png_palette
 
     return _synthesize_media(ids, id_col, loader)
+
+
+#: the mixed-corpus rotation for `media_format_sniff`: id % 8 picks
+#: the synthesizer; the EXPECTED label is the sniffer's vocabulary
+SNIFF_ROTATION = ("jpeg", "png", "gif", "webp", "flac", "tiff", "zip",
+                  "parquet")
+
+
+def synthesize_mixed_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of a MIXED, unlabeled corpus:
+    the format rotates with id % 8 through eight real synthesizers —
+    how a crawl actually arrives, and the fixture the sniffer runs
+    against."""
+
+    def loader():
+        from ..functions.flac import synth_flac
+        from ..functions.gif import synth_gif_anim
+        from ..functions.jpeg import synth_jpeg420
+        from ..functions.parquet_footer import synth_parquet
+        from ..functions.png import synth_png
+        from ..functions.tiff import synth_tiff
+        from ..functions.webp import synth_webp
+        from ..functions.zipscan import synth_zip
+
+        table = (synth_jpeg420, synth_png, synth_gif_anim, synth_webp,
+                 synth_flac, synth_tiff, synth_zip, synth_parquet)
+
+        def synth(i: int) -> bytes:
+            return table[i % 8](i)
+
+        return synth
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+SNIFF_SCHEMA = T.StructType([T.StructField("fmt", T.StringType())])
+
+
+def sniff_media(media: DataFrame) -> DataFrame:
+    """Magic-byte format dispatch per payload
+    (:func:`..functions.sniff.sniff_media_format`) — never raises,
+    so no permissive mode is needed: unknown IS the answer."""
+
+    def loader():
+        from ..functions.sniff import sniff_media_format
+
+        def parse(payload: bytes) -> dict:
+            return {"fmt": sniff_media_format(payload)}
+
+        return parse
+
+    return _extract_metadata(media, SNIFF_SCHEMA, loader, False)
 
 
 def synthesize_parquet_media(

@@ -1474,6 +1474,39 @@ def q_jpeg_cross_profile_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_format_sniff",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+             WHEN 3 THEN 'webp' WHEN 4 THEN 'flac' WHEN 5 THEN 'tiff'
+             WHEN 6 THEN 'zip' ELSE 'parquet' END AS fmt
+    FROM documents
+    """,
+    tags=("multimodal", "mapInPandas", "sniff", "dispatch", "composition"),
+)
+def q_media_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte FORMAT SNIFFING over an unlabeled mixed corpus
+    (round 8): the dispatcher in front of every per-format triage
+    scanner — a real crawl does not arrive labeled, and routing each
+    payload to the right parser from its leading bytes is the first
+    decision the pipeline makes. The fixture rotates id % 8 through
+    EIGHT real synthesizers (4:2:0 JPEG, PNG, GIF89a animation,
+    WebP, FLAC, multi-page TIFF, stdlib ZIP incl. the ZIP64 seeds,
+    pyarrow parquet) and the sniffer
+    (``functions/sniff.py:sniff_media_format``) must label every
+    row correctly — a per-document value check, not just counts.
+    The sniffer never raises: ``unknown`` IS the answer for
+    unrecognizable bytes (sniffing feeds the quarantine decision,
+    so it cannot need one itself)."""
+    _utc(spark)
+    from ..operators.multimodal import sniff_media, synthesize_mixed_media
+
+    media = synthesize_mixed_media(_t(spark, sf_dir, "documents"))
+    return sniff_media(media)
+
+
+@register(
     "parquet_footer_scan",
     oracle="""
     WITH m AS (
