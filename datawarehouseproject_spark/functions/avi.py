@@ -134,7 +134,9 @@ def decode_avi(payload: bytes) -> tuple[int, int, np.ndarray]:
                     )
                 )
 
-    visit(12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    # clamp the declared RIFF size to the actual payload: a lying
+    # size field drove unpack_from past the buffer (round-8 fuzz)
+    visit(12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0]))
     if width is None:
         raise ValueError("missing strf video header")
     stacked = (

@@ -202,10 +202,19 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
         marker = payload[pos]
         if marker == 0x21:  # 89a extension: label + sub-blocks
             pos += 2
-            while payload[pos] != 0:
+            while True:
+                # bounds-guarded: a mutated sub-block length running
+                # past the end raised IndexError and escaped the
+                # permissive quarantine (round-8 fuzz test)
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension blocks")
+                if payload[pos] == 0:
+                    pos += 1
+                    break
                 pos += 1 + payload[pos]
-            pos += 1
         elif marker == 0x2C:  # image descriptor
+            if pos + 11 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
             _, _, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
             if iflags & 0x40:
@@ -217,11 +226,15 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError(f"unsupported LZW min code size {min_code}")
             pos += 1
             lzw = bytearray()
-            while payload[pos] != 0:
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF image sub-blocks")
                 n = payload[pos]
+                if n == 0:
+                    pos += 1
+                    break
                 lzw += payload[pos + 1 : pos + 1 + n]
                 pos += 1 + n
-            pos += 1
             indices = _lzw_decompress(bytes(lzw), iw * ih)
             if len(indices) != iw * ih:
                 raise ValueError(

@@ -71,7 +71,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
+            if size < 16 or len(body) < 16:
+                # the DECLARED size can exceed the actual body on a
+                # truncated payload; unpack_from would raise
+                # struct.error past the quarantine (round-8 fuzz)
                 raise ValueError("truncated fmt chunk")
             audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0

@@ -1,0 +1,97 @@
+"""Deterministic fuzz of the permissive-quarantine contract (round
+8): every parser in the multimodal/archive surface must either
+succeed or raise ValueError on mutated and truncated inputs — any
+other exception type escapes `except ValueError` in the permissive
+extractors and kills a whole Spark task for one corrupt payload.
+The round-8 review passes found three such escapes (OverflowError
+from a malformed JPEG DHT, struct.error from PNG CRC truncation and
+from a short IHDR) by exactly this procedure; this test pins the
+class closed for every parser at once."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _cases():
+    from datawarehouseproject_spark.functions import (
+        avi,
+        bmp,
+        exif,
+        flac,
+        gif,
+        h264,
+        jpeg,
+        mpeg_audio,
+        parquet_footer,
+        png,
+        tiff,
+        wav,
+        webp,
+        zipscan,
+    )
+
+    return [
+        ("bmp", bmp.synth_bmp, bmp.decode_bmp),
+        ("wav", wav.synth_wav, wav.decode_wav),
+        ("avi", avi.synth_avi, avi.decode_avi),
+        ("jpeg", jpeg.synth_jpeg, jpeg.decode_jpeg),
+        ("jpeg420", jpeg.synth_jpeg420, jpeg.decode_jpeg),
+        ("jpeg_prog", jpeg.synth_jpeg_progressive, jpeg.decode_jpeg),
+        ("png", png.synth_png, png.decode_png),
+        ("png_palette", png.synth_png_palette, png.decode_png),
+        ("gif", gif.synth_gif, gif.decode_gif),
+        ("gif_anim", gif.synth_gif_anim, gif.scan_gif_anim),
+        ("exif", exif.synth_jpeg_with_exif, exif.parse_exif),
+        ("webp", webp.synth_webp, webp.scan_webp),
+        ("flac", flac.synth_flac, flac.scan_flac),
+        ("tiff", tiff.synth_tiff, tiff.scan_tiff),
+        ("zip", zipscan.synth_zip, zipscan.scan_zip),
+        ("zip64", zipscan.synth_zip64, zipscan.scan_zip),
+        ("tar", zipscan.synth_tar, zipscan.scan_tar),
+        ("gzip", zipscan.synth_gzip, zipscan.decode_gzip),
+        ("mp3", mpeg_audio.synth_mp3, mpeg_audio.scan_mp3),
+        (
+            "layer1",
+            mpeg_audio.synth_mpeg1_layer1,
+            mpeg_audio.decode_mpeg1_layer1,
+        ),
+        ("h264", h264.synth_h264, h264.scan_h264),
+        ("h264_ipcm", h264.synth_h264_ipcm, h264.decode_h264_ipcm),
+        (
+            "parquet",
+            parquet_footer.synth_parquet,
+            parquet_footer.scan_parquet_footer,
+        ),
+    ]
+
+
+@pytest.mark.parametrize("name,synth,scan", _cases(), ids=lambda c: c if isinstance(c, str) else "")
+def test_mutation_and_truncation_only_raise_valueerror(name, synth, scan):
+    rng = np.random.RandomState(0xC0FFEE)
+    payload = bytearray(synth(7))
+    n = len(payload)
+    # 150 deterministic single-byte mutations
+    for _ in range(150):
+        i = int(rng.randint(0, n))
+        old = payload[i]
+        payload[i] = int(rng.randint(0, 256))
+        try:
+            scan(bytes(payload))
+        except ValueError:
+            pass  # the quarantine contract
+        finally:
+            payload[i] = old
+    # truncation sweep (40 cut points incl. the tail bytes)
+    cuts = sorted(
+        set(
+            list(range(max(0, n - 12), n))
+            + [int(rng.randint(0, n)) for _ in range(28)]
+        )
+    )
+    for cut in cuts:
+        try:
+            scan(bytes(payload[:cut]))
+        except ValueError:
+            pass
