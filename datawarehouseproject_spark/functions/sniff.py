@@ -26,7 +26,7 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def sniff_media_format(payload: bytes) -> str:
     """Leading-bytes format dispatch. Returns one of: jpeg, png,
     gif, bmp, webp, avi, wav, flac, tiff, zip, gzip, mpeg_audio,
-    h264, parquet, unknown. Never raises — an unrecognizable
+    h264, parquet, orc, unknown. Never raises — an unrecognizable
     payload IS the answer ``unknown`` (sniffing feeds the
     quarantine decision, it must not need one itself)."""
     if len(payload) < 4:
@@ -56,6 +56,8 @@ def sniff_media_format(payload: bytes) -> str:
         return "gzip"
     if payload[:4] == b"PAR1" and payload[-4:] == b"PAR1":
         return "parquet"
+    if payload[:3] == b"ORC":
+        return "orc"
     if payload[:3] == b"ID3":
         return "mpeg_audio"
     if payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":

@@ -1279,6 +1279,43 @@ def extract_parquet_footer(
     return _extract_metadata(media, PARQUET_FOOTER_SCHEMA, loader, permissive)
 
 
+def synthesize_orc_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of REAL ORC files written by
+    pyarrow with uncompressed tails (``functions/orc_footer.py``)."""
+
+    def loader():
+        from ..functions.orc_footer import synth_orc
+
+        return synth_orc
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ORC_FOOTER_SCHEMA = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_stripes", T.IntegerType()),
+        T.StructField("n_columns", T.IntegerType()),
+        T.StructField("compression", T.StringType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_orc_footer(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """ORC tail triage per payload: postscript + protobuf footer
+    (:func:`..functions.orc_footer.scan_orc_footer`)."""
+
+    def loader():
+        from ..functions.orc_footer import scan_orc_footer
+
+        return scan_orc_footer
+
+    return _extract_metadata(media, ORC_FOOTER_SCHEMA, loader, permissive)
+
+
 def synthesize_tiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of MULTI-PAGE TIFFs
     (``functions/tiff.py:synth_tiff``): chained IFDs, alternating

@@ -1558,6 +1558,42 @@ def q_parquet_footer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_footer_scan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(15 + (doc_id * 5) % 250 AS BIGINT) AS n_rows,
+           CAST(1 AS INTEGER) AS n_stripes,
+           CAST(1 + doc_id % 4 AS INTEGER) AS n_columns,
+           'none' AS compression
+    FROM documents
+    """,
+    tags=("sources", "orc", "protobuf", "mapInPandas", "triage"),
+)
+def q_orc_footer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC tail triage, value-checked (round 8): the parquet-footer
+    pattern applied to the OTHER columnar format the engine
+    round-trips (`orc_roundtrip`) — and a direct REUSE of the
+    protobuf wire walker (``functions/protowire.py``), because ORC's
+    planning metadata IS protobuf: u8 postscript length at the last
+    byte, an uncompressed PostScript (footerLength, compression
+    enum, the field-8000 "ORC" magic), then the Footer's stripes /
+    types / numberOfRows, with per-stripe row sums CHECKED against
+    the file total. pyarrow is the independent producer again;
+    multi-stripe files (196 stripes at 200k rows) and the
+    compressed-footer boundary are pinned in
+    ``tests/test_orc_footer.py``. The oracle recomputes every field
+    from the writer plan."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_orc_footer,
+        synthesize_orc_media,
+    )
+
+    media = synthesize_orc_media(_t(spark, sf_dir, "documents"))
+    return extract_orc_footer(media).drop("payload_bytes")
+
+
+@register(
     "tiff_container_scan",
     oracle="""
     WITH m AS (

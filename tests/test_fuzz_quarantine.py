@@ -24,6 +24,7 @@ def _cases():
         h264,
         jpeg,
         mpeg_audio,
+        orc_footer,
         parquet_footer,
         png,
         tiff,
@@ -64,6 +65,7 @@ def _cases():
             parquet_footer.synth_parquet,
             parquet_footer.scan_parquet_footer,
         ),
+        ("orc", orc_footer.synth_orc, orc_footer.scan_orc_footer),
     ]
 
 

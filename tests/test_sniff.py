@@ -28,6 +28,7 @@ def test_every_synthesizer_is_labeled_correctly():
         synth_mp3,
         synth_mpeg1_layer1,
     )
+    from datawarehouseproject_spark.functions.orc_footer import synth_orc
     from datawarehouseproject_spark.functions.parquet_footer import (
         synth_parquet,
     )
@@ -65,6 +66,7 @@ def test_every_synthesizer_is_labeled_correctly():
         (synth_h264, "h264"),
         (synth_h264_ipcm, "h264"),
         (synth_parquet, "parquet"),
+        (synth_orc, "orc"),
     ]
     for synth, expect in cases:
         for seed in (0, 1, 5):
