@@ -48,7 +48,16 @@ _MAP = 11
 _STRUCT = 12
 
 
+_MAX_DEPTH = 60  # nesting bound: a crafted deep struct must raise
+# ValueError, not RecursionError (review r8 pass 3)
+
+
 def _varint(data: bytes, pos: int) -> tuple[int, int]:
+    """Unsigned varint TRUNCATED to 64 bits — standard encoders sign-
+    extend negative i64 to 10 bytes, and without the mask a crafted
+    footer yields integers past int64 that overflow the Arrow
+    LongType conversion OUTSIDE the ValueError quarantine (review r8
+    pass 3 — the same lesson :mod:`.protowire` documents)."""
     out = 0
     shift = 0
     while True:
@@ -58,7 +67,7 @@ def _varint(data: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         out |= (b & 0x7F) << shift
         if not b & 0x80:
-            return out, pos
+            return out & ((1 << 64) - 1), pos
         shift += 7
         if shift > 70:
             raise ValueError("thrift varint too long")
@@ -68,16 +77,25 @@ def _unzigzag(n: int) -> int:
     return (n >> 1) ^ -(n & 1)
 
 
-def _skip(data: bytes, pos: int, ftype: int) -> int:
+def _skip(data: bytes, pos: int, ftype: int, depth: int = 0,
+          in_container: bool = False) -> int:
     """Skip one value of ``ftype`` — the forward-compatibility
-    path for fields this reader doesn't extract."""
+    path for fields this reader doesn't extract. BOOL consumes no
+    bytes as a struct FIELD (the value lives in the type nibble)
+    but ONE byte as a list/set/map ELEMENT, per the compact spec."""
+    if depth > _MAX_DEPTH:
+        raise ValueError("thrift nesting too deep")
     if ftype in (_BOOL_TRUE, _BOOL_FALSE):
-        return pos
+        return pos + (1 if in_container else 0)
     if ftype == _BYTE:
+        if pos + 1 > len(data):
+            raise ValueError("truncated thrift byte")
         return pos + 1
     if ftype in (_I16, _I32, _I64):
         return _varint(data, pos)[1]
     if ftype == _DOUBLE:
+        if pos + 8 > len(data):
+            raise ValueError("truncated thrift double")
         return pos + 8
     if ftype == _BINARY:
         n, pos = _varint(data, pos)
@@ -86,8 +104,14 @@ def _skip(data: bytes, pos: int, ftype: int) -> int:
         return pos + n
     if ftype in (_LIST, _SET):
         n, etype, pos = _list_header(data, pos)
+        if n > len(data) - pos:
+            # every element consumes >= 1 byte, so a count beyond
+            # the remaining bytes is corrupt — without this bound a
+            # 24-byte payload can demand 2^60 no-op iterations
+            # (review r8 pass 3)
+            raise ValueError("thrift list size exceeds remaining bytes")
         for _ in range(n):
-            pos = _skip(data, pos, etype)
+            pos = _skip(data, pos, etype, depth + 1, in_container=True)
         return pos
     if ftype == _MAP:
         n, pos = _varint(data, pos)
@@ -95,14 +119,16 @@ def _skip(data: bytes, pos: int, ftype: int) -> int:
             return pos
         if pos >= len(data):
             raise ValueError("truncated thrift map header")
+        if 2 * n > len(data) - pos:
+            raise ValueError("thrift map size exceeds remaining bytes")
         kv = data[pos]
         pos += 1
         for _ in range(n):
-            pos = _skip(data, pos, kv >> 4)
-            pos = _skip(data, pos, kv & 0xF)
+            pos = _skip(data, pos, kv >> 4, depth + 1, in_container=True)
+            pos = _skip(data, pos, kv & 0xF, depth + 1, in_container=True)
         return pos
     if ftype == _STRUCT:
-        return _walk_struct(data, pos, None)
+        return _walk_struct(data, pos, None, depth + 1)
     raise ValueError(f"unknown thrift compact type {ftype}")
 
 
@@ -118,10 +144,12 @@ def _list_header(data: bytes, pos: int) -> tuple[int, int, int]:
     return n, etype, pos
 
 
-def _walk_struct(data: bytes, pos: int, handler) -> int:
+def _walk_struct(data: bytes, pos: int, handler, depth: int = 0) -> int:
     """Walk one struct; ``handler(field_id, ftype, data, pos) ->
     new_pos or None`` may consume a field's value, else it is
     skipped."""
+    if depth > _MAX_DEPTH:
+        raise ValueError("thrift nesting too deep")
     field_id = 0
     while True:
         if pos >= len(data):
@@ -138,7 +166,11 @@ def _walk_struct(data: bytes, pos: int, handler) -> int:
         else:
             field_id += delta
         consumed = handler(field_id, ftype, data, pos) if handler else None
-        pos = consumed if consumed is not None else _skip(data, pos, ftype)
+        pos = (
+            consumed
+            if consumed is not None
+            else _skip(data, pos, ftype, depth)
+        )
 
 
 def scan_parquet_footer(payload: bytes) -> dict:
@@ -187,21 +219,27 @@ def scan_parquet_footer(payload: bytes) -> dict:
             n, etype, pos = _list_header(data, pos)
             if etype != _STRUCT:
                 raise ValueError("schema list must hold structs")
+            if n > len(data) - pos:
+                raise ValueError("schema list exceeds remaining bytes")
             out["n_schema_elements"] = n
             for _ in range(n):
-                pos = _walk_struct(data, pos, None)
+                pos = _walk_struct(data, pos, None, 1)
             return pos
         if fid == 3 and ftype == _I64:
             raw, pos = _varint(data, pos)
             out["n_rows"] = _unzigzag(raw)
+            if out["n_rows"] < 0:
+                raise ValueError("negative num_rows in footer")
             return pos
         if fid == 4 and ftype == _LIST:  # row_groups
             n, etype, pos = _list_header(data, pos)
             if etype != _STRUCT:
                 raise ValueError("row_groups list must hold structs")
+            if n > len(data) - pos:
+                raise ValueError("row_groups list exceeds remaining bytes")
             out["n_row_groups"] = n
             for _ in range(n):
-                pos = _walk_struct(data, pos, rg_handler)
+                pos = _walk_struct(data, pos, rg_handler, 1)
             return pos
         if fid == 6 and ftype == _BINARY:
             ln, pos = _varint(data, pos)
@@ -216,6 +254,12 @@ def scan_parquet_footer(payload: bytes) -> dict:
     _walk_struct(meta, 0, top_handler)
     if out["n_rows"] is None:
         raise ValueError("FileMetaData missing num_rows")
+    if not (0 <= out["total_byte_size"] < 1 << 63) or not (
+        0 <= out["rg_rows_total"] < 1 << 63
+    ):
+        # accumulated sums must stay inside int64 or the Arrow
+        # LongType conversion overflows OUTSIDE the quarantine
+        raise ValueError("row-group totals out of int64 range")
     if out["n_row_groups"] and out["rg_rows_total"] != out["n_rows"]:
         raise ValueError(
             f"row-group rows {out['rg_rows_total']} != file rows "

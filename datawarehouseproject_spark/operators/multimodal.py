@@ -1183,7 +1183,8 @@ def synthesize_palette_png_media(
 
 
 #: the mixed-corpus rotation for `media_format_sniff`: id % 8 picks
-#: the synthesizer; the EXPECTED label is the sniffer's vocabulary
+#: the synthesizer; these labels are the SINGLE source the
+#: synthesizer table derives from (the oracle SQL mirrors them)
 SNIFF_ROTATION = ("jpeg", "png", "gif", "webp", "flac", "tiff", "zip",
                   "parquet")
 
@@ -1192,9 +1193,9 @@ def synthesize_mixed_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """id column -> (media_id, payload) of a MIXED, unlabeled corpus:
-    the format rotates with id % 8 through eight real synthesizers —
-    how a crawl actually arrives, and the fixture the sniffer runs
-    against."""
+    the format rotates with id % len(SNIFF_ROTATION) through eight
+    real synthesizers — how a crawl actually arrives, and the
+    fixture the sniffer runs against."""
 
     def loader():
         from ..functions.flac import synth_flac
@@ -1206,11 +1207,20 @@ def synthesize_mixed_media(
         from ..functions.webp import synth_webp
         from ..functions.zipscan import synth_zip
 
-        table = (synth_jpeg420, synth_png, synth_gif_anim, synth_webp,
-                 synth_flac, synth_tiff, synth_zip, synth_parquet)
+        by_label = {
+            "jpeg": synth_jpeg420,
+            "png": synth_png,
+            "gif": synth_gif_anim,
+            "webp": synth_webp,
+            "flac": synth_flac,
+            "tiff": synth_tiff,
+            "zip": synth_zip,
+            "parquet": synth_parquet,
+        }
+        table = tuple(by_label[label] for label in SNIFF_ROTATION)
 
         def synth(i: int) -> bytes:
-            return table[i % 8](i)
+            return table[i % len(table)](i)
 
         return synth
 

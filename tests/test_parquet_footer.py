@@ -101,3 +101,41 @@ def test_spark_permissive_quarantine(spark):
     assert out[1]["decode_error"] is None
     assert out[1]["n_rows"] == plan["n_rows"]
     assert out[9]["decode_error"] is not None and out[9]["n_rows"] is None
+
+
+def test_adversarial_thrift_quarantines_not_crashes():
+    """Review r8 pass 3: three verified escapes — >64-bit varints
+    (Arrow LongType overflow outside the quarantine), unbounded
+    recursion (RecursionError), and attacker-controlled list counts
+    spinning CPU — must all raise ValueError promptly."""
+    import time
+
+    # n_rows = zigzag(2^66): must not return a >int64 value
+    def vint(v):
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out.append(b | (0x80 if v else 0))
+            if not v:
+                return bytes(out)
+
+    big = b"\x36" + vint((2**66) << 1) + b"\x00"
+    fake = b"PAR1" + big + struct.pack("<I", len(big)) + b"PAR1"
+    try:
+        got = scan_parquet_footer(fake)
+        assert got["n_rows"] < 1 << 63  # truncated to int64 range
+    except ValueError:
+        pass  # negative-after-truncation rejection is also fine
+    # deep nesting -> ValueError, not RecursionError
+    deep = b"\x1c" * 4000 + b"\x00" * 4000
+    fake = b"PAR1" + deep + struct.pack("<I", len(deep)) + b"PAR1"
+    with pytest.raises(ValueError, match="nesting too deep"):
+        scan_parquet_footer(fake)
+    # huge list count in a skipped field: must fail fast, not spin
+    body = b"\x59" + bytes([0xF1]) + vint(50_000_000)  # field 5 list bool
+    fake = b"PAR1" + body + struct.pack("<I", len(body)) + b"PAR1"
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="exceeds remaining bytes"):
+        scan_parquet_footer(fake)
+    assert time.perf_counter() - t0 < 0.1

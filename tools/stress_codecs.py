@@ -342,11 +342,6 @@ def round8_kernels() -> None:
     }))
 
 
-if __name__ == "__main__":
-    main()
-    archive_kernels()
-    round8_kernels()
-    round8b_kernels()
 
 
 def round8b_kernels() -> None:
@@ -401,3 +396,10 @@ def round8b_kernels() -> None:
         "files_per_s": int(300 / secs),
         "sec": round(secs, 4),
     }))
+
+
+if __name__ == "__main__":
+    main()
+    archive_kernels()
+    round8_kernels()
+    round8b_kernels()
