@@ -28,8 +28,10 @@ subsampled 4:2:0/4:2:2 with restarts, AND progressive SOF2
 (:mod:`..functions.jpeg`), ADPCM audio (:mod:`..functions.adpcm`),
 MPEG-1 Layer I samples (:mod:`..functions.mpeg_audio`), H.264 I_PCM
 pixels (:mod:`..functions.h264`). Structure/metadata triage covers
-MP3/ID3, H.264 NAL/SPS, EXIF/TIFF, WebP, FLAC, ZIP/ZIP64, tar
-(pax/GNU), gzip, protobuf, and parquet footers. The remaining
+MP3/ID3, H.264 NAL/SPS, EXIF + multi-page TIFF, WebP, FLAC, GIF
+animations, ZIP/ZIP64, tar (pax/GNU), gzip, protobuf, and the
+engine's own parquet/ORC footers — fronted by the magic-byte format
+sniffer (``sniff_media``) that routes an unlabeled corpus. The remaining
 decode boundaries are documented per module: MP3 Layer II/III PCM
 (unreproducible ISO tables), H.264 CAVLC/CABAC residuals, VP8
 entropy, TIFF strips — a production pipeline routes those payloads
