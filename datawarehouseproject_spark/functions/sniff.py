@@ -26,7 +26,7 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def sniff_media_format(payload: bytes) -> str:
     """Leading-bytes format dispatch. Returns one of: jpeg, png,
     gif, bmp, webp, avi, wav, flac, tiff, zip, gzip, mpeg_audio,
-    h264, parquet, orc, unknown. Never raises — an unrecognizable
+    h264, parquet, orc, ico, unknown. Never raises — an unrecognizable
     payload IS the answer ``unknown`` (sniffing feeds the
     quarantine decision, it must not need one itself)."""
     if len(payload) < 4:
@@ -60,6 +60,11 @@ def sniff_media_format(payload: bytes) -> str:
         return "orc"
     if payload[:3] == b"ID3":
         return "mpeg_audio"
+    if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 6:
+        # ICO's full magic collides with the 3-byte Annex B start
+        # code prefix; a real H.264 stream never follows 00 00 01
+        # with NAL type 0, so the 4-byte ICO check wins
+        return "ico"
     if payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":
         return "h264"
     if payload[:2] == b"BM":

@@ -1291,6 +1291,43 @@ def extract_parquet_footer(
     return _extract_metadata(media, PARQUET_FOOTER_SCHEMA, loader, permissive)
 
 
+def synthesize_ico_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of ICO favicon containers
+    (``functions/ico.py``): mixed PNG/DIB entries at formula sizes."""
+
+    def loader():
+        from ..functions.ico import synth_ico
+
+        return synth_ico
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ICO_SCHEMA = T.StructType(
+    [
+        T.StructField("n_entries", T.IntegerType()),
+        T.StructField("max_size", T.IntegerType()),
+        T.StructField("n_png", T.IntegerType()),
+        T.StructField("n_dib", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_ico_structure(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """ICO directory triage per payload
+    (:func:`..functions.ico.scan_ico`)."""
+
+    def loader():
+        from ..functions.ico import scan_ico
+
+        return scan_ico
+
+    return _extract_metadata(media, ICO_SCHEMA, loader, permissive)
+
+
 def synthesize_orc_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of REAL ORC files written by
     pyarrow with uncompressed tails (``functions/orc_footer.py``)."""

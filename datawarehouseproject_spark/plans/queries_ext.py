@@ -1558,6 +1558,49 @@ def q_parquet_footer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ico_favicon_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 4 AS ne FROM documents),
+    e AS (
+      SELECT media_id, ne, unnest(generate_series(0, ne - 1)) AS i
+      FROM m),
+    d AS (
+      SELECT media_id, ne, i,
+             8 + ((media_id + i * 5) % 25) * 8 AS size_,
+             (media_id + i) % 2 AS is_png
+      FROM e)
+    SELECT media_id,
+           CAST(max(ne) AS INTEGER) AS n_entries,
+           CAST(max(size_) AS INTEGER) AS max_size,
+           CAST(sum(is_png) AS INTEGER) AS n_png,
+           CAST(sum(1 - is_png) AS INTEGER) AS n_dib
+    FROM d
+    GROUP BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "ico", "favicon", "triage"),
+)
+def q_ico_favicon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO favicon-container triage, value-checked (round 8): every
+    crawled site ships one — a directory of square images at
+    multiple sizes whose entries are PNG streams or headerless DIBs.
+    Synthesize a mixed icon per document (formula sizes, the
+    0-means-256 edge hand-tested) and walk the 6-byte header +
+    16-byte entries inside Arrow-batched mapInPandas
+    (``functions/ico.py``): entry count, largest size, PNG-vs-DIB
+    kind sniffed at each validated offset. The oracle recomputes
+    every field from the entry plan."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_ico_structure,
+        synthesize_ico_media,
+    )
+
+    media = synthesize_ico_media(_t(spark, sf_dir, "documents"))
+    return extract_ico_structure(media).drop("payload_bytes")
+
+
+@register(
     "orc_footer_scan",
     oracle="""
     SELECT doc_id AS media_id,

@@ -22,6 +22,7 @@ def _cases():
         flac,
         gif,
         h264,
+        ico,
         jpeg,
         mpeg_audio,
         orc_footer,
@@ -66,6 +67,7 @@ def _cases():
             parquet_footer.scan_parquet_footer,
         ),
         ("orc", orc_footer.synth_orc, orc_footer.scan_orc_footer),
+        ("ico", ico.synth_ico, ico.scan_ico),
     ]
 
 

@@ -15,6 +15,7 @@ def test_every_synthesizer_is_labeled_correctly():
         synth_gif,
         synth_gif_anim,
     )
+    from datawarehouseproject_spark.functions.ico import synth_ico
     from datawarehouseproject_spark.functions.h264 import (
         synth_h264,
         synth_h264_ipcm,
@@ -67,6 +68,7 @@ def test_every_synthesizer_is_labeled_correctly():
         (synth_h264_ipcm, "h264"),
         (synth_parquet, "parquet"),
         (synth_orc, "orc"),
+        (synth_ico, "ico"),
     ]
     for synth, expect in cases:
         for seed in (0, 1, 5):
