@@ -1291,6 +1291,50 @@ def extract_parquet_footer(
     return _extract_metadata(media, PARQUET_FOOTER_SCHEMA, loader, permissive)
 
 
+def synthesize_parquet_data_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of REAL parquet files written
+    by pyarrow with the FULL encoding rotation (V1/V2 data pages,
+    dictionary on/off, gzip/uncompressed; multi-row-group, multi-page
+    chunks) — the fixture for the data-page VALUE decoder
+    (``functions/parquet_pages.py``)."""
+
+    def loader():
+        from ..functions.parquet_pages import synth_parquet_data
+
+        return synth_parquet_data
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+PARQUET_VALUES_SCHEMA = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("a_sum", T.LongType()),
+        T.StructField("a_nulls", T.IntegerType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("c_len_sum", T.LongType()),
+        T.StructField("c_distinct", T.IntegerType()),
+    ]
+)
+
+
+def extract_parquet_values(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Parquet data-page VALUE decode per payload: page-header walk +
+    RLE/bit-packed levels + PLAIN/dictionary values
+    (:func:`..functions.parquet_pages.scan_parquet_values`)."""
+
+    def loader():
+        from ..functions.parquet_pages import scan_parquet_values
+
+        return scan_parquet_values
+
+    return _extract_metadata(media, PARQUET_VALUES_SCHEMA, loader, permissive)
+
+
 def synthesize_ico_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of ICO favicon containers
     (``functions/ico.py``): mixed PNG/DIB entries at formula sizes."""

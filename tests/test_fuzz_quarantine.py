@@ -27,6 +27,7 @@ def _cases():
         mpeg_audio,
         orc_footer,
         parquet_footer,
+        parquet_pages,
         png,
         tiff,
         wav,
@@ -65,6 +66,11 @@ def _cases():
             "parquet",
             parquet_footer.synth_parquet,
             parquet_footer.scan_parquet_footer,
+        ),
+        (
+            "parquet_pages",
+            parquet_pages.synth_parquet_data,
+            parquet_pages.scan_parquet_values,
         ),
         ("orc", orc_footer.synth_orc, orc_footer.scan_orc_footer),
         ("ico", ico.synth_ico, ico.scan_ico),
