@@ -81,15 +81,195 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
      _, _, _, _, _) = _INFO_HEADER.unpack_from(payload, _FILE_HEADER.size)
     if hdr_size < 40:
         raise ValueError(f"unsupported DIB header size {hdr_size}")
-    if planes != 1 or bpp != 24 or compression != 0:
-        raise ValueError(
-            f"unsupported BMP variant (planes={planes} bpp={bpp} "
-            f"compression={compression}); only 24-bit uncompressed"
-        )
+    if planes != 1:
+        raise ValueError(f"unsupported BMP planes {planes}")
     bottom_up = height > 0
     height = abs(height)
-    rows = parse_pixel_array(payload, pixel_offset, width, height, bottom_up)
-    return width, height, rows
+    if bpp == 24 and compression == 0:
+        rows = parse_pixel_array(
+            payload, pixel_offset, width, height, bottom_up
+        )
+        return width, height, rows
+    if bpp == 8 and compression in (0, 1):
+        if width <= 0 or height <= 0 or width > 1 << 16 or height > 1 << 16:
+            raise ValueError(f"bad 8-bit BMP dimensions {width}x{height}")
+        palette = _parse_palette(payload, hdr_size)
+        if compression == 1:  # BI_RLE8
+            if not bottom_up:
+                raise ValueError("RLE8 BMP must be bottom-up (spec)")
+            idx = decode_rle8(
+                payload[pixel_offset:], width, height
+            )
+        else:
+            stride = (width + 3) & ~3
+            if len(payload) < pixel_offset + stride * height:
+                raise ValueError("truncated 8-bit BMP pixel array")
+            buf = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * height,
+                offset=pixel_offset,
+            )
+            idx = buf.reshape(height, stride)[:, :width]
+            if bottom_up:
+                idx = idx[::-1]
+        return width, height, palette[idx]
+    raise ValueError(
+        f"unsupported BMP variant (planes={planes} bpp={bpp} "
+        f"compression={compression}); 24-bit uncompressed or "
+        f"8-bit palette (uncompressed / BI_RLE8) only"
+    )
+
+
+def _parse_palette(payload: bytes, hdr_size: int) -> np.ndarray:
+    """Read the color table (BGRX quads after the info header) as a
+    ``(256, 3)`` RGB uint8 array.  ``biClrUsed == 0`` means a full
+    256-entry table for 8-bit files; short tables are zero-extended
+    so out-of-table indices map to black rather than crashing."""
+    (clr_used,) = struct.unpack_from("<I", payload, _FILE_HEADER.size + 32)
+    n = int(clr_used) if clr_used else 256
+    if n > 256:
+        raise ValueError(f"palette declares {n} colors (max 256)")
+    off = _FILE_HEADER.size + hdr_size
+    if len(payload) < off + 4 * n:
+        raise ValueError("truncated BMP color table")
+    quads = np.frombuffer(payload, dtype=np.uint8, count=4 * n, offset=off)
+    table = np.zeros((256, 3), dtype=np.uint8)
+    table[:n] = quads.reshape(n, 4)[:, 2::-1]  # BGRX -> RGB
+    return table
+
+
+def decode_rle8(data: bytes, width: int, height: int) -> np.ndarray:
+    """Decode a BI_RLE8 pixel stream to a top-down ``(height, width)``
+    index array (public format, MS BITMAPINFOHEADER docs): encoded
+    pairs ``(count, index)`` repeat an index; a 0 count escapes —
+    0 = end of line, 1 = end of bitmap, 2 = delta ``(right, up)``
+    (skipped pixels stay 0), >= 3 = absolute mode (that many literal
+    indices, padded to a 2-byte boundary).  Rows are bottom-up like
+    every positive-height BMP.  Runs past the row edge, deltas past
+    the image, and truncation raise ``ValueError``."""
+    grid = np.zeros((height, width), dtype=np.uint8)
+    x = 0
+    y = 0  # bottom row first
+    pos = 0
+    n = len(data)
+    ended = False
+    while pos + 2 <= n:
+        count = data[pos]
+        val = data[pos + 1]
+        pos += 2
+        if count:  # encoded run
+            if y >= height or x + count > width:
+                raise ValueError("RLE8 run past row edge")
+            grid[y, x : x + count] = val
+            x += count
+            continue
+        if val == 0:  # end of line
+            if y >= height:
+                raise ValueError("RLE8 end-of-line past last row")
+            x = 0
+            y += 1
+        elif val == 1:  # end of bitmap
+            ended = True
+            break
+        elif val == 2:  # delta
+            if pos + 2 > n:
+                raise ValueError("truncated RLE8 delta")
+            dx, dy = data[pos], data[pos + 1]
+            pos += 2
+            x += dx
+            y += dy
+            if x > width or y > height:
+                raise ValueError("RLE8 delta past image bounds")
+        else:  # absolute mode: val literal indices, word-aligned
+            run_end = pos + val
+            if run_end + (val & 1) > n:
+                raise ValueError("truncated RLE8 absolute run")
+            if y >= height or x + val > width:
+                raise ValueError("RLE8 absolute run past row edge")
+            grid[y, x : x + val] = np.frombuffer(
+                data, dtype=np.uint8, count=val, offset=pos
+            )
+            x += val
+            pos = run_end + (val & 1)
+    if not ended:
+        raise ValueError("RLE8 stream missing end-of-bitmap marker")
+    return grid[::-1]  # bottom-up -> top-down
+
+
+def encode_rle8(indices) -> bytes:
+    """Encode a top-down index array as a BI_RLE8 stream exercising
+    every opcode: greedy runs, absolute mode for literal stretches
+    (>= 3 distinct neighbors), a right-delta over interior zero runs
+    (>= 4), end-of-line after every row, end-of-bitmap at the end.
+    Round-trips exactly through :func:`decode_rle8`."""
+    arr = np.asarray(indices, dtype=np.uint8)
+    height, width = arr.shape
+    out = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = arr[y]
+        runs: list[tuple[int, int]] = []  # (value, length)
+        for v in row.tolist():
+            if runs and runs[-1][0] == v and runs[-1][1] < 255:
+                runs[-1] = (v, runs[-1][1] + 1)
+            else:
+                runs.append((v, 1))
+        i = 0
+        x = 0
+        while i < len(runs):
+            v, ln = runs[i]
+            # interior zero run >= 4 -> delta (skipped pixels stay 0)
+            if v == 0 and ln >= 4 and x + ln < width:
+                out += bytes((0, 2, ln, 0))
+                x += ln
+                i += 1
+                continue
+            # batch short runs into absolute mode when >= 3 literals
+            if ln < 3:
+                lits: list[int] = []
+                while i < len(runs) and runs[i][1] < 3 and len(lits) < 252:
+                    lits.extend([runs[i][0]] * runs[i][1])
+                    i += 1
+                if len(lits) >= 3:
+                    out += bytes((0, len(lits)))
+                    out += bytes(lits)
+                    if len(lits) & 1:
+                        out.append(0)  # word alignment pad
+                    x += len(lits)
+                    continue
+                # fewer than 3 literals: emit as encoded runs
+                for lv in lits:
+                    out += bytes((1, lv))
+                    x += 1
+                continue
+            out += bytes((ln, v))
+            x += ln
+            i += 1
+        if y > 0:
+            out += bytes((0, 0))  # end of line
+    out += bytes((0, 1))  # end of bitmap
+    return bytes(out)
+
+
+def encode_bmp_rle8(indices, palette) -> bytes:
+    """Assemble a complete 8-bit BI_RLE8 BMP file: 54-byte headers, a
+    256-entry BGRX color table, then the :func:`encode_rle8` stream."""
+    arr = np.asarray(indices, dtype=np.uint8)
+    height, width = arr.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.shape != (256, 3):
+        raise ValueError("palette must be a (256, 3) RGB array")
+    quads = np.zeros((256, 4), dtype=np.uint8)
+    quads[:, :3] = pal[:, ::-1]  # RGB -> BGRX
+    body = encode_rle8(arr)
+    pixel_offset = HEADER_BYTES + 1024
+    header = bytearray(HEADER_BYTES)
+    _FILE_HEADER.pack_into(
+        header, 0, b"BM", pixel_offset + len(body), 0, 0, pixel_offset
+    )
+    _INFO_HEADER.pack_into(
+        header, _FILE_HEADER.size, 40, width, height, 1, 8, 1, len(body),
+        2835, 2835, 256, 0,
+    )
+    return bytes(header) + quads.tobytes() + body
 
 
 def parse_pixel_array(
@@ -179,3 +359,46 @@ def synth_bmp(seed: int) -> bytes:
     """Synthesize the deterministic test image for ``seed``."""
     w, h = synth_size(seed)
     return encode_bmp(w, h, synth_pixels(seed, w, h))
+
+
+def synth_rle8_palette() -> np.ndarray:
+    """The fixed palette formula mirrored in the DuckDB oracle:
+    entry i = ((i*7+3) % 256, (i*13+5) % 256, (i*29+11) % 256)."""
+    i = np.arange(256, dtype=np.int64)
+    return np.stack(
+        [(i * 7 + 3) % 256, (i * 13 + 5) % 256, (i * 29 + 11) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def synth_rle8_size(seed: int) -> tuple[int, int]:
+    """Per-seed size 16..28 x 8..12 — wide enough that runs, absolute
+    blocks, and zero-run deltas all occur."""
+    return 16 + (seed % 4) * 4, 8 + seed % 5
+
+
+def synth_rle8_indices(seed: int, width: int, height: int) -> np.ndarray:
+    """Deterministic index plane mirrored in the oracle: 4-pixel-wide
+    bands ``(seed*5 + x//4 + y*3) % 16`` (encoded runs), zeroed when
+    ``(x//4 + y + seed) % 5 == 0`` (interior zero bands become RLE8
+    DELTA escapes), and a per-pixel-varying 3-column stripe at the
+    right edge ``(seed + x*7 + y*11) % 16`` (literal stretches become
+    ABSOLUTE-mode blocks) — so every opcode of the format occurs in
+    every fixture."""
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)[:, None]
+    band = x // 4
+    idx = (seed * 5 + band + y * 3) % 16
+    idx = np.where((band + y + seed) % 5 == 0, 0, idx)
+    lit = (seed + x * 7 + y * 11) % 16
+    idx = np.where(x >= width - 3, lit, idx)
+    return np.broadcast_to(idx, (height, width)).astype(np.uint8)
+
+
+def synth_bmp_rle8(seed: int) -> bytes:
+    """A complete BI_RLE8 BMP for ``seed`` (palette + index formulas
+    above) — the fixture for ``bmp_rle8_features``."""
+    w, h = synth_rle8_size(seed)
+    return encode_bmp_rle8(
+        synth_rle8_indices(seed, w, h), synth_rle8_palette()
+    )

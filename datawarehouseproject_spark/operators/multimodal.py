@@ -1291,6 +1291,22 @@ def extract_parquet_footer(
     return _extract_metadata(media, PARQUET_FOOTER_SCHEMA, loader, permissive)
 
 
+def synthesize_rle8_bmp_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of 8-bit palette BI_RLE8 BMPs
+    (``functions/bmp.py:synth_bmp_rle8``): banded index planes whose
+    zero bands encode as delta escapes, the screenshot/diagram profile
+    that dominates RLE-compressed bitmaps in the wild."""
+
+    def loader():
+        from ..functions.bmp import synth_bmp_rle8
+
+        return synth_bmp_rle8
+
+    return _synthesize_media(ids, id_col, loader)
+
+
 def synthesize_parquet_data_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -736,6 +736,58 @@ def q_bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bmp_rle8_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             16 + (doc_id % 4) * 4 AS w,
+             8 + doc_id % 5 AS h
+      FROM documents),
+    xs AS (
+      SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM m),
+    xy AS (
+      SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      FROM xs),
+    px AS (
+      SELECT media_id, w, h,
+             CASE WHEN x >= w - 3 THEN (media_id + x * 7 + y * 11) % 16
+                  WHEN ((x // 4) + y + media_id) % 5 = 0 THEN 0
+                  ELSE (media_id * 5 + (x // 4) + y * 3) % 16 END AS idx
+      FROM xy)
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum((idx * 7 + 3) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((idx * 13 + 5) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((idx * 29 + 11) % 256) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY media_id, w, h
+    """,
+    tags=("multimodal", "mapInPandas", "bmp", "rle"),
+)
+def q_bmp_rle8_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI_RLE8 palette-BMP decode, value-checked (round 9): the
+    run-length-encoded 8-bit profile that screenshots and diagrams
+    ship as.  One RLE8 BMP per document (banded index formula; zero
+    bands become DELTA escapes, short stretches ABSOLUTE-mode blocks,
+    the rest encoded runs — every opcode of the public format,
+    including end-of-line and end-of-bitmap markers and absolute-mode
+    word alignment), decoded inside Arrow-batched mapInPandas: RLE
+    stream -> bottom-up index grid -> 256-entry BGRX color table ->
+    RGB channel sums.  The oracle recomputes the sums from the index
+    and palette formulas, so one mis-stepped opcode, palette byte
+    order, or row flip breaks the hash.  The decoder is additionally
+    pinned against the worked example in Microsoft's public
+    BITMAPINFOHEADER documentation (``tests/test_bmp_rle8.py``)."""
+    _utc(spark)
+    from ..operators.multimodal import synthesize_rle8_bmp_media
+
+    media = synthesize_rle8_bmp_media(_t(spark, sf_dir, "documents"))
+    return extract_image_features(media)
+
+
+@register(
     "png_image_features",
     oracle="""
     WITH m AS (

@@ -37,6 +37,7 @@ def _cases():
 
     return [
         ("bmp", bmp.synth_bmp, bmp.decode_bmp),
+        ("bmp_rle8", bmp.synth_bmp_rle8, bmp.decode_bmp),
         ("wav", wav.synth_wav, wav.decode_wav),
         ("avi", avi.synth_avi, avi.decode_avi),
         ("jpeg", jpeg.synth_jpeg, jpeg.decode_jpeg),
