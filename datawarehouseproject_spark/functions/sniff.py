@@ -14,8 +14,10 @@ All signatures are public format facts: JPEG ``FF D8 FF``, PNG's
 ``1F 8B``, MP3 (ID3v2 tag or an 11-bit frame sync), H.264 Annex B
 start codes, parquet ``PAR1`` at BOTH ends (the head magic alone
 also matches the footer-only tail of a partial file — requiring
-both avoids that false positive), FLAC, and MPEG-1 Layer I's sync
-with layer bits 11 (folded into ``mpeg_audio``).
+both avoids that false positive), FLAC, MPEG-1 Layer I's sync
+with layer bits 11 (folded into ``mpeg_audio``), SQLite's 16-byte
+header string, and tar's ``ustar`` magic at offset 257 (tar has NO
+leading magic — the one format here whose signature is interior).
 """
 
 from __future__ import annotations
@@ -26,11 +28,13 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def sniff_media_format(payload: bytes) -> str:
     """Leading-bytes format dispatch. Returns one of: jpeg, png,
     gif, bmp, webp, avi, wav, flac, tiff, zip, gzip, mpeg_audio,
-    h264, parquet, orc, ico, unknown. Never raises — an unrecognizable
-    payload IS the answer ``unknown`` (sniffing feeds the
-    quarantine decision, it must not need one itself)."""
+    h264, parquet, orc, ico, sqlite, tar, unknown. Never raises — an
+    unrecognizable payload IS the answer ``unknown`` (sniffing feeds
+    the quarantine decision, it must not need one itself)."""
     if len(payload) < 4:
         return "unknown"
+    if payload[:16] == b"SQLite format 3\x00":
+        return "sqlite"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[: len(PNG_SIG)] == PNG_SIG:
@@ -71,4 +75,8 @@ def sniff_media_format(payload: bytes) -> str:
         return "bmp"
     if payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
         return "mpeg_audio"  # 11-bit frame sync (any MPEG layer)
+    if payload[257:263] in (b"ustar\x00", b"ustar "):
+        # tar's magic is INTERIOR (byte 257 of the first header
+        # block); "ustar " covers the old GNU variant
+        return "tar"
     return "unknown"

@@ -1184,11 +1184,11 @@ def synthesize_palette_png_media(
     return _synthesize_media(ids, id_col, loader)
 
 
-#: the mixed-corpus rotation for `media_format_sniff`: id % 8 picks
+#: the mixed-corpus rotation for `media_format_sniff`: id % 9 picks
 #: the synthesizer; these labels are the SINGLE source the
 #: synthesizer table derives from (the oracle SQL mirrors them)
 SNIFF_ROTATION = ("jpeg", "png", "gif", "webp", "flac", "tiff", "zip",
-                  "parquet")
+                  "parquet", "sqlite")
 
 
 def synthesize_mixed_media(
@@ -1205,6 +1205,7 @@ def synthesize_mixed_media(
         from ..functions.jpeg import synth_jpeg420
         from ..functions.parquet_footer import synth_parquet
         from ..functions.png import synth_png
+        from ..functions.sqlite_scan import synth_sqlite
         from ..functions.tiff import synth_tiff
         from ..functions.webp import synth_webp
         from ..functions.zipscan import synth_zip
@@ -1218,6 +1219,7 @@ def synthesize_mixed_media(
             "tiff": synth_tiff,
             "zip": synth_zip,
             "parquet": synth_parquet,
+            "sqlite": synth_sqlite,
         }
         table = tuple(by_label[label] for label in SNIFF_ROTATION)
 
@@ -1289,6 +1291,51 @@ def extract_parquet_footer(
         return scan_parquet_footer
 
     return _extract_metadata(media, PARQUET_FOOTER_SCHEMA, loader, permissive)
+
+
+def synthesize_sqlite_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of REAL SQLite databases
+    produced by the stdlib sqlite3 engine via ``Connection.serialize``
+    (``functions/sqlite_scan.py``) — 512-byte pages growing genuine
+    multi-level table b-trees."""
+
+    def loader():
+        from ..functions.sqlite_scan import synth_sqlite
+
+        return synth_sqlite
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+SQLITE_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_tables", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("rowid_sum", T.LongType()),
+        T.StructField("score_sum", T.LongType()),
+        T.StructField("score_min", T.LongType()),
+        T.StructField("name_len_sum", T.LongType()),
+        T.StructField("n_flag_null", T.IntegerType()),
+        T.StructField("flag_sum", T.LongType()),
+    ]
+)
+
+
+def extract_sqlite_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """SQLite table read per payload: header parse, sqlite_schema
+    walk, table b-tree traversal, record decode
+    (:func:`..functions.sqlite_scan.scan_sqlite`)."""
+
+    def loader():
+        from ..functions.sqlite_scan import scan_sqlite
+
+        return scan_sqlite
+
+    return _extract_metadata(media, SQLITE_SCAN_SCHEMA, loader, permissive)
 
 
 def synthesize_rle8_bmp_media(

@@ -1529,10 +1529,11 @@ def q_jpeg_cross_profile_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_format_sniff",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE doc_id % 8
+           CASE doc_id % 9
              WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
              WHEN 3 THEN 'webp' WHEN 4 THEN 'flac' WHEN 5 THEN 'tiff'
-             WHEN 6 THEN 'zip' ELSE 'parquet' END AS fmt
+             WHEN 6 THEN 'zip' WHEN 7 THEN 'parquet'
+             ELSE 'sqlite' END AS fmt
     FROM documents
     """,
     tags=("multimodal", "mapInPandas", "sniff", "dispatch", "composition"),
@@ -1542,10 +1543,10 @@ def q_media_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 8): the dispatcher in front of every per-format triage
     scanner — a real crawl does not arrive labeled, and routing each
     payload to the right parser from its leading bytes is the first
-    decision the pipeline makes. The fixture rotates id % 8 through
-    EIGHT real synthesizers (4:2:0 JPEG, PNG, GIF89a animation,
+    decision the pipeline makes. The fixture rotates id % 9 through
+    NINE real synthesizers (4:2:0 JPEG, PNG, GIF89a animation,
     WebP, FLAC, multi-page TIFF, stdlib ZIP incl. the ZIP64 seeds,
-    pyarrow parquet) and the sniffer
+    pyarrow parquet, stdlib-serialized SQLite) and the sniffer
     (``functions/sniff.py:sniff_media_format``) must label every
     row correctly — a per-document value check, not just counts.
     The sniffer never raises: ``unknown`` IS the answer for
@@ -1669,6 +1670,67 @@ def q_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_parquet_values(media).select(
         "media_id", "n_rows", "a_sum", "a_nulls", "b_sum", "c_len_sum",
         "c_distinct",
+    )
+
+
+@register(
+    "sqlite_table_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 30 + (doc_id * 11) % 300 AS n
+      FROM documents),
+    r AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    v AS (
+      SELECT media_id, n, i,
+             (media_id * 3 + i * 17) % 1000 - 200 AS score,
+             1 + (i + media_id) % 7 AS nlen,
+             CASE WHEN (i + media_id) % 3 = 0 THEN NULL
+                  ELSE i % 2 END AS flag
+      FROM r)
+    SELECT media_id,
+           CAST(1 AS INTEGER) AS n_tables,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(n) * (max(n) + 1) // 2 AS BIGINT) AS rowid_sum,
+           CAST(sum(score) AS BIGINT) AS score_sum,
+           CAST(min(score) AS BIGINT) AS score_min,
+           CAST(sum(nlen) AS BIGINT) AS name_len_sum,
+           CAST(sum(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_flag_null,
+           CAST(coalesce(sum(flag), 0) AS BIGINT) AS flag_sum
+    FROM v
+    GROUP BY media_id
+    """,
+    tags=("sources", "sqlite", "btree", "mapInPandas"),
+)
+def q_sqlite_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite database-file READ, value-checked (round 9): crawled
+    corpora and app-data dumps carry SQLite constantly (browser
+    history, mobile state, experiment logs), and this reads them from
+    raw bytes with no per-executor sqlite install.  One real database
+    per document, produced by the STDLIB sqlite3 engine via
+    ``Connection.serialize`` (a third genuinely independent producer
+    alongside pyarrow and DuckDB), 512-byte pages so the fixtures
+    grow real multi-level b-trees.  The hand-rolled reader
+    (``functions/sqlite_scan.py``) parses the 100-byte header, walks
+    ``sqlite_schema`` on page 1 to find the table's root page,
+    traverses interior/leaf table pages via the cell-pointer arrays,
+    and decodes each record's serial types — signed 1/2/3-byte
+    big-endian ints, NULLs, the 0/1 literal types, and UTF-8 text.
+    Aggregates (signed sum, min, null count, text-length sum, rowid
+    sum) are recomputed by the oracle from the insert formulas.
+    Overflow-page payloads raise the documented ValueError boundary."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_sqlite_scan,
+        synthesize_sqlite_media,
+    )
+
+    media = synthesize_sqlite_media(_t(spark, sf_dir, "documents"))
+    return extract_sqlite_scan(media).select(
+        "media_id", "n_tables", "n_rows", "rowid_sum", "score_sum",
+        "score_min", "name_len_sum", "n_flag_null", "flag_sum",
     )
 
 

@@ -29,6 +29,7 @@ def _cases():
         parquet_footer,
         parquet_pages,
         png,
+        sqlite_scan,
         tiff,
         wav,
         webp,
@@ -75,6 +76,7 @@ def _cases():
         ),
         ("orc", orc_footer.synth_orc, orc_footer.scan_orc_footer),
         ("ico", ico.synth_ico, ico.scan_ico),
+        ("sqlite", sqlite_scan.synth_sqlite, sqlite_scan.scan_sqlite),
     ]
 
 

@@ -37,6 +37,9 @@ def test_every_synthesizer_is_labeled_correctly():
         synth_png,
         synth_png_palette,
     )
+    from datawarehouseproject_spark.functions.sqlite_scan import (
+        synth_sqlite,
+    )
     from datawarehouseproject_spark.functions.tiff import synth_tiff
     from datawarehouseproject_spark.functions.wav import synth_wav
     from datawarehouseproject_spark.functions.webp import synth_webp
@@ -61,7 +64,9 @@ def test_every_synthesizer_is_labeled_correctly():
         (synth_flac, "flac"),
         (synth_tiff, "tiff"),
         (synth_zip, "zip"),
+        (synth_tar, "tar"),
         (synth_gzip, "gzip"),
+        (synth_sqlite, "sqlite"),
         (synth_mp3, "mpeg_audio"),
         (synth_mpeg1_layer1, "mpeg_audio"),
         (synth_h264, "h264"),
@@ -82,9 +87,16 @@ def test_unknown_never_raises():
         assert sniff_media_format(payload) == "unknown"
 
 
-def test_tar_is_not_misclassified():
-    """tar has no leading magic (ustar sits at offset 257) — the
-    sniffer must answer unknown, not guess."""
+def test_tar_detected_via_interior_magic():
+    """tar has no leading magic — ustar sits at offset 257 of the
+    first header block, and the sniffer checks exactly there (round
+    9; previously answered unknown).  A short payload whose byte 257
+    doesn't exist must stay unknown."""
     from datawarehouseproject_spark.functions.zipscan import synth_tar
 
-    assert sniff_media_format(synth_tar(2)) == "unknown"
+    assert sniff_media_format(synth_tar(2)) == "tar"
+    assert sniff_media_format(b"\x42" * 200) == "unknown"
+    gnu = bytearray(300)
+    gnu[0] = 0x61
+    gnu[257:263] = b"ustar "
+    assert sniff_media_format(bytes(gnu)) == "tar"
