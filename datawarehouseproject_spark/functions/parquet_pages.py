@@ -67,6 +67,7 @@ _PAGE_DATA_V2 = 3
 _ENC_PLAIN = 0
 _ENC_PLAIN_DICT = 2
 _ENC_RLE = 3
+_ENC_DELTA_BP = 5
 _ENC_RLE_DICT = 8
 
 _CODEC_NONE = 0
@@ -120,6 +121,63 @@ def decode_hybrid(data: bytes, pos: int, end: int, bit_width: int,
                 raise ValueError("RLE run overruns value count")
             out.extend([v] * run)
     return out, pos
+
+
+def decode_delta_binary_packed(data: bytes, pos: int, end: int,
+                               count: int) -> list[int]:
+    """DELTA_BINARY_PACKED decode (parquet format spec,
+    Encodings.md): header = block size / miniblocks-per-block / total
+    count / first value (zigzag), then per block a zigzag min-delta,
+    one bit-width byte per miniblock, and LSB-first bit-packed
+    adjusted deltas (``delta - min_delta``).  The last block carries
+    ALL its width bytes but only the data of miniblocks that still
+    have values."""
+    block_size, pos = _varint(data, pos)
+    n_mini, pos = _varint(data, pos)
+    total, pos = _varint(data, pos)
+    raw_first, pos = _varint(data, pos)
+    if n_mini == 0 or block_size == 0 or block_size % n_mini:
+        raise ValueError("bad delta-binary-packed block geometry")
+    vpm = block_size // n_mini
+    if vpm % 8:
+        raise ValueError("delta miniblock size not a multiple of 8")
+    if total != count:
+        raise ValueError(
+            f"delta header count {total} != page non-null count {count}"
+        )
+    if total == 0:
+        return []
+    out = [_unzigzag(raw_first)]
+    # every value fits int64 by construction of the encoder; keep the
+    # running sum masked so crafted streams can't escape int64 (same
+    # Arrow-overflow lesson as the thrift varint)
+    while len(out) < total:
+        raw_md, pos = _varint(data, pos)
+        min_delta = _unzigzag(raw_md)
+        if pos + n_mini > end:
+            raise ValueError("truncated delta miniblock widths")
+        widths = data[pos : pos + n_mini]
+        pos += n_mini
+        for w in widths:
+            if len(out) >= total:
+                break  # trailing miniblocks of the last block: no data
+            if w > 64:
+                raise ValueError(f"delta miniblock width {w} > 64")
+            n_bytes = w * vpm // 8
+            if pos + n_bytes > end:
+                raise ValueError("truncated delta miniblock data")
+            acc = int.from_bytes(data[pos : pos + n_bytes], "little")
+            pos += n_bytes
+            mask = (1 << w) - 1
+            n_take = min(vpm, total - len(out))
+            prev = out[-1]
+            for k in range(n_take):
+                d = ((acc >> (k * w)) & mask) + min_delta
+                prev = prev + d
+                if prev >= 1 << 63 or prev < -(1 << 63):
+                    raise ValueError("delta stream overflows int64")
+                out.append(prev)
+    return out
 
 
 def _plain_decode(data: bytes, pos: int, end: int, ptype: int,
@@ -531,6 +589,12 @@ def _decode_values(data: bytes, pos: int, end: int, encoding: int,
             return [dictionary[i] for i in idx]
         except IndexError:
             raise ValueError("dictionary index out of range") from None
+    if encoding == _ENC_DELTA_BP:
+        if ptype not in (_T_INT32, _T_INT64):
+            raise ValueError(
+                f"DELTA_BINARY_PACKED on non-integer type {ptype}"
+            )
+        return decode_delta_binary_packed(data, pos, end, n)
     raise ValueError(f"unsupported data encoding {encoding}")
 
 
@@ -638,11 +702,15 @@ def synth_parquet_data_plan(seed: int) -> dict:
     b = (i*11 + seed) % 500, c = 'x' * (1 + (i + seed) % 5); the
     ENCODING rotation (page version, dictionary, codec) varies by
     seed but never changes the values."""
+    delta = (seed >> 3) % 2 == 1
     return {
         "n_rows": 20 + (seed * 7) % 300,
         "data_page_version": "2.0" if seed % 2 else "1.0",
-        "use_dictionary": (seed >> 1) % 2 == 0,
+        # DELTA_BINARY_PACKED requires the dictionary off for those
+        # columns, so the delta seeds force it
+        "use_dictionary": (seed >> 1) % 2 == 0 and not delta,
         "compression": "gzip" if (seed >> 2) % 2 else "NONE",
+        "delta_ints": delta,
     }
 
 
@@ -673,6 +741,12 @@ def synth_parquet_data(seed: int) -> bytes:
         }
     )
     buf = io.BytesIO()
+    kwargs = {}
+    if plan["delta_ints"]:
+        kwargs["column_encoding"] = {
+            "a": "DELTA_BINARY_PACKED",
+            "b": "DELTA_BINARY_PACKED",
+        }
     pq.write_table(
         table,
         buf,
@@ -681,5 +755,6 @@ def synth_parquet_data(seed: int) -> bytes:
         use_dictionary=plan["use_dictionary"],
         compression=plan["compression"],
         data_page_version=plan["data_page_version"],
+        **kwargs,
     )
     return buf.getvalue()

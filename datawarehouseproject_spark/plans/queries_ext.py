@@ -1646,13 +1646,16 @@ def q_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning has pruned the files.  One real parquet file per
     document, written by PYARROW (independent producer) with the full
     encoding rotation by seed: V1 and V2 data pages, dictionary
-    on/off, gzip and uncompressed codecs, multiple row groups AND
-    multiple pages per chunk (data_page_size=256).  The hand-rolled
-    reader (``functions/parquet_pages.py``) walks Thrift-compact
+    on/off, DELTA_BINARY_PACKED ints on the high seeds, gzip and
+    uncompressed codecs, multiple row groups AND multiple pages per
+    chunk (data_page_size=256).  The hand-rolled reader
+    (``functions/parquet_pages.py``) walks Thrift-compact
     PageHeaders, decodes RLE/bit-packed-hybrid definition levels
     (u32-prefixed in V1, header-sized and never-compressed in V2),
-    PLAIN values (int64/int32/byte-array) and dictionary indices
+    PLAIN values (int64/int32/byte-array), dictionary indices
     (bit-width-prefixed hybrid through the PLAIN dictionary page),
+    and DELTA_BINARY_PACKED blocks (zigzag first/min-delta varints,
+    per-miniblock widths, LSB-first packed adjusted deltas),
     reassembles nulls from the levels, and CHECKS the decoded row
     count against the footer's num_rows.  Aggregates (null-aware sum,
     null count, string-length sum, distinct count) are recomputed by

@@ -48,6 +48,49 @@ def test_full_encoding_rotation_value_exact():
         assert got["c_distinct"] == len(set(c))
 
 
+def test_delta_binary_packed_pinned_against_pyarrow():
+    """Seeds 8..15 write a/b with DELTA_BINARY_PACKED (verified in
+    the rotation test); here the decoder additionally faces large
+    jumps, negatives, and an int32 column via a dedicated file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouseproject_spark.functions.parquet_pages import (
+        decode_delta_binary_packed,
+    )
+
+    vals = [0, -(2**40), 2**40, 7, 7, 7, -1] * 50
+    t = pa.table(
+        {
+            "a": pa.array(vals, pa.int64()),
+            "b": pa.array([v % 100 - 50 for v in vals], pa.int32()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, compression="NONE", use_dictionary=False,
+        column_encoding={"a": "DELTA_BINARY_PACKED",
+                         "b": "DELTA_BINARY_PACKED"},
+        data_page_size=512,
+    )
+    payload = buf.getvalue()
+    assert decode_column(payload, 0) == vals
+    assert decode_column(payload, 1) == [v % 100 - 50 for v in vals]
+    # hand-built stream: block 8, 1 miniblock, 3 values, first = -2;
+    # min_delta = -1, width 2, deltas (adjusted) [3, 0, pad...]
+    # -> values -2, -2+(3-1)=0, 0+(0-1)=-1
+    stream = bytes([8, 1, 3, 3,  # header (first = zigzag 3 = -2)
+                    1,           # min_delta zigzag 1 = -1
+                    2,           # miniblock width
+                    0b00000011, 0])  # 8 2-bit lanes, little-endian
+    got = decode_delta_binary_packed(stream, 0, len(stream), 3)
+    assert got == [-2, 0, -1]
+    with pytest.raises(ValueError, match="header count"):
+        decode_delta_binary_packed(stream, 0, len(stream), 5)
+    with pytest.raises(ValueError, match="truncated delta miniblock"):
+        decode_delta_binary_packed(stream[:6], 0, 6, 3)
+
+
 def test_duckdb_writer_is_a_second_independent_producer(tmp_path):
     import duckdb
 
