@@ -398,8 +398,63 @@ def round8b_kernels() -> None:
     }))
 
 
+def round9_kernels() -> None:
+    """Round-9 readers: parquet data-page value decode (PLAIN /
+    dictionary / DELTA_BINARY_PACKED), BI_RLE8 bitmap decode, SQLite
+    b-tree table read."""
+    from datawarehouseproject_spark.functions.bmp import (
+        decode_bmp,
+        encode_bmp_rle8,
+        synth_rle8_indices,
+        synth_rle8_palette,
+    )
+    from datawarehouseproject_spark.functions.parquet_pages import (
+        scan_parquet_values,
+        synth_parquet_data,
+    )
+    from datawarehouseproject_spark.functions.sqlite_scan import (
+        scan_sqlite,
+        synth_sqlite,
+    )
+
+    files = [synth_parquet_data(s) for s in range(100)]
+    secs, n = _timeit(
+        lambda: sum(scan_parquet_values(p)["n_rows"] for p in files)
+    )
+    print(json.dumps({
+        "kernel": "parquet_page_value_decode",
+        "media": f"{sum(map(len, files))} bytes, 100 files, {n} rows x 3 cols",
+        "values_per_s": int(3 * n / secs),
+        "sec": round(secs, 4),
+    }))
+
+    W, H = 512, 384
+    payload = encode_bmp_rle8(
+        synth_rle8_indices(5, W, H), synth_rle8_palette()
+    )
+    secs, (w, h, rgb) = _timeit(decode_bmp, payload)
+    assert (w, h) == (W, H)
+    print(json.dumps({
+        "kernel": "bmp_rle8_decode",
+        "media": f"{W}x{H} palette RLE8",
+        "payload_bytes": len(payload),
+        "mpx_per_s": round(W * H / secs / 1e6, 3),
+        "sec": round(secs, 4),
+    }))
+
+    dbs = [synth_sqlite(s) for s in range(100)]
+    secs, n = _timeit(lambda: sum(scan_sqlite(p)["n_rows"] for p in dbs))
+    print(json.dumps({
+        "kernel": "sqlite_table_read",
+        "media": f"{sum(map(len, dbs))} bytes, 100 dbs, {n} rows",
+        "rows_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
+
 if __name__ == "__main__":
     main()
     archive_kernels()
     round8_kernels()
     round8b_kernels()
+    round9_kernels()
