@@ -68,6 +68,8 @@ _ENC_PLAIN = 0
 _ENC_PLAIN_DICT = 2
 _ENC_RLE = 3
 _ENC_DELTA_BP = 5
+_ENC_DELTA_LEN_BA = 6
+_ENC_DELTA_BA = 7
 _ENC_RLE_DICT = 8
 
 _CODEC_NONE = 0
@@ -123,15 +125,17 @@ def decode_hybrid(data: bytes, pos: int, end: int, bit_width: int,
     return out, pos
 
 
-def decode_delta_binary_packed(data: bytes, pos: int, end: int,
-                               count: int) -> list[int]:
+def _delta_decode(data: bytes, pos: int,
+                  end: int) -> tuple[list[int], int]:
     """DELTA_BINARY_PACKED decode (parquet format spec,
     Encodings.md): header = block size / miniblocks-per-block / total
     count / first value (zigzag), then per block a zigzag min-delta,
     one bit-width byte per miniblock, and LSB-first bit-packed
     adjusted deltas (``delta - min_delta``).  The last block carries
     ALL its width bytes but only the data of miniblocks that still
-    have values."""
+    have values.  Returns (values, position past the stream) — the
+    byte-array encodings concatenate these streams, so the end
+    position matters."""
     block_size, pos = _varint(data, pos)
     n_mini, pos = _varint(data, pos)
     total, pos = _varint(data, pos)
@@ -141,12 +145,10 @@ def decode_delta_binary_packed(data: bytes, pos: int, end: int,
     vpm = block_size // n_mini
     if vpm % 8:
         raise ValueError("delta miniblock size not a multiple of 8")
-    if total != count:
-        raise ValueError(
-            f"delta header count {total} != page non-null count {count}"
-        )
+    if total < 0:
+        raise ValueError("negative delta stream count")
     if total == 0:
-        return []
+        return [], pos
     out = [_unzigzag(raw_first)]
     # every value fits int64 by construction of the encoder; keep the
     # running sum masked so crafted streams can't escape int64 (same
@@ -177,6 +179,63 @@ def decode_delta_binary_packed(data: bytes, pos: int, end: int,
                 if prev >= 1 << 63 or prev < -(1 << 63):
                     raise ValueError("delta stream overflows int64")
                 out.append(prev)
+    return out, pos
+
+
+def decode_delta_binary_packed(data: bytes, pos: int, end: int,
+                               count: int) -> list[int]:
+    """DELTA_BINARY_PACKED for an int column's data section: the
+    header count must equal the page's non-null value count."""
+    vals, _pos = _delta_decode(data, pos, end)
+    if len(vals) != count:
+        raise ValueError(
+            f"delta header count {len(vals)} != page non-null count "
+            f"{count}"
+        )
+    return vals
+
+
+def _decode_delta_length_ba(data: bytes, pos: int, end: int,
+                            count: int) -> list[bytes]:
+    """DELTA_LENGTH_BYTE_ARRAY: one delta-packed stream of lengths,
+    then the concatenated value bytes."""
+    lengths, pos = _delta_decode(data, pos, end)
+    if len(lengths) != count:
+        raise ValueError(
+            f"delta-length stream has {len(lengths)} lengths for "
+            f"{count} values"
+        )
+    out = []
+    for ln in lengths:
+        if ln < 0 or pos + ln > end:
+            raise ValueError("delta-length value past page end")
+        out.append(bytes(data[pos : pos + ln]))
+        pos += ln
+    return out
+
+
+def _decode_delta_ba(data: bytes, pos: int, end: int,
+                     count: int) -> list[bytes]:
+    """DELTA_BYTE_ARRAY (incremental/front coding): delta-packed
+    prefix lengths, then a full DELTA_LENGTH_BYTE_ARRAY of suffixes;
+    value[i] = value[i-1][:prefix[i]] + suffix[i]."""
+    prefixes, pos = _delta_decode(data, pos, end)
+    if len(prefixes) != count:
+        raise ValueError(
+            f"delta-byte-array has {len(prefixes)} prefixes for "
+            f"{count} values"
+        )
+    suffixes = _decode_delta_length_ba(data, pos, end, count)
+    out: list[bytes] = []
+    prev = b""
+    for pfx, sfx in zip(prefixes, suffixes):
+        if pfx < 0 or pfx > len(prev):
+            raise ValueError(
+                f"delta-byte-array prefix {pfx} exceeds previous "
+                f"value length {len(prev)}"
+            )
+        prev = prev[:pfx] + sfx
+        out.append(prev)
     return out
 
 
@@ -595,6 +654,15 @@ def _decode_values(data: bytes, pos: int, end: int, encoding: int,
                 f"DELTA_BINARY_PACKED on non-integer type {ptype}"
             )
         return decode_delta_binary_packed(data, pos, end, n)
+    if encoding in (_ENC_DELTA_LEN_BA, _ENC_DELTA_BA):
+        if ptype != _T_BYTE_ARRAY:
+            raise ValueError(
+                f"delta byte-array encoding on non-BYTE_ARRAY type "
+                f"{ptype}"
+            )
+        if encoding == _ENC_DELTA_LEN_BA:
+            return _decode_delta_length_ba(data, pos, end, n)
+        return _decode_delta_ba(data, pos, end, n)
     raise ValueError(f"unsupported data encoding {encoding}")
 
 
@@ -711,6 +779,13 @@ def synth_parquet_data_plan(seed: int) -> dict:
         "use_dictionary": (seed >> 1) % 2 == 0 and not delta,
         "compression": "gzip" if (seed >> 2) % 2 else "NONE",
         "delta_ints": delta,
+        # the delta seeds also rotate the string column through both
+        # byte-array delta encodings (front coding on odd seeds)
+        "c_encoding": (
+            ("DELTA_BYTE_ARRAY" if seed % 2 else "DELTA_LENGTH_BYTE_ARRAY")
+            if delta
+            else "PLAIN"
+        ),
     }
 
 
@@ -746,6 +821,7 @@ def synth_parquet_data(seed: int) -> bytes:
         kwargs["column_encoding"] = {
             "a": "DELTA_BINARY_PACKED",
             "b": "DELTA_BINARY_PACKED",
+            "c": plan["c_encoding"],
         }
     pq.write_table(
         table,

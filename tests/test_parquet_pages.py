@@ -91,6 +91,41 @@ def test_delta_binary_packed_pinned_against_pyarrow():
         decode_delta_binary_packed(stream[:6], 0, 6, 3)
 
 
+def test_delta_byte_array_encodings_front_coded():
+    """DELTA_LENGTH_BYTE_ARRAY and DELTA_BYTE_ARRAY (front coding)
+    over strings with real shared prefixes, across both page versions
+    and both codecs — the full modern string-encoding surface."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = ["prefix/%05d/suffix_%d" % ((i * 3) % 40, i % 7)
+            for i in range(500)]
+    t = pa.table({"c": pa.array(vals)})
+    want = [v.encode() for v in vals]
+    for enc in ("DELTA_LENGTH_BYTE_ARRAY", "DELTA_BYTE_ARRAY"):
+        for comp in ("NONE", "gzip"):
+            for dpv in ("1.0", "2.0"):
+                buf = io.BytesIO()
+                pq.write_table(
+                    t, buf, compression=comp, use_dictionary=False,
+                    column_encoding={"c": enc}, data_page_size=700,
+                    data_page_version=dpv,
+                )
+                assert decode_column(buf.getvalue(), 0) == want, (
+                    enc, comp, dpv,
+                )
+    # corrupt prefix lengths must quarantine, not slice nonsense
+    from datawarehouseproject_spark.functions.parquet_pages import (
+        _decode_delta_ba,
+    )
+
+    # prefixes [5] for one value whose previous value is empty
+    stream = bytes([8, 1, 1, 10,        # prefix stream: one value 5
+                    8, 1, 1, 2, ord("x")])  # suffix stream: one "x"...
+    with pytest.raises(ValueError, match="prefix"):
+        _decode_delta_ba(stream, 0, len(stream), 1)
+
+
 def test_duckdb_writer_is_a_second_independent_producer(tmp_path):
     import duckdb
 
