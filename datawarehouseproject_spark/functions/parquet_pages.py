@@ -47,6 +47,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 from .parquet_footer import _BINARY, _I32, _I64, _LIST, _STRUCT
 from .parquet_footer import _list_header, _unzigzag, _varint, _walk_struct
 
@@ -71,6 +73,7 @@ _ENC_DELTA_BP = 5
 _ENC_DELTA_LEN_BA = 6
 _ENC_DELTA_BA = 7
 _ENC_RLE_DICT = 8
+_ENC_BYTE_STREAM_SPLIT = 9
 
 _CODEC_NONE = 0
 _CODEC_GZIP = 2
@@ -654,6 +657,23 @@ def _decode_values(data: bytes, pos: int, end: int, encoding: int,
                 f"DELTA_BINARY_PACKED on non-integer type {ptype}"
             )
         return decode_delta_binary_packed(data, pos, end, n)
+    if encoding == _ENC_BYTE_STREAM_SPLIT:
+        # k byte-planes of n values each: byte j of value i lives at
+        # stream j, offset i — transpose back and decode as PLAIN
+        if ptype not in _PLAIN_WIDTHS:
+            raise ValueError(
+                f"BYTE_STREAM_SPLIT on unsupported type {ptype}"
+            )
+        w = _PLAIN_WIDTHS[ptype]
+        if pos + w * n > end:
+            raise ValueError("truncated byte-stream-split data")
+        planes = np.frombuffer(
+            data, dtype=np.uint8, count=w * n, offset=pos
+        ).reshape(w, n)
+        joined = planes.T.tobytes()
+        vals, _ = _plain_decode(joined, 0, len(joined), ptype, n,
+                                type_length)
+        return vals
     if encoding in (_ENC_DELTA_LEN_BA, _ENC_DELTA_BA):
         if ptype != _T_BYTE_ARRAY:
             raise ValueError(
