@@ -58,6 +58,8 @@ def sniff_media_format(payload: bytes) -> str:
         return "zip"
     if payload[:2] == b"\x1f\x8b":
         return "gzip"
+    if payload[:3] == b"BZh" and 0x31 <= payload[3] <= 0x39:
+        return "bzip2"
     if payload[:4] == b"PAR1" and payload[-4:] == b"PAR1":
         return "parquet"
     if payload[:3] == b"ORC":

@@ -1293,6 +1293,44 @@ def extract_parquet_footer(
     return _extract_metadata(media, PARQUET_FOOTER_SCHEMA, loader, permissive)
 
 
+def synthesize_bz2_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of REAL .bz2 streams from the
+    stdlib compressor (``functions/bzip2.py:synth_bz2``), levels
+    rotating 1..9."""
+
+    def loader():
+        from ..functions.bzip2 import synth_bz2
+
+        return synth_bz2
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+BZ2_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("n_distinct", T.IntegerType()),
+        T.StructField("compressed_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_bz2_decode(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Full bzip2 decode per payload — Huffman groups, MTF/RLE2,
+    inverse BWT, RLE1, both CRC layers
+    (:func:`..functions.bzip2.scan_bz2`)."""
+
+    def loader():
+        from ..functions.bzip2 import scan_bz2
+
+        return scan_bz2
+
+    return _extract_metadata(media, BZ2_SCAN_SCHEMA, loader, permissive)
+
+
 def synthesize_sqlite_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1677,6 +1677,55 @@ def q_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bz2_corpus_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2000 + (doc_id * 37) % 3000 AS n
+      FROM documents),
+    r AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    v AS (
+      SELECT media_id, n, ((i // 6) * 13 + media_id) % 250 AS b
+      FROM r)
+    SELECT media_id,
+           CAST(max(n) AS BIGINT) AS n_bytes,
+           CAST(sum(b) AS BIGINT) AS byte_sum,
+           CAST(count(DISTINCT b) AS INTEGER) AS n_distinct
+    FROM v
+    GROUP BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "bzip2", "codec"),
+)
+def q_bz2_corpus_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL bzip2 decode, value-checked (round 9): the other archive
+    codec web corpora actually ship (Wikipedia dumps, mail archives)
+    — and unlike gzip's LZ77, a completely different stack decoded
+    end-to-end by hand in ``functions/bzip2.py``: MSB-first
+    non-byte-aligned bit stream, Huffman tables SWITCHED every 50
+    symbols via MTF-coded selectors, delta-coded canonical code
+    lengths, move-to-front + bijective-base-2 zero runs (RLE2), the
+    inverse Burrows-Wheeler transform (counting sort + permutation
+    walk from the 24-bit origin pointer), byte-level RLE1, and both
+    CRC layers (the non-reflected CRC-32 per block, rotate-left
+    folded per stream) VERIFIED.  One real .bz2 per document from the
+    STDLIB compressor (independent producer), levels rotating 1..9;
+    the oracle recomputes plaintext length, byte sum, and distinct
+    count from the data formula — so a single mis-stepped Huffman
+    switch, BWT walk, or RLE1 count breaks the hash."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_bz2_decode,
+        synthesize_bz2_media,
+    )
+
+    media = synthesize_bz2_media(_t(spark, sf_dir, "documents"))
+    return extract_bz2_decode(media).select(
+        "media_id", "n_bytes", "byte_sum", "n_distinct"
+    )
+
+
+@register(
     "sqlite_table_scan",
     oracle="""
     WITH m AS (

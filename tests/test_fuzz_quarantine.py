@@ -18,6 +18,7 @@ def _cases():
     from datawarehouseproject_spark.functions import (
         avi,
         bmp,
+        bzip2,
         exif,
         flac,
         gif,
@@ -56,6 +57,7 @@ def _cases():
         ("zip64", zipscan.synth_zip64, zipscan.scan_zip),
         ("tar", zipscan.synth_tar, zipscan.scan_tar),
         ("gzip", zipscan.synth_gzip, zipscan.decode_gzip),
+        ("bzip2", bzip2.synth_bz2, bzip2.scan_bz2),
         ("mp3", mpeg_audio.synth_mp3, mpeg_audio.scan_mp3),
         (
             "layer1",
