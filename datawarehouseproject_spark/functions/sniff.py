@@ -60,6 +60,8 @@ def sniff_media_format(payload: bytes) -> str:
         return "gzip"
     if payload[:3] == b"BZh" and 0x31 <= payload[3] <= 0x39:
         return "bzip2"
+    if payload[:6] == b"\xfd7zXZ\x00":
+        return "xz"
     if payload[:4] == b"PAR1" and payload[-4:] == b"PAR1":
         return "parquet"
     if payload[:3] == b"ORC":

@@ -1293,6 +1293,43 @@ def extract_parquet_footer(
     return _extract_metadata(media, PARQUET_FOOTER_SCHEMA, loader, permissive)
 
 
+def synthesize_xz_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of REAL .xz files from stdlib
+    lzma (``functions/xz_scan.py:synth_xz``), check types rotating
+    and odd seeds carrying concatenated streams."""
+
+    def loader():
+        from ..functions.xz_scan import synth_xz
+
+        return synth_xz
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+XZ_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_streams", T.IntegerType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("uncompressed_total", T.LongType()),
+        T.StructField("check_type", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_xz_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """XZ container triage per payload: footer -> index -> block map
+    with every skeleton CRC verified
+    (:func:`..functions.xz_scan.scan_xz`)."""
+
+    def loader():
+        from ..functions.xz_scan import scan_xz
+
+        return scan_xz
+
+    return _extract_metadata(media, XZ_SCAN_SCHEMA, loader, permissive)
+
+
 def synthesize_bz2_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of REAL .bz2 streams from the
     stdlib compressor (``functions/bzip2.py:synth_bz2``), levels

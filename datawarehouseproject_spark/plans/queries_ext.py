@@ -1677,6 +1677,50 @@ def q_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xz_container_scan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_streams,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_blocks,
+           CAST(500 + (doc_id * 13) % 1000
+                + CASE WHEN doc_id % 2 = 1
+                       THEN 300 + (doc_id * 7) % 500 ELSE 0 END
+                AS BIGINT) AS uncompressed_total,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                WHEN 2 THEN 4 ELSE 10 END AS INTEGER) AS check_type
+    FROM documents
+    """,
+    tags=("multimodal", "mapInPandas", "xz", "triage"),
+)
+def q_xz_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XZ container triage, value-checked (round 9): the third
+    archive codec real dumps ship (kernel tarballs, multi-part data
+    dumps).  One real .xz per document from STDLIB lzma, check types
+    rotating none/CRC32/CRC64/SHA-256 and odd documents carrying
+    genuinely CONCATENATED streams.  The scan
+    (``functions/xz_scan.py``) walks footers BACKWARD — footer magic
+    + CRC, backward-size to the index, index records to the block
+    map, then forward over every block header — verifying every
+    CRC32 in the container skeleton, the same
+    read-the-index-not-the-data shape as the ZIP central directory
+    and the parquet footer.  Full LZMA2 decode is the documented
+    boundary (range coding); the triage is what split planning needs:
+    stream/block counts and declared plaintext, recomputed by the
+    oracle from the writer plan."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_xz_scan,
+        synthesize_xz_media,
+    )
+
+    media = synthesize_xz_media(_t(spark, sf_dir, "documents"))
+    return extract_xz_scan(media).select(
+        "media_id", "n_streams", "n_blocks", "uncompressed_total",
+        "check_type",
+    )
+
+
+@register(
     "bz2_corpus_decode",
     oracle="""
     WITH m AS (

@@ -34,6 +34,7 @@ def _cases():
         tiff,
         wav,
         webp,
+        xz_scan,
         zipscan,
     )
 
@@ -58,6 +59,7 @@ def _cases():
         ("tar", zipscan.synth_tar, zipscan.scan_tar),
         ("gzip", zipscan.synth_gzip, zipscan.decode_gzip),
         ("bzip2", bzip2.synth_bz2, bzip2.scan_bz2),
+        ("xz", xz_scan.synth_xz, xz_scan.scan_xz),
         ("mp3", mpeg_audio.synth_mp3, mpeg_audio.scan_mp3),
         (
             "layer1",

@@ -38,6 +38,7 @@ def test_every_synthesizer_is_labeled_correctly():
         synth_png_palette,
     )
     from datawarehouseproject_spark.functions.bzip2 import synth_bz2
+    from datawarehouseproject_spark.functions.xz_scan import synth_xz
     from datawarehouseproject_spark.functions.sqlite_scan import (
         synth_sqlite,
     )
@@ -69,6 +70,7 @@ def test_every_synthesizer_is_labeled_correctly():
         (synth_gzip, "gzip"),
         (synth_sqlite, "sqlite"),
         (synth_bz2, "bzip2"),
+        (synth_xz, "xz"),
         (synth_mp3, "mpeg_audio"),
         (synth_mpeg1_layer1, "mpeg_audio"),
         (synth_h264, "h264"),
