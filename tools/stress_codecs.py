@@ -451,6 +451,34 @@ def round9_kernels() -> None:
         "sec": round(secs, 4),
     }))
 
+    import bz2 as stdbz2
+
+    from datawarehouseproject_spark.functions.bzip2 import decode_bz2
+    from datawarehouseproject_spark.functions.xz_scan import (
+        scan_xz,
+        synth_xz,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog. " * 10000).encode()
+    payload = stdbz2.compress(text, 9)
+    secs, out = _timeit(decode_bz2, payload)
+    assert out == text
+    print(json.dumps({
+        "kernel": "bzip2_full_decode",
+        "media": f"{len(text)} bytes text, level 9",
+        "mb_per_s": round(len(text) / secs / 1e6, 2),
+        "sec": round(secs, 4),
+    }))
+
+    xzs = [synth_xz(s) for s in range(2000)]
+    secs, n = _timeit(lambda: sum(scan_xz(p)["n_blocks"] for p in xzs))
+    print(json.dumps({
+        "kernel": "xz_container_triage",
+        "media": f"{sum(map(len, xzs))} bytes, 2000 files, {n} blocks",
+        "files_per_s": int(2000 / secs),
+        "sec": round(secs, 4),
+    }))
+
 
 if __name__ == "__main__":
     main()
