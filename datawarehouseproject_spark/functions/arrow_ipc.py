@@ -1,0 +1,266 @@
+"""Arrow IPC (Feather V2) file triage: hand-rolled flatbuffers.
+
+Arrow IPC is the interchange format of the engine's OWN runtime
+(every mapInPandas batch crosses the JVM/Python boundary as Arrow),
+and .arrow/.feather files are how intermediate datasets ship between
+tools.  With :mod:`.parquet_footer` (Thrift compact) and
+:mod:`.protowire` (protobuf), this completes the serialization-
+format trio a data platform actually meets — flatbuffers is the last
+of the three wire formats, and like the others it is parsed here
+from the public spec (google.github.io/flatbuffers/ internals +
+Arrow's Footer.fbs/Message.fbs/Schema.fbs):
+
+- file layout: ``ARROW1\\0\\0`` magic, then messages, then the
+  Footer flatbuffer, u32le footer length, trailing ``ARROW1``;
+- flatbuffer wire: root = u32le offset to the root TABLE; a table
+  starts with an i32 soffset to its VTABLE (vtable pos = table pos
+  - soffset); the vtable is u16 vtable-size, u16 table-size, then
+  one u16 per field (offset from table start, 0 = absent); scalar
+  fields are inline, offset fields hold a u32 relative offset to
+  the target, strings are u32-length-prefixed, vectors are u32
+  count + elements, structs are inline;
+- Footer table: version (short, id 0), schema (table, id 1),
+  dictionaries ([Block], id 2), recordBatches ([Block], id 3);
+  Block is a 24-byte inline struct {i64 offset, i32 metaDataLength
+  (+4 pad), i64 bodyLength};
+- Schema table: endianness (id 0), fields ([Field], id 1); Field:
+  name (string, id 0), nullable (bool, id 1), type_type (union tag
+  byte, id 2), ...;
+- each record batch is an ENCAPSULATED MESSAGE at its Block offset:
+  u32 continuation ``FFFFFFFF``, u32 metadata length, Message
+  flatbuffer — version (id 0), header union tag (id 1) where
+  RecordBatch = 3, header offset (id 2), bodyLength (long, id 3);
+  RecordBatch table: length (long, id 0) = ROW COUNT, nodes (id 1),
+  buffers (id 2).
+
+The SYNTHESIZER is pyarrow's IPC writer — the independent-producer
+pin again.  Every offset is bounds-checked; malformed buffers raise
+``ValueError`` (permissive-quarantine contract).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = b"ARROW1"
+_MSG_RECORD_BATCH = 3
+
+
+class _FB:
+    """Bounds-checked little-endian readers over one buffer."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+    def _need(self, pos: int, n: int) -> None:
+        if pos < 0 or pos + n > len(self.data):
+            raise ValueError("flatbuffer offset out of bounds")
+
+    def u16(self, pos: int) -> int:
+        self._need(pos, 2)
+        return struct.unpack_from("<H", self.data, pos)[0]
+
+    def i16(self, pos: int) -> int:
+        self._need(pos, 2)
+        return struct.unpack_from("<h", self.data, pos)[0]
+
+    def i32(self, pos: int) -> int:
+        self._need(pos, 4)
+        return struct.unpack_from("<i", self.data, pos)[0]
+
+    def u32(self, pos: int) -> int:
+        self._need(pos, 4)
+        return struct.unpack_from("<I", self.data, pos)[0]
+
+    def i64(self, pos: int) -> int:
+        self._need(pos, 8)
+        return struct.unpack_from("<q", self.data, pos)[0]
+
+    def u8(self, pos: int) -> int:
+        self._need(pos, 1)
+        return self.data[pos]
+
+    def root(self) -> int:
+        return self.u32(0)
+
+    def field(self, table: int, field_id: int) -> int | None:
+        """Byte position of field ``field_id`` in ``table``, or None
+        if absent (vtable offset 0 / vtable too short)."""
+        soff = self.i32(table)
+        vt = table - soff
+        if vt < 0:
+            raise ValueError("flatbuffer vtable before buffer start")
+        vt_size = self.u16(vt)
+        slot = 4 + 2 * field_id
+        if slot + 2 > vt_size:
+            return None
+        off = self.u16(vt + slot)
+        if off == 0:
+            return None
+        return table + off
+
+    def indirect(self, pos: int) -> int:
+        """Follow a u32 relative offset (tables, strings, vectors)."""
+        return pos + self.u32(pos)
+
+    def table_field(self, table: int, field_id: int) -> int | None:
+        pos = self.field(table, field_id)
+        return None if pos is None else self.indirect(pos)
+
+    def string_at(self, pos: int) -> str:
+        tgt = self.indirect(pos)
+        n = self.u32(tgt)
+        self._need(tgt + 4, n)
+        return self.data[tgt + 4 : tgt + 4 + n].decode(
+            "utf-8", errors="replace"
+        )
+
+    def vector(self, table: int, field_id: int) -> tuple[int, int] | None:
+        """(element start, count) of a vector field, or None."""
+        pos = self.field(table, field_id)
+        if pos is None:
+            return None
+        tgt = self.indirect(pos)
+        n = self.u32(tgt)
+        return tgt + 4, n
+
+
+def _parse_footer(fb: _FB) -> dict:
+    footer = fb.root()
+    out: dict = {"n_columns": 0, "col_names": [], "batches": [],
+                 "n_dict_batches": 0}
+    schema = fb.table_field(footer, 1)
+    if schema is not None:
+        vec = fb.vector(schema, 1)  # fields: [Field]
+        if vec is not None:
+            start, n = vec
+            if n > len(fb.data):
+                raise ValueError("schema field vector count out of range")
+            out["n_columns"] = n
+            for i in range(n):
+                field_tbl = fb.indirect(start + 4 * i)
+                name_pos = fb.field(field_tbl, 0)
+                out["col_names"].append(
+                    "" if name_pos is None else fb.string_at(name_pos)
+                )
+    dicts = fb.vector(footer, 2)  # dictionaries: [Block] (struct x24)
+    if dicts is not None:
+        out["n_dict_batches"] = dicts[1]
+    blocks = fb.vector(footer, 3)  # recordBatches: [Block]
+    if blocks is not None:
+        start, n = blocks
+        if n * 24 > len(fb.data):
+            raise ValueError("record-batch block vector out of range")
+        for i in range(n):
+            base = start + 24 * i
+            out["batches"].append(
+                {
+                    "offset": fb.i64(base),
+                    "meta_len": fb.i32(base + 8),
+                    "body_len": fb.i64(base + 16),
+                }
+            )
+    return out
+
+
+def _batch_rows(payload: bytes, block: dict) -> int:
+    """Row count of one record batch: encapsulated message ->
+    Message flatbuffer -> RecordBatch header -> length field."""
+    pos = block["offset"]
+    if pos < 8 or pos + 8 > len(payload):
+        raise ValueError("record-batch offset outside file")
+    (cont,) = struct.unpack_from("<I", payload, pos)
+    if cont == 0xFFFFFFFF:
+        (meta_len,) = struct.unpack_from("<I", payload, pos + 4)
+        meta_start = pos + 8
+    else:
+        # pre-1.0 streams lack the continuation marker
+        meta_len = cont
+        meta_start = pos + 4
+    if meta_len <= 0 or meta_start + meta_len > len(payload):
+        raise ValueError("record-batch metadata length out of range")
+    fb = _FB(payload[meta_start : meta_start + meta_len])
+    msg = fb.root()
+    tag_pos = fb.field(msg, 1)
+    tag = 0 if tag_pos is None else fb.u8(tag_pos)
+    if tag != _MSG_RECORD_BATCH:
+        raise ValueError(f"block points at message type {tag}, "
+                         f"not a record batch")
+    header = fb.table_field(msg, 2)
+    if header is None:
+        raise ValueError("record-batch message missing header")
+    len_pos = fb.field(header, 0)
+    n_rows = 0 if len_pos is None else fb.i64(len_pos)
+    if n_rows < 0:
+        raise ValueError("negative record-batch length")
+    body_pos = fb.field(msg, 3)
+    body_len = 0 if body_pos is None else fb.i64(body_pos)
+    if body_len != block["body_len"]:
+        raise ValueError(
+            f"footer body length {block['body_len']} != message "
+            f"body length {body_len}"
+        )
+    return n_rows
+
+
+def scan_arrow_ipc(payload: bytes) -> dict:
+    """Triage an Arrow IPC file: schema width, record-batch count,
+    TOTAL ROW COUNT (each batch's Message flatbuffer read and its
+    body length cross-checked against the footer block), dictionary-
+    batch count.  Raises ``ValueError`` on malformed structure."""
+    if len(payload) < 20 or payload[:6] != _MAGIC:
+        raise ValueError("not an arrow IPC file (bad leading magic)")
+    if payload[-6:] != _MAGIC:
+        raise ValueError("missing trailing ARROW1 magic")
+    (flen,) = struct.unpack_from("<I", payload, len(payload) - 10)
+    start = len(payload) - 10 - flen
+    if flen <= 0 or start < 8:
+        raise ValueError("arrow footer length out of range")
+    footer = _parse_footer(_FB(payload[start : start + flen]))
+    total_rows = 0
+    for block in footer["batches"]:
+        total_rows += _batch_rows(payload, block)
+    return {
+        "n_columns": footer["n_columns"],
+        "n_batches": len(footer["batches"]),
+        "n_dict_batches": footer["n_dict_batches"],
+        "n_rows": total_rows,
+        "body_bytes": sum(b["body_len"] for b in footer["batches"]),
+        "payload_bytes": len(payload),
+    }
+
+
+def synth_arrow_plan(seed: int) -> dict:
+    """Plan mirrored in the DuckDB oracle: 1 + seed % 3 batches of
+    10 + (seed*3) % 40 rows, 2 + seed % 3 int64 columns."""
+    return {
+        "n_batches": 1 + seed % 3,
+        "rows_per_batch": 10 + (seed * 3) % 40,
+        "n_columns": 2 + seed % 3,
+    }
+
+
+def synth_arrow_ipc(seed: int) -> bytes:
+    """A REAL Arrow IPC file from pyarrow's writer (independent
+    producer), multiple record batches per file."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    plan = synth_arrow_plan(seed)
+    n = plan["rows_per_batch"]
+    cols = {
+        f"c{j}": pa.array(
+            [(seed + i * 7 + j) % 1000 for i in range(n)], pa.int64()
+        )
+        for j in range(plan["n_columns"])
+    }
+    table = pa.table(cols)
+    buf = io.BytesIO()
+    with ipc.new_file(buf, table.schema) as w:
+        for _ in range(plan["n_batches"]):
+            w.write_table(table)
+    return buf.getvalue()

@@ -64,6 +64,8 @@ def sniff_media_format(payload: bytes) -> str:
         return "xz"
     if payload[:4] == b"PAR1" and payload[-4:] == b"PAR1":
         return "parquet"
+    if payload[:6] == b"ARROW1" and payload[-6:] == b"ARROW1":
+        return "arrow"
     if payload[:3] == b"ORC":
         return "orc"
     if payload[:3] == b"ID3":

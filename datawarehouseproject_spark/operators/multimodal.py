@@ -1293,6 +1293,48 @@ def extract_parquet_footer(
     return _extract_metadata(media, PARQUET_FOOTER_SCHEMA, loader, permissive)
 
 
+def synthesize_arrow_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of REAL Arrow IPC files from
+    pyarrow's writer (``functions/arrow_ipc.py:synth_arrow_ipc``),
+    multi-batch."""
+
+    def loader():
+        from ..functions.arrow_ipc import synth_arrow_ipc
+
+        return synth_arrow_ipc
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ARROW_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_columns", T.IntegerType()),
+        T.StructField("n_batches", T.IntegerType()),
+        T.StructField("n_dict_batches", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("body_bytes", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_arrow_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Arrow IPC triage per payload: footer flatbuffer -> blocks ->
+    per-batch Message flatbuffers
+    (:func:`..functions.arrow_ipc.scan_arrow_ipc`)."""
+
+    def loader():
+        from ..functions.arrow_ipc import scan_arrow_ipc
+
+        return scan_arrow_ipc
+
+    return _extract_metadata(media, ARROW_SCAN_SCHEMA, loader, permissive)
+
+
 def synthesize_xz_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of REAL .xz files from stdlib
     lzma (``functions/xz_scan.py:synth_xz``), check types rotating

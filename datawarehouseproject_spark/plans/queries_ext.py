@@ -1677,6 +1677,53 @@ def q_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "arrow_ipc_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             1 + doc_id % 3 AS nb,
+             10 + (doc_id * 3) % 40 AS rpb,
+             2 + doc_id % 3 AS nc
+      FROM documents)
+    SELECT media_id,
+           CAST(nc AS INTEGER) AS n_columns,
+           CAST(nb AS INTEGER) AS n_batches,
+           CAST(0 AS INTEGER) AS n_dict_batches,
+           CAST(nb * rpb AS BIGINT) AS n_rows
+    FROM m
+    """,
+    tags=("sources", "arrow", "flatbuffers", "mapInPandas", "triage"),
+)
+def q_arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather V2) triage, value-checked (round 9): the
+    interchange format of the engine's OWN runtime — every
+    mapInPandas batch crosses the JVM/Python boundary as Arrow — and
+    the third wire format of the serialization trio (Thrift compact
+    for parquet footers, protobuf for ORC tails, FLATBUFFERS here),
+    all parsed from public specs.  One real multi-batch .arrow file
+    per document from pyarrow's writer (independent producer); the
+    hand-rolled flatbuffer walker (``functions/arrow_ipc.py``) reads
+    the Footer table through its vtable (soffset -> vtable -> field
+    slots), the schema's field vector for column count, the 24-byte
+    Block structs, then follows each block to its encapsulated
+    Message flatbuffer for the RecordBatch ROW COUNT, cross-checking
+    footer vs message body lengths.  The oracle recomputes batch/row/
+    column counts from the writer plan.  Every offset is
+    bounds-checked — a crafted vtable quarantines, never segfault-
+    style reads."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_arrow_scan,
+        synthesize_arrow_media,
+    )
+
+    media = synthesize_arrow_media(_t(spark, sf_dir, "documents"))
+    return extract_arrow_scan(media).select(
+        "media_id", "n_columns", "n_batches", "n_dict_batches", "n_rows"
+    )
+
+
+@register(
     "xz_container_scan",
     oracle="""
     SELECT doc_id AS media_id,

@@ -16,6 +16,7 @@ import pytest
 
 def _cases():
     from datawarehouseproject_spark.functions import (
+        arrow_ipc,
         avi,
         bmp,
         bzip2,
@@ -60,6 +61,11 @@ def _cases():
         ("gzip", zipscan.synth_gzip, zipscan.decode_gzip),
         ("bzip2", bzip2.synth_bz2, bzip2.scan_bz2),
         ("xz", xz_scan.synth_xz, xz_scan.scan_xz),
+        (
+            "arrow",
+            arrow_ipc.synth_arrow_ipc,
+            arrow_ipc.scan_arrow_ipc,
+        ),
         ("mp3", mpeg_audio.synth_mp3, mpeg_audio.scan_mp3),
         (
             "layer1",

@@ -37,6 +37,9 @@ def test_every_synthesizer_is_labeled_correctly():
         synth_png,
         synth_png_palette,
     )
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        synth_arrow_ipc,
+    )
     from datawarehouseproject_spark.functions.bzip2 import synth_bz2
     from datawarehouseproject_spark.functions.xz_scan import synth_xz
     from datawarehouseproject_spark.functions.sqlite_scan import (
@@ -71,6 +74,7 @@ def test_every_synthesizer_is_labeled_correctly():
         (synth_sqlite, "sqlite"),
         (synth_bz2, "bzip2"),
         (synth_xz, "xz"),
+        (synth_arrow_ipc, "arrow"),
         (synth_mp3, "mpeg_audio"),
         (synth_mpeg1_layer1, "mpeg_audio"),
         (synth_h264, "h264"),
