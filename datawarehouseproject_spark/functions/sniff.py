@@ -62,6 +62,8 @@ def sniff_media_format(payload: bytes) -> str:
         return "bzip2"
     if payload[:6] == b"\xfd7zXZ\x00":
         return "xz"
+    if payload[:5] == b"WARC/":
+        return "warc"  # uncompressed; .warc.gz sniffs as gzip (layered)
     if payload[:4] == b"PAR1" and payload[-4:] == b"PAR1":
         return "parquet"
     if payload[:6] == b"ARROW1" and payload[-6:] == b"ARROW1":

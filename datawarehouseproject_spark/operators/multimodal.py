@@ -1293,6 +1293,47 @@ def extract_parquet_footer(
     return _extract_metadata(media, PARQUET_FOOTER_SCHEMA, loader, permissive)
 
 
+def synthesize_warc_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of spec-conformant .warc.gz
+    crawl archives (``functions/warc.py:synth_warc``): one gzip
+    member per record, warcinfo + request/response pairs."""
+
+    def loader():
+        from ..functions.warc import synth_warc
+
+        return synth_warc
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+WARC_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_records", T.IntegerType()),
+        T.StructField("n_responses", T.IntegerType()),
+        T.StructField("n_requests", T.IntegerType()),
+        T.StructField("n_distinct_uris", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("response_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_warc_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """WARC record split per payload: member-by-member gzip decode +
+    record-grammar parse (:func:`..functions.warc.scan_warc`)."""
+
+    def loader():
+        from ..functions.warc import scan_warc
+
+        return scan_warc
+
+    return _extract_metadata(media, WARC_SCAN_SCHEMA, loader, permissive)
+
+
 def synthesize_arrow_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1677,6 +1677,60 @@ def q_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_record_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 4 AS p FROM documents),
+    e AS (
+      SELECT media_id, p, unnest(generate_series(0, p - 1)) AS i
+      FROM m),
+    s AS (
+      SELECT media_id, p,
+             40 + (media_id + i * 3) % 60 AS req,
+             100 + (media_id * 7 + i * 13) % 400 AS resp
+      FROM e)
+    SELECT media_id,
+           CAST(1 + 2 * max(p) AS INTEGER) AS n_records,
+           CAST(max(p) AS INTEGER) AS n_responses,
+           CAST(max(p) AS INTEGER) AS n_requests,
+           CAST(max(p) AS INTEGER) AS n_distinct_uris,
+           CAST(38 + sum(req) + sum(resp) AS BIGINT) AS payload_bytes,
+           CAST(sum(resp) AS BIGINT) AS response_bytes
+    FROM s
+    GROUP BY media_id
+    """,
+    tags=("sources", "warc", "crawl", "gzip", "mapInPandas"),
+)
+def q_warc_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive split, value-checked (round 9): the single
+    most on-theme source reader in the repo — web-scale training
+    corpora arrive as .warc.gz (Common Crawl ships ~100 TB of it),
+    and BEFORE any dedup/quality/language stage can run, the engine
+    must split crawl archives into records.  One spec-conformant
+    .warc.gz per document (ISO 28500 grammar; the standard
+    ONE-RECORD-PER-GZIP-MEMBER layout whose member boundaries are
+    what let a distributed reader split work); the scan
+    (``functions/warc.py``) walks gzip members with per-member
+    CRC32+ISIZE verification, then parses each record's version
+    line, header fields, Content-Length payload, and mandatory
+    CRLF-CRLF terminator.  Counts by record type, distinct target
+    URIs, and payload byte sums are recomputed by the oracle from
+    the writer plan.  Plain uncompressed .warc parses through the
+    same grammar (test-pinned)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_warc_scan,
+        synthesize_warc_media,
+    )
+
+    media = synthesize_warc_media(_t(spark, sf_dir, "documents"))
+    return extract_warc_scan(media).select(
+        "media_id", "n_records", "n_responses", "n_requests",
+        "n_distinct_uris", "payload_bytes", "response_bytes",
+    )
+
+
+@register(
     "arrow_ipc_scan",
     oracle="""
     WITH m AS (

@@ -33,6 +33,7 @@ def _cases():
         png,
         sqlite_scan,
         tiff,
+        warc,
         wav,
         webp,
         xz_scan,
@@ -66,6 +67,7 @@ def _cases():
             arrow_ipc.synth_arrow_ipc,
             arrow_ipc.scan_arrow_ipc,
         ),
+        ("warc", warc.synth_warc, warc.scan_warc),
         ("mp3", mpeg_audio.synth_mp3, mpeg_audio.scan_mp3),
         (
             "layer1",

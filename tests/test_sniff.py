@@ -41,6 +41,7 @@ def test_every_synthesizer_is_labeled_correctly():
         synth_arrow_ipc,
     )
     from datawarehouseproject_spark.functions.bzip2 import synth_bz2
+    from datawarehouseproject_spark.functions.warc import synth_warc
     from datawarehouseproject_spark.functions.xz_scan import synth_xz
     from datawarehouseproject_spark.functions.sqlite_scan import (
         synth_sqlite,
@@ -75,6 +76,7 @@ def test_every_synthesizer_is_labeled_correctly():
         (synth_bz2, "bzip2"),
         (synth_xz, "xz"),
         (synth_arrow_ipc, "arrow"),
+        (synth_warc, "gzip"),  # .warc.gz IS gzip at the byte layer
         (synth_mp3, "mpeg_audio"),
         (synth_mpeg1_layer1, "mpeg_audio"),
         (synth_h264, "h264"),
