@@ -151,6 +151,50 @@ def scan_warc(payload: bytes) -> dict:
     }
 
 
+def synth_warc_text_plan(seed: int) -> dict:
+    """Plan for the TEXT fixture (``warc_response_text_stats``):
+    2 + seed % 3 responses; response i carries 20 + (seed + i) % 30
+    space-separated tokens, token j = ``w{(seed*3 + i + j) % 10}`` —
+    small vocabulary so distinct-counts exercise the JVM-side
+    aggregation, all mirrored in SQL."""
+    return {"n_responses": 2 + seed % 3}
+
+
+def synth_warc_text(seed: int) -> bytes:
+    """A .warc.gz whose response payloads are TOKENIZABLE TEXT — the
+    fixture for composing the Python record split with JVM-side text
+    analytics (split/explode/aggregate, zero Python in that stage)."""
+    import gzip
+    import io
+
+    def record(rtype: str, rid: int, body: bytes, uri: str) -> bytes:
+        head = [
+            "WARC/1.0",
+            f"WARC-Type: {rtype}",
+            f"WARC-Record-ID: <urn:uuid:00000000-0000-4000-9000-"
+            f"{seed:06d}{rid:06d}>",
+            "WARC-Date: 2024-01-01T00:00:00Z",
+            f"WARC-Target-URI: {uri}",
+            f"Content-Length: {len(body)}",
+        ]
+        return "\r\n".join(head).encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+    plan = synth_warc_text_plan(seed)
+    out = io.BytesIO()
+    for i in range(plan["n_responses"]):
+        m = 20 + (seed + i) % 30
+        text = " ".join(f"w{(seed * 3 + i + j) % 10}" for j in range(m))
+        rec = record(
+            "response", i, text.encode(),
+            f"http://text{(seed + i) % 4}.example/doc{i}",
+        )
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(rec)
+        out.write(buf.getvalue())
+    return out.getvalue()
+
+
 def synth_warc_plan(seed: int) -> dict:
     """Plan mirrored in the DuckDB oracle: 2 + seed % 4 page fetches,
     each a (request, response) record pair plus one leading warcinfo;

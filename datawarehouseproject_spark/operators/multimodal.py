@@ -1334,6 +1334,67 @@ def extract_warc_scan(
     return _extract_metadata(media, WARC_SCAN_SCHEMA, loader, permissive)
 
 
+def synthesize_warc_text_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of .warc.gz whose response
+    payloads are tokenizable text
+    (``functions/warc.py:synth_warc_text``)."""
+
+    def loader():
+        from ..functions.warc import synth_warc_text
+
+        return synth_warc_text
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("rec_idx", T.IntegerType()),
+        T.StructField("rec_type", T.StringType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def explode_warc_records(media: DataFrame) -> DataFrame:
+    """One OUTPUT ROW PER WARC RECORD — the handoff from the Python
+    record splitter to JVM-side text stages: everything downstream
+    (tokenization, filtering, aggregation) runs in whole-stage
+    codegen, exactly how a crawl pipeline should split work.  Payload
+    bytes decode as UTF-8 with replacement (crawl payloads lie about
+    encodings; replacement keeps the row, never kills the task)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.warc import parse_warc_records, split_gzip_members
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "media_id": [], "rec_idx": [], "rec_type": [],
+                "uri": [], "text": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(p)
+                members = split_gzip_members(payload)
+                idx = 0
+                for m in members:
+                    for rec in parse_warc_records(m):
+                        rows["media_id"].append(int(mid))
+                        rows["rec_idx"].append(idx)
+                        rows["rec_type"].append(rec["type"])
+                        rows["uri"].append(rec["uri"])
+                        rows["text"].append(
+                            rec["payload"].decode("utf-8", "replace")
+                        )
+                        idx += 1
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=WARC_RECORD_SCHEMA)
+
+
 def synthesize_arrow_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1731,6 +1731,64 @@ def q_warc_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_response_text_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 3 AS nr FROM documents),
+    r AS (
+      SELECT media_id, nr, unnest(generate_series(0, nr - 1)) AS i
+      FROM m),
+    t AS (
+      SELECT media_id, nr, i, 20 + (media_id + i) % 30 AS ntok
+      FROM r),
+    tok AS (
+      SELECT media_id, i,
+             (media_id * 3 + i + unnest(generate_series(0, ntok - 1)))
+               % 10 AS w
+      FROM t)
+    SELECT media_id,
+           CAST((SELECT max(nr) FROM t t2
+                 WHERE t2.media_id = tok.media_id) AS INTEGER)
+             AS n_responses,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT w) AS INTEGER) AS n_distinct_tokens
+    FROM tok
+    GROUP BY media_id
+    """,
+    tags=("sources", "warc", "crawl", "composition", "text"),
+)
+def q_warc_response_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC -> TEXT PIPELINE composition, value-checked (round 9):
+    the handoff a real crawl pipeline makes — the Python stage ONLY
+    splits archives into records (``explode_warc_records``, one
+    output row per record with UTF-8-replacement decode), and
+    everything downstream runs JVM-side in whole-stage codegen:
+    filter to responses, ``split`` on whitespace, ``explode`` to
+    tokens, aggregate counts and distinct vocabulary per archive.
+    The oracle replays the token formula entirely in SQL, so both
+    the record split AND the tokenization are value-checked
+    end-to-end."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_warc_records,
+        synthesize_warc_text_media,
+    )
+
+    media = synthesize_warc_text_media(_t(spark, sf_dir, "documents"))
+    recs = explode_warc_records(media)
+    toks = recs.where(F.col("rec_type") == "response").select(
+        "media_id",
+        "rec_idx",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    return toks.groupBy("media_id").agg(
+        F.count_distinct("rec_idx").cast("int").alias("n_responses"),
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").cast("int").alias("n_distinct_tokens"),
+    )
+
+
+@register(
     "arrow_ipc_scan",
     oracle="""
     WITH m AS (

@@ -84,6 +84,33 @@ def test_malformed_quarantine():
         scan_warc(bytes(payload))
 
 
+def test_explode_records_one_row_per_record(spark):
+    from datawarehouseproject_spark.functions.warc import (
+        synth_warc_text,
+        synth_warc_text_plan,
+    )
+    from datawarehouseproject_spark.operators.multimodal import (
+        explode_warc_records,
+    )
+
+    rows = [(int(s), bytearray(synth_warc_text(s))) for s in range(3)]
+    media = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    got = explode_warc_records(media).collect()
+    by_media: dict[int, list] = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for s in range(3):
+        plan = synth_warc_text_plan(s)
+        recs = sorted(by_media[s], key=lambda r: r["rec_idx"])
+        assert len(recs) == plan["n_responses"]
+        for i, r in enumerate(recs):
+            assert r["rec_type"] == "response"
+            want_m = 20 + (s + i) % 30
+            toks = r["text"].split(" ")
+            assert len(toks) == want_m
+            assert toks[0] == f"w{(s * 3 + i) % 10}"
+
+
 def test_spark_permissive_quarantine(spark):
     from datawarehouseproject_spark.operators.multimodal import (
         extract_warc_scan,
