@@ -479,6 +479,33 @@ def round9_kernels() -> None:
         "sec": round(secs, 4),
     }))
 
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        scan_arrow_ipc,
+        synth_arrow_ipc,
+    )
+    from datawarehouseproject_spark.functions.warc import (
+        scan_warc,
+        synth_warc,
+    )
+
+    arrows = [synth_arrow_ipc(s) for s in range(2000)]
+    secs, n = _timeit(lambda: sum(scan_arrow_ipc(p)["n_rows"] for p in arrows))
+    print(json.dumps({
+        "kernel": "arrow_ipc_triage",
+        "media": f"{sum(map(len, arrows))} bytes, 2000 files, {n} rows",
+        "files_per_s": int(2000 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    warcs = [synth_warc(s) for s in range(1000)]
+    secs, n = _timeit(lambda: sum(scan_warc(p)["n_records"] for p in warcs))
+    print(json.dumps({
+        "kernel": "warc_record_scan",
+        "media": f"{sum(map(len, warcs))} bytes, 1000 archives, {n} records",
+        "records_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
 
 if __name__ == "__main__":
     main()
