@@ -71,7 +71,8 @@ def test_decode_top_down_negative_height():
     "mutate,msg",
     [
         (lambda b: b"XX" + b[2:], "magic"),
-        (lambda b: b[:28] + b"\x08\x00" + b[30:], "unsupported"),  # bpp=8
+        # bpp=16 (bpp=8 became the palette path in round 9)
+        (lambda b: b[:28] + b"\x10\x00" + b[30:], "unsupported"),
         (lambda b: b[:60], "truncated"),
     ],
 )
