@@ -4719,6 +4719,74 @@ def q_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_skipping_scan",
+    oracle="""
+    SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    """,
+    tags=("lakehouse", "data-skipping", "versioned-table", "stats"),
+)
+def q_data_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-LEVEL DATA SKIPPING on a versioned table — the min/max
+    stats prune that makes a 100 TB time-range query read a sliver
+    instead of the table (Delta/Iceberg's add-file stats, reduced to
+    filesystem essentials in ``sources/versioned.py``). The commit
+    path lifts per-file min/max for the chosen columns out of the
+    parquet FOOTERS the write already produced (zero extra data I/O)
+    into a ``_stats.json`` manifest inside the immutable snapshot
+    dir; the pruned reader opens only files whose range intersects
+    the predicate. The write clusters by ``repartitionByRange`` on
+    the skip column so files carry TIGHT disjoint ranges — the same
+    reason production tables Z-order/cluster on their hot filter
+    keys: stats are only as good as the layout.
+
+    Pruning is conservative (a superset of matching files; the exact
+    predicate still runs and pushes into the parquet scan), so value
+    equality with the plain full-scan oracle proves no row was
+    skipped that shouldn't be. `tests/test_versioned.py` pins the
+    other half — that files WERE skipped, and that stats-less
+    snapshots fall back to a full scan."""
+    _utc(spark)
+    from ..sources.versioned import read_version_pruned, write_version
+
+    root = _scratch("orders_skip")
+    orders = _t(spark, sf_dir, "orders")
+    write_version(
+        orders.repartitionByRange(8, "o_orderdate"),
+        root,
+        stats_columns=("o_orderdate",),
+    )
+    import datetime as _dt
+
+    pruned, _scanned, _total = read_version_pruned(
+        spark,
+        root,
+        "o_orderdate",
+        lower=_dt.datetime(1995, 1, 1),
+        upper=_dt.datetime(1996, 1, 1),
+    )
+    lo, hi = F.lit("1995-01-01").cast("timestamp"), F.lit(
+        "1996-01-01"
+    ).cast("timestamp")
+    return (
+        pruned.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy(F.month("o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
     "holt_linear_trend",
     oracle="""
     WITH RECURSIVE daily AS (

@@ -251,3 +251,121 @@ def test_compact_then_vacuum_drops_small_file_snapshots(spark, tmp_path):
     # exactly one data dir remains on disk
     dirs = [n for n in os.listdir(path) if n.startswith("d-")]
     assert len(dirs) == 1
+
+
+def test_data_skipping_prunes_files_and_loses_no_rows(spark, tmp_path):
+    """Min/max stats prune: a range-clustered write + a narrow
+    predicate must open a strict subset of files, and the pruned
+    read + exact predicate must equal the full-scan answer."""
+    from pyspark.sql import functions as F
+
+    from datawarehouseproject_spark.sources.versioned import (
+        read_version_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).withColumn("k", F.col("id"))
+    write_version(
+        df.repartitionByRange(8, "k"), path, stats_columns=("k",)
+    )
+    pruned, scanned, total = read_version_pruned(
+        spark, path, "k", lower=100, upper=199
+    )
+    assert total == 8
+    assert 1 <= scanned < total
+    got = pruned.filter((F.col("k") >= 100) & (F.col("k") <= 199))
+    assert got.count() == 100
+    assert got.agg(F.sum("k")).first()[0] == sum(range(100, 200))
+
+
+def test_data_skipping_half_open_and_empty_ranges(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datawarehouseproject_spark.sources.versioned import (
+        read_version_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).withColumn("k", F.col("id"))
+    write_version(df.repartitionByRange(4, "k"), path, stats_columns=("k",))
+    hi_only, scanned, total = read_version_pruned(
+        spark, path, "k", upper=50
+    )
+    assert scanned < total
+    assert hi_only.filter(F.col("k") <= 50).count() == 51
+    empty, scanned0, _ = read_version_pruned(
+        spark, path, "k", lower=10_000
+    )
+    assert scanned0 == 0
+    assert empty.count() == 0
+    assert empty.columns == ["id", "k"]
+
+
+def test_data_skipping_statless_snapshot_full_scans(spark, tmp_path):
+    """A snapshot committed WITHOUT stats (or compacted without
+    them) must fall back to scanning every file — conservative, not
+    an error."""
+    from datawarehouseproject_spark.sources.versioned import (
+        read_version_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(0, 100).repartition(4), path)
+    df, scanned, total = read_version_pruned(
+        spark, path, "id", lower=5, upper=10
+    )
+    assert scanned == total == 4
+    assert df.count() == 100
+
+
+def test_data_skipping_survives_compaction_with_stats(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datawarehouseproject_spark.sources.versioned import (
+        compact_version,
+        read_version_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 600).withColumn("k", F.col("id"))
+    write_version(df.repartitionByRange(6, "k"), path, stats_columns=("k",))
+    v2 = compact_version(spark, path, target_files=2, stats_columns=("k",))
+    assert v2 == 2
+    pruned, scanned, total = read_version_pruned(
+        spark, path, "k", lower=0, upper=10
+    )
+    assert total == 2 and scanned == 1
+    assert pruned.filter(F.col("k") <= 10).count() == 11
+
+
+def test_data_skipping_timestamp_column(spark, tmp_path):
+    """Date/timestamp stats serialize to ISO-8601, whose string
+    order is chronological — prune on a date range."""
+    from pyspark.sql import functions as F
+
+    from datawarehouseproject_spark.sources.versioned import (
+        read_version_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 365).select(
+        F.col("id"),
+        F.expr("timestampadd(DAY, CAST(id AS INT), timestamp'2024-01-01')")
+        .alias("ts"),
+    )
+    write_version(df.repartitionByRange(6, "ts"), path, stats_columns=("ts",))
+    import datetime
+
+    pruned, scanned, total = read_version_pruned(
+        spark,
+        path,
+        "ts",
+        lower=datetime.datetime(2024, 6, 1),
+        upper=datetime.datetime(2024, 6, 30),
+    )
+    assert scanned < total
+    got = pruned.filter(
+        (F.col("ts") >= F.lit("2024-06-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-07-01").cast("timestamp"))
+    )
+    assert got.count() == 30
