@@ -1127,6 +1127,48 @@ def extract_gzip_content(media: DataFrame, permissive: bool = False) -> DataFram
     return _extract_metadata(media, GZIP_SCHEMA, loader, permissive)
 
 
+MIME_SCHEMA = T.StructType(
+    [
+        T.StructField("subject", T.StringType()),
+        T.StructField("from_domain", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("n_parts", T.IntegerType()),
+        T.StructField("n_attachments", T.IntegerType()),
+        T.StructField("body_chars", T.IntegerType()),
+        T.StructField("attach_bytes", T.LongType()),
+        T.StructField("qp_text", T.StringType()),
+    ]
+)
+
+
+def synthesize_email_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of RFC 5322 messages written
+    by the STDLIB ``email`` producer (``functions/mime_mail.py``) —
+    encoded-word subjects, multipart/mixed, base64 and
+    quoted-printable transfer encodings."""
+
+    def loader():
+        from ..functions.mime_mail import synth_email
+
+        return synth_email
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_email_metadata(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """Hand-rolled MIME parse per payload
+    (:func:`..functions.mime_mail.parse_mime_message`): header
+    unfolding, RFC 2047 decode, boundary split, base64/QP transfer
+    decode — zero shared code with the stdlib producer."""
+
+    def loader():
+        from ..functions.mime_mail import parse_mime_message
+
+        return parse_mime_message
+
+    return _extract_metadata(media, MIME_SCHEMA, loader, permissive)
+
+
 def synthesize_h264_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of valid H.264 Annex B byte
     streams (``functions/h264.py``): SPS (with real exp-Golomb

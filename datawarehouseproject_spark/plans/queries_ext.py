@@ -4464,6 +4464,67 @@ def q_protobuf_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mime_message_parse",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             doc_id % 3 AS n_bin,
+             CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS has_qp
+      FROM documents)
+    SELECT media_id,
+           CASE WHEN media_id % 3 = 0
+                THEN 'Báo giá #' || CAST(media_id AS VARCHAR)
+                ELSE 'Order update ' || CAST(media_id AS VARCHAR)
+           END AS subject,
+           'mail' || CAST(media_id % 5 AS VARCHAR) || '.example.com'
+             AS from_domain,
+           CASE WHEN n_bin + has_qp >= 1 THEN 'multipart/mixed'
+                ELSE 'text/plain' END AS content_type,
+           CAST(CASE WHEN n_bin + has_qp >= 1 THEN 1 + n_bin + has_qp
+                     ELSE 1 END AS INT) AS n_parts,
+           CAST(n_bin + has_qp AS INT) AS n_attachments,
+           CAST(CASE WHEN media_id % 7 = 1
+                     THEN 10 + length(CAST(media_id AS VARCHAR))
+                     ELSE 6 * (media_id % 5 + 1) END AS INT) AS body_chars,
+           CAST(CASE n_bin
+                WHEN 0 THEN 0
+                WHEN 1 THEN 10 + media_id % 40
+                ELSE 20 + media_id % 40 + (media_id + 1) % 40
+           END AS BIGINT) AS attach_bytes,
+           CASE WHEN has_qp = 1
+                THEN 'total=' || CAST(media_id AS VARCHAR) || '=end'
+                     || chr(10)
+                ELSE NULL END AS qp_text
+    FROM m
+    """,
+    tags=("sources", "mime", "email", "mapInPandas", "corpus"),
+)
+def q_mime_message_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME e-mail parsing from raw RFC 5322 bytes — the mail-corpus
+    ingestion format (Enron, mailing-list dumps, .eml crawls). One
+    message per document is written by the STDLIB ``email`` producer
+    (an independent serializer) and parsed by the hand-rolled reader
+    in ``functions/mime_mail.py``: header UNFOLDING, RFC 2047
+    encoded-word subjects (the Vietnamese subjects force B-encoding —
+    the reference's own text domain, SURVEY §2.7), Content-Type
+    parameter/boundary parsing, multipart/mixed splitting per RFC
+    2046 (the CRLF-owns-the-delimiter subtlety), and hand-rolled
+    base64 + quoted-printable transfer decoding. The oracle
+    recomputes every feature — including the DECODED unicode subject
+    and the QP-decoded attachment text — from the synthesis plan, so
+    the value hash pins the full decode chain, not just counts.
+    Arrow-batched ``mapInPandas``; at 100 TB the per-message parse is
+    embarrassingly parallel and the cost is the payload fetch."""
+    from ..operators.multimodal import (
+        extract_email_metadata,
+        synthesize_email_media,
+    )
+
+    media = synthesize_email_media(_t(spark, sf_dir, "documents"))
+    return extract_email_metadata(media)
+
+
+@register(
     "zip_archive_scan",
     oracle="""
     WITH m AS (

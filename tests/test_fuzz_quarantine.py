@@ -26,6 +26,7 @@ def _cases():
         h264,
         ico,
         jpeg,
+        mime_mail,
         mpeg_audio,
         orc_footer,
         parquet_footer,
@@ -89,6 +90,7 @@ def _cases():
         ("orc", orc_footer.synth_orc, orc_footer.scan_orc_footer),
         ("ico", ico.synth_ico, ico.scan_ico),
         ("sqlite", sqlite_scan.synth_sqlite, sqlite_scan.scan_sqlite),
+        ("mime", mime_mail.synth_email, mime_mail.parse_mime_message),
     ]
 
 
