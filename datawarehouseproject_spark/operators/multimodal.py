@@ -1127,6 +1127,48 @@ def extract_gzip_content(media: DataFrame, permissive: bool = False) -> DataFram
     return _extract_metadata(media, GZIP_SCHEMA, loader, permissive)
 
 
+DEFLATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sum_bytes", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("last_byte", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_deflate_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of raw DEFLATE streams
+    written by the STDLIB zlib compressor (levels 0-9 + Z_FIXED
+    rotation — ``functions/inflate.py``)."""
+
+    def loader():
+        from ..functions.inflate import synth_deflate
+
+        return synth_deflate
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_deflate_content(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """HAND-ROLLED RFC 1951 inflate per payload
+    (:func:`..functions.inflate.inflate`): stored/fixed/dynamic
+    blocks, code-length-code machinery, LZ77 overlap copies — no
+    zlib on the decode side."""
+
+    def loader():
+        from ..functions.inflate import decode_deflate
+
+        def parse(payload: bytes) -> dict:
+            out = decode_deflate(payload)
+            out.pop("content")
+            return out
+
+        return parse
+
+    return _extract_metadata(media, DEFLATE_SCHEMA, loader, permissive)
+
+
 MIME_SCHEMA = T.StructType(
     [
         T.StructField("subject", T.StringType()),

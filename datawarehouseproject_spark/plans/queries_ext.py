@@ -4464,6 +4464,61 @@ def q_protobuf_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "deflate_stream_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             40 + (doc_id * 17) % 300 AS n,
+             doc_id % 3 = 0 AS has_tail
+      FROM documents),
+    struct_sum AS (
+      SELECT media_id, n, has_tail,
+             sum((media_id * 5 + j) % 251) AS s
+      FROM m, unnest(generate_series(0, n - 1)) AS t(j)
+      GROUP BY media_id, n, has_tail),
+    tail_sum AS (
+      SELECT media_id, sum((j * j * 31 + media_id) % 256) AS s
+      FROM m, unnest(generate_series(0, 63)) AS t(j)
+      WHERE has_tail
+      GROUP BY media_id)
+    SELECT ss.media_id,
+           CAST(ss.n + CASE WHEN ss.has_tail THEN 64 ELSE 0 END
+                AS BIGINT) AS n_bytes,
+           CAST(ss.s + coalesce(ts.s, 0) AS BIGINT) AS sum_bytes,
+           CAST((ss.media_id * 5) % 251 AS INT) AS first_byte,
+           CAST(CASE WHEN ss.has_tail
+                     THEN (63 * 63 * 31 + ss.media_id) % 256
+                     ELSE (ss.media_id * 5 + ss.n - 1) % 251
+                END AS INT) AS last_byte
+    FROM struct_sum ss LEFT JOIN tail_sum ts USING (media_id)
+    """,
+    tags=("codec", "deflate", "decompression", "mapInPandas"),
+)
+def q_deflate_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAND-ROLLED DEFLATE decode (RFC 1951) — the algorithm under
+    gzip, ZIP, PNG, and HTTP content-encoding, decoded from first
+    principles with no zlib on the read side
+    (``functions/inflate.py``): LSB-first bit reading, stored blocks
+    with LEN/NLEN verification, fixed Huffman, dynamic Huffman
+    including the code-length-code run-length machinery, and LZ77
+    back-references with overlapping-copy semantics. The PRODUCER is
+    the stdlib zlib compressor rotating levels 0-9 (level 0 emits
+    stored blocks) and forcing Z_FIXED strategy on every 4th stream,
+    so all three block types are exercised in every batch; the
+    oracle recomputes byte counts/sums/endpoints from the synthesis
+    formulas, so a value match proves the recovered BYTES, not just
+    that something decompressed. Completes the by-hand decompression
+    family begun with bzip2 (``bz2_corpus_decode``)."""
+    from ..operators.multimodal import (
+        extract_deflate_content,
+        synthesize_deflate_media,
+    )
+
+    media = synthesize_deflate_media(_t(spark, sf_dir, "documents"))
+    return extract_deflate_content(media)
+
+
+@register(
     "mime_message_parse",
     oracle="""
     WITH m AS (

@@ -24,6 +24,7 @@ def _cases():
         flac,
         gif,
         h264,
+        inflate,
         ico,
         jpeg,
         mime_mail,
@@ -91,6 +92,7 @@ def _cases():
         ("ico", ico.synth_ico, ico.scan_ico),
         ("sqlite", sqlite_scan.synth_sqlite, sqlite_scan.scan_sqlite),
         ("mime", mime_mail.synth_email, mime_mail.parse_mime_message),
+        ("deflate", inflate.synth_deflate, inflate.inflate),
     ]
 
 
