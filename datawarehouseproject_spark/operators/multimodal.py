@@ -1127,6 +1127,46 @@ def extract_gzip_content(media: DataFrame, permissive: bool = False) -> DataFram
     return _extract_metadata(media, GZIP_SCHEMA, loader, permissive)
 
 
+ORC_VALUES_SCHEMA = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_stripes", T.IntegerType()),
+        T.StructField("int_sum", T.LongType()),
+        T.StructField("int_count", T.LongType()),
+        T.StructField("str_bytes", T.LongType()),
+        T.StructField("str_count", T.LongType()),
+    ]
+)
+
+
+def synthesize_orc_values_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of uncompressed ORC files
+    written by the INDEPENDENT pyarrow producer
+    (``functions/orc_pages.py``), with column shapes chosen to hit
+    all four RLEv2 sub-encodings."""
+
+    def loader():
+        from ..functions.orc_pages import synth_orc_values
+
+        return synth_orc_values
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_orc_values(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """Stripe DATA decode per payload
+    (:func:`..functions.orc_pages.scan_orc_values`): stripe-footer
+    protobuf walk, full RLEv2 integer decode, string LENGTH+DATA
+    reassembly, row counts cross-checked against the footer."""
+
+    def loader():
+        from ..functions.orc_pages import scan_orc_values
+
+        return scan_orc_values
+
+    return _extract_metadata(media, ORC_VALUES_SCHEMA, loader, permissive)
+
+
 DEFLATE_SCHEMA = T.StructType(
     [
         T.StructField("n_bytes", T.LongType()),

@@ -4464,6 +4464,64 @@ def q_protobuf_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_stripe_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 60 + (doc_id * 7) % 240 AS n
+      FROM documents),
+    rows_ AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM m),
+    vals AS (
+      SELECT media_id, n, i,
+             CASE WHEN i < 20 THEN media_id % 100
+                  WHEN i < 40 THEN media_id + 3 * i
+                  ELSE (media_id * 11 + i * 37) % 10000
+                       + CASE WHEN i % 59 = 0 THEN 10000000 ELSE 0 END
+             END AS k,
+             2 + CASE WHEN (media_id + i) % 13 >= 10 THEN 1 ELSE 0 END
+               AS slen
+      FROM rows_)
+    SELECT media_id,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(1 AS INT) AS n_stripes,
+           CAST(sum(k) AS BIGINT) AS int_sum,
+           CAST(max(n) AS BIGINT) AS int_count,
+           CAST(sum(slen) AS BIGINT) AS str_bytes,
+           CAST(max(n) AS BIGINT) AS str_count
+    FROM vals
+    GROUP BY media_id
+    """,
+    tags=("sources", "orc", "rle-v2", "columnar", "mapInPandas"),
+)
+def q_orc_stripe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC stripe DATA decode — past the footer
+    (`orc_footer_scan`) and into the column streams, the ORC
+    sibling of `parquet_page_decode`: stripe-footer protobuf walk
+    (stream list + column encodings via the same ``protowire``
+    reuse), then the full **RLEv2** integer codec — SHORT_REPEAT,
+    DIRECT, PATCHED_BASE (sign-magnitude base, gap-continuation
+    patches), and DELTA sub-encodings with the 5-bit width table —
+    plus string reassembly from the LENGTH stream (unsigned RLEv2)
+    and concatenated DATA bytes. The synthesized columns are shaped
+    to hit all four sub-encodings (verified: the sparse-outlier
+    block makes pyarrow emit PATCHED_BASE runs); the published ORC
+    spec's own worked example vectors pin each sub-decoder in
+    ``tests/test_orc_pages.py``. The producer is pyarrow — an
+    independent writer — and every decoded row count is
+    cross-checked against both stripe and footer totals. Compressed
+    stripes / nullable columns are documented boundaries: the
+    engine's production ORC path is ``spark.read.orc``
+    (`orc_roundtrip`); this byte path exists to PIN the format."""
+    from ..operators.multimodal import (
+        extract_orc_values,
+        synthesize_orc_values_media,
+    )
+
+    media = synthesize_orc_values_media(_t(spark, sf_dir, "documents"))
+    return extract_orc_values(media)
+
+
+@register(
     "deflate_stream_decode",
     oracle="""
     WITH m AS (

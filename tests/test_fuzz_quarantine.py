@@ -30,6 +30,7 @@ def _cases():
         mime_mail,
         mpeg_audio,
         orc_footer,
+        orc_pages,
         parquet_footer,
         parquet_pages,
         png,
@@ -89,6 +90,11 @@ def _cases():
             parquet_pages.scan_parquet_values,
         ),
         ("orc", orc_footer.synth_orc, orc_footer.scan_orc_footer),
+        (
+            "orc_values",
+            orc_pages.synth_orc_values,
+            orc_pages.scan_orc_values,
+        ),
         ("ico", ico.synth_ico, ico.scan_ico),
         ("sqlite", sqlite_scan.synth_sqlite, sqlite_scan.scan_sqlite),
         ("mime", mime_mail.synth_email, mime_mail.parse_mime_message),
