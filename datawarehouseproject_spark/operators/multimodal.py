@@ -1127,6 +1127,42 @@ def extract_gzip_content(media: DataFrame, permissive: bool = False) -> DataFram
     return _extract_metadata(media, GZIP_SCHEMA, loader, permissive)
 
 
+PDF_SCHEMA = T.StructType(
+    [
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("n_objects", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("text_chars", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_pdf_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of classic-xref PDFs with
+    FlateDecode content streams (``functions/pdf_text.py``)."""
+
+    def loader():
+        from ..functions.pdf_text import synth_pdf
+
+        return synth_pdf
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_pdf_text_features(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """Full PDF reader walk per payload
+    (:func:`..functions.pdf_text.extract_pdf_text`): xref table,
+    object tokenizer, page tree, hand-inflated content streams,
+    Tj/'/TJ text operators."""
+
+    def loader():
+        from ..functions.pdf_text import extract_pdf_text
+
+        return extract_pdf_text
+
+    return _extract_metadata(media, PDF_SCHEMA, loader, permissive)
+
+
 ORC_VALUES_SCHEMA = T.StructType(
     [
         T.StructField("n_rows", T.LongType()),

@@ -4464,6 +4464,59 @@ def q_protobuf_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pdf_text_extract",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 3 AS np FROM documents),
+    pg AS (
+      SELECT media_id, np, unnest(generate_series(0, np - 1)) AS p FROM m),
+    txt AS (
+      SELECT media_id, np, p,
+             'Invoice ' || CAST(media_id AS VARCHAR) || ' page '
+               || CAST(p AS VARCHAR)
+               || 'line two ' || CAST(media_id + p AS VARCHAR)
+               || 'part' || CAST(p AS VARCHAR)
+               || 'a(b)c\\dA'
+               || '#' || CAST(p AS VARCHAR) AS s
+      FROM pg)
+    SELECT media_id,
+           CAST(max(np) AS INT) AS n_pages,
+           CAST(max(np) * 2 + 4 AS INT) AS n_objects,
+           string_agg(s, '|' ORDER BY p) AS text,
+           CAST(length(string_agg(s, '|' ORDER BY p)) AS INT)
+             AS text_chars
+    FROM txt
+    GROUP BY media_id
+    """,
+    tags=("sources", "pdf", "document", "text-extraction", "mapInPandas"),
+)
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF TEXT EXTRACTION from raw bytes — the #1 document format a
+    100 TB training corpus actually contains, parsed from first
+    principles (``functions/pdf_text.py``): startxref tail scan,
+    classic cross-reference table (20-byte entries, free-list head),
+    a real PDF object tokenizer (dicts, arrays, names, literal
+    strings with nesting/escape/octal, hex strings, indirect refs,
+    indirect /Length resolution), catalog -> page tree -> /Contents
+    walk, and FlateDecode content streams decompressed by THIS
+    REPO'S hand-rolled DEFLATE inflater through a verified zlib
+    container (header check + Adler-32) — zlib never touches the
+    read side. Text comes from the Tj / ' / TJ show operators in
+    operator order (TJ kerning numbers skipped), and the oracle
+    recomputes the ENTIRE extracted string per document, so the
+    value hash pins unescaping, hex decode, stream inflation, and
+    page ordering at once. Xref streams / object streams /
+    encryption quarantine via the documented-boundary contract."""
+    from ..operators.multimodal import (
+        extract_pdf_text_features,
+        synthesize_pdf_media,
+    )
+
+    media = synthesize_pdf_media(_t(spark, sf_dir, "documents"))
+    return extract_pdf_text_features(media)
+
+
+@register(
     "orc_stripe_decode",
     oracle="""
     WITH m AS (

@@ -32,6 +32,7 @@ def _cases():
         orc_footer,
         orc_pages,
         parquet_footer,
+        pdf_text,
         parquet_pages,
         png,
         sqlite_scan,
@@ -99,6 +100,7 @@ def _cases():
         ("sqlite", sqlite_scan.synth_sqlite, sqlite_scan.scan_sqlite),
         ("mime", mime_mail.synth_email, mime_mail.parse_mime_message),
         ("deflate", inflate.synth_deflate, inflate.inflate),
+        ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
     ]
 
 
