@@ -1127,6 +1127,19 @@ def extract_gzip_content(media: DataFrame, permissive: bool = False) -> DataFram
     return _extract_metadata(media, GZIP_SCHEMA, loader, permissive)
 
 
+def synthesize_sitemap_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of XML sitemaps written by
+    the STDLIB ElementTree producer (``functions/sitemap_xml.py``);
+    the parse side is zero-UDF JVM SQL in `xml_sitemap_scan`."""
+
+    def loader():
+        from ..functions.sitemap_xml import synth_sitemap
+
+        return synth_sitemap
+
+    return _synthesize_media(ids, id_col, loader)
+
+
 PDF_SCHEMA = T.StructType(
     [
         T.StructField("n_pages", T.IntegerType()),

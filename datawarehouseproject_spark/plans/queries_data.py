@@ -2447,6 +2447,114 @@ def _confusable_oracle() -> str:
 
 
 @register(
+    "xml_sitemap_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 3 + doc_id % 5 AS n FROM documents),
+    u AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM m),
+    per AS (
+      SELECT media_id, n, i,
+             CASE WHEN (media_id + i) % 4 = 0 THEN 'http'
+                  ELSE 'https' END AS scheme,
+             'site' || CAST((media_id + i) % 7 AS VARCHAR)
+               || '.example.com' AS host,
+             strftime(DATE '2024-01-01' + CAST((media_id + i) % 90 AS INT),
+                      '%Y-%m-%d') AS lastmod,
+             100 * (1 + i % 9) AS milli
+      FROM u),
+    locs AS (
+      SELECT media_id, n, lastmod, milli, host, scheme,
+             scheme || '://' || host || '/p/' || CAST(i AS VARCHAR)
+               || '?a=' || CAST(media_id AS VARCHAR)
+               || '&b=' || CAST(i AS VARCHAR) AS loc
+      FROM per)
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_https,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           max(lastmod) AS last_lastmod,
+           CAST(sum(milli) AS BIGINT) AS priority_milli_sum,
+           min(loc) AS min_loc
+    FROM locs
+    GROUP BY media_id
+    """,
+    tags=("text", "xml", "sitemap", "crawl", "zero-udf-parse"),
+)
+def q_xml_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sitemap parsing at corpus scale — the crawl-DISCOVERY
+    companion to `robots_txt_rules` (a 100 TB crawl learns its
+    frontier from these files). The producer is the STDLIB
+    ElementTree serializer (an independent writer whose ``&amp;``
+    entity escaping must be undone — ``functions/sitemap_xml.py``);
+    the PARSE is zero-UDF JVM SQL over the raw XML text:
+    ``regexp_extract_all`` splits ``<url>`` blocks, per-field
+    regexps pull loc/lastmod/priority, a replace chain decodes the
+    five XML entities (``&amp;`` LAST, so ``&amp;lt;`` can't
+    double-decode), and set-based rollups answer the frontier
+    questions (URL count, https share, distinct hosts, freshest
+    lastmod, priority mass). Python only manufactures the payload —
+    the whole parse runs in whole-stage codegen, the
+    Python-narrow/JVM-wide split a real ingest wants. The oracle
+    recomputes everything (including the lexicographic-min DECODED
+    URL, which pins the entity decode) from the synthesis plan."""
+    from ..operators.multimodal import synthesize_sitemap_media
+
+    media = synthesize_sitemap_media(_t(spark, sf_dir, "documents"))
+    xml = media.select(
+        "media_id", F.col("payload").cast("string").alias("xml")
+    )
+    blocks = xml.select(
+        "media_id",
+        F.explode(
+            F.expr("regexp_extract_all(xml, '<url>(.+?)</url>', 1)")
+        ).alias("u"),
+    )
+
+    def decode_entities(c):
+        # &amp; strictly last: the others may not create new entities
+        out = c
+        for ent, ch in (
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&apos;", "'"),
+            ("&amp;", "&"),
+        ):
+            out = F.replace(out, F.lit(ent), F.lit(ch))
+        return out
+
+    per = blocks.select(
+        "media_id",
+        decode_entities(
+            F.regexp_extract("u", "<loc>([^<]*)</loc>", 1)
+        ).alias("loc"),
+        F.regexp_extract("u", "<lastmod>([^<]*)</lastmod>", 1).alias(
+            "lastmod"
+        ),
+        F.regexp_extract("u", "<priority>0\\.([0-9])</priority>", 1)
+        .cast("int")
+        .alias("prio_tenths"),
+    ).select(
+        "media_id",
+        "loc",
+        "lastmod",
+        F.regexp_extract("loc", "^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract("loc", "^[a-z]+://([^/]+)/", 1).alias("host"),
+        (F.col("prio_tenths") * 100).alias("milli"),
+    )
+    return per.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum((F.col("scheme") == "https").cast("long")).alias("n_https"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.max("lastmod").alias("last_lastmod"),
+        F.sum("milli").cast("long").alias("priority_milli_sum"),
+        F.min("loc").alias("min_loc"),
+    )
+
+
+@register(
     "confusable_fold_dedup",
     oracle=_confusable_oracle(),
     tags=("dedup", "unicode", "confusables", "normalization", "zero-udf"),
