@@ -234,6 +234,13 @@ def parse_mime_message(data: bytes) -> dict:
         headers.get("content-type", "text/plain; charset=us-ascii")
     )
 
+    def angle(name: str) -> str | None:
+        v = headers.get(name)
+        return v.strip().strip("<>") if v else None
+
+    message_id = angle("message-id")
+    in_reply_to = angle("in-reply-to")
+
     def norm(s: str) -> str:
         return s.replace("\r\n", "\n")
 
@@ -251,6 +258,8 @@ def parse_mime_message(data: bytes) -> dict:
             "body_chars": len(decoded),
             "attach_bytes": 0,
             "qp_text": None,
+            "message_id": message_id,
+            "in_reply_to": in_reply_to,
         }
 
     boundary = params.get("boundary")
@@ -299,7 +308,25 @@ def parse_mime_message(data: bytes) -> dict:
         "body_chars": body_chars,
         "attach_bytes": attach_bytes,
         "qp_text": qp_text,
+        "message_id": message_id,
+        "in_reply_to": in_reply_to,
     }
+
+
+def thread_parent(doc_id: int) -> int | None:
+    """Deterministic reply tree, mirrored in the
+    `email_thread_reconstruct` oracle: every 16-block of ids is one
+    thread; id%16==0 is the root, ids 1-3 of the block reply to the
+    root, the rest reply to node ``block + id%4`` (which is the root
+    when id%4==0, else a depth-1 node) — max depth 2 by
+    construction, so a bounded ancestor join resolves every root."""
+    r = doc_id % 16
+    block = doc_id - r
+    if r == 0:
+        return None
+    if r < 4:
+        return block
+    return block + (doc_id % 4)
 
 
 def synth_email(doc_id: int) -> bytes:
@@ -321,6 +348,10 @@ def synth_email(doc_id: int) -> bytes:
         f"Báo giá #{doc_id}" if doc_id % 3 == 0 else f"Order update {doc_id}"
     )
     msg["Date"] = "Mon, 01 Jan 2024 00:00:00 +0000"
+    msg["Message-ID"] = f"<m{doc_id}@example.org>"
+    parent = thread_parent(doc_id)
+    if parent is not None:
+        msg["In-Reply-To"] = f"<m{parent}@example.org>"
     if doc_id % 7 == 1:
         msg.set_content(f"Giá {doc_id} đồng")
     else:

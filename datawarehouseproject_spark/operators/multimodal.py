@@ -1268,6 +1268,8 @@ MIME_SCHEMA = T.StructType(
         T.StructField("body_chars", T.IntegerType()),
         T.StructField("attach_bytes", T.LongType()),
         T.StructField("qp_text", T.StringType()),
+        T.StructField("message_id", T.StringType()),
+        T.StructField("in_reply_to", T.StringType()),
     ]
 )
 

@@ -4660,7 +4660,16 @@ def q_deflate_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN has_qp = 1
                 THEN 'total=' || CAST(media_id AS VARCHAR) || '=end'
                      || chr(10)
-                ELSE NULL END AS qp_text
+                ELSE NULL END AS qp_text,
+           'm' || CAST(media_id AS VARCHAR) || '@example.org'
+             AS message_id,
+           CASE WHEN media_id % 16 = 0 THEN NULL
+                WHEN media_id % 16 < 4
+                THEN 'm' || CAST(media_id - media_id % 16 AS VARCHAR)
+                     || '@example.org'
+                ELSE 'm' || CAST(media_id - media_id % 16 + media_id % 4
+                                 AS VARCHAR) || '@example.org'
+           END AS in_reply_to
     FROM m
     """,
     tags=("sources", "mime", "email", "mapInPandas", "corpus"),
@@ -4688,6 +4697,83 @@ def q_mime_message_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_email_media(_t(spark, sf_dir, "documents"))
     return extract_email_metadata(media)
+
+
+@register(
+    "email_thread_reconstruct",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT doc_id AS id,
+             CASE WHEN doc_id % 16 = 0 THEN NULL
+                  WHEN doc_id % 16 < 4 THEN doc_id - doc_id % 16
+                  ELSE doc_id - doc_id % 16 + doc_id % 4
+             END AS parent
+      FROM documents),
+    chain AS (
+      SELECT id, id AS root, 0 AS depth FROM m WHERE parent IS NULL
+      UNION ALL
+      SELECT m.id, c.root, c.depth + 1
+      FROM m JOIN chain c ON m.parent = c.id)
+    SELECT root AS thread_root,
+           count(*) AS thread_size,
+           CAST(max(depth) AS INT) AS max_depth,
+           CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS direct_replies
+    FROM chain
+    GROUP BY root
+    """,
+    tags=("mime", "email", "graph", "thread", "composition"),
+)
+def q_email_thread_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMAIL THREAD RECONSTRUCTION from raw RFC 5322 bytes — the
+    mail-corpus structuring step (mailing-list archives and Enron-
+    style dumps become TRAINING CONVERSATIONS only after replies are
+    stitched to their roots). Composition proof: the Message-ID /
+    In-Reply-To headers are parsed out of real MIME bytes by the
+    hand-rolled reader (`mime_message_parse`), the numeric ids are
+    recovered JVM-side by regexp, and the reply forest is resolved
+    with a BOUNDED ancestor join (the synthesis guarantees depth
+    <= 2, so two hops provably reach every root — the same
+    bounded-rounds discipline as the graph family; an unbounded
+    corpus would iterate with the `dedup_components` loop instead).
+    The oracle is a genuinely independent RECURSIVE CTE over the
+    parent formula. Per-thread rollups (size, max depth, direct
+    replies) are what a conversation-mining pipeline materializes."""
+    from ..operators.multimodal import (
+        extract_email_metadata,
+        synthesize_email_media,
+    )
+
+    parsed = extract_email_metadata(
+        synthesize_email_media(_t(spark, sf_dir, "documents"))
+    )
+    nodes = parsed.select(
+        F.regexp_extract("message_id", "^m([0-9]+)@", 1)
+        .cast("long")
+        .alias("id"),
+        F.when(
+            F.col("in_reply_to").isNotNull(),
+            F.regexp_extract("in_reply_to", "^m([0-9]+)@", 1).cast("long"),
+        ).alias("parent"),
+    )
+    c, p = nodes.alias("c"), nodes.alias("p")
+    resolved = c.join(
+        p, F.col("c.parent") == F.col("p.id"), "left"
+    ).select(
+        F.col("c.id").alias("id"),
+        F.when(F.col("c.parent").isNull(), F.col("c.id"))
+        .otherwise(F.coalesce(F.col("p.parent"), F.col("c.parent")))
+        .alias("root"),
+        F.when(F.col("c.parent").isNull(), F.lit(0))
+        .when(F.col("p.parent").isNull(), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("depth"),
+    )
+    return resolved.groupBy(F.col("root").alias("thread_root")).agg(
+        F.count(F.lit(1)).alias("thread_size"),
+        F.max("depth").cast("int").alias("max_depth"),
+        F.sum((F.col("depth") == 1).cast("long")).alias("direct_replies"),
+    )
 
 
 @register(
