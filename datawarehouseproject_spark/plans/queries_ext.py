@@ -4517,6 +4517,73 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pdf_corpus_text_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 3 AS np FROM documents),
+    pg AS (
+      SELECT media_id, np, unnest(generate_series(0, np - 1)) AS p FROM m),
+    txt AS (
+      SELECT media_id, p,
+             'Invoice ' || CAST(media_id AS VARCHAR) || ' page '
+               || CAST(p AS VARCHAR)
+               || 'line two ' || CAST(media_id + p AS VARCHAR)
+               || 'part' || CAST(p AS VARCHAR)
+               || 'a(b)c\\dA'
+               || '#' || CAST(p AS VARCHAR) AS s
+      FROM pg),
+    whole AS (
+      SELECT media_id, string_agg(s, '|' ORDER BY p) AS text
+      FROM txt GROUP BY media_id),
+    toks AS (
+      SELECT media_id,
+             unnest(string_split_regex(text, '[^A-Za-z0-9]+')) AS tok
+      FROM whole),
+    tok2 AS (SELECT media_id, tok FROM toks WHERE tok <> '')
+    SELECT media_id,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_distinct,
+           CAST(sum(CASE WHEN regexp_full_match(tok, '[0-9]+')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+           CAST(max(length(tok)) AS INT) AS longest_token
+    FROM tok2
+    GROUP BY media_id
+    """,
+    tags=("pdf", "corpus", "composition", "tokenize", "zero-udf-wide"),
+)
+def q_pdf_corpus_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF -> corpus COMPOSITION: the document pipeline a 100 TB
+    ingest actually runs. Python does only the NARROW step — the
+    per-payload PDF reader walk (`pdf_text_extract`: xref, object
+    tokenizer, hand-inflated FlateDecode streams, text operators) —
+    then every WIDE step (tokenize by regexp split, empty filter,
+    explode, distinct/numeric/length rollups) runs JVM-side in
+    whole-stage codegen. The same Python-narrow/JVM-wide handoff as
+    `warc_response_text_stats`, here over the dominant document
+    format. The oracle independently reconstructs each document's
+    text from the synthesis plan and re-tokenizes it in SQL, so the
+    value hash pins extraction AND tokenization."""
+    from ..operators.multimodal import (
+        extract_pdf_text_features,
+        synthesize_pdf_media,
+    )
+
+    text = extract_pdf_text_features(
+        synthesize_pdf_media(_t(spark, sf_dir, "documents"))
+    ).select("media_id", "text")
+    toks = text.select(
+        "media_id",
+        F.explode(F.split("text", "[^A-Za-z0-9]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(F.col("tok").rlike("^[0-9]+$").cast("long")).alias("n_numeric"),
+        F.max(F.length("tok")).cast("int").alias("longest_token"),
+    )
+
+
+@register(
     "orc_stripe_decode",
     oracle="""
     WITH m AS (
