@@ -507,9 +507,89 @@ def round9_kernels() -> None:
     }))
 
 
+def round10_kernels() -> None:
+    """This session's readers: hand-rolled DEFLATE inflate, MIME
+    message parse, PDF text extraction, ORC stripe RLEv2 decode."""
+    import zlib
+
+    from datawarehouseproject_spark.functions.inflate import inflate
+    from datawarehouseproject_spark.functions.mime_mail import (
+        parse_mime_message,
+        synth_email,
+    )
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_values,
+        synth_orc_values,
+    )
+    from datawarehouseproject_spark.functions.pdf_text import (
+        extract_pdf_text,
+        synth_pdf,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog. " * 10000).encode()
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    payload = co.compress(text) + co.flush()
+    secs, out = _timeit(inflate, payload)
+    assert out == text
+    print(json.dumps({
+        "kernel": "deflate_hand_inflate",
+        "media": f"{len(text)} bytes text, level 9",
+        "mb_per_s": round(len(text) / secs / 1e6, 2),
+        "sec": round(secs, 4),
+    }))
+
+    rng2 = np.random.RandomState(7)
+    blob = rng2.randint(0, 256, 400_000, dtype=np.uint8).tobytes()
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    stored = co.compress(blob) + co.flush()  # incompressible -> stored
+    secs, out = _timeit(lambda: inflate(stored, max_output=1 << 24))
+    assert out == blob
+    print(json.dumps({
+        "kernel": "deflate_hand_inflate_stored",
+        "media": f"{len(blob)} incompressible bytes (stored blocks)",
+        "mb_per_s": round(len(blob) / secs / 1e6, 2),
+        "sec": round(secs, 4),
+    }))
+
+    mails = [synth_email(s) for s in range(2000)]
+    secs, n = _timeit(
+        lambda: sum(parse_mime_message(p)["n_parts"] for p in mails)
+    )
+    print(json.dumps({
+        "kernel": "mime_message_parse",
+        "media": f"{sum(map(len, mails))} bytes, 2000 messages, {n} parts",
+        "msgs_per_s": int(2000 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    pdfs = [synth_pdf(s) for s in range(1000)]
+    secs, n = _timeit(
+        lambda: sum(extract_pdf_text(p)["text_chars"] for p in pdfs)
+    )
+    print(json.dumps({
+        "kernel": "pdf_text_extract",
+        "media": f"{sum(map(len, pdfs))} bytes, 1000 PDFs, {n} text chars",
+        "pdfs_per_s": int(1000 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    orcs = [synth_orc_values(s) for s in range(200)]
+    secs, n = _timeit(
+        lambda: sum(scan_orc_values(p)["int_count"] for p in orcs)
+    )
+    print(json.dumps({
+        "kernel": "orc_rle_v2_stripe_decode",
+        "media": f"{sum(map(len, orcs))} bytes, 200 files, {n} int values"
+                 " (+ as many strings)",
+        "values_per_s": int(2 * n / secs),
+        "sec": round(secs, 4),
+    }))
+
+
 if __name__ == "__main__":
     main()
     archive_kernels()
     round8_kernels()
     round8b_kernels()
     round9_kernels()
+    round10_kernels()
