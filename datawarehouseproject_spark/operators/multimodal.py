@@ -1649,6 +1649,44 @@ def extract_xz_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
     return _extract_metadata(media, XZ_SCAN_SCHEMA, loader, permissive)
 
 
+XZ_TEXT_SCHEMA = T.StructType([T.StructField("text", T.StringType())])
+
+
+def synthesize_xz_text_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of REAL .xz files from the
+    stdlib liblzma producer over a deterministic text plan
+    (``functions/lzma_codec.py:synth_xz_text``): check type rotates
+    all four, odd seeds ship as two concatenated streams."""
+
+    def loader():
+        from ..functions.lzma_codec import synth_xz_text
+
+        return synth_xz_text
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_xz_decode(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """FULL .xz decode per payload — the hand-rolled LZMA range
+    decoder + LZMA2 chunk layer + verified per-block plaintext checks
+    (:func:`..functions.lzma_codec.decode_xz`); closes the round-8
+    triage-only boundary of :func:`extract_xz_scan`.  Returns the
+    recovered plaintext so the STATS stay JVM-side (the
+    Python-narrow / JVM-wide split of ``pdf_corpus_text_stats``)."""
+
+    def loader():
+        from ..functions.lzma_codec import decode_xz
+
+        def parse(payload: bytes) -> dict:
+            return {"text": decode_xz(payload).decode("ascii")}
+
+        return parse
+
+    return _extract_metadata(media, XZ_TEXT_SCHEMA, loader, permissive)
+
+
 def synthesize_bz2_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of REAL .bz2 streams from the
     stdlib compressor (``functions/bzip2.py:synth_bz2``), levels

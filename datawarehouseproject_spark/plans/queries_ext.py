@@ -1880,6 +1880,82 @@ def q_xz_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xz_full_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 60 + (doc_id * 17) % 200 AS n
+      FROM documents),
+    r AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    v AS (
+      SELECT media_id, i,
+             (media_id * 31 + i * 7) % 9973 AS val,
+             length('line ' || CAST(i AS VARCHAR) || ' of doc '
+                    || CAST(media_id AS VARCHAR) || ' value '
+                    || CAST((media_id * 31 + i * 7) % 9973 AS VARCHAR))
+               + 1 AS lchars
+      FROM r)
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(lchars) AS BIGINT) AS n_chars,
+           CAST(sum(val) AS BIGINT) AS value_sum,
+           CAST(count(DISTINCT val) AS INTEGER) AS n_distinct_values
+    FROM v
+    GROUP BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "xz", "lzma", "codec"),
+)
+def q_xz_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL .xz decode, value-checked (round 9) — closes the round-8
+    boundary that `xz_container_scan` documented ("full LZMA2 decode
+    is out of scope: range coding is a different project").  The
+    hand-rolled stack in ``functions/lzma_codec.py`` is the third
+    distinct entropy machine in the codec family after Huffman
+    (DEFLATE/bzip2/JPEG) and RLE: the adaptive binary RANGE CODER
+    (11-bit probabilities, shift-5 update, byte-wise normalization),
+    the 12-state LZMA match model (lc/lp/pb contexts, matched
+    literals, the 4-deep rep-distance cache, slot/aligned/direct
+    distance tails), and the LZMA2 chunk layer (21-bit unpacked
+    sizes, per-chunk range restarts, the three reset levels) — plus
+    verification of every container CRC32 AND the per-block
+    plaintext check (CRC32 / hand-tabled CRC64-xz / SHA-256,
+    rotating by document).  Odd documents ship as two concatenated
+    streams.  The producer is STDLIB liblzma (independent
+    implementation); Python only decodes payload -> text, and the
+    line split / value extraction / aggregation all run JVM-side
+    (the narrow-Python/wide-JVM split of ``pdf_corpus_text_stats``).
+    The oracle recomputes every stat from the synthesis plan, so one
+    mis-stepped probability update or rep-distance rotation breaks
+    the value hash."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_xz_decode,
+        synthesize_xz_text_media,
+    )
+
+    media = synthesize_xz_text_media(_t(spark, sf_dir, "documents"))
+    txt = extract_xz_decode(media)
+    lines = txt.select(
+        "media_id",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    ).where(F.col("line") != "")
+    vals = lines.select(
+        "media_id",
+        (F.length("line") + F.lit(1)).alias("lchars"),
+        F.regexp_extract("line", "value ([0-9]+)$", 1)
+        .cast("int")
+        .alias("val"),
+    )
+    return vals.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("lchars").cast("bigint").alias("n_chars"),
+        F.sum("val").cast("bigint").alias("value_sum"),
+        F.countDistinct("val").cast("int").alias("n_distinct_values"),
+    )
+
+
+@register(
     "bz2_corpus_decode",
     oracle="""
     WITH m AS (
