@@ -64,12 +64,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Host-contention transparency: this container shares a host, and
+    # observed 1-min load has swung 0.1 -> 14 between runs with the
+    # SAME code (r8->r9: identical queries 2-5x slower under load).
+    # Record the load triple so cross-round comparisons can tell a
+    # regression from a noisy neighbor.
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = -1.0
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "host_load_1m_5m_15m": [
+            round(load1, 2), round(load5, 2), round(load15, 2),
+        ],
     }
     full_line = json.dumps(payload)
     # The driver captures a bounded tail of the output; in round 5 the

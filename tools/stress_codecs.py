@@ -586,6 +586,51 @@ def round10_kernels() -> None:
     }))
 
 
+def round11_kernels() -> None:
+    """This session's readers: the hand-rolled LZMA range decoder
+    (.xz full decode) — compressible text, incompressible data
+    (LZMA2 uncompressed chunks), and the legacy .lzma container."""
+    import lzma as stdlzma
+
+    from datawarehouseproject_spark.functions.lzma_codec import (
+        decode_lzma_alone,
+        decode_xz,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog. " * 10000).encode()
+    xz = stdlzma.compress(text, check=stdlzma.CHECK_CRC64)
+    secs, out = _timeit(decode_xz, xz)
+    assert out == text
+    print(json.dumps({
+        "kernel": "lzma_xz_decode_text",
+        "media": f"{len(text)} bytes text -> {len(xz)} xz (CRC64)",
+        "mb_per_s": round(len(text) / secs / 1e6, 2),
+        "sec": round(secs, 4),
+    }))
+
+    rng = np.random.RandomState(11)
+    blob = rng.randint(0, 256, 400_000, dtype=np.uint8).tobytes()
+    xzb = stdlzma.compress(blob, preset=0, check=stdlzma.CHECK_CRC32)
+    secs, out = _timeit(decode_xz, xzb)
+    assert out == blob
+    print(json.dumps({
+        "kernel": "lzma_xz_decode_incompressible",
+        "media": f"{len(blob)} random bytes (uncompressed chunks)",
+        "mb_per_s": round(len(blob) / secs / 1e6, 2),
+        "sec": round(secs, 4),
+    }))
+
+    alone = stdlzma.compress(text, format=stdlzma.FORMAT_ALONE)
+    secs, out = _timeit(decode_lzma_alone, alone)
+    assert out == text
+    print(json.dumps({
+        "kernel": "lzma_alone_decode",
+        "media": f"{len(text)} bytes text, legacy .lzma header",
+        "mb_per_s": round(len(text) / secs / 1e6, 2),
+        "sec": round(secs, 4),
+    }))
+
+
 if __name__ == "__main__":
     main()
     archive_kernels()
@@ -593,3 +638,4 @@ if __name__ == "__main__":
     round8b_kernels()
     round9_kernels()
     round10_kernels()
+    round11_kernels()
