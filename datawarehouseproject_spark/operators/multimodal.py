@@ -1649,6 +1649,54 @@ def extract_xz_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
     return _extract_metadata(media, XZ_SCAN_SCHEMA, loader, permissive)
 
 
+PICKLE_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("protocol", T.IntegerType()),
+        T.StructField("n_opcodes", T.IntegerType()),
+        T.StructField("n_ints", T.LongType()),
+        T.StructField("int_sum", T.LongType()),
+        T.StructField("n_strings", T.LongType()),
+        T.StructField("str_chars", T.LongType()),
+        T.StructField("n_lists", T.IntegerType()),
+        T.StructField("n_nones", T.IntegerType()),
+        T.StructField("n_globals", T.IntegerType()),
+        T.StructField("global_names", T.StringType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def synthesize_pickle_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of REAL pickles from the
+    stdlib producer (``functions/pickle_scan.py:synth_pickle``),
+    protocol rotating 0..5 and every 7th payload carrying a class
+    (global) reference."""
+
+    def loader():
+        from ..functions.pickle_scan import synth_pickle
+
+        return synth_pickle
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_pickle_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """Pickle opcode triage per payload WITHOUT unpickling
+    (:func:`..functions.pickle_scan.scan_pickle`): full opcode
+    grammar walk, embedded value stats, and the GLOBAL/STACK_GLOBAL
+    ``module qualname`` references that make a payload dangerous —
+    surfaced without importing or calling anything."""
+
+    def loader():
+        from ..functions.pickle_scan import scan_pickle
+
+        return scan_pickle
+
+    return _extract_metadata(media, PICKLE_SCAN_SCHEMA, loader, permissive)
+
+
 XZ_TEXT_SCHEMA = T.StructType([T.StructField("text", T.StringType())])
 
 

@@ -1956,6 +1956,83 @@ def q_xz_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pickle_opcode_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 5 + doc_id % 10 AS n FROM documents),
+    r AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    v AS (
+      SELECT media_id, n, i, i % 4 AS kind,
+             (media_id * 13 + i * 7) % 100000 - 20000 AS ival,
+             1 + i % 3 AS llen
+      FROM r)
+    SELECT media_id,
+           CAST(media_id % 6 AS INTEGER) AS protocol,
+           CAST(sum(CASE WHEN kind = 0 THEN 1
+                         WHEN kind = 2 THEN llen ELSE 0 END)
+                AS BIGINT) AS n_ints,
+           CAST(sum(CASE WHEN kind = 0 THEN ival
+                         WHEN kind = 2 THEN llen * (media_id % 1000)
+                              + 3 * (llen * (llen - 1) // 2)
+                         ELSE 0 END) AS BIGINT) AS int_sum,
+           CAST(max(n) + sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END)
+                + CASE WHEN media_id % 7 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_strings,
+           CAST(sum(length('k' || CAST(i AS VARCHAR)))
+                + sum(CASE WHEN kind = 1
+                      THEN length('s' || CAST(media_id AS VARCHAR)
+                                  || 'x' || CAST(i AS VARCHAR))
+                      ELSE 0 END)
+                + CASE WHEN media_id % 7 = 0 THEN 5 ELSE 0 END
+                AS BIGINT) AS str_chars,
+           CAST(sum(CASE WHEN kind = 2 THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_lists,
+           CAST(sum(CASE WHEN kind = 3 THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_nones,
+           CAST(CASE WHEN media_id % 7 = 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS n_globals,
+           CASE WHEN media_id % 7 = 0
+                THEN 'datawarehouseproject_spark.functions.pickle_scan'
+                     || ' _Marker'
+                ELSE '' END AS global_names
+    FROM v
+    GROUP BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "pickle", "security", "triage"),
+)
+def q_pickle_opcode_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pickle triage WITHOUT unpickling (round 10): ML corpora are
+    full of pickle payloads (checkpoints, dataset shards), and
+    unpickling untrusted bytes is arbitrary code execution — the
+    ingest-side answer is an opcode-grammar WALK
+    (``functions/pickle_scan.py``) that frames every argument kind
+    (u1..u8/i4, length-prefixed bytes/unicode, protocol-0 text
+    lines), collects embedded value stats, and surfaces the
+    GLOBAL/STACK_GLOBAL ``module qualname`` references — the exact
+    thing that makes a payload dangerous — while importing and
+    executing NOTHING.  Protocol rotates 0..5 per document (the same
+    object encodes completely differently at each), and the scanner
+    keeps the stats protocol-INVARIANT (e.g. retracting the two
+    string pushes STACK_GLOBAL consumes), which is what lets ONE
+    DuckDB oracle recompute every column from the synthesis plan
+    across all six encodings.  Every 7th document carries a real
+    class reference; the oracle pins its two-part name."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_pickle_scan,
+        synthesize_pickle_media,
+    )
+
+    media = synthesize_pickle_media(_t(spark, sf_dir, "documents"))
+    return extract_pickle_scan(media).select(
+        "media_id", "protocol", "n_ints", "int_sum", "n_strings",
+        "str_chars", "n_lists", "n_nones", "n_globals", "global_names",
+    )
+
+
+@register(
     "bz2_corpus_decode",
     oracle="""
     WITH m AS (
