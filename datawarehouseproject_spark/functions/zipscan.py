@@ -219,11 +219,16 @@ def scan_zip(payload: bytes) -> dict:
             extra_len,
             comment_len2,
         ) = struct.unpack_from("<HHHHHHIIIHHH", payload, pos + 4)
+        (local_off,) = struct.unpack_from("<I", payload, pos + 42)
         name_start = pos + 46
         name = payload[name_start : name_start + name_len].decode("utf-8")
         if method not in (0, 8):
             raise ValueError(f"unsupported compression method {method}")
-        if uncomp_size == 0xFFFFFFFF or comp_size == 0xFFFFFFFF:
+        if (
+            uncomp_size == 0xFFFFFFFF
+            or comp_size == 0xFFFFFFFF
+            or local_off == 0xFFFFFFFF
+        ):
             # true sizes live in the 0x0001 ZIP64 extra field, which
             # carries ONLY the saturated fields, in spec order
             # (uncompressed then compressed)
@@ -253,6 +258,11 @@ def scan_zip(payload: bytes) -> dict:
                     raise ValueError("short ZIP64 extra field")
                 (comp_size,) = struct.unpack_from("<Q", z64, zp)
                 zp += 8
+            if local_off == 0xFFFFFFFF:
+                if zp + 8 > len(z64):
+                    raise ValueError("short ZIP64 extra field")
+                (local_off,) = struct.unpack_from("<Q", z64, zp)
+                zp += 8
         members.append(
             {
                 "name": name,
@@ -260,6 +270,7 @@ def scan_zip(payload: bytes) -> dict:
                 "crc32": crc,
                 "comp_size": comp_size,
                 "uncomp_size": uncomp_size,
+                "local_off": local_off,
             }
         )
         pos = name_start + name_len + extra_len + comment_len2

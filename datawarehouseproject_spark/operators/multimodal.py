@@ -1649,6 +1649,48 @@ def extract_xz_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
     return _extract_metadata(media, XZ_SCAN_SCHEMA, loader, permissive)
 
 
+NPZ_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_arrays", T.IntegerType()),
+        T.StructField("n_elements", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("weighted_sum", T.LongType()),
+        T.StructField("n_fortran", T.IntegerType()),
+        T.StructField("n_deflated", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def synthesize_npz_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of REAL .npz containers from
+    the numpy producer (``functions/npy_scan.py:synth_npz``): 2-3
+    arrays each, dtypes i8/i4/u1, mixed C/Fortran order, STORED and
+    DEFLATE containers rotating."""
+
+    def loader():
+        from ..functions.npy_scan import synth_npz
+
+        return synth_npz
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_npz_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """NPY/NPZ tensor read from raw bytes per payload
+    (:func:`..functions.npy_scan.scan_npz`): hand-rolled ZIP walk ->
+    hand inflate -> regex-grammar NPY header (no eval) -> struct
+    data decode with the fortran-order remap pinned by a
+    position-weighted checksum."""
+
+    def loader():
+        from ..functions.npy_scan import scan_npz
+
+        return scan_npz
+
+    return _extract_metadata(media, NPZ_SCAN_SCHEMA, loader, permissive)
+
+
 PICKLE_SCAN_SCHEMA = T.StructType(
     [
         T.StructField("protocol", T.IntegerType()),

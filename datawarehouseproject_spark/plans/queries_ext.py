@@ -1956,6 +1956,78 @@ def q_xz_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "npz_tensor_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS s, 2 + doc_id % 2 AS na FROM documents),
+    ks AS (
+      SELECT s, na, unnest(generate_series(0, na - 1)) AS k FROM m),
+    dims AS (
+      SELECT s, na, k,
+             2 + (s + k) % 3 AS r,
+             3 + (s + 2 * k) % 4 AS c,
+             CASE WHEN k % 3 = 2 THEN 0 ELSE 1 END AS sgn,
+             CASE WHEN (s + k) % 2 = 1 THEN 1 ELSE 0 END AS fort
+      FROM ks),
+    farr AS (
+      SELECT s, CAST(sum(fort) AS INTEGER) AS n_fortran
+      FROM dims GROUP BY s),
+    rows_ AS (
+      SELECT s, k, c, sgn, unnest(generate_series(0, r - 1)) AS i
+      FROM dims),
+    cells AS (
+      SELECT s, k, c, sgn, i, unnest(generate_series(0, c - 1)) AS j
+      FROM rows_),
+    vals AS (
+      SELECT s,
+             (s * 7 + k * 11 + i * 5 + j * 3) % 100 - sgn * 50 AS v,
+             i * c + j + 1 AS w
+      FROM cells)
+    SELECT v.s AS media_id,
+           CAST(2 + v.s % 2 AS INTEGER) AS n_arrays,
+           CAST(count(*) AS BIGINT) AS n_elements,
+           CAST(sum(v.v) AS BIGINT) AS value_sum,
+           CAST(sum(v.v * v.w) AS BIGINT) AS weighted_sum,
+           CAST(max(f.n_fortran) AS INTEGER) AS n_fortran,
+           CAST(CASE WHEN v.s % 3 = 0 THEN 2 + v.s % 2 ELSE 0 END
+                AS INTEGER) AS n_deflated
+    FROM vals v JOIN farr f ON v.s = f.s
+    GROUP BY v.s
+    """,
+    tags=("multimodal", "mapInPandas", "npy", "npz", "tensor", "zip"),
+)
+def q_npz_tensor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NPY/NPZ tensor files read from raw bytes (round 10) — the
+    de-facto tensor interchange format of ML corpora (dataset
+    shards, embedding dumps), and a COMPOSITION of three existing
+    by-hand layers plus one new one: the ZIP central-directory walk
+    (``zipscan.py``) locates members, the hand DEFLATE inflater
+    (``inflate.py``) opens ``savez_compressed`` ones, member CRC32s
+    are verified, and the new NPY reader (``npy_scan.py``) parses
+    the header dict with a strict regex grammar — never ``eval``,
+    the same untrusted-input posture as `pickle_opcode_scan` — then
+    decodes the tensor DATA with ``struct`` iteration, independent
+    of numpy's buffer machinery.  Fortran-ordered members are
+    remapped to logical C order and pinned by a position-WEIGHTED
+    checksum: a column-major buffer misread as row-major keeps the
+    plain sum but breaks the weighted one.  Producer: np.savez /
+    np.savez_compressed rotating by document; dtypes i8/i4/u1 and
+    C/Fortran order rotate per member; the oracle recomputes every
+    stat from the synthesis plan."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_npz_scan,
+        synthesize_npz_media,
+    )
+
+    media = synthesize_npz_media(_t(spark, sf_dir, "documents"))
+    return extract_npz_scan(media).select(
+        "media_id", "n_arrays", "n_elements", "value_sum",
+        "weighted_sum", "n_fortran", "n_deflated",
+    )
+
+
+@register(
     "pickle_opcode_scan",
     oracle="""
     WITH m AS (
