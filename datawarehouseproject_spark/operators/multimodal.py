@@ -1649,6 +1649,49 @@ def extract_xz_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
     return _extract_metadata(media, XZ_SCAN_SCHEMA, loader, permissive)
 
 
+ARROW_VALUES_SCHEMA = T.StructType(
+    [
+        T.StructField("n_batches", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("int_sum", T.LongType()),
+        T.StructField("int_nulls", T.LongType()),
+        T.StructField("str_chars", T.LongType()),
+        T.StructField("str_nulls", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def synthesize_arrow_values_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Arrow IPC files with
+    nullable int64/int32/utf8 columns from the pyarrow writer
+    (``functions/arrow_ipc.py:synth_arrow_values``)."""
+
+    def loader():
+        from ..functions.arrow_ipc import synth_arrow_values
+
+        return synth_arrow_values
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_arrow_values(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """Arrow IPC VALUE decode per payload
+    (:func:`..functions.arrow_ipc.decode_arrow_values`): schema type
+    resolution, FieldNode/Buffer preorder walk, LSB-first validity
+    bitmaps, body-relative buffer bounds — exact sums over non-null
+    slots only."""
+
+    def loader():
+        from ..functions.arrow_ipc import decode_arrow_values
+
+        return decode_arrow_values
+
+    return _extract_metadata(media, ARROW_VALUES_SCHEMA, loader, permissive)
+
+
 NPZ_SCAN_SCHEMA = T.StructType(
     [
         T.StructField("n_arrays", T.IntegerType()),

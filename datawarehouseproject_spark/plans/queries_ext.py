@@ -1956,6 +1956,68 @@ def q_xz_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "arrow_ipc_value_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS s, 1 + doc_id % 2 AS nb,
+             20 + (doc_id * 3) % 50 AS n
+      FROM documents),
+    bt AS (
+      SELECT s, nb, n, unnest(generate_series(0, nb - 1)) AS b FROM m),
+    r AS (
+      SELECT s, nb, n, b, unnest(generate_series(0, n - 1)) AS i
+      FROM bt),
+    v AS (
+      SELECT s, nb, b, i,
+             CASE WHEN (s + i) % 7 = 3 THEN NULL
+                  ELSE (s * 11 + i * 13 + b * 3) % 2000 - 700 END AS v64,
+             (s * 5 + i * 9 + b) % 500 AS v32,
+             CASE WHEN (i + b) % 5 = 4 THEN NULL
+                  ELSE length('t' || CAST((s + i + b) % 50 AS VARCHAR))
+                  END AS tlen
+      FROM r)
+    SELECT s AS media_id,
+           CAST(max(nb) AS INTEGER) AS n_batches,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(v64), 0) + sum(v32) AS BIGINT) AS int_sum,
+           CAST(sum(CASE WHEN v64 IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS int_nulls,
+           CAST(coalesce(sum(tlen), 0) AS BIGINT) AS str_chars,
+           CAST(sum(CASE WHEN tlen IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS str_nulls
+    FROM v
+    GROUP BY s
+    """,
+    tags=("multimodal", "mapInPandas", "arrow", "flatbuffers", "codec"),
+)
+def q_arrow_ipc_value_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC VALUE decode (round 10) — the round-9
+    `arrow_ipc_scan` triage counted rows through the hand-rolled
+    flatbuffer walk; this query READS them: schema union tags
+    resolved to Int{8..64}/Utf8, each batch's FieldNode and Buffer
+    structs walked in spec preorder (int: validity+data, utf8:
+    validity+offsets+data), LSB-first validity bitmaps honored so
+    null-slot bytes (unspecified by the spec) never leak into the
+    sums, buffer bounds checked body-relative, and BodyCompression
+    rejected loudly.  Producer: the pyarrow writer with nullable
+    int64/int32/utf8 columns varying per batch.  The oracle
+    recomputes exact sums/null counts/char totals from the plan —
+    a one-bit validity misread or an offsets-vs-data mixup breaks
+    the hash."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_arrow_values,
+        synthesize_arrow_values_media,
+    )
+
+    media = synthesize_arrow_values_media(_t(spark, sf_dir, "documents"))
+    return extract_arrow_values(media).select(
+        "media_id", "n_batches", "n_rows", "int_sum", "int_nulls",
+        "str_chars", "str_nulls",
+    )
+
+
+@register(
     "npz_tensor_scan",
     oracle="""
     WITH m AS (

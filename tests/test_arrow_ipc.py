@@ -91,3 +91,105 @@ def test_spark_permissive_quarantine(spark):
     assert out[4]["decode_error"] is None
     assert out[4]["n_rows"] == plan["n_batches"] * plan["rows_per_batch"]
     assert out[9]["decode_error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Round-10: value decode (decode_arrow_values)
+# ---------------------------------------------------------------------------
+
+
+def test_value_decode_matches_pyarrow_producer():
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        decode_arrow_values,
+        synth_arrow_values,
+        synth_arrow_values_plan,
+    )
+
+    for seed in range(20):
+        plan = synth_arrow_values_plan(seed)
+        st = decode_arrow_values(synth_arrow_values(seed))
+        n, nb = plan["rows_per_batch"], plan["n_batches"]
+        exp_sum = exp_inulls = exp_chars = exp_snulls = 0
+        for b in range(nb):
+            for i in range(n):
+                if (seed + i) % 7 == 3:
+                    exp_inulls += 1
+                else:
+                    exp_sum += (seed * 11 + i * 13 + b * 3) % 2000 - 700
+                exp_sum += (seed * 5 + i * 9 + b) % 500
+                if (i + b) % 5 == 4:
+                    exp_snulls += 1
+                else:
+                    exp_chars += len(f"t{(seed + i + b) % 50}")
+        assert st["n_rows"] == n * nb and st["n_batches"] == nb, seed
+        assert st["int_sum"] == exp_sum, seed
+        assert st["int_nulls"] == exp_inulls, seed
+        assert st["str_chars"] == exp_chars, seed
+        assert st["str_nulls"] == exp_snulls, seed
+
+
+def test_value_decode_null_slots_do_not_leak():
+    """An all-null int column must contribute nothing to int_sum
+    regardless of what bytes sit in its data buffer."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        decode_arrow_values,
+    )
+
+    schema = pa.schema([pa.field("x", pa.int64())])
+    buf = io.BytesIO()
+    with ipc.new_file(buf, schema) as w:
+        w.write_batch(
+            pa.record_batch([pa.array([None, None, None], pa.int64())],
+                            schema=schema)
+        )
+    st = decode_arrow_values(buf.getvalue())
+    assert st["int_sum"] == 0 and st["int_nulls"] == 3
+
+
+def test_value_decode_compressed_body_is_loud():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import pytest
+
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        decode_arrow_values,
+    )
+
+    schema = pa.schema([pa.field("x", pa.int64())])
+    buf = io.BytesIO()
+    opts = ipc.IpcWriteOptions(compression="lz4")
+    with ipc.new_file(buf, schema, options=opts) as w:
+        w.write_batch(
+            pa.record_batch([pa.array([1, 2, 3], pa.int64())],
+                            schema=schema)
+        )
+    with pytest.raises(ValueError):
+        decode_arrow_values(buf.getvalue())
+
+
+def test_value_decode_unsupported_type_is_loud():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import pytest
+
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        decode_arrow_values,
+    )
+
+    schema = pa.schema([pa.field("f", pa.float64())])
+    buf = io.BytesIO()
+    with ipc.new_file(buf, schema) as w:
+        w.write_batch(
+            pa.record_batch([pa.array([1.5], pa.float64())], schema=schema)
+        )
+    with pytest.raises(ValueError):
+        decode_arrow_values(buf.getvalue())
