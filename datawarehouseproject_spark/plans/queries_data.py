@@ -2624,6 +2624,143 @@ def q_confusable_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mojibake signature: a UTF-8 lead byte C3/C2 mis-decoded as latin-1
+#: (U+00C3/U+00C2) followed by a mis-decoded continuation byte
+_MOJI_PAT = "[\u00C3\u00C2][\u0080-\u00BF]"
+_REPL_PAT = "\uFFFD"
+_C1_PAT = "[\u0080-\u009F]"
+
+
+@register(
+    "mojibake_detection",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             repeat(
+               CASE doc_id % 5
+                 WHEN 0 THEN 'plain text ' || CAST(doc_id AS VARCHAR)
+                             || ' ok.'
+                 WHEN 1 THEN 'caf' || chr(233) || ' number '
+                             || CAST(doc_id AS VARCHAR) || '.'
+                 WHEN 2 THEN 'caf' || chr(195) || chr(169) || ' number '
+                             || CAST(doc_id AS VARCHAR) || '.'
+                 WHEN 3 THEN 'caf' || chr(65533) || ' number '
+                             || CAST(doc_id AS VARCHAR) || '.'
+                 ELSE 'it' || chr(146) || 's number '
+                      || CAST(doc_id AS VARCHAR) || '.'
+               END || ' ', 1 + doc_id % 4) AS text
+      FROM documents),
+    c AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text,
+                 '[\x{00C3}\x{00C2}][\x{0080}-\x{00BF}]')) AS n_mojibake,
+             len(regexp_extract_all(text, '\x{FFFD}')) AS n_replacement,
+             len(regexp_extract_all(text,
+                 '[\x{0080}-\x{009F}]')) AS n_c1
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN n_mojibake > 0 THEN 'mojibake'
+                WHEN n_replacement > 0 THEN 'lossy'
+                WHEN n_c1 > 0 THEN 'c1_control'
+                ELSE 'clean' END AS verdict,
+           CAST(n_mojibake AS INTEGER) AS n_mojibake,
+           CAST(n_replacement AS INTEGER) AS n_replacement,
+           CAST(n_c1 AS INTEGER) AS n_c1,
+           CAST(CASE WHEN n_mojibake > 0 AND n_replacement = 0
+                     AND n_c1 = 0 THEN n_mojibake ELSE 0 END
+                AS INTEGER) AS chars_recovered,
+           CASE WHEN n_mojibake > 0 AND n_replacement = 0 AND n_c1 = 0
+                THEN TRUE ELSE FALSE END AS repaired_clean
+    FROM c
+    """,
+    tags=("text", "encoding", "mojibake", "quality", "zero-udf"),
+)
+def q_mojibake_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-quality triage + mojibake REPAIR, zero UDFs — the
+    corpus-hygiene gate `confusable_fold_dedup` doesn't cover:
+    web-crawled text arrives double-encoded (UTF-8 bytes mis-decoded
+    as latin-1/cp1252 and re-encoded — the ``cafÃ©`` signature),
+    lossy (U+FFFD replacement chars from a strict decoder), or
+    polluted with C1 controls (cp1252 smart quotes mis-mapped to
+    U+0080-U+009F).  Detection is three JVM-side ``regexp_count``
+    passes (the mojibake signature is a mis-decoded UTF-8 lead byte
+    U+00C3/U+00C2 followed by a mis-decoded continuation byte);
+    REPAIR is the classic round-trip ``decode(encode(text, latin-1),
+    utf-8)``, applied ONLY to rows classified pure-mojibake (Spark
+    4's strict decoder rightly throws on the others — the lazy CASE
+    is the guard), and verified by re-running detection on the
+    repaired text plus the character count recovered (each 2-char
+    mojibake pair collapses to its true 1-char form).  Synthesis is
+    five corruption modes rotating per document, built in-plan on
+    BOTH engines; the oracle recomputes detection with ITS OWN
+    regexp engine (RE2 vs Java regex agreeing on the counts) rather
+    than echoing plan formulas."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    mode = F.col("doc_id") % 5
+    frag = (
+        F.when(mode == 0, F.concat(F.lit("plain text "), sid, F.lit(" ok.")))
+        .when(
+            mode == 1,
+            F.concat(F.lit("caf\u00E9 number "), sid, F.lit(".")),
+        )
+        .when(
+            mode == 2,
+            F.concat(F.lit("caf\u00C3\u00A9 number "), sid, F.lit(".")),
+        )
+        .when(
+            mode == 3,
+            F.concat(F.lit("caf\uFFFD number "), sid, F.lit(".")),
+        )
+        .otherwise(
+            F.concat(F.lit("it\u0092s number "), sid, F.lit("."))
+        )
+    )
+    t = docs.select(
+        "doc_id",
+        F.repeat(
+            F.concat(frag, F.lit(" ")), (F.col("doc_id") % 4 + 1).cast("int")
+        ).alias("text"),
+    )
+    c = t.select(
+        "doc_id",
+        "text",
+        F.regexp_count("text", F.lit(_MOJI_PAT)).alias("n_mojibake"),
+        F.regexp_count("text", F.lit(_REPL_PAT)).alias("n_replacement"),
+        F.regexp_count("text", F.lit(_C1_PAT)).alias("n_c1"),
+    )
+    pure_moji = (
+        (F.col("n_mojibake") > 0)
+        & (F.col("n_replacement") == 0)
+        & (F.col("n_c1") == 0)
+    )
+    repaired = F.when(
+        pure_moji,
+        F.decode(F.encode(F.col("text"), "ISO-8859-1"), "UTF-8"),
+    ).otherwise(F.col("text"))
+    return c.select(
+        "doc_id",
+        F.when(F.col("n_mojibake") > 0, F.lit("mojibake"))
+        .when(F.col("n_replacement") > 0, F.lit("lossy"))
+        .when(F.col("n_c1") > 0, F.lit("c1_control"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+        F.col("n_mojibake").cast("int").alias("n_mojibake"),
+        F.col("n_replacement").cast("int").alias("n_replacement"),
+        F.col("n_c1").cast("int").alias("n_c1"),
+        (F.length("text") - F.length(repaired))
+        .cast("int")
+        .alias("chars_recovered"),
+        F.when(
+            pure_moji,
+            F.regexp_count(repaired, F.lit(_MOJI_PAT)) == 0,
+        )
+        .otherwise(F.lit(False))
+        .alias("repaired_clean"),
+    )
+
+
 def _ivfpq_oracle(
     dim: int = 64,
     m: int = 4,
