@@ -1649,6 +1649,48 @@ def extract_xz_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
     return _extract_metadata(media, XZ_SCAN_SCHEMA, loader, permissive)
 
 
+TFRECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("n_records", T.IntegerType()),
+        T.StructField("data_bytes", T.LongType()),
+        T.StructField("event_sum", T.LongType()),
+        T.StructField("balance_sum", T.LongType()),
+        T.StructField("name_chars", T.LongType()),
+        T.StructField("packed_sum", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def synthesize_tfrecord_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of TFRecord shards whose
+    records are protowire protobuf messages
+    (``functions/tfrecord.py:synth_tfrecord``)."""
+
+    def loader():
+        from ..functions.tfrecord import synth_tfrecord
+
+        return synth_tfrecord
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_tfrecord_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """TFRecord walk per payload
+    (:func:`..functions.tfrecord.scan_tfrecord`): framing + BOTH
+    masked CRC32Cs verified per record, then a full protobuf wire
+    decode of every record payload."""
+
+    def loader():
+        from ..functions.tfrecord import scan_tfrecord
+
+        return scan_tfrecord
+
+    return _extract_metadata(media, TFRECORD_SCHEMA, loader, permissive)
+
+
 ARROW_VALUES_SCHEMA = T.StructType(
     [
         T.StructField("n_batches", T.IntegerType()),

@@ -1956,6 +1956,57 @@ def q_xz_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfrecord_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS s, 3 + doc_id % 6 AS nr FROM documents),
+    r AS (
+      SELECT s, nr, unnest(generate_series(0, nr - 1)) AS r FROM m),
+    x AS (
+      SELECT s, nr, s * 31 + r AS sp FROM r)
+    SELECT s AS media_id,
+           CAST(max(nr) AS INTEGER) AS n_records,
+           CAST(sum(sp % 1000) AS BIGINT) AS event_sum,
+           CAST(sum((sp * 37) % 2001 - 1000) AS BIGINT) AS balance_sum,
+           CAST(sum(length('rec-' || CAST(sp % 50 AS VARCHAR)))
+                AS BIGINT) AS name_chars,
+           CAST(sum(sp % 5 + sp % 11 + sp % 17) AS BIGINT) AS packed_sum
+    FROM x
+    GROUP BY s
+    """,
+    tags=("multimodal", "mapInPandas", "tfrecord", "protobuf", "crc32c"),
+)
+def q_tfrecord_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord shard scan (round 10) — the sharded-training-data
+    container a 100 TB corpus actually ships in, and a two-layer
+    composition: the container framing (u64le length + masked
+    CRC32C of the length bytes + data + masked CRC32C of the data,
+    mask = rot17 + 0xA282EAD8) is walked with BOTH checksums
+    verified per record — CRC32C hand-tabled from the Castagnoli
+    polynomial and pinned against the published catalogue vector
+    ``crc32c('123456789') = 0xE3069283`` — and each record payload
+    is then FULLY wire-decoded as protobuf by the round-7
+    ``protowire`` codec (varint/zigzag/fixed32/nested/packed +
+    unknown-field skip).  The container has no stdlib producer (the
+    one documented hand-rolled writer in the codec family), so the
+    pin is layered instead: CRC vectors external, record payloads
+    against the pre-existing protowire producer/parser pair, and
+    every stat recomputed by the oracle from the protowire field
+    formulas."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_tfrecord_scan,
+        synthesize_tfrecord_media,
+    )
+
+    media = synthesize_tfrecord_media(_t(spark, sf_dir, "documents"))
+    return extract_tfrecord_scan(media).select(
+        "media_id", "n_records", "event_sum", "balance_sum",
+        "name_chars", "packed_sum",
+    )
+
+
+@register(
     "arrow_ipc_value_decode",
     oracle="""
     WITH m AS (
