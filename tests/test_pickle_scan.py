@@ -123,3 +123,15 @@ def test_memo_heavy_stream_scans():
     s = scan_pickle(pickle.dumps(shared, protocol=2))
     assert s["n_strings"] == 1
     assert s["str_chars"] == 3
+
+
+def test_opcode_count_cross_pinned_against_pickletools():
+    """stdlib pickletools.genops is an INDEPENDENT walker of the same
+    grammar — our n_opcodes must match its opcode stream exactly,
+    for every synthesis seed and protocol."""
+    import pickletools
+
+    for seed in range(24):
+        payload = synth_pickle(seed)
+        want = sum(1 for _ in pickletools.genops(payload))
+        assert scan_pickle(payload)["n_opcodes"] == want, seed

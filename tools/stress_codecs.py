@@ -631,6 +631,75 @@ def round11_kernels() -> None:
     }))
 
 
+def round11b_kernels() -> None:
+    """This session's remaining readers: pickle opcode scan, NPZ
+    tensor read, Arrow IPC value decode, TFRecord CRC32C walk."""
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        decode_arrow_values,
+        synth_arrow_values,
+    )
+    from datawarehouseproject_spark.functions.npy_scan import (
+        scan_npz,
+        synth_npz,
+    )
+    from datawarehouseproject_spark.functions.pickle_scan import (
+        scan_pickle,
+        synth_pickle,
+    )
+    from datawarehouseproject_spark.functions.tfrecord import (
+        scan_tfrecord,
+        synth_tfrecord,
+    )
+
+    pickles = [synth_pickle(s) for s in range(4000)]
+    secs, n = _timeit(
+        lambda: sum(scan_pickle(p)["n_opcodes"] for p in pickles)
+    )
+    print(json.dumps({
+        "kernel": "pickle_opcode_scan",
+        "media": f"{sum(map(len, pickles))} bytes, 4000 pickles,"
+                 f" {n} opcodes",
+        "payloads_per_s": int(4000 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    npzs = [synth_npz(s) for s in range(800)]
+    secs, n = _timeit(
+        lambda: sum(scan_npz(p)["n_elements"] for p in npzs)
+    )
+    print(json.dumps({
+        "kernel": "npz_tensor_scan",
+        "media": f"{sum(map(len, npzs))} bytes, 800 containers,"
+                 f" {n} elements",
+        "payloads_per_s": int(800 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    arrows = [synth_arrow_values(s) for s in range(600)]
+    secs, n = _timeit(
+        lambda: sum(decode_arrow_values(p)["n_rows"] for p in arrows)
+    )
+    print(json.dumps({
+        "kernel": "arrow_ipc_value_decode",
+        "media": f"{sum(map(len, arrows))} bytes, 600 files, {n} rows"
+                 " x 3 cols",
+        "rows_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
+    tfrs = [synth_tfrecord(s) for s in range(2000)]
+    secs, n = _timeit(
+        lambda: sum(scan_tfrecord(p)["n_records"] for p in tfrs)
+    )
+    print(json.dumps({
+        "kernel": "tfrecord_crc32c_scan",
+        "media": f"{sum(map(len, tfrs))} bytes, 2000 shards,"
+                 f" {n} records",
+        "records_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
+
 if __name__ == "__main__":
     main()
     archive_kernels()
@@ -639,3 +708,4 @@ if __name__ == "__main__":
     round9_kernels()
     round10_kernels()
     round11_kernels()
+    round11b_kernels()
