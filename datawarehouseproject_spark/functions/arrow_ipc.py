@@ -236,15 +236,12 @@ _TYPE_INT = 2
 _TYPE_UTF8 = 5
 
 
-def _schema_types(fb: _FB, footer: int) -> list[tuple[str, int]]:
+def _schema_types(fb: _FB, schema: int) -> list[tuple[str, int]]:
     """[(kind, bit_width)] per schema field — kind 'int' or 'utf8'.
 
     Field table (Schema.fbs): name(0), nullable(1), type_type(2,
     union tag byte), type(3, union value table), dictionary(4),
     children(5).  Int table: bitWidth(0, i32), is_signed(1)."""
-    schema = fb.table_field(footer, 1)
-    if schema is None:
-        raise ValueError("arrow footer without schema")
     vec = fb.vector(schema, 1)
     if vec is None:
         return []
@@ -297,13 +294,15 @@ def decode_arrow_values(payload: bytes) -> dict:
         raise ValueError("arrow footer length out of range")
     ffb = _FB(payload[start : start + flen])
     footer_tbl = ffb.root()
-    types = _schema_types(ffb, footer_tbl)
+    schema_tbl = ffb.table_field(footer_tbl, 1)
+    if schema_tbl is None:
+        raise ValueError("arrow footer without schema")
+    types = _schema_types(ffb, schema_tbl)
     footer = _parse_footer(ffb)
-    n_rows = 0
-    int_sum = 0
-    int_nulls = 0
-    str_chars = 0
-    str_nulls = 0
+    stats = {
+        "n_rows": 0, "int_sum": 0, "int_nulls": 0,
+        "str_chars": 0, "str_nulls": 0,
+    }
     for block in footer["batches"]:
         pos = block["offset"]
         if pos < 8 or pos + 8 > len(payload):
@@ -317,90 +316,238 @@ def decode_arrow_values(payload: bytes) -> dict:
             meta_start = pos + 4
         if meta_len <= 0 or meta_start + meta_len > len(payload):
             raise ValueError("record-batch metadata length out of range")
+        _decode_batch_values(
+            payload, meta_start, meta_len, block["body_len"], types, stats
+        )
+    return {
+        "n_batches": len(footer["batches"]),
+        "n_rows": stats["n_rows"],
+        "int_sum": stats["int_sum"],
+        "int_nulls": stats["int_nulls"],
+        "str_chars": stats["str_chars"],
+        "str_nulls": stats["str_nulls"],
+        "payload_bytes": len(payload),
+    }
+
+
+def _decode_batch_values(
+    payload: bytes,
+    meta_start: int,
+    meta_len: int,
+    body_len: int,
+    types: list[tuple[str, int]],
+    stats: dict,
+) -> int:
+    """Decode ONE record-batch message's values into ``stats``;
+    returns the position just past the batch body."""
+    fb = _FB(payload[meta_start : meta_start + meta_len])
+    msg = fb.root()
+    tag_pos = fb.field(msg, 1)
+    if (0 if tag_pos is None else fb.u8(tag_pos)) != _MSG_RECORD_BATCH:
+        raise ValueError("message is not a record batch")
+    header = fb.table_field(msg, 2)
+    if header is None:
+        raise ValueError("record-batch message missing header")
+    if fb.field(header, 3) is not None:
+        raise ValueError("compressed arrow record batch unsupported")
+    len_pos = fb.field(header, 0)
+    rows = 0 if len_pos is None else fb.i64(len_pos)
+    nodes = fb.vector(header, 1)
+    bufs = fb.vector(header, 2)
+    if nodes is None or bufs is None:
+        raise ValueError("record batch missing nodes/buffers")
+    if nodes[1] != len(types):
+        raise ValueError(
+            f"{nodes[1]} field nodes for {len(types)} schema fields"
+        )
+    body_start = meta_start + meta_len
+    if body_start + body_len > len(payload):
+        raise ValueError("record-batch body runs past file end")
+
+    def buf(idx: int) -> bytes:
+        if idx >= bufs[1]:
+            raise ValueError("buffer index past buffer vector")
+        base = bufs[0] + 16 * idx
+        off, length = fb.i64(base), fb.i64(base + 8)
+        if off < 0 or length < 0 or off + length > body_len:
+            raise ValueError("arrow buffer outside batch body")
+        return payload[body_start + off : body_start + off + length]
+
+    bi = 0
+    for col, (kind, bits) in enumerate(types):
+        node_base = nodes[0] + 16 * col
+        node_len = fb.i64(node_base)
+        null_count = fb.i64(node_base + 8)
+        if node_len != rows:
+            raise ValueError("field node length != batch row count")
+        validity = buf(bi)
+        bi += 1
+        if kind == "int":
+            data = buf(bi)
+            bi += 1
+            width = bits // 8
+            if len(data) < rows * width:
+                raise ValueError("int data buffer too short")
+            letter = {8: "b", 16: "h", 32: "i", 64: "q"}[bits]
+            vals = struct.unpack_from(f"<{rows}{letter}", data, 0)
+            for i in range(rows):
+                if _valid(validity, i, null_count):
+                    stats["int_sum"] += vals[i]
+                else:
+                    stats["int_nulls"] += 1
+        else:  # utf8
+            offsets_b = buf(bi)
+            data = buf(bi + 1)
+            bi += 2
+            if len(offsets_b) < 4 * (rows + 1):
+                raise ValueError("utf8 offsets buffer too short")
+            offs = struct.unpack_from(f"<{rows + 1}i", offsets_b, 0)
+            if offs[rows] > len(data):
+                raise ValueError("utf8 offsets exceed data buffer")
+            for i in range(rows):
+                if _valid(validity, i, null_count):
+                    if offs[i + 1] < offs[i]:
+                        raise ValueError("non-monotone utf8 offsets")
+                    stats["str_chars"] += len(
+                        data[offs[i] : offs[i + 1]].decode("utf-8")
+                    )
+                else:
+                    stats["str_nulls"] += 1
+    stats["n_rows"] += rows
+    return body_start + body_len
+
+
+_MSG_SCHEMA = 1
+_MSG_DICT_BATCH = 2
+
+
+def decode_arrow_stream(payload: bytes) -> dict:
+    """Decode the Arrow IPC STREAMING format (.arrows) — the
+    footer-less on-the-wire twin of the file format: a Schema
+    message first, then record-batch messages, then the
+    end-of-stream marker (continuation + zero metadata length).
+    This is the layout Flight/socket shipping uses, where no footer
+    exists to seek to — schema state is carried forward instead.
+    Shares the batch value decoder with :func:`decode_arrow_values`."""
+    pos = 0
+    n = len(payload)
+    types: list[tuple[str, int]] | None = None
+    n_batches = 0
+    stats = {
+        "n_rows": 0, "int_sum": 0, "int_nulls": 0,
+        "str_chars": 0, "str_nulls": 0,
+    }
+    saw_eos = False
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("truncated arrow stream message")
+        (cont,) = struct.unpack_from("<I", payload, pos)
+        if cont == 0xFFFFFFFF:
+            if pos + 8 > n:
+                raise ValueError("truncated arrow stream continuation")
+            (meta_len,) = struct.unpack_from("<I", payload, pos + 4)
+            meta_start = pos + 8
+        else:
+            meta_len = cont
+            meta_start = pos + 4
+        if meta_len == 0:
+            saw_eos = True
+            pos = meta_start
+            break
+        if meta_start + meta_len > n:
+            raise ValueError("arrow stream metadata out of range")
         fb = _FB(payload[meta_start : meta_start + meta_len])
         msg = fb.root()
         tag_pos = fb.field(msg, 1)
-        if (0 if tag_pos is None else fb.u8(tag_pos)) != _MSG_RECORD_BATCH:
-            raise ValueError("block does not hold a record batch")
-        header = fb.table_field(msg, 2)
-        if header is None:
-            raise ValueError("record-batch message missing header")
-        if fb.field(header, 3) is not None:
-            raise ValueError("compressed arrow record batch unsupported")
-        len_pos = fb.field(header, 0)
-        rows = 0 if len_pos is None else fb.i64(len_pos)
-        nodes = fb.vector(header, 1)
-        bufs = fb.vector(header, 2)
-        if nodes is None or bufs is None:
-            raise ValueError("record batch missing nodes/buffers")
-        if nodes[1] != len(types):
-            raise ValueError(
-                f"{nodes[1]} field nodes for {len(types)} schema fields"
+        tag = 0 if tag_pos is None else fb.u8(tag_pos)
+        body_pos = fb.field(msg, 3)
+        body_len = 0 if body_pos is None else fb.i64(body_pos)
+        if tag == _MSG_SCHEMA:
+            if types is not None:
+                raise ValueError("duplicate schema message in stream")
+            schema_tbl = fb.table_field(msg, 2)
+            if schema_tbl is None:
+                raise ValueError("schema message without schema table")
+            types = _schema_types(fb, schema_tbl)
+            pos = meta_start + meta_len + body_len
+        elif tag == _MSG_RECORD_BATCH:
+            if types is None:
+                raise ValueError("record batch before schema message")
+            pos = _decode_batch_values(
+                payload, meta_start, meta_len, body_len, types, stats
             )
-        body_start = meta_start + meta_len
-        body_end = body_start + block["body_len"]
-        if body_end > len(payload):
-            raise ValueError("record-batch body runs past file end")
-
-        def buf(idx: int) -> bytes:
-            if idx >= bufs[1]:
-                raise ValueError("buffer index past buffer vector")
-            base = bufs[0] + 16 * idx
-            off, length = fb.i64(base), fb.i64(base + 8)
-            if off < 0 or length < 0 or off + length > block["body_len"]:
-                raise ValueError("arrow buffer outside batch body")
-            return payload[body_start + off : body_start + off + length]
-
-        bi = 0
-        for col, (kind, bits) in enumerate(types):
-            node_base = nodes[0] + 16 * col
-            node_len = fb.i64(node_base)
-            null_count = fb.i64(node_base + 8)
-            if node_len != rows:
-                raise ValueError("field node length != batch row count")
-            validity = buf(bi)
-            bi += 1
-            if kind == "int":
-                data = buf(bi)
-                bi += 1
-                width = bits // 8
-                if len(data) < rows * width:
-                    raise ValueError("int data buffer too short")
-                letter = {8: "b", 16: "h", 32: "i", 64: "q"}[bits]
-                vals = struct.unpack_from(f"<{rows}{letter}", data, 0)
-                for i in range(rows):
-                    if _valid(validity, i, null_count):
-                        int_sum += vals[i]
-                    else:
-                        int_nulls += 1
-            else:  # utf8
-                offsets_b = buf(bi)
-                data = buf(bi + 1)
-                bi += 2
-                if len(offsets_b) < 4 * (rows + 1):
-                    raise ValueError("utf8 offsets buffer too short")
-                offs = struct.unpack_from(f"<{rows + 1}i", offsets_b, 0)
-                if offs[rows] > len(data):
-                    raise ValueError("utf8 offsets exceed data buffer")
-                for i in range(rows):
-                    if _valid(validity, i, null_count):
-                        if offs[i + 1] < offs[i]:
-                            raise ValueError("non-monotone utf8 offsets")
-                        str_chars += len(
-                            data[offs[i] : offs[i + 1]].decode("utf-8")
-                        )
-                    else:
-                        str_nulls += 1
-        n_rows += rows
+            n_batches += 1
+        elif tag == _MSG_DICT_BATCH:
+            raise ValueError("dictionary batches unsupported by decoder")
+        else:
+            raise ValueError(f"unknown arrow stream message tag {tag}")
+    if types is None:
+        raise ValueError("arrow stream without schema message")
+    if not saw_eos and pos != n:
+        raise ValueError("arrow stream with trailing garbage")
     return {
-        "n_batches": len(footer["batches"]),
-        "n_rows": n_rows,
-        "int_sum": int_sum,
-        "int_nulls": int_nulls,
-        "str_chars": str_chars,
-        "str_nulls": str_nulls,
+        "n_batches": n_batches,
+        "n_rows": stats["n_rows"],
+        "int_sum": stats["int_sum"],
+        "int_nulls": stats["int_nulls"],
+        "str_chars": stats["str_chars"],
+        "str_nulls": stats["str_nulls"],
         "payload_bytes": len(payload),
     }
+
+
+def synth_arrow_stream_plan(seed: int) -> dict:
+    """Plan mirrored in the DuckDB oracle: ``1 + seed%3`` batches of
+    ``15 + (seed*7) % 40`` rows, same column recipe as
+    :func:`synth_arrow_values_plan` (int64 nullable / int32 / utf8
+    nullable)."""
+    return {
+        "n_batches": 1 + seed % 3,
+        "rows_per_batch": 15 + (seed * 7) % 40,
+    }
+
+
+def synth_arrow_stream(seed: int) -> bytes:
+    """A REAL Arrow IPC STREAM from the pyarrow writer."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    plan = synth_arrow_stream_plan(seed)
+    n = plan["rows_per_batch"]
+    schema = pa.schema(
+        [
+            pa.field("v64", pa.int64()),
+            pa.field("v32", pa.int32()),
+            pa.field("txt", pa.utf8()),
+        ]
+    )
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, schema) as w:
+        for b in range(plan["n_batches"]):
+            v64 = [
+                None
+                if (seed + i) % 7 == 3
+                else (seed * 11 + i * 13 + b * 3) % 2000 - 700
+                for i in range(n)
+            ]
+            v32 = [(seed * 5 + i * 9 + b) % 500 for i in range(n)]
+            txt = [
+                None if (i + b) % 5 == 4 else f"t{(seed + i + b) % 50}"
+                for i in range(n)
+            ]
+            w.write_batch(
+                pa.record_batch(
+                    [
+                        pa.array(v64, pa.int64()),
+                        pa.array(v32, pa.int32()),
+                        pa.array(txt, pa.utf8()),
+                    ],
+                    schema=schema,
+                )
+            )
+    return buf.getvalue()
 
 
 def synth_arrow_values_plan(seed: int) -> dict:

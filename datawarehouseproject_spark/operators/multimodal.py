@@ -1704,6 +1704,35 @@ ARROW_VALUES_SCHEMA = T.StructType(
 )
 
 
+def synthesize_arrow_stream_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Arrow IPC STREAMS (the
+    footer-less wire format) from the pyarrow writer
+    (``functions/arrow_ipc.py:synth_arrow_stream``)."""
+
+    def loader():
+        from ..functions.arrow_ipc import synth_arrow_stream
+
+        return synth_arrow_stream
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_arrow_stream(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """Arrow IPC STREAMING decode per payload
+    (:func:`..functions.arrow_ipc.decode_arrow_stream`): schema
+    message first, schema state carried forward, end-of-stream
+    marker honored — the no-footer wire layout."""
+
+    def loader():
+        from ..functions.arrow_ipc import decode_arrow_stream
+
+        return decode_arrow_stream
+
+    return _extract_metadata(media, ARROW_VALUES_SCHEMA, loader, permissive)
+
+
 def synthesize_arrow_values_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1956,6 +1956,65 @@ def q_xz_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "arrow_stream_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS s, 1 + doc_id % 3 AS nb,
+             15 + (doc_id * 7) % 40 AS n
+      FROM documents),
+    bt AS (
+      SELECT s, nb, n, unnest(generate_series(0, nb - 1)) AS b FROM m),
+    r AS (
+      SELECT s, nb, n, b, unnest(generate_series(0, n - 1)) AS i
+      FROM bt),
+    v AS (
+      SELECT s, nb, b, i,
+             CASE WHEN (s + i) % 7 = 3 THEN NULL
+                  ELSE (s * 11 + i * 13 + b * 3) % 2000 - 700 END AS v64,
+             (s * 5 + i * 9 + b) % 500 AS v32,
+             CASE WHEN (i + b) % 5 = 4 THEN NULL
+                  ELSE length('t' || CAST((s + i + b) % 50 AS VARCHAR))
+                  END AS tlen
+      FROM r)
+    SELECT s AS media_id,
+           CAST(max(nb) AS INTEGER) AS n_batches,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(v64), 0) + sum(v32) AS BIGINT) AS int_sum,
+           CAST(sum(CASE WHEN v64 IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS int_nulls,
+           CAST(coalesce(sum(tlen), 0) AS BIGINT) AS str_chars,
+           CAST(sum(CASE WHEN tlen IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS str_nulls
+    FROM v
+    GROUP BY s
+    """,
+    tags=("multimodal", "mapInPandas", "arrow", "streaming", "codec"),
+)
+def q_arrow_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC STREAMING-format decode (round 10) — the
+    footer-less twin of `arrow_ipc_value_decode`: the wire layout
+    Flight sockets and pipe handoffs use, where there is no footer
+    to seek to and the reader must carry schema state forward — a
+    Schema message first, record batches after, the end-of-stream
+    marker (continuation + zero metadata length) last, dictionary
+    batches a loud boundary.  Batch value decoding (validity
+    bitmaps, buffer bounds, preorder walk) is shared code with the
+    file-format path, so both layouts are pinned by the same oracle
+    family against the pyarrow stream writer."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_arrow_stream,
+        synthesize_arrow_stream_media,
+    )
+
+    media = synthesize_arrow_stream_media(_t(spark, sf_dir, "documents"))
+    return extract_arrow_stream(media).select(
+        "media_id", "n_batches", "n_rows", "int_sum", "int_nulls",
+        "str_chars", "str_nulls",
+    )
+
+
+@register(
     "tfrecord_scan",
     oracle="""
     WITH m AS (

@@ -193,3 +193,33 @@ def test_value_decode_unsupported_type_is_loud():
         )
     with pytest.raises(ValueError):
         decode_arrow_values(buf.getvalue())
+
+
+def test_stream_format_decodes_and_matches_plan():
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        decode_arrow_stream,
+        synth_arrow_stream,
+        synth_arrow_stream_plan,
+    )
+
+    for seed in range(12):
+        plan = synth_arrow_stream_plan(seed)
+        st = decode_arrow_stream(synth_arrow_stream(seed))
+        assert st["n_batches"] == plan["n_batches"], seed
+        assert st["n_rows"] == plan["n_batches"] * plan["rows_per_batch"]
+
+
+def test_stream_requires_schema_first_and_rejects_garbage():
+    import pytest
+
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        decode_arrow_stream,
+        synth_arrow_stream,
+    )
+
+    good = synth_arrow_stream(5)
+    with pytest.raises(ValueError):
+        decode_arrow_stream(b"")
+    for cut in (3, 10, len(good) // 2):
+        with pytest.raises(ValueError):
+            decode_arrow_stream(good[:cut] + b"\x01\x02\x03")
