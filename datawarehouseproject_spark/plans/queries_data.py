@@ -2761,6 +2761,144 @@ def q_mojibake_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "csv_dialect_sniff",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'comma' WHEN 1 THEN 'semicolon'
+                WHEN 2 THEN 'tab' ELSE 'pipe' END AS detected_delim,
+           CAST(3 + doc_id % 3 AS INTEGER) AS n_cols,
+           doc_id % 3 <> 0 AS has_header,
+           CAST(4 + doc_id % 5 AS INTEGER) AS n_data_rows
+    FROM documents
+    """,
+    tags=("text", "csv", "sniffer", "ingest", "zero-udf"),
+)
+def q_csv_dialect_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect sniffing, zero UDFs — the step BEFORE
+    `csv_permissive_parse` on a real lake: files arrive with unknown
+    delimiter and unknown headerness, and a 100 TB ingest cannot
+    afford a Python sniffer pass (stdlib ``csv.Sniffer`` is
+    driver-side and line-at-a-time).  The JVM-side detector: per
+    candidate delimiter (comma/semicolon/tab/pipe), per line, count
+    separators via ``split``; a candidate wins when its count is
+    CONSTANT across every line AND positive (the classic
+    consistency heuristic); header detection then asks whether the
+    first line's cells are all non-numeric while data rows are
+    numeric.  Everything runs in array HOFs (``transform`` /
+    ``filter`` / ``array_min`` / ``array_max``) inside whole-stage
+    codegen — one projection, no explode, no shuffle beyond the
+    scan.  Synthesis builds the raw text in-plan (4 delimiters x
+    header/headerless x 3-5 columns x quoted-header variants), and
+    the oracle pins the EXPECTED dialect per document, so a
+    detector that mis-handles the regex-metachar delimiters (pipe!)
+    or quoted headers fails the hash."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    n_cols = (d % 3 + 3).cast("int")
+    n_rows = (d % 5 + 4).cast("int")
+    has_header = d % 3 != 0
+    quoted = d % 5 == 0
+    delim = (
+        F.when(d % 4 == 0, F.lit(","))
+        .when(d % 4 == 1, F.lit(";"))
+        .when(d % 4 == 2, F.lit("\t"))
+        .otherwise(F.lit("|"))
+    )
+    header_cell = F.when(quoted, F.lit('"col')).otherwise(F.lit("col"))
+    header_close = F.when(quoted, F.lit('"')).otherwise(F.lit(""))
+    header = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_cols - 1),
+            lambda c: F.concat(
+                header_cell, c.cast("string"), header_close
+            ),
+        ),
+        delimiter="\x01",
+    )
+    data_rows = F.transform(
+        F.sequence(F.lit(0), n_rows - 1),
+        lambda r: F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_cols - 1),
+                lambda c: ((d + r * 7 + c * 13) % 1000).cast("string"),
+            ),
+            delimiter="\x01",
+        ),
+    )
+    all_lines = F.when(
+        has_header, F.concat(F.array(header), data_rows)
+    ).otherwise(data_rows)
+    # \x01 is a placeholder no cell contains; swap in the real delim
+    text = F.replace(
+        F.array_join(all_lines, delimiter="\n"), F.lit("\x01"), delim
+    )
+    t = docs.select("doc_id", text.alias("text"))
+
+    lines = F.split(F.col("text"), "\n")
+
+    def counts_for(pat: str):
+        return F.transform(
+            lines, lambda line: F.size(F.split(line, pat)) - 1
+        )
+
+    cands = [
+        ("comma", ","),
+        ("semicolon", ";"),
+        ("tab", "\t"),
+        ("pipe", "\\|"),
+    ]
+    cols = [F.col("doc_id"), F.col("text")]
+    for name, pat in cands:
+        c = counts_for(pat)
+        cols.append(
+            (
+                (F.array_min(c) == F.array_max(c)) & (F.array_min(c) > 0)
+            ).alias(f"ok_{name}")
+        )
+        cols.append(F.array_min(c).alias(f"cnt_{name}"))
+    s = t.select(*cols)
+    detected = (
+        F.when(F.col("ok_comma"), F.lit("comma"))
+        .when(F.col("ok_semicolon"), F.lit("semicolon"))
+        .when(F.col("ok_tab"), F.lit("tab"))
+        .when(F.col("ok_pipe"), F.lit("pipe"))
+        .otherwise(F.lit("unknown"))
+    )
+    win_cnt = (
+        F.when(F.col("ok_comma"), F.col("cnt_comma"))
+        .when(F.col("ok_semicolon"), F.col("cnt_semicolon"))
+        .when(F.col("ok_tab"), F.col("cnt_tab"))
+        .otherwise(F.col("cnt_pipe"))
+    )
+    win_pat = (
+        F.when(F.col("ok_comma"), F.lit(","))
+        .when(F.col("ok_semicolon"), F.lit(";"))
+        .when(F.col("ok_tab"), F.lit("\t"))
+        .otherwise(F.lit("\\|"))
+    )
+    first_line = F.element_at(F.split(F.col("text"), "\n"), 1)
+    first_numeric = F.size(
+        F.filter(
+            F.split(first_line, win_pat),
+            lambda cell: cell.rlike("^[0-9]+$"),
+        )
+    )
+    n_lines = F.size(F.split(F.col("text"), "\n"))
+    has_hdr = first_numeric == 0
+    return s.select(
+        "doc_id",
+        detected.alias("detected_delim"),
+        (win_cnt + 1).cast("int").alias("n_cols"),
+        has_hdr.alias("has_header"),
+        F.when(has_hdr, n_lines - 1)
+        .otherwise(n_lines)
+        .cast("int")
+        .alias("n_data_rows"),
+    )
+
+
 def _ivfpq_oracle(
     dim: int = 64,
     m: int = 4,
