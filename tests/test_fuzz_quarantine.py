@@ -27,7 +27,11 @@ def _cases():
         inflate,
         ico,
         jpeg,
+        lzma_codec,
         mime_mail,
+        npy_scan,
+        pickle_scan,
+        tfrecord,
         mpeg_audio,
         orc_footer,
         orc_pages,
@@ -101,6 +105,20 @@ def _cases():
         ("mime", mime_mail.synth_email, mime_mail.parse_mime_message),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
+        ("xz_full", lzma_codec.synth_xz_text, lzma_codec.decode_xz),
+        ("pickle", pickle_scan.synth_pickle, pickle_scan.scan_pickle),
+        ("npz", npy_scan.synth_npz, npy_scan.scan_npz),
+        ("tfrecord", tfrecord.synth_tfrecord, tfrecord.scan_tfrecord),
+        (
+            "arrow_values",
+            arrow_ipc.synth_arrow_values,
+            arrow_ipc.decode_arrow_values,
+        ),
+        (
+            "arrow_stream",
+            arrow_ipc.synth_arrow_stream,
+            arrow_ipc.decode_arrow_stream,
+        ),
     ]
 
 
