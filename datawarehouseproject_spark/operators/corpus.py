@@ -277,6 +277,123 @@ def unigram_surprisal(
     )
 
 
+def bigram_backoff_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    penalty_bits: int = 4,
+) -> DataFrame:
+    """Bigram LM quality score with STUPID BACKOFF and integer-
+    quantized log-probabilities — the held-out upgrade of
+    :func:`unigram_surprisal`.
+
+    KenLM-style filters score held-out text under an n-gram model;
+    the float log-probs don't hash-verify, so quantize exactly as the
+    unigram op does (``bit_length(a div b)`` ≈ log2(1/p)) and make
+    backoff a fixed integer penalty (``penalty_bits`` ≈ log2(1/α)
+    with α = 1/16 — Brants et al.'s stupid backoff, score-not-
+    probability, which is exactly what an integer filter wants).
+
+    TRAIN on even ``doc_id``s, SCORE the odd ones — a genuine
+    held-out split, so unseen bigrams (backoff) and unseen unigrams
+    (OOV) actually occur.  Per adjacent pair (w1, w2) of a scored
+    doc:
+
+    - bigram seen in train:  ``bit_length(c1(w1) div c2(w1,w2))``
+    - else w2 seen:          ``penalty + bit_length(N div c1(w2))``
+    - else (OOV):            ``2*penalty + bit_length(N)``
+
+    One explode to pairs, two shuffled equi-joins against the train
+    counts (the vocabulary is data-sized; no broadcast assumption),
+    the 1-row total broadcast.  Returns per scored doc
+    ``(id, n_bigrams, total_surprisal, n_backoff, n_oov,
+    mean_surprisal)``.
+    """
+    words = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__w")
+    )
+    pairs_of = F.expr(
+        "transform(sequence(1, size(__w) - 1), "
+        "i -> struct(__w[i-1] AS w1, __w[i] AS w2))"
+    )
+    def pairs_df(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.size("__w") >= 2)
+            .select(F.col(id_col), F.explode(pairs_of).alias("__p"))
+            .select(id_col, "__p.w1", "__p.w2")
+        )
+
+    train_words = words.filter(F.col(id_col) % 2 == 0)
+    eval_pairs = pairs_df(words.filter(F.col(id_col) % 2 == 1))
+    c1 = (
+        train_words.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    total = c1.agg(F.sum("__c1").alias("__n"))
+    c2 = (
+        pairs_df(train_words)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+    )
+
+    def bitlen(col):
+        return F.length(F.conv(col.cast("string"), 10, 2)).cast("long")
+
+    scored = (
+        eval_pairs.join(c2, ["w1", "w2"], "left")
+        .join(
+            c1.select(F.col("w").alias("w1"), F.col("__c1").alias("__c1w1")),
+            "w1",
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w2"), F.col("__c1").alias("__c1w2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    s = (
+        F.when(
+            F.col("__c2").isNotNull(),
+            bitlen(F.expr("__c1w1 div __c2")),
+        )
+        .when(
+            F.col("__c1w2").isNotNull(),
+            F.lit(penalty_bits) + bitlen(F.expr("__n div __c1w2")),
+        )
+        .otherwise(F.lit(2 * penalty_bits) + bitlen(F.col("__n")))
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            s.alias("__s"),
+            F.col("__c2").isNull().cast("long").alias("__bk"),
+            (F.col("__c2").isNull() & F.col("__c1w2").isNull())
+            .cast("long")
+            .alias("__oov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__s").alias("total_surprisal"),
+            (F.sum("__bk") - F.sum("__oov")).alias("n_backoff"),
+            F.sum("__oov").alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "total_surprisal",
+            "n_backoff",
+            "n_oov",
+            (F.col("total_surprisal") / F.col("n_bigrams")).alias(
+                "mean_surprisal"
+            ),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 64,

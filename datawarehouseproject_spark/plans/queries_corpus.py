@@ -383,6 +383,69 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "bigram_backoff_surprisal",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    prs AS (
+      SELECT doc_id, unnest(generate_series(2, len(w))) AS i, w
+      FROM toks WHERE len(w) >= 2),
+    flat AS (
+      SELECT doc_id, w[i - 1] AS w1, w[i] AS w2 FROM prs),
+    train1 AS (
+      SELECT unnest(w) AS w FROM toks WHERE doc_id % 2 = 0),
+    c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+           FROM train1 GROUP BY w),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+           FROM flat WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+    evalp AS (SELECT * FROM flat WHERE doc_id % 2 = 1),
+    j AS (
+      SELECT e.doc_id, c2.c2, a.c1 AS c1w1, b.c1 AS c1w2, t.n
+      FROM evalp e
+      LEFT JOIN c2 ON e.w1 = c2.w1 AND e.w2 = c2.w2
+      LEFT JOIN c1 a ON e.w1 = a.w
+      LEFT JOIN c1 b ON e.w2 = b.w, tot t),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN c2 IS NOT NULL THEN length(bin(c1w1 // c2))
+                  WHEN c1w2 IS NOT NULL THEN 4 + length(bin(n // c1w2))
+                  ELSE 8 + length(bin(n)) END AS s,
+             CASE WHEN c2 IS NULL THEN 1 ELSE 0 END AS bk,
+             CASE WHEN c2 IS NULL AND c1w2 IS NULL THEN 1 ELSE 0 END
+               AS oov
+      FROM j)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(s) AS BIGINT) AS total_surprisal,
+           CAST(sum(bk) - sum(oov) AS BIGINT) AS n_backoff,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(sum(s) AS DOUBLE) / count(*) AS mean_surprisal
+    FROM s
+    GROUP BY doc_id
+    """,
+    tags=("corpus", "lm-quality", "bigram", "backoff",
+          "integer-quantized"),
+)
+def q_bigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score with STUPID BACKOFF on a genuine
+    held-out split (round 10) — the KenLM-shaped upgrade of
+    `unigram_surprisal`: train bigram/unigram counts on EVEN
+    doc_ids, score the ODD ones, so unseen bigrams (backoff to the
+    unigram, +4 bits ≈ α=1/16 — Brants et al.'s score-not-
+    probability backoff) and true OOV tokens (+8 bits) actually
+    occur.  Log-probs stay integer-quantized
+    (``bit_length(a div b)``), so the whole filter hash-verifies
+    across engines — the reason float KenLM scores can't be
+    oracle-checked.  Two shuffled equi-joins against train counts
+    (vocabulary is data-sized — deliberately NOT broadcast); the
+    1-row total broadcasts."""
+    _utc(spark)
+    from ..operators.corpus import bigram_backoff_surprisal
+
+    return bigram_backoff_surprisal(_t(spark, sf_dir, "documents"))
+
+
 _CHUNK_TOKENS, _CHUNK_OVERLAP = 24, 8
 
 
