@@ -76,6 +76,7 @@ _ENC_RLE_DICT = 8
 _ENC_BYTE_STREAM_SPLIT = 9
 
 _CODEC_NONE = 0
+_CODEC_SNAPPY = 1
 _CODEC_GZIP = 2
 
 _PLAIN_WIDTHS = {_T_INT32: 4, _T_INT64: 8, _T_FLOAT: 4, _T_DOUBLE: 8}
@@ -365,6 +366,16 @@ def _decompress(codec: int, raw: bytes, expect: int) -> bytes:
         if len(out) != expect:
             raise ValueError(
                 f"gzip page decodes to {len(out)} bytes, header says {expect}"
+            )
+        return out
+    if codec == _CODEC_SNAPPY:
+        from .snappy import decode_snappy
+
+        out = decode_snappy(raw)
+        if len(out) != expect:
+            raise ValueError(
+                f"snappy page decodes to {len(out)} bytes, "
+                f"header says {expect}"
             )
         return out
     raise ValueError(f"unsupported parquet codec {codec}")
@@ -797,7 +808,7 @@ def synth_parquet_data_plan(seed: int) -> dict:
         # DELTA_BINARY_PACKED requires the dictionary off for those
         # columns, so the delta seeds force it
         "use_dictionary": (seed >> 1) % 2 == 0 and not delta,
-        "compression": "gzip" if (seed >> 2) % 2 else "NONE",
+        "compression": ("NONE", "gzip", "snappy")[(seed >> 2) % 3],
         "delta_ints": delta,
         # the delta seeds also rotate the string column through both
         # byte-array delta encodings (front coding on odd seeds)

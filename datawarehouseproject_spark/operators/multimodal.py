@@ -1649,6 +1649,43 @@ def extract_xz_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
     return _extract_metadata(media, XZ_SCAN_SCHEMA, loader, permissive)
 
 
+LZ4_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("n_distinct", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def synthesize_lz4_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of REAL .lz4 frames from the
+    pyarrow (reference C) producer
+    (``functions/lz4_codec.py:synth_lz4``)."""
+
+    def loader():
+        from ..functions.lz4_codec import synth_lz4
+
+        return synth_lz4
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_lz4_decode(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """FULL LZ4 frame decode per payload
+    (:func:`..functions.lz4_codec.scan_lz4_frame`): descriptor with
+    xxh32-derived header checksum, linked-block history, stored
+    blocks, content checksum — all verified by hand."""
+
+    def loader():
+        from ..functions.lz4_codec import scan_lz4_frame
+
+        return scan_lz4_frame
+
+    return _extract_metadata(media, LZ4_SCAN_SCHEMA, loader, permissive)
+
+
 TFRECORD_SCHEMA = T.StructType(
     [
         T.StructField("n_records", T.IntegerType()),

@@ -1956,6 +1956,54 @@ def q_xz_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lz4_frame_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 1500 + (doc_id * 23) % 2500 AS n
+      FROM documents),
+    r AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    v AS (
+      SELECT media_id, n, ((i // 5) * 7 + media_id) % 240 AS b
+      FROM r)
+    SELECT media_id,
+           CAST(max(n) AS BIGINT) AS n_bytes,
+           CAST(sum(b) AS BIGINT) AS byte_sum,
+           CAST(count(DISTINCT b) AS INTEGER) AS n_distinct
+    FROM v
+    GROUP BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "lz4", "xxhash", "codec"),
+)
+def q_lz4_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL LZ4 frame decode, value-checked (round 10) — with the
+    round-10 snappy decoder (now wired into `parquet_page_decode`'s
+    codec rotation), this completes the BIG-DATA block-codec family
+    the archive trio (gzip/bzip2/xz) doesn't cover: LZ4 is the
+    Kafka/parquet/Arrow-body wire codec.  Two layers, both by hand
+    (``functions/lz4_codec.py``): the token-nibble BLOCK format
+    (255-extension lengths, 2-byte offsets, forward-overlap match
+    copies, linked-block history spanning block boundaries) and the
+    FRAME format (FLG/BD descriptor, stored-block flag bit, end
+    mark) — including xxHash32 implemented from its public spec and
+    VERIFIED live against every header/content checksum the
+    reference-C producer (pyarrow) writes, plus its published test
+    vectors.  The oracle recomputes plaintext length, byte sum, and
+    distinct count from the data formula."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_lz4_decode,
+        synthesize_lz4_media,
+    )
+
+    media = synthesize_lz4_media(_t(spark, sf_dir, "documents"))
+    return extract_lz4_decode(media).select(
+        "media_id", "n_bytes", "byte_sum", "n_distinct"
+    )
+
+
+@register(
     "arrow_stream_decode",
     oracle="""
     WITH m AS (

@@ -27,6 +27,7 @@ def _cases():
         inflate,
         ico,
         jpeg,
+        lz4_codec,
         lzma_codec,
         mime_mail,
         npy_scan,
@@ -106,6 +107,7 @@ def _cases():
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         ("xz_full", lzma_codec.synth_xz_text, lzma_codec.decode_xz),
+        ("lz4_frame", lz4_codec.synth_lz4, lz4_codec.scan_lz4_frame),
         ("pickle", pickle_scan.synth_pickle, pickle_scan.scan_pickle),
         ("npz", npy_scan.synth_npz, npy_scan.scan_npz),
         ("tfrecord", tfrecord.synth_tfrecord, tfrecord.scan_tfrecord),

@@ -215,9 +215,14 @@ def test_boundaries_are_valueerrors():
     import pyarrow.parquet as pq
 
     t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
-    # snappy: documented codec boundary
+    # snappy: the round-9 codec boundary is CLOSED (hand decoder in
+    # functions/snappy.py) — it must now decode, not raise
     buf = io.BytesIO()
     pq.write_table(t, buf, compression="snappy")
+    assert decode_column(buf.getvalue(), 0) == [1, 2, 3]
+    # zstd: still a loud codec boundary
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="zstd")
     with pytest.raises(ValueError, match="codec"):
         decode_column(buf.getvalue(), 0)
     # nested schema: refused, never mis-decoded as flat

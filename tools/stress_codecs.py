@@ -687,6 +687,34 @@ def round11b_kernels() -> None:
         "sec": round(secs, 4),
     }))
 
+    import pyarrow as pa
+
+    from datawarehouseproject_spark.functions.lz4_codec import (
+        decode_lz4_frame,
+    )
+    from datawarehouseproject_spark.functions.snappy import decode_snappy
+
+    text = ("the quick brown fox jumps over the lazy dog. " * 10000).encode()
+    sn = bytes(pa.Codec("snappy").compress(text))
+    secs, out = _timeit(decode_snappy, sn)
+    assert out == text
+    print(json.dumps({
+        "kernel": "snappy_hand_decode",
+        "media": f"{len(text)} bytes text -> {len(sn)} snappy",
+        "mb_per_s": round(len(text) / secs / 1e6, 2),
+        "sec": round(secs, 4),
+    }))
+
+    lz = bytes(pa.Codec("lz4").compress(text))
+    secs, out = _timeit(decode_lz4_frame, lz)
+    assert out == text
+    print(json.dumps({
+        "kernel": "lz4_frame_hand_decode",
+        "media": f"{len(text)} bytes text -> {len(lz)} lz4 frame",
+        "mb_per_s": round(len(text) / secs / 1e6, 2),
+        "sec": round(secs, 4),
+    }))
+
     tfrs = [synth_tfrecord(s) for s in range(2000)]
     secs, n = _timeit(
         lambda: sum(scan_tfrecord(p)["n_records"] for p in tfrs)
