@@ -1649,6 +1649,39 @@ def extract_xz_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
     return _extract_metadata(media, XZ_SCAN_SCHEMA, loader, permissive)
 
 
+ZSTD_TEXT_SCHEMA = T.StructType([T.StructField("text", T.StringType())])
+
+
+def synthesize_zstd_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id column -> (media_id, payload) of REAL zstd frames from the
+    libzstd producer (``functions/zstd_codec.py:synth_zstd``), levels
+    rotating 1/3/9/19, odd seeds concatenated two-frame files."""
+
+    def loader():
+        from ..functions.zstd_codec import synth_zstd
+
+        return synth_zstd
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_zstd_decode(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """FULL zstd decode per payload
+    (:func:`..functions.zstd_codec.decode_zstd`): FSE/tANS tables,
+    Huffman literals (both tree descriptions, 1/4 streams),
+    sequences with repcodes, frame/block layers, checksums."""
+
+    def loader():
+        from ..functions.zstd_codec import decode_zstd
+
+        def parse(payload: bytes) -> dict:
+            return {"text": decode_zstd(payload).decode("ascii")}
+
+        return parse
+
+    return _extract_metadata(media, ZSTD_TEXT_SCHEMA, loader, permissive)
+
+
 LZ4_SCAN_SCHEMA = T.StructType(
     [
         T.StructField("n_bytes", T.LongType()),

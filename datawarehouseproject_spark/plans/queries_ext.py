@@ -1956,6 +1956,79 @@ def q_xz_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zstd_frame_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 80 + (doc_id * 19) % 240 AS n
+      FROM documents),
+    r AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    v AS (
+      SELECT media_id, i,
+             (media_id * 17 + i * 11) % 7919 AS val,
+             length('row ' || CAST(i AS VARCHAR) || ' doc '
+                    || CAST(media_id AS VARCHAR) || ' v '
+                    || CAST((media_id * 17 + i * 11) % 7919 AS VARCHAR))
+               + 1 AS lchars
+      FROM r)
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(lchars) AS BIGINT) AS n_chars,
+           CAST(sum(val) AS BIGINT) AS value_sum,
+           CAST(count(DISTINCT val) AS INTEGER) AS n_distinct_values
+    FROM v
+    GROUP BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "zstd", "fse", "codec"),
+)
+def q_zstd_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL zstd decode, value-checked (round 10) — the FOURTH
+    distinct entropy stack in the codec family, and the one modern
+    corpora actually ship in (Common Crawl mirrors, parquet's
+    fastest-growing codec): **FSE/tANS** (``functions/zstd_codec.py``,
+    from RFC 8878).  By hand: normalized-count table descriptions
+    (the ``value - 1`` convention, less-than-one cells from the
+    table's end, 2-bit zero-run repeats), the
+    ``(size>>1)+(size>>3)+3`` spread, baseline/nbBits state
+    assignment; Huffman literals with BOTH tree-description kinds
+    (direct 4-bit weights and FSE-compressed weights drained by two
+    interleaved states), the implied last weight, 1- and 4-stream
+    layouts; sequences with predefined/RLE/FSE/repeat table modes
+    and the 3-slot repeat-offset cache including the
+    ``literal_length == 0`` shift; frames/blocks/skippable frames;
+    and hand-rolled xxh64 verifying content checksums.  Pinned
+    against TWO independent producers — libzstd via pyarrow (this
+    query's synthesis, levels 1/3/9/19, concatenated frames on odd
+    documents) and the zstd CLI binary with live checksums in
+    ``tests/test_zstd_codec.py``.  Stats are computed JVM-side from
+    the recovered text; the oracle recomputes them from the plan."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_zstd_decode,
+        synthesize_zstd_media,
+    )
+
+    media = synthesize_zstd_media(_t(spark, sf_dir, "documents"))
+    txt = extract_zstd_decode(media)
+    lines = txt.select(
+        "media_id",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    ).where(F.col("line") != "")
+    vals = lines.select(
+        "media_id",
+        (F.length("line") + F.lit(1)).alias("lchars"),
+        F.regexp_extract("line", "v ([0-9]+)$", 1).cast("int").alias("val"),
+    )
+    return vals.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("lchars").cast("bigint").alias("n_chars"),
+        F.sum("val").cast("bigint").alias("value_sum"),
+        F.countDistinct("val").cast("int").alias("n_distinct_values"),
+    )
+
+
+@register(
     "lz4_frame_decode",
     oracle="""
     WITH m AS (

@@ -47,6 +47,7 @@ def _cases():
         webp,
         xz_scan,
         zipscan,
+        zstd_codec,
     )
 
     return [
@@ -108,6 +109,7 @@ def _cases():
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         ("xz_full", lzma_codec.synth_xz_text, lzma_codec.decode_xz),
         ("lz4_frame", lz4_codec.synth_lz4, lz4_codec.scan_lz4_frame),
+        ("zstd", zstd_codec.synth_zstd, zstd_codec.decode_zstd),
         ("pickle", pickle_scan.synth_pickle, pickle_scan.scan_pickle),
         ("npz", npy_scan.synth_npz, npy_scan.scan_npz),
         ("tfrecord", tfrecord.synth_tfrecord, tfrecord.scan_tfrecord),

@@ -1,0 +1,116 @@
+"""Zstd decoder — functions/zstd_codec.py (round 10): the FSE/tANS
+entropy stack, pinned against TWO independent producers (libzstd via
+pyarrow, and the zstd CLI binary which writes xxh64 content
+checksums by default) across levels and data shapes."""
+
+from __future__ import annotations
+
+import random
+import struct
+import subprocess
+
+import pyarrow as pa
+import pytest
+
+from datawarehouseproject_spark.functions.zstd_codec import (
+    decode_zstd,
+    synth_zstd,
+    synth_zstd_plan,
+    xxh64,
+)
+
+_ZSTD_BIN = "/root/miniconda/bin/zstd"
+
+
+def _shapes():
+    rnd = random.Random(5)
+    return {
+        "text": b"The quick brown fox jumps over the lazy dog. " * 12_000,
+        "rand": bytes(rnd.randrange(256) for _ in range(150_000)),
+        "zeros": b"\x00" * 300_000,
+        "mix": b"abcabcabc" * 30_000
+        + bytes(rnd.randrange(256) for _ in range(20_000)),
+        "small": b"hi hi hi hi hi",
+        "empty": b"",
+        "one": b"x",
+        "seq": bytes(range(256)) * 600,
+    }
+
+
+def test_xxh64_published_vectors():
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert (
+        xxh64(b"Nobody inspects the spammish repetition")
+        == 0xFBCEA83C8A378BF1
+    )
+
+
+@pytest.mark.parametrize("level", [1, 3, 9, 19])
+def test_pinned_against_libzstd_via_pyarrow(level):
+    codec = pa.Codec("zstd", compression_level=level)
+    for name, d in _shapes().items():
+        assert decode_zstd(
+            bytes(codec.compress(d)), max_output=1 << 24
+        ) == d, (level, name)
+
+
+def test_pinned_against_zstd_cli_with_checksums():
+    """The CLI writes an xxh64 content checksum by default — every
+    pass here live-verifies the hand-rolled xxh64 too."""
+    for args in (["-3"], ["-19"], ["-1", "--no-check"], ["-3", "--long=20"]):
+        for name, d in _shapes().items():
+            p = subprocess.run(
+                [_ZSTD_BIN, "-c", *args], input=d, capture_output=True
+            )
+            assert p.returncode == 0
+            assert decode_zstd(p.stdout, max_output=1 << 24) == d, (
+                args, name,
+            )
+
+
+def test_content_checksum_is_verified():
+    d = b"checksum me " * 1000
+    p = subprocess.run([_ZSTD_BIN, "-c", "-3"], input=d, capture_output=True)
+    frame = bytearray(p.stdout)
+    frame[-1] ^= 0x01  # checksum is the last 4 bytes
+    with pytest.raises(ValueError, match="checksum"):
+        decode_zstd(bytes(frame))
+
+
+def test_concatenated_frames_and_skippable():
+    a = bytes(pa.Codec("zstd").compress(b"first " * 100))
+    b = bytes(pa.Codec("zstd").compress(b"second " * 100))
+    skip = struct.pack("<II", 0x184D2A50, 7) + b"junk!!!"
+    assert (
+        decode_zstd(a + skip + b) == b"first " * 100 + b"second " * 100
+    )
+
+
+def test_truncations_and_garbage_raise():
+    good = bytes(pa.Codec("zstd").compress(b"abcdef" * 500))
+    for cut in (0, 3, 5, len(good) // 2, len(good) - 1):
+        with pytest.raises(ValueError):
+            decode_zstd(good[:cut])
+    with pytest.raises(ValueError):
+        decode_zstd(b"\x12\x34\x56\x78\x9a")
+
+
+def test_declared_size_cap_is_enforced():
+    big = bytes(pa.Codec("zstd").compress(b"\x00" * 1_000_000))
+    with pytest.raises(ValueError, match="cap"):
+        decode_zstd(big, max_output=1 << 10)
+
+
+def test_synth_plan_round_trip():
+    for seed in range(16):
+        plan = synth_zstd_plan(seed)
+        payload = synth_zstd(seed)
+        got = decode_zstd(payload)
+        n = plan["n_lines"]
+        text = got.decode("ascii")
+        assert text.count("\n") == n, seed
+        first = f"row 0 doc {seed} v {(seed * 17) % 7919}"
+        assert text.splitlines()[0] == first, seed
+        n_frames = plan["n_frames"]
+        # count frame magics (skippable-free synthesis)
+        assert payload.count(b"\x28\xb5\x2f\xfd") == n_frames, seed
