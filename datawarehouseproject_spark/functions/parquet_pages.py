@@ -78,6 +78,7 @@ _ENC_BYTE_STREAM_SPLIT = 9
 _CODEC_NONE = 0
 _CODEC_SNAPPY = 1
 _CODEC_GZIP = 2
+_CODEC_ZSTD = 6
 
 _PLAIN_WIDTHS = {_T_INT32: 4, _T_INT64: 8, _T_FLOAT: 4, _T_DOUBLE: 8}
 _PLAIN_FMTS = {_T_INT32: "<i", _T_INT64: "<q", _T_FLOAT: "<f",
@@ -375,6 +376,16 @@ def _decompress(codec: int, raw: bytes, expect: int) -> bytes:
         if len(out) != expect:
             raise ValueError(
                 f"snappy page decodes to {len(out)} bytes, "
+                f"header says {expect}"
+            )
+        return out
+    if codec == _CODEC_ZSTD:
+        from .zstd_codec import decode_zstd
+
+        out = decode_zstd(raw)
+        if len(out) != expect:
+            raise ValueError(
+                f"zstd page decodes to {len(out)} bytes, "
                 f"header says {expect}"
             )
         return out
@@ -808,7 +819,7 @@ def synth_parquet_data_plan(seed: int) -> dict:
         # DELTA_BINARY_PACKED requires the dictionary off for those
         # columns, so the delta seeds force it
         "use_dictionary": (seed >> 1) % 2 == 0 and not delta,
-        "compression": ("NONE", "gzip", "snappy")[(seed >> 2) % 3],
+        "compression": ("NONE", "gzip", "snappy", "zstd")[(seed >> 2) % 4],
         "delta_ints": delta,
         # the delta seeds also rotate the string column through both
         # byte-array delta encodings (front coding on odd seeds)

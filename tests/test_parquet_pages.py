@@ -220,9 +220,13 @@ def test_boundaries_are_valueerrors():
     buf = io.BytesIO()
     pq.write_table(t, buf, compression="snappy")
     assert decode_column(buf.getvalue(), 0) == [1, 2, 3]
-    # zstd: still a loud codec boundary
+    # zstd: boundary also closed (functions/zstd_codec.py)
     buf = io.BytesIO()
     pq.write_table(t, buf, compression="zstd")
+    assert decode_column(buf.getvalue(), 0) == [1, 2, 3]
+    # brotli: still a loud codec boundary
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="brotli")
     with pytest.raises(ValueError, match="codec"):
         decode_column(buf.getvalue(), 0)
     # nested schema: refused, never mis-decoded as flat
