@@ -25,10 +25,12 @@ format (sqlite.org/fileformat2.html):
 - SQLite varints are BIG-endian 7-bit groups, at most 9 bytes, the
   9th byte contributing all 8 bits.
 
-Payloads that spill to overflow pages raise ``ValueError`` (the
-fixtures keep rows under the local-payload threshold; a production
-reader would chase the overflow chain) — a documented boundary, same
-contract as the snappy-codec boundary in :mod:`.parquet_pages`.
+Payloads that exceed the local threshold follow the OVERFLOW chain
+(round 10 — the round-9 boundary is closed): local portion
+``K = M + ((P - M) % (U - 4))`` clamped to ``M`` when past the max,
+then 4-byte-linked overflow pages each carrying ``U - 4`` content
+bytes, cycle-guarded; every 9th fixture row carries a 600-1000-char
+name so the chain is exercised at the 512-byte page size.
 
 The SYNTHESIZER is stdlib :mod:`sqlite3` via ``Connection.serialize``
 — a third genuinely independent producer alongside pyarrow and
@@ -206,14 +208,43 @@ class _Db:
             rowid, cpos = _varint(data, cpos)
             if plen < 0:
                 raise ValueError("negative sqlite payload length")
-            if plen > max_local:
-                raise ValueError(
-                    f"sqlite payload {plen} spills to overflow pages "
-                    f"(unsupported boundary)"
-                )
-            if cpos + plen > end:
-                raise ValueError("sqlite payload past page end")
-            yield rowid, data[cpos : cpos + plen]
+            if plen <= max_local:
+                if cpos + plen > end:
+                    raise ValueError("sqlite payload past page end")
+                yield rowid, data[cpos : cpos + plen]
+                continue
+            # overflow chain (file-format doc §B-tree Pages): local
+            # portion K = M + ((P - M) % (U - 4)) with
+            # M = ((U-12)*32/255) - 23, clamped back to M when K > X;
+            # a 4-byte first-overflow-page pointer follows; each
+            # overflow page is [4-byte next][U-4 content bytes]
+            m = ((usable - 12) * 32) // 255 - 23
+            k = m + ((plen - m) % (usable - 4))
+            local = k if k <= max_local else m
+            if cpos + local + 4 > end:
+                raise ValueError("sqlite local payload past page end")
+            parts = [data[cpos : cpos + local]]
+            (next_pg,) = struct.unpack_from(">I", data, cpos + local)
+            remaining = plen - local
+            seen: set[int] = set()
+            while remaining > 0:
+                if next_pg == 0:
+                    raise ValueError("sqlite overflow chain ends early")
+                if next_pg in seen:
+                    raise ValueError("sqlite overflow chain cycle")
+                seen.add(next_pg)
+                if not 1 <= next_pg <= self.n_pages:
+                    raise ValueError(
+                        f"sqlite overflow page {next_pg} out of range"
+                    )
+                pstart = (next_pg - 1) * self.page_size
+                (next_pg,) = struct.unpack_from(">I", data, pstart)
+                take = min(usable - 4, remaining)
+                if pstart + 4 + take > len(data):
+                    raise ValueError("truncated sqlite overflow page")
+                parts.append(data[pstart + 4 : pstart + 4 + take])
+                remaining -= take
+            yield rowid, b"".join(parts)
 
 
 def list_tables(payload: bytes) -> dict[str, int]:
@@ -280,9 +311,18 @@ def scan_sqlite(payload: bytes) -> dict:
 def synth_sqlite_plan(seed: int) -> dict:
     """Writer plan mirrored in the DuckDB oracle: n rows of
     score = (seed*3 + i*17) % 1000 - 200 (signed), name =
-    'n' * (1 + (i + seed) % 7), flag = NULL when (i + seed) % 3 == 0
+    'n' * (600 + (i % 3) * 200) when (i + seed) % 9 == 8 — a LONG
+    text that spills to 1-2 OVERFLOW pages at the 512-byte page size
+    (round 10: the overflow boundary is closed) — else
+    'n' * (1 + (i + seed) % 7); flag = NULL when (i + seed) % 3 == 0
     else i % 2."""
     return {"n_rows": 30 + (seed * 11) % 300}
+
+
+def _name_len(seed: int, i: int) -> int:
+    if (i + seed) % 9 == 8:
+        return 600 + (i % 3) * 200
+    return 1 + (i + seed) % 7
 
 
 def synth_sqlite(seed: int) -> bytes:
@@ -303,7 +343,7 @@ def synth_sqlite(seed: int) -> bytes:
             [
                 (
                     (seed * 3 + i * 17) % 1000 - 200,
-                    "n" * (1 + (i + seed) % 7),
+                    "n" * _name_len(seed, i),
                     None if (i + seed) % 3 == 0 else i % 2,
                 )
                 for i in range(n)

@@ -2458,7 +2458,9 @@ def q_bz2_corpus_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (
       SELECT media_id, n, i,
              (media_id * 3 + i * 17) % 1000 - 200 AS score,
-             1 + (i + media_id) % 7 AS nlen,
+             CASE WHEN (i + media_id) % 9 = 8
+                  THEN 600 + (i % 3) * 200
+                  ELSE 1 + (i + media_id) % 7 END AS nlen,
              CASE WHEN (i + media_id) % 3 = 0 THEN NULL
                   ELSE i % 2 END AS flag
       FROM r)

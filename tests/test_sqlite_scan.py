@@ -44,8 +44,12 @@ def test_fixture_aggregates_match_insert_formulas():
         assert got["rowid_sum"] == n * (n + 1) // 2
         assert got["score_sum"] == sum(scores)
         assert got["score_min"] == min(scores)
+        from datawarehouseproject_spark.functions.sqlite_scan import (
+            _name_len,
+        )
+
         assert got["name_len_sum"] == sum(
-            1 + (i + seed) % 7 for i in range(n)
+            _name_len(seed, i) for i in range(n)
         )
         assert got["n_flag_null"] == sum(1 for f in flags if f is None)
         assert got["flag_sum"] == sum(f for f in flags if f is not None)
@@ -101,10 +105,14 @@ def test_multiple_tables_and_missing_table():
         read_table(payload, "three")
 
 
-def test_overflow_payload_is_a_loud_boundary():
-    payload = _make_db([("y" * 5000,)], "CREATE TABLE t(a)")
-    with pytest.raises(ValueError, match="overflow"):
-        read_table(payload, "t")
+def test_overflow_chain_round_trips():
+    """The round-9 overflow boundary is CLOSED: multi-page spilled
+    payloads (here a 5000-char text through ~10 overflow pages at
+    512-byte pages) must decode exactly."""
+    payload = _make_db([("y" * 5000,), ("z" * 477,), ("w",)],
+                       "CREATE TABLE t(a)")
+    _rowids, rows = read_table(payload, "t")
+    assert [r[0] for r in rows] == ["y" * 5000, "z" * 477, "w"]
 
 
 def test_malformed_inputs_quarantine():
