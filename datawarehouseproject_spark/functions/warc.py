@@ -132,10 +132,19 @@ def scan_warc(payload: bytes) -> dict:
                     f"(spec says one per member)"
                 )
             records.extend(recs)
+    elif payload[:4] in (
+        b"\x28\xb5\x2f\xfd",
+        *(bytes([0x50 + i, 0x2A, 0x4D, 0x18]) for i in range(16)),
+    ):
+        # .warc.zst: concatenated zstd frames (+ skippable dictionary
+        # frame) — decode through the hand zstd decoder, then parse
+        from .zstd_codec import decode_zstd
+
+        records = parse_warc_records(decode_zstd(payload))
     elif payload[:5] == b"WARC/":
         records = parse_warc_records(payload)
     else:
-        raise ValueError("neither gzip nor WARC magic")
+        raise ValueError("neither gzip nor zstd nor WARC magic")
     n_resp = sum(1 for r in records if r["type"] == "response")
     n_req = sum(1 for r in records if r["type"] == "request")
     uris = {r["uri"] for r in records if r["uri"]}
@@ -228,6 +237,18 @@ def synth_warc(seed: int) -> bytes:
         text = "\r\n".join(head).encode() + b"\r\n\r\n"
         return text + body + b"\r\n\r\n"
 
+    out = io.BytesIO()
+    for r in _build_warc_records(seed, record):
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(r)
+        out.write(buf.getvalue())
+    return out.getvalue()
+
+
+def _build_warc_records(seed: int, record) -> list[bytes]:
+    """The record list shared by the .warc.gz and .warc.zst
+    synthesizers — one plan, two container layouts."""
     plan = synth_warc_plan(seed)
     recs = [
         record(
@@ -243,10 +264,42 @@ def synth_warc(seed: int) -> bytes:
         recs.append(record("request", rid, req_body, uri))
         recs.append(record("response", rid + 1, resp_body, uri))
         rid += 2
-    out = io.BytesIO()
-    for r in recs:
-        buf = io.BytesIO()
-        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
-            g.write(r)
-        out.write(buf.getvalue())
-    return out.getvalue()
+    return recs
+
+
+def synth_warc_zst(seed: int) -> bytes:
+    """The .warc.zst layout Common Crawl actually distributes: zstd
+    FRAMES each holding a run of records, preceded by a SKIPPABLE
+    frame (where the real format stashes a shared dictionary — here
+    carrying an ignorable marker, since this reader's zstd decoder
+    takes the no-dictionary path).  Producer: libzstd via pyarrow;
+    same record plan as :func:`synth_warc`."""
+    import struct as _struct
+
+    import pyarrow as pa
+
+    def record(rtype: str, rid: int, body: bytes,
+               uri: str | None = None, extra: str = "") -> bytes:
+        head = [
+            "WARC/1.0",
+            f"WARC-Type: {rtype}",
+            f"WARC-Record-ID: <urn:uuid:00000000-0000-4000-8000-"
+            f"{seed:06d}{rid:06d}>",
+            "WARC-Date: 2024-01-01T00:00:00Z",
+        ]
+        if uri:
+            head.append(f"WARC-Target-URI: {uri}")
+        if extra:
+            head.append(extra)
+        head.append(f"Content-Length: {len(body)}")
+        text = "\r\n".join(head).encode() + b"\r\n\r\n"
+        return text + body + b"\r\n\r\n"
+
+    recs = _build_warc_records(seed, record)
+    codec = pa.Codec("zstd", compression_level=(1, 3, 9)[seed % 3])
+    marker = b"dwps-no-dict"
+    out = [_struct.pack("<II", 0x184D2A50, len(marker)) + marker]
+    # two records per frame — multi-frame files like the real layout
+    for k in range(0, len(recs), 2):
+        out.append(bytes(codec.compress(b"".join(recs[k : k + 2]))))
+    return b"".join(out)

@@ -1495,6 +1495,22 @@ WARC_SCAN_SCHEMA = T.StructType(
 )
 
 
+def synthesize_warc_zst_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of .warc.zst archives — the
+    layout Common Crawl actually distributes: zstd frames of records
+    behind a skippable dictionary frame
+    (``functions/warc.py:synth_warc_zst``)."""
+
+    def loader():
+        from ..functions.warc import synth_warc_zst
+
+        return synth_warc_zst
+
+    return _synthesize_media(ids, id_col, loader)
+
+
 def extract_warc_scan(
     media: DataFrame, permissive: bool = False
 ) -> DataFrame:

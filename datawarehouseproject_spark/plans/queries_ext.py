@@ -1956,6 +1956,57 @@ def q_xz_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_zstd_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 4 AS p FROM documents),
+    e AS (
+      SELECT media_id, p, unnest(generate_series(0, p - 1)) AS i
+      FROM m),
+    s AS (
+      SELECT media_id, p,
+             40 + (media_id + i * 3) % 60 AS req,
+             100 + (media_id * 7 + i * 13) % 400 AS resp
+      FROM e)
+    SELECT media_id,
+           CAST(1 + 2 * max(p) AS INTEGER) AS n_records,
+           CAST(max(p) AS INTEGER) AS n_responses,
+           CAST(max(p) AS INTEGER) AS n_requests,
+           CAST(max(p) AS INTEGER) AS n_distinct_uris,
+           CAST(38 + sum(req) + sum(resp) AS BIGINT) AS payload_bytes,
+           CAST(sum(resp) AS BIGINT) AS response_bytes
+    FROM s
+    GROUP BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "warc", "zstd", "crawl"),
+)
+def q_warc_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.warc.zst crawl-archive scan (round 10) — the container
+    Common Crawl DISTRIBUTES today (the .gz mirrors are legacy):
+    concatenated zstd frames each holding a run of records, behind a
+    SKIPPABLE frame (where the real feed stashes a shared
+    dictionary; the synthesis stores an ignorable marker there, and
+    a dictionary-bearing frame would quarantine loudly rather than
+    mis-decode).  The scan composes the round-10 hand zstd decoder
+    (``zstd_codec.py`` — FSE/huffman/sequences, frame walk) with the
+    round-9 ISO 28500 record grammar (``warc.py``), and the oracle
+    is IDENTICAL to `warc_record_scan`'s — same record plan, second
+    container — so the two containers' aggregates must agree
+    hash-exactly."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_warc_scan,
+        synthesize_warc_zst_media,
+    )
+
+    media = synthesize_warc_zst_media(_t(spark, sf_dir, "documents"))
+    return extract_warc_scan(media).select(
+        "media_id", "n_records", "n_responses", "n_requests",
+        "n_distinct_uris", "payload_bytes", "response_bytes",
+    )
+
+
+@register(
     "zstd_frame_decode",
     oracle="""
     WITH m AS (

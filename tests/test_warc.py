@@ -129,3 +129,19 @@ def test_spark_permissive_quarantine(spark):
     assert out[6]["decode_error"] is None
     assert out[6]["n_records"] == 1 + 2 * p
     assert out[9]["decode_error"] is not None
+
+
+def test_warc_zst_container_matches_gz():
+    """Same record plan, second container: the .warc.zst scan must
+    agree with .warc.gz exactly (and exercise the skippable-frame
+    skip in the zstd walk)."""
+    from datawarehouseproject_spark.functions.warc import (
+        scan_warc,
+        synth_warc,
+        synth_warc_zst,
+    )
+
+    for seed in range(8):
+        assert scan_warc(synth_warc_zst(seed)) == scan_warc(
+            synth_warc(seed)
+        ), seed
