@@ -249,6 +249,11 @@ def _schema_types(fb: _FB, schema: int) -> list[tuple[str, int]]:
     out = []
     for i in range(n):
         field_tbl = fb.indirect(start + 4 * i)
+        if fb.field(field_tbl, 4) is not None:
+            # Field.dictionary set: the record batch carries int
+            # INDICES, not values — decoding them as data would be
+            # silently wrong statistics, so the boundary is loud
+            raise ValueError("dictionary-encoded arrow column unsupported")
         tag_pos = fb.field(field_tbl, 2)
         tag = 0 if tag_pos is None else fb.u8(tag_pos)
         if tag == _TYPE_INT:
@@ -270,6 +275,9 @@ def _schema_types(fb: _FB, schema: int) -> list[tuple[str, int]]:
 def _valid(bitmap: bytes, i: int, null_count: int) -> bool:
     if null_count == 0 or not bitmap:
         return True
+    if (i >> 3) >= len(bitmap):
+        # a corrupt Buffer length must quarantine, not IndexError
+        raise ValueError("validity bitmap shorter than row count")
     return bool(bitmap[i >> 3] & (1 << (i & 7)))
 
 
@@ -404,10 +412,14 @@ def _decode_batch_values(
             offs = struct.unpack_from(f"<{rows + 1}i", offsets_b, 0)
             if offs[rows] > len(data):
                 raise ValueError("utf8 offsets exceed data buffer")
+            if rows and offs[0] < 0:
+                raise ValueError("negative utf8 offset")
             for i in range(rows):
+                # the spec requires GLOBAL monotonicity (null slots
+                # included) — and it rules out negative-index slicing
+                if offs[i + 1] < offs[i]:
+                    raise ValueError("non-monotone utf8 offsets")
                 if _valid(validity, i, null_count):
-                    if offs[i + 1] < offs[i]:
-                        raise ValueError("non-monotone utf8 offsets")
                     stats["str_chars"] += len(
                         data[offs[i] : offs[i + 1]].decode("utf-8")
                     )

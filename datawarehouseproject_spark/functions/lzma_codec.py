@@ -461,8 +461,10 @@ def _decode_lzma_alone(payload: bytes) -> bytes:
     if usize == 0xFFFFFFFFFFFFFFFF:
         dec.decode(rc, out, None, allow_eos=True)
     else:
-        # a known size may STILL carry a trailing end marker; decode to
-        # size, then accept an optional marker (liblzma emits none)
+        # known size: decode exactly that many bytes.  The format
+        # permits a trailing end marker even then, but liblzma (the
+        # producer this is pinned against) never emits one for known
+        # sizes, so any trailing marker bytes are left unconsumed
         dec.decode(rc, out, usize, allow_eos=False)
     return bytes(out)
 
@@ -534,6 +536,7 @@ def _decode_block(payload: bytes, pos: int, check_type: int) -> tuple[bytes, int
     # position is what decode_lzma2 consumed; recompute by rescanning
     # sizes (cheap: chunk headers only)
     q = data_start
+    declared = 0  # cross-check chunk-declared sizes vs decoded bytes
     while True:
         c = payload[q]
         q += 1
@@ -542,13 +545,21 @@ def _decode_block(payload: bytes, pos: int, check_type: int) -> tuple[bytes, int
         if c < 0x80:
             size = struct.unpack_from(">H", payload, q)[0] + 1
             q += 2 + size
+            declared += size
         else:
-            unp = struct.unpack_from(">H", payload, q)[0]
+            unp = (((c & 0x1F) << 16)
+                   | struct.unpack_from(">H", payload, q)[0]) + 1
             pk = struct.unpack_from(">H", payload, q + 2)[0] + 1
             q += 4
             if (c >> 5) & 0x03 >= 2:
                 q += 1
             q += pk
+            declared += unp
+    if declared != len(plain):
+        raise ValueError(
+            f"LZMA2 chunk sizes declare {declared} bytes, "
+            f"decoded {len(plain)}"
+        )
     used = q - data_start
     if comp_size is not None and used != comp_size:
         raise ValueError("xz block compressed size mismatch")

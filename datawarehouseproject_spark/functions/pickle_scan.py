@@ -100,19 +100,32 @@ def scan_pickle(payload: bytes) -> dict:
     saw_binary = False
     n_ints = 0
     int_sum = 0
-    strings: list[str] = []  # values, so STACK_GLOBAL can retract
+    # (value, counted) push history so STACK_GLOBAL can retract its
+    # two args; memo-echoed strings re-enter as counted=False since
+    # their one real encoding was already counted
+    strings: list[tuple[str, bool]] = []
     n_strings = 0
     str_chars = 0
     n_lists = 0
     n_nones = 0
     globals_: list[str] = []
     stopped = False
+    # STACK_GLOBAL args may arrive via the memo (BINGET of an earlier
+    # module string) — track which memo slots hold strings.  A slot
+    # is recorded when a PUT/MEMOIZE immediately follows a string
+    # push (the only layout the pickler emits for strings).
+    memo: dict[int, str] = {}
+    memo_seq = 0
+    last_string: str | None = None
+    pushed_string: str | None = None
 
-    def push_string(s: str) -> None:
-        nonlocal n_strings, str_chars
-        strings.append(s)
-        n_strings += 1
-        str_chars += len(s)
+    def push_string(s: str, counted: bool = True) -> None:
+        nonlocal n_strings, str_chars, pushed_string
+        strings.append((s, counted))
+        pushed_string = s
+        if counted:
+            n_strings += 1
+            str_chars += len(s)
 
     def push_int(v: int) -> None:
         nonlocal n_ints, int_sum
@@ -125,6 +138,7 @@ def scan_pickle(payload: bytes) -> dict:
         op = r.data[r.pos]
         r.pos += 1
         n_opcodes += 1
+        pushed_string = None
         c = chr(op)
         if op == 0x80:  # PROTO
             protocol = r.u1()
@@ -154,10 +168,14 @@ def scan_pickle(payload: bytes) -> dict:
             saw_binary = True
             if len(strings) < 2:
                 raise ValueError("STACK_GLOBAL without two string args")
-            qualname = strings.pop()
-            module = strings.pop()
-            n_strings -= 2
-            str_chars -= len(qualname) + len(module)
+            qualname, q_counted = strings.pop()
+            module, m_counted = strings.pop()
+            if q_counted:
+                n_strings -= 1
+                str_chars -= len(qualname)
+            if m_counted:
+                n_strings -= 1
+                str_chars -= len(module)
             globals_.append(f"{module} {qualname}")
         elif c == "c":  # GLOBAL: module\n qualname\n
             module, qualname = r.line(), r.line()
@@ -228,18 +246,32 @@ def scan_pickle(payload: bytes) -> dict:
             r.line()
         elif c == "q":  # BINPUT
             saw_binary = True
-            r.u1()
+            idx = r.u1()
+            if last_string is not None:
+                memo[idx] = last_string
         elif c == "r":  # LONG_BINPUT
             saw_binary = True
-            r.u4()
+            idx = r.u4()
+            if last_string is not None:
+                memo[idx] = last_string
         elif c == "h":  # BINGET
             saw_binary = True
-            r.u1()
+            idx = r.u1()
+            if idx in memo:
+                push_string(memo[idx], counted=False)
         elif c == "j":  # LONG_BINGET
             saw_binary = True
-            r.u4()
-        elif c == "p" or c == "g":  # PUT / GET lines
-            r.line()
+            idx = r.u4()
+            if idx in memo:
+                push_string(memo[idx], counted=False)
+        elif c == "p":  # PUT line
+            idx = int(r.line())
+            if last_string is not None:
+                memo[idx] = last_string
+        elif c == "g":  # GET line
+            idx = int(r.line())
+            if idx in memo:
+                push_string(memo[idx], counted=False)
         elif c == "P":  # PERSID line
             r.line()
         elif op in (0x82, 0x83, 0x84):  # EXT1/2/4
@@ -247,6 +279,16 @@ def scan_pickle(payload: bytes) -> dict:
             r.take(1 if op == 0x82 else (2 if op == 0x83 else 4))
         else:
             raise ValueError(f"unknown pickle opcode {op:#04x} at {r.pos - 1}")
+        # memo bookkeeping: MEMOIZE stores the top of stack under the
+        # next sequential key; PUT variants and framing opcodes are
+        # stack-transparent, everything else replaces the "top is a
+        # string" knowledge with this opcode's own push (or nothing)
+        if op == 0x94:  # MEMOIZE
+            if last_string is not None:
+                memo[memo_seq] = last_string
+            memo_seq += 1
+        elif op not in (0x80, 0x95) and c not in ("q", "r", "p"):
+            last_string = pushed_string
 
     if protocol == 0 and saw_binary:
         protocol = 1

@@ -213,6 +213,28 @@ def synth_warc_plan(seed: int) -> dict:
     return {"n_pairs": 2 + seed % 4}
 
 
+def _record(seed: int, rtype: str, rid: int, body: bytes,
+            uri: str | None = None, extra: str = "") -> bytes:
+    """One spec-conformant WARC record — the single builder behind
+    BOTH container synthesizers (.warc.gz and .warc.zst), so the two
+    fixtures cannot drift apart."""
+    head = [
+        "WARC/1.0",
+        f"WARC-Type: {rtype}",
+        f"WARC-Record-ID: <urn:uuid:00000000-0000-4000-8000-"
+        f"{seed:06d}{rid:06d}>",
+        "WARC-Date: 2024-01-01T00:00:00Z",
+    ]
+    if uri:
+        head.append(f"WARC-Target-URI: {uri}")
+    if extra:
+        head.append(extra)
+    head.append(f"Content-Length: {len(body)}")
+    text = "\r\n".join(head).encode() + b"\r\n\r\n"
+    return text + body + b"\r\n\r\n"
+
+
+
 def synth_warc(seed: int) -> bytes:
     """A spec-conformant .warc.gz: one gzip member per record
     (stdlib gzip as the compression-layer producer), warcinfo then
@@ -220,25 +242,8 @@ def synth_warc(seed: int) -> bytes:
     import gzip
     import io
 
-    def record(rtype: str, rid: int, body: bytes,
-               uri: str | None = None, extra: str = "") -> bytes:
-        head = [
-            "WARC/1.0",
-            f"WARC-Type: {rtype}",
-            f"WARC-Record-ID: <urn:uuid:00000000-0000-4000-8000-"
-            f"{seed:06d}{rid:06d}>",
-            "WARC-Date: 2024-01-01T00:00:00Z",
-        ]
-        if uri:
-            head.append(f"WARC-Target-URI: {uri}")
-        if extra:
-            head.append(extra)
-        head.append(f"Content-Length: {len(body)}")
-        text = "\r\n".join(head).encode() + b"\r\n\r\n"
-        return text + body + b"\r\n\r\n"
-
     out = io.BytesIO()
-    for r in _build_warc_records(seed, record):
+    for r in _build_warc_records(seed):
         buf = io.BytesIO()
         with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
             g.write(r)
@@ -246,13 +251,14 @@ def synth_warc(seed: int) -> bytes:
     return out.getvalue()
 
 
-def _build_warc_records(seed: int, record) -> list[bytes]:
+def _build_warc_records(seed: int) -> list[bytes]:
     """The record list shared by the .warc.gz and .warc.zst
-    synthesizers — one plan, two container layouts."""
+    synthesizers — one plan, one record builder, two containers."""
     plan = synth_warc_plan(seed)
     recs = [
-        record(
-            "warcinfo", 0, b"software: datawarehouseproject_spark\r\n",
+        _record(
+            seed, "warcinfo", 0,
+            b"software: datawarehouseproject_spark\r\n",
             extra="Content-Type: application/warc-fields",
         )
     ]
@@ -261,8 +267,8 @@ def _build_warc_records(seed: int, record) -> list[bytes]:
         uri = f"http://site{(seed + i) % 5}.example/page{i}"
         req_body = b"q" * (40 + (seed + i * 3) % 60)
         resp_body = b"r" * (100 + (seed * 7 + i * 13) % 400)
-        recs.append(record("request", rid, req_body, uri))
-        recs.append(record("response", rid + 1, resp_body, uri))
+        recs.append(_record(seed, "request", rid, req_body, uri))
+        recs.append(_record(seed, "response", rid + 1, resp_body, uri))
         rid += 2
     return recs
 
@@ -273,29 +279,12 @@ def synth_warc_zst(seed: int) -> bytes:
     frame (where the real format stashes a shared dictionary — here
     carrying an ignorable marker, since this reader's zstd decoder
     takes the no-dictionary path).  Producer: libzstd via pyarrow;
-    same record plan as :func:`synth_warc`."""
+    same record plan AND record builder as :func:`synth_warc`."""
     import struct as _struct
 
     import pyarrow as pa
 
-    def record(rtype: str, rid: int, body: bytes,
-               uri: str | None = None, extra: str = "") -> bytes:
-        head = [
-            "WARC/1.0",
-            f"WARC-Type: {rtype}",
-            f"WARC-Record-ID: <urn:uuid:00000000-0000-4000-8000-"
-            f"{seed:06d}{rid:06d}>",
-            "WARC-Date: 2024-01-01T00:00:00Z",
-        ]
-        if uri:
-            head.append(f"WARC-Target-URI: {uri}")
-        if extra:
-            head.append(extra)
-        head.append(f"Content-Length: {len(body)}")
-        text = "\r\n".join(head).encode() + b"\r\n\r\n"
-        return text + body + b"\r\n\r\n"
-
-    recs = _build_warc_records(seed, record)
+    recs = _build_warc_records(seed)
     codec = pa.Codec("zstd", compression_level=(1, 3, 9)[seed % 3])
     marker = b"dwps-no-dict"
     out = [_struct.pack("<II", 0x184D2A50, len(marker)) + marker]

@@ -394,20 +394,29 @@ def read_huffman_table(data: bytes, pos: int) -> tuple[list[tuple[int, int]], in
 def _huf_decode_stream(
     data: bytes, table: list[tuple[int, int]], max_bits: int, out_len: int
 ) -> bytes:
+    """Decode exactly ``out_len`` symbols AND require the stream to
+    be exactly consumed (the final symbols may peek zero-padded bits
+    past the start, but the CONSUMED count must land on the total —
+    libzstd rejects such streams as corrupt, and a silent mis-decode
+    here would flow wrong parquet column values downstream)."""
     back = _BackBits(data)
+    total = back.avail
+    consumed = 0
     out = bytearray()
     mask = (1 << max_bits) - 1
-    # peek max_bits (zero-padded near the start), consume nbBits
-    val = back.read(max_bits)
-    pad = 0
+    val = back.read(max_bits)  # peek window (zero-padded at the tail)
     while len(out) < out_len:
         sym, nb = table[val]
         out.append(sym)
+        consumed += nb
         if len(out) == out_len:
             break
-        # consume nb of the peeked bits; refill to max_bits
-        more = back.read(nb)  # may zero-pad past start
+        more = back.read(nb)  # refill; may zero-pad past start
         val = ((val << nb) | more) & mask
+    if consumed != total:
+        raise ValueError(
+            f"huffman stream consumed {consumed} of {total} bits"
+        )
     return bytes(out)
 
 
