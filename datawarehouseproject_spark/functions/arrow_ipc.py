@@ -273,10 +273,12 @@ def _schema_types(fb: _FB, schema: int) -> list[tuple[str, int]]:
 
 
 def _valid(bitmap: bytes, i: int, null_count: int) -> bool:
-    if null_count == 0 or not bitmap:
+    if null_count == 0:
         return True
     if (i >> 3) >= len(bitmap):
-        # a corrupt Buffer length must quarantine, not IndexError
+        # a corrupt/absent Buffer must quarantine, not IndexError —
+        # and an EMPTY bitmap with null_count > 0 must not silently
+        # treat unspecified null-slot bytes as data
         raise ValueError("validity bitmap shorter than row count")
     return bool(bitmap[i >> 3] & (1 << (i & 7)))
 
@@ -360,6 +362,8 @@ def _decode_batch_values(
         raise ValueError("compressed arrow record batch unsupported")
     len_pos = fb.field(header, 0)
     rows = 0 if len_pos is None else fb.i64(len_pos)
+    if rows < 0:
+        raise ValueError("negative record-batch row count")
     nodes = fb.vector(header, 1)
     bufs = fb.vector(header, 2)
     if nodes is None or bufs is None:
@@ -368,6 +372,8 @@ def _decode_batch_values(
         raise ValueError(
             f"{nodes[1]} field nodes for {len(types)} schema fields"
         )
+    if body_len < 0:
+        raise ValueError("negative record-batch body length")
     body_start = meta_start + meta_len
     if body_start + body_len > len(payload):
         raise ValueError("record-batch body runs past file end")
@@ -388,6 +394,8 @@ def _decode_batch_values(
         null_count = fb.i64(node_base + 8)
         if node_len != rows:
             raise ValueError("field node length != batch row count")
+        if null_count < 0:
+            raise ValueError("negative field-node null count")
         validity = buf(bi)
         bi += 1
         if kind == "int":
@@ -474,6 +482,8 @@ def decode_arrow_stream(payload: bytes) -> dict:
         tag = 0 if tag_pos is None else fb.u8(tag_pos)
         body_pos = fb.field(msg, 3)
         body_len = 0 if body_pos is None else fb.i64(body_pos)
+        if body_len < 0:
+            raise ValueError("negative arrow message body length")
         if tag == _MSG_SCHEMA:
             if types is not None:
                 raise ValueError("duplicate schema message in stream")

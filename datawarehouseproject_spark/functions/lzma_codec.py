@@ -243,6 +243,7 @@ class LzmaDecoder:
         limit: int | None,
         allow_eos: bool = True,
         dict_start: int = 0,
+        hard_cap: int | None = None,
     ) -> bool:
         """Decode until ``len(out) == limit`` (LZMA2 chunk mode) or —
         with ``limit=None`` — until the end marker.  ``dict_start``
@@ -254,6 +255,10 @@ class LzmaDecoder:
         lp_mask = (1 << self.lp) - 1
         lc = self.lc
         while limit is None or len(out) < limit:
+            if hard_cap is not None and len(out) > hard_cap:
+                # end-marker-terminated streams have no declared size;
+                # the cap is the only defense against a bomb here
+                raise ValueError("LZMA output exceeds cap")
             pos = len(out) - dict_start
             pos_state = pos & pb_mask
             if not rc.decode_bit(
@@ -352,16 +357,28 @@ class LzmaDecoder:
 # ---------------------------------------------------------------------------
 
 
-def decode_lzma2(data: bytes, pos: int = 0, end: int | None = None) -> bytes:
+def decode_lzma2(
+    data: bytes,
+    pos: int = 0,
+    end: int | None = None,
+    max_output: int = 1 << 28,
+) -> bytes:
     """Decode an LZMA2 chunk sequence ``data[pos:end]`` (the .xz
-    LZMA2 filter payload, ending with the 0x00 terminator)."""
+    LZMA2 filter payload, ending with the 0x00 terminator).
+    ``max_output`` bounds decompression bombs: a few KB of chunks can
+    declare GBs, and MemoryError is not a quarantinable error."""
     try:
-        return _decode_lzma2(data, pos, end)
+        return _decode_lzma2(data, pos, end, max_output)
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated LZMA2 input: {exc}") from exc
 
 
-def _decode_lzma2(data: bytes, pos: int = 0, end: int | None = None) -> bytes:
+def _decode_lzma2(
+    data: bytes,
+    pos: int = 0,
+    end: int | None = None,
+    max_output: int = 1 << 28,
+) -> bytes:
     if end is None:
         end = len(data)
     out = bytearray()
@@ -386,6 +403,8 @@ def _decode_lzma2(data: bytes, pos: int = 0, end: int | None = None) -> bytes:
             pos += 2
             if pos + size > end:
                 raise ValueError("truncated LZMA2 uncompressed chunk")
+            if len(out) + size > max_output:
+                raise ValueError("LZMA2 output exceeds cap")
             if control == 1:
                 need_dict_reset = False
                 dict_start = len(out)
@@ -423,6 +442,8 @@ def _decode_lzma2(data: bytes, pos: int = 0, end: int | None = None) -> bytes:
             raise ValueError("LZMA2 chunk with no decoder props yet")
         if pos + packed > end:
             raise ValueError("truncated LZMA2 compressed chunk")
+        if len(out) + unpacked > max_output:
+            raise ValueError("LZMA2 output exceeds cap")
         rc = _RangeDecoder(data, pos)
         target = len(out) + unpacked
         dec.decode(rc, out, target, allow_eos=False, dict_start=dict_start)
@@ -441,25 +462,28 @@ def _decode_lzma2(data: bytes, pos: int = 0, end: int | None = None) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def decode_lzma_alone(payload: bytes) -> bytes:
+def decode_lzma_alone(payload: bytes, max_output: int = 1 << 28) -> bytes:
     """Decode the 13-byte-header legacy ``.lzma`` format (stdlib
     ``lzma.FORMAT_ALONE``): props byte, u32le dict size, u64le
-    uncompressed size (all-ones = unknown → end-marker terminated)."""
+    uncompressed size (all-ones = unknown → end-marker terminated).
+    ``max_output`` bounds decompression bombs."""
     if len(payload) < 13:
         raise ValueError("lzma-alone shorter than its header")
     try:
-        return _decode_lzma_alone(payload)
+        return _decode_lzma_alone(payload, max_output)
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated lzma-alone input: {exc}") from exc
 
 
-def _decode_lzma_alone(payload: bytes) -> bytes:
+def _decode_lzma_alone(payload: bytes, max_output: int = 1 << 28) -> bytes:
     dec = LzmaDecoder.from_props_byte(payload[0])
     (usize,) = struct.unpack_from("<Q", payload, 5)
     rc = _RangeDecoder(payload, 13)
     out = bytearray()
     if usize == 0xFFFFFFFFFFFFFFFF:
-        dec.decode(rc, out, None, allow_eos=True)
+        dec.decode(rc, out, None, allow_eos=True, hard_cap=max_output)
+    elif usize > max_output:
+        raise ValueError("lzma-alone declared size exceeds cap")
     else:
         # known size: decode exactly that many bytes.  The format
         # permits a trailing end marker even then, but liblzma (the
@@ -491,7 +515,9 @@ def _xz_varint(data: bytes, pos: int) -> tuple[int, int]:
     raise ValueError("xz varint too long")
 
 
-def _decode_block(payload: bytes, pos: int, check_type: int) -> tuple[bytes, int]:
+def _decode_block(
+    payload: bytes, pos: int, check_type: int, max_output: int = 1 << 28
+) -> tuple[bytes, int]:
     """Decode ONE .xz block starting at ``pos`` (block header first).
     Returns (plaintext, position after the check field)."""
     hsize = (payload[pos] + 1) * 4
@@ -529,7 +555,7 @@ def _decode_block(payload: bytes, pos: int, check_type: int) -> tuple[bytes, int
         raise ValueError("reserved LZMA2 dict-size props bits")
     data_start = pos + hsize
     comp_end = len(payload) if comp_size is None else data_start + comp_size
-    plain = decode_lzma2(payload, data_start, comp_end)
+    plain = decode_lzma2(payload, data_start, comp_end, max_output)
     if unc_size is not None and len(plain) != unc_size:
         raise ValueError("xz block uncompressed size mismatch")
     # locate the true end of compressed data: the LZMA2 terminator
@@ -584,19 +610,21 @@ def _decode_block(payload: bytes, pos: int, check_type: int) -> tuple[bytes, int
     return plain, q + csize
 
 
-def decode_xz(payload: bytes) -> bytes:
+def decode_xz(payload: bytes, max_output: int = 1 << 28) -> bytes:
     """Decode a complete .xz file (all streams, all blocks), verifying
     every skeleton CRC32 (via the round-8 triage walk in spirit) AND
     the per-block plaintext integrity check.  Truncation anywhere —
     mid-header, mid-chunk, mid-check — surfaces as ValueError (the
-    quarantine contract), never IndexError/struct.error."""
+    quarantine contract), never IndexError/struct.error;
+    ``max_output`` bounds decompression bombs (MemoryError is not a
+    quarantinable error)."""
     try:
-        return _decode_xz(payload)
+        return _decode_xz(payload, max_output)
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated xz input: {exc}") from exc
 
 
-def _decode_xz(payload: bytes) -> bytes:
+def _decode_xz(payload: bytes, max_output: int = 1 << 28) -> bytes:
     if payload[:6] != _XZ_MAGIC:
         raise ValueError("not an xz file")
     out = bytearray()
@@ -622,8 +650,10 @@ def _decode_xz(payload: bytes) -> bytes:
         sizes = []
         while payload[pos] != 0:
             bstart = pos
-            plain, pos = _decode_block(payload, pos, check_type)
+            plain, pos = _decode_block(payload, pos, check_type, max_output)
             out += plain
+            if len(out) > max_output:
+                raise ValueError("xz output exceeds cap")
             sizes.append((pos - bstart, len(plain)))
             # unpadded size excludes the padding BUT includes the check
         # index: verify it matches what we decoded

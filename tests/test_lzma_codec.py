@@ -196,3 +196,28 @@ def test_truncated_inputs_raise():
     for cut in (0, 5, 11, len(x) // 2, len(x) - 1):
         with pytest.raises(ValueError):
             decode_xz(x[:cut])
+
+
+def test_output_cap_bounds_decompression_bombs():
+    # a few KB of compressed zeros declare far more output than the
+    # cap allows; every container path must raise ValueError (the
+    # quarantine contract), never OOM toward MemoryError
+    bomb = b"\x00" * (1 << 20)  # 1 MiB of zeros compresses to ~1 KB
+    xz = stdlzma.compress(bomb, check=stdlzma.CHECK_CRC32)
+    with pytest.raises(ValueError, match="cap"):
+        decode_xz(xz, max_output=1 << 16)
+    alone_known = stdlzma.compress(bomb, format=stdlzma.FORMAT_ALONE)
+    with pytest.raises(ValueError, match="cap"):
+        decode_lzma_alone(alone_known, max_output=1 << 16)
+    # unknown-size (end-marker) lzma-alone takes the hard_cap path
+    comp = stdlzma.LZMACompressor(
+        format=stdlzma.FORMAT_ALONE,
+        filters=[{"id": stdlzma.FILTER_LZMA1}],
+    )
+    alone = comp.compress(bomb) + comp.flush()
+    unknown = alone[:5] + b"\xff" * 8 + alone[13:]
+    if stdlzma.decompress(unknown, format=stdlzma.FORMAT_ALONE) == bomb:
+        with pytest.raises(ValueError, match="cap"):
+            decode_lzma_alone(unknown, max_output=1 << 16)
+    # and the caps do not fire on in-bounds output
+    assert decode_xz(xz, max_output=1 << 21) == bomb
