@@ -229,9 +229,10 @@ def inflate(data: bytes, max_output: int = 1 << 26) -> bytes:
                     if distance >= length:
                         out += out[-distance : len(out) - distance + length]
                     else:
-                        start = len(out) - distance
-                        for j in range(length):
-                            out.append(out[start + j])
+                        # overlapping copy == periodic repeat of the
+                        # last ``distance`` bytes, batched
+                        pat = bytes(out[len(out) - distance :])
+                        out += (pat * (length // distance + 1))[:length]
         if len(out) > max_output:
             raise ValueError(f"inflated output exceeds {max_output} bytes")
     return bytes(out)

@@ -140,8 +140,13 @@ def _decode_block_into(
         if len(out) + match_len > max_output:
             raise ValueError("lz4 output exceeds cap")
         src = len(out) - offset
-        for i in range(match_len):  # may overlap forward
-            out.append(out[src + i])
+        if offset >= match_len:  # non-overlapping: one slice copy
+            out += out[src : src + match_len]
+        else:
+            # overlapping copy == periodic repeat of the last
+            # ``offset`` bytes (LZ77 semantics), batched
+            pat = bytes(out[src:])
+            out += (pat * (match_len // offset + 1))[:match_len]
 
 
 def scan_lz4_frame(payload: bytes) -> dict:

@@ -347,8 +347,14 @@ class LzmaDecoder:
             if limit is not None and len(out) + length > limit:
                 raise ValueError("LZMA match overruns chunk limit")
             src = len(out) - self.rep0 - 1
-            for i in range(length):
-                out.append(out[src + i])
+            dist = self.rep0 + 1
+            if dist >= length:  # non-overlapping: slice copy
+                out += out[src : src + length]
+            else:
+                # overlapping copy == periodic repeat of the last
+                # ``dist`` bytes (LZ77 semantics), batched
+                pat = bytes(out[src:])
+                out += (pat * (length // dist + 1))[:length]
         return False
 
 

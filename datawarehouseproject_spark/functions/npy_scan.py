@@ -165,6 +165,10 @@ def scan_npz(payload: bytes) -> dict:
         off = mem["local_off"]
         if payload[off : off + 4] != b"PK\x03\x04":
             raise ValueError(f"bad local header for {mem['name']!r}")
+        if off + 30 > len(payload):
+            # a local_off pointing into the file's last 30 bytes can
+            # pass the magic check; struct.error must not escape
+            raise ValueError(f"truncated local header for {mem['name']!r}")
         (name_len, extra_len) = struct.unpack_from("<HH", payload, off + 26)
         data_start = off + 30 + name_len + extra_len
         raw = payload[data_start : data_start + mem["comp_size"]]

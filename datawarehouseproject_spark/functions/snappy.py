@@ -92,8 +92,13 @@ def decode_snappy(data: bytes, max_output: int = 1 << 28) -> bytes:
         if len(out) + length > expected:
             raise ValueError("snappy copy overruns declared length")
         src = len(out) - offset
-        for i in range(length):  # may overlap forward (RLE)
-            out.append(out[src + i])
+        if offset >= length:  # non-overlapping: one slice copy
+            out += out[src : src + length]
+        else:
+            # overlapping copy == periodic repeat of the last
+            # ``offset`` bytes (LZ77 semantics), batched
+            pat = bytes(out[src:])
+            out += (pat * (length // offset + 1))[:length]
     if len(out) != expected:
         raise ValueError(
             f"snappy produced {len(out)} bytes, declared {expected}"

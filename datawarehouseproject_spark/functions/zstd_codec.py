@@ -512,9 +512,14 @@ def _decode_sequences_exec(
     st: _FrameState,
     out: bytearray,
     max_output: int,
+    frame_start: int = 0,
 ) -> None:
     """Decode n_seq sequences from the backward bitstream and execute
-    them against ``literals`` and the output history."""
+    them against ``literals`` and the output history.  ``frame_start``
+    fences matches to the current frame: libzstd rejects a match that
+    reaches into a previous concatenated frame's output as corrupt,
+    and silently copying those bytes would be a wrong answer, not an
+    error."""
     ll_t, of_t, ml_t = st.fse["ll"], st.fse["of"], st.fse["ml"]
     ll_bits = (len(ll_t) - 1).bit_length() if len(ll_t) > 1 else 0
     of_bits = (len(of_t) - 1).bit_length() if len(of_t) > 1 else 0
@@ -569,15 +574,21 @@ def _decode_sequences_exec(
         out += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
         # match copy
-        if offset > len(out):
+        if offset > len(out) - frame_start:
             raise ValueError(
-                f"zstd match offset {offset} beyond {len(out)} bytes"
+                f"zstd match offset {offset} beyond "
+                f"{len(out) - frame_start} frame bytes"
             )
         if len(out) + ml > max_output:
             raise ValueError("zstd output exceeds cap")
         src = len(out) - offset
-        for k in range(ml):
-            out.append(out[src + k])
+        if offset >= ml:
+            out += out[src : src + ml]
+        else:
+            # overlapping copy == periodic repeat of the last
+            # ``offset`` bytes (LZ77 semantics), batched
+            pat = bytes(out[src:])
+            out += (pat * (ml // offset + 1))[:ml]
         # state updates for all but the last sequence: LL, ML, OF
         if i + 1 < n_seq:
             _, nb, base = ll_t[s_ll]
@@ -715,7 +726,11 @@ def _read_literals(
 
 
 def _decode_compressed_block(
-    data: bytes, st: _FrameState, out: bytearray, max_output: int
+    data: bytes,
+    st: _FrameState,
+    out: bytearray,
+    max_output: int,
+    frame_start: int = 0,
 ) -> None:
     literals, pos = _read_literals(data, 0, st)
     # sequences header
@@ -752,7 +767,7 @@ def _decode_compressed_block(
     pos = _read_seq_table("of", (modes >> 4) & 3, data, pos, st)
     pos = _read_seq_table("ml", (modes >> 2) & 3, data, pos, st)
     _decode_sequences_exec(
-        literals, data[pos:], n_seq, st, out, max_output
+        literals, data[pos:], n_seq, st, out, max_output, frame_start
     )
 
 
@@ -844,7 +859,11 @@ def decode_zstd(payload: bytes, max_output: int = 1 << 28) -> bytes:
                 if pos + bsize > n:
                     raise ValueError("truncated compressed block")
                 _decode_compressed_block(
-                    payload[pos : pos + bsize], st, out, max_output
+                    payload[pos : pos + bsize],
+                    st,
+                    out,
+                    max_output,
+                    frame_start_len,
                 )
                 pos += bsize
             else:

@@ -115,3 +115,24 @@ def test_truncations_raise():
 def test_float_dtype_is_a_loud_boundary():
     with pytest.raises(ValueError):
         parse_npy(_npy(np.array([1.5, 2.5])))
+
+
+def test_local_header_pointing_at_file_tail_quarantines():
+    """A central-directory local_off aimed at a 'PK\\x03\\x04' inside
+    the file's last 30 bytes passes the magic check but has no room
+    for a full local header; that must be ValueError (quarantine),
+    never struct.error."""
+    import struct as _struct
+    import zipfile
+
+    buf = io.BytesIO()
+    np.savez(buf, a=np.arange(5, dtype=np.int64))
+    with zipfile.ZipFile(buf, "a") as zf:
+        zf.comment = b"PK\x03\x04" + b"\x00" * 10
+    payload = bytearray(buf.getvalue())
+    cd = payload.rfind(b"PK\x01\x02")
+    assert cd != -1
+    fake_off = len(payload) - 14  # start of the comment bytes
+    _struct.pack_into("<I", payload, cd + 42, fake_off)
+    with pytest.raises(ValueError):
+        scan_npz(bytes(payload))

@@ -5,7 +5,9 @@ checksums by default) across levels and data shapes."""
 
 from __future__ import annotations
 
+import os
 import random
+import shutil
 import struct
 import subprocess
 
@@ -19,7 +21,16 @@ from datawarehouseproject_spark.functions.zstd_codec import (
     xxh64,
 )
 
-_ZSTD_BIN = "/root/miniconda/bin/zstd"
+# prefer the conda CLI if present, else whatever is on PATH; the two
+# CLI-producer tests skip cleanly when neither exists
+_ZSTD_BIN = (
+    "/root/miniconda/bin/zstd"
+    if os.path.exists("/root/miniconda/bin/zstd")
+    else shutil.which("zstd")
+)
+_needs_cli = pytest.mark.skipif(
+    _ZSTD_BIN is None, reason="no zstd CLI on this machine"
+)
 
 
 def _shapes():
@@ -54,6 +65,7 @@ def test_pinned_against_libzstd_via_pyarrow(level):
         ) == d, (level, name)
 
 
+@_needs_cli
 def test_pinned_against_zstd_cli_with_checksums():
     """The CLI writes an xxh64 content checksum by default — every
     pass here live-verifies the hand-rolled xxh64 too."""
@@ -68,6 +80,7 @@ def test_pinned_against_zstd_cli_with_checksums():
             )
 
 
+@_needs_cli
 def test_content_checksum_is_verified():
     d = b"checksum me " * 1000
     p = subprocess.run([_ZSTD_BIN, "-c", "-3"], input=d, capture_output=True)
@@ -114,3 +127,38 @@ def test_synth_plan_round_trip():
         n_frames = plan["n_frames"]
         # count frame magics (skippable-free synthesis)
         assert payload.count(b"\x28\xb5\x2f\xfd") == n_frames, seed
+
+
+def test_match_offset_fenced_to_current_frame():
+    """A match may not reach into a PREVIOUS concatenated frame's
+    output: libzstd rejects that as corrupt, and silently copying
+    those bytes would be a wrong answer, not an error.  White-box via
+    _decode_sequences_exec with RLE tables (one sequence: ll=2, ml=3,
+    of_code=3 + 3 zero bits -> of_value=8 -> offset 5)."""
+    from datawarehouseproject_spark.functions.zstd_codec import (
+        _decode_sequences_exec,
+        _FrameState,
+        _rle_table,
+    )
+
+    def run(frame_start):
+        st = _FrameState()
+        st.fse = {
+            "ll": _rle_table(2),
+            "of": _rle_table(3),
+            "ml": _rle_table(0),
+        }
+        out = bytearray(b"PREV")  # a previous frame's output
+        _decode_sequences_exec(
+            b"xy", bytes([0x08]), 1, st, out, 1 << 20,
+            frame_start=frame_start,
+        )
+        return bytes(out)
+
+    # same bytes treated as same-frame history: offset 5 is in range
+    # (copies out[1:4] == b"REV" from the "previous frame" bytes)
+    assert run(0) == b"PREVxyREV"
+    # fenced at the frame boundary: only 2 frame bytes precede the
+    # match, so offset 5 must quarantine
+    with pytest.raises(ValueError, match="frame"):
+        run(4)
