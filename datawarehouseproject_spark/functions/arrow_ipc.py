@@ -286,7 +286,7 @@ def _valid(bitmap: bytes, i: int, null_count: int) -> bool:
 def decode_arrow_values(payload: bytes) -> dict:
     """Decode the actual COLUMN VALUES of an Arrow IPC file from its
     raw buffers — the value-level completion of :func:`scan_arrow_ipc`
-    (round-9 triage counted rows; this reads them).  Per batch the
+    (round-8 triage counted rows; this reads them).  Per batch the
     RecordBatch flatbuffer's FieldNode and Buffer structs are walked
     in the spec's preorder layout (int: validity+data, utf8:
     validity+offsets+data), validity bitmaps are LSB-first, buffer

@@ -26,7 +26,7 @@ format (sqlite.org/fileformat2.html):
   9th byte contributing all 8 bits.
 
 Payloads that exceed the local threshold follow the OVERFLOW chain
-(round 10 — the round-9 boundary is closed): local portion
+(round 9 — the round-8 boundary is closed): local portion
 ``K = M + ((P - M) % (U - 4))`` clamped to ``M`` when past the max,
 then 4-byte-linked overflow pages each carrying ``U - 4`` content
 bytes, cycle-guarded; every 9th fixture row carries a 600-1000-char
@@ -313,7 +313,7 @@ def synth_sqlite_plan(seed: int) -> dict:
     score = (seed*3 + i*17) % 1000 - 200 (signed), name =
     'n' * (600 + (i % 3) * 200) when (i + seed) % 9 == 8 — a LONG
     text that spills to 1-2 OVERFLOW pages at the 512-byte page size
-    (round 10: the overflow boundary is closed) — else
+    (round 9: the overflow boundary is closed) — else
     'n' * (1 + (i + seed) % 7); flag = NULL when (i + seed) % 3 == 0
     else i % 2."""
     return {"n_rows": 30 + (seed * 11) % 300}

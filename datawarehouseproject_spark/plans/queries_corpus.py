@@ -429,7 +429,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score with STUPID BACKOFF on a genuine
-    held-out split (round 10) — the KenLM-shaped upgrade of
+    held-out split (round 9) — the KenLM-shaped upgrade of
     `unigram_surprisal`: train bigram/unigram counts on EVEN
     doc_ids, score the ODD ones, so unseen bigrams (backoff to the
     unigram, +4 bits ≈ α=1/16 — Brants et al.'s score-not-

@@ -767,7 +767,7 @@ def q_bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "bmp", "rle"),
 )
 def q_bmp_rle8_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BI_RLE8 palette-BMP decode, value-checked (round 9): the
+    """BI_RLE8 palette-BMP decode, value-checked (round 8): the
     run-length-encoded 8-bit profile that screenshots and diagrams
     ship as.  One RLE8 BMP per document (banded index formula; zero
     bands become DELTA escapes, short stretches ABSOLUTE-mode blocks,
@@ -1640,7 +1640,7 @@ def q_parquet_footer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sources", "parquet", "thrift", "rle", "mapInPandas"),
 )
 def q_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet DATA-PAGE value decode, value-checked (round 9): past
+    """Parquet DATA-PAGE value decode, value-checked (round 8): past
     the footer triage of ``parquet_footer_scan`` and into the column
     chunks — the read path a 100 TB engine runs per split AFTER
     planning has pruned the files.  One real parquet file per
@@ -1702,7 +1702,7 @@ def q_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sources", "warc", "crawl", "gzip", "mapInPandas"),
 )
 def q_warc_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC crawl-archive split, value-checked (round 9): the single
+    """WARC crawl-archive split, value-checked (round 8): the single
     most on-theme source reader in the repo — web-scale training
     corpora arrive as .warc.gz (Common Crawl ships ~100 TB of it),
     and BEFORE any dedup/quality/language stage can run, the engine
@@ -1758,7 +1758,7 @@ def q_warc_record_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sources", "warc", "crawl", "composition", "text"),
 )
 def q_warc_response_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC -> TEXT PIPELINE composition, value-checked (round 9):
+    """WARC -> TEXT PIPELINE composition, value-checked (round 8):
     the handoff a real crawl pipeline makes — the Python stage ONLY
     splits archives into records (``explode_warc_records``, one
     output row per record with UTF-8-replacement decode), and
@@ -1807,7 +1807,7 @@ def q_warc_response_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sources", "arrow", "flatbuffers", "mapInPandas", "triage"),
 )
 def q_arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow IPC (Feather V2) triage, value-checked (round 9): the
+    """Arrow IPC (Feather V2) triage, value-checked (round 8): the
     interchange format of the engine's OWN runtime — every
     mapInPandas batch crosses the JVM/Python boundary as Arrow — and
     the third wire format of the serialization trio (Thrift compact
@@ -1852,7 +1852,7 @@ def q_arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "xz", "triage"),
 )
 def q_xz_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XZ container triage, value-checked (round 9): the third
+    """XZ container triage, value-checked (round 8): the third
     archive codec real dumps ship (kernel tarballs, multi-part data
     dumps).  One real .xz per document from STDLIB lzma, check types
     rotating none/CRC32/CRC64/SHA-256 and odd documents carrying
@@ -1981,7 +1981,7 @@ def q_xz_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "warc", "zstd", "crawl"),
 )
 def q_warc_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """.warc.zst crawl-archive scan (round 10) — the container
+    """.warc.zst crawl-archive scan (round 9) — the container
     Common Crawl DISTRIBUTES today (the .gz mirrors are legacy):
     concatenated zstd frames each holding a run of records, behind a
     SKIPPABLE frame (where the real feed stashes a shared
@@ -1989,7 +1989,7 @@ def q_warc_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dictionary-bearing frame would quarantine loudly rather than
     mis-decode).  The scan composes the round-10 hand zstd decoder
     (``zstd_codec.py`` — FSE/huffman/sequences, frame walk) with the
-    round-9 ISO 28500 record grammar (``warc.py``), and the oracle
+    round-8 ISO 28500 record grammar (``warc.py``), and the oracle
     is IDENTICAL to `warc_record_scan`'s — same record plan, second
     container — so the two containers' aggregates must agree
     hash-exactly."""
@@ -2034,7 +2034,7 @@ def q_warc_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "zstd", "fse", "codec"),
 )
 def q_zstd_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL zstd decode, value-checked (round 10) — the FOURTH
+    """FULL zstd decode, value-checked (round 9) — the FOURTH
     distinct entropy stack in the codec family, and the one modern
     corpora actually ship in (Common Crawl mirrors, parquet's
     fastest-growing codec): **FSE/tANS** (``functions/zstd_codec.py``,
@@ -2101,7 +2101,7 @@ def q_zstd_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "lz4", "xxhash", "codec"),
 )
 def q_lz4_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL LZ4 frame decode, value-checked (round 10) — with the
+    """FULL LZ4 frame decode, value-checked (round 9) — with the
     round-10 snappy decoder (now wired into `parquet_page_decode`'s
     codec rotation), this completes the BIG-DATA block-codec family
     the archive trio (gzip/bzip2/xz) doesn't cover: LZ4 is the
@@ -2163,7 +2163,7 @@ def q_lz4_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "arrow", "streaming", "codec"),
 )
 def q_arrow_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow IPC STREAMING-format decode (round 10) — the
+    """Arrow IPC STREAMING-format decode (round 9) — the
     footer-less twin of `arrow_ipc_value_decode`: the wire layout
     Flight sockets and pipe handoffs use, where there is no footer
     to seek to and the reader must carry schema state forward — a
@@ -2208,7 +2208,7 @@ def q_arrow_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "tfrecord", "protobuf", "crc32c"),
 )
 def q_tfrecord_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TFRecord shard scan (round 10) — the sharded-training-data
+    """TFRecord shard scan (round 9) — the sharded-training-data
     container a 100 TB corpus actually ships in, and a two-layer
     composition: the container framing (u64le length + masked
     CRC32C of the length bytes + data + masked CRC32C of the data,
@@ -2273,7 +2273,7 @@ def q_tfrecord_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "arrow", "flatbuffers", "codec"),
 )
 def q_arrow_ipc_value_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow IPC VALUE decode (round 10) — the round-9
+    """Arrow IPC VALUE decode (round 9) — the round-8
     `arrow_ipc_scan` triage counted rows through the hand-rolled
     flatbuffer walk; this query READS them: schema union tags
     resolved to Int{8..64}/Utf8, each batch's FieldNode and Buffer
@@ -2341,7 +2341,7 @@ def q_arrow_ipc_value_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "npy", "npz", "tensor", "zip"),
 )
 def q_npz_tensor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NPY/NPZ tensor files read from raw bytes (round 10) — the
+    """NPY/NPZ tensor files read from raw bytes (round 9) — the
     de-facto tensor interchange format of ML corpora (dataset
     shards, embedding dumps), and a COMPOSITION of three existing
     by-hand layers plus one new one: the ZIP central-directory walk
@@ -2419,7 +2419,7 @@ def q_npz_tensor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "pickle", "security", "triage"),
 )
 def q_pickle_opcode_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pickle triage WITHOUT unpickling (round 10): ML corpora are
+    """Pickle triage WITHOUT unpickling (round 9): ML corpora are
     full of pickle payloads (checkpoints, dataset shards), and
     unpickling untrusted bytes is arbitrary code execution — the
     ingest-side answer is an opcode-grammar WALK
@@ -2470,7 +2470,7 @@ def q_pickle_opcode_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "bzip2", "codec"),
 )
 def q_bz2_corpus_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL bzip2 decode, value-checked (round 9): the other archive
+    """FULL bzip2 decode, value-checked (round 8): the other archive
     codec web corpora actually ship (Wikipedia dumps, mail archives)
     — and unlike gzip's LZ77, a completely different stack decoded
     end-to-end by hand in ``functions/bzip2.py``: MSB-first
@@ -2531,7 +2531,7 @@ def q_bz2_corpus_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sources", "sqlite", "btree", "mapInPandas"),
 )
 def q_sqlite_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQLite database-file READ, value-checked (round 9): crawled
+    """SQLite database-file READ, value-checked (round 8): crawled
     corpora and app-data dumps carry SQLite constantly (browser
     history, mobile state, experiment logs), and this reads them from
     raw bytes with no per-executor sqlite install.  One real database

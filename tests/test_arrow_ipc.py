@@ -1,4 +1,4 @@
-"""Arrow IPC triage — functions/arrow_ipc.py (round 9): hand-rolled
+"""Arrow IPC triage — functions/arrow_ipc.py (round 8): hand-rolled
 flatbuffer walk pinned against pyarrow's IPC writer."""
 
 from __future__ import annotations

@@ -71,7 +71,7 @@ def test_decode_top_down_negative_height():
     "mutate,msg",
     [
         (lambda b: b"XX" + b[2:], "magic"),
-        # bpp=16 (bpp=8 became the palette path in round 9)
+        # bpp=16 (bpp=8 became the palette path in round 8)
         (lambda b: b[:28] + b"\x10\x00" + b[30:], "unsupported"),
         (lambda b: b[:60], "truncated"),
     ],

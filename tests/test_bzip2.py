@@ -1,4 +1,4 @@
-"""Full bzip2 decoder — functions/bzip2.py (round 9): Huffman
+"""Full bzip2 decoder — functions/bzip2.py (round 8): Huffman
 selectors + MTF/RLE2 + inverse BWT + RLE1 + both CRC layers, pinned
 against the stdlib bz2 compressor."""
 

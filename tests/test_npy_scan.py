@@ -1,4 +1,4 @@
-"""NPY/NPZ tensor reading — functions/npy_scan.py (round 10):
+"""NPY/NPZ tensor reading — functions/npy_scan.py (round 9):
 regex-grammar header parse (no eval), struct data decode with the
 fortran-order remap, ZIP+inflate composition for .npz; pinned
 against the numpy producer."""

@@ -1,4 +1,4 @@
-"""Parquet data-page decoder — functions/parquet_pages.py (round 9):
+"""Parquet data-page decoder — functions/parquet_pages.py (round 8):
 value recovery from raw column chunks, pinned against TWO genuinely
 independent producers (pyarrow across the full encoding rotation,
 and DuckDB's own parquet writer) plus hand-built hybrid streams."""

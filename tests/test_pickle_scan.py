@@ -1,4 +1,4 @@
-"""Pickle opcode triage — functions/pickle_scan.py (round 10):
+"""Pickle opcode triage — functions/pickle_scan.py (round 9):
 opcode-grammar walk without unpickling, pinned against the stdlib
 pickle producer across all six protocols; the security payoff is
 global-reference detection with zero imports/calls."""

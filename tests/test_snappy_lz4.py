@@ -1,5 +1,5 @@
 """Snappy + LZ4 decoders — functions/snappy.py, functions/lz4_codec.py
-(round 10): the big-data block-codec pair, pinned against the
+(round 9): the big-data block-codec pair, pinned against the
 reference C implementations behind pyarrow.Codec; xxHash32 pinned on
 published vectors AND live through every LZ4 frame checksum."""
 

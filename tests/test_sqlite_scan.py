@@ -1,4 +1,4 @@
-"""SQLite file-format reader — functions/sqlite_scan.py (round 9):
+"""SQLite file-format reader — functions/sqlite_scan.py (round 8):
 b-tree walk + record decode pinned against the stdlib sqlite3 engine
 (Connection.serialize), a third independent producer alongside
 pyarrow and DuckDB."""

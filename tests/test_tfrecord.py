@@ -1,4 +1,4 @@
-"""TFRecord container framing — functions/tfrecord.py (round 10):
+"""TFRecord container framing — functions/tfrecord.py (round 9):
 masked CRC32C record walk composed with the protowire protobuf
 decoder.  CRC32C pinned on the published catalogue vector (no stdlib
 producer exists for this container — the documented boundary)."""

@@ -1,4 +1,4 @@
-"""WARC crawl-archive scan — functions/warc.py (round 9): multi-
+"""WARC crawl-archive scan — functions/warc.py (round 8): multi-
 member gzip (stdlib producer for the compression layer) around
 spec-conformant ISO 28500 records."""
 

@@ -1,4 +1,4 @@
-"""XZ container triage — functions/xz_scan.py (round 9): footer ->
+"""XZ container triage — functions/xz_scan.py (round 8): footer ->
 index -> block map with every skeleton CRC verified, pinned against
 stdlib lzma including concatenated streams."""
 

@@ -1,4 +1,4 @@
-"""Zstd decoder — functions/zstd_codec.py (round 10): the FSE/tANS
+"""Zstd decoder — functions/zstd_codec.py (round 9): the FSE/tANS
 entropy stack, pinned against TWO independent producers (libzstd via
 pyarrow, and the zstd CLI binary which writes xxh64 content
 checksums by default) across levels and data shapes."""
