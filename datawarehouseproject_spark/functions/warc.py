@@ -117,6 +117,30 @@ def parse_warc_records(data: bytes) -> list[dict]:
     return records
 
 
+def lift_warc_dictionary(payload: bytes):
+    """The IIPC warc-zstd convention (iipc/warc-specifications):
+    a ``.warc.zst`` MAY open with a skippable frame whose magic is
+    specifically ``0x184D2A5D``, carrying a shared zstd dictionary —
+    raw, or itself compressed as a (dictionary-less) zstd frame.
+    Returns ``(ZstdDict | None, remaining bytes)``; generic skippable
+    magics (0x184D2A50..5F other than 5D) are NOT treated as
+    dictionaries, matching the spec's reservation of that one value.
+    """
+    from .zstd_codec import decode_zstd, parse_zstd_dictionary
+
+    if payload[:4] != b"\x5d\x2a\x4d\x18":
+        return None, payload
+    if len(payload) < 8:
+        raise ValueError("truncated warc-zstd dictionary frame")
+    (sz,) = struct.unpack_from("<I", payload, 4)
+    blob = payload[8 : 8 + sz]
+    if len(blob) < sz:
+        raise ValueError("warc-zstd dictionary frame overruns payload")
+    if blob[:4] == b"\x28\xb5\x2f\xfd":
+        blob = decode_zstd(blob)
+    return parse_zstd_dictionary(blob), payload[8 + sz :]
+
+
 def scan_warc(payload: bytes) -> dict:
     """Aggregates for the ``warc_record_scan`` query.  Accepts the
     standard one-record-per-gzip-member .warc.gz layout (members
@@ -136,11 +160,14 @@ def scan_warc(payload: bytes) -> dict:
         b"\x28\xb5\x2f\xfd",
         *(bytes([0x50 + i, 0x2A, 0x4D, 0x18]) for i in range(16)),
     ):
-        # .warc.zst: concatenated zstd frames (+ skippable dictionary
-        # frame) — decode through the hand zstd decoder, then parse
+        # .warc.zst: concatenated zstd frames, optionally behind the
+        # IIPC dictionary frame — lift it, then hand-decode the rest
         from .zstd_codec import decode_zstd
 
-        records = parse_warc_records(decode_zstd(payload))
+        dictionary, rest = lift_warc_dictionary(payload)
+        records = parse_warc_records(
+            decode_zstd(rest, dictionary=dictionary)
+        )
     elif payload[:5] == b"WARC/":
         records = parse_warc_records(payload)
     else:
@@ -276,10 +303,11 @@ def _build_warc_records(seed: int) -> list[bytes]:
 def synth_warc_zst(seed: int) -> bytes:
     """The .warc.zst layout Common Crawl actually distributes: zstd
     FRAMES each holding a run of records, preceded by a SKIPPABLE
-    frame (where the real format stashes a shared dictionary — here
-    carrying an ignorable marker, since this reader's zstd decoder
-    takes the no-dictionary path).  Producer: libzstd via pyarrow;
-    same record plan AND record builder as :func:`synth_warc`."""
+    frame.  This variant uses the GENERIC skippable magic
+    (``0x184D2A50``, an ignorable marker — NOT the ``0x184D2A5D``
+    dictionary value, which :func:`synth_warc_zst_dict` exercises).
+    Producer: libzstd via pyarrow; same record plan AND record
+    builder as :func:`synth_warc`."""
     import struct as _struct
 
     import pyarrow as pa
@@ -292,3 +320,70 @@ def synth_warc_zst(seed: int) -> bytes:
     for k in range(0, len(recs), 2):
         out.append(bytes(codec.compress(b"".join(recs[k : k + 2]))))
     return b"".join(out)
+
+
+def synth_warc_zst_dict(seed: int) -> bytes:
+    """A DICT-TRAINED .warc.zst — the layout the real Common Crawl
+    feed ships: ``zstd --train`` over seed-derived record-shaped
+    samples produces a genuine trained dictionary (independent
+    producer: the zstd CLI binary), the record frames are compressed
+    WITH it (``-D``, so every frame header declares the
+    dictionary-id), and the dictionary rides in the leading
+    ``0x184D2A5D`` skippable frame per the IIPC warc-zstd convention
+    — raw for even seeds, itself zstd-compressed for odd seeds (both
+    forms the spec allows).  Same record plan and record builder as
+    :func:`synth_warc`, so the aggregates equal the .gz container's.
+    Decoding WITHOUT the dictionary must refuse loudly (the frames
+    declare an id), which ``tests/test_zstd_dict.py`` pins."""
+    import os
+    import struct as _struct
+    import subprocess
+    import tempfile
+
+    recs = _build_warc_records(seed)
+    with tempfile.TemporaryDirectory() as td:
+        # the trainer refuses tiny corpora: give it 12 deterministic
+        # record-shaped samples (the real plan has only 5-9 records)
+        sample_paths = []
+        for i in range(12):
+            body = b"r" * (100 + (seed * 7 + i * 13) % 400)
+            s = _record(
+                seed, "response", 1000 + i, body,
+                uri=f"http://site{(seed + i) % 5}.example/page{i}",
+            )
+            p = os.path.join(td, f"s{i}")
+            with open(p, "wb") as fh:
+                fh.write(s)
+            sample_paths.append(p)
+        dict_path = os.path.join(td, "dict.bin")
+        subprocess.run(
+            ["zstd", "-q", "--train", *sample_paths,
+             "-o", dict_path, "--maxdict=1024"],
+            check=True, capture_output=True,
+        )
+        # two records per frame, all chunks compressed in ONE CLI call
+        paths = []
+        for k in range(0, len(recs), 2):
+            p = os.path.join(td, f"c{k:03d}")
+            with open(p, "wb") as fh:
+                fh.write(b"".join(recs[k : k + 2]))
+            paths.append(p)
+        subprocess.run(
+            ["zstd", "-q", "-f", f"-{(1, 3, 9)[seed % 3]}",
+             "-D", dict_path, *paths],
+            check=True, capture_output=True,
+        )
+        with open(dict_path, "rb") as fh:
+            dict_blob = fh.read()
+        frames = b"".join(
+            open(p + ".zst", "rb").read() for p in paths
+        )
+    if seed % 2:
+        import pyarrow as pa
+
+        dict_blob = bytes(pa.Codec("zstd").compress(dict_blob))
+    return (
+        _struct.pack("<II", 0x184D2A5D, len(dict_blob))
+        + dict_blob
+        + frames
+    )

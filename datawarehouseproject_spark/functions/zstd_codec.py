@@ -254,6 +254,13 @@ def read_fse_distribution(
             while True:
                 rep = bits.read(2)
                 probs.extend([0] * rep)
+                if len(probs) > max_symbol + 1:
+                    # libzstd rejects symbol counts above the maximum
+                    # even when the trailing run is all zeros; lenient
+                    # accept here would violate the quarantine contract
+                    raise ValueError(
+                        "fse distribution has too many symbols"
+                    )
                 if rep != 3:
                     break
     if remaining != 1:
@@ -571,6 +578,8 @@ def _decode_sequences_exec(
         # copy literals
         if lit_pos + ll > len(literals):
             raise ValueError("sequence literals overrun literal buffer")
+        if len(out) + ll > max_output:
+            raise ValueError("zstd output exceeds cap")
         out += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
         # match copy
@@ -601,6 +610,8 @@ def _decode_sequences_exec(
         raise ValueError(
             f"sequence bitstream has {back.avail} bits left over"
         )
+    if len(out) + len(literals) - lit_pos > max_output:
+        raise ValueError("zstd output exceeds cap")
     out += literals[lit_pos:]
 
 
@@ -771,16 +782,94 @@ def _decode_compressed_block(
     )
 
 
-def decode_zstd(payload: bytes, max_output: int = 1 << 28) -> bytes:
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDict:
+    """A parsed zstd dictionary (RFC 8878 §5): entropy tables that
+    seed the frame's repeat/treeless modes, the 3 initial repcodes,
+    and content bytes that act as match history in front of the
+    frame."""
+
+    __slots__ = ("dict_id", "huf", "fse", "reps", "content")
+
+    def __init__(
+        self,
+        dict_id: int,
+        huf: tuple[list[tuple[int, int]], int] | None,
+        fse: dict[str, list[tuple[int, int, int]]],
+        reps: list[int],
+        content: bytes,
+    ):
+        self.dict_id = dict_id
+        self.huf = huf
+        self.fse = fse
+        self.reps = reps
+        self.content = content
+
+
+def parse_zstd_dictionary(blob: bytes) -> ZstdDict:
+    """Parse a zstd dictionary.  Magic ``0xEC30A437`` means the full
+    format: 4-byte dictionary-id, Huffman table description, three
+    FSE table descriptions in offset/match-length/literal-length
+    order, 3×4-byte little-endian initial repcodes, then content
+    (libzstd's ``ZSTD_loadDEntropy`` order).  Anything else is a
+    raw-content dictionary: all history, no entropy tables, id 0."""
+    if len(blob) < 8 or struct.unpack_from("<I", blob)[0] != _DICT_MAGIC:
+        return ZstdDict(0, None, {}, [1, 4, 8], bytes(blob))
+    (dict_id,) = struct.unpack_from("<I", blob, 4)
+    table, max_bits, used = read_huffman_table(blob, 8)
+    pos = 8 + used
+    fse: dict[str, list[tuple[int, int, int]]] = {}
+    for kind in ("of", "ml", "ll"):
+        bits = _FwdBits(blob, pos)
+        probs, acc = read_fse_distribution(
+            bits, _MAX_SYM[kind], _MAX_ACC[kind]
+        )
+        fse[kind] = build_fse_table(probs, acc)
+        pos = bits.align()
+    if pos + 12 > len(blob):
+        raise ValueError("zstd dictionary truncated before repcodes")
+    reps = list(struct.unpack_from("<III", blob, pos))
+    content = bytes(blob[pos + 12 :])
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ValueError(
+                f"zstd dictionary repcode {r} outside its "
+                f"{len(content)}-byte content"
+            )
+    return ZstdDict(dict_id, (table, max_bits), fse, reps, content)
+
+
+def decode_zstd(
+    payload: bytes,
+    max_output: int = 1 << 28,
+    dictionary: "ZstdDict | bytes | None" = None,
+) -> bytes:
     """Decode one or more concatenated zstd frames (skippable frames
     included), verifying the content size and — when the producer
-    wrote one — the xxh64 content checksum."""
+    wrote one — the xxh64 content checksum.
+
+    ``dictionary`` (parsed :class:`ZstdDict` or raw dictionary bytes)
+    seeds every data frame's entropy tables, repcodes, and match
+    history, mirroring ``ZSTD_decompress_usingDict``.  A frame that
+    DECLARES a dictionary-id is refused when no dictionary was
+    provided (decoding anyway can silently produce wrong bytes when
+    the dictionary only overrides the initial repcode cache — the one
+    corruption the in-frame offset fence cannot see), and refused on
+    an id mismatch."""
+    if isinstance(dictionary, (bytes, bytearray, memoryview)):
+        dictionary = parse_zstd_dictionary(bytes(dictionary))
     out = bytearray()
     pos = 0
     n = len(payload)
     if n < 4:
         raise ValueError("zstd payload shorter than a magic number")
     saw_frame = False
+    # history buffer reused across frames: dictionary content stays
+    # seeded at [0, prefix); each frame's output grows past it
+    prefix = len(dictionary.content) if dictionary is not None else 0
+    fbuf = bytearray(dictionary.content) if dictionary is not None else bytearray()
     while pos < n:
         if pos + 4 > n:
             raise ValueError("truncated zstd frame magic")
@@ -811,7 +900,30 @@ def decode_zstd(payload: bytes, max_output: int = 1 << 28) -> bytes:
             if pos >= n:
                 raise ValueError("missing window descriptor")
             pos += 1  # window size only bounds memory; cap applies anyway
-        pos += (0, 1, 2, 4)[did_flag]
+        declared_did = 0
+        if did_flag:
+            did_size = (0, 1, 2, 4)[did_flag]
+            if pos + did_size > n:
+                raise ValueError("truncated dictionary id")
+            declared_did = int.from_bytes(
+                payload[pos : pos + did_size], "little"
+            )
+            pos += did_size
+        if declared_did and dictionary is None:
+            raise ValueError(
+                f"frame requires dictionary {declared_did} "
+                "but none was provided"
+            )
+        if (
+            dictionary is not None
+            and declared_did
+            and dictionary.dict_id
+            and declared_did != dictionary.dict_id
+        ):
+            raise ValueError(
+                f"frame wants dictionary {declared_did}, "
+                f"provided {dictionary.dict_id}"
+            )
         fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
         content_size = None
         if fcs_size:
@@ -826,7 +938,13 @@ def decode_zstd(payload: bytes, max_output: int = 1 << 28) -> bytes:
         if content_size is not None and content_size > max_output:
             raise ValueError("declared content size exceeds cap")
         st = _FrameState()
-        frame_start_len = len(out)
+        if dictionary is not None:
+            if dictionary.huf is not None:
+                st.huf = dictionary.huf
+            st.fse = dict(dictionary.fse)
+            st.reps = list(dictionary.reps)
+        del fbuf[prefix:]  # fresh frame output after the dict history
+        cap = prefix + max_output - len(out)
         while True:
             if pos + 3 > n:
                 raise ValueError("truncated block header")
@@ -842,16 +960,16 @@ def decode_zstd(payload: bytes, max_output: int = 1 << 28) -> bytes:
             if btype == 0:  # raw
                 if pos + bsize > n:
                     raise ValueError("truncated raw block")
-                if len(out) + bsize > max_output:
+                if len(fbuf) + bsize > cap:
                     raise ValueError("zstd output exceeds cap")
-                out += payload[pos : pos + bsize]
+                fbuf += payload[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:  # RLE
                 if pos >= n:
                     raise ValueError("truncated rle block")
-                if len(out) + bsize > max_output:
+                if len(fbuf) + bsize > cap:
                     raise ValueError("zstd output exceeds cap")
-                out += bytes([payload[pos]]) * bsize
+                fbuf += bytes([payload[pos]]) * bsize
                 pos += 1
             elif btype == 2:
                 if bsize > (1 << 17):
@@ -861,16 +979,16 @@ def decode_zstd(payload: bytes, max_output: int = 1 << 28) -> bytes:
                 _decode_compressed_block(
                     payload[pos : pos + bsize],
                     st,
-                    out,
-                    max_output,
-                    frame_start_len,
+                    fbuf,
+                    cap,
+                    0,  # matches may reach into the seeded dict history
                 )
                 pos += bsize
             else:
                 raise ValueError("reserved block type")
             if last:
                 break
-        produced = len(out) - frame_start_len
+        produced = len(fbuf) - prefix
         if content_size is not None and produced != content_size:
             raise ValueError(
                 f"frame produced {produced}, declared {content_size}"
@@ -880,9 +998,10 @@ def decode_zstd(payload: bytes, max_output: int = 1 << 28) -> bytes:
                 raise ValueError("truncated content checksum")
             (want,) = struct.unpack_from("<I", payload, pos)
             pos += 4
-            got = xxh64(bytes(out[frame_start_len:])) & 0xFFFFFFFF
+            got = xxh64(bytes(fbuf[prefix:])) & 0xFFFFFFFF
             if got != want:
                 raise ValueError("zstd content checksum mismatch")
+        out += fbuf[prefix:]
     if not saw_frame:
         raise ValueError("no zstd frames in payload")
     return bytes(out)

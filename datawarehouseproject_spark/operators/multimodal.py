@@ -1511,6 +1511,24 @@ def synthesize_warc_zst_media(
     return _synthesize_media(ids, id_col, loader)
 
 
+def synthesize_warc_zst_dict_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of DICT-TRAINED .warc.zst
+    archives: a real ``zstd --train`` dictionary in the IIPC
+    ``0x184D2A5D`` skippable frame, record frames compressed with it
+    (``functions/warc.py:synth_warc_zst_dict``).  Costs ~30 ms and
+    two CLI subprocesses per payload — callers should SAMPLE the id
+    column (the registry query keeps ``doc_id % 16 = 0``)."""
+
+    def loader():
+        from ..functions.warc import synth_warc_zst_dict
+
+        return synth_warc_zst_dict
+
+    return _synthesize_media(ids, id_col, loader)
+
+
 def extract_warc_scan(
     media: DataFrame, permissive: bool = False
 ) -> DataFrame:

@@ -1984,10 +1984,9 @@ def q_warc_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.warc.zst crawl-archive scan (round 9) — the container
     Common Crawl DISTRIBUTES today (the .gz mirrors are legacy):
     concatenated zstd frames each holding a run of records, behind a
-    SKIPPABLE frame (where the real feed stashes a shared
-    dictionary; the synthesis stores an ignorable marker there, and
-    a dictionary-bearing frame would quarantine loudly rather than
-    mis-decode).  The scan composes the round-10 hand zstd decoder
+    SKIPPABLE frame (generic ``0x184D2A50`` marker here; the
+    dict-trained layout with the ``0x184D2A5D`` dictionary frame is
+    ``warc_zstd_dict_scan``'s fixture).  The scan composes the round-10 hand zstd decoder
     (``zstd_codec.py`` — FSE/huffman/sequences, frame walk) with the
     round-8 ISO 28500 record grammar (``warc.py``), and the oracle
     is IDENTICAL to `warc_record_scan`'s — same record plan, second
@@ -2000,6 +1999,66 @@ def q_warc_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = synthesize_warc_zst_media(_t(spark, sf_dir, "documents"))
+    return extract_warc_scan(media).select(
+        "media_id", "n_records", "n_responses", "n_requests",
+        "n_distinct_uris", "payload_bytes", "response_bytes",
+    )
+
+
+@register(
+    "warc_zstd_dict_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 4 AS p FROM documents
+      WHERE doc_id % 16 = 0),
+    e AS (
+      SELECT media_id, p, unnest(generate_series(0, p - 1)) AS i
+      FROM m),
+    s AS (
+      SELECT media_id, p,
+             40 + (media_id + i * 3) % 60 AS req,
+             100 + (media_id * 7 + i * 13) % 400 AS resp
+      FROM e)
+    SELECT media_id,
+           CAST(1 + 2 * max(p) AS INTEGER) AS n_records,
+           CAST(max(p) AS INTEGER) AS n_responses,
+           CAST(max(p) AS INTEGER) AS n_requests,
+           CAST(max(p) AS INTEGER) AS n_distinct_uris,
+           CAST(38 + sum(req) + sum(resp) AS BIGINT) AS payload_bytes,
+           CAST(sum(resp) AS BIGINT) AS response_bytes
+    FROM s
+    GROUP BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "warc", "zstd", "dictionary",
+          "crawl"),
+)
+def q_warc_zstd_dict_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DICT-compressed .warc.zst scan (round 10) — the missing half
+    of the Common Crawl container story: the REAL feed trains a
+    shared zstd dictionary per file, stores it in the leading
+    ``0x184D2A5D`` skippable frame (IIPC warc-zstd convention), and
+    compresses every record frame WITH it, so each frame header
+    declares a dictionary-id.  The scan lifts the dictionary
+    (``warc.py:lift_warc_dictionary`` — raw or itself
+    zstd-compressed), parses RFC 8878 §5's dictionary format
+    (``zstd_codec.py:parse_zstd_dictionary`` — entropy tables seeding
+    repeat/treeless modes, initial repcodes, content as match
+    history), and decodes the frames against it.  Producer: the zstd
+    CLI binary (``--train`` + ``-D``) — a THIRD independent producer
+    for the zstd family.  Ids are sampled (``doc_id % 16 = 0``)
+    because synthesis costs two CLI subprocesses per payload; the
+    aggregates equal ``warc_record_scan``'s on the sampled ids (same
+    record plan, third container)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_warc_scan,
+        synthesize_warc_zst_dict_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 16 == 0
+    )
+    media = synthesize_warc_zst_dict_media(docs)
     return extract_warc_scan(media).select(
         "media_id", "n_records", "n_responses", "n_requests",
         "n_distinct_uris", "payload_bytes", "response_bytes",

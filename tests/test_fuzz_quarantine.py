@@ -78,6 +78,7 @@ def _cases():
             arrow_ipc.scan_arrow_ipc,
         ),
         ("warc", warc.synth_warc, warc.scan_warc),
+        ("warc_zst_dict", warc.synth_warc_zst_dict, warc.scan_warc),
         ("mp3", mpeg_audio.synth_mp3, mpeg_audio.scan_mp3),
         (
             "layer1",

