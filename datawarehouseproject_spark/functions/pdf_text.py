@@ -28,10 +28,18 @@ self-synthesis pattern as the JPEG/PNG codecs, validated both ways
 recovered text is value-checked against the plan formulas by the
 oracle).
 
-Documented boundaries (ValueError -> quarantine): cross-reference
-STREAMS and object streams (PDF 1.5+), encryption, incremental
-updates (``/Prev``), and non-Flate filters. Error contract: only
-ValueError escapes (fuzz-pinned).
+PDF 1.5+ layouts (the default for every modern writer) are read
+too: cross-reference STREAMS (``/Type /XRef`` — ``/W`` field
+widths, ``/Index`` subsections, type-0/1/2 entries), OBJECT
+streams (``/Type /ObjStm`` — N header pairs + ``/First``),
+FlateDecode PNG predictors 10-15 (the row filters reused from
+:mod:`.png`'s unfilter), incremental updates (``/Prev`` chains,
+newest-wins merge including freed objects), and hybrid-reference
+files (``/XRefStm`` supplementing a classic section).
+
+Documented boundaries (ValueError -> quarantine): encryption,
+non-Flate filters, TIFF predictor 2, non-8-bit predictor
+components. Error contract: only ValueError escapes (fuzz-pinned).
 """
 
 from __future__ import annotations
@@ -252,6 +260,55 @@ class _Document:
         self.data = data
         self.xref = xref
         self._cache: dict[int, object] = {}
+        #: objstm number -> (decoded body, /First, [(objnum, rel), ...])
+        self._objstm: dict[int, tuple[bytes, int, list]] = {}
+
+    def _objstm_obj(self, n: int, stm_num: int, idx: int):
+        """Resolve object ``n`` out of object stream ``stm_num`` at
+        directory index ``idx`` (ISO 32000-1 §7.5.7)."""
+        if isinstance(self.xref.get(stm_num), tuple):
+            raise ValueError("object stream stored inside an object stream")
+        if stm_num not in self._objstm:
+            stm = self.obj(("ref", stm_num))
+            if not isinstance(stm, _Stream) or stm.d.get("Type") != "ObjStm":
+                raise ValueError(f"object {stm_num} is not an /ObjStm")
+            count = self.obj(stm.d.get("N"))
+            first = self.obj(stm.d.get("First"))
+            if (
+                not isinstance(count, int) or not 0 < count <= 1 << 16
+                or not isinstance(first, int) or first < 0
+            ):
+                raise ValueError("object stream /N or /First malformed")
+            body = stm.decoded()
+            if first > len(body):
+                raise ValueError("object stream /First past its data")
+            lex = _Lexer(body)
+            pairs = []
+            for _ in range(count):
+                ta, tb = lex.next_token(), lex.next_token()
+                if (
+                    ta is None or ta[0] != "num"
+                    or tb is None or tb[0] != "num"
+                ):
+                    raise ValueError("object stream directory malformed")
+                pairs.append((int(ta[1]), int(tb[1])))
+            if lex.pos > first:
+                raise ValueError("object stream directory overruns /First")
+            self._objstm[stm_num] = (body, first, pairs)
+        body, first, pairs = self._objstm[stm_num]
+        if idx >= len(pairs):
+            raise ValueError(
+                f"object {n}: objstm index {idx} past directory"
+            )
+        objnum, rel = pairs[idx]
+        if objnum != n:
+            raise ValueError(
+                f"objstm directory names {objnum} at index {idx}, "
+                f"xref says {n}"
+            )
+        if first + rel > len(body):
+            raise ValueError("objstm object offset past its data")
+        return _Lexer(body, first + rel).parse_value()
 
     def obj(self, ref):
         """Resolve ('ref', n) (or pass a direct value through)."""
@@ -261,6 +318,10 @@ class _Document:
         if n in self._cache:
             return self._cache[n]
         off = self.xref.get(n)
+        if isinstance(off, tuple):
+            value = self._objstm_obj(n, off[1], off[2])
+            self._cache[n] = value
+            return value
         if off is None or off <= 0 or off >= len(self.data):
             raise ValueError(f"object {n} missing from xref")
         lex = _Lexer(self.data, off)
@@ -301,28 +362,66 @@ class _Stream:
 
     def decoded(self) -> bytes:
         filt = self.d.get("Filter")
+        if isinstance(filt, list) and len(filt) == 1:
+            filt = filt[0]
         if filt is None:
             return self.raw
-        if filt == "FlateDecode":
-            if "DecodeParms" in self.d and self.d["DecodeParms"] is not None:
-                raise ValueError("FlateDecode predictors out of scope")
-            return zlib_inflate(self.raw)
-        raise ValueError(f"stream filter {filt!r} out of scope")
+        if filt != "FlateDecode":
+            raise ValueError(f"stream filter {filt!r} out of scope")
+        out = zlib_inflate(self.raw)
+        parms = self.d.get("DecodeParms")
+        if isinstance(parms, list) and len(parms) == 1:
+            parms = parms[0]
+        if parms is None:
+            return out
+        if not isinstance(parms, dict):
+            raise ValueError("malformed /DecodeParms")
+        pred = parms.get("Predictor", 1)
+        if pred == 1:
+            return out
+        if not isinstance(pred, int) or not 10 <= pred <= 15:
+            raise ValueError(f"predictor {pred!r} out of scope")
+        columns = parms.get("Columns", 1)
+        colors = parms.get("Colors", 1)
+        bpc = parms.get("BitsPerComponent", 8)
+        if bpc != 8:
+            raise ValueError(f"predictor with {bpc}-bit components out of scope")
+        if (
+            not isinstance(columns, int) or not isinstance(colors, int)
+            or not 1 <= colors <= 4 or not 1 <= columns <= 1 << 20
+        ):
+            raise ValueError("malformed predictor /Columns or /Colors")
+        return _png_unpredict(out, columns, colors)
 
 
-def _parse_xref_table(data: bytes, start: int) -> tuple[dict[int, int], dict]:
-    """Classic cross-reference table + trailer. Xref STREAMS (an
-    object at startxref instead of the 'xref' keyword) are a
-    documented boundary."""
+def _png_unpredict(data: bytes, columns: int, colors: int) -> bytes:
+    """PNG predictors 10-15 over a byte stream (ISO 32000-1
+    §7.4.4.4): rows of ``columns * colors`` bytes, each preceded by
+    one PNG filter-type byte — the EXACT row filters already
+    implemented for real PNGs, reused from :mod:`.png`."""
+    import numpy as np
+
+    from .png import _unfilter
+
+    rowlen = columns * colors
+    if rowlen == 0 or len(data) % (rowlen + 1):
+        raise ValueError("predictor data is not whole filtered rows")
+    height = len(data) // (rowlen + 1)
+    lines = np.frombuffer(data, dtype=np.uint8).reshape(height, rowlen + 1)
+    return _unfilter(lines, columns, height, bpp=colors).tobytes()
+
+
+def _parse_classic_section(data: bytes, start: int) -> tuple[dict, dict]:
+    """One classic cross-reference section + its trailer dict.
+    In-use entries map to byte offsets; FREE entries map to None so
+    an incremental delete SHADOWS older offsets in the newest-wins
+    merge."""
     lex = _Lexer(data, start)
     t = lex.next_token()
     if t != ("kw", "xref"):
-        raise ValueError(
-            "no classic xref table at startxref (xref streams out of scope)"
-        )
-    xref: dict[int, int] = {}
+        raise ValueError("no classic xref table at section start")
+    xref: dict[int, int | None | tuple] = {}
     while True:
-        save = lex.pos
         t = lex.next_token()
         if t == ("kw", "trailer"):
             break
@@ -348,19 +447,140 @@ def _parse_xref_table(data: bytes, start: int) -> tuple[dict[int, int], dict]:
             kind = entry[17:18]
             if kind == b"n":
                 xref[first + i] = off
-            elif kind != b"f":
+            elif kind == b"f":
+                xref[first + i] = None
+            else:
                 raise ValueError(f"xref entry type {kind!r} unknown")
             pos += 20
         lex.pos = pos
-        del save
     trailer = lex.parse_value()
     if not isinstance(trailer, dict):
         raise ValueError("trailer is not a dictionary")
-    if "Prev" in trailer:
-        raise ValueError("incremental updates (/Prev) out of scope")
-    if "Encrypt" in trailer:
-        raise ValueError("encrypted PDF out of scope")
     return xref, trailer
+
+
+def _parse_xref_stream_at(data: bytes, start: int) -> tuple[dict, dict]:
+    """A PDF 1.5 cross-reference STREAM (ISO 32000-1 §7.5.8): an
+    ordinary ``N G obj`` whose dict doubles as the trailer.  ``/W``
+    gives the three field widths; rows cover the ``/Index``
+    subsections (default ``[0 /Size]``).  Entry types: 0 = free
+    (None), 1 = byte offset, 2 = ('objstm', stream number, index)."""
+    lex = _Lexer(data, start)
+    t1, t2, t3 = lex.next_token(), lex.next_token(), lex.next_token()
+    if (
+        t1 is None or t1[0] != "num" or t2 is None or t2[0] != "num"
+        or t3 != ("kw", "obj")
+    ):
+        raise ValueError("no xref stream object at section start")
+    d = lex.parse_value()
+    if not isinstance(d, dict) or d.get("Type") != "XRef":
+        raise ValueError("startxref object is not /Type /XRef")
+    if lex.next_token() != ("kw", "stream"):
+        raise ValueError("xref stream dict without stream data")
+    p = lex.pos
+    if data[p : p + 2] == b"\r\n":
+        p += 2
+    elif data[p : p + 1] == b"\n":
+        p += 1
+    else:
+        raise ValueError("stream keyword not followed by EOL")
+    length = d.get("Length")
+    # /Length must be direct here: resolving an indirect length needs
+    # the xref this stream is still defining
+    if not isinstance(length, int) or length < 0 or p + length > len(data):
+        raise ValueError("xref stream /Length missing or not direct")
+    body = _Stream(d, data[p : p + length]).decoded()
+    w = d.get("W")
+    if (
+        not isinstance(w, list) or len(w) != 3
+        or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+        or sum(w) == 0
+    ):
+        raise ValueError("xref stream /W malformed")
+    size = d.get("Size")
+    if not isinstance(size, int) or size <= 0 or size > 1 << 24:
+        raise ValueError("xref stream /Size malformed")
+    index = d.get("Index", [0, size])
+    if (
+        not isinstance(index, list) or len(index) % 2
+        or not all(isinstance(x, int) and x >= 0 for x in index)
+    ):
+        raise ValueError("xref stream /Index malformed")
+    rw = sum(w)
+    n_rows = sum(index[1::2])
+    if n_rows * rw != len(body):
+        raise ValueError(
+            f"xref stream holds {len(body)} bytes, "
+            f"/Index wants {n_rows} x {rw}"
+        )
+    xref: dict[int, int | None | tuple] = {}
+    pos = 0
+    for k in range(0, len(index), 2):
+        first, count = index[k], index[k + 1]
+        for i in range(count):
+            f = []
+            for width in w:
+                f.append(int.from_bytes(body[pos : pos + width], "big"))
+                pos += width
+            etype = f[0] if w[0] else 1  # width-0 type defaults to 1
+            num = first + i
+            if etype == 0:
+                xref[num] = None
+            elif etype == 1:
+                xref[num] = f[1]
+            elif etype == 2:
+                xref[num] = ("objstm", f[1], f[2])
+            else:
+                raise ValueError(f"xref stream entry type {etype} unknown")
+    return xref, d
+
+
+_MAX_XREF_SECTIONS = 32
+
+
+def _read_xref_chain(data: bytes, start: int) -> tuple[dict, dict]:
+    """Follow the cross-reference chain from ``startxref``: classic
+    tables and/or xref streams, ``/Prev`` links (incremental
+    updates), and hybrid ``/XRefStm`` supplements.  Newest section
+    wins — including FREE entries, so deletes shadow old offsets.
+    Returns the merged (xref, trailer)."""
+    xref: dict[int, int | None | tuple] = {}
+    trailer: dict = {}
+    seen: set[int] = set()
+    for _ in range(_MAX_XREF_SECTIONS):
+        if start in seen:
+            raise ValueError("xref /Prev chain loops")
+        seen.add(start)
+        lex = _Lexer(data, start)
+        t = lex.next_token()
+        if t == ("kw", "xref"):
+            sec, tr = _parse_classic_section(data, start)
+        elif t is not None and t[0] == "num":
+            sec, tr = _parse_xref_stream_at(data, start)
+        else:
+            raise ValueError("neither xref table nor xref stream at startxref")
+        if "Encrypt" in tr:
+            raise ValueError("encrypted PDF out of scope")
+        for k, v in sec.items():
+            xref.setdefault(k, v)
+        for k, v in tr.items():
+            trailer.setdefault(k, v)
+        xs = tr.get("XRefStm")
+        if xs is not None:
+            # hybrid-reference file: the stream supplements this
+            # classic section (same update, so same precedence tier)
+            if not isinstance(xs, int) or not 0 < xs < len(data):
+                raise ValueError("bad /XRefStm offset")
+            ssec, _ = _parse_xref_stream_at(data, xs)
+            for k, v in ssec.items():
+                xref.setdefault(k, v)
+        prev = tr.get("Prev")
+        if prev is None:
+            return xref, trailer
+        if not isinstance(prev, int) or not 0 < prev < len(data):
+            raise ValueError("bad /Prev offset")
+        start = prev
+    raise ValueError("xref /Prev chain too long")
 
 
 _TEXT_SHOW_OPS = ("Tj", "'", '"')
@@ -437,7 +657,7 @@ def extract_pdf_text(payload: bytes) -> dict:
     xref_pos = int(m.group(1))
     if xref_pos <= 0 or xref_pos >= len(payload):
         raise ValueError("startxref offset out of bounds")
-    xref, trailer = _parse_xref_table(payload, xref_pos)
+    xref, trailer = _read_xref_chain(payload, xref_pos)
     doc = _Document(payload, xref)
     root = doc.obj(trailer.get("Root"))
     if not isinstance(root, dict) or root.get("Type") != "Catalog":
@@ -560,5 +780,183 @@ def synth_pdf(seed: int) -> bytes:
     out += (
         f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def synth_pdf_xref_stream(seed: int) -> bytes:
+    """The PDF 1.5+ layout EVERY modern writer emits by default:
+    catalog/pages/font packed into an OBJECT STREAM (``/Type
+    /ObjStm``), the cross-reference as a ``/Type /XRef`` STREAM with
+    ``/W [1 4 2]`` field widths, FlateDecode + ``/Predictor 12``
+    row filters (rotated per seed through None/Sub/Up/Paeth — the
+    predictor VALUE only announces "PNG family"; each row's filter
+    byte decides), and ``/Index`` exercised in all three spellings
+    (omitted / explicit / split subsections).  Same text plan as
+    :func:`synth_pdf`, so the oracle shares its string formulas;
+    object count differs (the ObjStm and XRef stream are objects)."""
+    import zlib
+
+    n_pages = 1 + seed % 3
+    first_page_obj = 4
+    objstm_num = first_page_obj + 2 * n_pages
+    xref_num = objstm_num + 1
+    size = xref_num + 1
+    kids = " ".join(f"{first_page_obj + 2 * p} 0 R" for p in range(n_pages))
+    inner: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for p in range(n_pages):
+        page_obj = first_page_obj + 2 * p
+        content_obj = page_obj + 1
+        hexs = f"#{p}".encode().hex().upper()
+        content = (
+            f"BT /F1 12 Tf 72 720 Td (Invoice {seed} page {p}) Tj "
+            f"0 -14 Td (line two {seed + p}) ' "
+            f"[(par) -250 (t{p})] TJ "
+            "(a\\(b\\)c\\\\d\\101) Tj "
+            f"<{hexs}> Tj ET"
+        ).encode()
+        comp = zlib.compress(content, 9)
+        offsets[content_obj] = len(out)
+        out += (
+            f"{content_obj} 0 obj\n<< /Length {len(comp)} "
+            f"/Filter /FlateDecode >>\nstream\n".encode()
+            + comp
+            + b"\nendstream\nendobj\n"
+        )
+        offsets[page_obj] = len(out)
+        out += (
+            f"{page_obj} 0 obj\n<< /Type /Page /Parent 2 0 R "
+            f"/MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {content_obj} 0 R >>\nendobj\n"
+        ).encode()
+    # object stream: directory of (objnum, relative offset) pairs,
+    # then the bodies at /First + offset
+    dir_parts, bodies, rel = [], [], 0
+    for num in sorted(inner):
+        b = inner[num]
+        dir_parts.append(f"{num} {rel}")
+        bodies.append(b)
+        rel += len(b) + 1
+    header = (" ".join(dir_parts) + " ").encode()
+    stm_plain = header + b" ".join(bodies)
+    first = len(header)
+    comp = zlib.compress(stm_plain, 9)
+    offsets[objstm_num] = len(out)
+    out += (
+        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(inner)} "
+        f"/First {first} /Length {len(comp)} "
+        f"/Filter /FlateDecode >>\nstream\n".encode()
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    # xref stream rows, W = [1 4 2]
+    xref_pos = len(out)
+    offsets[xref_num] = xref_pos
+    rows = []
+    rows.append((0, 0, 65535))  # object 0: free-list head
+    for num, idx in zip(sorted(inner), range(len(inner))):
+        rows.append((2, objstm_num, idx))
+    for num in range(first_page_obj, objstm_num + 1):
+        rows.append((1, offsets[num], 0))
+    rows.append((1, xref_pos, 0))
+    raw = b"".join(
+        bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in rows
+    )
+    # PNG-predict the rows (filter rotated by seed; Up needs the
+    # previous RECONSTRUCTED row, Sub/Paeth the previous bytes)
+    rowlen = 7
+    filt = (0, 1, 2, 4)[seed % 4]
+    filtered = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(raw), rowlen):
+        row = raw[r : r + rowlen]
+        filtered.append(filt)
+        if filt == 0:
+            filtered += row
+        elif filt == 1:  # Sub, bpp=1
+            left = 0
+            for x in row:
+                filtered.append((x - left) & 0xFF)
+                left = x
+        elif filt == 2:  # Up
+            filtered += bytes((x - p) & 0xFF for x, p in zip(row, prev))
+        else:  # Paeth, bpp=1: predictor(left, up, upleft)
+            left = upleft = 0
+            for x, up in zip(row, prev):
+                pp = left + up - upleft
+                pa, pb, pc = abs(pp - left), abs(pp - up), abs(pp - upleft)
+                pred = (
+                    left if (pa <= pb and pa <= pc)
+                    else (up if pb <= pc else upleft)
+                )
+                filtered.append((x - pred) & 0xFF)
+                left, upleft = x, up
+        prev = row
+    comp = zlib.compress(bytes(filtered), 9)
+    index = {
+        0: b"",
+        1: f" /Index [0 {size}]".encode(),
+        2: f" /Index [0 1 1 {size - 1}]".encode(),
+    }[seed % 3]
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2]"
+        .encode()
+        + index
+        + (
+            f" /Root 1 0 R /Length {len(comp)} /Filter /FlateDecode"
+            f" /DecodeParms << /Predictor 12 /Columns {rowlen} >> >>"
+            f"\nstream\n"
+        ).encode()
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def synth_pdf_incremental(seed: int) -> bytes:
+    """An INCREMENTAL UPDATE on top of :func:`synth_pdf`'s classic
+    file — how every PDF editor saves: the original bytes untouched,
+    a replacement for page 0's content stream appended, a second
+    xref section covering only the changed object (plus a FREED
+    entry shadowing the now-orphaned indirect-length object), and a
+    trailer whose ``/Prev`` points at the original table.  Page 0's
+    text becomes ``rev2 {seed} page 0``; other pages keep the base
+    plan."""
+    import zlib
+
+    base = synth_pdf(seed)
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", base[-256:]):
+        pass
+    assert m is not None  # our own producer always writes one
+    old_xref = int(m.group(1))
+    n_pages = 1 + seed % 3
+    size = 2 * n_pages + 5  # unchanged /Size
+    len_obj = 4 + 2 * n_pages  # the old indirect-length object, freed
+    content = f"BT /F1 12 Tf 72 720 Td (rev2 {seed} page 0) Tj ET".encode()
+    comp = zlib.compress(content, 9)
+    out = bytearray(base)
+    new_off = len(out)
+    out += (
+        f"5 0 obj\n<< /Length {len(comp)} /Filter /FlateDecode >>"
+        f"\nstream\n".encode()
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    new_xref = len(out)
+    out += (
+        f"xref\n5 1\n{new_off:010d} 00001 n \n"
+        f"{len_obj} 1\n0000000000 00001 f \n"
+        f"trailer\n<< /Size {size} /Root 1 0 R /Prev {old_xref} >>\n"
+        f"startxref\n{new_xref}\n%%EOF\n"
     ).encode()
     return bytes(out)

@@ -1162,6 +1162,36 @@ def synthesize_pdf_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _synthesize_media(ids, id_col, loader)
 
 
+def synthesize_pdf_xref_stream_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of PDF 1.5 files: xref
+    STREAM + object stream + PNG-predictor FlateDecode
+    (``functions/pdf_text.py:synth_pdf_xref_stream``)."""
+
+    def loader():
+        from ..functions.pdf_text import synth_pdf_xref_stream
+
+        return synth_pdf_xref_stream
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def synthesize_pdf_incremental_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of incrementally-updated
+    PDFs: base file + appended update section + /Prev chain
+    (``functions/pdf_text.py:synth_pdf_incremental``)."""
+
+    def loader():
+        from ..functions.pdf_text import synth_pdf_incremental
+
+        return synth_pdf_incremental
+
+    return _synthesize_media(ids, id_col, loader)
+
+
 def extract_pdf_text_features(media: DataFrame, permissive: bool = False) -> DataFrame:
     """Full PDF reader walk per payload
     (:func:`..functions.pdf_text.extract_pdf_text`): xref table,

@@ -5135,14 +5135,118 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator order (TJ kerning numbers skipped), and the oracle
     recomputes the ENTIRE extracted string per document, so the
     value hash pins unescaping, hex decode, stream inflation, and
-    page ordering at once. Xref streams / object streams /
-    encryption quarantine via the documented-boundary contract."""
+    page ordering at once. PDF 1.5 xref/object streams are covered
+    by ``pdf_xref_stream_extract``; encryption quarantines via the
+    documented-boundary contract."""
     from ..operators.multimodal import (
         extract_pdf_text_features,
         synthesize_pdf_media,
     )
 
     media = synthesize_pdf_media(_t(spark, sf_dir, "documents"))
+    return extract_pdf_text_features(media)
+
+
+@register(
+    "pdf_xref_stream_extract",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 3 AS np FROM documents),
+    pg AS (
+      SELECT media_id, np, unnest(generate_series(0, np - 1)) AS p FROM m),
+    txt AS (
+      SELECT media_id, np, p,
+             'Invoice ' || CAST(media_id AS VARCHAR) || ' page '
+               || CAST(p AS VARCHAR)
+               || 'line two ' || CAST(media_id + p AS VARCHAR)
+               || 'part' || CAST(p AS VARCHAR)
+               || 'a(b)c\\dA'
+               || '#' || CAST(p AS VARCHAR) AS s
+      FROM pg)
+    SELECT media_id,
+           CAST(max(np) AS INT) AS n_pages,
+           CAST(max(np) * 2 + 5 AS INT) AS n_objects,
+           string_agg(s, '|' ORDER BY p) AS text,
+           CAST(length(string_agg(s, '|' ORDER BY p)) AS INT)
+             AS text_chars
+    FROM txt
+    GROUP BY media_id
+    """,
+    tags=("sources", "pdf", "document", "xref-stream", "mapInPandas"),
+)
+def q_pdf_xref_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF 1.5 CROSS-REFERENCE-STREAM extraction (round 10) — the
+    layout every modern PDF writer emits by default, and the
+    round-9 verdict's #1 quarantine gap on real corpora: the xref is
+    itself a FlateDecode ``/Type /XRef`` stream (``/W`` field
+    widths, ``/Index`` subsections, type-0/1/2 entries) decoded
+    through PNG predictor 12 row filters (REUSING ``png.py``'s
+    unfilter — Sub/Up/Paeth rows rotated by seed), and the document
+    objects live inside an OBJECT STREAM (``/Type /ObjStm``,
+    directory pairs + ``/First``).  Same text plan as
+    ``pdf_text_extract``, so the oracle pins the full string again;
+    only the object count differs (+1 ObjStm, +1 XRef stream).
+    Reader: ``functions/pdf_text.py`` (`_parse_xref_stream_at`,
+    `_Document._objstm_obj`)."""
+    from ..operators.multimodal import (
+        extract_pdf_text_features,
+        synthesize_pdf_xref_stream_media,
+    )
+
+    media = synthesize_pdf_xref_stream_media(_t(spark, sf_dir, "documents"))
+    return extract_pdf_text_features(media)
+
+
+@register(
+    "pdf_incremental_extract",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 3 AS np FROM documents),
+    pg AS (
+      SELECT media_id, np, unnest(generate_series(0, np - 1)) AS p FROM m),
+    txt AS (
+      SELECT media_id, np, p,
+             CASE WHEN p = 0 THEN
+               'rev2 ' || CAST(media_id AS VARCHAR) || ' page 0'
+             ELSE
+               'Invoice ' || CAST(media_id AS VARCHAR) || ' page '
+                 || CAST(p AS VARCHAR)
+                 || 'line two ' || CAST(media_id + p AS VARCHAR)
+                 || 'part' || CAST(p AS VARCHAR)
+                 || 'a(b)c\\dA'
+                 || '#' || CAST(p AS VARCHAR)
+             END AS s
+      FROM pg)
+    SELECT media_id,
+           CAST(max(np) AS INT) AS n_pages,
+           CAST(max(np) * 2 + 4 AS INT) AS n_objects,
+           string_agg(s, '|' ORDER BY p) AS text,
+           CAST(length(string_agg(s, '|' ORDER BY p)) AS INT)
+             AS text_chars
+    FROM txt
+    GROUP BY media_id
+    """,
+    tags=("sources", "pdf", "document", "incremental-update",
+          "mapInPandas"),
+)
+def q_pdf_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY-UPDATED PDF extraction (round 10) — how every
+    PDF editor saves: original bytes untouched, a replacement
+    content stream appended, a second xref section + trailer whose
+    ``/Prev`` links back to the base table.  The reader follows the
+    ``/Prev`` chain newest-first with a newest-wins merge in which
+    FREED entries SHADOW older offsets (the update frees the
+    orphaned indirect-length object, so resurrecting it from the old
+    table would be a wrong answer).  Page 0's text is replaced by
+    the update (``rev2 {id} page 0``) — the oracle pins that the
+    NEW object wins and the untouched pages still read through the
+    old table."""
+    from ..operators.multimodal import (
+        extract_pdf_text_features,
+        synthesize_pdf_incremental_media,
+    )
+
+    media = synthesize_pdf_incremental_media(_t(spark, sf_dir, "documents"))
     return extract_pdf_text_features(media)
 
 

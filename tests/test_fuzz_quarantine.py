@@ -108,6 +108,16 @@ def _cases():
         ("mime", mime_mail.synth_email, mime_mail.parse_mime_message),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
+        (
+            "pdf_xref_stream",
+            pdf_text.synth_pdf_xref_stream,
+            pdf_text.extract_pdf_text,
+        ),
+        (
+            "pdf_incremental",
+            pdf_text.synth_pdf_incremental,
+            pdf_text.extract_pdf_text,
+        ),
         ("xz_full", lzma_codec.synth_xz_text, lzma_codec.decode_xz),
         ("lz4_frame", lz4_codec.synth_lz4, lz4_codec.scan_lz4_frame),
         ("zstd", zstd_codec.synth_zstd, zstd_codec.decode_zstd),

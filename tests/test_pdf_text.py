@@ -76,9 +76,9 @@ def test_boundaries_quarantine():
     enc = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
     with pytest.raises(ValueError, match="encrypted"):
         extract_pdf_text(enc)
-    # incremental update marker
+    # /Prev is FOLLOWED now (round 10); a bogus offset still raises
     prev = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Prev 42")
-    with pytest.raises(ValueError, match="incremental"):
+    with pytest.raises(ValueError, match="xref"):
         extract_pdf_text(prev)
 
 
