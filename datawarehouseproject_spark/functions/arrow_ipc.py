@@ -146,8 +146,21 @@ def _parse_footer(fb: _FB) -> dict:
                     "" if name_pos is None else fb.string_at(name_pos)
                 )
     dicts = fb.vector(footer, 2)  # dictionaries: [Block] (struct x24)
+    out["dict_blocks"] = []
     if dicts is not None:
-        out["n_dict_batches"] = dicts[1]
+        start, n = dicts
+        if n * 24 > len(fb.data):
+            raise ValueError("dictionary block vector out of range")
+        out["n_dict_batches"] = n
+        for i in range(n):
+            base = start + 24 * i
+            out["dict_blocks"].append(
+                {
+                    "offset": fb.i64(base),
+                    "meta_len": fb.i32(base + 8),
+                    "body_len": fb.i64(base + 16),
+                }
+            )
     blocks = fb.vector(footer, 3)  # recordBatches: [Block]
     if blocks is not None:
         start, n = blocks
@@ -236,12 +249,28 @@ _TYPE_INT = 2
 _TYPE_UTF8 = 5
 
 
-def _schema_types(fb: _FB, schema: int) -> list[tuple[str, int]]:
-    """[(kind, bit_width)] per schema field — kind 'int' or 'utf8'.
+def _int_bits(fb: _FB, type_tbl: int | None) -> int:
+    """bitWidth of an Int table (Schema.fbs: bitWidth(0), is_signed(1))."""
+    if type_tbl is None:
+        raise ValueError("arrow Int field without type table")
+    bw_pos = fb.field(type_tbl, 0)
+    bits = 32 if bw_pos is None else fb.i32(bw_pos)
+    if bits not in (8, 16, 32, 64):
+        raise ValueError(f"arrow Int bitWidth {bits} unsupported")
+    return bits
+
+
+def _schema_types(fb: _FB, schema: int) -> list[tuple]:
+    """One spec per schema field: ('int', bits), ('utf8', 0), or —
+    when Field.dictionary is set — ('dict', index_bits, value_kind,
+    dict_id): the record batch carries integer INDICES of
+    ``index_bits`` into the dictionary ``dict_id`` whose VALUES have
+    the field's own type.
 
     Field table (Schema.fbs): name(0), nullable(1), type_type(2,
-    union tag byte), type(3, union value table), dictionary(4),
-    children(5).  Int table: bitWidth(0, i32), is_signed(1)."""
+    union tag byte), type(3, union value table), dictionary(4,
+    DictionaryEncoding), children(5).  DictionaryEncoding: id(0,
+    long), indexType(1, Int), isOrdered(2), dictionaryKind(3)."""
     vec = fb.vector(schema, 1)
     if vec is None:
         return []
@@ -249,26 +278,24 @@ def _schema_types(fb: _FB, schema: int) -> list[tuple[str, int]]:
     out = []
     for i in range(n):
         field_tbl = fb.indirect(start + 4 * i)
-        if fb.field(field_tbl, 4) is not None:
-            # Field.dictionary set: the record batch carries int
-            # INDICES, not values — decoding them as data would be
-            # silently wrong statistics, so the boundary is loud
-            raise ValueError("dictionary-encoded arrow column unsupported")
         tag_pos = fb.field(field_tbl, 2)
         tag = 0 if tag_pos is None else fb.u8(tag_pos)
         if tag == _TYPE_INT:
-            type_tbl = fb.table_field(field_tbl, 3)
-            if type_tbl is None:
-                raise ValueError("arrow Int field without type table")
-            bw_pos = fb.field(type_tbl, 0)
-            bits = 32 if bw_pos is None else fb.i32(bw_pos)
-            if bits not in (8, 16, 32, 64):
-                raise ValueError(f"arrow Int bitWidth {bits} unsupported")
-            out.append(("int", bits))
+            vkind = ("int", _int_bits(fb, fb.table_field(field_tbl, 3)))
         elif tag == _TYPE_UTF8:
-            out.append(("utf8", 0))
+            vkind = ("utf8", 0)
         else:
             raise ValueError(f"arrow type tag {tag} unsupported by decoder")
+        enc_pos = fb.field(field_tbl, 4)
+        if enc_pos is None:
+            out.append(vkind)
+            continue
+        enc = fb.indirect(enc_pos)
+        id_pos = fb.field(enc, 0)
+        dict_id = 0 if id_pos is None else fb.i64(id_pos)
+        idx_tbl = fb.table_field(enc, 1)
+        index_bits = 32 if idx_tbl is None else _int_bits(fb, idx_tbl)
+        out.append(("dict", index_bits, vkind, dict_id))
     return out
 
 
@@ -313,7 +340,8 @@ def decode_arrow_values(payload: bytes) -> dict:
         "n_rows": 0, "int_sum": 0, "int_nulls": 0,
         "str_chars": 0, "str_nulls": 0,
     }
-    for block in footer["batches"]:
+
+    def locate(block: dict) -> tuple[int, int]:
         pos = block["offset"]
         if pos < 8 or pos + 8 > len(payload):
             raise ValueError("record-batch offset outside file")
@@ -326,8 +354,23 @@ def decode_arrow_values(payload: bytes) -> dict:
             meta_start = pos + 4
         if meta_len <= 0 or meta_start + meta_len > len(payload):
             raise ValueError("record-batch metadata length out of range")
+        return meta_start, meta_len
+
+    dicts: dict[int, list] = {}
+    vkinds = {t[3]: t[2] for t in types if t[0] == "dict"}
+    # footer order IS the replay order: initial batches precede
+    # their deltas
+    for block in footer["dict_blocks"]:
+        meta_start, meta_len = locate(block)
+        _decode_dict_batch(
+            payload, meta_start, meta_len, block["body_len"],
+            vkinds, dicts,
+        )
+    for block in footer["batches"]:
+        meta_start, meta_len = locate(block)
         _decode_batch_values(
-            payload, meta_start, meta_len, block["body_len"], types, stats
+            payload, meta_start, meta_len, block["body_len"], types,
+            stats, dicts,
         )
     return {
         "n_batches": len(footer["batches"]),
@@ -340,24 +383,16 @@ def decode_arrow_values(payload: bytes) -> dict:
     }
 
 
-def _decode_batch_values(
-    payload: bytes,
-    meta_start: int,
-    meta_len: int,
-    body_len: int,
-    types: list[tuple[str, int]],
-    stats: dict,
-) -> int:
-    """Decode ONE record-batch message's values into ``stats``;
-    returns the position just past the batch body."""
-    fb = _FB(payload[meta_start : meta_start + meta_len])
-    msg = fb.root()
-    tag_pos = fb.field(msg, 1)
-    if (0 if tag_pos is None else fb.u8(tag_pos)) != _MSG_RECORD_BATCH:
-        raise ValueError("message is not a record batch")
-    header = fb.table_field(msg, 2)
-    if header is None:
-        raise ValueError("record-batch message missing header")
+_INT_LETTER = {8: "b", 16: "h", 32: "i", 64: "q"}
+
+
+def _walk_batch_header(
+    payload: bytes, fb: _FB, header: int, body_len: int, meta_start: int,
+    meta_len: int, n_fields: int,
+):
+    """Shared RecordBatch-header walk (rows, nodes, buffers, the
+    body-relative ``buf`` accessor) for record AND dictionary
+    batches."""
     if fb.field(header, 3) is not None:
         raise ValueError("compressed arrow record batch unsupported")
     len_pos = fb.field(header, 0)
@@ -368,9 +403,9 @@ def _decode_batch_values(
     bufs = fb.vector(header, 2)
     if nodes is None or bufs is None:
         raise ValueError("record batch missing nodes/buffers")
-    if nodes[1] != len(types):
+    if nodes[1] != n_fields:
         raise ValueError(
-            f"{nodes[1]} field nodes for {len(types)} schema fields"
+            f"{nodes[1]} field nodes for {n_fields} schema fields"
         )
     if body_len < 0:
         raise ValueError("negative record-batch body length")
@@ -387,8 +422,7 @@ def _decode_batch_values(
             raise ValueError("arrow buffer outside batch body")
         return payload[body_start + off : body_start + off + length]
 
-    bi = 0
-    for col, (kind, bits) in enumerate(types):
+    def node(col: int) -> tuple[int, int]:
         node_base = nodes[0] + 16 * col
         node_len = fb.i64(node_base)
         null_count = fb.i64(node_base + 8)
@@ -396,32 +430,70 @@ def _decode_batch_values(
             raise ValueError("field node length != batch row count")
         if null_count < 0:
             raise ValueError("negative field-node null count")
+        return node_len, null_count
+
+    return rows, node, buf, body_start
+
+
+def _read_utf8_column(
+    buf, bi: int, rows: int
+) -> tuple[tuple, bytes, int]:
+    """(offsets, data, next buffer index) of a utf8 column whose
+    validity buffer is ALREADY consumed by the caller."""
+    offsets_b = buf(bi)
+    data = buf(bi + 1)
+    if len(offsets_b) < 4 * (rows + 1):
+        raise ValueError("utf8 offsets buffer too short")
+    offs = struct.unpack_from(f"<{rows + 1}i", offsets_b, 0)
+    if offs[rows] > len(data):
+        raise ValueError("utf8 offsets exceed data buffer")
+    if rows and offs[0] < 0:
+        raise ValueError("negative utf8 offset")
+    return offs, data, bi + 2
+
+
+def _decode_batch_values(
+    payload: bytes,
+    meta_start: int,
+    meta_len: int,
+    body_len: int,
+    types: list[tuple],
+    stats: dict,
+    dicts: dict[int, list] | None = None,
+) -> int:
+    """Decode ONE record-batch message's values into ``stats``;
+    returns the position just past the batch body."""
+    fb = _FB(payload[meta_start : meta_start + meta_len])
+    msg = fb.root()
+    tag_pos = fb.field(msg, 1)
+    if (0 if tag_pos is None else fb.u8(tag_pos)) != _MSG_RECORD_BATCH:
+        raise ValueError("message is not a record batch")
+    header = fb.table_field(msg, 2)
+    if header is None:
+        raise ValueError("record-batch message missing header")
+    rows, node, buf, body_start = _walk_batch_header(
+        payload, fb, header, body_len, meta_start, meta_len, len(types)
+    )
+    bi = 0
+    for col, spec in enumerate(types):
+        kind = spec[0]
+        _, null_count = node(col)
         validity = buf(bi)
         bi += 1
         if kind == "int":
+            bits = spec[1]
             data = buf(bi)
             bi += 1
-            width = bits // 8
-            if len(data) < rows * width:
+            if len(data) < rows * (bits // 8):
                 raise ValueError("int data buffer too short")
-            letter = {8: "b", 16: "h", 32: "i", 64: "q"}[bits]
-            vals = struct.unpack_from(f"<{rows}{letter}", data, 0)
+            vals = struct.unpack_from(f"<{rows}{_INT_LETTER[bits]}", data, 0)
             for i in range(rows):
                 if _valid(validity, i, null_count):
                     stats["int_sum"] += vals[i]
                 else:
                     stats["int_nulls"] += 1
-        else:  # utf8
-            offsets_b = buf(bi)
-            data = buf(bi + 1)
-            bi += 2
-            if len(offsets_b) < 4 * (rows + 1):
-                raise ValueError("utf8 offsets buffer too short")
-            offs = struct.unpack_from(f"<{rows + 1}i", offsets_b, 0)
-            if offs[rows] > len(data):
-                raise ValueError("utf8 offsets exceed data buffer")
-            if rows and offs[0] < 0:
-                raise ValueError("negative utf8 offset")
+        elif kind == "utf8":
+            offs, data, bi = _read_utf8_column(buf, bi, rows)
             for i in range(rows):
                 # the spec requires GLOBAL monotonicity (null slots
                 # included) — and it rules out negative-index slicing
@@ -433,7 +505,115 @@ def _decode_batch_values(
                     )
                 else:
                     stats["str_nulls"] += 1
+        else:  # dict: indices into a previously-delivered dictionary
+            _, index_bits, vkind, dict_id = spec
+            data = buf(bi)
+            bi += 1
+            if len(data) < rows * (index_bits // 8):
+                raise ValueError("dictionary index buffer too short")
+            idxs = struct.unpack_from(
+                f"<{rows}{_INT_LETTER[index_bits]}", data, 0
+            )
+            if dicts is None or dict_id not in dicts:
+                raise ValueError(
+                    f"record batch references dictionary {dict_id} "
+                    "before any dictionary batch delivered it"
+                )
+            values = dicts[dict_id]
+            null_key = "str_nulls" if vkind[0] == "utf8" else "int_nulls"
+            for i in range(rows):
+                if not _valid(validity, i, null_count):
+                    stats[null_key] += 1
+                    continue
+                ix = idxs[i]
+                if ix < 0 or ix >= len(values):
+                    raise ValueError(
+                        f"dictionary index {ix} outside the "
+                        f"{len(values)}-entry dictionary {dict_id}"
+                    )
+                v = values[ix]
+                if v is None:  # a null dictionary VALUE is a null slot
+                    stats[null_key] += 1
+                elif vkind[0] == "utf8":
+                    stats["str_chars"] += len(v)
+                else:
+                    stats["int_sum"] += v
     stats["n_rows"] += rows
+    return body_start + body_len
+
+
+def _decode_dict_batch(
+    payload: bytes,
+    meta_start: int,
+    meta_len: int,
+    body_len: int,
+    vkinds: dict[int, tuple],
+    dicts: dict[int, list],
+) -> int:
+    """Decode ONE DictionaryBatch message (Message.fbs: id(0, long),
+    data(1, RecordBatch), isDelta(2, bool)) into ``dicts`` — replace
+    on initial batches, APPEND on deltas.  The inner RecordBatch
+    carries exactly one column whose type is the dictionary's VALUE
+    type.  Returns the position just past the body."""
+    fb = _FB(payload[meta_start : meta_start + meta_len])
+    msg = fb.root()
+    tag_pos = fb.field(msg, 1)
+    if (0 if tag_pos is None else fb.u8(tag_pos)) != _MSG_DICT_BATCH:
+        raise ValueError("message is not a dictionary batch")
+    header = fb.table_field(msg, 2)
+    if header is None:
+        raise ValueError("dictionary-batch message missing header")
+    id_pos = fb.field(header, 0)
+    dict_id = 0 if id_pos is None else fb.i64(id_pos)
+    if dict_id not in vkinds:
+        raise ValueError(
+            f"dictionary batch id {dict_id} matches no schema field"
+        )
+    delta_pos = fb.field(header, 2)
+    is_delta = bool(fb.u8(delta_pos)) if delta_pos is not None else False
+    rb = fb.table_field(header, 1)
+    if rb is None:
+        raise ValueError("dictionary batch without record batch data")
+    rows, node, buf, body_start = _walk_batch_header(
+        payload, fb, rb, body_len, meta_start, meta_len, 1
+    )
+    _, null_count = node(0)
+    validity = buf(0)
+    vkind = vkinds[dict_id]
+    values: list = []
+    if vkind[0] == "utf8":
+        offs, data, _ = _read_utf8_column(buf, 1, rows)
+        for i in range(rows):
+            if offs[i + 1] < offs[i]:
+                raise ValueError("non-monotone utf8 offsets")
+            if _valid(validity, i, null_count):
+                values.append(data[offs[i] : offs[i + 1]].decode("utf-8"))
+            else:
+                values.append(None)
+    else:
+        bits = vkind[1]
+        data = buf(1)
+        if len(data) < rows * (bits // 8):
+            raise ValueError("int data buffer too short")
+        vals = struct.unpack_from(f"<{rows}{_INT_LETTER[bits]}", data, 0)
+        for i in range(rows):
+            values.append(
+                vals[i] if _valid(validity, i, null_count) else None
+            )
+    if is_delta:
+        if dict_id not in dicts:
+            raise ValueError(
+                f"delta dictionary batch for id {dict_id} with no "
+                "initial batch"
+            )
+        dicts[dict_id] = dicts[dict_id] + values
+    else:
+        # a second non-delta batch REPLACES the dictionary — the
+        # stream format's defined semantics (the file format forbids
+        # one, but the block list cannot prove provenance)
+        dicts[dict_id] = values
+    if len(dicts[dict_id]) > 1 << 24:
+        raise ValueError("dictionary grew past the 16M-entry cap")
     return body_start + body_len
 
 
@@ -458,6 +638,8 @@ def decode_arrow_stream(payload: bytes) -> dict:
         "str_chars": 0, "str_nulls": 0,
     }
     saw_eos = False
+    dicts: dict[int, list] = {}
+    vkinds: dict[int, tuple] = {}
     while pos < n:
         if pos + 4 > n:
             raise ValueError("truncated arrow stream message")
@@ -491,16 +673,22 @@ def decode_arrow_stream(payload: bytes) -> dict:
             if schema_tbl is None:
                 raise ValueError("schema message without schema table")
             types = _schema_types(fb, schema_tbl)
+            vkinds = {t[3]: t[2] for t in types if t[0] == "dict"}
             pos = meta_start + meta_len + body_len
         elif tag == _MSG_RECORD_BATCH:
             if types is None:
                 raise ValueError("record batch before schema message")
             pos = _decode_batch_values(
-                payload, meta_start, meta_len, body_len, types, stats
+                payload, meta_start, meta_len, body_len, types, stats,
+                dicts,
             )
             n_batches += 1
         elif tag == _MSG_DICT_BATCH:
-            raise ValueError("dictionary batches unsupported by decoder")
+            if types is None:
+                raise ValueError("dictionary batch before schema message")
+            pos = _decode_dict_batch(
+                payload, meta_start, meta_len, body_len, vkinds, dicts
+            )
         else:
             raise ValueError(f"unknown arrow stream message tag {tag}")
     if types is None:
@@ -663,4 +851,141 @@ def synth_arrow_ipc(seed: int) -> bytes:
     with ipc.new_file(buf, table.schema) as w:
         for _ in range(plan["n_batches"]):
             w.write_table(table)
+    return buf.getvalue()
+
+
+def synth_arrow_dict_plan(seed: int) -> dict:
+    """Plan mirrored in the DuckDB oracle: ``1 + seed%2`` batches of
+    ``20 + (seed*3) % 40`` rows; a dictionary<int32, utf8> column
+    over ``3 + seed%4`` categories ``cat{k}`` with index
+    ``(seed + i*7 + b) % K`` (NULL when ``(i+b)%6 == 5``), a
+    dictionary<int8, int32> column over ``2 + seed%3`` codes
+    ``seed + 100*k`` with index ``(i+b) % K2`` (never null), and a
+    plain int64 ``(seed*11 + i*13 + b*5) % 3000 - 1000`` (NULL when
+    ``(seed+i)%9 == 2``)."""
+    return {
+        "n_batches": 1 + seed % 2,
+        "rows_per_batch": 20 + (seed * 3) % 40,
+        "n_cats": 3 + seed % 4,
+        "n_codes": 2 + seed % 3,
+    }
+
+
+def synth_arrow_dict(seed: int) -> bytes:
+    """A REAL Arrow IPC FILE with DICTIONARY-ENCODED columns from
+    the pyarrow writer — pyarrow's default for low-cardinality
+    strings, and the round-9 verdict's #3 gap.  The dictionary is
+    constant across batches (the file format forbids replacement),
+    so the footer carries one dictionary block per id."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    plan = synth_arrow_dict_plan(seed)
+    n, k, k2 = plan["rows_per_batch"], plan["n_cats"], plan["n_codes"]
+    cat_values = pa.array([f"cat{j}" for j in range(k)], pa.utf8())
+    code_values = pa.array([seed + 100 * j for j in range(k2)], pa.int32())
+    schema = pa.schema(
+        [
+            pa.field("cat", pa.dictionary(pa.int32(), pa.utf8())),
+            pa.field("code", pa.dictionary(pa.int8(), pa.int32())),
+            pa.field("v64", pa.int64()),
+        ]
+    )
+    buf = io.BytesIO()
+    with ipc.new_file(buf, schema) as w:
+        for b in range(plan["n_batches"]):
+            cat_idx = pa.array(
+                [
+                    None if (i + b) % 6 == 5 else (seed + i * 7 + b) % k
+                    for i in range(n)
+                ],
+                pa.int32(),
+            )
+            code_idx = pa.array([(i + b) % k2 for i in range(n)], pa.int8())
+            v64 = pa.array(
+                [
+                    None
+                    if (seed + i) % 9 == 2
+                    else (seed * 11 + i * 13 + b * 5) % 3000 - 1000
+                    for i in range(n)
+                ],
+                pa.int64(),
+            )
+            w.write_batch(
+                pa.record_batch(
+                    [
+                        pa.DictionaryArray.from_arrays(cat_idx, cat_values),
+                        pa.DictionaryArray.from_arrays(code_idx, code_values),
+                        v64,
+                    ],
+                    schema=schema,
+                )
+            )
+    return buf.getvalue()
+
+
+def synth_arrow_dict_stream_plan(seed: int) -> dict:
+    """Plan mirrored in the DuckDB oracle: ``1 + seed%3`` stream
+    batches of ``15 + (seed*7) % 30`` rows; batch ``b`` indexes a
+    GROWING dictionary of ``(3 + seed%3) + 2*b`` utf8 entries
+    ``w{j}`` with index ``(seed + i*5 + b) % size_b`` (NULL when
+    ``(i+b)%4 == 3``), plus a plain int64
+    ``(seed*7 + i*11 + b*3) % 1000`` (NULL when ``(i+seed)%8 == 6``).
+    The growth forces pyarrow to emit DELTA dictionary batches."""
+    return {
+        "n_batches": 1 + seed % 3,
+        "rows_per_batch": 15 + (seed * 7) % 30,
+        "k0": 3 + seed % 3,
+    }
+
+
+def synth_arrow_dict_stream(seed: int) -> bytes:
+    """A REAL Arrow IPC STREAM with INITIAL + DELTA dictionary
+    batches (``IpcWriteOptions(emit_dictionary_deltas=True)``): the
+    dictionary grows by two entries every batch, so the wire carries
+    one initial dictionary batch and ``n_batches - 1`` deltas —
+    the accumulate-on-delta path a Flight feed exercises."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    plan = synth_arrow_dict_stream_plan(seed)
+    n, k0 = plan["rows_per_batch"], plan["k0"]
+    schema = pa.schema(
+        [
+            pa.field("cat", pa.dictionary(pa.int32(), pa.utf8())),
+            pa.field("v64", pa.int64()),
+        ]
+    )
+    opts = ipc.IpcWriteOptions(emit_dictionary_deltas=True)
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, schema, options=opts) as w:
+        for b in range(plan["n_batches"]):
+            size_b = k0 + 2 * b
+            values = pa.array([f"w{j}" for j in range(size_b)], pa.utf8())
+            idx = pa.array(
+                [
+                    None if (i + b) % 4 == 3 else (seed + i * 5 + b) % size_b
+                    for i in range(n)
+                ],
+                pa.int32(),
+            )
+            v64 = pa.array(
+                [
+                    None
+                    if (i + seed) % 8 == 6
+                    else (seed * 7 + i * 11 + b * 3) % 1000
+                    for i in range(n)
+                ],
+                pa.int64(),
+            )
+            w.write_batch(
+                pa.record_batch(
+                    [pa.DictionaryArray.from_arrays(idx, values), v64],
+                    schema=schema,
+                )
+            )
     return buf.getvalue()

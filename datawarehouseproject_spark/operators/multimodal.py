@@ -1897,6 +1897,36 @@ def extract_arrow_values(media: DataFrame, permissive: bool = False) -> DataFram
     return _extract_metadata(media, ARROW_VALUES_SCHEMA, loader, permissive)
 
 
+def synthesize_arrow_dict_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Arrow IPC FILES with
+    dictionary-encoded utf8/int32 columns
+    (``functions/arrow_ipc.py:synth_arrow_dict``)."""
+
+    def loader():
+        from ..functions.arrow_ipc import synth_arrow_dict
+
+        return synth_arrow_dict
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def synthesize_arrow_dict_stream_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Arrow IPC STREAMS whose
+    dictionary grows per batch, forcing initial + DELTA dictionary
+    batches (``functions/arrow_ipc.py:synth_arrow_dict_stream``)."""
+
+    def loader():
+        from ..functions.arrow_ipc import synth_arrow_dict_stream
+
+        return synth_arrow_dict_stream
+
+    return _synthesize_media(ids, id_col, loader)
+
+
 NPZ_SCAN_SCHEMA = T.StructType(
     [
         T.StructField("n_arrays", T.IntegerType()),

@@ -2227,8 +2227,8 @@ def q_arrow_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Flight sockets and pipe handoffs use, where there is no footer
     to seek to and the reader must carry schema state forward — a
     Schema message first, record batches after, the end-of-stream
-    marker (continuation + zero metadata length) last, dictionary
-    batches a loud boundary.  Batch value decoding (validity
+    marker (continuation + zero metadata length) last (dictionary
+    batches: see ``arrow_dict_delta_stream``).  Batch value decoding (validity
     bitmaps, buffer bounds, preorder walk) is shared code with the
     file-format path, so both layouts are pinned by the same oracle
     family against the pyarrow stream writer."""
@@ -2239,6 +2239,131 @@ def q_arrow_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = synthesize_arrow_stream_media(_t(spark, sf_dir, "documents"))
+    return extract_arrow_stream(media).select(
+        "media_id", "n_batches", "n_rows", "int_sum", "int_nulls",
+        "str_chars", "str_nulls",
+    )
+
+
+@register(
+    "arrow_dict_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS s, 1 + doc_id % 2 AS nb,
+             20 + (doc_id * 3) % 40 AS n,
+             3 + doc_id % 4 AS k, 2 + doc_id % 3 AS k2
+      FROM documents),
+    bt AS (
+      SELECT s, nb, n, k, k2, unnest(generate_series(0, nb - 1)) AS b
+      FROM m),
+    r AS (
+      SELECT s, nb, n, k, k2, b, unnest(generate_series(0, n - 1)) AS i
+      FROM bt),
+    v AS (
+      SELECT s, nb, b, i,
+             CASE WHEN (i + b) % 6 = 5 THEN NULL
+                  ELSE length('cat' || CAST((s + i * 7 + b) % k
+                                            AS VARCHAR)) END AS clen,
+             s + 100 * ((i + b) % k2) AS code,
+             CASE WHEN (s + i) % 9 = 2 THEN NULL
+                  ELSE (s * 11 + i * 13 + b * 5) % 3000 - 1000
+                  END AS v64
+      FROM r)
+    SELECT s AS media_id,
+           CAST(max(nb) AS INTEGER) AS n_batches,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(code) + coalesce(sum(v64), 0) AS BIGINT) AS int_sum,
+           CAST(sum(CASE WHEN v64 IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS int_nulls,
+           CAST(coalesce(sum(clen), 0) AS BIGINT) AS str_chars,
+           CAST(sum(CASE WHEN clen IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS str_nulls
+    FROM v
+    GROUP BY s
+    """,
+    tags=("multimodal", "mapInPandas", "arrow", "dictionary", "codec"),
+)
+def q_arrow_dict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC DICTIONARY-ENCODED column decode (round 10) —
+    pyarrow's default encoding for low-cardinality strings and the
+    round-9 verdict's #3 gap: the schema's ``Field.dictionary``
+    (DictionaryEncoding: id, indexType) switches the record batch to
+    integer INDICES, and the values arrive in separate
+    DictionaryBatch messages listed in the footer's dictionaries
+    block vector.  The reader (``functions/arrow_ipc.py``) resolves
+    int32 indices into a utf8 dictionary AND int8 indices into an
+    int32 dictionary (two ids in one schema), validity on the INDEX
+    array, out-of-range indices a loud refusal.  The oracle
+    recomputes both dictionaries' contributions exactly."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_arrow_values,
+        synthesize_arrow_dict_media,
+    )
+
+    media = synthesize_arrow_dict_media(_t(spark, sf_dir, "documents"))
+    return extract_arrow_values(media).select(
+        "media_id", "n_batches", "n_rows", "int_sum", "int_nulls",
+        "str_chars", "str_nulls",
+    )
+
+
+@register(
+    "arrow_dict_delta_stream",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS s, 1 + doc_id % 3 AS nb,
+             15 + (doc_id * 7) % 30 AS n, 3 + doc_id % 3 AS k0
+      FROM documents),
+    bt AS (
+      SELECT s, nb, n, k0, unnest(generate_series(0, nb - 1)) AS b
+      FROM m),
+    r AS (
+      SELECT s, nb, n, k0, b, unnest(generate_series(0, n - 1)) AS i
+      FROM bt),
+    v AS (
+      SELECT s, nb, b, i,
+             CASE WHEN (i + b) % 4 = 3 THEN NULL
+                  ELSE length('w' || CAST((s + i * 5 + b) % (k0 + 2 * b)
+                                          AS VARCHAR)) END AS wlen,
+             CASE WHEN (i + s) % 8 = 6 THEN NULL
+                  ELSE (s * 7 + i * 11 + b * 3) % 1000 END AS v64
+      FROM r)
+    SELECT s AS media_id,
+           CAST(max(nb) AS INTEGER) AS n_batches,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(v64), 0) AS BIGINT) AS int_sum,
+           CAST(sum(CASE WHEN v64 IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS int_nulls,
+           CAST(coalesce(sum(wlen), 0) AS BIGINT) AS str_chars,
+           CAST(sum(CASE WHEN wlen IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS str_nulls
+    FROM v
+    GROUP BY s
+    """,
+    tags=("multimodal", "mapInPandas", "arrow", "dictionary",
+          "streaming", "codec"),
+)
+def q_arrow_dict_delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC stream decode with DELTA dictionary batches
+    (round 10): the dictionary GROWS two entries per batch
+    (``IpcWriteOptions(emit_dictionary_deltas=True)``), so the wire
+    carries one initial DictionaryBatch and ``n-1`` ``isDelta``
+    batches that APPEND — the accumulate path a long-lived Flight
+    feed exercises, where re-sending the whole dictionary per batch
+    would defeat the encoding.  Batch ``b``'s indices address the
+    first ``k0 + 2b`` entries, so any delta mis-merge (skip, replace
+    instead of append, wrong order) shifts the recovered strings and
+    breaks the char-length oracle."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_arrow_stream,
+        synthesize_arrow_dict_stream_media,
+    )
+
+    media = synthesize_arrow_dict_stream_media(
+        _t(spark, sf_dir, "documents")
+    )
     return extract_arrow_stream(media).select(
         "media_id", "n_batches", "n_rows", "int_sum", "int_nulls",
         "str_chars", "str_nulls",

@@ -134,6 +134,16 @@ def _cases():
             arrow_ipc.synth_arrow_stream,
             arrow_ipc.decode_arrow_stream,
         ),
+        (
+            "arrow_dict",
+            arrow_ipc.synth_arrow_dict,
+            arrow_ipc.decode_arrow_values,
+        ),
+        (
+            "arrow_dict_stream",
+            arrow_ipc.synth_arrow_dict_stream,
+            arrow_ipc.decode_arrow_stream,
+        ),
     ]
 
 
