@@ -2247,6 +2247,21 @@ def synthesize_orc_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _synthesize_media(ids, id_col, loader)
 
 
+def synthesize_orc_compressed_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of ORC files with COMPRESSED
+    tails, codec rotating zlib/snappy/lz4/zstd
+    (``functions/orc_footer.py:synth_orc_compressed``)."""
+
+    def loader():
+        from ..functions.orc_footer import synth_orc_compressed
+
+        return synth_orc_compressed
+
+    return _synthesize_media(ids, id_col, loader)
+
+
 ORC_FOOTER_SCHEMA = T.StructType(
     [
         T.StructField("n_rows", T.LongType()),

@@ -2809,10 +2809,10 @@ def q_orc_footer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     enum, the field-8000 "ORC" magic), then the Footer's stripes /
     types / numberOfRows, with per-stripe row sums CHECKED against
     the file total. pyarrow is the independent producer again;
-    multi-stripe files (196 stripes at 200k rows) and the
-    compressed-footer boundary are pinned in
-    ``tests/test_orc_footer.py``. The oracle recomputes every field
-    from the writer plan."""
+    multi-stripe files (196 stripes at 200k rows) are pinned in
+    ``tests/test_orc_footer.py``; COMPRESSED tails are
+    ``orc_compressed_footer_scan``'s fixture. The oracle recomputes
+    every field from the writer plan."""
     _utc(spark)
     from ..operators.multimodal import (
         extract_orc_footer,
@@ -2820,6 +2820,42 @@ def q_orc_footer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = synthesize_orc_media(_t(spark, sf_dir, "documents"))
+    return extract_orc_footer(media).drop("payload_bytes")
+
+
+@register(
+    "orc_compressed_footer_scan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(20 + (doc_id * 7) % 300 AS BIGINT) AS n_rows,
+           CAST(1 AS INTEGER) AS n_stripes,
+           CAST(1 + doc_id % 3 AS INTEGER) AS n_columns,
+           CASE doc_id % 4 WHEN 0 THEN 'zlib' WHEN 1 THEN 'snappy'
+                WHEN 2 THEN 'lz4' ELSE 'zstd' END AS compression
+    FROM documents
+    """,
+    tags=("sources", "orc", "protobuf", "codec", "mapInPandas"),
+)
+def q_orc_compressed_footer_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPRESSED ORC tail scan (round 10) — the round-8 boundary
+    closed with decoders that already existed: real ORC writers
+    default to a compressed footer, framed as ORC chunk runs
+    (3-byte ``(len << 1) | is_original`` headers) whose payloads are
+    RAW DEFLATE / snappy / lz4 block / zstd — all four from this
+    repo's hand-rolled codec family (``inflate.py``, ``snappy.py``,
+    ``lz4_codec.py``, ``zstd_codec.py``), composed by
+    ``orc_footer.py:_decompress_orc_stream``.  pyarrow writes the
+    fixture rotating all four codecs by seed, so one query pins the
+    chunk framing against every codec; LZO stays a loud boundary."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_orc_footer,
+        synthesize_orc_compressed_media,
+    )
+
+    media = synthesize_orc_compressed_media(_t(spark, sf_dir, "documents"))
     return extract_orc_footer(media).drop("payload_bytes")
 
 

@@ -99,6 +99,11 @@ def _cases():
         ),
         ("orc", orc_footer.synth_orc, orc_footer.scan_orc_footer),
         (
+            "orc_compressed",
+            orc_footer.synth_orc_compressed,
+            orc_footer.scan_orc_footer,
+        ),
+        (
             "orc_values",
             orc_pages.synth_orc_values,
             orc_pages.scan_orc_values,

@@ -40,14 +40,59 @@ def test_multi_stripe_rows_consistent():
     assert got["n_stripes"] > 100  # 1 KB stripes really split
 
 
-def test_compressed_footer_is_documented_boundary():
+def test_compressed_footers_decode_all_codecs():
+    """Round 10: compressed tails decode through the chunk framing
+    composed with the hand-rolled codec family (zlib=raw deflate,
+    snappy, lz4 block, zstd)."""
+    from datawarehouseproject_spark.functions.orc_footer import (
+        synth_orc_compressed,
+        synth_orc_compressed_plan,
+    )
+
+    for seed in range(16):
+        plan = synth_orc_compressed_plan(seed)
+        got = scan_orc_footer(synth_orc_compressed(seed))
+        assert got["n_rows"] == plan["n_rows"]
+        assert got["n_columns"] == plan["n_columns"]
+        assert got["compression"] == plan["compression"]
+
+
+def test_multi_stripe_compressed_consistency():
     import pyarrow as pa
     import pyarrow.orc as orc
 
     buf = io.BytesIO()
-    orc.write_table(pa.table({"a": [1, 2, 3]}), buf, compression="zlib")
-    with pytest.raises(ValueError, match="compressed ORC footer"):
-        scan_orc_footer(buf.getvalue())
+    w = orc.ORCWriter(buf, compression="zstd", stripe_size=1024)
+    # hash-hex strings so zstd cannot crush the stripe under the
+    # stripe_size threshold (sequential ints compress to one stripe)
+    w.write(
+        pa.table(
+            {"a": [f"{(i * 2654435761) % 2**32:08x}" for i in range(60000)]}
+        )
+    )
+    w.close()
+    got = scan_orc_footer(buf.getvalue())
+    assert got["n_rows"] == 60000
+    assert got["compression"] == "zstd"
+    assert got["n_stripes"] > 1
+
+
+def test_lzo_stays_a_boundary():
+    """No LZO decoder in the family: the postscript names codec 3 and
+    the scan must refuse loudly, not mis-frame."""
+    from datawarehouseproject_spark.functions.orc_footer import (
+        synth_orc_compressed,
+    )
+
+    blob = bytearray(synth_orc_compressed(0))  # zlib
+    # postscript: field 2 varint holds the codec enum — patch 1 -> 3
+    ps_len = blob[-1]
+    ps = bytes(blob[len(blob) - 1 - ps_len : len(blob) - 1])
+    at = ps.find(b"\x10\x01")  # field 2, value 1 (zlib)
+    assert at >= 0
+    blob[len(blob) - 1 - ps_len + at + 1] = 3
+    with pytest.raises(ValueError, match="no decoder"):
+        scan_orc_footer(bytes(blob))
 
 
 def test_malformed_and_inconsistent_quarantine():
