@@ -12,12 +12,18 @@ format (sqlite.org/fileformat2.html):
 - pages are numbered FROM 1; page 1 holds the header, then the
   ``sqlite_schema`` table b-tree starting at byte 100;
 - b-tree page header: type byte (5 = table interior, 13 = table
-  leaf; 2/10 are index pages this reader skips), u16be freeblock
+  leaf, 2 = index interior, 10 = index leaf), u16be freeblock
   ptr, u16be cell count, u16be content start, u8 fragmented bytes,
   plus u32be right-most child on interior pages; then the u16be
   cell-pointer array;
 - table-leaf cell: varint payload length, varint rowid, record;
   table-interior cell: u32be left child, varint rowid;
+- INDEX b-trees (round 10) store each key exactly once, so interior
+  cells carry REAL entries (u32be left child, varint payload length,
+  key record) — WITHOUT ROWID tables live here (key record = PK
+  columns then the rest), as do secondary indexes (indexed columns
+  then the row reference); the index-page local-payload threshold is
+  ``((U-12)*64/255) - 23``, smaller than the table-leaf ``U - 35``;
 - record: varint header length, serial-type varints, then values —
   0 NULL, 1/2/3/4/5/6 big-endian two's-complement ints of
   1/2/3/4/6/8 bytes, 7 float64be, 8 literal 0, 9 literal 1,
@@ -206,45 +212,109 @@ class _Db:
                 raise ValueError("leaf cell pointer outside page")
             plen, cpos = _varint(data, cpos)
             rowid, cpos = _varint(data, cpos)
-            if plen < 0:
-                raise ValueError("negative sqlite payload length")
-            if plen <= max_local:
-                if cpos + plen > end:
-                    raise ValueError("sqlite payload past page end")
-                yield rowid, data[cpos : cpos + plen]
-                continue
-            # overflow chain (file-format doc §B-tree Pages): local
-            # portion K = M + ((P - M) % (U - 4)) with
-            # M = ((U-12)*32/255) - 23, clamped back to M when K > X;
-            # a 4-byte first-overflow-page pointer follows; each
-            # overflow page is [4-byte next][U-4 content bytes]
-            m = ((usable - 12) * 32) // 255 - 23
-            k = m + ((plen - m) % (usable - 4))
-            local = k if k <= max_local else m
-            if cpos + local + 4 > end:
-                raise ValueError("sqlite local payload past page end")
-            parts = [data[cpos : cpos + local]]
-            (next_pg,) = struct.unpack_from(">I", data, cpos + local)
-            remaining = plen - local
-            seen: set[int] = set()
-            while remaining > 0:
-                if next_pg == 0:
-                    raise ValueError("sqlite overflow chain ends early")
-                if next_pg in seen:
-                    raise ValueError("sqlite overflow chain cycle")
-                seen.add(next_pg)
-                if not 1 <= next_pg <= self.n_pages:
-                    raise ValueError(
-                        f"sqlite overflow page {next_pg} out of range"
-                    )
-                pstart = (next_pg - 1) * self.page_size
-                (next_pg,) = struct.unpack_from(">I", data, pstart)
-                take = min(usable - 4, remaining)
-                if pstart + 4 + take > len(data):
-                    raise ValueError("truncated sqlite overflow page")
-                parts.append(data[pstart + 4 : pstart + 4 + take])
-                remaining -= take
-            yield rowid, b"".join(parts)
+            yield rowid, self._read_payload(cpos, plen, start, end,
+                                            max_local)
+
+    def _read_payload(
+        self, cpos: int, plen: int, start: int, end: int, max_local: int
+    ) -> bytes:
+        """Cell payload at ``cpos``, following the OVERFLOW chain when
+        it exceeds the page-local threshold (file-format doc §B-tree
+        Pages): local portion ``K = M + ((P - M) % (U - 4))`` with
+        ``M = ((U-12)*32/255) - 23``, clamped back to ``M`` when
+        ``K > max_local``; a 4-byte first-overflow-page pointer
+        follows; each overflow page is [4-byte next][U-4 content]."""
+        data = self.data
+        usable = self.page_size
+        if plen < 0:
+            raise ValueError("negative sqlite payload length")
+        if plen <= max_local:
+            if cpos + plen > end:
+                raise ValueError("sqlite payload past page end")
+            return data[cpos : cpos + plen]
+        m = ((usable - 12) * 32) // 255 - 23
+        k = m + ((plen - m) % (usable - 4))
+        local = k if k <= max_local else m
+        if cpos + local + 4 > end:
+            raise ValueError("sqlite local payload past page end")
+        parts = [data[cpos : cpos + local]]
+        (next_pg,) = struct.unpack_from(">I", data, cpos + local)
+        remaining = plen - local
+        seen: set[int] = set()
+        while remaining > 0:
+            if next_pg == 0:
+                raise ValueError("sqlite overflow chain ends early")
+            if next_pg in seen:
+                raise ValueError("sqlite overflow chain cycle")
+            seen.add(next_pg)
+            if not 1 <= next_pg <= self.n_pages:
+                raise ValueError(
+                    f"sqlite overflow page {next_pg} out of range"
+                )
+            pstart = (next_pg - 1) * self.page_size
+            (next_pg,) = struct.unpack_from(">I", data, pstart)
+            take = min(usable - 4, remaining)
+            if pstart + 4 + take > len(data):
+                raise ValueError("truncated sqlite overflow page")
+            parts.append(data[pstart + 4 : pstart + 4 + take])
+            remaining -= take
+        return b"".join(parts)
+
+    def walk_index(self, root: int, depth: int = 0):
+        """Yield the KEY-RECORD bytes of every entry in the INDEX
+        b-tree rooted at ``root``, in key order.  Index b-trees store
+        each key exactly ONCE, so interior cells carry REAL entries —
+        skipping them (the table-walk habit) silently loses the rows
+        that happen to sit in interior pages.  WITHOUT ROWID tables
+        and secondary indexes both live in this page family (types
+        2/10); the index-page local-payload threshold is the SMALLER
+        ``((U-12)*64/255) - 23`` (not ``U - 35``)."""
+        if depth > _MAX_DEPTH:
+            raise ValueError("sqlite b-tree too deep (cycle?)")
+        data = self.data
+        start, hdr = self.page(root)
+        end = start + self.page_size
+        if hdr + 8 > len(data):
+            raise ValueError("truncated sqlite page header")
+        ptype = data[hdr]
+        (n_cells,) = struct.unpack_from(">H", data, hdr + 3)
+        usable = self.page_size
+        max_local = ((usable - 12) * 64) // 255 - 23
+        if ptype == _INTERIOR_INDEX:
+            if hdr + 12 > len(data):
+                raise ValueError("truncated interior page header")
+            (rightmost,) = struct.unpack_from(">I", data, hdr + 8)
+            ptr_base = hdr + 12
+            for i in range(n_cells):
+                off = ptr_base + 2 * i
+                if off + 2 > end:
+                    raise ValueError("cell pointer array past page end")
+                (cell,) = struct.unpack_from(">H", data, off)
+                cpos = start + cell
+                if cpos + 4 > end or cpos < start:
+                    raise ValueError("interior cell past page end")
+                (child,) = struct.unpack_from(">I", data, cpos)
+                plen, vpos = _varint(data, cpos + 4)
+                payload = self._read_payload(vpos, plen, start, end,
+                                             max_local)
+                yield from self.walk_index(child, depth + 1)
+                yield payload
+            yield from self.walk_index(rightmost, depth + 1)
+            return
+        if ptype != _LEAF_INDEX:
+            raise ValueError(f"page {root}: not an index b-tree page "
+                             f"(type {ptype})")
+        ptr_base = hdr + 8
+        for i in range(n_cells):
+            off = ptr_base + 2 * i
+            if off + 2 > end:
+                raise ValueError("cell pointer array past page end")
+            (cell,) = struct.unpack_from(">H", data, off)
+            cpos = start + cell
+            if cpos >= end or cpos < start:
+                raise ValueError("leaf cell pointer outside page")
+            plen, vpos = _varint(data, cpos)
+            yield self._read_payload(vpos, plen, start, end, max_local)
 
 
 def list_tables(payload: bytes) -> dict[str, int]:
@@ -276,6 +346,45 @@ def read_table(payload: bytes, name: str) -> tuple[list[int], list[list]]:
         rowids.append(rowid)
         rows.append(decode_record(rec))
     return rowids, rows
+
+
+def list_indexes(payload: bytes) -> dict[str, int]:
+    """``sqlite_schema`` rows with type 'index': {name -> root page}."""
+    db = _Db(payload)
+    indexes: dict[str, int] = {}
+    for _rowid, rec in db.walk_table(1):
+        row = decode_record(rec)
+        if len(row) < 5:
+            raise ValueError("sqlite_schema record with <5 columns")
+        if row[0] == "index":
+            root = row[3]
+            if not isinstance(root, int) or root < 1:
+                raise ValueError(f"index {row[1]!r} with bad root page")
+            indexes[str(row[1])] = root
+    return indexes
+
+
+def read_without_rowid(payload: bytes, name: str) -> list[list]:
+    """All rows of a WITHOUT ROWID table ``name``: its root is an
+    INDEX b-tree whose key records hold the PRIMARY KEY columns
+    first, then the remaining columns in declared order
+    (fileformat2 §2.2 'Representation Of SQL Tables')."""
+    tables = list_tables(payload)
+    if name not in tables:
+        raise ValueError(f"sqlite table {name!r} not found")
+    db = _Db(payload)
+    return [decode_record(rec) for rec in db.walk_index(tables[name])]
+
+
+def read_index_entries(payload: bytes, name: str) -> list[list]:
+    """All entries of index ``name``: key records of the indexed
+    columns followed by the row reference (rowid for ordinary
+    tables, the PK columns for WITHOUT ROWID tables)."""
+    indexes = list_indexes(payload)
+    if name not in indexes:
+        raise ValueError(f"sqlite index {name!r} not found")
+    db = _Db(payload)
+    return [decode_record(rec) for rec in db.walk_index(indexes[name])]
 
 
 def scan_sqlite(payload: bytes) -> dict:
@@ -345,6 +454,96 @@ def synth_sqlite(seed: int) -> bytes:
                     (seed * 3 + i * 17) % 1000 - 200,
                     "n" * _name_len(seed, i),
                     None if (i + seed) % 3 == 0 else i % 2,
+                )
+                for i in range(n)
+            ],
+        )
+        conn.commit()
+        return bytes(conn.serialize())
+    finally:
+        conn.close()
+
+
+def scan_sqlite_without_rowid(payload: bytes) -> dict:
+    """Scan for the ``sqlite_without_rowid_scan`` query: read the
+    ``kv(k TEXT PRIMARY KEY, score INTEGER, flag INTEGER) WITHOUT
+    ROWID`` fixture — an INDEX b-tree whose interior cells carry real
+    rows — AND its secondary index ``kv_score`` (entries =
+    [score, k]), cross-checking the two walks against each other so
+    a skipped interior entry in either tree breaks the scan."""
+    rows = read_without_rowid(payload, "kv")
+    if any(len(r) != 3 for r in rows):
+        raise ValueError("kv rows must have 3 columns")
+    ks = [r[0] for r in rows]
+    scores = [r[1] for r in rows]
+    flags = [r[2] for r in rows]
+    if any(not isinstance(v, str) for v in ks):
+        raise ValueError("kv.k decoded to non-text")
+    if any(not isinstance(v, int) for v in scores):
+        raise ValueError("kv.score decoded to non-integer")
+    entries = read_index_entries(payload, "kv_score")
+    if any(len(e) != 2 for e in entries):
+        raise ValueError("kv_score entries must be [score, k]")
+    if len(entries) != len(rows):
+        raise ValueError(
+            f"secondary index holds {len(entries)} entries for "
+            f"{len(rows)} table rows"
+        )
+    if sum(e[0] for e in entries) != sum(scores):
+        raise ValueError("index score sum != table score sum")
+    if sorted(e[1] for e in entries) != sorted(ks):
+        raise ValueError("index PK references != table keys")
+    return {
+        "n_rows": len(rows),
+        "k_len_sum": sum(len(v) for v in ks),
+        "score_sum": sum(scores),
+        "n_flag_null": sum(1 for v in flags if v is None),
+        "flag_sum": sum(v for v in flags if v is not None),
+        "idx_entries": len(entries),
+        "idx_k_len_sum": sum(len(e[1]) for e in entries),
+    }
+
+
+def synth_sqlite_wr_plan(seed: int) -> dict:
+    """Writer plan mirrored in the DuckDB oracle: n =
+    ``40 + (seed*13) % 260`` rows; k = ``'k' + 5-digit i`` padded
+    with ``'x' * 150`` when ``(i + seed) % 7 == 5`` (spilling the
+    INDEX-page payload past its ``((U-12)*64/255) - 23`` local
+    threshold into overflow pages) else ``'x' * (i % 5)``; score =
+    ``(seed*5 + i*23) % 2000 - 500``; flag = NULL when
+    ``(i + seed) % 4 == 0`` else ``i % 2``."""
+    return {"n_rows": 40 + (seed * 13) % 260}
+
+
+def _wr_key(seed: int, i: int) -> str:
+    pad = 150 if (i + seed) % 7 == 5 else i % 5
+    return f"k{i:05d}" + "x" * pad
+
+
+def synth_sqlite_wr(seed: int) -> bytes:
+    """A REAL WITHOUT ROWID database from the stdlib sqlite3 engine:
+    512-byte pages so both the table's index b-tree and the
+    ``kv_score`` secondary index grow interior pages (whose cells
+    carry real rows), plus long keys exercising INDEX-page overflow
+    chains."""
+    import sqlite3
+
+    n = synth_sqlite_wr_plan(seed)["n_rows"]
+    conn = sqlite3.connect(":memory:")
+    try:
+        conn.execute("PRAGMA page_size=512")
+        conn.execute(
+            "CREATE TABLE kv(k TEXT PRIMARY KEY, score INTEGER, "
+            "flag INTEGER) WITHOUT ROWID"
+        )
+        conn.execute("CREATE INDEX kv_score ON kv(score)")
+        conn.executemany(
+            "INSERT INTO kv VALUES (?, ?, ?)",
+            [
+                (
+                    _wr_key(seed, i),
+                    (seed * 5 + i * 23) % 2000 - 500,
+                    None if (i + seed) % 4 == 0 else i % 2,
                 )
                 for i in range(n)
             ],

@@ -2109,6 +2109,48 @@ def synthesize_sqlite_media(
     return _synthesize_media(ids, id_col, loader)
 
 
+def synthesize_sqlite_wr_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of WITHOUT ROWID SQLite
+    databases with a secondary index
+    (``functions/sqlite_scan.py:synth_sqlite_wr``)."""
+
+    def loader():
+        from ..functions.sqlite_scan import synth_sqlite_wr
+
+        return synth_sqlite_wr
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+SQLITE_WR_SCHEMA = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("k_len_sum", T.LongType()),
+        T.StructField("score_sum", T.LongType()),
+        T.StructField("n_flag_null", T.IntegerType()),
+        T.StructField("flag_sum", T.LongType()),
+        T.StructField("idx_entries", T.LongType()),
+        T.StructField("idx_k_len_sum", T.LongType()),
+    ]
+)
+
+
+def extract_sqlite_wr_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """WITHOUT ROWID table + secondary-index read per payload
+    (:func:`..functions.sqlite_scan.scan_sqlite_without_rowid`)."""
+
+    def loader():
+        from ..functions.sqlite_scan import scan_sqlite_without_rowid
+
+        return scan_sqlite_without_rowid
+
+    return _extract_metadata(media, SQLITE_WR_SCHEMA, loader, permissive)
+
+
 SQLITE_SCAN_SCHEMA = T.StructType(
     [
         T.StructField("n_tables", T.IntegerType()),

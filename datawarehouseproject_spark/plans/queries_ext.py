@@ -2729,8 +2729,10 @@ def q_sqlite_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     and decodes each record's serial types — signed 1/2/3-byte
     big-endian ints, NULLs, the 0/1 literal types, and UTF-8 text.
     Aggregates (signed sum, min, null count, text-length sum, rowid
-    sum) are recomputed by the oracle from the insert formulas.
-    Overflow-page payloads raise the documented ValueError boundary."""
+    sum) are recomputed by the oracle from the insert formulas; long
+    names follow real OVERFLOW chains (round 9), and WITHOUT ROWID /
+    index b-trees are ``sqlite_without_rowid_scan``'s fixture
+    (round 10)."""
     _utc(spark)
     from ..operators.multimodal import (
         extract_sqlite_scan,
@@ -2741,6 +2743,65 @@ def q_sqlite_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_sqlite_scan(media).select(
         "media_id", "n_tables", "n_rows", "rowid_sum", "score_sum",
         "score_min", "name_len_sum", "n_flag_null", "flag_sum",
+    )
+
+
+@register(
+    "sqlite_without_rowid_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 40 + (doc_id * 13) % 260 AS n
+      FROM documents),
+    r AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    v AS (
+      SELECT media_id, n, i,
+             6 + CASE WHEN (i + media_id) % 7 = 5 THEN 150
+                      ELSE i % 5 END AS klen,
+             (media_id * 5 + i * 23) % 2000 - 500 AS score,
+             CASE WHEN (i + media_id) % 4 = 0 THEN NULL
+                  ELSE i % 2 END AS flag
+      FROM r)
+    SELECT media_id,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(sum(klen) AS BIGINT) AS k_len_sum,
+           CAST(sum(score) AS BIGINT) AS score_sum,
+           CAST(sum(CASE WHEN flag IS NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_flag_null,
+           CAST(coalesce(sum(flag), 0) AS BIGINT) AS flag_sum,
+           CAST(max(n) AS BIGINT) AS idx_entries,
+           CAST(sum(klen) AS BIGINT) AS idx_k_len_sum
+    FROM v
+    GROUP BY media_id
+    """,
+    tags=("sources", "sqlite", "btree", "index", "mapInPandas"),
+)
+def q_sqlite_without_rowid_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQLite WITHOUT ROWID table + secondary-index read (round 10)
+    — the next real-world layout after round 8's table b-trees: any
+    ``TEXT PRIMARY KEY`` table is index-organized, stored in INDEX
+    b-tree pages (types 2/10) where each key lives exactly ONCE, so
+    INTERIOR cells carry real rows — a reader that only walks leaf
+    pages silently loses them (the oracle's sums catch exactly
+    that).  The scan (``sqlite_scan.py:walk_index``) does the full
+    in-order traversal with the index-page local-payload threshold
+    ``((U-12)*64/255) - 23`` and overflow chains for the long keys,
+    reads the ``kv`` table AND its ``kv_score`` secondary index
+    (entries = [score, k]), and cross-checks the two walks row-for-
+    row.  Producer: stdlib sqlite3 ``Connection.serialize``."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_sqlite_wr_scan,
+        synthesize_sqlite_wr_media,
+    )
+
+    media = synthesize_sqlite_wr_media(_t(spark, sf_dir, "documents"))
+    return extract_sqlite_wr_scan(media).select(
+        "media_id", "n_rows", "k_len_sum", "score_sum", "n_flag_null",
+        "flag_sum", "idx_entries", "idx_k_len_sum",
     )
 
 

@@ -110,6 +110,11 @@ def _cases():
         ),
         ("ico", ico.synth_ico, ico.scan_ico),
         ("sqlite", sqlite_scan.synth_sqlite, sqlite_scan.scan_sqlite),
+        (
+            "sqlite_wr",
+            sqlite_scan.synth_sqlite_wr,
+            sqlite_scan.scan_sqlite_without_rowid,
+        ),
         ("mime", mime_mail.synth_email, mime_mail.parse_mime_message),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
