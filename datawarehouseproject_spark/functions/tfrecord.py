@@ -102,7 +102,24 @@ def iter_records(payload: bytes):
 def scan_tfrecord(payload: bytes) -> dict:
     """Walk a TFRecord file: framing + both CRCs per record, then a
     FULL protobuf wire decode of each record payload
-    (:func:`.protowire.parse_record`), aggregated."""
+    (:func:`.protowire.parse_record`), aggregated.
+
+    COMPRESSED shards (round 10) are sniffed by magic and inflated
+    FIRST — ``.tfrecord.gz`` (TF's ``TFRecordOptions('GZIP')``
+    layout: the whole framed stream inside gzip members, decoded
+    member-by-member with trailer verification) and ``.tfrecord.zst``
+    (file-level zstd) — then the framing CRCs verify the
+    decompressed bytes, so a codec bug upstream cannot reach the
+    aggregates."""
+    raw_len = len(payload)
+    if payload[:2] == b"\x1f\x8b":
+        from .warc import split_gzip_members
+
+        payload = b"".join(split_gzip_members(payload))
+    elif payload[:4] == b"\x28\xb5\x2f\xfd":
+        from .zstd_codec import decode_zstd
+
+        payload = decode_zstd(payload)
     from .protowire import parse_record
 
     n_records = 0
@@ -128,7 +145,7 @@ def scan_tfrecord(payload: bytes) -> dict:
         "balance_sum": balance_sum,
         "name_chars": name_chars,
         "packed_sum": packed_sum,
-        "payload_bytes": len(payload),
+        "payload_bytes": raw_len,
     }
 
 
@@ -147,3 +164,43 @@ def synth_tfrecord(seed: int) -> bytes:
         write_record(synth_record(seed * 31 + r))
         for r in range(plan["n_records"])
     )
+
+
+def synth_tfrecord_compressed_plan(seed: int) -> dict:
+    """Plan mirrored in the DuckDB oracle: ``4 + seed%5`` records of
+    sub-seed ``seed * 47 + r``; container rotating by ``seed % 2``
+    between gzip (stdlib producer, two members splitting the framed
+    stream mid-record — the multi-member shard layout) and zstd
+    (pyarrow/libzstd producer, one frame)."""
+    return {
+        "n_records": 4 + seed % 5,
+        "codec": ("gzip", "zstd")[seed % 2],
+    }
+
+
+def synth_tfrecord_compressed(seed: int) -> bytes:
+    from .protowire import synth_record
+
+    plan = synth_tfrecord_compressed_plan(seed)
+    framed = b"".join(
+        write_record(synth_record(seed * 47 + r))
+        for r in range(plan["n_records"])
+    )
+    if plan["codec"] == "gzip":
+        import gzip
+        import io
+
+        # two gzip members split mid-stream: record framing must be
+        # reassembled ACROSS member boundaries, like real rotated
+        # shards concatenated with `cat`
+        cut = len(framed) // 2
+        out = io.BytesIO()
+        for part in (framed[:cut], framed[cut:]):
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(part)
+            out.write(buf.getvalue())
+        return out.getvalue()
+    import pyarrow as pa
+
+    return bytes(pa.Codec("zstd", compression_level=3).compress(framed))

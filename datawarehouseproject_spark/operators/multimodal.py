@@ -1811,6 +1811,21 @@ def synthesize_tfrecord_media(
     return _synthesize_media(ids, id_col, loader)
 
 
+def synthesize_tfrecord_compressed_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of COMPRESSED TFRecord
+    shards (.tfrecord.gz multi-member / .tfrecord.zst by seed,
+    ``functions/tfrecord.py:synth_tfrecord_compressed``)."""
+
+    def loader():
+        from ..functions.tfrecord import synth_tfrecord_compressed
+
+        return synth_tfrecord_compressed
+
+    return _synthesize_media(ids, id_col, loader)
+
+
 def extract_tfrecord_scan(media: DataFrame, permissive: bool = False) -> DataFrame:
     """TFRecord walk per payload
     (:func:`..functions.tfrecord.scan_tfrecord`): framing + BOTH

@@ -2422,6 +2422,56 @@ def q_tfrecord_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfrecord_compressed_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS s, 4 + doc_id % 5 AS nr FROM documents),
+    r AS (
+      SELECT s, nr, unnest(generate_series(0, nr - 1)) AS r FROM m),
+    x AS (
+      SELECT s, nr, s * 47 + r AS sp FROM r)
+    SELECT s AS media_id,
+           CAST(max(nr) AS INTEGER) AS n_records,
+           CAST(sum(sp % 1000) AS BIGINT) AS event_sum,
+           CAST(sum((sp * 37) % 2001 - 1000) AS BIGINT) AS balance_sum,
+           CAST(sum(length('rec-' || CAST(sp % 50 AS VARCHAR)))
+                AS BIGINT) AS name_chars,
+           CAST(sum(sp % 5 + sp % 11 + sp % 17) AS BIGINT) AS packed_sum
+    FROM x
+    GROUP BY s
+    """,
+    tags=("multimodal", "mapInPandas", "tfrecord", "protobuf",
+          "crc32c", "codec"),
+)
+def q_tfrecord_compressed_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPRESSED TFRecord shard scan (round 10) — how real corpora
+    actually ship TFRecord: ``TFRecordOptions('GZIP')`` wraps the
+    WHOLE framed stream in gzip (here TWO members split mid-record,
+    the rotated-shards-concatenated layout, so record framing must
+    reassemble across member boundaries), and ``.tfrecord.zst``
+    file-level zstd.  The scan sniffs the magic, inflates through
+    the hand gzip/zstd decoders (member CRC32+ISIZE / frame xxh64
+    verified), THEN verifies both masked CRC32Cs per record and
+    wire-decodes every protobuf payload — three checksum layers end
+    to end."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_tfrecord_scan,
+        synthesize_tfrecord_compressed_media,
+    )
+
+    media = synthesize_tfrecord_compressed_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return extract_tfrecord_scan(media).select(
+        "media_id", "n_records", "event_sum", "balance_sum",
+        "name_chars", "packed_sum",
+    )
+
+
+@register(
     "arrow_ipc_value_decode",
     oracle="""
     WITH m AS (

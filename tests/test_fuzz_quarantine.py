@@ -135,6 +135,11 @@ def _cases():
         ("npz", npy_scan.synth_npz, npy_scan.scan_npz),
         ("tfrecord", tfrecord.synth_tfrecord, tfrecord.scan_tfrecord),
         (
+            "tfrecord_compressed",
+            tfrecord.synth_tfrecord_compressed,
+            tfrecord.scan_tfrecord,
+        ),
+        (
             "arrow_values",
             arrow_ipc.synth_arrow_values,
             arrow_ipc.decode_arrow_values,

@@ -89,3 +89,42 @@ def test_declared_length_cannot_overrun():
     blob = hdr + struct.pack("<I", mask_crc(crc32c(hdr))) + b"xx"
     with pytest.raises(ValueError, match="truncated"):
         list(iter_records(blob))
+
+
+def test_compressed_shards_gzip_and_zstd():
+    """Round 10: gzip multi-member (framing reassembled across the
+    member split) and file-level zstd shards decode to the same
+    aggregates the raw framing would give."""
+    from datawarehouseproject_spark.functions.tfrecord import (
+        synth_tfrecord_compressed,
+        synth_tfrecord_compressed_plan,
+    )
+    from datawarehouseproject_spark.functions.protowire import (
+        synth_record,
+        parse_record,
+    )
+
+    for seed in range(8):
+        plan = synth_tfrecord_compressed_plan(seed)
+        got = scan_tfrecord(synth_tfrecord_compressed(seed))
+        assert got["n_records"] == plan["n_records"]
+        want_event = sum(
+            parse_record(synth_record(seed * 47 + r))["event_count"] or 0
+            for r in range(plan["n_records"])
+        )
+        assert got["event_sum"] == want_event
+
+
+def test_corrupt_compressed_byte_quarantines():
+    """A flipped byte inside the compressed body dies in the gzip
+    CRC32 / zstd xxh64 layer (or the framing CRC) — ValueError, never
+    wrong aggregates."""
+    from datawarehouseproject_spark.functions.tfrecord import (
+        synth_tfrecord_compressed,
+    )
+
+    for seed in (0, 1):
+        blob = bytearray(synth_tfrecord_compressed(seed))
+        blob[len(blob) // 2] ^= 0x40
+        with pytest.raises(ValueError):
+            scan_tfrecord(bytes(blob))
