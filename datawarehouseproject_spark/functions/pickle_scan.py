@@ -164,6 +164,16 @@ def scan_pickle(payload: bytes) -> dict:
                 n_lists += 1
             if c in "}])" or op >= 0x80:
                 saw_binary = True
+            if c in "td01eusalbRQo" or op in (
+                0x85, 0x86, 0x87, 0x90, 0x91, 0x81, 0x92,
+            ):
+                # stack-CONSUMING opcodes: any string they swallowed
+                # is no longer live, so drop the pushed-string history
+                # — otherwise an adversarial (non-pickler-shaped)
+                # stream could make STACK_GLOBAL retract an
+                # already-consumed string and report it as a stale
+                # module/qualname in the security-triage field
+                strings.clear()
         elif op == 0x93:  # STACK_GLOBAL: consumes two pushed strings
             saw_binary = True
             if len(strings) < 2:

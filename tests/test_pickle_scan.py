@@ -135,3 +135,34 @@ def test_opcode_count_cross_pinned_against_pickletools():
         payload = synth_pickle(seed)
         want = sum(1 for _ in pickletools.genops(payload))
         assert scan_pickle(payload)["n_opcodes"] == want, seed
+
+
+def test_stack_global_cannot_retract_consumed_strings():
+    """ADVICE r9: an adversarial stream that pushes two strings,
+    CONSUMES them (TUPLE2), then hits STACK_GLOBAL must refuse — not
+    report the stale, already-consumed strings as module/qualname."""
+    import pytest
+
+    blob = (
+        b"\x80\x04"                      # PROTO 4
+        b"\x8c\x02os"                    # SHORT_BINUNICODE 'os'
+        b"\x8c\x06system"                # SHORT_BINUNICODE 'system'
+        b"\x86"                          # TUPLE2: consumes both
+        b"\x93"                          # STACK_GLOBAL: nothing live
+        b"."
+    )
+    with pytest.raises(ValueError, match="STACK_GLOBAL"):
+        scan_pickle(blob)
+
+
+def test_stack_global_still_reads_adjacent_pushes():
+    blob = (
+        b"\x80\x04"
+        b"\x8c\x02os"
+        b"\x8c\x06system"
+        b"\x93"                          # canonical pickler shape
+        b"0."                            # POP the global, STOP
+    )
+    got = scan_pickle(blob)
+    assert got["n_globals"] == 1
+    assert got["global_names"] == "os system"
