@@ -2255,6 +2255,55 @@ def extract_parquet_values(
     return _extract_metadata(media, PARQUET_VALUES_SCHEMA, loader, permissive)
 
 
+def synthesize_parquet_page_index_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of parquet files carrying
+    ColumnIndex/OffsetIndex page statistics
+    (``functions/parquet_pageindex.py:synth_parquet_page_index``)."""
+
+    def loader():
+        from ..functions.parquet_pageindex import synth_parquet_page_index
+
+        return synth_parquet_page_index
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+PARQUET_PAGE_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_pages_v", T.IntegerType()),
+        T.StructField("n_pages_k", T.IntegerType()),
+        T.StructField("v_min", T.LongType()),
+        T.StructField("v_max", T.LongType()),
+        T.StructField("v_null_sum", T.LongType()),
+        T.StructField("k_min", T.LongType()),
+        T.StructField("k_max", T.LongType()),
+        T.StructField("k_ascending", T.BooleanType()),
+        T.StructField("pages_touched_point", T.IntegerType()),
+    ]
+)
+
+
+def extract_parquet_page_index(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Page-index scan per payload
+    (:func:`..functions.parquet_pageindex.scan_parquet_page_index`):
+    ColumnIndex/OffsetIndex decode, cross-checks, split-independent
+    min/max/null aggregates, point-lookup pruning."""
+
+    def loader():
+        from ..functions.parquet_pageindex import scan_parquet_page_index
+
+        return scan_parquet_page_index
+
+    return _extract_metadata(
+        media, PARQUET_PAGE_INDEX_SCHEMA, loader, permissive
+    )
+
+
 def synthesize_ico_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """id column -> (media_id, payload) of ICO favicon containers
     (``functions/ico.py``): mixed PNG/DIB entries at formula sizes."""

@@ -1560,6 +1560,71 @@ def q_media_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_page_index_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 400 + (doc_id * 37) % 800 AS n
+      FROM documents),
+    r AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    v AS (
+      SELECT media_id, n, i,
+             CASE WHEN (i + media_id) % 11 = 7 THEN NULL
+                  ELSE (media_id * 7 + i * 3) % 997 END AS v
+      FROM r)
+    SELECT media_id,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(min(v) AS BIGINT) AS v_min,
+           CAST(max(v) AS BIGINT) AS v_max,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS v_null_sum,
+           CAST(0 AS BIGINT) AS k_min,
+           CAST(max(n) - 1 AS BIGINT) AS k_max,
+           TRUE AS k_ascending,
+           CAST(1 AS INTEGER) AS pages_touched_point
+    FROM v
+    GROUP BY media_id
+    """,
+    tags=("sources", "parquet", "thrift", "data-skipping",
+          "mapInPandas"),
+)
+def q_parquet_page_index_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet PAGE INDEX scan (round 10) — the data-skipping
+    structure a 100 TB lake reads BEFORE touching any page: per-page
+    min/max/null-count statistics (ColumnIndex) and page locations
+    keyed by first row index (OffsetIndex), both thrift-compact
+    structs addressed from ColumnChunk fields 4-7, decoded by the
+    same hand wire walker as the footer
+    (``functions/parquet_pageindex.py``).  The scan cross-checks the
+    two indexes page-for-page (counts equal, first_row_index
+    starting at 0 and strictly increasing, offsets in-bounds and
+    increasing), reduces the page stats to SPLIT-INDEPENDENT
+    aggregates the oracle recomputes exactly (global min/max over
+    page bounds = true column min/max; null-count sum = true null
+    total), verifies the ascending column is flagged
+    ``boundary_order=ASCENDING``, and demos the pruning win: a point
+    lookup on the sorted column touches exactly ONE page however
+    pyarrow split them.  Producer: pyarrow ``write_page_index=True``
+    with 512-byte pages, so every file carries dozens of pages."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_parquet_page_index,
+        synthesize_parquet_page_index_media,
+    )
+
+    media = synthesize_parquet_page_index_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return extract_parquet_page_index(media).select(
+        "media_id", "n_rows", "v_min", "v_max", "v_null_sum",
+        "k_min", "k_max", "k_ascending", "pages_touched_point",
+    )
+
+
+@register(
     "parquet_footer_scan",
     oracle="""
     WITH m AS (

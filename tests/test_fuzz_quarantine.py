@@ -38,6 +38,7 @@ def _cases():
         orc_pages,
         parquet_footer,
         pdf_text,
+        parquet_pageindex,
         parquet_pages,
         png,
         sqlite_scan,
@@ -96,6 +97,11 @@ def _cases():
             "parquet_pages",
             parquet_pages.synth_parquet_data,
             parquet_pages.scan_parquet_values,
+        ),
+        (
+            "parquet_page_index",
+            parquet_pageindex.synth_parquet_page_index,
+            parquet_pageindex.scan_parquet_page_index,
         ),
         ("orc", orc_footer.synth_orc, orc_footer.scan_orc_footer),
         (
