@@ -1,0 +1,344 @@
+"""Avro OBJECT CONTAINER FILE reader, by hand — the row-major
+interchange format of the Hadoop/Kafka world, and (with parquet, ORC,
+Arrow IPC already covered) the last of the big-four table containers
+this engine meets in a real lake.  Everything here is the public
+Apache Avro 1.11 specification ("Object Container Files" +
+"Binary Encoding"):
+
+- header: magic ``Obj\\x01``, then file metadata as an Avro
+  map<string, bytes> (``avro.schema`` = the writer schema JSON,
+  ``avro.codec`` = null/deflate/snappy/...), then a 16-byte sync
+  marker;
+- maps encode as a series of blocks: zigzag-varint count (a NEGATIVE
+  count means abs(count) items preceded by a long byte-size — the
+  skippable form), the key/value pairs, then a terminating count 0;
+- each data block: long record-count, long byte-length, the (possibly
+  compressed) record bytes, then the 16-byte sync marker REPEATED —
+  readers must verify it to resynchronize (and this one refuses on
+  mismatch rather than resyncing silently);
+- codecs: ``null``; ``deflate`` = RAW DEFLATE (RFC 1951, no zlib
+  wrapper) decoded by this repo's hand inflater; ``snappy`` = raw
+  snappy block PLUS a 4-byte BIG-endian CRC32 of the uncompressed
+  bytes (spec quirk: the CRC is inside the block, after the
+  compressed payload) decoded by the hand snappy decoder;
+- primitive encodings: long/int = zigzag varint (the SAME zigzag the
+  protobuf codec pins), string/bytes = long length + payload,
+  double = 8-byte little-endian IEEE 754, boolean = one byte 0/1,
+  null = zero bytes; union = zigzag branch index then the value.
+
+The schema JSON is parsed (stdlib json) into a flat-record decode
+plan supporting long/int/string/double/boolean and the
+``["null", T]`` nullable union — the shape real flat Avro tables
+have; anything else is a loud documented boundary.
+
+Pinning: no Avro library ships in this container, so the layered
+pattern from TFRecord applies — the writer below is hand-rolled from
+the spec, the zigzag/varint layer is shared with the independently-
+pinned protobuf codec, the deflate/snappy layers are produced by
+stdlib zlib / re-verified against the snappy decoder's own producer
+pins, and every aggregate is recomputed by the DuckDB oracle from
+the plan formulas."""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+_MAGIC = b"Obj\x01"
+_MAX_BLOCK = 1 << 26
+_SUPPORTED = {"long", "int", "string", "double", "boolean"}
+
+
+def _zigzag_read(data: bytes, pos: int) -> tuple[int, int]:
+    """Avro long: little-endian base-128 varint, zigzag-mapped."""
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated avro varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 63:
+            raise ValueError("avro varint too long")
+    return (out >> 1) ^ -(out & 1), pos
+
+
+def _zigzag_write(v: int) -> bytes:
+    u = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_bytes(data: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _zigzag_read(data, pos)
+    if n < 0 or pos + n > len(data):
+        raise ValueError("avro bytes length out of bounds")
+    return data[pos : pos + n], pos + n
+
+
+def _read_meta_map(data: bytes, pos: int) -> tuple[dict[str, bytes], int]:
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _zigzag_read(data, pos)
+        if count == 0:
+            return meta, pos
+        if count < 0:
+            count = -count
+            _, pos = _zigzag_read(data, pos)  # skippable byte size
+        if count > 1 << 16:
+            raise ValueError("avro metadata map too large")
+        for _ in range(count):
+            k, pos = _read_bytes(data, pos)
+            v, pos = _read_bytes(data, pos)
+            meta[k.decode("utf-8", "replace")] = v
+
+
+def parse_avro_schema(schema_json: bytes) -> list[tuple[str, str, bool]]:
+    """Writer schema -> [(field name, primitive type, nullable)].
+    Flat records of long/int/string/double/boolean and
+    ``["null", T]`` unions only; anything else is a loud boundary."""
+    try:
+        schema = json.loads(schema_json)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"avro schema is not JSON: {e}") from None
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        raise ValueError("avro schema is not a record (boundary)")
+    fields = schema.get("fields")
+    if not isinstance(fields, list) or not fields:
+        raise ValueError("avro record schema without fields")
+    plan: list[tuple[str, str, bool]] = []
+    for f in fields:
+        if not isinstance(f, dict) or "name" not in f or "type" not in f:
+            raise ValueError("malformed avro field")
+        t = f["type"]
+        nullable = False
+        if isinstance(t, list):
+            if len(t) != 2 or "null" not in t:
+                raise ValueError(
+                    "avro union beyond ['null', T] unsupported (boundary)"
+                )
+            t = t[0] if t[1] == "null" else t[1]
+            nullable = True
+        if t not in _SUPPORTED:
+            raise ValueError(f"avro type {t!r} unsupported (boundary)")
+        plan.append((str(f["name"]), t, nullable))
+    return plan
+
+
+def _decode_value(data: bytes, pos: int, typ: str):
+    if typ == "long" or typ == "int":
+        return _zigzag_read(data, pos)
+    if typ == "string":
+        raw, pos = _read_bytes(data, pos)
+        return raw.decode("utf-8"), pos
+    if typ == "double":
+        if pos + 8 > len(data):
+            raise ValueError("truncated avro double")
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    # boolean
+    if pos >= len(data):
+        raise ValueError("truncated avro boolean")
+    b = data[pos]
+    if b not in (0, 1):
+        raise ValueError(f"avro boolean byte {b} invalid")
+    return bool(b), pos + 1
+
+
+def iter_avro_records(payload: bytes):
+    """Yield decoded record dicts; verifies the magic, walks the
+    metadata map, decodes every block through the named codec, and
+    REFUSES on sync-marker mismatch."""
+    if len(payload) < 20 or payload[:4] != _MAGIC:
+        raise ValueError("not an avro object container (bad magic)")
+    meta, pos = _read_meta_map(payload, 4)
+    if "avro.schema" not in meta:
+        raise ValueError("avro container without avro.schema")
+    plan = parse_avro_schema(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode("utf-8", "replace")
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError(f"avro codec {codec!r} unsupported (boundary)")
+    if pos + 16 > len(payload):
+        raise ValueError("truncated avro sync marker")
+    sync = payload[pos : pos + 16]
+    pos += 16
+    n = len(payload)
+    while pos < n:
+        count, pos = _zigzag_read(payload, pos)
+        size, pos = _zigzag_read(payload, pos)
+        if count <= 0 or size < 0 or size > _MAX_BLOCK:
+            raise ValueError("avro block count/size out of range")
+        if pos + size + 16 > n:
+            raise ValueError("avro block overruns payload")
+        body = payload[pos : pos + size]
+        pos += size
+        if payload[pos : pos + 16] != sync:
+            raise ValueError("avro sync marker mismatch")
+        pos += 16
+        if codec == "deflate":
+            d = zlib.decompressobj(wbits=-15)
+            try:
+                body = d.decompress(body, _MAX_BLOCK)
+            except zlib.error as e:
+                raise ValueError(f"avro deflate block: {e}") from None
+            if not d.eof or d.unconsumed_tail:
+                raise ValueError("avro deflate block truncated/oversized")
+        elif codec == "snappy":
+            if len(body) < 4:
+                raise ValueError("avro snappy block shorter than its CRC")
+            from .snappy import decode_snappy
+
+            crc = int.from_bytes(body[-4:], "big")
+            body = decode_snappy(body[:-4], max_output=_MAX_BLOCK)
+            if zlib.crc32(body) & 0xFFFFFFFF != crc:
+                raise ValueError("avro snappy block CRC mismatch")
+        bpos = 0
+        for _ in range(count):
+            rec = {}
+            for name, typ, nullable in plan:
+                if nullable:
+                    branch, bpos = _zigzag_read(body, bpos)
+                    if branch == 0:
+                        rec[name] = None
+                        continue
+                    if branch != 1:
+                        raise ValueError(
+                            f"avro union branch {branch} out of range"
+                        )
+                rec[name], bpos = _decode_value(body, bpos, typ)
+            yield rec
+        if bpos != len(body):
+            raise ValueError(
+                f"avro block decoded {bpos} of {len(body)} bytes"
+            )
+
+
+def scan_avro(payload: bytes) -> dict:
+    """Scan for the ``avro_container_scan`` query over the fixture
+    schema (id long, name string, ratio double, ok boolean, opt
+    nullable long): exact aggregates per field family."""
+    n_records = 0
+    id_sum = 0
+    name_chars = 0
+    ratio_sum = 0.0
+    n_ok = 0
+    n_opt_null = 0
+    opt_sum = 0
+    for rec in iter_avro_records(payload):
+        if set(rec) != {"id", "name", "ratio", "ok", "opt"}:
+            raise ValueError("avro record does not match fixture schema")
+        n_records += 1
+        id_sum += rec["id"]
+        name_chars += len(rec["name"])
+        ratio_sum += rec["ratio"]
+        n_ok += 1 if rec["ok"] else 0
+        if rec["opt"] is None:
+            n_opt_null += 1
+        else:
+            opt_sum += rec["opt"]
+    if n_records == 0:
+        raise ValueError("avro container with no records")
+    return {
+        "n_records": n_records,
+        "id_sum": id_sum,
+        "name_chars": name_chars,
+        "ratio_sum": ratio_sum,
+        "n_ok": n_ok,
+        "n_opt_null": n_opt_null,
+        "opt_sum": opt_sum,
+        "payload_bytes": len(payload),
+    }
+
+
+_SCHEMA_JSON = json.dumps(
+    {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "ratio", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "opt", "type": ["null", "long"]},
+        ],
+    }
+).encode()
+
+
+def synth_avro_plan(seed: int) -> dict:
+    """Plan mirrored in the DuckDB oracle: ``2 + seed%3`` blocks of
+    ``12 + (seed*7) % 40`` records; record (b, i) has id =
+    ``(seed*13 + i*7 + b) % 5000 - 1000``, name = ``'doc-' + (seed +
+    i + b) % 37``, ratio = ``((seed + i*3 + b) % 16) * 0.25`` (exact
+    in binary), ok = ``(i + b) % 3 == 0``, opt NULL when
+    ``(i + seed) % 5 == 2`` else ``(i * 11 + b) % 400``.  Codec
+    rotates null/deflate/snappy by ``seed % 3``."""
+    return {
+        "n_blocks": 2 + seed % 3,
+        "recs_per_block": 12 + (seed * 7) % 40,
+        "codec": ("null", "deflate", "snappy")[seed % 3],
+    }
+
+
+def _encode_record(seed: int, i: int, b: int) -> bytes:
+    out = bytearray()
+    out += _zigzag_write((seed * 13 + i * 7 + b) % 5000 - 1000)
+    name = f"doc-{(seed + i + b) % 37}".encode()
+    out += _zigzag_write(len(name)) + name
+    out += struct.pack("<d", ((seed + i * 3 + b) % 16) * 0.25)
+    out += b"\x01" if (i + b) % 3 == 0 else b"\x00"
+    if (i + seed) % 5 == 2:
+        out += _zigzag_write(0)  # union branch: null
+    else:
+        out += _zigzag_write(1) + _zigzag_write((i * 11 + b) % 400)
+    return bytes(out)
+
+
+def synth_avro(seed: int) -> bytes:
+    """An Avro object container hand-assembled from the spec (no
+    Avro library ships here — the TFRecord layered-pinning pattern):
+    metadata map with the schema JSON and codec, deterministic sync
+    marker, multi-block body.  The snappy layer is produced by
+    pyarrow (libsnappy) — independent of the hand decoder."""
+    plan = synth_avro_plan(seed)
+    sync = bytes((seed * 31 + j * 7 + 3) % 256 for j in range(16))
+    out = bytearray(_MAGIC)
+    # metadata map: one block of two entries, then the 0 terminator
+    out += _zigzag_write(2)
+    for k, v in (
+        (b"avro.schema", _SCHEMA_JSON),
+        (b"avro.codec", plan["codec"].encode()),
+    ):
+        out += _zigzag_write(len(k)) + k
+        out += _zigzag_write(len(v)) + v
+    out += _zigzag_write(0)
+    out += sync
+    for b in range(plan["n_blocks"]):
+        body = b"".join(
+            _encode_record(seed, i, b)
+            for i in range(plan["recs_per_block"])
+        )
+        if plan["codec"] == "deflate":
+            comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+            body = comp.compress(body) + comp.flush()
+        elif plan["codec"] == "snappy":
+            import pyarrow as pa
+
+            raw_crc = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+            body = bytes(pa.Codec("snappy").compress(body)) + raw_crc
+        out += _zigzag_write(plan["recs_per_block"])
+        out += _zigzag_write(len(body))
+        out += body
+        out += sync
+    return bytes(out)

@@ -2255,6 +2255,50 @@ def extract_parquet_values(
     return _extract_metadata(media, PARQUET_VALUES_SCHEMA, loader, permissive)
 
 
+def synthesize_avro_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Avro object containers,
+    codec rotating null/deflate/snappy
+    (``functions/avro_scan.py:synth_avro``)."""
+
+    def loader():
+        from ..functions.avro_scan import synth_avro
+
+        return synth_avro
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+AVRO_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_records", T.LongType()),
+        T.StructField("id_sum", T.LongType()),
+        T.StructField("name_chars", T.LongType()),
+        T.StructField("ratio_sum", T.DoubleType()),
+        T.StructField("n_ok", T.LongType()),
+        T.StructField("n_opt_null", T.LongType()),
+        T.StructField("opt_sum", T.LongType()),
+    ]
+)
+
+
+def extract_avro_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Avro container read per payload
+    (:func:`..functions.avro_scan.scan_avro`): metadata map, schema
+    JSON -> decode plan, per-block codec + sync verification, binary
+    record decode."""
+
+    def loader():
+        from ..functions.avro_scan import scan_avro
+
+        return scan_avro
+
+    return _extract_metadata(media, AVRO_SCAN_SCHEMA, loader, permissive)
+
+
 def synthesize_parquet_page_index_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

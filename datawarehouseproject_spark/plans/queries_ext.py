@@ -1560,6 +1560,76 @@ def q_media_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_container_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 3 AS nb,
+             12 + (doc_id * 7) % 40 AS npb
+      FROM documents),
+    bl AS (
+      SELECT media_id, nb, npb, unnest(generate_series(0, nb - 1)) AS b
+      FROM m),
+    r AS (
+      SELECT media_id, nb, npb, b,
+             unnest(generate_series(0, npb - 1)) AS i
+      FROM bl),
+    v AS (
+      SELECT media_id, b, i,
+             (media_id * 13 + i * 7 + b) % 5000 - 1000 AS id,
+             length('doc-' || CAST((media_id + i + b) % 37 AS VARCHAR))
+               AS nlen,
+             ((media_id + i * 3 + b) % 16) * 0.25 AS ratio,
+             CASE WHEN (i + b) % 3 = 0 THEN 1 ELSE 0 END AS ok,
+             CASE WHEN (i + media_id) % 5 = 2 THEN NULL
+                  ELSE (i * 11 + b) % 400 END AS opt
+      FROM r)
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           CAST(sum(nlen) AS BIGINT) AS name_chars,
+           CAST(sum(ratio) AS DOUBLE) AS ratio_sum,
+           CAST(sum(ok) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN opt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_opt_null,
+           CAST(coalesce(sum(opt), 0) AS BIGINT) AS opt_sum
+    FROM v
+    GROUP BY media_id
+    """,
+    tags=("sources", "avro", "container", "codec", "mapInPandas"),
+)
+def q_avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OBJECT CONTAINER read (round 10) — with parquet, ORC,
+    and Arrow IPC already covered, the last of the big-four table
+    containers a real lake ships (Kafka archives, Hadoop exports).
+    The hand reader (``functions/avro_scan.py``) walks the spec's
+    layout end to end: ``Obj\\x01`` magic, the metadata map in
+    Avro's own block-encoded map form, the writer SCHEMA parsed from
+    its embedded JSON into a decode plan (flat records of
+    long/int/string/double/boolean and ``['null', T]`` unions —
+    beyond that, loud boundary), per-block codec decode (null /
+    RAW-deflate / snappy with the spec's trailing big-endian CRC32
+    of the UNCOMPRESSED bytes), 16-byte sync markers VERIFIED per
+    block, zigzag varints (the same mapping the protobuf codec
+    pins), and IEEE little-endian doubles.  No Avro library ships in
+    this container, so the TFRecord layered-pinning pattern applies:
+    hand writer from the spec, compression layers from
+    zlib/libsnappy, every aggregate recomputed by the oracle —
+    ratio values are exact binary quarters so the double sum is
+    order-independent and hash-stable."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_avro_scan,
+        synthesize_avro_media,
+    )
+
+    media = synthesize_avro_media(_t(spark, sf_dir, "documents"))
+    return extract_avro_scan(media).select(
+        "media_id", "n_records", "id_sum", "name_chars", "ratio_sum",
+        "n_ok", "n_opt_null", "opt_sum",
+    )
+
+
+@register(
     "parquet_page_index_scan",
     oracle="""
     WITH m AS (

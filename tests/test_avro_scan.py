@@ -1,0 +1,96 @@
+"""Avro object container reader — functions/avro_scan.py (round 10):
+spec-layout walk (metadata map, schema JSON, block framing, sync
+markers), codec rotation, and the quarantine contract."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from datawarehouseproject_spark.functions.avro_scan import (
+    iter_avro_records,
+    parse_avro_schema,
+    scan_avro,
+    synth_avro,
+    synth_avro_plan,
+)
+
+
+def test_scan_matches_plan_across_codecs():
+    for seed in range(9):  # seeds 0-8 hit all three codecs 3x
+        p = synth_avro_plan(seed)
+        nb, npb = p["n_blocks"], p["recs_per_block"]
+        r = scan_avro(synth_avro(seed))
+        assert r["n_records"] == nb * npb
+        assert r["id_sum"] == sum(
+            (seed * 13 + i * 7 + b) % 5000 - 1000
+            for b in range(nb) for i in range(npb)
+        )
+        assert r["ratio_sum"] == sum(
+            ((seed + i * 3 + b) % 16) * 0.25
+            for b in range(nb) for i in range(npb)
+        )
+
+
+def test_sync_marker_mismatch_refused():
+    blob = bytearray(synth_avro(0))  # null codec
+    # the sync marker repeats after every block; corrupt the last one
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync marker"):
+        scan_avro(bytes(blob))
+
+
+def test_snappy_crc_verified():
+    blob = bytearray(synth_avro(2))  # seed%3==2 -> snappy
+    # last 20 bytes: 4-byte CRC + 16-byte sync; flip a CRC byte
+    blob[-20] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        scan_avro(bytes(blob))
+
+
+def test_schema_boundaries_are_loud():
+    with pytest.raises(ValueError, match="not a record"):
+        parse_avro_schema(b'{"type": "array", "items": "long"}')
+    with pytest.raises(ValueError, match="union beyond"):
+        parse_avro_schema(
+            b'{"type":"record","name":"r","fields":'
+            b'[{"name":"x","type":["long","string"]}]}'
+        )
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_avro_schema(
+            b'{"type":"record","name":"r","fields":'
+            b'[{"name":"x","type":"bytes"}]}'
+        )
+
+
+def test_block_decode_must_consume_exactly():
+    """Extra trailing bytes inside a block are corruption, not
+    ignorable padding — build a one-record block with a stray byte."""
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _MAGIC,
+        _SCHEMA_JSON,
+        _encode_record,
+        _zigzag_write,
+    )
+
+    sync = bytes(range(16))
+    out = bytearray(_MAGIC)
+    out += _zigzag_write(2)
+    for k, v in ((b"avro.schema", _SCHEMA_JSON), (b"avro.codec", b"null")):
+        out += _zigzag_write(len(k)) + k
+        out += _zigzag_write(len(v)) + v
+    out += _zigzag_write(0)
+    out += sync
+    body = _encode_record(0, 0, 0) + b"\x00"  # stray trailing byte
+    out += _zigzag_write(1) + _zigzag_write(len(body)) + body + sync
+    with pytest.raises(ValueError, match="decoded"):
+        scan_avro(bytes(out))
+
+
+def test_union_branch_and_bool_validation():
+    records = list(iter_avro_records(synth_avro(1)))
+    assert all(isinstance(r["ok"], bool) for r in records)
+    assert any(r["opt"] is None for r in records)
+    assert any(isinstance(r["opt"], int) for r in records)

@@ -18,6 +18,7 @@ def _cases():
     from datawarehouseproject_spark.functions import (
         arrow_ipc,
         avi,
+        avro_scan,
         bmp,
         bzip2,
         exif,
@@ -122,6 +123,7 @@ def _cases():
             sqlite_scan.scan_sqlite_without_rowid,
         ),
         ("mime", mime_mail.synth_email, mime_mail.parse_mime_message),
+        ("avro", avro_scan.synth_avro, avro_scan.scan_avro),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (
