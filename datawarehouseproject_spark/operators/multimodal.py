@@ -2299,6 +2299,51 @@ def extract_avro_scan(
     return _extract_metadata(media, AVRO_SCAN_SCHEMA, loader, permissive)
 
 
+AVRO_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("rec_idx", T.IntegerType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("ratio", T.DoubleType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("opt", T.LongType()),
+    ]
+)
+
+
+def explode_avro_records(media: DataFrame) -> DataFrame:
+    """One OUTPUT ROW PER AVRO RECORD — the Python-narrow/JVM-wide
+    handoff applied to the row-major container: Python does only the
+    byte-level work it must (block framing, codec, binary record
+    decode), emits TYPED columns, and every downstream stage
+    (grouping, aggregation, joins) runs in whole-stage codegen.
+    At 100 TB this is the shape an Avro ingest keeps: the decode is
+    embarrassingly parallel per file, and the shuffle operates on
+    compact typed columns, never on raw payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.avro_scan import iter_avro_records
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "media_id": [], "rec_idx": [], "id": [], "name": [],
+                "ratio": [], "ok": [], "opt": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for idx, rec in enumerate(iter_avro_records(bytes(p))):
+                    rows["media_id"].append(int(mid))
+                    rows["rec_idx"].append(idx)
+                    rows["id"].append(rec["id"])
+                    rows["name"].append(rec["name"])
+                    rows["ratio"].append(rec["ratio"])
+                    rows["ok"].append(rec["ok"])
+                    rows["opt"].append(rec["opt"])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AVRO_RECORD_SCHEMA)
+
+
 def synthesize_parquet_page_index_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

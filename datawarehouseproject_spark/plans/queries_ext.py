@@ -1630,6 +1630,70 @@ def q_avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_corpus_rollup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 3 AS nb,
+             12 + (doc_id * 7) % 40 AS npb
+      FROM documents),
+    bl AS (
+      SELECT media_id, nb, npb, unnest(generate_series(0, nb - 1)) AS b
+      FROM m),
+    r AS (
+      SELECT media_id, npb, b,
+             unnest(generate_series(0, npb - 1)) AS i
+      FROM bl),
+    v AS (
+      SELECT 'doc-' || CAST((media_id + i + b) % 37 AS VARCHAR) AS name,
+             (media_id * 13 + i * 7 + b) % 5000 - 1000 AS id,
+             ((media_id + i * 3 + b) % 16) * 0.25 AS ratio,
+             CASE WHEN (i + b) % 3 = 0 THEN 1 ELSE 0 END AS ok,
+             CASE WHEN (i + media_id) % 5 = 2 THEN NULL
+                  ELSE (i * 11 + b) % 400 END AS opt
+      FROM r)
+    SELECT name,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           CAST(sum(ratio) AS DOUBLE) AS ratio_sum,
+           CAST(sum(ok) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN opt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_opt_null
+    FROM v
+    GROUP BY name
+    """,
+    tags=("sources", "avro", "explode", "rollup", "mapInPandas"),
+)
+def q_avro_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro corpus rollup ACROSS files (round 10) — the
+    Python-narrow/JVM-wide handoff (``explode_avro_records``)
+    applied to the row-major container: Python decodes each
+    container's blocks into TYPED rows once, then the cross-file
+    groupBy(name) aggregation runs entirely in whole-stage codegen
+    over compact columns — the shape an Avro ingest keeps at 100 TB,
+    where the shuffle must carry typed columns, never raw payloads.
+    The oracle recomputes the 37-key rollup from the writer formulas
+    over every (document, block, record) triple; ratio values are
+    exact binary quarters so the double sums stay order-independent."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_avro_records,
+        synthesize_avro_media,
+    )
+
+    media = synthesize_avro_media(_t(spark, sf_dir, "documents"))
+    rows = explode_avro_records(media)
+    return rows.groupBy("name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+        F.sum("ratio").cast("double").alias("ratio_sum"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .cast("bigint").alias("n_ok"),
+        F.sum(F.when(F.col("opt").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_opt_null"),
+    )
+
+
+@register(
     "parquet_page_index_scan",
     oracle="""
     WITH m AS (
