@@ -761,3 +761,134 @@ if __name__ == "__main__":
     round10_kernels()
     round11_kernels()
     round11b_kernels()
+    round12_kernels()
+
+
+def round12_kernels() -> None:
+    """This session's readers (driver round 10): dictionary-zstd
+    decode, PDF 1.5 xref-stream extraction, Avro container scan,
+    parquet page-index scan, SQLite WITHOUT ROWID walk, compressed
+    ORC footers."""
+    import subprocess
+    import tempfile
+    import os
+
+    from datawarehouseproject_spark.functions.zstd_codec import (
+        decode_zstd,
+        parse_zstd_dictionary,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog. " * 10000).encode()
+    with tempfile.TemporaryDirectory() as td:
+        spaths = []
+        for i in range(12):
+            p = os.path.join(td, f"s{i}")
+            with open(p, "wb") as fh:
+                fh.write(text[i * 1000 : i * 1000 + 4000])
+            spaths.append(p)
+        dpath = os.path.join(td, "d.bin")
+        subprocess.run(
+            ["zstd", "-q", "--train", *spaths, "-o", dpath,
+             "--maxdict=16384"],
+            check=True, capture_output=True,
+        )
+        tpath = os.path.join(td, "t")
+        with open(tpath, "wb") as fh:
+            fh.write(text)
+        subprocess.run(
+            ["zstd", "-q", "-f", "-3", "-D", dpath, tpath],
+            check=True, capture_output=True,
+        )
+        with open(dpath, "rb") as fh:
+            zd = parse_zstd_dictionary(fh.read())
+        with open(tpath + ".zst", "rb") as fh:
+            frame = fh.read()
+    secs, out = _timeit(lambda: decode_zstd(frame, dictionary=zd))
+    print(json.dumps({
+        "kernel": "zstd_dictionary_decode",
+        "media": f"{len(text)} bytes text, trained dict, level 3",
+        "mb_per_s": round(len(out) / secs / 1e6, 1),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.pdf_text import (
+        extract_pdf_text,
+        synth_pdf_xref_stream,
+    )
+
+    pdfs = [synth_pdf_xref_stream(s) for s in range(1000)]
+    secs, n = _timeit(
+        lambda: sum(extract_pdf_text(p)["n_pages"] for p in pdfs)
+    )
+    print(json.dumps({
+        "kernel": "pdf_xref_stream_extract",
+        "media": f"1000 PDF 1.5 files (ObjStm + XRef stream + "
+                 f"predictor 12), {n} pages",
+        "pdfs_per_s": int(1000 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        scan_avro,
+        synth_avro,
+    )
+
+    avros = [synth_avro(s) for s in range(1500)]
+    secs, n = _timeit(
+        lambda: sum(scan_avro(p)["n_records"] for p in avros)
+    )
+    print(json.dumps({
+        "kernel": "avro_container_scan",
+        "media": f"{sum(map(len, avros))} bytes, 1500 containers "
+                 f"(null/deflate/snappy), {n} records",
+        "records_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.parquet_pageindex import (
+        scan_parquet_page_index,
+        synth_parquet_page_index,
+    )
+
+    pqs = [synth_parquet_page_index(s) for s in range(300)]
+    secs, n = _timeit(
+        lambda: sum(scan_parquet_page_index(p)["n_pages_k"] for p in pqs)
+    )
+    print(json.dumps({
+        "kernel": "parquet_page_index_scan",
+        "media": f"300 files, {n} page-index entries",
+        "pages_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.sqlite_scan import (
+        scan_sqlite_without_rowid,
+        synth_sqlite_wr,
+    )
+
+    dbs = [synth_sqlite_wr(s) for s in range(300)]
+    secs, n = _timeit(
+        lambda: sum(scan_sqlite_without_rowid(p)["n_rows"] for p in dbs)
+    )
+    print(json.dumps({
+        "kernel": "sqlite_without_rowid_scan",
+        "media": f"300 dbs, {n} rows (table + secondary index walks)",
+        "rows_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.orc_footer import (
+        scan_orc_footer,
+        synth_orc_compressed,
+    )
+
+    orcs = [synth_orc_compressed(s) for s in range(800)]
+    secs, n = _timeit(
+        lambda: sum(scan_orc_footer(p)["n_rows"] for p in orcs)
+    )
+    print(json.dumps({
+        "kernel": "orc_compressed_footer_scan",
+        "media": f"800 files rotating zlib/snappy/lz4/zstd, {n} rows",
+        "files_per_s": int(800 / secs),
+        "sec": round(secs, 4),
+    }))
