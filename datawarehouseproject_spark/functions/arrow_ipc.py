@@ -299,6 +299,25 @@ def _schema_types(fb: _FB, schema: int) -> list[tuple]:
     return out
 
 
+def _dict_value_kinds(types: list[tuple]) -> dict[int, tuple]:
+    """dictionary id -> value kind, refusing an id SHARED by fields
+    of different value types — decoding one dictionary under two
+    types would type-confuse the stats (TypeError, not a quarantine
+    ValueError)."""
+    vkinds: dict[int, tuple] = {}
+    for t in types:
+        if t[0] != "dict":
+            continue
+        did, vk = t[3], t[2]
+        if did in vkinds and vkinds[did] != vk:
+            raise ValueError(
+                f"dictionary id {did} shared by fields of "
+                "different value types"
+            )
+        vkinds[did] = vk
+    return vkinds
+
+
 def _valid(bitmap: bytes, i: int, null_count: int) -> bool:
     if null_count == 0:
         return True
@@ -357,7 +376,7 @@ def decode_arrow_values(payload: bytes) -> dict:
         return meta_start, meta_len
 
     dicts: dict[int, list] = {}
-    vkinds = {t[3]: t[2] for t in types if t[0] == "dict"}
+    vkinds = _dict_value_kinds(types)
     # footer order IS the replay order: initial batches precede
     # their deltas
     for block in footer["dict_blocks"]:
@@ -606,14 +625,18 @@ def _decode_dict_batch(
                 f"delta dictionary batch for id {dict_id} with no "
                 "initial batch"
             )
-        dicts[dict_id] = dicts[dict_id] + values
+        if len(dicts[dict_id]) + len(values) > 1 << 24:
+            raise ValueError("dictionary grew past the 16M-entry cap")
+        # in-place extend: concatenation would copy the whole growing
+        # list per delta, quadratic over a long Flight feed
+        dicts[dict_id].extend(values)
     else:
         # a second non-delta batch REPLACES the dictionary — the
         # stream format's defined semantics (the file format forbids
         # one, but the block list cannot prove provenance)
+        if len(values) > 1 << 24:
+            raise ValueError("dictionary grew past the 16M-entry cap")
         dicts[dict_id] = values
-    if len(dicts[dict_id]) > 1 << 24:
-        raise ValueError("dictionary grew past the 16M-entry cap")
     return body_start + body_len
 
 
@@ -673,7 +696,7 @@ def decode_arrow_stream(payload: bytes) -> dict:
             if schema_tbl is None:
                 raise ValueError("schema message without schema table")
             types = _schema_types(fb, schema_tbl)
-            vkinds = {t[3]: t[2] for t in types if t[0] == "dict"}
+            vkinds = _dict_value_kinds(types)
             pos = meta_start + meta_len + body_len
         elif tag == _MSG_RECORD_BATCH:
             if types is None:

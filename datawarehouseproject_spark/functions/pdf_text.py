@@ -272,8 +272,11 @@ class _Document:
             stm = self.obj(("ref", stm_num))
             if not isinstance(stm, _Stream) or stm.d.get("Type") != "ObjStm":
                 raise ValueError(f"object {stm_num} is not an /ObjStm")
-            count = self.obj(stm.d.get("N"))
-            first = self.obj(stm.d.get("First"))
+            # /N and /First must be DIRECT: resolving an indirect ref
+            # here can point back INTO this object stream and recurse
+            # unboundedly (RecursionError is not quarantinable)
+            count = stm.d.get("N")
+            first = stm.d.get("First")
             if (
                 not isinstance(count, int) or not 0 < count <= 1 << 16
                 or not isinstance(first, int) or first < 0
@@ -561,19 +564,22 @@ def _read_xref_chain(data: bytes, start: int) -> tuple[dict, dict]:
             raise ValueError("neither xref table nor xref stream at startxref")
         if "Encrypt" in tr:
             raise ValueError("encrypted PDF out of scope")
-        for k, v in sec.items():
-            xref.setdefault(k, v)
-        for k, v in tr.items():
-            trailer.setdefault(k, v)
         xs = tr.get("XRefStm")
         if xs is not None:
-            # hybrid-reference file: the stream supplements this
-            # classic section (same update, so same precedence tier)
+            # hybrid-reference file (ISO 32000-1 §7.5.8.4): within
+            # this update tier the STREAM's entries take precedence —
+            # Acrobat-style writers mark ObjStm-contained objects FREE
+            # in the classic table as a legacy-reader fallback, with
+            # the real type-2 locations in the /XRefStm
             if not isinstance(xs, int) or not 0 < xs < len(data):
                 raise ValueError("bad /XRefStm offset")
             ssec, _ = _parse_xref_stream_at(data, xs)
             for k, v in ssec.items():
                 xref.setdefault(k, v)
+        for k, v in sec.items():
+            xref.setdefault(k, v)
+        for k, v in tr.items():
+            trailer.setdefault(k, v)
         prev = tr.get("Prev")
         if prev is None:
             return xref, trailer

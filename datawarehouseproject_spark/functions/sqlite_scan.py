@@ -481,9 +481,21 @@ def scan_sqlite_without_rowid(payload: bytes) -> dict:
         raise ValueError("kv.k decoded to non-text")
     if any(not isinstance(v, int) for v in scores):
         raise ValueError("kv.score decoded to non-integer")
+    # sqlite type affinity legally stores ANY type in any column; a
+    # crafted db must quarantine, not TypeError out of the sums
+    if any(
+        v is not None and (not isinstance(v, int) or isinstance(v, bool))
+        for v in flags
+    ):
+        raise ValueError("kv.flag decoded to non-int/non-null")
     entries = read_index_entries(payload, "kv_score")
     if any(len(e) != 2 for e in entries):
         raise ValueError("kv_score entries must be [score, k]")
+    if any(
+        not isinstance(e[0], int) or not isinstance(e[1], str)
+        for e in entries
+    ):
+        raise ValueError("kv_score entry columns decoded to wrong types")
     if len(entries) != len(rows):
         raise ValueError(
             f"secondary index holds {len(entries)} entries for "

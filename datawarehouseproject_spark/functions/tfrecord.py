@@ -112,11 +112,18 @@ def scan_tfrecord(payload: bytes) -> dict:
     decompressed bytes, so a codec bug upstream cannot reach the
     aggregates."""
     raw_len = len(payload)
-    if payload[:2] == b"\x1f\x8b":
+    # container sniff ONLY when the bytes cannot be raw framing: a
+    # first record of exactly 35615 bytes makes the length u64le
+    # start 1f 8b — the masked length-CRC at bytes 8-12 disambiguates
+    # (a compressed container matches it with probability 2^-32)
+    raw_framing = len(payload) >= 12 and struct.unpack_from(
+        "<I", payload, 8
+    )[0] == mask_crc(crc32c(payload[:8]))
+    if payload[:2] == b"\x1f\x8b" and not raw_framing:
         from .warc import split_gzip_members
 
         payload = b"".join(split_gzip_members(payload))
-    elif payload[:4] == b"\x28\xb5\x2f\xfd":
+    elif payload[:4] == b"\x28\xb5\x2f\xfd" and not raw_framing:
         from .zstd_codec import decode_zstd
 
         payload = decode_zstd(payload)

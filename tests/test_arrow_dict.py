@@ -193,3 +193,21 @@ def test_record_batch_before_dictionary_refused():
     ) + frames[-1]
     with pytest.raises(ValueError, match="before any dictionary batch"):
         decode_arrow_stream(stripped)
+
+
+def test_shared_dictionary_id_type_conflict_refused():
+    """Review r10: two fields sharing one dictionary id with
+    DIFFERENT value types must refuse (decoding one dictionary under
+    two types would type-confuse the stats)."""
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        _dict_value_kinds,
+    )
+
+    types = [
+        ("dict", 32, ("utf8", 0), 0),
+        ("dict", 8, ("int", 32), 0),
+    ]
+    with pytest.raises(ValueError, match="shared by fields"):
+        _dict_value_kinds(types)
+    # same id, same type: fine
+    assert _dict_value_kinds(types[:1] + types[:1]) == {0: ("utf8", 0)}

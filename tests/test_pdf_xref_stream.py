@@ -168,3 +168,117 @@ def test_xref_stream_w_and_index_validation():
     bad2 = pdf.replace(b"/Index [0 ", b"/Index [1 ")
     with pytest.raises(ValueError):
         extract_pdf_text(bad2)
+
+
+def test_objstm_indirect_n_cannot_recurse():
+    """Review r10: /N (or /First) as an indirect ref pointing back
+    into the same ObjStm must quarantine, not RecursionError."""
+    pdf = bytearray(synth_pdf_xref_stream(0))
+    # make /N indirect: '/N 3' -> '/N 3 0 R' shifts offsets, so build
+    # the failure the cheap way: patch the dict text in place is not
+    # length-preserving; instead synthesize a minimal file
+    import zlib as _z
+
+    out = bytearray(b"%PDF-1.5\n")
+    offs = {}
+    # ObjStm 3 whose /N is '4 0 R' and xref maps 4 INTO objstm 3
+    inner = b"<< /Type /Catalog >>"
+    header = b"1 0 "
+    stm_plain = header + inner
+    comp = _z.compress(stm_plain)
+    offs[3] = len(out)
+    out += (
+        f"3 0 obj\n<< /Type /ObjStm /N 4 0 R /First {len(header)} "
+        f"/Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+        + comp + b"\nendstream\nendobj\n"
+    )
+    rows = [
+        (0, 0, 65535),
+        (2, 3, 0),    # object 1 inside objstm 3
+        (0, 0, 0),    # object 2 free
+        (1, offs[3], 0),
+        (2, 3, 1),    # object 4 inside objstm 3 (the /N ref target)
+    ]
+    xref_pos = len(out)
+    raw = b"".join(
+        bytes([t]) + b.to_bytes(4, "big") + c.to_bytes(2, "big")
+        for t, b, c in rows
+    ) + bytes([1]) + xref_pos.to_bytes(4, "big") + b"\x00\x00"
+    comp = _z.compress(raw)
+    out += (
+        f"5 0 obj\n<< /Type /XRef /Size 6 /W [1 4 2] /Root 1 0 R "
+        f"/Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+        + comp + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    with pytest.raises(ValueError):
+        extract_pdf_text(bytes(out))
+
+
+def test_hybrid_xrefstm_wins_over_classic_free():
+    """Acrobat-style hybrid: the classic table marks ObjStm-contained
+    objects FREE (legacy fallback); the /XRefStm's type-2 entries
+    must win within the tier."""
+    import zlib as _z
+
+    content = b"BT (hyb2) Tj ET"
+    out = bytearray(b"%PDF-1.5\n")
+    offs = {}
+    # objects 1 (catalog) and 2 (pages) live in ObjStm 5
+    inner = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+    }
+    dir_parts, bodies, rel = [], [], 0
+    for num in sorted(inner):
+        dir_parts.append(f"{num} {rel}")
+        bodies.append(inner[num])
+        rel += len(inner[num]) + 1
+    header = (" ".join(dir_parts) + " ").encode()
+    stm_plain = header + b" ".join(bodies)
+    comp = _z.compress(stm_plain)
+    offs[5] = len(out)
+    out += (
+        f"5 0 obj\n<< /Type /ObjStm /N 2 /First {len(header)} "
+        f"/Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+        + comp + b"\nendstream\nendobj\n"
+    )
+    for n, body in (
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, f"<< /Length {len(content)} >>".encode()
+            + b"\nstream\n" + content + b"\nendstream"),
+    ):
+        offs[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    # XRefStm object 6: type-2 entries for 1,2 + type-1 for 5
+    rows = [
+        (2, 5, 0),
+        (2, 5, 1),
+        (1, offs[5], 0),
+    ]
+    raw = b"".join(
+        bytes([t]) + b.to_bytes(4, "big") + c.to_bytes(2, "big")
+        for t, b, c in rows
+    )
+    comp = _z.compress(raw)
+    xs_off = len(out)
+    out += (
+        f"6 0 obj\n<< /Type /XRef /Size 7 /W [1 4 2] "
+        f"/Index [1 2 5 1] /Root 1 0 R /Length {len(comp)} "
+        f"/Filter /FlateDecode >>\nstream\n".encode()
+        + comp + b"\nendstream\nendobj\n"
+    )
+    # classic table marks 1 and 2 FREE, locates 3, 4, 6
+    xref_pos = len(out)
+    out += b"xref\n0 5\n"
+    out += b"0000000000 65535 f \n"
+    out += b"0000000000 00001 f \n"  # object 1: free in classic
+    out += b"0000000000 00001 f \n"  # object 2: free in classic
+    out += f"{offs[3]:010d} 00000 n \n{offs[4]:010d} 00000 n \n".encode()
+    out += f"6 1\n{xs_off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 7 /Root 1 0 R /XRefStm {xs_off} >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    r = extract_pdf_text(bytes(out))
+    assert r["text"] == "hyb2"

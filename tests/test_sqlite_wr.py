@@ -125,3 +125,32 @@ def test_index_cell_cycle_guarded():
         pytest.skip("no interior index page")
     with pytest.raises(ValueError):
         scan_sqlite_without_rowid(bytes(blob))
+
+
+def test_type_affinity_garbage_quarantines():
+    """Review r10: sqlite affinity legally stores text in INTEGER
+    columns; the scan must ValueError, not TypeError."""
+    conn = sqlite3.connect(":memory:")
+    conn.execute("PRAGMA page_size=512")
+    conn.execute(
+        "CREATE TABLE kv(k TEXT PRIMARY KEY, score INTEGER, "
+        "flag INTEGER) WITHOUT ROWID"
+    )
+    conn.execute("CREATE INDEX kv_score ON kv(score)")
+    conn.execute("INSERT INTO kv VALUES ('a', 5, 'notanint')")
+    blob = bytes(conn.serialize())
+    conn.close()
+    with pytest.raises(ValueError, match="flag"):
+        scan_sqlite_without_rowid(blob)
+    conn = sqlite3.connect(":memory:")
+    conn.execute("PRAGMA page_size=512")
+    conn.execute(
+        "CREATE TABLE kv(k TEXT PRIMARY KEY, score INTEGER, "
+        "flag INTEGER) WITHOUT ROWID"
+    )
+    conn.execute("CREATE INDEX kv_score ON kv(score)")
+    conn.execute("INSERT INTO kv VALUES ('a', 'xx', 1)")  # text score
+    blob = bytes(conn.serialize())
+    conn.close()
+    with pytest.raises(ValueError):
+        scan_sqlite_without_rowid(blob)

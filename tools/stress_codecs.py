@@ -752,16 +752,6 @@ def round11b_kernels() -> None:
     }))
 
 
-if __name__ == "__main__":
-    main()
-    archive_kernels()
-    round8_kernels()
-    round8b_kernels()
-    round9_kernels()
-    round10_kernels()
-    round11_kernels()
-    round11b_kernels()
-    round12_kernels()
 
 
 def round12_kernels() -> None:
@@ -892,3 +882,15 @@ def round12_kernels() -> None:
         "files_per_s": int(800 / secs),
         "sec": round(secs, 4),
     }))
+
+
+if __name__ == "__main__":
+    main()
+    archive_kernels()
+    round8_kernels()
+    round8b_kernels()
+    round9_kernels()
+    round10_kernels()
+    round11_kernels()
+    round11b_kernels()
+    round12_kernels()
