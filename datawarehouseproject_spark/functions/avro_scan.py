@@ -47,11 +47,16 @@ import zlib
 
 _MAGIC = b"Obj\x01"
 _MAX_BLOCK = 1 << 26
+_MAX_TOTAL = 1 << 28
 _SUPPORTED = {"long", "int", "string", "double", "boolean"}
 
 
 def _zigzag_read(data: bytes, pos: int) -> tuple[int, int]:
-    """Avro long: little-endian base-128 varint, zigzag-mapped."""
+    """Avro long: little-endian base-128 varint, zigzag-mapped.
+    Masked to 64 bits BEFORE the zigzag unmap — a 10-byte varint can
+    carry up to 70 raw bits, and an unmasked int past int64 escapes
+    the quarantine later as Arrow's OverflowError (the exact lesson
+    the protobuf/parquet varint readers already pin)."""
     out = 0
     shift = 0
     while True:
@@ -65,6 +70,7 @@ def _zigzag_read(data: bytes, pos: int) -> tuple[int, int]:
         shift += 7
         if shift > 63:
             raise ValueError("avro varint too long")
+    out &= (1 << 64) - 1
     return (out >> 1) ^ -(out & 1), pos
 
 
@@ -105,10 +111,13 @@ def _read_meta_map(data: bytes, pos: int) -> tuple[dict[str, bytes], int]:
             meta[k.decode("utf-8", "replace")] = v
 
 
-def parse_avro_schema(schema_json: bytes) -> list[tuple[str, str, bool]]:
-    """Writer schema -> [(field name, primitive type, nullable)].
-    Flat records of long/int/string/double/boolean and
-    ``["null", T]`` unions only; anything else is a loud boundary."""
+def parse_avro_schema(schema_json: bytes) -> list[tuple[str, str, int]]:
+    """Writer schema -> [(field name, primitive type, null_branch)]
+    where ``null_branch`` is the union index of "null" (-1 for
+    non-nullable fields) — BOTH ``["null", T]`` and ``[T, "null"]``
+    orders are legal Avro and encode different branch numbers.  Flat
+    records of long/int/string/double/boolean only; anything else is
+    a loud boundary."""
     try:
         schema = json.loads(schema_json)
     except json.JSONDecodeError as e:
@@ -118,22 +127,22 @@ def parse_avro_schema(schema_json: bytes) -> list[tuple[str, str, bool]]:
     fields = schema.get("fields")
     if not isinstance(fields, list) or not fields:
         raise ValueError("avro record schema without fields")
-    plan: list[tuple[str, str, bool]] = []
+    plan: list[tuple[str, str, int]] = []
     for f in fields:
         if not isinstance(f, dict) or "name" not in f or "type" not in f:
             raise ValueError("malformed avro field")
         t = f["type"]
-        nullable = False
+        null_branch = -1
         if isinstance(t, list):
             if len(t) != 2 or "null" not in t:
                 raise ValueError(
                     "avro union beyond ['null', T] unsupported (boundary)"
                 )
-            t = t[0] if t[1] == "null" else t[1]
-            nullable = True
+            null_branch = t.index("null")
+            t = t[1 - null_branch]
         if t not in _SUPPORTED:
             raise ValueError(f"avro type {t!r} unsupported (boundary)")
-        plan.append((str(f["name"]), t, nullable))
+        plan.append((str(f["name"]), t, null_branch))
     return plan
 
 
@@ -174,6 +183,7 @@ def iter_avro_records(payload: bytes):
     sync = payload[pos : pos + 16]
     pos += 16
     n = len(payload)
+    total_out = 0  # cumulative decoded bytes across ALL blocks
     while pos < n:
         count, pos = _zigzag_read(payload, pos)
         size, pos = _zigzag_read(payload, pos)
@@ -194,6 +204,10 @@ def iter_avro_records(payload: bytes):
                 raise ValueError(f"avro deflate block: {e}") from None
             if not d.eof or d.unconsumed_tail:
                 raise ValueError("avro deflate block truncated/oversized")
+            if d.unused_data:
+                # eof with leftover bytes: garbage smuggled after the
+                # stream inside the declared block length
+                raise ValueError("avro deflate block has trailing bytes")
         elif codec == "snappy":
             if len(body) < 4:
                 raise ValueError("avro snappy block shorter than its CRC")
@@ -203,16 +217,21 @@ def iter_avro_records(payload: bytes):
             body = decode_snappy(body[:-4], max_output=_MAX_BLOCK)
             if zlib.crc32(body) & 0xFFFFFFFF != crc:
                 raise ValueError("avro snappy block CRC mismatch")
+        total_out += len(body)
+        if total_out > _MAX_TOTAL:
+            # per-block caps alone let many small blocks expand a
+            # tiny payload to gigabytes (bomb class): cap the SUM
+            raise ValueError("avro container exceeds cumulative cap")
         bpos = 0
         for _ in range(count):
             rec = {}
-            for name, typ, nullable in plan:
-                if nullable:
+            for name, typ, null_branch in plan:
+                if null_branch >= 0:
                     branch, bpos = _zigzag_read(body, bpos)
-                    if branch == 0:
+                    if branch == null_branch:
                         rec[name] = None
                         continue
-                    if branch != 1:
+                    if branch != 1 - null_branch:
                         raise ValueError(
                             f"avro union branch {branch} out of range"
                         )

@@ -237,7 +237,18 @@ def read_page_index(payload: bytes, rg: int, col: int) -> dict:
     cross-check them: same page count, first_row_index starting at 0
     and strictly increasing below the file row count, page offsets
     in-bounds and strictly increasing."""
-    n_rows, groups = _footer_indexes(payload)
+    return _read_page_index_at(
+        payload, _footer_indexes(payload), rg, col
+    )
+
+
+def _read_page_index_at(
+    payload: bytes, footer: tuple[int, list], rg: int, col: int
+) -> dict:
+    """:func:`read_page_index` body over a PRE-PARSED footer, so a
+    multi-column scan walks the FileMetaData thrift once, not once
+    per column."""
+    n_rows, groups = footer
     if rg >= len(groups) or col >= len(groups[rg]):
         raise ValueError("row group / column out of range")
     loc = groups[rg][col]
@@ -266,9 +277,12 @@ def read_page_index(payload: bytes, rg: int, col: int) -> dict:
         if fri <= prev_row or fri >= max(n_rows, 1):
             raise ValueError("offset index first_row_index not increasing")
         prev_row = fri
-        if p["offset"] <= prev_off or p["offset"] + max(
-            p["compressed_page_size"], 0
-        ) > len(payload):
+        if p["compressed_page_size"] < 0:
+            raise ValueError("negative compressed_page_size in offset index")
+        if (
+            p["offset"] <= prev_off
+            or p["offset"] + p["compressed_page_size"] > len(payload)
+        ):
             raise ValueError("offset index page location out of bounds")
         prev_off = p["offset"]
     return {"column_index": ci, "offset_index": oi, "n_rows": n_rows}
@@ -289,8 +303,9 @@ def scan_parquet_page_index(payload: bytes) -> dict:
     must be flagged ASCENDING with zero nulls — plus a page-pruning
     demo: how many pages a ``k = n_rows // 2`` point lookup touches
     (exactly 1 for an ascending column, however the writer split)."""
-    v_idx = read_page_index(payload, 0, 0)
-    k_idx = read_page_index(payload, 0, 1)
+    footer = _footer_indexes(payload)  # one thrift walk, both columns
+    v_idx = _read_page_index_at(payload, footer, 0, 0)
+    k_idx = _read_page_index_at(payload, footer, 0, 1)
     vci, kci = v_idx["column_index"], k_idx["column_index"]
     n_rows = v_idx["n_rows"]
 

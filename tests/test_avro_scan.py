@@ -94,3 +94,82 @@ def test_union_branch_and_bool_validation():
     assert all(isinstance(r["ok"], bool) for r in records)
     assert any(r["opt"] is None for r in records)
     assert any(isinstance(r["opt"], int) for r in records)
+
+
+def test_reversed_union_order_decodes():
+    """Review r10 pass 2: ['long', 'null'] is legal Avro with null =
+    branch 1; hardcoding branch 0 = null silently corrupts values."""
+    import json
+    import zlib
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _MAGIC,
+        _zigzag_write,
+    )
+
+    schema = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "a", "type": ["long", "null"]},
+            {"name": "b", "type": "long"},
+        ],
+    }).encode()
+    sync = bytes(range(16))
+    out = bytearray(_MAGIC)
+    out += _zigzag_write(2)
+    for k, v in ((b"avro.schema", schema), (b"avro.codec", b"null")):
+        out += _zigzag_write(len(k)) + k
+        out += _zigzag_write(len(v)) + v
+    out += _zigzag_write(0)
+    out += sync
+    # record 1: a = 5 (branch 0 = long), b = 7
+    # record 2: a = null (branch 1), b = 9
+    body = (
+        _zigzag_write(0) + _zigzag_write(5) + _zigzag_write(7)
+        + _zigzag_write(1) + _zigzag_write(9)
+    )
+    out += _zigzag_write(2) + _zigzag_write(len(body)) + body + sync
+    recs = list(iter_avro_records(bytes(out)))
+    assert recs == [{"a": 5, "b": 7}, {"a": None, "b": 9}]
+
+
+def test_oversized_varint_masked_to_int64():
+    """Review r10 pass 2: a 10-byte varint carries up to 70 raw bits;
+    unmasked it escapes as OverflowError at the Arrow boundary."""
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _zigzag_read,
+        _zigzag_write,
+    )
+
+    v, _ = _zigzag_read(b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x3f", 0)
+    assert -(1 << 63) <= v < (1 << 63)
+    # round-trip stays exact for genuine int64 extremes
+    for x in (0, -1, (1 << 63) - 1, -(1 << 63)):
+        got, _ = _zigzag_read(_zigzag_write(x), 0)
+        assert got == x
+
+
+def test_deflate_trailing_garbage_refused():
+    import zlib
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _MAGIC,
+        _SCHEMA_JSON,
+        _encode_record,
+        _zigzag_write,
+    )
+
+    sync = bytes(range(16))
+    out = bytearray(_MAGIC)
+    out += _zigzag_write(2)
+    for k, v in ((b"avro.schema", _SCHEMA_JSON), (b"avro.codec", b"deflate")):
+        out += _zigzag_write(len(k)) + k
+        out += _zigzag_write(len(v)) + v
+    out += _zigzag_write(0)
+    out += sync
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    body = comp.compress(_encode_record(0, 0, 0)) + comp.flush()
+    body += b"GARBAGE"  # inside the declared block length
+    out += _zigzag_write(1) + _zigzag_write(len(body)) + body + sync
+    with pytest.raises(ValueError, match="trailing bytes"):
+        scan_avro(bytes(out))
