@@ -361,3 +361,189 @@ def synth_avro(seed: int) -> bytes:
         out += body
         out += sync
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Generic (nested) decode — rounds out the flat fixture reader for
+# schemas real metadata formats use: nested records, arrays of
+# records (how Iceberg stores its non-string-key "maps"), and
+# ["null", T] unions at any depth.  Same binary encoding rules.
+# ---------------------------------------------------------------------------
+
+_MAX_SCHEMA_DEPTH = 16
+
+
+def _parse_type_spec(t, depth: int = 0):
+    """Schema JSON fragment -> decode-spec tree:
+    ('prim', name) | ('record', [(field, spec), ...]) |
+    ('array', item_spec) | ('union_null', value_spec, null_branch)."""
+    if depth > _MAX_SCHEMA_DEPTH:
+        raise ValueError("avro schema nests too deep")
+    if isinstance(t, str):
+        if t in _SUPPORTED or t == "bytes":
+            return ("prim", t)
+        raise ValueError(f"avro type {t!r} unsupported (boundary)")
+    if isinstance(t, list):
+        if len(t) != 2 or "null" not in t:
+            raise ValueError(
+                "avro union beyond ['null', T] unsupported (boundary)"
+            )
+        null_branch = t.index("null")
+        return (
+            "union_null",
+            _parse_type_spec(t[1 - null_branch], depth + 1),
+            null_branch,
+        )
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "record":
+            fields = t.get("fields")
+            if not isinstance(fields, list) or not fields:
+                raise ValueError("avro nested record without fields")
+            return (
+                "record",
+                [
+                    (str(f["name"]), _parse_type_spec(f["type"], depth + 1))
+                    for f in fields
+                ],
+            )
+        if kind == "array":
+            return ("array", _parse_type_spec(t.get("items"), depth + 1))
+        if kind in _SUPPORTED or kind == "bytes":
+            return ("prim", kind)  # {"type": "long"} spelling
+    raise ValueError(f"avro type {t!r} unsupported (boundary)")
+
+
+def _decode_spec(data: bytes, pos: int, spec, depth: int = 0):
+    if depth > 2 * _MAX_SCHEMA_DEPTH:
+        raise ValueError("avro value nests too deep")
+    kind = spec[0]
+    if kind == "prim":
+        if spec[1] == "bytes":
+            return _read_bytes(data, pos)
+        return _decode_value(data, pos, spec[1])
+    if kind == "union_null":
+        branch, pos = _zigzag_read(data, pos)
+        if branch == spec[2]:
+            return None, pos
+        if branch != 1 - spec[2]:
+            raise ValueError(f"avro union branch {branch} out of range")
+        return _decode_spec(data, pos, spec[1], depth + 1)
+    if kind == "record":
+        rec = {}
+        for name, fspec in spec[1]:
+            rec[name], pos = _decode_spec(data, pos, fspec, depth + 1)
+        return rec, pos
+    # array: count-prefixed blocks, negative count = skippable form,
+    # terminated by count 0
+    items = []
+    while True:
+        count, pos = _zigzag_read(data, pos)
+        if count == 0:
+            return items, pos
+        if count < 0:
+            count = -count
+            _, pos = _zigzag_read(data, pos)  # block byte size
+        if count > 1 << 24 or len(items) + count > 1 << 24:
+            raise ValueError("avro array too large")
+        for _ in range(count):
+            v, pos = _decode_spec(data, pos, spec[1], depth + 1)
+            items.append(v)
+
+
+def decode_avro_blocks(payload: bytes) -> list[dict]:
+    """Decode EVERY record of an Avro container through the generic
+    (nested-capable) decoder.  The top-level schema must be a record;
+    block framing, codecs, sync verification, and caps are shared
+    with :func:`iter_avro_records`'s walk."""
+    if len(payload) < 20 or payload[:4] != _MAGIC:
+        raise ValueError("not an avro object container (bad magic)")
+    meta, pos = _read_meta_map(payload, 4)
+    if "avro.schema" not in meta:
+        raise ValueError("avro container without avro.schema")
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except json.JSONDecodeError as e:
+        raise ValueError(f"avro schema is not JSON: {e}") from None
+    spec = _parse_type_spec(schema)
+    if spec[0] != "record":
+        raise ValueError("avro top-level schema is not a record")
+    codec = meta.get("avro.codec", b"null").decode("utf-8", "replace")
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError(f"avro codec {codec!r} unsupported (boundary)")
+    if pos + 16 > len(payload):
+        raise ValueError("truncated avro sync marker")
+    sync = payload[pos : pos + 16]
+    pos += 16
+    n = len(payload)
+    total_out = 0
+    records: list[dict] = []
+    while pos < n:
+        count, pos = _zigzag_read(payload, pos)
+        size, pos = _zigzag_read(payload, pos)
+        if count <= 0 or size < 0 or size > _MAX_BLOCK:
+            raise ValueError("avro block count/size out of range")
+        if pos + size + 16 > n:
+            raise ValueError("avro block overruns payload")
+        body = payload[pos : pos + size]
+        pos += size
+        if payload[pos : pos + 16] != sync:
+            raise ValueError("avro sync marker mismatch")
+        pos += 16
+        if codec == "deflate":
+            d = zlib.decompressobj(wbits=-15)
+            try:
+                body = d.decompress(body, _MAX_BLOCK)
+            except zlib.error as e:
+                raise ValueError(f"avro deflate block: {e}") from None
+            if not d.eof or d.unconsumed_tail:
+                raise ValueError("avro deflate block truncated/oversized")
+            if d.unused_data:
+                raise ValueError("avro deflate block has trailing bytes")
+        elif codec == "snappy":
+            if len(body) < 4:
+                raise ValueError("avro snappy block shorter than its CRC")
+            from .snappy import decode_snappy
+
+            crc = int.from_bytes(body[-4:], "big")
+            body = decode_snappy(body[:-4], max_output=_MAX_BLOCK)
+            if zlib.crc32(body) & 0xFFFFFFFF != crc:
+                raise ValueError("avro snappy block CRC mismatch")
+        total_out += len(body)
+        if total_out > _MAX_TOTAL:
+            raise ValueError("avro container exceeds cumulative cap")
+        if count > 1 << 24:
+            raise ValueError("avro block count out of range")
+        bpos = 0
+        for _ in range(count):
+            rec, bpos = _decode_spec(body, bpos, spec)
+            records.append(rec)
+        if bpos != len(body):
+            raise ValueError(
+                f"avro block decoded {bpos} of {len(body)} bytes"
+            )
+    if not records:
+        raise ValueError("avro container with no records")
+    return records
+
+
+def encode_avro_container(
+    schema_json: bytes, encoded_records: list[bytes], sync: bytes
+) -> bytes:
+    """Assemble an uncompressed-codec container around pre-encoded
+    record bytes (the writer half the Iceberg fixtures use)."""
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    out = bytearray(_MAGIC)
+    out += _zigzag_write(2)
+    for k, v in ((b"avro.schema", schema_json), (b"avro.codec", b"null")):
+        out += _zigzag_write(len(k)) + k
+        out += _zigzag_write(len(v)) + v
+    out += _zigzag_write(0)
+    out += sync
+    body = b"".join(encoded_records)
+    out += _zigzag_write(len(encoded_records))
+    out += _zigzag_write(len(body))
+    out += body
+    out += sync
+    return bytes(out)

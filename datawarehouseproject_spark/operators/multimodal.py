@@ -2270,6 +2270,50 @@ def synthesize_avro_media(
     return _synthesize_media(ids, id_col, loader)
 
 
+def synthesize_iceberg_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Iceberg table bundles
+    (metadata JSON + manifest-list/manifest avro + real parquet,
+    ``functions/iceberg_scan.py:synth_iceberg``)."""
+
+    def loader():
+        from ..functions.iceberg_scan import synth_iceberg
+
+        return synth_iceberg
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ICEBERG_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_snapshots", T.IntegerType()),
+        T.StructField("n_manifests", T.IntegerType()),
+        T.StructField("n_data_files", T.IntegerType()),
+        T.StructField("n_deleted_entries", T.IntegerType()),
+        T.StructField("files_pruned", T.IntegerType()),
+        T.StructField("files_scanned", T.IntegerType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("probe_matches", T.LongType()),
+    ]
+)
+
+
+def extract_iceberg_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Iceberg snapshot planning + pruned read per payload
+    (:func:`..functions.iceberg_scan.scan_iceberg`)."""
+
+    def loader():
+        from ..functions.iceberg_scan import scan_iceberg
+
+        return scan_iceberg
+
+    return _extract_metadata(media, ICEBERG_SCAN_SCHEMA, loader, permissive)
+
+
 AVRO_SCAN_SCHEMA = T.StructType(
     [
         T.StructField("n_records", T.LongType()),

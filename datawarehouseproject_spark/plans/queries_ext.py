@@ -1630,6 +1630,68 @@ def q_avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_snapshot_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 3 + doc_id % 4 AS n FROM documents),
+    f AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS j
+      FROM m),
+    r AS (
+      SELECT media_id, n, j,
+             40 + (media_id + j) % 60 AS rows_,
+             media_id % n AS k
+      FROM f)
+    SELECT media_id,
+           CAST(2 AS INTEGER) AS n_snapshots,
+           CAST(2 AS INTEGER) AS n_manifests,
+           CAST(max(n) AS INTEGER) AS n_data_files,
+           CAST(1 AS INTEGER) AS n_deleted_entries,
+           CAST(max(n) - 1 AS INTEGER) AS files_pruned,
+           CAST(1 AS INTEGER) AS files_scanned,
+           CAST(sum(CASE WHEN j = k THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(rows_) AS BIGINT) AS total_rows,
+           CAST(sum(CASE WHEN j = k THEN (rows_ - 18) // 40 + 1
+                         ELSE 0 END) AS BIGINT) AS probe_matches
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "iceberg", "lakehouse", "avro", "parquet",
+          "data-skipping", "mapInPandas"),
+)
+def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache ICEBERG snapshot scan (round 10) — the lakehouse read
+    path a 100 TB table serves queries through, walked end to end
+    from the public table spec (``functions/iceberg_scan.py``):
+    table-metadata JSON (the CURRENT snapshot must win, not the
+    union of history — snapshot 1 deliberately sees fewer files),
+    manifest-list avro, manifest avro with NESTED ``data_file``
+    records and bounds stored as arrays of key/value records
+    (Iceberg's encoding for non-string-key maps; exercises the
+    generic nested Avro decoder), DELETED entries skipped, then
+    BOUNDS-BASED FILE PRUNING: the point lookup reads exactly ONE of
+    the 3-6 real pyarrow parquet files, whose footer row count is
+    cross-checked against the manifest's ``record_count`` so the two
+    metadata systems cannot drift.  ``files_pruned`` = n-1 in the
+    oracle IS the data-skipping guarantee — at fleet scale this is
+    the difference between touching one file and touching the
+    table."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_iceberg_scan,
+        synthesize_iceberg_media,
+    )
+
+    media = synthesize_iceberg_media(_t(spark, sf_dir, "documents"))
+    return extract_iceberg_scan(media).select(
+        "media_id", "n_snapshots", "n_manifests", "n_data_files",
+        "n_deleted_entries", "files_pruned", "files_scanned",
+        "rows_scanned", "total_rows", "probe_matches",
+    )
+
+
+@register(
     "avro_corpus_rollup",
     oracle="""
     WITH m AS (

@@ -27,6 +27,7 @@ def _cases():
         h264,
         inflate,
         ico,
+        iceberg_scan,
         jpeg,
         lz4_codec,
         lzma_codec,
@@ -124,6 +125,11 @@ def _cases():
         ),
         ("mime", mime_mail.synth_email, mime_mail.parse_mime_message),
         ("avro", avro_scan.synth_avro, avro_scan.scan_avro),
+        (
+            "iceberg",
+            iceberg_scan.synth_iceberg,
+            iceberg_scan.scan_iceberg,
+        ),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (

@@ -1,0 +1,126 @@
+"""Iceberg snapshot scan — functions/iceberg_scan.py (round 10):
+metadata JSON -> manifest-list avro -> manifest avro (nested records
++ bounds arrays through the generic Avro decoder) -> pruned parquet
+read, with the manifest/parquet cross-check."""
+
+from __future__ import annotations
+
+import io
+import json
+import tarfile
+
+import pytest
+
+from datawarehouseproject_spark.functions.iceberg_scan import (
+    _file_rows,
+    scan_iceberg,
+    synth_iceberg,
+    synth_iceberg_plan,
+)
+
+
+def _retar(payload: bytes, edit) -> bytes:
+    """Unpack, apply ``edit(files dict)``, repack."""
+    files = {}
+    with tarfile.open(fileobj=io.BytesIO(payload)) as tf:
+        for m in tf.getmembers():
+            files[m.name] = tf.extractfile(m).read()
+    edit(files)
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w") as tf:
+        for name in sorted(files):
+            info = tarfile.TarInfo(name)
+            info.size = len(files[name])
+            tf.addfile(info, io.BytesIO(files[name]))
+    return out.getvalue()
+
+
+def test_scan_matches_plan():
+    for seed in range(10):
+        p = synth_iceberg_plan(seed)
+        r = scan_iceberg(synth_iceberg(seed))
+        n, k = p["n_files"], p["probe_file"]
+        assert r["n_data_files"] == n and r["files_pruned"] == n - 1
+        assert r["files_scanned"] == 1
+        assert r["rows_scanned"] == _file_rows(seed, k)
+        assert r["n_deleted_entries"] == 1
+        assert r["total_rows"] == sum(_file_rows(seed, j) for j in range(n))
+
+
+def test_current_snapshot_wins_over_history():
+    """Point current-snapshot-id at snapshot 1 (which sees only the
+    first manifest): the scan must see FEWER files, proving it reads
+    the named snapshot rather than unioning history."""
+    seed = 3
+    n = synth_iceberg_plan(seed)["n_files"]
+
+    def edit(files):
+        meta = json.loads(files["metadata/v2.metadata.json"])
+        meta["current-snapshot-id"] = 1
+        files["metadata/v2.metadata.json"] = json.dumps(meta).encode()
+
+    r = scan_iceberg(_retar(synth_iceberg(seed), edit))
+    assert r["n_manifests"] == 1
+    assert r["n_data_files"] == (n + 1) // 2  # only m0's files
+
+
+def test_record_count_drift_refused():
+    """Manifest record_count disagreeing with the parquet footer is
+    metadata corruption, not something to average over."""
+    seed = 1
+    k = synth_iceberg_plan(seed)["probe_file"]
+    blob = synth_iceberg(seed)
+
+    def edit(files):
+        # truncate the probed parquet file's rows by rewriting it
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = f"data/f{k:02d}.parquet"
+        t = pq.read_table(io.BytesIO(files[path]))
+        buf = io.BytesIO()
+        pq.write_table(t.slice(0, t.num_rows - 1), buf)
+        files[path] = buf.getvalue()
+
+    with pytest.raises(ValueError, match="record_count"):
+        scan_iceberg(_retar(blob, edit))
+
+
+def test_deleted_entries_never_scanned():
+    """The DELETED entry points at file 0 with valid bounds; if
+    planning respected it, file 0 would double-count whenever the
+    probe lands there (seed with probe_file == 0)."""
+    seed = 0
+    assert synth_iceberg_plan(seed)["probe_file"] == 0
+    r = scan_iceberg(synth_iceberg(seed))
+    assert r["files_scanned"] == 1
+    assert r["rows_scanned"] == _file_rows(seed, 0)
+
+
+def test_missing_layers_refuse():
+    blob = synth_iceberg(2)
+    for victim, msg in (
+        ("metadata/v2.metadata.json", "metadata"),
+        ("metadata/snap-2.avro", "manifest list"),
+        ("metadata/m0.avro", "manifest"),
+    ):
+        def edit(files, victim=victim):
+            del files[victim]
+
+        with pytest.raises(ValueError, match=msg):
+            scan_iceberg(_retar(blob, edit))
+
+
+def test_manifest_length_checked():
+    blob = synth_iceberg(4)
+
+    def edit(files):
+        files["metadata/m0.avro"] += b"\x00"
+
+    with pytest.raises(ValueError, match="manifest_length"):
+        scan_iceberg(_retar(blob, edit))
+
+
+def test_not_a_tar_refuses():
+    with pytest.raises(ValueError, match="tar|metadata"):
+        scan_iceberg(b"not a tar bundle at all" * 40)
