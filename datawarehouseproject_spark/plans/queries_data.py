@@ -2215,6 +2215,217 @@ def q_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "markdown_text_extraction",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             '# Title ' || CAST(doc_id % 40 AS VARCHAR) || chr(10)
+             || 'intro ' || CAST(doc_id % 7 AS VARCHAR)
+             || ' with **bold' || CAST(doc_id % 3 AS VARCHAR)
+             || '** words' || chr(10)
+             || '## Section ' || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+             || '- item one ' || CAST(doc_id % 11 AS VARCHAR) || chr(10)
+             || '- item [link' || CAST(doc_id % 3 AS VARCHAR)
+             || '](http://site' || CAST(doc_id % 4 AS VARCHAR)
+             || '.example) two' || chr(10)
+             || '```' || chr(10)
+             || 'code line ' || CAST(doc_id AS VARCHAR) || chr(10)
+             || 'x = ' || CAST(doc_id % 13 AS VARCHAR) || chr(10)
+             || '```' || chr(10)
+             || 'tail paragraph ' || CAST(doc_id % 9 AS VARCHAR) || '.'
+             || (CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || '## Extra' || chr(10)
+                      || 'par ' || CAST(doc_id % 17 AS VARCHAR)
+                 ELSE '' END) AS md
+      FROM documents),
+    code AS (
+      SELECT doc_id, md,
+             len(regexp_extract_all(md, '(?s)```\\n(.*?)```', 1))
+               AS n_code_blocks,
+             CAST(coalesce(length(array_to_string(
+               regexp_extract_all(md, '(?s)```\\n(.*?)```', 1), '')), 0)
+               AS BIGINT) AS code_chars,
+             regexp_replace(md, '(?s)```\\n.*?```', ' ', 'g') AS body1
+      FROM raw),
+    links AS (
+      SELECT doc_id, n_code_blocks, code_chars, body1,
+             len(regexp_extract_all(body1,
+                 '\\[[^\\]]*\\]\\([^)]*\\)')) AS n_links,
+             CAST(coalesce(length(array_to_string(
+               regexp_extract_all(body1, '\\[([^\\]]*)\\]\\([^)]*\\)', 1),
+               '')), 0) AS BIGINT) AS link_chars,
+             len(regexp_extract_all(body1, '(?m)^#{1,6} ')) AS n_headers,
+             len(regexp_extract_all(body1, '(?m)^- ')) AS n_items
+      FROM code),
+    plain AS (
+      SELECT doc_id, n_code_blocks, code_chars, n_links, link_chars,
+             n_headers, n_items,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(body1, '(?m)^#{1,6} ', '', 'g'),
+                       '(?m)^- ', '', 'g'),
+                     '\\]\\([^)]*\\)', '', 'g'),
+                   '\\[', '', 'g'),
+                 '\\*\\*', '', 'g'),
+               '\\s+', ' ', 'g')) AS text
+      FROM links)
+    SELECT doc_id,
+           text AS extracted_text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(n_headers AS INTEGER) AS n_headers,
+           CAST(n_items AS INTEGER) AS n_items,
+           CAST(n_links AS INTEGER) AS n_links,
+           link_chars,
+           CAST(n_code_blocks AS INTEGER) AS n_code_blocks,
+           code_chars,
+           CAST((1000000 * code_chars) // (length(text) + 1) AS BIGINT)
+             AS code_density_micro
+    FROM plain
+    """,
+    tags=("text", "markdown", "extraction", "zero-udf"),
+)
+def q_markdown_text_extraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MARKDOWN corpus extraction (round 10) — the sibling of the
+    HTML boilerplate pass for the OTHER half of a web-scale text
+    corpus (READMEs, docs sites, forum exports): synthesize one
+    markdown document per row (title header, bold runs, section
+    headers, list items, an inline link, a fenced code block, an
+    optional second section), then extract entirely with JVM-side
+    regexp expressions, zero UDFs — fenced-code census FIRST (code
+    must not leak into prose stats, and ``(?s)`` non-greedy keeps one
+    fence from swallowing the document), link census before syntax
+    stripping, header/item counts via ``(?m)`` line anchors, then
+    marker stripping and whitespace collapse.  The oracle replays
+    the identical pipeline in DuckDB and the FULL extracted text is
+    hash-compared; code density in integer micro-units is the
+    quality-filter signal (code-heavy pages get routed to code
+    pipelines, not prose ones).  One projection, no shuffle."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def m(k: int) -> F.Column:
+        return (F.col("doc_id") % k).cast("string")
+
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("# Title "), m(40), F.lit("\n"),
+            F.lit("intro "), m(7), F.lit(" with **bold"), m(3),
+            F.lit("** words\n"),
+            F.lit("## Section "), m(5), F.lit("\n"),
+            F.lit("- item one "), m(11), F.lit("\n"),
+            F.lit("- item [link"), m(3), F.lit("](http://site"), m(4),
+            F.lit(".example) two\n"),
+            F.lit("```\ncode line "),
+            F.col("doc_id").cast("string"),
+            F.lit("\nx = "), m(13), F.lit("\n```\n"),
+            F.lit("tail paragraph "), m(9), F.lit("."),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("\n## Extra\npar "), m(17)),
+            ).otherwise(F.lit("")),
+        ).alias("md"),
+    )
+    code = raw.select(
+        "doc_id",
+        "md",
+        F.size(
+            F.expr("regexp_extract_all(md, '(?s)```\\n(.*?)```', 1)")
+        ).alias("n_code_blocks"),
+        F.coalesce(
+            F.length(
+                F.array_join(
+                    F.expr(
+                        "regexp_extract_all(md, '(?s)```\\n(.*?)```', 1)"
+                    ),
+                    "",
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("code_chars"),
+        F.regexp_replace("md", r"(?s)```\n.*?```", " ").alias("body1"),
+    )
+    links = code.select(
+        "doc_id",
+        "n_code_blocks",
+        "code_chars",
+        "body1",
+        F.size(
+            F.expr(
+                r"regexp_extract_all(body1, '\\[[^\\]]*\\]\\([^)]*\\)', 0)"
+            )
+        ).alias("n_links"),
+        F.coalesce(
+            F.length(
+                F.array_join(
+                    F.expr(
+                        r"regexp_extract_all(body1,"
+                        r" '\\[([^\\]]*)\\]\\([^)]*\\)', 1)"
+                    ),
+                    "",
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("link_chars"),
+        F.size(
+            F.expr("regexp_extract_all(body1, '(?m)^#{1,6} ', 0)")
+        ).alias("n_headers"),
+        F.size(
+            F.expr("regexp_extract_all(body1, '(?m)^- ', 0)")
+        ).alias("n_items"),
+    )
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.regexp_replace(
+                                F.col("body1"), r"(?m)^#{1,6} ", ""
+                            ),
+                            r"(?m)^- ",
+                            "",
+                        ),
+                        r"\]\([^)]*\)",
+                        "",
+                    ),
+                    r"\[",
+                    "",
+                ),
+                r"\*\*",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    plain = links.select(
+        "doc_id", "n_code_blocks", "code_chars", "n_links",
+        "link_chars", "n_headers", "n_items",
+        stripped.alias("text"),
+    )
+    return plain.select(
+        "doc_id",
+        F.col("text").alias("extracted_text"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.col("n_headers").cast("int").alias("n_headers"),
+        F.col("n_items").cast("int").alias("n_items"),
+        F.col("n_links").cast("int").alias("n_links"),
+        "link_chars",
+        F.col("n_code_blocks").cast("int").alias("n_code_blocks"),
+        "code_chars",
+        F.expr("(1000000 * code_chars) DIV (length(text) + 1)")
+        .cast("bigint")
+        .alias("code_density_micro"),
+    )
+
+
+@register(
     "robots_txt_rules",
     oracle="""
     WITH raw AS (
