@@ -48,6 +48,7 @@ import zlib
 _MAGIC = b"Obj\x01"
 _MAX_BLOCK = 1 << 26
 _MAX_TOTAL = 1 << 28
+_MAX_RECORDS = 1 << 22
 _SUPPORTED = {"long", "int", "string", "double", "boolean"}
 
 
@@ -165,16 +166,17 @@ def _decode_value(data: bytes, pos: int, typ: str):
     return bool(b), pos + 1
 
 
-def iter_avro_records(payload: bytes):
-    """Yield decoded record dicts; verifies the magic, walks the
-    metadata map, decodes every block through the named codec, and
-    REFUSES on sync-marker mismatch."""
+def _iter_avro_blocks(payload: bytes):
+    """The SHARED container walk both record decoders consume: yields
+    the metadata map first, then (count, decoded body bytes) per
+    block — magic, metadata map, codec gate, sync fencing, per-block
+    codec decode, and the cumulative output cap live HERE ONLY, so a
+    framing fix cannot diverge between the flat and nested readers."""
     if len(payload) < 20 or payload[:4] != _MAGIC:
         raise ValueError("not an avro object container (bad magic)")
     meta, pos = _read_meta_map(payload, 4)
     if "avro.schema" not in meta:
         raise ValueError("avro container without avro.schema")
-    plan = parse_avro_schema(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode("utf-8", "replace")
     if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"avro codec {codec!r} unsupported (boundary)")
@@ -184,11 +186,18 @@ def iter_avro_records(payload: bytes):
     pos += 16
     n = len(payload)
     total_out = 0  # cumulative decoded bytes across ALL blocks
+    total_records = 0
+    yield meta
     while pos < n:
         count, pos = _zigzag_read(payload, pos)
         size, pos = _zigzag_read(payload, pos)
         if count <= 0 or size < 0 or size > _MAX_BLOCK:
             raise ValueError("avro block count/size out of range")
+        total_records += count
+        if total_records > _MAX_RECORDS:
+            # byte caps alone let a container declare billions of
+            # zero-byte records (bomb class): cap the record count too
+            raise ValueError("avro container exceeds record-count cap")
         if pos + size + 16 > n:
             raise ValueError("avro block overruns payload")
         body = payload[pos : pos + size]
@@ -222,6 +231,16 @@ def iter_avro_records(payload: bytes):
             # per-block caps alone let many small blocks expand a
             # tiny payload to gigabytes (bomb class): cap the SUM
             raise ValueError("avro container exceeds cumulative cap")
+        yield count, body
+
+
+def iter_avro_records(payload: bytes):
+    """Yield decoded record dicts (the FLAT fixture schema path);
+    framing/codec/sync handling is :func:`_iter_avro_blocks`'s."""
+    blocks = _iter_avro_blocks(payload)
+    meta = next(blocks)
+    plan = parse_avro_schema(meta["avro.schema"])
+    for count, body in blocks:
         bpos = 0
         for _ in range(count):
             rec = {}
@@ -396,17 +415,23 @@ def _parse_type_spec(t, depth: int = 0):
         )
     if isinstance(t, dict):
         kind = t.get("type")
+        if not isinstance(kind, str):
+            raise ValueError("avro type name is not a string")
         if kind == "record":
             fields = t.get("fields")
             if not isinstance(fields, list) or not fields:
                 raise ValueError("avro nested record without fields")
-            return (
-                "record",
-                [
+            out = []
+            for f in fields:
+                # the schema arrives inside untrusted payload bytes:
+                # shape errors must quarantine, not KeyError/TypeError
+                if not isinstance(f, dict) or "name" not in f \
+                        or "type" not in f:
+                    raise ValueError("malformed avro field")
+                out.append(
                     (str(f["name"]), _parse_type_spec(f["type"], depth + 1))
-                    for f in fields
-                ],
-            )
+                )
+            return ("record", out)
         if kind == "array":
             return ("array", _parse_type_spec(t.get("items"), depth + 1))
         if kind in _SUPPORTED or kind == "bytes":
@@ -454,13 +479,10 @@ def _decode_spec(data: bytes, pos: int, spec, depth: int = 0):
 def decode_avro_blocks(payload: bytes) -> list[dict]:
     """Decode EVERY record of an Avro container through the generic
     (nested-capable) decoder.  The top-level schema must be a record;
-    block framing, codecs, sync verification, and caps are shared
-    with :func:`iter_avro_records`'s walk."""
-    if len(payload) < 20 or payload[:4] != _MAGIC:
-        raise ValueError("not an avro object container (bad magic)")
-    meta, pos = _read_meta_map(payload, 4)
-    if "avro.schema" not in meta:
-        raise ValueError("avro container without avro.schema")
+    framing/codec/sync handling and the byte/record caps are
+    :func:`_iter_avro_blocks`'s — one walk, two decoders."""
+    blocks = _iter_avro_blocks(payload)
+    meta = next(blocks)
     try:
         schema = json.loads(meta["avro.schema"])
     except json.JSONDecodeError as e:
@@ -468,52 +490,8 @@ def decode_avro_blocks(payload: bytes) -> list[dict]:
     spec = _parse_type_spec(schema)
     if spec[0] != "record":
         raise ValueError("avro top-level schema is not a record")
-    codec = meta.get("avro.codec", b"null").decode("utf-8", "replace")
-    if codec not in ("null", "deflate", "snappy"):
-        raise ValueError(f"avro codec {codec!r} unsupported (boundary)")
-    if pos + 16 > len(payload):
-        raise ValueError("truncated avro sync marker")
-    sync = payload[pos : pos + 16]
-    pos += 16
-    n = len(payload)
-    total_out = 0
     records: list[dict] = []
-    while pos < n:
-        count, pos = _zigzag_read(payload, pos)
-        size, pos = _zigzag_read(payload, pos)
-        if count <= 0 or size < 0 or size > _MAX_BLOCK:
-            raise ValueError("avro block count/size out of range")
-        if pos + size + 16 > n:
-            raise ValueError("avro block overruns payload")
-        body = payload[pos : pos + size]
-        pos += size
-        if payload[pos : pos + 16] != sync:
-            raise ValueError("avro sync marker mismatch")
-        pos += 16
-        if codec == "deflate":
-            d = zlib.decompressobj(wbits=-15)
-            try:
-                body = d.decompress(body, _MAX_BLOCK)
-            except zlib.error as e:
-                raise ValueError(f"avro deflate block: {e}") from None
-            if not d.eof or d.unconsumed_tail:
-                raise ValueError("avro deflate block truncated/oversized")
-            if d.unused_data:
-                raise ValueError("avro deflate block has trailing bytes")
-        elif codec == "snappy":
-            if len(body) < 4:
-                raise ValueError("avro snappy block shorter than its CRC")
-            from .snappy import decode_snappy
-
-            crc = int.from_bytes(body[-4:], "big")
-            body = decode_snappy(body[:-4], max_output=_MAX_BLOCK)
-            if zlib.crc32(body) & 0xFFFFFFFF != crc:
-                raise ValueError("avro snappy block CRC mismatch")
-        total_out += len(body)
-        if total_out > _MAX_TOTAL:
-            raise ValueError("avro container exceeds cumulative cap")
-        if count > 1 << 24:
-            raise ValueError("avro block count out of range")
+    for count, body in blocks:
         bpos = 0
         for _ in range(count):
             rec, bpos = _decode_spec(body, bpos, spec)

@@ -261,7 +261,10 @@ def scan_iceberg(payload: bytes) -> dict:
     import pyarrow.parquet as pq
 
     try:
-        with tarfile.open(fileobj=io.BytesIO(payload), mode="r") as tf:
+        # mode "r:" = uncompressed tar ONLY — transparent gzip/bz2/xz
+        # detection would add decompression error types (BadGzipFile,
+        # EOFError) that are not TarError and escape the quarantine
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:") as tf:
             files = {}
             total = 0
             for m in tf.getmembers():
@@ -285,12 +288,26 @@ def scan_iceberg(payload: bytes) -> dict:
         raise ValueError(f"table metadata is not JSON: {e}") from None
     if meta.get("format-version") != 2:
         raise ValueError("unsupported iceberg format-version")
+    # the metadata JSON is untrusted payload content: every shape
+    # assumption must quarantine, not TypeError out of dict/list ops
     current = meta.get("current-snapshot-id")
-    snaps = {
-        s.get("snapshot-id"): s.get("manifest-list")
-        for s in meta.get("snapshots", [])
-        if isinstance(s, dict)
-    }
+    if not isinstance(current, int) or isinstance(current, bool):
+        raise ValueError("current-snapshot-id is not an integer")
+    snap_list = meta.get("snapshots", [])
+    if not isinstance(snap_list, list):
+        raise ValueError("snapshots is not a list")
+    snaps: dict[int, str] = {}
+    for s in snap_list:
+        if not isinstance(s, dict):
+            continue
+        sid = s.get("snapshot-id")
+        ml = s.get("manifest-list")
+        if (
+            not isinstance(sid, int) or isinstance(sid, bool)
+            or not isinstance(ml, str)
+        ):
+            raise ValueError("malformed snapshot entry")
+        snaps[sid] = ml
     if current not in snaps:
         raise ValueError("current-snapshot-id not in snapshots")
     ml_blob = files.get(snaps[current])
@@ -302,6 +319,10 @@ def scan_iceberg(payload: bytes) -> dict:
     candidates = []  # (path, record_count, lower, upper)
     for mf in manifest_files:
         mpath = mf.get("manifest_path")
+        if not isinstance(mpath, str):
+            # manifests carry attacker-controlled schemas, so decoded
+            # field types are arbitrary: shape checks, not trust
+            raise ValueError("manifest_path is not a string")
         mblob = files.get(mpath)
         if mblob is None:
             raise ValueError(f"manifest {mpath!r} missing from bundle")
@@ -318,11 +339,21 @@ def scan_iceberg(payload: bytes) -> dict:
             if status not in (0, 1):
                 raise ValueError(f"manifest entry status {status} unknown")
             n_data_files += 1
+            path = df.get("file_path")
+            record_count = df.get("record_count")
+            if not isinstance(path, str):
+                raise ValueError("data file path is not a string")
+            if (
+                not isinstance(record_count, int)
+                or isinstance(record_count, bool)
+                or record_count < 0
+            ):
+                raise ValueError("data file record_count malformed")
             lo = _bound_value(df.get("lower_bounds"))
             hi = _bound_value(df.get("upper_bounds"))
             if lo > hi:
                 raise ValueError("data file lower bound above upper")
-            candidates.append((df["file_path"], df["record_count"], lo, hi))
+            candidates.append((path, record_count, lo, hi))
     if not candidates:
         raise ValueError("current snapshot has no live data files")
     # the point lookup rides in the table properties (a fixture knob;
@@ -350,6 +381,8 @@ def scan_iceberg(payload: bytes) -> dict:
                 f"manifest record_count {record_count} != parquet "
                 f"rows {table.num_rows}"
             )
+        if "v" not in table.column_names:
+            raise ValueError("data file missing the predicate column")
         rows_scanned += table.num_rows
         matches += sum(1 for v in table.column("v").to_pylist()
                        if v == probe)
@@ -373,6 +406,8 @@ def _bound_value(bounds) -> int:
     if not isinstance(bounds, list) or not bounds:
         raise ValueError("data file without bounds")
     for kv in bounds:
+        if not isinstance(kv, dict):
+            raise ValueError("bounds entry is not a key/value record")
         if kv.get("key") == _V_FIELD_ID:
             raw = kv.get("value")
             if not isinstance(raw, bytes) or len(raw) != 8:

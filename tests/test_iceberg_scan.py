@@ -124,3 +124,101 @@ def test_manifest_length_checked():
 def test_not_a_tar_refuses():
     with pytest.raises(ValueError, match="tar|metadata"):
         scan_iceberg(b"not a tar bundle at all" * 40)
+
+
+def test_crafted_schema_shapes_quarantine():
+    """Review r10 pass 3: the manifest's embedded schema is attacker
+    bytes — missing fields, wrong types, and non-record shapes must
+    all land as ValueError, never KeyError/TypeError."""
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _parse_type_spec,
+        encode_avro_container,
+    )
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _zigzag_write,
+    )
+    import json as _json
+
+    for bad in (
+        {"type": "record", "name": "r", "fields": [42]},
+        {"type": "record", "name": "r", "fields": [{"type": "long"}]},
+        {"type": ["long"]},
+        {"type": "record", "name": "r", "fields": []},
+    ):
+        with pytest.raises(ValueError):
+            _parse_type_spec(bad)
+    # end-to-end: a manifest whose data_file lacks file_path
+    blob = synth_iceberg(0)
+    schema = _json.dumps({
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file",
+                "fields": [{"name": "nope", "type": "long"}],
+            }},
+        ],
+    }).encode()
+    evil = encode_avro_container(
+        schema,
+        [_zigzag_write(1) + _zigzag_write(0) + _zigzag_write(5)],
+        bytes(16),
+    )
+
+    def edit(files):
+        files["metadata/m0.avro"] = evil
+        files["metadata/m1.avro"] = evil
+
+    with pytest.raises(ValueError):
+        scan_iceberg(_retar(blob, edit))
+
+
+def test_metadata_json_shapes_quarantine():
+    blob = synth_iceberg(1)
+    for mutate in (
+        lambda m: m.__setitem__("current-snapshot-id", [1]),
+        lambda m: m.__setitem__("snapshots", 5),
+        lambda m: m["snapshots"][0].__setitem__("snapshot-id", [1]),
+        lambda m: m["snapshots"][1].__setitem__("manifest-list", ["x"]),
+    ):
+        def edit(files, mutate=mutate):
+            meta = json.loads(files["metadata/v2.metadata.json"])
+            mutate(meta)
+            files["metadata/v2.metadata.json"] = json.dumps(meta).encode()
+
+        with pytest.raises(ValueError):
+            scan_iceberg(_retar(blob, edit))
+
+
+def test_gzip_compressed_bundle_refused_loudly():
+    """mode='r:' keeps transparent decompression (and its non-TarError
+    exception types) out of the quarantine surface."""
+    import gzip
+
+    blob = gzip.compress(synth_iceberg(2))
+    with pytest.raises(ValueError):
+        scan_iceberg(blob)
+    # and a corrupted gzip stream must ALSO be ValueError, not
+    # BadGzipFile
+    broken = bytearray(blob)
+    broken[len(broken) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        scan_iceberg(bytes(broken))
+
+
+def test_wrong_column_name_quarantines():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seed = 1
+    k = synth_iceberg_plan(seed)["probe_file"]
+    rows = _file_rows(seed, k)
+
+    def edit(files):
+        buf = io.BytesIO()
+        pq.write_table(pa.table({"w": list(range(rows))}), buf)
+        files[f"data/f{k:02d}.parquet"] = buf.getvalue()
+
+    with pytest.raises(ValueError, match="predicate column"):
+        scan_iceberg(_retar(synth_iceberg(seed), edit))
