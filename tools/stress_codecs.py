@@ -884,6 +884,43 @@ def round12_kernels() -> None:
     }))
 
 
+
+
+def round12b_kernels() -> None:
+    """Driver round 10, closing additions: Iceberg snapshot planning
+    and the generic nested Avro decode."""
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg,
+        synth_iceberg,
+    )
+
+    bundles = [synth_iceberg(s) for s in range(400)]
+    secs, n = _timeit(
+        lambda: sum(scan_iceberg(b)["total_rows"] for b in bundles)
+    )
+    print(json.dumps({
+        "kernel": "iceberg_snapshot_scan",
+        "media": f"400 tables, {n} rows planned",
+        "tables_per_s": int(400 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        decode_avro_blocks,
+        synth_avro,
+    )
+
+    avros = [synth_avro(s) for s in range(1500)]
+    secs, n = _timeit(
+        lambda: sum(len(decode_avro_blocks(b)) for b in avros)
+    )
+    print(json.dumps({
+        "kernel": "avro_nested_decode",
+        "media": f"1500 containers, {n} records",
+        "records_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
 if __name__ == "__main__":
     main()
     archive_kernels()
@@ -894,3 +931,4 @@ if __name__ == "__main__":
     round11_kernels()
     round11b_kernels()
     round12_kernels()
+    round12b_kernels()
