@@ -278,6 +278,60 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "consistent_bottomk_sample",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, lang, n_chars,
+             md5(CAST(doc_id AS VARCHAR) || '-s1') AS h
+      FROM documents),
+    sample AS (
+      SELECT * FROM hashed ORDER BY h, doc_id LIMIT 500)
+    SELECT CAST(count(*) AS BIGINT) AS k_count,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           CAST(count(DISTINCT lang) AS INTEGER) AS n_langs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           max(h) AS threshold_hash
+    FROM sample
+    """,
+    tags=("sampling", "bottom-k", "zero-udf", "reproducible"),
+)
+def q_consistent_bottomk_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONSISTENT fixed-size sampling (round 10) — the property a
+    training-data held-out set actually needs and ``rand()`` cannot
+    give: the k documents with the SMALLEST ``md5(id || salt)`` are
+    the same set on every rerun, every engine, every partitioning,
+    and (because a superset corpus keeps the same k smallest until
+    new ids hash below the threshold) the sample is STABLE as the
+    corpus grows — the bottom-k sketch used as a sampler.  The plan
+    is ``orderBy(hash).limit(k)``, which Spark executes as
+    TakeOrderedAndProject: a per-partition top-k heap merged on the
+    driver, NO full sort shuffle — exactly the distributed bottom-k
+    mechanics, scaling by partitions at any corpus size.  md5 hex is
+    byte-identical across Spark and DuckDB, so the oracle pins the
+    SAME 500 documents (id_sum) and the same k-th threshold hash."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("-s1"))
+        ).alias("h"),
+    )
+    sample = hashed.orderBy("h", "doc_id").limit(500)
+    return sample.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_count"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.max("h").alias("threshold_hash"),
+    )
+
+
+@register(
     "stratified_sample",
     oracle="""
     WITH ranked AS (
