@@ -57,6 +57,7 @@ _MANIFEST_LIST_SCHEMA = json.dumps(
             {"name": "manifest_path", "type": "string"},
             {"name": "manifest_length", "type": "long"},
             {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},  # 0 data, 1 deletes
             {"name": "added_snapshot_id", "type": "long"},
             {"name": "added_data_files_count", "type": "int"},
         ],
@@ -132,7 +133,10 @@ def synth_iceberg_plan(seed: int) -> dict:
     files in half; snapshot 2 (CURRENT) sees all manifests, snapshot
     1 only the first — plus one DELETED entry that planning must
     skip.  The probe ``lo_k + 17`` with ``k = seed % n_files`` lands
-    inside exactly ONE file's bounds."""
+    inside exactly ONE file's bounds.  A POSITIONAL DELETE file
+    (v2 merge-on-read) removes positions ``i % 7 == 3`` from every
+    data file, so live probe matches are positions
+    ``i ≡ 17 (mod 40)`` minus the ``i ≡ 17 (mod 280)`` overlap."""
     n_files = 3 + seed % 4
     return {
         "n_files": n_files,
@@ -161,6 +165,18 @@ def synth_iceberg(seed: int) -> bytes:
     sync = bytes((seed * 17 + j * 5 + 11) % 256 for j in range(16))
     files: dict[str, bytes] = {}
 
+    def entry(status: int, path: str, rows: int, lo: int) -> bytes:
+        return (
+            _zigzag_write(status)
+            + _zigzag_write(1) + _zigzag_write(2)  # snapshot_id = 2
+            + _enc_string(path)
+            + _enc_string("PARQUET")
+            + _zigzag_write(rows)
+            + _zigzag_write(len(files[path]))
+            + _enc_bounds(lo)
+            + _enc_bounds(lo + 39)
+        )
+
     data_entries = []
     for j in range(n_files):
         rows = _file_rows(seed, j)
@@ -171,41 +187,44 @@ def synth_iceberg(seed: int) -> bytes:
         )
         path = f"data/f{j:02d}.parquet"
         files[path] = buf.getvalue()
-        data_entries.append(
-            _zigzag_write(1)  # status: added
-            + _zigzag_write(1) + _zigzag_write(2)  # snapshot_id = 2
-            + _enc_string(path)
-            + _enc_string("PARQUET")
-            + _zigzag_write(rows)
-            + _zigzag_write(len(files[path]))
-            + _enc_bounds(lo)
-            + _enc_bounds(lo + 39)
-        )
+        data_entries.append(entry(1, path, rows, lo))
     # a DELETED entry pointing at file 0 again: planning must skip it
     data_entries.append(
-        _zigzag_write(2)  # status: deleted
-        + _zigzag_write(1) + _zigzag_write(2)
-        + _enc_string("data/f00.parquet")
-        + _enc_string("PARQUET")
-        + _zigzag_write(_file_rows(seed, 0))
-        + _zigzag_write(len(files["data/f00.parquet"]))
-        + _enc_bounds(_file_lo(seed, 0))
-        + _enc_bounds(_file_lo(seed, 0) + 39)
+        entry(2, "data/f00.parquet", _file_rows(seed, 0), _file_lo(seed, 0))
     )
+    # v2 POSITIONAL DELETE file: spec schema (file_path, pos), one
+    # file covering every data file's positions i % 7 == 3
+    del_paths, del_pos = [], []
+    for j in range(n_files):
+        for i in range(3, _file_rows(seed, j), 7):
+            del_paths.append(f"data/f{j:02d}.parquet")
+            del_pos.append(i)
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"file_path": del_paths, "pos": del_pos}), buf
+    )
+    files["data/d00.parquet"] = buf.getvalue()
+    delete_entries = [
+        entry(1, "data/d00.parquet", len(del_pos), 0)
+    ]
     half = (n_files + 1) // 2
     manifests = {
         "metadata/m0.avro": data_entries[:half],
         "metadata/m1.avro": data_entries[half:],
+        "metadata/md.avro": delete_entries,
     }
     for path, entries in manifests.items():
         files[path] = encode_avro_container(_MANIFEST_SCHEMA, entries, sync)
-    # manifest lists: snapshot 1 sees only m0; snapshot 2 (current)
-    # sees both
-    def ml_record(mpath: str, snap: int, nfiles: int) -> bytes:
+    # manifest lists: snapshot 1 sees only m0 (data only); snapshot 2
+    # (current) sees both data manifests AND the delete manifest
+    def ml_record(
+        mpath: str, snap: int, nfiles: int, content: int = 0
+    ) -> bytes:
         return (
             _enc_string(mpath)
             + _zigzag_write(len(files[mpath]))
             + _zigzag_write(0)
+            + _zigzag_write(content)
             + _zigzag_write(snap)
             + _zigzag_write(nfiles)
         )
@@ -220,6 +239,7 @@ def synth_iceberg(seed: int) -> bytes:
         [
             ml_record("metadata/m0.avro", 2, half),
             ml_record("metadata/m1.avro", 2, len(data_entries) - half),
+            ml_record("metadata/md.avro", 2, 1, content=1),
         ],
         sync,
     )
@@ -317,6 +337,7 @@ def scan_iceberg(payload: bytes) -> dict:
     n_data_files = 0
     n_deleted = 0
     candidates = []  # (path, record_count, lower, upper)
+    delete_files = []  # (path, record_count)
     for mf in manifest_files:
         mpath = mf.get("manifest_path")
         if not isinstance(mpath, str):
@@ -328,6 +349,9 @@ def scan_iceberg(payload: bytes) -> dict:
             raise ValueError(f"manifest {mpath!r} missing from bundle")
         if mf.get("manifest_length") != len(mblob):
             raise ValueError("manifest_length disagrees with bundle")
+        content = mf.get("content", 0)
+        if content not in (0, 1):
+            raise ValueError(f"manifest content {content!r} unknown")
         for entry in decode_avro_blocks(mblob):
             status = entry.get("status")
             df = entry.get("data_file")
@@ -338,7 +362,6 @@ def scan_iceberg(payload: bytes) -> dict:
                 continue
             if status not in (0, 1):
                 raise ValueError(f"manifest entry status {status} unknown")
-            n_data_files += 1
             path = df.get("file_path")
             record_count = df.get("record_count")
             if not isinstance(path, str):
@@ -349,6 +372,10 @@ def scan_iceberg(payload: bytes) -> dict:
                 or record_count < 0
             ):
                 raise ValueError("data file record_count malformed")
+            if content == 1:
+                delete_files.append((path, record_count))
+                continue
+            n_data_files += 1
             lo = _bound_value(df.get("lower_bounds"))
             hi = _bound_value(df.get("upper_bounds"))
             if lo > hi:
@@ -356,6 +383,32 @@ def scan_iceberg(payload: bytes) -> dict:
             candidates.append((path, record_count, lo, hi))
     if not candidates:
         raise ValueError("current snapshot has no live data files")
+    # v2 merge-on-read: positional delete files (spec schema
+    # file_path + pos) collected BEFORE the scan so survivors can
+    # subtract their deleted positions
+    deletes: dict[str, set[int]] = {}
+    for dpath, dcount in delete_files:
+        dblob = files.get(dpath)
+        if dblob is None:
+            raise ValueError(f"delete file {dpath!r} missing from bundle")
+        try:
+            dtable = pq.read_table(io.BytesIO(dblob))
+        except Exception as e:
+            raise ValueError(f"delete file unreadable: {e}") from None
+        if dtable.num_rows != dcount:
+            raise ValueError(
+                "delete-manifest record_count disagrees with its parquet"
+            )
+        if not {"file_path", "pos"} <= set(dtable.column_names):
+            raise ValueError("positional delete file missing columns")
+        for p, pos in zip(
+            dtable.column("file_path").to_pylist(),
+            dtable.column("pos").to_pylist(),
+        ):
+            if not isinstance(p, str) or not isinstance(pos, int) \
+                    or pos < 0:
+                raise ValueError("malformed positional delete row")
+            deletes.setdefault(p, set()).add(pos)
     # the point lookup rides in the table properties (a fixture knob;
     # a real engine gets it from the query)
     props = meta.get("properties")
@@ -368,6 +421,7 @@ def scan_iceberg(payload: bytes) -> dict:
     survivors = [c for c in candidates if c[2] <= probe <= c[3]]
     rows_scanned = 0
     matches = 0
+    positions_deleted = 0
     for path, record_count, _lo, _hi in survivors:
         blob = files.get(path)
         if blob is None:
@@ -383,18 +437,27 @@ def scan_iceberg(payload: bytes) -> dict:
             )
         if "v" not in table.column_names:
             raise ValueError("data file missing the predicate column")
+        dead = deletes.get(path, set())
+        if dead and max(dead) >= record_count:
+            raise ValueError("positional delete past its data file")
+        positions_deleted += len(dead)
         rows_scanned += table.num_rows
-        matches += sum(1 for v in table.column("v").to_pylist()
-                       if v == probe)
+        matches += sum(
+            1
+            for i, v in enumerate(table.column("v").to_pylist())
+            if v == probe and i not in dead
+        )
     total_rows = sum(c[1] for c in candidates)
     return {
         "n_snapshots": len(snaps),
         "n_manifests": len(manifest_files),
         "n_data_files": n_data_files,
         "n_deleted_entries": n_deleted,
+        "n_delete_files": len(delete_files),
         "files_pruned": n_data_files - len(survivors),
         "files_scanned": len(survivors),
         "rows_scanned": rows_scanned,
+        "positions_deleted_scanned": positions_deleted,
         "total_rows": total_rows,
         "probe_matches": matches,
     }

@@ -2291,9 +2291,11 @@ ICEBERG_SCAN_SCHEMA = T.StructType(
         T.StructField("n_manifests", T.IntegerType()),
         T.StructField("n_data_files", T.IntegerType()),
         T.StructField("n_deleted_entries", T.IntegerType()),
+        T.StructField("n_delete_files", T.IntegerType()),
         T.StructField("files_pruned", T.IntegerType()),
         T.StructField("files_scanned", T.IntegerType()),
         T.StructField("rows_scanned", T.LongType()),
+        T.StructField("positions_deleted_scanned", T.LongType()),
         T.StructField("total_rows", T.LongType()),
         T.StructField("probe_matches", T.LongType()),
     ]

@@ -1644,15 +1644,20 @@ def q_avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM f)
     SELECT media_id,
            CAST(2 AS INTEGER) AS n_snapshots,
-           CAST(2 AS INTEGER) AS n_manifests,
+           CAST(3 AS INTEGER) AS n_manifests,
            CAST(max(n) AS INTEGER) AS n_data_files,
            CAST(1 AS INTEGER) AS n_deleted_entries,
+           CAST(1 AS INTEGER) AS n_delete_files,
            CAST(max(n) - 1 AS INTEGER) AS files_pruned,
            CAST(1 AS INTEGER) AS files_scanned,
            CAST(sum(CASE WHEN j = k THEN rows_ ELSE 0 END) AS BIGINT)
              AS rows_scanned,
+           CAST(sum(CASE WHEN j = k THEN (rows_ - 4) // 7 + 1
+                         ELSE 0 END) AS BIGINT)
+             AS positions_deleted_scanned,
            CAST(sum(rows_) AS BIGINT) AS total_rows,
-           CAST(sum(CASE WHEN j = k THEN (rows_ - 18) // 40 + 1
+           CAST(sum(CASE WHEN j = k THEN
+                         (rows_ - 18) // 40 - (rows_ - 18) // 280
                          ELSE 0 END) AS BIGINT) AS probe_matches
     FROM r
     GROUP BY media_id
@@ -1676,7 +1681,12 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata systems cannot drift.  ``files_pruned`` = n-1 in the
     oracle IS the data-skipping guarantee — at fleet scale this is
     the difference between touching one file and touching the
-    table."""
+    table.  v2 MERGE-ON-READ completes the path: a POSITIONAL
+    DELETE parquet (spec schema ``file_path``/``pos``) rides a
+    ``content=1`` delete manifest and removes every ``i % 7 == 3``
+    position, so the oracle's ``probe_matches`` subtracts the
+    ``i ≡ 17 (mod 280)`` overlap — a reader that ignores delete
+    files over-counts and breaks the hash."""
     _utc(spark)
     from ..operators.multimodal import (
         extract_iceberg_scan,
@@ -1686,8 +1696,9 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_iceberg_media(_t(spark, sf_dir, "documents"))
     return extract_iceberg_scan(media).select(
         "media_id", "n_snapshots", "n_manifests", "n_data_files",
-        "n_deleted_entries", "files_pruned", "files_scanned",
-        "rows_scanned", "total_rows", "probe_matches",
+        "n_deleted_entries", "n_delete_files", "files_pruned",
+        "files_scanned", "rows_scanned", "positions_deleted_scanned",
+        "total_rows", "probe_matches",
     )
 
 

@@ -222,3 +222,147 @@ def test_wrong_column_name_quarantines():
 
     with pytest.raises(ValueError, match="predicate column"):
         scan_iceberg(_retar(synth_iceberg(seed), edit))
+
+
+def test_positional_deletes_subtract_matches():
+    """v2 merge-on-read: probe hits at i ≡ 17 (mod 40); deletes kill
+    i % 7 == 3, so the i ≡ 17 (mod 280) overlap must vanish."""
+    for seed in range(8):
+        p = synth_iceberg_plan(seed)
+        r = scan_iceberg(synth_iceberg(seed))
+        rk = _file_rows(seed, p["probe_file"])
+        all_m = (rk - 18) // 40 + 1
+        dead_m = (rk - 18) // 280 + 1
+        assert r["probe_matches"] == all_m - dead_m
+        assert r["positions_deleted_scanned"] == (rk - 4) // 7 + 1
+        assert r["n_delete_files"] == 1 and r["n_manifests"] == 3
+
+
+def test_ignoring_delete_files_would_overcount():
+    """Strip the delete manifest from the current snapshot's list:
+    matches go back UP — proving the delete path actually subtracts
+    (and that the fixture would catch a reader that skips it)."""
+    from datawarehouseproject_spark.functions.avro_scan import (
+        decode_avro_blocks,
+    )
+
+    seed = 2
+    blob = synth_iceberg(seed)
+
+    def edit(files):
+        # snapshot 1 has no delete manifest: point current at it but
+        # keep both data manifests by rebuilding snap-1 = snap-2 minus
+        # the delete entry. Easiest: copy snap-2's records sans
+        # content=1 via re-encode.
+        from datawarehouseproject_spark.functions.avro_scan import (
+            encode_avro_container,
+        )
+        from datawarehouseproject_spark.functions.iceberg_scan import (
+            _MANIFEST_LIST_SCHEMA,
+            _enc_string,
+        )
+        from datawarehouseproject_spark.functions.avro_scan import (
+            _zigzag_write,
+        )
+
+        recs = decode_avro_blocks(files["metadata/snap-2.avro"])
+        keep = []
+        for r in recs:
+            if r["content"] == 1:
+                continue
+            keep.append(
+                _enc_string(r["manifest_path"])
+                + _zigzag_write(r["manifest_length"])
+                + _zigzag_write(r["partition_spec_id"])
+                + _zigzag_write(r["content"])
+                + _zigzag_write(r["added_snapshot_id"])
+                + _zigzag_write(r["added_data_files_count"])
+            )
+        files["metadata/snap-2.avro"] = encode_avro_container(
+            _MANIFEST_LIST_SCHEMA, keep, bytes(16)
+        )
+        meta = json.loads(files["metadata/v2.metadata.json"])
+        files["metadata/v2.metadata.json"] = json.dumps(meta).encode()
+
+    r_no_del = scan_iceberg(_retar(blob, edit))
+    r_with = scan_iceberg(blob)
+    assert r_no_del["probe_matches"] > r_with["probe_matches"]
+    assert r_no_del["n_delete_files"] == 0
+
+
+def test_delete_position_past_file_refused():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seed = 1
+    k = synth_iceberg_plan(seed)["probe_file"]
+
+    def edit(files):
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": [f"data/f{k:02d}.parquet"],
+                    "pos": [10_000],
+                }
+            ),
+            buf,
+        )
+        old = files["data/d00.parquet"]
+        files["data/d00.parquet"] = buf.getvalue()
+        # keep the delete manifest's record_count/length consistent
+        from datawarehouseproject_spark.functions.avro_scan import (
+            encode_avro_container,
+        )
+        from datawarehouseproject_spark.functions.iceberg_scan import (
+            _MANIFEST_SCHEMA,
+            _enc_bounds,
+            _enc_string,
+        )
+        from datawarehouseproject_spark.functions.avro_scan import (
+            _zigzag_write,
+        )
+
+        entry = (
+            _zigzag_write(1)
+            + _zigzag_write(1) + _zigzag_write(2)
+            + _enc_string("data/d00.parquet")
+            + _enc_string("PARQUET")
+            + _zigzag_write(1)
+            + _zigzag_write(len(files["data/d00.parquet"]))
+            + _enc_bounds(0)
+            + _enc_bounds(39)
+        )
+        files["metadata/md.avro"] = encode_avro_container(
+            _MANIFEST_SCHEMA, [entry], bytes(16)
+        )
+        # snap-2's manifest_length for md.avro must match: rebuild
+        from datawarehouseproject_spark.functions.avro_scan import (
+            decode_avro_blocks,
+        )
+        from datawarehouseproject_spark.functions.iceberg_scan import (
+            _MANIFEST_LIST_SCHEMA,
+        )
+
+        recs = decode_avro_blocks(files["metadata/snap-2.avro"])
+        out = []
+        for r in recs:
+            ln = (
+                len(files["metadata/md.avro"])
+                if r["manifest_path"] == "metadata/md.avro"
+                else r["manifest_length"]
+            )
+            out.append(
+                _enc_string(r["manifest_path"])
+                + _zigzag_write(ln)
+                + _zigzag_write(r["partition_spec_id"])
+                + _zigzag_write(r["content"])
+                + _zigzag_write(r["added_snapshot_id"])
+                + _zigzag_write(r["added_data_files_count"])
+            )
+        files["metadata/snap-2.avro"] = encode_avro_container(
+            _MANIFEST_LIST_SCHEMA, out, bytes(16)
+        )
+
+    with pytest.raises(ValueError, match="past its data file"):
+        scan_iceberg(_retar(synth_iceberg(seed), edit))
