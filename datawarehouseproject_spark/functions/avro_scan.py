@@ -141,6 +141,11 @@ def parse_avro_schema(schema_json: bytes) -> list[tuple[str, str, int]]:
                 )
             null_branch = t.index("null")
             t = t[1 - null_branch]
+        if not isinstance(t, str):
+            # A dict/list branch (e.g. ['null', {'type': 'record', ...}])
+            # would raise TypeError on the set-membership test below and
+            # escape the ValueError-only quarantine.
+            raise ValueError("avro type unsupported (boundary)")
         if t not in _SUPPORTED:
             raise ValueError(f"avro type {t!r} unsupported (boundary)")
         plan.append((str(f["name"]), t, null_branch))
@@ -287,6 +292,13 @@ def scan_avro(payload: bytes) -> dict:
             opt_sum += rec["opt"]
     if n_records == 0:
         raise ValueError("avro container with no records")
+    # The per-record values are int64-masked, but the accumulated sums
+    # can still leave int64 range; Arrow's LongType conversion would
+    # raise OverflowError AFTER the ValueError quarantine, killing the
+    # task. Fence here so a hostile container quarantines instead.
+    for label, s in (("id_sum", id_sum), ("opt_sum", opt_sum)):
+        if not (-(2**63) <= s < 2**63):
+            raise ValueError(f"avro {label} overflows int64 (boundary)")
     return {
         "n_records": n_records,
         "id_sum": id_sum,

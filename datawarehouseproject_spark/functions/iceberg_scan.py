@@ -448,6 +448,10 @@ def scan_iceberg(payload: bytes) -> dict:
             if v == probe and i not in dead
         )
     total_rows = sum(c[1] for c in candidates)
+    # Manifest record_counts are attacker-controlled; a sum past int64
+    # would surface as Arrow OverflowError after the quarantine.
+    if not (0 <= total_rows < 2**63):
+        raise ValueError("iceberg total_rows overflows int64 (boundary)")
     return {
         "n_snapshots": len(snaps),
         "n_manifests": len(manifest_files),

@@ -262,6 +262,11 @@ class _Document:
         self._cache: dict[int, object] = {}
         #: objstm number -> (decoded body, /First, [(objnum, rel), ...])
         self._objstm: dict[int, tuple[bytes, int, list]] = {}
+        #: object numbers currently being resolved — re-entry means a
+        #: reference cycle (e.g. xref maps n into ObjStm S while S's
+        #: /Length is `n 0 R`); RecursionError would escape the
+        #: ValueError-only quarantine, so fence it here.
+        self._resolving: set[int] = set()
 
     def _objstm_obj(self, n: int, stm_num: int, idx: int):
         """Resolve object ``n`` out of object stream ``stm_num`` at
@@ -320,6 +325,15 @@ class _Document:
         n = ref[1]
         if n in self._cache:
             return self._cache[n]
+        if n in self._resolving:
+            raise ValueError(f"object {n}: reference cycle (boundary)")
+        self._resolving.add(n)
+        try:
+            return self._resolve(n)
+        finally:
+            self._resolving.discard(n)
+
+    def _resolve(self, n: int):
         off = self.xref.get(n)
         if isinstance(off, tuple):
             value = self._objstm_obj(n, off[1], off[2])

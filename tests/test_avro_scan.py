@@ -173,3 +173,76 @@ def test_deflate_trailing_garbage_refused():
     out += _zigzag_write(1) + _zigzag_write(len(body)) + body + sync
     with pytest.raises(ValueError, match="trailing bytes"):
         scan_avro(bytes(out))
+
+
+def test_union_with_record_branch_raises_valueerror_not_typeerror():
+    """ADVICE r10: ['null', {'type': 'record', ...}] made the flat
+    parser do an unhashable set-membership test -> TypeError escaping
+    the ValueError-only quarantine."""
+    import json
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        parse_avro_schema,
+    )
+
+    schema = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "a", "type": ["null", {"type": "record",
+                                            "name": "inner",
+                                            "fields": []}]},
+        ],
+    }).encode()
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_avro_schema(schema)
+    # a bare dict type (no union) hits the same fence
+    schema2 = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "a", "type": {"type": "fixed",
+                                          "name": "f", "size": 4}}],
+    }).encode()
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_avro_schema(schema2)
+
+
+def test_id_sum_overflow_quarantined():
+    """ADVICE r10: per-record ids are int64-masked but their SUM can
+    leave int64; Arrow's LongType conversion would raise OverflowError
+    after the quarantine."""
+    import json
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _MAGIC,
+        _zigzag_write,
+    )
+
+    schema = json.dumps({
+        "type": "record", "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "ratio", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "opt", "type": ["null", "long"]},
+        ],
+    }).encode()
+    sync = bytes(range(16))
+    out = bytearray(_MAGIC)
+    out += _zigzag_write(2)
+    for k, v in ((b"avro.schema", schema), (b"avro.codec", b"null")):
+        out += _zigzag_write(len(k)) + k
+        out += _zigzag_write(len(v)) + v
+    out += _zigzag_write(0)
+    out += sync
+    big = (1 << 63) - 1
+    rec = (
+        _zigzag_write(big)                       # id
+        + _zigzag_write(1) + b"x"                # name
+        + struct.pack("<d", 0.5)                 # ratio
+        + b"\x01"                                # ok
+        + _zigzag_write(0)                       # opt -> null branch
+    )
+    body = rec + rec + rec
+    out += _zigzag_write(3) + _zigzag_write(len(body)) + body + sync
+    with pytest.raises(ValueError, match="overflows int64"):
+        scan_avro(bytes(out))

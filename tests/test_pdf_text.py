@@ -109,3 +109,31 @@ def test_multi_content_array_and_direct_length():
     got = extract_pdf_text(bytes(out))
     assert got["text"] == "alphabeta"
     assert got["n_pages"] == 1
+
+
+def test_objstm_length_cycle_raises_valueerror_not_recursionerror():
+    """ADVICE r10: xref maps object 1 INTO ObjStm 5 while 5's dict has
+    /Length 1 0 R -> obj(1) -> _objstm_obj -> obj(5) -> obj(1) recursed
+    unboundedly; RecursionError escaped the ValueError quarantine."""
+    from datawarehouseproject_spark.functions.pdf_text import _Document
+
+    data = (
+        b"%\n5 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length 1 0 R >>\n"
+        b"stream\nXXXX\nendstream\nendobj\n"
+    )
+    doc = _Document(data, {1: ("objstm", 5, 0), 5: 2})
+    with pytest.raises(ValueError, match="cycle"):
+        doc.obj(("ref", 1))
+
+
+def test_direct_self_length_cycle_quarantined():
+    """Degenerate single-object cycle: a stream whose /Length is an
+    indirect ref to ITSELF."""
+    from datawarehouseproject_spark.functions.pdf_text import _Document
+
+    data = (
+        b"%\n7 0 obj\n<< /Length 7 0 R >>\nstream\nAB\nendstream\nendobj\n"
+    )
+    doc = _Document(data, {7: 2})
+    with pytest.raises(ValueError, match="cycle"):
+        doc.obj(("ref", 7))
