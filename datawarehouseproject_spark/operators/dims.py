@@ -59,9 +59,15 @@ def upsert_dim(
     latest = latest_per_key(updates, natural_key, order_col)
 
     if dim is None or not dim.columns:
-        w = Window.orderBy(F.col(order_col).asc())
-        return latest.withColumn(sk_col, F.row_number().over(w)).select(
-            sk_col, *[c for c in latest.columns]
+        # bootstrap path: same range-partitioned rank as the minting
+        # path below — one window implementation, no partition-less
+        # WindowExec even on a huge first load
+        from .ids import dense_ids
+
+        return (
+            dense_ids(latest, order_col, id_col="__rank")
+            .withColumn(sk_col, F.col("__rank").cast("int"))
+            .select(sk_col, *[c for c in latest.columns])
         )
 
     def key_cond(left: DataFrame, right: DataFrame) -> Column:

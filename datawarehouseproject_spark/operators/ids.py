@@ -97,3 +97,47 @@ def running_total(
         .withColumn(out_col, (F.col("__offset") + F.col("__lcum")).cast("long"))
         .drop("__pid", "__lcum", "__offset")
     )
+
+
+def running_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "__runmax",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach ``out_col`` = EXCLUSIVE prefix max of ``value_col`` in
+    ``order_col`` order (NULL for the first row) — the skyline /
+    dominance primitive (``pareto_frontier``).
+
+    Same two-stage shape as :func:`running_total`: local exclusive
+    prefix-max per range partition, then an exclusive prefix-max over
+    the per-partition MAXIMA (one row per partition — the bounded
+    frame the plan audit's ``__pid`` idiom recognizes) broadcast back;
+    combined = greatest(local, carry-in). ``order_col`` must be
+    unique.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    local = ranged.withColumn("__lmax", F.max(value_col).over(w_local))
+
+    totals = local.groupBy("__pid").agg(F.max(value_col).alias("__pmax"))
+    w_prefix = (
+        Window.orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = totals.select(
+        "__pid", F.max("__pmax").over(w_prefix).alias("__carry")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.greatest(F.col("__lmax"), F.col("__carry")))
+        .drop("__pid", "__lmax", "__carry")
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hyperplane_coeffs
 from ..functions.vectors import dot_product, l2_norm
+from .topk import global_topk
 
 
 def _cosine_pair(a: str, b: str, na: str, nb: str) -> Column:
@@ -732,12 +733,9 @@ def pq_adc_topk(
         .groupBy("vid")
         .agg(F.sum("t").cast("bigint").alias("adc_sqdist"))
     )
-    w = Window.orderBy(F.col("adc_sqdist").asc(), F.col("vid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= topk)
-        .select(F.col("vid").alias(id_col), "adc_sqdist", "rank")
-    )
+    return global_topk(
+        scored, [F.col("adc_sqdist").asc(), F.col("vid").asc()], topk
+    ).select(F.col("vid").alias(id_col), "adc_sqdist", "rank")
 
 
 def ivf_pq_topk(
@@ -856,16 +854,13 @@ def ivf_pq_topk(
         .groupBy("vid", "cell")
         .agg(F.sum("t").cast("bigint").alias("adc_sqdist"))
     )
-    w = Window.orderBy(F.col("adc_sqdist").asc(), F.col("vid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= topk)
-        .select(
-            F.col("vid").alias(id_col),
-            F.col("cell").cast("int").alias("cell"),
-            "adc_sqdist",
-            "rank",
-        )
+    return global_topk(
+        scored, [F.col("adc_sqdist").asc(), F.col("vid").asc()], topk
+    ).select(
+        F.col("vid").alias(id_col),
+        F.col("cell").cast("int").alias("cell"),
+        "adc_sqdist",
+        "rank",
     )
 
 
@@ -1012,9 +1007,6 @@ class PQCodeStore:
             .groupBy("vid")
             .agg(F.sum("t").cast("bigint").alias("adc_sqdist"))
         )
-        w = Window.orderBy(F.col("adc_sqdist").asc(), F.col("vid").asc())
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= topk)
-            .select(F.col("vid").alias(self.id_col), "adc_sqdist", "rank")
-        )
+        return global_topk(
+            scored, [F.col("adc_sqdist").asc(), F.col("vid").asc()], topk
+        ).select(F.col("vid").alias(self.id_col), "adc_sqdist", "rank")

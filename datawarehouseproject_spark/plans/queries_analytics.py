@@ -521,14 +521,13 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT price (max size + that max's tie count), prefix-max
     sizes in price order, keep prices whose max size strictly beats
     every cheaper price's, then join back for the surviving rows.
-    The only ordered scan runs on the price-level frame (|distinct
-    prices| rows, already aggregated); at extreme price cardinality
-    it swaps to the range-partitioned prefix-max pattern used by
-    ``token_shard_packing`` (partial max per range, broadcast the
-    per-range prefix).
+    The prefix-max over the price-level frame uses the two-stage
+    range-partitioned ``running_max`` (``operators/ids.py``) — at
+    extreme price cardinality no single task ever holds more than
+    one range's worth of distinct prices.
     """
     _utc(spark)
-    from pyspark.sql import Window
+    from ..operators.ids import running_max
 
     p = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
@@ -537,17 +536,10 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_price = p.groupBy("p_retailprice").agg(
         F.max("p_size").alias("smax")
     )
-    w = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     frontier_prices = (
-        per_price.select(
-            F.col("p_retailprice").alias("fp_price"),
-            "smax",
-            F.max("smax").over(w).alias("prev_max"),
-        )
+        running_max(per_price, "p_retailprice", "smax", out_col="prev_max")
         .where(F.col("prev_max").isNull() | (F.col("smax") > F.col("prev_max")))
-        .select("fp_price", "smax")
+        .select(F.col("p_retailprice").alias("fp_price"), "smax")
     )
     # surviving rows: at a frontier price, exactly the max-size ties
     return (
@@ -1699,14 +1691,15 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-key counts reduce to a COUNT HISTOGRAM
     (distinct multiplicities — dozens of rows however many keys), and
-    the exact percentiles come from a cumulative sum over that tiny
-    frame: value at rank r = min cnt with cumulative keys ≥ r. No
-    |keys|-sized global window anywhere (the naive rank-selection
-    form funnels every key through one window partition — the exact
-    bottleneck this report exists to catch). All integer arithmetic,
-    shares in basis points."""
+    the exact percentiles come from a cumulative sum over that frame
+    via the two-stage range-partitioned ``running_total``: value at
+    rank r = min cnt with cumulative keys ≥ r. No |keys|-sized (or
+    even histogram-sized) global window anywhere (the naive
+    rank-selection form funnels every key through one window
+    partition — the exact bottleneck this report exists to catch).
+    All integer arithmetic, shares in basis points."""
     _utc(spark)
-    from pyspark.sql import Window
+    from ..operators.ids import running_total
 
     kc = (
         _t(spark, sf_dir, "lineitem")
@@ -1714,16 +1707,14 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     hist = kc.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_with"))
-    full = Window.partitionBy()
-    cum = hist.select(
-        "cnt",
-        F.sum("n_with")
-        .over(full.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_keys"),
-        F.sum("n_with").over(full).alias("n_keys"),
-        F.sum(F.col("cnt") * F.col("n_with")).over(full).alias("n_rows"),
-        F.max("cnt").over(full).alias("max_cnt"),
+    totals = hist.agg(
+        F.sum("n_with").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("n_with")).alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
     )
+    cum = running_total(
+        hist, "cnt", "n_with", out_col="cum_keys"
+    ).crossJoin(F.broadcast(totals))
     p50_rk = F.expr("(n_keys * 50 + 99) div 100")
     p99_rk = F.expr("(n_keys * 99 + 99) div 100")
     return cum.agg(
@@ -1883,11 +1874,11 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Latencies are integer epoch-second diffs (cross-engine exact);
     percentiles come from a LATENCY HISTOGRAM + cumulative-rank
     selection (value at rank r = min latency with cumulative users
-    ≥ r) — the windowed frame is |distinct latencies| rows, so no
-    |users|-sized data ever passes through a single global window
-    partition (the ``key_skew_report`` scalability pattern)."""
+    ≥ r) over the two-stage range-partitioned ``running_total`` — no
+    |users|-sized (or even |distinct latencies|-sized) frame ever
+    passes through a single global window partition."""
     _utc(spark)
-    from pyspark.sql import Window
+    from ..operators.ids import running_total
 
     ev = _t(spark, sf_dir, "events")
     s = (
@@ -1908,18 +1899,10 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hist = p.groupBy("lat_secs").agg(F.count(F.lit(1)).alias("n_with"))
-    full = Window.partitionBy()
-    cum = hist.select(
-        "lat_secs",
-        F.sum("n_with")
-        .over(
-            full.orderBy("lat_secs").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        )
-        .alias("cum_u"),
-        F.sum("n_with").over(full).alias("n"),
-    )
+    total = hist.agg(F.sum("n_with").alias("n"))
+    cum = running_total(
+        hist, "lat_secs", "n_with", out_col="cum_u"
+    ).crossJoin(F.broadcast(total))
     n_signup = s.agg(F.count(F.lit(1)).alias("n_signup"))
 
     def pct(q: int, name: str):
@@ -2349,12 +2332,13 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All three metrics are integers (days, counts, cents from DECIMAL
     sums), and quartile thresholds come from the count-histogram +
-    cumulative-rank pattern (``key_skew_report``), so no |users|-row
+    cumulative-rank pattern over the two-stage range-partitioned
+    ``running_total``, so no |users|-row (or |distinct values|-row)
     global window and every score is bit-exact. Thresholds broadcast
     back as one 3-scalar row per metric; the scoring pass is
     map-side."""
     _utc(spark)
-    from pyspark.sql import Window
+    from ..operators.ids import running_total
 
     ev = _t(spark, sf_dir, "events")
     maxd = ev.agg(F.max(F.to_date("ts")).alias("asof"))
@@ -2373,21 +2357,14 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    full = Window.partitionBy()
-
     def quartiles(metric: str) -> DataFrame:
         hist = rfm.groupBy(F.col(metric).alias("v")).agg(
             F.count(F.lit(1)).alias("n_with")
         )
-        cum = hist.select(
-            "v",
-            F.sum("n_with")
-            .over(
-                full.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-            )
-            .alias("cum"),
-            F.sum("n_with").over(full).alias("n"),
-        )
+        total = hist.agg(F.sum("n_with").alias("n"))
+        cum = running_total(
+            hist, "v", "n_with", out_col="cum"
+        ).crossJoin(F.broadcast(total))
 
         def q(pct: int, name: str):
             return F.min(

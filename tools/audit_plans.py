@@ -12,6 +12,15 @@ appear anywhere:
 - ``BatchEvalPython``: a row-at-a-time Python UDF — the 10-100x
   slow path. Arrow-batched forms (``ArrowEvalPython``,
   ``MapInPandas``) are fine.
+- **Partition-less WindowExec over an unbounded input** (round-10
+  verdict): ``row_number().over(Window.orderBy(...))`` with no
+  ``partitionBy`` moves EVERY input row into one partition. Allowed
+  only when the window's input is provably bounded — a
+  ``TakeOrderedAndProject``/``GlobalLimit``/``CollectLimit``/
+  ``WindowGroupLimit`` below it in the plan (the
+  ``operators.topk.global_topk`` rank-after-limit shape), or a
+  query on the small-by-construction allowlist (months, LSH bands,
+  IVF cells, sketch rows).
 
 Usage: python tools/audit_plans.py [sf_dir]
 Prints one line per offending query and a summary; exit 1 on any hit.
@@ -33,6 +42,80 @@ FORBIDDEN = {
 #: name -> forbidden patterns tolerated there, with justification.
 ALLOWLIST: dict[str, set[str]] = {}
 
+#: Nodes below a partition-less Window that bound its input to a
+#: constant row count (the rank-after-limit shape is the sanctioned
+#: global-top-k idiom; WindowGroupLimit is Spark 3.5+'s own rank
+#: pushdown).
+_BOUNDING_NODES = {
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "WindowGroupLimit",
+}
+
+#: Queries whose partition-less windows run over frames that are
+#: small BY CONSTRUCTION (not data-sized), each with the bound.
+GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
+    "orders_yoy": "lag window over the monthly rollup — |months| rows",
+    "cumulative_monthly_revenue": (
+        "running total over the monthly rollup — |months| rows"
+    ),
+    "t_closeness_audit": (
+        "global-distribution windows over the acctbal band domain — "
+        "m ≈ 11 bands fixed by the schema's value range"
+    ),
+}
+
+
+def _iter_nodes(node):
+    """Depth-first walk of a SparkPlan py4j node, descending into the
+    AQE wrapper's initial plan."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        if n.nodeName() == "AdaptiveSparkPlan":
+            try:
+                stack.append(n.initialPlan())
+            except Exception:  # noqa: BLE001 - older Spark shims
+                pass
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+def _subtree_bounded(window_node) -> bool:
+    """True if the window's input subtree contains a bounding node.
+
+    Besides explicit limits, the two-stage prefix-sum idiom
+    (``operators/ids.py``: ``dense_ids`` / ``running_total`` /
+    ``running_max``) is recognized by its signature: the partition-less
+    window runs over an aggregate GROUPED BY ``__pid``
+    (``spark_partition_id()``) — at most ``numPartitions`` rows by
+    construction. The ``__pid`` name is the repo-wide convention for
+    exactly this idiom; anything else must be allowlisted by query
+    name with a documented bound.
+    """
+    ch = window_node.children()
+    for i in range(ch.size()):
+        for d in _iter_nodes(ch.apply(i)):
+            name = d.nodeName()
+            if name in _BOUNDING_NODES:
+                return True
+            if name.endswith("Aggregate") and "__pid" in d.simpleString(20):
+                return True
+    return False
+
+
+def _unbounded_global_windows(root) -> int:
+    """Count partition-less Window nodes with no bounding descendant."""
+    hits = 0
+    for n in _iter_nodes(root):
+        if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
+            if not _subtree_bounded(n):
+                hits += 1
+    return hits
+
 
 def audit(spark, sf_dir: str) -> dict[str, list[str]]:
     """Return {query_name: [offending pattern, ...]} over the whole
@@ -42,12 +125,8 @@ def audit(spark, sf_dir: str) -> dict[str, list[str]]:
     bad: dict[str, list[str]] = {}
     for name, fn in sorted(queries().items()):
         try:
-            plan = (
-                fn(spark, sf_dir)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            root = fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            plan = root.toString()
         except Exception as e:  # noqa: BLE001 - report, don't abort sweep
             bad[name] = [f"PLAN ERROR: {type(e).__name__}: {e}"[:200]]
             continue
@@ -56,6 +135,19 @@ def audit(spark, sf_dir: str) -> dict[str, list[str]]:
             for pat, why in FORBIDDEN.items()
             if pat in plan and pat not in ALLOWLIST.get(name, set())
         ]
+        if name not in GLOBAL_WINDOW_ALLOWLIST:
+            try:
+                n = _unbounded_global_windows(root)
+            except Exception as e:  # noqa: BLE001
+                n = 0
+                hits.append(
+                    f"WINDOW AUDIT ERROR: {type(e).__name__}: {e}"[:200]
+                )
+            if n:
+                hits.append(
+                    f"{n} partition-less Window(s) over unbounded input "
+                    "(single-partition global sort)"
+                )
         if hits:
             bad[name] = hits
     return bad

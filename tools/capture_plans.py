@@ -61,6 +61,15 @@ FLAGSHIPS = [
     "mp3_stream_scan",
     "h264_stream_scan",
     "l_diversity_report",
+    # round-11: the five ex-global-window top-k queries — their plans
+    # must show TakeOrderedAndProject, never a partition-less Window
+    # over the full input (round-10 verdict item 1)
+    "pq_adc_topk",
+    "ivf_pq_topk",
+    "vocabulary_topk",
+    "bm25_ranked_search",
+    "pareto_frontier",
+    "conversion_latency",
 ]
 
 HEADER = """# Captured physical plans (sf0.001)
