@@ -89,12 +89,19 @@ _MANIFEST_SCHEMA = json.dumps(
                     "type": "record",
                     "name": "data_file",
                     "fields": [
+                        # spec: 0 = DATA, 1 = POSITION_DELETES,
+                        # 2 = EQUALITY_DELETES
+                        {"name": "content", "type": "int"},
                         {"name": "file_path", "type": "string"},
                         {"name": "file_format", "type": "string"},
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {"name": "lower_bounds", "type": _BOUND_SCHEMA},
                         {"name": "upper_bounds", "type": _BOUND_SCHEMA},
+                        {
+                            "name": "equality_ids",
+                            "type": {"type": "array", "items": "int"},
+                        },
                     ],
                 },
             },
@@ -165,16 +172,20 @@ def synth_iceberg(seed: int) -> bytes:
     sync = bytes((seed * 17 + j * 5 + 11) % 256 for j in range(16))
     files: dict[str, bytes] = {}
 
-    def entry(status: int, path: str, rows: int, lo: int) -> bytes:
+    def entry(
+        status: int, path: str, rows: int, lo: int, content: int = 0
+    ) -> bytes:
         return (
             _zigzag_write(status)
             + _zigzag_write(1) + _zigzag_write(2)  # snapshot_id = 2
+            + _zigzag_write(content)  # data_file.content
             + _enc_string(path)
             + _enc_string("PARQUET")
             + _zigzag_write(rows)
             + _zigzag_write(len(files[path]))
             + _enc_bounds(lo)
             + _enc_bounds(lo + 39)
+            + _zigzag_write(0)  # equality_ids: empty array
         )
 
     data_entries = []
@@ -205,7 +216,7 @@ def synth_iceberg(seed: int) -> bytes:
     )
     files["data/d00.parquet"] = buf.getvalue()
     delete_entries = [
-        entry(1, "data/d00.parquet", len(del_pos), 0)
+        entry(1, "data/d00.parquet", len(del_pos), 0, content=1)
     ]
     half = (n_files + 1) // 2
     manifests = {
@@ -372,9 +383,30 @@ def scan_iceberg(payload: bytes) -> dict:
                 or record_count < 0
             ):
                 raise ValueError("data file record_count malformed")
+            fcontent = df.get("content", 0)
             if content == 1:
+                # spec data_file.content: 1 = POSITION_DELETES,
+                # 2 = EQUALITY_DELETES (the form streaming CDC writers
+                # emit). This scan implements positional merge-on-read
+                # only — silently treating an equality-delete file as
+                # positional would RESURRECT deleted rows, so content=2
+                # quarantines loudly (round-10 verdict item 2 step 1;
+                # scan_iceberg_v2 implements equality deletes).
+                if fcontent == 2:
+                    raise ValueError(
+                        "iceberg equality-delete file unsupported by the "
+                        "positional scan (boundary)"
+                    )
+                if fcontent != 1:
+                    raise ValueError(
+                        f"delete manifest file content {fcontent!r} invalid"
+                    )
                 delete_files.append((path, record_count))
                 continue
+            if fcontent != 0:
+                raise ValueError(
+                    f"data manifest file content {fcontent!r} invalid"
+                )
             n_data_files += 1
             lo = _bound_value(df.get("lower_bounds"))
             hi = _bound_value(df.get("upper_bounds"))
@@ -481,3 +513,549 @@ def _bound_value(bounds) -> int:
                 raise ValueError("iceberg int64 bound is not 8 bytes")
             return struct.unpack("<q", raw)[0]
     raise ValueError("bounds missing the predicate field id")
+
+
+# ---------------------------------------------------------------------------
+# v2 scan: EQUALITY deletes + partition-spec transforms (round 11)
+# ---------------------------------------------------------------------------
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (Austin Appleby, public domain) — the
+    hash Iceberg's ``bucket[N]`` transform mandates (table spec
+    Appendix B). Pinned in tests by the spec's published vectors:
+    ``bucket hash of int/long 34 = 2017239379``, ``string "iceberg"
+    = 1210000089``."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    end = n - n % 4
+    for i in range(0, end, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[end:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_transform(value: int, n: int) -> int:
+    """Iceberg ``bucket[N]`` of an int/long: murmur3_x86_32 of the
+    8-byte little-endian two's-complement value, then
+    ``(hash & Integer.MAX_VALUE) % N`` (spec Appendix B)."""
+    if not (-(2**63) <= value < 2**63):
+        raise ValueError("bucket transform input outside int64")
+    h = murmur3_x86_32(struct.pack("<q", value))
+    return (h & 0x7FFFFFFF) % n
+
+
+def truncate_transform(value: int, w: int) -> int:
+    """Iceberg ``truncate[W]`` of an int/long:
+    ``v - (((v % W) + W) % W)`` — floors toward -inf (spec)."""
+    return value - (((value % w) + w) % w)
+
+
+def parse_transform(spec: str) -> tuple[str, int]:
+    """``"bucket[8]"`` -> ("bucket", 8); loud boundary otherwise."""
+    if not isinstance(spec, str) or "[" not in spec or not spec.endswith("]"):
+        raise ValueError(f"partition transform {spec!r} unsupported")
+    name, _, arg = spec[:-1].partition("[")
+    if name not in ("bucket", "truncate"):
+        raise ValueError(f"partition transform {name!r} unsupported")
+    try:
+        n = int(arg)
+    except ValueError:
+        raise ValueError("partition transform arg not an integer") from None
+    if not 0 < n <= 1 << 20:
+        raise ValueError("partition transform arg out of range")
+    return name, n
+
+
+def apply_transform(name: str, arg: int, value: int) -> int:
+    if name == "bucket":
+        return bucket_transform(value, arg)
+    return truncate_transform(value, arg)
+
+
+_MANIFEST_SCHEMA_V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [{"name": "p", "type": "long"}],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": "lower_bounds", "type": _BOUND_SCHEMA},
+                        {"name": "upper_bounds", "type": _BOUND_SCHEMA},
+                        {
+                            "name": "equality_ids",
+                            "type": {"type": "array", "items": "int"},
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+).encode()
+
+_V2_N_FILES = 4
+
+
+def synth_iceberg_v2_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: 4 data files, file j holds
+    ``30 + (seed + j) % 20`` DISTINCT values; transform rotates
+    ``bucket[8]`` (even seed) / ``truncate[100]`` (odd); an EQUALITY
+    delete file removes each file's values at indices ``i % 5 == 2``;
+    the probe is file ``k = seed % 4``'s value at index 18 (kept:
+    18 % 5 != 2), so ``probe_matches = 1`` and every other metric is
+    an integer formula of (seed, j)."""
+    rows = [30 + (seed + j) % 20 for j in range(_V2_N_FILES)]
+    k = seed % _V2_N_FILES
+    return {
+        "transform": "bucket[8]" if seed % 2 == 0 else "truncate[100]",
+        "rows": rows,
+        "probe_file": k,
+        "rows_scanned": rows[k],
+        "equality_deleted_rows": (rows[k] + 2) // 5,
+        "total_rows": sum(rows),
+    }
+
+
+def _v2_file_values(seed: int) -> list[list[int]]:
+    """Per-file DISTINCT value lists under the seed's transform.
+
+    bucket[8]: enumerate v = seed%97, seed%97+1, ... and route each
+    value to the file owning its bucket (the first 4 distinct bucket
+    values seen own files 0..3) until every file has its row count —
+    so file bounds INTERLEAVE across the whole domain and only the
+    partition transform can prune. truncate[100]: file j holds
+    ``j*100 + seed%50 + i`` — disjoint 100-wide windows."""
+    plan = synth_iceberg_v2_plan(seed)
+    rows = plan["rows"]
+    if plan["transform"] == "truncate[100]":
+        return [
+            [j * 100 + seed % 50 + i for i in range(rows[j])]
+            for j in range(_V2_N_FILES)
+        ]
+    owner: dict[int, int] = {}
+    vals: list[list[int]] = [[] for _ in range(_V2_N_FILES)]
+    v = seed % 97
+    while any(len(vals[j]) < rows[j] for j in range(_V2_N_FILES)):
+        b = bucket_transform(v, 8)
+        if b not in owner and len(owner) < _V2_N_FILES:
+            owner[b] = len(owner)
+        j = owner.get(b)
+        if j is not None and len(vals[j]) < rows[j]:
+            vals[j].append(v)
+        v += 1
+    return vals
+
+
+def synth_iceberg_v2(seed: int) -> bytes:
+    """An Iceberg v2 table exercising the two features the base
+    fixture doesn't: a PARTITION SPEC with a real transform
+    (``bucket[8]`` / ``truncate[100]``) and an EQUALITY DELETE file
+    (``data_file.content = 2`` + ``equality_ids = [1]`` — the form
+    streaming CDC writers emit).  Layout per
+    :func:`synth_iceberg_v2_plan` / :func:`_v2_file_values`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = synth_iceberg_v2_plan(seed)
+    tname, targ = parse_transform(plan["transform"])
+    vals = _v2_file_values(seed)
+    k = plan["probe_file"]
+    probe = vals[k][18]
+    sync = bytes((seed * 29 + j * 7 + 3) % 256 for j in range(16))
+    files: dict[str, bytes] = {}
+
+    def entry(
+        status: int,
+        path: str,
+        rows: int,
+        part: int,
+        lo: int,
+        hi: int,
+        content: int,
+        eq_ids: list[int],
+    ) -> bytes:
+        eq = _zigzag_write(0)
+        if eq_ids:
+            eq = (
+                _zigzag_write(len(eq_ids))
+                + b"".join(_zigzag_write(i) for i in eq_ids)
+                + _zigzag_write(0)
+            )
+        return (
+            _zigzag_write(status)
+            + _zigzag_write(1) + _zigzag_write(7)  # snapshot_id = 7
+            + _zigzag_write(content)
+            + _enc_string(path)
+            + _enc_string("PARQUET")
+            + _zigzag_write(part)  # partition record: single long p
+            + _zigzag_write(rows)
+            + _zigzag_write(len(files[path]))
+            + _enc_bounds(lo)
+            + _enc_bounds(hi)
+            + eq
+        )
+
+    data_entries = []
+    for j in range(_V2_N_FILES):
+        buf = io.BytesIO()
+        pq.write_table(pa.table({"v": vals[j]}), buf)
+        path = f"data/f{j:02d}.parquet"
+        files[path] = buf.getvalue()
+        part = apply_transform(tname, targ, vals[j][0])
+        data_entries.append(
+            entry(
+                1, path, len(vals[j]), part,
+                min(vals[j]), max(vals[j]), 0, [],
+            )
+        )
+    # equality delete file: each data file's values at index i%5==2,
+    # one column named for field id 1
+    dead = [v for j in range(_V2_N_FILES)
+            for i, v in enumerate(vals[j]) if i % 5 == 2]
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"v": dead}), buf)
+    files["data/eq00.parquet"] = buf.getvalue()
+    delete_entries = [
+        entry(
+            1, "data/eq00.parquet", len(dead), 0,
+            min(dead), max(dead), 2, [_V_FIELD_ID],
+        )
+    ]
+    manifests = {
+        "metadata/m0.avro": data_entries,
+        "metadata/me.avro": delete_entries,
+    }
+    for path, entries in manifests.items():
+        files[path] = encode_avro_container(
+            _MANIFEST_SCHEMA_V2, entries, sync
+        )
+
+    def ml_record(mpath: str, nfiles: int, content: int) -> bytes:
+        return (
+            _enc_string(mpath)
+            + _zigzag_write(len(files[mpath]))
+            + _zigzag_write(0)
+            + _zigzag_write(content)
+            + _zigzag_write(7)
+            + _zigzag_write(nfiles)
+        )
+
+    files["metadata/snap-7.avro"] = encode_avro_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            ml_record("metadata/m0.avro", _V2_N_FILES, 0),
+            ml_record("metadata/me.avro", 1, 1),
+        ],
+        sync,
+    )
+    files["metadata/v2.metadata.json"] = json.dumps(
+        {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-4000-8000-{seed:012d}",
+            "properties": {"fixture.probe": str(probe)},
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": "p",
+                            "transform": plan["transform"],
+                            "source-id": _V_FIELD_ID,
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ],
+            "current-snapshot-id": 7,
+            "snapshots": [
+                {"snapshot-id": 7, "manifest-list": "metadata/snap-7.avro"}
+            ],
+        }
+    ).encode()
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w") as tf:
+        for name in sorted(files):
+            info = tarfile.TarInfo(name)
+            info.size = len(files[name])
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(files[name]))
+    return out.getvalue()
+
+
+def scan_iceberg_v2(payload: bytes) -> dict:
+    """Serve the point lookup through TRANSFORM-AWARE planning plus
+    EQUALITY-delete merge-on-read:
+
+    1. resolve the default partition spec; only ``bucket[N]`` /
+       ``truncate[W]`` on the predicate field are supported — any
+       other transform is a loud boundary (never silent full scan);
+    2. prune data files whose manifest ``partition`` value differs
+       from ``transform(probe)`` — this is what prunes when bounds
+       interleave (the bucket fixture's bounds all overlap);
+    3. bounds-prune the remainder; read survivors via pyarrow,
+       cross-checking footer row counts against the manifest;
+    4. apply equality deletes: a ``content=2`` delete file with
+       ``equality_ids=[1]`` removes every row whose ``v`` equals any
+       value in the file (applied to ALL data files here — the
+       fixture's delete snapshot is newest; sequence-number ordering
+       is out of scope and documented).
+
+    Consistency audits (quarantine on drift): every scanned row's
+    transform must equal the file's declared partition value, and
+    equality ids other than the predicate field loud-reject."""
+    import pyarrow.parquet as pq
+
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:") as tf:
+            files = {}
+            total = 0
+            for m in tf.getmembers():
+                if not m.isfile() or m.size < 0:
+                    raise ValueError("non-file tar member in table bundle")
+                total += m.size
+                if total > 1 << 28:
+                    raise ValueError("table bundle exceeds size cap")
+                f = tf.extractfile(m)
+                if f is None:
+                    raise ValueError("unreadable tar member")
+                files[m.name] = f.read()
+    except tarfile.TarError as e:
+        raise ValueError(f"table bundle is not a tar: {e}") from None
+    meta_blob = files.get("metadata/v2.metadata.json")
+    if meta_blob is None:
+        raise ValueError("bundle missing table metadata JSON")
+    try:
+        meta = json.loads(meta_blob)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"table metadata is not JSON: {e}") from None
+    if meta.get("format-version") != 2:
+        raise ValueError("unsupported iceberg format-version")
+    # partition spec resolution
+    spec_id = meta.get("default-spec-id")
+    specs = meta.get("partition-specs")
+    if not isinstance(spec_id, int) or isinstance(spec_id, bool) \
+            or not isinstance(specs, list):
+        raise ValueError("partition spec metadata malformed")
+    spec = next(
+        (s for s in specs
+         if isinstance(s, dict) and s.get("spec-id") == spec_id),
+        None,
+    )
+    if spec is None:
+        raise ValueError("default-spec-id not in partition-specs")
+    fields = spec.get("fields")
+    if not isinstance(fields, list) or len(fields) != 1:
+        raise ValueError("multi-field partition specs unsupported")
+    pf = fields[0]
+    if not isinstance(pf, dict) or pf.get("source-id") != _V_FIELD_ID:
+        raise ValueError("partition source field unsupported")
+    tname, targ = parse_transform(pf.get("transform"))
+    current = meta.get("current-snapshot-id")
+    snaps = {}
+    snap_list = meta.get("snapshots", [])
+    if not isinstance(snap_list, list):
+        raise ValueError("snapshots is not a list")
+    for s in snap_list:
+        if not isinstance(s, dict):
+            continue
+        sid, ml = s.get("snapshot-id"), s.get("manifest-list")
+        if not isinstance(sid, int) or isinstance(sid, bool) \
+                or not isinstance(ml, str):
+            raise ValueError("malformed snapshot entry")
+        snaps[sid] = ml
+    if current not in snaps:
+        raise ValueError("current-snapshot-id not in snapshots")
+    ml_blob = files.get(snaps[current])
+    if ml_blob is None:
+        raise ValueError("manifest list missing from bundle")
+    props = meta.get("properties")
+    if not isinstance(props, dict) or "fixture.probe" not in props:
+        raise ValueError("table properties missing the probe")
+    try:
+        probe = int(props["fixture.probe"])
+    except (TypeError, ValueError):
+        raise ValueError("non-integer probe property") from None
+    if not (-(2**62) <= probe < 2**62):
+        raise ValueError("probe outside plausible range")
+
+    candidates = []  # (path, record_count, partition, lo, hi)
+    eq_delete_files = []  # (path, record_count)
+    for mf in decode_avro_blocks(ml_blob):
+        mpath = mf.get("manifest_path")
+        if not isinstance(mpath, str):
+            raise ValueError("manifest_path is not a string")
+        mblob = files.get(mpath)
+        if mblob is None:
+            raise ValueError(f"manifest {mpath!r} missing from bundle")
+        if mf.get("manifest_length") != len(mblob):
+            raise ValueError("manifest_length disagrees with bundle")
+        content = mf.get("content", 0)
+        if content not in (0, 1):
+            raise ValueError(f"manifest content {content!r} unknown")
+        for e in decode_avro_blocks(mblob):
+            status = e.get("status")
+            df = e.get("data_file")
+            if not isinstance(df, dict):
+                raise ValueError("manifest entry without data_file")
+            if status == 2:
+                continue
+            if status not in (0, 1):
+                raise ValueError(f"manifest entry status {status} unknown")
+            path = df.get("file_path")
+            rc = df.get("record_count")
+            part = df.get("partition")
+            if not isinstance(path, str):
+                raise ValueError("data file path is not a string")
+            if not isinstance(rc, int) or isinstance(rc, bool) or rc < 0:
+                raise ValueError("data file record_count malformed")
+            if not isinstance(part, dict) or not isinstance(
+                part.get("p"), int
+            ):
+                raise ValueError("data file partition value malformed")
+            fcontent = df.get("content", 0)
+            if content == 1:
+                if fcontent == 1:
+                    raise ValueError(
+                        "positional deletes not supported by the v2 "
+                        "equality scan (boundary)"
+                    )
+                if fcontent != 2:
+                    raise ValueError(
+                        f"delete manifest file content {fcontent!r} invalid"
+                    )
+                eq_ids = df.get("equality_ids")
+                if eq_ids != [_V_FIELD_ID]:
+                    raise ValueError(
+                        f"equality ids {eq_ids!r} unsupported (boundary)"
+                    )
+                eq_delete_files.append((path, rc))
+                continue
+            if fcontent != 0:
+                raise ValueError(
+                    f"data manifest file content {fcontent!r} invalid"
+                )
+            lo = _bound_value(df.get("lower_bounds"))
+            hi = _bound_value(df.get("upper_bounds"))
+            if lo > hi:
+                raise ValueError("data file lower bound above upper")
+            candidates.append((path, rc, part["p"], lo, hi))
+    if not candidates:
+        raise ValueError("current snapshot has no live data files")
+    # equality delete values
+    dead_values: set[int] = set()
+    for dpath, dcount in eq_delete_files:
+        dblob = files.get(dpath)
+        if dblob is None:
+            raise ValueError(f"delete file {dpath!r} missing from bundle")
+        try:
+            dtable = pq.read_table(io.BytesIO(dblob))
+        except Exception as e:
+            raise ValueError(f"delete file unreadable: {e}") from None
+        if dtable.num_rows != dcount:
+            raise ValueError(
+                "delete-manifest record_count disagrees with its parquet"
+            )
+        if "v" not in dtable.column_names:
+            raise ValueError("equality delete file missing the column")
+        for v in dtable.column("v").to_pylist():
+            if not isinstance(v, int):
+                raise ValueError("equality delete value not an integer")
+            dead_values.add(v)
+    # transform-aware partition pruning, then bounds pruning
+    target = apply_transform(tname, targ, probe)
+    part_survivors = [c for c in candidates if c[2] == target]
+    files_pruned_partition = len(candidates) - len(part_survivors)
+    survivors = [c for c in part_survivors if c[3] <= probe <= c[4]]
+    files_pruned_bounds = len(part_survivors) - len(survivors)
+    rows_scanned = 0
+    eq_deleted = 0
+    matches = 0
+    for path, rc, part, _lo, _hi in survivors:
+        blob = files.get(path)
+        if blob is None:
+            raise ValueError(f"data file {path!r} missing from bundle")
+        try:
+            table = pq.read_table(io.BytesIO(blob))
+        except Exception as e:
+            raise ValueError(f"data file unreadable: {e}") from None
+        if table.num_rows != rc:
+            raise ValueError(
+                f"manifest record_count {rc} != parquet rows "
+                f"{table.num_rows}"
+            )
+        if "v" not in table.column_names:
+            raise ValueError("data file missing the predicate column")
+        rows_scanned += table.num_rows
+        for v in table.column("v").to_pylist():
+            if not isinstance(v, int):
+                raise ValueError("data value not an integer")
+            # consistency audit: the manifest's partition value must
+            # equal the transform of every row in the file
+            if apply_transform(tname, targ, v) != part:
+                raise ValueError(
+                    "row transform disagrees with manifest partition"
+                )
+            if v in dead_values:
+                eq_deleted += 1
+            elif v == probe:
+                matches += 1
+    total_rows = sum(c[1] for c in candidates)
+    if not (0 <= total_rows < 2**63):
+        raise ValueError("iceberg total_rows overflows int64 (boundary)")
+    return {
+        "transform": tname,
+        "transform_arg": targ,
+        "n_data_files": len(candidates),
+        "n_eq_delete_files": len(eq_delete_files),
+        "files_pruned_partition": files_pruned_partition,
+        "files_pruned_bounds": files_pruned_bounds,
+        "files_scanned": len(survivors),
+        "rows_scanned": rows_scanned,
+        "equality_deleted_rows": eq_deleted,
+        "live_rows": rows_scanned - eq_deleted,
+        "total_rows": total_rows,
+        "probe_matches": matches,
+    }

@@ -2876,3 +2876,51 @@ def extract_stream_structure(
             yield out
 
     return media.mapInPandas(batches, schema=schema)
+
+
+def synthesize_iceberg_v2_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Iceberg v2 bundles with a
+    partition-spec transform and an equality-delete file
+    (``functions/iceberg_scan.py:synth_iceberg_v2``)."""
+
+    def loader():
+        from ..functions.iceberg_scan import synth_iceberg_v2
+
+        return synth_iceberg_v2
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ICEBERG_V2_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("transform", T.StringType()),
+        T.StructField("transform_arg", T.IntegerType()),
+        T.StructField("n_data_files", T.IntegerType()),
+        T.StructField("n_eq_delete_files", T.IntegerType()),
+        T.StructField("files_pruned_partition", T.IntegerType()),
+        T.StructField("files_pruned_bounds", T.IntegerType()),
+        T.StructField("files_scanned", T.IntegerType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("equality_deleted_rows", T.LongType()),
+        T.StructField("live_rows", T.LongType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("probe_matches", T.LongType()),
+    ]
+)
+
+
+def extract_iceberg_v2_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Transform-aware Iceberg planning + equality-delete
+    merge-on-read per payload
+    (:func:`..functions.iceberg_scan.scan_iceberg_v2`)."""
+
+    def loader():
+        from ..functions.iceberg_scan import scan_iceberg_v2
+
+        return scan_iceberg_v2
+
+    return _extract_metadata(media, ICEBERG_V2_SCAN_SCHEMA, loader, permissive)

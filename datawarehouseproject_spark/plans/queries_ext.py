@@ -1703,6 +1703,80 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_equality_deletes_scan",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id FROM documents),
+    f AS (
+      SELECT media_id, unnest(generate_series(0, 3)) AS j FROM m),
+    r AS (
+      SELECT media_id, j, 30 + (media_id + j) % 20 AS rows_,
+             media_id % 4 AS k
+      FROM f)
+    SELECT media_id,
+           CASE WHEN media_id % 2 = 0 THEN 'bucket'
+                ELSE 'truncate' END AS transform,
+           CAST(CASE WHEN media_id % 2 = 0 THEN 8 ELSE 100 END
+                AS INTEGER) AS transform_arg,
+           CAST(4 AS INTEGER) AS n_data_files,
+           CAST(1 AS INTEGER) AS n_eq_delete_files,
+           CAST(3 AS INTEGER) AS files_pruned_partition,
+           CAST(0 AS INTEGER) AS files_pruned_bounds,
+           CAST(1 AS INTEGER) AS files_scanned,
+           CAST(sum(CASE WHEN j = k THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(CASE WHEN j = k THEN (rows_ + 2) // 5 ELSE 0 END)
+                AS BIGINT) AS equality_deleted_rows,
+           CAST(sum(CASE WHEN j = k THEN rows_ - (rows_ + 2) // 5
+                         ELSE 0 END) AS BIGINT) AS live_rows,
+           CAST(sum(rows_) AS BIGINT) AS total_rows,
+           CAST(1 AS BIGINT) AS probe_matches
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "iceberg", "lakehouse", "equality-deletes",
+          "partition-transforms", "data-skipping", "mapInPandas"),
+)
+def q_iceberg_equality_deletes_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes + partition-spec TRANSFORMS
+    (round 11 — VERDICT r10 item 2 step 2): the two features a table
+    written by a streaming CDC engine (e.g. Flink) exercises that the
+    base ``iceberg_snapshot_scan`` doesn't.
+
+    Planning resolves the default partition spec from the metadata
+    JSON and prunes BY TRANSFORM — ``bucket[8]`` (murmur3_x86_32 of
+    the 8-byte LE long, pinned by the spec's published Appendix-B
+    vectors: 34 → 2017239379) on even seeds, ``truncate[100]`` on
+    odd.  The bucket fixture's file BOUNDS all interleave across the
+    whole value domain, so ``files_pruned_partition = 3`` is work
+    only the transform can do (bounds pruning would keep all 4
+    files); the oracle asserts it.  Merge-on-read then applies a
+    ``content=2`` equality-delete file (``equality_ids = [1]``):
+    every data-file value at index ``i % 5 == 2`` is deleted, the
+    probe (index 18, kept) still matches exactly once, and
+    ``equality_deleted_rows``/``live_rows`` are oracle-exact — a
+    reader that ignores equality deletes resurrects deleted rows and
+    breaks the hash.  The base positional scan now loud-rejects
+    ``content=2`` files instead of mis-reading them
+    (``functions/iceberg_scan.py``)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_iceberg_v2_scan,
+        synthesize_iceberg_v2_media,
+    )
+
+    media = synthesize_iceberg_v2_media(_t(spark, sf_dir, "documents"))
+    return extract_iceberg_v2_scan(media).select(
+        "media_id", "transform", "transform_arg", "n_data_files",
+        "n_eq_delete_files", "files_pruned_partition",
+        "files_pruned_bounds", "files_scanned", "rows_scanned",
+        "equality_deleted_rows", "live_rows", "total_rows",
+        "probe_matches",
+    )
+
+
+@register(
     "avro_corpus_rollup",
     oracle="""
     WITH m AS (

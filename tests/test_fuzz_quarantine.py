@@ -130,6 +130,11 @@ def _cases():
             iceberg_scan.synth_iceberg,
             iceberg_scan.scan_iceberg,
         ),
+        (
+            "iceberg_v2",
+            iceberg_scan.synth_iceberg_v2,
+            iceberg_scan.scan_iceberg_v2,
+        ),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (

@@ -326,12 +326,14 @@ def test_delete_position_past_file_refused():
         entry = (
             _zigzag_write(1)
             + _zigzag_write(1) + _zigzag_write(2)
+            + _zigzag_write(1)  # data_file.content = POSITION_DELETES
             + _enc_string("data/d00.parquet")
             + _enc_string("PARQUET")
             + _zigzag_write(1)
             + _zigzag_write(len(files["data/d00.parquet"]))
             + _enc_bounds(0)
             + _enc_bounds(39)
+            + _zigzag_write(0)  # equality_ids: empty
         )
         files["metadata/md.avro"] = encode_avro_container(
             _MANIFEST_SCHEMA, [entry], bytes(16)
@@ -366,3 +368,225 @@ def test_delete_position_past_file_refused():
 
     with pytest.raises(ValueError, match="past its data file"):
         scan_iceberg(_retar(synth_iceberg(seed), edit))
+
+
+# ---------------------------------------------------------------------------
+# round 11: equality deletes + partition transforms
+# ---------------------------------------------------------------------------
+
+
+def test_murmur3_spec_vectors():
+    """Iceberg table spec Appendix B published bucket-hash vectors —
+    the independent pin for the hand murmur3."""
+    import struct
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        bucket_transform,
+        murmur3_x86_32,
+        truncate_transform,
+    )
+
+    assert murmur3_x86_32(struct.pack("<i", 34).ljust(8, b"\0")) \
+        == murmur3_x86_32(struct.pack("<q", 34))
+    assert murmur3_x86_32(struct.pack("<q", 34)) == 2017239379
+    assert murmur3_x86_32(b"iceberg") == 1210000089
+    assert bucket_transform(34, 16) == 2017239379 % 16
+    # spec: truncate floors toward -inf
+    assert truncate_transform(-1, 10) == -10
+    assert truncate_transform(1, 10) == 0
+    assert truncate_transform(-10, 10) == -10
+
+
+def test_positional_scan_loud_rejects_equality_delete_file():
+    """r10 verdict item 2 step 1: a content=2 (EQUALITY) delete file
+    in the positional scan's input must quarantine loudly — silently
+    treating it as positional resurrects deleted rows."""
+    import io
+    import tarfile
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _zigzag_write,
+        decode_avro_blocks,
+        encode_avro_container,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        _MANIFEST_SCHEMA,
+        _enc_bounds,
+        _enc_string,
+    )
+
+    seed = 5
+    blob = synth_iceberg(seed)
+
+    def retag(files):
+        # rebuild the delete manifest with data_file.content = 2
+        recs = decode_avro_blocks(files["metadata/md.avro"])
+        (r,) = recs
+        df = r["data_file"]
+        entry = (
+            _zigzag_write(r["status"])
+            + _zigzag_write(1) + _zigzag_write(2)
+            + _zigzag_write(2)  # content = EQUALITY_DELETES
+            + _enc_string(df["file_path"])
+            + _enc_string(df["file_format"])
+            + _zigzag_write(df["record_count"])
+            + _zigzag_write(df["file_size_in_bytes"])
+            + _enc_bounds(0)
+            + _enc_bounds(39)
+            + _zigzag_write(1) + _zigzag_write(1) + _zigzag_write(0)
+        )
+        files["metadata/md.avro"] = encode_avro_container(
+            _MANIFEST_SCHEMA, [entry], bytes(16)
+        )
+        # fix snap-2's manifest_length for md.avro
+        from datawarehouseproject_spark.functions.iceberg_scan import (
+            _MANIFEST_LIST_SCHEMA,
+        )
+
+        out = []
+        for r2 in decode_avro_blocks(files["metadata/snap-2.avro"]):
+            ln = (
+                len(files["metadata/md.avro"])
+                if r2["manifest_path"] == "metadata/md.avro"
+                else r2["manifest_length"]
+            )
+            out.append(
+                _enc_string(r2["manifest_path"])
+                + _zigzag_write(ln)
+                + _zigzag_write(r2["partition_spec_id"])
+                + _zigzag_write(r2["content"])
+                + _zigzag_write(r2["added_snapshot_id"])
+                + _zigzag_write(r2["added_data_files_count"])
+            )
+        files["metadata/snap-2.avro"] = encode_avro_container(
+            _MANIFEST_LIST_SCHEMA, out, bytes(16)
+        )
+
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as tf:
+        files = {
+            m.name: tf.extractfile(m).read()
+            for m in tf.getmembers()
+            if m.isfile()
+        }
+    retag(files)
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w") as tf:
+        for name in sorted(files):
+            info = tarfile.TarInfo(name)
+            info.size = len(files[name])
+            tf.addfile(info, io.BytesIO(files[name]))
+    with pytest.raises(ValueError, match="equality-delete file unsupported"):
+        scan_iceberg(out.getvalue())
+
+
+def test_v2_scan_all_seeds_match_plan():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_v2,
+        synth_iceberg_v2,
+        synth_iceberg_v2_plan,
+    )
+
+    for seed in range(10):
+        plan = synth_iceberg_v2_plan(seed)
+        r = scan_iceberg_v2(synth_iceberg_v2(seed))
+        assert r["transform"] == plan["transform"].split("[")[0]
+        assert r["n_data_files"] == 4
+        assert r["files_pruned_partition"] == 3
+        assert r["files_pruned_bounds"] == 0
+        assert r["files_scanned"] == 1
+        assert r["rows_scanned"] == plan["rows_scanned"]
+        assert r["equality_deleted_rows"] == plan["equality_deleted_rows"]
+        assert r["live_rows"] == (
+            plan["rows_scanned"] - plan["equality_deleted_rows"]
+        )
+        assert r["probe_matches"] == 1
+        assert r["total_rows"] == plan["total_rows"]
+
+
+def test_v2_bucket_bounds_interleave():
+    """The bucket fixture's file bounds must OVERLAP — otherwise the
+    files_pruned_partition=3 assertion could be bounds pruning in
+    disguise."""
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        _v2_file_values,
+    )
+
+    vals = _v2_file_values(0)  # even seed -> bucket[8]
+    spans = [(min(v), max(v)) for v in vals]
+    overlapping = sum(
+        1
+        for i in range(len(spans))
+        for j in range(i + 1, len(spans))
+        if spans[i][0] <= spans[j][1] and spans[j][0] <= spans[i][1]
+    )
+    assert overlapping == 6  # all pairs overlap
+
+
+def test_v2_equality_values_actually_removed():
+    """A deleted value must not match the probe: rebuild seed 2's
+    bundle with the probe pointed at a DELETED value (index 2) and
+    expect zero matches."""
+    import io
+    import json
+    import tarfile
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        _v2_file_values,
+        scan_iceberg_v2,
+        synth_iceberg_v2,
+        synth_iceberg_v2_plan,
+    )
+
+    seed = 2
+    plan = synth_iceberg_v2_plan(seed)
+    k = plan["probe_file"]
+    deleted_probe = _v2_file_values(seed)[k][2]  # index 2 -> deleted
+    blob = synth_iceberg_v2(seed)
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as tf:
+        files = {
+            m.name: tf.extractfile(m).read()
+            for m in tf.getmembers()
+            if m.isfile()
+        }
+    meta = json.loads(files["metadata/v2.metadata.json"])
+    meta["properties"]["fixture.probe"] = str(deleted_probe)
+    files["metadata/v2.metadata.json"] = json.dumps(meta).encode()
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w") as tf:
+        for name in sorted(files):
+            info = tarfile.TarInfo(name)
+            info.size = len(files[name])
+            tf.addfile(info, io.BytesIO(files[name]))
+    r = scan_iceberg_v2(out.getvalue())
+    assert r["probe_matches"] == 0
+    assert r["equality_deleted_rows"] == plan["equality_deleted_rows"]
+
+
+def test_v2_unknown_transform_quarantines():
+    import io
+    import json
+    import tarfile
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_v2,
+        synth_iceberg_v2,
+    )
+
+    blob = synth_iceberg_v2(1)
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as tf:
+        files = {
+            m.name: tf.extractfile(m).read()
+            for m in tf.getmembers()
+            if m.isfile()
+        }
+    meta = json.loads(files["metadata/v2.metadata.json"])
+    meta["partition-specs"][0]["fields"][0]["transform"] = "void"
+    files["metadata/v2.metadata.json"] = json.dumps(meta).encode()
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w") as tf:
+        for name in sorted(files):
+            info = tarfile.TarInfo(name)
+            info.size = len(files[name])
+            tf.addfile(info, io.BytesIO(files[name]))
+    with pytest.raises(ValueError, match="transform"):
+        scan_iceberg_v2(out.getvalue())
