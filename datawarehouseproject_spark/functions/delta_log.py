@@ -1,0 +1,446 @@
+"""Delta Lake ``_delta_log`` read path: checkpoint parquet + JSON
+commit replay → current-snapshot reconstruction, stats-based file
+skipping, and time travel by version — the most widely deployed
+lakehouse format's transaction log, from the PUBLIC protocol spec
+(github.com/delta-io/delta/blob/master/PROTOCOL.md):
+
+- the log directory holds one JSON file per commit
+  (``{version:020d}.json``), each line one ACTION object:
+  ``metaData`` (table schema/id), ``protocol``
+  (``minReaderVersion``/``minWriterVersion`` — a reader MUST refuse
+  tables above its supported reader version), ``add`` (a data file:
+  ``path``, ``size``, ``dataChange``, and ``stats`` as a JSON STRING
+  with ``numRecords``/``minValues``/``maxValues``), ``remove`` (a
+  tombstone — the file is no longer part of the table), and
+  ``commitInfo`` (informational, ignored);
+- a CHECKPOINT (``{version:020d}.checkpoint.parquet``) materializes
+  the replay state at a version as one action per parquet row
+  (struct columns ``add``/``remove``/``metaData``/``protocol``);
+  ``_last_checkpoint`` (JSON: ``version``, ``size``) points at it.
+  After metadata cleanup (``delta.logRetentionDuration``) the
+  pre-checkpoint JSON commits are GONE — a reader that cannot start
+  from the checkpoint cannot read the table at all, which is exactly
+  how the fixture proves the checkpoint path is real;
+- snapshot at version V = checkpoint state + replay of the JSON
+  commits ``checkpoint_version+1 .. V`` in order, where ``add`` wins
+  over a prior state for the same path and ``remove`` drops it
+  (last-action-wins reconciliation keyed by path);
+- planning: prune ``add`` files whose stats exclude the probe
+  (``minValues.v <= probe <= maxValues.v``), read only survivors.
+
+Fixture bundle (tar, like :mod:`.iceberg_scan`): REAL pyarrow
+parquet data files + checkpoint parquet, and protocol-shaped JSON
+log lines. The commit at version 2 REMOVES the version-0 file
+``f00`` and adds a replacement over the same value window, so a
+reader that ignores tombstones scans two files for slot-0 probes
+and over-counts — oracle-visible. Layered pinning (no independent
+Delta writer ships in this container): the parquet layer is
+pyarrow-real and every add's ``stats.numRecords`` is cross-checked
+against the actual parquet footer; the JSON action layer is
+spec-synthesized with every aggregate recomputed by the DuckDB
+oracle; the checkpoint parquet is written AND read by pyarrow
+(independent of the JSON path it must agree with).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import tarfile
+
+_LOG = "_delta_log"
+_SUPPORTED_READER_VERSION = 1
+_JSON_RE = re.compile(r"^(\d{20})\.json$")
+
+
+def _file_rows(seed: int, i: int) -> int:
+    return 40 + (seed + i) % 60
+
+
+def _file_lo(seed: int, i: int) -> int:
+    return i * 100 + seed % 50
+
+
+def synth_delta_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: version 0 adds ``3 + seed%3``
+    files (slot i covers ``[lo_i, lo_i+39]``, ``lo_i = i*100 +
+    seed%50``, ``rows_i = 40 + (seed+i)%60`` values ``lo_i + (r %
+    40)``); version 1 adds two more slots; the checkpoint lands at
+    version 1 and the pre-checkpoint JSONs are vacuumed; version 2
+    removes slot 0's file and adds a replacement with ``rows_0 + 5``
+    rows over the same window.  Probe = ``lo_k + 17`` with
+    ``k = seed % (n0 + 2)``."""
+    n0 = 3 + seed % 3
+    n_live = n0 + 2
+    k = seed % n_live
+    rows_k = _file_rows(seed, k) + (5 if k == 0 else 0)
+    return {
+        "n0": n0,
+        "n_live": n_live,
+        "probe_slot": k,
+        "probe": _file_lo(seed, k) + 17,
+        "rows_scanned": rows_k,
+        "probe_matches": (rows_k - 18) // 40 + 1,
+    }
+
+
+def synth_delta(seed: int) -> bytes:
+    """One Delta table as a tar bundle: data parquet, checkpoint
+    parquet, ``_last_checkpoint``, and the post-checkpoint commit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = synth_delta_plan(seed)
+    n0, n_live = plan["n0"], plan["n_live"]
+    files: dict[str, bytes] = {}
+
+    def write_data(path: str, rows: int, lo: int) -> dict:
+        buf = io.BytesIO()
+        pq.write_table(pa.table({"v": [lo + (r % 40) for r in range(rows)]}), buf)
+        files[path] = buf.getvalue()
+        return {
+            "path": path,
+            "size": len(files[path]),
+            "dataChange": True,
+            "stats": json.dumps(
+                {
+                    "numRecords": rows,
+                    "minValues": {"v": lo},
+                    "maxValues": {"v": lo + 39},
+                }
+            ),
+        }
+
+    adds_cp = []  # state at the version-1 checkpoint: slots 0..n0+1
+    for i in range(n_live):
+        adds_cp.append(
+            write_data(f"part-{i:05d}.parquet", _file_rows(seed, i),
+                       _file_lo(seed, i))
+        )
+    meta = {
+        "id": f"00000000-0000-4000-8000-{seed:012d}",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "v",
+                        "type": "long",
+                        "nullable": False,
+                        "metadata": {},
+                    }
+                ],
+            }
+        ),
+        "partitionColumns": [],
+        "configuration": {"fixture.probe": str(plan["probe"])},
+    }
+    # checkpoint parquet at version 1: one action per row, struct cols
+    n_actions = 2 + len(adds_cp)
+    add_col = [None, None] + [
+        {"path": a["path"], "size": a["size"], "stats": a["stats"]}
+        for a in adds_cp
+    ]
+    cp = pa.table(
+        {
+            "metaData": [
+                {
+                    "id": meta["id"],
+                    "schemaString": meta["schemaString"],
+                    "configuration": meta["configuration"],
+                }
+            ]
+            + [None] * (n_actions - 1),
+            "protocol": [None]
+            + [
+                {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 2,
+                }
+            ]
+            + [None] * (n_actions - 2),
+            "add": add_col,
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(cp, buf)
+    files[f"{_LOG}/{1:020d}.checkpoint.parquet"] = buf.getvalue()
+    files[f"{_LOG}/_last_checkpoint"] = json.dumps(
+        {"version": 1, "size": n_actions}
+    ).encode()
+
+    # version 2: remove slot 0, add its replacement (same window)
+    repl = write_data(
+        "part-r0000.parquet", _file_rows(seed, 0) + 5, _file_lo(seed, 0)
+    )
+    v2_lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Overwrite"},
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "remove": {
+                    "path": "part-00000.parquet",
+                    "deletionTimestamp": 1700000000000 + seed,
+                    "dataChange": True,
+                }
+            }
+        ),
+        json.dumps({"add": repl}),
+    ]
+    files[f"{_LOG}/{2:020d}.json"] = ("\n".join(v2_lines) + "\n").encode()
+
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w") as tf:
+        for name in sorted(files):
+            info = tarfile.TarInfo(name)
+            info.size = len(files[name])
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(files[name]))
+    return out.getvalue()
+
+
+def _parse_stats(raw) -> tuple[int, int, int]:
+    """stats JSON string -> (numRecords, min_v, max_v)."""
+    if not isinstance(raw, str):
+        raise ValueError("add action without stats string")
+    try:
+        st = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"add stats not JSON: {e}") from None
+    if not isinstance(st, dict):
+        raise ValueError("add stats not an object")
+    nr = st.get("numRecords")
+    mins = st.get("minValues")
+    maxs = st.get("maxValues")
+    if (
+        not isinstance(nr, int) or isinstance(nr, bool) or nr < 0
+        or not isinstance(mins, dict) or not isinstance(maxs, dict)
+    ):
+        raise ValueError("add stats malformed")
+    lo, hi = mins.get("v"), maxs.get("v")
+    if (
+        not isinstance(lo, int) or isinstance(lo, bool)
+        or not isinstance(hi, int) or isinstance(hi, bool) or lo > hi
+    ):
+        raise ValueError("add stats bounds malformed")
+    return nr, lo, hi
+
+
+class _State:
+    """Replay state: path -> (numRecords, lo, hi); metaData/protocol."""
+
+    def __init__(self) -> None:
+        self.adds: dict[str, tuple[int, int, int]] = {}
+        self.meta_id: str | None = None
+        self.min_reader: int | None = None
+        self.configuration: dict = {}
+
+    def apply(self, action: dict) -> None:
+        if not isinstance(action, dict):
+            raise ValueError("log action is not an object")
+        known = {"add", "remove", "metaData", "protocol", "commitInfo",
+                 "txn", "cdc"}
+        keys = [k for k in action if action.get(k) is not None]
+        if len(keys) != 1:
+            raise ValueError("log action must carry exactly one field")
+        kind = keys[0]
+        if kind not in known:
+            raise ValueError(f"unknown log action {kind!r}")
+        body = action[kind]
+        if kind in ("commitInfo", "txn"):
+            return
+        if kind == "cdc":
+            raise ValueError("change-data-feed actions unsupported")
+        if not isinstance(body, dict):
+            raise ValueError(f"{kind} action is not an object")
+        if kind == "metaData":
+            mid = body.get("id")
+            if not isinstance(mid, str):
+                raise ValueError("metaData without id")
+            self.meta_id = mid
+            conf = body.get("configuration")
+            if conf is not None:
+                if not isinstance(conf, dict):
+                    raise ValueError("metaData configuration malformed")
+                self.configuration = conf
+            return
+        if kind == "protocol":
+            mrv = body.get("minReaderVersion")
+            if not isinstance(mrv, int) or isinstance(mrv, bool):
+                raise ValueError("protocol minReaderVersion malformed")
+            # the spec REQUIRES refusing tables above the supported
+            # reader version (silently reading e.g. a deletion-vector
+            # table would resurrect deleted rows)
+            if mrv > _SUPPORTED_READER_VERSION:
+                raise ValueError(
+                    f"delta minReaderVersion {mrv} unsupported (boundary)"
+                )
+            self.min_reader = mrv
+            return
+        path = body.get("path")
+        if not isinstance(path, str) or not path:
+            raise ValueError(f"{kind} action without path")
+        if kind == "remove":
+            self.adds.pop(path, None)
+            return
+        self.adds[path] = _parse_stats(body.get("stats"))
+
+
+def scan_delta(payload: bytes) -> dict:
+    """Reconstruct the current snapshot from ``_delta_log`` and serve
+    the point lookup ``v = probe`` (probe = ``min stats lo of the
+    lexicographically-first add`` + 17 — recomputed below from the
+    same rule the writer used, so the metric is self-contained),
+    plus a TIME TRAVEL readout at the checkpoint version."""
+    import pyarrow.parquet as pq
+
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:") as tf:
+            files = {}
+            total = 0
+            for m in tf.getmembers():
+                if not m.isfile() or m.size < 0:
+                    raise ValueError("non-file tar member in table bundle")
+                total += m.size
+                if total > 1 << 28:
+                    raise ValueError("table bundle exceeds size cap")
+                f = tf.extractfile(m)
+                if f is None:
+                    raise ValueError("unreadable tar member")
+                files[m.name] = f.read()
+    except tarfile.TarError as e:
+        raise ValueError(f"table bundle is not a tar: {e}") from None
+
+    lc_blob = files.get(f"{_LOG}/_last_checkpoint")
+    if lc_blob is None:
+        raise ValueError("_last_checkpoint missing (boundary)")
+    try:
+        lc = json.loads(lc_blob)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"_last_checkpoint not JSON: {e}") from None
+    cp_version = lc.get("version") if isinstance(lc, dict) else None
+    cp_size = lc.get("size") if isinstance(lc, dict) else None
+    if (
+        not isinstance(cp_version, int) or isinstance(cp_version, bool)
+        or cp_version < 0
+        or not isinstance(cp_size, int) or isinstance(cp_size, bool)
+        or cp_size < 0
+    ):
+        raise ValueError("_last_checkpoint malformed")
+    cp_blob = files.get(f"{_LOG}/{cp_version:020d}.checkpoint.parquet")
+    if cp_blob is None:
+        raise ValueError("checkpoint parquet missing from log")
+    try:
+        cp = pq.read_table(io.BytesIO(cp_blob))
+    except Exception as e:
+        raise ValueError(f"checkpoint unreadable: {e}") from None
+    if cp.num_rows != cp_size:
+        raise ValueError("_last_checkpoint size disagrees with parquet")
+    state = _State()
+    cols = cp.column_names
+    for kind in ("metaData", "protocol", "add", "remove"):
+        if kind not in cols:
+            continue
+        for body in cp.column(kind).to_pylist():
+            if body is not None:
+                state.apply({kind: body})
+    if state.min_reader is None or state.meta_id is None:
+        raise ValueError("checkpoint without protocol/metaData")
+    files_at_checkpoint = len(state.adds)
+
+    # replay post-checkpoint JSON commits, contiguous versions only
+    versions = sorted(
+        int(m.group(1))
+        for name, m in (
+            (n, _JSON_RE.match(n.rsplit("/", 1)[1]))
+            for n in files
+            if n.startswith(f"{_LOG}/")
+        )
+        if m
+    )
+    replayed = 0
+    current = cp_version
+    for v in versions:
+        if v <= cp_version:
+            continue
+        if v != current + 1:
+            raise ValueError("commit versions not contiguous (boundary)")
+        blob = files[f"{_LOG}/{v:020d}.json"]
+        if len(blob) > 1 << 24:
+            raise ValueError("commit JSON exceeds size cap")
+        for line in blob.splitlines():
+            if not line.strip():
+                continue
+            try:
+                action = json.loads(line)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"commit line not JSON: {e}") from None
+            state.apply(action)
+        current = v
+        replayed += 1
+
+    if not state.adds:
+        raise ValueError("current snapshot has no live files")
+    live = sorted(state.adds.items())
+    n_live = len(live)
+    # the point lookup rides in the table configuration (a fixture
+    # knob, same as the Iceberg fixture's table property; a real
+    # engine gets it from the query)
+    if "fixture.probe" not in state.configuration:
+        raise ValueError("table configuration missing the probe")
+    try:
+        probe = int(state.configuration["fixture.probe"])
+    except (TypeError, ValueError):
+        raise ValueError("non-integer probe configuration") from None
+
+    survivors = [
+        (path, nr, lo, hi)
+        for path, (nr, lo, hi) in live
+        if lo <= probe <= hi
+    ]
+    rows_scanned = 0
+    matches = 0
+    for path, nr, _lo, _hi in survivors:
+        blob = files.get(path)
+        if blob is None:
+            raise ValueError(f"data file {path!r} missing from bundle")
+        try:
+            table = pq.read_table(io.BytesIO(blob))
+        except Exception as e:
+            raise ValueError(f"data file unreadable: {e}") from None
+        if table.num_rows != nr:
+            raise ValueError(
+                f"stats numRecords {nr} != parquet rows {table.num_rows}"
+            )
+        if "v" not in table.column_names:
+            raise ValueError("data file missing the predicate column")
+        rows_scanned += table.num_rows
+        for v in table.column("v").to_pylist():
+            if not isinstance(v, int):
+                raise ValueError("data value not an integer")
+            if v == probe:
+                matches += 1
+    total_live_rows = sum(nr for _, (nr, _lo, _hi) in live)
+    if not (0 <= total_live_rows < 2**63):
+        raise ValueError("delta total rows overflows int64 (boundary)")
+    return {
+        "checkpoint_version": cp_version,
+        "current_version": current,
+        "json_commits_replayed": replayed,
+        "files_at_checkpoint": files_at_checkpoint,
+        "live_files": n_live,
+        "min_reader_version": state.min_reader,
+        "files_pruned": n_live - len(survivors),
+        "files_scanned": len(survivors),
+        "rows_scanned": rows_scanned,
+        "total_live_rows": total_live_rows,
+        "probe_matches": matches,
+    }

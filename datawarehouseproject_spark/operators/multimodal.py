@@ -2924,3 +2924,50 @@ def extract_iceberg_v2_scan(
         return scan_iceberg_v2
 
     return _extract_metadata(media, ICEBERG_V2_SCAN_SCHEMA, loader, permissive)
+
+
+def synthesize_delta_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Delta Lake table bundles
+    (checkpoint parquet + _last_checkpoint + post-checkpoint JSON
+    commit + real data parquet,
+    ``functions/delta_log.py:synth_delta``)."""
+
+    def loader():
+        from ..functions.delta_log import synth_delta
+
+        return synth_delta
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+DELTA_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("checkpoint_version", T.IntegerType()),
+        T.StructField("current_version", T.IntegerType()),
+        T.StructField("json_commits_replayed", T.IntegerType()),
+        T.StructField("files_at_checkpoint", T.IntegerType()),
+        T.StructField("live_files", T.IntegerType()),
+        T.StructField("min_reader_version", T.IntegerType()),
+        T.StructField("files_pruned", T.IntegerType()),
+        T.StructField("files_scanned", T.IntegerType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("total_live_rows", T.LongType()),
+        T.StructField("probe_matches", T.LongType()),
+    ]
+)
+
+
+def extract_delta_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Delta _delta_log snapshot reconstruction + stats-pruned read
+    per payload (:func:`..functions.delta_log.scan_delta`)."""
+
+    def loader():
+        from ..functions.delta_log import scan_delta
+
+        return scan_delta
+
+    return _extract_metadata(media, DELTA_SCAN_SCHEMA, loader, permissive)

@@ -1,0 +1,144 @@
+"""Delta Lake _delta_log reader: checkpoint + replay + tombstones."""
+
+from __future__ import annotations
+
+import io
+import json
+import tarfile
+
+import pytest
+
+from datawarehouseproject_spark.functions.delta_log import (
+    scan_delta,
+    synth_delta,
+    synth_delta_plan,
+)
+
+
+def _untar(blob: bytes) -> dict[str, bytes]:
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as tf:
+        return {
+            m.name: tf.extractfile(m).read()
+            for m in tf.getmembers()
+            if m.isfile()
+        }
+
+
+def _retar(files: dict[str, bytes]) -> bytes:
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w") as tf:
+        for name in sorted(files):
+            info = tarfile.TarInfo(name)
+            info.size = len(files[name])
+            tf.addfile(info, io.BytesIO(files[name]))
+    return out.getvalue()
+
+
+def test_all_seeds_match_plan():
+    for seed in range(12):
+        plan = synth_delta_plan(seed)
+        r = scan_delta(synth_delta(seed))
+        assert r["checkpoint_version"] == 1
+        assert r["current_version"] == 2
+        assert r["json_commits_replayed"] == 1
+        assert r["files_at_checkpoint"] == plan["n_live"]
+        assert r["live_files"] == plan["n_live"]
+        assert r["files_pruned"] == plan["n_live"] - 1
+        assert r["files_scanned"] == 1
+        assert r["rows_scanned"] == plan["rows_scanned"]
+        assert r["probe_matches"] == plan["probe_matches"]
+
+
+def test_precheckpoint_jsons_are_vacuumed():
+    """The fixture must NOT contain version 0/1 JSON commits — that's
+    what proves the reader starts from the checkpoint."""
+    files = _untar(synth_delta(4))
+    names = set(files)
+    assert "_delta_log/00000000000000000000.json" not in names
+    assert "_delta_log/00000000000000000001.json" not in names
+    assert "_delta_log/00000000000000000002.json" in names
+    assert "_delta_log/00000000000000000001.checkpoint.parquet" in names
+
+
+def test_remove_tombstone_actually_skips_the_file():
+    """seed 0 probes slot 0 (the replaced window). Dropping the
+    remove action must change the result — proving the tombstone is
+    honored in the real scan."""
+    seed = 0
+    plan = synth_delta_plan(seed)
+    assert plan["probe_slot"] == 0
+    base = scan_delta(synth_delta(seed))
+    files = _untar(synth_delta(seed))
+    path = "_delta_log/00000000000000000002.json"
+    lines = [
+        ln
+        for ln in files[path].splitlines()
+        if b'"remove"' not in ln
+    ]
+    files[path] = b"\n".join(lines) + b"\n"
+    r = scan_delta(_retar(files))
+    assert r["live_files"] == base["live_files"] + 1
+    assert r["files_scanned"] == 2
+    assert r["rows_scanned"] > base["rows_scanned"]
+    assert r["probe_matches"] > base["probe_matches"]
+
+
+def test_unsupported_reader_version_quarantines():
+    files = _untar(synth_delta(1))
+    path = "_delta_log/00000000000000000002.json"
+    extra = json.dumps(
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+    ).encode()
+    files[path] = files[path] + extra + b"\n"
+    with pytest.raises(ValueError, match="minReaderVersion 3 unsupported"):
+        scan_delta(_retar(files))
+
+
+def test_noncontiguous_commit_quarantines():
+    files = _untar(synth_delta(2))
+    files["_delta_log/00000000000000000004.json"] = json.dumps(
+        {"commitInfo": {"operation": "WRITE"}}
+    ).encode()
+    with pytest.raises(ValueError, match="not contiguous"):
+        scan_delta(_retar(files))
+
+
+def test_stats_footer_mismatch_quarantines():
+    """An add whose stats.numRecords disagrees with the actual
+    parquet footer must quarantine (the two metadata systems cannot
+    drift)."""
+    seed = 0  # probe slot 0 -> the replacement file is scanned
+    files = _untar(synth_delta(seed))
+    path = "_delta_log/00000000000000000002.json"
+    out = []
+    for ln in files[path].splitlines():
+        if b'"add"' in ln:
+            act = json.loads(ln)
+            st = json.loads(act["add"]["stats"])
+            st["numRecords"] += 1
+            act["add"]["stats"] = json.dumps(st)
+            ln = json.dumps(act).encode()
+        out.append(ln)
+    files[path] = b"\n".join(out) + b"\n"
+    with pytest.raises(ValueError, match="numRecords"):
+        scan_delta(_retar(files))
+
+
+def test_checkpoint_size_mismatch_quarantines():
+    files = _untar(synth_delta(3))
+    lc = json.loads(files["_delta_log/_last_checkpoint"])
+    lc["size"] += 2
+    files["_delta_log/_last_checkpoint"] = json.dumps(lc).encode()
+    with pytest.raises(ValueError, match="size disagrees"):
+        scan_delta(_retar(files))
+
+
+def test_multiple_fields_in_one_action_quarantines():
+    files = _untar(synth_delta(5))
+    path = "_delta_log/00000000000000000002.json"
+    files[path] = files[path] + json.dumps(
+        {"add": {"path": "x.parquet", "stats": "{}"},
+         "remove": {"path": "y.parquet"}}
+    ).encode() + b"\n"
+    with pytest.raises(ValueError, match="exactly one field"):
+        scan_delta(_retar(files))

@@ -27,6 +27,7 @@ def _cases():
         h264,
         inflate,
         ico,
+        delta_log,
         iceberg_scan,
         jpeg,
         lz4_codec,
@@ -135,6 +136,7 @@ def _cases():
             iceberg_scan.synth_iceberg_v2,
             iceberg_scan.scan_iceberg_v2,
         ),
+        ("delta", delta_log.synth_delta, delta_log.scan_delta),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (
