@@ -29,7 +29,11 @@ Apache Avro 1.11 specification ("Object Container Files" +
 The schema JSON is parsed (stdlib json) into a flat-record decode
 plan supporting long/int/string/double/boolean and the
 ``["null", T]`` nullable union — the shape real flat Avro tables
-have; anything else is a loud documented boundary.
+have; anything else is a loud documented boundary ON THE FLAT PATH.
+The generic nested decoder (``_parse_type_spec``/``_decode_spec``,
+shared with the Iceberg manifest reader) additionally covers
+records, arrays, maps, enums, fixed, and GENERAL unions (round 11),
+so Kafka-archive-shaped schemas decode end to end.
 
 Pinning: no Avro library ships in this container, so the layered
 pattern from TFRecord applies — the writer below is hand-rolled from
@@ -407,23 +411,26 @@ _MAX_SCHEMA_DEPTH = 16
 def _parse_type_spec(t, depth: int = 0):
     """Schema JSON fragment -> decode-spec tree:
     ('prim', name) | ('record', [(field, spec), ...]) |
-    ('array', item_spec) | ('union_null', value_spec, null_branch)."""
+    ('array', item_spec) | ('map', value_spec) |
+    ('enum', (symbols...)) | ('fixed', size) |
+    ('union', [branch_spec, ...]).
+
+    Round 11 (VERDICT r10 item 4): the full complex-type set — maps,
+    enums, fixed, and GENERAL unions (any branch count/order, not
+    just ``['null', T]``) — on the shared container path; real
+    Kafka-archive schemas hit these immediately."""
     if depth > _MAX_SCHEMA_DEPTH:
         raise ValueError("avro schema nests too deep")
     if isinstance(t, str):
-        if t in _SUPPORTED or t == "bytes":
+        if t in _SUPPORTED or t in ("bytes", "null"):
             return ("prim", t)
         raise ValueError(f"avro type {t!r} unsupported (boundary)")
     if isinstance(t, list):
-        if len(t) != 2 or "null" not in t:
-            raise ValueError(
-                "avro union beyond ['null', T] unsupported (boundary)"
-            )
-        null_branch = t.index("null")
+        if not 1 <= len(t) <= 32:
+            raise ValueError("avro union branch count out of range")
         return (
-            "union_null",
-            _parse_type_spec(t[1 - null_branch], depth + 1),
-            null_branch,
+            "union",
+            [_parse_type_spec(b, depth + 1) for b in t],
         )
     if isinstance(t, dict):
         kind = t.get("type")
@@ -446,6 +453,26 @@ def _parse_type_spec(t, depth: int = 0):
             return ("record", out)
         if kind == "array":
             return ("array", _parse_type_spec(t.get("items"), depth + 1))
+        if kind == "map":
+            return ("map", _parse_type_spec(t.get("values"), depth + 1))
+        if kind == "enum":
+            symbols = t.get("symbols")
+            if (
+                not isinstance(symbols, list)
+                or not symbols
+                or len(symbols) > 1 << 12
+                or not all(isinstance(s, str) for s in symbols)
+            ):
+                raise ValueError("avro enum symbols malformed")
+            return ("enum", tuple(symbols))
+        if kind == "fixed":
+            size = t.get("size")
+            if (
+                not isinstance(size, int) or isinstance(size, bool)
+                or not 0 <= size <= 1 << 20
+            ):
+                raise ValueError("avro fixed size out of range")
+            return ("fixed", size)
         if kind in _SUPPORTED or kind == "bytes":
             return ("prim", kind)  # {"type": "long"} spelling
     raise ValueError(f"avro type {t!r} unsupported (boundary)")
@@ -456,21 +483,46 @@ def _decode_spec(data: bytes, pos: int, spec, depth: int = 0):
         raise ValueError("avro value nests too deep")
     kind = spec[0]
     if kind == "prim":
+        if spec[1] == "null":
+            return None, pos
         if spec[1] == "bytes":
             return _read_bytes(data, pos)
         return _decode_value(data, pos, spec[1])
-    if kind == "union_null":
+    if kind == "union":
         branch, pos = _zigzag_read(data, pos)
-        if branch == spec[2]:
-            return None, pos
-        if branch != 1 - spec[2]:
+        if not 0 <= branch < len(spec[1]):
             raise ValueError(f"avro union branch {branch} out of range")
-        return _decode_spec(data, pos, spec[1], depth + 1)
+        return _decode_spec(data, pos, spec[1][branch], depth + 1)
     if kind == "record":
         rec = {}
         for name, fspec in spec[1]:
             rec[name], pos = _decode_spec(data, pos, fspec, depth + 1)
         return rec, pos
+    if kind == "enum":
+        idx, pos = _zigzag_read(data, pos)
+        if not 0 <= idx < len(spec[1]):
+            raise ValueError(f"avro enum index {idx} out of range")
+        return spec[1][idx], pos
+    if kind == "fixed":
+        if pos + spec[1] > len(data):
+            raise ValueError("truncated avro fixed")
+        return data[pos : pos + spec[1]], pos + spec[1]
+    if kind == "map":
+        # same count-prefixed block framing as array, keys are strings
+        out = {}
+        while True:
+            count, pos = _zigzag_read(data, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:
+                count = -count
+                _, pos = _zigzag_read(data, pos)  # block byte size
+            if count > 1 << 24 or len(out) + count > 1 << 24:
+                raise ValueError("avro map too large")
+            for _ in range(count):
+                kraw, pos = _read_bytes(data, pos)
+                key = kraw.decode("utf-8")
+                out[key], pos = _decode_spec(data, pos, spec[1], depth + 1)
     # array: count-prefixed blocks, negative count = skippable form,
     # terminated by count 0
     items = []
@@ -537,3 +589,158 @@ def encode_avro_container(
     out += body
     out += sync
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# complex-type container fixture (round 11): array/map/enum/fixed +
+# general union through the SAME generic decoder the Iceberg
+# manifests use
+# ---------------------------------------------------------------------------
+
+_COMPLEX_SCHEMA_JSON = json.dumps(
+    {
+        "type": "record",
+        "name": "event",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "color",
+                "type": {
+                    "type": "enum",
+                    "name": "Color",
+                    "symbols": ["RED", "GREEN", "BLUE"],
+                },
+            },
+            {
+                "name": "fp",
+                "type": {"type": "fixed", "name": "Fp", "size": 4},
+            },
+            # GENERAL union: three branches, null LAST (the
+            # ['null', T] fast path never sees this shape)
+            {"name": "u", "type": ["long", "string", "null"]},
+        ],
+    }
+).encode()
+
+
+def synth_avro_complex_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: ``10 + seed%20`` records;
+    record i carries ``i%4`` tags ``t{(i+j)%10}`` (2 chars each),
+    ``i%3`` map entries ``p{j} -> (i*7 + j*13) % 1000``, enum index
+    ``(seed+i)%3``, fixed bytes ``(seed+i+b)%256``, and union branch
+    ``i%3`` (long ``seed+i`` / string ``u{i}`` / null)."""
+    n = 10 + seed % 20
+    return {"n_records": n}
+
+
+def synth_avro_complex(seed: int) -> bytes:
+    plan = synth_avro_complex_plan(seed)
+    n = plan["n_records"]
+    recs = []
+    for i in range(n):
+        body = bytearray()
+        body += _zigzag_write(seed * 1000 + i)  # id
+        n_tags = i % 4
+        if n_tags:
+            body += _zigzag_write(n_tags)
+            for j in range(n_tags):
+                tag = f"t{(i + j) % 10}".encode()
+                body += _zigzag_write(len(tag)) + tag
+        body += _zigzag_write(0)  # array terminator
+        n_props = i % 3
+        if n_props:
+            body += _zigzag_write(n_props)
+            for j in range(n_props):
+                key = f"p{j}".encode()
+                body += _zigzag_write(len(key)) + key
+                body += _zigzag_write((i * 7 + j * 13) % 1000)
+        body += _zigzag_write(0)  # map terminator
+        body += _zigzag_write((seed + i) % 3)  # enum index
+        body += bytes((seed + i + b) % 256 for b in range(4))  # fixed
+        branch = i % 3
+        body += _zigzag_write(branch)
+        if branch == 0:
+            body += _zigzag_write(seed + i)
+        elif branch == 1:
+            s = f"u{i}".encode()
+            body += _zigzag_write(len(s)) + s
+        recs.append(bytes(body))
+    sync = bytes((seed * 13 + j * 3 + 7) % 256 for j in range(16))
+    return encode_avro_container(_COMPLEX_SCHEMA_JSON, recs, sync)
+
+
+def scan_avro_complex(payload: bytes) -> dict:
+    """Aggregates over every complex-typed field — each one failing
+    if its decoder mis-frames (array/map block terminators, enum
+    range, fixed width, union branch selection)."""
+    records = decode_avro_blocks(payload)
+    n = len(records)
+    tag_count = tag_chars = 0
+    prop_count = prop_sum = 0
+    color_hist = {"RED": 0, "GREEN": 0, "BLUE": 0}
+    fp_sum = 0
+    u_long_sum = u_str_chars = u_nulls = 0
+    id_sum = 0
+    for rec in records:
+        if set(rec) != {"id", "tags", "props", "color", "fp", "u"}:
+            raise ValueError("avro record does not match complex schema")
+        if not isinstance(rec["id"], int):
+            raise ValueError("complex id not an integer")
+        id_sum += rec["id"]
+        tags = rec["tags"]
+        if not isinstance(tags, list):
+            raise ValueError("tags not a list")
+        tag_count += len(tags)
+        for t in tags:
+            if not isinstance(t, str):
+                raise ValueError("tag not a string")
+            tag_chars += len(t)
+        props = rec["props"]
+        if not isinstance(props, dict):
+            raise ValueError("props not a map")
+        prop_count += len(props)
+        for v in props.values():
+            if not isinstance(v, int):
+                raise ValueError("prop value not an integer")
+            prop_sum += v
+        color = rec["color"]
+        if color not in color_hist:
+            raise ValueError(f"enum symbol {color!r} out of range")
+        color_hist[color] += 1
+        fp = rec["fp"]
+        if not isinstance(fp, bytes) or len(fp) != 4:
+            raise ValueError("fixed field malformed")
+        fp_sum += sum(fp)
+        u = rec["u"]
+        if u is None:
+            u_nulls += 1
+        elif isinstance(u, int):
+            u_long_sum += u
+        elif isinstance(u, str):
+            u_str_chars += len(u)
+        else:
+            raise ValueError("union value of unexpected type")
+    for label, s in (
+        ("id_sum", id_sum),
+        ("prop_sum", prop_sum),
+        ("u_long_sum", u_long_sum),
+    ):
+        if not (-(2**63) <= s < 2**63):
+            raise ValueError(f"avro {label} overflows int64 (boundary)")
+    return {
+        "n_records": n,
+        "id_sum": id_sum,
+        "tag_count": tag_count,
+        "tag_chars": tag_chars,
+        "prop_count": prop_count,
+        "prop_sum": prop_sum,
+        "n_red": color_hist["RED"],
+        "n_green": color_hist["GREEN"],
+        "n_blue": color_hist["BLUE"],
+        "fp_sum": fp_sum,
+        "u_long_sum": u_long_sum,
+        "u_str_chars": u_str_chars,
+        "u_nulls": u_nulls,
+    }

@@ -2971,3 +2971,52 @@ def extract_delta_scan(
         return scan_delta
 
     return _extract_metadata(media, DELTA_SCAN_SCHEMA, loader, permissive)
+
+
+def synthesize_avro_complex_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Avro containers whose
+    schema exercises the FULL complex-type set: array, map, enum,
+    fixed, and a general 3-branch union
+    (``functions/avro_scan.py:synth_avro_complex``)."""
+
+    def loader():
+        from ..functions.avro_scan import synth_avro_complex
+
+        return synth_avro_complex
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+AVRO_COMPLEX_SCHEMA = T.StructType(
+    [
+        T.StructField("n_records", T.LongType()),
+        T.StructField("id_sum", T.LongType()),
+        T.StructField("tag_count", T.LongType()),
+        T.StructField("tag_chars", T.LongType()),
+        T.StructField("prop_count", T.LongType()),
+        T.StructField("prop_sum", T.LongType()),
+        T.StructField("n_red", T.LongType()),
+        T.StructField("n_green", T.LongType()),
+        T.StructField("n_blue", T.LongType()),
+        T.StructField("fp_sum", T.LongType()),
+        T.StructField("u_long_sum", T.LongType()),
+        T.StructField("u_str_chars", T.LongType()),
+        T.StructField("u_nulls", T.LongType()),
+    ]
+)
+
+
+def extract_avro_complex_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Complex-type Avro container read per payload
+    (:func:`..functions.avro_scan.scan_avro_complex`)."""
+
+    def loader():
+        from ..functions.avro_scan import scan_avro_complex
+
+        return scan_avro_complex
+
+    return _extract_metadata(media, AVRO_COMPLEX_SCHEMA, loader, permissive)

@@ -1630,6 +1630,90 @@ def q_avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_complex_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 10 + doc_id % 20 AS n FROM documents),
+    ii AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    rec AS (
+      SELECT media_id, n, i,
+             media_id * 1000 + i AS id_v,
+             i % 4 AS n_tags,
+             i % 3 AS n_props,
+             (media_id + i) % 3 AS color_idx,
+             i % 3 AS ubranch,
+             CASE WHEN i % 3 = 1
+                  THEN length('u' || CAST(i AS VARCHAR)) ELSE 0
+             END AS uchars,
+             (media_id + i) % 256 + (media_id + i + 1) % 256
+               + (media_id + i + 2) % 256 + (media_id + i + 3) % 256
+               AS fp
+      FROM ii),
+    props AS (
+      SELECT media_id, i, unnest(generate_series(0, (i % 3) - 1)) AS j
+      FROM ii WHERE i % 3 > 0),
+    psum AS (
+      SELECT media_id,
+             CAST(sum((i * 7 + j * 13) % 1000) AS BIGINT) AS prop_sum
+      FROM props GROUP BY media_id),
+    agg AS (
+      SELECT media_id,
+             CAST(count(*) AS BIGINT) AS n_records,
+             CAST(sum(id_v) AS BIGINT) AS id_sum,
+             CAST(sum(n_tags) AS BIGINT) AS tag_count,
+             CAST(2 * sum(n_tags) AS BIGINT) AS tag_chars,
+             CAST(sum(n_props) AS BIGINT) AS prop_count,
+             CAST(sum(CASE WHEN color_idx = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_red,
+             CAST(sum(CASE WHEN color_idx = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_green,
+             CAST(sum(CASE WHEN color_idx = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_blue,
+             CAST(sum(fp) AS BIGINT) AS fp_sum,
+             CAST(sum(CASE WHEN ubranch = 0 THEN media_id + i ELSE 0 END)
+                  AS BIGINT) AS u_long_sum,
+             CAST(sum(uchars) AS BIGINT) AS u_str_chars,
+             CAST(sum(CASE WHEN ubranch = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS u_nulls
+      FROM rec GROUP BY media_id)
+    SELECT a.media_id, a.n_records, a.id_sum, a.tag_count, a.tag_chars,
+           a.prop_count, coalesce(p.prop_sum, 0) AS prop_sum,
+           a.n_red, a.n_green, a.n_blue, a.fp_sum,
+           a.u_long_sum, a.u_str_chars, a.u_nulls
+    FROM agg a LEFT JOIN psum p USING (media_id)
+    """,
+    tags=("sources", "avro", "complex-types", "union", "mapInPandas"),
+)
+def q_avro_complex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro COMPLEX types on the container path (round 11 — VERDICT
+    r10 item 4): arrays (block framing with terminator), maps
+    (string keys + the same block framing), enums (range-checked
+    symbol index), fixed (raw width bytes), and a GENERAL 3-branch
+    union ``[long, string, null]`` — null LAST, so the ``['null',
+    T]`` two-branch fast path can never have produced these values.
+    Decoded by the SAME generic nested decoder the Iceberg manifests
+    ride (``functions/avro_scan.py:_parse_type_spec`` /
+    ``_decode_spec``), extended this round; one aggregate per
+    complex field so any mis-framing (a lost array terminator, an
+    off-by-one fixed width, a swapped union branch) breaks the
+    oracle hash."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_avro_complex_scan,
+        synthesize_avro_complex_media,
+    )
+
+    media = synthesize_avro_complex_media(_t(spark, sf_dir, "documents"))
+    return extract_avro_complex_scan(media).select(
+        "media_id", "n_records", "id_sum", "tag_count", "tag_chars",
+        "prop_count", "prop_sum", "n_red", "n_green", "n_blue",
+        "fp_sum", "u_long_sum", "u_str_chars", "u_nulls",
+    )
+
+
+@register(
     "iceberg_snapshot_scan",
     oracle="""
     WITH m AS (

@@ -246,3 +246,92 @@ def test_id_sum_overflow_quarantined():
     out += _zigzag_write(3) + _zigzag_write(len(body)) + body + sync
     with pytest.raises(ValueError, match="overflows int64"):
         scan_avro(bytes(out))
+
+
+def test_complex_types_roundtrip():
+    """Round 11: array/map/enum/fixed/general-union container."""
+    from datawarehouseproject_spark.functions.avro_scan import (
+        scan_avro_complex,
+        synth_avro_complex,
+        synth_avro_complex_plan,
+    )
+
+    for seed in range(6):
+        n = synth_avro_complex_plan(seed)["n_records"]
+        r = scan_avro_complex(synth_avro_complex(seed))
+        assert r["n_records"] == n
+        assert r["tag_chars"] == 2 * r["tag_count"]
+        assert r["n_red"] + r["n_green"] + r["n_blue"] == n
+        assert r["u_nulls"] == sum(1 for i in range(n) if i % 3 == 2)
+
+
+def test_general_union_branch_out_of_range_quarantines():
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _COMPLEX_SCHEMA_JSON,
+        _zigzag_write,
+        decode_avro_blocks,
+        encode_avro_container,
+    )
+
+    # record with union branch 3 (only 0..2 exist)
+    body = (
+        _zigzag_write(1)            # id
+        + _zigzag_write(0)          # tags: empty
+        + _zigzag_write(0)          # props: empty
+        + _zigzag_write(0)          # enum RED
+        + bytes(4)                  # fixed
+        + _zigzag_write(3)          # union branch out of range
+    )
+    blob = encode_avro_container(_COMPLEX_SCHEMA_JSON, [body], bytes(16))
+    with pytest.raises(ValueError, match="union branch 3 out of range"):
+        decode_avro_blocks(blob)
+
+
+def test_enum_index_out_of_range_quarantines():
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _COMPLEX_SCHEMA_JSON,
+        _zigzag_write,
+        decode_avro_blocks,
+        encode_avro_container,
+    )
+
+    body = (
+        _zigzag_write(1)
+        + _zigzag_write(0)
+        + _zigzag_write(0)
+        + _zigzag_write(7)          # enum index 7 of 3
+        + bytes(4)
+        + _zigzag_write(2)          # union: null
+    )
+    blob = encode_avro_container(_COMPLEX_SCHEMA_JSON, [body], bytes(16))
+    with pytest.raises(ValueError, match="enum index 7 out of range"):
+        decode_avro_blocks(blob)
+
+
+def test_map_nonstring_value_framing():
+    """Map decode honors the negative-count skippable form."""
+    import json as _json
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _zigzag_write,
+        decode_avro_blocks,
+        encode_avro_container,
+    )
+
+    schema = _json.dumps({
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ],
+    }).encode()
+    key = b"k1"
+    inner = _zigzag_write(len(key)) + key + _zigzag_write(42)
+    body = (
+        _zigzag_write(-1)                    # skippable form: 1 entry
+        + _zigzag_write(len(inner))          # block byte size
+        + inner
+        + _zigzag_write(0)
+    )
+    blob = encode_avro_container(schema, [body], bytes(16))
+    (rec,) = decode_avro_blocks(blob)
+    assert rec == {"m": {"k1": 42}}

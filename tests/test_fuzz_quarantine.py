@@ -127,6 +127,11 @@ def _cases():
         ("mime", mime_mail.synth_email, mime_mail.parse_mime_message),
         ("avro", avro_scan.synth_avro, avro_scan.scan_avro),
         (
+            "avro_complex",
+            avro_scan.synth_avro_complex,
+            avro_scan.scan_avro_complex,
+        ),
+        (
             "iceberg",
             iceberg_scan.synth_iceberg,
             iceberg_scan.scan_iceberg,
