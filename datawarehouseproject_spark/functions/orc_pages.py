@@ -20,10 +20,15 @@ written by the independent pyarrow producer:
 Decoded row counts are cross-checked against both the stripe and
 file row counts, so a value can't silently go missing.
 
-Documented boundaries (ValueError -> quarantine): compressed
-stripes (the engine's real ORC path is ``spark.read.orc``),
-PRESENT streams (nullable columns), dictionary encodings, and
-non-int/string types. Error contract: only ValueError escapes.
+Documented boundaries for the BASE scan (ValueError -> quarantine):
+compressed stripes, PRESENT streams (nullable columns), dictionary
+encodings, and non-int/string types. Round 11 closes the first
+three in :func:`scan_orc_rich`: ZLIB/SNAPPY chunk-framed streams
+(decompressed by this repo's hand inflate/snappy), PRESENT boolean
+streams (Byte RLE over bit-packed booleans), and DICTIONARY_V2
+strings — all producer-pinned by pyarrow. Non-int/string types
+remain out of scope (the engine's real ORC path is
+``spark.read.orc``). Error contract: only ValueError escapes.
 """
 
 from __future__ import annotations
@@ -391,4 +396,333 @@ def synth_orc_values(seed: int) -> bytes:
     )
     buf = io.BytesIO()
     orc.write_table(table, buf, compression="uncompressed")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# round 11 (VERDICT r10 item 5): compressed stripes + PRESENT
+# (nullable) streams + DICTIONARY_V2 strings
+# ---------------------------------------------------------------------------
+
+_ORC_ZLIB, _ORC_SNAPPY = 1, 2
+_MAX_STREAM_OUT = 1 << 26
+
+
+def _orc_decompress(blob: bytes, codec: int, what: str) -> bytes:
+    """ORC compressed-stream framing: a sequence of chunks, each with
+    a 3-byte little-endian header ``(length << 1) | is_original``
+    followed by ``length`` bytes — raw deflate for ZLIB, raw snappy
+    block for SNAPPY (both decoded by THIS repo's hand codecs, so the
+    independent pyarrow producer pins them again here).  codec 0
+    passes through."""
+    if codec == 0:
+        return blob
+    if codec == _ORC_ZLIB:
+        from .inflate import inflate as _dec
+    elif codec == _ORC_SNAPPY:
+        from .snappy import decode_snappy as _dec
+    else:
+        raise ValueError(f"ORC compression codec {codec} out of scope")
+    out = bytearray()
+    pos = 0
+    while pos < len(blob):
+        if pos + 3 > len(blob):
+            raise ValueError(f"ORC {what}: truncated chunk header")
+        h = int.from_bytes(blob[pos : pos + 3], "little")
+        pos += 3
+        ln, orig = h >> 1, h & 1
+        if ln == 0 or pos + ln > len(blob):
+            raise ValueError(f"ORC {what}: chunk length out of bounds")
+        chunk = blob[pos : pos + ln]
+        pos += ln
+        if orig:
+            out += chunk
+        else:
+            out += _dec(chunk)
+        if len(out) > _MAX_STREAM_OUT:
+            raise ValueError(f"ORC {what}: decompressed past output cap")
+    return bytes(out)
+
+
+def _byte_rle_decode(data: bytes, max_out: int = _MAX_STREAM_OUT) -> bytes:
+    """ORC Byte RLE (v1): header < 128 = run of ``header + 3`` copies
+    of the next byte; header >= 128 = ``256 - header`` literal
+    bytes."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        h = data[pos]
+        pos += 1
+        if h < 128:
+            if pos >= len(data):
+                raise ValueError("ORC byte-RLE run truncated")
+            out += bytes([data[pos]]) * (h + 3)
+            pos += 1
+        else:
+            n = 256 - h
+            if pos + n > len(data):
+                raise ValueError("ORC byte-RLE literals truncated")
+            out += data[pos : pos + n]
+            pos += n
+        if len(out) > max_out:
+            raise ValueError("ORC byte-RLE output past cap")
+    return bytes(out)
+
+
+def _bool_rle_decode(data: bytes, n: int) -> list[int]:
+    """ORC boolean stream: Byte RLE over bit-packed bytes, MSB
+    first; trailing pad bits in the final byte are ignored."""
+    packed = _byte_rle_decode(data)
+    if len(packed) * 8 < n:
+        raise ValueError("ORC boolean stream shorter than row count")
+    if len(packed) > (n + 7) // 8:
+        raise ValueError("ORC boolean stream longer than row count")
+    bits = []
+    for b in packed:
+        for i in range(7, -1, -1):
+            bits.append((b >> i) & 1)
+    return bits[:n]
+
+
+def scan_orc_rich(payload: bytes) -> dict:
+    """The production ORC profile the base scan loud-bounds:
+    ZLIB/SNAPPY-compressed footers and streams, PRESENT (nullable)
+    streams, and DICTIONARY_V2 string columns — layouts from the
+    public ORC spec, producer-pinned by pyarrow
+    (``compression=zlib|snappy``, ``dictionary_key_size_threshold=1``).
+
+    Consistency fences: stripe rows vs footer total, PRESENT
+    popcount vs DATA value count, declared ``dictionarySize`` vs
+    decoded LENGTH entries, LENGTH sum vs DICTIONARY_DATA bytes,
+    dictionary index range."""
+    if len(payload) < 4 or payload[:3] != b"ORC":
+        raise ValueError("not an ORC file (missing ORC magic)")
+    ps_len = payload[-1]
+    if ps_len == 0 or 1 + ps_len > len(payload):
+        raise ValueError("bad ORC postscript length")
+    ps = _msg(payload[len(payload) - 1 - ps_len : len(payload) - 1])
+    if ps.get(8000, [b""])[0] != b"ORC":
+        raise ValueError("postscript missing ORC magic field")
+    codec = _nonneg(ps.get(2, [0])[0], "compression codec")
+    footer_len = ps.get(1, [None])[0]
+    if footer_len is None:
+        raise ValueError("postscript missing footer length")
+    footer_len = _nonneg(footer_len, "footer length")
+    fend = len(payload) - 1 - ps_len
+    if footer_len == 0 or footer_len > fend:
+        raise ValueError("footer length out of bounds")
+    footer = _msg(
+        _orc_decompress(payload[fend - footer_len : fend], codec, "footer")
+    )
+    n_rows = footer.get(6, [None])[0]
+    if n_rows is None:
+        raise ValueError("footer missing row count")
+    n_rows = _nonneg(n_rows, "row count")
+    types = []
+    for tb in footer.get(4, []):
+        if not isinstance(tb, bytes):
+            raise ValueError("ORC type entry not length-delimited")
+        types.append(_msg(tb).get(1, [0])[0])
+    if not types or types[0] != _STRUCT_KIND:
+        raise ValueError("ORC root type is not a struct")
+    int_sum = int_count = int_nulls = 0
+    str_bytes = str_count = str_nulls = 0
+    dict_entries = 0
+    rows_seen = 0
+    for sb in footer.get(3, []):
+        s = _msg(sb)
+        offset = _nonneg(s.get(1, [None])[0], "stripe offset") \
+            if s.get(1, [None])[0] is not None else None
+        index_len = _nonneg(s.get(2, [0])[0], "stripe index length")
+        data_len = _nonneg(s.get(3, [0])[0], "stripe data length")
+        sf_len = s.get(4, [None])[0]
+        stripe_rows = s.get(5, [None])[0]
+        if None in (offset, sf_len, stripe_rows):
+            raise ValueError("stripe information incomplete")
+        sf_len = _nonneg(sf_len, "stripe footer length")
+        stripe_rows = _nonneg(stripe_rows, "stripe row count")
+        sf_start = offset + index_len + data_len
+        if sf_start + sf_len > len(payload):
+            raise ValueError("stripe footer past end of file")
+        sfoot = _msg(
+            _orc_decompress(
+                payload[sf_start : sf_start + sf_len], codec,
+                "stripe footer",
+            )
+        )
+        streams = []
+        for st in sfoot.get(1, []):
+            m = _msg(st)
+            streams.append(
+                (
+                    _nonneg(m.get(1, [0])[0], "stream kind"),
+                    m.get(2, [None])[0],
+                    _nonneg(m.get(3, [0])[0], "stream length"),
+                )
+            )
+        enc_msgs = [_msg(e) for e in sfoot.get(2, [])]
+        encodings = [m.get(1, [0])[0] for m in enc_msgs]
+        dict_sizes = [m.get(2, [0])[0] for m in enc_msgs]
+        cursor = offset
+        located: dict[tuple[int, int], tuple[int, int]] = {}
+        for kind, col, length in streams:
+            if col is None:
+                raise ValueError("stream without column id")
+            if kind in _INDEX_KINDS:
+                cursor += length
+                continue
+            located[(kind, col)] = (cursor, length)
+            cursor += length
+
+        def stream_bytes(kind: int, col: int) -> bytes | None:
+            st = located.get((kind, col))
+            if st is None:
+                return None
+            return _orc_decompress(
+                payload[st[0] : st[0] + st[1]], codec, "stream"
+            )
+
+        for col in range(1, len(types)):
+            tkind = types[col]
+            enc = encodings[col] if col < len(encodings) else 0
+            present = stream_bytes(_K_PRESENT, col)
+            if present is not None:
+                bits = _bool_rle_decode(present, stripe_rows)
+                n_present = sum(bits)
+            else:
+                n_present = stripe_rows
+            n_null = stripe_rows - n_present
+            if tkind in _INT_KINDS:
+                if enc != 2:
+                    raise ValueError(
+                        f"int column encoding {enc} out of scope"
+                    )
+                data = stream_bytes(_K_DATA, col)
+                if data is None:
+                    raise ValueError(f"int column {col} has no DATA stream")
+                vals = rle_v2_decode(data, n_present, signed=True)
+                int_sum += sum(vals)
+                int_count += len(vals)
+                int_nulls += n_null
+            elif tkind == _STRING_KIND:
+                str_nulls += n_null
+                if enc == 2:  # DIRECT_V2
+                    lengths = rle_v2_decode(
+                        stream_bytes(_K_LENGTH, col) or b"",
+                        n_present, signed=False,
+                    )
+                    data = stream_bytes(_K_DATA, col)
+                    if data is None:
+                        raise ValueError(
+                            f"string column {col} missing DATA"
+                        )
+                    if sum(lengths) != len(data):
+                        raise ValueError(
+                            "string LENGTH sum disagrees with DATA size"
+                        )
+                    str_bytes += len(data)
+                    str_count += len(lengths)
+                elif enc == 3:  # DICTIONARY_V2
+                    dsize = _nonneg(
+                        dict_sizes[col] if col < len(dict_sizes) else 0,
+                        "dictionary size",
+                    )
+                    lengths = rle_v2_decode(
+                        stream_bytes(_K_LENGTH, col) or b"",
+                        dsize, signed=False,
+                    )
+                    ddata = stream_bytes(_K_DICT, col)
+                    if ddata is None:
+                        raise ValueError(
+                            f"dict column {col} missing DICTIONARY_DATA"
+                        )
+                    if sum(lengths) != len(ddata):
+                        raise ValueError(
+                            "dictionary LENGTH sum disagrees with its data"
+                        )
+                    idx = rle_v2_decode(
+                        stream_bytes(_K_DATA, col) or b"",
+                        n_present, signed=False,
+                    )
+                    for i in idx:
+                        if not 0 <= i < dsize:
+                            raise ValueError(
+                                "dictionary index out of range"
+                            )
+                        str_bytes += lengths[i]
+                    str_count += len(idx)
+                    dict_entries += dsize
+                else:
+                    raise ValueError(
+                        f"string column encoding {enc} out of scope"
+                    )
+            else:
+                raise ValueError(f"ORC type kind {tkind} out of scope")
+        rows_seen += stripe_rows
+    if rows_seen != n_rows:
+        raise ValueError(
+            f"stripe rows {rows_seen} disagree with footer total {n_rows}"
+        )
+    for label, v in (("int_sum", int_sum),):
+        if not (-(2**63) <= v < 2**63):
+            raise ValueError(f"ORC {label} overflows int64 (boundary)")
+    return {
+        "n_rows": n_rows,
+        "n_stripes": len(footer.get(3, [])),
+        "codec": codec,
+        "int_sum": int_sum,
+        "int_count": int_count,
+        "int_nulls": int_nulls,
+        "str_bytes": str_bytes,
+        "str_count": str_count,
+        "str_nulls": str_nulls,
+        "dict_entries": dict_entries,
+    }
+
+
+def synth_orc_rich_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: ``n = 80 + (seed*9) % 160``
+    rows; int ``k[i]`` null at ``i % 7 == 0`` else
+    ``(seed*11 + i*37) % 10000``; string ``s[i]`` null at
+    ``i % 11 == 3`` else ``"w" + str((seed+i) % 13)``; compression
+    rotates zlib/snappy by ``seed % 2``; dictionary encoding forced
+    for the string column."""
+    n = 80 + (seed * 9) % 160
+    k = [
+        None if i % 7 == 0 else (seed * 11 + i * 37) % 10000
+        for i in range(n)
+    ]
+    s = [
+        None if i % 11 == 3 else f"w{(seed + i) % 13}" for i in range(n)
+    ]
+    return {
+        "n": n,
+        "k": k,
+        "s": s,
+        "compression": ("zlib", "snappy")[seed % 2],
+    }
+
+
+def synth_orc_rich(seed: int) -> bytes:
+    """Compressed, nullable, dictionary-encoded ORC written by the
+    INDEPENDENT pyarrow producer."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    plan = synth_orc_rich_plan(seed)
+    table = pa.table(
+        {
+            "k": pa.array(plan["k"], type=pa.int64()),
+            "s": pa.array(plan["s"], type=pa.string()),
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(
+        table,
+        buf,
+        compression=plan["compression"],
+        dictionary_key_size_threshold=1.0,
+    )
     return buf.getvalue()

@@ -3020,3 +3020,48 @@ def extract_avro_complex_scan(
         return scan_avro_complex
 
     return _extract_metadata(media, AVRO_COMPLEX_SCHEMA, loader, permissive)
+
+
+def synthesize_orc_rich_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of compressed, nullable,
+    dictionary-encoded ORC files written by pyarrow
+    (``functions/orc_pages.py:synth_orc_rich``)."""
+
+    def loader():
+        from ..functions.orc_pages import synth_orc_rich
+
+        return synth_orc_rich
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ORC_RICH_SCHEMA = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_stripes", T.IntegerType()),
+        T.StructField("codec", T.IntegerType()),
+        T.StructField("int_sum", T.LongType()),
+        T.StructField("int_count", T.LongType()),
+        T.StructField("int_nulls", T.LongType()),
+        T.StructField("str_bytes", T.LongType()),
+        T.StructField("str_count", T.LongType()),
+        T.StructField("str_nulls", T.LongType()),
+        T.StructField("dict_entries", T.LongType()),
+    ]
+)
+
+
+def extract_orc_rich_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Compressed/nullable/dictionary ORC stripe decode per payload
+    (:func:`..functions.orc_pages.scan_orc_rich`)."""
+
+    def loader():
+        from ..functions.orc_pages import scan_orc_rich
+
+        return scan_orc_rich
+
+    return _extract_metadata(media, ORC_RICH_SCHEMA, loader, permissive)

@@ -117,6 +117,11 @@ def _cases():
             orc_pages.synth_orc_values,
             orc_pages.scan_orc_values,
         ),
+        (
+            "orc_rich",
+            orc_pages.synth_orc_rich,
+            orc_pages.scan_orc_rich,
+        ),
         ("ico", ico.synth_ico, ico.scan_ico),
         ("sqlite", sqlite_scan.synth_sqlite, sqlite_scan.scan_sqlite),
         (

@@ -112,3 +112,83 @@ def test_out_of_scope_profiles_quarantine():
         scan_orc_values(_orc_bytes({"f": pa.array([1.5, 2.5])}))
     with pytest.raises(ValueError, match="ORC"):
         scan_orc_values(b"PAR1 not orc")
+
+
+# round 11: compressed stripes + PRESENT + dictionary
+
+
+def test_rich_scan_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_rich,
+        synth_orc_rich,
+        synth_orc_rich_plan,
+    )
+
+    for seed in range(6):
+        p = synth_orc_rich_plan(seed)
+        r = scan_orc_rich(synth_orc_rich(seed))
+        nn = [x for x in p["k"] if x is not None]
+        ss = [x for x in p["s"] if x is not None]
+        assert r["n_rows"] == p["n"]
+        assert r["codec"] == (1 if p["compression"] == "zlib" else 2)
+        assert r["int_sum"] == sum(nn)
+        assert r["int_count"] == len(nn)
+        assert r["int_nulls"] == p["n"] - len(nn)
+        assert r["str_bytes"] == sum(len(x) for x in ss)
+        assert r["str_count"] == len(ss)
+        assert r["str_nulls"] == p["n"] - len(ss)
+        assert r["dict_entries"] == r["n_stripes"] * len(set(ss))
+
+
+def test_byte_rle_run_and_literal_forms():
+    from datawarehouseproject_spark.functions.orc_pages import (
+        _byte_rle_decode,
+    )
+
+    # header 0 -> 3 copies; header 130 -> 126 literals... use small:
+    assert _byte_rle_decode(b"\x00\xab") == b"\xab" * 3
+    assert _byte_rle_decode(b"\x7f\x01") == b"\x01" * 130
+    assert _byte_rle_decode(b"\xfe\x05\x06") == b"\x05\x06"
+    with pytest.raises(ValueError, match="truncated"):
+        _byte_rle_decode(b"\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        _byte_rle_decode(b"\xfd\x01")
+
+
+def test_bool_rle_length_fences():
+    from datawarehouseproject_spark.functions.orc_pages import (
+        _bool_rle_decode,
+    )
+
+    # one literal byte 0b10110000 -> 8 bits
+    blob = b"\xff\xb0"
+    assert _bool_rle_decode(blob, 8) == [1, 0, 1, 1, 0, 0, 0, 0]
+    assert _bool_rle_decode(blob, 5) == [1, 0, 1, 1, 0]
+    with pytest.raises(ValueError, match="shorter"):
+        _bool_rle_decode(blob, 9)
+    with pytest.raises(ValueError, match="longer"):
+        _bool_rle_decode(blob + blob, 3)
+
+
+def test_dictionary_index_out_of_range_quarantines():
+    """Corrupt the DATA (index) stream of a dictionary column: any
+    escape would be an IndexError, not ValueError."""
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_rich,
+        synth_orc_rich,
+    )
+
+    blob = bytearray(synth_orc_rich(0))
+    # brute-force single-byte corruption across the data region and
+    # require the quarantine contract to hold
+    seen_error = 0
+    for pos in range(3, min(len(blob) - 30, 400), 7):
+        old = blob[pos]
+        blob[pos] = old ^ 0xFF
+        try:
+            scan_orc_rich(bytes(blob))
+        except ValueError:
+            seen_error += 1
+        finally:
+            blob[pos] = old
+    assert seen_error > 0
