@@ -106,9 +106,38 @@ def main() -> None:
             # isolated, same code, same data)
             spark.catalog.clearCache()
 
+    # r10 verdict item 6: with min-of-2, a single slow sample leaves
+    # a phantom regression (session_window_agg: 5.5s spread at r10).
+    # Any query whose pass spread exceeds 50% of its min gets extra
+    # passes until the spread settles or the retry budget runs out.
+    retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2")))
+    if passes > 1:
+        for name in HEADLINE:
+            for _ in range(retries):
+                s = sorted(samples[name])
+                # settle on the BEST-TWO spread (the final statistic):
+                # including the outlier being retired would make the
+                # condition unreachable and burn the whole budget
+                if s[0] <= 0 or (s[1] - s[0]) / s[0] <= 0.5:
+                    break
+                t0 = time.time()
+                fns[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                samples[name].append(dt)
+                print(f"# retry {name}: {dt:.2f}s", file=sys.stderr)
+                spark.catalog.clearCache()
+
     timings = {n: round(min(s), 3) for n, s in samples.items()}
+    # spread over the BEST TWO samples: a retired outlier shouldn't
+    # keep inflating the noise statistic
     spread = {
-        n: round((max(s) - min(s)) / min(s), 3) if min(s) > 0 else 0.0
+        n: (
+            round((sorted(s)[1] - min(s)) / min(s), 3)
+            if len(s) > 1 and min(s) > 0
+            else 0.0
+        )
         for n, s in samples.items()
     }
     spreads_sorted = sorted(spread.values())

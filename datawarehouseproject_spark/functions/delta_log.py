@@ -49,6 +49,8 @@ import json
 import re
 import tarfile
 
+from .bundles import read_tar_bundle
+
 _LOG = "_delta_log"
 _SUPPORTED_READER_VERSION = 1
 _JSON_RE = re.compile(r"^(\d{20})\.json$")
@@ -274,7 +276,12 @@ class _State:
             return
         if kind == "protocol":
             mrv = body.get("minReaderVersion")
-            if not isinstance(mrv, int) or isinstance(mrv, bool):
+            if (
+                not isinstance(mrv, int) or isinstance(mrv, bool)
+                or not 0 <= mrv < 2**31
+            ):
+                # int32 fence: the Arrow IntegerType column would
+                # overflow AFTER the quarantine otherwise (review r11)
                 raise ValueError("protocol minReaderVersion malformed")
             # the spec REQUIRES refusing tables above the supported
             # reader version (silently reading e.g. a deletion-vector
@@ -296,28 +303,15 @@ class _State:
 
 def scan_delta(payload: bytes) -> dict:
     """Reconstruct the current snapshot from ``_delta_log`` and serve
-    the point lookup ``v = probe`` (probe = ``min stats lo of the
-    lexicographically-first add`` + 17 — recomputed below from the
-    same rule the writer used, so the metric is self-contained),
-    plus a TIME TRAVEL readout at the checkpoint version."""
+    the point lookup ``v = probe``.  The probe rides in
+    ``metaData.configuration["fixture.probe"]`` — the same
+    fixture-knob pattern as the Iceberg scan's table property (a
+    real engine gets it from the query).  ``files_at_checkpoint`` is
+    the TIME TRAVEL readout: the live-file count of the snapshot AT
+    the checkpoint version, before the replayed commits."""
     import pyarrow.parquet as pq
 
-    try:
-        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:") as tf:
-            files = {}
-            total = 0
-            for m in tf.getmembers():
-                if not m.isfile() or m.size < 0:
-                    raise ValueError("non-file tar member in table bundle")
-                total += m.size
-                if total > 1 << 28:
-                    raise ValueError("table bundle exceeds size cap")
-                f = tf.extractfile(m)
-                if f is None:
-                    raise ValueError("unreadable tar member")
-                files[m.name] = f.read()
-    except tarfile.TarError as e:
-        raise ValueError(f"table bundle is not a tar: {e}") from None
+    files = read_tar_bundle(payload)
 
     lc_blob = files.get(f"{_LOG}/_last_checkpoint")
     if lc_blob is None:
@@ -330,10 +324,13 @@ def scan_delta(payload: bytes) -> dict:
     cp_size = lc.get("size") if isinstance(lc, dict) else None
     if (
         not isinstance(cp_version, int) or isinstance(cp_version, bool)
-        or cp_version < 0
+        or not 0 <= cp_version < 2**31
         or not isinstance(cp_size, int) or isinstance(cp_size, bool)
         or cp_size < 0
     ):
+        # versions fenced to int32: checkpoint_version/current_version
+        # feed IntegerType Arrow columns (review r11 — the same
+        # overflow-after-quarantine class as the avro sum fences)
         raise ValueError("_last_checkpoint malformed")
     cp_blob = files.get(f"{_LOG}/{cp_version:020d}.checkpoint.parquet")
     if cp_blob is None:
@@ -373,6 +370,8 @@ def scan_delta(payload: bytes) -> dict:
             continue
         if v != current + 1:
             raise ValueError("commit versions not contiguous (boundary)")
+        if v >= 2**31:
+            raise ValueError("commit version overflows int32 (boundary)")
         blob = files[f"{_LOG}/{v:020d}.json"]
         if len(blob) > 1 << 24:
             raise ValueError("commit JSON exceeds size cap")

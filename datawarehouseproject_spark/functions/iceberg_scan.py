@@ -43,6 +43,7 @@ import json
 import struct
 import tarfile
 
+from .bundles import read_tar_bundle
 from .avro_scan import (
     _zigzag_write,
     decode_avro_blocks,
@@ -291,25 +292,7 @@ def scan_iceberg(payload: bytes) -> dict:
     ``record_count``."""
     import pyarrow.parquet as pq
 
-    try:
-        # mode "r:" = uncompressed tar ONLY — transparent gzip/bz2/xz
-        # detection would add decompression error types (BadGzipFile,
-        # EOFError) that are not TarError and escape the quarantine
-        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:") as tf:
-            files = {}
-            total = 0
-            for m in tf.getmembers():
-                if not m.isfile() or m.size < 0:
-                    raise ValueError("non-file tar member in table bundle")
-                total += m.size
-                if total > 1 << 28:
-                    raise ValueError("table bundle exceeds size cap")
-                f = tf.extractfile(m)
-                if f is None:
-                    raise ValueError("unreadable tar member")
-                files[m.name] = f.read()
-    except tarfile.TarError as e:
-        raise ValueError(f"table bundle is not a tar: {e}") from None
+    files = read_tar_bundle(payload)
     meta_blob = files.get("metadata/v2.metadata.json")
     if meta_blob is None:
         raise ValueError("bundle missing table metadata JSON")
@@ -848,22 +831,7 @@ def scan_iceberg_v2(payload: bytes) -> dict:
     equality ids other than the predicate field loud-reject."""
     import pyarrow.parquet as pq
 
-    try:
-        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:") as tf:
-            files = {}
-            total = 0
-            for m in tf.getmembers():
-                if not m.isfile() or m.size < 0:
-                    raise ValueError("non-file tar member in table bundle")
-                total += m.size
-                if total > 1 << 28:
-                    raise ValueError("table bundle exceeds size cap")
-                f = tf.extractfile(m)
-                if f is None:
-                    raise ValueError("unreadable tar member")
-                files[m.name] = f.read()
-    except tarfile.TarError as e:
-        raise ValueError(f"table bundle is not a tar: {e}") from None
+    files = read_tar_bundle(payload)
     meta_blob = files.get("metadata/v2.metadata.json")
     if meta_blob is None:
         raise ValueError("bundle missing table metadata JSON")

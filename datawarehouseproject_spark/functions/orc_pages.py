@@ -183,6 +183,14 @@ def rle_v2_decode(data: bytes, n_expected: int, signed: bool) -> list[int]:
         raise ValueError(
             f"RLEv2 produced {len(out)} values, stripe declares {n_expected}"
         )
+    if pos != len(data):
+        # review r11: the fence must be two-sided — a DATA stream
+        # carrying MORE runs than the declared count is metadata
+        # drift too, not bytes to ignore silently
+        raise ValueError(
+            f"RLEv2 stream has {len(data) - pos} trailing bytes past "
+            f"the declared {n_expected} values"
+        )
     return out
 
 

@@ -142,3 +142,26 @@ def test_multiple_fields_in_one_action_quarantines():
     ).encode() + b"\n"
     with pytest.raises(ValueError, match="exactly one field"):
         scan_delta(_retar(files))
+
+
+def test_version_past_int32_quarantines():
+    """Review r11: versions/minReaderVersion feed IntegerType Arrow
+    columns — values past int32 must quarantine, not overflow after
+    the ValueError fence."""
+    files = _untar(synth_delta(1))
+    big = 2**33
+    lc = {"version": big, "size": 7}
+    files["_delta_log/_last_checkpoint"] = json.dumps(lc).encode()
+    with pytest.raises(ValueError, match="_last_checkpoint malformed"):
+        scan_delta(_retar(files))
+
+
+def test_negative_min_reader_version_quarantines():
+    files = _untar(synth_delta(1))
+    path = "_delta_log/00000000000000000002.json"
+    extra = json.dumps(
+        {"protocol": {"minReaderVersion": -(2**40), "minWriterVersion": 2}}
+    ).encode()
+    files[path] = files[path] + extra + b"\n"
+    with pytest.raises(ValueError, match="minReaderVersion malformed"):
+        scan_delta(_retar(files))

@@ -95,15 +95,36 @@ def _subtree_bounded(window_node) -> bool:
     construction. The ``__pid`` name is the repo-wide convention for
     exactly this idiom; anything else must be allowlisted by query
     name with a documented bound.
+
+    A bounding node only counts on the row-preserving SPINE: the walk
+    does not descend through joins/unions/generators, because a limit
+    on one (small) side of a join says nothing about the joined
+    frame's cardinality (review r11 — a broadcast(small.limit(5))
+    build side must not whitewash a window over the data-sized probe
+    side).
     """
+    blocked = ("Join", "Union", "Generate", "Expand", "CartesianProduct")
+    stack = []
     ch = window_node.children()
     for i in range(ch.size()):
-        for d in _iter_nodes(ch.apply(i)):
-            name = d.nodeName()
-            if name in _BOUNDING_NODES:
-                return True
-            if name.endswith("Aggregate") and "__pid" in d.simpleString(20):
-                return True
+        stack.append(ch.apply(i))
+    while stack:
+        d = stack.pop()
+        name = d.nodeName()
+        if name in _BOUNDING_NODES:
+            return True
+        if name.endswith("Aggregate") and "__pid" in d.simpleString(20):
+            return True
+        if any(b in name for b in blocked):
+            continue
+        if name == "AdaptiveSparkPlan":
+            try:
+                stack.append(d.initialPlan())
+            except Exception:  # noqa: BLE001 - older Spark shims
+                pass
+        dch = d.children()
+        for i in range(dch.size()):
+            stack.append(dch.apply(i))
     return False
 
 

@@ -61,9 +61,11 @@ FLAGSHIPS = [
     "mp3_stream_scan",
     "h264_stream_scan",
     "l_diversity_report",
-    # round-11: the five ex-global-window top-k queries — their plans
-    # must show TakeOrderedAndProject, never a partition-less Window
-    # over the full input (round-10 verdict item 1)
+    # round-11: the queries rewritten off partition-less windows —
+    # four global top-k (TakeOrderedAndProject) plus the prefix-max
+    # (pareto_frontier) and histogram-percentile (conversion_latency)
+    # conversions to the __pid two-stage idiom (round-10 verdict
+    # item 1 and its round-11 extension)
     "pq_adc_topk",
     "ivf_pq_topk",
     "vocabulary_topk",
