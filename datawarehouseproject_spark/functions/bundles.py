@@ -39,3 +39,17 @@ def read_tar_bundle(payload: bytes) -> dict[str, bytes]:
     except tarfile.TarError as e:
         raise ValueError(f"table bundle is not a tar: {e}") from None
     return files
+
+
+def write_tar_bundle(files: dict[str, bytes]) -> bytes:
+    """Deterministic uncompressed tar: sorted names, zero mtime —
+    the write-side twin of :func:`read_tar_bundle` (review r11
+    pass 2: the writer loop had been copy-pasted three times too)."""
+    out = io.BytesIO()
+    with tarfile.open(fileobj=out, mode="w") as tf:
+        for name in sorted(files):
+            info = tarfile.TarInfo(name)
+            info.size = len(files[name])
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(files[name]))
+    return out.getvalue()

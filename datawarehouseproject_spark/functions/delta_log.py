@@ -49,7 +49,7 @@ import json
 import re
 import tarfile
 
-from .bundles import read_tar_bundle
+from .bundles import read_tar_bundle, write_tar_bundle
 
 _LOG = "_delta_log"
 _SUPPORTED_READER_VERSION = 1
@@ -199,14 +199,7 @@ def synth_delta(seed: int) -> bytes:
     ]
     files[f"{_LOG}/{2:020d}.json"] = ("\n".join(v2_lines) + "\n").encode()
 
-    out = io.BytesIO()
-    with tarfile.open(fileobj=out, mode="w") as tf:
-        for name in sorted(files):
-            info = tarfile.TarInfo(name)
-            info.size = len(files[name])
-            info.mtime = 0
-            tf.addfile(info, io.BytesIO(files[name]))
-    return out.getvalue()
+    return write_tar_bundle(files)
 
 
 def _parse_stats(raw) -> tuple[int, int, int]:
@@ -353,26 +346,29 @@ def scan_delta(payload: bytes) -> dict:
         raise ValueError("checkpoint without protocol/metaData")
     files_at_checkpoint = len(state.adds)
 
-    # replay post-checkpoint JSON commits, contiguous versions only
-    versions = sorted(
-        int(m.group(1))
-        for name, m in (
-            (n, _JSON_RE.match(n.rsplit("/", 1)[1]))
-            for n in files
-            if n.startswith(f"{_LOG}/")
-        )
-        if m
-    )
+    # replay post-checkpoint JSON commits, contiguous versions only.
+    # Match DIRECT children of _delta_log by full path — a basename
+    # match would collect `_delta_log/sub/<v>.json` into `versions`
+    # and then KeyError on the top-level fetch (review r11 pass 2:
+    # KeyError is not ValueError and escapes the quarantine).
+    by_version: dict[int, str] = {}
+    for n in files:
+        if not n.startswith(f"{_LOG}/"):
+            continue
+        rest = n[len(_LOG) + 1 :]
+        m = _JSON_RE.match(rest)
+        if m:
+            by_version[int(m.group(1))] = n
     replayed = 0
     current = cp_version
-    for v in versions:
+    for v in sorted(by_version):
         if v <= cp_version:
             continue
         if v != current + 1:
             raise ValueError("commit versions not contiguous (boundary)")
         if v >= 2**31:
             raise ValueError("commit version overflows int32 (boundary)")
-        blob = files[f"{_LOG}/{v:020d}.json"]
+        blob = files[by_version[v]]
         if len(blob) > 1 << 24:
             raise ValueError("commit JSON exceeds size cap")
         for line in blob.splitlines():

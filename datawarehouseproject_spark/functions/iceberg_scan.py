@@ -43,7 +43,7 @@ import json
 import struct
 import tarfile
 
-from .bundles import read_tar_bundle
+from .bundles import read_tar_bundle, write_tar_bundle
 from .avro_scan import (
     _zigzag_write,
     decode_avro_blocks,
@@ -273,14 +273,7 @@ def synth_iceberg(seed: int) -> bytes:
             ],
         }
     ).encode()
-    out = io.BytesIO()
-    with tarfile.open(fileobj=out, mode="w") as tf:
-        for name in sorted(files):
-            info = tarfile.TarInfo(name)
-            info.size = len(files[name])
-            info.mtime = 0
-            tf.addfile(info, io.BytesIO(files[name]))
-    return out.getvalue()
+    return write_tar_bundle(files)
 
 
 def scan_iceberg(payload: bytes) -> dict:
@@ -798,14 +791,7 @@ def synth_iceberg_v2(seed: int) -> bytes:
             ],
         }
     ).encode()
-    out = io.BytesIO()
-    with tarfile.open(fileobj=out, mode="w") as tf:
-        for name in sorted(files):
-            info = tarfile.TarInfo(name)
-            info.size = len(files[name])
-            info.mtime = 0
-            tf.addfile(info, io.BytesIO(files[name]))
-    return out.getvalue()
+    return write_tar_bundle(files)
 
 
 def scan_iceberg_v2(payload: bytes) -> dict:

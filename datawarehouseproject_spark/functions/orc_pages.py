@@ -91,9 +91,20 @@ def _unzigzag(v: int) -> int:
     return (v >> 1) ^ -(v & 1)
 
 
+_MAX_RLE_VALUES = 1 << 22  # ~4M values; width-0 DELTA runs amplify
+# 512 values per ~4 input bytes, so an attacker-declared row count
+# must be fenced BEFORE decode or a small payload materializes
+# gigabytes and dies as MemoryError (not quarantinable) — review r11
+# pass 2, the zstd output-cap lesson one module over
+
+
 def rle_v2_decode(data: bytes, n_expected: int, signed: bool) -> list[int]:
     """Decode an entire RLEv2 stream into exactly ``n_expected``
     values (more or fewer is a malformation, raised loudly)."""
+    if n_expected > _MAX_RLE_VALUES:
+        raise ValueError(
+            f"RLEv2 declared {n_expected} values past the decode cap"
+        )
     out: list[int] = []
     pos = 0
     while len(out) < n_expected:
@@ -479,8 +490,13 @@ def _byte_rle_decode(data: bytes, max_out: int = _MAX_STREAM_OUT) -> bytes:
 
 def _bool_rle_decode(data: bytes, n: int) -> list[int]:
     """ORC boolean stream: Byte RLE over bit-packed bytes, MSB
-    first; trailing pad bits in the final byte are ignored."""
-    packed = _byte_rle_decode(data)
+    first; trailing pad bits in the final byte are ignored.  ``n``
+    is attacker-declared (stripe row count): fence it, and fence the
+    byte-RLE expansion to the bytes ``n`` needs BEFORE building the
+    8x bit list."""
+    if n > 8 * _MAX_RLE_VALUES:
+        raise ValueError(f"ORC boolean row count {n} past the decode cap")
+    packed = _byte_rle_decode(data, max_out=(n + 7) // 8 + 1)
     if len(packed) * 8 < n:
         raise ValueError("ORC boolean stream shorter than row count")
     if len(packed) > (n + 7) // 8:

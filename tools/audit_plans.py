@@ -113,7 +113,7 @@ def _subtree_bounded(window_node) -> bool:
         name = d.nodeName()
         if name in _BOUNDING_NODES:
             return True
-        if name.endswith("Aggregate") and "__pid" in d.simpleString(20):
+        if name.endswith("Aggregate") and _pid_keyed(d):
             return True
         if any(b in name for b in blocked):
             continue
@@ -126,6 +126,22 @@ def _subtree_bounded(window_node) -> bool:
         for i in range(dch.size()):
             stack.append(dch.apply(i))
     return False
+
+
+_PID_KEYS_RE = None
+
+
+def _pid_keyed(agg_node) -> bool:
+    """True iff ``__pid`` appears in the aggregate's GROUPING KEYS —
+    not merely anywhere in the node string (review r11 pass 2: an
+    aggregate keyed on a data-sized column whose child happens to
+    carry a __pid attribute must not whitewash the window)."""
+    global _PID_KEYS_RE
+    if _PID_KEYS_RE is None:
+        import re
+
+        _PID_KEYS_RE = re.compile(r"keys=\[[^\]]*__pid")
+    return bool(_PID_KEYS_RE.search(agg_node.simpleString(20)))
 
 
 def _unbounded_global_windows(root) -> int:
