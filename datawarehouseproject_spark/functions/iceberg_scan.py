@@ -276,16 +276,13 @@ def synth_iceberg(seed: int) -> bytes:
     return write_tar_bundle(files)
 
 
-def scan_iceberg(payload: bytes) -> dict:
-    """Serve a point lookup ``v = probe`` through the Iceberg
-    planning path: metadata JSON → CURRENT snapshot's manifest list
-    → manifests → bounds pruning (skipping DELETED entries) → read
-    only the surviving parquet file(s) via pyarrow, cross-checking
-    each survivor's parquet footer row count against the manifest's
-    ``record_count``."""
-    import pyarrow.parquet as pq
-
-    files = read_tar_bundle(payload)
+def _parse_table_meta(files: dict[str, bytes]):
+    """Shared metadata walk for both Iceberg scans (review r11
+    pass 3: the v2 copy had already dropped the current-snapshot-id
+    fence and TypeError'd past the quarantine): JSON load + dict
+    fence, format-version gate, snapshots map, current-wins manifest
+    list lookup, and the fixture probe.  Returns
+    ``(meta, snaps, ml_blob, probe)``."""
     meta_blob = files.get("metadata/v2.metadata.json")
     if meta_blob is None:
         raise ValueError("bundle missing table metadata JSON")
@@ -293,6 +290,8 @@ def scan_iceberg(payload: bytes) -> dict:
         meta = json.loads(meta_blob)
     except json.JSONDecodeError as e:
         raise ValueError(f"table metadata is not JSON: {e}") from None
+    if not isinstance(meta, dict):
+        raise ValueError("table metadata is not a JSON object")
     if meta.get("format-version") != 2:
         raise ValueError("unsupported iceberg format-version")
     # the metadata JSON is untrusted payload content: every shape
@@ -320,6 +319,48 @@ def scan_iceberg(payload: bytes) -> dict:
     ml_blob = files.get(snaps[current])
     if ml_blob is None:
         raise ValueError("manifest list missing from bundle")
+    props = meta.get("properties")
+    if not isinstance(props, dict) or "fixture.probe" not in props:
+        raise ValueError("table properties missing the probe")
+    try:
+        probe = int(props["fixture.probe"])
+    except (TypeError, ValueError):
+        raise ValueError("non-integer probe property") from None
+    if not (-(2**62) <= probe < 2**62):
+        raise ValueError("probe outside plausible range")
+    return meta, snaps, ml_blob, probe
+
+
+def _read_parquet_checked(files: dict[str, bytes], path: str, rc: int):
+    """Fetch + parse a bundle parquet file, cross-checking its footer
+    row count against the manifest's declared ``record_count``."""
+    import pyarrow.parquet as pq
+
+    blob = files.get(path)
+    if blob is None:
+        raise ValueError(f"data file {path!r} missing from bundle")
+    try:
+        table = pq.read_table(io.BytesIO(blob))
+    except Exception as e:  # pyarrow raises ArrowInvalid/OSError
+        raise ValueError(f"data file unreadable: {e}") from None
+    if table.num_rows != rc:
+        raise ValueError(
+            f"manifest record_count {rc} != parquet rows {table.num_rows}"
+        )
+    return table
+
+
+def scan_iceberg(payload: bytes) -> dict:
+    """Serve a point lookup ``v = probe`` through the Iceberg
+    planning path: metadata JSON → CURRENT snapshot's manifest list
+    → manifests → bounds pruning (skipping DELETED entries) → read
+    only the surviving parquet file(s) via pyarrow, cross-checking
+    each survivor's parquet footer row count against the manifest's
+    ``record_count``."""
+    import pyarrow.parquet as pq
+
+    files = read_tar_bundle(payload)
+    meta, snaps, ml_blob, probe = _parse_table_meta(files)
     manifest_files = decode_avro_blocks(ml_blob)
     n_data_files = 0
     n_deleted = 0
@@ -417,32 +458,15 @@ def scan_iceberg(payload: bytes) -> dict:
                     or pos < 0:
                 raise ValueError("malformed positional delete row")
             deletes.setdefault(p, set()).add(pos)
-    # the point lookup rides in the table properties (a fixture knob;
-    # a real engine gets it from the query)
-    props = meta.get("properties")
-    if not isinstance(props, dict) or "fixture.probe" not in props:
-        raise ValueError("table properties missing the probe")
-    try:
-        probe = int(props["fixture.probe"])
-    except (TypeError, ValueError):
-        raise ValueError("non-integer probe property") from None
+    # the point lookup (probe) rides in the table properties — a
+    # fixture knob parsed in _parse_table_meta; a real engine gets
+    # it from the query
     survivors = [c for c in candidates if c[2] <= probe <= c[3]]
     rows_scanned = 0
     matches = 0
     positions_deleted = 0
     for path, record_count, _lo, _hi in survivors:
-        blob = files.get(path)
-        if blob is None:
-            raise ValueError(f"data file {path!r} missing from bundle")
-        try:
-            table = pq.read_table(io.BytesIO(blob))
-        except Exception as e:  # pyarrow raises ArrowInvalid/OSError
-            raise ValueError(f"data file unreadable: {e}") from None
-        if table.num_rows != record_count:
-            raise ValueError(
-                f"manifest record_count {record_count} != parquet "
-                f"rows {table.num_rows}"
-            )
+        table = _read_parquet_checked(files, path, record_count)
         if "v" not in table.column_names:
             raise ValueError("data file missing the predicate column")
         dead = deletes.get(path, set())
@@ -818,15 +842,7 @@ def scan_iceberg_v2(payload: bytes) -> dict:
     import pyarrow.parquet as pq
 
     files = read_tar_bundle(payload)
-    meta_blob = files.get("metadata/v2.metadata.json")
-    if meta_blob is None:
-        raise ValueError("bundle missing table metadata JSON")
-    try:
-        meta = json.loads(meta_blob)
-    except json.JSONDecodeError as e:
-        raise ValueError(f"table metadata is not JSON: {e}") from None
-    if meta.get("format-version") != 2:
-        raise ValueError("unsupported iceberg format-version")
+    meta, snaps, ml_blob, probe = _parse_table_meta(files)
     # partition spec resolution
     spec_id = meta.get("default-spec-id")
     specs = meta.get("partition-specs")
@@ -847,33 +863,6 @@ def scan_iceberg_v2(payload: bytes) -> dict:
     if not isinstance(pf, dict) or pf.get("source-id") != _V_FIELD_ID:
         raise ValueError("partition source field unsupported")
     tname, targ = parse_transform(pf.get("transform"))
-    current = meta.get("current-snapshot-id")
-    snaps = {}
-    snap_list = meta.get("snapshots", [])
-    if not isinstance(snap_list, list):
-        raise ValueError("snapshots is not a list")
-    for s in snap_list:
-        if not isinstance(s, dict):
-            continue
-        sid, ml = s.get("snapshot-id"), s.get("manifest-list")
-        if not isinstance(sid, int) or isinstance(sid, bool) \
-                or not isinstance(ml, str):
-            raise ValueError("malformed snapshot entry")
-        snaps[sid] = ml
-    if current not in snaps:
-        raise ValueError("current-snapshot-id not in snapshots")
-    ml_blob = files.get(snaps[current])
-    if ml_blob is None:
-        raise ValueError("manifest list missing from bundle")
-    props = meta.get("properties")
-    if not isinstance(props, dict) or "fixture.probe" not in props:
-        raise ValueError("table properties missing the probe")
-    try:
-        probe = int(props["fixture.probe"])
-    except (TypeError, ValueError):
-        raise ValueError("non-integer probe property") from None
-    if not (-(2**62) <= probe < 2**62):
-        raise ValueError("probe outside plausible range")
 
     candidates = []  # (path, record_count, partition, lo, hi)
     eq_delete_files = []  # (path, record_count)
@@ -968,18 +957,7 @@ def scan_iceberg_v2(payload: bytes) -> dict:
     eq_deleted = 0
     matches = 0
     for path, rc, part, _lo, _hi in survivors:
-        blob = files.get(path)
-        if blob is None:
-            raise ValueError(f"data file {path!r} missing from bundle")
-        try:
-            table = pq.read_table(io.BytesIO(blob))
-        except Exception as e:
-            raise ValueError(f"data file unreadable: {e}") from None
-        if table.num_rows != rc:
-            raise ValueError(
-                f"manifest record_count {rc} != parquet rows "
-                f"{table.num_rows}"
-            )
+        table = _read_parquet_checked(files, path, rc)
         if "v" not in table.column_names:
             raise ValueError("data file missing the predicate column")
         rows_scanned += table.num_rows

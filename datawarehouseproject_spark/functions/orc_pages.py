@@ -240,10 +240,11 @@ def _nonneg(v, what: str) -> int:
     return v
 
 
-def scan_orc_values(payload: bytes) -> dict:
-    """Decode every int/string column value in an uncompressed ORC
-    file; returns aggregate features plus consistency-checked row
-    counts (see module docstring for the supported profile)."""
+def _parse_orc_tail(payload: bytes):
+    """Shared postscript/footer/type-list walk for both scans
+    (review r11 pass 3: the ~35-line block had been duplicated).
+    Returns ``(codec, footer, n_rows, types)`` with the footer
+    already decompressed per the postscript codec."""
     if len(payload) < 4 or payload[:3] != b"ORC":
         raise ValueError("not an ORC file (missing ORC magic)")
     ps_len = payload[-1]
@@ -252,24 +253,21 @@ def scan_orc_values(payload: bytes) -> dict:
     ps = _msg(payload[len(payload) - 1 - ps_len : len(payload) - 1])
     if ps.get(8000, [b""])[0] != b"ORC":
         raise ValueError("postscript missing ORC magic field")
-    compression = ps.get(2, [0])[0]
-    if compression != 0:
-        raise ValueError(
-            f"compressed ORC (codec {compression}) out of byte-scan scope"
-        )
+    codec = _nonneg(ps.get(2, [0])[0], "compression codec")
     footer_len = ps.get(1, [None])[0]
     if footer_len is None:
         raise ValueError("postscript missing footer length")
     footer_len = _nonneg(footer_len, "footer length")
-    if footer_len == 0:
-        raise ValueError("zero footer length")
     fend = len(payload) - 1 - ps_len
-    if footer_len > fend:
-        raise ValueError("footer length past start of file")
-    footer = _msg(payload[fend - footer_len : fend])
+    if footer_len == 0 or footer_len > fend:
+        raise ValueError("footer length out of bounds")
+    footer = _msg(
+        _orc_decompress(payload[fend - footer_len : fend], codec, "footer")
+    )
     n_rows = footer.get(6, [None])[0]
     if n_rows is None:
         raise ValueError("footer missing row count")
+    n_rows = _nonneg(n_rows, "row count")
     types = []
     for tb in footer.get(4, []):
         if not isinstance(tb, bytes):
@@ -277,6 +275,18 @@ def scan_orc_values(payload: bytes) -> dict:
         types.append(_msg(tb).get(1, [0])[0])
     if not types or types[0] != _STRUCT_KIND:
         raise ValueError("ORC root type is not a struct")
+    return codec, footer, n_rows, types
+
+
+def scan_orc_values(payload: bytes) -> dict:
+    """Decode every int/string column value in an uncompressed ORC
+    file; returns aggregate features plus consistency-checked row
+    counts (see module docstring for the supported profile)."""
+    compression, footer, n_rows, types = _parse_orc_tail(payload)
+    if compression != 0:
+        raise ValueError(
+            f"compressed ORC (codec {compression}) out of byte-scan scope"
+        )
     int_sum = int_count = 0
     str_bytes = str_count = 0
     rows_seen = 0
@@ -457,7 +467,11 @@ def _orc_decompress(blob: bytes, codec: int, what: str) -> bytes:
         if orig:
             out += chunk
         else:
-            out += _dec(chunk)
+            # cap INSIDE the codec call: decode_snappy's default cap
+            # is 4x this module's — a hostile chunk must not
+            # materialize past the intended bound before the check
+            # below runs (review r11 pass 3)
+            out += _dec(chunk, max_output=_MAX_STREAM_OUT - len(out) + 1)
         if len(out) > _MAX_STREAM_OUT:
             raise ValueError(f"ORC {what}: decompressed past output cap")
     return bytes(out)
@@ -519,36 +533,7 @@ def scan_orc_rich(payload: bytes) -> dict:
     popcount vs DATA value count, declared ``dictionarySize`` vs
     decoded LENGTH entries, LENGTH sum vs DICTIONARY_DATA bytes,
     dictionary index range."""
-    if len(payload) < 4 or payload[:3] != b"ORC":
-        raise ValueError("not an ORC file (missing ORC magic)")
-    ps_len = payload[-1]
-    if ps_len == 0 or 1 + ps_len > len(payload):
-        raise ValueError("bad ORC postscript length")
-    ps = _msg(payload[len(payload) - 1 - ps_len : len(payload) - 1])
-    if ps.get(8000, [b""])[0] != b"ORC":
-        raise ValueError("postscript missing ORC magic field")
-    codec = _nonneg(ps.get(2, [0])[0], "compression codec")
-    footer_len = ps.get(1, [None])[0]
-    if footer_len is None:
-        raise ValueError("postscript missing footer length")
-    footer_len = _nonneg(footer_len, "footer length")
-    fend = len(payload) - 1 - ps_len
-    if footer_len == 0 or footer_len > fend:
-        raise ValueError("footer length out of bounds")
-    footer = _msg(
-        _orc_decompress(payload[fend - footer_len : fend], codec, "footer")
-    )
-    n_rows = footer.get(6, [None])[0]
-    if n_rows is None:
-        raise ValueError("footer missing row count")
-    n_rows = _nonneg(n_rows, "row count")
-    types = []
-    for tb in footer.get(4, []):
-        if not isinstance(tb, bytes):
-            raise ValueError("ORC type entry not length-delimited")
-        types.append(_msg(tb).get(1, [0])[0])
-    if not types or types[0] != _STRUCT_KIND:
-        raise ValueError("ORC root type is not a struct")
+    codec, footer, n_rows, types = _parse_orc_tail(payload)
     int_sum = int_count = int_nulls = 0
     str_bytes = str_count = str_nulls = 0
     dict_entries = 0

@@ -590,3 +590,61 @@ def test_v2_unknown_transform_quarantines():
             tf.addfile(info, io.BytesIO(files[name]))
     with pytest.raises(ValueError, match="transform"):
         scan_iceberg_v2(out.getvalue())
+
+
+def test_nonobject_metadata_json_quarantines():
+    """Review r11 pass 3: metadata JSON that parses but isn't an
+    object must quarantine, not AttributeError out of .get()."""
+    import io
+    import tarfile
+
+    from datawarehouseproject_spark.functions.bundles import (
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_v2,
+        synth_iceberg_v2,
+    )
+
+    blob = synth_iceberg_v2(0)
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as tf:
+        files = {
+            m.name: tf.extractfile(m).read()
+            for m in tf.getmembers()
+            if m.isfile()
+        }
+    files["metadata/v2.metadata.json"] = b"[1, 2, 3]"
+    out = write_tar_bundle(files)
+    with pytest.raises(ValueError, match="not a JSON object"):
+        scan_iceberg_v2(out)
+    with pytest.raises(ValueError, match="not a JSON object"):
+        scan_iceberg(out)
+
+
+def test_unhashable_current_snapshot_id_quarantines():
+    """Review r11 pass 3: current-snapshot-id = [7] hashed in the
+    `in snaps` test raised TypeError in the v2 copy."""
+    import io
+    import json
+    import tarfile
+
+    from datawarehouseproject_spark.functions.bundles import (
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_v2,
+        synth_iceberg_v2,
+    )
+
+    blob = synth_iceberg_v2(1)
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as tf:
+        files = {
+            m.name: tf.extractfile(m).read()
+            for m in tf.getmembers()
+            if m.isfile()
+        }
+    meta = json.loads(files["metadata/v2.metadata.json"])
+    meta["current-snapshot-id"] = [7]
+    files["metadata/v2.metadata.json"] = json.dumps(meta).encode()
+    with pytest.raises(ValueError, match="not an integer"):
+        scan_iceberg_v2(write_tar_bundle(files))
