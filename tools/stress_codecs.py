@@ -754,6 +754,80 @@ def round11b_kernels() -> None:
 
 
 
+def round13_kernels() -> None:
+    """This session's readers (driver round 11): Delta _delta_log
+    snapshot reconstruction, Iceberg v2 equality-delete +
+    transform-pruned scan, Avro complex-type decode, and the rich
+    (compressed/nullable/dictionary) ORC stripe decode."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta,
+        synth_delta,
+    )
+
+    tables = [synth_delta(s) for s in range(300)]
+    secs, n = _timeit(
+        lambda: sum(scan_delta(t)["rows_scanned"] for t in tables)
+    )
+    print(json.dumps({
+        "kernel": "delta_log_scan",
+        "media": f"300 tables (checkpoint parquet + 1 JSON commit + "
+                 f"tombstone), {n} rows scanned",
+        "tables_per_s": int(300 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_v2,
+        synth_iceberg_v2,
+    )
+
+    tables = [synth_iceberg_v2(s) for s in range(300)]
+    secs, n = _timeit(
+        lambda: sum(scan_iceberg_v2(t)["rows_scanned"] for t in tables)
+    )
+    print(json.dumps({
+        "kernel": "iceberg_v2_equality_scan",
+        "media": f"300 tables (bucket/truncate transforms + equality "
+                 f"deletes), {n} rows scanned",
+        "tables_per_s": int(300 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        scan_avro_complex,
+        synth_avro_complex,
+    )
+
+    payloads = [synth_avro_complex(s) for s in range(1500)]
+    secs, n = _timeit(
+        lambda: sum(scan_avro_complex(p)["n_records"] for p in payloads)
+    )
+    print(json.dumps({
+        "kernel": "avro_complex_scan",
+        "media": f"1500 containers (array/map/enum/fixed/3-way "
+                 f"union), {n} records",
+        "records_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_rich,
+        synth_orc_rich,
+    )
+
+    files = [synth_orc_rich(s) for s in range(400)]
+    secs, n = _timeit(
+        lambda: sum(scan_orc_rich(f)["n_rows"] for f in files)
+    )
+    print(json.dumps({
+        "kernel": "orc_rich_decode",
+        "media": f"400 files (zlib/snappy + PRESENT + DICTIONARY_V2), "
+                 f"{n} rows",
+        "rows_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
+
 def round12_kernels() -> None:
     """This session's readers (driver round 10): dictionary-zstd
     decode, PDF 1.5 xref-stream extraction, Avro container scan,
@@ -932,3 +1006,4 @@ if __name__ == "__main__":
     round11b_kernels()
     round12_kernels()
     round12b_kernels()
+    round13_kernels()
