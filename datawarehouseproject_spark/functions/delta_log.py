@@ -230,13 +230,20 @@ def _parse_stats(raw) -> tuple[int, int, int]:
 
 
 class _State:
-    """Replay state: path -> (numRecords, lo, hi); metaData/protocol."""
+    """Replay state: path -> (stats | None, partitionValues);
+    metaData/protocol.  ``require_stats`` preserves the strict
+    contract of the unpartitioned scan; the partitioned scan relaxes
+    it because real Delta writers may omit stats, in which case ONLY
+    partition pruning can skip the file (the conservative fallback
+    is scan-it)."""
 
-    def __init__(self) -> None:
-        self.adds: dict[str, tuple[int, int, int]] = {}
+    def __init__(self, require_stats: bool = True) -> None:
+        #: path -> ((numRecords, lo, hi) | None, {part col -> value})
+        self.adds: dict[str, tuple] = {}
         self.meta_id: str | None = None
         self.min_reader: int | None = None
         self.configuration: dict = {}
+        self.require_stats = require_stats
 
     def apply(self, action: dict) -> None:
         if not isinstance(action, dict):
@@ -291,20 +298,29 @@ class _State:
         if kind == "remove":
             self.adds.pop(path, None)
             return
-        self.adds[path] = _parse_stats(body.get("stats"))
+        raw_stats = body.get("stats")
+        if raw_stats is None and not self.require_stats:
+            stats = None
+        else:
+            stats = _parse_stats(raw_stats)
+        pv = body.get("partitionValues", {})
+        if pv is None:
+            pv = {}
+        if not isinstance(pv, dict) or not all(
+            isinstance(k, str) and isinstance(v, str)
+            for k, v in pv.items()
+        ):
+            raise ValueError("add partitionValues malformed")
+        self.adds[path] = (stats, pv)
 
 
-def scan_delta(payload: bytes) -> dict:
-    """Reconstruct the current snapshot from ``_delta_log`` and serve
-    the point lookup ``v = probe``.  The probe rides in
-    ``metaData.configuration["fixture.probe"]`` — the same
-    fixture-knob pattern as the Iceberg scan's table property (a
-    real engine gets it from the query).  ``files_at_checkpoint`` is
-    the TIME TRAVEL readout: the live-file count of the snapshot AT
-    the checkpoint version, before the replayed commits."""
+def _replay_log(
+    files: dict[str, bytes], require_stats: bool = True
+):
+    """Shared _delta_log walk: _last_checkpoint -> checkpoint parquet
+    -> contiguous post-checkpoint JSON replay.  Returns
+    ``(state, cp_version, current, replayed, files_at_checkpoint)``."""
     import pyarrow.parquet as pq
-
-    files = read_tar_bundle(payload)
 
     lc_blob = files.get(f"{_LOG}/_last_checkpoint")
     if lc_blob is None:
@@ -381,49 +397,79 @@ def scan_delta(payload: bytes) -> dict:
             state.apply(action)
         current = v
         replayed += 1
+    return state, cp_version, current, replayed, files_at_checkpoint
 
+
+def _probe_from_config(state: _State) -> int:
+    """The point lookup rides in the table configuration (a fixture
+    knob, same as the Iceberg fixture's table property; a real
+    engine gets it from the query)."""
+    if "fixture.probe" not in state.configuration:
+        raise ValueError("table configuration missing the probe")
+    try:
+        return int(state.configuration["fixture.probe"])
+    except (TypeError, ValueError):
+        raise ValueError("non-integer probe configuration") from None
+
+
+def _scan_parquet_matches(
+    files: dict[str, bytes], path: str, probe: int, declared: int | None
+) -> tuple[int, int]:
+    """Read one live data file; returns (rows, probe matches) with
+    the declared numRecords cross-checked when stats carried one."""
+    import pyarrow.parquet as pq
+
+    blob = files.get(path)
+    if blob is None:
+        raise ValueError(f"data file {path!r} missing from bundle")
+    try:
+        table = pq.read_table(io.BytesIO(blob))
+    except Exception as e:
+        raise ValueError(f"data file unreadable: {e}") from None
+    if declared is not None and table.num_rows != declared:
+        raise ValueError(
+            f"stats numRecords {declared} != parquet rows {table.num_rows}"
+        )
+    if "v" not in table.column_names:
+        raise ValueError("data file missing the predicate column")
+    matches = 0
+    for v in table.column("v").to_pylist():
+        if not isinstance(v, int):
+            raise ValueError("data value not an integer")
+        if v == probe:
+            matches += 1
+    return table.num_rows, matches
+
+
+def scan_delta(payload: bytes) -> dict:
+    """Reconstruct the current snapshot from ``_delta_log`` and serve
+    the point lookup ``v = probe``.  The probe rides in
+    ``metaData.configuration["fixture.probe"]`` — the same
+    fixture-knob pattern as the Iceberg scan's table property (a
+    real engine gets it from the query).  ``files_at_checkpoint`` is
+    the TIME TRAVEL readout: the live-file count of the snapshot AT
+    the checkpoint version, before the replayed commits."""
+    files = read_tar_bundle(payload)
+    state, cp_version, current, replayed, files_at_checkpoint = (
+        _replay_log(files, require_stats=True)
+    )
     if not state.adds:
         raise ValueError("current snapshot has no live files")
     live = sorted(state.adds.items())
     n_live = len(live)
-    # the point lookup rides in the table configuration (a fixture
-    # knob, same as the Iceberg fixture's table property; a real
-    # engine gets it from the query)
-    if "fixture.probe" not in state.configuration:
-        raise ValueError("table configuration missing the probe")
-    try:
-        probe = int(state.configuration["fixture.probe"])
-    except (TypeError, ValueError):
-        raise ValueError("non-integer probe configuration") from None
-
+    probe = _probe_from_config(state)
     survivors = [
-        (path, nr, lo, hi)
-        for path, (nr, lo, hi) in live
-        if lo <= probe <= hi
+        (path, st[0], st[1], st[2])
+        for path, (st, _pv) in live
+        if st[1] <= probe <= st[2]
     ]
     rows_scanned = 0
     matches = 0
     for path, nr, _lo, _hi in survivors:
-        blob = files.get(path)
-        if blob is None:
-            raise ValueError(f"data file {path!r} missing from bundle")
-        try:
-            table = pq.read_table(io.BytesIO(blob))
-        except Exception as e:
-            raise ValueError(f"data file unreadable: {e}") from None
-        if table.num_rows != nr:
-            raise ValueError(
-                f"stats numRecords {nr} != parquet rows {table.num_rows}"
-            )
-        if "v" not in table.column_names:
-            raise ValueError("data file missing the predicate column")
-        rows_scanned += table.num_rows
-        for v in table.column("v").to_pylist():
-            if not isinstance(v, int):
-                raise ValueError("data value not an integer")
-            if v == probe:
-                matches += 1
-    total_live_rows = sum(nr for _, (nr, _lo, _hi) in live)
+        rows, m = _scan_parquet_matches(files, path, probe, nr)
+        rows_scanned += rows
+        matches += m
+    total_live_rows = sum(st[0] for _, (st, _pv) in live)
     if not (0 <= total_live_rows < 2**63):
         raise ValueError("delta total rows overflows int64 (boundary)")
     return {
@@ -437,5 +483,165 @@ def scan_delta(payload: bytes) -> dict:
         "files_scanned": len(survivors),
         "rows_scanned": rows_scanned,
         "total_live_rows": total_live_rows,
+        "probe_matches": matches,
+    }
+
+
+# ---------------------------------------------------------------------------
+# partitioned table: partitionValues pruning + stats-less adds
+# ---------------------------------------------------------------------------
+
+def synth_delta_partitioned_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: ``n = 6 + seed%3`` files; file
+    i lives in partition ``p = i % 4`` under ``p=<p>/`` with rows
+    ``30 + (seed+i)%20`` of ``v = p*100 + 35*(i//4) + (r % 30)`` (two
+    files of one partition occupy disjoint 30-wide windows).  Files
+    at ODD index carry NO stats (a writer that skipped them — legal
+    Delta), so only partitionValues can prune them.  Probe = window
+    start of file ``k = seed % n`` + 11."""
+    n = 6 + seed % 3
+    k = seed % n
+    rows = [30 + (seed + i) % 20 for i in range(n)]
+    tp = k % 4
+    # scanned = target-partition files that are k itself, or lack
+    # stats (odd index), or whose stats include the probe (none —
+    # windows are disjoint)
+    same_part = [i for i in range(n) if i % 4 == tp]
+    scanned = [i for i in same_part if i == k or i % 2 == 1]
+    return {
+        "n": n,
+        "probe_file": k,
+        "probe": tp * 100 + 35 * (k // 4) + 11,
+        "target_partition": tp,
+        "files_pruned_partition": n - len(same_part),
+        "files_pruned_stats": len(same_part) - len(scanned),
+        "files_scanned": len(scanned),
+        "rows_scanned": sum(rows[i] for i in scanned),
+        "probe_matches": (rows[k] - 12) // 30 + 1,
+        "files_without_stats": sum(1 for i in range(n) if i % 2 == 1),
+    }
+
+
+def synth_delta_partitioned(seed: int) -> bytes:
+    """Single-commit partitioned Delta table (version 0 JSON only —
+    no checkpoint yet, the young-table shape), partition column
+    ``p``, half the adds without stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = synth_delta_partitioned_plan(seed)
+    n = plan["n"]
+    files: dict[str, bytes] = {}
+    lines = []
+    meta = {
+        "id": f"10000000-0000-4000-8000-{seed:012d}",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "v", "type": "long", "nullable": False,
+                     "metadata": {}},
+                    {"name": "p", "type": "integer", "nullable": False,
+                     "metadata": {}},
+                ],
+            }
+        ),
+        "partitionColumns": ["p"],
+        "configuration": {"fixture.probe": str(plan["probe"])},
+    }
+    lines.append(json.dumps({"metaData": meta}))
+    lines.append(json.dumps(
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    ))
+    for i in range(n):
+        p_val = i % 4
+        rows = 30 + (seed + i) % 20
+        lo = p_val * 100 + 35 * (i // 4)
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table({"v": [lo + (r % 30) for r in range(rows)]}), buf
+        )
+        path = f"p={p_val}/part-{i:05d}.parquet"
+        files[path] = buf.getvalue()
+        add = {
+            "path": path,
+            "size": len(files[path]),
+            "dataChange": True,
+            "partitionValues": {"p": str(p_val)},
+        }
+        if i % 2 == 0:
+            add["stats"] = json.dumps(
+                {
+                    "numRecords": rows,
+                    "minValues": {"v": lo},
+                    "maxValues": {"v": lo + 29},
+                }
+            )
+        lines.append(json.dumps({"add": add}))
+    files[f"{_LOG}/{0:020d}.json"] = ("\n".join(lines) + "\n").encode()
+    return write_tar_bundle(files)
+
+
+def scan_delta_partitioned(payload: bytes) -> dict:
+    """Partitioned-table planning: prune by ``partitionValues``
+    FIRST (the only pruning available for stats-less adds), then by
+    stats where present; scan the remainder.  A young table with no
+    checkpoint yet replays from the version-0 JSON directly (the
+    ``_last_checkpoint``-less path real tables start life in)."""
+    files = read_tar_bundle(payload)
+    if f"{_LOG}/_last_checkpoint" in files:
+        raise ValueError("partitioned fixture must be pre-checkpoint")
+    blob = files.get(f"{_LOG}/{0:020d}.json")
+    if blob is None:
+        raise ValueError("version-0 commit missing (boundary)")
+    if len(blob) > 1 << 24:
+        raise ValueError("commit JSON exceeds size cap")
+    state = _State(require_stats=False)
+    for line in blob.splitlines():
+        if not line.strip():
+            continue
+        try:
+            action = json.loads(line)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"commit line not JSON: {e}") from None
+        state.apply(action)
+    if state.min_reader is None or state.meta_id is None:
+        raise ValueError("log without protocol/metaData")
+    if not state.adds:
+        raise ValueError("current snapshot has no live files")
+    live = sorted(state.adds.items())
+    probe = _probe_from_config(state)
+    target = str(probe // 100)
+    part_survivors = []
+    for path, (st, pv) in live:
+        if "p" not in pv:
+            raise ValueError("add missing the partition value")
+        if pv["p"] == target:
+            part_survivors.append((path, st))
+    files_pruned_partition = len(live) - len(part_survivors)
+    survivors = [
+        (path, st)
+        for path, st in part_survivors
+        if st is None or st[1] <= probe <= st[2]
+    ]
+    files_pruned_stats = len(part_survivors) - len(survivors)
+    rows_scanned = 0
+    matches = 0
+    for path, st in survivors:
+        rows, m = _scan_parquet_matches(
+            files, path, probe, st[0] if st else None
+        )
+        rows_scanned += rows
+        matches += m
+    return {
+        "live_files": len(live),
+        "files_without_stats": sum(
+            1 for _, (st, _pv) in live if st is None
+        ),
+        "files_pruned_partition": files_pruned_partition,
+        "files_pruned_stats": files_pruned_stats,
+        "files_scanned": len(survivors),
+        "rows_scanned": rows_scanned,
         "probe_matches": matches,
     }

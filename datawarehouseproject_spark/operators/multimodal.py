@@ -3065,3 +3065,45 @@ def extract_orc_rich_scan(
         return scan_orc_rich
 
     return _extract_metadata(media, ORC_RICH_SCHEMA, loader, permissive)
+
+
+def synthesize_delta_partitioned_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of partitioned Delta tables
+    with half the add actions stats-less
+    (``functions/delta_log.py:synth_delta_partitioned``)."""
+
+    def loader():
+        from ..functions.delta_log import synth_delta_partitioned
+
+        return synth_delta_partitioned
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+DELTA_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("live_files", T.IntegerType()),
+        T.StructField("files_without_stats", T.IntegerType()),
+        T.StructField("files_pruned_partition", T.IntegerType()),
+        T.StructField("files_pruned_stats", T.IntegerType()),
+        T.StructField("files_scanned", T.IntegerType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("probe_matches", T.LongType()),
+    ]
+)
+
+
+def extract_delta_partitioned_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Partition-pruned Delta planning per payload
+    (:func:`..functions.delta_log.scan_delta_partitioned`)."""
+
+    def loader():
+        from ..functions.delta_log import scan_delta_partitioned
+
+        return scan_delta_partitioned
+
+    return _extract_metadata(media, DELTA_PART_SCHEMA, loader, permissive)

@@ -1930,6 +1930,76 @@ def q_delta_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_partition_pruning",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 6 + doc_id % 3 AS n FROM documents),
+    f AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    r AS (
+      SELECT media_id, n, i,
+             i % 4 AS p,
+             30 + (media_id + i) % 20 AS rows_,
+             media_id % n AS k,
+             (media_id % n) % 4 AS tp
+      FROM f),
+    flags AS (
+      SELECT media_id, n, i, p, rows_, k, tp,
+             p = tp AS same_part,
+             p = tp AND (i = k OR i % 2 = 1) AS scanned
+      FROM r)
+    SELECT media_id,
+           CAST(max(n) AS INTEGER) AS live_files,
+           CAST(sum(CASE WHEN i % 2 = 1 THEN 1 ELSE 0 END) AS INTEGER)
+             AS files_without_stats,
+           CAST(max(n) - sum(CASE WHEN same_part THEN 1 ELSE 0 END)
+                AS INTEGER) AS files_pruned_partition,
+           CAST(sum(CASE WHEN same_part AND NOT scanned THEN 1 ELSE 0
+                    END) AS INTEGER) AS files_pruned_stats,
+           CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS INTEGER)
+             AS files_scanned,
+           CAST(sum(CASE WHEN scanned THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(CASE WHEN i = k THEN (rows_ - 12) // 30 + 1
+                         ELSE 0 END) AS BIGINT) AS probe_matches
+    FROM flags
+    GROUP BY media_id
+    """,
+    tags=("sources", "delta-lake", "partition-pruning",
+          "stats-less-adds", "mapInPandas"),
+)
+def q_delta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta PARTITION pruning with STATS-LESS adds (round 11): the
+    planning shape real partitioned Delta tables need —
+    ``partitionValues`` prunes FIRST, and for add actions that carry
+    no ``stats`` (legal: writers may skip them) it is the ONLY
+    pruning available, so the conservative fallback is scan-the-file.
+    The fixture puts half the adds stats-less (odd index): the
+    stats-less sibling in the probe's partition is always scanned
+    (``files_scanned`` counts it), every other partition is pruned
+    wholesale by partition value, and stats prune exactly the
+    stats-bearing same-partition files whose disjoint window excludes
+    the probe.  Also exercises the YOUNG-TABLE path: version-0 JSON
+    with no checkpoint and no ``_last_checkpoint`` yet.  All seven
+    metrics oracle-exact per table."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_delta_partitioned_scan,
+        synthesize_delta_partitioned_media,
+    )
+
+    media = synthesize_delta_partitioned_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return extract_delta_partitioned_scan(media).select(
+        "media_id", "live_files", "files_without_stats",
+        "files_pruned_partition", "files_pruned_stats",
+        "files_scanned", "rows_scanned", "probe_matches",
+    )
+
+
+@register(
     "avro_corpus_rollup",
     oracle="""
     WITH m AS (

@@ -165,3 +165,42 @@ def test_negative_min_reader_version_quarantines():
     files[path] = files[path] + extra + b"\n"
     with pytest.raises(ValueError, match="minReaderVersion malformed"):
         scan_delta(_retar(files))
+
+
+def test_partitioned_scan_matches_plan():
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_partitioned,
+        synth_delta_partitioned,
+        synth_delta_partitioned_plan,
+    )
+
+    for seed in range(12):
+        p = synth_delta_partitioned_plan(seed)
+        r = scan_delta_partitioned(synth_delta_partitioned(seed))
+        assert r["files_pruned_partition"] == p["files_pruned_partition"]
+        assert r["files_pruned_stats"] == p["files_pruned_stats"]
+        assert r["files_scanned"] == p["files_scanned"]
+        assert r["rows_scanned"] == p["rows_scanned"]
+        assert r["probe_matches"] == p["probe_matches"]
+
+
+def test_statsless_file_only_prunable_by_partition():
+    """Remove partitionValues from a stats-less add: the scan must
+    quarantine rather than guess."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_partitioned,
+        synth_delta_partitioned,
+    )
+
+    files = _untar(synth_delta_partitioned(0))
+    path = "_delta_log/00000000000000000000.json"
+    out = []
+    for ln in files[path].splitlines():
+        if b'"add"' in ln:
+            act = json.loads(ln)
+            act["add"].pop("partitionValues", None)
+            ln = json.dumps(act).encode()
+        out.append(ln)
+    files[path] = b"\n".join(out) + b"\n"
+    with pytest.raises(ValueError, match="partition value"):
+        scan_delta_partitioned(_retar(files))

@@ -147,6 +147,11 @@ def _cases():
             iceberg_scan.scan_iceberg_v2,
         ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
+        (
+            "delta_partitioned",
+            delta_log.synth_delta_partitioned,
+            delta_log.scan_delta_partitioned,
+        ),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (
