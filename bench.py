@@ -108,8 +108,9 @@ def main() -> None:
 
     # r10 verdict item 6: with min-of-2, a single slow sample leaves
     # a phantom regression (session_window_agg: 5.5s spread at r10).
-    # Any query whose pass spread exceeds 50% of its min gets extra
-    # passes until the spread settles or the retry budget runs out.
+    # Any query whose best-two spread exceeds 30% of its min gets
+    # extra passes until the spread settles or the retry budget runs
+    # out (r11: 50% left noise at 0.102, just over the <0.1 goal).
     retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2")))
     if passes > 1:
         for name in HEADLINE:
@@ -118,7 +119,7 @@ def main() -> None:
                 # settle on the BEST-TWO spread (the final statistic):
                 # including the outlier being retired would make the
                 # condition unreachable and burn the whole budget
-                if s[0] <= 0 or (s[1] - s[0]) / s[0] <= 0.5:
+                if s[0] <= 0 or (s[1] - s[0]) / s[0] <= 0.3:
                     break
                 t0 = time.time()
                 fns[name](spark, sf_dir).write.format("noop").mode(

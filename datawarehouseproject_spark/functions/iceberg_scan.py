@@ -350,17 +350,11 @@ def _read_parquet_checked(files: dict[str, bytes], path: str, rc: int):
     return table
 
 
-def scan_iceberg(payload: bytes) -> dict:
-    """Serve a point lookup ``v = probe`` through the Iceberg
-    planning path: metadata JSON → CURRENT snapshot's manifest list
-    → manifests → bounds pruning (skipping DELETED entries) → read
-    only the surviving parquet file(s) via pyarrow, cross-checking
-    each survivor's parquet footer row count against the manifest's
-    ``record_count``."""
-    import pyarrow.parquet as pq
-
-    files = read_tar_bundle(payload)
-    meta, snaps, ml_blob, probe = _parse_table_meta(files)
+def _walk_snapshot(files: dict[str, bytes], ml_blob: bytes):
+    """One snapshot's manifest-list walk (shared by the point-lookup
+    scan and the time-travel scan): returns ``(candidates,
+    delete_files, n_data_files, n_deleted_entries, n_manifests)``
+    with all the shape/fence checks of the original inline walk."""
     manifest_files = decode_avro_blocks(ml_blob)
     n_data_files = 0
     n_deleted = 0
@@ -431,10 +425,21 @@ def scan_iceberg(payload: bytes) -> dict:
                 raise ValueError("data file lower bound above upper")
             candidates.append((path, record_count, lo, hi))
     if not candidates:
-        raise ValueError("current snapshot has no live data files")
-    # v2 merge-on-read: positional delete files (spec schema
-    # file_path + pos) collected BEFORE the scan so survivors can
-    # subtract their deleted positions
+        raise ValueError("snapshot has no live data files")
+    return (
+        candidates, delete_files, n_data_files, n_deleted,
+        len(manifest_files),
+    )
+
+
+def _load_positional_deletes(
+    files: dict[str, bytes], delete_files: list
+) -> dict[str, set[int]]:
+    """v2 merge-on-read: positional delete files (spec schema
+    file_path + pos) collected BEFORE the scan so survivors can
+    subtract their deleted positions."""
+    import pyarrow.parquet as pq
+
     deletes: dict[str, set[int]] = {}
     for dpath, dcount in delete_files:
         dblob = files.get(dpath)
@@ -458,6 +463,24 @@ def scan_iceberg(payload: bytes) -> dict:
                     or pos < 0:
                 raise ValueError("malformed positional delete row")
             deletes.setdefault(p, set()).add(pos)
+    return deletes
+
+
+def scan_iceberg(payload: bytes) -> dict:
+    """Serve a point lookup ``v = probe`` through the Iceberg
+    planning path: metadata JSON → CURRENT snapshot's manifest list
+    → manifests → bounds pruning (skipping DELETED entries) → read
+    only the surviving parquet file(s) via pyarrow, cross-checking
+    each survivor's parquet footer row count against the manifest's
+    ``record_count``."""
+    import pyarrow.parquet as pq
+
+    files = read_tar_bundle(payload)
+    meta, snaps, ml_blob, probe = _parse_table_meta(files)
+    (
+        candidates, delete_files, n_data_files, n_deleted, n_manifests
+    ) = _walk_snapshot(files, ml_blob)
+    deletes = _load_positional_deletes(files, delete_files)
     # the point lookup (probe) rides in the table properties — a
     # fixture knob parsed in _parse_table_meta; a real engine gets
     # it from the query
@@ -486,7 +509,7 @@ def scan_iceberg(payload: bytes) -> dict:
         raise ValueError("iceberg total_rows overflows int64 (boundary)")
     return {
         "n_snapshots": len(snaps),
-        "n_manifests": len(manifest_files),
+        "n_manifests": n_manifests,
         "n_data_files": n_data_files,
         "n_deleted_entries": n_deleted,
         "n_delete_files": len(delete_files),
@@ -990,4 +1013,76 @@ def scan_iceberg_v2(payload: bytes) -> dict:
         "live_rows": rows_scanned - eq_deleted,
         "total_rows": total_rows,
         "probe_matches": matches,
+    }
+
+
+def scan_iceberg_time_travel(payload: bytes) -> dict:
+    """TIME TRAVEL: serve the SAME point lookup at every snapshot in
+    the table's history (spec: any snapshot in ``snapshots`` remains
+    readable until expired) and report the s1→current deltas — the
+    reproducibility primitive a training pipeline leans on ("rerun
+    the job exactly as the data stood last week").
+
+    The base fixture's history is deliberately asymmetric: snapshot
+    1 sees only the FIRST manifest (half the files, no delete
+    manifest), snapshot 2 adds the rest plus the positional-delete
+    manifest.  So ``matches_s1`` counts raw positions while
+    ``matches_current`` subtracts merge-on-read deletes — a reader
+    that unions history or applies current deletes retroactively
+    breaks both."""
+    files = read_tar_bundle(payload)
+    meta, snaps, _ml_current, probe = _parse_table_meta(files)
+    if len(snaps) < 2:
+        raise ValueError("time travel needs at least two snapshots")
+    per = {}
+    for sid in sorted(snaps):
+        ml_blob = files.get(snaps[sid])
+        if ml_blob is None:
+            raise ValueError("manifest list missing from bundle")
+        cands, delete_files, n_data, _n_del, _n_m = _walk_snapshot(
+            files, ml_blob
+        )
+        deletes = _load_positional_deletes(files, delete_files)
+        survivors = [c for c in cands if c[2] <= probe <= c[3]]
+        matches = 0
+        scanned = 0
+        for path, rc, _lo, _hi in survivors:
+            table = _read_parquet_checked(files, path, rc)
+            if "v" not in table.column_names:
+                raise ValueError("data file missing the predicate column")
+            dead = deletes.get(path, set())
+            if dead and max(dead) >= rc:
+                raise ValueError("positional delete past its data file")
+            scanned += 1
+            matches += sum(
+                1
+                for i, v in enumerate(table.column("v").to_pylist())
+                if v == probe and i not in dead
+            )
+        total = sum(c[1] for c in cands)
+        if not (0 <= total < 2**63):
+            raise ValueError("iceberg total_rows overflows int64")
+        per[sid] = {
+            "files": n_data,
+            "rows": total,
+            "scanned": scanned,
+            "matches": matches,
+            "delete_files": len(delete_files),
+        }
+    first = per[min(per)]
+    cur = per[max(per)]
+    return {
+        "n_snapshots": len(per),
+        "files_s1": first["files"],
+        "files_current": cur["files"],
+        "files_added": cur["files"] - first["files"],
+        "rows_s1": first["rows"],
+        "rows_current": cur["rows"],
+        "rows_added": cur["rows"] - first["rows"],
+        "scanned_s1": first["scanned"],
+        "scanned_current": cur["scanned"],
+        "matches_s1": first["matches"],
+        "matches_current": cur["matches"],
+        "delete_files_s1": first["delete_files"],
+        "delete_files_current": cur["delete_files"],
     }

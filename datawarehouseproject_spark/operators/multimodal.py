@@ -3107,3 +3107,36 @@ def extract_delta_partitioned_scan(
         return scan_delta_partitioned
 
     return _extract_metadata(media, DELTA_PART_SCHEMA, loader, permissive)
+
+
+ICEBERG_TT_SCHEMA = T.StructType(
+    [
+        T.StructField("n_snapshots", T.IntegerType()),
+        T.StructField("files_s1", T.IntegerType()),
+        T.StructField("files_current", T.IntegerType()),
+        T.StructField("files_added", T.IntegerType()),
+        T.StructField("rows_s1", T.LongType()),
+        T.StructField("rows_current", T.LongType()),
+        T.StructField("rows_added", T.LongType()),
+        T.StructField("scanned_s1", T.IntegerType()),
+        T.StructField("scanned_current", T.IntegerType()),
+        T.StructField("matches_s1", T.LongType()),
+        T.StructField("matches_current", T.LongType()),
+        T.StructField("delete_files_s1", T.IntegerType()),
+        T.StructField("delete_files_current", T.IntegerType()),
+    ]
+)
+
+
+def extract_iceberg_time_travel(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Per-snapshot point lookup over the Iceberg fixture
+    (:func:`..functions.iceberg_scan.scan_iceberg_time_travel`)."""
+
+    def loader():
+        from ..functions.iceberg_scan import scan_iceberg_time_travel
+
+        return scan_iceberg_time_travel
+
+    return _extract_metadata(media, ICEBERG_TT_SCHEMA, loader, permissive)

@@ -1787,6 +1787,73 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_time_travel_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 3 + doc_id % 4 AS n FROM documents),
+    f AS (
+      SELECT media_id, n, (n + 1) // 2 AS half,
+             unnest(generate_series(0, n - 1)) AS j
+      FROM m),
+    r AS (
+      SELECT media_id, n, half, j,
+             40 + (media_id + j) % 60 AS rows_,
+             media_id % n AS k
+      FROM f)
+    SELECT media_id,
+           CAST(2 AS INTEGER) AS n_snapshots,
+           CAST(max(half) AS INTEGER) AS files_s1,
+           CAST(max(n) AS INTEGER) AS files_current,
+           CAST(max(n) - max(half) AS INTEGER) AS files_added,
+           CAST(sum(CASE WHEN j < half THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_s1,
+           CAST(sum(rows_) AS BIGINT) AS rows_current,
+           CAST(sum(CASE WHEN j >= half THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_added,
+           CAST(max(CASE WHEN k < half THEN 1 ELSE 0 END) AS INTEGER)
+             AS scanned_s1,
+           CAST(1 AS INTEGER) AS scanned_current,
+           CAST(sum(CASE WHEN j = k AND k < half
+                         THEN (rows_ - 18) // 40 + 1 ELSE 0 END)
+                AS BIGINT) AS matches_s1,
+           CAST(sum(CASE WHEN j = k THEN
+                         (rows_ - 18) // 40 - (rows_ - 18) // 280
+                         ELSE 0 END) AS BIGINT) AS matches_current,
+           CAST(0 AS INTEGER) AS delete_files_s1,
+           CAST(1 AS INTEGER) AS delete_files_current
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "iceberg", "time-travel", "reproducibility",
+          "mapInPandas"),
+)
+def q_iceberg_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TIME TRAVEL (round 11): the same point lookup served
+    at EVERY snapshot in history — the reproducibility primitive
+    ("rerun the job exactly as the data stood last week").  The
+    fixture's history is asymmetric by construction: snapshot 1 sees
+    half the files and NO delete manifest, the current snapshot sees
+    all files plus positional deletes — so ``matches_s1`` counts raw
+    positions while ``matches_current`` subtracts merge-on-read
+    deletes.  A reader that unions history inflates ``rows_s1``; one
+    that applies current deletes retroactively deflates
+    ``matches_s1``; both break the hash."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_iceberg_time_travel,
+        synthesize_iceberg_media,
+    )
+
+    media = synthesize_iceberg_media(_t(spark, sf_dir, "documents"))
+    return extract_iceberg_time_travel(media).select(
+        "media_id", "n_snapshots", "files_s1", "files_current",
+        "files_added", "rows_s1", "rows_current", "rows_added",
+        "scanned_s1", "scanned_current", "matches_s1",
+        "matches_current", "delete_files_s1", "delete_files_current",
+    )
+
+
+@register(
     "iceberg_equality_deletes_scan",
     oracle="""
     WITH m AS (SELECT doc_id AS media_id FROM documents),

@@ -146,6 +146,11 @@ def _cases():
             iceberg_scan.synth_iceberg_v2,
             iceberg_scan.scan_iceberg_v2,
         ),
+        (
+            "iceberg_time_travel",
+            iceberg_scan.synth_iceberg,
+            iceberg_scan.scan_iceberg_time_travel,
+        ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
         (
             "delta_partitioned",

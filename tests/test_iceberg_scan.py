@@ -648,3 +648,30 @@ def test_unhashable_current_snapshot_id_quarantines():
     files["metadata/v2.metadata.json"] = json.dumps(meta).encode()
     with pytest.raises(ValueError, match="not an integer"):
         scan_iceberg_v2(write_tar_bundle(files))
+
+
+def test_time_travel_snapshot_isolation():
+    """Snapshot 1 must see neither the later files nor the delete
+    manifest; the current snapshot must see both."""
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        _file_rows,
+        scan_iceberg_time_travel,
+        synth_iceberg,
+        synth_iceberg_plan,
+    )
+
+    for seed in range(8):
+        plan = synth_iceberg_plan(seed)
+        n, k = plan["n_files"], plan["probe_file"]
+        half = (n + 1) // 2
+        rows_k = _file_rows(seed, k)
+        r = scan_iceberg_time_travel(synth_iceberg(seed))
+        assert r["files_s1"] == half
+        assert r["files_current"] == n
+        assert r["delete_files_s1"] == 0
+        assert r["delete_files_current"] == 1
+        exp_s1 = (rows_k - 18) // 40 + 1 if k < half else 0
+        assert r["matches_s1"] == exp_s1
+        assert r["matches_current"] == (
+            (rows_k - 18) // 40 - (rows_k - 18) // 280
+        )
