@@ -350,7 +350,7 @@ def _replay_log(
         raise ValueError(f"checkpoint unreadable: {e}") from None
     if cp.num_rows != cp_size:
         raise ValueError("_last_checkpoint size disagrees with parquet")
-    state = _State()
+    state = _State(require_stats)
     cols = cp.column_names
     for kind in ("metaData", "protocol", "add", "remove"):
         if kind not in cols:
@@ -548,7 +548,13 @@ def synth_delta_partitioned(seed: int) -> bytes:
             }
         ),
         "partitionColumns": ["p"],
-        "configuration": {"fixture.probe": str(plan["probe"])},
+        "configuration": {
+            "fixture.probe": str(plan["probe"]),
+            # the partition predicate: a real engine prunes on an
+            # explicit partition-column predicate from the query,
+            # never by inferring a layout from the data column
+            "fixture.probe.p": str(plan["target_partition"]),
+        },
     }
     lines.append(json.dumps({"metaData": meta}))
     lines.append(json.dumps(
@@ -612,7 +618,13 @@ def scan_delta_partitioned(payload: bytes) -> dict:
         raise ValueError("current snapshot has no live files")
     live = sorted(state.adds.items())
     probe = _probe_from_config(state)
-    target = str(probe // 100)
+    # partition pruning keys off the QUERY's partition predicate
+    # (review r11 pass 4: deriving it from the data column would
+    # bake the fixture layout into the reader and silently
+    # mis-prune any other table)
+    target = state.configuration.get("fixture.probe.p")
+    if not isinstance(target, str):
+        raise ValueError("table configuration missing the partition probe")
     part_survivors = []
     for path, (st, pv) in live:
         if "p" not in pv:

@@ -466,6 +466,29 @@ def _load_positional_deletes(
     return deletes
 
 
+def _match_live_rows(
+    files: dict[str, bytes],
+    path: str,
+    rc: int,
+    probe: int,
+    dead: set[int],
+) -> tuple[int, int]:
+    """Read one survivor data file and count live probe matches
+    (positional deletes subtracted); shared by the point-lookup and
+    time-travel scans (review r11 pass 4)."""
+    table = _read_parquet_checked(files, path, rc)
+    if "v" not in table.column_names:
+        raise ValueError("data file missing the predicate column")
+    if dead and max(dead) >= rc:
+        raise ValueError("positional delete past its data file")
+    matches = sum(
+        1
+        for i, v in enumerate(table.column("v").to_pylist())
+        if v == probe and i not in dead
+    )
+    return table.num_rows, matches
+
+
 def scan_iceberg(payload: bytes) -> dict:
     """Serve a point lookup ``v = probe`` through the Iceberg
     planning path: metadata JSON → CURRENT snapshot's manifest list
@@ -473,8 +496,6 @@ def scan_iceberg(payload: bytes) -> dict:
     only the surviving parquet file(s) via pyarrow, cross-checking
     each survivor's parquet footer row count against the manifest's
     ``record_count``."""
-    import pyarrow.parquet as pq
-
     files = read_tar_bundle(payload)
     meta, snaps, ml_blob, probe = _parse_table_meta(files)
     (
@@ -489,19 +510,11 @@ def scan_iceberg(payload: bytes) -> dict:
     matches = 0
     positions_deleted = 0
     for path, record_count, _lo, _hi in survivors:
-        table = _read_parquet_checked(files, path, record_count)
-        if "v" not in table.column_names:
-            raise ValueError("data file missing the predicate column")
         dead = deletes.get(path, set())
-        if dead and max(dead) >= record_count:
-            raise ValueError("positional delete past its data file")
+        rows, m = _match_live_rows(files, path, record_count, probe, dead)
         positions_deleted += len(dead)
-        rows_scanned += table.num_rows
-        matches += sum(
-            1
-            for i, v in enumerate(table.column("v").to_pylist())
-            if v == probe and i not in dead
-        )
+        rows_scanned += rows
+        matches += m
     total_rows = sum(c[1] for c in candidates)
     # Manifest record_counts are attacker-controlled; a sum past int64
     # would surface as Arrow OverflowError after the quarantine.
@@ -1034,9 +1047,19 @@ def scan_iceberg_time_travel(payload: bytes) -> dict:
     meta, snaps, _ml_current, probe = _parse_table_meta(files)
     if len(snaps) < 2:
         raise ValueError("time travel needs at least two snapshots")
+    if len(snaps) > 64:
+        # CPU-amplification fence (quarantine bomb class): each
+        # snapshot costs a full manifest walk + parquet reads, and
+        # the snapshot list is attacker-declared
+        raise ValueError("snapshot history too long (boundary)")
     per = {}
+    walked: dict[str, dict] = {}  # ml path -> metrics (dedup re-walks)
     for sid in sorted(snaps):
-        ml_blob = files.get(snaps[sid])
+        ml_path = snaps[sid]
+        if ml_path in walked:
+            per[sid] = walked[ml_path]
+            continue
+        ml_blob = files.get(ml_path)
         if ml_blob is None:
             raise ValueError("manifest list missing from bundle")
         cands, delete_files, n_data, _n_del, _n_m = _walk_snapshot(
@@ -1047,22 +1070,15 @@ def scan_iceberg_time_travel(payload: bytes) -> dict:
         matches = 0
         scanned = 0
         for path, rc, _lo, _hi in survivors:
-            table = _read_parquet_checked(files, path, rc)
-            if "v" not in table.column_names:
-                raise ValueError("data file missing the predicate column")
-            dead = deletes.get(path, set())
-            if dead and max(dead) >= rc:
-                raise ValueError("positional delete past its data file")
-            scanned += 1
-            matches += sum(
-                1
-                for i, v in enumerate(table.column("v").to_pylist())
-                if v == probe and i not in dead
+            _rows, m = _match_live_rows(
+                files, path, rc, probe, deletes.get(path, set())
             )
+            scanned += 1
+            matches += m
         total = sum(c[1] for c in cands)
         if not (0 <= total < 2**63):
             raise ValueError("iceberg total_rows overflows int64")
-        per[sid] = {
+        per[sid] = walked[ml_path] = {
             "files": n_data,
             "rows": total,
             "scanned": scanned,
@@ -1070,7 +1086,11 @@ def scan_iceberg_time_travel(payload: bytes) -> dict:
             "delete_files": len(delete_files),
         }
     first = per[min(per)]
-    cur = per[max(per)]
+    # "current" is the table's current-snapshot-id (already fenced in
+    # _parse_table_meta), NOT the max id: the spec allows a rolled-
+    # back table whose current snapshot is older than later-created
+    # ones still in history (review r11 pass 4)
+    cur = per[meta["current-snapshot-id"]]
     return {
         "n_snapshots": len(per),
         "files_s1": first["files"],

@@ -240,11 +240,15 @@ def _nonneg(v, what: str) -> int:
     return v
 
 
-def _parse_orc_tail(payload: bytes):
+def _parse_orc_tail(payload: bytes, allow_compressed: bool = True):
     """Shared postscript/footer/type-list walk for both scans
     (review r11 pass 3: the ~35-line block had been duplicated).
     Returns ``(codec, footer, n_rows, types)`` with the footer
-    already decompressed per the postscript codec."""
+    already decompressed per the postscript codec.
+    ``allow_compressed=False`` rejects a non-zero codec BEFORE any
+    decompression work (review r11 pass 4: the base scan's boundary
+    must not pay up to 64MB of footer inflation for a file it
+    rejects unconditionally one line later)."""
     if len(payload) < 4 or payload[:3] != b"ORC":
         raise ValueError("not an ORC file (missing ORC magic)")
     ps_len = payload[-1]
@@ -254,6 +258,10 @@ def _parse_orc_tail(payload: bytes):
     if ps.get(8000, [b""])[0] != b"ORC":
         raise ValueError("postscript missing ORC magic field")
     codec = _nonneg(ps.get(2, [0])[0], "compression codec")
+    if not allow_compressed and codec != 0:
+        raise ValueError(
+            f"compressed ORC (codec {codec}) out of byte-scan scope"
+        )
     footer_len = ps.get(1, [None])[0]
     if footer_len is None:
         raise ValueError("postscript missing footer length")
@@ -282,11 +290,9 @@ def scan_orc_values(payload: bytes) -> dict:
     """Decode every int/string column value in an uncompressed ORC
     file; returns aggregate features plus consistency-checked row
     counts (see module docstring for the supported profile)."""
-    compression, footer, n_rows, types = _parse_orc_tail(payload)
-    if compression != 0:
-        raise ValueError(
-            f"compressed ORC (codec {compression}) out of byte-scan scope"
-        )
+    compression, footer, n_rows, types = _parse_orc_tail(
+        payload, allow_compressed=False
+    )
     int_sum = int_count = 0
     str_bytes = str_count = 0
     rows_seen = 0
