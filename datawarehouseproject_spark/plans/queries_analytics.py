@@ -2355,6 +2355,10 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("monetary_cents"),
         )
+        # consumed FOUR times (three quartile histograms + the final
+        # scoring pass): cache the per-user triple so the events scan
+        # and purchase aggregation run once, not four times
+        .cache()
     )
 
     def quartiles(metric: str) -> DataFrame:
