@@ -744,3 +744,176 @@ def scan_avro_complex(payload: bytes) -> dict:
         "u_str_chars": u_str_chars,
         "u_nulls": u_nulls,
     }
+
+
+# ---------------------------------------------------------------------------
+# logical types (round 11): date / timestamp-micros / decimal — the
+# annotations real Kafka-archive schemas carry on top of the base
+# primitives (Avro 1.11 spec, "Logical Types")
+# ---------------------------------------------------------------------------
+
+_LOGICAL_SCHEMA_JSON = json.dumps(
+    {
+        "type": "record",
+        "name": "txn",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {
+                    "type": "long",
+                    "logicalType": "timestamp-micros",
+                },
+            },
+            {
+                "name": "amount",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 9,
+                    "scale": 2,
+                },
+            },
+        ],
+    }
+).encode()
+
+
+def parse_logical_types(schema_json: bytes) -> dict[str, tuple]:
+    """field name -> (base type, logical type, precision, scale).
+
+    The spec: ``date`` annotates int (days since epoch),
+    ``timestamp-micros`` annotates long, ``decimal`` annotates bytes
+    (big-endian two's-complement unscaled value) and REQUIRES a
+    valid precision; an invalid logical-type annotation must be
+    IGNORED per spec ("implementations must use the underlying type")
+    — except decimal-without-precision which this reader treats as a
+    loud boundary rather than silently reinterpreting money bytes."""
+    try:
+        schema = json.loads(schema_json)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"avro schema is not JSON: {e}") from None
+    if not isinstance(schema, dict) or not isinstance(
+        schema.get("fields"), list
+    ):
+        raise ValueError("avro schema is not a record (boundary)")
+    out: dict[str, tuple] = {}
+    for f in schema["fields"]:
+        if not isinstance(f, dict):
+            raise ValueError("malformed avro field")
+        t = f.get("type")
+        if not isinstance(t, dict):
+            continue
+        lt = t.get("logicalType")
+        if lt is None:
+            continue
+        base = t.get("type")
+        name = str(f.get("name"))
+        if lt == "date" and base == "int":
+            out[name] = ("int", "date", None, None)
+        elif lt == "timestamp-micros" and base == "long":
+            out[name] = ("long", "timestamp-micros", None, None)
+        elif lt == "decimal" and base == "bytes":
+            prec, scale = t.get("precision"), t.get("scale", 0)
+            if (
+                not isinstance(prec, int) or isinstance(prec, bool)
+                or not 0 < prec <= 38
+                or not isinstance(scale, int) or isinstance(scale, bool)
+                or not 0 <= scale <= prec
+            ):
+                raise ValueError("avro decimal precision/scale invalid")
+            out[name] = ("bytes", "decimal", prec, scale)
+        # any other annotation: ignored per spec (underlying type)
+    return out
+
+
+def decode_decimal_unscaled(raw: bytes, precision: int) -> int:
+    """Big-endian two's-complement unscaled decimal (Avro spec);
+    value must fit the declared precision."""
+    if not raw or len(raw) > 17:
+        raise ValueError("avro decimal byte length out of range")
+    v = int.from_bytes(raw, "big", signed=True)
+    if abs(v) >= 10**precision:
+        raise ValueError("avro decimal exceeds declared precision")
+    return v
+
+
+def _enc_decimal(v: int) -> bytes:
+    """Minimal-length big-endian two's complement."""
+    n = max(1, (v.bit_length() + 8) // 8)
+    return v.to_bytes(n, "big", signed=True)
+
+
+def synth_avro_logical_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: ``12 + seed%20`` records;
+    record i: date ``19000 + (seed+i) % 365`` days, timestamp
+    ``1_700_000_000_000_000 + (seed*1000 + i) * 1_000_000`` micros,
+    decimal unscaled ``(seed*13 + i*7) % 100000 - 5000`` (negatives
+    exercise two's complement)."""
+    return {"n_records": 12 + seed % 20}
+
+
+def synth_avro_logical(seed: int) -> bytes:
+    n = synth_avro_logical_plan(seed)["n_records"]
+    recs = []
+    for i in range(n):
+        amount = (seed * 13 + i * 7) % 100000 - 5000
+        body = (
+            _zigzag_write(seed * 100 + i)
+            + _zigzag_write(19000 + (seed + i) % 365)
+            + _zigzag_write(1_700_000_000_000_000 + (seed * 1000 + i) * 1_000_000)
+        )
+        dec = _enc_decimal(amount)
+        body += _zigzag_write(len(dec)) + dec
+        recs.append(body)
+    sync = bytes((seed * 19 + j * 11 + 5) % 256 for j in range(16))
+    return encode_avro_container(_LOGICAL_SCHEMA_JSON, recs, sync)
+
+
+def scan_avro_logical(payload: bytes) -> dict:
+    """Logical-type aware container scan: dates/timestamps stay
+    integer (days / micros — exact), decimals decode to the unscaled
+    int with a precision fence; all aggregates int64-fenced."""
+    blocks = _iter_avro_blocks(payload)
+    meta = next(blocks)
+    logical = parse_logical_types(meta["avro.schema"])
+    if set(logical) != {"d", "ts", "amount"}:
+        raise ValueError("avro logical fixture schema mismatch")
+    prec = logical["amount"][2]
+    records = decode_avro_blocks(payload)
+    n = 0
+    date_min = date_max = None
+    ts_min = ts_max = None
+    amount_sum = 0
+    n_negative = 0
+    for rec in records:
+        if set(rec) != {"id", "d", "ts", "amount"}:
+            raise ValueError("avro record does not match logical schema")
+        d, ts, raw = rec["d"], rec["ts"], rec["amount"]
+        if not isinstance(d, int) or not isinstance(ts, int) \
+                or not isinstance(raw, bytes):
+            raise ValueError("logical field base type mismatch")
+        if not (-(1 << 31) <= d < (1 << 31)):
+            raise ValueError("avro date outside int32 (boundary)")
+        n += 1
+        date_min = d if date_min is None else min(date_min, d)
+        date_max = d if date_max is None else max(date_max, d)
+        ts_min = ts if ts_min is None else min(ts_min, ts)
+        ts_max = ts if ts_max is None else max(ts_max, ts)
+        v = decode_decimal_unscaled(raw, prec)
+        amount_sum += v
+        n_negative += 1 if v < 0 else 0
+    if n == 0:
+        raise ValueError("avro container with no records")
+    for label, s in (("amount_sum", amount_sum), ("ts_span", ts_max - ts_min)):
+        if not (-(2**63) <= s < 2**63):
+            raise ValueError(f"avro {label} overflows int64 (boundary)")
+    return {
+        "n_records": n,
+        "date_min": date_min,
+        "date_max": date_max,
+        "ts_span_micros": ts_max - ts_min,
+        "amount_sum_unscaled": amount_sum,
+        "n_negative": n_negative,
+    }

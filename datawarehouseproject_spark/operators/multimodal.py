@@ -3140,3 +3140,44 @@ def extract_iceberg_time_travel(
         return scan_iceberg_time_travel
 
     return _extract_metadata(media, ICEBERG_TT_SCHEMA, loader, permissive)
+
+
+def synthesize_avro_logical_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Avro containers whose
+    schema carries logical-type annotations: date, timestamp-micros,
+    decimal (``functions/avro_scan.py:synth_avro_logical``)."""
+
+    def loader():
+        from ..functions.avro_scan import synth_avro_logical
+
+        return synth_avro_logical
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+AVRO_LOGICAL_SCHEMA = T.StructType(
+    [
+        T.StructField("n_records", T.LongType()),
+        T.StructField("date_min", T.IntegerType()),
+        T.StructField("date_max", T.IntegerType()),
+        T.StructField("ts_span_micros", T.LongType()),
+        T.StructField("amount_sum_unscaled", T.LongType()),
+        T.StructField("n_negative", T.LongType()),
+    ]
+)
+
+
+def extract_avro_logical_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Logical-type Avro container read per payload
+    (:func:`..functions.avro_scan.scan_avro_logical`)."""
+
+    def loader():
+        from ..functions.avro_scan import scan_avro_logical
+
+        return scan_avro_logical
+
+    return _extract_metadata(media, AVRO_LOGICAL_SCHEMA, loader, permissive)

@@ -1787,6 +1787,56 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_logical_types_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 12 + doc_id % 20 AS n FROM documents),
+    ii AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    r AS (
+      SELECT media_id, n, i,
+             19000 + (media_id + i) % 365 AS d,
+             (media_id * 13 + i * 7) % 100000 - 5000 AS amt
+      FROM ii)
+    SELECT media_id,
+           CAST(max(n) AS BIGINT) AS n_records,
+           CAST(min(d) AS INTEGER) AS date_min,
+           CAST(max(d) AS INTEGER) AS date_max,
+           CAST((max(n) - 1) * 1000000 AS BIGINT) AS ts_span_micros,
+           CAST(sum(amt) AS BIGINT) AS amount_sum_unscaled,
+           CAST(sum(CASE WHEN amt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "avro", "logical-types", "decimal", "mapInPandas"),
+)
+def q_avro_logical_types_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro LOGICAL types (round 11): ``date`` (int days),
+    ``timestamp-micros`` (long), and ``decimal`` (bytes: big-endian
+    two's-complement unscaled value with a precision fence) — the
+    annotations every real Kafka-archive schema carries on its base
+    primitives (Avro 1.11 spec "Logical Types").  Negative amounts
+    exercise two's complement; sums stay integer (unscaled cents)
+    so the oracle is exact.  Unknown annotations are ignored per
+    spec (underlying type wins); a decimal without a valid
+    precision loud-rejects rather than silently reinterpreting
+    money bytes."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_avro_logical_scan,
+        synthesize_avro_logical_media,
+    )
+
+    media = synthesize_avro_logical_media(_t(spark, sf_dir, "documents"))
+    return extract_avro_logical_scan(media).select(
+        "media_id", "n_records", "date_min", "date_max",
+        "ts_span_micros", "amount_sum_unscaled", "n_negative",
+    )
+
+
+@register(
     "iceberg_time_travel_scan",
     oracle="""
     WITH m AS (

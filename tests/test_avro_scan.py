@@ -335,3 +335,43 @@ def test_map_nonstring_value_framing():
     blob = encode_avro_container(schema, [body], bytes(16))
     (rec,) = decode_avro_blocks(blob)
     assert rec == {"m": {"k1": 42}}
+
+
+def test_logical_types_roundtrip_and_fences():
+    import json as _json
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        decode_decimal_unscaled,
+        parse_logical_types,
+        scan_avro_logical,
+        synth_avro_logical,
+    )
+
+    r = scan_avro_logical(synth_avro_logical(3))
+    assert r["n_records"] == 15
+    assert r["n_negative"] > 0  # two's complement exercised
+
+    # decimal precision fence
+    with pytest.raises(ValueError, match="precision"):
+        decode_decimal_unscaled((10**9).to_bytes(5, "big"), 9)
+    assert decode_decimal_unscaled(b"\xff", 2) == -1
+
+    # unknown annotation ignored per spec; bad decimal loud-rejects
+    ok = _json.dumps({
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "a", "type": {"type": "long",
+                                   "logicalType": "future-thing"}},
+        ],
+    }).encode()
+    assert parse_logical_types(ok) == {}
+    bad = _json.dumps({
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "a", "type": {"type": "bytes",
+                                   "logicalType": "decimal",
+                                   "precision": 99, "scale": 2}},
+        ],
+    }).encode()
+    with pytest.raises(ValueError, match="precision"):
+        parse_logical_types(bad)

@@ -137,6 +137,11 @@ def _cases():
             avro_scan.scan_avro_complex,
         ),
         (
+            "avro_logical",
+            avro_scan.synth_avro_logical,
+            avro_scan.scan_avro_logical,
+        ),
+        (
             "iceberg",
             iceberg_scan.synth_iceberg,
             iceberg_scan.scan_iceberg,
