@@ -540,13 +540,12 @@ def _decode_spec(data: bytes, pos: int, spec, depth: int = 0):
             items.append(v)
 
 
-def decode_avro_blocks(payload: bytes) -> list[dict]:
-    """Decode EVERY record of an Avro container through the generic
-    (nested-capable) decoder.  The top-level schema must be a record;
-    framing/codec/sync handling and the byte/record caps are
-    :func:`_iter_avro_blocks`'s — one walk, two decoders."""
-    blocks = _iter_avro_blocks(payload)
-    meta = next(blocks)
+def _decode_records(meta: dict, blocks) -> list[dict]:
+    """Decode core shared by :func:`decode_avro_blocks` and the
+    logical-type scan: ONE schema parse, one block walk (review r11
+    pass 5: a second walk with a second schema validator is exactly
+    the fence-drift class that produced the duplicate-field
+    TypeError escape)."""
     try:
         schema = json.loads(meta["avro.schema"])
     except json.JSONDecodeError as e:
@@ -567,6 +566,16 @@ def decode_avro_blocks(payload: bytes) -> list[dict]:
     if not records:
         raise ValueError("avro container with no records")
     return records
+
+
+def decode_avro_blocks(payload: bytes) -> list[dict]:
+    """Decode EVERY record of an Avro container through the generic
+    (nested-capable) decoder.  The top-level schema must be a record;
+    framing/codec/sync handling and the byte/record caps are
+    :func:`_iter_avro_blocks`'s — one walk, two decoders."""
+    blocks = _iter_avro_blocks(payload)
+    meta = next(blocks)
+    return _decode_records(meta, blocks)
 
 
 def encode_avro_container(
@@ -880,8 +889,17 @@ def scan_avro_logical(payload: bytes) -> dict:
     logical = parse_logical_types(meta["avro.schema"])
     if set(logical) != {"d", "ts", "amount"}:
         raise ValueError("avro logical fixture schema mismatch")
+    # kind fence, not just name fence: a schema listing 'amount'
+    # twice (date first, plain bytes second) would register a
+    # non-decimal tuple here while the generic decoder yields bytes,
+    # and prec=None would TypeError past the quarantine (review r11
+    # pass 5, reproduced)
+    if logical["d"][:2] != ("int", "date")             or logical["ts"][:2] != ("long", "timestamp-micros")             or logical["amount"][:2] != ("bytes", "decimal"):
+        raise ValueError("avro logical annotations mismatch (boundary)")
     prec = logical["amount"][2]
-    records = decode_avro_blocks(payload)
+    if not isinstance(prec, int):
+        raise ValueError("avro decimal precision missing (boundary)")
+    records = _decode_records(meta, blocks)  # ONE walk, one validator
     n = 0
     date_min = date_max = None
     ts_min = ts_max = None
@@ -904,8 +922,7 @@ def scan_avro_logical(payload: bytes) -> dict:
         v = decode_decimal_unscaled(raw, prec)
         amount_sum += v
         n_negative += 1 if v < 0 else 0
-    if n == 0:
-        raise ValueError("avro container with no records")
+    # empty containers already quarantined inside _decode_records
     for label, s in (("amount_sum", amount_sum), ("ts_span", ts_max - ts_min)):
         if not (-(2**63) <= s < 2**63):
             raise ValueError(f"avro {label} overflows int64 (boundary)")

@@ -375,3 +375,39 @@ def test_logical_types_roundtrip_and_fences():
     }).encode()
     with pytest.raises(ValueError, match="precision"):
         parse_logical_types(bad)
+
+
+def test_logical_duplicate_field_schema_quarantines():
+    """Review r11 pass 5 (reproduced escape): a schema listing
+    'amount' twice — date first, plain bytes second — made the two
+    schema validators disagree and decode_decimal_unscaled received
+    precision=None -> TypeError past the quarantine."""
+    import json as _json
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _zigzag_write,
+        encode_avro_container,
+        scan_avro_logical,
+    )
+
+    schema = _json.dumps({
+        "type": "record", "name": "txn",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "amount",
+             "type": {"type": "int", "logicalType": "date"}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts",
+             "type": {"type": "long",
+                      "logicalType": "timestamp-micros"}},
+            {"name": "amount", "type": "bytes"},
+        ],
+    }).encode()
+    body = (
+        _zigzag_write(1) + _zigzag_write(19000) + _zigzag_write(19000)
+        + _zigzag_write(1_700_000_000_000_000)
+        + _zigzag_write(1) + b"\x05"
+    )
+    blob = encode_avro_container(schema, [body], bytes(16))
+    with pytest.raises(ValueError, match="annotations mismatch"):
+        scan_avro_logical(blob)
