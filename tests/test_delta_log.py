@@ -204,3 +204,105 @@ def test_statsless_file_only_prunable_by_partition():
     files[path] = b"\n".join(out) + b"\n"
     with pytest.raises(ValueError, match="partition value"):
         scan_delta_partitioned(_retar(files))
+
+
+def _rebuild_checkpoint(files, actions):
+    """Write a checkpoint parquet from a list of
+    {metaData|protocol|add|remove: body} dicts and fix
+    _last_checkpoint."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = {"metaData": [], "protocol": [], "add": [], "remove": []}
+    for act in actions:
+        (kind, body), = act.items()
+        for k in cols:
+            cols[k].append(body if k == kind else None)
+    cp = pa.table(cols)
+    buf = _io.BytesIO()
+    pq.write_table(cp, buf)
+    files["_delta_log/00000000000000000001.checkpoint.parquet"] = (
+        buf.getvalue()
+    )
+    files["_delta_log/_last_checkpoint"] = json.dumps(
+        {"version": 1, "size": len(actions)}
+    ).encode()
+
+
+def _checkpoint_actions(files):
+    """Decode the fixture checkpoint back to action dicts."""
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    cp = pq.read_table(_io.BytesIO(
+        files["_delta_log/00000000000000000001.checkpoint.parquet"]
+    ))
+    out = []
+    for kind in ("metaData", "protocol", "add"):
+        for body in cp.column(kind).to_pylist():
+            if body is not None:
+                out.append({kind: body})
+    return out
+
+
+def test_checkpoint_carried_tombstone_drops_the_file():
+    """Real checkpoints retain remove tombstones (vacuum
+    bookkeeping); the replay must honor one found IN the checkpoint,
+    not only in JSON commits."""
+    seed = 1
+    base = scan_delta(synth_delta(seed))
+    files = _untar(synth_delta(seed))
+    actions = _checkpoint_actions(files)
+    # tombstone a file the probe does NOT hit (seed 1 probes slot 1
+    # of 6; remove slot 2's file) so live_files drops but the scan
+    # still succeeds
+    actions.append({"remove": {"path": "part-00002.parquet"}})
+    _rebuild_checkpoint(files, actions)
+    r = scan_delta(_retar(files))
+    assert r["live_files"] == base["live_files"] - 1
+    assert r["files_at_checkpoint"] == base["files_at_checkpoint"] - 1
+    assert r["probe_matches"] == base["probe_matches"]
+
+
+def test_commit_readd_overrides_checkpoint_state():
+    """Last-action-wins: a commit re-adding a path present in the
+    checkpoint replaces its stats (here: a bigger numRecords backed
+    by a matching parquet)."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seed = 1
+    plan = synth_delta_plan(seed)
+    k = plan["probe_slot"]
+    assert k == 1  # seed 1 probes slot 1
+    files = _untar(synth_delta(seed))
+    # replacement for slot 1's file: same window, 3 extra copies of
+    # the probe value appended
+    lo = 100 + seed % 50
+    rows = 40 + (seed + 1) % 60
+    vals = [lo + (r % 40) for r in range(rows)] + [plan["probe"]] * 3
+    buf = _io.BytesIO()
+    pq.write_table(pa.table({"v": vals}), buf)
+    files["part-00001.parquet"] = buf.getvalue()
+    add = {
+        "path": "part-00001.parquet",
+        "size": len(files["part-00001.parquet"]),
+        "dataChange": True,
+        "stats": json.dumps({
+            "numRecords": len(vals),
+            "minValues": {"v": lo},
+            "maxValues": {"v": lo + 39},
+        }),
+    }
+    path = "_delta_log/00000000000000000002.json"
+    files[path] = files[path] + json.dumps({"add": add}).encode() + b"\n"
+    r = scan_delta(_retar(files))
+    base = scan_delta(synth_delta(seed))
+    assert r["probe_matches"] == base["probe_matches"] + 3
+    assert r["rows_scanned"] == base["rows_scanned"] + 3
+    assert r["live_files"] == base["live_files"]
