@@ -3181,3 +3181,45 @@ def extract_avro_logical_scan(
         return scan_avro_logical
 
     return _extract_metadata(media, AVRO_LOGICAL_SCHEMA, loader, permissive)
+
+
+def synthesize_orc_bloom_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of ORC files with
+    BLOOM_FILTER_UTF8 indexes on both columns
+    (``functions/orc_pages.py:synth_orc_bloom``)."""
+
+    def loader():
+        from ..functions.orc_pages import synth_orc_bloom
+
+        return synth_orc_bloom
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ORC_BLOOM_SCHEMA = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_bloom_columns", T.IntegerType()),
+        T.StructField("hash_functions", T.IntegerType()),
+        T.StructField("int_present_hits", T.LongType()),
+        T.StructField("str_present_hits", T.LongType()),
+        T.StructField("int_fp_bounded", T.BooleanType()),
+        T.StructField("str_fp_bounded", T.BooleanType()),
+    ]
+)
+
+
+def extract_orc_bloom_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """ORC bloom-filter membership scan per payload
+    (:func:`..functions.orc_pages.scan_orc_bloom`)."""
+
+    def loader():
+        from ..functions.orc_pages import scan_orc_bloom
+
+        return scan_orc_bloom
+
+    return _extract_metadata(media, ORC_BLOOM_SCHEMA, loader, permissive)

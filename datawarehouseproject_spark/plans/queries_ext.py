@@ -1787,6 +1787,57 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_bloom_filter_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 60 + doc_id % 40 AS n FROM documents)
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(2 AS INTEGER) AS n_bloom_columns,
+           CAST(4 AS INTEGER) AS hash_functions,
+           CAST(n AS BIGINT) AS int_present_hits,
+           CAST(n AS BIGINT) AS str_present_hits,
+           TRUE AS int_fp_bounded,
+           TRUE AS str_fp_bounded
+    FROM m
+    """,
+    tags=("sources", "orc", "bloom-filter", "data-skipping",
+          "mapInPandas"),
+)
+def q_orc_bloom_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC BLOOM FILTER data skipping (round 11): decode the
+    BLOOM_FILTER_UTF8 index streams pyarrow's writer emits
+    (``bloom_filter_columns``) and serve point-lookup membership
+    WITHOUT touching the data streams — at 100 TB this is how a
+    needle query skips stripes whose min/max straddle the probe.
+
+    Both ORC bloom hash variants are hand-implemented and
+    producer-pinned: integers use the Thomas Wang 64-bit mix with
+    SIGNED int64 arithmetic (the unsigned textbook variant diverges
+    for any value that goes negative mid-mix — pinned against
+    pyarrow single-value blooms including negatives and >32-bit
+    values), strings use Hive's Murmur3 ``hash64`` h1 lane with its
+    104729 default seed; placement is the Java split-hash
+    ``|int32(h1 + i*h2)| % numBits`` with int32 wraparound.  The
+    oracle asserts only GUARANTEED semantics: zero false negatives
+    (present_hits == n for both columns) and a bounded
+    false-positive rate over deterministic absent sets (booleans,
+    stable across writer versions)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_orc_bloom_scan,
+        synthesize_orc_bloom_media,
+    )
+
+    media = synthesize_orc_bloom_media(_t(spark, sf_dir, "documents"))
+    return extract_orc_bloom_scan(media).select(
+        "media_id", "n_rows", "n_bloom_columns", "hash_functions",
+        "int_present_hits", "str_present_hits", "int_fp_bounded",
+        "str_fp_bounded",
+    )
+
+
+@register(
     "avro_logical_types_scan",
     oracle="""
     WITH m AS (
