@@ -866,6 +866,51 @@ def parse_bloom_index(blob: bytes) -> list[tuple[int, bytes]]:
 _K_BLOOM_UTF8 = 8
 
 
+def read_orc_blooms(payload: bytes) -> dict[int, list[tuple[int, bytes]]]:
+    """Collect every BLOOM_FILTER_UTF8 index in the file, keyed by
+    column id: ``{col: [(numHashFunctions, bitset), ...]}`` with one
+    list entry per row group per stripe. Schema-agnostic (unlike
+    :func:`scan_orc_bloom`, which is fixture-shaped) — this is the
+    membership-probe primitive a needle query would call before
+    deciding whether to read a stripe at all."""
+    codec, footer, _n_rows, _types = _parse_orc_tail(payload)
+    blooms: dict[int, list[tuple[int, bytes]]] = {}
+    for sb in footer.get(3, []):
+        s = _msg(sb)
+        offset = _nonneg(s.get(1, [None])[0], "stripe offset")
+        index_len = _nonneg(s.get(2, [0])[0], "stripe index length")
+        data_len = _nonneg(s.get(3, [0])[0], "stripe data length")
+        sf_len = _nonneg(s.get(4, [None])[0], "stripe footer length")
+        sf_start = offset + index_len + data_len
+        if sf_start + sf_len > len(payload):
+            raise ValueError("stripe footer past end of file")
+        sfoot = _msg(
+            _orc_decompress(
+                payload[sf_start : sf_start + sf_len], codec,
+                "stripe footer",
+            )
+        )
+        cursor = offset
+        for st in sfoot.get(1, []):
+            m = _msg(st)
+            kind = _nonneg(m.get(1, [0])[0], "stream kind")
+            col = m.get(2, [None])[0]
+            length = _nonneg(m.get(3, [0])[0], "stream length")
+            if col is None:
+                raise ValueError("stream without column id")
+            if kind == _K_BLOOM_UTF8:
+                blooms.setdefault(col, []).extend(
+                    parse_bloom_index(
+                        _orc_decompress(
+                            payload[cursor : cursor + length], codec,
+                            "bloom index",
+                        )
+                    )
+                )
+            cursor += length
+    return blooms
+
+
 def synth_orc_bloom_plan(seed: int) -> dict:
     """Mirrored in the DuckDB oracle: ``n = 60 + seed%40`` rows;
     ``k[i] = seed*1000 + i*7 - 50000`` (negatives + 7-spaced so

@@ -122,6 +122,11 @@ def _cases():
             orc_pages.synth_orc_rich,
             orc_pages.scan_orc_rich,
         ),
+        (
+            "orc_bloom",
+            orc_pages.synth_orc_bloom,
+            orc_pages.scan_orc_bloom,
+        ),
         ("ico", ico.synth_ico, ico.scan_ico),
         ("sqlite", sqlite_scan.synth_sqlite, sqlite_scan.scan_sqlite),
         (

@@ -192,3 +192,148 @@ def test_dictionary_index_out_of_range_quarantines():
         finally:
             blob[pos] = old
     assert seen_error > 0
+
+
+# --- round 11: BLOOM_FILTER_UTF8 data skipping -----------------------
+
+
+def _bloom_orc(ints, strs, **kw) -> bytes:
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table(
+            {"k": pa.array(ints, type=pa.int64()), "s": pa.array(strs)}
+        ),
+        buf,
+        bloom_filter_columns=[1, 2],
+        bloom_filter_fpp=0.05,
+        **kw,
+    )
+    return buf.getvalue()
+
+
+def test_long_bloom_hash_pinned_against_producer():
+    """Every written int must test present in the pyarrow-written
+    bloom (a bloom has no false negatives) — the battery includes
+    negatives, >32-bit, int64 extremes and 0, which pins the SIGNED
+    Thomas Wang mix: the unsigned textbook variant diverges on any
+    value that goes negative mid-mix."""
+    from datawarehouseproject_spark.functions.orc_pages import (
+        bloom_might_contain,
+        orc_long_bloom_hash,
+        read_orc_blooms,
+    )
+
+    vals = [0, 1, -1, 7, -50000, 2**33 + 123, -(2**40) - 9,
+            2**62, -(2**62), 2**63 - 1, -(2**63)]
+    blooms = read_orc_blooms(_bloom_orc(vals, [str(v) for v in vals]))
+    assert 1 in blooms and blooms[1]
+    for v in vals:
+        h = orc_long_bloom_hash(v)
+        assert any(
+            bloom_might_contain(bits, k, h) for k, bits in blooms[1]
+        ), f"false negative for int {v}"
+
+
+def test_unsigned_wang_variant_would_miss():
+    """The pin that the mix is signed: re-run the same membership
+    probes through the UNSIGNED Wang mix and require at least one
+    written value to go missing — if both variants always agreed the
+    docstring's claim would be vacuous."""
+    from datawarehouseproject_spark.functions.orc_pages import (
+        bloom_might_contain,
+        read_orc_blooms,
+    )
+
+    M = (1 << 64) - 1
+
+    def unsigned_wang(key: int) -> int:
+        key &= M
+        key = ((~key) + (key << 21)) & M
+        key ^= key >> 24
+        key = ((key + (key << 3)) + (key << 8)) & M
+        key ^= key >> 14
+        key = ((key + (key << 2)) + (key << 4)) & M
+        key ^= key >> 28
+        key = (key + (key << 31)) & M
+        return key
+
+    vals = [-1, -50000, -(2**40) - 9, -(2**62), -(2**63)]
+    blooms = read_orc_blooms(_bloom_orc(vals, [str(v) for v in vals]))
+    misses = sum(
+        1 for v in vals
+        if not any(
+            bloom_might_contain(bits, k, unsigned_wang(v))
+            for k, bits in blooms[1]
+        )
+    )
+    assert misses > 0
+
+
+def test_bytes_bloom_hash_pinned_against_producer():
+    """Strings spanning every murmur tail length 0..7 plus
+    multi-block (>8, >16 bytes) and non-ASCII UTF-8 — all must test
+    present; pins the Hive hash64 h1 lane with seed 104729."""
+    from datawarehouseproject_spark.functions.orc_pages import (
+        bloom_might_contain,
+        orc_bytes_bloom_hash,
+        read_orc_blooms,
+    )
+
+    strs = ["", "a", "ab", "abc", "abcd", "abcde", "abcdef",
+            "abcdefg", "abcdefgh", "abcdefghi", "0123456789abcdef",
+            "0123456789abcdefX", "xin chào thế giới", "naïve café"]
+    blooms = read_orc_blooms(_bloom_orc(list(range(len(strs))), strs))
+    assert 2 in blooms and blooms[2]
+    for s in strs:
+        h = orc_bytes_bloom_hash(s.encode())
+        assert any(
+            bloom_might_contain(bits, k, h) for k, bits in blooms[2]
+        ), f"false negative for string {s!r}"
+
+
+def test_bloom_scan_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_bloom,
+        synth_orc_bloom,
+        synth_orc_bloom_plan,
+    )
+
+    for seed in range(8):
+        n = synth_orc_bloom_plan(seed)["n"]
+        out = scan_orc_bloom(synth_orc_bloom(seed))
+        assert out["n_rows"] == n
+        assert out["n_bloom_columns"] == 2
+        assert out["hash_functions"] == 4
+        assert out["int_present_hits"] == n
+        assert out["str_present_hits"] == n
+        assert out["int_fp_bounded"] and out["str_fp_bounded"]
+
+
+def test_bloom_legacy_fixed64_rejects():
+    """A BloomFilterIndex carrying the pre-1.6 repeated-fixed64
+    bitset (field 2) must loud-reject, not silently mis-probe."""
+    from datawarehouseproject_spark.functions.orc_pages import (
+        parse_bloom_index,
+    )
+
+    # protobuf: msg{1: bf{1: varint 4, 2: fixed64 0}}
+    bf = bytes([0x08, 0x04, 0x11]) + b"\x00" * 8
+    blob = bytes([0x0A, len(bf)]) + bf
+    with pytest.raises(ValueError, match="legacy fixed64"):
+        parse_bloom_index(blob)
+
+
+def test_bloom_shape_fences():
+    from datawarehouseproject_spark.functions.orc_pages import (
+        bloom_might_contain,
+        parse_bloom_index,
+    )
+
+    with pytest.raises(ValueError, match="malformed"):
+        bloom_might_contain(b"", 4, 12345)
+    with pytest.raises(ValueError, match="malformed"):
+        bloom_might_contain(b"\xff" * 8, 0, 12345)
+    with pytest.raises(ValueError, match="malformed"):
+        bloom_might_contain(b"\xff" * 8, 65, 12345)
+    with pytest.raises(ValueError, match="no filters"):
+        parse_bloom_index(b"")
