@@ -53,6 +53,8 @@ from .bundles import read_tar_bundle, write_tar_bundle
 
 _LOG = "_delta_log"
 _SUPPORTED_READER_VERSION = 1
+_DV_READER_VERSION = 3
+_SUPPORTED_READER_FEATURES = {"deletionVectors"}
 _JSON_RE = re.compile(r"^(\d{20})\.json$")
 
 
@@ -237,13 +239,18 @@ class _State:
     partition pruning can skip the file (the conservative fallback
     is scan-it)."""
 
-    def __init__(self, require_stats: bool = True) -> None:
-        #: path -> ((numRecords, lo, hi) | None, {part col -> value})
+    def __init__(
+        self, require_stats: bool = True, allow_dv: bool = False
+    ) -> None:
+        #: path -> ((numRecords, lo, hi) | None, {part col -> value},
+        #:          deletionVector descriptor | None)
         self.adds: dict[str, tuple] = {}
         self.meta_id: str | None = None
         self.min_reader: int | None = None
         self.configuration: dict = {}
         self.require_stats = require_stats
+        self.allow_dv = allow_dv
+        self.reader_features: set[str] = set()
 
     def apply(self, action: dict) -> None:
         if not isinstance(action, dict):
@@ -285,11 +292,30 @@ class _State:
                 raise ValueError("protocol minReaderVersion malformed")
             # the spec REQUIRES refusing tables above the supported
             # reader version (silently reading e.g. a deletion-vector
-            # table would resurrect deleted rows)
-            if mrv > _SUPPORTED_READER_VERSION:
+            # table would resurrect deleted rows).  Version 2 (column
+            # mapping) stays refused on every path; version 3 is
+            # accepted only by the DV-aware scan AND only when every
+            # declared readerFeature is implemented here.
+            cap = _DV_READER_VERSION if self.allow_dv else (
+                _SUPPORTED_READER_VERSION
+            )
+            if mrv > cap or mrv == 2:
                 raise ValueError(
                     f"delta minReaderVersion {mrv} unsupported (boundary)"
                 )
+            if mrv >= 3:
+                feats = body.get("readerFeatures")
+                if not isinstance(feats, list) or not all(
+                    isinstance(f, str) for f in feats
+                ):
+                    raise ValueError("protocol readerFeatures malformed")
+                unknown = set(feats) - _SUPPORTED_READER_FEATURES
+                if unknown:
+                    raise ValueError(
+                        f"reader features {sorted(unknown)} "
+                        "unsupported (boundary)"
+                    )
+                self.reader_features = set(feats)
             self.min_reader = mrv
             return
         path = body.get("path")
@@ -311,11 +337,25 @@ class _State:
             for k, v in pv.items()
         ):
             raise ValueError("add partitionValues malformed")
-        self.adds[path] = (stats, pv)
+        dv = body.get("deletionVector")
+        if dv is not None:
+            if not self.allow_dv:
+                # belt alongside the protocol-version fence: even a
+                # mis-versioned log cannot make a non-DV scan silently
+                # resurrect deleted rows
+                raise ValueError("deletion vectors unsupported (boundary)")
+            if "deletionVectors" not in self.reader_features:
+                raise ValueError(
+                    "deletionVector add without the protocol feature"
+                )
+            dv = _parse_dv_descriptor(dv)
+        self.adds[path] = (stats, pv, dv)
 
 
 def _replay_log(
-    files: dict[str, bytes], require_stats: bool = True
+    files: dict[str, bytes],
+    require_stats: bool = True,
+    allow_dv: bool = False,
 ):
     """Shared _delta_log walk: _last_checkpoint -> checkpoint parquet
     -> contiguous post-checkpoint JSON replay.  Returns
@@ -350,7 +390,7 @@ def _replay_log(
         raise ValueError(f"checkpoint unreadable: {e}") from None
     if cp.num_rows != cp_size:
         raise ValueError("_last_checkpoint size disagrees with parquet")
-    state = _State(require_stats)
+    state = _State(require_stats, allow_dv)
     cols = cp.column_names
     for kind in ("metaData", "protocol", "add", "remove"):
         if kind not in cols:
@@ -460,7 +500,7 @@ def scan_delta(payload: bytes) -> dict:
     probe = _probe_from_config(state)
     survivors = [
         (path, st[0], st[1], st[2])
-        for path, (st, _pv) in live
+        for path, (st, _pv, _dv) in live
         if st[1] <= probe <= st[2]
     ]
     rows_scanned = 0
@@ -469,7 +509,7 @@ def scan_delta(payload: bytes) -> dict:
         rows, m = _scan_parquet_matches(files, path, probe, nr)
         rows_scanned += rows
         matches += m
-    total_live_rows = sum(st[0] for _, (st, _pv) in live)
+    total_live_rows = sum(st[0] for _, (st, _pv, _dv) in live)
     if not (0 <= total_live_rows < 2**63):
         raise ValueError("delta total rows overflows int64 (boundary)")
     return {
@@ -626,7 +666,7 @@ def scan_delta_partitioned(payload: bytes) -> dict:
     if not isinstance(target, str):
         raise ValueError("table configuration missing the partition probe")
     part_survivors = []
-    for path, (st, pv) in live:
+    for path, (st, pv, _dv) in live:
         if "p" not in pv:
             raise ValueError("add missing the partition value")
         if pv["p"] == target:
@@ -649,11 +689,693 @@ def scan_delta_partitioned(payload: bytes) -> dict:
     return {
         "live_files": len(live),
         "files_without_stats": sum(
-            1 for _, (st, _pv) in live if st is None
+            1 for _, (st, _pv, _dv) in live if st is None
         ),
         "files_pruned_partition": files_pruned_partition,
         "files_pruned_stats": files_pruned_stats,
         "files_scanned": len(survivors),
         "rows_scanned": rows_scanned,
         "probe_matches": matches,
+    }
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (reader version 3, readerFeatures=["deletionVectors"])
+# ---------------------------------------------------------------------------
+# PROTOCOL.md "Deletion Vectors" + "Deletion Vector Format": an add
+# action may carry a ``deletionVector`` descriptor {storageType,
+# pathOrInlineDv, offset, sizeInBytes, cardinality} marking row
+# POSITIONS of the data file as deleted — merge-on-read, the rows
+# stay in the parquet.  A reader that ignores the descriptor
+# resurrects deleted rows, which is why the protocol gates the
+# feature behind minReaderVersion 3 + the named readerFeature.
+#
+#   - storageType "u": the DV lives in a sibling file; pathOrInlineDv
+#     is ``<random prefix><z85-encoded 16-byte uuid>`` (the last 20
+#     chars are the uuid) naming ``<prefix>/deletion_vector_<uuid>.bin``
+#     relative to the table root; ``offset`` points into the file at
+#     ``<dataSize: int32 BE><data><crc32 of data: int32 BE>`` with the
+#     file's first byte a format-version marker (1).
+#   - storageType "i": pathOrInlineDv is the z85 encoding of the data
+#     itself (zero-padded to the codec's 4-byte alignment; sizeInBytes
+#     recovers the true length).
+#   - storageType "p" (absolute path) loud-rejects here: a bundle
+#     fixture has no absolute filesystem (boundary).
+#
+# The data blob is ``<magic 1681511377: int32 LE><64-bit
+# RoaringBitmapArray "portable">``: an int64 LE count of 32-bit
+# bitmaps, then per bitmap an int32 LE key (the high 32 bits) and a
+# standard 32-bit RoaringBitmap in the RoaringFormatSpec portable
+# layout (cookie 12346/12347, run flags, descriptive + offset
+# headers, array/bitmap/run containers) — the roaring layer is
+# pinned by hand-traced goldens from that published spec, the delta
+# layer by descriptor/decoded-cardinality/parquet-footer
+# cross-checks recomputed by the DuckDB oracle (layered pinning: no
+# independent Delta or roaring producer ships in this container).
+
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INV = {c: i for i, c in enumerate(_Z85)}
+_DV_MAGIC = 1681511377
+_DV_SIZE_CAP = 1 << 22
+_DV_CARD_CAP = 1 << 20
+_SERIAL_COOKIE = 12347
+_SERIAL_COOKIE_NO_RUN = 12346
+_NO_OFFSET_THRESHOLD = 4
+
+
+def z85_encode(data: bytes) -> str:
+    """ZeroMQ Z85 (RFC 32/Z85): 4 bytes -> 5 chars, big-endian."""
+    if len(data) % 4:
+        raise ValueError("z85 input not 4-byte aligned")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85 text not 5-char aligned")
+    if len(text) > 5 * (_DV_SIZE_CAP // 4):
+        raise ValueError("z85 text past size cap")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            d = _Z85_INV.get(c)
+            if d is None:
+                raise ValueError("z85 text has a non-alphabet character")
+            v = v * 85 + d
+        if v > 0xFFFFFFFF:
+            raise ValueError("z85 group overflows 32 bits")
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _roaring32_deserialize(data: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard 32-bit RoaringBitmap (RoaringFormatSpec
+    'portable' layout) -> (ascending values, new position).  Every
+    structural invariant the spec states is enforced as ValueError:
+    ascending keys, sorted containers, cardinality agreement, offset
+    header agreement."""
+    start = pos
+    if pos + 4 > len(data):
+        raise ValueError("roaring bitmap truncated at cookie")
+    word = int.from_bytes(data[pos : pos + 4], "little")
+    pos += 4
+    if (word & 0xFFFF) == _SERIAL_COOKIE:
+        n = (word >> 16) + 1
+        nflag = (n + 7) // 8
+        if pos + nflag > len(data):
+            raise ValueError("roaring run flags truncated")
+        flags = data[pos : pos + nflag]
+        pos += nflag
+        runs = [(flags[i >> 3] >> (i & 7)) & 1 for i in range(n)]
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif word == _SERIAL_COOKIE_NO_RUN:
+        if pos + 4 > len(data):
+            raise ValueError("roaring container count truncated")
+        n = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        runs = [0] * n
+        has_offsets = True
+    else:
+        raise ValueError("roaring cookie unknown")
+    if not 0 < n <= 1 << 16:
+        raise ValueError("roaring container count out of range")
+    if pos + 4 * n > len(data):
+        raise ValueError("roaring descriptive header truncated")
+    keys, cards = [], []
+    prev_key = -1
+    for _ in range(n):
+        key = int.from_bytes(data[pos : pos + 2], "little")
+        if key <= prev_key:
+            raise ValueError("roaring keys not strictly increasing")
+        prev_key = key
+        keys.append(key)
+        cards.append(int.from_bytes(data[pos + 2 : pos + 4], "little") + 1)
+        pos += 4
+    if sum(cards) > _DV_CARD_CAP:
+        raise ValueError("roaring cardinality past cap")
+    offsets = None
+    if has_offsets:
+        if pos + 4 * n > len(data):
+            raise ValueError("roaring offset header truncated")
+        offsets = [
+            int.from_bytes(data[pos + 4 * i : pos + 4 * i + 4], "little")
+            for i in range(n)
+        ]
+        pos += 4 * n
+    values: list[int] = []
+    for i in range(n):
+        if offsets is not None and offsets[i] != pos - start:
+            raise ValueError("roaring offset header disagrees with layout")
+        base = keys[i] << 16
+        if runs[i]:
+            if pos + 2 > len(data):
+                raise ValueError("run container truncated")
+            n_runs = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+            if pos + 4 * n_runs > len(data):
+                raise ValueError("run container truncated")
+            got, prev = 0, -1
+            for _ in range(n_runs):
+                s0 = int.from_bytes(data[pos : pos + 2], "little")
+                ln = int.from_bytes(data[pos + 2 : pos + 4], "little")
+                pos += 4
+                if s0 <= prev:
+                    raise ValueError("run container not sorted")
+                if s0 + ln > 0xFFFF:
+                    raise ValueError("run past container range")
+                values.extend(base | v for v in range(s0, s0 + ln + 1))
+                got += ln + 1
+                prev = s0 + ln
+            if got != cards[i]:
+                raise ValueError("run container cardinality disagrees")
+        elif cards[i] <= 4096:
+            if pos + 2 * cards[i] > len(data):
+                raise ValueError("array container truncated")
+            prev = -1
+            for _ in range(cards[i]):
+                v = int.from_bytes(data[pos : pos + 2], "little")
+                pos += 2
+                if v <= prev:
+                    raise ValueError("array container not sorted")
+                prev = v
+                values.append(base | v)
+        else:
+            if pos + 8192 > len(data):
+                raise ValueError("bitmap container truncated")
+            chunk = data[pos : pos + 8192]
+            pos += 8192
+            got = 0
+            for byte_i, b in enumerate(chunk):
+                while b:
+                    low = b & -b
+                    values.append(
+                        base | (byte_i << 3) | (low.bit_length() - 1)
+                    )
+                    b ^= low
+                    got += 1
+            if got != cards[i]:
+                raise ValueError("bitmap container cardinality disagrees")
+    return values, pos
+
+
+def _roaring32_serialize(lows_by_key: list[tuple[int, list[int], bool]]) -> bytes:
+    """Synth-side serializer: ``[(key, sorted 16-bit lows, as_run)]``
+    -> portable bytes.  ``as_run`` collapses consecutive lows into
+    run containers so the fixture exercises all three container
+    kinds the deserializer supports."""
+    any_run = any(r for _, _, r in lows_by_key)
+    n = len(lows_by_key)
+    body = io.BytesIO()
+    header = io.BytesIO()
+    if any_run:
+        header.write(
+            (_SERIAL_COOKIE | ((n - 1) << 16)).to_bytes(4, "little")
+        )
+        flags = bytearray((n + 7) // 8)
+        for i, (_, _, r) in enumerate(lows_by_key):
+            if r:
+                flags[i >> 3] |= 1 << (i & 7)
+        header.write(bytes(flags))
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    else:
+        header.write(_SERIAL_COOKIE_NO_RUN.to_bytes(4, "little"))
+        header.write(n.to_bytes(4, "little"))
+        has_offsets = True
+    for key, lows, _ in lows_by_key:
+        header.write(key.to_bytes(2, "little"))
+        header.write((len(lows) - 1).to_bytes(2, "little"))
+    chunks = []
+    for key, lows, as_run in lows_by_key:
+        if as_run:
+            runs = []
+            for v in lows:
+                if runs and v == runs[-1][0] + runs[-1][1] + 1:
+                    runs[-1][1] += 1
+                else:
+                    runs.append([v, 0])
+            c = len(runs).to_bytes(2, "little") + b"".join(
+                s.to_bytes(2, "little") + ln.to_bytes(2, "little")
+                for s, ln in runs
+            )
+        elif len(lows) <= 4096:
+            c = b"".join(v.to_bytes(2, "little") for v in lows)
+        else:
+            bits = bytearray(8192)
+            for v in lows:
+                bits[v >> 3] |= 1 << (v & 7)
+            c = bytes(bits)
+        chunks.append(c)
+    base = header.tell() + (4 * n if has_offsets else 0)
+    if has_offsets:
+        off = base
+        for c in chunks:
+            header.write(off.to_bytes(4, "little"))
+            off += len(c)
+    for c in chunks:
+        body.write(c)
+    return header.getvalue() + body.getvalue()
+
+
+def rbm_array_serialize(values: list[int]) -> bytes:
+    """Sorted unique uint64 row indexes -> Delta's 64-bit
+    RoaringBitmapArray portable bytes (array containers; the synth
+    fixtures that want run/bitmap containers build
+    ``_roaring32_serialize`` input directly)."""
+    by_key32: dict[int, dict[int, list[int]]] = {}
+    prev = -1
+    for v in values:
+        if v <= prev or not 0 <= v < 1 << 64:
+            raise ValueError("row indexes must be sorted unique uint64")
+        prev = v
+        low32 = v & 0xFFFFFFFF
+        by_key32.setdefault(v >> 32, {}).setdefault(
+            low32 >> 16, []
+        ).append(low32 & 0xFFFF)
+    out = io.BytesIO()
+    out.write(len(by_key32).to_bytes(8, "little"))
+    for key32 in sorted(by_key32):
+        containers = by_key32[key32]
+        lows = [(k, containers[k], False) for k in sorted(containers)]
+        out.write(key32.to_bytes(4, "little"))
+        out.write(_roaring32_serialize(lows))
+    return out.getvalue()
+
+
+def rbm_array_deserialize(data: bytes) -> list[int]:
+    """64-bit RoaringBitmapArray portable bytes -> ascending row
+    indexes; trailing bytes loud-reject."""
+    if len(data) < 8:
+        raise ValueError("roaring array truncated at count")
+    n = int.from_bytes(data[:8], "little")
+    if not 0 <= n <= 1 << 16:
+        raise ValueError("roaring array bitmap count out of range")
+    pos = 8
+    values: list[int] = []
+    prev_key = -1
+    for _ in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("roaring array truncated at key")
+        key = int.from_bytes(data[pos : pos + 4], "little")
+        if key <= prev_key:
+            raise ValueError("roaring array keys not strictly increasing")
+        prev_key = key
+        pos += 4
+        vals32, pos = _roaring32_deserialize(data, pos)
+        values.extend((key << 32) | v for v in vals32)
+    if pos != len(data):
+        raise ValueError("roaring array has trailing bytes")
+    if len(values) > _DV_CARD_CAP:
+        raise ValueError("roaring array cardinality past cap")
+    return values
+
+
+def dv_data_encode(values: list[int]) -> bytes:
+    return _DV_MAGIC.to_bytes(4, "little") + rbm_array_serialize(values)
+
+
+def dv_data_decode(data: bytes) -> list[int]:
+    if len(data) < 4 or int.from_bytes(data[:4], "little") != _DV_MAGIC:
+        raise ValueError("deletion vector magic mismatch")
+    return rbm_array_deserialize(data[4:])
+
+
+def _parse_dv_descriptor(dv) -> dict:
+    if not isinstance(dv, dict):
+        raise ValueError("deletionVector descriptor malformed")
+    st = dv.get("storageType")
+    if st not in ("u", "i", "p"):
+        raise ValueError("deletionVector storageType unknown")
+    if st == "p":
+        raise ValueError(
+            "absolute-path deletion vectors unsupported (boundary)"
+        )
+    raw = dv.get("pathOrInlineDv")
+    if not isinstance(raw, str) or not raw:
+        raise ValueError("deletionVector pathOrInlineDv malformed")
+    size = dv.get("sizeInBytes")
+    card = dv.get("cardinality")
+    for v, what in ((size, "sizeInBytes"), (card, "cardinality")):
+        if (
+            not isinstance(v, int) or isinstance(v, bool)
+            or not 0 <= v <= _DV_SIZE_CAP
+        ):
+            raise ValueError(f"deletionVector {what} malformed")
+    off = dv.get("offset")
+    if st == "u":
+        if (
+            not isinstance(off, int) or isinstance(off, bool)
+            or not 0 <= off < 2**31
+        ):
+            raise ValueError("deletionVector offset malformed")
+    elif off is not None:
+        raise ValueError("inline deletionVector with offset")
+    return {
+        "storageType": st,
+        "pathOrInlineDv": raw,
+        "offset": off,
+        "sizeInBytes": size,
+        "cardinality": card,
+    }
+
+
+def _dv_relative_path(token: str) -> str:
+    """storageType "u" pathOrInlineDv -> bundle-relative file name:
+    the last 20 chars are the z85 uuid, anything before is the
+    writer's scatter prefix (a directory)."""
+    import uuid as _uuid
+
+    if len(token) < 20:
+        raise ValueError("deletion vector path token too short")
+    prefix, enc = token[:-20], token[-20:]
+    u = _uuid.UUID(bytes=z85_decode(enc))
+    name = f"deletion_vector_{u}.bin"
+    if not prefix:
+        return name
+    if "/" in prefix or "\\" in prefix or ".." in prefix:
+        raise ValueError("deletion vector prefix malformed")
+    return f"{prefix}/{name}"
+
+
+def _dv_positions(files: dict[str, bytes], dv: dict) -> list[int]:
+    """Resolve + decode one descriptor to ascending row positions,
+    cross-checking every size/checksum/cardinality the format
+    declares."""
+    import zlib
+
+    if dv["storageType"] == "i":
+        decoded = z85_decode(dv["pathOrInlineDv"])
+        size = dv["sizeInBytes"]
+        if not size <= len(decoded) < size + 4:
+            raise ValueError("inline deletion vector size disagrees")
+        if any(decoded[size:]):
+            raise ValueError("inline deletion vector padding not zero")
+        data = decoded[:size]
+    else:
+        blob = files.get(_dv_relative_path(dv["pathOrInlineDv"]))
+        if blob is None:
+            raise ValueError("deletion vector file missing from bundle")
+        if not blob or blob[0] != 1:
+            raise ValueError("deletion vector file version unsupported")
+        off = dv["offset"]
+        if off + 4 > len(blob):
+            raise ValueError("deletion vector offset past file end")
+        size = int.from_bytes(blob[off : off + 4], "big")
+        if size != dv["sizeInBytes"]:
+            raise ValueError("deletion vector size disagrees with descriptor")
+        end = off + 4 + size
+        if end + 4 > len(blob):
+            raise ValueError("deletion vector data truncated")
+        data = blob[off + 4 : end]
+        crc = int.from_bytes(blob[end : end + 4], "big")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError("deletion vector checksum mismatch")
+    positions = dv_data_decode(data)
+    if len(positions) != dv["cardinality"]:
+        raise ValueError("descriptor cardinality disagrees with bitmap")
+    return positions
+
+
+def synth_delta_dv_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: ``n = 4 + seed%3`` data files,
+    file i with ``rows_i = 50 + (seed+i)%50`` rows of ``v = lo_i + r``
+    (``lo_i = i*1000 + seed%100``).  Deletion vectors: slot 0 INLINE
+    (positions ``r%5 == seed%5`` — array container, carried by the
+    CHECKPOINT itself), slot 1 file-based (v2 deletes ``r%7 ==
+    seed%7``; v3 RE-ADDS the file with a superseding DV deleting
+    ``r%7 in {seed%7, (seed+1)%7}`` — last-add-wins), slot 2
+    file-based sharing slot 1's v2 ``.bin`` at a second offset
+    (positions ``10..15+seed%9`` — run container).  Slots 3+ carry no
+    DV."""
+    n = 4 + seed % 3
+    rows = [50 + (seed + i) % 50 for i in range(n)]
+    lo = [i * 1000 + seed % 100 for i in range(n)]
+    d0 = [r for r in range(rows[0]) if r % 5 == seed % 5]
+    d1a = [r for r in range(rows[1]) if r % 7 == seed % 7]
+    d1b = [
+        r for r in range(rows[1])
+        if r % 7 in (seed % 7, (seed + 1) % 7)
+    ]
+    d2 = list(range(10, 16 + seed % 9))
+    deleted = len(d0) + len(d1b) + len(d2)
+    total = sum(rows)
+    surviving = sum(
+        lo[i] * rows[i] + rows[i] * (rows[i] - 1) // 2 for i in range(n)
+    )
+    surviving -= sum(lo[0] + r for r in d0)
+    surviving -= sum(lo[1] + r for r in d1b)
+    surviving -= sum(lo[2] + r for r in d2)
+    return {
+        "n": n,
+        "rows": rows,
+        "lo": lo,
+        "d0": d0,
+        "d1a": d1a,
+        "d1b": d1b,
+        "d2": d2,
+        "total_rows": total,
+        "deleted_rows": deleted,
+        "live_rows": total - deleted,
+        "surviving_v_sum": surviving,
+        "replaced_dv_cardinality": len(d1b),
+    }
+
+
+def _dv_file_entry(values: list[int], run: bool = False) -> bytes:
+    """``<dataSize BE><data><crc32(data) BE>`` for one stored DV."""
+    import zlib
+
+    if run:
+        lows = [(0, values, True)]
+        data = (
+            _DV_MAGIC.to_bytes(4, "little")
+            + (1).to_bytes(8, "little")
+            + (0).to_bytes(4, "little")
+            + _roaring32_serialize(lows)
+        )
+    else:
+        data = dv_data_encode(values)
+    return (
+        len(data).to_bytes(4, "big")
+        + data
+        + (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def synth_delta_dv(seed: int) -> bytes:
+    """A reader-version-3 Delta table exercising every supported DV
+    surface: checkpoint-carried inline DV, two stored DVs sharing one
+    ``.bin`` at different offsets, a run-container bitmap, and a DV
+    superseded by a later re-add."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = synth_delta_dv_plan(seed)
+    n = plan["n"]
+    files: dict[str, bytes] = {}
+
+    adds = []
+    for i in range(n):
+        rows, lo = plan["rows"][i], plan["lo"][i]
+        buf = io.BytesIO()
+        pq.write_table(pa.table({"v": [lo + r for r in range(rows)]}), buf)
+        path = f"part-{i:05d}.parquet"
+        files[path] = buf.getvalue()
+        adds.append(
+            {
+                "path": path,
+                "size": len(files[path]),
+                "dataChange": True,
+                "stats": json.dumps(
+                    {
+                        "numRecords": rows,
+                        "minValues": {"v": lo},
+                        "maxValues": {"v": lo + rows - 1},
+                    }
+                ),
+            }
+        )
+
+    def dv_descriptor(st: str, token: str, offset, data_len: int,
+                      card: int) -> dict:
+        return {
+            "storageType": st,
+            "pathOrInlineDv": token,
+            "offset": offset,
+            "sizeInBytes": data_len,
+            "cardinality": card,
+        }
+
+    # slot 0: inline DV, zero-padded to the z85 4-byte alignment
+    d0_data = dv_data_encode(plan["d0"])
+    pad = (-len(d0_data)) % 4
+    inline_token = z85_encode(d0_data + b"\x00" * pad)
+    dv0 = dv_descriptor("i", inline_token, None, len(d0_data),
+                        len(plan["d0"]))
+
+    # shared .bin #1: slot 1's v2 DV at offset 1, slot 2's run DV after
+    uuid_a = bytes((seed + 11 * j) % 256 for j in range(16))
+    entry_1a = _dv_file_entry(plan["d1a"])
+    entry_2 = _dv_file_entry(plan["d2"], run=True)
+    files[_dv_relative_path("ab" + z85_encode(uuid_a))] = (
+        b"\x01" + entry_1a + entry_2
+    )
+    dv1a = dv_descriptor("u", "ab" + z85_encode(uuid_a), 1,
+                         len(entry_1a) - 8, len(plan["d1a"]))
+    dv2 = dv_descriptor("u", "ab" + z85_encode(uuid_a),
+                        1 + len(entry_1a), len(entry_2) - 8,
+                        len(plan["d2"]))
+
+    # .bin #2 (no scatter prefix): slot 1's superseding v3 DV
+    uuid_b = bytes((seed + 17 * j + 5) % 256 for j in range(16))
+    entry_1b = _dv_file_entry(plan["d1b"])
+    files[_dv_relative_path(z85_encode(uuid_b))] = b"\x01" + entry_1b
+    dv1b = dv_descriptor("u", z85_encode(uuid_b), 1,
+                         len(entry_1b) - 8, len(plan["d1b"]))
+
+    meta = {
+        "id": f"00000000-0000-4000-8000-{seed:012d}",
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "v", "type": "long", "nullable": False,
+                     "metadata": {}}
+                ],
+            }
+        ),
+        "configuration": {"fixture.replaced": "part-00001.parquet"},
+    }
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+    # checkpoint at version 1: slot 0 already carries its inline DV
+    cp_adds = []
+    for i, a in enumerate(adds):
+        entry = {"path": a["path"], "size": a["size"], "stats": a["stats"]}
+        entry["deletionVector"] = dv0 if i == 0 else None
+        cp_adds.append(entry)
+    n_actions = 2 + len(cp_adds)
+    cp = pa.table(
+        {
+            "metaData": [meta] + [None] * (n_actions - 1),
+            "protocol": [None, protocol] + [None] * (n_actions - 2),
+            "add": [None, None] + cp_adds,
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(cp, buf)
+    files[f"{_LOG}/{1:020d}.checkpoint.parquet"] = buf.getvalue()
+    files[f"{_LOG}/_last_checkpoint"] = json.dumps(
+        {"version": 1, "size": n_actions}
+    ).encode()
+
+    # v2: DVs land on slots 1 and 2 (re-adds with descriptors)
+    v2 = [
+        json.dumps({"commitInfo": {"operation": "DELETE"}}),
+        json.dumps({"add": {**adds[1], "deletionVector": dv1a}}),
+        json.dumps({"add": {**adds[2], "deletionVector": dv2}}),
+    ]
+    files[f"{_LOG}/{2:020d}.json"] = ("\n".join(v2) + "\n").encode()
+    # v3: slot 1's DV grows — the re-add supersedes v2's descriptor
+    v3 = [
+        json.dumps({"commitInfo": {"operation": "DELETE"}}),
+        json.dumps({"add": {**adds[1], "deletionVector": dv1b}}),
+    ]
+    files[f"{_LOG}/{3:020d}.json"] = ("\n".join(v3) + "\n").encode()
+    return write_tar_bundle(files)
+
+
+def scan_delta_dv(payload: bytes) -> dict:
+    """Merge-on-read over deletion vectors: reconstruct the snapshot
+    (checkpoint + replay), decode each live file's DV, and serve
+    row-level results with deleted positions masked out.  Every
+    declared size, checksum, and cardinality is cross-checked; a
+    position at or past the file's row count loud-rejects."""
+    import pyarrow.parquet as pq
+
+    files = read_tar_bundle(payload)
+    state, cp_version, current, replayed, _fac = _replay_log(
+        files, require_stats=True, allow_dv=True
+    )
+    if not state.adds:
+        raise ValueError("current snapshot has no live files")
+    if state.min_reader != _DV_READER_VERSION:
+        raise ValueError("deletion-vector fixture must be reader v3")
+    replaced_path = state.configuration.get("fixture.replaced")
+    if not isinstance(replaced_path, str):
+        raise ValueError("table configuration missing the replaced path")
+    live = sorted(state.adds.items())
+    total_rows = deleted_rows = surviving = 0
+    files_with_dv = inline_dvs = file_dvs = 0
+    replaced_card = -1
+    for path, (st, _pv, dv) in live:
+        blob = files.get(path)
+        if blob is None:
+            raise ValueError(f"data file {path!r} missing from bundle")
+        try:
+            table = pq.read_table(io.BytesIO(blob))
+        except Exception as e:
+            raise ValueError(f"data file unreadable: {e}") from None
+        if st is not None and table.num_rows != st[0]:
+            raise ValueError(
+                f"stats numRecords {st[0]} != parquet rows {table.num_rows}"
+            )
+        if "v" not in table.column_names:
+            raise ValueError("data file missing the value column")
+        values = table.column("v").to_pylist()
+        if not all(isinstance(v, int) for v in values):
+            raise ValueError("data value not an integer")
+        total_rows += table.num_rows
+        if dv is None:
+            surviving += sum(values)
+            continue
+        files_with_dv += 1
+        if dv["storageType"] == "i":
+            inline_dvs += 1
+        else:
+            file_dvs += 1
+        positions = _dv_positions(files, dv)
+        if positions and positions[-1] >= table.num_rows:
+            raise ValueError("deleted position past file rows")
+        deleted_rows += len(positions)
+        pset = set(positions)
+        surviving += sum(
+            v for r, v in enumerate(values) if r not in pset
+        )
+        if path == replaced_path:
+            replaced_card = len(positions)
+    if replaced_card < 0:
+        raise ValueError("replaced file missing a deletion vector")
+    for total in (total_rows, deleted_rows, surviving):
+        if not -(2**63) <= total < 2**63:
+            raise ValueError("delta dv aggregate overflows int64")
+    return {
+        "checkpoint_version": cp_version,
+        "current_version": current,
+        "json_commits_replayed": replayed,
+        "live_files": len(live),
+        "files_with_dv": files_with_dv,
+        "inline_dvs": inline_dvs,
+        "file_dvs": file_dvs,
+        "min_reader_version": state.min_reader,
+        "total_rows": total_rows,
+        "deleted_rows": deleted_rows,
+        "live_rows": total_rows - deleted_rows,
+        "surviving_v_sum": surviving,
+        "replaced_dv_cardinality": replaced_card,
     }

@@ -3223,3 +3223,53 @@ def extract_orc_bloom_scan(
         return scan_orc_bloom
 
     return _extract_metadata(media, ORC_BLOOM_SCHEMA, loader, permissive)
+
+
+def synthesize_delta_dv_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of reader-version-3 Delta
+    bundles with deletion vectors: checkpoint-carried inline DV,
+    stored DVs sharing one ``.bin`` at two offsets, and a DV
+    superseded by a later re-add
+    (``functions/delta_log.py:synth_delta_dv``)."""
+
+    def loader():
+        from ..functions.delta_log import synth_delta_dv
+
+        return synth_delta_dv
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+DELTA_DV_SCHEMA = T.StructType(
+    [
+        T.StructField("checkpoint_version", T.IntegerType()),
+        T.StructField("current_version", T.IntegerType()),
+        T.StructField("json_commits_replayed", T.IntegerType()),
+        T.StructField("live_files", T.IntegerType()),
+        T.StructField("files_with_dv", T.IntegerType()),
+        T.StructField("inline_dvs", T.IntegerType()),
+        T.StructField("file_dvs", T.IntegerType()),
+        T.StructField("min_reader_version", T.IntegerType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("deleted_rows", T.LongType()),
+        T.StructField("live_rows", T.LongType()),
+        T.StructField("surviving_v_sum", T.LongType()),
+        T.StructField("replaced_dv_cardinality", T.LongType()),
+    ]
+)
+
+
+def extract_delta_dv_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Merge-on-read deletion-vector scan per bundle
+    (:func:`..functions.delta_log.scan_delta_dv`)."""
+
+    def loader():
+        from ..functions.delta_log import scan_delta_dv
+
+        return scan_delta_dv
+
+    return _extract_metadata(media, DELTA_DV_SCHEMA, loader, permissive)

@@ -306,3 +306,252 @@ def test_commit_readd_overrides_checkpoint_state():
     assert r["probe_matches"] == base["probe_matches"] + 3
     assert r["rows_scanned"] == base["rows_scanned"] + 3
     assert r["live_files"] == base["live_files"]
+
+
+# --- deletion vectors (reader version 3) ------------------------------
+
+
+def test_z85_rfc_vector_and_roundtrip():
+    """The ZeroMQ RFC 32/Z85 published test vector, plus roundtrip
+    and reject fences."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        z85_decode,
+        z85_encode,
+    )
+
+    assert z85_encode(bytes.fromhex("864FD26FB559F75B")) == "HelloWorld"
+    assert z85_decode("HelloWorld") == bytes.fromhex("864FD26FB559F75B")
+    blob = bytes(range(64))
+    assert z85_decode(z85_encode(blob)) == blob
+    with pytest.raises(ValueError, match="aligned"):
+        z85_encode(b"abc")
+    with pytest.raises(ValueError, match="aligned"):
+        z85_decode("abcd")
+    with pytest.raises(ValueError, match="alphabet"):
+        z85_decode("abc~d")
+    with pytest.raises(ValueError, match="overflows"):
+        z85_decode("#####")  # 84 in every digit > 2^32 - 1
+
+
+def test_roaring_spec_golden_array_container():
+    """Hand-traced from the RoaringFormatSpec portable layout:
+    {1,2,3,1000} = cookie 12346, one array container, offset header
+    pointing at byte 16."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        _roaring32_deserialize,
+        _roaring32_serialize,
+    )
+
+    golden = bytes.fromhex(
+        "3a300000" "01000000" "0000" "0300" "10000000"
+        "0100" "0200" "0300" "e803"
+    )
+    vals, pos = _roaring32_deserialize(golden, 0)
+    assert vals == [1, 2, 3, 1000] and pos == len(golden)
+    assert _roaring32_serialize([(0, [1, 2, 3, 1000], False)]) == golden
+
+
+def test_roaring_spec_golden_run_container():
+    """{5..10} as a run container: cookie 12347 | 0<<16, run-flag
+    byte 0x01, no offset header below 4 containers, one run
+    (start 5, length-1 5)."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        _roaring32_deserialize,
+        _roaring32_serialize,
+    )
+
+    golden = bytes.fromhex("3b300000" "01" "0000" "0500" "0100" "0500" "0500")
+    vals, pos = _roaring32_deserialize(golden, 0)
+    assert vals == list(range(5, 11)) and pos == len(golden)
+    assert _roaring32_serialize([(0, list(range(5, 11)), True)]) == golden
+
+
+def test_roaring_bitmap_container_roundtrip():
+    from datawarehouseproject_spark.functions.delta_log import (
+        _roaring32_deserialize,
+        _roaring32_serialize,
+    )
+
+    lows = list(range(0, 10000, 2))  # 5000 > 4096 -> bitmap container
+    blob = _roaring32_serialize([(3, lows, False)])
+    vals, pos = _roaring32_deserialize(blob, 0)
+    assert vals == [(3 << 16) | v for v in lows] and pos == len(blob)
+
+
+def test_rbm_array_64bit_roundtrip_and_fences():
+    from datawarehouseproject_spark.functions.delta_log import (
+        rbm_array_deserialize,
+        rbm_array_serialize,
+    )
+
+    vals = [0, 5, 70000, (1 << 32) + 7, (1 << 33), (1 << 33) + 65537]
+    assert rbm_array_deserialize(rbm_array_serialize(vals)) == vals
+    with pytest.raises(ValueError, match="sorted unique"):
+        rbm_array_serialize([3, 3])
+    with pytest.raises(ValueError, match="trailing"):
+        rbm_array_deserialize(rbm_array_serialize([1]) + b"\x00")
+
+
+def test_dv_scan_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_dv,
+        synth_delta_dv,
+        synth_delta_dv_plan,
+    )
+
+    for seed in range(10):
+        plan = synth_delta_dv_plan(seed)
+        out = scan_delta_dv(synth_delta_dv(seed))
+        assert out["total_rows"] == plan["total_rows"]
+        assert out["deleted_rows"] == plan["deleted_rows"]
+        assert out["live_rows"] == plan["live_rows"]
+        assert out["surviving_v_sum"] == plan["surviving_v_sum"]
+        assert (
+            out["replaced_dv_cardinality"]
+            == plan["replaced_dv_cardinality"]
+            == len(plan["d1b"])
+        )
+        assert out["files_with_dv"] == 3
+        assert out["inline_dvs"] == 1 and out["file_dvs"] == 2
+        assert out["min_reader_version"] == 3
+
+
+def test_dv_checksum_mismatch_quarantines():
+    """Flip the trailing CRC byte of the shared .bin (slot 2's
+    entry) — the scan must loud-reject, not serve a half-decoded
+    bitmap."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_dv,
+        synth_delta_dv,
+    )
+
+    files = _untar(synth_delta_dv(1))
+    bin_name = next(
+        n for n in files
+        if n.startswith("ab/deletion_vector_") and n.endswith(".bin")
+    )
+    blob = bytearray(files[bin_name])
+    blob[-1] ^= 0xFF
+    files[bin_name] = bytes(blob)
+    with pytest.raises(ValueError, match="checksum"):
+        scan_delta_dv(_retar(files))
+
+
+def test_dv_position_past_rows_quarantines():
+    """Rewrite the v3 commit so slot 1's superseding DV is INLINE
+    with a position at numRecords — merge-on-read must refuse."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        dv_data_encode,
+        scan_delta_dv,
+        synth_delta_dv,
+        synth_delta_dv_plan,
+        z85_encode,
+    )
+
+    seed = 2
+    plan = synth_delta_dv_plan(seed)
+    files = _untar(synth_delta_dv(seed))
+    v3_name = f"_delta_log/{3:020d}.json"
+    lines = files[v3_name].decode().splitlines()
+    add = json.loads(lines[1])["add"]
+    data = dv_data_encode([plan["rows"][1]])  # == numRecords: invalid
+    pad = (-len(data)) % 4
+    add["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+        "sizeInBytes": len(data),
+        "cardinality": 1,
+    }
+    lines[1] = json.dumps({"add": add})
+    files[v3_name] = ("\n".join(lines) + "\n").encode()
+    with pytest.raises(ValueError, match="past file rows"):
+        scan_delta_dv(_retar(files))
+
+
+def test_dv_descriptor_cardinality_mismatch_quarantines():
+    from datawarehouseproject_spark.functions.delta_log import (
+        _dv_positions,
+        dv_data_encode,
+        z85_encode,
+    )
+
+    data = dv_data_encode([1, 2, 3])
+    pad = (-len(data)) % 4
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+        "offset": None,
+        "sizeInBytes": len(data),
+        "cardinality": 2,
+    }
+    with pytest.raises(ValueError, match="cardinality disagrees"):
+        _dv_positions({}, dv)
+
+
+def test_dv_protocol_fences():
+    """minReaderVersion 2 (column mapping) refuses on every path;
+    unknown reader features refuse; a DV add without the protocol
+    feature refuses; the non-DV scans refuse a v3 table outright."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        _State,
+        scan_delta,
+        synth_delta_dv,
+    )
+
+    st = _State(allow_dv=True)
+    with pytest.raises(ValueError, match="minReaderVersion 2"):
+        st.apply({"protocol": {"minReaderVersion": 2}})
+    with pytest.raises(ValueError, match="unsupported"):
+        st.apply(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                }
+            }
+        )
+    with pytest.raises(ValueError, match="readerFeatures malformed"):
+        st.apply({"protocol": {"minReaderVersion": 3}})
+    # feature not enabled -> DV adds refuse even on the DV-aware path
+    st.apply({"protocol": {"minReaderVersion": 1}})
+    with pytest.raises(ValueError, match="protocol feature"):
+        st.apply(
+            {
+                "add": {
+                    "path": "p.parquet",
+                    "stats": json.dumps(
+                        {
+                            "numRecords": 1,
+                            "minValues": {"v": 0},
+                            "maxValues": {"v": 0},
+                        }
+                    ),
+                    "deletionVector": {
+                        "storageType": "i",
+                        "pathOrInlineDv": "aaaaa",
+                        "sizeInBytes": 4,
+                        "cardinality": 0,
+                    },
+                }
+            }
+        )
+    # the plain scan hits the version fence before any DV logic
+    with pytest.raises(ValueError, match="minReaderVersion 3"):
+        scan_delta(synth_delta_dv(0))
+
+
+def test_dv_absolute_path_storage_rejects():
+    from datawarehouseproject_spark.functions.delta_log import (
+        _parse_dv_descriptor,
+    )
+
+    with pytest.raises(ValueError, match="absolute-path"):
+        _parse_dv_descriptor(
+            {
+                "storageType": "p",
+                "pathOrInlineDv": "s3://bucket/dv.bin",
+                "offset": 1,
+                "sizeInBytes": 10,
+                "cardinality": 1,
+            }
+        )

@@ -167,6 +167,11 @@ def _cases():
             delta_log.synth_delta_partitioned,
             delta_log.scan_delta_partitioned,
         ),
+        (
+            "delta_dv",
+            delta_log.synth_delta_dv,
+            delta_log.scan_delta_dv,
+        ),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (
