@@ -53,6 +53,7 @@ from .bundles import read_tar_bundle, write_tar_bundle
 
 _LOG = "_delta_log"
 _SUPPORTED_READER_VERSION = 1
+_CM_READER_VERSION = 2
 _DV_READER_VERSION = 3
 _SUPPORTED_READER_FEATURES = {"deletionVectors"}
 _JSON_RE = re.compile(r"^(\d{20})\.json$")
@@ -204,8 +205,9 @@ def synth_delta(seed: int) -> bytes:
     return write_tar_bundle(files)
 
 
-def _parse_stats(raw) -> tuple[int, int, int]:
-    """stats JSON string -> (numRecords, min_v, max_v)."""
+def _parse_stats(raw, col: str = "v") -> tuple[int, int, int]:
+    """stats JSON string -> (numRecords, min, max) of ``col`` — the
+    PHYSICAL column name once column mapping is active."""
     if not isinstance(raw, str):
         raise ValueError("add action without stats string")
     try:
@@ -222,7 +224,7 @@ def _parse_stats(raw) -> tuple[int, int, int]:
         or not isinstance(mins, dict) or not isinstance(maxs, dict)
     ):
         raise ValueError("add stats malformed")
-    lo, hi = mins.get("v"), maxs.get("v")
+    lo, hi = mins.get(col), maxs.get(col)
     if (
         not isinstance(lo, int) or isinstance(lo, bool)
         or not isinstance(hi, int) or isinstance(hi, bool) or lo > hi
@@ -240,7 +242,10 @@ class _State:
     is scan-it)."""
 
     def __init__(
-        self, require_stats: bool = True, allow_dv: bool = False
+        self,
+        require_stats: bool = True,
+        allow_dv: bool = False,
+        allow_cm: bool = False,
     ) -> None:
         #: path -> ((numRecords, lo, hi) | None, {part col -> value},
         #:          deletionVector descriptor | None)
@@ -250,7 +255,15 @@ class _State:
         self.configuration: dict = {}
         self.require_stats = require_stats
         self.allow_dv = allow_dv
+        self.allow_cm = allow_cm
         self.reader_features: set[str] = set()
+        self.mapping_mode: str | None = None
+        #: logical name -> (columnMapping.id, physicalName)
+        self.column_mapping: dict[str, tuple[int, str]] = {}
+        #: the column key add stats are recorded under (PHYSICAL name
+        #: once column mapping is active — PROTOCOL.md: per-column
+        #: statistics refer to physical names)
+        self.stats_col = "v"
 
     def apply(self, action: dict) -> None:
         if not isinstance(action, dict):
@@ -280,6 +293,21 @@ class _State:
                 if not isinstance(conf, dict):
                     raise ValueError("metaData configuration malformed")
                 self.configuration = conf
+            mode = self.configuration.get("delta.columnMapping.mode")
+            if mode not in (None, "none"):
+                if not self.allow_cm:
+                    # same contract as DVs: a name/id-mapped table read
+                    # by logical names silently returns wrong columns
+                    raise ValueError("column mapping unsupported (boundary)")
+                if mode not in ("name", "id"):
+                    raise ValueError("column mapping mode unknown")
+                self.mapping_mode = mode
+                self.column_mapping = _parse_mapping_schema(
+                    body.get("schemaString")
+                )
+                if "v" not in self.column_mapping:
+                    raise ValueError("mapped schema missing the value column")
+                self.stats_col = self.column_mapping["v"][1]
             return
         if kind == "protocol":
             mrv = body.get("minReaderVersion")
@@ -296,10 +324,12 @@ class _State:
             # mapping) stays refused on every path; version 3 is
             # accepted only by the DV-aware scan AND only when every
             # declared readerFeature is implemented here.
-            cap = _DV_READER_VERSION if self.allow_dv else (
-                _SUPPORTED_READER_VERSION
+            ok = (
+                mrv <= _SUPPORTED_READER_VERSION
+                or (mrv == _CM_READER_VERSION and self.allow_cm)
+                or (mrv == _DV_READER_VERSION and self.allow_dv)
             )
-            if mrv > cap or mrv == 2:
+            if not ok:
                 raise ValueError(
                     f"delta minReaderVersion {mrv} unsupported (boundary)"
                 )
@@ -309,7 +339,10 @@ class _State:
                     isinstance(f, str) for f in feats
                 ):
                     raise ValueError("protocol readerFeatures malformed")
-                unknown = set(feats) - _SUPPORTED_READER_FEATURES
+                supported = set(_SUPPORTED_READER_FEATURES)
+                if self.allow_cm:
+                    supported.add("columnMapping")
+                unknown = set(feats) - supported
                 if unknown:
                     raise ValueError(
                         f"reader features {sorted(unknown)} "
@@ -328,7 +361,7 @@ class _State:
         if raw_stats is None and not self.require_stats:
             stats = None
         else:
-            stats = _parse_stats(raw_stats)
+            stats = _parse_stats(raw_stats, self.stats_col)
         pv = body.get("partitionValues", {})
         if pv is None:
             pv = {}
@@ -356,6 +389,7 @@ def _replay_log(
     files: dict[str, bytes],
     require_stats: bool = True,
     allow_dv: bool = False,
+    allow_cm: bool = False,
 ):
     """Shared _delta_log walk: _last_checkpoint -> checkpoint parquet
     -> contiguous post-checkpoint JSON replay.  Returns
@@ -390,7 +424,7 @@ def _replay_log(
         raise ValueError(f"checkpoint unreadable: {e}") from None
     if cp.num_rows != cp_size:
         raise ValueError("_last_checkpoint size disagrees with parquet")
-    state = _State(require_stats, allow_dv)
+    state = _State(require_stats, allow_dv, allow_cm)
     cols = cp.column_names
     for kind in ("metaData", "protocol", "add", "remove"):
         if kind not in cols:
@@ -1378,4 +1412,262 @@ def scan_delta_dv(payload: bytes) -> dict:
         "live_rows": total_rows - deleted_rows,
         "surviving_v_sum": surviving,
         "replaced_dv_cardinality": replaced_card,
+    }
+
+
+# ---------------------------------------------------------------------------
+# column mapping (reader version 2: modes "name" and "id")
+# ---------------------------------------------------------------------------
+# PROTOCOL.md "Column Mapping": once delta.columnMapping.mode is
+# name/id, the parquet files no longer carry the table's LOGICAL
+# column names — each schema field's metadata records
+# ``delta.columnMapping.physicalName`` (a uuid-flavored name the
+# files actually use) and ``delta.columnMapping.id`` (the parquet
+# field_id to resolve by in id mode).  Per-column statistics in add
+# actions are keyed by PHYSICAL names.  A reader that projects by
+# logical name gets a missing column (best case) or, after a rename
+# recycles a name, silently the WRONG column — which is why the
+# protocol gates the feature behind minReaderVersion 2.
+
+
+def _parse_mapping_schema(raw) -> dict[str, tuple[int, str]]:
+    """metaData.schemaString -> {logical name: (mapping id,
+    physical name)} with every invariant enforced: ids positive and
+    unique, physical names non-empty and unique."""
+    if not isinstance(raw, str):
+        raise ValueError("mapped metaData without schemaString")
+    try:
+        schema = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"schemaString not JSON: {e}") from None
+    if not isinstance(schema, dict) or schema.get("type") != "struct":
+        raise ValueError("schemaString not a struct schema")
+    fields = schema.get("fields")
+    if not isinstance(fields, list) or not fields:
+        raise ValueError("schemaString without fields")
+    if len(fields) > 10000:
+        raise ValueError("schemaString field count past cap")
+    out: dict[str, tuple[int, str]] = {}
+    seen_ids: set[int] = set()
+    seen_phys: set[str] = set()
+    for f in fields:
+        if not isinstance(f, dict):
+            raise ValueError("schema field malformed")
+        name = f.get("name")
+        md = f.get("metadata")
+        if not isinstance(name, str) or not name or not isinstance(md, dict):
+            raise ValueError("schema field malformed")
+        cid = md.get("delta.columnMapping.id")
+        phys = md.get("delta.columnMapping.physicalName")
+        if (
+            not isinstance(cid, int) or isinstance(cid, bool) or cid < 1
+            or not isinstance(phys, str) or not phys
+        ):
+            raise ValueError("column mapping metadata malformed")
+        if cid in seen_ids or phys in seen_phys or name in out:
+            raise ValueError("column mapping ids/names not unique")
+        seen_ids.add(cid)
+        seen_phys.add(phys)
+        out[name] = (cid, phys)
+    return out
+
+
+def synth_delta_cm_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: mode = name (even seed) / id
+    (odd seed); ``n = 3 + seed%3`` files, file i holding
+    ``rows_i = 30 + (seed+i)%40`` contiguous values ``lo_i .. ``
+    (``lo_i = i*500 + seed%50``); probe = ``lo_k + 7`` with
+    ``k = seed%n`` → disjoint windows prune all but one file."""
+    n = 3 + seed % 3
+    k = seed % n
+    rows = [30 + (seed + i) % 40 for i in range(n)]
+    lo = [i * 500 + seed % 50 for i in range(n)]
+    return {
+        "mode": ("name", "id")[seed % 2],
+        "n": n,
+        "rows": rows,
+        "lo": lo,
+        "probe": lo[k] + 7,
+        "rows_scanned": rows[k],
+        "total_rows": sum(rows),
+        "sum_v": sum(
+            lo[i] * rows[i] + rows[i] * (rows[i] - 1) // 2
+            for i in range(n)
+        ),
+    }
+
+
+def synth_delta_cm(seed: int) -> bytes:
+    """A reader-version-2 table: physical parquet columns named
+    ``col-<uuid>`` (never the logical ``v``), stats keyed by the
+    physical name, and — in id mode — a decoy column so ordinal
+    shortcuts fail and only field_id resolution survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = synth_delta_cm_plan(seed)
+    n, mode = plan["n"], plan["mode"]
+    phys = f"col-{seed:08x}-aaaa-4bbb-8ccc-d{seed % 10}e2f3a4b5c6"
+    decoy = f"col-{seed + 1:08x}-dddd-4eee-8fff-0123456789ab"
+    files: dict[str, bytes] = {}
+    adds = []
+    for i in range(n):
+        rows, lo = plan["rows"][i], plan["lo"][i]
+        vals = [lo + r for r in range(rows)]
+        if mode == "id":
+            schema = pa.schema(
+                [
+                    pa.field(decoy, pa.int64(),
+                             metadata={b"PARQUET:field_id": b"99"}),
+                    pa.field(phys, pa.int64(),
+                             metadata={b"PARQUET:field_id": b"1"}),
+                ]
+            )
+            table = pa.table(
+                {decoy: [0] * rows, phys: vals}, schema=schema
+            )
+        else:
+            table = pa.table({phys: vals})
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        path = f"part-{i:05d}.parquet"
+        files[path] = buf.getvalue()
+        adds.append(
+            {
+                "path": path,
+                "size": len(files[path]),
+                "dataChange": True,
+                "stats": json.dumps(
+                    {
+                        "numRecords": rows,
+                        "minValues": {phys: lo},
+                        "maxValues": {phys: lo + rows - 1},
+                    }
+                ),
+            }
+        )
+    meta = {
+        "id": f"00000000-0000-4000-8000-{seed:012d}",
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "v",
+                        "type": "long",
+                        "nullable": False,
+                        "metadata": {
+                            "delta.columnMapping.id": 1,
+                            "delta.columnMapping.physicalName": phys,
+                        },
+                    }
+                ],
+            }
+        ),
+        "configuration": {
+            "delta.columnMapping.mode": mode,
+            "delta.columnMapping.maxColumnId": "1",
+            "fixture.probe": str(plan["probe"]),
+        },
+    }
+    protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+    lines = [
+        json.dumps({"commitInfo": {"operation": "WRITE"}}),
+        json.dumps({"protocol": protocol}),
+        json.dumps({"metaData": meta}),
+    ] + [json.dumps({"add": a}) for a in adds]
+    files[f"{_LOG}/{0:020d}.json"] = ("\n".join(lines) + "\n").encode()
+    return write_tar_bundle(files)
+
+
+def scan_delta_cm(payload: bytes) -> dict:
+    """Column-mapped snapshot scan: resolve the logical ``v`` to its
+    physical column (by name in name mode, by parquet ``field_id``
+    in id mode), prune by physically-keyed stats, and serve the
+    point lookup.  The logical name must NOT appear in any data file
+    (asserted — that is the whole point of the feature), and in id
+    mode the field-id match must agree with the declared
+    physicalName."""
+    import pyarrow.parquet as pq
+
+    files = read_tar_bundle(payload)
+    blob = files.get(f"{_LOG}/{0:020d}.json")
+    if blob is None:
+        raise ValueError("version-0 commit missing (boundary)")
+    if len(blob) > 1 << 24:
+        raise ValueError("commit JSON exceeds size cap")
+    state = _State(require_stats=True, allow_cm=True)
+    for line in blob.splitlines():
+        if not line.strip():
+            continue
+        try:
+            action = json.loads(line)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"commit line not JSON: {e}") from None
+        state.apply(action)
+    if state.min_reader is None or state.meta_id is None:
+        raise ValueError("log without protocol/metaData")
+    if state.mapping_mode is None:
+        raise ValueError("column-mapping fixture without the mode set")
+    if not state.adds:
+        raise ValueError("current snapshot has no live files")
+    cid, phys = state.column_mapping["v"]
+    probe = _probe_from_config(state)
+    live = sorted(state.adds.items())
+    survivor_paths = {
+        path for path, (st, _pv, _dv) in live
+        if st[1] <= probe <= st[2]
+    }
+    rows_scanned = matches = 0
+    total_rows = sum_v = 0
+    for path, (st, _pv, _dv) in live:
+        blob = files.get(path)
+        if blob is None:
+            raise ValueError(f"data file {path!r} missing from bundle")
+        try:
+            table = pq.read_table(io.BytesIO(blob))
+        except Exception as e:
+            raise ValueError(f"data file unreadable: {e}") from None
+        if "v" in table.column_names:
+            raise ValueError("mapped data file carries the logical name")
+        if table.num_rows != st[0]:
+            raise ValueError(
+                f"stats numRecords {st[0]} != parquet rows {table.num_rows}"
+            )
+        if state.mapping_mode == "name":
+            if phys not in table.column_names:
+                raise ValueError("physical column missing from data file")
+            col = table.column(phys)
+        else:
+            matched = [
+                f.name for f in table.schema
+                if (f.metadata or {}).get(b"PARQUET:field_id")
+                == str(cid).encode()
+            ]
+            if len(matched) != 1:
+                raise ValueError("field_id resolution not unique")
+            if matched[0] != phys:
+                raise ValueError("field_id column disagrees with physicalName")
+            col = table.column(matched[0])
+        vals = col.to_pylist()
+        if not all(isinstance(v, int) for v in vals):
+            raise ValueError("data value not an integer")
+        total_rows += table.num_rows
+        sum_v += sum(vals)
+        if path in survivor_paths:
+            rows_scanned += table.num_rows
+            matches += sum(1 for v in vals if v == probe)
+    for total in (total_rows, sum_v):
+        if not -(2**63) <= total < 2**63:
+            raise ValueError("delta cm aggregate overflows int64")
+    return {
+        "mapping_mode": state.mapping_mode,
+        "min_reader_version": state.min_reader,
+        "live_files": len(live),
+        "files_pruned": len(live) - len(survivor_paths),
+        "files_scanned": len(survivor_paths),
+        "rows_scanned": rows_scanned,
+        "probe_matches": matches,
+        "total_rows": total_rows,
+        "sum_v": sum_v,
     }

@@ -3273,3 +3273,48 @@ def extract_delta_dv_scan(
         return scan_delta_dv
 
     return _extract_metadata(media, DELTA_DV_SCHEMA, loader, permissive)
+
+
+def synthesize_delta_cm_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of reader-version-2 Delta
+    bundles with column mapping (name mode on even seeds, id mode
+    with a decoy field_id column on odd seeds,
+    ``functions/delta_log.py:synth_delta_cm``)."""
+
+    def loader():
+        from ..functions.delta_log import synth_delta_cm
+
+        return synth_delta_cm
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+DELTA_CM_SCHEMA = T.StructType(
+    [
+        T.StructField("mapping_mode", T.StringType()),
+        T.StructField("min_reader_version", T.IntegerType()),
+        T.StructField("live_files", T.IntegerType()),
+        T.StructField("files_pruned", T.IntegerType()),
+        T.StructField("files_scanned", T.IntegerType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("probe_matches", T.LongType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("sum_v", T.LongType()),
+    ]
+)
+
+
+def extract_delta_cm_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Column-mapped Delta scan per bundle
+    (:func:`..functions.delta_log.scan_delta_cm`)."""
+
+    def loader():
+        from ..functions.delta_log import scan_delta_cm
+
+        return scan_delta_cm
+
+    return _extract_metadata(media, DELTA_CM_SCHEMA, loader, permissive)

@@ -2256,6 +2256,71 @@ def q_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_column_mapping",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 3 + doc_id % 3 AS n FROM documents),
+    f AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    fr AS (
+      SELECT media_id, n, i,
+             30 + (media_id + i) % 40 AS rows_,
+             i * 500 + media_id % 50 AS lo,
+             media_id % n AS k
+      FROM f)
+    SELECT media_id,
+           CASE WHEN media_id % 2 = 0 THEN 'name' ELSE 'id' END
+             AS mapping_mode,
+           CAST(2 AS INTEGER) AS min_reader_version,
+           CAST(max(n) AS INTEGER) AS live_files,
+           CAST(max(n) - 1 AS INTEGER) AS files_pruned,
+           CAST(1 AS INTEGER) AS files_scanned,
+           CAST(sum(CASE WHEN i = k THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(1 AS BIGINT) AS probe_matches,
+           CAST(sum(rows_) AS BIGINT) AS total_rows,
+           CAST(sum(lo * rows_ + rows_ * (rows_ - 1) // 2) AS BIGINT)
+             AS sum_v
+    FROM fr
+    GROUP BY media_id
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "column-mapping",
+          "mapInPandas"),
+)
+def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake COLUMN MAPPING (round 11 continuation): reader
+    version 2 tables whose parquet files carry uuid-flavored
+    PHYSICAL column names instead of the table's logical names
+    (``functions/delta_log.py:scan_delta_cm``).  Both spec modes:
+    ``name`` resolves the logical ``v`` via each field's
+    ``delta.columnMapping.physicalName`` metadata; ``id`` resolves
+    by parquet ``field_id`` (the fixture plants a DECOY column with
+    a different field_id so ordinal or first-column shortcuts fail)
+    and cross-checks the match against the declared physicalName.
+    Per-column stats in add actions are keyed by physical names —
+    pruning still works (``files_pruned = n-1`` oracle-asserted) —
+    and the scan loud-rejects if any data file carries the LOGICAL
+    name (the naive-reader trap the feature exists to flag).
+    ``sum_v`` is the value-level proof that the mapped column, not
+    the decoy, was read.  Unknown modes, duplicate ids/names, and
+    mapped tables hitting the non-CM scans are ValueError
+    boundaries."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_delta_cm_scan,
+        synthesize_delta_cm_media,
+    )
+
+    media = synthesize_delta_cm_media(_t(spark, sf_dir, "documents"))
+    return extract_delta_cm_scan(media).select(
+        "media_id", "mapping_mode", "min_reader_version", "live_files",
+        "files_pruned", "files_scanned", "rows_scanned",
+        "probe_matches", "total_rows", "sum_v",
+    )
+
+
+@register(
     "avro_corpus_rollup",
     oracle="""
     WITH m AS (

@@ -555,3 +555,126 @@ def test_dv_absolute_path_storage_rejects():
                 "cardinality": 1,
             }
         )
+
+
+# --- column mapping (reader version 2) --------------------------------
+
+
+def test_cm_scan_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_cm,
+        synth_delta_cm,
+        synth_delta_cm_plan,
+    )
+
+    for seed in range(10):
+        plan = synth_delta_cm_plan(seed)
+        out = scan_delta_cm(synth_delta_cm(seed))
+        assert out["mapping_mode"] == plan["mode"]
+        assert out["min_reader_version"] == 2
+        assert out["live_files"] == plan["n"]
+        assert out["files_pruned"] == plan["n"] - 1
+        assert out["files_scanned"] == 1
+        assert out["rows_scanned"] == plan["rows_scanned"]
+        assert out["probe_matches"] == 1
+        assert out["total_rows"] == plan["total_rows"]
+        assert out["sum_v"] == plan["sum_v"]
+
+
+def test_cm_rejected_without_the_capability():
+    """A mapped table must refuse on BOTH non-CM fences: the
+    protocol version (plain scan) and the configuration mode (a
+    hypothetical v1-but-mapped log)."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        _State,
+        scan_delta_partitioned,
+        synth_delta_cm,
+    )
+
+    # the young-table scan reads the same version-0-only layout, so
+    # it reaches the protocol fence (scan_delta stops earlier at the
+    # missing checkpoint)
+    with pytest.raises(ValueError, match="minReaderVersion 2"):
+        scan_delta_partitioned(synth_delta_cm(0))
+    st = _State()
+    with pytest.raises(ValueError, match="column mapping unsupported"):
+        st.apply(
+            {
+                "metaData": {
+                    "id": "m",
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            }
+        )
+
+
+def test_cm_schema_invariants_reject():
+    from datawarehouseproject_spark.functions.delta_log import (
+        _parse_mapping_schema,
+    )
+
+    def schema(fields):
+        return json.dumps({"type": "struct", "fields": fields})
+
+    good = {
+        "name": "v",
+        "type": "long",
+        "nullable": False,
+        "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-x",
+        },
+    }
+    assert _parse_mapping_schema(schema([good])) == {"v": (1, "col-x")}
+    dup_id = dict(good, name="w")
+    with pytest.raises(ValueError, match="not unique"):
+        _parse_mapping_schema(schema([good, dup_id]))
+    no_md = dict(good, metadata={})
+    with pytest.raises(ValueError, match="metadata malformed"):
+        _parse_mapping_schema(schema([no_md]))
+    with pytest.raises(ValueError, match="without fields"):
+        _parse_mapping_schema(schema([]))
+
+
+def test_cm_unknown_mode_rejects():
+    from datawarehouseproject_spark.functions.delta_log import _State
+
+    st = _State(allow_cm=True)
+    with pytest.raises(ValueError, match="mode unknown"):
+        st.apply(
+            {
+                "metaData": {
+                    "id": "m",
+                    "configuration": {
+                        "delta.columnMapping.mode": "physical"
+                    },
+                }
+            }
+        )
+
+
+def test_cm_logical_name_in_data_file_rejects():
+    """Plant the logical name into a data file: the scan must flag
+    it rather than silently prefer either column."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_cm,
+        synth_delta_cm,
+        synth_delta_cm_plan,
+    )
+
+    seed = 0
+    plan = synth_delta_cm_plan(seed)
+    files = _untar(synth_delta_cm(seed))
+    rows, lo = plan["rows"][0], plan["lo"][0]
+    buf = _io.BytesIO()
+    pq.write_table(
+        pa.table({"v": [lo + r for r in range(rows)]}), buf
+    )
+    files["part-00000.parquet"] = buf.getvalue()
+    with pytest.raises(ValueError, match="logical name"):
+        scan_delta_cm(_retar(files))

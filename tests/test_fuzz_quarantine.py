@@ -172,6 +172,11 @@ def _cases():
             delta_log.synth_delta_dv,
             delta_log.scan_delta_dv,
         ),
+        (
+            "delta_cm",
+            delta_log.synth_delta_cm,
+            delta_log.scan_delta_cm,
+        ),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (
