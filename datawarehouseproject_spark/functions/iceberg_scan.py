@@ -610,8 +610,15 @@ def truncate_transform(value: int, w: int) -> int:
     return value - (((value % w) + w) % w)
 
 
+_TIME_TRANSFORMS = ("year", "month", "day", "hour")
+
+
 def parse_transform(spec: str) -> tuple[str, int]:
-    """``"bucket[8]"`` -> ("bucket", 8); loud boundary otherwise."""
+    """``"bucket[8]"`` -> ("bucket", 8); the argless time transforms
+    ``year``/``month``/``day``/``hour`` -> (name, 0); loud boundary
+    otherwise."""
+    if isinstance(spec, str) and spec in _TIME_TRANSFORMS:
+        return spec, 0
     if not isinstance(spec, str) or "[" not in spec or not spec.endswith("]"):
         raise ValueError(f"partition transform {spec!r} unsupported")
     name, _, arg = spec[:-1].partition("[")
@@ -626,9 +633,37 @@ def parse_transform(spec: str) -> tuple[str, int]:
     return name, n
 
 
+def time_transform(name: str, micros: int) -> int:
+    """Iceberg's time transforms of a timestamp-micros value (table
+    spec: partition by the ordinal SINCE EPOCH — hours, days, months,
+    or years; floor semantics for pre-epoch values).  month/year go
+    through the proleptic Gregorian calendar (stdlib ``datetime`` is
+    the independent producer the tests pin against)."""
+    import datetime as _dt
+
+    if not (-(2**63) <= micros < 2**63):
+        raise ValueError("time transform input outside int64")
+    if name == "hour":
+        return micros // 3_600_000_000
+    days = micros // 86_400_000_000
+    if name == "day":
+        return days
+    try:
+        d = _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+    except OverflowError:
+        raise ValueError("timestamp outside the calendar range") from None
+    if name == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    if name == "year":
+        return d.year - 1970
+    raise ValueError(f"time transform {name!r} unknown")
+
+
 def apply_transform(name: str, arg: int, value: int) -> int:
     if name == "bucket":
         return bucket_transform(value, arg)
+    if name in _TIME_TRANSFORMS:
+        return time_transform(name, value)
     return truncate_transform(value, arg)
 
 
@@ -731,14 +766,23 @@ def synth_iceberg_v2(seed: int) -> bytes:
     (``data_file.content = 2`` + ``equality_ids = [1]`` — the form
     streaming CDC writers emit).  Layout per
     :func:`synth_iceberg_v2_plan` / :func:`_v2_file_values`."""
+    plan = synth_iceberg_v2_plan(seed)
+    vals = _v2_file_values(seed)
+    return _synth_v2_table(
+        seed, plan["transform"], vals, vals[plan["probe_file"]][18]
+    )
+
+
+def _synth_v2_table(
+    seed: int, transform: str, vals: list[list[int]], probe: int
+) -> bytes:
+    """Shared v2 table builder: per-file distinct values ->
+    manifest-list/manifest avro + parquet + metadata JSON, with the
+    equality-delete file removing each file's values at ``i%5==2``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    plan = synth_iceberg_v2_plan(seed)
-    tname, targ = parse_transform(plan["transform"])
-    vals = _v2_file_values(seed)
-    k = plan["probe_file"]
-    probe = vals[k][18]
+    tname, targ = parse_transform(transform)
     sync = bytes((seed * 29 + j * 7 + 3) % 256 for j in range(16))
     files: dict[str, bytes] = {}
 
@@ -838,7 +882,7 @@ def synth_iceberg_v2(seed: int) -> bytes:
                     "fields": [
                         {
                             "name": "p",
-                            "transform": plan["transform"],
+                            "transform": transform,
                             "source-id": _V_FIELD_ID,
                             "field-id": 1000,
                         }
@@ -1106,3 +1150,81 @@ def scan_iceberg_time_travel(payload: bytes) -> dict:
         "delete_files_s1": first["delete_files"],
         "delete_files_current": cur["delete_files"],
     }
+
+
+# ---------------------------------------------------------------------------
+# time transforms (year/month/day/hour) — the daily-partition shape
+# ---------------------------------------------------------------------------
+
+_MICROS_HOUR = 3_600_000_000
+_MICROS_DAY = 86_400_000_000
+
+
+def synth_iceberg_time_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: transform rotates
+    day/hour/month/year by ``seed%4``; 4 data files, file j holding
+    ``rows_j = 30 + (seed+j)%20`` DISTINCT timestamp-micros values
+    inside partition ordinal ``base + j`` (one day/hour/month/year
+    per file — exactly the layout a streaming writer lands); the
+    equality delete removes indices ``i%5==2``; probe = file
+    ``k = seed%4``'s value at index 18 → time-transform pruning keeps
+    ONE file (``files_pruned_partition = 3``)."""
+    rows = [30 + (seed + j) % 20 for j in range(_V2_N_FILES)]
+    k = seed % _V2_N_FILES
+    return {
+        "transform": ("hour", "day", "month", "year")[seed % 4],
+        "rows": rows,
+        "probe_file": k,
+        "rows_scanned": rows[k],
+        "equality_deleted_rows": (rows[k] + 2) // 5,
+        "total_rows": sum(rows),
+    }
+
+
+def _time_file_values(seed: int) -> list[list[int]]:
+    """Per-file DISTINCT micros values, file j inside partition
+    ordinal ``base + j`` of the seed's transform.  Step sizes keep
+    every value strictly inside the window (rows <= 49): hour steps
+    ~60 s, day ~1000 s, month ~12 h, year ~7 d."""
+    import datetime as _dt
+
+    plan = synth_iceberg_time_plan(seed)
+    rows = plan["rows"]
+    name = plan["transform"]
+    epoch = _dt.date(1970, 1, 1)
+    starts = []
+    for j in range(_V2_N_FILES):
+        if name == "hour":
+            starts.append((432000 + seed % 1000 + j) * _MICROS_HOUR)
+        elif name == "day":
+            starts.append((18000 + seed % 400 + j) * _MICROS_DAY)
+        elif name == "month":
+            m = 600 + seed % 120 + j
+            d = _dt.date(1970 + m // 12, m % 12 + 1, 1)
+            starts.append((d - epoch).days * _MICROS_DAY)
+        else:  # year
+            y = 1990 + seed % 60 + j
+            starts.append((_dt.date(y, 1, 1) - epoch).days * _MICROS_DAY)
+    step = {
+        "hour": 60_000_011,
+        "day": 1_000_000_007,
+        "month": 43_200_000_001,
+        "year": 604_800_000_003,
+    }[name]
+    return [
+        [starts[j] + i * step for i in range(rows[j])]
+        for j in range(_V2_N_FILES)
+    ]
+
+
+def synth_iceberg_time(seed: int) -> bytes:
+    """An Iceberg v2 table partitioned by a TIME transform
+    (``day``/``hour``/``month``/``year``) with an equality-delete
+    file — the daily/hourly-partition shape real event tables use.
+    Served by :func:`scan_iceberg_v2` (the planning path is
+    transform-generic)."""
+    plan = synth_iceberg_time_plan(seed)
+    vals = _time_file_values(seed)
+    return _synth_v2_table(
+        seed, plan["transform"], vals, vals[plan["probe_file"]][18]
+    )

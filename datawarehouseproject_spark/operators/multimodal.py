@@ -3318,3 +3318,35 @@ def extract_delta_cm_scan(
         return scan_delta_cm
 
     return _extract_metadata(media, DELTA_CM_SCHEMA, loader, permissive)
+
+
+def synthesize_iceberg_time_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Iceberg v2 tables
+    partitioned by a TIME transform (hour/day/month/year rotation,
+    ``functions/iceberg_scan.py:synth_iceberg_time``); served by the
+    same transform-generic v2 scan."""
+
+    def loader():
+        from ..functions.iceberg_scan import synth_iceberg_time
+
+        return synth_iceberg_time
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_iceberg_time_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Time-transform-partitioned v2 scan per bundle — same plan as
+    :func:`extract_iceberg_v2_scan`
+    (:func:`..functions.iceberg_scan.scan_iceberg_v2` is
+    transform-generic)."""
+
+    def loader():
+        from ..functions.iceberg_scan import scan_iceberg_v2
+
+        return scan_iceberg_v2
+
+    return _extract_metadata(media, ICEBERG_V2_SCAN_SCHEMA, loader, permissive)

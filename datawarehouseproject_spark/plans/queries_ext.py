@@ -2029,6 +2029,74 @@ def q_iceberg_equality_deletes_scan(
 
 
 @register(
+    "iceberg_time_transform_scan",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id FROM documents),
+    f AS (
+      SELECT media_id, unnest(generate_series(0, 3)) AS j FROM m),
+    r AS (
+      SELECT media_id, j, 30 + (media_id + j) % 20 AS rows_,
+             media_id % 4 AS k
+      FROM f)
+    SELECT media_id,
+           CASE media_id % 4 WHEN 0 THEN 'hour' WHEN 1 THEN 'day'
+                             WHEN 2 THEN 'month' ELSE 'year' END
+             AS transform,
+           CAST(0 AS INTEGER) AS transform_arg,
+           CAST(4 AS INTEGER) AS n_data_files,
+           CAST(1 AS INTEGER) AS n_eq_delete_files,
+           CAST(3 AS INTEGER) AS files_pruned_partition,
+           CAST(0 AS INTEGER) AS files_pruned_bounds,
+           CAST(1 AS INTEGER) AS files_scanned,
+           CAST(sum(CASE WHEN j = k THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(CASE WHEN j = k THEN (rows_ + 2) // 5 ELSE 0 END)
+                AS BIGINT) AS equality_deleted_rows,
+           CAST(sum(CASE WHEN j = k THEN rows_ - (rows_ + 2) // 5
+                         ELSE 0 END) AS BIGINT) AS live_rows,
+           CAST(sum(rows_) AS BIGINT) AS total_rows,
+           CAST(1 AS BIGINT) AS probe_matches
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "iceberg", "lakehouse", "time-transforms",
+          "partition-transforms", "data-skipping", "mapInPandas"),
+)
+def q_iceberg_time_transform_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg TIME partition transforms (round 11 continuation):
+    ``hour``/``day``/``month``/``year`` — the daily/hourly-partition
+    shape nearly every real event table uses, rotated by seed.  The
+    transforms follow the table spec's ordinal-since-epoch semantics
+    (hour = micros//3.6e9, day = micros//8.64e10, month/year through
+    the proleptic Gregorian calendar with floor semantics for
+    pre-epoch values; pinned in tests against stdlib ``datetime`` as
+    the independent calendar producer).  Each fixture file holds one
+    partition ordinal of timestamp-micros values, so
+    ``files_pruned_partition = 3`` is oracle-asserted pure
+    time-transform pruning, with the same equality-delete
+    merge-on-read battery as ``iceberg_equality_deletes_scan``
+    layered on top.  The scan also audits every scanned row's
+    transform against the manifest's declared partition value —
+    drift loud-rejects."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_iceberg_time_scan,
+        synthesize_iceberg_time_media,
+    )
+
+    media = synthesize_iceberg_time_media(_t(spark, sf_dir, "documents"))
+    return extract_iceberg_time_scan(media).select(
+        "media_id", "transform", "transform_arg", "n_data_files",
+        "n_eq_delete_files", "files_pruned_partition",
+        "files_pruned_bounds", "files_scanned", "rows_scanned",
+        "equality_deleted_rows", "live_rows", "total_rows",
+        "probe_matches",
+    )
+
+
+@register(
     "delta_log_scan",
     oracle="""
     WITH m AS (

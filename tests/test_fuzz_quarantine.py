@@ -161,6 +161,11 @@ def _cases():
             iceberg_scan.synth_iceberg,
             iceberg_scan.scan_iceberg_time_travel,
         ),
+        (
+            "iceberg_time_transform",
+            iceberg_scan.synth_iceberg_time,
+            iceberg_scan.scan_iceberg_v2,
+        ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
         (
             "delta_partitioned",

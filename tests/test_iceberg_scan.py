@@ -675,3 +675,85 @@ def test_time_travel_snapshot_isolation():
         assert r["matches_current"] == (
             (rows_k - 18) // 40 - (rows_k - 18) // 280
         )
+
+
+# --- time transforms (hour/day/month/year) ----------------------------
+
+
+def test_time_transforms_pinned_against_datetime():
+    """The spec's ordinal-since-epoch semantics, pinned against
+    stdlib datetime as the independent calendar producer — including
+    leap years and pre-epoch floor behavior."""
+    import datetime as dt
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        time_transform,
+    )
+
+    cases = [
+        dt.datetime(1970, 1, 1, 0, 0, 0),
+        dt.datetime(2017, 11, 16, 22, 31, 8),
+        dt.datetime(2000, 2, 29, 23, 59, 59),   # leap day
+        dt.datetime(2024, 12, 31, 0, 0, 1),
+        dt.datetime(1969, 12, 31, 23, 59, 59),  # pre-epoch
+        dt.datetime(1901, 7, 4, 12, 0, 0),
+    ]
+    epoch = dt.datetime(1970, 1, 1)
+    for d in cases:
+        micros = round((d - epoch).total_seconds()) * 1_000_000
+        days_floor = (d.date() - epoch.date()).days
+        assert time_transform("day", micros) == days_floor, d
+        hours_floor = days_floor * 24 + d.hour
+        assert time_transform("hour", micros) == hours_floor, d
+        assert time_transform("month", micros) == (
+            (d.year - 1970) * 12 + d.month - 1
+        ), d
+        assert time_transform("year", micros) == d.year - 1970, d
+    # floor semantics one microsecond before epoch
+    assert time_transform("hour", -1) == -1
+    assert time_transform("day", -1) == -1
+    assert time_transform("month", -1) == -1
+    assert time_transform("year", -1) == -1
+
+
+def test_time_transform_parse_and_fences():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        parse_transform,
+        time_transform,
+    )
+
+    assert parse_transform("day") == ("day", 0)
+    assert parse_transform("hour") == ("hour", 0)
+    assert parse_transform("month") == ("month", 0)
+    assert parse_transform("year") == ("year", 0)
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_transform("day[2]")
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_transform("identity")
+    # int64 min is a legal micros value but outside the calendar:
+    # must be a ValueError, never an uncaught OverflowError
+    with pytest.raises(ValueError, match="calendar range"):
+        time_transform("year", -(2**63))
+    with pytest.raises(ValueError, match="outside int64"):
+        time_transform("day", 2**63)
+
+
+def test_time_fixture_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_v2,
+        synth_iceberg_time,
+        synth_iceberg_time_plan,
+    )
+
+    for seed in range(8):
+        plan = synth_iceberg_time_plan(seed)
+        out = scan_iceberg_v2(synth_iceberg_time(seed))
+        assert out["transform"] == plan["transform"]
+        assert out["transform_arg"] == 0
+        assert out["files_pruned_partition"] == 3
+        assert out["files_pruned_bounds"] == 0
+        assert out["files_scanned"] == 1
+        assert out["rows_scanned"] == plan["rows_scanned"]
+        assert out["equality_deleted_rows"] == plan["equality_deleted_rows"]
+        assert out["total_rows"] == plan["total_rows"]
+        assert out["probe_matches"] == 1
