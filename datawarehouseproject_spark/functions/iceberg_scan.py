@@ -944,8 +944,8 @@ def scan_iceberg_v2(payload: bytes) -> dict:
         raise ValueError("partition source field unsupported")
     tname, targ = parse_transform(pf.get("transform"))
 
-    candidates = []  # (path, record_count, partition, lo, hi)
-    eq_delete_files = []  # (path, record_count)
+    candidates = []  # (path, record_count, partition, lo, hi, seq)
+    eq_delete_files = []  # (path, record_count, seq)
     for mf in decode_avro_blocks(ml_blob):
         mpath = mf.get("manifest_path")
         if not isinstance(mpath, str):
@@ -958,6 +958,11 @@ def scan_iceberg_v2(payload: bytes) -> dict:
         content = mf.get("content", 0)
         if content not in (0, 1):
             raise ValueError(f"manifest content {content!r} unknown")
+        mseq = mf.get("sequence_number")
+        if mseq is not None and (
+            not isinstance(mseq, int) or isinstance(mseq, bool) or mseq < 0
+        ):
+            raise ValueError("manifest sequence_number malformed")
         for e in decode_avro_blocks(mblob):
             status = e.get("status")
             df = e.get("data_file")
@@ -967,6 +972,20 @@ def scan_iceberg_v2(payload: bytes) -> dict:
                 continue
             if status not in (0, 1):
                 raise ValueError(f"manifest entry status {status} unknown")
+            eseq = e.get("data_sequence_number")
+            if eseq is None and mseq is not None:
+                # spec: a null data_sequence_number on an ADDED entry
+                # inherits the manifest's sequence number
+                if status != 1:
+                    raise ValueError(
+                        "sequence inheritance on a non-added entry"
+                    )
+                eseq = mseq
+            if eseq is not None and (
+                not isinstance(eseq, int) or isinstance(eseq, bool)
+                or eseq < 0
+            ):
+                raise ValueError("data_sequence_number malformed")
             path = df.get("file_path")
             rc = df.get("record_count")
             part = df.get("partition")
@@ -994,7 +1013,7 @@ def scan_iceberg_v2(payload: bytes) -> dict:
                     raise ValueError(
                         f"equality ids {eq_ids!r} unsupported (boundary)"
                     )
-                eq_delete_files.append((path, rc))
+                eq_delete_files.append((path, rc, eseq))
                 continue
             if fcontent != 0:
                 raise ValueError(
@@ -1004,12 +1023,20 @@ def scan_iceberg_v2(payload: bytes) -> dict:
             hi = _bound_value(df.get("upper_bounds"))
             if lo > hi:
                 raise ValueError("data file lower bound above upper")
-            candidates.append((path, rc, part["p"], lo, hi))
+            candidates.append((path, rc, part["p"], lo, hi, eseq))
     if not candidates:
         raise ValueError("current snapshot has no live data files")
-    # equality delete values
-    dead_values: set[int] = set()
-    for dpath, dcount in eq_delete_files:
+    # sequence numbers are all-or-none: a half-declared table cannot
+    # be ordered, and guessing silently resurrects or re-kills rows
+    seq_present = [c[5] is not None for c in candidates] + [
+        d[2] is not None for d in eq_delete_files
+    ]
+    if any(seq_present) and not all(seq_present):
+        raise ValueError("sequence numbers partially declared (boundary)")
+    sequenced = bool(seq_present) and all(seq_present)
+    # equality delete values, per delete file with its sequence number
+    delete_sets: list[tuple[int | None, set[int]]] = []
+    for dpath, dcount, dseq in eq_delete_files:
         dblob = files.get(dpath)
         if dblob is None:
             raise ValueError(f"delete file {dpath!r} missing from bundle")
@@ -1023,10 +1050,12 @@ def scan_iceberg_v2(payload: bytes) -> dict:
             )
         if "v" not in dtable.column_names:
             raise ValueError("equality delete file missing the column")
+        dset: set[int] = set()
         for v in dtable.column("v").to_pylist():
             if not isinstance(v, int):
                 raise ValueError("equality delete value not an integer")
-            dead_values.add(v)
+            dset.add(v)
+        delete_sets.append((dseq, dset))
     # transform-aware partition pruning, then bounds pruning
     target = apply_transform(tname, targ, probe)
     part_survivors = [c for c in candidates if c[2] == target]
@@ -1036,7 +1065,16 @@ def scan_iceberg_v2(payload: bytes) -> dict:
     rows_scanned = 0
     eq_deleted = 0
     matches = 0
-    for path, rc, part, _lo, _hi in survivors:
+    for path, rc, part, _lo, _hi, fseq in survivors:
+        # spec: an equality delete applies to a row iff the row's
+        # data file has a STRICTLY SMALLER data sequence number than
+        # the delete file — a value re-added after the delete lives.
+        # Sequence-less tables (the pre-sequence fixtures) keep the
+        # documented apply-globally behavior.
+        dead_values: set[int] = set()
+        for dseq, dset in delete_sets:
+            if not sequenced or fseq < dseq:
+                dead_values |= dset
         table = _read_parquet_checked(files, path, rc)
         if "v" not in table.column_names:
             raise ValueError("data file missing the predicate column")
@@ -1228,3 +1266,246 @@ def synth_iceberg_time(seed: int) -> bytes:
     return _synth_v2_table(
         seed, plan["transform"], vals, vals[plan["probe_file"]][18]
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence numbers: deletes must not touch files added AFTER them
+# ---------------------------------------------------------------------------
+
+_MANIFEST_LIST_SCHEMA_SEQ = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "added_snapshot_id", "type": "long"},
+            {"name": "added_data_files_count", "type": "int"},
+        ],
+    }
+).encode()
+
+_MANIFEST_SCHEMA_SEQ = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_sequence_number",
+                "type": ["null", "long"],
+            },
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [{"name": "p", "type": "long"}],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": "lower_bounds", "type": _BOUND_SCHEMA},
+                        {"name": "upper_bounds", "type": _BOUND_SCHEMA},
+                        {
+                            "name": "equality_ids",
+                            "type": {"type": "array", "items": "int"},
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+).encode()
+
+
+def synth_iceberg_seq_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: four data files under
+    ``truncate[100]``.  f0 (seq 1, window 0) and f1 (seq 1, window
+    100) predate the equality delete (seq 2) that kills f0's indices
+    ``i%3==0`` and f1's ``i%4==1``; f2 (seq 3, window 0) RE-ADDS
+    exactly f0's killed values and f3 (seq 3, window 300) is fresh.
+    Probe = f0's value at index 0 (killed in f0, re-added in f2):
+    a sequence-aware reader finds it EXACTLY ONCE — a global-delete
+    reader 0 times, a delete-ignoring reader twice."""
+    rows0 = 20 + seed % 10
+    rows1 = 20 + (seed + 1) % 10
+    rows3 = 20 + (seed + 3) % 10
+    d0 = (rows0 + 2) // 3  # indices i%3==0 of rows0
+    lo = seed % 40
+    return {
+        "rows0": rows0,
+        "rows1": rows1,
+        "rows2": d0,
+        "rows3": rows3,
+        "lo": lo,
+        "d0": d0,
+        "probe": lo,
+        "rows_scanned": rows0 + d0,
+        "equality_deleted_rows": d0,
+        "live_rows": rows0,
+        "total_rows": rows0 + rows1 + d0 + rows3,
+    }
+
+
+def synth_iceberg_seq(seed: int) -> bytes:
+    """An Iceberg v2 table where SEQUENCE ORDER decides what the
+    equality delete touches, exercising BOTH sequence carriers: the
+    seq-1 manifest's entries INHERIT (null data_sequence_number),
+    the delete and seq-3 entries declare explicitly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = synth_iceberg_seq_plan(seed)
+    lo = plan["lo"]
+    vals = {
+        "f0": [lo + i for i in range(plan["rows0"])],
+        "f1": [100 + lo + i for i in range(plan["rows1"])],
+        "f3": [300 + lo + i for i in range(plan["rows3"])],
+    }
+    dead = sorted(
+        [v for i, v in enumerate(vals["f0"]) if i % 3 == 0]
+        + [v for i, v in enumerate(vals["f1"]) if i % 4 == 1]
+    )
+    vals["f2"] = [v for i, v in enumerate(vals["f0"]) if i % 3 == 0]
+    probe = vals["f0"][0]
+    sync = bytes((seed * 31 + j * 13 + 5) % 256 for j in range(16))
+    files: dict[str, bytes] = {}
+
+    def entry(
+        path: str,
+        rows: int,
+        part: int,
+        lo_b: int,
+        hi_b: int,
+        content: int,
+        eq_ids: list[int],
+        eseq: int | None,
+    ) -> bytes:
+        eq = _zigzag_write(0)
+        if eq_ids:
+            eq = (
+                _zigzag_write(len(eq_ids))
+                + b"".join(_zigzag_write(i) for i in eq_ids)
+                + _zigzag_write(0)
+            )
+        seq_bytes = (
+            _zigzag_write(0)  # null -> inherit from the manifest
+            if eseq is None
+            else _zigzag_write(1) + _zigzag_write(eseq)
+        )
+        return (
+            _zigzag_write(1)  # status = added
+            + _zigzag_write(1) + _zigzag_write(7)  # snapshot_id = 7
+            + seq_bytes
+            + _zigzag_write(content)
+            + _enc_string(path)
+            + _enc_string("PARQUET")
+            + _zigzag_write(part)
+            + _zigzag_write(rows)
+            + _zigzag_write(len(files[path]))
+            + _enc_bounds(lo_b)
+            + _enc_bounds(hi_b)
+            + eq
+        )
+
+    def write_parquet(name: str, values: list[int]) -> str:
+        buf = io.BytesIO()
+        pq.write_table(pa.table({"v": values}), buf)
+        path = f"data/{name}.parquet"
+        files[path] = buf.getvalue()
+        return path
+
+    p0 = write_parquet("f0", vals["f0"])
+    p1 = write_parquet("f1", vals["f1"])
+    p2 = write_parquet("f2", vals["f2"])
+    p3 = write_parquet("f3", vals["f3"])
+    pd_ = write_parquet("eq", dead)
+
+    m_old = [  # seq 1 via INHERITANCE (null data_sequence_number)
+        entry(p0, len(vals["f0"]), 0, min(vals["f0"]),
+              max(vals["f0"]), 0, [], None),
+        entry(p1, len(vals["f1"]), 100, min(vals["f1"]),
+              max(vals["f1"]), 0, [], None),
+    ]
+    m_del = [
+        entry(pd_, len(dead), 0, min(dead), max(dead), 2,
+              [_V_FIELD_ID], 2),
+    ]
+    m_new = [  # seq 3, declared explicitly on each entry
+        entry(p2, len(vals["f2"]), 0, min(vals["f2"]),
+              max(vals["f2"]), 0, [], 3),
+        entry(p3, len(vals["f3"]), 300, min(vals["f3"]),
+              max(vals["f3"]), 0, [], 3),
+    ]
+    manifests = {
+        "metadata/m_old.avro": m_old,
+        "metadata/m_del.avro": m_del,
+        "metadata/m_new.avro": m_new,
+    }
+    for path, entries in manifests.items():
+        files[path] = encode_avro_container(
+            _MANIFEST_SCHEMA_SEQ, entries, sync
+        )
+
+    def ml_record(
+        mpath: str, nfiles: int, content: int, mseq: int
+    ) -> bytes:
+        return (
+            _enc_string(mpath)
+            + _zigzag_write(len(files[mpath]))
+            + _zigzag_write(0)
+            + _zigzag_write(content)
+            + _zigzag_write(mseq)
+            + _zigzag_write(7)
+            + _zigzag_write(nfiles)
+        )
+
+    files["metadata/snap-7.avro"] = encode_avro_container(
+        _MANIFEST_LIST_SCHEMA_SEQ,
+        [
+            ml_record("metadata/m_old.avro", 2, 0, 1),
+            ml_record("metadata/m_del.avro", 1, 1, 2),
+            ml_record("metadata/m_new.avro", 2, 0, 3),
+        ],
+        sync,
+    )
+    files["metadata/v2.metadata.json"] = json.dumps(
+        {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-4000-8000-{seed:012d}",
+            "properties": {"fixture.probe": str(probe)},
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": "p",
+                            "transform": "truncate[100]",
+                            "source-id": _V_FIELD_ID,
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ],
+            "current-snapshot-id": 7,
+            "snapshots": [
+                {"snapshot-id": 7, "manifest-list": "metadata/snap-7.avro"}
+            ],
+        }
+    ).encode()
+    return write_tar_bundle(files)

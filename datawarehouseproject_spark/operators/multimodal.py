@@ -3350,3 +3350,32 @@ def extract_iceberg_time_scan(
         return scan_iceberg_v2
 
     return _extract_metadata(media, ICEBERG_V2_SCAN_SCHEMA, loader, permissive)
+
+
+def synthesize_iceberg_seq_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Iceberg v2 tables whose
+    equality delete sits BETWEEN two data generations by sequence
+    number (``functions/iceberg_scan.py:synth_iceberg_seq``)."""
+
+    def loader():
+        from ..functions.iceberg_scan import synth_iceberg_seq
+
+        return synth_iceberg_seq
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_iceberg_seq_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Sequence-aware v2 scan per bundle — same transform-generic
+    plan as :func:`extract_iceberg_v2_scan`."""
+
+    def loader():
+        from ..functions.iceberg_scan import scan_iceberg_v2
+
+        return scan_iceberg_v2
+
+    return _extract_metadata(media, ICEBERG_V2_SCAN_SCHEMA, loader, permissive)

@@ -2029,6 +2029,71 @@ def q_iceberg_equality_deletes_scan(
 
 
 @register(
+    "iceberg_sequence_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             20 + doc_id % 10 AS rows0,
+             20 + (doc_id + 1) % 10 AS rows1,
+             20 + (doc_id + 3) % 10 AS rows3
+      FROM documents),
+    d AS (
+      SELECT media_id, rows0, rows1, rows3,
+             (rows0 + 2) // 3 AS d0
+      FROM m)
+    SELECT media_id,
+           'truncate' AS transform,
+           CAST(100 AS INTEGER) AS transform_arg,
+           CAST(4 AS INTEGER) AS n_data_files,
+           CAST(1 AS INTEGER) AS n_eq_delete_files,
+           CAST(2 AS INTEGER) AS files_pruned_partition,
+           CAST(0 AS INTEGER) AS files_pruned_bounds,
+           CAST(2 AS INTEGER) AS files_scanned,
+           CAST(rows0 + d0 AS BIGINT) AS rows_scanned,
+           CAST(d0 AS BIGINT) AS equality_deleted_rows,
+           CAST(rows0 AS BIGINT) AS live_rows,
+           CAST(rows0 + rows1 + d0 + rows3 AS BIGINT) AS total_rows,
+           CAST(1 AS BIGINT) AS probe_matches
+    FROM d
+    """,
+    tags=("sources", "iceberg", "lakehouse", "sequence-numbers",
+          "equality-deletes", "merge-on-read", "mapInPandas"),
+)
+def q_iceberg_sequence_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 SEQUENCE NUMBERS (round 11 continuation — closes
+    the scan's documented 'sequence ordering out of scope' gap): an
+    equality delete applies only to rows whose data file has a
+    STRICTLY SMALLER data sequence number, so a value re-added after
+    the delete must SURVIVE.  The fixture's delete (seq 2) sits
+    between two data generations: f0/f1 (seq 1, carried by manifest
+    INHERITANCE — null ``data_sequence_number`` on added entries
+    inherits the manifest_file's ``sequence_number``) and f2/f3
+    (seq 3, declared per entry).  f2 re-adds exactly the values the
+    delete killed in f0, and the probe is one of them — a
+    sequence-aware reader finds it exactly once (oracle-asserted
+    ``probe_matches = 1``), a global-delete reader zero times, a
+    delete-ignoring reader twice.  Sequence declaration is
+    all-or-none: a half-sequenced table loud-rejects (guessing
+    either way silently resurrects or re-kills rows); the
+    pre-sequence fixtures keep their documented apply-globally
+    behavior."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_iceberg_seq_scan,
+        synthesize_iceberg_seq_media,
+    )
+
+    media = synthesize_iceberg_seq_media(_t(spark, sf_dir, "documents"))
+    return extract_iceberg_seq_scan(media).select(
+        "media_id", "transform", "transform_arg", "n_data_files",
+        "n_eq_delete_files", "files_pruned_partition",
+        "files_pruned_bounds", "files_scanned", "rows_scanned",
+        "equality_deleted_rows", "live_rows", "total_rows",
+        "probe_matches",
+    )
+
+
+@register(
     "iceberg_time_transform_scan",
     oracle="""
     WITH m AS (SELECT doc_id AS media_id FROM documents),
