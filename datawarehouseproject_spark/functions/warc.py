@@ -322,6 +322,27 @@ def synth_warc_zst(seed: int) -> bytes:
     return b"".join(out)
 
 
+def _zstd_cli() -> str:
+    """Resolve the zstd CLI (the dict-training producer) robustly:
+    the harness PATH drifts between sessions, so fall back to the
+    known install locations before giving up loudly."""
+    import os
+    import shutil
+
+    found = shutil.which("zstd")
+    if found:
+        return found
+    for cand in (
+        "/root/miniconda/bin/zstd",
+        "/usr/bin/zstd",
+        "/usr/local/bin/zstd",
+        "/opt/conda/bin/zstd",
+    ):
+        if os.path.exists(cand):
+            return cand
+    raise ValueError("zstd CLI not available on this host")
+
+
 def synth_warc_zst_dict(seed: int) -> bytes:
     """A DICT-TRAINED .warc.zst — the layout the real Common Crawl
     feed ships: ``zstd --train`` over seed-derived record-shaped
@@ -340,6 +361,7 @@ def synth_warc_zst_dict(seed: int) -> bytes:
     import subprocess
     import tempfile
 
+    zstd_bin = _zstd_cli()
     recs = _build_warc_records(seed)
     with tempfile.TemporaryDirectory() as td:
         # the trainer refuses tiny corpora: give it 12 deterministic
@@ -357,7 +379,7 @@ def synth_warc_zst_dict(seed: int) -> bytes:
             sample_paths.append(p)
         dict_path = os.path.join(td, "dict.bin")
         subprocess.run(
-            ["zstd", "-q", "--train", *sample_paths,
+            [zstd_bin, "-q", "--train", *sample_paths,
              "-o", dict_path, "--maxdict=1024"],
             check=True, capture_output=True,
         )
@@ -369,7 +391,7 @@ def synth_warc_zst_dict(seed: int) -> bytes:
                 fh.write(b"".join(recs[k : k + 2]))
             paths.append(p)
         subprocess.run(
-            ["zstd", "-q", "-f", f"-{(1, 3, 9)[seed % 3]}",
+            [zstd_bin, "-q", "-f", f"-{(1, 3, 9)[seed % 3]}",
              "-D", dict_path, *paths],
             check=True, capture_output=True,
         )

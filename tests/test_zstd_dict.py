@@ -29,6 +29,7 @@ from datawarehouseproject_spark.functions.warc import (
     synth_warc,
     synth_warc_zst_dict,
 )
+from datawarehouseproject_spark.functions.warc import _zstd_cli
 from datawarehouseproject_spark.functions.zstd_codec import (
     decode_zstd,
     parse_zstd_dictionary,
@@ -48,7 +49,7 @@ def _train_and_compress(samples: list[bytes], payloads: list[bytes],
             spaths.append(p)
         dpath = os.path.join(td, "dict.bin")
         subprocess.run(
-            ["zstd", "-q", "--train", *spaths, "-o", dpath,
+            [_zstd_cli(), "-q", "--train", *spaths, "-o", dpath,
              "--maxdict=1024"],
             check=True, capture_output=True,
         )
@@ -59,7 +60,7 @@ def _train_and_compress(samples: list[bytes], payloads: list[bytes],
                 fh.write(b)
             ppaths.append(p)
         subprocess.run(
-            ["zstd", "-q", "-f", f"-{level}", "-D", dpath, *ppaths],
+            [_zstd_cli(), "-q", "-f", f"-{level}", "-D", dpath, *ppaths],
             check=True, capture_output=True,
         )
         with open(dpath, "rb") as fh:
@@ -133,7 +134,7 @@ def test_raw_content_dictionary():
         with open(ppath, "wb") as fh:
             fh.write(text)
         subprocess.run(
-            ["zstd", "-q", "-f", "-3", "-D", dpath, ppath],
+            [_zstd_cli(), "-q", "-f", "-3", "-D", dpath, ppath],
             check=True, capture_output=True,
         )
         with open(ppath + ".zst", "rb") as fh:

@@ -837,6 +837,7 @@ def round12_kernels() -> None:
     import tempfile
     import os
 
+    from datawarehouseproject_spark.functions.warc import _zstd_cli
     from datawarehouseproject_spark.functions.zstd_codec import (
         decode_zstd,
         parse_zstd_dictionary,
@@ -852,7 +853,7 @@ def round12_kernels() -> None:
             spaths.append(p)
         dpath = os.path.join(td, "d.bin")
         subprocess.run(
-            ["zstd", "-q", "--train", *spaths, "-o", dpath,
+            [_zstd_cli(), "-q", "--train", *spaths, "-o", dpath,
              "--maxdict=16384"],
             check=True, capture_output=True,
         )
@@ -860,7 +861,7 @@ def round12_kernels() -> None:
         with open(tpath, "wb") as fh:
             fh.write(text)
         subprocess.run(
-            ["zstd", "-q", "-f", "-3", "-D", dpath, tpath],
+            [_zstd_cli(), "-q", "-f", "-3", "-D", dpath, tpath],
             check=True, capture_output=True,
         )
         with open(dpath, "rb") as fh:
