@@ -1068,3 +1068,259 @@ def scan_orc_bloom(payload: bytes) -> dict:
         "int_fp_bounded": int_absent_hits <= bound,
         "str_fp_bounded": str_absent_hits <= bound,
     }
+
+
+# ---------------------------------------------------------------------------
+# round 11 continuation: the remaining scalar types — boolean, double,
+# timestamp_instant, date, decimal — producer-pinned by pyarrow's ORC
+# writer (empirically pinned encodings: nanos scale = p * 10^(b+1)
+# for low-bits b > 0; seconds relative to the 2015-01-01 UTC epoch;
+# decimal DATA = zigzag unbounded varints + SECONDARY scale)
+# ---------------------------------------------------------------------------
+
+_K_SECONDARY = 5
+_BOOL_KIND = 0
+_DOUBLE_KIND = 6
+_DECIMAL_KIND = 14
+_DATE_KIND = 15
+_TS_INSTANT_KIND = 18
+_ORC_TS_EPOCH = 1_420_070_400  # 2015-01-01T00:00:00Z in unix seconds
+
+
+def _unbounded_varint(data: bytes, pos: int) -> tuple[int, int]:
+    """ORC decimal DATA: little-endian base-128 varint, zigzag
+    signed; capped at 20 bytes (a decimal128 needs at most 19)."""
+    v = 0
+    shift = 0
+    for n in range(20):
+        if pos >= len(data):
+            raise ValueError("decimal varint truncated")
+        byte = data[pos]
+        pos += 1
+        v |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return _unzigzag(v), pos
+        shift += 7
+    raise ValueError("decimal varint past size cap")
+
+
+def _ts_nanos(raw: int) -> int:
+    """SECONDARY-stream nanosecond decode (pinned against pyarrow):
+    low 3 bits b scale the payload by ``10^(b+1)`` when non-zero."""
+    b = raw & 7
+    p = raw >> 3
+    n = p * 10 ** (b + 1) if b else p
+    if not 0 <= n < 1_000_000_000:
+        raise ValueError("timestamp nanos outside [0, 1e9)")
+    return n
+
+
+def synth_orc_scalars_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: ``n = 60 + (seed*7) % 90``
+    rows.  Row i: boolean null at ``i%11==0`` else ``i%3==0``;
+    double null at ``i%13==0`` else ``i * 0.25`` (dyadic — sums are
+    exact in both engines); timestamp_instant null at ``i%7==0``
+    else ``2014-06-01T00:00:00Z + (seed%1000) s + i*1000003 µs``
+    (pre-2015 seconds are NEGATIVE in the stream); date null at
+    ``i%17==0`` else day ``18000 + seed%50 + i*3 - 40``; decimal(12,2)
+    null at ``i%5==4`` else ``(i-30)*7 + seed%100`` cents."""
+    n = 60 + (seed * 7) % 90
+    return {"n": n}
+
+
+def synth_orc_scalars(seed: int) -> bytes:
+    import datetime as _dt
+    import decimal as _decimal
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    n = synth_orc_scalars_plan(seed)["n"]
+    base = _dt.datetime(
+        2014, 6, 1, tzinfo=_dt.timezone.utc
+    ) + _dt.timedelta(seconds=seed % 1000)
+    tbl = pa.table(
+        {
+            "b": pa.array(
+                [None if i % 11 == 0 else i % 3 == 0 for i in range(n)]
+            ),
+            "d": pa.array(
+                [None if i % 13 == 0 else i * 0.25 for i in range(n)],
+                type=pa.float64(),
+            ),
+            "t": pa.array(
+                [
+                    None if i % 7 == 0
+                    else base + _dt.timedelta(microseconds=i * 1_000_003)
+                    for i in range(n)
+                ],
+                type=pa.timestamp("us", tz="UTC"),
+            ),
+            "dt": pa.array(
+                [
+                    None if i % 17 == 0
+                    else _dt.date(1970, 1, 1)
+                    + _dt.timedelta(days=18000 + seed % 50 + i * 3 - 40)
+                    for i in range(n)
+                ],
+                type=pa.date32(),
+            ),
+            "dec": pa.array(
+                [
+                    None if i % 5 == 4
+                    else _decimal.Decimal((i - 30) * 7 + seed % 100)
+                    / 100
+                    for i in range(n)
+                ],
+                type=pa.decimal128(12, 2),
+            ),
+        }
+    )
+    buf = _io.BytesIO()
+    orc.write_table(
+        tbl, buf, compression=("uncompressed", "zlib")[seed % 2]
+    )
+    return buf.getvalue()
+
+
+def scan_orc_scalars(payload: bytes) -> dict:
+    """Decode the five remaining scalar column shapes straight from
+    the stripe streams: boolean (bool-RLE DATA), double (IEEE754 LE),
+    timestamp_instant (seconds-from-2015 DATA + scaled-nanos
+    SECONDARY), date (days DATA), and decimal (zigzag-varint DATA +
+    scale SECONDARY, scale cross-checked).  PRESENT streams gate
+    every column; all five sums are oracle-recomputed."""
+    import struct as _struct
+
+    codec, footer, n_rows, types = _parse_orc_tail(payload)
+    expect = [
+        _STRUCT_KIND, _BOOL_KIND, _DOUBLE_KIND, _TS_INSTANT_KIND,
+        _DATE_KIND, _DECIMAL_KIND,
+    ]
+    if types[: len(expect)] != expect:
+        raise ValueError("scalar fixture schema mismatch")
+    bool_true = bool_nulls = 0
+    double_sum = 0.0
+    ts_micros_sum = ts_nulls = 0
+    date_days_sum = 0
+    dec_cents_sum = 0
+    total_nulls = 0
+    rows_seen = 0
+    for sb in footer.get(3, []):
+        s = _msg(sb)
+        offset = _nonneg(s.get(1, [None])[0], "stripe offset")
+        index_len = _nonneg(s.get(2, [0])[0], "stripe index length")
+        data_len = _nonneg(s.get(3, [0])[0], "stripe data length")
+        sf_len = _nonneg(s.get(4, [None])[0], "stripe footer length")
+        stripe_rows = _nonneg(s.get(5, [None])[0], "stripe row count")
+        sf_start = offset + index_len + data_len
+        if sf_start + sf_len > len(payload):
+            raise ValueError("stripe footer past end of file")
+        sfoot = _msg(
+            _orc_decompress(
+                payload[sf_start : sf_start + sf_len], codec,
+                "stripe footer",
+            )
+        )
+        cursor = offset
+        located = {}
+        for st in sfoot.get(1, []):
+            m = _msg(st)
+            kind = _nonneg(m.get(1, [0])[0], "stream kind")
+            col = m.get(2, [None])[0]
+            length = _nonneg(m.get(3, [0])[0], "stream length")
+            if col is None:
+                raise ValueError("stream without column id")
+            if kind not in _INDEX_KINDS:
+                located[(kind, col)] = (cursor, length)
+            cursor += length
+
+        def stream(kind: int, col: int) -> bytes | None:
+            st = located.get((kind, col))
+            if st is None:
+                return None
+            return _orc_decompress(
+                payload[st[0] : st[0] + st[1]], codec, "stream"
+            )
+
+        def present(col: int) -> tuple[list[int], int]:
+            blob = stream(_K_PRESENT, col)
+            if blob is None:
+                return [1] * stripe_rows, stripe_rows
+            bits = _bool_rle_decode(blob, stripe_rows)
+            return bits, sum(bits)
+
+        def data(kind: int, col: int, what: str) -> bytes:
+            blob = stream(kind, col)
+            if blob is None:
+                raise ValueError(f"column {col} missing {what} stream")
+            return blob
+
+        # boolean
+        _bits, np_ = present(1)
+        bvals = _bool_rle_decode(data(_K_DATA, 1, "DATA"), np_)
+        bool_true += sum(bvals)
+        bool_nulls += stripe_rows - np_
+        total_nulls += stripe_rows - np_
+        # double
+        _bits, np_ = present(2)
+        dblob = data(_K_DATA, 2, "DATA")
+        if len(dblob) != 8 * np_:
+            raise ValueError("double DATA size disagrees with PRESENT")
+        double_sum += sum(
+            _struct.unpack_from("<d", dblob, 8 * i)[0] for i in range(np_)
+        )
+        total_nulls += stripe_rows - np_
+        # timestamp_instant
+        _bits, np_ = present(3)
+        secs = rle_v2_decode(data(_K_DATA, 3, "DATA"), np_, signed=True)
+        nraw = rle_v2_decode(
+            data(_K_SECONDARY, 3, "SECONDARY"), np_, signed=False
+        )
+        for s_, v in zip(secs, nraw):
+            ts_micros_sum += (
+                (s_ + _ORC_TS_EPOCH) * 1_000_000_000 + _ts_nanos(v)
+            ) // 1000
+        ts_nulls += stripe_rows - np_
+        total_nulls += stripe_rows - np_
+        # date
+        _bits, np_ = present(4)
+        date_days_sum += sum(
+            rle_v2_decode(data(_K_DATA, 4, "DATA"), np_, signed=True)
+        )
+        total_nulls += stripe_rows - np_
+        # decimal
+        _bits, np_ = present(5)
+        dec_blob = data(_K_DATA, 5, "DATA")
+        scales = rle_v2_decode(
+            data(_K_SECONDARY, 5, "SECONDARY"), np_, signed=True
+        )
+        pos = 0
+        for i in range(np_):
+            cents, pos = _unbounded_varint(dec_blob, pos)
+            if scales[i] != 2:
+                raise ValueError("decimal scale disagrees with schema")
+            dec_cents_sum += cents
+        if pos != len(dec_blob):
+            raise ValueError("decimal DATA has trailing bytes")
+        total_nulls += stripe_rows - np_
+        rows_seen += stripe_rows
+    if rows_seen != n_rows:
+        raise ValueError("stripe rows disagree with footer total")
+    for label, v in (
+        ("ts_micros_sum", ts_micros_sum),
+        ("date_days_sum", date_days_sum),
+        ("dec_cents_sum", dec_cents_sum),
+    ):
+        if not (-(2**63) <= v < 2**63):
+            raise ValueError(f"ORC {label} overflows int64 (boundary)")
+    return {
+        "n_rows": n_rows,
+        "bool_true": bool_true,
+        "double_sum": double_sum,
+        "ts_micros_sum": ts_micros_sum,
+        "date_days_sum": date_days_sum,
+        "dec_cents_sum": dec_cents_sum,
+        "total_nulls": total_nulls,
+    }

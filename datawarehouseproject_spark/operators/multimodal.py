@@ -3379,3 +3379,46 @@ def extract_iceberg_seq_scan(
         return scan_iceberg_v2
 
     return _extract_metadata(media, ICEBERG_V2_SCAN_SCHEMA, loader, permissive)
+
+
+def synthesize_orc_scalars_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of ORC files carrying the
+    five remaining scalar shapes — boolean, double,
+    timestamp_instant, date, decimal — with per-column nulls
+    (``functions/orc_pages.py:synth_orc_scalars``)."""
+
+    def loader():
+        from ..functions.orc_pages import synth_orc_scalars
+
+        return synth_orc_scalars
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ORC_SCALARS_SCHEMA = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("bool_true", T.LongType()),
+        T.StructField("double_sum", T.DoubleType()),
+        T.StructField("ts_micros_sum", T.LongType()),
+        T.StructField("date_days_sum", T.LongType()),
+        T.StructField("dec_cents_sum", T.LongType()),
+        T.StructField("total_nulls", T.LongType()),
+    ]
+)
+
+
+def extract_orc_scalars_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Scalar-type stripe decode per payload
+    (:func:`..functions.orc_pages.scan_orc_scalars`)."""
+
+    def loader():
+        from ..functions.orc_pages import scan_orc_scalars
+
+        return scan_orc_scalars
+
+    return _extract_metadata(media, ORC_SCALARS_SCHEMA, loader, permissive)

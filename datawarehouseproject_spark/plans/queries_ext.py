@@ -1787,6 +1787,74 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_scalar_types_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 60 + (doc_id * 7) % 90 AS n
+      FROM documents),
+    r AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m)
+    SELECT media_id,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN i % 11 <> 0 AND i % 3 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bool_true,
+           sum(CASE WHEN i % 13 <> 0
+                    THEN i * CAST(0.25 AS DOUBLE) ELSE 0 END)
+             AS double_sum,
+           CAST(sum(CASE WHEN i % 7 <> 0
+                         THEN 1401580800000000
+                              + (media_id % 1000) * 1000000
+                              + i * 1000003
+                         ELSE 0 END) AS BIGINT) AS ts_micros_sum,
+           CAST(sum(CASE WHEN i % 17 <> 0
+                         THEN 18000 + media_id % 50 + i * 3 - 40
+                         ELSE 0 END) AS BIGINT) AS date_days_sum,
+           CAST(sum(CASE WHEN i % 5 <> 4
+                         THEN (i - 30) * 7 + media_id % 100
+                         ELSE 0 END) AS BIGINT) AS dec_cents_sum,
+           CAST(sum(CASE WHEN i % 11 = 0 THEN 1 ELSE 0 END)
+                + sum(CASE WHEN i % 13 = 0 THEN 1 ELSE 0 END)
+                + sum(CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END)
+                + sum(CASE WHEN i % 17 = 0 THEN 1 ELSE 0 END)
+                + sum(CASE WHEN i % 5 = 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS total_nulls
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "orc", "scalar-types", "timestamps", "decimal",
+          "mapInPandas"),
+)
+def q_orc_scalar_types_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC SCALAR-TYPE stripe decode (round 11 continuation — closes
+    the rich scan's 'non-int/string types out of scope' boundary):
+    boolean (bool-RLE DATA), double (IEEE754 LE), TIMESTAMP_INSTANT
+    (DATA = RLEv2 signed seconds relative to the 2015-01-01 UTC
+    epoch — pre-2015 values are NEGATIVE in the fixture — plus
+    SECONDARY scaled nanos, empirically producer-pinned:
+    ``nanos = p * 10^(b+1)`` for low-bits ``b > 0``), date (RLEv2
+    signed days), and decimal (DATA = zigzag unbounded varints of
+    the unscaled value + SECONDARY per-value scale, cross-checked
+    against the declared scale).  Every column carries a PRESENT
+    stream (different null cadences), compression rotates
+    uncompressed/zlib, and all five sums are oracle-recomputed —
+    ``double_sum`` over dyadic values so binary-float addition is
+    exact in both engines."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_orc_scalars_scan,
+        synthesize_orc_scalars_media,
+    )
+
+    media = synthesize_orc_scalars_media(_t(spark, sf_dir, "documents"))
+    return extract_orc_scalars_scan(media).select(
+        "media_id", "n_rows", "bool_true", "double_sum",
+        "ts_micros_sum", "date_days_sum", "dec_cents_sum",
+        "total_nulls",
+    )
+
+
+@register(
     "orc_bloom_filter_scan",
     oracle="""
     WITH m AS (

@@ -127,6 +127,11 @@ def _cases():
             orc_pages.synth_orc_bloom,
             orc_pages.scan_orc_bloom,
         ),
+        (
+            "orc_scalars",
+            orc_pages.synth_orc_scalars,
+            orc_pages.scan_orc_scalars,
+        ),
         ("ico", ico.synth_ico, ico.scan_ico),
         ("sqlite", sqlite_scan.synth_sqlite, sqlite_scan.scan_sqlite),
         (

@@ -337,3 +337,86 @@ def test_bloom_shape_fences():
         bloom_might_contain(b"\xff" * 8, 65, 12345)
     with pytest.raises(ValueError, match="no filters"):
         parse_bloom_index(b"")
+
+
+# --- round 11 continuation: scalar types ------------------------------
+
+
+def test_scalar_scan_matches_plan_all_seeds():
+    import datetime
+
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_scalars,
+        synth_orc_scalars,
+        synth_orc_scalars_plan,
+    )
+
+    for seed in range(6):
+        n = synth_orc_scalars_plan(seed)["n"]
+        out = scan_orc_scalars(synth_orc_scalars(seed))
+        base_us = (
+            int(
+                datetime.datetime(
+                    2014, 6, 1, tzinfo=datetime.timezone.utc
+                ).timestamp()
+            )
+            + seed % 1000
+        ) * 10**6
+        assert out["n_rows"] == n
+        assert out["bool_true"] == sum(
+            1 for i in range(n) if i % 11 != 0 and i % 3 == 0
+        )
+        assert out["double_sum"] == sum(
+            i * 0.25 for i in range(n) if i % 13 != 0
+        )
+        assert out["ts_micros_sum"] == sum(
+            base_us + i * 1_000_003 for i in range(n) if i % 7 != 0
+        )
+        assert out["date_days_sum"] == sum(
+            18000 + seed % 50 + i * 3 - 40
+            for i in range(n)
+            if i % 17 != 0
+        )
+        assert out["dec_cents_sum"] == sum(
+            (i - 30) * 7 + seed % 100 for i in range(n) if i % 5 != 4
+        )
+
+
+def test_ts_nanos_scale_pinned_vectors():
+    """The empirical producer pin, kept as explicit vectors (each
+    observed from pyarrow's ORC writer): low bits b scale the
+    payload by 10^(b+1)."""
+    from datawarehouseproject_spark.functions.orc_pages import _ts_nanos
+
+    assert _ts_nanos(10) == 1_000          # 1<<3 | 2
+    assert _ts_nanos(11) == 10_000         # 1<<3 | 3
+    assert _ts_nanos(15) == 100_000_000    # 1<<3 | 7
+    assert _ts_nanos(47) == 500_000_000    # 5<<3 | 7
+    assert _ts_nanos(989) == 123_000_000   # 123<<3 | 5
+    assert _ts_nanos(7_999_994) == 999_999_000
+    with pytest.raises(ValueError, match="nanos outside"):
+        _ts_nanos((10**9) << 3)
+
+
+def test_decimal_varint_roundtrip_and_fences():
+    from datawarehouseproject_spark.functions.orc_pages import (
+        _unbounded_varint,
+    )
+
+    # zigzag(1234) = 2468 -> a4 13 (observed from pyarrow's writer)
+    assert _unbounded_varint(bytes.fromhex("a413"), 0) == (1234, 2)
+    assert _unbounded_varint(bytes.fromhex("0d"), 0) == (-7, 1)
+    with pytest.raises(ValueError, match="truncated"):
+        _unbounded_varint(b"\x80", 0)
+    with pytest.raises(ValueError, match="size cap"):
+        _unbounded_varint(b"\x80" * 25, 0)
+
+
+def test_scalar_scan_rejects_wrong_schema():
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_scalars,
+        synth_orc_bloom,
+    )
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        scan_orc_scalars(synth_orc_bloom(0))
