@@ -166,6 +166,10 @@ def _decode_value(data: bytes, pos: int, typ: str):
         if pos + 8 > len(data):
             raise ValueError("truncated avro double")
         return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if typ == "float":
+        if pos + 4 > len(data):
+            raise ValueError("truncated avro float")
+        return struct.unpack_from("<f", data, pos)[0], pos + 4
     # boolean
     if pos >= len(data):
         raise ValueError("truncated avro boolean")
@@ -422,7 +426,7 @@ def _parse_type_spec(t, depth: int = 0):
     if depth > _MAX_SCHEMA_DEPTH:
         raise ValueError("avro schema nests too deep")
     if isinstance(t, str):
-        if t in _SUPPORTED or t in ("bytes", "null"):
+        if t in _SUPPORTED or t in ("bytes", "null", "float"):
             return ("prim", t)
         raise ValueError(f"avro type {t!r} unsupported (boundary)")
     if isinstance(t, list):
@@ -473,7 +477,7 @@ def _parse_type_spec(t, depth: int = 0):
             ):
                 raise ValueError("avro fixed size out of range")
             return ("fixed", size)
-        if kind in _SUPPORTED or kind == "bytes":
+        if kind in _SUPPORTED or kind in ("bytes", "float"):
             return ("prim", kind)  # {"type": "long"} spelling
     raise ValueError(f"avro type {t!r} unsupported (boundary)")
 
@@ -933,4 +937,404 @@ def scan_avro_logical(payload: bytes) -> dict:
         "ts_span_micros": ts_max - ts_min,
         "amount_sum_unscaled": amount_sum,
         "n_negative": n_negative,
+    }
+
+
+# ---------------------------------------------------------------------------
+# schema RESOLUTION (round 11 continuation): reader schema vs writer
+# schema, per the Avro spec's "Schema Resolution" rules — the feature
+# every evolving Kafka archive depends on.
+# ---------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def resolve_avro_schemas(writer_t, reader_t, depth: int = 0):
+    """Writer + reader schema JSON fragments -> a RESOLVED decode
+    plan: wire bytes are consumed in the writer's shape, values are
+    delivered in the reader's (field matching BY NAME, writer-only
+    fields decoded and discarded, reader-only fields filled from
+    their declared defaults, primitive promotions applied, enum
+    symbols re-resolved by NAME against the reader's symbol list).
+
+    Plan nodes: ('read', writer_spec) | ('promote', w, r) |
+    ('record', [(reader_field|None, node), ...], [(field, default)])
+    | ('enum', (resolved_symbol_per_writer_index...)) |
+    ('union', [node per writer branch]) | ('array', node) |
+    ('map', node)."""
+    if depth > _MAX_SCHEMA_DEPTH:
+        raise ValueError("avro schema nests too deep")
+    wspec = _parse_type_spec(writer_t, depth)
+    rspec = _parse_type_spec(reader_t, depth)
+    if wspec[0] == "union" or rspec[0] == "union":
+        wbranches = writer_t if wspec[0] == "union" else [writer_t]
+        rbranches = reader_t if rspec[0] == "union" else [reader_t]
+        nodes = []
+        for wb in wbranches:
+            node = None
+            for rb in rbranches:
+                try:
+                    node = resolve_avro_schemas(wb, rb, depth + 1)
+                    break
+                except ValueError:
+                    continue
+            if node is None:
+                raise ValueError(
+                    "writer union branch matches no reader branch"
+                )
+            nodes.append(node)
+        return ("union", nodes) if wspec[0] == "union" else nodes[0]
+    if wspec[0] == "prim" and rspec[0] == "prim":
+        if wspec[1] == rspec[1]:
+            return ("read", wspec)
+        if (wspec[1], rspec[1]) in _PROMOTIONS:
+            return ("promote", wspec[1], rspec[1])
+        raise ValueError(
+            f"cannot resolve writer {wspec[1]} to reader {rspec[1]}"
+        )
+    if wspec[0] != rspec[0]:
+        raise ValueError(
+            f"cannot resolve writer {wspec[0]} to reader {rspec[0]}"
+        )
+    if wspec[0] == "record":
+        wfields = writer_t["fields"]
+        rfields = reader_t["fields"]
+        rby = {f["name"]: f for f in rfields}
+        wire = []
+        for wf in wfields:
+            name = str(wf["name"])
+            if name in rby:
+                wire.append(
+                    (
+                        name,
+                        resolve_avro_schemas(
+                            wf["type"], rby[name]["type"], depth + 1
+                        ),
+                    )
+                )
+            else:
+                wire.append((None, ("read", _parse_type_spec(wf["type"], depth + 1))))
+        wnames = {str(wf["name"]) for wf in wfields}
+        defaults = []
+        for rf in rfields:
+            name = str(rf["name"])
+            if name in wnames:
+                continue
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {name!r} missing from writer "
+                    "and has no default"
+                )
+            defaults.append(
+                (name, _default_value(rf["type"], rf["default"]))
+            )
+        order = [str(f["name"]) for f in rfields]
+        return ("record", wire, defaults, tuple(order))
+    if wspec[0] == "enum":
+        rsymbols = rspec[1]
+        mapping = []
+        for sym in wspec[1]:
+            if sym in rsymbols:
+                mapping.append(sym)
+            else:
+                # spec: fall back to the reader's default symbol
+                dflt = (
+                    reader_t.get("default")
+                    if isinstance(reader_t, dict) else None
+                )
+                if not isinstance(dflt, str) or dflt not in rsymbols:
+                    raise ValueError(
+                        f"writer enum symbol {sym!r} not in reader "
+                        "enum and no reader default"
+                    )
+                mapping.append(dflt)
+        return ("enum", tuple(mapping))
+    if wspec[0] == "fixed":
+        if wspec[1] != rspec[1]:
+            raise ValueError("fixed size mismatch between schemas")
+        return ("read", wspec)
+    if wspec[0] == "array":
+        return (
+            "array",
+            resolve_avro_schemas(
+                writer_t["items"], reader_t["items"], depth + 1
+            ),
+        )
+    # map
+    return (
+        "map",
+        resolve_avro_schemas(
+            writer_t["values"], reader_t["values"], depth + 1
+        ),
+    )
+
+
+def _default_value(reader_type, raw):
+    """Reader-declared default (JSON) -> python value; only scalar
+    defaults are in scope (list/dict defaults loud-reject)."""
+    spec = _parse_type_spec(reader_type)
+    if spec[0] == "union":
+        # spec: the default matches the FIRST branch
+        return _default_value(
+            reader_type[0] if isinstance(reader_type, list) else reader_type,
+            raw,
+        )
+    if spec[0] == "prim":
+        t = spec[1]
+        if t == "null" and raw is None:
+            return None
+        if t in ("int", "long") and isinstance(raw, int) \
+                and not isinstance(raw, bool):
+            return raw
+        if t in ("float", "double") and isinstance(raw, (int, float)) \
+                and not isinstance(raw, bool):
+            return float(raw)
+        if t == "string" and isinstance(raw, str):
+            return raw
+        if t == "boolean" and isinstance(raw, bool):
+            return raw
+        if t == "bytes" and isinstance(raw, str):
+            # spec: bytes defaults are JSON strings, latin-1 mapped
+            return raw.encode("latin-1")
+    if spec[0] == "enum" and isinstance(raw, str) and raw in spec[1]:
+        return raw
+    raise ValueError("avro default value unsupported (boundary)")
+
+
+def _decode_resolved(data: bytes, pos: int, node, depth: int = 0):
+    if depth > 2 * _MAX_SCHEMA_DEPTH:
+        raise ValueError("avro value nests too deep")
+    kind = node[0]
+    if kind == "read":
+        return _decode_spec(data, pos, node[1], depth)
+    if kind == "promote":
+        v, pos = _decode_spec(data, pos, ("prim", node[1]), depth)
+        if node[2] in ("float", "double"):
+            return float(v), pos
+        if node[2] == "bytes":
+            return v.encode("utf-8"), pos
+        if node[2] == "string":
+            try:
+                return v.decode("utf-8"), pos
+            except UnicodeDecodeError:
+                raise ValueError(
+                    "bytes-to-string promotion hit invalid utf-8"
+                ) from None
+        return v, pos  # int -> long
+    if kind == "union":
+        branch, pos = _zigzag_read(data, pos)
+        if not 0 <= branch < len(node[1]):
+            raise ValueError(f"avro union branch {branch} out of range")
+        return _decode_resolved(data, pos, node[1][branch], depth + 1)
+    if kind == "record":
+        rec = {}
+        for name, fnode in node[1]:
+            v, pos = _decode_resolved(data, pos, fnode, depth + 1)
+            if name is not None:
+                rec[name] = v
+        for name, dflt in node[2]:
+            rec[name] = dflt
+        return {n: rec[n] for n in node[3]}, pos
+    if kind == "enum":
+        idx, pos = _zigzag_read(data, pos)
+        if not 0 <= idx < len(node[1]):
+            raise ValueError(f"avro enum index {idx} out of range")
+        return node[1][idx], pos
+    if kind == "array":
+        items = []
+        while True:
+            count, pos = _zigzag_read(data, pos)
+            if count == 0:
+                return items, pos
+            if count < 0:
+                count = -count
+                _, pos = _zigzag_read(data, pos)
+            if count > 1 << 24 or len(items) + count > 1 << 24:
+                raise ValueError("avro array too large")
+            for _ in range(count):
+                v, pos = _decode_resolved(data, pos, node[1], depth + 1)
+                items.append(v)
+    if kind == "map":
+        out = {}
+        while True:
+            count, pos = _zigzag_read(data, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:
+                count = -count
+                _, pos = _zigzag_read(data, pos)
+            if count > 1 << 24 or len(out) + count > 1 << 24:
+                raise ValueError("avro map too large")
+            for _ in range(count):
+                kraw, pos = _read_bytes(data, pos)
+                out[kraw.decode("utf-8")], pos = _decode_resolved(
+                    data, pos, node[1], depth + 1
+                )
+    raise ValueError(f"resolved plan node {kind!r} unknown")
+
+
+_READER_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "region", "type": "string", "default": "emea"},
+        {
+            "name": "color",
+            "type": {
+                "type": "enum",
+                "name": "c",
+                "symbols": ["blue", "red", "green"],
+            },
+        },
+    ],
+}
+
+_WRITER_V1 = {  # old producer: int id, float score, extra debug field,
+    # no region, enum symbols in a DIFFERENT order
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "debug", "type": "string"},
+        {"name": "score", "type": "float"},
+        {
+            "name": "color",
+            "type": {
+                "type": "enum",
+                "name": "c",
+                "symbols": ["red", "green", "blue"],
+            },
+        },
+        {"name": "name", "type": "string"},
+    ],
+}
+
+_WRITER_V2 = {  # newer producer: field order shuffled, region present
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "region", "type": "string"},
+        {
+            "name": "color",
+            "type": {
+                "type": "enum",
+                "name": "c",
+                "symbols": ["red", "green", "blue"],
+            },
+        },
+        {"name": "id", "type": "long"},
+        {"name": "score", "type": "double"},
+    ],
+}
+
+
+def synth_avro_evolved_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: ``n = 40 + (seed*3) % 60``
+    records from writer v1 (even seeds: int id + float score +
+    dropped ``debug`` + defaulted ``region``) or v2 (odd: shuffled
+    field order, region ``apac`` at ``i%4==0`` else ``emea``).
+    Row i: id = ``i + seed%50``, name = ``n{i}``, score = ``i*0.25``,
+    color = writer symbol ``(red,green,blue)[i%3]`` whose READER
+    index is ``(1,2,0)[i%3]``."""
+    n = 40 + (seed * 3) % 60
+    return {"n": n, "writer": 1 if seed % 2 == 0 else 2}
+
+
+def synth_avro_evolved(seed: int) -> bytes:
+    import struct as _struct
+
+    plan = synth_avro_evolved_plan(seed)
+    n = plan["n"]
+    sync = bytes((seed * 37 + j * 3 + 1) % 256 for j in range(16))
+
+    def s(text: str) -> bytes:
+        b = text.encode()
+        return _zigzag_write(len(b)) + b
+
+    recs = []
+    for i in range(n):
+        vid = i + seed % 50
+        name = f"n{i}"
+        color_idx = i % 3  # writer order (red, green, blue)
+        if plan["writer"] == 1:
+            recs.append(
+                _zigzag_write(vid)
+                + s(f"dbg{i}")
+                + _struct.pack("<f", i * 0.25)
+                + _zigzag_write(color_idx)
+                + s(name)
+            )
+        else:
+            region = "apac" if i % 4 == 0 else "emea"
+            recs.append(
+                s(name)
+                + s(region)
+                + _zigzag_write(color_idx)
+                + _zigzag_write(vid)
+                + _struct.pack("<d", i * 0.25)
+            )
+    schema = _WRITER_V1 if plan["writer"] == 1 else _WRITER_V2
+    return encode_avro_container(
+        json.dumps(schema).encode(), recs, sync
+    )
+
+
+def scan_avro_evolved(payload: bytes) -> dict:
+    """Read an evolving container THROUGH the reader schema: parse
+    the writer schema out of the file metadata, resolve it against
+    this consumer's schema (:func:`resolve_avro_schemas`), and
+    aggregate the reader-shaped records — promotions applied,
+    writer-only fields skipped, missing fields defaulted, enum
+    symbols matched by name across differing symbol orders."""
+    blocks = _iter_avro_blocks(payload)
+    meta = next(blocks)
+    if "avro.schema" not in meta:
+        raise ValueError("avro container missing schema")
+    try:
+        writer = json.loads(meta["avro.schema"])
+    except json.JSONDecodeError as e:
+        raise ValueError(f"avro schema is not JSON: {e}") from None
+    plan = resolve_avro_schemas(writer, _READER_SCHEMA)
+    n = 0
+    id_sum = 0
+    score_sum = 0.0
+    name_bytes = 0
+    region_emea = 0
+    color_code_sum = 0
+    reader_symbols = ("blue", "red", "green")
+    for count, body in blocks:
+        pos = 0
+        for _ in range(count):
+            rec, pos = _decode_resolved(body, pos, plan)
+            n += 1
+            if n > _MAX_RECORDS:
+                raise ValueError("avro record count past cap")
+            vid = rec["id"]
+            if not isinstance(vid, int) or isinstance(vid, bool):
+                raise ValueError("resolved id is not an integer")
+            id_sum += vid
+            if not -(2**63) <= id_sum < 2**63:
+                raise ValueError("avro id_sum overflows int64")
+            score_sum += rec["score"]
+            name_bytes += len(rec["name"].encode())
+            if rec["region"] == "emea":
+                region_emea += 1
+            color_code_sum += reader_symbols.index(rec["color"])
+        if pos != len(body):
+            raise ValueError("avro block has trailing bytes")
+    return {
+        "n_records": n,
+        "id_sum": id_sum,
+        "score_sum": score_sum,
+        "name_bytes": name_bytes,
+        "region_emea": region_emea,
+        "color_code_sum": color_code_sum,
     }

@@ -3422,3 +3422,45 @@ def extract_orc_scalars_scan(
         return scan_orc_scalars
 
     return _extract_metadata(media, ORC_SCALARS_SCHEMA, loader, permissive)
+
+
+def synthesize_avro_evolved_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Avro containers written
+    under ROTATING writer schemas (v1 even seeds / v2 odd) that must
+    both resolve against one reader schema
+    (``functions/avro_scan.py:synth_avro_evolved``)."""
+
+    def loader():
+        from ..functions.avro_scan import synth_avro_evolved
+
+        return synth_avro_evolved
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+AVRO_EVOLVED_SCHEMA = T.StructType(
+    [
+        T.StructField("n_records", T.LongType()),
+        T.StructField("id_sum", T.LongType()),
+        T.StructField("score_sum", T.DoubleType()),
+        T.StructField("name_bytes", T.LongType()),
+        T.StructField("region_emea", T.LongType()),
+        T.StructField("color_code_sum", T.LongType()),
+    ]
+)
+
+
+def extract_avro_evolved_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Reader-schema-resolved container scan per payload
+    (:func:`..functions.avro_scan.scan_avro_evolved`)."""
+
+    def loader():
+        from ..functions.avro_scan import scan_avro_evolved
+
+        return scan_avro_evolved
+
+    return _extract_metadata(media, AVRO_EVOLVED_SCHEMA, loader, permissive)

@@ -1906,6 +1906,62 @@ def q_orc_bloom_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_schema_evolution_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 40 + (doc_id * 3) % 60 AS n
+      FROM documents),
+    r AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m)
+    SELECT media_id,
+           CAST(max(n) AS BIGINT) AS n_records,
+           CAST(sum(i + media_id % 50) AS BIGINT) AS id_sum,
+           sum(i * CAST(0.25 AS DOUBLE)) AS score_sum,
+           CAST(sum(1 + length(CAST(i AS VARCHAR))) AS BIGINT)
+             AS name_bytes,
+           CAST(sum(CASE WHEN media_id % 2 = 0 THEN 1
+                         WHEN i % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS region_emea,
+           CAST(sum(CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END)
+                AS BIGINT) AS color_code_sum
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "avro", "schema-evolution", "kafka-archive",
+          "mapInPandas"),
+)
+def q_avro_schema_evolution_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Avro SCHEMA RESOLUTION (round 11 continuation): read evolving
+    containers through one READER schema per the spec's resolution
+    rules (``functions/avro_scan.py:resolve_avro_schemas``) — the
+    feature every long-lived Kafka archive depends on.  Writer
+    schemas rotate by seed: v1 (old producer — ``int`` id promoted
+    to ``long``, ``float`` score promoted to ``double``, an extra
+    ``debug`` field decoded-and-DISCARDED, no ``region`` so the
+    reader's declared default fills in) and v2 (newer producer —
+    field order SHUFFLED, matching is by name).  The enum's symbol
+    list is ordered differently in writer and reader, so the wire
+    index must be re-resolved by NAME (``color_code_sum`` breaks if
+    indexes pass through raw).  A reader field missing from the
+    writer WITHOUT a default, unresolvable promotions, and compound
+    defaults are loud ValueError boundaries."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_avro_evolved_scan,
+        synthesize_avro_evolved_media,
+    )
+
+    media = synthesize_avro_evolved_media(_t(spark, sf_dir, "documents"))
+    return extract_avro_evolved_scan(media).select(
+        "media_id", "n_records", "id_sum", "score_sum", "name_bytes",
+        "region_emea", "color_code_sum",
+    )
+
+
+@register(
     "avro_logical_types_scan",
     oracle="""
     WITH m AS (

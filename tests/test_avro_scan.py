@@ -411,3 +411,126 @@ def test_logical_duplicate_field_schema_quarantines():
     blob = encode_avro_container(schema, [body], bytes(16))
     with pytest.raises(ValueError, match="annotations mismatch"):
         scan_avro_logical(blob)
+
+
+# --- schema resolution (reader vs writer) -----------------------------
+
+
+def test_evolved_scan_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.avro_scan import (
+        scan_avro_evolved,
+        synth_avro_evolved,
+        synth_avro_evolved_plan,
+    )
+
+    for seed in range(8):
+        p = synth_avro_evolved_plan(seed)
+        n = p["n"]
+        out = scan_avro_evolved(synth_avro_evolved(seed))
+        assert out["n_records"] == n
+        assert out["id_sum"] == sum(i + seed % 50 for i in range(n))
+        assert out["score_sum"] == sum(i * 0.25 for i in range(n))
+        assert out["name_bytes"] == sum(
+            1 + len(str(i)) for i in range(n)
+        )
+        want_emea = (
+            n if seed % 2 == 0
+            else sum(1 for i in range(n) if i % 4 != 0)
+        )
+        assert out["region_emea"] == want_emea
+        assert out["color_code_sum"] == sum(
+            (1, 2, 0)[i % 3] for i in range(n)
+        )
+
+
+def test_resolution_rules_unit():
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _decode_resolved,
+        _zigzag_write,
+        resolve_avro_schemas,
+    )
+
+    # promotion int -> long on the wire
+    plan = resolve_avro_schemas("int", "long")
+    assert plan == ("promote", "int", "long")
+    v, pos = _decode_resolved(_zigzag_write(-7), 0, plan)
+    assert v == -7 and pos == 1
+    # string -> bytes and back
+    plan = resolve_avro_schemas("string", "bytes")
+    data = _zigzag_write(2) + b"hi"
+    assert _decode_resolved(data, 0, plan)[0] == b"hi"
+    plan = resolve_avro_schemas("bytes", "string")
+    assert _decode_resolved(data, 0, plan)[0] == "hi"
+    # enum matched by NAME across different symbol orders
+    w = {"type": "enum", "name": "c", "symbols": ["red", "green"]}
+    r = {"type": "enum", "name": "c", "symbols": ["green", "red"]}
+    plan = resolve_avro_schemas(w, r)
+    assert plan == ("enum", ("red", "green"))
+    # unknown writer symbol falls back to the reader default
+    w2 = {"type": "enum", "name": "c", "symbols": ["red", "pink"]}
+    r2 = {
+        "type": "enum", "name": "c", "symbols": ["red", "green"],
+        "default": "green",
+    }
+    assert resolve_avro_schemas(w2, r2) == ("enum", ("red", "green"))
+
+
+def test_resolution_failures_are_valueerrors():
+    import pytest
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        resolve_avro_schemas,
+    )
+
+    with pytest.raises(ValueError, match="cannot resolve"):
+        resolve_avro_schemas("double", "int")  # demotion
+    with pytest.raises(ValueError, match="cannot resolve"):
+        resolve_avro_schemas("string", "long")
+    w = {
+        "type": "record", "name": "d",
+        "fields": [{"name": "a", "type": "int"}],
+    }
+    r = {
+        "type": "record", "name": "d",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": "string"},  # no default
+        ],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        resolve_avro_schemas(w, r)
+    with pytest.raises(ValueError, match="not in reader enum"):
+        resolve_avro_schemas(
+            {"type": "enum", "name": "c", "symbols": ["x"]},
+            {"type": "enum", "name": "c", "symbols": ["y"]},
+        )
+
+
+def test_resolution_union_and_defaults():
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _decode_resolved,
+        _zigzag_write,
+        resolve_avro_schemas,
+    )
+
+    # writer ['null','int'] vs reader ['null','long']: branch-wise
+    plan = resolve_avro_schemas(["null", "int"], ["null", "long"])
+    assert plan[0] == "union"
+    data = _zigzag_write(1) + _zigzag_write(5)
+    assert _decode_resolved(data, 0, plan)[0] == 5
+    assert _decode_resolved(_zigzag_write(0), 0, plan)[0] is None
+    # record default fills and reader order is delivered
+    w = {
+        "type": "record", "name": "d",
+        "fields": [{"name": "a", "type": "int"}],
+    }
+    r = {
+        "type": "record", "name": "d",
+        "fields": [
+            {"name": "z", "type": "string", "default": "zz"},
+            {"name": "a", "type": "long"},
+        ],
+    }
+    plan = resolve_avro_schemas(w, r)
+    rec, _ = _decode_resolved(_zigzag_write(9), 0, plan)
+    assert list(rec) == ["z", "a"] and rec == {"z": "zz", "a": 9}

@@ -152,6 +152,11 @@ def _cases():
             avro_scan.scan_avro_logical,
         ),
         (
+            "avro_evolved",
+            avro_scan.synth_avro_evolved,
+            avro_scan.scan_avro_evolved,
+        ),
+        (
             "iceberg",
             iceberg_scan.synth_iceberg,
             iceberg_scan.scan_iceberg,
