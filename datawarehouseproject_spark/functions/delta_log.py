@@ -1028,10 +1028,13 @@ def rbm_array_deserialize(data: bytes) -> list[int]:
         pos += 4
         vals32, pos = _roaring32_deserialize(data, pos)
         values.extend((key << 32) | v for v in vals32)
+        # incremental: run containers amplify ~4 bytes into up to
+        # 65536 values, so an end-only check would let a small
+        # payload materialize billions of values first
+        if len(values) > _DV_CARD_CAP:
+            raise ValueError("roaring array cardinality past cap")
     if pos != len(data):
         raise ValueError("roaring array has trailing bytes")
-    if len(values) > _DV_CARD_CAP:
-        raise ValueError("roaring array cardinality past cap")
     return values
 
 

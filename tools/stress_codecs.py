@@ -1008,3 +1008,117 @@ if __name__ == "__main__":
     round12_kernels()
     round12b_kernels()
     round13_kernels()
+    round14_kernels()
+
+
+def round14_kernels() -> None:
+    """Round-11 continuation readers: Delta deletion vectors + column
+    mapping, Iceberg sequence-scoped deletes + time transforms, ORC
+    scalar battery, bloom membership, Avro schema resolution."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_cm,
+        scan_delta_dv,
+        synth_delta_cm,
+        synth_delta_dv,
+    )
+
+    tables = [synth_delta_dv(s) for s in range(200)]
+    secs, n = _timeit(
+        lambda: sum(scan_delta_dv(b)["live_rows"] for b in tables)
+    )
+    print(json.dumps({
+        "kernel": "delta_deletion_vectors",
+        "media": f"200 tables, {n} live rows after DV masking",
+        "tables_per_s": int(200 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    tables = [synth_delta_cm(s) for s in range(200)]
+    secs, n = _timeit(
+        lambda: sum(scan_delta_cm(b)["total_rows"] for b in tables)
+    )
+    print(json.dumps({
+        "kernel": "delta_column_mapping",
+        "media": f"200 tables, {n} rows via physical names",
+        "tables_per_s": int(200 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_v2,
+        synth_iceberg_seq,
+        synth_iceberg_time,
+    )
+
+    tables = [synth_iceberg_seq(s) for s in range(200)]
+    secs, n = _timeit(
+        lambda: sum(scan_iceberg_v2(b)["live_rows"] for b in tables)
+    )
+    print(json.dumps({
+        "kernel": "iceberg_sequence_scan",
+        "media": f"200 tables, {n} live rows (seq-scoped deletes)",
+        "tables_per_s": int(200 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    tables = [synth_iceberg_time(s) for s in range(200)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_iceberg_v2(b)["rows_scanned"] for b in tables
+        )
+    )
+    print(json.dumps({
+        "kernel": "iceberg_time_transform_scan",
+        "media": f"200 tables, {n} rows scanned after time pruning",
+        "tables_per_s": int(200 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_bloom,
+        scan_orc_scalars,
+        synth_orc_bloom,
+        synth_orc_scalars,
+    )
+
+    payloads = [synth_orc_scalars(s) for s in range(150)]
+    secs, n = _timeit(
+        lambda: sum(scan_orc_scalars(b)["n_rows"] for b in payloads)
+    )
+    print(json.dumps({
+        "kernel": "orc_scalar_types",
+        "media": f"150 files, {n} rows x 5 typed columns",
+        "files_per_s": int(150 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    payloads = [synth_orc_bloom(s) for s in range(150)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_orc_bloom(b)["int_present_hits"] for b in payloads
+        )
+    )
+    print(json.dumps({
+        "kernel": "orc_bloom_membership",
+        "media": f"150 files, {n} positive probes",
+        "files_per_s": int(150 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        scan_avro_evolved,
+        synth_avro_evolved,
+    )
+
+    payloads = [synth_avro_evolved(s) for s in range(800)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_avro_evolved(b)["n_records"] for b in payloads
+        )
+    )
+    print(json.dumps({
+        "kernel": "avro_schema_resolution",
+        "media": f"800 containers, {n} records resolved",
+        "records_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
