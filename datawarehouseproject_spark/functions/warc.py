@@ -322,25 +322,34 @@ def synth_warc_zst(seed: int) -> bytes:
     return b"".join(out)
 
 
+_ZSTD_CLI_CACHE: list[str] = []
+
+
 def _zstd_cli() -> str:
     """Resolve the zstd CLI (the dict-training producer) robustly:
     the harness PATH drifts between sessions, so fall back to the
-    known install locations before giving up loudly."""
+    known install locations before giving up loudly.  Memoized — the
+    synth calls this once per payload."""
     import os
     import shutil
 
+    if _ZSTD_CLI_CACHE:
+        return _ZSTD_CLI_CACHE[0]
     found = shutil.which("zstd")
-    if found:
-        return found
-    for cand in (
-        "/root/miniconda/bin/zstd",
-        "/usr/bin/zstd",
-        "/usr/local/bin/zstd",
-        "/opt/conda/bin/zstd",
-    ):
-        if os.path.exists(cand):
-            return cand
-    raise ValueError("zstd CLI not available on this host")
+    if not found:
+        for cand in (
+            "/root/miniconda/bin/zstd",
+            "/usr/bin/zstd",
+            "/usr/local/bin/zstd",
+            "/opt/conda/bin/zstd",
+        ):
+            if os.path.exists(cand):
+                found = cand
+                break
+    if not found:
+        raise ValueError("zstd CLI not available on this host")
+    _ZSTD_CLI_CACHE.append(found)
+    return found
 
 
 def synth_warc_zst_dict(seed: int) -> bytes:
