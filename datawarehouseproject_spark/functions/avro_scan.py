@@ -1295,9 +1295,7 @@ def scan_avro_evolved(payload: bytes) -> dict:
     writer-only fields skipped, missing fields defaulted, enum
     symbols matched by name across differing symbol orders."""
     blocks = _iter_avro_blocks(payload)
-    meta = next(blocks)
-    if "avro.schema" not in meta:
-        raise ValueError("avro container missing schema")
+    meta = next(blocks)  # raises inside the walk if avro.schema absent
     try:
         writer = json.loads(meta["avro.schema"])
     except json.JSONDecodeError as e:

@@ -55,7 +55,6 @@ _LOG = "_delta_log"
 _SUPPORTED_READER_VERSION = 1
 _CM_READER_VERSION = 2
 _DV_READER_VERSION = 3
-_SUPPORTED_READER_FEATURES = {"deletionVectors"}
 _JSON_RE = re.compile(r"^(\d{20})\.json$")
 
 
@@ -327,7 +326,10 @@ class _State:
             ok = (
                 mrv <= _SUPPORTED_READER_VERSION
                 or (mrv == _CM_READER_VERSION and self.allow_cm)
-                or (mrv == _DV_READER_VERSION and self.allow_dv)
+                or (
+                    mrv == _DV_READER_VERSION
+                    and (self.allow_dv or self.allow_cm)
+                )
             )
             if not ok:
                 raise ValueError(
@@ -339,7 +341,12 @@ class _State:
                     isinstance(f, str) for f in feats
                 ):
                     raise ValueError("protocol readerFeatures malformed")
-                supported = set(_SUPPORTED_READER_FEATURES)
+                # only the features THIS scan can actually honor: a
+                # declared feature the scan lacks must refuse here,
+                # before any data is served
+                supported = set()
+                if self.allow_dv:
+                    supported.add("deletionVectors")
                 if self.allow_cm:
                     supported.add("columnMapping")
                 unknown = set(feats) - supported

@@ -528,6 +528,50 @@ def _bool_rle_decode(data: bytes, n: int) -> list[int]:
     return bits[:n]
 
 
+def _iter_stripes(payload: bytes, codec: int, footer: dict):
+    """Shared stripe walk (review pass: this pattern had grown four
+    near-identical copies): yields ``(stripe_rows, stripe_footer_msg,
+    [(kind, col, abs_offset, length), ...])`` per stripe with the
+    framing invariants enforced ONCE — header fields present and
+    non-negative, stripe footer inside the payload, every stream's
+    column id present, and the stream spans fenced to the stripe's
+    index+data region (a fence none of the copies had)."""
+    for sb in footer.get(3, []):
+        s = _msg(sb)
+        if None in (
+            s.get(1, [None])[0], s.get(4, [None])[0], s.get(5, [None])[0]
+        ):
+            raise ValueError("stripe information incomplete")
+        offset = _nonneg(s.get(1)[0], "stripe offset")
+        index_len = _nonneg(s.get(2, [0])[0], "stripe index length")
+        data_len = _nonneg(s.get(3, [0])[0], "stripe data length")
+        sf_len = _nonneg(s.get(4)[0], "stripe footer length")
+        stripe_rows = _nonneg(s.get(5)[0], "stripe row count")
+        sf_start = offset + index_len + data_len
+        if sf_start + sf_len > len(payload):
+            raise ValueError("stripe footer past end of file")
+        sfoot = _msg(
+            _orc_decompress(
+                payload[sf_start : sf_start + sf_len], codec,
+                "stripe footer",
+            )
+        )
+        streams = []
+        cursor = offset
+        for st in sfoot.get(1, []):
+            m = _msg(st)
+            kind = _nonneg(m.get(1, [0])[0], "stream kind")
+            col = m.get(2, [None])[0]
+            length = _nonneg(m.get(3, [0])[0], "stream length")
+            if col is None:
+                raise ValueError("stream without column id")
+            streams.append((kind, col, cursor, length))
+            cursor += length
+        if cursor > sf_start:
+            raise ValueError("streams run past the stripe data region")
+        yield stripe_rows, sfoot, streams
+
+
 def scan_orc_rich(payload: bytes) -> dict:
     """The production ORC profile the base scan loud-bounds:
     ZLIB/SNAPPY-compressed footers and streams, PRESENT (nullable)
@@ -544,50 +588,17 @@ def scan_orc_rich(payload: bytes) -> dict:
     str_bytes = str_count = str_nulls = 0
     dict_entries = 0
     rows_seen = 0
-    for sb in footer.get(3, []):
-        s = _msg(sb)
-        offset = _nonneg(s.get(1, [None])[0], "stripe offset") \
-            if s.get(1, [None])[0] is not None else None
-        index_len = _nonneg(s.get(2, [0])[0], "stripe index length")
-        data_len = _nonneg(s.get(3, [0])[0], "stripe data length")
-        sf_len = s.get(4, [None])[0]
-        stripe_rows = s.get(5, [None])[0]
-        if None in (offset, sf_len, stripe_rows):
-            raise ValueError("stripe information incomplete")
-        sf_len = _nonneg(sf_len, "stripe footer length")
-        stripe_rows = _nonneg(stripe_rows, "stripe row count")
-        sf_start = offset + index_len + data_len
-        if sf_start + sf_len > len(payload):
-            raise ValueError("stripe footer past end of file")
-        sfoot = _msg(
-            _orc_decompress(
-                payload[sf_start : sf_start + sf_len], codec,
-                "stripe footer",
-            )
-        )
-        streams = []
-        for st in sfoot.get(1, []):
-            m = _msg(st)
-            streams.append(
-                (
-                    _nonneg(m.get(1, [0])[0], "stream kind"),
-                    m.get(2, [None])[0],
-                    _nonneg(m.get(3, [0])[0], "stream length"),
-                )
-            )
+    for stripe_rows, sfoot, streams in _iter_stripes(
+        payload, codec, footer
+    ):
         enc_msgs = [_msg(e) for e in sfoot.get(2, [])]
         encodings = [m.get(1, [0])[0] for m in enc_msgs]
         dict_sizes = [m.get(2, [0])[0] for m in enc_msgs]
-        cursor = offset
-        located: dict[tuple[int, int], tuple[int, int]] = {}
-        for kind, col, length in streams:
-            if col is None:
-                raise ValueError("stream without column id")
-            if kind in _INDEX_KINDS:
-                cursor += length
-                continue
-            located[(kind, col)] = (cursor, length)
-            cursor += length
+        located: dict[tuple[int, int], tuple[int, int]] = {
+            (kind, col): (pos, length)
+            for kind, col, pos, length in streams
+            if kind not in _INDEX_KINDS
+        }
 
         def stream_bytes(kind: int, col: int) -> bytes | None:
             st = located.get((kind, col))
@@ -875,39 +886,17 @@ def read_orc_blooms(payload: bytes) -> dict[int, list[tuple[int, bytes]]]:
     deciding whether to read a stripe at all."""
     codec, footer, _n_rows, _types = _parse_orc_tail(payload)
     blooms: dict[int, list[tuple[int, bytes]]] = {}
-    for sb in footer.get(3, []):
-        s = _msg(sb)
-        offset = _nonneg(s.get(1, [None])[0], "stripe offset")
-        index_len = _nonneg(s.get(2, [0])[0], "stripe index length")
-        data_len = _nonneg(s.get(3, [0])[0], "stripe data length")
-        sf_len = _nonneg(s.get(4, [None])[0], "stripe footer length")
-        sf_start = offset + index_len + data_len
-        if sf_start + sf_len > len(payload):
-            raise ValueError("stripe footer past end of file")
-        sfoot = _msg(
-            _orc_decompress(
-                payload[sf_start : sf_start + sf_len], codec,
-                "stripe footer",
-            )
-        )
-        cursor = offset
-        for st in sfoot.get(1, []):
-            m = _msg(st)
-            kind = _nonneg(m.get(1, [0])[0], "stream kind")
-            col = m.get(2, [None])[0]
-            length = _nonneg(m.get(3, [0])[0], "stream length")
-            if col is None:
-                raise ValueError("stream without column id")
+    for _rows, _sfoot, streams in _iter_stripes(payload, codec, footer):
+        for kind, col, pos, length in streams:
             if kind == _K_BLOOM_UTF8:
                 blooms.setdefault(col, []).extend(
                     parse_bloom_index(
                         _orc_decompress(
-                            payload[cursor : cursor + length], codec,
+                            payload[pos : pos + length], codec,
                             "bloom index",
                         )
                     )
                 )
-            cursor += length
     return blooms
 
 
@@ -968,48 +957,22 @@ def scan_orc_bloom(payload: bytes) -> dict:
     int_vals: list[int] = []
     str_vals: list[str] = []
     blooms: dict[int, list[tuple[int, bytes]]] = {}
-    for sb in footer.get(3, []):
-        s = _msg(sb)
-        offset = s.get(1, [None])[0]
-        index_len = _nonneg(s.get(2, [0])[0], "stripe index length")
-        data_len = _nonneg(s.get(3, [0])[0], "stripe data length")
-        sf_len = s.get(4, [None])[0]
-        stripe_rows = s.get(5, [None])[0]
-        if None in (offset, sf_len, stripe_rows):
-            raise ValueError("stripe information incomplete")
-        offset = _nonneg(offset, "stripe offset")
-        sf_len = _nonneg(sf_len, "stripe footer length")
-        stripe_rows = _nonneg(stripe_rows, "stripe row count")
-        sf_start = offset + index_len + data_len
-        if sf_start + sf_len > len(payload):
-            raise ValueError("stripe footer past end of file")
-        sfoot = _msg(
-            _orc_decompress(
-                payload[sf_start : sf_start + sf_len], codec,
-                "stripe footer",
-            )
-        )
-        cursor = offset
+    for stripe_rows, _sfoot, streams in _iter_stripes(
+        payload, codec, footer
+    ):
         located = {}
-        for st in sfoot.get(1, []):
-            m = _msg(st)
-            kind = _nonneg(m.get(1, [0])[0], "stream kind")
-            col = m.get(2, [None])[0]
-            length = _nonneg(m.get(3, [0])[0], "stream length")
-            if col is None:
-                raise ValueError("stream without column id")
+        for kind, col, pos, length in streams:
             if kind == _K_BLOOM_UTF8:
                 blooms.setdefault(col, []).extend(
                     parse_bloom_index(
                         _orc_decompress(
-                            payload[cursor : cursor + length], codec,
+                            payload[pos : pos + length], codec,
                             "bloom index",
                         )
                     )
                 )
             if kind not in _INDEX_KINDS:
-                located[(kind, col)] = (cursor, length)
-            cursor += length
+                located[(kind, col)] = (pos, length)
 
         def stream(kind: int, col: int) -> bytes:
             st = located.get((kind, col))
@@ -1207,34 +1170,14 @@ def scan_orc_scalars(payload: bytes) -> dict:
     dec_cents_sum = 0
     total_nulls = 0
     rows_seen = 0
-    for sb in footer.get(3, []):
-        s = _msg(sb)
-        offset = _nonneg(s.get(1, [None])[0], "stripe offset")
-        index_len = _nonneg(s.get(2, [0])[0], "stripe index length")
-        data_len = _nonneg(s.get(3, [0])[0], "stripe data length")
-        sf_len = _nonneg(s.get(4, [None])[0], "stripe footer length")
-        stripe_rows = _nonneg(s.get(5, [None])[0], "stripe row count")
-        sf_start = offset + index_len + data_len
-        if sf_start + sf_len > len(payload):
-            raise ValueError("stripe footer past end of file")
-        sfoot = _msg(
-            _orc_decompress(
-                payload[sf_start : sf_start + sf_len], codec,
-                "stripe footer",
-            )
-        )
-        cursor = offset
-        located = {}
-        for st in sfoot.get(1, []):
-            m = _msg(st)
-            kind = _nonneg(m.get(1, [0])[0], "stream kind")
-            col = m.get(2, [None])[0]
-            length = _nonneg(m.get(3, [0])[0], "stream length")
-            if col is None:
-                raise ValueError("stream without column id")
-            if kind not in _INDEX_KINDS:
-                located[(kind, col)] = (cursor, length)
-            cursor += length
+    for stripe_rows, _sfoot, all_streams in _iter_stripes(
+        payload, codec, footer
+    ):
+        located = {
+            (kind, col): (pos, length)
+            for kind, col, pos, length in all_streams
+            if kind not in _INDEX_KINDS
+        }
 
         def stream(kind: int, col: int) -> bytes | None:
             st = located.get((kind, col))

@@ -678,3 +678,32 @@ def test_cm_logical_name_in_data_file_rejects():
     files["part-00000.parquet"] = buf.getvalue()
     with pytest.raises(ValueError, match="logical name"):
         scan_delta_cm(_retar(files))
+
+
+def test_v3_feature_gate_is_per_scan_capability():
+    """A v3 table's declared readerFeatures must be refused unless
+    THIS scan implements them: columnMapping under allow_cm, not
+    under allow_dv — and vice versa (review pass: the allowance was
+    previously unreachable)."""
+    from datawarehouseproject_spark.functions.delta_log import _State
+
+    cm_proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "readerFeatures": ["columnMapping"],
+        }
+    }
+    st = _State(allow_cm=True)
+    st.apply(cm_proto)
+    assert st.min_reader == 3
+    assert st.reader_features == {"columnMapping"}
+    with pytest.raises(ValueError, match="unsupported"):
+        _State(allow_dv=True).apply(cm_proto)
+    dv_proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "readerFeatures": ["deletionVectors"],
+        }
+    }
+    with pytest.raises(ValueError, match="unsupported"):
+        _State(allow_cm=True).apply(dv_proto)

@@ -996,21 +996,6 @@ def round12b_kernels() -> None:
         "sec": round(secs, 4),
     }))
 
-if __name__ == "__main__":
-    main()
-    archive_kernels()
-    round8_kernels()
-    round8b_kernels()
-    round9_kernels()
-    round10_kernels()
-    round11_kernels()
-    round11b_kernels()
-    round12_kernels()
-    round12b_kernels()
-    round13_kernels()
-    round14_kernels()
-
-
 def round14_kernels() -> None:
     """Round-11 continuation readers: Delta deletion vectors + column
     mapping, Iceberg sequence-scoped deletes + time transforms, ORC
@@ -1122,3 +1107,18 @@ def round14_kernels() -> None:
         "records_per_s": int(n / secs),
         "sec": round(secs, 4),
     }))
+
+
+if __name__ == "__main__":
+    main()
+    archive_kernels()
+    round8_kernels()
+    round8b_kernels()
+    round9_kernels()
+    round10_kernels()
+    round11_kernels()
+    round11b_kernels()
+    round12_kernels()
+    round12b_kernels()
+    round13_kernels()
+    round14_kernels()
