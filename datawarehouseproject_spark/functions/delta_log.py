@@ -397,10 +397,14 @@ def _replay_log(
     require_stats: bool = True,
     allow_dv: bool = False,
     allow_cm: bool = False,
+    trace: list | None = None,
 ):
     """Shared _delta_log walk: _last_checkpoint -> checkpoint parquet
     -> contiguous post-checkpoint JSON replay.  Returns
-    ``(state, cp_version, current, replayed, files_at_checkpoint)``."""
+    ``(state, cp_version, current, replayed, files_at_checkpoint)``.
+    When ``trace`` is a list, a ``(version, {path: add_tuple})``
+    snapshot of the live-file state is appended at the checkpoint
+    and after every replayed commit — the time-travel readout."""
     import pyarrow.parquet as pq
 
     lc_blob = files.get(f"{_LOG}/_last_checkpoint")
@@ -442,6 +446,8 @@ def _replay_log(
     if state.min_reader is None or state.meta_id is None:
         raise ValueError("checkpoint without protocol/metaData")
     files_at_checkpoint = len(state.adds)
+    if trace is not None:
+        trace.append((cp_version, dict(state.adds)))
 
     # replay post-checkpoint JSON commits, contiguous versions only.
     # Match DIRECT children of _delta_log by full path — a basename
@@ -478,6 +484,8 @@ def _replay_log(
             state.apply(action)
         current = v
         replayed += 1
+        if trace is not None:
+            trace.append((v, dict(state.adds)))
     return state, cp_version, current, replayed, files_at_checkpoint
 
 
@@ -1680,4 +1688,121 @@ def scan_delta_cm(payload: bytes) -> dict:
         "probe_matches": matches,
         "total_rows": total_rows,
         "sum_v": sum_v,
+    }
+
+
+# ---------------------------------------------------------------------------
+# time travel by version
+# ---------------------------------------------------------------------------
+
+def synth_delta_tt_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: the base table
+    (:func:`synth_delta_plan` — checkpoint at v1, slot 0 replaced
+    with +5 rows at v2) plus a v3 commit adding a brand-new slot
+    ``n_live`` in its own value window.  The probe (slot ``k``'s
+    window) therefore matches MORE rows from v2 on iff ``k == 0``,
+    and the new v3 file never affects it."""
+    base = synth_delta_plan(seed)
+    n_live = base["n_live"]
+    k = base["probe_slot"]
+    rows_k_v1 = _file_rows(seed, k)
+    rows_k_v2 = rows_k_v1 + (5 if k == 0 else 0)
+    total_v1 = sum(_file_rows(seed, i) for i in range(n_live))
+    return {
+        "n_live": n_live,
+        "total_rows_v1": total_v1,
+        "total_rows_v2": total_v1 + 5,
+        "total_rows_current": total_v1 + 5 + _file_rows(seed, n_live),
+        "probe_matches_v1": (rows_k_v1 - 18) // 40 + 1,
+        "probe_matches_current": (rows_k_v2 - 18) // 40 + 1,
+    }
+
+
+def synth_delta_tt(seed: int) -> bytes:
+    """The base bundle plus a version-3 commit that adds one fresh
+    file — three distinct readable versions (1 = checkpoint,
+    2 = replace, 3 = append)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = dict(read_tar_bundle(synth_delta(seed)))
+    plan = synth_delta_plan(seed)
+    j = plan["n_live"]
+    rows, lo = _file_rows(seed, j), _file_lo(seed, j)
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"v": [lo + (r % 40) for r in range(rows)]}), buf
+    )
+    path = f"part-{j:05d}.parquet"
+    files[path] = buf.getvalue()
+    add = {
+        "path": path,
+        "size": len(files[path]),
+        "dataChange": True,
+        "stats": json.dumps(
+            {
+                "numRecords": rows,
+                "minValues": {"v": lo},
+                "maxValues": {"v": lo + 39},
+            }
+        ),
+    }
+    files[f"{_LOG}/{3:020d}.json"] = (
+        json.dumps({"commitInfo": {"operation": "WRITE"}})
+        + "\n"
+        + json.dumps({"add": add})
+        + "\n"
+    ).encode()
+    return write_tar_bundle(files)
+
+
+def scan_delta_time_travel(payload: bytes) -> dict:
+    """Serve the SAME point lookup at every version in the log
+    (checkpoint state, then after each replayed commit) — the
+    reproducibility primitive ("rerun the job exactly as the table
+    stood at version V").  Each version's snapshot is the replay
+    trace; planning and the parquet scan run per version, so a
+    reader that unions history or applies later removes
+    retroactively breaks the per-version counts."""
+    files = read_tar_bundle(payload)
+    trace: list = []
+    state, cp_version, current, replayed, _fac = _replay_log(
+        files, require_stats=True, trace=trace
+    )
+    if not state.adds:
+        raise ValueError("current snapshot has no live files")
+    if not 2 <= len(trace) <= 64:
+        # CPU fence: each version costs a planning pass + parquet
+        # reads, and the version count is attacker-declared
+        raise ValueError("time travel needs 2..64 versions (boundary)")
+    probe = _probe_from_config(state)
+    per = []
+    for _version, adds in trace:
+        live = sorted(adds.items())
+        total = 0
+        matches = 0
+        for path, (st, _pv, _dv) in live:
+            if st is None:
+                raise ValueError("time travel needs stats on every add")
+            total += st[0]
+            if st[1] <= probe <= st[2]:
+                _rows, m = _scan_parquet_matches(
+                    files, path, probe, st[0]
+                )
+                matches += m
+        per.append((len(live), total, matches))
+        if not 0 <= total < 2**63:
+            raise ValueError("delta tt total overflows int64 (boundary)")
+    first, mid, last = per[0], per[1], per[-1]
+    return {
+        "checkpoint_version": cp_version,
+        "current_version": current,
+        "versions_readable": len(trace),
+        "live_files_v1": first[0],
+        "live_files_current": last[0],
+        "total_rows_v1": first[1],
+        "total_rows_v2": mid[1],
+        "total_rows_current": last[1],
+        "probe_matches_v1": first[2],
+        "probe_matches_current": last[2],
     }

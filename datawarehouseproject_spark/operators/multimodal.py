@@ -3464,3 +3464,48 @@ def extract_avro_evolved_scan(
         return scan_avro_evolved
 
     return _extract_metadata(media, AVRO_EVOLVED_SCHEMA, loader, permissive)
+
+
+def synthesize_delta_tt_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of three-version Delta
+    bundles (checkpoint -> replace -> append,
+    ``functions/delta_log.py:synth_delta_tt``)."""
+
+    def loader():
+        from ..functions.delta_log import synth_delta_tt
+
+        return synth_delta_tt
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+DELTA_TT_SCHEMA = T.StructType(
+    [
+        T.StructField("checkpoint_version", T.IntegerType()),
+        T.StructField("current_version", T.IntegerType()),
+        T.StructField("versions_readable", T.IntegerType()),
+        T.StructField("live_files_v1", T.IntegerType()),
+        T.StructField("live_files_current", T.IntegerType()),
+        T.StructField("total_rows_v1", T.LongType()),
+        T.StructField("total_rows_v2", T.LongType()),
+        T.StructField("total_rows_current", T.LongType()),
+        T.StructField("probe_matches_v1", T.LongType()),
+        T.StructField("probe_matches_current", T.LongType()),
+    ]
+)
+
+
+def extract_delta_tt_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Per-version point lookup over the replay trace
+    (:func:`..functions.delta_log.scan_delta_time_travel`)."""
+
+    def loader():
+        from ..functions.delta_log import scan_delta_time_travel
+
+        return scan_delta_time_travel
+
+    return _extract_metadata(media, DELTA_TT_SCHEMA, loader, permissive)

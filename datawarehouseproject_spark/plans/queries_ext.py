@@ -2578,6 +2578,73 @@ def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_time_travel",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 3 + doc_id % 3 AS n0 FROM documents),
+    f AS (
+      SELECT media_id, n0, unnest(generate_series(0, n0 + 2)) AS i
+      FROM m),
+    r AS (
+      SELECT media_id, n0, i,
+             40 + (media_id + i) % 60 AS rows_,
+             media_id % (n0 + 2) AS k
+      FROM f)
+    SELECT media_id,
+           CAST(1 AS INTEGER) AS checkpoint_version,
+           CAST(3 AS INTEGER) AS current_version,
+           CAST(3 AS INTEGER) AS versions_readable,
+           CAST(max(n0) + 2 AS INTEGER) AS live_files_v1,
+           CAST(max(n0) + 3 AS INTEGER) AS live_files_current,
+           CAST(sum(CASE WHEN i < n0 + 2 THEN rows_ ELSE 0 END)
+                AS BIGINT) AS total_rows_v1,
+           CAST(sum(CASE WHEN i < n0 + 2 THEN rows_ ELSE 0 END) + 5
+                AS BIGINT) AS total_rows_v2,
+           CAST(sum(rows_) + 5 AS BIGINT) AS total_rows_current,
+           CAST(sum(CASE WHEN i = k THEN (rows_ - 18) // 40 + 1
+                         ELSE 0 END) AS BIGINT) AS probe_matches_v1,
+           CAST(sum(CASE WHEN i = k THEN
+                         (rows_ + CASE WHEN k = 0 THEN 5 ELSE 0 END
+                          - 18) // 40 + 1
+                         ELSE 0 END) AS BIGINT)
+             AS probe_matches_current
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "time-travel",
+          "mapInPandas"),
+)
+def q_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake TIME TRAVEL by version (round 11 continuation —
+    the Delta sibling of ``iceberg_time_travel_scan``): the replay
+    trace snapshots the live-file state at the checkpoint and after
+    every commit, and the SAME point lookup is served at each
+    version.  The fixture's history is three readable versions:
+    v1 = checkpoint (the pre-checkpoint JSONs are vacuumed), v2
+    REPLACES slot 0 with a +5-row file over the same window, v3
+    APPENDS a fresh file in its own window.  A reader that unions
+    history or applies v2's remove retroactively breaks
+    ``total_rows_v1``/``probe_matches_v1``; one that forgets the v3
+    append breaks the current-side columns.  Per-version totals are
+    stats-declared and the probe is re-scanned against the actual
+    parquet at every version (footers cross-checked); the version
+    count is fenced to 64 (CPU-amplification class)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_delta_tt_scan,
+        synthesize_delta_tt_media,
+    )
+
+    media = synthesize_delta_tt_media(_t(spark, sf_dir, "documents"))
+    return extract_delta_tt_scan(media).select(
+        "media_id", "checkpoint_version", "current_version",
+        "versions_readable", "live_files_v1", "live_files_current",
+        "total_rows_v1", "total_rows_v2", "total_rows_current",
+        "probe_matches_v1", "probe_matches_current",
+    )
+
+
+@register(
     "avro_corpus_rollup",
     oracle="""
     WITH m AS (

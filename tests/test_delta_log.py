@@ -707,3 +707,49 @@ def test_v3_feature_gate_is_per_scan_capability():
     }
     with pytest.raises(ValueError, match="unsupported"):
         _State(allow_cm=True).apply(dv_proto)
+
+
+def test_time_travel_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_time_travel,
+        synth_delta_tt,
+        synth_delta_tt_plan,
+    )
+
+    for seed in range(10):
+        p = synth_delta_tt_plan(seed)
+        out = scan_delta_time_travel(synth_delta_tt(seed))
+        assert out["versions_readable"] == 3
+        assert out["live_files_v1"] == p["n_live"]
+        assert out["live_files_current"] == p["n_live"] + 1
+        assert out["total_rows_v1"] == p["total_rows_v1"]
+        assert out["total_rows_v2"] == p["total_rows_v2"]
+        assert out["total_rows_current"] == p["total_rows_current"]
+        assert out["probe_matches_v1"] == p["probe_matches_v1"]
+        assert out["probe_matches_current"] == p["probe_matches_current"]
+
+
+def test_time_travel_v1_is_prereplace_state():
+    """Drop the v2 remove action: v1 must be unchanged but current
+    gains a file — proving versions are reconstructed independently,
+    not by un-applying actions backwards."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_time_travel,
+        synth_delta_tt,
+        synth_delta_tt_plan,
+    )
+
+    seed = 0
+    p = synth_delta_tt_plan(seed)
+    base = scan_delta_time_travel(synth_delta_tt(seed))
+    files = _untar(synth_delta_tt(seed))
+    path = "_delta_log/00000000000000000002.json"
+    lines = [
+        ln for ln in files[path].splitlines() if b'"remove"' not in ln
+    ]
+    files[path] = b"\n".join(lines) + b"\n"
+    out = scan_delta_time_travel(_retar(files))
+    assert out["total_rows_v1"] == base["total_rows_v1"] == p["total_rows_v1"]
+    assert out["probe_matches_v1"] == base["probe_matches_v1"]
+    assert out["live_files_current"] == base["live_files_current"] + 1
+    assert out["total_rows_current"] > base["total_rows_current"]

@@ -197,6 +197,11 @@ def _cases():
             delta_log.synth_delta_cm,
             delta_log.scan_delta_cm,
         ),
+        (
+            "delta_tt",
+            delta_log.synth_delta_tt,
+            delta_log.scan_delta_time_travel,
+        ),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (
