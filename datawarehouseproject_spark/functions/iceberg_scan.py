@@ -937,12 +937,19 @@ def scan_iceberg_v2(payload: bytes) -> dict:
     if spec is None:
         raise ValueError("default-spec-id not in partition-specs")
     fields = spec.get("fields")
-    if not isinstance(fields, list) or len(fields) != 1:
-        raise ValueError("multi-field partition specs unsupported")
-    pf = fields[0]
-    if not isinstance(pf, dict) or pf.get("source-id") != _V_FIELD_ID:
-        raise ValueError("partition source field unsupported")
-    tname, targ = parse_transform(pf.get("transform"))
+    if not isinstance(fields, list) or not 1 <= len(fields) <= 3:
+        raise ValueError("partition spec field count unsupported")
+    tspecs = []  # (partition field name, transform name, transform arg)
+    for pf in fields:
+        if not isinstance(pf, dict) or pf.get("source-id") != _V_FIELD_ID:
+            raise ValueError("partition source field unsupported")
+        pname = pf.get("name")
+        if not isinstance(pname, str) or not pname:
+            raise ValueError("partition field name malformed")
+        tname, targ = parse_transform(pf.get("transform"))
+        tspecs.append((pname, tname, targ))
+    if len({t[0] for t in tspecs}) != len(tspecs):
+        raise ValueError("partition field names not unique")
 
     candidates = []  # (path, record_count, partition, lo, hi, seq)
     eq_delete_files = []  # (path, record_count, seq)
@@ -993,10 +1000,14 @@ def scan_iceberg_v2(payload: bytes) -> dict:
                 raise ValueError("data file path is not a string")
             if not isinstance(rc, int) or isinstance(rc, bool) or rc < 0:
                 raise ValueError("data file record_count malformed")
-            if not isinstance(part, dict) or not isinstance(
-                part.get("p"), int
+            if not isinstance(part, dict) or not all(
+                isinstance(part.get(pname), int)
+                for pname, _tn, _ta in tspecs
             ):
                 raise ValueError("data file partition value malformed")
+            part_tuple = tuple(
+                part[pname] for pname, _tn, _ta in tspecs
+            )
             fcontent = df.get("content", 0)
             if content == 1:
                 if fcontent == 1:
@@ -1023,7 +1034,7 @@ def scan_iceberg_v2(payload: bytes) -> dict:
             hi = _bound_value(df.get("upper_bounds"))
             if lo > hi:
                 raise ValueError("data file lower bound above upper")
-            candidates.append((path, rc, part["p"], lo, hi, eseq))
+            candidates.append((path, rc, part_tuple, lo, hi, eseq))
     if not candidates:
         raise ValueError("current snapshot has no live data files")
     # sequence numbers are all-or-none: a half-declared table cannot
@@ -1057,7 +1068,9 @@ def scan_iceberg_v2(payload: bytes) -> dict:
             dset.add(v)
         delete_sets.append((dseq, dset))
     # transform-aware partition pruning, then bounds pruning
-    target = apply_transform(tname, targ, probe)
+    target = tuple(
+        apply_transform(tn, ta, probe) for _pn, tn, ta in tspecs
+    )
     part_survivors = [c for c in candidates if c[2] == target]
     files_pruned_partition = len(candidates) - len(part_survivors)
     survivors = [c for c in part_survivors if c[3] <= probe <= c[4]]
@@ -1084,7 +1097,10 @@ def scan_iceberg_v2(payload: bytes) -> dict:
                 raise ValueError("data value not an integer")
             # consistency audit: the manifest's partition value must
             # equal the transform of every row in the file
-            if apply_transform(tname, targ, v) != part:
+            if any(
+                apply_transform(tn, ta, v) != pv
+                for (_pn, tn, ta), pv in zip(tspecs, part)
+            ):
                 raise ValueError(
                     "row transform disagrees with manifest partition"
                 )
@@ -1095,9 +1111,15 @@ def scan_iceberg_v2(payload: bytes) -> dict:
     total_rows = sum(c[1] for c in candidates)
     if not (0 <= total_rows < 2**63):
         raise ValueError("iceberg total_rows overflows int64 (boundary)")
+    if len(tspecs) == 1:
+        out_transform, out_arg = tspecs[0][1], tspecs[0][2]
+    else:
+        # multi-field spec: the conjunction label; arg = field count
+        out_transform = ",".join(tn for _pn, tn, _ta in tspecs)
+        out_arg = len(tspecs)
     return {
-        "transform": tname,
-        "transform_arg": targ,
+        "transform": out_transform,
+        "transform_arg": out_arg,
         "n_data_files": len(candidates),
         "n_eq_delete_files": len(eq_delete_files),
         "files_pruned_partition": files_pruned_partition,
@@ -1499,6 +1521,166 @@ def synth_iceberg_seq(seed: int) -> bytes:
                             "source-id": _V_FIELD_ID,
                             "field-id": 1000,
                         }
+                    ],
+                }
+            ],
+            "current-snapshot-id": 7,
+            "snapshots": [
+                {"snapshot-id": 7, "manifest-list": "metadata/snap-7.avro"}
+            ],
+        }
+    ).encode()
+    return write_tar_bundle(files)
+
+
+# ---------------------------------------------------------------------------
+# multi-field partition specs: conjunction pruning
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SCHEMA_MULTI = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {"name": "p", "type": "long"},
+                                    {"name": "q", "type": "long"},
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": "lower_bounds", "type": _BOUND_SCHEMA},
+                        {"name": "upper_bounds", "type": _BOUND_SCHEMA},
+                        {
+                            "name": "equality_ids",
+                            "type": {"type": "array", "items": "int"},
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+).encode()
+
+
+def synth_iceberg_multi_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: 4 files under the TWO-field
+    spec ``(truncate[1000](v), bucket[8](v))``, laid out so NEITHER
+    dimension prunes alone — file j lives at (window, bucket) =
+    (W0,B0)/(W0,B1)/(W1,B0)/(W1,B1) and the probe is in file 0, so
+    the truncate dimension keeps files 0+1, the bucket dimension
+    keeps files 0+2, and only the conjunction reaches
+    ``files_pruned_partition = 3``."""
+    rows = [20 + (seed + j) % 10 for j in range(4)]
+    return {
+        "rows": rows,
+        "rows_scanned": rows[0],
+        "total_rows": sum(rows),
+    }
+
+
+def synth_iceberg_multi(seed: int) -> bytes:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = synth_iceberg_multi_plan(seed)
+    w0 = 1000 * (seed % 20)
+    w1 = w0 + 1000
+    b0 = seed % 8
+    b1 = (seed + 3) % 8
+
+    def pick(base: int, bucket: int, count: int) -> list[int]:
+        vals = []
+        v = base
+        while len(vals) < count:
+            if v >= base + 1000:
+                raise ValueError("window exhausted for bucket class")
+            if bucket_transform(v, 8) == bucket:
+                vals.append(v)
+            v += 1
+        return vals
+
+    cells = [(w0, b0), (w0, b1), (w1, b0), (w1, b1)]
+    vals = [
+        pick(w, b, plan["rows"][j]) for j, (w, b) in enumerate(cells)
+    ]
+    probe = vals[0][0]
+    sync = bytes((seed * 41 + j * 11 + 7) % 256 for j in range(16))
+    files: dict[str, bytes] = {}
+    entries = []
+    for j, (w, b) in enumerate(cells):
+        buf = io.BytesIO()
+        pq.write_table(pa.table({"v": vals[j]}), buf)
+        path = f"data/f{j:02d}.parquet"
+        files[path] = buf.getvalue()
+        entries.append(
+            _zigzag_write(1)
+            + _zigzag_write(1) + _zigzag_write(7)
+            + _zigzag_write(0)  # content = data
+            + _enc_string(path)
+            + _enc_string("PARQUET")
+            + _zigzag_write(w)  # partition.p = truncate value
+            + _zigzag_write(b)  # partition.q = bucket value
+            + _zigzag_write(len(vals[j]))
+            + _zigzag_write(len(files[path]))
+            + _enc_bounds(min(vals[j]))
+            + _enc_bounds(max(vals[j]))
+            + _zigzag_write(0)  # equality_ids: empty
+        )
+    files["metadata/m0.avro"] = encode_avro_container(
+        _MANIFEST_SCHEMA_MULTI, entries, sync
+    )
+    files["metadata/snap-7.avro"] = encode_avro_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            _enc_string("metadata/m0.avro")
+            + _zigzag_write(len(files["metadata/m0.avro"]))
+            + _zigzag_write(0)
+            + _zigzag_write(0)
+            + _zigzag_write(7)
+            + _zigzag_write(4)
+        ],
+        sync,
+    )
+    files["metadata/v2.metadata.json"] = json.dumps(
+        {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-4000-8000-{seed:012d}",
+            "properties": {"fixture.probe": str(probe)},
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": "p",
+                            "transform": "truncate[1000]",
+                            "source-id": _V_FIELD_ID,
+                            "field-id": 1000,
+                        },
+                        {
+                            "name": "q",
+                            "transform": "bucket[8]",
+                            "source-id": _V_FIELD_ID,
+                            "field-id": 1001,
+                        },
                     ],
                 }
             ],

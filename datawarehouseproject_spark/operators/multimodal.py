@@ -3509,3 +3509,33 @@ def extract_delta_tt_scan(
         return scan_delta_time_travel
 
     return _extract_metadata(media, DELTA_TT_SCHEMA, loader, permissive)
+
+
+def synthesize_iceberg_multi_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Iceberg v2 tables under a
+    TWO-field partition spec (truncate x bucket) laid out so only
+    the conjunction prunes
+    (``functions/iceberg_scan.py:synth_iceberg_multi``)."""
+
+    def loader():
+        from ..functions.iceberg_scan import synth_iceberg_multi
+
+        return synth_iceberg_multi
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def extract_iceberg_multi_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Conjunction-pruned v2 scan per bundle — the same
+    transform-generic plan as :func:`extract_iceberg_v2_scan`."""
+
+    def loader():
+        from ..functions.iceberg_scan import scan_iceberg_v2
+
+        return scan_iceberg_v2
+
+    return _extract_metadata(media, ICEBERG_V2_SCAN_SCHEMA, loader, permissive)

@@ -2218,6 +2218,66 @@ def q_iceberg_sequence_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_multi_partition_scan",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id FROM documents),
+    f AS (
+      SELECT media_id, unnest(generate_series(0, 3)) AS j FROM m),
+    r AS (
+      SELECT media_id, j, 20 + (media_id + j) % 10 AS rows_ FROM f)
+    SELECT media_id,
+           'truncate,bucket' AS transform,
+           CAST(2 AS INTEGER) AS transform_arg,
+           CAST(4 AS INTEGER) AS n_data_files,
+           CAST(0 AS INTEGER) AS n_eq_delete_files,
+           CAST(3 AS INTEGER) AS files_pruned_partition,
+           CAST(0 AS INTEGER) AS files_pruned_bounds,
+           CAST(1 AS INTEGER) AS files_scanned,
+           CAST(sum(CASE WHEN j = 0 THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(0 AS BIGINT) AS equality_deleted_rows,
+           CAST(sum(CASE WHEN j = 0 THEN rows_ ELSE 0 END) AS BIGINT)
+             AS live_rows,
+           CAST(sum(rows_) AS BIGINT) AS total_rows,
+           CAST(1 AS BIGINT) AS probe_matches
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "iceberg", "lakehouse", "partition-transforms",
+          "multi-field-spec", "data-skipping", "mapInPandas"),
+)
+def q_iceberg_multi_partition_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg MULTI-FIELD partition specs (round 11 continuation —
+    closes the scan's 'multi-field partition specs unsupported'
+    boundary): real tables partition by conjunctions like
+    ``(day(ts), bucket(id))``; here the spec is
+    ``(truncate[1000](v), bucket[8](v))`` and the four files sit at
+    the corners of the 2x2 (window, bucket) grid with the probe in
+    corner (W0,B0).  Truncate alone keeps two files, bucket alone
+    keeps two files — ``files_pruned_partition = 3`` is achievable
+    ONLY by the conjunction, which the oracle asserts.  The
+    per-row audit now checks EVERY spec field's transform against
+    the manifest's declared partition tuple, and duplicate partition
+    field names or >3 fields loud-reject."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_iceberg_multi_scan,
+        synthesize_iceberg_multi_media,
+    )
+
+    media = synthesize_iceberg_multi_media(_t(spark, sf_dir, "documents"))
+    return extract_iceberg_multi_scan(media).select(
+        "media_id", "transform", "transform_arg", "n_data_files",
+        "n_eq_delete_files", "files_pruned_partition",
+        "files_pruned_bounds", "files_scanned", "rows_scanned",
+        "equality_deleted_rows", "live_rows", "total_rows",
+        "probe_matches",
+    )
+
+
+@register(
     "iceberg_time_transform_scan",
     oracle="""
     WITH m AS (SELECT doc_id AS media_id FROM documents),

@@ -181,6 +181,11 @@ def _cases():
             iceberg_scan.synth_iceberg_seq,
             iceberg_scan.scan_iceberg_v2,
         ),
+        (
+            "iceberg_multi",
+            iceberg_scan.synth_iceberg_multi,
+            iceberg_scan.scan_iceberg_v2,
+        ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
         (
             "delta_partitioned",

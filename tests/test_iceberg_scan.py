@@ -849,3 +849,99 @@ def test_partially_sequenced_table_rejects():
             tf.addfile(info, _io.BytesIO(files[name]))
     with pytest.raises(ValueError, match="partially declared"):
         ice.scan_iceberg_v2(out.getvalue())
+
+
+# --- multi-field partition specs --------------------------------------
+
+
+def test_multi_field_spec_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_v2,
+        synth_iceberg_multi,
+        synth_iceberg_multi_plan,
+    )
+
+    for seed in range(8):
+        p = synth_iceberg_multi_plan(seed)
+        out = scan_iceberg_v2(synth_iceberg_multi(seed))
+        assert out["transform"] == "truncate,bucket"
+        assert out["transform_arg"] == 2
+        assert out["files_pruned_partition"] == 3
+        assert out["files_scanned"] == 1
+        assert out["rows_scanned"] == p["rows_scanned"]
+        assert out["total_rows"] == p["total_rows"]
+        assert out["probe_matches"] == 1
+
+
+def test_multi_field_conjunction_is_required():
+    """Neither dimension alone reaches the pruning the conjunction
+    does: rewrite the metadata's spec to each SINGLE field and the
+    scan must keep two files (the fixture's whole point)."""
+    import io as _io
+    import json
+    import tarfile
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_v2,
+        synth_iceberg_multi,
+    )
+
+    blob = synth_iceberg_multi(5)
+    with tarfile.open(fileobj=_io.BytesIO(blob), mode="r:") as tf:
+        files = {
+            m.name: tf.extractfile(m).read()
+            for m in tf.getmembers()
+            if m.isfile()
+        }
+    meta = json.loads(files["metadata/v2.metadata.json"])
+    for keep in (0, 1):
+        m2 = json.loads(json.dumps(meta))
+        m2["partition-specs"][0]["fields"] = [
+            meta["partition-specs"][0]["fields"][keep]
+        ]
+        files["metadata/v2.metadata.json"] = json.dumps(m2).encode()
+        out = _io.BytesIO()
+        with tarfile.open(fileobj=out, mode="w") as tf:
+            for name in sorted(files):
+                info = tarfile.TarInfo(name)
+                info.size = len(files[name])
+                tf.addfile(info, _io.BytesIO(files[name]))
+        r = scan_iceberg_v2(out.getvalue())
+        assert r["files_pruned_partition"] == 2  # one dim -> 2 kept
+        if keep == 0:
+            # truncate-only: the same-window sibling's bounds overlap
+            # the probe, so it gets SCANNED — the over-read the
+            # conjunction avoids
+            assert r["files_scanned"] == 2
+        else:
+            # bucket-only: the same-bucket sibling sits in the other
+            # window, so bounds still prune it
+            assert r["files_scanned"] == 1
+
+
+def test_multi_field_spec_fences():
+    import json
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_v2,
+        synth_iceberg_multi,
+    )
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+
+    files = dict(read_tar_bundle(synth_iceberg_multi(2)))
+    meta = json.loads(files["metadata/v2.metadata.json"])
+    dup = json.loads(json.dumps(meta))
+    dup["partition-specs"][0]["fields"][1]["name"] = "p"  # duplicate
+    files["metadata/v2.metadata.json"] = json.dumps(dup).encode()
+    with pytest.raises(ValueError, match="not unique"):
+        scan_iceberg_v2(write_tar_bundle(files))
+    four = json.loads(json.dumps(meta))
+    four["partition-specs"][0]["fields"] = (
+        meta["partition-specs"][0]["fields"] * 2
+    )
+    files["metadata/v2.metadata.json"] = json.dumps(four).encode()
+    with pytest.raises(ValueError, match="field count"):
+        scan_iceberg_v2(write_tar_bundle(files))
