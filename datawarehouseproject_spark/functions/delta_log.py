@@ -245,6 +245,7 @@ class _State:
         require_stats: bool = True,
         allow_dv: bool = False,
         allow_cm: bool = False,
+        allow_v2cp: bool = False,
     ) -> None:
         #: path -> ((numRecords, lo, hi) | None, {part col -> value},
         #:          deletionVector descriptor | None)
@@ -255,6 +256,8 @@ class _State:
         self.require_stats = require_stats
         self.allow_dv = allow_dv
         self.allow_cm = allow_cm
+        self.allow_v2cp = allow_v2cp
+        self.sidecar_files = 0
         self.reader_features: set[str] = set()
         self.mapping_mode: str | None = None
         #: logical name -> (columnMapping.id, physicalName)
@@ -328,7 +331,8 @@ class _State:
                 or (mrv == _CM_READER_VERSION and self.allow_cm)
                 or (
                     mrv == _DV_READER_VERSION
-                    and (self.allow_dv or self.allow_cm)
+                    and (self.allow_dv or self.allow_cm
+                         or self.allow_v2cp)
                 )
             )
             if not ok:
@@ -349,6 +353,8 @@ class _State:
                     supported.add("deletionVectors")
                 if self.allow_cm:
                     supported.add("columnMapping")
+                if self.allow_v2cp:
+                    supported.add("v2Checkpoint")
                 unknown = set(feats) - supported
                 if unknown:
                     raise ValueError(
@@ -398,6 +404,7 @@ def _replay_log(
     allow_dv: bool = False,
     allow_cm: bool = False,
     trace: list | None = None,
+    allow_v2cp: bool = False,
 ):
     """Shared _delta_log walk: _last_checkpoint -> checkpoint parquet
     -> contiguous post-checkpoint JSON replay.  Returns
@@ -427,6 +434,20 @@ def _replay_log(
         # overflow-after-quarantine class as the avro sum fences)
         raise ValueError("_last_checkpoint malformed")
     cp_blob = files.get(f"{_LOG}/{cp_version:020d}.checkpoint.parquet")
+    v2_name = None
+    if cp_blob is None and allow_v2cp:
+        # v2 checkpoints are UUID-named:
+        # <version>.checkpoint.<uuid>.parquet
+        pat = re.compile(
+            rf"^{_LOG}/{cp_version:020d}\.checkpoint\."
+            r"[0-9a-f\-]{36}\.parquet$"
+        )
+        matches = sorted(n for n in files if pat.match(n))
+        if len(matches) > 1:
+            raise ValueError("multiple v2 checkpoints for one version")
+        if matches:
+            v2_name = matches[0]
+            cp_blob = files[v2_name]
     if cp_blob is None:
         raise ValueError("checkpoint parquet missing from log")
     try:
@@ -435,16 +456,25 @@ def _replay_log(
         raise ValueError(f"checkpoint unreadable: {e}") from None
     if cp.num_rows != cp_size:
         raise ValueError("_last_checkpoint size disagrees with parquet")
-    state = _State(require_stats, allow_dv, allow_cm)
+    state = _State(require_stats, allow_dv, allow_cm, allow_v2cp)
     cols = cp.column_names
+    inline_actions = []  # v2: file actions deferred until the
+    # sidecar block decides whether this checkpoint is inline-form
     for kind in ("metaData", "protocol", "add", "remove"):
         if kind not in cols:
             continue
         for body in cp.column(kind).to_pylist():
             if body is not None:
-                state.apply({kind: body})
+                if v2_name is not None and kind in ("add", "remove"):
+                    inline_actions.append({kind: body})
+                else:
+                    state.apply({kind: body})
     if state.min_reader is None or state.meta_id is None:
         raise ValueError("checkpoint without protocol/metaData")
+    if v2_name is not None:
+        _apply_v2_checkpoint(
+            files, cp, cols, cp_version, state, inline_actions
+        )
     files_at_checkpoint = len(state.adds)
     if trace is not None:
         trace.append((cp_version, dict(state.adds)))
@@ -1805,4 +1835,261 @@ def scan_delta_time_travel(payload: bytes) -> dict:
         "total_rows_current": last[1],
         "probe_matches_v1": first[2],
         "probe_matches_current": last[2],
+    }
+
+
+# ---------------------------------------------------------------------------
+# v2 checkpoints (reader feature "v2Checkpoint"): UUID-named
+# checkpoint + checkpointMetadata action + sidecar parquet files
+# ---------------------------------------------------------------------------
+
+def _apply_v2_checkpoint(
+    files: dict[str, bytes],
+    cp,
+    cols: list[str],
+    cp_version: int,
+    state: _State,
+    inline_actions: list,
+) -> None:
+    """PROTOCOL.md "V2 Checkpoints": the checkpoint parquet must
+    carry exactly one ``checkpointMetadata`` action whose version
+    matches the file name; file actions live EITHER inline OR in
+    ``sidecar``-referenced parquet files under ``_sidecars/`` —
+    never both."""
+    import pyarrow.parquet as pq
+
+    if "v2Checkpoint" not in state.reader_features:
+        raise ValueError("v2 checkpoint without the protocol feature")
+    if "checkpointMetadata" not in cols:
+        raise ValueError("v2 checkpoint missing checkpointMetadata")
+    metas = [
+        b for b in cp.column("checkpointMetadata").to_pylist()
+        if b is not None
+    ]
+    if len(metas) != 1 or not isinstance(metas[0], dict):
+        raise ValueError("v2 checkpoint needs exactly one "
+                         "checkpointMetadata action")
+    if metas[0].get("version") != cp_version:
+        raise ValueError("checkpointMetadata version disagrees "
+                         "with the file name")
+    sidecars = []
+    if "sidecar" in cols:
+        for sc in cp.column("sidecar").to_pylist():
+            if sc is None:
+                continue
+            if not isinstance(sc, dict):
+                raise ValueError("sidecar action malformed")
+            spath = sc.get("path")
+            if (
+                not isinstance(spath, str) or not spath
+                or "/" in spath or "\\" in spath or ".." in spath
+            ):
+                raise ValueError("sidecar path malformed")
+            sidecars.append((spath, sc.get("sizeInBytes")))
+    if len(sidecars) > 64:
+        raise ValueError("sidecar count past cap (boundary)")
+    if sidecars and inline_actions:
+        raise ValueError(
+            "v2 checkpoint mixes inline and sidecar file actions"
+        )
+    if not sidecars:
+        for action in inline_actions:
+            state.apply(action)
+        return
+    for spath, declared in sidecars:
+        blob = files.get(f"{_LOG}/_sidecars/{spath}")
+        if blob is None:
+            raise ValueError(f"sidecar {spath!r} missing from log")
+        if declared is not None and declared != len(blob):
+            raise ValueError("sidecar sizeInBytes disagrees")
+        try:
+            table = pq.read_table(io.BytesIO(blob))
+        except Exception as e:
+            raise ValueError(f"sidecar unreadable: {e}") from None
+        for kind in ("add", "remove"):
+            if kind not in table.column_names:
+                continue
+            for body in table.column(kind).to_pylist():
+                if body is not None:
+                    state.apply({kind: body})
+        state.sidecar_files += 1
+
+
+def synth_delta_v2cp_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: ``n = 4 + seed%3`` slots (the
+    base window arithmetic — slot i holds ``rows_i = 40+(seed+i)%60``
+    values ``lo_i + (r%40)``); adds split across TWO sidecars; the
+    v2 JSON commit replaces slot 0 with ``rows_0 + 5`` rows; probe
+    ``lo_k + 17``, ``k = seed%n``."""
+    n = 4 + seed % 3
+    k = seed % n
+    rows_k = _file_rows(seed, k) + (5 if k == 0 else 0)
+    return {
+        "n": n,
+        "probe": _file_lo(seed, k) + 17,
+        "rows_scanned": rows_k,
+        "probe_matches": (rows_k - 18) // 40 + 1,
+        "total_live_rows": sum(
+            _file_rows(seed, i) for i in range(n)
+        ) + 5,
+    }
+
+
+def synth_delta_v2cp(seed: int) -> bytes:
+    """A v2-checkpoint table: UUID-named checkpoint parquet carrying
+    protocol (v3 + v2Checkpoint) / metaData / checkpointMetadata /
+    two sidecar pointers; the add actions live in the sidecar
+    parquets; one post-checkpoint JSON commit replaces slot 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = synth_delta_v2cp_plan(seed)
+    n = plan["n"]
+    files: dict[str, bytes] = {}
+
+    def write_data(path: str, rows: int, lo: int) -> dict:
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table({"v": [lo + (r % 40) for r in range(rows)]}), buf
+        )
+        files[path] = buf.getvalue()
+        return {
+            "path": path,
+            "size": len(files[path]),
+            "dataChange": True,
+            "stats": json.dumps(
+                {
+                    "numRecords": rows,
+                    "minValues": {"v": lo},
+                    "maxValues": {"v": lo + 39},
+                }
+            ),
+        }
+
+    adds = [
+        write_data(
+            f"part-{i:05d}.parquet", _file_rows(seed, i),
+            _file_lo(seed, i),
+        )
+        for i in range(n)
+    ]
+
+    def sidecar(name: str, slice_) -> dict:
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table(
+                {"add": [
+                    {"path": a["path"], "size": a["size"],
+                     "stats": a["stats"]}
+                    for a in slice_
+                ]}
+            ),
+            buf,
+        )
+        files[f"{_LOG}/_sidecars/{name}"] = buf.getvalue()
+        return {
+            "path": name,
+            "sizeInBytes": len(files[f"{_LOG}/_sidecars/{name}"]),
+        }
+
+    half = (n + 1) // 2
+    sc_a = sidecar(f"sc-{seed:08d}-a.parquet", adds[:half])
+    sc_b = sidecar(f"sc-{seed:08d}-b.parquet", adds[half:])
+
+    meta = {
+        "id": f"00000000-0000-4000-8000-{seed:012d}",
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "v", "type": "long", "nullable": False,
+                     "metadata": {}}
+                ],
+            }
+        ),
+        "configuration": {"fixture.probe": str(plan["probe"])},
+    }
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    cp = pa.table(
+        {
+            "metaData": [meta, None, None, None, None],
+            "protocol": [None, protocol, None, None, None],
+            "checkpointMetadata": [None, None, {"version": 1},
+                                   None, None],
+            "sidecar": [None, None, None, sc_a, sc_b],
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(cp, buf)
+    uuid = f"00000000-0000-4000-8000-{seed:012d}"
+    files[f"{_LOG}/{1:020d}.checkpoint.{uuid}.parquet"] = buf.getvalue()
+    files[f"{_LOG}/_last_checkpoint"] = json.dumps(
+        {"version": 1, "size": 5}
+    ).encode()
+    repl = write_data(
+        "part-r0000.parquet", _file_rows(seed, 0) + 5, _file_lo(seed, 0)
+    )
+    files[f"{_LOG}/{2:020d}.json"] = (
+        json.dumps({"commitInfo": {"operation": "WRITE"}})
+        + "\n"
+        + json.dumps(
+            {
+                "remove": {
+                    "path": "part-00000.parquet",
+                    "deletionTimestamp": 1700000000000 + seed,
+                    "dataChange": True,
+                }
+            }
+        )
+        + "\n"
+        + json.dumps({"add": repl})
+        + "\n"
+    ).encode()
+    return write_tar_bundle(files)
+
+
+def scan_delta_v2cp(payload: bytes) -> dict:
+    """Snapshot scan through a V2 CHECKPOINT: sidecar-held file
+    actions, checkpointMetadata agreement, the v2Checkpoint protocol
+    feature handshake, then the usual stats-pruned point lookup with
+    one replayed commit on top."""
+    files = read_tar_bundle(payload)
+    state, cp_version, current, replayed, _fac = _replay_log(
+        files, require_stats=True, allow_v2cp=True
+    )
+    if not state.adds:
+        raise ValueError("current snapshot has no live files")
+    if "v2Checkpoint" not in state.reader_features:
+        raise ValueError("v2 fixture must declare the feature")
+    live = sorted(state.adds.items())
+    probe = _probe_from_config(state)
+    survivors = [
+        (path, st) for path, (st, _pv, _dv) in live
+        if st[1] <= probe <= st[2]
+    ]
+    rows_scanned = matches = 0
+    for path, st in survivors:
+        rows, m = _scan_parquet_matches(files, path, probe, st[0])
+        rows_scanned += rows
+        matches += m
+    total = sum(st[0] for _, (st, _pv, _dv) in live)
+    if not 0 <= total < 2**63:
+        raise ValueError("delta v2cp total overflows int64 (boundary)")
+    return {
+        "checkpoint_version": cp_version,
+        "current_version": current,
+        "json_commits_replayed": replayed,
+        "sidecar_files": state.sidecar_files,
+        "live_files": len(live),
+        "min_reader_version": state.min_reader,
+        "files_pruned": len(live) - len(survivors),
+        "files_scanned": len(survivors),
+        "rows_scanned": rows_scanned,
+        "total_live_rows": total,
+        "probe_matches": matches,
     }

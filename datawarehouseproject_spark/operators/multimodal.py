@@ -3539,3 +3539,50 @@ def extract_iceberg_multi_scan(
         return scan_iceberg_v2
 
     return _extract_metadata(media, ICEBERG_V2_SCAN_SCHEMA, loader, permissive)
+
+
+def synthesize_delta_v2cp_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of v2-checkpoint Delta
+    bundles: UUID-named checkpoint + checkpointMetadata + two
+    sidecar parquets holding the add actions
+    (``functions/delta_log.py:synth_delta_v2cp``)."""
+
+    def loader():
+        from ..functions.delta_log import synth_delta_v2cp
+
+        return synth_delta_v2cp
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+DELTA_V2CP_SCHEMA = T.StructType(
+    [
+        T.StructField("checkpoint_version", T.IntegerType()),
+        T.StructField("current_version", T.IntegerType()),
+        T.StructField("json_commits_replayed", T.IntegerType()),
+        T.StructField("sidecar_files", T.IntegerType()),
+        T.StructField("live_files", T.IntegerType()),
+        T.StructField("min_reader_version", T.IntegerType()),
+        T.StructField("files_pruned", T.IntegerType()),
+        T.StructField("files_scanned", T.IntegerType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("total_live_rows", T.LongType()),
+        T.StructField("probe_matches", T.LongType()),
+    ]
+)
+
+
+def extract_delta_v2cp_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """V2-checkpoint snapshot scan per bundle
+    (:func:`..functions.delta_log.scan_delta_v2cp`)."""
+
+    def loader():
+        from ..functions.delta_log import scan_delta_v2cp
+
+        return scan_delta_v2cp
+
+    return _extract_metadata(media, DELTA_V2CP_SCHEMA, loader, permissive)

@@ -2638,6 +2638,72 @@ def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_v2_checkpoint_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 4 + doc_id % 3 AS n FROM documents),
+    f AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    r AS (
+      SELECT media_id, n, i,
+             40 + (media_id + i) % 60
+               + CASE WHEN i = 0 THEN 5 ELSE 0 END AS rows_,
+             media_id % n AS k
+      FROM f)
+    SELECT media_id,
+           CAST(1 AS INTEGER) AS checkpoint_version,
+           CAST(2 AS INTEGER) AS current_version,
+           CAST(1 AS INTEGER) AS json_commits_replayed,
+           CAST(2 AS INTEGER) AS sidecar_files,
+           CAST(max(n) AS INTEGER) AS live_files,
+           CAST(3 AS INTEGER) AS min_reader_version,
+           CAST(max(n) - 1 AS INTEGER) AS files_pruned,
+           CAST(1 AS INTEGER) AS files_scanned,
+           CAST(sum(CASE WHEN i = k THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(rows_) AS BIGINT) AS total_live_rows,
+           CAST(sum(CASE WHEN i = k THEN (rows_ - 18) // 40 + 1
+                         ELSE 0 END) AS BIGINT) AS probe_matches
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "v2-checkpoint",
+          "sidecars", "mapInPandas"),
+)
+def q_delta_v2_checkpoint_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta V2 CHECKPOINTS (round 11 continuation): the modern
+    checkpoint form behind the ``v2Checkpoint`` reader feature —
+    a UUID-named checkpoint parquet carrying protocol / metaData /
+    exactly one ``checkpointMetadata`` action (version agreement
+    with the file name enforced) plus ``sidecar`` pointers, with the
+    add actions living in SIDECAR parquet files under
+    ``_delta_log/_sidecars/`` (sizeInBytes cross-checked).  A
+    classic-checkpoint reader cannot read this table at all — the
+    fixture has no ``<v>.checkpoint.parquet`` — and the spec's
+    either-inline-or-sidecar rule is enforced (mixing loud-rejects,
+    as do missing checkpointMetadata, version disagreement, >64
+    sidecars, and path traversal in sidecar names).  One JSON commit
+    replays on top (slot-0 replace), so the usual tombstone +
+    stats-pruning + probe battery runs THROUGH the v2 state."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_delta_v2cp_scan,
+        synthesize_delta_v2cp_media,
+    )
+
+    media = synthesize_delta_v2cp_media(_t(spark, sf_dir, "documents"))
+    return extract_delta_v2cp_scan(media).select(
+        "media_id", "checkpoint_version", "current_version",
+        "json_commits_replayed", "sidecar_files", "live_files",
+        "min_reader_version", "files_pruned", "files_scanned",
+        "rows_scanned", "total_live_rows", "probe_matches",
+    )
+
+
+@register(
     "delta_time_travel",
     oracle="""
     WITH m AS (

@@ -753,3 +753,136 @@ def test_time_travel_v1_is_prereplace_state():
     assert out["probe_matches_v1"] == base["probe_matches_v1"]
     assert out["live_files_current"] == base["live_files_current"] + 1
     assert out["total_rows_current"] > base["total_rows_current"]
+
+
+# --- v2 checkpoints ----------------------------------------------------
+
+
+def test_v2cp_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_v2cp,
+        synth_delta_v2cp,
+        synth_delta_v2cp_plan,
+    )
+
+    for seed in range(10):
+        p = synth_delta_v2cp_plan(seed)
+        out = scan_delta_v2cp(synth_delta_v2cp(seed))
+        assert out["sidecar_files"] == 2
+        assert out["live_files"] == p["n"]
+        assert out["files_pruned"] == p["n"] - 1
+        assert out["rows_scanned"] == p["rows_scanned"]
+        assert out["total_live_rows"] == p["total_live_rows"]
+        assert out["probe_matches"] == p["probe_matches"]
+
+
+def test_v2cp_fences():
+    """Version disagreement in checkpointMetadata, a missing sidecar,
+    and the classic scan's inability to even FIND the v2 checkpoint
+    all loud-reject."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta,
+        scan_delta_v2cp,
+        synth_delta_v2cp,
+    )
+
+    blob = synth_delta_v2cp(1)
+    # the classic reader cannot read a v2-checkpoint-only table
+    with pytest.raises(ValueError, match="checkpoint parquet missing"):
+        scan_delta(blob)
+    files = _untar(blob)
+    cp_name = next(
+        n for n in files
+        if ".checkpoint." in n and n.endswith(".parquet")
+    )
+    # checkpointMetadata version disagreement
+    table = pq.read_table(io.BytesIO(files[cp_name]))
+    rows = table.to_pylist()
+    for r in rows:
+        if r.get("checkpointMetadata") is not None:
+            r["checkpointMetadata"] = {"version": 9}
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pylist(rows), buf)
+    bad = dict(files)
+    bad[cp_name] = buf.getvalue()
+    with pytest.raises(ValueError, match="version disagrees"):
+        scan_delta_v2cp(_retar(bad))
+    # missing sidecar file
+    bad = dict(files)
+    gone = next(n for n in bad if "_sidecars/" in n)
+    del bad[gone]
+    with pytest.raises(ValueError, match="missing from log"):
+        scan_delta_v2cp(_retar(bad))
+
+
+def test_v2cp_inline_form_and_mixing():
+    """An inline-form v2 checkpoint (no sidecars, add actions in the
+    checkpoint itself) reads fine; adding a sidecar pointer next to
+    inline adds loud-rejects (the spec's either/or)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_v2cp,
+        synth_delta_v2cp,
+        synth_delta_v2cp_plan,
+    )
+
+    seed = 2
+    p = synth_delta_v2cp_plan(seed)
+    files = _untar(synth_delta_v2cp(seed))
+    cp_name = next(
+        n for n in files
+        if ".checkpoint." in n and n.endswith(".parquet")
+    )
+    rows = pq.read_table(io.BytesIO(files[cp_name])).to_pylist()
+    # collect the sidecar-held adds, inline them, drop sidecars
+    adds = []
+    for n, blob in files.items():
+        if "_sidecars/" in n:
+            adds.extend(
+                a for a in pq.read_table(io.BytesIO(blob))
+                .column("add").to_pylist() if a is not None
+            )
+    keys = ("metaData", "protocol", "checkpointMetadata", "add")
+    inline = [
+        {k: r.get(k) for k in keys}
+        for r in rows
+        if any(r.get(k) is not None for k in keys[:3])
+    ]
+    inline += [
+        {"metaData": None, "protocol": None,
+         "checkpointMetadata": None, "add": a}
+        for a in adds
+    ]
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pylist(inline), buf)
+    good = {
+        n: b for n, b in files.items() if "_sidecars/" not in n
+    }
+    good[cp_name] = buf.getvalue()
+    good["_delta_log/_last_checkpoint"] = json.dumps(
+        {"version": 1, "size": len(inline)}
+    ).encode()
+    out = scan_delta_v2cp(_retar(good))
+    assert out["sidecar_files"] == 0
+    assert out["total_live_rows"] == p["total_live_rows"]
+    assert out["probe_matches"] == p["probe_matches"]
+    # now mix: inline adds AND a sidecar pointer
+    mixed_rows = [dict(r, sidecar=None) for r in inline] + [
+        {"metaData": None, "protocol": None,
+         "checkpointMetadata": None, "add": None,
+         "sidecar": {"path": "sc-x.parquet", "sizeInBytes": 1}}
+    ]
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pylist(mixed_rows), buf)
+    mixed = dict(good)
+    mixed[cp_name] = buf.getvalue()
+    mixed["_delta_log/_last_checkpoint"] = json.dumps(
+        {"version": 1, "size": len(mixed_rows)}
+    ).encode()
+    with pytest.raises(ValueError, match="mixes inline and sidecar"):
+        scan_delta_v2cp(_retar(mixed))

@@ -207,6 +207,11 @@ def _cases():
             delta_log.synth_delta_tt,
             delta_log.scan_delta_time_travel,
         ),
+        (
+            "delta_v2cp",
+            delta_log.synth_delta_v2cp,
+            delta_log.scan_delta_v2cp,
+        ),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (
