@@ -1109,6 +1109,63 @@ def round14_kernels() -> None:
     }))
 
 
+
+def round14b_kernels() -> None:
+    """Round-11 continuation, second wave: Delta time travel + v2
+    checkpoints, Iceberg multi-field conjunction pruning."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_time_travel,
+        scan_delta_v2cp,
+        synth_delta_tt,
+        synth_delta_v2cp,
+    )
+
+    tables = [synth_delta_tt(s) for s in range(150)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_delta_time_travel(b)["total_rows_current"]
+            for b in tables
+        )
+    )
+    print(json.dumps({
+        "kernel": "delta_time_travel",
+        "media": f"150 tables x 3 versions, {n} current rows",
+        "tables_per_s": int(150 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    tables = [synth_delta_v2cp(s) for s in range(150)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_delta_v2cp(b)["total_live_rows"] for b in tables
+        )
+    )
+    print(json.dumps({
+        "kernel": "delta_v2_checkpoint",
+        "media": f"150 tables, 2 sidecars each, {n} live rows",
+        "tables_per_s": int(150 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_v2,
+        synth_iceberg_multi,
+    )
+
+    tables = [synth_iceberg_multi(s) for s in range(150)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_iceberg_v2(b)["rows_scanned"] for b in tables
+        )
+    )
+    print(json.dumps({
+        "kernel": "iceberg_multi_partition",
+        "media": f"150 tables, {n} rows after conjunction pruning",
+        "tables_per_s": int(150 / secs),
+        "sec": round(secs, 4),
+    }))
+
+
 if __name__ == "__main__":
     main()
     archive_kernels()
@@ -1122,3 +1179,4 @@ if __name__ == "__main__":
     round12b_kernels()
     round13_kernels()
     round14_kernels()
+    round14b_kernels()
