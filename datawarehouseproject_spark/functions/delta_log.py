@@ -66,6 +66,55 @@ def _file_lo(seed: int, i: int) -> int:
     return i * 100 + seed % 50
 
 
+def _write_data_file(
+    files: dict[str, bytes], path: str, rows: int, lo: int
+) -> dict:
+    """Shared fixture data writer (review pass: three copies had
+    grown): parquet of ``lo + (r % 40)`` plus its add action with
+    window stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"v": [lo + (r % 40) for r in range(rows)]}), buf
+    )
+    files[path] = buf.getvalue()
+    return {
+        "path": path,
+        "size": len(files[path]),
+        "dataChange": True,
+        "stats": json.dumps(
+            {
+                "numRecords": rows,
+                "minValues": {"v": lo},
+                "maxValues": {"v": lo + 39},
+            }
+        ),
+    }
+
+
+def _stats_point_lookup(
+    files: dict[str, bytes], live: list, probe: int
+) -> tuple[int, int, int, int]:
+    """Shared probe block (review pass): stats-window survivors ->
+    (n_survivors, rows_scanned, probe_matches, total_declared_rows)
+    with footers cross-checked and the int64 fence applied."""
+    survivors = [
+        (path, st) for path, (st, _pv, _dv) in live
+        if st[1] <= probe <= st[2]
+    ]
+    rows_scanned = matches = 0
+    for path, st in survivors:
+        rows, m = _scan_parquet_matches(files, path, probe, st[0])
+        rows_scanned += rows
+        matches += m
+    total = sum(st[0] for _, (st, _pv, _dv) in live)
+    if not 0 <= total < 2**63:
+        raise ValueError("delta total rows overflows int64 (boundary)")
+    return len(survivors), rows_scanned, matches, total
+
+
 def synth_delta_plan(seed: int) -> dict:
     """Mirrored in the DuckDB oracle: version 0 adds ``3 + seed%3``
     files (slot i covers ``[lo_i, lo_i+39]``, ``lo_i = i*100 +
@@ -100,21 +149,7 @@ def synth_delta(seed: int) -> bytes:
     files: dict[str, bytes] = {}
 
     def write_data(path: str, rows: int, lo: int) -> dict:
-        buf = io.BytesIO()
-        pq.write_table(pa.table({"v": [lo + (r % 40) for r in range(rows)]}), buf)
-        files[path] = buf.getvalue()
-        return {
-            "path": path,
-            "size": len(files[path]),
-            "dataChange": True,
-            "stats": json.dumps(
-                {
-                    "numRecords": rows,
-                    "minValues": {"v": lo},
-                    "maxValues": {"v": lo + 39},
-                }
-            ),
-        }
+        return _write_data_file(files, path, rows, lo)
 
     adds_cp = []  # state at the version-1 checkpoint: slots 0..n0+1
     for i in range(n_live):
@@ -458,6 +493,19 @@ def _replay_log(
         raise ValueError("_last_checkpoint size disagrees with parquet")
     state = _State(require_stats, allow_dv, allow_cm, allow_v2cp)
     cols = cp.column_names
+    # v2-ness is decided by the checkpointMetadata ACTION, not the
+    # file name: the spec allows a v2 checkpoint under the classic
+    # name too (review finding — the name-only test silently dropped
+    # such a checkpoint's sidecar actions).  Non-v2cp scans are safe
+    # either way: the v3 protocol row refuses before any data.
+    is_v2 = allow_v2cp and "checkpointMetadata" in cols and any(
+        b is not None
+        for b in cp.column("checkpointMetadata").to_pylist()
+    )
+    if v2_name is not None and not is_v2:
+        raise ValueError(
+            "uuid-named checkpoint without checkpointMetadata"
+        )
     inline_actions = []  # v2: file actions deferred until the
     # sidecar block decides whether this checkpoint is inline-form
     for kind in ("metaData", "protocol", "add", "remove"):
@@ -465,13 +513,13 @@ def _replay_log(
             continue
         for body in cp.column(kind).to_pylist():
             if body is not None:
-                if v2_name is not None and kind in ("add", "remove"):
+                if is_v2 and kind in ("add", "remove"):
                     inline_actions.append({kind: body})
                 else:
                     state.apply({kind: body})
     if state.min_reader is None or state.meta_id is None:
         raise ValueError("checkpoint without protocol/metaData")
-    if v2_name is not None:
+    if is_v2:
         _apply_v2_checkpoint(
             files, cp, cols, cp_version, state, inline_actions
         )
@@ -577,20 +625,9 @@ def scan_delta(payload: bytes) -> dict:
     live = sorted(state.adds.items())
     n_live = len(live)
     probe = _probe_from_config(state)
-    survivors = [
-        (path, st[0], st[1], st[2])
-        for path, (st, _pv, _dv) in live
-        if st[1] <= probe <= st[2]
-    ]
-    rows_scanned = 0
-    matches = 0
-    for path, nr, _lo, _hi in survivors:
-        rows, m = _scan_parquet_matches(files, path, probe, nr)
-        rows_scanned += rows
-        matches += m
-    total_live_rows = sum(st[0] for _, (st, _pv, _dv) in live)
-    if not (0 <= total_live_rows < 2**63):
-        raise ValueError("delta total rows overflows int64 (boundary)")
+    n_survivors, rows_scanned, matches, total_live_rows = (
+        _stats_point_lookup(files, live, probe)
+    )
     return {
         "checkpoint_version": cp_version,
         "current_version": current,
@@ -598,8 +635,8 @@ def scan_delta(payload: bytes) -> dict:
         "files_at_checkpoint": files_at_checkpoint,
         "live_files": n_live,
         "min_reader_version": state.min_reader,
-        "files_pruned": n_live - len(survivors),
-        "files_scanned": len(survivors),
+        "files_pruned": n_live - n_survivors,
+        "files_scanned": n_survivors,
         "rows_scanned": rows_scanned,
         "total_live_rows": total_live_rows,
         "probe_matches": matches,
@@ -1759,24 +1796,7 @@ def synth_delta_tt(seed: int) -> bytes:
     plan = synth_delta_plan(seed)
     j = plan["n_live"]
     rows, lo = _file_rows(seed, j), _file_lo(seed, j)
-    buf = io.BytesIO()
-    pq.write_table(
-        pa.table({"v": [lo + (r % 40) for r in range(rows)]}), buf
-    )
-    path = f"part-{j:05d}.parquet"
-    files[path] = buf.getvalue()
-    add = {
-        "path": path,
-        "size": len(files[path]),
-        "dataChange": True,
-        "stats": json.dumps(
-            {
-                "numRecords": rows,
-                "minValues": {"v": lo},
-                "maxValues": {"v": lo + 39},
-            }
-        ),
-    }
+    add = _write_data_file(files, f"part-{j:05d}.parquet", rows, lo)
     files[f"{_LOG}/{3:020d}.json"] = (
         json.dumps({"commitInfo": {"operation": "WRITE"}})
         + "\n"
@@ -1948,23 +1968,7 @@ def synth_delta_v2cp(seed: int) -> bytes:
     files: dict[str, bytes] = {}
 
     def write_data(path: str, rows: int, lo: int) -> dict:
-        buf = io.BytesIO()
-        pq.write_table(
-            pa.table({"v": [lo + (r % 40) for r in range(rows)]}), buf
-        )
-        files[path] = buf.getvalue()
-        return {
-            "path": path,
-            "size": len(files[path]),
-            "dataChange": True,
-            "stats": json.dumps(
-                {
-                    "numRecords": rows,
-                    "minValues": {"v": lo},
-                    "maxValues": {"v": lo + 39},
-                }
-            ),
-        }
+        return _write_data_file(files, path, rows, lo)
 
     adds = [
         write_data(
@@ -2068,18 +2072,9 @@ def scan_delta_v2cp(payload: bytes) -> dict:
         raise ValueError("v2 fixture must declare the feature")
     live = sorted(state.adds.items())
     probe = _probe_from_config(state)
-    survivors = [
-        (path, st) for path, (st, _pv, _dv) in live
-        if st[1] <= probe <= st[2]
-    ]
-    rows_scanned = matches = 0
-    for path, st in survivors:
-        rows, m = _scan_parquet_matches(files, path, probe, st[0])
-        rows_scanned += rows
-        matches += m
-    total = sum(st[0] for _, (st, _pv, _dv) in live)
-    if not 0 <= total < 2**63:
-        raise ValueError("delta v2cp total overflows int64 (boundary)")
+    n_survivors, rows_scanned, matches, total = _stats_point_lookup(
+        files, live, probe
+    )
     return {
         "checkpoint_version": cp_version,
         "current_version": current,
@@ -2087,8 +2082,8 @@ def scan_delta_v2cp(payload: bytes) -> dict:
         "sidecar_files": state.sidecar_files,
         "live_files": len(live),
         "min_reader_version": state.min_reader,
-        "files_pruned": len(live) - len(survivors),
-        "files_scanned": len(survivors),
+        "files_pruned": len(live) - n_survivors,
+        "files_scanned": n_survivors,
         "rows_scanned": rows_scanned,
         "total_live_rows": total,
         "probe_matches": matches,

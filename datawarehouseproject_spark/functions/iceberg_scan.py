@@ -1002,8 +1002,11 @@ def scan_iceberg_v2(payload: bytes) -> dict:
                 raise ValueError("data file record_count malformed")
             if not isinstance(part, dict) or not all(
                 isinstance(part.get(pname), int)
+                and not isinstance(part.get(pname), bool)
                 for pname, _tn, _ta in tspecs
             ):
+                # bool excluded explicitly: True == 1 would satisfy
+                # both the match and the per-row audit (review)
                 raise ValueError("data file partition value malformed")
             part_tuple = tuple(
                 part[pname] for pname, _tn, _ta in tspecs

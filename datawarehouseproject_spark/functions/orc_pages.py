@@ -538,15 +538,21 @@ def _iter_stripes(payload: bytes, codec: int, footer: dict):
     index+data region (a fence none of the copies had)."""
     for sb in footer.get(3, []):
         s = _msg(sb)
-        if None in (
-            s.get(1, [None])[0], s.get(4, [None])[0], s.get(5, [None])[0]
-        ):
+        if None in (s.get(1, [None])[0], s.get(4, [None])[0]):
             raise ValueError("stripe information incomplete")
         offset = _nonneg(s.get(1)[0], "stripe offset")
         index_len = _nonneg(s.get(2, [0])[0], "stripe index length")
         data_len = _nonneg(s.get(3, [0])[0], "stripe data length")
         sf_len = _nonneg(s.get(4)[0], "stripe footer length")
-        stripe_rows = _nonneg(s.get(5)[0], "stripe row count")
+        # numberOfRows is optional in StripeInformation: index-only
+        # consumers (bloom collection) don't need it, so it yields
+        # as None and value decoders raise their own fence (review:
+        # the refactor must not narrow read_orc_blooms)
+        raw_rows = s.get(5, [None])[0]
+        stripe_rows = (
+            None if raw_rows is None
+            else _nonneg(raw_rows, "stripe row count")
+        )
         sf_start = offset + index_len + data_len
         if sf_start + sf_len > len(payload):
             raise ValueError("stripe footer past end of file")
@@ -591,6 +597,8 @@ def scan_orc_rich(payload: bytes) -> dict:
     for stripe_rows, sfoot, streams in _iter_stripes(
         payload, codec, footer
     ):
+        if stripe_rows is None:
+            raise ValueError("stripe row count missing")
         enc_msgs = [_msg(e) for e in sfoot.get(2, [])]
         encodings = [m.get(1, [0])[0] for m in enc_msgs]
         dict_sizes = [m.get(2, [0])[0] for m in enc_msgs]
@@ -960,6 +968,8 @@ def scan_orc_bloom(payload: bytes) -> dict:
     for stripe_rows, _sfoot, streams in _iter_stripes(
         payload, codec, footer
     ):
+        if stripe_rows is None:
+            raise ValueError("stripe row count missing")
         located = {}
         for kind, col, pos, length in streams:
             if kind == _K_BLOOM_UTF8:
@@ -1173,6 +1183,8 @@ def scan_orc_scalars(payload: bytes) -> dict:
     for stripe_rows, _sfoot, all_streams in _iter_stripes(
         payload, codec, footer
     ):
+        if stripe_rows is None:
+            raise ValueError("stripe row count missing")
         located = {
             (kind, col): (pos, length)
             for kind, col, pos, length in all_streams

@@ -886,3 +886,53 @@ def test_v2cp_inline_form_and_mixing():
     ).encode()
     with pytest.raises(ValueError, match="mixes inline and sidecar"):
         scan_delta_v2cp(_retar(mixed))
+
+
+def test_v2cp_under_classic_name_still_reads_sidecars():
+    """The spec allows a v2 checkpoint under the CLASSIC file name —
+    v2-ness is the checkpointMetadata action, not the name (review
+    finding: the name-only test dropped sidecar actions silently)."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_v2cp,
+        synth_delta_v2cp,
+        synth_delta_v2cp_plan,
+    )
+
+    seed = 3
+    p = synth_delta_v2cp_plan(seed)
+    files = _untar(synth_delta_v2cp(seed))
+    cp_name = next(
+        n for n in files
+        if ".checkpoint." in n and n.endswith(".parquet")
+    )
+    files["_delta_log/00000000000000000001.checkpoint.parquet"] = (
+        files.pop(cp_name)
+    )
+    out = scan_delta_v2cp(_retar(files))
+    assert out["sidecar_files"] == 2
+    assert out["total_live_rows"] == p["total_live_rows"]
+    assert out["probe_matches"] == p["probe_matches"]
+
+
+def test_uuid_named_checkpoint_without_metadata_rejects():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_v2cp,
+        synth_delta_v2cp,
+    )
+
+    files = _untar(synth_delta_v2cp(0))
+    cp_name = next(
+        n for n in files
+        if ".checkpoint." in n and n.endswith(".parquet")
+    )
+    rows = pq.read_table(io.BytesIO(files[cp_name])).to_pylist()
+    for r in rows:
+        r["checkpointMetadata"] = None
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pylist(rows), buf)
+    files[cp_name] = buf.getvalue()
+    with pytest.raises(ValueError, match="without checkpointMetadata"):
+        scan_delta_v2cp(_retar(files))
