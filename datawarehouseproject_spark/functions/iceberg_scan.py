@@ -614,10 +614,13 @@ _TIME_TRANSFORMS = ("year", "month", "day", "hour")
 
 
 def parse_transform(spec: str) -> tuple[str, int]:
-    """``"bucket[8]"`` -> ("bucket", 8); the argless time transforms
-    ``year``/``month``/``day``/``hour`` -> (name, 0); loud boundary
-    otherwise."""
-    if isinstance(spec, str) and spec in _TIME_TRANSFORMS:
+    """``"bucket[8]"`` -> ("bucket", 8); the argless transforms
+    ``identity`` (raw value passthrough — the most common partition
+    spec) and ``year``/``month``/``day``/``hour`` -> (name, 0); loud
+    boundary otherwise."""
+    if isinstance(spec, str) and (
+        spec in _TIME_TRANSFORMS or spec == "identity"
+    ):
         return spec, 0
     if not isinstance(spec, str) or "[" not in spec or not spec.endswith("]"):
         raise ValueError(f"partition transform {spec!r} unsupported")
@@ -664,6 +667,8 @@ def apply_transform(name: str, arg: int, value: int) -> int:
         return bucket_transform(value, arg)
     if name in _TIME_TRANSFORMS:
         return time_transform(name, value)
+    if name == "identity":
+        return value
     return truncate_transform(value, arg)
 
 

@@ -726,10 +726,16 @@ def test_time_transform_parse_and_fences():
     assert parse_transform("hour") == ("hour", 0)
     assert parse_transform("month") == ("month", 0)
     assert parse_transform("year") == ("year", 0)
+    assert parse_transform("identity") == ("identity", 0)
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        apply_transform,
+    )
+
+    assert apply_transform("identity", 0, -12345) == -12345
     with pytest.raises(ValueError, match="unsupported"):
         parse_transform("day[2]")
     with pytest.raises(ValueError, match="unsupported"):
-        parse_transform("identity")
+        parse_transform("void")
     # int64 min is a legal micros value but outside the calendar:
     # must be a ValueError, never an uncaught OverflowError
     with pytest.raises(ValueError, match="calendar range"):
