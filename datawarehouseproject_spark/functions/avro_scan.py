@@ -583,20 +583,31 @@ def decode_avro_blocks(payload: bytes) -> list[dict]:
 
 
 def encode_avro_container(
-    schema_json: bytes, encoded_records: list[bytes], sync: bytes
+    schema_json: bytes,
+    encoded_records: list[bytes],
+    sync: bytes,
+    codec: str = "null",
 ) -> bytes:
-    """Assemble an uncompressed-codec container around pre-encoded
-    record bytes (the writer half the Iceberg fixtures use)."""
+    """Assemble a container around pre-encoded record bytes (the
+    writer half the Iceberg fixtures use); ``codec`` may also be
+    ``deflate`` (raw DEFLATE per the spec, via stdlib zlib)."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"encoder codec {codec!r} unsupported")
     out = bytearray(_MAGIC)
     out += _zigzag_write(2)
-    for k, v in ((b"avro.schema", schema_json), (b"avro.codec", b"null")):
+    for k, v in (
+        (b"avro.schema", schema_json),
+        (b"avro.codec", codec.encode()),
+    ):
         out += _zigzag_write(len(k)) + k
         out += _zigzag_write(len(v)) + v
     out += _zigzag_write(0)
     out += sync
     body = b"".join(encoded_records)
+    if codec == "deflate":
+        body = zlib.compress(body)[2:-4]  # strip zlib header + adler
     out += _zigzag_write(len(encoded_records))
     out += _zigzag_write(len(body))
     out += body
@@ -1282,8 +1293,11 @@ def synth_avro_evolved(seed: int) -> bytes:
                 + _struct.pack("<d", i * 0.25)
             )
     schema = _WRITER_V1 if plan["writer"] == 1 else _WRITER_V2
+    # codec rotates so resolution is exercised THROUGH the
+    # decompression path too (seed%3==0 -> deflate)
     return encode_avro_container(
-        json.dumps(schema).encode(), recs, sync
+        json.dumps(schema).encode(), recs, sync,
+        codec="deflate" if seed % 3 == 0 else "null",
     )
 
 

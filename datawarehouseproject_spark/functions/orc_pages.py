@@ -1151,8 +1151,14 @@ def synth_orc_scalars(seed: int) -> bytes:
         }
     )
     buf = _io.BytesIO()
+    # seed%3==0 forces MULTI-STRIPE files (batch_size 64 -> 3
+    # stripes) so the per-stripe accumulation and the rows-vs-footer
+    # cross-check run against the layout production files have
+    kwargs = {"batch_size": 16, "stripe_size": 1} \
+        if seed % 3 == 0 else {}
     orc.write_table(
-        tbl, buf, compression=("uncompressed", "zlib")[seed % 2]
+        tbl, buf, compression=("uncompressed", "zlib")[seed % 2],
+        **kwargs,
     )
     return buf.getvalue()
 
