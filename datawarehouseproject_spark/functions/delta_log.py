@@ -2088,3 +2088,197 @@ def scan_delta_v2cp(payload: bytes) -> dict:
         "total_live_rows": total,
         "probe_matches": matches,
     }
+
+
+# ---------------------------------------------------------------------------
+# feature composition: deletion vectors ON a column-mapped table
+# ---------------------------------------------------------------------------
+
+def synth_delta_dvcm_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: ``n = 3 + seed%2`` files, file
+    i holding ``rows_i = 40 + (seed+i)%30`` contiguous values
+    ``lo_i .. `` (``lo_i = i*500 + seed%50``) under a NAME-mapped
+    physical column; file 0 carries an inline DV deleting positions
+    ``r%6 == seed%6``; probe = ``lo_0 + seed%6 + 1`` (a KEPT
+    position next to a deleted one)."""
+    n = 3 + seed % 2
+    rows = [40 + (seed + i) % 30 for i in range(n)]
+    lo = [i * 500 + seed % 50 for i in range(n)]
+    d0 = [r for r in range(rows[0]) if r % 6 == seed % 6]
+    surviving = sum(
+        lo[i] * rows[i] + rows[i] * (rows[i] - 1) // 2 for i in range(n)
+    ) - sum(lo[0] + r for r in d0)
+    return {
+        "n": n,
+        "rows": rows,
+        "lo": lo,
+        "d0": d0,
+        "probe": lo[0] + seed % 6 + 1,
+        "total_rows": sum(rows),
+        "deleted_rows": len(d0),
+        "live_rows": sum(rows) - len(d0),
+        "surviving_v_sum": surviving,
+    }
+
+
+def synth_delta_dvcm(seed: int) -> bytes:
+    """Reader v3 + readerFeatures [deletionVectors, columnMapping]:
+    uuid-named physical columns, physically-keyed stats, and an
+    inline DV on file 0 — the composed shape a modern Databricks
+    writer emits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = synth_delta_dvcm_plan(seed)
+    n = plan["n"]
+    phys = f"col-{seed:08x}-beef-4abc-8def-a{seed % 10}b2c3d4e5f6"
+    files: dict[str, bytes] = {}
+    adds = []
+    for i in range(n):
+        rows, lo = plan["rows"][i], plan["lo"][i]
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table({phys: [lo + r for r in range(rows)]}), buf
+        )
+        path = f"part-{i:05d}.parquet"
+        files[path] = buf.getvalue()
+        adds.append(
+            {
+                "path": path,
+                "size": len(files[path]),
+                "dataChange": True,
+                "stats": json.dumps(
+                    {
+                        "numRecords": rows,
+                        "minValues": {phys: lo},
+                        "maxValues": {phys: lo + rows - 1},
+                    }
+                ),
+            }
+        )
+    d0_data = dv_data_encode(plan["d0"])
+    pad = (-len(d0_data)) % 4
+    adds[0]["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(d0_data + b"\x00" * pad),
+        "sizeInBytes": len(d0_data),
+        "cardinality": len(plan["d0"]),
+    }
+    meta = {
+        "id": f"00000000-0000-4000-8000-{seed:012d}",
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "v",
+                        "type": "long",
+                        "nullable": False,
+                        "metadata": {
+                            "delta.columnMapping.id": 1,
+                            "delta.columnMapping.physicalName": phys,
+                        },
+                    }
+                ],
+            }
+        ),
+        "configuration": {
+            "delta.columnMapping.mode": "name",
+            "fixture.probe": str(plan["probe"]),
+        },
+    }
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors", "columnMapping"],
+        "writerFeatures": ["deletionVectors", "columnMapping"],
+    }
+    lines = [
+        json.dumps({"commitInfo": {"operation": "WRITE"}}),
+        json.dumps({"protocol": protocol}),
+        json.dumps({"metaData": meta}),
+    ] + [json.dumps({"add": a}) for a in adds]
+    files[f"{_LOG}/{0:020d}.json"] = ("\n".join(lines) + "\n").encode()
+    return write_tar_bundle(files)
+
+
+def scan_delta_dvcm(payload: bytes) -> dict:
+    """COMPOSED merge-on-read: resolve the logical column through
+    the name mapping, then mask each file's deletion-vector
+    positions — both features active in one scan, every cross-check
+    from both paths retained."""
+    import pyarrow.parquet as pq
+
+    files = read_tar_bundle(payload)
+    blob = files.get(f"{_LOG}/{0:020d}.json")
+    if blob is None:
+        raise ValueError("version-0 commit missing (boundary)")
+    if len(blob) > 1 << 24:
+        raise ValueError("commit JSON exceeds size cap")
+    state = _State(require_stats=True, allow_dv=True, allow_cm=True)
+    for line in blob.splitlines():
+        if not line.strip():
+            continue
+        try:
+            action = json.loads(line)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"commit line not JSON: {e}") from None
+        state.apply(action)
+    if state.min_reader != _DV_READER_VERSION:
+        raise ValueError("composed fixture must be reader v3")
+    if state.mapping_mode != "name" or not state.adds:
+        raise ValueError("composed fixture shape mismatch")
+    _cid, phys = state.column_mapping["v"]
+    probe = _probe_from_config(state)
+    live = sorted(state.adds.items())
+    total_rows = deleted_rows = surviving = 0
+    files_with_dv = 0
+    matches = 0
+    for path, (st, _pv, dv) in live:
+        blob = files.get(path)
+        if blob is None:
+            raise ValueError(f"data file {path!r} missing from bundle")
+        try:
+            table = pq.read_table(io.BytesIO(blob))
+        except Exception as e:
+            raise ValueError(f"data file unreadable: {e}") from None
+        if "v" in table.column_names:
+            raise ValueError("mapped data file carries the logical name")
+        if phys not in table.column_names:
+            raise ValueError("physical column missing from data file")
+        if table.num_rows != st[0]:
+            raise ValueError(
+                f"stats numRecords {st[0]} != parquet rows {table.num_rows}"
+            )
+        vals = table.column(phys).to_pylist()
+        if not all(isinstance(v, int) for v in vals):
+            raise ValueError("data value not an integer")
+        total_rows += table.num_rows
+        pset: set[int] = set()
+        if dv is not None:
+            files_with_dv += 1
+            positions = _dv_positions(files, dv)
+            if positions and positions[-1] >= table.num_rows:
+                raise ValueError("deleted position past file rows")
+            deleted_rows += len(positions)
+            pset = set(positions)
+        for r, v in enumerate(vals):
+            if r in pset:
+                continue
+            surviving += v
+            if v == probe:
+                matches += 1
+    for total in (total_rows, surviving):
+        if not -(2**63) <= total < 2**63:
+            raise ValueError("delta dvcm aggregate overflows int64")
+    return {
+        "mapping_mode": state.mapping_mode,
+        "min_reader_version": state.min_reader,
+        "live_files": len(live),
+        "files_with_dv": files_with_dv,
+        "total_rows": total_rows,
+        "deleted_rows": deleted_rows,
+        "live_rows": total_rows - deleted_rows,
+        "surviving_v_sum": surviving,
+        "probe_matches": matches,
+    }

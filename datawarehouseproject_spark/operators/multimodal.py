@@ -3586,3 +3586,47 @@ def extract_delta_v2cp_scan(
         return scan_delta_v2cp
 
     return _extract_metadata(media, DELTA_V2CP_SCHEMA, loader, permissive)
+
+
+def synthesize_delta_dvcm_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of reader-v3 Delta bundles
+    with BOTH deletion vectors and name-mode column mapping active
+    (``functions/delta_log.py:synth_delta_dvcm``)."""
+
+    def loader():
+        from ..functions.delta_log import synth_delta_dvcm
+
+        return synth_delta_dvcm
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+DELTA_DVCM_SCHEMA = T.StructType(
+    [
+        T.StructField("mapping_mode", T.StringType()),
+        T.StructField("min_reader_version", T.IntegerType()),
+        T.StructField("live_files", T.IntegerType()),
+        T.StructField("files_with_dv", T.IntegerType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("deleted_rows", T.LongType()),
+        T.StructField("live_rows", T.LongType()),
+        T.StructField("surviving_v_sum", T.LongType()),
+        T.StructField("probe_matches", T.LongType()),
+    ]
+)
+
+
+def extract_delta_dvcm_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Composed DV + column-mapping scan per bundle
+    (:func:`..functions.delta_log.scan_delta_dvcm`)."""
+
+    def loader():
+        from ..functions.delta_log import scan_delta_dvcm
+
+        return scan_delta_dvcm
+
+    return _extract_metadata(media, DELTA_DVCM_SCHEMA, loader, permissive)

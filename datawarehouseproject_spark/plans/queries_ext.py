@@ -2638,6 +2638,73 @@ def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_dv_column_mapping",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 3 + doc_id % 2 AS n FROM documents),
+    f AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    fr AS (
+      SELECT media_id, n, i,
+             40 + (media_id + i) % 30 AS rows_,
+             i * 500 + media_id % 50 AS lo
+      FROM f),
+    r AS (
+      SELECT media_id, n, i, rows_, lo,
+             unnest(generate_series(0, rows_ - 1)) AS r
+      FROM fr),
+    d AS (
+      SELECT media_id, n, i, lo, r,
+             CASE WHEN i = 0 AND r % 6 = media_id % 6 THEN 1
+                  ELSE 0 END AS del
+      FROM r)
+    SELECT media_id,
+           'name' AS mapping_mode,
+           CAST(3 AS INTEGER) AS min_reader_version,
+           CAST(max(n) AS INTEGER) AS live_files,
+           CAST(1 AS INTEGER) AS files_with_dv,
+           CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(sum(del) AS BIGINT) AS deleted_rows,
+           CAST(count(*) - sum(del) AS BIGINT) AS live_rows,
+           CAST(sum(CASE WHEN del = 0 THEN lo + r ELSE 0 END) AS BIGINT)
+             AS surviving_v_sum,
+           CAST(1 AS BIGINT) AS probe_matches
+    FROM d
+    GROUP BY media_id
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "deletion-vectors",
+          "column-mapping", "feature-composition", "mapInPandas"),
+)
+def q_delta_dv_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta FEATURE COMPOSITION (round 11 continuation): deletion
+    vectors ON a column-mapped table — the shape a modern writer
+    actually emits, with reader v3 declaring BOTH features.  The
+    scan resolves the logical column through the name mapping
+    (uuid-flavored physical names, stats keyed physically), then
+    masks each file's DV positions; ``surviving_v_sum`` and
+    ``probe_matches`` (the probe sits one position after a deleted
+    row) prove the two features compose at row level rather than
+    merely coexisting.  Every cross-check from both paths is
+    retained — logical-name-in-file, footer-vs-stats, descriptor
+    cardinality, CRC, position bounds."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_delta_dvcm_scan,
+        synthesize_delta_dvcm_media,
+    )
+
+    media = synthesize_delta_dvcm_media(_t(spark, sf_dir, "documents"))
+    return extract_delta_dvcm_scan(media).select(
+        "media_id", "mapping_mode", "min_reader_version", "live_files",
+        "files_with_dv", "total_rows", "deleted_rows", "live_rows",
+        "surviving_v_sum", "probe_matches",
+    )
+
+
+@register(
     "delta_v2_checkpoint_scan",
     oracle="""
     WITH m AS (

@@ -936,3 +936,64 @@ def test_uuid_named_checkpoint_without_metadata_rejects():
     files[cp_name] = buf.getvalue()
     with pytest.raises(ValueError, match="without checkpointMetadata"):
         scan_delta_v2cp(_retar(files))
+
+
+# --- feature composition: DV on a column-mapped table ------------------
+
+
+def test_dvcm_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_dvcm,
+        synth_delta_dvcm,
+        synth_delta_dvcm_plan,
+    )
+
+    for seed in range(10):
+        p = synth_delta_dvcm_plan(seed)
+        out = scan_delta_dvcm(synth_delta_dvcm(seed))
+        assert out["files_with_dv"] == 1
+        assert out["total_rows"] == p["total_rows"]
+        assert out["deleted_rows"] == p["deleted_rows"]
+        assert out["live_rows"] == p["live_rows"]
+        assert out["surviving_v_sum"] == p["surviving_v_sum"]
+        assert out["probe_matches"] == 1
+
+
+def test_dvcm_single_capability_scans_refuse():
+    """A both-features table must refuse on the DV-only AND the
+    CM-only scans — each lacks one declared reader feature."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_cm,
+        synth_delta_dvcm,
+    )
+
+    with pytest.raises(ValueError, match="unsupported"):
+        scan_delta_cm(synth_delta_dvcm(0))
+
+
+def test_dvcm_deleted_probe_row_is_invisible():
+    """Re-point the probe at a DELETED position: matches must drop
+    to zero — the row exists in the parquet but not in the table."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_dvcm,
+        synth_delta_dvcm,
+        synth_delta_dvcm_plan,
+    )
+
+    seed = 1
+    p = synth_delta_dvcm_plan(seed)
+    deleted_value = p["lo"][0] + p["d0"][0]
+    files = _untar(synth_delta_dvcm(seed))
+    path = "_delta_log/00000000000000000000.json"
+    out = []
+    for ln in files[path].splitlines():
+        act = json.loads(ln)
+        if "metaData" in act and act["metaData"] is not None:
+            act["metaData"]["configuration"]["fixture.probe"] = str(
+                deleted_value
+            )
+            ln = json.dumps(act).encode()
+        out.append(ln)
+    files[path] = b"\n".join(out) + b"\n"
+    r = scan_delta_dvcm(_retar(files))
+    assert r["probe_matches"] == 0

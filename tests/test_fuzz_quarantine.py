@@ -212,6 +212,11 @@ def _cases():
             delta_log.synth_delta_v2cp,
             delta_log.scan_delta_v2cp,
         ),
+        (
+            "delta_dvcm",
+            delta_log.synth_delta_dvcm,
+            delta_log.scan_delta_dvcm,
+        ),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (
