@@ -1699,3 +1699,344 @@ def synth_iceberg_multi(seed: int) -> bytes:
         }
     ).encode()
     return write_tar_bundle(files)
+
+
+# ---------------------------------------------------------------------------
+# Puffin deletion vectors (Iceberg v3 direction): the Puffin
+# container (iceberg.apache.org/puffin-spec) + Delta-compatible DV
+# blobs, reusing the roaring codec pinned in functions/delta_log.py
+# ---------------------------------------------------------------------------
+#
+# Puffin layout: "PFA1" magic, concatenated blobs, then the footer =
+# Magic + FooterPayload (JSON) + PayloadSize (int32 LE) + Flags
+# (int32 LE, bit 0 = payload lz4-compressed -> loud boundary here) +
+# Magic.  The payload lists blobs: {type, fields, snapshot-id,
+# sequence-number, offset, length, properties}.  Deletion-vector
+# blobs ("deletion-vector-v1", Iceberg v3) use the Delta-compatible
+# framing for ecosystem compatibility: <dataSize int32 BE><magic
+# 1681511377 LE + 64-bit RoaringBitmapArray portable><crc32 int32
+# BE>.  Fixture referencing: each blob's ``referenced-data-file``
+# property names its target (manifest-entry content_offset
+# referencing is a documented out-of-scope boundary), and the
+# ``cardinality`` property is cross-checked against the decoded
+# bitmap.
+
+_PUFFIN_MAGIC = b"PFA1"
+
+
+def parse_puffin(payload: bytes) -> tuple[list[dict], dict]:
+    """Puffin bytes -> (blob descriptors, file properties), with the
+    four magics, payload size, and flags all verified."""
+    if len(payload) < 20 or payload[:4] != _PUFFIN_MAGIC:
+        raise ValueError("puffin magic missing")
+    if payload[-4:] != _PUFFIN_MAGIC:
+        raise ValueError("puffin footer magic missing")
+    flags = int.from_bytes(payload[-8:-4], "little")
+    if flags & 1:
+        raise ValueError("compressed puffin footer unsupported (boundary)")
+    if flags >> 1:
+        raise ValueError("unknown puffin footer flags")
+    size = int.from_bytes(payload[-12:-8], "little")
+    if not 2 <= size <= 1 << 24 or 16 + size > len(payload):
+        raise ValueError("puffin footer size out of bounds")
+    start = len(payload) - 12 - size
+    if payload[start - 4 : start] != _PUFFIN_MAGIC:
+        raise ValueError("puffin footer start magic missing")
+    try:
+        footer = json.loads(payload[start : start + size])
+    except json.JSONDecodeError as e:
+        raise ValueError(f"puffin footer not JSON: {e}") from None
+    if not isinstance(footer, dict):
+        raise ValueError("puffin footer malformed")
+    blobs = footer.get("blobs")
+    props = footer.get("properties", {})
+    if not isinstance(blobs, list) or len(blobs) > 1024 \
+            or not isinstance(props, dict):
+        raise ValueError("puffin footer malformed")
+    out = []
+    for b in blobs:
+        if not isinstance(b, dict):
+            raise ValueError("puffin blob descriptor malformed")
+        btype = b.get("type")
+        off = b.get("offset")
+        length = b.get("length")
+        if (
+            not isinstance(btype, str)
+            or not isinstance(off, int) or isinstance(off, bool)
+            or not isinstance(length, int) or isinstance(length, bool)
+            or off < 4 or length < 0 or off + length > start - 4
+        ):
+            raise ValueError("puffin blob descriptor malformed")
+        bp = b.get("properties", {})
+        if not isinstance(bp, dict):
+            raise ValueError("puffin blob properties malformed")
+        out.append(
+            {"type": btype, "offset": off, "length": length,
+             "properties": bp}
+        )
+    return out, props
+
+
+def puffin_dv_positions(payload: bytes, blob: dict) -> list[int]:
+    """One deletion-vector-v1 blob -> ascending row positions, with
+    the Delta-compatible framing's size and CRC verified and the
+    declared cardinality cross-checked."""
+    import zlib
+
+    from .delta_log import dv_data_decode
+
+    if blob["type"] != "deletion-vector-v1":
+        raise ValueError(f"puffin blob type {blob['type']!r} unsupported")
+    raw = payload[blob["offset"] : blob["offset"] + blob["length"]]
+    if len(raw) < 8:
+        raise ValueError("deletion vector blob truncated")
+    size = int.from_bytes(raw[:4], "big")
+    if 4 + size + 4 != len(raw):
+        raise ValueError("deletion vector blob size disagrees")
+    data = raw[4 : 4 + size]
+    crc = int.from_bytes(raw[4 + size :], "big")
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError("deletion vector blob checksum mismatch")
+    positions = dv_data_decode(data)
+    declared = blob["properties"].get("cardinality")
+    if declared is not None:
+        try:
+            declared = int(declared)
+        except (TypeError, ValueError):
+            raise ValueError("blob cardinality not an integer") from None
+        if declared != len(positions):
+            raise ValueError("blob cardinality disagrees with bitmap")
+    return positions
+
+
+def synth_iceberg_puffin_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: 3 data files, file j holding
+    ``rows_j = 30 + (seed+j)%20`` contiguous values from
+    ``lo_j = j*200 + seed%40``; ONE puffin file carries DV blobs for
+    files 0 (positions ``r%4 == seed%4``) and 1 (positions
+    ``r%5 == seed%5``); file 2 is clean.  Probe = file 2's value at
+    index 3 (never deleted)."""
+    rows = [30 + (seed + j) % 20 for j in range(3)]
+    lo = [j * 200 + seed % 40 for j in range(3)]
+    d0 = [r for r in range(rows[0]) if r % 4 == seed % 4]
+    d1 = [r for r in range(rows[1]) if r % 5 == seed % 5]
+    deleted = len(d0) + len(d1)
+    total = sum(rows)
+    surviving = sum(
+        lo[j] * rows[j] + rows[j] * (rows[j] - 1) // 2 for j in range(3)
+    )
+    surviving -= sum(lo[0] + r for r in d0)
+    surviving -= sum(lo[1] + r for r in d1)
+    return {
+        "rows": rows,
+        "lo": lo,
+        "d0": d0,
+        "d1": d1,
+        "probe": lo[2] + 3,
+        "total_rows": total,
+        "deleted_rows": deleted,
+        "live_rows": total - deleted,
+        "surviving_v_sum": surviving,
+    }
+
+
+def synth_iceberg_puffin(seed: int) -> bytes:
+    """Data parquet + manifests (the v2 machinery, identity windows)
+    + one REAL Puffin file holding two DV blobs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .delta_log import dv_data_encode
+
+    plan = synth_iceberg_puffin_plan(seed)
+    files: dict[str, bytes] = {}
+    sync = bytes((seed * 43 + j * 17 + 9) % 256 for j in range(16))
+
+    entries = []
+    for j in range(3):
+        rows, lo = plan["rows"][j], plan["lo"][j]
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table({"v": [lo + r for r in range(rows)]}), buf
+        )
+        path = f"data/f{j:02d}.parquet"
+        files[path] = buf.getvalue()
+        entries.append(
+            _zigzag_write(1)
+            + _zigzag_write(1) + _zigzag_write(7)
+            + _zigzag_write(0)
+            + _enc_string(path)
+            + _enc_string("PARQUET")
+            + _zigzag_write(rows)
+            + _zigzag_write(len(files[path]))
+            + _enc_bounds(lo)
+            + _enc_bounds(lo + rows - 1)
+            + _zigzag_write(0)
+        )
+    files["metadata/m0.avro"] = encode_avro_container(
+        _MANIFEST_SCHEMA, entries, sync
+    )
+    files["metadata/snap-7.avro"] = encode_avro_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            _enc_string("metadata/m0.avro")
+            + _zigzag_write(len(files["metadata/m0.avro"]))
+            + _zigzag_write(0)
+            + _zigzag_write(0)
+            + _zigzag_write(7)
+            + _zigzag_write(3)
+        ],
+        sync,
+    )
+
+    def dv_blob(positions: list[int]) -> bytes:
+        import zlib
+
+        data = dv_data_encode(positions)
+        return (
+            len(data).to_bytes(4, "big")
+            + data
+            + (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    b0 = dv_blob(plan["d0"])
+    b1 = dv_blob(plan["d1"])
+    payload = bytearray(_PUFFIN_MAGIC)
+    off0 = len(payload)
+    payload += b0
+    off1 = len(payload)
+    payload += b1
+    footer = json.dumps(
+        {
+            "blobs": [
+                {
+                    "type": "deletion-vector-v1",
+                    "fields": [_V_FIELD_ID],
+                    "snapshot-id": 7,
+                    "sequence-number": 2,
+                    "offset": off0,
+                    "length": len(b0),
+                    "properties": {
+                        "referenced-data-file": "data/f00.parquet",
+                        "cardinality": str(len(plan["d0"])),
+                    },
+                },
+                {
+                    "type": "deletion-vector-v1",
+                    "fields": [_V_FIELD_ID],
+                    "snapshot-id": 7,
+                    "sequence-number": 2,
+                    "offset": off1,
+                    "length": len(b1),
+                    "properties": {
+                        "referenced-data-file": "data/f01.parquet",
+                        "cardinality": str(len(plan["d1"])),
+                    },
+                },
+            ],
+            "properties": {"created-by": "fixture"},
+        }
+    ).encode()
+    payload += _PUFFIN_MAGIC
+    payload += footer
+    payload += len(footer).to_bytes(4, "little")
+    payload += (0).to_bytes(4, "little")
+    payload += _PUFFIN_MAGIC
+    files["deletes/dv.puffin"] = bytes(payload)
+
+    files["metadata/v2.metadata.json"] = json.dumps(
+        {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-4000-8000-{seed:012d}",
+            "properties": {
+                "fixture.probe": str(plan["probe"]),
+                "fixture.dv-puffin": "deletes/dv.puffin",
+            },
+            "current-snapshot-id": 7,
+            "snapshots": [
+                {"snapshot-id": 7, "manifest-list": "metadata/snap-7.avro"}
+            ],
+        }
+    ).encode()
+    return write_tar_bundle(files)
+
+
+def scan_iceberg_puffin(payload: bytes) -> dict:
+    """Puffin-DV merge-on-read: plan data files from the manifests,
+    parse the Puffin container, decode each deletion-vector blob,
+    and serve row-level results with deleted positions masked —
+    the v3-direction DV path sharing the roaring codec with the
+    Delta reader."""
+    import pyarrow.parquet as pq
+
+    files = read_tar_bundle(payload)
+    meta, _snaps, ml_blob, probe = _parse_table_meta(files)
+    puffin_path = meta.get("properties", {}).get("fixture.dv-puffin")
+    if not isinstance(puffin_path, str):
+        raise ValueError("table properties missing the puffin path")
+    puffin = files.get(puffin_path)
+    if puffin is None:
+        raise ValueError("puffin file missing from bundle")
+    blobs, _props = parse_puffin(puffin)
+    dv_by_file: dict[str, list[int]] = {}
+    for b in blobs:
+        ref = b["properties"].get("referenced-data-file")
+        if not isinstance(ref, str):
+            raise ValueError("deletion vector blob without its target")
+        if ref in dv_by_file:
+            raise ValueError("multiple deletion vectors for one file")
+        dv_by_file[ref] = puffin_dv_positions(puffin, b)
+    total_rows = deleted_rows = surviving = 0
+    matches = 0
+    n_files = 0
+    for mf in decode_avro_blocks(ml_blob):
+        mpath = mf.get("manifest_path")
+        if not isinstance(mpath, str):
+            raise ValueError("manifest_path is not a string")
+        mblob = files.get(mpath)
+        if mblob is None:
+            raise ValueError(f"manifest {mpath!r} missing from bundle")
+        for e in decode_avro_blocks(mblob):
+            df = e.get("data_file")
+            if not isinstance(df, dict):
+                raise ValueError("manifest entry without data_file")
+            if e.get("status") == 2:
+                continue
+            path = df.get("file_path")
+            rc = df.get("record_count")
+            if not isinstance(path, str) or not isinstance(rc, int) \
+                    or isinstance(rc, bool) or rc < 0:
+                raise ValueError("manifest data_file malformed")
+            table = _read_parquet_checked(files, path, rc)
+            if "v" not in table.column_names:
+                raise ValueError("data file missing the value column")
+            vals = table.column("v").to_pylist()
+            if not all(isinstance(v, int) for v in vals):
+                raise ValueError("data value not an integer")
+            n_files += 1
+            total_rows += rc
+            positions = dv_by_file.pop(path, [])
+            if positions and positions[-1] >= rc:
+                raise ValueError("deleted position past file rows")
+            deleted_rows += len(positions)
+            pset = set(positions)
+            for r, v in enumerate(vals):
+                if r in pset:
+                    continue
+                surviving += v
+                if v == probe:
+                    matches += 1
+    if dv_by_file:
+        raise ValueError("deletion vector references a missing file")
+    for total in (total_rows, surviving):
+        if not -(2**63) <= total < 2**63:
+            raise ValueError("puffin scan aggregate overflows int64")
+    return {
+        "n_data_files": n_files,
+        "n_dv_blobs": len(blobs),
+        "total_rows": total_rows,
+        "deleted_rows": deleted_rows,
+        "live_rows": total_rows - deleted_rows,
+        "surviving_v_sum": surviving,
+        "probe_matches": matches,
+    }

@@ -3630,3 +3630,45 @@ def extract_delta_dvcm_scan(
         return scan_delta_dvcm
 
     return _extract_metadata(media, DELTA_DVCM_SCHEMA, loader, permissive)
+
+
+def synthesize_iceberg_puffin_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Iceberg tables whose
+    deletion vectors live in a REAL Puffin container
+    (``functions/iceberg_scan.py:synth_iceberg_puffin``)."""
+
+    def loader():
+        from ..functions.iceberg_scan import synth_iceberg_puffin
+
+        return synth_iceberg_puffin
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ICEBERG_PUFFIN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_data_files", T.IntegerType()),
+        T.StructField("n_dv_blobs", T.IntegerType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("deleted_rows", T.LongType()),
+        T.StructField("live_rows", T.LongType()),
+        T.StructField("surviving_v_sum", T.LongType()),
+        T.StructField("probe_matches", T.LongType()),
+    ]
+)
+
+
+def extract_iceberg_puffin_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Puffin-DV merge-on-read scan per bundle
+    (:func:`..functions.iceberg_scan.scan_iceberg_puffin`)."""
+
+    def loader():
+        from ..functions.iceberg_scan import scan_iceberg_puffin
+
+        return scan_iceberg_puffin
+
+    return _extract_metadata(media, ICEBERG_PUFFIN_SCHEMA, loader, permissive)

@@ -2153,6 +2153,73 @@ def q_iceberg_equality_deletes_scan(
 
 
 @register(
+    "iceberg_puffin_dv_scan",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id FROM documents),
+    f AS (
+      SELECT media_id, unnest(generate_series(0, 2)) AS j FROM m),
+    fr AS (
+      SELECT media_id, j, 30 + (media_id + j) % 20 AS rows_,
+             j * 200 + media_id % 40 AS lo
+      FROM f),
+    r AS (
+      SELECT media_id, j, lo,
+             unnest(generate_series(0, rows_ - 1)) AS r
+      FROM fr),
+    d AS (
+      SELECT media_id, j, lo, r,
+             CASE WHEN j = 0 AND r % 4 = media_id % 4 THEN 1
+                  WHEN j = 1 AND r % 5 = media_id % 5 THEN 1
+                  ELSE 0 END AS del
+      FROM r)
+    SELECT media_id,
+           CAST(3 AS INTEGER) AS n_data_files,
+           CAST(2 AS INTEGER) AS n_dv_blobs,
+           CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(sum(del) AS BIGINT) AS deleted_rows,
+           CAST(count(*) - sum(del) AS BIGINT) AS live_rows,
+           CAST(sum(CASE WHEN del = 0 THEN lo + r ELSE 0 END) AS BIGINT)
+             AS surviving_v_sum,
+           CAST(1 AS BIGINT) AS probe_matches
+    FROM d
+    GROUP BY media_id
+    """,
+    tags=("sources", "iceberg", "puffin", "deletion-vectors",
+          "merge-on-read", "lakehouse", "mapInPandas"),
+)
+def q_iceberg_puffin_dv_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg PUFFIN deletion vectors (round 11 continuation — the
+    v3-direction DV path): a REAL Puffin container
+    (``PFA1`` magics, JSON footer payload with size/flags framing,
+    blob descriptors with offset/length bounds-checked against the
+    footer region, compressed footers a loud boundary) holds
+    ``deletion-vector-v1`` blobs in the Delta-COMPATIBLE framing
+    (BE size + magic 1681511377 + 64-bit roaring portable + BE
+    CRC32) — the roaring codec is the one already spec-golden-pinned
+    for the Delta reader, so the two lakehouse DV paths share one
+    verified decoder.  Blob ``cardinality`` properties cross-check
+    the decoded bitmaps, a DV referencing a missing data file
+    loud-rejects, and ``surviving_v_sum``/``probe_matches`` are the
+    row-level merge-on-read proof.  Manifest-entry
+    ``content_offset`` referencing is a documented out-of-scope
+    boundary (blobs name their target via properties here)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_iceberg_puffin_scan,
+        synthesize_iceberg_puffin_media,
+    )
+
+    media = synthesize_iceberg_puffin_media(_t(spark, sf_dir, "documents"))
+    return extract_iceberg_puffin_scan(media).select(
+        "media_id", "n_data_files", "n_dv_blobs", "total_rows",
+        "deleted_rows", "live_rows", "surviving_v_sum",
+        "probe_matches",
+    )
+
+
+@register(
     "iceberg_sequence_scan",
     oracle="""
     WITH m AS (

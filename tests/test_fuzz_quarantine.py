@@ -186,6 +186,11 @@ def _cases():
             iceberg_scan.synth_iceberg_multi,
             iceberg_scan.scan_iceberg_v2,
         ),
+        (
+            "iceberg_puffin",
+            iceberg_scan.synth_iceberg_puffin,
+            iceberg_scan.scan_iceberg_puffin,
+        ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
         (
             "delta_partitioned",

@@ -951,3 +951,132 @@ def test_multi_field_spec_fences():
     files["metadata/v2.metadata.json"] = json.dumps(four).encode()
     with pytest.raises(ValueError, match="field count"):
         scan_iceberg_v2(write_tar_bundle(files))
+
+
+# --- Puffin deletion vectors ------------------------------------------
+
+
+def test_puffin_scan_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_puffin,
+        synth_iceberg_puffin,
+        synth_iceberg_puffin_plan,
+    )
+
+    for seed in range(10):
+        p = synth_iceberg_puffin_plan(seed)
+        out = scan_iceberg_puffin(synth_iceberg_puffin(seed))
+        assert out["n_data_files"] == 3 and out["n_dv_blobs"] == 2
+        assert out["total_rows"] == p["total_rows"]
+        assert out["deleted_rows"] == p["deleted_rows"]
+        assert out["live_rows"] == p["live_rows"]
+        assert out["surviving_v_sum"] == p["surviving_v_sum"]
+        assert out["probe_matches"] == 1
+
+
+def test_puffin_framing_fences():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        parse_puffin,
+        synth_iceberg_puffin,
+    )
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+    )
+
+    files = dict(read_tar_bundle(synth_iceberg_puffin(0)))
+    puffin = bytearray(files["deletes/dv.puffin"])
+    blobs, props = parse_puffin(bytes(puffin))
+    assert len(blobs) == 2 and props == {"created-by": "fixture"}
+    # wrong trailing magic
+    bad = puffin[:-4] + b"XXXX"
+    with pytest.raises(ValueError, match="footer magic"):
+        parse_puffin(bytes(bad))
+    # compressed-footer flag is a loud boundary
+    bad = bytearray(puffin)
+    bad[-8] |= 1
+    with pytest.raises(ValueError, match="compressed puffin footer"):
+        parse_puffin(bytes(bad))
+    # unknown flag bits
+    bad = bytearray(puffin)
+    bad[-7] |= 0x80
+    with pytest.raises(ValueError, match="unknown puffin footer flags"):
+        parse_puffin(bytes(bad))
+    # truncated payload size
+    bad = bytearray(puffin)
+    bad[-12:-8] = (1 << 25).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="size out of bounds"):
+        parse_puffin(bytes(bad))
+
+
+def test_puffin_dv_crc_and_cardinality_fences():
+    import json as _json
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_puffin,
+        synth_iceberg_puffin,
+    )
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+
+    files = dict(read_tar_bundle(synth_iceberg_puffin(1)))
+    puffin = bytearray(files["deletes/dv.puffin"])
+    # flip a bitmap byte inside blob 0 (starts at offset 4, after
+    # its own 4-byte size prefix)
+    puffin[9] ^= 0xFF
+    files["deletes/dv.puffin"] = bytes(puffin)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        scan_iceberg_puffin(write_tar_bundle(files))
+    # cardinality property disagreement
+    files = dict(read_tar_bundle(synth_iceberg_puffin(1)))
+    puffin = files["deletes/dv.puffin"]
+    size = int.from_bytes(puffin[-12:-8], "little")
+    start = len(puffin) - 12 - size
+    footer = _json.loads(puffin[start : start + size])
+    footer["blobs"][0]["properties"]["cardinality"] = "999"
+    new_footer = _json.dumps(footer).encode()
+    rebuilt = (
+        puffin[: start - 4]
+        + b"PFA1"
+        + new_footer
+        + len(new_footer).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + b"PFA1"
+    )
+    files["deletes/dv.puffin"] = rebuilt
+    with pytest.raises(ValueError, match="cardinality disagrees"):
+        scan_iceberg_puffin(write_tar_bundle(files))
+
+
+def test_puffin_dv_referencing_missing_file_rejects():
+    import json as _json
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_puffin,
+        synth_iceberg_puffin,
+    )
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+
+    files = dict(read_tar_bundle(synth_iceberg_puffin(2)))
+    puffin = files["deletes/dv.puffin"]
+    size = int.from_bytes(puffin[-12:-8], "little")
+    start = len(puffin) - 12 - size
+    footer = _json.loads(puffin[start : start + size])
+    footer["blobs"][1]["properties"]["referenced-data-file"] = (
+        "data/ghost.parquet"
+    )
+    new_footer = _json.dumps(footer).encode()
+    files["deletes/dv.puffin"] = (
+        puffin[: start - 4]
+        + b"PFA1"
+        + new_footer
+        + len(new_footer).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + b"PFA1"
+    )
+    with pytest.raises(ValueError, match="missing file"):
+        scan_iceberg_puffin(write_tar_bundle(files))
