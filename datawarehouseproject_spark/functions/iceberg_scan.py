@@ -1723,6 +1723,40 @@ def synth_iceberg_multi(seed: int) -> bytes:
 
 _PUFFIN_MAGIC = b"PFA1"
 
+_DV_MANIFEST_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "referenced_data_file",
+                            "type": "string",
+                        },
+                        {"name": "content_offset", "type": "long"},
+                        {
+                            "name": "content_size_in_bytes",
+                            "type": "long",
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+).encode()
+
 
 def parse_puffin(payload: bytes) -> tuple[list[dict], dict]:
     """Puffin bytes -> (blob descriptors, file properties), with the
@@ -1876,18 +1910,6 @@ def synth_iceberg_puffin(seed: int) -> bytes:
     files["metadata/m0.avro"] = encode_avro_container(
         _MANIFEST_SCHEMA, entries, sync
     )
-    files["metadata/snap-7.avro"] = encode_avro_container(
-        _MANIFEST_LIST_SCHEMA,
-        [
-            _enc_string("metadata/m0.avro")
-            + _zigzag_write(len(files["metadata/m0.avro"]))
-            + _zigzag_write(0)
-            + _zigzag_write(0)
-            + _zigzag_write(7)
-            + _zigzag_write(3)
-        ],
-        sync,
-    )
 
     def dv_blob(positions: list[int]) -> bytes:
         import zlib
@@ -1917,7 +1939,6 @@ def synth_iceberg_puffin(seed: int) -> bytes:
                     "offset": off0,
                     "length": len(b0),
                     "properties": {
-                        "referenced-data-file": "data/f00.parquet",
                         "cardinality": str(len(plan["d0"])),
                     },
                 },
@@ -1929,7 +1950,6 @@ def synth_iceberg_puffin(seed: int) -> bytes:
                     "offset": off1,
                     "length": len(b1),
                     "properties": {
-                        "referenced-data-file": "data/f01.parquet",
                         "cardinality": str(len(plan["d1"])),
                     },
                 },
@@ -1942,16 +1962,57 @@ def synth_iceberg_puffin(seed: int) -> bytes:
     payload += len(footer).to_bytes(4, "little")
     payload += (0).to_bytes(4, "little")
     payload += _PUFFIN_MAGIC
-    files["deletes/dv.puffin"] = bytes(payload)
+    puffin_path = "deletes/dv.puffin"
+    files[puffin_path] = bytes(payload)
+
+    # the v3 referencing shape: a DELETE manifest whose entries point
+    # INTO the puffin via content_offset/content_size_in_bytes
+    def dv_entry(ref: str, off: int, blob: bytes, card: int) -> bytes:
+        return (
+            _zigzag_write(1)
+            + _zigzag_write(1) + _zigzag_write(7)
+            + _zigzag_write(1)  # content = positional deletes
+            + _enc_string(puffin_path)
+            + _enc_string("PUFFIN")
+            + _zigzag_write(card)
+            + _zigzag_write(len(files[puffin_path]))
+            + _enc_string(ref)
+            + _zigzag_write(off)
+            + _zigzag_write(len(blob))
+        )
+
+    files["metadata/mdv.avro"] = encode_avro_container(
+        _DV_MANIFEST_SCHEMA,
+        [
+            dv_entry("data/f00.parquet", off0, b0, len(plan["d0"])),
+            dv_entry("data/f01.parquet", off1, b1, len(plan["d1"])),
+        ],
+        sync,
+    )
+    files["metadata/snap-7.avro"] = encode_avro_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            _enc_string("metadata/m0.avro")
+            + _zigzag_write(len(files["metadata/m0.avro"]))
+            + _zigzag_write(0)
+            + _zigzag_write(0)
+            + _zigzag_write(7)
+            + _zigzag_write(3),
+            _enc_string("metadata/mdv.avro")
+            + _zigzag_write(len(files["metadata/mdv.avro"]))
+            + _zigzag_write(0)
+            + _zigzag_write(1)
+            + _zigzag_write(7)
+            + _zigzag_write(2),
+        ],
+        sync,
+    )
 
     files["metadata/v2.metadata.json"] = json.dumps(
         {
             "format-version": 2,
             "table-uuid": f"00000000-0000-4000-8000-{seed:012d}",
-            "properties": {
-                "fixture.probe": str(plan["probe"]),
-                "fixture.dv-puffin": "deletes/dv.puffin",
-            },
+            "properties": {"fixture.probe": str(plan["probe"])},
             "current-snapshot-id": 7,
             "snapshots": [
                 {"snapshot-id": 7, "manifest-list": "metadata/snap-7.avro"}
@@ -1962,33 +2023,18 @@ def synth_iceberg_puffin(seed: int) -> bytes:
 
 
 def scan_iceberg_puffin(payload: bytes) -> dict:
-    """Puffin-DV merge-on-read: plan data files from the manifests,
-    parse the Puffin container, decode each deletion-vector blob,
-    and serve row-level results with deleted positions masked —
-    the v3-direction DV path sharing the roaring codec with the
-    Delta reader."""
-    import pyarrow.parquet as pq
+    """Puffin-DV merge-on-read through the v3 REFERENCING shape:
+    DELETE-manifest entries carry ``referenced_data_file`` plus
+    ``content_offset``/``content_size_in_bytes`` pointing INTO the
+    Puffin container; each range must match a declared footer blob
+    exactly.  The roaring codec is shared with the Delta reader."""
 
     files = read_tar_bundle(payload)
     meta, _snaps, ml_blob, probe = _parse_table_meta(files)
-    puffin_path = meta.get("properties", {}).get("fixture.dv-puffin")
-    if not isinstance(puffin_path, str):
-        raise ValueError("table properties missing the puffin path")
-    puffin = files.get(puffin_path)
-    if puffin is None:
-        raise ValueError("puffin file missing from bundle")
-    blobs, _props = parse_puffin(puffin)
+    data_entries = []  # (path, record_count)
     dv_by_file: dict[str, list[int]] = {}
-    for b in blobs:
-        ref = b["properties"].get("referenced-data-file")
-        if not isinstance(ref, str):
-            raise ValueError("deletion vector blob without its target")
-        if ref in dv_by_file:
-            raise ValueError("multiple deletion vectors for one file")
-        dv_by_file[ref] = puffin_dv_positions(puffin, b)
-    total_rows = deleted_rows = surviving = 0
-    matches = 0
-    n_files = 0
+    puffin_cache: dict[str, tuple[bytes, dict]] = {}
+    n_dv_blobs = 0
     for mf in decode_avro_blocks(ml_blob):
         mpath = mf.get("manifest_path")
         if not isinstance(mpath, str):
@@ -1996,6 +2042,9 @@ def scan_iceberg_puffin(payload: bytes) -> dict:
         mblob = files.get(mpath)
         if mblob is None:
             raise ValueError(f"manifest {mpath!r} missing from bundle")
+        content = mf.get("content", 0)
+        if content not in (0, 1):
+            raise ValueError(f"manifest content {content!r} unknown")
         for e in decode_avro_blocks(mblob):
             df = e.get("data_file")
             if not isinstance(df, dict):
@@ -2007,33 +2056,80 @@ def scan_iceberg_puffin(payload: bytes) -> dict:
             if not isinstance(path, str) or not isinstance(rc, int) \
                     or isinstance(rc, bool) or rc < 0:
                 raise ValueError("manifest data_file malformed")
-            table = _read_parquet_checked(files, path, rc)
-            if "v" not in table.column_names:
-                raise ValueError("data file missing the value column")
-            vals = table.column("v").to_pylist()
-            if not all(isinstance(v, int) for v in vals):
-                raise ValueError("data value not an integer")
-            n_files += 1
-            total_rows += rc
-            positions = dv_by_file.pop(path, [])
-            if positions and positions[-1] >= rc:
-                raise ValueError("deleted position past file rows")
-            deleted_rows += len(positions)
-            pset = set(positions)
-            for r, v in enumerate(vals):
-                if r in pset:
-                    continue
-                surviving += v
-                if v == probe:
-                    matches += 1
+            if content == 0:
+                data_entries.append((path, rc))
+                continue
+            # DV entry: file_format PUFFIN, a referenced data file,
+            # and a byte range that must name a declared blob
+            if df.get("file_format") != "PUFFIN":
+                raise ValueError(
+                    "delete manifest file_format unsupported (boundary)"
+                )
+            ref = df.get("referenced_data_file")
+            off = df.get("content_offset")
+            size = df.get("content_size_in_bytes")
+            if (
+                not isinstance(ref, str)
+                or not isinstance(off, int) or isinstance(off, bool)
+                or not isinstance(size, int) or isinstance(size, bool)
+                or off < 0 or size < 0
+            ):
+                raise ValueError("DV manifest entry malformed")
+            if path not in puffin_cache:
+                blob = files.get(path)
+                if blob is None:
+                    raise ValueError("puffin file missing from bundle")
+                blobs, _props = parse_puffin(blob)
+                puffin_cache[path] = (
+                    blob,
+                    {(b["offset"], b["length"]): b for b in blobs},
+                )
+            puffin, by_range = puffin_cache[path]
+            b = by_range.get((off, size))
+            if b is None:
+                raise ValueError(
+                    "manifest DV range not declared in the puffin footer"
+                )
+            if ref in dv_by_file:
+                raise ValueError("multiple deletion vectors for one file")
+            positions = puffin_dv_positions(puffin, b)
+            if len(positions) != rc:
+                raise ValueError(
+                    "DV record_count disagrees with the bitmap"
+                )
+            dv_by_file[ref] = positions
+            n_dv_blobs += 1
+    if not data_entries:
+        raise ValueError("current snapshot has no live data files")
+    total_rows = deleted_rows = surviving = 0
+    matches = 0
+    for path, rc in data_entries:
+        table = _read_parquet_checked(files, path, rc)
+        if "v" not in table.column_names:
+            raise ValueError("data file missing the value column")
+        vals = table.column("v").to_pylist()
+        if not all(isinstance(v, int) for v in vals):
+            raise ValueError("data value not an integer")
+        total_rows += rc
+        positions = dv_by_file.pop(path, [])
+        if positions and positions[-1] >= rc:
+            raise ValueError("deleted position past file rows")
+        deleted_rows += len(positions)
+        pset = set(positions)
+        for r, v in enumerate(vals):
+            if r in pset:
+                continue
+            surviving += v
+            if v == probe:
+                matches += 1
     if dv_by_file:
         raise ValueError("deletion vector references a missing file")
     for total in (total_rows, surviving):
         if not -(2**63) <= total < 2**63:
             raise ValueError("puffin scan aggregate overflows int64")
     return {
-        "n_data_files": n_files,
-        "n_dv_blobs": len(blobs),
+        "n_data_files": len(data_entries),
+        "n_dv_blobs": n_dv_blobs,
         "total_rows": total_rows,
         "deleted_rows": deleted_rows,
         "live_rows": total_rows - deleted_rows,

@@ -2199,12 +2199,15 @@ def q_iceberg_puffin_dv_scan(
     (BE size + magic 1681511377 + 64-bit roaring portable + BE
     CRC32) — the roaring codec is the one already spec-golden-pinned
     for the Delta reader, so the two lakehouse DV paths share one
-    verified decoder.  Blob ``cardinality`` properties cross-check
-    the decoded bitmaps, a DV referencing a missing data file
-    loud-rejects, and ``surviving_v_sum``/``probe_matches`` are the
-    row-level merge-on-read proof.  Manifest-entry
-    ``content_offset`` referencing is a documented out-of-scope
-    boundary (blobs name their target via properties here)."""
+    verified decoder.  Referencing follows the v3 shape: a DELETE
+    manifest whose entries carry ``referenced_data_file`` plus
+    ``content_offset``/``content_size_in_bytes`` pointing INTO the
+    Puffin — each range must match a declared footer blob exactly,
+    the blob ``cardinality`` property AND the entry's
+    ``record_count`` both cross-check the decoded bitmap, and a DV
+    referencing a missing data file or an undeclared byte range
+    loud-rejects.  ``surviving_v_sum``/``probe_matches`` are the
+    row-level merge-on-read proof."""
     _utc(spark)
     from ..operators.multimodal import (
         extract_iceberg_puffin_scan,

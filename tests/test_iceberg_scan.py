@@ -1049,34 +1049,85 @@ def test_puffin_dv_crc_and_cardinality_fences():
         scan_iceberg_puffin(write_tar_bundle(files))
 
 
-def test_puffin_dv_referencing_missing_file_rejects():
-    import json as _json
-
-    from datawarehouseproject_spark.functions.iceberg_scan import (
-        scan_iceberg_puffin,
-        synth_iceberg_puffin,
-    )
+def test_puffin_dv_manifest_referencing_fences():
+    """Rebuild the DELETE manifest: a ghost referenced_data_file and
+    a byte range not declared in the puffin footer both
+    loud-reject."""
+    from datawarehouseproject_spark.functions import iceberg_scan as ice
     from datawarehouseproject_spark.functions.bundles import (
         read_tar_bundle,
         write_tar_bundle,
     )
 
-    files = dict(read_tar_bundle(synth_iceberg_puffin(2)))
-    puffin = files["deletes/dv.puffin"]
-    size = int.from_bytes(puffin[-12:-8], "little")
-    start = len(puffin) - 12 - size
-    footer = _json.loads(puffin[start : start + size])
-    footer["blobs"][1]["properties"]["referenced-data-file"] = (
-        "data/ghost.parquet"
+    base = dict(read_tar_bundle(ice.synth_iceberg_puffin(2)))
+    plan = ice.synth_iceberg_puffin_plan(2)
+    sync = base["metadata/mdv.avro"][-16:]
+    puffin = base["deletes/dv.puffin"]
+
+    def dv_entry(ref, off, size, card):
+        return (
+            ice._zigzag_write(1)
+            + ice._zigzag_write(1) + ice._zigzag_write(7)
+            + ice._zigzag_write(1)
+            + ice._enc_string("deletes/dv.puffin")
+            + ice._enc_string("PUFFIN")
+            + ice._zigzag_write(card)
+            + ice._zigzag_write(len(puffin))
+            + ice._enc_string(ref)
+            + ice._zigzag_write(off)
+            + ice._zigzag_write(size)
+        )
+
+    blobs, _ = ice.parse_puffin(puffin)
+    (o0, l0), (o1, l1) = (
+        (b["offset"], b["length"]) for b in blobs
     )
-    new_footer = _json.dumps(footer).encode()
-    files["deletes/dv.puffin"] = (
-        puffin[: start - 4]
-        + b"PFA1"
-        + new_footer
-        + len(new_footer).to_bytes(4, "little")
-        + (0).to_bytes(4, "little")
-        + b"PFA1"
+    # ghost referenced file
+    files = dict(base)
+    files["metadata/mdv.avro"] = ice.encode_avro_container(
+        ice._DV_MANIFEST_SCHEMA,
+        [
+            dv_entry("data/f00.parquet", o0, l0, len(plan["d0"])),
+            dv_entry("data/ghost.parquet", o1, l1, len(plan["d1"])),
+        ],
+        sync,
     )
+    _fix_ml(files, ice, sync)
     with pytest.raises(ValueError, match="missing file"):
-        scan_iceberg_puffin(write_tar_bundle(files))
+        ice.scan_iceberg_puffin(write_tar_bundle(files))
+    # byte range not declared in the footer
+    files = dict(base)
+    files["metadata/mdv.avro"] = ice.encode_avro_container(
+        ice._DV_MANIFEST_SCHEMA,
+        [
+            dv_entry("data/f00.parquet", o0 + 1, l0, len(plan["d0"])),
+            dv_entry("data/f01.parquet", o1, l1, len(plan["d1"])),
+        ],
+        sync,
+    )
+    _fix_ml(files, ice, sync)
+    with pytest.raises(ValueError, match="not declared"):
+        ice.scan_iceberg_puffin(write_tar_bundle(files))
+
+
+def _fix_ml(files, ice, sync):
+    """Re-point the manifest list at the rebuilt DV manifest with
+    the correct length."""
+    files["metadata/snap-7.avro"] = ice.encode_avro_container(
+        ice._MANIFEST_LIST_SCHEMA,
+        [
+            ice._enc_string("metadata/m0.avro")
+            + ice._zigzag_write(len(files["metadata/m0.avro"]))
+            + ice._zigzag_write(0)
+            + ice._zigzag_write(0)
+            + ice._zigzag_write(7)
+            + ice._zigzag_write(3),
+            ice._enc_string("metadata/mdv.avro")
+            + ice._zigzag_write(len(files["metadata/mdv.avro"]))
+            + ice._zigzag_write(0)
+            + ice._zigzag_write(1)
+            + ice._zigzag_write(7)
+            + ice._zigzag_write(2),
+        ],
+        sync,
+    )
