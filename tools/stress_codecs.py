@@ -1165,6 +1165,45 @@ def round14b_kernels() -> None:
         "sec": round(secs, 4),
     }))
 
+def round14c_kernels() -> None:
+    """Round-11 continuation, third wave: Puffin DVs and the
+    composed DV-on-column-mapped Delta scan."""
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_puffin,
+        synth_iceberg_puffin,
+    )
+
+    tables = [synth_iceberg_puffin(s) for s in range(200)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_iceberg_puffin(b)["live_rows"] for b in tables
+        )
+    )
+    print(json.dumps({
+        "kernel": "iceberg_puffin_dv",
+        "media": f"200 tables, {n} live rows after puffin masking",
+        "tables_per_s": int(200 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_dvcm,
+        synth_delta_dvcm,
+    )
+
+    tables = [synth_delta_dvcm(s) for s in range(200)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_delta_dvcm(b)["live_rows"] for b in tables
+        )
+    )
+    print(json.dumps({
+        "kernel": "delta_dv_column_mapping",
+        "media": f"200 tables, {n} live rows (composed features)",
+        "tables_per_s": int(200 / secs),
+        "sec": round(secs, 4),
+    }))
+
 
 if __name__ == "__main__":
     main()
@@ -1180,3 +1219,4 @@ if __name__ == "__main__":
     round13_kernels()
     round14_kernels()
     round14b_kernels()
+    round14c_kernels()
