@@ -1706,6 +1706,14 @@ def scan_delta_cm(payload: bytes) -> dict:
     rows_scanned = matches = 0
     total_rows = sum_v = 0
     for path, (st, _pv, _dv) in live:
+        if state.mapping_mode == "name":
+            vals = _read_mapped_column(files, path, st, phys)
+            total_rows += len(vals)
+            sum_v += sum(vals)
+            if path in survivor_paths:
+                rows_scanned += len(vals)
+                matches += sum(1 for v in vals if v == probe)
+            continue
         blob = files.get(path)
         if blob is None:
             raise ValueError(f"data file {path!r} missing from bundle")
@@ -1719,22 +1727,17 @@ def scan_delta_cm(payload: bytes) -> dict:
             raise ValueError(
                 f"stats numRecords {st[0]} != parquet rows {table.num_rows}"
             )
-        if state.mapping_mode == "name":
-            if phys not in table.column_names:
-                raise ValueError("physical column missing from data file")
-            col = table.column(phys)
-        else:
-            matched = [
-                f.name for f in table.schema
-                if (f.metadata or {}).get(b"PARQUET:field_id")
-                == str(cid).encode()
-            ]
-            if len(matched) != 1:
-                raise ValueError("field_id resolution not unique")
-            if matched[0] != phys:
-                raise ValueError("field_id column disagrees with physicalName")
-            col = table.column(matched[0])
-        vals = col.to_pylist()
+        # id mode: resolve by parquet field_id
+        matched = [
+            f.name for f in table.schema
+            if (f.metadata or {}).get(b"PARQUET:field_id")
+            == str(cid).encode()
+        ]
+        if len(matched) != 1:
+            raise ValueError("field_id resolution not unique")
+        if matched[0] != phys:
+            raise ValueError("field_id column disagrees with physicalName")
+        vals = table.column(matched[0]).to_pylist()
         if not all(isinstance(v, int) for v in vals):
             raise ValueError("data value not an integer")
         total_rows += table.num_rows
@@ -2202,6 +2205,36 @@ def synth_delta_dvcm(seed: int) -> bytes:
     return write_tar_bundle(files)
 
 
+def _read_mapped_column(
+    files: dict[str, bytes], path: str, st, phys: str
+) -> list[int]:
+    """Shared name-mode checked read (review pass 3 — the fence
+    block had grown three copies): fetch, parquet-quarantine,
+    logical-name-absent, physical-column-present, footer-vs-stats,
+    and int-typed values."""
+    import pyarrow.parquet as pq
+
+    blob = files.get(path)
+    if blob is None:
+        raise ValueError(f"data file {path!r} missing from bundle")
+    try:
+        table = pq.read_table(io.BytesIO(blob))
+    except Exception as e:
+        raise ValueError(f"data file unreadable: {e}") from None
+    if "v" in table.column_names:
+        raise ValueError("mapped data file carries the logical name")
+    if phys not in table.column_names:
+        raise ValueError("physical column missing from data file")
+    if table.num_rows != st[0]:
+        raise ValueError(
+            f"stats numRecords {st[0]} != parquet rows {table.num_rows}"
+        )
+    vals = table.column(phys).to_pylist()
+    if not all(isinstance(v, int) for v in vals):
+        raise ValueError("data value not an integer")
+    return vals
+
+
 def scan_delta_dvcm(payload: bytes) -> dict:
     """COMPOSED merge-on-read: resolve the logical column through
     the name mapping, then mask each file's deletion-vector
@@ -2235,30 +2268,13 @@ def scan_delta_dvcm(payload: bytes) -> dict:
     files_with_dv = 0
     matches = 0
     for path, (st, _pv, dv) in live:
-        blob = files.get(path)
-        if blob is None:
-            raise ValueError(f"data file {path!r} missing from bundle")
-        try:
-            table = pq.read_table(io.BytesIO(blob))
-        except Exception as e:
-            raise ValueError(f"data file unreadable: {e}") from None
-        if "v" in table.column_names:
-            raise ValueError("mapped data file carries the logical name")
-        if phys not in table.column_names:
-            raise ValueError("physical column missing from data file")
-        if table.num_rows != st[0]:
-            raise ValueError(
-                f"stats numRecords {st[0]} != parquet rows {table.num_rows}"
-            )
-        vals = table.column(phys).to_pylist()
-        if not all(isinstance(v, int) for v in vals):
-            raise ValueError("data value not an integer")
-        total_rows += table.num_rows
+        vals = _read_mapped_column(files, path, st, phys)
+        total_rows += len(vals)
         pset: set[int] = set()
         if dv is not None:
             files_with_dv += 1
             positions = _dv_positions(files, dv)
-            if positions and positions[-1] >= table.num_rows:
+            if positions and positions[-1] >= len(vals):
                 raise ValueError("deleted position past file rows")
             deleted_rows += len(positions)
             pset = set(positions)

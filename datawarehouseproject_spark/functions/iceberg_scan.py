@@ -1788,6 +1788,7 @@ def parse_puffin(payload: bytes) -> tuple[list[dict], dict]:
             or not isinstance(props, dict):
         raise ValueError("puffin footer malformed")
     out = []
+    seen_ranges: set[tuple[int, int]] = set()
     for b in blobs:
         if not isinstance(b, dict):
             raise ValueError("puffin blob descriptor malformed")
@@ -1801,6 +1802,11 @@ def parse_puffin(payload: bytes) -> tuple[list[dict], dict]:
             or off < 4 or length < 0 or off + length > start - 4
         ):
             raise ValueError("puffin blob descriptor malformed")
+        if (off, length) in seen_ranges:
+            # a duplicate range would make resolution depend on
+            # footer ordering (review pass 3)
+            raise ValueError("duplicate puffin blob byte range")
+        seen_ranges.add((off, length))
         bp = b.get("properties", {})
         if not isinstance(bp, dict):
             raise ValueError("puffin blob properties malformed")
@@ -2042,6 +2048,8 @@ def scan_iceberg_puffin(payload: bytes) -> dict:
         mblob = files.get(mpath)
         if mblob is None:
             raise ValueError(f"manifest {mpath!r} missing from bundle")
+        if mf.get("manifest_length") != len(mblob):
+            raise ValueError("manifest_length disagrees with bundle")
         content = mf.get("content", 0)
         if content not in (0, 1):
             raise ValueError(f"manifest content {content!r} unknown")

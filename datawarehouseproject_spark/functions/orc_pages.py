@@ -1151,9 +1151,11 @@ def synth_orc_scalars(seed: int) -> bytes:
         }
     )
     buf = _io.BytesIO()
-    # seed%3==0 forces MULTI-STRIPE files (batch_size 64 -> 3
-    # stripes) so the per-stripe accumulation and the rows-vs-footer
-    # cross-check run against the layout production files have
+    # seed%3==0 forces MULTI-STRIPE files (batch_size 16 with a tiny
+    # stripe_size -> 4-10 stripes depending on n; zlib seeds still
+    # come out single-stripe) so the per-stripe accumulation and the
+    # rows-vs-footer cross-check also run against multi-stripe
+    # layouts, which is what production ORC files look like
     kwargs = {"batch_size": 16, "stripe_size": 1} \
         if seed % 3 == 0 else {}
     orc.write_table(

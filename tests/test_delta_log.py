@@ -961,14 +961,29 @@ def test_dvcm_matches_plan_all_seeds():
 
 def test_dvcm_single_capability_scans_refuse():
     """A both-features table must refuse on the DV-only AND the
-    CM-only scans — each lacks one declared reader feature."""
+    CM-only capability — each lacks one declared reader feature."""
     from datawarehouseproject_spark.functions.delta_log import (
+        _State,
         scan_delta_cm,
         synth_delta_dvcm,
     )
 
     with pytest.raises(ValueError, match="unsupported"):
         scan_delta_cm(synth_delta_dvcm(0))
+    # the DV-only capability hits the same feature gate (the
+    # checkpoint-path scan would stop earlier on the young-table
+    # layout, so pin the gate at the state level)
+    with pytest.raises(ValueError, match="unsupported"):
+        _State(allow_dv=True).apply(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "readerFeatures": [
+                        "deletionVectors", "columnMapping",
+                    ],
+                }
+            }
+        )
 
 
 def test_dvcm_deleted_probe_row_is_invisible():

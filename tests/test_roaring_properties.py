@@ -37,7 +37,11 @@ def test_rbm_array_roundtrip_any_sorted_set(values):
     st.integers(min_value=0, max_value=1 << 16),
 )
 def test_roaring32_container_boundary(card, offset):
-    lows = list(range(card))
+    # shift the low range by the drawn offset (clamped so the run
+    # stays inside the 16-bit container) — review pass 3: the offset
+    # axis was drawn but unused, so shifted ranges went untested
+    base_low = min(offset, (1 << 16) - card)
+    lows = list(range(base_low, base_low + card))
     blob = _roaring32_serialize([(2, lows, False)])
     vals, pos = _roaring32_deserialize(blob, 0)
     assert vals == [(2 << 16) | v for v in lows]
