@@ -3672,3 +3672,54 @@ def extract_iceberg_puffin_scan(
         return scan_iceberg_puffin
 
     return _extract_metadata(media, ICEBERG_PUFFIN_SCHEMA, loader, permissive)
+
+
+def synthesize_delta_cdf_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of CDF-enabled Delta bundles:
+    four commits — insert, cdc-file update, derived delete, no-op
+    compaction (``functions/delta_log.py:synth_delta_cdf``)."""
+
+    def loader():
+        from ..functions.delta_log import synth_delta_cdf
+
+        return synth_delta_cdf
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+DELTA_CDF_SCHEMA = T.StructType(
+    [
+        T.StructField("start_version", T.IntegerType()),
+        T.StructField("end_version", T.IntegerType()),
+        T.StructField("commits_read", T.IntegerType()),
+        T.StructField("cdc_commits", T.IntegerType()),
+        T.StructField("derived_commits", T.IntegerType()),
+        T.StructField("skipped_commits", T.IntegerType()),
+        T.StructField("cdc_files_read", T.IntegerType()),
+        T.StructField("inserts", T.LongType()),
+        T.StructField("insert_sum", T.LongType()),
+        T.StructField("update_pre", T.LongType()),
+        T.StructField("update_post", T.LongType()),
+        T.StructField("pre_sum", T.LongType()),
+        T.StructField("post_sum", T.LongType()),
+        T.StructField("deletes", T.LongType()),
+        T.StructField("delete_sum", T.LongType()),
+        T.StructField("change_rows", T.LongType()),
+    ]
+)
+
+
+def extract_delta_cdf_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Change-data-feed read per bundle
+    (:func:`..functions.delta_log.scan_delta_cdf`)."""
+
+    def loader():
+        from ..functions.delta_log import scan_delta_cdf
+
+        return scan_delta_cdf
+
+    return _extract_metadata(media, DELTA_CDF_SCHEMA, loader, permissive)

@@ -1012,3 +1012,221 @@ def test_dvcm_deleted_probe_row_is_invisible():
     files[path] = b"\n".join(out) + b"\n"
     r = scan_delta_dvcm(_retar(files))
     assert r["probe_matches"] == 0
+
+
+# ---------------------------------------------------------------------------
+# change data feed
+# ---------------------------------------------------------------------------
+
+def _cdf_imports():
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_cdf,
+        synth_delta_cdf,
+        synth_delta_cdf_plan,
+    )
+
+    return scan_delta_cdf, synth_delta_cdf, synth_delta_cdf_plan
+
+
+def test_cdf_matches_plan_all_seeds():
+    scan, synth, plan_fn = _cdf_imports()
+    for seed in range(12):
+        plan = plan_fn(seed)
+        r = scan(synth(seed))
+        assert r["commits_read"] == 4
+        assert r["cdc_commits"] == 1
+        assert r["derived_commits"] == 2
+        assert r["skipped_commits"] == 1
+        assert r["cdc_files_read"] == 1
+        assert r["inserts"] == plan["inserts"]
+        assert r["insert_sum"] == plan["insert_sum"]
+        assert r["update_pre"] == r["update_post"] == plan["u"]
+        assert r["pre_sum"] == plan["pre_sum"]
+        assert r["post_sum"] == plan["post_sum"]
+        assert r["deletes"] == plan["deletes"]
+        assert r["delete_sum"] == plan["delete_sum"]
+        assert r["change_rows"] == (
+            plan["inserts"] + 2 * plan["u"] + plan["deletes"]
+        )
+
+
+def test_cdf_cdc_presence_suppresses_derivation():
+    """The version-1 add/remove pair carries dataChange=true; a
+    reader that also derives from it double-counts.  Dropping the
+    cdc line turns the SAME commit into a derived rewrite — the
+    counts that appear are exactly what the cdc-honoring read must
+    NOT have added."""
+    scan, synth, plan_fn = _cdf_imports()
+    seed = 5
+    plan = plan_fn(seed)
+    files = _untar(synth(seed))
+    v1 = "_delta_log/00000000000000000001.json"
+    lines = [
+        ln for ln in files[v1].decode().splitlines()
+        if '"cdc"' not in ln
+    ]
+    files[v1] = ("\n".join(lines) + "\n").encode()
+    r = scan(_retar(files))
+    rows_0 = 20 + seed % 30
+    assert r["cdc_commits"] == 0
+    assert r["derived_commits"] == 3
+    assert r["update_pre"] == r["update_post"] == 0
+    # the rewrite's full add/remove now surface as insert+delete rows
+    assert r["inserts"] == plan["inserts"] + rows_0
+    assert r["deletes"] == plan["deletes"] + rows_0
+
+
+def test_cdf_compaction_commit_contributes_nothing():
+    scan, synth, plan_fn = _cdf_imports()
+    seed = 3
+    plan = plan_fn(seed)
+    files = _untar(synth(seed))
+    v3 = "_delta_log/00000000000000000003.json"
+    body = files[v3].decode().replace(
+        '"dataChange": false', '"dataChange": true'
+    )
+    files[v3] = body.encode()
+    r = scan(_retar(files))
+    rows_0 = 20 + seed % 30
+    assert r["skipped_commits"] == 0
+    assert r["derived_commits"] == 3
+    assert r["inserts"] == plan["inserts"] + rows_0
+    assert r["deletes"] == plan["deletes"] + rows_0
+
+
+def test_cdf_disabled_rejects():
+    scan, synth, _ = _cdf_imports()
+    files = _untar(synth(2))
+    v0 = "_delta_log/00000000000000000000.json"
+    body = files[v0].decode().replace(
+        '"delta.enableChangeDataFeed": "true", ', ""
+    )
+    assert body != files[v0].decode()
+    files[v0] = body.encode()
+    with pytest.raises(ValueError, match="not enabled"):
+        scan(_retar(files))
+
+
+def test_cdf_vacuumed_prefix_rejects():
+    scan, synth, _ = _cdf_imports()
+    files = _untar(synth(2))
+    del files["_delta_log/00000000000000000000.json"]
+    with pytest.raises(ValueError, match="version 0"):
+        scan(_retar(files))
+
+
+def test_cdf_tombstone_vacuumed_rejects():
+    """The derived-delete path must READ the removed file; once it
+    is physically vacuumed the change rows are unservable."""
+    scan, synth, _ = _cdf_imports()
+    files = _untar(synth(2))
+    del files["part-00001.parquet"]
+    with pytest.raises(ValueError, match="missing from bundle"):
+        scan(_retar(files))
+
+
+def test_cdf_unbalanced_update_images_reject():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    scan, synth, plan_fn = _cdf_imports()
+    seed = 7
+    u = plan_fn(seed)["u"]
+    files = _untar(synth(seed))
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({
+            "v": list(range(2 * u - 1)),
+            "_change_type": ["update_preimage"] * u
+            + ["update_postimage"] * (u - 1),
+        }),
+        buf,
+    )
+    cdc = "_change_data/cdc-00001.parquet"
+    files[cdc] = buf.getvalue()
+    # keep the declared size honest so ONLY the balance check fires
+    v1 = "_delta_log/00000000000000000001.json"
+    lines = []
+    for ln in files[v1].decode().splitlines():
+        if '"cdc"' in ln:
+            action = json.loads(ln)
+            action["cdc"]["size"] = len(files[cdc])
+            ln = json.dumps(action)
+        lines.append(ln)
+    files[v1] = ("\n".join(lines) + "\n").encode()
+    with pytest.raises(ValueError, match="unbalanced"):
+        scan(_retar(files))
+
+
+def test_cdf_unknown_change_type_rejects():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    scan, synth, _ = _cdf_imports()
+    files = _untar(synth(1))
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"v": [1], "_change_type": ["upsert"]}), buf
+    )
+    cdc = "_change_data/cdc-00001.parquet"
+    files[cdc] = buf.getvalue()
+    v1 = "_delta_log/00000000000000000001.json"
+    lines = []
+    for ln in files[v1].decode().splitlines():
+        if '"cdc"' in ln:
+            action = json.loads(ln)
+            action["cdc"]["size"] = len(files[cdc])
+            ln = json.dumps(action)
+        lines.append(ln)
+    files[v1] = ("\n".join(lines) + "\n").encode()
+    with pytest.raises(ValueError, match="_change_type"):
+        scan(_retar(files))
+
+
+def test_cdf_cdc_datachange_true_rejects():
+    scan, synth, _ = _cdf_imports()
+    files = _untar(synth(1))
+    v1 = "_delta_log/00000000000000000001.json"
+    lines = []
+    for ln in files[v1].decode().splitlines():
+        if '"cdc"' in ln:
+            action = json.loads(ln)
+            action["cdc"]["dataChange"] = True
+            ln = json.dumps(action)
+        lines.append(ln)
+    files[v1] = ("\n".join(lines) + "\n").encode()
+    with pytest.raises(ValueError, match="dataChange"):
+        scan(_retar(files))
+
+
+def test_cdf_version_range_knobs():
+    scan, synth, plan_fn = _cdf_imports()
+    seed = 4
+    plan = plan_fn(seed)
+    files = _untar(synth(seed))
+    v0 = "_delta_log/00000000000000000000.json"
+    body = files[v0].decode().replace(
+        '"fixture.cdf.start": "0"', '"fixture.cdf.start": "1"'
+    ).replace('"fixture.cdf.end": "3"', '"fixture.cdf.end": "2"')
+    files[v0] = body.encode()
+    r = scan(_retar(files))
+    assert (r["start_version"], r["end_version"]) == (1, 2)
+    assert r["commits_read"] == 2
+    assert r["inserts"] == 0  # version 0 excluded
+    assert r["update_pre"] == plan["u"]
+    assert r["deletes"] == plan["deletes"]
+    assert r["skipped_commits"] == 0
+
+
+def test_snapshot_state_ignores_cdc_actions():
+    """PROTOCOL.md: change files are not table data — a snapshot
+    replay skips cdc actions (round 11 loud-rejected them); a
+    malformed cdc action still quarantines."""
+    from datawarehouseproject_spark.functions.delta_log import _State
+
+    state = _State(require_stats=False)
+    state.apply({"cdc": {"path": "_change_data/x.parquet",
+                         "size": 1, "dataChange": False}})
+    assert state.adds == {}
+    with pytest.raises(ValueError, match="cdc"):
+        state.apply({"cdc": {"size": 1}})

@@ -222,6 +222,11 @@ def _cases():
             delta_log.synth_delta_dvcm,
             delta_log.scan_delta_dvcm,
         ),
+        (
+            "delta_cdf",
+            delta_log.synth_delta_cdf,
+            delta_log.scan_delta_cdf,
+        ),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (
