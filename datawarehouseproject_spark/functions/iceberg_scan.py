@@ -276,7 +276,7 @@ def synth_iceberg(seed: int) -> bytes:
     return write_tar_bundle(files)
 
 
-def _parse_table_meta(files: dict[str, bytes]):
+def _parse_table_meta(files: dict[str, bytes], string_probe: bool = False):
     """Shared metadata walk for both Iceberg scans (review r11
     pass 3: the v2 copy had already dropped the current-snapshot-id
     fence and TypeError'd past the quarantine): JSON load + dict
@@ -322,6 +322,11 @@ def _parse_table_meta(files: dict[str, bytes]):
     props = meta.get("properties")
     if not isinstance(props, dict) or "fixture.probe" not in props:
         raise ValueError("table properties missing the probe")
+    if string_probe:
+        probe = props["fixture.probe"]
+        if not isinstance(probe, str) or not 0 < len(probe) <= 1024:
+            raise ValueError("string probe property malformed")
+        return meta, snaps, ml_blob, probe
     try:
         probe = int(props["fixture.probe"])
     except (TypeError, ValueError):
@@ -608,6 +613,62 @@ def truncate_transform(value: int, w: int) -> int:
     """Iceberg ``truncate[W]`` of an int/long:
     ``v - (((v % W) + W) % W)`` — floors toward -inf (spec)."""
     return value - (((value % w) + w) % w)
+
+
+def _min_twos_complement(value: int) -> bytes:
+    """Minimal two's-complement big-endian bytes — the spec's hash
+    input for decimals (Appendix B: "hash of the minimum number of
+    bytes required to hold the unscaled value as a two's complement
+    big-endian", i.e. Java ``BigInteger.toByteArray()``)."""
+    if value == 0:
+        return b"\x00"
+    b = value.to_bytes(value.bit_length() // 8 + 1, "big", signed=True)
+    while len(b) > 1 and (
+        (b[0] == 0x00 and b[1] < 0x80)
+        or (b[0] == 0xFF and b[1] >= 0x80)
+    ):
+        b = b[1:]
+    return b
+
+
+def bucket_transform_str(value: str, n: int) -> int:
+    """Iceberg ``bucket[N]`` of a string: murmur3_x86_32 of the
+    UTF-8 bytes (no length prefix), then ``(hash & IntMax) % N``
+    (spec Appendix B; pinned by the published vector ``"iceberg" →
+    1210000089``)."""
+    h = murmur3_x86_32(value.encode("utf-8"))
+    return (h & 0x7FFFFFFF) % n
+
+
+def bucket_transform_decimal(unscaled: int, n: int) -> int:
+    """Iceberg ``bucket[N]`` of a decimal: murmur3 of the UNSCALED
+    value's minimal two's-complement big-endian bytes (spec Appendix
+    B; pinned by the published vector ``decimal(9,2) 14.20 →
+    -500754589``)."""
+    h = murmur3_x86_32(_min_twos_complement(unscaled))
+    return (h & 0x7FFFFFFF) % n
+
+
+def bucket_transform_date(days: int, n: int) -> int:
+    """Iceberg ``bucket[N]`` of a date: dates hash as their
+    days-since-epoch widened to LONG — the int/long byte layout
+    (spec Appendix B; pinned by ``2017-11-16 (17486 days) →
+    -653330422``)."""
+    return bucket_transform(days, n)
+
+
+def truncate_transform_str(value: str, w: int) -> str:
+    """Iceberg ``truncate[W]`` of a string: the first W Unicode
+    CODE POINTS (spec: "substring of length L" — not bytes, so a
+    multi-byte character is never split)."""
+    return value[:w]
+
+
+def truncate_transform_decimal(unscaled: int, w: int) -> int:
+    """Iceberg ``truncate[W]`` of a decimal: integer floor-truncate
+    of the UNSCALED value (spec Appendix B example: ``truncate[50]``
+    of decimal(9,2) ``10.65`` → ``10.50``, i.e. 1065 → 1050)."""
+    return truncate_transform(unscaled, w)
 
 
 _TIME_TRANSFORMS = ("year", "month", "day", "hour")
@@ -2143,4 +2204,346 @@ def scan_iceberg_puffin(payload: bytes) -> dict:
         "live_rows": total_rows - deleted_rows,
         "surviving_v_sum": surviving,
         "probe_matches": matches,
+    }
+
+
+# ---------------------------------------------------------------------------
+# string partition keys: bucket/truncate over UTF-8 (round 12 —
+# VERDICT r11 item 2; tenant/country-style keys are the common case)
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SCHEMA_STR = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {"name": "p", "type": "string"},
+                                    {"name": "q", "type": "long"},
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": "lower_bounds", "type": _BOUND_SCHEMA},
+                        {"name": "upper_bounds", "type": _BOUND_SCHEMA},
+                    ],
+                },
+            },
+        ],
+    }
+).encode()
+
+
+def _enc_bounds_str(value: str) -> bytes:
+    """One-entry bounds array with the spec's STRING single-value
+    serialization: UTF-8 bytes, no length prefix inside the value."""
+    return (
+        _zigzag_write(1)
+        + _zigzag_write(_V_FIELD_ID)
+        + _enc_bytes(value.encode("utf-8"))
+        + _zigzag_write(0)
+    )
+
+
+def _bound_str(bounds) -> str:
+    """The predicate field's string bound (UTF-8 decode of the
+    serialized value)."""
+    if not isinstance(bounds, list) or not bounds:
+        raise ValueError("data file without bounds")
+    for kv in bounds:
+        if not isinstance(kv, dict):
+            raise ValueError("bounds entry is not a key/value record")
+        if kv.get("key") == _V_FIELD_ID:
+            raw = kv.get("value")
+            if not isinstance(raw, bytes) or len(raw) > 1024:
+                raise ValueError("iceberg string bound malformed")
+            try:
+                return raw.decode("utf-8")
+            except UnicodeDecodeError:
+                raise ValueError("string bound not UTF-8") from None
+    raise ValueError("bounds missing the predicate field id")
+
+
+def synth_iceberg_str_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: 4 files under the two-field
+    STRING spec ``(truncate[2](s), bucket[8](s))`` at cells
+    (prefix, bucket) = (P0,B0)/(P0,B1)/(P1,B0)/(P1,B1) — neither
+    dimension prunes alone; the probe string lives in file 0, so
+    only the conjunction reaches ``files_pruned_partition = 3``.
+    File j holds ``rows_j = 15 + (seed+j) % 10`` distinct strings
+    ``prefix || 5 digits`` picked into the cell's bucket class
+    ``B0 = seed%8`` / ``B1 = (seed+3)%8``; prefixes are
+    ``'t' || seed%10`` and ``'u' || seed%10``."""
+    rows = [15 + (seed + j) % 10 for j in range(4)]
+    return {
+        "rows": rows,
+        "prefix": f"t{seed % 10}",
+        "bucket": seed % 8,
+        "rows_scanned": rows[0],
+        "total_rows": sum(rows),
+    }
+
+
+def synth_iceberg_str(seed: int) -> bytes:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = synth_iceberg_str_plan(seed)
+    p0 = f"t{seed % 10}"
+    p1 = f"u{seed % 10}"
+    b0 = seed % 8
+    b1 = (seed + 3) % 8
+
+    def pick(prefix: str, bucket: int, count: int) -> list[str]:
+        vals = []
+        k = 0
+        while len(vals) < count:
+            if k >= 100000:
+                raise ValueError("prefix exhausted for bucket class")
+            s = f"{prefix}{k:05d}"
+            if bucket_transform_str(s, 8) == bucket:
+                vals.append(s)
+            k += 1
+        return vals
+
+    cells = [(p0, b0), (p0, b1), (p1, b0), (p1, b1)]
+    vals = [
+        pick(p, b, plan["rows"][j]) for j, (p, b) in enumerate(cells)
+    ]
+    probe = vals[0][0]
+    sync = bytes((seed * 43 + j * 13 + 5) % 256 for j in range(16))
+    files: dict[str, bytes] = {}
+    entries = []
+    for j, (p, b) in enumerate(cells):
+        buf = io.BytesIO()
+        pq.write_table(pa.table({"s": vals[j]}), buf)
+        path = f"data/f{j:02d}.parquet"
+        files[path] = buf.getvalue()
+        entries.append(
+            _zigzag_write(1)
+            + _zigzag_write(1) + _zigzag_write(7)
+            + _zigzag_write(0)  # content = data
+            + _enc_string(path)
+            + _enc_string("PARQUET")
+            + _enc_string(p)  # partition.p = truncate[2] value
+            + _zigzag_write(b)  # partition.q = bucket[8] value
+            + _zigzag_write(len(vals[j]))
+            + _zigzag_write(len(files[path]))
+            + _enc_bounds_str(min(vals[j]))
+            + _enc_bounds_str(max(vals[j]))
+        )
+    files["metadata/m0.avro"] = encode_avro_container(
+        _MANIFEST_SCHEMA_STR, entries, sync
+    )
+    files["metadata/snap-7.avro"] = encode_avro_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            _enc_string("metadata/m0.avro")
+            + _zigzag_write(len(files["metadata/m0.avro"]))
+            + _zigzag_write(0)
+            + _zigzag_write(0)
+            + _zigzag_write(7)
+            + _zigzag_write(4)
+        ],
+        sync,
+    )
+    files["metadata/v2.metadata.json"] = json.dumps(
+        {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-4000-8000-{seed:012d}",
+            "properties": {"fixture.probe": probe},
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": "p",
+                            "transform": "truncate[2]",
+                            "source-id": _V_FIELD_ID,
+                            "field-id": 1000,
+                        },
+                        {
+                            "name": "q",
+                            "transform": "bucket[8]",
+                            "source-id": _V_FIELD_ID,
+                            "field-id": 1001,
+                        },
+                    ],
+                }
+            ],
+            "current-snapshot-id": 7,
+            "snapshots": [
+                {"snapshot-id": 7, "manifest-list": "metadata/snap-7.avro"}
+            ],
+        }
+    ).encode()
+    return write_tar_bundle(files)
+
+
+def scan_iceberg_str(payload: bytes) -> dict:
+    """Point lookup on a STRING-partitioned table through
+    transform-aware planning: prune data files whose manifest
+    partition tuple differs from ``(truncate[W](probe),
+    bucket[N](probe))`` computed over the probe's UTF-8 bytes
+    (murmur3, spec Appendix B), then bounds-prune on the string
+    bounds, read survivors, and audit every scanned row's transforms
+    against the manifest's declared partition values (quarantine on
+    drift).  ``probe_bucket`` is returned so the murmur3-over-UTF-8
+    value itself is inside the oracle hash."""
+    files = read_tar_bundle(payload)
+    meta, _snaps, ml_blob, probe = _parse_table_meta(
+        files, string_probe=True
+    )
+    spec_id = meta.get("default-spec-id")
+    specs = meta.get("partition-specs")
+    if not isinstance(spec_id, int) or isinstance(spec_id, bool) \
+            or not isinstance(specs, list):
+        raise ValueError("partition spec metadata malformed")
+    spec = next(
+        (s for s in specs
+         if isinstance(s, dict) and s.get("spec-id") == spec_id),
+        None,
+    )
+    if spec is None:
+        raise ValueError("default-spec-id not in partition-specs")
+    fields = spec.get("fields")
+    if not isinstance(fields, list) or not 1 <= len(fields) <= 3:
+        raise ValueError("partition spec field count unsupported")
+    tspecs = []
+    for pf in fields:
+        if not isinstance(pf, dict) or pf.get("source-id") != _V_FIELD_ID:
+            raise ValueError("partition source field unsupported")
+        pname = pf.get("name")
+        if not isinstance(pname, str) or not pname:
+            raise ValueError("partition field name malformed")
+        tname, targ = parse_transform(pf.get("transform"))
+        if tname not in ("bucket", "truncate"):
+            raise ValueError(
+                f"transform {tname!r} undefined over strings (boundary)"
+            )
+        tspecs.append((pname, tname, targ))
+    if len({t[0] for t in tspecs}) != len(tspecs):
+        raise ValueError("partition field names not unique")
+
+    def transform_of(tname: str, targ: int, value: str):
+        if tname == "bucket":
+            return bucket_transform_str(value, targ)
+        return truncate_transform_str(value, targ)
+
+    candidates = []  # (path, record_count, partition, lo, hi)
+    for mf in decode_avro_blocks(ml_blob):
+        mpath = mf.get("manifest_path")
+        if not isinstance(mpath, str):
+            raise ValueError("manifest_path is not a string")
+        mblob = files.get(mpath)
+        if mblob is None:
+            raise ValueError(f"manifest {mpath!r} missing from bundle")
+        if mf.get("manifest_length") != len(mblob):
+            raise ValueError("manifest_length disagrees with bundle")
+        if mf.get("content", 0) != 0:
+            raise ValueError(
+                "delete manifests unsupported by the string scan "
+                "(boundary)"
+            )
+        for e in decode_avro_blocks(mblob):
+            status = e.get("status")
+            df = e.get("data_file")
+            if not isinstance(df, dict):
+                raise ValueError("manifest entry without data_file")
+            if status == 2:
+                continue
+            if status not in (0, 1):
+                raise ValueError(f"manifest entry status {status} unknown")
+            path = df.get("file_path")
+            rc = df.get("record_count")
+            part = df.get("partition")
+            if not isinstance(path, str):
+                raise ValueError("data file path is not a string")
+            if not isinstance(rc, int) or isinstance(rc, bool) or rc < 0:
+                raise ValueError("data file record_count malformed")
+            if not isinstance(part, dict):
+                raise ValueError("data file partition malformed")
+            part_vals = []
+            for pname, tname, _ta in tspecs:
+                pv = part.get(pname)
+                want = str if tname == "truncate" else int
+                if not isinstance(pv, want) or isinstance(pv, bool):
+                    raise ValueError(
+                        "data file partition value malformed"
+                    )
+                part_vals.append(pv)
+            if df.get("content", 0) != 0:
+                raise ValueError("non-data file content (boundary)")
+            lo = _bound_str(df.get("lower_bounds"))
+            hi = _bound_str(df.get("upper_bounds"))
+            if lo > hi:
+                raise ValueError("data file lower bound above upper")
+            candidates.append((path, rc, tuple(part_vals), lo, hi))
+    if not candidates:
+        raise ValueError("current snapshot has no live data files")
+    target = tuple(
+        transform_of(tn, ta, probe) for _pn, tn, ta in tspecs
+    )
+    part_survivors = [c for c in candidates if c[2] == target]
+    files_pruned_partition = len(candidates) - len(part_survivors)
+    survivors = [c for c in part_survivors if c[3] <= probe <= c[4]]
+    files_pruned_bounds = len(part_survivors) - len(survivors)
+    rows_scanned = 0
+    matches = 0
+    for path, rc, part, _lo, _hi in survivors:
+        table = _read_parquet_checked(files, path, rc)
+        if "s" not in table.column_names:
+            raise ValueError("data file missing the predicate column")
+        rows_scanned += table.num_rows
+        for s in table.column("s").to_pylist():
+            if not isinstance(s, str):
+                raise ValueError("data value not a string")
+            if any(
+                transform_of(tn, ta, s) != pv
+                for (_pn, tn, ta), pv in zip(tspecs, part)
+            ):
+                raise ValueError(
+                    "row transform disagrees with manifest partition"
+                )
+            if s == probe:
+                matches += 1
+    total_rows = sum(c[1] for c in candidates)
+    if not (0 <= total_rows < 2**63):
+        raise ValueError("iceberg total_rows overflows int64 (boundary)")
+    bucket_spec = next(
+        ((tn, ta) for _pn, tn, ta in tspecs if tn == "bucket"), None
+    )
+    truncate_spec = next(
+        ((tn, ta) for _pn, tn, ta in tspecs if tn == "truncate"), None
+    )
+    if bucket_spec is None or truncate_spec is None:
+        raise ValueError("string fixture needs bucket AND truncate")
+    return {
+        "n_data_files": len(candidates),
+        "files_pruned_partition": files_pruned_partition,
+        "files_pruned_bounds": files_pruned_bounds,
+        "files_scanned": len(survivors),
+        "rows_scanned": rows_scanned,
+        "total_rows": total_rows,
+        "probe_matches": matches,
+        "probe_bucket": bucket_transform_str(probe, bucket_spec[1]),
+        "probe_prefix": truncate_transform_str(probe, truncate_spec[1]),
     }

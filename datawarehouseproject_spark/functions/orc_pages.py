@@ -1287,3 +1287,276 @@ def scan_orc_scalars(payload: bytes) -> dict:
         "dec_cents_sum": dec_cents_sum,
         "total_nulls": total_nulls,
     }
+
+
+# ---------------------------------------------------------------------------
+# round 12: NESTED TYPES (struct / list / map) — child-column
+# recursion over the pre-order type tree, LENGTH streams for the
+# repeated kinds, PRESENT on nested children (VERDICT r11 item 3)
+# ---------------------------------------------------------------------------
+
+_LIST_KIND, _MAP_KIND = 10, 11
+
+
+def _parse_type_tree(footer: dict):
+    """Footer type list -> (kinds, subtypes, field_names) with the
+    spec's PRE-ORDER column ids.  ``subtypes`` is a packed repeated
+    uint32 on the wire (one length-delimited blob of varints);
+    unpacked single-varint encodings are accepted too."""
+    kinds: list[int] = []
+    subtypes: list[list[int]] = []
+    names: list[list[str]] = []
+    tlist = footer.get(4, [])
+    if not 1 <= len(tlist) <= 256:
+        raise ValueError("ORC type count out of bounds")
+    for tb in tlist:
+        if not isinstance(tb, bytes):
+            raise ValueError("ORC type entry not length-delimited")
+        m = _msg(tb)
+        kinds.append(_nonneg(m.get(1, [0])[0], "type kind"))
+        subs: list[int] = []
+        for raw in m.get(2, []):
+            if isinstance(raw, int):
+                subs.append(_nonneg(raw, "subtype id"))
+                continue
+            if not isinstance(raw, bytes):
+                raise ValueError("ORC subtypes field malformed")
+            pos = 0
+            while pos < len(raw):
+                v, pos = _varint(raw, pos)
+                subs.append(v)
+        if any(s >= len(tlist) for s in subs):
+            raise ValueError("ORC subtype id out of range")
+        subtypes.append(subs)
+        fns = []
+        for fn in m.get(3, []):
+            if not isinstance(fn, bytes):
+                raise ValueError("ORC field name malformed")
+            try:
+                fns.append(fn.decode("utf-8"))
+            except UnicodeDecodeError:
+                raise ValueError("ORC field name not UTF-8") from None
+        names.append(fns)
+    return kinds, subtypes, names
+
+
+def synth_orc_nested_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: ``n = 40 + (seed*7) % 80``
+    rows of three nested columns — ``st: struct<a: int64 (null at
+    i%5==0, else (seed+i*3)%1000), b: string ("x"+str((seed+i)%13))>``,
+    ``li: list<int64>`` (null at i%7==6, else ``i%4`` elements
+    ``(seed+i+j)%100``), and ``mp: map<string,int64>`` with ``i%3``
+    entries ``("k"+str((i+j)%12), (seed+i*j)%50)``."""
+    n = 40 + (seed * 7) % 80
+    return {"n": n, "compression":
+            ("uncompressed", "zlib", "snappy")[seed % 3]}
+
+
+def synth_orc_nested(seed: int) -> bytes:
+    """Nested-type ORC written by the INDEPENDENT pyarrow producer,
+    compression rotating uncompressed/zlib/snappy by seed."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    plan = synth_orc_nested_plan(seed)
+    n = plan["n"]
+    st = pa.array(
+        [
+            {
+                "a": None if i % 5 == 0 else (seed + i * 3) % 1000,
+                "b": f"x{(seed + i) % 13}",
+            }
+            for i in range(n)
+        ],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    li = pa.array(
+        [
+            None if i % 7 == 6
+            else [(seed + i + j) % 100 for j in range(i % 4)]
+            for i in range(n)
+        ],
+        type=pa.list_(pa.int64()),
+    )
+    mp = pa.array(
+        [
+            [(f"k{(i + j) % 12}", (seed + i * j) % 50)
+             for j in range(i % 3)]
+            for i in range(n)
+        ],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    buf = _io.BytesIO()
+    orc.write_table(
+        pa.table({"st": st, "li": li, "mp": mp}), buf,
+        compression=plan["compression"],
+    )
+    return buf.getvalue()
+
+
+def scan_orc_nested(payload: bytes) -> dict:
+    """Decode an ORC file whose schema carries STRUCT / LIST / MAP
+    columns (ORC spec "Column Encodings"): column ids are the
+    PRE-ORDER walk of the type tree; a struct contributes no streams
+    of its own beyond PRESENT and recurses into its children at its
+    present-count; LIST and MAP carry a LENGTH stream (RLEv2,
+    DIRECT_V2) and their children decode at the summed length.  A
+    child's value count is its PARENT's non-null count — the
+    row-position bookkeeping this scan exists to prove.
+
+    Scope fences (loud): int children must be RLEv2 DIRECT_V2,
+    strings DIRECT_V2 (the dictionary path is pinned by
+    :func:`scan_orc_rich`), union/decimal children out of scope."""
+    codec, footer, n_rows, _types = _parse_orc_tail(payload)
+    kinds, subtypes, names = _parse_type_tree(footer)
+    if kinds[0] != _STRUCT_KIND:
+        raise ValueError("ORC root type is not a struct")
+    # per-column accumulators, merged across stripes
+    int_sum = [0] * len(kinds)
+    int_count = [0] * len(kinds)
+    nulls = [0] * len(kinds)
+    str_bytes = [0] * len(kinds)
+    str_count = [0] * len(kinds)
+    elem_total = [0] * len(kinds)  # on the LIST/MAP column itself
+    rows_seen = 0
+    for stripe_rows, sfoot, streams in _iter_stripes(
+        payload, codec, footer
+    ):
+        if stripe_rows is None:
+            raise ValueError("stripe row count missing")
+        enc_msgs = [_msg(e) for e in sfoot.get(2, [])]
+        encodings = [m.get(1, [0])[0] for m in enc_msgs]
+        located: dict[tuple[int, int], tuple[int, int]] = {
+            (kind, col): (pos, length)
+            for kind, col, pos, length in streams
+            if kind not in _INDEX_KINDS
+        }
+
+        def stream_bytes(kind: int, col: int) -> bytes | None:
+            st = located.get((kind, col))
+            if st is None:
+                return None
+            return _orc_decompress(
+                payload[st[0] : st[0] + st[1]], codec, "stream"
+            )
+
+        def walk(col: int, count: int, depth: int) -> None:
+            if depth > 8:
+                raise ValueError("ORC type nesting too deep (boundary)")
+            tkind = kinds[col]
+            enc = encodings[col] if col < len(encodings) else 0
+            present = stream_bytes(_K_PRESENT, col)
+            if present is not None:
+                bits = _bool_rle_decode(present, count)
+                n_present = sum(bits)
+            else:
+                n_present = count
+            nulls[col] += count - n_present
+            if tkind == _STRUCT_KIND:
+                if enc != 0:
+                    raise ValueError("struct encoding must be DIRECT")
+                for sub in subtypes[col]:
+                    walk(sub, n_present, depth + 1)
+                return
+            if tkind in (_LIST_KIND, _MAP_KIND):
+                if enc != 2:
+                    raise ValueError(
+                        f"repeated-kind encoding {enc} out of scope "
+                        "(want DIRECT_V2)"
+                    )
+                lengths = rle_v2_decode(
+                    stream_bytes(_K_LENGTH, col) or b"",
+                    n_present, signed=False,
+                )
+                total = sum(lengths)
+                if total > 1 << 28:
+                    raise ValueError("nested element total past cap")
+                elem_total[col] += total
+                want = 1 if tkind == _LIST_KIND else 2
+                if len(subtypes[col]) != want:
+                    raise ValueError("repeated-kind child count wrong")
+                for sub in subtypes[col]:
+                    walk(sub, total, depth + 1)
+                return
+            if tkind in _INT_KINDS:
+                if enc != 2:
+                    raise ValueError(
+                        f"int child encoding {enc} out of scope"
+                    )
+                data = stream_bytes(_K_DATA, col)
+                if data is None:
+                    raise ValueError(f"int column {col} has no DATA")
+                vals = rle_v2_decode(data, n_present, signed=True)
+                int_sum[col] += sum(vals)
+                int_count[col] += len(vals)
+                return
+            if tkind == _STRING_KIND:
+                if enc != 2:
+                    raise ValueError(
+                        "nested string encoding out of scope "
+                        "(dictionary pinned by the rich scan)"
+                    )
+                lengths = rle_v2_decode(
+                    stream_bytes(_K_LENGTH, col) or b"",
+                    n_present, signed=False,
+                )
+                data = stream_bytes(_K_DATA, col)
+                if data is None:
+                    raise ValueError(f"string column {col} missing DATA")
+                if sum(lengths) != len(data):
+                    raise ValueError(
+                        "string LENGTH sum disagrees with DATA size"
+                    )
+                str_bytes[col] += len(data)
+                str_count[col] += len(lengths)
+                return
+            raise ValueError(
+                f"ORC nested type kind {tkind} out of scope"
+            )
+
+        for sub in subtypes[0]:
+            walk(sub, stripe_rows, 1)
+        rows_seen += stripe_rows
+    if rows_seen != n_rows:
+        raise ValueError(
+            f"stripe rows {rows_seen} disagree with footer total {n_rows}"
+        )
+    # resolve the fixture's columns by NAME through the tree
+    root_names = names[0]
+    if len(root_names) != len(subtypes[0]):
+        raise ValueError("root field names disagree with subtypes")
+    by_name = dict(zip(root_names, subtypes[0]))
+    for want in ("st", "li", "mp"):
+        if want not in by_name:
+            raise ValueError(f"fixture column {want!r} missing")
+    st_col, li_col, mp_col = by_name["st"], by_name["li"], by_name["mp"]
+    if kinds[st_col] != _STRUCT_KIND or kinds[li_col] != _LIST_KIND \
+            or kinds[mp_col] != _MAP_KIND:
+        raise ValueError("fixture column kinds mismatch")
+    st_fields = dict(zip(names[st_col], subtypes[st_col]))
+    if set(st_fields) != {"a", "b"}:
+        raise ValueError("struct field names mismatch")
+    a_col, b_col = st_fields["a"], st_fields["b"]
+    elem_col = subtypes[li_col][0]
+    key_col, val_col = subtypes[mp_col]
+    for agg in (int_sum[a_col], int_sum[elem_col], int_sum[val_col]):
+        if not (-(2**63) <= agg < 2**63):
+            raise ValueError("ORC nested sum overflows int64 (boundary)")
+    return {
+        "n_rows": n_rows,
+        "n_stripes": len(footer.get(3, [])),
+        "codec": codec,
+        "a_sum": int_sum[a_col],
+        "a_count": int_count[a_col],
+        "a_nulls": nulls[a_col],
+        "b_bytes": str_bytes[b_col],
+        "b_count": str_count[b_col],
+        "list_nulls": nulls[li_col],
+        "list_count": elem_total[li_col],
+        "list_sum": int_sum[elem_col],
+        "map_count": elem_total[mp_col],
+        "map_key_bytes": str_bytes[key_col],
+        "map_val_sum": int_sum[val_col],
+    }

@@ -3723,3 +3723,97 @@ def extract_delta_cdf_scan(
         return scan_delta_cdf
 
     return _extract_metadata(media, DELTA_CDF_SCHEMA, loader, permissive)
+
+
+def synthesize_iceberg_str_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Iceberg tables with a
+    STRING partition key under a two-field
+    ``(truncate[2], bucket[8])`` spec
+    (``functions/iceberg_scan.py:synth_iceberg_str``)."""
+
+    def loader():
+        from ..functions.iceberg_scan import synth_iceberg_str
+
+        return synth_iceberg_str
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ICEBERG_STR_SCHEMA = T.StructType(
+    [
+        T.StructField("n_data_files", T.IntegerType()),
+        T.StructField("files_pruned_partition", T.IntegerType()),
+        T.StructField("files_pruned_bounds", T.IntegerType()),
+        T.StructField("files_scanned", T.IntegerType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("probe_matches", T.LongType()),
+        T.StructField("probe_bucket", T.IntegerType()),
+        T.StructField("probe_prefix", T.StringType()),
+    ]
+)
+
+
+def extract_iceberg_str_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """String-key transform-pruned Iceberg scan per bundle
+    (:func:`..functions.iceberg_scan.scan_iceberg_str`)."""
+
+    def loader():
+        from ..functions.iceberg_scan import scan_iceberg_str
+
+        return scan_iceberg_str
+
+    return _extract_metadata(media, ICEBERG_STR_SCHEMA, loader, permissive)
+
+
+def synthesize_orc_nested_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of nested-type ORC files
+    (struct + list + map, compression rotating by id) written by
+    pyarrow (``functions/orc_pages.py:synth_orc_nested``)."""
+
+    def loader():
+        from ..functions.orc_pages import synth_orc_nested
+
+        return synth_orc_nested
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ORC_NESTED_SCHEMA = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_stripes", T.IntegerType()),
+        T.StructField("codec", T.IntegerType()),
+        T.StructField("a_sum", T.LongType()),
+        T.StructField("a_count", T.LongType()),
+        T.StructField("a_nulls", T.LongType()),
+        T.StructField("b_bytes", T.LongType()),
+        T.StructField("b_count", T.LongType()),
+        T.StructField("list_nulls", T.LongType()),
+        T.StructField("list_count", T.LongType()),
+        T.StructField("list_sum", T.LongType()),
+        T.StructField("map_count", T.LongType()),
+        T.StructField("map_key_bytes", T.LongType()),
+        T.StructField("map_val_sum", T.LongType()),
+    ]
+)
+
+
+def extract_orc_nested_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Nested-type ORC decode per payload
+    (:func:`..functions.orc_pages.scan_orc_nested`)."""
+
+    def loader():
+        from ..functions.orc_pages import scan_orc_nested
+
+        return scan_orc_nested
+
+    return _extract_metadata(media, ORC_NESTED_SCHEMA, loader, permissive)

@@ -7916,3 +7916,150 @@ def q_delta_change_feed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update_post", "pre_sum", "post_sum", "deletes", "delete_sum",
         "change_rows",
     )
+
+
+@register(
+    "iceberg_string_bucket_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id FROM documents),
+    f AS (
+      SELECT media_id, unnest(generate_series(0, 3)) AS j FROM m),
+    r AS (
+      SELECT media_id, j, 15 + (media_id + j) % 10 AS rows_ FROM f)
+    SELECT media_id,
+           CAST(4 AS INTEGER) AS n_data_files,
+           CAST(3 AS INTEGER) AS files_pruned_partition,
+           CAST(0 AS INTEGER) AS files_pruned_bounds,
+           CAST(1 AS INTEGER) AS files_scanned,
+           CAST(sum(CASE WHEN j = 0 THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(rows_) AS BIGINT) AS total_rows,
+           CAST(1 AS BIGINT) AS probe_matches,
+           CAST(max(media_id) % 8 AS INTEGER) AS probe_bucket,
+           't' || CAST(max(media_id) % 10 AS VARCHAR) AS probe_prefix
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "iceberg", "lakehouse", "partition-pruning",
+          "string-transforms", "mapInPandas"),
+)
+def q_iceberg_string_bucket_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg bucket/truncate transforms over a STRING partition
+    key (round 12 — VERDICT r11 item 2): ``bucket[8]`` hashes the
+    key's UTF-8 bytes with murmur3_x86_32 (spec Appendix B, pinned
+    by the published ``"iceberg" → 1210000089`` vector) and
+    ``truncate[2]`` takes the first two code points
+    (``functions/iceberg_scan.py:scan_iceberg_str``).  The fixture's
+    four files sit at the (prefix, bucket) cells of a two-field spec
+    so NEITHER dimension prunes alone — only the conjunction reaches
+    ``files_pruned_partition = 3`` (oracle-asserted, the item's done
+    criterion).  ``probe_bucket`` puts the murmur3-over-UTF-8 value
+    itself inside the oracle hash, and every scanned row's
+    transforms are audited against the manifest's declared partition
+    tuple (quarantine on drift)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_iceberg_str_scan,
+        synthesize_iceberg_str_media,
+    )
+
+    media = synthesize_iceberg_str_media(_t(spark, sf_dir, "documents"))
+    return extract_iceberg_str_scan(media).select(
+        "media_id", "n_data_files", "files_pruned_partition",
+        "files_pruned_bounds", "files_scanned", "rows_scanned",
+        "total_rows", "probe_matches", "probe_bucket", "probe_prefix",
+    )
+
+
+@register(
+    "orc_nested_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 40 + (doc_id * 7) % 80 AS n
+      FROM documents),
+    i AS (
+      SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+      FROM m),
+    base AS (
+      SELECT media_id,
+             max(n) AS n,
+             sum(CASE WHEN i % 5 = 0 THEN 0
+                      ELSE (media_id + i * 3) % 1000 END) AS a_sum,
+             sum(CASE WHEN i % 5 = 0 THEN 0 ELSE 1 END) AS a_count,
+             sum(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END) AS a_nulls,
+             sum(1 + length(CAST((media_id + i) % 13 AS VARCHAR)))
+               AS b_bytes,
+             sum(CASE WHEN i % 7 = 6 THEN 1 ELSE 0 END) AS list_nulls
+      FROM i GROUP BY media_id),
+    le AS (
+      SELECT media_id, i,
+             unnest(generate_series(
+               0, (CASE WHEN i % 7 = 6 THEN 0 ELSE i % 4 END) - 1)) AS j
+      FROM i),
+    lagg AS (
+      SELECT media_id,
+             count(*) AS list_count,
+             sum((media_id + i + j) % 100) AS list_sum
+      FROM le GROUP BY media_id),
+    me AS (
+      SELECT media_id, i,
+             unnest(generate_series(0, i % 3 - 1)) AS j
+      FROM i),
+    magg AS (
+      SELECT media_id,
+             count(*) AS map_count,
+             sum(1 + length(CAST((i + j) % 12 AS VARCHAR)))
+               AS map_key_bytes,
+             sum((media_id + i * j) % 50) AS map_val_sum
+      FROM me GROUP BY media_id)
+    SELECT b.media_id,
+           CAST(b.n AS BIGINT) AS n_rows,
+           CAST(1 AS INTEGER) AS n_stripes,
+           CAST(b.media_id % 3 AS INTEGER) AS codec,
+           CAST(b.a_sum AS BIGINT) AS a_sum,
+           CAST(b.a_count AS BIGINT) AS a_count,
+           CAST(b.a_nulls AS BIGINT) AS a_nulls,
+           CAST(b.b_bytes AS BIGINT) AS b_bytes,
+           CAST(b.n AS BIGINT) AS b_count,
+           CAST(b.list_nulls AS BIGINT) AS list_nulls,
+           CAST(l.list_count AS BIGINT) AS list_count,
+           CAST(l.list_sum AS BIGINT) AS list_sum,
+           CAST(g.map_count AS BIGINT) AS map_count,
+           CAST(g.map_key_bytes AS BIGINT) AS map_key_bytes,
+           CAST(g.map_val_sum AS BIGINT) AS map_val_sum
+    FROM base b
+    JOIN lagg l ON l.media_id = b.media_id
+    JOIN magg g ON g.media_id = b.media_id
+    """,
+    tags=("sources", "orc", "nested-types", "struct", "list", "map",
+          "mapInPandas"),
+)
+def q_orc_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC NESTED TYPES (round 12 — VERDICT r11 item 3): struct /
+    list / map columns decoded by the hand stripe reader
+    (``functions/orc_pages.py:scan_orc_nested``), producer-pinned by
+    pyarrow's ORC writer with compression rotating
+    uncompressed/zlib/snappy by id.  Column ids follow the spec's
+    PRE-ORDER type-tree walk; a struct recurses into its children at
+    its present-count, LIST/MAP decode an RLEv2 LENGTH stream and
+    their children decode at the SUMMED length, and PRESENT streams
+    ride on nested children (nullable struct field ``a``, nullable
+    list column) — the parent/child row-count bookkeeping is exactly
+    what the value-exact sums pin: an off-by-one in any LENGTH or
+    PRESENT popcount shifts ``a_sum``/``list_sum``/``map_val_sum``
+    and hash-mismatches."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_orc_nested_scan,
+        synthesize_orc_nested_media,
+    )
+
+    media = synthesize_orc_nested_media(_t(spark, sf_dir, "documents"))
+    return extract_orc_nested_scan(media).select(
+        "media_id", "n_rows", "n_stripes", "codec", "a_sum", "a_count",
+        "a_nulls", "b_bytes", "b_count", "list_nulls", "list_count",
+        "list_sum", "map_count", "map_key_bytes", "map_val_sum",
+    )

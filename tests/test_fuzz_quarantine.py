@@ -132,6 +132,11 @@ def _cases():
             orc_pages.synth_orc_scalars,
             orc_pages.scan_orc_scalars,
         ),
+        (
+            "orc_nested",
+            orc_pages.synth_orc_nested,
+            orc_pages.scan_orc_nested,
+        ),
         ("ico", ico.synth_ico, ico.scan_ico),
         ("sqlite", sqlite_scan.synth_sqlite, sqlite_scan.scan_sqlite),
         (
@@ -190,6 +195,11 @@ def _cases():
             "iceberg_puffin",
             iceberg_scan.synth_iceberg_puffin,
             iceberg_scan.scan_iceberg_puffin,
+        ),
+        (
+            "iceberg_str",
+            iceberg_scan.synth_iceberg_str,
+            iceberg_scan.scan_iceberg_str,
         ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
         (

@@ -1131,3 +1131,210 @@ def _fix_ml(files, ice, sync):
         ],
         sync,
     )
+
+
+# --- string/date/decimal transforms ------------------------------------
+
+
+def test_typed_bucket_hashes_pin_spec_appendix_b():
+    """EVERY published Appendix B hash vector: int/long, decimal
+    (minimal two's-complement big-endian of the unscaled value),
+    date (days-as-long), time/timestamp (micros-as-long), string
+    (UTF-8), uuid and fixed (raw bytes)."""
+    import struct
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        _min_twos_complement,
+        bucket_transform_date,
+        bucket_transform_decimal,
+        bucket_transform_str,
+        murmur3_x86_32,
+    )
+
+    def signed(h):
+        return h - 2**32 if h >= 2**31 else h
+
+    assert signed(murmur3_x86_32(struct.pack("<q", 34))) == 2017239379
+    assert signed(murmur3_x86_32(b"iceberg")) == 1210000089
+    # decimal(9,2) 14.20 -> unscaled 1420 -> bytes 05 8C
+    assert _min_twos_complement(1420) == b"\x05\x8c"
+    assert signed(murmur3_x86_32(_min_twos_complement(1420))) \
+        == -500754589
+    # date 2017-11-16 = 17486 days since epoch
+    assert signed(murmur3_x86_32(struct.pack("<q", 17486))) \
+        == -653330422
+    # time 22:31:08 = 81068000000 micros
+    assert signed(murmur3_x86_32(struct.pack("<q", 81068000000))) \
+        == -662762989
+    # timestamp 2017-11-16T22:31:08 = 1510871468000000 micros
+    assert signed(
+        murmur3_x86_32(struct.pack("<q", 1510871468000000))
+    ) == -2047944441
+    assert signed(murmur3_x86_32(
+        bytes.fromhex("f79c3e09677c4bbda4793f349cb785e7")
+    )) == 1488055340
+    assert signed(murmur3_x86_32(bytes([0, 1, 2, 3]))) == -188683207
+    # the transform compositions over those hashes
+    assert bucket_transform_str("iceberg", 16) \
+        == (1210000089 & 0x7FFFFFFF) % 16
+    assert bucket_transform_decimal(1420, 16) \
+        == ((-500754589) & 0x7FFFFFFF) % 16
+    assert bucket_transform_date(17486, 16) \
+        == ((-653330422) & 0x7FFFFFFF) % 16
+
+
+def test_min_twos_complement_is_minimal():
+    """Java BigInteger.toByteArray() semantics at the byte-length
+    boundaries — the exact input the decimal hash mandates."""
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        _min_twos_complement,
+    )
+
+    assert _min_twos_complement(0) == b"\x00"
+    assert _min_twos_complement(127) == b"\x7f"
+    assert _min_twos_complement(128) == b"\x00\x80"
+    assert _min_twos_complement(-128) == b"\x80"
+    assert _min_twos_complement(-129) == b"\xff\x7f"
+    assert _min_twos_complement(255) == b"\x00\xff"
+    assert _min_twos_complement(-1) == b"\xff"
+    for v in (1420, -1420, 2**31, -(2**31), 10**18):
+        b = _min_twos_complement(v)
+        assert int.from_bytes(b, "big", signed=True) == v
+
+
+def test_truncate_transforms_strings_and_decimals():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        truncate_transform_decimal,
+        truncate_transform_str,
+    )
+
+    # spec: substring of W code points, never split a character
+    assert truncate_transform_str("iceberg", 3) == "ice"
+    assert truncate_transform_str("ab", 5) == "ab"
+    assert truncate_transform_str("ééxyz", 2) == "éé"
+    # spec Appendix B example: truncate[50] of 10.65 -> 10.50
+    assert truncate_transform_decimal(1065, 50) == 1050
+    assert truncate_transform_decimal(-1065, 50) == -1100  # floors
+
+
+def test_string_scan_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_str,
+        synth_iceberg_str,
+        synth_iceberg_str_plan,
+    )
+
+    for seed in range(8):
+        p = synth_iceberg_str_plan(seed)
+        r = scan_iceberg_str(synth_iceberg_str(seed))
+        assert r["n_data_files"] == 4
+        assert r["files_pruned_partition"] == 3
+        assert r["files_scanned"] == 1
+        assert r["rows_scanned"] == p["rows_scanned"]
+        assert r["total_rows"] == p["total_rows"]
+        assert r["probe_matches"] == 1
+        assert r["probe_bucket"] == p["bucket"]
+        assert r["probe_prefix"] == p["prefix"]
+
+
+def test_string_conjunction_is_required():
+    """Single-field rewrites keep two files — only the two-field
+    conjunction reaches files_pruned_partition = 3."""
+    import json
+
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_str,
+        synth_iceberg_str,
+    )
+
+    base = dict(read_tar_bundle(synth_iceberg_str(5)))
+    meta = json.loads(base["metadata/v2.metadata.json"])
+    for keep in (0, 1):
+        files = dict(base)
+        m2 = json.loads(json.dumps(meta))
+        m2["partition-specs"][0]["fields"] = [
+            meta["partition-specs"][0]["fields"][keep]
+        ]
+        files["metadata/v2.metadata.json"] = json.dumps(m2).encode()
+        with pytest.raises(ValueError, match="bucket AND truncate"):
+            scan_iceberg_str(write_tar_bundle(files))
+
+
+def test_string_scan_row_transform_audit_fires():
+    """Corrupt one manifest partition value: the per-row audit (not
+    just pruning) must quarantine when the file IS scanned, and the
+    pruning count shifts when it is not."""
+    import json
+
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_str,
+        synth_iceberg_str,
+        synth_iceberg_str_plan,
+    )
+
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seed = 3
+    files = dict(read_tar_bundle(synth_iceberg_str(seed)))
+    plan = synth_iceberg_str_plan(seed)
+    meta = json.loads(files["metadata/v2.metadata.json"])
+    probe = meta["properties"]["fixture.probe"]
+    assert probe.startswith(plan["prefix"])
+    # replace the SCANNED file's rows with same-count strings from a
+    # foreign prefix: record_count and manifest bounds still agree
+    # with the manifest, so only the per-row transform audit can
+    # catch the declared-partition/actual-rows drift
+    rows = plan["rows"][0]
+    buf = _io.BytesIO()
+    pq.write_table(
+        pa.table({"s": [probe] + [f"zz{k:05d}" for k in range(rows - 1)]}),
+        buf,
+    )
+    files["data/f00.parquet"] = buf.getvalue()
+    with pytest.raises(ValueError, match="disagrees with manifest"):
+        scan_iceberg_str(write_tar_bundle(files))
+
+
+def test_string_bounds_prune_after_partition():
+    """Rewrite file 0's bounds window to exclude the probe: the file
+    survives partition pruning but bounds-prunes, proving the string
+    comparison path is real."""
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_str,
+        synth_iceberg_str,
+    )
+
+    files = dict(read_tar_bundle(synth_iceberg_str(7)))
+    # the probe is file 0's LEXICALLY SMALLEST value (pick() walks k
+    # ascending), so raising the lower bound excludes exactly it
+    blob = files["metadata/m0.avro"]
+    import json as _json
+
+    meta = _json.loads(files["metadata/v2.metadata.json"])
+    probe = meta["properties"]["fixture.probe"].encode()
+    # bump the last digit of the lower bound occurrence in the
+    # manifest avro (bounds are raw UTF-8 in the container)
+    idx = blob.index(probe)
+    bumped = blob[:idx] + probe[:-1] + bytes([probe[-1] + 1]) \
+        + blob[idx + len(probe):]
+    files["metadata/m0.avro"] = bumped
+    r = scan_iceberg_str(write_tar_bundle(files))
+    assert r["files_pruned_partition"] == 3
+    assert r["files_pruned_bounds"] == 1
+    assert r["files_scanned"] == 0
+    assert r["probe_matches"] == 0

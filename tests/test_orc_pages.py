@@ -420,3 +420,160 @@ def test_scalar_scan_rejects_wrong_schema():
 
     with pytest.raises(ValueError, match="schema mismatch"):
         scan_orc_scalars(synth_orc_bloom(0))
+
+
+# --- nested types (struct / list / map) ---------------------------------
+
+
+def test_nested_scan_matches_pyarrow_reread():
+    """Value-exact cross-check against the independent producer's own
+    reader: every aggregate the hand stripe walker reports must equal
+    what pyarrow computes from the same file."""
+    import io
+
+    import pyarrow.orc as orc
+
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_nested,
+        synth_orc_nested,
+    )
+
+    for seed in range(6):
+        payload = synth_orc_nested(seed)
+        r = scan_orc_nested(payload)
+        t = orc.ORCFile(io.BytesIO(payload)).read()
+        st = t.column("st").to_pylist()
+        li = t.column("li").to_pylist()
+        mp = t.column("mp").to_pylist()
+        a = [row["a"] for row in st]
+        assert r["n_rows"] == len(st)
+        assert r["a_sum"] == sum(v for v in a if v is not None)
+        assert r["a_nulls"] == sum(1 for v in a if v is None)
+        assert r["a_count"] == len(a) - r["a_nulls"]
+        assert r["b_bytes"] == sum(len(row["b"]) for row in st)
+        assert r["list_nulls"] == sum(1 for v in li if v is None)
+        assert r["list_count"] == sum(len(v) for v in li if v is not None)
+        assert r["list_sum"] == sum(
+            x for v in li if v is not None for x in v
+        )
+        assert r["map_count"] == sum(len(v) for v in mp)
+        assert r["map_key_bytes"] == sum(
+            len(k) for v in mp for k, _x in v
+        )
+        assert r["map_val_sum"] == sum(x for v in mp for _k, x in v)
+
+
+def test_nested_scan_multi_stripe():
+    """Force multiple stripes: per-stripe child recursion must keep
+    parent/child counts straight across stripe boundaries."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_nested,
+    )
+
+    n = 5000
+    st = pa.array(
+        [{"a": None if i % 5 == 0 else i, "b": f"x{i % 13}"}
+         for i in range(n)],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    li = pa.array(
+        [None if i % 7 == 6 else [i % 9] * (i % 4) for i in range(n)],
+        type=pa.list_(pa.int64()),
+    )
+    mp = pa.array(
+        [[(f"k{j}", i % 50) for j in range(i % 3)] for i in range(n)],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"st": st, "li": li, "mp": mp}), buf,
+        compression="uncompressed",
+        stripe_size=16 * 1024,
+        row_index_stride=1024,
+    )
+    r = scan_orc_nested(buf.getvalue())
+    assert r["n_rows"] == n
+    assert r["n_stripes"] >= 2, "fixture failed to force stripes"
+    assert r["a_sum"] == sum(i for i in range(n) if i % 5 != 0)
+    assert r["list_count"] == sum(
+        i % 4 for i in range(n) if i % 7 != 6
+    )
+    assert r["map_count"] == sum(i % 3 for i in range(n))
+
+
+def test_nested_scan_dictionary_string_is_loud():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_nested,
+    )
+
+    st = pa.array(
+        [{"a": i, "b": f"x{i % 3}"} for i in range(50)],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    li = pa.array([[i] for i in range(50)], type=pa.list_(pa.int64()))
+    mp = pa.array(
+        [[("k", i)] for i in range(50)],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"st": st, "li": li, "mp": mp}), buf,
+        compression="uncompressed",
+        dictionary_key_size_threshold=1.0,
+    )
+    with pytest.raises(ValueError, match="dictionary"):
+        scan_orc_nested(buf.getvalue())
+
+
+def test_nested_scan_unsupported_kind_is_loud():
+    """A union-typed column must loud-reject, not silently skip."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_nested,
+    )
+
+    # double child inside the struct: kind 6 is outside the nested
+    # scan's int/string child scope
+    st = pa.array(
+        [{"a": float(i), "b": f"x{i}"} for i in range(40)],
+        type=pa.struct([("a", pa.float64()), ("b", pa.string())]),
+    )
+    li = pa.array([[i] for i in range(40)], type=pa.list_(pa.int64()))
+    mp = pa.array(
+        [[("k", i)] for i in range(40)],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"st": st, "li": li, "mp": mp}), buf,
+        compression="uncompressed",
+    )
+    with pytest.raises(ValueError, match="out of scope"):
+        scan_orc_nested(buf.getvalue())
+
+
+def test_nested_type_tree_fences():
+    from datawarehouseproject_spark.functions.orc_pages import (
+        _parse_type_tree,
+    )
+
+    # subtype id past the type count
+    with pytest.raises(ValueError, match="out of range"):
+        _parse_type_tree({4: [bytes([0x08, 12, 0x12, 0x01, 0x05])]})
+    # non-bytes type entry
+    with pytest.raises(ValueError, match="length-delimited"):
+        _parse_type_tree({4: [7]})
