@@ -412,7 +412,22 @@ def synth_avro(seed: int) -> bytes:
 _MAX_SCHEMA_DEPTH = 16
 
 
-def _parse_type_spec(t, depth: int = 0):
+def _named_keys(t: dict) -> set[str]:
+    """The lookup keys a named type (record/enum/fixed) defines: its
+    bare name plus the namespace-qualified fullname (Avro spec
+    "Names" — a dotted name is already full and ignores the
+    enclosing namespace)."""
+    nm = t.get("name")
+    if not isinstance(nm, str) or not nm:
+        raise ValueError("avro named type without a name")
+    keys = {nm}
+    ns = t.get("namespace")
+    if isinstance(ns, str) and ns and "." not in nm:
+        keys.add(f"{ns}.{nm}")
+    return keys
+
+
+def _parse_type_spec(t, depth: int = 0, named: dict | None = None):
     """Schema JSON fragment -> decode-spec tree:
     ('prim', name) | ('record', [(field, spec), ...]) |
     ('array', item_spec) | ('map', value_spec) |
@@ -422,28 +437,53 @@ def _parse_type_spec(t, depth: int = 0):
     Round 11 (VERDICT r10 item 4): the full complex-type set — maps,
     enums, fixed, and GENERAL unions (any branch count/order, not
     just ``['null', T]``) — on the shared container path; real
-    Kafka-archive schemas hit these immediately."""
+    Kafka-archive schemas hit these immediately.
+
+    Round 12 (VERDICT r11 item 4): NAMED-TYPE REFERENCES — a
+    previously defined record/enum/fixed reused by NAME (standard in
+    real Kafka registries).  ``named`` threads the definition
+    environment; a record's name registers BEFORE its fields parse
+    so self-reference resolves to the in-progress sentinel and
+    loud-rejects (recursive schemas stay a boundary: the decoder has
+    no cycle-safe value representation).  Redefining a name is the
+    spec violation it sounds like and quarantines."""
+    if named is None:
+        named = {}
     if depth > _MAX_SCHEMA_DEPTH:
         raise ValueError("avro schema nests too deep")
     if isinstance(t, str):
         if t in _SUPPORTED or t in ("bytes", "null", "float"):
             return ("prim", t)
+        if t in named:
+            spec = named[t]
+            if spec is None:
+                raise ValueError(
+                    "recursive avro named type unsupported (boundary)"
+                )
+            return spec
         raise ValueError(f"avro type {t!r} unsupported (boundary)")
     if isinstance(t, list):
         if not 1 <= len(t) <= 32:
             raise ValueError("avro union branch count out of range")
         return (
             "union",
-            [_parse_type_spec(b, depth + 1) for b in t],
+            [_parse_type_spec(b, depth + 1, named) for b in t],
         )
     if isinstance(t, dict):
         kind = t.get("type")
         if not isinstance(kind, str):
             raise ValueError("avro type name is not a string")
+        if kind in ("record", "enum", "fixed"):
+            keys = _named_keys(t)
+            for k in keys:
+                if k in named:
+                    raise ValueError(f"avro named type {k!r} redefined")
         if kind == "record":
             fields = t.get("fields")
             if not isinstance(fields, list) or not fields:
                 raise ValueError("avro nested record without fields")
+            for k in keys:
+                named[k] = None  # in-progress sentinel
             out = []
             for f in fields:
                 # the schema arrives inside untrusted payload bytes:
@@ -452,13 +492,25 @@ def _parse_type_spec(t, depth: int = 0):
                         or "type" not in f:
                     raise ValueError("malformed avro field")
                 out.append(
-                    (str(f["name"]), _parse_type_spec(f["type"], depth + 1))
+                    (
+                        str(f["name"]),
+                        _parse_type_spec(f["type"], depth + 1, named),
+                    )
                 )
-            return ("record", out)
+            spec = ("record", out)
+            for k in keys:
+                named[k] = spec
+            return spec
         if kind == "array":
-            return ("array", _parse_type_spec(t.get("items"), depth + 1))
+            return (
+                "array",
+                _parse_type_spec(t.get("items"), depth + 1, named),
+            )
         if kind == "map":
-            return ("map", _parse_type_spec(t.get("values"), depth + 1))
+            return (
+                "map",
+                _parse_type_spec(t.get("values"), depth + 1, named),
+            )
         if kind == "enum":
             symbols = t.get("symbols")
             if (
@@ -468,7 +520,10 @@ def _parse_type_spec(t, depth: int = 0):
                 or not all(isinstance(s, str) for s in symbols)
             ):
                 raise ValueError("avro enum symbols malformed")
-            return ("enum", tuple(symbols))
+            spec = ("enum", tuple(symbols))
+            for k in keys:
+                named[k] = spec
+            return spec
         if kind == "fixed":
             size = t.get("size")
             if (
@@ -476,7 +531,10 @@ def _parse_type_spec(t, depth: int = 0):
                 or not 0 <= size <= 1 << 20
             ):
                 raise ValueError("avro fixed size out of range")
-            return ("fixed", size)
+            spec = ("fixed", size)
+            for k in keys:
+                named[k] = spec
+            return spec
         if kind in _SUPPORTED or kind in ("bytes", "float"):
             return ("prim", kind)  # {"type": "long"} spelling
     raise ValueError(f"avro type {t!r} unsupported (boundary)")
@@ -621,32 +679,40 @@ def encode_avro_container(
 # manifests use
 # ---------------------------------------------------------------------------
 
-_COMPLEX_SCHEMA_JSON = json.dumps(
-    {
-        "type": "record",
-        "name": "event",
-        "fields": [
-            {"name": "id", "type": "long"},
-            {"name": "tags", "type": {"type": "array", "items": "string"}},
-            {"name": "props", "type": {"type": "map", "values": "long"}},
-            {
-                "name": "color",
-                "type": {
-                    "type": "enum",
-                    "name": "Color",
-                    "symbols": ["RED", "GREEN", "BLUE"],
-                },
+def _complex_schema_json(seed: int) -> bytes:
+    """The complex-type fixture schema; ODD seeds append a field
+    that reuses the ``Fp`` fixed type BY NAME (round 12 — VERDICT
+    r11 item 4: named-type references, standard in real Kafka
+    registries)."""
+    fields = [
+        {"name": "id", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "color",
+            "type": {
+                "type": "enum",
+                "name": "Color",
+                "symbols": ["RED", "GREEN", "BLUE"],
             },
-            {
-                "name": "fp",
-                "type": {"type": "fixed", "name": "Fp", "size": 4},
-            },
-            # GENERAL union: three branches, null LAST (the
-            # ['null', T] fast path never sees this shape)
-            {"name": "u", "type": ["long", "string", "null"]},
-        ],
-    }
-).encode()
+        },
+        {
+            "name": "fp",
+            "type": {"type": "fixed", "name": "Fp", "size": 4},
+        },
+        # GENERAL union: three branches, null LAST (the
+        # ['null', T] fast path never sees this shape)
+        {"name": "u", "type": ["long", "string", "null"]},
+    ]
+    if seed % 2 == 1:
+        fields.append({"name": "fp2", "type": "Fp"})
+    return json.dumps(
+        {"type": "record", "name": "event", "fields": fields}
+    ).encode()
+
+
+#: the even-seed (no named reference) schema shape, kept for tests
+_COMPLEX_SCHEMA_JSON = _complex_schema_json(0)
 
 
 def synth_avro_complex_plan(seed: int) -> dict:
@@ -654,9 +720,11 @@ def synth_avro_complex_plan(seed: int) -> dict:
     record i carries ``i%4`` tags ``t{(i+j)%10}`` (2 chars each),
     ``i%3`` map entries ``p{j} -> (i*7 + j*13) % 1000``, enum index
     ``(seed+i)%3``, fixed bytes ``(seed+i+b)%256``, and union branch
-    ``i%3`` (long ``seed+i`` / string ``u{i}`` / null)."""
+    ``i%3`` (long ``seed+i`` / string ``u{i}`` / null).  ODD seeds
+    add ``fp2`` (the ``Fp`` fixed reused by NAME) with bytes
+    ``(i+b)%256`` — its contribution lands in ``fp_sum``."""
     n = 10 + seed % 20
-    return {"n_records": n}
+    return {"n_records": n, "has_fp2": seed % 2 == 1}
 
 
 def synth_avro_complex(seed: int) -> bytes:
@@ -690,9 +758,11 @@ def synth_avro_complex(seed: int) -> bytes:
         elif branch == 1:
             s = f"u{i}".encode()
             body += _zigzag_write(len(s)) + s
+        if plan["has_fp2"]:
+            body += bytes((i + b) % 256 for b in range(4))
         recs.append(bytes(body))
     sync = bytes((seed * 13 + j * 3 + 7) % 256 for j in range(16))
-    return encode_avro_container(_COMPLEX_SCHEMA_JSON, recs, sync)
+    return encode_avro_container(_complex_schema_json(seed), recs, sync)
 
 
 def scan_avro_complex(payload: bytes) -> dict:
@@ -707,8 +777,9 @@ def scan_avro_complex(payload: bytes) -> dict:
     fp_sum = 0
     u_long_sum = u_str_chars = u_nulls = 0
     id_sum = 0
+    base_keys = {"id", "tags", "props", "color", "fp", "u"}
     for rec in records:
-        if set(rec) != {"id", "tags", "props", "color", "fp", "u"}:
+        if set(rec) - {"fp2"} != base_keys:
             raise ValueError("avro record does not match complex schema")
         if not isinstance(rec["id"], int):
             raise ValueError("complex id not an integer")
@@ -737,6 +808,13 @@ def scan_avro_complex(payload: bytes) -> dict:
         if not isinstance(fp, bytes) or len(fp) != 4:
             raise ValueError("fixed field malformed")
         fp_sum += sum(fp)
+        if "fp2" in rec:
+            # the name-reused Fp: MUST decode at the same 4-byte
+            # width the original definition declared
+            fp2 = rec["fp2"]
+            if not isinstance(fp2, bytes) or len(fp2) != 4:
+                raise ValueError("named-reference fixed malformed")
+            fp_sum += sum(fp2)
         u = rec["u"]
         if u is None:
             u_nulls += 1

@@ -98,7 +98,13 @@ _MANIFEST_SCHEMA = json.dumps(
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {"name": "lower_bounds", "type": _BOUND_SCHEMA},
-                        {"name": "upper_bounds", "type": _BOUND_SCHEMA},
+                        # the item record is REFERENCED BY NAME the
+                        # second time (Avro forbids redefining a
+                        # name; references are the spec's mechanism)
+                        {
+                            "name": "upper_bounds",
+                            "type": {"type": "array", "items": "k_v"},
+                        },
                         {
                             "name": "equality_ids",
                             "type": {"type": "array", "items": "int"},
@@ -760,7 +766,13 @@ _MANIFEST_SCHEMA_V2 = json.dumps(
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {"name": "lower_bounds", "type": _BOUND_SCHEMA},
-                        {"name": "upper_bounds", "type": _BOUND_SCHEMA},
+                        # the item record is REFERENCED BY NAME the
+                        # second time (Avro forbids redefining a
+                        # name; references are the spec's mechanism)
+                        {
+                            "name": "upper_bounds",
+                            "type": {"type": "array", "items": "k_v"},
+                        },
                         {
                             "name": "equality_ids",
                             "type": {"type": "array", "items": "int"},
@@ -1410,7 +1422,13 @@ _MANIFEST_SCHEMA_SEQ = json.dumps(
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {"name": "lower_bounds", "type": _BOUND_SCHEMA},
-                        {"name": "upper_bounds", "type": _BOUND_SCHEMA},
+                        # the item record is REFERENCED BY NAME the
+                        # second time (Avro forbids redefining a
+                        # name; references are the spec's mechanism)
+                        {
+                            "name": "upper_bounds",
+                            "type": {"type": "array", "items": "k_v"},
+                        },
                         {
                             "name": "equality_ids",
                             "type": {"type": "array", "items": "int"},
@@ -1636,7 +1654,13 @@ _MANIFEST_SCHEMA_MULTI = json.dumps(
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {"name": "lower_bounds", "type": _BOUND_SCHEMA},
-                        {"name": "upper_bounds", "type": _BOUND_SCHEMA},
+                        # the item record is REFERENCED BY NAME the
+                        # second time (Avro forbids redefining a
+                        # name; references are the spec's mechanism)
+                        {
+                            "name": "upper_bounds",
+                            "type": {"type": "array", "items": "k_v"},
+                        },
                         {
                             "name": "equality_ids",
                             "type": {"type": "array", "items": "int"},
@@ -2242,7 +2266,13 @@ _MANIFEST_SCHEMA_STR = json.dumps(
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {"name": "lower_bounds", "type": _BOUND_SCHEMA},
-                        {"name": "upper_bounds", "type": _BOUND_SCHEMA},
+                        # the item record is REFERENCED BY NAME the
+                        # second time (Avro forbids redefining a
+                        # name; references are the spec's mechanism)
+                        {
+                            "name": "upper_bounds",
+                            "type": {"type": "array", "items": "k_v"},
+                        },
                     ],
                 },
             },

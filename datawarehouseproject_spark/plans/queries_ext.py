@@ -1649,6 +1649,10 @@ def q_avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS uchars,
              (media_id + i) % 256 + (media_id + i + 1) % 256
                + (media_id + i + 2) % 256 + (media_id + i + 3) % 256
+               + CASE WHEN media_id % 2 = 1
+                      THEN i % 256 + (i + 1) % 256
+                           + (i + 2) % 256 + (i + 3) % 256
+                      ELSE 0 END
                AS fp
       FROM ii),
     props AS (

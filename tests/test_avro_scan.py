@@ -534,3 +534,159 @@ def test_resolution_union_and_defaults():
     plan = resolve_avro_schemas(w, r)
     rec, _ = _decode_resolved(_zigzag_write(9), 0, plan)
     assert list(rec) == ["z", "a"] and rec == {"z": "zz", "a": 9}
+
+
+# --- named-type references ----------------------------------------------
+
+
+def test_named_reference_resolves_record_enum_fixed():
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _parse_type_spec,
+    )
+
+    spec = _parse_type_spec(
+        {
+            "type": "record",
+            "name": "top",
+            "fields": [
+                {
+                    "name": "c1",
+                    "type": {
+                        "type": "enum",
+                        "name": "Color",
+                        "symbols": ["R", "G"],
+                    },
+                },
+                {"name": "c2", "type": "Color"},
+                {
+                    "name": "f1",
+                    "type": {"type": "fixed", "name": "Fp", "size": 2},
+                },
+                {"name": "f2", "type": "Fp"},
+                {
+                    "name": "r1",
+                    "type": {
+                        "type": "record",
+                        "name": "Pair",
+                        "fields": [{"name": "x", "type": "long"}],
+                    },
+                },
+                {"name": "r2", "type": "Pair"},
+            ],
+        }
+    )
+    fields = dict(spec[1])
+    assert fields["c2"] == fields["c1"] == ("enum", ("R", "G"))
+    assert fields["f2"] == fields["f1"] == ("fixed", 2)
+    assert fields["r2"] == fields["r1"]
+
+
+def test_named_reference_namespace_fullname():
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _parse_type_spec,
+    )
+
+    spec = _parse_type_spec(
+        {
+            "type": "record",
+            "name": "top",
+            "fields": [
+                {
+                    "name": "a",
+                    "type": {
+                        "type": "fixed",
+                        "name": "Fp",
+                        "namespace": "com.example",
+                        "size": 3,
+                    },
+                },
+                {"name": "b", "type": "com.example.Fp"},
+                {"name": "c", "type": "Fp"},
+            ],
+        }
+    )
+    fields = dict(spec[1])
+    assert fields["b"] == fields["c"] == ("fixed", 3)
+
+
+def test_recursive_named_type_is_loud():
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _parse_type_spec,
+    )
+
+    with pytest.raises(ValueError, match="recursive"):
+        _parse_type_spec(
+            {
+                "type": "record",
+                "name": "Node",
+                "fields": [
+                    {"name": "v", "type": "long"},
+                    {"name": "next", "type": ["null", "Node"]},
+                ],
+            }
+        )
+
+
+def test_named_type_redefinition_is_loud():
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _parse_type_spec,
+    )
+
+    with pytest.raises(ValueError, match="redefined"):
+        _parse_type_spec(
+            {
+                "type": "record",
+                "name": "top",
+                "fields": [
+                    {
+                        "name": "a",
+                        "type": {"type": "fixed", "name": "Fp", "size": 2},
+                    },
+                    {
+                        "name": "b",
+                        "type": {"type": "fixed", "name": "Fp", "size": 3},
+                    },
+                ],
+            }
+        )
+
+
+def test_unknown_name_still_rejects():
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _parse_type_spec,
+    )
+
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_type_spec(
+            {
+                "type": "record",
+                "name": "top",
+                "fields": [{"name": "a", "type": "Mystery"}],
+            }
+        )
+
+
+def test_complex_rotation_odd_seed_reuses_fp_by_name():
+    """The odd-seed container's schema text really does reference
+    ``Fp`` by bare name, and the decoded values land in fp_sum."""
+    import json as _json
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _iter_avro_blocks,
+        scan_avro_complex,
+        synth_avro_complex,
+        synth_avro_complex_plan,
+    )
+
+    seed = 7
+    payload = synth_avro_complex(seed)
+    blocks = _iter_avro_blocks(payload)
+    meta = next(blocks)
+    schema = _json.loads(meta["avro.schema"])
+    assert {"name": "fp2", "type": "Fp"} in schema["fields"]
+    plan = synth_avro_complex_plan(seed)
+    n = plan["n_records"]
+    r = scan_avro_complex(payload)
+    want = sum((seed + i + b) % 256 for i in range(n) for b in range(4))
+    want += sum((i + b) % 256 for i in range(n) for b in range(4))
+    assert r["fp_sum"] == want
