@@ -1796,7 +1796,10 @@ def synth_iceberg_multi(seed: int) -> bytes:
 # Magic + FooterPayload (JSON) + PayloadSize (int32 LE) + Flags
 # (int32 LE, bit 0 = payload lz4-compressed -> loud boundary here) +
 # Magic.  The payload lists blobs: {type, fields, snapshot-id,
-# sequence-number, offset, length, properties}.  Deletion-vector
+# sequence-number, offset, length, properties, compression-codec} —
+# blob payloads compressed as one lz4/zstd frame decode through the
+# hand frame decoders (round 12); a compressed FOOTER (flag bit 0)
+# stays a loud boundary.  Deletion-vector
 # blobs ("deletion-vector-v1", Iceberg v3) use the Delta-compatible
 # framing for ecosystem compatibility: <dataSize int32 BE><magic
 # 1681511377 LE + 64-bit RoaringBitmapArray portable><crc32 int32
@@ -1895,9 +1898,16 @@ def parse_puffin(payload: bytes) -> tuple[list[dict], dict]:
         bp = b.get("properties", {})
         if not isinstance(bp, dict):
             raise ValueError("puffin blob properties malformed")
+        codec = b.get("compression-codec")
+        if codec is not None and codec not in ("lz4", "zstd"):
+            # spec: absent = uncompressed; lz4/zstd = one compression
+            # frame.  Unknown codecs must refuse BEFORE serving bytes
+            raise ValueError(
+                f"puffin blob codec {codec!r} unsupported (boundary)"
+            )
         out.append(
             {"type": btype, "offset": off, "length": length,
-             "properties": bp}
+             "properties": bp, "codec": codec}
         )
     return out, props
 
@@ -1913,6 +1923,17 @@ def puffin_dv_positions(payload: bytes, blob: dict) -> list[int]:
     if blob["type"] != "deletion-vector-v1":
         raise ValueError(f"puffin blob type {blob['type']!r} unsupported")
     raw = payload[blob["offset"] : blob["offset"] + blob["length"]]
+    codec = blob.get("codec")
+    if codec == "lz4":
+        # round 12 (VERDICT r11 item 6): one LZ4 frame per the spec's
+        # codec table, through the hand frame decoder
+        from .lz4_codec import decode_lz4_frame
+
+        raw = decode_lz4_frame(raw, max_output=1 << 24)
+    elif codec == "zstd":
+        from .zstd_codec import decode_zstd
+
+        raw = decode_zstd(raw, max_output=1 << 24)
     if len(raw) < 8:
         raise ValueError("deletion vector blob truncated")
     size = int.from_bytes(raw[:4], "big")
@@ -2002,15 +2023,25 @@ def synth_iceberg_puffin(seed: int) -> bytes:
         _MANIFEST_SCHEMA, entries, sync
     )
 
+    # blob codec rotation (round 12 — VERDICT r11 item 6): seed%3 =
+    # uncompressed / lz4 frame / zstd frame, producer = pyarrow's
+    # reference codecs over the framed blob content
+    blob_codec = (None, "lz4", "zstd")[seed % 3]
+
     def dv_blob(positions: list[int]) -> bytes:
         import zlib
 
         data = dv_data_encode(positions)
-        return (
+        framed = (
             len(data).to_bytes(4, "big")
             + data
             + (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
         )
+        if blob_codec is None:
+            return framed
+        import pyarrow as pa
+
+        return bytes(pa.Codec(blob_codec).compress(framed))
 
     b0 = dv_blob(plan["d0"])
     b1 = dv_blob(plan["d1"])
@@ -2029,6 +2060,10 @@ def synth_iceberg_puffin(seed: int) -> bytes:
                     "sequence-number": 2,
                     "offset": off0,
                     "length": len(b0),
+                    **(
+                        {"compression-codec": blob_codec}
+                        if blob_codec else {}
+                    ),
                     "properties": {
                         "cardinality": str(len(plan["d0"])),
                     },
@@ -2040,6 +2075,10 @@ def synth_iceberg_puffin(seed: int) -> bytes:
                     "sequence-number": 2,
                     "offset": off1,
                     "length": len(b1),
+                    **(
+                        {"compression-codec": blob_codec}
+                        if blob_codec else {}
+                    ),
                     "properties": {
                         "cardinality": str(len(plan["d1"])),
                     },
@@ -2126,6 +2165,7 @@ def scan_iceberg_puffin(payload: bytes) -> dict:
     dv_by_file: dict[str, list[int]] = {}
     puffin_cache: dict[str, tuple[bytes, dict]] = {}
     n_dv_blobs = 0
+    codecs_seen: set[str] = set()
     for mf in decode_avro_blocks(ml_blob):
         mpath = mf.get("manifest_path")
         if not isinstance(mpath, str):
@@ -2191,6 +2231,7 @@ def scan_iceberg_puffin(payload: bytes) -> dict:
                     "DV record_count disagrees with the bitmap"
                 )
             dv_by_file[ref] = positions
+            codecs_seen.add(b.get("codec") or "none")
             n_dv_blobs += 1
     if not data_entries:
         raise ValueError("current snapshot has no live data files")
@@ -2223,6 +2264,14 @@ def scan_iceberg_puffin(payload: bytes) -> dict:
     return {
         "n_data_files": len(data_entries),
         "n_dv_blobs": n_dv_blobs,
+        # the blob codec rides in the oracle hash so a reader that
+        # served compressed bytes raw (or vice versa) is visible even
+        # beyond the CRC/cardinality fences
+        "blob_codec": (
+            "none" if not codecs_seen
+            else codecs_seen.pop() if len(codecs_seen) == 1
+            else "mixed"
+        ),
         "total_rows": total_rows,
         "deleted_rows": deleted_rows,
         "live_rows": total_rows - deleted_rows,

@@ -3651,6 +3651,7 @@ ICEBERG_PUFFIN_SCHEMA = T.StructType(
     [
         T.StructField("n_data_files", T.IntegerType()),
         T.StructField("n_dv_blobs", T.IntegerType()),
+        T.StructField("blob_codec", T.StringType()),
         T.StructField("total_rows", T.LongType()),
         T.StructField("deleted_rows", T.LongType()),
         T.StructField("live_rows", T.LongType()),

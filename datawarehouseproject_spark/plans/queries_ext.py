@@ -2179,6 +2179,8 @@ def q_iceberg_equality_deletes_scan(
     SELECT media_id,
            CAST(3 AS INTEGER) AS n_data_files,
            CAST(2 AS INTEGER) AS n_dv_blobs,
+           CASE media_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'lz4'
+                ELSE 'zstd' END AS blob_codec,
            CAST(count(*) AS BIGINT) AS total_rows,
            CAST(sum(del) AS BIGINT) AS deleted_rows,
            CAST(count(*) - sum(del) AS BIGINT) AS live_rows,
@@ -2220,8 +2222,8 @@ def q_iceberg_puffin_dv_scan(
 
     media = synthesize_iceberg_puffin_media(_t(spark, sf_dir, "documents"))
     return extract_iceberg_puffin_scan(media).select(
-        "media_id", "n_data_files", "n_dv_blobs", "total_rows",
-        "deleted_rows", "live_rows", "surviving_v_sum",
+        "media_id", "n_data_files", "n_dv_blobs", "blob_codec",
+        "total_rows", "deleted_rows", "live_rows", "surviving_v_sum",
         "probe_matches",
     )
 

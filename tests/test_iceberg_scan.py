@@ -1020,7 +1020,10 @@ def test_puffin_dv_crc_and_cardinality_fences():
         write_tar_bundle,
     )
 
-    files = dict(read_tar_bundle(synth_iceberg_puffin(1)))
+    # seed 3: blob codec rotation = uncompressed, so the flip lands
+    # in the DV framing itself (compressed seeds are fenced by their
+    # own frame checksums — pinned separately)
+    files = dict(read_tar_bundle(synth_iceberg_puffin(3)))
     puffin = bytearray(files["deletes/dv.puffin"])
     # flip a bitmap byte inside blob 0 (starts at offset 4, after
     # its own 4-byte size prefix)
@@ -1029,7 +1032,7 @@ def test_puffin_dv_crc_and_cardinality_fences():
     with pytest.raises(ValueError, match="checksum mismatch"):
         scan_iceberg_puffin(write_tar_bundle(files))
     # cardinality property disagreement
-    files = dict(read_tar_bundle(synth_iceberg_puffin(1)))
+    files = dict(read_tar_bundle(synth_iceberg_puffin(3)))
     puffin = files["deletes/dv.puffin"]
     size = int.from_bytes(puffin[-12:-8], "little")
     start = len(puffin) - 12 - size
@@ -1338,3 +1341,52 @@ def test_string_bounds_prune_after_partition():
     assert r["files_pruned_bounds"] == 1
     assert r["files_scanned"] == 0
     assert r["probe_matches"] == 0
+
+
+def test_puffin_compressed_blob_codecs():
+    """The lz4/zstd rotation round-trips through the hand frame
+    decoders, a corrupted compressed blob quarantines, and an
+    unknown codec loud-rejects."""
+    import json as _json
+
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_puffin,
+        synth_iceberg_puffin,
+        synth_iceberg_puffin_plan,
+    )
+
+    for seed, codec in ((1, "lz4"), (2, "zstd")):
+        plan = synth_iceberg_puffin_plan(seed)
+        r = scan_iceberg_puffin(synth_iceberg_puffin(seed))
+        assert r["blob_codec"] == codec
+        assert r["deleted_rows"] == len(plan["d0"]) + len(plan["d1"])
+        # corrupt a byte inside the compressed payload of blob 0
+        files = dict(read_tar_bundle(synth_iceberg_puffin(seed)))
+        puffin = bytearray(files["deletes/dv.puffin"])
+        puffin[12] ^= 0xFF
+        files["deletes/dv.puffin"] = bytes(puffin)
+        with pytest.raises(ValueError):
+            scan_iceberg_puffin(write_tar_bundle(files))
+    # unknown codec in the descriptor refuses before serving bytes
+    files = dict(read_tar_bundle(synth_iceberg_puffin(1)))
+    puffin = files["deletes/dv.puffin"]
+    size = int.from_bytes(puffin[-12:-8], "little")
+    start = len(puffin) - 12 - size
+    footer = _json.loads(puffin[start : start + size])
+    for b in footer["blobs"]:
+        b["compression-codec"] = "brotli"
+    new_footer = _json.dumps(footer).encode()
+    files["deletes/dv.puffin"] = (
+        puffin[: start - 4]
+        + b"PFA1"
+        + new_footer
+        + len(new_footer).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + b"PFA1"
+    )
+    with pytest.raises(ValueError, match="codec 'brotli'"):
+        scan_iceberg_puffin(write_tar_bundle(files))
