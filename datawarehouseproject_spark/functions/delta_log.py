@@ -203,12 +203,29 @@ def synth_delta(seed: int) -> bytes:
             "add": add_col,
         }
     )
-    buf = io.BytesIO()
-    pq.write_table(cp, buf)
-    files[f"{_LOG}/{1:020d}.checkpoint.parquet"] = buf.getvalue()
-    files[f"{_LOG}/_last_checkpoint"] = json.dumps(
-        {"version": 1, "size": n_actions}
-    ).encode()
+    if seed % 2 == 1:
+        # multi-part CLASSIC checkpoint rotation (round 12 — VERDICT
+        # r11 item 7): the same actions split across two parts named
+        # <version>.checkpoint.<part>.<totalParts>.parquet, with
+        # _last_checkpoint declaring parts=2 — replay must be
+        # IDENTICAL to the single-file form (same oracle values)
+        half = (n_actions + 1) // 2
+        for p, piece in ((1, cp.slice(0, half)), (2, cp.slice(half))):
+            buf = io.BytesIO()
+            pq.write_table(piece, buf)
+            files[
+                f"{_LOG}/{1:020d}.checkpoint.{p:010d}.{2:010d}.parquet"
+            ] = buf.getvalue()
+        files[f"{_LOG}/_last_checkpoint"] = json.dumps(
+            {"version": 1, "size": n_actions, "parts": 2}
+        ).encode()
+    else:
+        buf = io.BytesIO()
+        pq.write_table(cp, buf)
+        files[f"{_LOG}/{1:020d}.checkpoint.parquet"] = buf.getvalue()
+        files[f"{_LOG}/_last_checkpoint"] = json.dumps(
+            {"version": 1, "size": n_actions}
+        ).encode()
 
     # version 2: remove slot 0, add its replacement (same window)
     repl = write_data(
@@ -490,15 +507,50 @@ def _replay_log(
         if matches:
             v2_name = matches[0]
             cp_blob = files[v2_name]
-    if cp_blob is None:
+    # multi-part CLASSIC checkpoints (round 12 — VERDICT r11 item 7):
+    # the pre-v2 large-table layout, parts named
+    # <version>.checkpoint.<part>.<totalParts>.parquet with
+    # _last_checkpoint declaring "parts"; one action per row across
+    # the part set, order irrelevant to the reconciliation but the
+    # SET must be complete — a missing part silently drops files
+    parts = lc.get("parts")
+    part_blobs = None
+    if parts is not None:
+        if (
+            not isinstance(parts, int) or isinstance(parts, bool)
+            or not 1 <= parts <= 64
+        ):
+            raise ValueError("_last_checkpoint parts malformed")
+        if cp_blob is not None:
+            # one version cannot carry both forms: picking either
+            # silently ignores the other's actions
+            raise ValueError(
+                "both single and multi-part checkpoints for one version"
+            )
+        part_blobs = []
+        for p in range(1, parts + 1):
+            name = (
+                f"{_LOG}/{cp_version:020d}.checkpoint."
+                f"{p:010d}.{parts:010d}.parquet"
+            )
+            blob = files.get(name)
+            if blob is None:
+                raise ValueError(
+                    f"checkpoint part {p}/{parts} missing from log"
+                )
+            part_blobs.append(blob)
+    if cp_blob is None and part_blobs is None:
         raise ValueError("checkpoint parquet missing from log")
-    try:
-        cp = pq.read_table(io.BytesIO(cp_blob))
-    except Exception as e:
-        raise ValueError(f"checkpoint unreadable: {e}") from None
-    if cp.num_rows != cp_size:
+    tables = []
+    for blob in part_blobs if part_blobs is not None else [cp_blob]:
+        try:
+            tables.append(pq.read_table(io.BytesIO(blob)))
+        except Exception as e:
+            raise ValueError(f"checkpoint unreadable: {e}") from None
+    if sum(t.num_rows for t in tables) != cp_size:
         raise ValueError("_last_checkpoint size disagrees with parquet")
     state = _State(require_stats, allow_dv, allow_cm, allow_v2cp)
+    cp = tables[0]
     cols = cp.column_names
     # v2-ness is decided by the checkpointMetadata ACTION, not the
     # file name: the spec allows a v2 checkpoint under the classic
@@ -513,17 +565,25 @@ def _replay_log(
         raise ValueError(
             "uuid-named checkpoint without checkpointMetadata"
         )
+    if part_blobs is not None and any(
+        "checkpointMetadata" in t.column_names for t in tables
+    ):
+        # the spec's v2 form is single-file + sidecars; a "v2
+        # multi-part" has no defined reconciliation
+        raise ValueError("v2 checkpoint cannot be multi-part")
     inline_actions = []  # v2: file actions deferred until the
     # sidecar block decides whether this checkpoint is inline-form
-    for kind in ("metaData", "protocol", "add", "remove"):
-        if kind not in cols:
-            continue
-        for body in cp.column(kind).to_pylist():
-            if body is not None:
-                if is_v2 and kind in ("add", "remove"):
-                    inline_actions.append({kind: body})
-                else:
-                    state.apply({kind: body})
+    for table in tables:
+        tcols = table.column_names
+        for kind in ("metaData", "protocol", "add", "remove"):
+            if kind not in tcols:
+                continue
+            for body in table.column(kind).to_pylist():
+                if body is not None:
+                    if is_v2 and kind in ("add", "remove"):
+                        inline_actions.append({kind: body})
+                    else:
+                        state.apply({kind: body})
     if state.min_reader is None or state.meta_id is None:
         raise ValueError("checkpoint without protocol/metaData")
     if is_v2:

@@ -223,6 +223,10 @@ def _rebuild_checkpoint(files, actions):
     cp = pa.table(cols)
     buf = _io.BytesIO()
     pq.write_table(cp, buf)
+    # normalize to the single-file form (odd seeds synthesize the
+    # 2-part layout; the rebuild replaces whichever form was there)
+    for name in [n for n in files if ".checkpoint." in n]:
+        del files[name]
     files["_delta_log/00000000000000000001.checkpoint.parquet"] = (
         buf.getvalue()
     )
@@ -232,19 +236,24 @@ def _rebuild_checkpoint(files, actions):
 
 
 def _checkpoint_actions(files):
-    """Decode the fixture checkpoint back to action dicts."""
+    """Decode the fixture checkpoint (single-file or 2-part) back to
+    action dicts."""
     import io as _io
 
     import pyarrow.parquet as pq
 
-    cp = pq.read_table(_io.BytesIO(
-        files["_delta_log/00000000000000000001.checkpoint.parquet"]
-    ))
+    single = files.get("_delta_log/00000000000000000001.checkpoint.parquet")
+    blobs = [single] if single is not None else [
+        files[n] for n in sorted(files)
+        if "/00000000000000000001.checkpoint.00" in n
+    ]
     out = []
-    for kind in ("metaData", "protocol", "add"):
-        for body in cp.column(kind).to_pylist():
-            if body is not None:
-                out.append({kind: body})
+    for blob in blobs:
+        cp = pq.read_table(_io.BytesIO(blob))
+        for kind in ("metaData", "protocol", "add"):
+            for body in cp.column(kind).to_pylist():
+                if body is not None:
+                    out.append({kind: body})
     return out
 
 
@@ -1230,3 +1239,71 @@ def test_snapshot_state_ignores_cdc_actions():
     assert state.adds == {}
     with pytest.raises(ValueError, match="cdc"):
         state.apply({"cdc": {"size": 1}})
+
+
+# ---------------------------------------------------------------------------
+# multi-part classic checkpoints
+# ---------------------------------------------------------------------------
+
+def test_multipart_checkpoint_form_and_equivalence():
+    """Odd seeds synthesize the 2-part layout; replay must be
+    IDENTICAL to the same actions rebuilt as a single file."""
+    seed = 5
+    files = _untar(synth_delta(seed))
+    names = set(files)
+    assert "_delta_log/00000000000000000001.checkpoint.parquet" \
+        not in names
+    assert ("_delta_log/00000000000000000001.checkpoint."
+            "0000000001.0000000002.parquet") in names
+    assert ("_delta_log/00000000000000000001.checkpoint."
+            "0000000002.0000000002.parquet") in names
+    assert json.loads(files["_delta_log/_last_checkpoint"])["parts"] == 2
+    multi = scan_delta(synth_delta(seed))
+    actions = _checkpoint_actions(files)
+    _rebuild_checkpoint(files, actions)  # normalizes to single-file
+    single = scan_delta(_retar(files))
+    assert multi == single
+
+
+def test_multipart_missing_part_rejects():
+    seed = 3
+    files = _untar(synth_delta(seed))
+    del files["_delta_log/00000000000000000001.checkpoint."
+              "0000000002.0000000002.parquet"]
+    with pytest.raises(ValueError, match="part 2/2 missing"):
+        scan_delta(_retar(files))
+
+
+def test_multipart_plus_single_rejects():
+    """One version carrying both forms: picking either silently
+    ignores the other's actions — must refuse."""
+    seed = 3
+    files = _untar(synth_delta(seed))
+    part1 = files["_delta_log/00000000000000000001.checkpoint."
+                  "0000000001.0000000002.parquet"]
+    files["_delta_log/00000000000000000001.checkpoint.parquet"] = part1
+    with pytest.raises(ValueError, match="both single and multi-part"):
+        scan_delta(_retar(files))
+
+
+def test_multipart_size_sums_across_parts():
+    """_last_checkpoint.size counts actions across ALL parts."""
+    seed = 3
+    files = _untar(synth_delta(seed))
+    lc = json.loads(files["_delta_log/_last_checkpoint"])
+    lc["size"] += 1
+    files["_delta_log/_last_checkpoint"] = json.dumps(lc).encode()
+    with pytest.raises(ValueError, match="size disagrees"):
+        scan_delta(_retar(files))
+
+
+def test_multipart_parts_fences():
+    seed = 3
+    files = _untar(synth_delta(seed))
+    for bad in (0, -1, 65, "2", True):
+        lc = json.loads(files["_delta_log/_last_checkpoint"])
+        lc["parts"] = bad
+        f2 = dict(files)
+        f2["_delta_log/_last_checkpoint"] = json.dumps(lc).encode()
+        with pytest.raises(ValueError, match="parts malformed"):
+            scan_delta(_retar(f2))
