@@ -106,12 +106,16 @@ def main() -> None:
             # isolated, same code, same data)
             spark.catalog.clearCache()
 
-    # r10 verdict item 6: with min-of-2, a single slow sample leaves
-    # a phantom regression (session_window_agg: 5.5s spread at r10).
-    # Any query whose best-two spread exceeds 30% of its min gets
-    # extra passes until the spread settles or the retry budget runs
-    # out (r11: 50% left noise at 0.102, just over the <0.1 goal).
-    retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2")))
+    # r10 verdict item 6 / r11 item 5: with min-of-2, a single slow
+    # sample leaves a phantom regression (session_window_agg: 5.5s
+    # spread at r10) and the residual median noise sat at 0.106 with
+    # a 30% trigger.  The trigger now matches the <0.1 noise goal
+    # directly: any query whose best-two spread exceeds 10% of its
+    # min (with a 30ms absolute floor so pure scheduler jitter on
+    # sub-second queries cannot burn the budget) gets extra passes
+    # until the spread settles or the per-query retry budget runs out.
+    retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3")))
+    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD", "0.1"))
     if passes > 1:
         for name in HEADLINE:
             for _ in range(retries):
@@ -119,7 +123,8 @@ def main() -> None:
                 # settle on the BEST-TWO spread (the final statistic):
                 # including the outlier being retired would make the
                 # condition unreachable and burn the whole budget
-                if s[0] <= 0 or (s[1] - s[0]) / s[0] <= 0.3:
+                gap = s[1] - s[0]
+                if s[0] <= 0 or gap <= max(thresh * s[0], 0.03):
                     break
                 t0 = time.time()
                 fns[name](spark, sf_dir).write.format("noop").mode(
@@ -161,6 +166,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "passes": passes,
+        # r11 verdict item 5: record how many samples each query
+        # actually took (base passes + retries), only where it
+        # differs from the configured pass count
+        "extra_passes": {
+            n: len(s) - passes
+            for n, s in samples.items() if len(s) != passes
+        },
         "stat": "min_of_passes",
         "noise": noise,  # median per-query (max-min)/min across passes
         "spread": spread,

@@ -1205,6 +1205,98 @@ def round14c_kernels() -> None:
     }))
 
 
+def round15_kernels() -> None:
+    """Round 12: Delta change data feed, Iceberg string transforms,
+    ORC nested types, Puffin compressed blobs, multi-part
+    checkpoints."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta,
+        scan_delta_cdf,
+        synth_delta,
+        synth_delta_cdf,
+    )
+
+    tables = [synth_delta_cdf(s) for s in range(150)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_delta_cdf(b)["change_rows"] for b in tables
+        )
+    )
+    print(json.dumps({
+        "kernel": "delta_change_data_feed",
+        "media": f"150 tables x 4 commits, {n} change rows",
+        "tables_per_s": int(150 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    # odd seeds = the 2-part classic checkpoint layout
+    tables = [synth_delta(2 * s + 1) for s in range(150)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_delta(b)["total_live_rows"] for b in tables
+        )
+    )
+    print(json.dumps({
+        "kernel": "delta_multipart_checkpoint",
+        "media": f"150 tables, 2-part checkpoints, {n} live rows",
+        "tables_per_s": int(150 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_puffin,
+        scan_iceberg_str,
+        synth_iceberg_puffin,
+        synth_iceberg_str,
+    )
+
+    tables = [synth_iceberg_str(s) for s in range(150)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_iceberg_str(b)["rows_scanned"] for b in tables
+        )
+    )
+    print(json.dumps({
+        "kernel": "iceberg_string_transforms",
+        "media": f"150 tables, utf8 murmur3 pruning, {n} rows",
+        "tables_per_s": int(150 / secs),
+        "sec": round(secs, 4),
+    }))
+
+    # seeds 1,2 mod 3 = lz4/zstd-compressed DV blobs
+    tables = [synth_iceberg_puffin(s) for s in range(150) if s % 3]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_iceberg_puffin(b)["live_rows"] for b in tables
+        )
+    )
+    print(json.dumps({
+        "kernel": "puffin_compressed_blobs",
+        "media": f"{len(tables)} tables, lz4/zstd DV blobs, {n} live",
+        "tables_per_s": int(len(tables) / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_nested,
+        synth_orc_nested,
+    )
+
+    payloads = [synth_orc_nested(s) for s in range(100)]
+    secs, n = _timeit(
+        lambda: sum(
+            scan_orc_nested(b)["n_rows"] for b in payloads
+        )
+    )
+    print(json.dumps({
+        "kernel": "orc_nested_types",
+        "media": f"100 files, struct+list+map, {n} rows",
+        "rows_per_s": int(n / secs),
+        "sec": round(secs, 4),
+    }))
+
+
+
 if __name__ == "__main__":
     main()
     archive_kernels()
@@ -1220,3 +1312,4 @@ if __name__ == "__main__":
     round14_kernels()
     round14b_kernels()
     round14c_kernels()
+    round15_kernels()
