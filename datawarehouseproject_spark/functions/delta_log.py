@@ -457,6 +457,22 @@ class _State:
         self.adds[path] = (stats, pv, dv)
 
 
+def _commit_versions(files: dict[str, bytes]) -> dict[int, str]:
+    """JSON commit discovery shared by the snapshot replay and the
+    CDF scan: DIRECT children of _delta_log matched by full path — a
+    basename match would collect `_delta_log/sub/<v>.json` and then
+    KeyError on the top-level fetch (review r11 pass 2: KeyError is
+    not ValueError and escapes the quarantine)."""
+    by_version: dict[int, str] = {}
+    for n in files:
+        if not n.startswith(f"{_LOG}/"):
+            continue
+        m = _JSON_RE.match(n[len(_LOG) + 1 :])
+        if m:
+            by_version[int(m.group(1))] = n
+    return by_version
+
+
 def _replay_log(
     files: dict[str, bytes],
     require_stats: bool = True,
@@ -594,19 +610,8 @@ def _replay_log(
     if trace is not None:
         trace.append((cp_version, dict(state.adds)))
 
-    # replay post-checkpoint JSON commits, contiguous versions only.
-    # Match DIRECT children of _delta_log by full path — a basename
-    # match would collect `_delta_log/sub/<v>.json` into `versions`
-    # and then KeyError on the top-level fetch (review r11 pass 2:
-    # KeyError is not ValueError and escapes the quarantine).
-    by_version: dict[int, str] = {}
-    for n in files:
-        if not n.startswith(f"{_LOG}/"):
-            continue
-        rest = n[len(_LOG) + 1 :]
-        m = _JSON_RE.match(rest)
-        if m:
-            by_version[int(m.group(1))] = n
+    # replay post-checkpoint JSON commits, contiguous versions only
+    by_version = _commit_versions(files)
     replayed = 0
     current = cp_version
     for v in sorted(by_version):
@@ -2376,18 +2381,24 @@ def scan_delta_dvcm(payload: bytes) -> dict:
 _CDF_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
 
 
-def _read_v_values(files: dict[str, bytes], path: str) -> list[int]:
-    """One data file's value column, integer-checked (the CDF scan
-    needs full values for change sums, not just probe matches)."""
+def _fetch_parquet(files: dict[str, bytes], path: str, what: str):
+    """Shared bundle-parquet fetch with the ValueError wrap (review
+    r12 pass 1: the fetch/read/wrap block had grown three copies)."""
     import pyarrow.parquet as pq
 
     blob = files.get(path)
     if blob is None:
-        raise ValueError(f"data file {path!r} missing from bundle")
+        raise ValueError(f"{what} {path!r} missing from bundle")
     try:
-        table = pq.read_table(io.BytesIO(blob))
+        return pq.read_table(io.BytesIO(blob))
     except Exception as e:
-        raise ValueError(f"data file unreadable: {e}") from None
+        raise ValueError(f"{what} unreadable: {e}") from None
+
+
+def _read_v_values(files: dict[str, bytes], path: str) -> list[int]:
+    """One data file's value column, integer-checked (the CDF scan
+    needs full values for change sums, not just probe matches)."""
+    table = _fetch_parquet(files, path, "data file")
     if "v" not in table.column_names:
         raise ValueError("data file missing the value column")
     vals = table.column("v").to_pylist()
@@ -2404,15 +2415,7 @@ def _read_cdc_file(
     (PROTOCOL.md "Add CDC File") puts change files under the table
     root — conventionally ``_change_data/`` — with the data schema
     plus the ``_change_type`` column."""
-    import pyarrow.parquet as pq
-
-    blob = files.get(path)
-    if blob is None:
-        raise ValueError(f"cdc file {path!r} missing from bundle")
-    try:
-        table = pq.read_table(io.BytesIO(blob))
-    except Exception as e:
-        raise ValueError(f"cdc file unreadable: {e}") from None
+    table = _fetch_parquet(files, path, "cdc file")
     for col in ("v", "_change_type"):
         if col not in table.column_names:
             raise ValueError(f"cdc file missing {col!r}")
@@ -2609,13 +2612,7 @@ def scan_delta_cdf(payload: bytes) -> dict:
     Replaces the round-11 loud-reject at ``_State.apply``
     (VERDICT r11 item 1)."""
     files = read_tar_bundle(payload)
-    by_version: dict[int, str] = {}
-    for n in files:
-        if not n.startswith(f"{_LOG}/"):
-            continue
-        m = _JSON_RE.match(n[len(_LOG) + 1:])
-        if m:
-            by_version[int(m.group(1))] = n
+    by_version = _commit_versions(files)
     if not by_version:
         raise ValueError("no JSON commits in log")
     versions = sorted(by_version)
@@ -2626,14 +2623,18 @@ def scan_delta_cdf(payload: bytes) -> dict:
     if len(versions) > 64:
         raise ValueError("commit count past cap (boundary)")
     state = _State(require_stats=False)
-    commits: list[tuple[int, list[dict]]] = []
+    # (kind, body) tuples, NOT the raw action dicts: re-deriving the
+    # kind downstream via `"add" in action` membership would pick a
+    # null-valued sibling key and TypeError past the quarantine
+    # (review r12 pass 1 — reproduced with {"remove":{...},"add":null})
+    commits: list[tuple[int, list[tuple[str, dict]]]] = []
     for want, v in enumerate(versions):
         if v != want:
             raise ValueError("commit versions not contiguous (boundary)")
         blob = files[by_version[v]]
         if len(blob) > 1 << 24:
             raise ValueError("commit JSON exceeds size cap")
-        actions: list[dict] = []
+        actions: list[tuple[str, dict]] = []
         for line in blob.splitlines():
             if not line.strip():
                 continue
@@ -2659,17 +2660,22 @@ def scan_delta_cdf(payload: bytes) -> dict:
                     # data change is IN the change file, not the table)
                     raise ValueError("cdc action must set dataChange=false")
                 size = body.get("size")
-                blob_c = files.get(path)
-                if (
-                    isinstance(size, int) and not isinstance(size, bool)
-                    and blob_c is not None and size != len(blob_c)
+                if size is not None and (
+                    not isinstance(size, int) or isinstance(size, bool)
+                    or size < 0
                 ):
+                    # a malformed declaration must refuse like every
+                    # sibling size fence, not silently skip the check
+                    raise ValueError("cdc size malformed")
+                blob_c = files.get(path)
+                if size is not None and blob_c is not None \
+                        and size != len(blob_c):
                     raise ValueError("cdc size disagrees with the file")
-                actions.append(action)
+                actions.append((kind, body))
             else:
                 state.apply(action)
                 if kind in ("add", "remove"):
-                    actions.append(action)
+                    actions.append((kind, action[kind]))
         commits.append((v, actions))
     if state.min_reader is None or state.meta_id is None:
         raise ValueError("log without protocol/metaData")
@@ -2695,7 +2701,7 @@ def scan_delta_cdf(payload: bytes) -> dict:
     for v, actions in commits:
         if not start <= v <= end:
             continue
-        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        cdcs = [body for kind, body in actions if kind == "cdc"]
         if cdcs:
             if len(cdcs) > 8:
                 raise ValueError("cdc file count past cap (boundary)")
@@ -2715,9 +2721,7 @@ def scan_delta_cdf(payload: bytes) -> dict:
                 raise ValueError("unbalanced update pre/post images")
         else:
             changed = False
-            for a in actions:
-                kind = "add" if "add" in a else "remove"
-                body = a[kind]
+            for kind, body in actions:
                 dc = body.get("dataChange")
                 if not isinstance(dc, bool):
                     raise ValueError(f"{kind} dataChange malformed")

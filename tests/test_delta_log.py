@@ -1307,3 +1307,58 @@ def test_multipart_parts_fences():
         f2["_delta_log/_last_checkpoint"] = json.dumps(lc).encode()
         with pytest.raises(ValueError, match="parts malformed"):
             scan_delta(_retar(f2))
+
+
+def test_cdf_null_sibling_key_stays_valueerror():
+    """Review r12 pass 1: an action with an extra NULL-valued key
+    passes the exactly-one-non-null validation; the change-derive
+    loop must not re-derive the kind by raw membership (it picked
+    the null sibling and TypeError'd past the quarantine)."""
+    scan, synth, _ = _cdf_imports()
+    # {"remove": {...}, "add": null} — kind is remove
+    files = _untar(synth(2))
+    v2 = "_delta_log/00000000000000000002.json"
+    lines = []
+    for ln in files[v2].decode().splitlines():
+        if '"remove"' in ln:
+            action = json.loads(ln)
+            action["add"] = None
+            ln = json.dumps(action)
+        lines.append(ln)
+    files[v2] = ("\n".join(lines) + "\n").encode()
+    r = scan(_retar(files))  # must not raise: add=null is ignored
+    base = scan(synth(2))
+    assert r == base
+    # {"add": {...}, "cdc": null} — kind is add; must not enter the
+    # cdc branch with a None body
+    files = _untar(synth(2))
+    v0 = "_delta_log/00000000000000000000.json"
+    lines = []
+    for ln in files[v0].decode().splitlines():
+        if '"add"' in ln and "part-00000" in ln:
+            action = json.loads(ln)
+            action["cdc"] = None
+            ln = json.dumps(action)
+        lines.append(ln)
+    files[v0] = ("\n".join(lines) + "\n").encode()
+    r = scan(_retar(files))
+    assert r == base
+
+
+def test_cdf_malformed_size_rejects():
+    """A cdc size of the wrong type refuses like every sibling size
+    fence (review r12 pass 1: it silently skipped the check)."""
+    scan, synth, _ = _cdf_imports()
+    for bad in ("1234", -1, True):
+        files = _untar(synth(1))
+        v1 = "_delta_log/00000000000000000001.json"
+        lines = []
+        for ln in files[v1].decode().splitlines():
+            if '"cdc"' in ln:
+                action = json.loads(ln)
+                action["cdc"]["size"] = bad
+                ln = json.dumps(action)
+            lines.append(ln)
+        files[v1] = ("\n".join(lines) + "\n").encode()
+        with pytest.raises(ValueError, match="size malformed"):
+            scan(_retar(files))
