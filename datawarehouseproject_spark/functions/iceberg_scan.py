@@ -2626,3 +2626,306 @@ def scan_iceberg_str(payload: bytes) -> dict:
         "probe_bucket": bucket_transform_str(probe, bucket_spec[1]),
         "probe_prefix": truncate_transform_str(probe, truncate_spec[1]),
     }
+
+
+# ---------------------------------------------------------------------------
+# decimal partition keys: bucket/truncate over the UNSCALED value
+# (round 12 — spec Appendix B: murmur3 of the minimal two's-complement
+# big-endian bytes; truncate floors in unscaled units)
+# ---------------------------------------------------------------------------
+
+def synth_iceberg_dec_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracle: 4 files under the two-field
+    DECIMAL(9,2) spec ``(truncate[500](d), bucket[8](d))`` at cells
+    (window, bucket) = (W0,B0)/(W0,B1)/(W1,B0)/(W1,B1) — only the
+    conjunction prunes to one file.  File j holds ``rows_j = 10 +
+    (seed+j) % 6`` distinct unscaled values picked ascending from
+    the cell's 500-wide window into its bucket class; ``W0 =
+    500*(seed%10)``, ``B0 = seed%8``, ``B1 = (seed+3)%8``."""
+    rows = [10 + (seed + j) % 6 for j in range(4)]
+    return {
+        "rows": rows,
+        "window": 500 * (seed % 10),
+        "bucket": seed % 8,
+        "rows_scanned": rows[0],
+        "total_rows": sum(rows),
+    }
+
+
+def synth_iceberg_dec(seed: int) -> bytes:
+    import decimal as _dec
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = synth_iceberg_dec_plan(seed)
+    w0 = 500 * (seed % 10)
+    w1 = w0 + 500
+    b0 = seed % 8
+    b1 = (seed + 3) % 8
+
+    def pick(window: int, bucket: int, count: int) -> list[int]:
+        vals = []
+        u = window
+        while len(vals) < count:
+            if u >= window + 500:
+                raise ValueError("window exhausted for bucket class")
+            if bucket_transform_decimal(u, 8) == bucket:
+                vals.append(u)
+            u += 1
+        return vals
+
+    cells = [(w0, b0), (w0, b1), (w1, b0), (w1, b1)]
+    unscaled = [
+        pick(w, b, plan["rows"][j]) for j, (w, b) in enumerate(cells)
+    ]
+    probe_u = unscaled[0][0]
+    probe = f"{_dec.Decimal(probe_u).scaleb(-2):.2f}"
+    sync = bytes((seed * 47 + j * 19 + 3) % 256 for j in range(16))
+    files: dict[str, bytes] = {}
+    entries = []
+    for j, (w, b) in enumerate(cells):
+        arr = pa.array(
+            [_dec.Decimal(u).scaleb(-2) for u in unscaled[j]],
+            type=pa.decimal128(9, 2),
+        )
+        buf = io.BytesIO()
+        pq.write_table(pa.table({"d": arr}), buf)
+        path = f"data/f{j:02d}.parquet"
+        files[path] = buf.getvalue()
+        entries.append(
+            _zigzag_write(1)
+            + _zigzag_write(1) + _zigzag_write(7)
+            + _zigzag_write(0)
+            + _enc_string(path)
+            + _enc_string("PARQUET")
+            + _zigzag_write(w)  # partition.p = truncate (unscaled)
+            + _zigzag_write(b)  # partition.q = bucket
+            + _zigzag_write(len(unscaled[j]))
+            + _zigzag_write(len(files[path]))
+            + _enc_bounds(min(unscaled[j]))
+            + _enc_bounds(max(unscaled[j]))
+            + _zigzag_write(0)  # equality_ids: empty
+        )
+    files["metadata/m0.avro"] = encode_avro_container(
+        _MANIFEST_SCHEMA_MULTI, entries, sync
+    )
+    files["metadata/snap-7.avro"] = encode_avro_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            _enc_string("metadata/m0.avro")
+            + _zigzag_write(len(files["metadata/m0.avro"]))
+            + _zigzag_write(0)
+            + _zigzag_write(0)
+            + _zigzag_write(7)
+            + _zigzag_write(4)
+        ],
+        sync,
+    )
+    files["metadata/v2.metadata.json"] = json.dumps(
+        {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-4000-8000-{seed:012d}",
+            "properties": {"fixture.probe": probe,
+                           "fixture.probe.scale": "2"},
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": "p",
+                            "transform": "truncate[500]",
+                            "source-id": _V_FIELD_ID,
+                            "field-id": 1000,
+                        },
+                        {
+                            "name": "q",
+                            "transform": "bucket[8]",
+                            "source-id": _V_FIELD_ID,
+                            "field-id": 1001,
+                        },
+                    ],
+                }
+            ],
+            "current-snapshot-id": 7,
+            "snapshots": [
+                {"snapshot-id": 7, "manifest-list": "metadata/snap-7.avro"}
+            ],
+        }
+    ).encode()
+    return write_tar_bundle(files)
+
+
+def scan_iceberg_dec(payload: bytes) -> dict:
+    """Point lookup on a DECIMAL-partitioned table: transforms apply
+    to the UNSCALED value (spec Appendix B — bucket hashes the
+    minimal two's-complement big-endian bytes, truncate floors in
+    unscaled units), pruning on the (truncate, bucket) conjunction,
+    bounds in unscaled int64 serialization, and a per-row transform
+    audit over the pyarrow-decoded decimal column.  ``probe_bucket``
+    puts the minimal-bytes murmur3 value inside the oracle hash."""
+    import decimal as _dec
+
+    files = read_tar_bundle(payload)
+    meta, _snaps, ml_blob, probe_str = _parse_table_meta(
+        files, string_probe=True
+    )
+    props = meta.get("properties", {})
+    scale_raw = props.get("fixture.probe.scale")
+    try:
+        scale = int(scale_raw)
+    except (TypeError, ValueError):
+        raise ValueError("decimal probe scale malformed") from None
+    if not 0 <= scale <= 18:
+        raise ValueError("decimal probe scale out of range")
+    try:
+        probe_dec = _dec.Decimal(probe_str)
+    except _dec.InvalidOperation:
+        raise ValueError("decimal probe not parseable") from None
+    probe_scaled = probe_dec.scaleb(scale)
+    if probe_scaled != probe_scaled.to_integral_value():
+        raise ValueError("decimal probe has more digits than the scale")
+    probe_u = int(probe_scaled)
+
+    spec_id = meta.get("default-spec-id")
+    specs = meta.get("partition-specs")
+    if not isinstance(spec_id, int) or isinstance(spec_id, bool) \
+            or not isinstance(specs, list):
+        raise ValueError("partition spec metadata malformed")
+    spec = next(
+        (s for s in specs
+         if isinstance(s, dict) and s.get("spec-id") == spec_id),
+        None,
+    )
+    if spec is None:
+        raise ValueError("default-spec-id not in partition-specs")
+    fields = spec.get("fields")
+    if not isinstance(fields, list) or not 1 <= len(fields) <= 3:
+        raise ValueError("partition spec field count unsupported")
+    tspecs = []
+    for pf in fields:
+        if not isinstance(pf, dict) or pf.get("source-id") != _V_FIELD_ID:
+            raise ValueError("partition source field unsupported")
+        pname = pf.get("name")
+        if not isinstance(pname, str) or not pname:
+            raise ValueError("partition field name malformed")
+        tname, targ = parse_transform(pf.get("transform"))
+        if tname not in ("bucket", "truncate"):
+            raise ValueError(
+                f"transform {tname!r} undefined over decimals (boundary)"
+            )
+        tspecs.append((pname, tname, targ))
+    if len({t[0] for t in tspecs}) != len(tspecs):
+        raise ValueError("partition field names not unique")
+
+    def transform_of(tname: str, targ: int, unscaled: int) -> int:
+        if tname == "bucket":
+            return bucket_transform_decimal(unscaled, targ)
+        return truncate_transform_decimal(unscaled, targ)
+
+    candidates = []  # (path, record_count, partition, lo, hi)
+    for mf in decode_avro_blocks(ml_blob):
+        mpath = mf.get("manifest_path")
+        if not isinstance(mpath, str):
+            raise ValueError("manifest_path is not a string")
+        mblob = files.get(mpath)
+        if mblob is None:
+            raise ValueError(f"manifest {mpath!r} missing from bundle")
+        if mf.get("manifest_length") != len(mblob):
+            raise ValueError("manifest_length disagrees with bundle")
+        if mf.get("content", 0) != 0:
+            raise ValueError(
+                "delete manifests unsupported by the decimal scan "
+                "(boundary)"
+            )
+        for e in decode_avro_blocks(mblob):
+            status = e.get("status")
+            df = e.get("data_file")
+            if not isinstance(df, dict):
+                raise ValueError("manifest entry without data_file")
+            if status == 2:
+                continue
+            if status not in (0, 1):
+                raise ValueError(f"manifest entry status {status} unknown")
+            path = df.get("file_path")
+            rc = df.get("record_count")
+            part = df.get("partition")
+            if not isinstance(path, str):
+                raise ValueError("data file path is not a string")
+            if not isinstance(rc, int) or isinstance(rc, bool) or rc < 0:
+                raise ValueError("data file record_count malformed")
+            if not isinstance(part, dict) or not all(
+                isinstance(part.get(pname), int)
+                and not isinstance(part.get(pname), bool)
+                for pname, _tn, _ta in tspecs
+            ):
+                raise ValueError("data file partition value malformed")
+            part_tuple = tuple(
+                part[pname] for pname, _tn, _ta in tspecs
+            )
+            if df.get("content", 0) != 0:
+                raise ValueError("non-data file content (boundary)")
+            lo = _bound_value(df.get("lower_bounds"))
+            hi = _bound_value(df.get("upper_bounds"))
+            if lo > hi:
+                raise ValueError("data file lower bound above upper")
+            candidates.append((path, rc, part_tuple, lo, hi))
+    if not candidates:
+        raise ValueError("current snapshot has no live data files")
+    target = tuple(
+        transform_of(tn, ta, probe_u) for _pn, tn, ta in tspecs
+    )
+    part_survivors = [c for c in candidates if c[2] == target]
+    files_pruned_partition = len(candidates) - len(part_survivors)
+    survivors = [
+        c for c in part_survivors if c[3] <= probe_u <= c[4]
+    ]
+    files_pruned_bounds = len(part_survivors) - len(survivors)
+    rows_scanned = 0
+    matches = 0
+    for path, rc, part, _lo, _hi in survivors:
+        table = _read_parquet_checked(files, path, rc)
+        if "d" not in table.column_names:
+            raise ValueError("data file missing the predicate column")
+        rows_scanned += table.num_rows
+        for d in table.column("d").to_pylist():
+            if not isinstance(d, _dec.Decimal):
+                raise ValueError("data value not a decimal")
+            scaled = d.scaleb(scale)
+            if scaled != scaled.to_integral_value():
+                raise ValueError("decimal value off the declared scale")
+            u = int(scaled)
+            if any(
+                transform_of(tn, ta, u) != pv
+                for (_pn, tn, ta), pv in zip(tspecs, part)
+            ):
+                raise ValueError(
+                    "row transform disagrees with manifest partition"
+                )
+            if u == probe_u:
+                matches += 1
+    total_rows = sum(c[1] for c in candidates)
+    if not (0 <= total_rows < 2**63):
+        raise ValueError("iceberg total_rows overflows int64 (boundary)")
+    bucket_spec = next(
+        ((tn, ta) for _pn, tn, ta in tspecs if tn == "bucket"), None
+    )
+    truncate_spec = next(
+        ((tn, ta) for _pn, tn, ta in tspecs if tn == "truncate"), None
+    )
+    if bucket_spec is None or truncate_spec is None:
+        raise ValueError("decimal fixture needs bucket AND truncate")
+    return {
+        "n_data_files": len(candidates),
+        "files_pruned_partition": files_pruned_partition,
+        "files_pruned_bounds": files_pruned_bounds,
+        "files_scanned": len(survivors),
+        "rows_scanned": rows_scanned,
+        "total_rows": total_rows,
+        "probe_matches": matches,
+        "probe_bucket": bucket_transform_decimal(probe_u, bucket_spec[1]),
+        "probe_window": truncate_transform_decimal(
+            probe_u, truncate_spec[1]
+        ),
+    }

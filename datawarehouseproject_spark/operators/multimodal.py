@@ -3818,3 +3818,48 @@ def extract_orc_nested_scan(
         return scan_orc_nested
 
     return _extract_metadata(media, ORC_NESTED_SCHEMA, loader, permissive)
+
+
+def synthesize_iceberg_dec_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Iceberg tables with a
+    DECIMAL(9,2) partition key under a two-field
+    ``(truncate[500], bucket[8])`` spec
+    (``functions/iceberg_scan.py:synth_iceberg_dec``)."""
+
+    def loader():
+        from ..functions.iceberg_scan import synth_iceberg_dec
+
+        return synth_iceberg_dec
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ICEBERG_DEC_SCHEMA = T.StructType(
+    [
+        T.StructField("n_data_files", T.IntegerType()),
+        T.StructField("files_pruned_partition", T.IntegerType()),
+        T.StructField("files_pruned_bounds", T.IntegerType()),
+        T.StructField("files_scanned", T.IntegerType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("probe_matches", T.LongType()),
+        T.StructField("probe_bucket", T.IntegerType()),
+        T.StructField("probe_window", T.LongType()),
+    ]
+)
+
+
+def extract_iceberg_dec_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Decimal-key transform-pruned Iceberg scan per bundle
+    (:func:`..functions.iceberg_scan.scan_iceberg_dec`)."""
+
+    def loader():
+        from ..functions.iceberg_scan import scan_iceberg_dec
+
+        return scan_iceberg_dec
+
+    return _extract_metadata(media, ICEBERG_DEC_SCHEMA, loader, permissive)

@@ -8069,3 +8069,60 @@ def q_orc_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_nulls", "b_bytes", "b_count", "list_nulls", "list_count",
         "list_sum", "map_count", "map_key_bytes", "map_val_sum",
     )
+
+
+@register(
+    "iceberg_decimal_transform_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id FROM documents),
+    f AS (
+      SELECT media_id, unnest(generate_series(0, 3)) AS j FROM m),
+    r AS (
+      SELECT media_id, j, 10 + (media_id + j) % 6 AS rows_ FROM f)
+    SELECT media_id,
+           CAST(4 AS INTEGER) AS n_data_files,
+           CAST(3 AS INTEGER) AS files_pruned_partition,
+           CAST(0 AS INTEGER) AS files_pruned_bounds,
+           CAST(1 AS INTEGER) AS files_scanned,
+           CAST(sum(CASE WHEN j = 0 THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(rows_) AS BIGINT) AS total_rows,
+           CAST(1 AS BIGINT) AS probe_matches,
+           CAST(max(media_id) % 8 AS INTEGER) AS probe_bucket,
+           CAST(500 * (max(media_id) % 10) AS BIGINT) AS probe_window
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "iceberg", "lakehouse", "partition-pruning",
+          "decimal-transforms", "mapInPandas"),
+)
+def q_iceberg_decimal_transform_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg bucket/truncate transforms over a DECIMAL(9,2)
+    partition key (round 12, companion to the string scan): both
+    transforms apply to the UNSCALED value — ``bucket[8]`` hashes
+    its minimal two's-complement big-endian bytes with murmur3 (spec
+    Appendix B, pinned by the published ``14.20 → -500754589``
+    vector) and ``truncate[500]`` floors in unscaled units (the
+    spec's own ``truncate[50](10.65) → 10.50`` example)
+    (``functions/iceberg_scan.py:scan_iceberg_dec``).  The data
+    column is a pyarrow-real decimal128(9,2); the reader re-derives
+    each row's unscaled value, audits it against the manifest's
+    declared (window, bucket) cell, and ``probe_bucket`` puts the
+    minimal-bytes murmur3 value inside the oracle hash.  Four files
+    at the conjunction cells — only both dimensions together reach
+    ``files_pruned_partition = 3``."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_iceberg_dec_scan,
+        synthesize_iceberg_dec_media,
+    )
+
+    media = synthesize_iceberg_dec_media(_t(spark, sf_dir, "documents"))
+    return extract_iceberg_dec_scan(media).select(
+        "media_id", "n_data_files", "files_pruned_partition",
+        "files_pruned_bounds", "files_scanned", "rows_scanned",
+        "total_rows", "probe_matches", "probe_bucket", "probe_window",
+    )

@@ -201,6 +201,11 @@ def _cases():
             iceberg_scan.synth_iceberg_str,
             iceberg_scan.scan_iceberg_str,
         ),
+        (
+            "iceberg_dec",
+            iceberg_scan.synth_iceberg_dec,
+            iceberg_scan.scan_iceberg_dec,
+        ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
         (
             "delta_partitioned",

@@ -1390,3 +1390,54 @@ def test_puffin_compressed_blob_codecs():
     )
     with pytest.raises(ValueError, match="codec 'brotli'"):
         scan_iceberg_puffin(write_tar_bundle(files))
+
+
+def test_decimal_scan_matches_plan_all_seeds():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_dec,
+        synth_iceberg_dec,
+        synth_iceberg_dec_plan,
+    )
+
+    for seed in range(8):
+        p = synth_iceberg_dec_plan(seed)
+        r = scan_iceberg_dec(synth_iceberg_dec(seed))
+        assert r["n_data_files"] == 4
+        assert r["files_pruned_partition"] == 3
+        assert r["files_scanned"] == 1
+        assert r["rows_scanned"] == p["rows_scanned"]
+        assert r["total_rows"] == p["total_rows"]
+        assert r["probe_matches"] == 1
+        assert r["probe_bucket"] == p["bucket"]
+        assert r["probe_window"] == p["window"]
+
+
+def test_decimal_scan_scale_fences():
+    """A probe off the declared scale, a bad scale, and a data value
+    off the scale all quarantine."""
+    import json
+
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_dec,
+        synth_iceberg_dec,
+    )
+
+    base = dict(read_tar_bundle(synth_iceberg_dec(2)))
+
+    def mutate(**props):
+        files = dict(base)
+        meta = json.loads(files["metadata/v2.metadata.json"])
+        meta["properties"].update(props)
+        files["metadata/v2.metadata.json"] = json.dumps(meta).encode()
+        return write_tar_bundle(files)
+
+    with pytest.raises(ValueError, match="more digits than the scale"):
+        scan_iceberg_dec(mutate(**{"fixture.probe": "1.234"}))
+    with pytest.raises(ValueError, match="scale malformed"):
+        scan_iceberg_dec(mutate(**{"fixture.probe.scale": "x"}))
+    with pytest.raises(ValueError, match="not parseable"):
+        scan_iceberg_dec(mutate(**{"fixture.probe": "pi"}))
