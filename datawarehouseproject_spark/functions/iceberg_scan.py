@@ -77,6 +77,14 @@ _BOUND_SCHEMA = {
     },
 }
 
+#: the bounds item record is REFERENCED BY NAME on its second use
+#: (Avro forbids redefining a name; references are the spec's
+#: mechanism) — shared by every manifest schema that carries bounds
+_UPPER_BOUNDS_REF = {
+    "name": "upper_bounds",
+    "type": {"type": "array", "items": "k_v"},
+}
+
 _MANIFEST_SCHEMA = json.dumps(
     {
         "type": "record",
@@ -98,13 +106,7 @@ _MANIFEST_SCHEMA = json.dumps(
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {"name": "lower_bounds", "type": _BOUND_SCHEMA},
-                        # the item record is REFERENCED BY NAME the
-                        # second time (Avro forbids redefining a
-                        # name; references are the spec's mechanism)
-                        {
-                            "name": "upper_bounds",
-                            "type": {"type": "array", "items": "k_v"},
-                        },
+                        _UPPER_BOUNDS_REF,
                         {
                             "name": "equality_ids",
                             "type": {"type": "array", "items": "int"},
@@ -766,13 +768,7 @@ _MANIFEST_SCHEMA_V2 = json.dumps(
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {"name": "lower_bounds", "type": _BOUND_SCHEMA},
-                        # the item record is REFERENCED BY NAME the
-                        # second time (Avro forbids redefining a
-                        # name; references are the spec's mechanism)
-                        {
-                            "name": "upper_bounds",
-                            "type": {"type": "array", "items": "k_v"},
-                        },
+                        _UPPER_BOUNDS_REF,
                         {
                             "name": "equality_ids",
                             "type": {"type": "array", "items": "int"},
@@ -976,6 +972,46 @@ def _synth_v2_table(
     return write_tar_bundle(files)
 
 
+def _resolve_partition_spec(meta, allowed=None, kind: str = ""):
+    """Default partition-spec resolution shared by the v2/string/
+    decimal scans (review r12 pass 2: three copies): returns
+    ``[(field name, transform name, transform arg), ...]`` with the
+    spec-id lookup, field-count, source-id, name-uniqueness, and
+    (when ``allowed`` is given) transform-applicability fences."""
+    spec_id = meta.get("default-spec-id")
+    specs = meta.get("partition-specs")
+    if not isinstance(spec_id, int) or isinstance(spec_id, bool) \
+            or not isinstance(specs, list):
+        raise ValueError("partition spec metadata malformed")
+    spec = next(
+        (s for s in specs
+         if isinstance(s, dict) and s.get("spec-id") == spec_id),
+        None,
+    )
+    if spec is None:
+        raise ValueError("default-spec-id not in partition-specs")
+    fields = spec.get("fields")
+    if not isinstance(fields, list) or not 1 <= len(fields) <= 3:
+        raise ValueError("partition spec field count unsupported")
+    tspecs = []
+    for pf in fields:
+        if not isinstance(pf, dict) or pf.get("source-id") != _V_FIELD_ID:
+            raise ValueError("partition source field unsupported")
+        pname = pf.get("name")
+        if not isinstance(pname, str) or not pname:
+            raise ValueError("partition field name malformed")
+        tname, targ = parse_transform(pf.get("transform"))
+        if allowed is not None and tname not in allowed:
+            raise ValueError(
+                f"transform {tname!r} undefined over {kind} (boundary)"
+            )
+        tspecs.append((pname, tname, targ))
+    if len({t[0] for t in tspecs}) != len(tspecs):
+        raise ValueError("partition field names not unique")
+    return tspecs
+
+
+
 def scan_iceberg_v2(payload: bytes) -> dict:
     """Serve the point lookup through TRANSFORM-AWARE planning plus
     EQUALITY-delete merge-on-read:
@@ -1001,33 +1037,7 @@ def scan_iceberg_v2(payload: bytes) -> dict:
 
     files = read_tar_bundle(payload)
     meta, snaps, ml_blob, probe = _parse_table_meta(files)
-    # partition spec resolution
-    spec_id = meta.get("default-spec-id")
-    specs = meta.get("partition-specs")
-    if not isinstance(spec_id, int) or isinstance(spec_id, bool) \
-            or not isinstance(specs, list):
-        raise ValueError("partition spec metadata malformed")
-    spec = next(
-        (s for s in specs
-         if isinstance(s, dict) and s.get("spec-id") == spec_id),
-        None,
-    )
-    if spec is None:
-        raise ValueError("default-spec-id not in partition-specs")
-    fields = spec.get("fields")
-    if not isinstance(fields, list) or not 1 <= len(fields) <= 3:
-        raise ValueError("partition spec field count unsupported")
-    tspecs = []  # (partition field name, transform name, transform arg)
-    for pf in fields:
-        if not isinstance(pf, dict) or pf.get("source-id") != _V_FIELD_ID:
-            raise ValueError("partition source field unsupported")
-        pname = pf.get("name")
-        if not isinstance(pname, str) or not pname:
-            raise ValueError("partition field name malformed")
-        tname, targ = parse_transform(pf.get("transform"))
-        tspecs.append((pname, tname, targ))
-    if len({t[0] for t in tspecs}) != len(tspecs):
-        raise ValueError("partition field names not unique")
+    tspecs = _resolve_partition_spec(meta)
 
     candidates = []  # (path, record_count, partition, lo, hi, seq)
     eq_delete_files = []  # (path, record_count, seq)
@@ -1422,13 +1432,7 @@ _MANIFEST_SCHEMA_SEQ = json.dumps(
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {"name": "lower_bounds", "type": _BOUND_SCHEMA},
-                        # the item record is REFERENCED BY NAME the
-                        # second time (Avro forbids redefining a
-                        # name; references are the spec's mechanism)
-                        {
-                            "name": "upper_bounds",
-                            "type": {"type": "array", "items": "k_v"},
-                        },
+                        _UPPER_BOUNDS_REF,
                         {
                             "name": "equality_ids",
                             "type": {"type": "array", "items": "int"},
@@ -1654,13 +1658,7 @@ _MANIFEST_SCHEMA_MULTI = json.dumps(
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {"name": "lower_bounds", "type": _BOUND_SCHEMA},
-                        # the item record is REFERENCED BY NAME the
-                        # second time (Avro forbids redefining a
-                        # name; references are the spec's mechanism)
-                        {
-                            "name": "upper_bounds",
-                            "type": {"type": "array", "items": "k_v"},
-                        },
+                        _UPPER_BOUNDS_REF,
                         {
                             "name": "equality_ids",
                             "type": {"type": "array", "items": "int"},
@@ -2269,7 +2267,7 @@ def scan_iceberg_puffin(payload: bytes) -> dict:
         # beyond the CRC/cardinality fences
         "blob_codec": (
             "none" if not codecs_seen
-            else codecs_seen.pop() if len(codecs_seen) == 1
+            else next(iter(codecs_seen)) if len(codecs_seen) == 1
             else "mixed"
         ),
         "total_rows": total_rows,
@@ -2315,13 +2313,7 @@ _MANIFEST_SCHEMA_STR = json.dumps(
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {"name": "lower_bounds", "type": _BOUND_SCHEMA},
-                        # the item record is REFERENCED BY NAME the
-                        # second time (Avro forbids redefining a
-                        # name; references are the spec's mechanism)
-                        {
-                            "name": "upper_bounds",
-                            "type": {"type": "array", "items": "k_v"},
-                        },
+                        _UPPER_BOUNDS_REF,
                     ],
                 },
             },
@@ -2491,36 +2483,9 @@ def scan_iceberg_str(payload: bytes) -> dict:
     meta, _snaps, ml_blob, probe = _parse_table_meta(
         files, string_probe=True
     )
-    spec_id = meta.get("default-spec-id")
-    specs = meta.get("partition-specs")
-    if not isinstance(spec_id, int) or isinstance(spec_id, bool) \
-            or not isinstance(specs, list):
-        raise ValueError("partition spec metadata malformed")
-    spec = next(
-        (s for s in specs
-         if isinstance(s, dict) and s.get("spec-id") == spec_id),
-        None,
+    tspecs = _resolve_partition_spec(
+        meta, allowed=("bucket", "truncate"), kind="strings"
     )
-    if spec is None:
-        raise ValueError("default-spec-id not in partition-specs")
-    fields = spec.get("fields")
-    if not isinstance(fields, list) or not 1 <= len(fields) <= 3:
-        raise ValueError("partition spec field count unsupported")
-    tspecs = []
-    for pf in fields:
-        if not isinstance(pf, dict) or pf.get("source-id") != _V_FIELD_ID:
-            raise ValueError("partition source field unsupported")
-        pname = pf.get("name")
-        if not isinstance(pname, str) or not pname:
-            raise ValueError("partition field name malformed")
-        tname, targ = parse_transform(pf.get("transform"))
-        if tname not in ("bucket", "truncate"):
-            raise ValueError(
-                f"transform {tname!r} undefined over strings (boundary)"
-            )
-        tspecs.append((pname, tname, targ))
-    if len({t[0] for t in tspecs}) != len(tspecs):
-        raise ValueError("partition field names not unique")
 
     def transform_of(tname: str, targ: int, value: str):
         if tname == "bucket":
@@ -2788,36 +2753,9 @@ def scan_iceberg_dec(payload: bytes) -> dict:
         raise ValueError("decimal probe has more digits than the scale")
     probe_u = int(probe_scaled)
 
-    spec_id = meta.get("default-spec-id")
-    specs = meta.get("partition-specs")
-    if not isinstance(spec_id, int) or isinstance(spec_id, bool) \
-            or not isinstance(specs, list):
-        raise ValueError("partition spec metadata malformed")
-    spec = next(
-        (s for s in specs
-         if isinstance(s, dict) and s.get("spec-id") == spec_id),
-        None,
+    tspecs = _resolve_partition_spec(
+        meta, allowed=("bucket", "truncate"), kind="decimals"
     )
-    if spec is None:
-        raise ValueError("default-spec-id not in partition-specs")
-    fields = spec.get("fields")
-    if not isinstance(fields, list) or not 1 <= len(fields) <= 3:
-        raise ValueError("partition spec field count unsupported")
-    tspecs = []
-    for pf in fields:
-        if not isinstance(pf, dict) or pf.get("source-id") != _V_FIELD_ID:
-            raise ValueError("partition source field unsupported")
-        pname = pf.get("name")
-        if not isinstance(pname, str) or not pname:
-            raise ValueError("partition field name malformed")
-        tname, targ = parse_transform(pf.get("transform"))
-        if tname not in ("bucket", "truncate"):
-            raise ValueError(
-                f"transform {tname!r} undefined over decimals (boundary)"
-            )
-        tspecs.append((pname, tname, targ))
-    if len({t[0] for t in tspecs}) != len(tspecs):
-        raise ValueError("partition field names not unique")
 
     def transform_of(tname: str, targ: int, unscaled: int) -> int:
         if tname == "bucket":
