@@ -2748,6 +2748,12 @@ def scan_iceberg_dec(payload: bytes) -> dict:
         probe_dec = _dec.Decimal(probe_str)
     except _dec.InvalidOperation:
         raise ValueError("decimal probe not parseable") from None
+    if not probe_dec.is_finite():
+        # Decimal("Infinity")/"NaN"/"sNaN" PARSE successfully; the
+        # scaleb/int conversions below raise OverflowError /
+        # InvalidOperation — not ValueError — and escape the
+        # quarantine (review r12 pass 3, reproduced)
+        raise ValueError("decimal probe not finite (boundary)")
     probe_scaled = probe_dec.scaleb(scale)
     if probe_scaled != probe_scaled.to_integral_value():
         raise ValueError("decimal probe has more digits than the scale")

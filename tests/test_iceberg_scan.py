@@ -1441,3 +1441,28 @@ def test_decimal_scan_scale_fences():
         scan_iceberg_dec(mutate(**{"fixture.probe.scale": "x"}))
     with pytest.raises(ValueError, match="not parseable"):
         scan_iceberg_dec(mutate(**{"fixture.probe": "pi"}))
+
+
+def test_decimal_probe_nonfinite_quarantines():
+    """Decimal('Infinity')/'NaN'/'sNaN' parse successfully; without
+    the finiteness fence the scale math raises OverflowError /
+    InvalidOperation past the quarantine (review r12 pass 3)."""
+    import json
+
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        scan_iceberg_dec,
+        synth_iceberg_dec,
+    )
+
+    base = dict(read_tar_bundle(synth_iceberg_dec(2)))
+    for probe in ("Infinity", "-Inf", "sNaN", "NaN"):
+        files = dict(base)
+        meta = json.loads(files["metadata/v2.metadata.json"])
+        meta["properties"]["fixture.probe"] = probe
+        files["metadata/v2.metadata.json"] = json.dumps(meta).encode()
+        with pytest.raises(ValueError):
+            scan_iceberg_dec(write_tar_bundle(files))
