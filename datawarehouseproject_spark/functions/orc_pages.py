@@ -1389,9 +1389,14 @@ def synth_orc_nested(seed: int) -> bytes:
         type=pa.map_(pa.string(), pa.int64()),
     )
     buf = _io.BytesIO()
+    # odd seeds force DICTIONARY_V2 on every nested string child
+    # (struct field b AND the map keys) — dictionary × nesting is a
+    # real-warehouse composition, and the aggregates are identical
+    # either way so the oracle is encoding-invariant
     orc.write_table(
         pa.table({"st": st, "li": li, "mp": mp}), buf,
         compression=plan["compression"],
+        dictionary_key_size_threshold=1.0 if seed % 2 else 0.0,
     )
     return buf.getvalue()
 
@@ -1428,6 +1433,7 @@ def scan_orc_nested(payload: bytes) -> dict:
             raise ValueError("stripe row count missing")
         enc_msgs = [_msg(e) for e in sfoot.get(2, [])]
         encodings = [m.get(1, [0])[0] for m in enc_msgs]
+        dict_sizes = [m.get(2, [0])[0] for m in enc_msgs]
         located: dict[tuple[int, int], tuple[int, int]] = {
             (kind, col): (pos, length)
             for kind, col, pos, length in streams
@@ -1493,24 +1499,55 @@ def scan_orc_nested(payload: bytes) -> dict:
                 int_count[col] += len(vals)
                 return
             if tkind == _STRING_KIND:
-                if enc != 2:
-                    raise ValueError(
-                        "nested string encoding out of scope "
-                        "(dictionary pinned by the rich scan)"
+                if enc == 2:  # DIRECT_V2
+                    lengths = rle_v2_decode(
+                        stream_bytes(_K_LENGTH, col) or b"",
+                        n_present, signed=False,
                     )
-                lengths = rle_v2_decode(
-                    stream_bytes(_K_LENGTH, col) or b"",
-                    n_present, signed=False,
-                )
-                data = stream_bytes(_K_DATA, col)
-                if data is None:
-                    raise ValueError(f"string column {col} missing DATA")
-                if sum(lengths) != len(data):
-                    raise ValueError(
-                        "string LENGTH sum disagrees with DATA size"
+                    data = stream_bytes(_K_DATA, col)
+                    if data is None:
+                        raise ValueError(
+                            f"string column {col} missing DATA"
+                        )
+                    if sum(lengths) != len(data):
+                        raise ValueError(
+                            "string LENGTH sum disagrees with DATA size"
+                        )
+                    str_bytes[col] += len(data)
+                    str_count[col] += len(lengths)
+                elif enc == 3:  # DICTIONARY_V2 inside a nested column
+                    dsize = _nonneg(
+                        dict_sizes[col] if col < len(dict_sizes) else 0,
+                        "dictionary size",
                     )
-                str_bytes[col] += len(data)
-                str_count[col] += len(lengths)
+                    lengths = rle_v2_decode(
+                        stream_bytes(_K_LENGTH, col) or b"",
+                        dsize, signed=False,
+                    )
+                    ddata = stream_bytes(_K_DICT, col)
+                    if ddata is None:
+                        raise ValueError(
+                            f"dict column {col} missing DICTIONARY_DATA"
+                        )
+                    if sum(lengths) != len(ddata):
+                        raise ValueError(
+                            "dictionary LENGTH sum disagrees with its data"
+                        )
+                    idx = rle_v2_decode(
+                        stream_bytes(_K_DATA, col) or b"",
+                        n_present, signed=False,
+                    )
+                    for i in idx:
+                        if not 0 <= i < dsize:
+                            raise ValueError(
+                                "dictionary index out of range"
+                            )
+                        str_bytes[col] += lengths[i]
+                    str_count[col] += len(idx)
+                else:
+                    raise ValueError(
+                        f"nested string encoding {enc} out of scope"
+                    )
                 return
             raise ValueError(
                 f"ORC nested type kind {tkind} out of scope"

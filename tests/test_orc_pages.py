@@ -506,7 +506,11 @@ def test_nested_scan_multi_stripe():
     assert r["map_count"] == sum(i % 3 for i in range(n))
 
 
-def test_nested_scan_dictionary_string_is_loud():
+def test_nested_dictionary_strings_match_direct():
+    """DICTIONARY_V2 inside nested columns (struct child + map keys):
+    the dictionary- and direct-encoded forms of the SAME values must
+    produce identical aggregates — the encoding is invisible to the
+    readout."""
     import io
 
     import pyarrow as pa
@@ -514,25 +518,37 @@ def test_nested_scan_dictionary_string_is_loud():
 
     from datawarehouseproject_spark.functions.orc_pages import (
         scan_orc_nested,
+        synth_orc_nested,
+        synth_orc_nested_plan,
     )
 
+    # the synth rotation: odd seed = dictionary, seed+7 (even) =
+    # direct; compare a pair built from identical rows instead
     st = pa.array(
         [{"a": i, "b": f"x{i % 3}"} for i in range(50)],
         type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
     )
     li = pa.array([[i] for i in range(50)], type=pa.list_(pa.int64()))
     mp = pa.array(
-        [[("k", i)] for i in range(50)],
+        [[(f"k{i % 4}", i)] for i in range(50)],
         type=pa.map_(pa.string(), pa.int64()),
     )
-    buf = io.BytesIO()
-    orc.write_table(
-        pa.table({"st": st, "li": li, "mp": mp}), buf,
-        compression="uncompressed",
-        dictionary_key_size_threshold=1.0,
-    )
-    with pytest.raises(ValueError, match="dictionary"):
-        scan_orc_nested(buf.getvalue())
+    results = []
+    for thresh in (0.0, 1.0):
+        buf = io.BytesIO()
+        orc.write_table(
+            pa.table({"st": st, "li": li, "mp": mp}), buf,
+            compression="uncompressed",
+            dictionary_key_size_threshold=thresh,
+        )
+        results.append(scan_orc_nested(buf.getvalue()))
+    assert results[0] == results[1]
+    assert results[0]["b_bytes"] == 50 * 2
+    # and the fixture's own odd-seed rotation decodes green
+    seed = 7
+    plan = synth_orc_nested_plan(seed)
+    r = scan_orc_nested(synth_orc_nested(seed))
+    assert r["n_rows"] == plan["n"]
 
 
 def test_nested_scan_unsupported_kind_is_loud():
