@@ -2395,13 +2395,16 @@ def _fetch_parquet(files: dict[str, bytes], path: str, what: str):
         raise ValueError(f"{what} unreadable: {e}") from None
 
 
-def _read_v_values(files: dict[str, bytes], path: str) -> list[int]:
-    """One data file's value column, integer-checked (the CDF scan
-    needs full values for change sums, not just probe matches)."""
+def _read_v_values(
+    files: dict[str, bytes], path: str, col: str = "v"
+) -> list[int]:
+    """One data file's value column (physical name when column
+    mapping is active), integer-checked (the CDF scan needs full
+    values for change sums, not just probe matches)."""
     table = _fetch_parquet(files, path, "data file")
-    if "v" not in table.column_names:
+    if col not in table.column_names:
         raise ValueError("data file missing the value column")
-    vals = table.column("v").to_pylist()
+    vals = table.column(col).to_pylist()
     for v in vals:
         if not isinstance(v, int):
             raise ValueError("data value not an integer")
@@ -2409,17 +2412,18 @@ def _read_v_values(files: dict[str, bytes], path: str) -> list[int]:
 
 
 def _read_cdc_file(
-    files: dict[str, bytes], path: str
+    files: dict[str, bytes], path: str, col: str = "v"
 ) -> list[tuple[int, str]]:
     """One change-data file: (value, _change_type) rows.  The spec
     (PROTOCOL.md "Add CDC File") puts change files under the table
     root — conventionally ``_change_data/`` — with the data schema
-    plus the ``_change_type`` column."""
+    (PHYSICAL column names when mapping is active) plus the
+    ``_change_type`` column, which is reader metadata and unmapped."""
     table = _fetch_parquet(files, path, "cdc file")
-    for col in ("v", "_change_type"):
-        if col not in table.column_names:
-            raise ValueError(f"cdc file missing {col!r}")
-    vals = table.column("v").to_pylist()
+    for want in (col, "_change_type"):
+        if want not in table.column_names:
+            raise ValueError(f"cdc file missing {want!r}")
+    vals = table.column(col).to_pylist()
     types = table.column("_change_type").to_pylist()
     out = []
     for v, t in zip(vals, types):
@@ -2462,14 +2466,14 @@ def synth_delta_cdf_plan(seed: int) -> dict:
 
 def _write_cdf_parquet(
     files: dict[str, bytes], path: str, values: list[int],
-    change_types: list[str] | None = None,
+    change_types: list[str] | None = None, col: str = "v",
 ) -> int:
     """Fixture data/cdc parquet (consecutive values, no window mod —
     CDF sums need distinct values per row).  Returns the byte size."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    cols: dict = {"v": values}
+    cols: dict = {col: values}
     if change_types is not None:
         cols["_change_type"] = change_types
     buf = io.BytesIO()
@@ -2484,13 +2488,44 @@ def synth_delta_cdf(seed: int) -> bytes:
     compaction), the ``_change_data/`` parquet, and every data file
     including the version-2 tombstone (not yet vacuumed — the
     derived-delete read path needs it)."""
+    return _synth_cdf(seed, mapped=False)
+
+
+def synth_delta_cdf_cm(seed: int) -> bytes:
+    """The SAME four-commit change history on a COLUMN-MAPPED table
+    (round 12 composition): reader v2, physical parquet column
+    ``col-<uuid>`` everywhere — data files, the tombstone, AND the
+    ``_change_data`` cdc file (``_change_type`` itself is reader
+    metadata and stays unmapped per the protocol)."""
+    return _synth_cdf(seed, mapped=True)
+
+
+def _synth_cdf(seed: int, mapped: bool) -> bytes:
     plan = synth_delta_cdf_plan(seed)
     n0, u = plan["n0"], plan["u"]
     base = seed % 100
     files: dict[str, bytes] = {}
+    col = f"col-{seed:08x}-cdfc-4abc-8def-a{seed % 10}b2c3d4e5f6" \
+        if mapped else "v"
+    field_meta = {
+        "delta.columnMapping.id": 1,
+        "delta.columnMapping.physicalName": col,
+    } if mapped else {}
+    config = {
+        "delta.enableChangeDataFeed": "true",
+        "fixture.cdf.start": "0",
+        "fixture.cdf.end": "3",
+    }
+    if mapped:
+        config["delta.columnMapping.mode"] = "name"
+        config["delta.columnMapping.maxColumnId"] = "1"
+    protocol = (
+        {"minReaderVersion": 2, "minWriterVersion": 5}
+        if mapped else {"minReaderVersion": 1, "minWriterVersion": 4}
+    )
 
     def add_action(path: str, values: list[int], data_change: bool) -> str:
-        size = _write_cdf_parquet(files, path, values)
+        size = _write_cdf_parquet(files, path, values, col=col)
         return json.dumps({
             "add": {
                 "path": path,
@@ -2503,9 +2538,7 @@ def synth_delta_cdf(seed: int) -> bytes:
     # version 0: protocol + metaData + the initial inserts
     v0 = [
         json.dumps({"commitInfo": {"operation": "WRITE"}}),
-        json.dumps({
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 4}
-        }),
+        json.dumps({"protocol": protocol}),
         json.dumps({
             "metaData": {
                 "id": f"00000000-0000-4000-8000-{seed:012d}",
@@ -2513,14 +2546,11 @@ def synth_delta_cdf(seed: int) -> bytes:
                 "schemaString": json.dumps({
                     "type": "struct",
                     "fields": [{"name": "v", "type": "long",
-                                "nullable": False, "metadata": {}}],
+                                "nullable": False,
+                                "metadata": field_meta}],
                 }),
                 "partitionColumns": [],
-                "configuration": {
-                    "delta.enableChangeDataFeed": "true",
-                    "fixture.cdf.start": "0",
-                    "fixture.cdf.end": "3",
-                },
+                "configuration": config,
             }
         }),
     ]
@@ -2543,6 +2573,7 @@ def synth_delta_cdf(seed: int) -> bytes:
     cdc_size = _write_cdf_parquet(
         files, "_change_data/cdc-00001.parquet", pre + post,
         ["update_preimage"] * u + ["update_postimage"] * u,
+        col=col,
     )
     v1 = [
         json.dumps({"commitInfo": {"operation": "UPDATE"}}),
@@ -2611,6 +2642,22 @@ def scan_delta_cdf(payload: bytes) -> dict:
     ``changeDataFeed``) — the reader-version fence stays at 1.
     Replaces the round-11 loud-reject at ``_State.apply``
     (VERDICT r11 item 1)."""
+    return _scan_cdf_impl(payload, allow_cm=False)
+
+
+def scan_delta_cdf_cm(payload: bytes) -> dict:
+    """COMPOSED change data feed on a COLUMN-MAPPED table: the same
+    per-commit change semantics with every value read — data files,
+    tombstones, and the cdc change files themselves — resolved
+    through the logical→physical name mapping; ``_change_type`` is
+    reader metadata and stays unmapped (PROTOCOL.md)."""
+    out = _scan_cdf_impl(payload, allow_cm=True)
+    if out["mapping_mode"] != "name":
+        raise ValueError("composed cdf fixture must be name-mapped")
+    return out
+
+
+def _scan_cdf_impl(payload: bytes, allow_cm: bool) -> dict:
     files = read_tar_bundle(payload)
     by_version = _commit_versions(files)
     if not by_version:
@@ -2622,7 +2669,7 @@ def scan_delta_cdf(payload: bytes) -> dict:
         raise ValueError("cdf needs the commit history from version 0")
     if len(versions) > 64:
         raise ValueError("commit count past cap (boundary)")
-    state = _State(require_stats=False)
+    state = _State(require_stats=False, allow_cm=allow_cm)
     # (kind, body) tuples, NOT the raw action dicts: re-deriving the
     # kind downstream via `"add" in action` membership would pick a
     # null-valued sibling key and TypeError past the quarantine
@@ -2681,6 +2728,12 @@ def scan_delta_cdf(payload: bytes) -> dict:
         raise ValueError("log without protocol/metaData")
     if state.configuration.get("delta.enableChangeDataFeed") != "true":
         raise ValueError("change data feed not enabled (boundary)")
+    if state.mapping_mode == "id":
+        # id-mode resolution needs parquet field_id plumbing in the
+        # change-file readers; name mode is the composition pinned
+        raise ValueError("cdf over id-mode mapping unsupported (boundary)")
+    col = "v" if state.mapping_mode is None \
+        else state.column_mapping["v"][1]
 
     def knob(name: str) -> int:
         raw = state.configuration.get(name)
@@ -2708,7 +2761,9 @@ def scan_delta_cdf(payload: bytes) -> dict:
             cdc_commits += 1
             pre = post = 0
             for body in cdcs:
-                for val, ct in _read_cdc_file(files, body["path"]):
+                for val, ct in _read_cdc_file(
+                    files, body["path"], col=col
+                ):
                     counts[ct] += 1
                     sums[ct] += val
                     if ct == "update_preimage":
@@ -2729,7 +2784,7 @@ def scan_delta_cdf(payload: bytes) -> dict:
                     continue
                 changed = True
                 ct = "insert" if kind == "add" else "delete"
-                for val in _read_v_values(files, body["path"]):
+                for val in _read_v_values(files, body["path"], col=col):
                     counts[ct] += 1
                     sums[ct] += val
             if changed:
@@ -2741,6 +2796,7 @@ def scan_delta_cdf(payload: bytes) -> dict:
         if not -(2**63) <= agg < 2**63:
             raise ValueError("cdf aggregate overflows int64 (boundary)")
     return {
+        "mapping_mode": state.mapping_mode,
         "start_version": start,
         "end_version": end,
         "commits_read": end - start + 1,

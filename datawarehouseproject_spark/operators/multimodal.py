@@ -3863,3 +3863,38 @@ def extract_iceberg_dec_scan(
         return scan_iceberg_dec
 
     return _extract_metadata(media, ICEBERG_DEC_SCHEMA, loader, permissive)
+
+
+def synthesize_delta_cdf_cm_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of CDF-enabled Delta bundles
+    on a name-mapped (reader v2) table
+    (``functions/delta_log.py:synth_delta_cdf_cm``)."""
+
+    def loader():
+        from ..functions.delta_log import synth_delta_cdf_cm
+
+        return synth_delta_cdf_cm
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+DELTA_CDF_CM_SCHEMA = T.StructType(
+    [T.StructField("mapping_mode", T.StringType())]
+    + list(DELTA_CDF_SCHEMA.fields)
+)
+
+
+def extract_delta_cdf_cm_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Composed change-data-feed + column-mapping read per bundle
+    (:func:`..functions.delta_log.scan_delta_cdf_cm`)."""
+
+    def loader():
+        from ..functions.delta_log import scan_delta_cdf_cm
+
+        return scan_delta_cdf_cm
+
+    return _extract_metadata(media, DELTA_CDF_CM_SCHEMA, loader, permissive)

@@ -8126,3 +8126,85 @@ def q_iceberg_decimal_transform_scan(
         "files_pruned_bounds", "files_scanned", "rows_scanned",
         "total_rows", "probe_matches", "probe_bucket", "probe_window",
     )
+
+
+@register(
+    "delta_cdf_column_mapping",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             2 + doc_id % 3 AS n0,
+             5 + doc_id % 5 AS u,
+             doc_id % 100 AS base
+      FROM documents),
+    f AS (
+      SELECT media_id, n0, u, base,
+             unnest(generate_series(0, n0 - 1)) AS i
+      FROM m),
+    r AS (
+      SELECT media_id, u, base, i,
+             i * 1000 + base AS lo,
+             20 + (media_id + i) % 30 AS rows_
+      FROM f)
+    SELECT media_id,
+           'name' AS mapping_mode,
+           CAST(0 AS INTEGER) AS start_version,
+           CAST(3 AS INTEGER) AS end_version,
+           CAST(4 AS INTEGER) AS commits_read,
+           CAST(1 AS INTEGER) AS cdc_commits,
+           CAST(2 AS INTEGER) AS derived_commits,
+           CAST(1 AS INTEGER) AS skipped_commits,
+           CAST(1 AS INTEGER) AS cdc_files_read,
+           CAST(sum(rows_) AS BIGINT) AS inserts,
+           CAST(sum(rows_ * lo + rows_ * (rows_ - 1) // 2) AS BIGINT)
+             AS insert_sum,
+           CAST(max(u) AS BIGINT) AS update_pre,
+           CAST(max(u) AS BIGINT) AS update_post,
+           CAST(max(u * base + u * (u - 1) // 2) AS BIGINT) AS pre_sum,
+           CAST(max(u * base + u * (u - 1) // 2 + 7 * u) AS BIGINT)
+             AS post_sum,
+           CAST(sum(CASE WHEN i = 1 THEN rows_ ELSE 0 END) AS BIGINT)
+             AS deletes,
+           CAST(sum(CASE WHEN i = 1
+                         THEN rows_ * lo + rows_ * (rows_ - 1) // 2
+                         ELSE 0 END) AS BIGINT) AS delete_sum,
+           CAST(sum(rows_) + 2 * max(u)
+                + sum(CASE WHEN i = 1 THEN rows_ ELSE 0 END) AS BIGINT)
+             AS change_rows
+    FROM r
+    GROUP BY media_id
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "change-data-feed",
+          "column-mapping", "composition", "mapInPandas"),
+)
+def q_delta_cdf_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSED Delta features (round 12): the change data feed on a
+    COLUMN-MAPPED (reader v2, name-mode) table
+    (``functions/delta_log.py:scan_delta_cdf_cm``).  Every value the
+    feed serves — derived inserts from data files, derived deletes
+    from the tombstone, and the update pre/postimages inside the
+    ``_change_data`` cdc file — must resolve the logical column
+    through its physical ``col-<uuid>`` name, while ``_change_type``
+    stays unmapped (it is reader metadata, PROTOCOL.md).  The change
+    sums are identical to ``delta_change_feed_scan``'s, so a reader
+    that resolves any one of the three read paths by logical name
+    hash-mismatches; a non-CM-aware CDF scan refuses the table
+    outright at the protocol fence (pytest-pinned)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_delta_cdf_cm_scan,
+        synthesize_delta_cdf_cm_media,
+    )
+
+    media = synthesize_delta_cdf_cm_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return extract_delta_cdf_cm_scan(media).select(
+        "media_id", "mapping_mode", "start_version", "end_version",
+        "commits_read", "cdc_commits", "derived_commits",
+        "skipped_commits", "cdc_files_read", "inserts", "insert_sum",
+        "update_pre", "update_post", "pre_sum", "post_sum", "deletes",
+        "delete_sum", "change_rows",
+    )

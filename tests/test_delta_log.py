@@ -1362,3 +1362,56 @@ def test_cdf_malformed_size_rejects():
         files[v1] = ("\n".join(lines) + "\n").encode()
         with pytest.raises(ValueError, match="size malformed"):
             scan(_retar(files))
+
+
+def test_cdf_cm_composition():
+    """The mapped CDF table serves change sums identical to the
+    unmapped one; a non-CM CDF scan refuses it at the protocol
+    fence; the cdc file carries the PHYSICAL column name."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_cdf,
+        scan_delta_cdf_cm,
+        synth_delta_cdf,
+        synth_delta_cdf_cm,
+    )
+
+    for seed in (0, 3, 7):
+        plain = scan_delta_cdf(synth_delta_cdf(seed))
+        mapped = scan_delta_cdf_cm(synth_delta_cdf_cm(seed))
+        assert mapped["mapping_mode"] == "name"
+        for k in plain:
+            if k != "mapping_mode":
+                assert mapped[k] == plain[k], (seed, k)
+        with pytest.raises(ValueError, match="unsupported"):
+            scan_delta_cdf(synth_delta_cdf_cm(seed))
+    # physical name really is in the cdc parquet
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    files = _untar(synth_delta_cdf_cm(3))
+    t = pq.read_table(
+        _io.BytesIO(files["_change_data/cdc-00001.parquet"])
+    )
+    assert "_change_type" in t.column_names
+    assert "v" not in t.column_names
+    phys = [c for c in t.column_names if c.startswith("col-")]
+    assert len(phys) == 1
+
+
+def test_cdf_id_mode_mapping_is_loud():
+    from datawarehouseproject_spark.functions.delta_log import (
+        scan_delta_cdf_cm,
+        synth_delta_cdf_cm,
+    )
+
+    files = _untar(synth_delta_cdf_cm(1))
+    v0 = "_delta_log/00000000000000000000.json"
+    body = files[v0].decode().replace(
+        '"delta.columnMapping.mode": "name"',
+        '"delta.columnMapping.mode": "id"',
+    )
+    assert body != files[v0].decode()
+    files[v0] = body.encode()
+    with pytest.raises(ValueError, match="id-mode"):
+        scan_delta_cdf_cm(_retar(files))

@@ -242,6 +242,11 @@ def _cases():
             delta_log.synth_delta_cdf,
             delta_log.scan_delta_cdf,
         ),
+        (
+            "delta_cdf_cm",
+            delta_log.synth_delta_cdf_cm,
+            delta_log.scan_delta_cdf_cm,
+        ),
         ("deflate", inflate.synth_deflate, inflate.inflate),
         ("pdf", pdf_text.synth_pdf, pdf_text.extract_pdf_text),
         (
