@@ -593,3 +593,47 @@ def test_nested_type_tree_fences():
     # non-bytes type entry
     with pytest.raises(ValueError, match="length-delimited"):
         _parse_type_tree({4: [7]})
+
+
+def test_nested_walk_recurses_list_of_struct():
+    """Depth-2 nesting (list<struct<x,y>>): the walk must recurse
+    LENGTH -> struct -> children with the child value counts derived
+    from the summed lengths — any bookkeeping slip raises inside the
+    RLEv2/PRESENT decoders.  The fixture readout keys off the
+    schema's top-level names, so n_rows/list_count/a_sum stay
+    checkable."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_nested,
+    )
+
+    n = 60
+    st = pa.array(
+        [{"a": i, "b": f"x{i % 3}"} for i in range(n)],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    li = pa.array(
+        [[{"x": i + j, "y": f"y{j}"} for j in range(i % 3)]
+         for i in range(n)],
+        type=pa.list_(
+            pa.struct([("x", pa.int64()), ("y", pa.string())])
+        ),
+    )
+    mp = pa.array(
+        [[("k", i)] for i in range(n)],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"st": st, "li": li, "mp": mp}), buf,
+        compression="uncompressed",
+    )
+    r = scan_orc_nested(buf.getvalue())
+    assert r["n_rows"] == n
+    assert r["list_count"] == sum(i % 3 for i in range(n))
+    assert r["a_sum"] == sum(range(n))
+    assert r["map_count"] == n
