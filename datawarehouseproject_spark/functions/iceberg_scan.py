@@ -2873,3 +2873,91 @@ def scan_iceberg_dec(payload: bytes) -> dict:
             probe_u, truncate_spec[1]
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# the `files` metadata table (round 12): SELECT * FROM tbl.files —
+# one row per live manifest entry, with data_sequence_number
+# inheritance resolved, served WITHOUT touching any data parquet
+# ---------------------------------------------------------------------------
+
+def list_iceberg_files(payload: bytes) -> list[dict]:
+    """The current snapshot's manifest entries as metadata ROWS
+    (path, content, record_count, partition value, int64 bounds,
+    resolved sequence number) — the planning-layer view Iceberg
+    exposes as the ``files``/``delete_files`` metadata tables.
+    Everything comes from the manifest layer alone: a correct
+    implementation never opens a data file, which is exactly why
+    the metadata table is the cheap audit surface at 100 TB."""
+    files = read_tar_bundle(payload)
+    _meta, _snaps, ml_blob, _probe = _parse_table_meta(files)
+    out: list[dict] = []
+    for mf in decode_avro_blocks(ml_blob):
+        mpath = mf.get("manifest_path")
+        if not isinstance(mpath, str):
+            raise ValueError("manifest_path is not a string")
+        mblob = files.get(mpath)
+        if mblob is None:
+            raise ValueError(f"manifest {mpath!r} missing from bundle")
+        if mf.get("manifest_length") != len(mblob):
+            raise ValueError("manifest_length disagrees with bundle")
+        mseq = mf.get("sequence_number")
+        if mseq is not None and (
+            not isinstance(mseq, int) or isinstance(mseq, bool) or mseq < 0
+        ):
+            raise ValueError("manifest sequence_number malformed")
+        for e in decode_avro_blocks(mblob):
+            status = e.get("status")
+            df = e.get("data_file")
+            if not isinstance(df, dict):
+                raise ValueError("manifest entry without data_file")
+            if status == 2:
+                continue
+            if status not in (0, 1):
+                raise ValueError(f"manifest entry status {status} unknown")
+            eseq = e.get("data_sequence_number")
+            if eseq is None and mseq is not None:
+                if status != 1:
+                    raise ValueError(
+                        "sequence inheritance on a non-added entry"
+                    )
+                eseq = mseq
+            if eseq is not None and (
+                not isinstance(eseq, int) or isinstance(eseq, bool)
+                or eseq < 0
+            ):
+                raise ValueError("data_sequence_number malformed")
+            path = df.get("file_path")
+            rc = df.get("record_count")
+            part = df.get("partition")
+            content = df.get("content", 0)
+            if not isinstance(path, str):
+                raise ValueError("data file path is not a string")
+            if not isinstance(rc, int) or isinstance(rc, bool) or rc < 0:
+                raise ValueError("data file record_count malformed")
+            if content not in (0, 1, 2):
+                raise ValueError(f"file content {content!r} unknown")
+            if isinstance(part, dict):
+                pv = part.get("p")
+            else:
+                pv = part
+            if not isinstance(pv, int) or isinstance(pv, bool):
+                raise ValueError("partition value malformed")
+            lo = _bound_value(df.get("lower_bounds"))
+            hi = _bound_value(df.get("upper_bounds"))
+            if lo > hi:
+                raise ValueError("data file lower bound above upper")
+            out.append({
+                "file_path": path,
+                "content": content,
+                "record_count": rc,
+                "partition_p": pv,
+                "lower_bound": lo,
+                "upper_bound": hi,
+                "sequence_number": eseq,
+            })
+    if not out:
+        raise ValueError("current snapshot has no manifest entries")
+    if len(out) > 1 << 16:
+        raise ValueError("manifest entry count past cap (boundary)")
+    return out

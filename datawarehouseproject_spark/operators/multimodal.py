@@ -3898,3 +3898,40 @@ def extract_delta_cdf_cm_scan(
         return scan_delta_cdf_cm
 
     return _extract_metadata(media, DELTA_CDF_CM_SCHEMA, loader, permissive)
+
+
+ICEBERG_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("content", T.IntegerType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("partition_p", T.LongType()),
+        T.StructField("lower_bound", T.LongType()),
+        T.StructField("upper_bound", T.LongType()),
+        T.StructField("sequence_number", T.LongType()),
+    ]
+)
+
+
+def explode_iceberg_files(media: DataFrame) -> DataFrame:
+    """ONE OUTPUT ROW PER MANIFEST ENTRY — the ``files`` metadata
+    table (:func:`..functions.iceberg_scan.list_iceberg_files`).
+    Python does only the manifest-layer byte decode and emits typed
+    columns; no data parquet is ever opened, so at 100 TB this costs
+    manifest bytes, not table bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.iceberg_scan import list_iceberg_files
+
+        cols = [f.name for f in ICEBERG_FILES_SCHEMA.fields]
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for entry in list_iceberg_files(bytes(p)):
+                    rows["media_id"].append(int(mid))
+                    for k, v in entry.items():
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=ICEBERG_FILES_SCHEMA)

@@ -8208,3 +8208,72 @@ def q_delta_cdf_column_mapping(
         "update_pre", "update_post", "pre_sum", "post_sum", "deletes",
         "delete_sum", "change_rows",
     )
+
+
+@register(
+    "iceberg_files_metadata_table",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             20 + doc_id % 10 AS rows0,
+             20 + (doc_id + 1) % 10 AS rows1,
+             20 + (doc_id + 3) % 10 AS rows3,
+             (20 + doc_id % 10 + 2) // 3 AS d0,
+             (20 + (doc_id + 1) % 10 + 2) // 4 AS d1,
+             doc_id % 40 AS lo
+      FROM documents)
+    SELECT media_id, file_path,
+           CAST(content AS INTEGER) AS content,
+           CAST(record_count AS BIGINT) AS record_count,
+           CAST(partition_p AS BIGINT) AS partition_p,
+           CAST(lower_bound AS BIGINT) AS lower_bound,
+           CAST(upper_bound AS BIGINT) AS upper_bound,
+           CAST(sequence_number AS BIGINT) AS sequence_number
+    FROM (
+      SELECT media_id, 'data/f0.parquet' AS file_path, 0 AS content,
+             rows0 AS record_count, 0 AS partition_p,
+             lo AS lower_bound, lo + rows0 - 1 AS upper_bound,
+             1 AS sequence_number
+      FROM m
+      UNION ALL
+      SELECT media_id, 'data/f1.parquet', 0, rows1, 100,
+             100 + lo, 100 + lo + rows1 - 1, 1 FROM m
+      UNION ALL
+      SELECT media_id, 'data/f2.parquet', 0, d0, 0,
+             lo, lo + 3 * ((rows0 - 1) // 3), 3 FROM m
+      UNION ALL
+      SELECT media_id, 'data/f3.parquet', 0, rows3, 300,
+             300 + lo, 300 + lo + rows3 - 1, 3 FROM m
+      UNION ALL
+      SELECT media_id, 'data/eq.parquet', 2, d0 + d1, 0,
+             lo, 100 + lo + 1 + 4 * ((rows1 - 2) // 4), 2 FROM m
+    )
+    """,
+    tags=("sources", "iceberg", "lakehouse", "metadata-table",
+          "sequence-numbers", "mapInPandas"),
+)
+def q_iceberg_files_metadata_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Iceberg ``files`` METADATA TABLE (round 12): one row per
+    live manifest entry — path, content kind, record count,
+    partition value, int64 bounds, and the RESOLVED
+    data_sequence_number (seq-1 entries inherit from their manifest,
+    the delete and seq-3 entries declare explicitly) — served from
+    the manifest layer alone
+    (``functions/iceberg_scan.py:list_iceberg_files``).  This is the
+    ``SELECT * FROM tbl.files`` audit surface: at 100 TB it costs
+    manifest bytes, never table bytes, and the row-level oracle pins
+    every decoded field (a bounds mixup, a dropped delete entry, or
+    an inheritance slip each change specific rows)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_iceberg_files,
+        synthesize_iceberg_seq_media,
+    )
+
+    media = synthesize_iceberg_seq_media(_t(spark, sf_dir, "documents"))
+    return explode_iceberg_files(media).select(
+        "media_id", "file_path", "content", "record_count",
+        "partition_p", "lower_bound", "upper_bound", "sequence_number",
+    )

@@ -206,6 +206,11 @@ def _cases():
             iceberg_scan.synth_iceberg_dec,
             iceberg_scan.scan_iceberg_dec,
         ),
+        (
+            "iceberg_files_meta",
+            iceberg_scan.synth_iceberg_seq,
+            iceberg_scan.list_iceberg_files,
+        ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
         (
             "delta_partitioned",

@@ -1466,3 +1466,51 @@ def test_decimal_probe_nonfinite_quarantines():
         files["metadata/v2.metadata.json"] = json.dumps(meta).encode()
         with pytest.raises(ValueError):
             scan_iceberg_dec(write_tar_bundle(files))
+
+
+def test_files_metadata_table_rows():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        list_iceberg_files,
+        synth_iceberg_seq,
+        synth_iceberg_seq_plan,
+    )
+
+    for seed in range(6):
+        p = synth_iceberg_seq_plan(seed)
+        rows = list_iceberg_files(synth_iceberg_seq(seed))
+        assert len(rows) == 5
+        by = {r["file_path"]: r for r in rows}
+        # inheritance: f0/f1 carry NO explicit seq and resolve to 1
+        assert by["data/f0.parquet"]["sequence_number"] == 1
+        assert by["data/f1.parquet"]["sequence_number"] == 1
+        # declared: the delete at 2, the re-add at 3
+        assert by["data/eq.parquet"]["sequence_number"] == 2
+        assert by["data/eq.parquet"]["content"] == 2
+        assert by["data/f2.parquet"]["sequence_number"] == 3
+        assert by["data/f0.parquet"]["record_count"] == p["rows0"]
+        lo = p["lo"]
+        assert by["data/f0.parquet"]["lower_bound"] == lo
+        assert by["data/f2.parquet"]["upper_bound"] == (
+            lo + 3 * ((p["rows0"] - 1) // 3)
+        )
+
+
+def test_files_metadata_never_opens_data_parquet():
+    """The metadata table must be manifest-only: corrupt EVERY data
+    parquet in the bundle and the listing is unchanged."""
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        list_iceberg_files,
+        synth_iceberg_seq,
+    )
+
+    blob = synth_iceberg_seq(4)
+    base = list_iceberg_files(blob)
+    files = dict(read_tar_bundle(blob))
+    for name in files:
+        if name.startswith("data/"):
+            files[name] = b"not parquet at all"
+    assert list_iceberg_files(write_tar_bundle(files)) == base
