@@ -1852,8 +1852,6 @@ def parse_puffin(payload: bytes) -> tuple[list[dict], dict]:
     if payload[-4:] != _PUFFIN_MAGIC:
         raise ValueError("puffin footer magic missing")
     flags = int.from_bytes(payload[-8:-4], "little")
-    if flags & 1:
-        raise ValueError("compressed puffin footer unsupported (boundary)")
     if flags >> 1:
         raise ValueError("unknown puffin footer flags")
     size = int.from_bytes(payload[-12:-8], "little")
@@ -1862,8 +1860,16 @@ def parse_puffin(payload: bytes) -> tuple[list[dict], dict]:
     start = len(payload) - 12 - size
     if payload[start - 4 : start] != _PUFFIN_MAGIC:
         raise ValueError("puffin footer start magic missing")
+    raw_footer = payload[start : start + size]
+    if flags & 1:
+        # spec flag bit 0: FooterPayload is one lz4 FRAME (round 12 —
+        # the round-11 loud boundary, removable once the hand frame
+        # decoder existed); PayloadSize stays the COMPRESSED size
+        from .lz4_codec import decode_lz4_frame
+
+        raw_footer = decode_lz4_frame(raw_footer, max_output=1 << 24)
     try:
-        footer = json.loads(payload[start : start + size])
+        footer = json.loads(raw_footer)
     except json.JSONDecodeError as e:
         raise ValueError(f"puffin footer not JSON: {e}") from None
     if not isinstance(footer, dict):

@@ -2200,7 +2200,7 @@ def q_iceberg_puffin_dv_scan(
     v3-direction DV path): a REAL Puffin container
     (``PFA1`` magics, JSON footer payload with size/flags framing,
     blob descriptors with offset/length bounds-checked against the
-    footer region, compressed footers a loud boundary) holds
+    footer region, lz4-compressed footers decoded per flag bit 0) holds
     ``deletion-vector-v1`` blobs in the Delta-COMPATIBLE framing
     (BE size + magic 1681511377 + 64-bit roaring portable + BE
     CRC32) — the roaring codec is the one already spec-golden-pinned

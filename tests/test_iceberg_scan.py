@@ -991,10 +991,12 @@ def test_puffin_framing_fences():
     bad = puffin[:-4] + b"XXXX"
     with pytest.raises(ValueError, match="footer magic"):
         parse_puffin(bytes(bad))
-    # compressed-footer flag is a loud boundary
+    # compressed-footer flag without an lz4 frame behind it is a
+    # quarantine, not a crash (the legit compressed path is pinned
+    # in test_puffin_compressed_footer)
     bad = bytearray(puffin)
     bad[-8] |= 1
-    with pytest.raises(ValueError, match="compressed puffin footer"):
+    with pytest.raises(ValueError, match="lz4"):
         parse_puffin(bytes(bad))
     # unknown flag bits
     bad = bytearray(puffin)
@@ -1514,3 +1516,40 @@ def test_files_metadata_never_opens_data_parquet():
         if name.startswith("data/"):
             files[name] = b"not parquet at all"
     assert list_iceberg_files(write_tar_bundle(files)) == base
+
+
+def test_puffin_compressed_footer():
+    """Spec flag bit 0: the FooterPayload is one lz4 frame and
+    PayloadSize is the COMPRESSED size — rebuild a fixture's footer
+    compressed and the whole scan must read identically."""
+    import pyarrow as pa
+
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        parse_puffin,
+        scan_iceberg_puffin,
+        synth_iceberg_puffin,
+    )
+
+    blob = synth_iceberg_puffin(0)
+    base = scan_iceberg_puffin(blob)
+    files = dict(read_tar_bundle(blob))
+    puffin = files["deletes/dv.puffin"]
+    size = int.from_bytes(puffin[-12:-8], "little")
+    start = len(puffin) - 12 - size
+    comp = bytes(pa.Codec("lz4").compress(puffin[start : start + size]))
+    rebuilt = (
+        puffin[: start - 4]
+        + b"PFA1"
+        + comp
+        + len(comp).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")  # flag bit 0 = compressed
+        + b"PFA1"
+    )
+    blobs, props = parse_puffin(rebuilt)
+    assert len(blobs) == 2 and props == {"created-by": "fixture"}
+    files["deletes/dv.puffin"] = rebuilt
+    assert scan_iceberg_puffin(write_tar_bundle(files)) == base
