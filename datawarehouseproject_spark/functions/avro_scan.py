@@ -1054,7 +1054,14 @@ def resolve_avro_schemas(writer_t, reader_t, depth: int = 0):
     ('record', [(reader_field|None, node), ...], [(field, default)])
     | ('enum', (resolved_symbol_per_writer_index...)) |
     ('union', [node per writer branch]) | ('array', node) |
-    ('map', node)."""
+    ('map', node).
+
+    Scope note (round 12): NAMED-TYPE REFERENCES resolve on the
+    container DECODE path (:func:`_parse_type_spec` threads the
+    definition environment) but not across sibling fields of this
+    resolution walk, which re-parses each subfragment independently —
+    a cross-field reference lands on the loud "type unsupported"
+    boundary rather than mis-resolving."""
     if depth > _MAX_SCHEMA_DEPTH:
         raise ValueError("avro schema nests too deep")
     wspec = _parse_type_spec(writer_t, depth)
