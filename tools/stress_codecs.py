@@ -1295,6 +1295,24 @@ def round15_kernels() -> None:
         "sec": round(secs, 4),
     }))
 
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        list_iceberg_files,
+        synth_iceberg_seq,
+    )
+
+    tables = [synth_iceberg_seq(s) for s in range(200)]
+    secs, n = _timeit(
+        lambda: sum(
+            len(list_iceberg_files(b)) for b in tables
+        )
+    )
+    print(json.dumps({
+        "kernel": "iceberg_files_metadata",
+        "media": f"200 tables, {n} manifest entries, zero data reads",
+        "tables_per_s": int(200 / secs),
+        "sec": round(secs, 4),
+    }))
+
 
 
 if __name__ == "__main__":
