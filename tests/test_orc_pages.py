@@ -637,3 +637,43 @@ def test_nested_walk_recurses_list_of_struct():
     assert r["list_count"] == sum(i % 3 for i in range(n))
     assert r["a_sum"] == sum(range(n))
     assert r["map_count"] == n
+
+
+def test_nested_nullable_struct_column():
+    """PRESENT on the struct COLUMN itself: children decode at the
+    struct's present-count, and a child's own PRESENT composes on
+    top (null struct rows contribute nothing to child nulls)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from datawarehouseproject_spark.functions.orc_pages import (
+        scan_orc_nested,
+    )
+
+    n = 70
+    st = pa.array(
+        [
+            None if i % 6 == 2
+            else {"a": None if i % 5 == 0 else i, "b": f"x{i % 3}"}
+            for i in range(n)
+        ],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    li = pa.array([[i] for i in range(n)], type=pa.list_(pa.int64()))
+    mp = pa.array(
+        [[("k", i)] for i in range(n)],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"st": st, "li": li, "mp": mp}), buf,
+        compression="uncompressed",
+    )
+    r = scan_orc_nested(buf.getvalue())
+    present = [i for i in range(n) if i % 6 != 2]
+    assert r["a_sum"] == sum(i for i in present if i % 5 != 0)
+    assert r["a_nulls"] == sum(1 for i in present if i % 5 == 0)
+    assert r["a_count"] == sum(1 for i in present if i % 5 != 0)
+    assert r["b_count"] == len(present)
