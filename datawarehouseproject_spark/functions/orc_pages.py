@@ -1299,13 +1299,16 @@ _LIST_KIND, _MAP_KIND = 10, 11
 
 
 def _parse_type_tree(footer: dict):
-    """Footer type list -> (kinds, subtypes, field_names) with the
-    spec's PRE-ORDER column ids.  ``subtypes`` is a packed repeated
-    uint32 on the wire (one length-delimited blob of varints);
-    unpacked single-varint encodings are accepted too."""
+    """Footer type list -> (kinds, subtypes, field_names, scales)
+    with the spec's PRE-ORDER column ids.  ``subtypes`` is a packed
+    repeated uint32 on the wire (one length-delimited blob of
+    varints); unpacked single-varint encodings are accepted too;
+    ``scales`` carries the decimal scale (type field 6, 0
+    otherwise)."""
     kinds: list[int] = []
     subtypes: list[list[int]] = []
     names: list[list[str]] = []
+    scales: list[int] = []
     tlist = footer.get(4, [])
     if not 1 <= len(tlist) <= 256:
         raise ValueError("ORC type count out of bounds")
@@ -1314,6 +1317,7 @@ def _parse_type_tree(footer: dict):
             raise ValueError("ORC type entry not length-delimited")
         m = _msg(tb)
         kinds.append(_nonneg(m.get(1, [0])[0], "type kind"))
+        scales.append(_nonneg(m.get(6, [0])[0], "decimal scale"))
         subs: list[int] = []
         for raw in m.get(2, []):
             if isinstance(raw, int):
@@ -1337,7 +1341,7 @@ def _parse_type_tree(footer: dict):
             except UnicodeDecodeError:
                 raise ValueError("ORC field name not UTF-8") from None
         names.append(fns)
-    return kinds, subtypes, names
+    return kinds, subtypes, names, scales
 
 
 def synth_orc_nested_plan(seed: int) -> dict:
@@ -1346,7 +1350,11 @@ def synth_orc_nested_plan(seed: int) -> dict:
     i%5==0, else (seed+i*3)%1000), b: string ("x"+str((seed+i)%13))>``,
     ``li: list<int64>`` (null at i%7==6, else ``i%4`` elements
     ``(seed+i+j)%100``), and ``mp: map<string,int64>`` with ``i%3``
-    entries ``("k"+str((i+j)%12), (seed+i*j)%50)``."""
+    entries ``("k"+str((i+j)%12), (seed+i*j)%50)``.  The struct also
+    carries ``c: decimal(10,2)`` (null at i%9==4, unscaled
+    ``(seed+i*7)%10000``) and ``d: date32`` (days
+    ``(seed*3+i)%20000``) — nested decimal/date children ride the
+    scalar decoders inside the recursive walk."""
     n = 40 + (seed * 7) % 80
     return {"n": n, "compression":
             ("uncompressed", "zlib", "snappy")[seed % 3]}
@@ -1362,15 +1370,24 @@ def synth_orc_nested(seed: int) -> bytes:
 
     plan = synth_orc_nested_plan(seed)
     n = plan["n"]
+    import decimal as _dec
+
     st = pa.array(
         [
             {
                 "a": None if i % 5 == 0 else (seed + i * 3) % 1000,
                 "b": f"x{(seed + i) % 13}",
+                "c": None if i % 9 == 4 else _dec.Decimal(
+                    (seed + i * 7) % 10000
+                ).scaleb(-2),
+                "d": (seed * 3 + i) % 20000,
             }
             for i in range(n)
         ],
-        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+        type=pa.struct([
+            ("a", pa.int64()), ("b", pa.string()),
+            ("c", pa.decimal128(10, 2)), ("d", pa.date32()),
+        ]),
     )
     li = pa.array(
         [
@@ -1415,7 +1432,7 @@ def scan_orc_nested(payload: bytes) -> dict:
     strings DIRECT_V2 (the dictionary path is pinned by
     :func:`scan_orc_rich`), union/decimal children out of scope."""
     codec, footer, n_rows, _types = _parse_orc_tail(payload)
-    kinds, subtypes, names = _parse_type_tree(footer)
+    kinds, subtypes, names, scales = _parse_type_tree(footer)
     if kinds[0] != _STRUCT_KIND:
         raise ValueError("ORC root type is not a struct")
     # per-column accumulators, merged across stripes
@@ -1486,7 +1503,8 @@ def scan_orc_nested(payload: bytes) -> dict:
                 for sub in subtypes[col]:
                     walk(sub, total, depth + 1)
                 return
-            if tkind in _INT_KINDS:
+            if tkind in _INT_KINDS or tkind == _DATE_KIND:
+                # dates ride the int path: DATA = RLEv2 days
                 if enc != 2:
                     raise ValueError(
                         f"int child encoding {enc} out of scope"
@@ -1497,6 +1515,30 @@ def scan_orc_nested(payload: bytes) -> dict:
                 vals = rle_v2_decode(data, n_present, signed=True)
                 int_sum[col] += sum(vals)
                 int_count[col] += len(vals)
+                return
+            if tkind == _DECIMAL_KIND:
+                if enc != 2:
+                    raise ValueError(
+                        f"decimal child encoding {enc} out of scope"
+                    )
+                blob = stream_bytes(_K_DATA, col)
+                if blob is None:
+                    raise ValueError(f"decimal column {col} has no DATA")
+                dscales = rle_v2_decode(
+                    stream_bytes(_K_SECONDARY, col) or b"",
+                    n_present, signed=True,
+                )
+                pos = 0
+                for s in dscales:
+                    if s != scales[col]:
+                        raise ValueError(
+                            "decimal scale disagrees with the schema"
+                        )
+                    unscaled, pos = _unbounded_varint(blob, pos)
+                    int_sum[col] += unscaled
+                if pos != len(blob):
+                    raise ValueError("decimal DATA has trailing bytes")
+                int_count[col] += n_present
                 return
             if tkind == _STRING_KIND:
                 if enc == 2:  # DIRECT_V2
@@ -1573,12 +1615,14 @@ def scan_orc_nested(payload: bytes) -> dict:
             or kinds[mp_col] != _MAP_KIND:
         raise ValueError("fixture column kinds mismatch")
     st_fields = dict(zip(names[st_col], subtypes[st_col]))
-    if set(st_fields) != {"a", "b"}:
+    if set(st_fields) != {"a", "b", "c", "d"}:
         raise ValueError("struct field names mismatch")
     a_col, b_col = st_fields["a"], st_fields["b"]
+    c_col, d_col = st_fields["c"], st_fields["d"]
     elem_col = subtypes[li_col][0]
     key_col, val_col = subtypes[mp_col]
-    for agg in (int_sum[a_col], int_sum[elem_col], int_sum[val_col]):
+    for agg in (int_sum[a_col], int_sum[elem_col], int_sum[val_col],
+                int_sum[c_col], int_sum[d_col]):
         if not (-(2**63) <= agg < 2**63):
             raise ValueError("ORC nested sum overflows int64 (boundary)")
     return {
@@ -1590,6 +1634,9 @@ def scan_orc_nested(payload: bytes) -> dict:
         "a_nulls": nulls[a_col],
         "b_bytes": str_bytes[b_col],
         "b_count": str_count[b_col],
+        "c_cents_sum": int_sum[c_col],
+        "c_nulls": nulls[c_col],
+        "d_days_sum": int_sum[d_col],
         "list_nulls": nulls[li_col],
         "list_count": elem_total[li_col],
         "list_sum": int_sum[elem_col],

@@ -3796,6 +3796,9 @@ ORC_NESTED_SCHEMA = T.StructType(
         T.StructField("a_nulls", T.LongType()),
         T.StructField("b_bytes", T.LongType()),
         T.StructField("b_count", T.LongType()),
+        T.StructField("c_cents_sum", T.LongType()),
+        T.StructField("c_nulls", T.LongType()),
+        T.StructField("d_days_sum", T.LongType()),
         T.StructField("list_nulls", T.LongType()),
         T.StructField("list_count", T.LongType()),
         T.StructField("list_sum", T.LongType()),

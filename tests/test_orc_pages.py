@@ -429,9 +429,12 @@ def test_nested_scan_matches_pyarrow_reread():
     """Value-exact cross-check against the independent producer's own
     reader: every aggregate the hand stripe walker reports must equal
     what pyarrow computes from the same file."""
+    import datetime
     import io
 
     import pyarrow.orc as orc
+
+    EPOCH = datetime.date(1970, 1, 1)
 
     from datawarehouseproject_spark.functions.orc_pages import (
         scan_orc_nested,
@@ -451,6 +454,14 @@ def test_nested_scan_matches_pyarrow_reread():
         assert r["a_nulls"] == sum(1 for v in a if v is None)
         assert r["a_count"] == len(a) - r["a_nulls"]
         assert r["b_bytes"] == sum(len(row["b"]) for row in st)
+        c = [row["c"] for row in st]
+        assert r["c_cents_sum"] == sum(
+            int(v.scaleb(2)) for v in c if v is not None
+        )
+        assert r["c_nulls"] == sum(1 for v in c if v is None)
+        assert r["d_days_sum"] == sum(
+            (row["d"] - EPOCH).days for row in st
+        )
         assert r["list_nulls"] == sum(1 for v in li if v is None)
         assert r["list_count"] == sum(len(v) for v in li if v is not None)
         assert r["list_sum"] == sum(
@@ -476,10 +487,15 @@ def test_nested_scan_multi_stripe():
     )
 
     n = 5000
+    import decimal as _dec
+
     st = pa.array(
-        [{"a": None if i % 5 == 0 else i, "b": f"x{i % 13}"}
+        [{"a": None if i % 5 == 0 else i, "b": f"x{i % 13}",
+          "c": _dec.Decimal(i % 70).scaleb(-2), "d": i % 300}
          for i in range(n)],
-        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+        type=pa.struct([("a", pa.int64()), ("b", pa.string()),
+                        ("c", pa.decimal128(10, 2)),
+                        ("d", pa.date32())]),
     )
     li = pa.array(
         [None if i % 7 == 6 else [i % 9] * (i % 4) for i in range(n)],
@@ -524,9 +540,14 @@ def test_nested_dictionary_strings_match_direct():
 
     # the synth rotation: odd seed = dictionary, seed+7 (even) =
     # direct; compare a pair built from identical rows instead
+    import decimal as _dec
+
     st = pa.array(
-        [{"a": i, "b": f"x{i % 3}"} for i in range(50)],
-        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+        [{"a": i, "b": f"x{i % 3}",
+          "c": _dec.Decimal(i).scaleb(-2), "d": i} for i in range(50)],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string()),
+                        ("c", pa.decimal128(10, 2)),
+                        ("d", pa.date32())]),
     )
     li = pa.array([[i] for i in range(50)], type=pa.list_(pa.int64()))
     mp = pa.array(
@@ -612,9 +633,14 @@ def test_nested_walk_recurses_list_of_struct():
     )
 
     n = 60
+    import decimal as _dec
+
     st = pa.array(
-        [{"a": i, "b": f"x{i % 3}"} for i in range(n)],
-        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+        [{"a": i, "b": f"x{i % 3}",
+          "c": _dec.Decimal(i).scaleb(-2), "d": i} for i in range(n)],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string()),
+                        ("c", pa.decimal128(10, 2)),
+                        ("d", pa.date32())]),
     )
     li = pa.array(
         [[{"x": i + j, "y": f"y{j}"} for j in range(i % 3)]
@@ -653,13 +679,18 @@ def test_nested_nullable_struct_column():
     )
 
     n = 70
+    import decimal as _dec
+
     st = pa.array(
         [
             None if i % 6 == 2
-            else {"a": None if i % 5 == 0 else i, "b": f"x{i % 3}"}
+            else {"a": None if i % 5 == 0 else i, "b": f"x{i % 3}",
+                  "c": _dec.Decimal(i).scaleb(-2), "d": i}
             for i in range(n)
         ],
-        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+        type=pa.struct([("a", pa.int64()), ("b", pa.string()),
+                        ("c", pa.decimal128(10, 2)),
+                        ("d", pa.date32())]),
     )
     li = pa.array([[i] for i in range(n)], type=pa.list_(pa.int64()))
     mp = pa.array(
