@@ -1353,8 +1353,10 @@ def synth_orc_nested_plan(seed: int) -> dict:
     entries ``("k"+str((i+j)%12), (seed+i*j)%50)``.  The struct also
     carries ``c: decimal(10,2)`` (null at i%9==4, unscaled
     ``(seed+i*7)%10000``) and ``d: date32`` (days
-    ``(seed*3+i)%20000``) — nested decimal/date children ride the
-    scalar decoders inside the recursive walk."""
+    ``(seed*3+i)%20000``), and ``e: timestamp-instant`` (micros
+    ``1_600_000_000_000_000 + ((seed*19+i*23)%10^9)*1000``) — nested
+    decimal/date/timestamp children ride the scalar decoders inside
+    the recursive walk."""
     n = 40 + (seed * 7) % 80
     return {"n": n, "compression":
             ("uncompressed", "zlib", "snappy")[seed % 3]}
@@ -1381,12 +1383,15 @@ def synth_orc_nested(seed: int) -> bytes:
                     (seed + i * 7) % 10000
                 ).scaleb(-2),
                 "d": (seed * 3 + i) % 20000,
+                "e": 1_600_000_000_000_000
+                + ((seed * 19 + i * 23) % 10**9) * 1000,
             }
             for i in range(n)
         ],
         type=pa.struct([
             ("a", pa.int64()), ("b", pa.string()),
             ("c", pa.decimal128(10, 2)), ("d", pa.date32()),
+            ("e", pa.timestamp("us", tz="UTC")),
         ]),
     )
     li = pa.array(
@@ -1516,6 +1521,26 @@ def scan_orc_nested(payload: bytes) -> dict:
                 int_sum[col] += sum(vals)
                 int_count[col] += len(vals)
                 return
+            if tkind == _TS_INSTANT_KIND:
+                if enc != 2:
+                    raise ValueError(
+                        f"timestamp child encoding {enc} out of scope"
+                    )
+                secs = rle_v2_decode(
+                    stream_bytes(_K_DATA, col) or b"",
+                    n_present, signed=True,
+                )
+                nraw = rle_v2_decode(
+                    stream_bytes(_K_SECONDARY, col) or b"",
+                    n_present, signed=False,
+                )
+                for s_, v in zip(secs, nraw):
+                    int_sum[col] += (
+                        (s_ + _ORC_TS_EPOCH) * 1_000_000_000
+                        + _ts_nanos(v)
+                    ) // 1000
+                int_count[col] += n_present
+                return
             if tkind == _DECIMAL_KIND:
                 if enc != 2:
                     raise ValueError(
@@ -1615,14 +1640,15 @@ def scan_orc_nested(payload: bytes) -> dict:
             or kinds[mp_col] != _MAP_KIND:
         raise ValueError("fixture column kinds mismatch")
     st_fields = dict(zip(names[st_col], subtypes[st_col]))
-    if set(st_fields) != {"a", "b", "c", "d"}:
+    if set(st_fields) != {"a", "b", "c", "d", "e"}:
         raise ValueError("struct field names mismatch")
     a_col, b_col = st_fields["a"], st_fields["b"]
     c_col, d_col = st_fields["c"], st_fields["d"]
+    e_col = st_fields["e"]
     elem_col = subtypes[li_col][0]
     key_col, val_col = subtypes[mp_col]
     for agg in (int_sum[a_col], int_sum[elem_col], int_sum[val_col],
-                int_sum[c_col], int_sum[d_col]):
+                int_sum[c_col], int_sum[d_col], int_sum[e_col]):
         if not (-(2**63) <= agg < 2**63):
             raise ValueError("ORC nested sum overflows int64 (boundary)")
     return {
@@ -1637,6 +1663,7 @@ def scan_orc_nested(payload: bytes) -> dict:
         "c_cents_sum": int_sum[c_col],
         "c_nulls": nulls[c_col],
         "d_days_sum": int_sum[d_col],
+        "e_micros_sum": int_sum[e_col],
         "list_nulls": nulls[li_col],
         "list_count": elem_total[li_col],
         "list_sum": int_sum[elem_col],

@@ -3799,6 +3799,7 @@ ORC_NESTED_SCHEMA = T.StructType(
         T.StructField("c_cents_sum", T.LongType()),
         T.StructField("c_nulls", T.LongType()),
         T.StructField("d_days_sum", T.LongType()),
+        T.StructField("e_micros_sum", T.LongType()),
         T.StructField("list_nulls", T.LongType()),
         T.StructField("list_count", T.LongType()),
         T.StructField("list_sum", T.LongType()),

@@ -8003,6 +8003,9 @@ def q_iceberg_string_bucket_scan(
                AS c_cents_sum,
              sum(CASE WHEN i % 9 = 4 THEN 1 ELSE 0 END) AS c_nulls,
              sum((media_id * 3 + i) % 20000) AS d_days_sum,
+             sum(1600000000000000
+                 + ((media_id * 19 + i * 23) % 1000000000) * 1000)
+               AS e_micros_sum,
              sum(CASE WHEN i % 7 = 6 THEN 1 ELSE 0 END) AS list_nulls
       FROM i GROUP BY media_id),
     le AS (
@@ -8038,6 +8041,7 @@ def q_iceberg_string_bucket_scan(
            CAST(b.c_cents_sum AS BIGINT) AS c_cents_sum,
            CAST(b.c_nulls AS BIGINT) AS c_nulls,
            CAST(b.d_days_sum AS BIGINT) AS d_days_sum,
+           CAST(b.e_micros_sum AS BIGINT) AS e_micros_sum,
            CAST(b.list_nulls AS BIGINT) AS list_nulls,
            CAST(l.list_count AS BIGINT) AS list_count,
            CAST(l.list_sum AS BIGINT) AS list_sum,
@@ -8064,10 +8068,11 @@ def q_orc_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     list column) — the parent/child row-count bookkeeping is exactly
     what the value-exact sums pin: an off-by-one in any LENGTH or
     PRESENT popcount shifts ``a_sum``/``list_sum``/``map_val_sum``
-    and hash-mismatches.  The struct also carries DECIMAL(10,2) and
-    DATE32 children (unscaled-varint + scale-checked SECONDARY, and
-    RLEv2 days), so the scalar battery's decoders are pinned INSIDE
-    the recursion too."""
+    and hash-mismatches.  The struct also carries DECIMAL(10,2),
+    DATE32, and TIMESTAMP-INSTANT children (unscaled-varint +
+    scale-checked SECONDARY; RLEv2 days; seconds-from-2015 DATA +
+    scaled-nanos SECONDARY), so the scalar battery's decoders are
+    pinned INSIDE the recursion too."""
     _utc(spark)
     from ..operators.multimodal import (
         extract_orc_nested_scan,
@@ -8078,8 +8083,8 @@ def q_orc_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_orc_nested_scan(media).select(
         "media_id", "n_rows", "n_stripes", "codec", "a_sum", "a_count",
         "a_nulls", "b_bytes", "b_count", "c_cents_sum", "c_nulls",
-        "d_days_sum", "list_nulls", "list_count", "list_sum",
-        "map_count", "map_key_bytes", "map_val_sum",
+        "d_days_sum", "e_micros_sum", "list_nulls", "list_count",
+        "list_sum", "map_count", "map_key_bytes", "map_val_sum",
     )
 
 

@@ -462,6 +462,13 @@ def test_nested_scan_matches_pyarrow_reread():
         assert r["d_days_sum"] == sum(
             (row["d"] - EPOCH).days for row in st
         )
+        ts_epoch = datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
+        )
+        assert r["e_micros_sum"] == sum(
+            (row["e"] - ts_epoch) // datetime.timedelta(microseconds=1)
+            for row in st
+        )
         assert r["list_nulls"] == sum(1 for v in li if v is None)
         assert r["list_count"] == sum(len(v) for v in li if v is not None)
         assert r["list_sum"] == sum(
@@ -491,11 +498,13 @@ def test_nested_scan_multi_stripe():
 
     st = pa.array(
         [{"a": None if i % 5 == 0 else i, "b": f"x{i % 13}",
-          "c": _dec.Decimal(i % 70).scaleb(-2), "d": i % 300}
+          "c": _dec.Decimal(i % 70).scaleb(-2), "d": i % 300,
+          "e": 1_600_000_000_000_000 + i * 1000}
          for i in range(n)],
         type=pa.struct([("a", pa.int64()), ("b", pa.string()),
                         ("c", pa.decimal128(10, 2)),
-                        ("d", pa.date32())]),
+                        ("d", pa.date32()),
+                        ("e", pa.timestamp("us", tz="UTC"))]),
     )
     li = pa.array(
         [None if i % 7 == 6 else [i % 9] * (i % 4) for i in range(n)],
@@ -544,10 +553,12 @@ def test_nested_dictionary_strings_match_direct():
 
     st = pa.array(
         [{"a": i, "b": f"x{i % 3}",
-          "c": _dec.Decimal(i).scaleb(-2), "d": i} for i in range(50)],
+          "c": _dec.Decimal(i).scaleb(-2), "d": i,
+          "e": 1_600_000_000_000_000 + i} for i in range(50)],
         type=pa.struct([("a", pa.int64()), ("b", pa.string()),
                         ("c", pa.decimal128(10, 2)),
-                        ("d", pa.date32())]),
+                        ("d", pa.date32()),
+                        ("e", pa.timestamp("us", tz="UTC"))]),
     )
     li = pa.array([[i] for i in range(50)], type=pa.list_(pa.int64()))
     mp = pa.array(
@@ -637,10 +648,12 @@ def test_nested_walk_recurses_list_of_struct():
 
     st = pa.array(
         [{"a": i, "b": f"x{i % 3}",
-          "c": _dec.Decimal(i).scaleb(-2), "d": i} for i in range(n)],
+          "c": _dec.Decimal(i).scaleb(-2), "d": i,
+          "e": 1_600_000_000_000_000 + i} for i in range(n)],
         type=pa.struct([("a", pa.int64()), ("b", pa.string()),
                         ("c", pa.decimal128(10, 2)),
-                        ("d", pa.date32())]),
+                        ("d", pa.date32()),
+                        ("e", pa.timestamp("us", tz="UTC"))]),
     )
     li = pa.array(
         [[{"x": i + j, "y": f"y{j}"} for j in range(i % 3)]
@@ -685,12 +698,14 @@ def test_nested_nullable_struct_column():
         [
             None if i % 6 == 2
             else {"a": None if i % 5 == 0 else i, "b": f"x{i % 3}",
-                  "c": _dec.Decimal(i).scaleb(-2), "d": i}
+                  "c": _dec.Decimal(i).scaleb(-2), "d": i,
+                  "e": 1_600_000_000_000_000 + i}
             for i in range(n)
         ],
         type=pa.struct([("a", pa.int64()), ("b", pa.string()),
                         ("c", pa.decimal128(10, 2)),
-                        ("d", pa.date32())]),
+                        ("d", pa.date32()),
+                        ("e", pa.timestamp("us", tz="UTC"))]),
     )
     li = pa.array([[i] for i in range(n)], type=pa.list_(pa.int64()))
     mp = pa.array(
