@@ -543,6 +543,21 @@ def _replay_log(
             raise ValueError(
                 "both single and multi-part checkpoints for one version"
             )
+        # stray-part fence (ADVICE r12): part files for this version
+        # with a DIFFERENT totalParts denominator would be silently
+        # ignored by the declared-count fetch below — a second,
+        # conflicting checkpoint set is the same ambiguity as the
+        # single-vs-multi conflict above, so reject it loudly too
+        stray_pat = re.compile(
+            rf"^{_LOG}/{cp_version:020d}\.checkpoint\."
+            r"(\d{10})\.(\d{10})\.parquet$"
+        )
+        for n in files:
+            sm = stray_pat.match(n)
+            if sm is not None and int(sm.group(2)) != parts:
+                raise ValueError(
+                    "checkpoint parts with conflicting totalParts"
+                )
         part_blobs = []
         for p in range(1, parts + 1):
             name = (

@@ -2896,7 +2896,19 @@ def list_iceberg_files(payload: bytes) -> list[dict]:
     implementation never opens a data file, which is exactly why
     the metadata table is the cheap audit surface at 100 TB."""
     files = read_tar_bundle(payload)
-    _meta, _snaps, ml_blob, _probe = _parse_table_meta(files)
+    meta, _snaps, ml_blob, _probe = _parse_table_meta(files)
+    # ADVICE r12: the partition field name comes from the default
+    # partition spec, not a hardcoded 'p' — any single-field spec is
+    # served (the value lands in the stable `partition_p` output
+    # column); multi-field specs stay a loud boundary because the
+    # flat metadata-row schema can't carry a struct.
+    tspecs = _resolve_partition_spec(meta)
+    if len(tspecs) != 1:
+        raise ValueError(
+            "files metadata table serves single-field specs only "
+            "(boundary: multi-field partition is a struct column)"
+        )
+    part_field = tspecs[0][0]
     out: list[dict] = []
     for mf in decode_avro_blocks(ml_blob):
         mpath = mf.get("manifest_path")
@@ -2928,7 +2940,14 @@ def list_iceberg_files(payload: bytes) -> list[dict]:
                         "sequence inheritance on a non-added entry"
                     )
                 eseq = mseq
-            if eseq is not None and (
+            if eseq is None:
+                # v2 requires an explicit or inheritable sequence
+                # number; neither present is a malformed manifest,
+                # not a null output (ADVICE r12)
+                raise ValueError(
+                    "entry has no sequence number and none to inherit"
+                )
+            if (
                 not isinstance(eseq, int) or isinstance(eseq, bool)
                 or eseq < 0
             ):
@@ -2944,7 +2963,7 @@ def list_iceberg_files(payload: bytes) -> list[dict]:
             if content not in (0, 1, 2):
                 raise ValueError(f"file content {content!r} unknown")
             if isinstance(part, dict):
-                pv = part.get("p")
+                pv = part.get(part_field)
             else:
                 pv = part
             if not isinstance(pv, int) or isinstance(pv, bool):

@@ -1312,7 +1312,8 @@ def _parse_type_tree(footer: dict):
     tlist = footer.get(4, [])
     if not 1 <= len(tlist) <= 256:
         raise ValueError("ORC type count out of bounds")
-    for tb in tlist:
+    seen_children: set[int] = set()
+    for parent_id, tb in enumerate(tlist):
         if not isinstance(tb, bytes):
             raise ValueError("ORC type entry not length-delimited")
         m = _msg(tb)
@@ -1331,6 +1332,17 @@ def _parse_type_tree(footer: dict):
                 subs.append(v)
         if any(s >= len(tlist) for s in subs):
             raise ValueError("ORC subtype id out of range")
+        # Spec pre-order invariant: every child id is strictly greater
+        # than its parent's id, and no id is claimed by two parents.
+        # Without this a crafted footer that repeats one subtype id at
+        # every level turns the recursive column walk exponential (a
+        # CPU hang, not the loud ValueError the quarantine requires).
+        for s in subs:
+            if s <= parent_id:
+                raise ValueError("ORC subtype id violates pre-order")
+            if s in seen_children:
+                raise ValueError("ORC subtype id claimed twice")
+            seen_children.add(s)
         subtypes.append(subs)
         fns = []
         for fn in m.get(3, []):

@@ -1415,3 +1415,17 @@ def test_cdf_id_mode_mapping_is_loud():
     files[v0] = body.encode()
     with pytest.raises(ValueError, match="id-mode"):
         scan_delta_cdf_cm(_retar(files))
+
+
+def test_multipart_stray_denominator_rejects():
+    """Part files for the same version with a DIFFERENT totalParts
+    denominator are a second, conflicting checkpoint set — the
+    declared-count fetch would silently ignore them (ADVICE r12)."""
+    seed = 3
+    files = _untar(synth_delta(seed))
+    part1 = files["_delta_log/00000000000000000001.checkpoint."
+                  "0000000001.0000000002.parquet"]
+    files["_delta_log/00000000000000000001.checkpoint."
+          "0000000001.0000000003.parquet"] = part1
+    with pytest.raises(ValueError, match="conflicting totalParts"):
+        scan_delta(_retar(files))

@@ -1553,3 +1553,99 @@ def test_puffin_compressed_footer():
     assert len(blobs) == 2 and props == {"created-by": "fixture"}
     files["deletes/dv.puffin"] = rebuilt
     assert scan_iceberg_puffin(write_tar_bundle(files)) == base
+
+
+def test_files_metadata_partition_field_from_spec():
+    """ADVICE r12: the partition record key comes from the DEFAULT
+    partition spec, not a hardcoded 'p' — a metadata rename that the
+    manifest schema does not follow is a loud mismatch, and a
+    multi-field spec is a declared boundary (flat rows can't carry a
+    partition struct)."""
+    import json as _json
+
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        list_iceberg_files,
+        synth_iceberg_seq,
+    )
+
+    files = dict(read_tar_bundle(synth_iceberg_seq(2)))
+    meta = _json.loads(files["metadata/v2.metadata.json"])
+    meta["partition-specs"][0]["fields"][0]["name"] = "pt"
+    f2 = dict(files)
+    f2["metadata/v2.metadata.json"] = _json.dumps(meta).encode()
+    with pytest.raises(ValueError, match="partition value malformed"):
+        list_iceberg_files(write_tar_bundle(f2))
+
+    meta = _json.loads(files["metadata/v2.metadata.json"])
+    meta["partition-specs"][0]["fields"].append(
+        {"name": "q", "transform": "bucket[4]", "source-id": 1,
+         "field-id": 1001}
+    )
+    f3 = dict(files)
+    f3["metadata/v2.metadata.json"] = _json.dumps(meta).encode()
+    with pytest.raises(ValueError, match="single-field specs only"):
+        list_iceberg_files(write_tar_bundle(f3))
+
+
+def test_files_metadata_missing_sequence_rejects():
+    """ADVICE r12: an entry with null data_sequence_number under a
+    manifest that ALSO lacks a sequence number is a malformed v2
+    manifest — loud reject, not sequence_number=null output."""
+    import json as _json
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        decode_avro_blocks,
+    )
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        _enc_string,
+        _zigzag_write,
+        encode_avro_container,
+        list_iceberg_files,
+        synth_iceberg_seq,
+    )
+
+    files = dict(read_tar_bundle(synth_iceberg_seq(3)))
+    schema = _json.dumps({
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "added_snapshot_id", "type": "long"},
+            {"name": "added_data_files_count", "type": "int"},
+        ],
+    }).encode()
+    recs = []
+    for mf in decode_avro_blocks(files["metadata/snap-7.avro"]):
+        seq = mf["sequence_number"]
+        # m_old (seq 1) holds the inheriting entries: null its seq
+        seq_b = (
+            _zigzag_write(0) if seq == 1
+            else _zigzag_write(1) + _zigzag_write(seq)
+        )
+        recs.append(
+            _enc_string(mf["manifest_path"])
+            + _zigzag_write(mf["manifest_length"])
+            + _zigzag_write(mf["partition_spec_id"])
+            + _zigzag_write(mf["content"])
+            + seq_b
+            + _zigzag_write(mf["added_snapshot_id"])
+            + _zigzag_write(mf["added_data_files_count"])
+        )
+    sync = bytes(range(16))
+    files["metadata/snap-7.avro"] = encode_avro_container(
+        schema, recs, sync
+    )
+    with pytest.raises(ValueError, match="no sequence number"):
+        list_iceberg_files(write_tar_bundle(files))

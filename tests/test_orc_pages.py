@@ -723,3 +723,39 @@ def test_nested_nullable_struct_column():
     assert r["a_nulls"] == sum(1 for i in present if i % 5 == 0)
     assert r["a_count"] == sum(1 for i in present if i % 5 != 0)
     assert r["b_count"] == len(present)
+
+
+def test_type_tree_preorder_invariants():
+    """ADVICE r12: a crafted footer that repeats one subtype id at
+    every level turns the recursive column walk exponential.  The
+    spec's pre-order invariant (child id > parent id, each id claimed
+    once) makes parsing linear and rejects the bomb loudly."""
+    from datawarehouseproject_spark.functions.orc_pages import (
+        _parse_type_tree,
+    )
+
+    # struct<kind=12> claiming subtype 1 twice
+    with pytest.raises(ValueError, match="claimed twice"):
+        _parse_type_tree({4: [
+            bytes([0x08, 12, 0x12, 0x02, 0x01, 0x01]),
+            bytes([0x08, 0x05]),
+        ]})
+    # backward reference (type 1 points at type 0)
+    with pytest.raises(ValueError, match="violates pre-order"):
+        _parse_type_tree({4: [
+            bytes([0x08, 12, 0x12, 0x01, 0x01]),
+            bytes([0x08, 12, 0x12, 0x01, 0x00]),
+        ]})
+    # self reference
+    with pytest.raises(ValueError, match="violates pre-order"):
+        _parse_type_tree({4: [
+            bytes([0x08, 12, 0x12, 0x01, 0x00]),
+        ]})
+    # the 50^8 bomb shape: every level repeats one id many times —
+    # must reject in O(types), not hang
+    bomb = [bytes([0x08, 12, 0x12, 0x32] + [0x01] * 50)] + [
+        bytes([0x08, 12, 0x12, 0x32] + [i + 1] * 50)
+        for i in range(1, 8)
+    ] + [bytes([0x08, 0x05])] * 8
+    with pytest.raises(ValueError):
+        _parse_type_tree({4: bomb})
