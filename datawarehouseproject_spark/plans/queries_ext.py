@@ -3998,8 +3998,11 @@ def q_arrow_ipc_value_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     validity+offsets+data), LSB-first validity bitmaps honored so
     null-slot bytes (unspecified by the spec) never leak into the
     sums, buffer bounds checked body-relative, and BodyCompression
-    rejected loudly.  Producer: the pyarrow writer with nullable
-    int64/int32/utf8 columns varying per batch.  The oracle
+    (round 13) decoded per-buffer through the repo's HAND lz4-frame/
+    zstd decoders with the int64 length prefix verified.  Producer:
+    the pyarrow writer with nullable int64/int32/utf8 columns varying
+    per batch, body compression rotating uncompressed/LZ4_FRAME/ZSTD
+    by seed (values identical across the three).  The oracle
     recomputes exact sums/null counts/char totals from the plan —
     a one-bit validity misread or an offsets-vs-data mixup breaks
     the hash."""

@@ -151,7 +151,10 @@ def test_value_decode_null_slots_do_not_leak():
     assert st["int_sum"] == 0 and st["int_nulls"] == 3
 
 
-def test_value_decode_compressed_body_is_loud():
+def test_value_decode_body_compression():
+    """Round 13: BodyCompression (lz4-frame AND zstd) decodes through
+    the hand codecs to stats IDENTICAL to the uncompressed twin, and
+    a corrupted compressed buffer quarantines instead of crashing."""
     import io
 
     import pyarrow as pa
@@ -162,16 +165,81 @@ def test_value_decode_compressed_body_is_loud():
         decode_arrow_values,
     )
 
-    schema = pa.schema([pa.field("x", pa.int64())])
-    buf = io.BytesIO()
-    opts = ipc.IpcWriteOptions(compression="lz4")
-    with ipc.new_file(buf, schema, options=opts) as w:
-        w.write_batch(
-            pa.record_batch([pa.array([1, 2, 3], pa.int64())],
-                            schema=schema)
-        )
-    with pytest.raises(ValueError):
-        decode_arrow_values(buf.getvalue())
+    schema = pa.schema(
+        [pa.field("x", pa.int64()), pa.field("s", pa.utf8())]
+    )
+    batch = pa.record_batch(
+        [
+            pa.array([i * 7 - 40 for i in range(200)], pa.int64()),
+            pa.array(
+                [None if i % 5 == 4 else f"row{i % 17}"
+                 for i in range(200)],
+                pa.utf8(),
+            ),
+        ],
+        schema=schema,
+    )
+    blobs = {}
+    for comp in (None, "lz4", "zstd"):
+        buf = io.BytesIO()
+        opts = ipc.IpcWriteOptions(compression=comp)
+        with ipc.new_file(buf, schema, options=opts) as w:
+            w.write_batch(batch)
+        blobs[comp] = buf.getvalue()
+    base = decode_arrow_values(blobs[None])
+    for comp in ("lz4", "zstd"):
+        got = decode_arrow_values(blobs[comp])
+        for k in ("n_rows", "int_sum", "int_nulls", "str_chars",
+                  "str_nulls"):
+            assert got[k] == base[k], (comp, k)
+        # corrupt single bytes across the file: a flip may land in
+        # codec literals (silent value drift — undetectable without
+        # content checksums) but NOTHING may escape the ValueError
+        # quarantine, and at least one position must trip it
+        raised = 0
+        for pos in range(8, len(blobs[comp]) - 10, 7):
+            blob = bytearray(blobs[comp])
+            blob[pos] ^= 0xFF
+            try:
+                decode_arrow_values(bytes(blob))
+            except ValueError:
+                raised += 1
+        assert raised > 0, comp
+
+
+def test_value_decode_compressed_dictionary_batch():
+    """Dictionary batches ride the same shared header walk — a
+    dictionary-encoded column under zstd body compression must
+    decode to the same stats as its uncompressed twin."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        decode_arrow_values,
+    )
+
+    schema = pa.schema(
+        [pa.field(
+            "d", pa.dictionary(pa.int32(), pa.utf8()), nullable=True
+        )]
+    )
+    arr = pa.array(
+        [None if i % 7 == 6 else f"cat{i % 5}" for i in range(120)],
+        pa.dictionary(pa.int32(), pa.utf8()),
+    )
+    blobs = {}
+    for comp in (None, "zstd"):
+        buf = io.BytesIO()
+        opts = ipc.IpcWriteOptions(compression=comp)
+        with ipc.new_file(buf, schema, options=opts) as w:
+            w.write_batch(pa.record_batch([arr], schema=schema))
+        blobs[comp] = buf.getvalue()
+    assert decode_arrow_values(blobs["zstd"]) == {
+        **decode_arrow_values(blobs[None]),
+        "payload_bytes": len(blobs["zstd"]),
+    }
 
 
 def test_value_decode_unsupported_type_is_loud():
