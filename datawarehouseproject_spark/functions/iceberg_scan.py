@@ -2986,3 +2986,522 @@ def list_iceberg_files(payload: bytes) -> list[dict]:
     if len(out) > 1 << 16:
         raise ValueError("manifest entry count past cap (boundary)")
     return out
+
+
+# ---------------------------------------------------------------------------
+# inspection tables beyond `files` (round 13 — VERDICT r12 item 2):
+# snapshots / history / manifests / partitions, the four views users
+# actually query for table ops.  All four are METADATA-LAYER ONLY —
+# the fixture deliberately ships NO data parquet at all, so any
+# implementation that touches a data file fails loudly instead of
+# silently scanning table bytes (the 100 TB sin these views exist to
+# avoid).  Reference surface: Iceberg's spec §Table Metadata +
+# §Manifests (snapshot-log, parent-snapshot-id, summary.operation,
+# manifest_file counts, field_summary); the reference repo has no
+# lakehouse layer (SURVEY §2: MySQL tables only) — this is
+# beyond-reference scope.
+# ---------------------------------------------------------------------------
+
+_INSPECT_OPS = ("append", "replace", "overwrite", "delete")
+
+_MANIFEST_LIST_SCHEMA_INSPECT = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "added_snapshot_id", "type": "long"},
+            {"name": "added_data_files_count", "type": "int"},
+            {"name": "existing_data_files_count", "type": "int"},
+            {"name": "deleted_data_files_count", "type": "int"},
+            {
+                "name": "partitions",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "field_summary",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                            },
+                        ],
+                    },
+                },
+            },
+        ],
+    }
+).encode()
+
+
+def synth_iceberg_inspect_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracles of all four inspection-table
+    queries.  Three snapshots s1=11/s2=22/s3=33 (parent chain
+    11<-22<-33, sequence numbers 1/2/3, committed at ``t0 + 60s*k``
+    with ``t0 = 1.7e12 + (seed%1000)*60000`` ms):
+
+    - s1 appends f0(p=0, rows r0) + f1(p=100, r1) via manifest m1;
+    - s2 appends f2(p=0, r2) + f3(p=200, r3) via m2;
+    - s3 OVERWRITES: deletes f1 (m1 is rewritten as m1r carrying
+      f0 existing + f1 deleted, both with explicit data sequence 1)
+      and appends f4(p=100, r4) via m3;
+    - EVEN seeds: current = s3.  ODD seeds: the table was ROLLED
+      BACK to s2 — snapshot-log gains a 4th entry re-making 22
+      current at ``t0+180s``, and s3 stops being a current ancestor.
+
+    ``r_j = 10 + (seed + 3*j) % 20``."""
+    rows = [10 + (seed + 3 * j) % 20 for j in range(5)]
+    t0 = 1_700_000_000_000 + (seed % 1000) * 60_000
+    return {
+        "rows": rows,
+        "t0_ms": t0,
+        "rollback": seed % 2 == 1,
+        "current": 22 if seed % 2 == 1 else 33,
+    }
+
+
+def synth_iceberg_inspect(seed: int) -> bytes:
+    """The three-snapshot inspection fixture (plan above) with NO
+    data parquet in the bundle — metadata tables must never need
+    one.  ``file_size_in_bytes`` is synthetic (``100 + rows*10``)."""
+    plan = synth_iceberg_inspect_plan(seed)
+    r = plan["rows"]
+    t0 = plan["t0_ms"]
+    sync = bytes((seed * 17 + j * 29 + 3) % 256 for j in range(16))
+    files: dict[str, bytes] = {}
+
+    def entry(
+        status: int, path: str, part: int, rows: int, eseq: int
+    ) -> bytes:
+        return (
+            _zigzag_write(status)
+            + _zigzag_write(1) + _zigzag_write(11)  # snapshot_id
+            + _zigzag_write(1) + _zigzag_write(eseq)  # explicit seq
+            + _zigzag_write(0)  # content = data
+            + _enc_string(path)
+            + _enc_string("PARQUET")
+            + _zigzag_write(part)
+            + _zigzag_write(rows)
+            + _zigzag_write(100 + rows * 10)
+            + _enc_bounds(part)
+            + _enc_bounds(part + rows - 1)
+            + _zigzag_write(0)  # equality_ids: empty array
+        )
+
+    manifests = {
+        "metadata/m1.avro": [
+            entry(1, "data/f0.parquet", 0, r[0], 1),
+            entry(1, "data/f1.parquet", 100, r[1], 1),
+        ],
+        "metadata/m2.avro": [
+            entry(1, "data/f2.parquet", 0, r[2], 2),
+            entry(1, "data/f3.parquet", 200, r[3], 2),
+        ],
+        "metadata/m1r.avro": [
+            entry(0, "data/f0.parquet", 0, r[0], 1),  # existing
+            entry(2, "data/f1.parquet", 100, r[1], 1),  # deleted
+        ],
+        "metadata/m3.avro": [
+            entry(1, "data/f4.parquet", 100, r[4], 3),
+        ],
+    }
+    for path, entries in manifests.items():
+        files[path] = encode_avro_container(
+            _MANIFEST_SCHEMA_SEQ, entries, sync
+        )
+
+    def summary(lo: int, hi: int) -> bytes:
+        """One field_summary: contains_null=false, int64 bounds."""
+        return (
+            _zigzag_write(1)  # array count
+            + b"\x00"  # contains_null = false
+            + _zigzag_write(1) + _enc_bytes(struct.pack("<q", lo))
+            + _zigzag_write(1) + _enc_bytes(struct.pack("<q", hi))
+            + _zigzag_write(0)  # array terminator
+        )
+
+    def ml_record(
+        mpath: str, seq: int, added_snap: int,
+        added: int, existing: int, deleted: int, lo: int, hi: int,
+    ) -> bytes:
+        return (
+            _enc_string(mpath)
+            + _zigzag_write(len(files[mpath]))
+            + _zigzag_write(0)  # partition_spec_id
+            + _zigzag_write(0)  # content = data
+            + _zigzag_write(seq)
+            + _zigzag_write(added_snap)
+            + _zigzag_write(added)
+            + _zigzag_write(existing)
+            + _zigzag_write(deleted)
+            + summary(lo, hi)
+        )
+
+    mls = {
+        "metadata/ml1.avro": [
+            ml_record("metadata/m1.avro", 1, 11, 2, 0, 0, 0, 100),
+        ],
+        "metadata/ml2.avro": [
+            ml_record("metadata/m1.avro", 1, 11, 2, 0, 0, 0, 100),
+            ml_record("metadata/m2.avro", 2, 22, 2, 0, 0, 0, 200),
+        ],
+        "metadata/ml3.avro": [
+            ml_record("metadata/m1r.avro", 3, 33, 0, 1, 1, 0, 0),
+            ml_record("metadata/m2.avro", 2, 22, 2, 0, 0, 0, 200),
+            ml_record("metadata/m3.avro", 3, 33, 1, 0, 0, 100, 100),
+        ],
+    }
+    for path, records in mls.items():
+        files[path] = encode_avro_container(
+            _MANIFEST_LIST_SCHEMA_INSPECT, records, sync
+        )
+
+    snapshots = [
+        {
+            "snapshot-id": 11, "sequence-number": 1,
+            "timestamp-ms": t0, "manifest-list": "metadata/ml1.avro",
+            "summary": {
+                "operation": "append",
+                "added-data-files": "2",
+                "added-records": str(r[0] + r[1]),
+            },
+        },
+        {
+            "snapshot-id": 22, "parent-snapshot-id": 11,
+            "sequence-number": 2, "timestamp-ms": t0 + 60_000,
+            "manifest-list": "metadata/ml2.avro",
+            "summary": {
+                "operation": "append",
+                "added-data-files": "2",
+                "added-records": str(r[2] + r[3]),
+            },
+        },
+        {
+            "snapshot-id": 33, "parent-snapshot-id": 22,
+            "sequence-number": 3, "timestamp-ms": t0 + 120_000,
+            "manifest-list": "metadata/ml3.avro",
+            "summary": {
+                "operation": "overwrite",
+                "added-data-files": "1",
+                "added-records": str(r[4]),
+            },
+        },
+    ]
+    log = [
+        {"timestamp-ms": t0, "snapshot-id": 11},
+        {"timestamp-ms": t0 + 60_000, "snapshot-id": 22},
+        {"timestamp-ms": t0 + 120_000, "snapshot-id": 33},
+    ]
+    if plan["rollback"]:
+        log.append({"timestamp-ms": t0 + 180_000, "snapshot-id": 22})
+    files["metadata/v2.metadata.json"] = json.dumps(
+        {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-4000-8000-{seed:012d}",
+            "properties": {"fixture.probe": "0"},
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": "p",
+                            "transform": "identity",
+                            "source-id": _V_FIELD_ID,
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ],
+            "current-snapshot-id": plan["current"],
+            "snapshots": snapshots,
+            "snapshot-log": log,
+        }
+    ).encode()
+    return write_tar_bundle(files)
+
+
+def _inspect_snapshots(meta: dict) -> dict[int, dict]:
+    """Validated snapshot records keyed by id: parent chain must
+    resolve, ids unique, timestamps non-decreasing along the chain,
+    summary.operation from the spec's closed set."""
+    snap_list = meta.get("snapshots")
+    if not isinstance(snap_list, list) or not 1 <= len(snap_list) <= 1024:
+        raise ValueError("snapshots list malformed")
+    by_id: dict[int, dict] = {}
+    for s in snap_list:
+        if not isinstance(s, dict):
+            raise ValueError("snapshot entry is not an object")
+        sid = s.get("snapshot-id")
+        ts = s.get("timestamp-ms")
+        ml = s.get("manifest-list")
+        summ = s.get("summary")
+        if not isinstance(sid, int) or isinstance(sid, bool):
+            raise ValueError("snapshot-id is not an integer")
+        if sid in by_id:
+            raise ValueError("duplicate snapshot-id")
+        if not isinstance(ts, int) or isinstance(ts, bool) \
+                or not 0 <= ts < 2**53:
+            raise ValueError("snapshot timestamp-ms malformed")
+        if not isinstance(ml, str):
+            raise ValueError("snapshot manifest-list malformed")
+        if not isinstance(summ, dict):
+            raise ValueError("snapshot summary missing")
+        op = summ.get("operation")
+        if op not in _INSPECT_OPS:
+            raise ValueError(f"snapshot operation {op!r} unknown")
+        parent = s.get("parent-snapshot-id")
+        if parent is not None and (
+            not isinstance(parent, int) or isinstance(parent, bool)
+        ):
+            raise ValueError("parent-snapshot-id malformed")
+        by_id[sid] = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "committed_at_ms": ts,
+            "operation": op,
+            "manifest_list": ml,
+            "summary": summ,
+        }
+    for rec in by_id.values():
+        p = rec["parent_id"]
+        if p is None:
+            continue
+        if p not in by_id:
+            raise ValueError("parent-snapshot-id not in snapshots")
+        if by_id[p]["committed_at_ms"] > rec["committed_at_ms"]:
+            raise ValueError("snapshot committed before its parent")
+    return by_id
+
+
+def _current_ancestors(by_id: dict[int, dict], current: int) -> set:
+    """Snapshot ids on the parent chain from ``current`` to the
+    root — bounded by the (already capped) snapshot count, with a
+    cycle fence."""
+    out: set[int] = set()
+    sid = current
+    while sid is not None:
+        if sid in out:
+            raise ValueError("snapshot parent chain has a cycle")
+        if sid not in by_id:
+            raise ValueError("ancestor snapshot missing")
+        out.add(sid)
+        sid = by_id[sid]["parent_id"]
+    return out
+
+
+def iceberg_snapshots_table(payload: bytes) -> list[dict]:
+    """``SELECT * FROM tbl.snapshots``: one row per snapshot in the
+    table metadata — committed_at, ids, operation, and the summary's
+    added-files/added-records counters (spec: summary values are
+    STRINGS; they are decoded to ints here with a fence).  Metadata
+    JSON only: no avro, no parquet."""
+    files = read_tar_bundle(payload)
+    meta, _snaps, _ml, _probe = _parse_table_meta(files)
+    by_id = _inspect_snapshots(meta)
+    out = []
+    for rec in sorted(by_id.values(), key=lambda x: x["snapshot_id"]):
+        summ = rec["summary"]
+        counters = []
+        for key in ("added-data-files", "added-records"):
+            raw = summ.get(key)
+            if not isinstance(raw, str) or not raw.isdigit() \
+                    or len(raw) > 18:
+                raise ValueError(f"summary {key} malformed")
+            counters.append(int(raw))
+        if rec["manifest_list"] not in files:
+            raise ValueError("snapshot manifest-list missing from bundle")
+        out.append({
+            "snapshot_id": rec["snapshot_id"],
+            "parent_id": rec["parent_id"],
+            "committed_at_ms": rec["committed_at_ms"],
+            "operation": rec["operation"],
+            "added_data_files": counters[0],
+            "added_records": counters[1],
+        })
+    return out
+
+
+def iceberg_history_table(payload: bytes) -> list[dict]:
+    """``SELECT * FROM tbl.history``: the snapshot-log in order with
+    ``is_current_ancestor`` resolved by walking parent pointers from
+    the current snapshot — the column that distinguishes a rollback
+    (a logged snapshot that is NO LONGER an ancestor) from linear
+    history.  The log's last entry must be the current snapshot and
+    timestamps must be non-decreasing (both fenced)."""
+    files = read_tar_bundle(payload)
+    meta, _snaps, _ml, _probe = _parse_table_meta(files)
+    by_id = _inspect_snapshots(meta)
+    ancestors = _current_ancestors(by_id, meta["current-snapshot-id"])
+    log = meta.get("snapshot-log")
+    if not isinstance(log, list) or not 1 <= len(log) <= 4096:
+        raise ValueError("snapshot-log malformed")
+    out = []
+    prev_ts = -1
+    for i, e in enumerate(log):
+        if not isinstance(e, dict):
+            raise ValueError("snapshot-log entry is not an object")
+        ts = e.get("timestamp-ms")
+        sid = e.get("snapshot-id")
+        if not isinstance(ts, int) or isinstance(ts, bool) \
+                or not 0 <= ts < 2**53:
+            raise ValueError("snapshot-log timestamp malformed")
+        if ts < prev_ts:
+            raise ValueError("snapshot-log timestamps decrease")
+        prev_ts = ts
+        if sid not in by_id:
+            raise ValueError("snapshot-log references unknown snapshot")
+        out.append({
+            "log_index": i,
+            "made_current_at_ms": ts,
+            "snapshot_id": sid,
+            "is_current_ancestor": sid in ancestors,
+        })
+    if out[-1]["snapshot_id"] != meta["current-snapshot-id"]:
+        raise ValueError("snapshot-log does not end at current")
+    return out
+
+
+def iceberg_manifests_table(payload: bytes) -> list[dict]:
+    """``SELECT * FROM tbl.manifests``: one row per manifest in the
+    CURRENT snapshot's manifest list — path, spec id, content kind,
+    sequence number, adding snapshot, the added/existing/deleted
+    entry counts, and the single partition field's summary
+    (contains_null + int64 bounds).  The declared counts are
+    CROSS-CHECKED against the manifest's actual entry statuses and
+    ``manifest_length`` against the bundle — count drift is how a
+    stale manifest list lies, so drift quarantines."""
+    files = read_tar_bundle(payload)
+    _meta, _snaps, ml_blob, _probe = _parse_table_meta(files)
+    out = []
+    for mf in decode_avro_blocks(ml_blob):
+        mpath = mf.get("manifest_path")
+        if not isinstance(mpath, str):
+            raise ValueError("manifest_path is not a string")
+        mblob = files.get(mpath)
+        if mblob is None:
+            raise ValueError(f"manifest {mpath!r} missing from bundle")
+        if mf.get("manifest_length") != len(mblob):
+            raise ValueError("manifest_length disagrees with bundle")
+        row = {"manifest_path": mpath}
+        for field, lo_ok in (
+            ("partition_spec_id", 0), ("content", 0),
+            ("sequence_number", 0), ("added_snapshot_id", 0),
+            ("added_data_files_count", 0),
+            ("existing_data_files_count", 0),
+            ("deleted_data_files_count", 0),
+        ):
+            v = mf.get(field)
+            if not isinstance(v, int) or isinstance(v, bool) or v < lo_ok:
+                raise ValueError(f"manifest {field} malformed")
+            row[field] = v
+        if row["content"] not in (0, 1):
+            raise ValueError("manifest content unknown")
+        parts = mf.get("partitions")
+        if not isinstance(parts, list) or len(parts) != 1 \
+                or not isinstance(parts[0], dict):
+            raise ValueError("manifest partition summary malformed")
+        fs = parts[0]
+        cn = fs.get("contains_null")
+        if not isinstance(cn, bool):
+            raise ValueError("contains_null malformed")
+        bounds = []
+        for key in ("lower_bound", "upper_bound"):
+            raw = fs.get(key)
+            if not isinstance(raw, bytes) or len(raw) != 8:
+                raise ValueError(f"field summary {key} malformed")
+            bounds.append(struct.unpack("<q", raw)[0])
+        if bounds[0] > bounds[1]:
+            raise ValueError("field summary lower above upper")
+        counted = {0: 0, 1: 0, 2: 0}
+        for e in decode_avro_blocks(mblob):
+            st = e.get("status")
+            if st not in (0, 1, 2):
+                raise ValueError(f"manifest entry status {st} unknown")
+            counted[st] += 1
+        if (
+            counted[1] != row["added_data_files_count"]
+            or counted[0] != row["existing_data_files_count"]
+            or counted[2] != row["deleted_data_files_count"]
+        ):
+            raise ValueError(
+                "manifest-list counts disagree with entry statuses"
+            )
+        row["contains_null"] = cn
+        row["partition_lower"] = bounds[0]
+        row["partition_upper"] = bounds[1]
+        out.append(row)
+    if not out:
+        raise ValueError("current snapshot has no manifests")
+    if len(out) > 1 << 14:
+        raise ValueError("manifest count past cap (boundary)")
+    return out
+
+
+def iceberg_partitions_table(payload: bytes) -> list[dict]:
+    """``SELECT * FROM tbl.partitions``: live data rows/files per
+    partition value under the CURRENT snapshot — the view that
+    answers "which partitions exist and how big are they" from
+    manifest bytes alone.  Live = status 0/1 entries of content-0
+    (data) files; status-2 tombstones are what an overwrite leaves
+    behind and MUST be excluded (including them double-counts every
+    rewritten partition).  Partition field name resolves from the
+    default spec (single-field scope, as ``files``)."""
+    files = read_tar_bundle(payload)
+    meta, _snaps, ml_blob, _probe = _parse_table_meta(files)
+    tspecs = _resolve_partition_spec(meta)
+    if len(tspecs) != 1:
+        raise ValueError(
+            "partitions metadata table serves single-field specs only "
+            "(boundary: multi-field partition is a struct column)"
+        )
+    part_field = tspecs[0][0]
+    agg: dict[int, list[int]] = {}
+    for mf in decode_avro_blocks(ml_blob):
+        mpath = mf.get("manifest_path")
+        if not isinstance(mpath, str):
+            raise ValueError("manifest_path is not a string")
+        mblob = files.get(mpath)
+        if mblob is None:
+            raise ValueError(f"manifest {mpath!r} missing from bundle")
+        if mf.get("manifest_length") != len(mblob):
+            raise ValueError("manifest_length disagrees with bundle")
+        for e in decode_avro_blocks(mblob):
+            st = e.get("status")
+            if st == 2:
+                continue
+            if st not in (0, 1):
+                raise ValueError(f"manifest entry status {st} unknown")
+            df = e.get("data_file")
+            if not isinstance(df, dict):
+                raise ValueError("manifest entry without data_file")
+            if df.get("content", 0) != 0:
+                continue  # delete files don't add partition rows
+            rc = df.get("record_count")
+            if not isinstance(rc, int) or isinstance(rc, bool) or rc < 0:
+                raise ValueError("record_count malformed")
+            part = df.get("partition")
+            pv = part.get(part_field) if isinstance(part, dict) else part
+            if not isinstance(pv, int) or isinstance(pv, bool):
+                raise ValueError("partition value malformed")
+            slot = agg.setdefault(pv, [0, 0])
+            slot[0] += rc
+            slot[1] += 1
+    if not agg:
+        raise ValueError("current snapshot has no live data files")
+    if len(agg) > 1 << 16:
+        raise ValueError("partition count past cap (boundary)")
+    return [
+        {"partition_p": pv, "record_count": rc, "file_count": fc}
+        for pv, (rc, fc) in sorted(agg.items())
+    ]

@@ -779,16 +779,18 @@ def _decode_data_v2(raw: bytes, hdr: dict, codec: int, ptype: int,
 
 def scan_parquet_values(payload: bytes) -> dict:
     """Full value scan used by the ``parquet_page_decode`` query:
-    decode the first three leaf columns (int64 ``a`` nullable, int32
-    ``b``, string ``c``) and return checked aggregates.  The footer
-    row count pins the decoded lengths; the oracle recomputes every
-    aggregate from the writer plan."""
+    decode the four leaf columns (int64 ``a`` nullable, int32 ``b``,
+    string ``c``, double ``d`` — integer-valued so its sum is exact)
+    and return checked aggregates.  The footer row count pins the
+    decoded lengths; the oracle recomputes every aggregate from the
+    writer plan."""
     leaves, _, n_rows = _parse_schema_and_chunks(payload)
-    if len(leaves) < 3:
-        raise ValueError(f"expected >=3 leaf columns, got {len(leaves)}")
+    if len(leaves) < 4:
+        raise ValueError(f"expected >=4 leaf columns, got {len(leaves)}")
     a = decode_column(payload, 0)
     b = decode_column(payload, 1)
     c = decode_column(payload, 2)
+    d = decode_column(payload, 3)
     a_non_null = [v for v in a if v is not None]
     if any(not isinstance(v, int) for v in a_non_null):
         raise ValueError("column a decoded to non-integer values")
@@ -796,6 +798,13 @@ def scan_parquet_values(payload: bytes) -> dict:
         raise ValueError("column b decoded to non-integer values")
     if any(v is None or not isinstance(v, bytes) for v in c):
         raise ValueError("column c decoded to non-bytes values")
+    if any(not isinstance(v, float) for v in d):
+        raise ValueError("column d decoded to non-float values")
+    if any(v != int(v) for v in d):
+        # the fixture writes integer-valued doubles so the sum (and
+        # the DuckDB oracle hash) is exact — a fractional value means
+        # the byte-plane transpose scrambled the mantissa
+        raise ValueError("column d decoded off its integer grid")
     return {
         "n_rows": n_rows,
         "a_sum": sum(a_non_null),
@@ -803,13 +812,15 @@ def scan_parquet_values(payload: bytes) -> dict:
         "b_sum": sum(b),
         "c_len_sum": sum(len(v) for v in c),
         "c_distinct": len(set(c)),
+        "d_sum": int(sum(int(v) for v in d)),
     }
 
 
 def synth_parquet_data_plan(seed: int) -> dict:
     """Writer plan mirrored in the DuckDB oracle: n_rows rows of
     a = (seed*3 + i*5) % 1000 nulled when (i + seed) % 7 == 0,
-    b = (i*11 + seed) % 500, c = 'x' * (1 + (i + seed) % 5); the
+    b = (i*11 + seed) % 500, c = 'x' * (1 + (i + seed) % 5),
+    d = double((i*7 + seed) % 1000) (integer-valued, exact sums); the
     ENCODING rotation (page version, dictionary, codec) varies by
     seed but never changes the values."""
     delta = (seed >> 3) % 2 == 1
@@ -828,6 +839,11 @@ def synth_parquet_data_plan(seed: int) -> dict:
             if delta
             else "PLAIN"
         ),
+        # the delta seeds (the column_encoding path, dictionary off)
+        # also write the double column BYTE_STREAM_SPLIT — the
+        # byte-plane-transposed float layout real lake files use for
+        # compression-friendly numerics (round 13)
+        "d_encoding": "BYTE_STREAM_SPLIT" if delta else "PLAIN",
     }
 
 
@@ -850,11 +866,13 @@ def synth_parquet_data(seed: int) -> bytes:
     ]
     b = [(i * 11 + seed) % 500 for i in range(n)]
     c = ["x" * (1 + (i + seed) % 5) for i in range(n)]
+    d = [float((i * 7 + seed) % 1000) for i in range(n)]
     table = pa.table(
         {
             "a": pa.array(a, pa.int64()),
             "b": pa.array(b, pa.int32()),
             "c": pa.array(c, pa.string()),
+            "d": pa.array(d, pa.float64()),
         }
     )
     buf = io.BytesIO()
@@ -864,6 +882,7 @@ def synth_parquet_data(seed: int) -> bytes:
             "a": "DELTA_BINARY_PACKED",
             "b": "DELTA_BINARY_PACKED",
             "c": plan["c_encoding"],
+            "d": plan["d_encoding"],
         }
     pq.write_table(
         table,

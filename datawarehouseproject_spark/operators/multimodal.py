@@ -2236,6 +2236,7 @@ PARQUET_VALUES_SCHEMA = T.StructType(
         T.StructField("b_sum", T.LongType()),
         T.StructField("c_len_sum", T.LongType()),
         T.StructField("c_distinct", T.IntegerType()),
+        T.StructField("d_sum", T.LongType()),
     ]
 )
 
@@ -3939,3 +3940,124 @@ def explode_iceberg_files(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=ICEBERG_FILES_SCHEMA)
+
+
+def synthesize_iceberg_inspect_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of three-snapshot Iceberg
+    tables (append/append/overwrite, odd seeds rolled back) with NO
+    data parquet in the bundle
+    (``functions/iceberg_scan.py:synth_iceberg_inspect``)."""
+
+    def loader():
+        from ..functions.iceberg_scan import synth_iceberg_inspect
+
+        return synth_iceberg_inspect
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+def _explode_inspect(media: DataFrame, schema, fn_name: str) -> DataFrame:
+    """Shared mapInPandas explode for the four inspection tables:
+    one output row per list element of the named
+    ``functions.iceberg_scan`` reader.  Metadata bytes only — the
+    bundles carry no data parquet, so a reader that tried to open
+    one would fail loudly in every row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import iceberg_scan
+
+        fn = getattr(iceberg_scan, fn_name)
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for entry in fn(bytes(p)):
+                    rows["media_id"].append(int(mid))
+                    for k, v in entry.items():
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+ICEBERG_SNAPSHOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("parent_id", T.LongType()),
+        T.StructField("committed_at_ms", T.LongType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("added_data_files", T.LongType()),
+        T.StructField("added_records", T.LongType()),
+    ]
+)
+
+ICEBERG_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("log_index", T.IntegerType()),
+        T.StructField("made_current_at_ms", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("is_current_ancestor", T.BooleanType()),
+    ]
+)
+
+ICEBERG_MANIFESTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("manifest_path", T.StringType()),
+        T.StructField("partition_spec_id", T.IntegerType()),
+        T.StructField("content", T.IntegerType()),
+        T.StructField("sequence_number", T.LongType()),
+        T.StructField("added_snapshot_id", T.LongType()),
+        T.StructField("added_data_files_count", T.IntegerType()),
+        T.StructField("existing_data_files_count", T.IntegerType()),
+        T.StructField("deleted_data_files_count", T.IntegerType()),
+        T.StructField("contains_null", T.BooleanType()),
+        T.StructField("partition_lower", T.LongType()),
+        T.StructField("partition_upper", T.LongType()),
+    ]
+)
+
+ICEBERG_PARTITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("partition_p", T.LongType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("file_count", T.IntegerType()),
+    ]
+)
+
+
+def explode_iceberg_snapshots(media: DataFrame) -> DataFrame:
+    """One row per snapshot — ``tbl.snapshots``
+    (:func:`..functions.iceberg_scan.iceberg_snapshots_table`)."""
+    return _explode_inspect(
+        media, ICEBERG_SNAPSHOTS_SCHEMA, "iceberg_snapshots_table"
+    )
+
+
+def explode_iceberg_history(media: DataFrame) -> DataFrame:
+    """One row per snapshot-log entry — ``tbl.history``
+    (:func:`..functions.iceberg_scan.iceberg_history_table`)."""
+    return _explode_inspect(
+        media, ICEBERG_HISTORY_SCHEMA, "iceberg_history_table"
+    )
+
+
+def explode_iceberg_manifests(media: DataFrame) -> DataFrame:
+    """One row per current-snapshot manifest — ``tbl.manifests``
+    (:func:`..functions.iceberg_scan.iceberg_manifests_table`)."""
+    return _explode_inspect(
+        media, ICEBERG_MANIFESTS_SCHEMA, "iceberg_manifests_table"
+    )
+
+
+def explode_iceberg_partitions(media: DataFrame) -> DataFrame:
+    """One row per live partition — ``tbl.partitions``
+    (:func:`..functions.iceberg_scan.iceberg_partitions_table`)."""
+    return _explode_inspect(
+        media, ICEBERG_PARTITIONS_SCHEMA, "iceberg_partitions_table"
+    )

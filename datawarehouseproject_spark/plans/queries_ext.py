@@ -3107,7 +3107,8 @@ def q_parquet_footer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN (i + media_id) % 7 = 0 THEN NULL
                   ELSE (media_id * 3 + i * 5) % 1000 END AS a,
              (i * 11 + media_id) % 500 AS b,
-             1 + (i + media_id) % 5 AS clen
+             1 + (i + media_id) % 5 AS clen,
+             (i * 7 + media_id) % 1000 AS d
       FROM r)
     SELECT media_id,
            CAST(max(nr) AS BIGINT) AS n_rows,
@@ -3116,7 +3117,8 @@ def q_parquet_footer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS a_nulls,
            CAST(sum(b) AS BIGINT) AS b_sum,
            CAST(sum(clen) AS BIGINT) AS c_len_sum,
-           CAST(count(DISTINCT clen) AS INTEGER) AS c_distinct
+           CAST(count(DISTINCT clen) AS INTEGER) AS c_distinct,
+           CAST(sum(d) AS BIGINT) AS d_sum
     FROM v
     GROUP BY media_id
     """,
@@ -3129,9 +3131,11 @@ def q_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning has pruned the files.  One real parquet file per
     document, written by PYARROW (independent producer) with the full
     encoding rotation by seed: V1 and V2 data pages, dictionary
-    on/off, DELTA_BINARY_PACKED ints on the high seeds, gzip and
-    uncompressed codecs, multiple row groups AND multiple pages per
-    chunk (data_page_size=256).  The hand-rolled reader
+    on/off, DELTA_BINARY_PACKED ints + DELTA(_LENGTH)_BYTE_ARRAY
+    strings + BYTE_STREAM_SPLIT doubles on the high seeds (round 13
+    completed the encoding set), gzip/snappy/zstd/uncompressed
+    codecs, multiple row groups AND multiple pages per chunk
+    (data_page_size=256).  The hand-rolled reader
     (``functions/parquet_pages.py``) walks Thrift-compact
     PageHeaders, decodes RLE/bit-packed-hybrid definition levels
     (u32-prefixed in V1, header-sized and never-compressed in V2),
@@ -3155,7 +3159,7 @@ def q_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_parquet_data_media(_t(spark, sf_dir, "documents"))
     return extract_parquet_values(media).select(
         "media_id", "n_rows", "a_sum", "a_nulls", "b_sum", "c_len_sum",
-        "c_distinct",
+        "c_distinct", "d_sum",
     )
 
 
@@ -8296,4 +8300,213 @@ def q_iceberg_files_metadata_table(
     return explode_iceberg_files(media).select(
         "media_id", "file_path", "content", "record_count",
         "partition_p", "lower_bound", "upper_bound", "sequence_number",
+    )
+
+
+_ICEBERG_INSPECT_CTE = """
+    WITH m AS (
+      SELECT doc_id AS s,
+             10 + doc_id % 20 AS r0,
+             10 + (doc_id + 3) % 20 AS r1,
+             10 + (doc_id + 6) % 20 AS r2,
+             10 + (doc_id + 9) % 20 AS r3,
+             10 + (doc_id + 12) % 20 AS r4,
+             1700000000000 + (doc_id % 1000) * 60000 AS t0
+      FROM documents)
+"""
+
+
+@register(
+    "iceberg_snapshots_table",
+    oracle=_ICEBERG_INSPECT_CTE + """
+    SELECT s AS media_id, CAST(11 AS BIGINT) AS snapshot_id,
+           CAST(NULL AS BIGINT) AS parent_id,
+           CAST(t0 AS BIGINT) AS committed_at_ms,
+           'append' AS operation,
+           CAST(2 AS BIGINT) AS added_data_files,
+           CAST(r0 + r1 AS BIGINT) AS added_records
+    FROM m
+    UNION ALL
+    SELECT s, 22, 11, t0 + 60000, 'append', 2, r2 + r3 FROM m
+    UNION ALL
+    SELECT s, 33, 22, t0 + 120000, 'overwrite', 1, r4 FROM m
+    """,
+    tags=("sources", "iceberg", "lakehouse", "metadata-table",
+          "mapInPandas"),
+)
+def q_iceberg_snapshots_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Iceberg ``snapshots`` METADATA TABLE (round 13): one row
+    per snapshot in the table metadata — commit time, snapshot/parent
+    ids, summary operation, and the summary's added-files/added-
+    records counters (spec: summary values are strings; decoded with
+    a digit fence).  Parent chain, id uniqueness, timestamp
+    monotonicity along the chain, and manifest-list presence are all
+    fenced (``functions/iceberg_scan.py:iceberg_snapshots_table``).
+    Costs metadata-JSON bytes only — the fixture ships NO data
+    parquet, so any implementation that touches one fails every
+    row."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_iceberg_snapshots,
+        synthesize_iceberg_inspect_media,
+    )
+
+    media = synthesize_iceberg_inspect_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return explode_iceberg_snapshots(media).select(
+        "media_id", "snapshot_id", "parent_id", "committed_at_ms",
+        "operation", "added_data_files", "added_records",
+    )
+
+
+@register(
+    "iceberg_history_table",
+    oracle=_ICEBERG_INSPECT_CTE + """
+    SELECT s AS media_id, CAST(0 AS INTEGER) AS log_index,
+           CAST(t0 AS BIGINT) AS made_current_at_ms,
+           CAST(11 AS BIGINT) AS snapshot_id,
+           TRUE AS is_current_ancestor
+    FROM m
+    UNION ALL
+    SELECT s, 1, t0 + 60000, 22, TRUE FROM m
+    UNION ALL
+    SELECT s, 2, t0 + 120000, 33, s % 2 = 0 FROM m
+    UNION ALL
+    SELECT s, 3, t0 + 180000, 22, TRUE FROM m WHERE s % 2 = 1
+    """,
+    tags=("sources", "iceberg", "lakehouse", "metadata-table",
+          "time-travel", "mapInPandas"),
+)
+def q_iceberg_history_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Iceberg ``history`` METADATA TABLE (round 13): the
+    snapshot-log in order with ``is_current_ancestor`` resolved by
+    walking parent pointers from the current snapshot.  Odd-seed
+    fixtures are ROLLED BACK to snapshot 22, so their log carries a
+    4th entry and snapshot 33 — still in the log — is NOT a current
+    ancestor: the one column that distinguishes rollback from linear
+    history, and the one a naive 'everything in the log is an
+    ancestor' reader gets wrong on every odd seed
+    (``functions/iceberg_scan.py:iceberg_history_table``)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_iceberg_history,
+        synthesize_iceberg_inspect_media,
+    )
+
+    media = synthesize_iceberg_inspect_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return explode_iceberg_history(media).select(
+        "media_id", "log_index", "made_current_at_ms", "snapshot_id",
+        "is_current_ancestor",
+    )
+
+
+@register(
+    "iceberg_manifests_table",
+    oracle=_ICEBERG_INSPECT_CTE + """
+    SELECT s AS media_id, manifest_path,
+           CAST(0 AS INTEGER) AS partition_spec_id,
+           CAST(0 AS INTEGER) AS content,
+           CAST(seq AS BIGINT) AS sequence_number,
+           CAST(added_snap AS BIGINT) AS added_snapshot_id,
+           CAST(a AS INTEGER) AS added_data_files_count,
+           CAST(e AS INTEGER) AS existing_data_files_count,
+           CAST(d AS INTEGER) AS deleted_data_files_count,
+           FALSE AS contains_null,
+           CAST(lo AS BIGINT) AS partition_lower,
+           CAST(hi AS BIGINT) AS partition_upper
+    FROM (
+      SELECT s, 'metadata/m1r.avro' AS manifest_path, 3 AS seq,
+             33 AS added_snap, 0 AS a, 1 AS e, 1 AS d,
+             0 AS lo, 0 AS hi
+      FROM m WHERE s % 2 = 0
+      UNION ALL
+      SELECT s, 'metadata/m3.avro', 3, 33, 1, 0, 0, 100, 100
+      FROM m WHERE s % 2 = 0
+      UNION ALL
+      SELECT s, 'metadata/m1.avro', 1, 11, 2, 0, 0, 0, 100
+      FROM m WHERE s % 2 = 1
+      UNION ALL
+      SELECT s, 'metadata/m2.avro', 2, 22, 2, 0, 0, 0, 200 FROM m
+    )
+    """,
+    tags=("sources", "iceberg", "lakehouse", "metadata-table",
+          "mapInPandas"),
+)
+def q_iceberg_manifests_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Iceberg ``manifests`` METADATA TABLE (round 13): one row
+    per manifest in the CURRENT snapshot's list — path, spec id,
+    content kind, sequence number, adding snapshot, the added/
+    existing/deleted entry counts, and the partition field summary
+    (contains_null + int64 bounds).  The declared counts are
+    CROSS-CHECKED against the manifest's actual entry statuses
+    (drift quarantines — a stale list lies through its counts), and
+    the even-seed fixture's rewritten manifest ``m1r`` (0 added / 1
+    existing / 1 deleted after the overwrite) is exactly the row a
+    reader that only counts 'added' misreports
+    (``functions/iceberg_scan.py:iceberg_manifests_table``)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_iceberg_manifests,
+        synthesize_iceberg_inspect_media,
+    )
+
+    media = synthesize_iceberg_inspect_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return explode_iceberg_manifests(media).select(
+        "media_id", "manifest_path", "partition_spec_id", "content",
+        "sequence_number", "added_snapshot_id",
+        "added_data_files_count", "existing_data_files_count",
+        "deleted_data_files_count", "contains_null",
+        "partition_lower", "partition_upper",
+    )
+
+
+@register(
+    "iceberg_partitions_table",
+    oracle=_ICEBERG_INSPECT_CTE + """
+    SELECT s AS media_id, CAST(0 AS BIGINT) AS partition_p,
+           CAST(r0 + r2 AS BIGINT) AS record_count,
+           CAST(2 AS INTEGER) AS file_count
+    FROM m
+    UNION ALL
+    SELECT s, 100, CASE WHEN s % 2 = 0 THEN r4 ELSE r1 END, 1 FROM m
+    UNION ALL
+    SELECT s, 200, r3, 1 FROM m
+    """,
+    tags=("sources", "iceberg", "lakehouse", "metadata-table",
+          "mapInPandas"),
+)
+def q_iceberg_partitions_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Iceberg ``partitions`` METADATA TABLE (round 13): live
+    rows/files per partition value under the CURRENT snapshot, from
+    manifest bytes alone.  Status-2 tombstones are excluded — the
+    even-seed overwrite leaves f1's tombstone in partition 100, so a
+    reader that counts all entries double-counts that partition on
+    every even seed; the rollback (odd seeds) flips partition 100's
+    live row count from r4 to r1, pinning that 'current' means the
+    current-snapshot-id, not the newest snapshot
+    (``functions/iceberg_scan.py:iceberg_partitions_table``)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_iceberg_partitions,
+        synthesize_iceberg_inspect_media,
+    )
+
+    media = synthesize_iceberg_inspect_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return explode_iceberg_partitions(media).select(
+        "media_id", "partition_p", "record_count", "file_count",
     )

@@ -211,6 +211,26 @@ def _cases():
             iceberg_scan.synth_iceberg_seq,
             iceberg_scan.list_iceberg_files,
         ),
+        (
+            "iceberg_snapshots",
+            iceberg_scan.synth_iceberg_inspect,
+            iceberg_scan.iceberg_snapshots_table,
+        ),
+        (
+            "iceberg_history",
+            iceberg_scan.synth_iceberg_inspect,
+            iceberg_scan.iceberg_history_table,
+        ),
+        (
+            "iceberg_manifests",
+            iceberg_scan.synth_iceberg_inspect,
+            iceberg_scan.iceberg_manifests_table,
+        ),
+        (
+            "iceberg_partitions",
+            iceberg_scan.synth_iceberg_inspect,
+            iceberg_scan.iceberg_partitions_table,
+        ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
         (
             "delta_partitioned",

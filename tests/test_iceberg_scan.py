@@ -1649,3 +1649,152 @@ def test_files_metadata_missing_sequence_rejects():
     )
     with pytest.raises(ValueError, match="no sequence number"):
         list_iceberg_files(write_tar_bundle(files))
+
+
+# ---------------------------------------------------------------------------
+# inspection tables: snapshots / history / manifests / partitions
+# ---------------------------------------------------------------------------
+
+def _inspect_bundle(seed):
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        synth_iceberg_inspect,
+    )
+
+    return synth_iceberg_inspect(seed)
+
+
+def test_inspect_fixture_has_no_data_parquet():
+    """The inspection fixture deliberately ships NO data file: all
+    four tables must serve from metadata bytes alone."""
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+    )
+
+    names = set(read_tar_bundle(_inspect_bundle(5)))
+    assert not any(n.startswith("data/") for n in names)
+
+
+def test_history_rollback_ancestry():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        iceberg_history_table,
+    )
+
+    linear = iceberg_history_table(_inspect_bundle(4))
+    assert [e["is_current_ancestor"] for e in linear] == [True] * 3
+    rolled = iceberg_history_table(_inspect_bundle(5))
+    assert len(rolled) == 4
+    assert [e["snapshot_id"] for e in rolled] == [11, 22, 33, 22]
+    assert [e["is_current_ancestor"] for e in rolled] == [
+        True, True, False, True,
+    ]
+
+
+def test_manifests_count_drift_rejects():
+    """The manifest-list's declared added/existing/deleted counts are
+    cross-checked against actual entry statuses."""
+    import json as _json
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        decode_avro_blocks,
+    )
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        iceberg_manifests_table,
+    )
+
+    files = dict(read_tar_bundle(_inspect_bundle(2)))
+    # drop m3's only entry by pointing its path at m1r's twin length?
+    # simpler: swap m3's blob for m1r's (2 entries, different counts)
+    m1r = files["metadata/m1r.avro"]
+    files["metadata/m3.avro"] = m1r
+    with pytest.raises(ValueError, match="disagrees|counts"):
+        iceberg_manifests_table(write_tar_bundle(files))
+
+
+def test_partitions_excludes_tombstones_and_rollback():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        iceberg_partitions_table,
+        synth_iceberg_inspect_plan,
+    )
+
+    for seed in (6, 7):
+        p = synth_iceberg_inspect_plan(seed)
+        r = p["rows"]
+        rows = {
+            e["partition_p"]: e
+            for e in iceberg_partitions_table(_inspect_bundle(seed))
+        }
+        assert rows[0]["record_count"] == r[0] + r[2]
+        assert rows[0]["file_count"] == 2
+        # rollback flips partition 100 from the overwrite's f4 back
+        # to the deleted f1; tombstone rows never count
+        expect_100 = r[1] if p["rollback"] else r[4]
+        assert rows[100]["record_count"] == expect_100
+        assert rows[100]["file_count"] == 1
+        assert rows[200]["record_count"] == r[3]
+
+
+def test_snapshots_parent_fences():
+    import json as _json
+
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        iceberg_snapshots_table,
+    )
+
+    files = dict(read_tar_bundle(_inspect_bundle(0)))
+    meta = _json.loads(files["metadata/v2.metadata.json"])
+    meta["snapshots"][2]["parent-snapshot-id"] = 99  # unknown parent
+    f2 = dict(files)
+    f2["metadata/v2.metadata.json"] = _json.dumps(meta).encode()
+    with pytest.raises(ValueError, match="parent-snapshot-id"):
+        iceberg_snapshots_table(write_tar_bundle(f2))
+
+    meta = _json.loads(files["metadata/v2.metadata.json"])
+    meta["snapshots"][2]["timestamp-ms"] = (
+        meta["snapshots"][0]["timestamp-ms"] - 1
+    )  # child committed before parent
+    f3 = dict(files)
+    f3["metadata/v2.metadata.json"] = _json.dumps(meta).encode()
+    with pytest.raises(ValueError, match="before its parent"):
+        iceberg_snapshots_table(write_tar_bundle(f3))
+
+    meta = _json.loads(files["metadata/v2.metadata.json"])
+    meta["snapshots"][1]["summary"]["operation"] = "compact"
+    f4 = dict(files)
+    f4["metadata/v2.metadata.json"] = _json.dumps(meta).encode()
+    with pytest.raises(ValueError, match="operation"):
+        iceberg_snapshots_table(write_tar_bundle(f4))
+
+
+def test_history_log_fences():
+    import json as _json
+
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        iceberg_history_table,
+    )
+
+    files = dict(read_tar_bundle(_inspect_bundle(0)))
+    meta = _json.loads(files["metadata/v2.metadata.json"])
+    meta["snapshot-log"] = meta["snapshot-log"][:2]  # ends at 22 != 33
+    f2 = dict(files)
+    f2["metadata/v2.metadata.json"] = _json.dumps(meta).encode()
+    with pytest.raises(ValueError, match="does not end at current"):
+        iceberg_history_table(write_tar_bundle(f2))
+
+    meta = _json.loads(files["metadata/v2.metadata.json"])
+    meta["snapshot-log"][1]["timestamp-ms"] = 0  # decreasing
+    f3 = dict(files)
+    f3["metadata/v2.metadata.json"] = _json.dumps(meta).encode()
+    with pytest.raises(ValueError, match="decrease"):
+        iceberg_history_table(write_tar_bundle(f3))

@@ -244,7 +244,7 @@ def test_boundaries_are_valueerrors():
         decode_column(b"not parquet at all", 0)
 
 
-def test_scan_requires_three_columns():
+def test_scan_requires_four_columns():
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -252,7 +252,7 @@ def test_scan_requires_three_columns():
     pq.write_table(
         pa.table({"a": pa.array([1], pa.int64())}), buf, compression="NONE"
     )
-    with pytest.raises(ValueError, match="3 leaf columns"):
+    with pytest.raises(ValueError, match="4 leaf columns"):
         scan_parquet_values(buf.getvalue())
 
 
@@ -275,3 +275,31 @@ def test_spark_permissive_quarantine(spark):
     assert out[4]["n_rows"] == len(a)
     assert out[4]["a_sum"] == sum(v for v in a if v is not None)
     assert out[9]["decode_error"] is not None and out[9]["n_rows"] is None
+
+
+def test_byte_stream_split_doubles_roundtrip():
+    """Round 13: the delta seeds write the double column
+    BYTE_STREAM_SPLIT (pyarrow column_encoding); the byte-plane
+    transpose must recover pyarrow's own values exactly."""
+    import pyarrow.parquet as pq
+
+    for seed in (8, 9, 13, 24):
+        blob = synth_parquet_data(seed)
+        meta = pq.ParquetFile(io.BytesIO(blob))
+        encs = meta.metadata.row_group(0).column(3).encodings
+        assert "BYTE_STREAM_SPLIT" in encs, (seed, encs)
+        got = scan_parquet_values(blob)
+        table = pq.read_table(io.BytesIO(blob))
+        assert got["d_sum"] == int(sum(table.column("d").to_pylist()))
+
+
+def test_byte_stream_split_truncation_quarantines():
+    from datawarehouseproject_spark.functions.parquet_pages import (
+        _decode_values,
+    )
+
+    with pytest.raises(ValueError, match="truncated byte-stream"):
+        _decode_values(b"\x01\x02\x03", 0, 3, 9, 5, 4, None, 0)
+    # unsupported physical type (byte array = 6)
+    with pytest.raises(ValueError, match="unsupported type"):
+        _decode_values(b"\x00" * 64, 0, 64, 9, 6, 4, None, 0)

@@ -1315,6 +1315,56 @@ def round15_kernels() -> None:
 
 
 
+def round16_kernels() -> None:
+    """Round-13 (build round) additions: Arrow IPC BodyCompression
+    decode and the four Iceberg inspection tables."""
+    from datawarehouseproject_spark.functions.arrow_ipc import (
+        decode_arrow_values,
+        synth_arrow_values,
+    )
+
+    # seeds 1,2 mod 3 are lz4/zstd-compressed; 0 uncompressed
+    comp = [synth_arrow_values(s) for s in range(1, 600) if s % 3]
+    secs, n = _timeit(
+        lambda: sum(decode_arrow_values(p)["n_rows"] for p in comp)
+    )
+    print(json.dumps({
+        "kernel": "arrow_ipc_body_compression",
+        "media": f"{sum(map(len, comp))} bytes, {len(comp)} files "
+                 f"(lz4+zstd), {n} rows",
+        "files_per_s": int(len(comp) / secs),
+        "sec": round(secs, 4),
+    }))
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        iceberg_history_table,
+        iceberg_manifests_table,
+        iceberg_partitions_table,
+        iceberg_snapshots_table,
+        synth_iceberg_inspect,
+    )
+
+    tables = [synth_iceberg_inspect(s) for s in range(200)]
+
+    def all_four():
+        total = 0
+        for b in tables:
+            total += len(iceberg_snapshots_table(b))
+            total += len(iceberg_history_table(b))
+            total += len(iceberg_manifests_table(b))
+            total += len(iceberg_partitions_table(b))
+        return total
+
+    secs, n = _timeit(all_four)
+    print(json.dumps({
+        "kernel": "iceberg_inspection_tables",
+        "media": f"200 tables x 4 views, {n} rows, zero data reads",
+        "tables_per_s": int(200 / secs),
+        "sec": round(secs, 4),
+    }))
+
+
+
 if __name__ == "__main__":
     main()
     archive_kernels()
@@ -1331,3 +1381,4 @@ if __name__ == "__main__":
     round14b_kernels()
     round14c_kernels()
     round15_kernels()
+    round16_kernels()
