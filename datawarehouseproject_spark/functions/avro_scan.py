@@ -191,7 +191,7 @@ def _iter_avro_blocks(payload: bytes):
     if "avro.schema" not in meta:
         raise ValueError("avro container without avro.schema")
     codec = meta.get("avro.codec", b"null").decode("utf-8", "replace")
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard", "bzip2"):
         raise ValueError(f"avro codec {codec!r} unsupported (boundary)")
     if pos + 16 > len(payload):
         raise ValueError("truncated avro sync marker")
@@ -239,6 +239,18 @@ def _iter_avro_blocks(payload: bytes):
             body = decode_snappy(body[:-4], max_output=_MAX_BLOCK)
             if zlib.crc32(body) & 0xFFFFFFFF != crc:
                 raise ValueError("avro snappy block CRC mismatch")
+        elif codec == "zstandard":
+            # spec: each block is one zstd frame, no extra framing
+            # (round 13 — the hand decoder was already in the repo)
+            from .zstd_codec import decode_zstd
+
+            body = decode_zstd(body, max_output=_MAX_BLOCK)
+        elif codec == "bzip2":
+            from .bzip2 import decode_bz2
+
+            body = decode_bz2(body)
+            if len(body) > _MAX_BLOCK:
+                raise ValueError("avro bzip2 block exceeds size cap")
         total_out += len(body)
         if total_out > _MAX_TOTAL:
             # per-block caps alone let many small blocks expand a
@@ -442,11 +454,17 @@ def _parse_type_spec(t, depth: int = 0, named: dict | None = None):
     Round 12 (VERDICT r11 item 4): NAMED-TYPE REFERENCES — a
     previously defined record/enum/fixed reused by NAME (standard in
     real Kafka registries).  ``named`` threads the definition
-    environment; a record's name registers BEFORE its fields parse
-    so self-reference resolves to the in-progress sentinel and
-    loud-rejects (recursive schemas stay a boundary: the decoder has
-    no cycle-safe value representation).  Redefining a name is the
-    spec violation it sounds like and quarantines."""
+    environment; redefining a name is the spec violation it sounds
+    like and quarantines.
+
+    Round 13 (VERDICT r12 item 6): BOUNDED-DEPTH RECURSIVE named
+    types — a reference to an in-progress record (the linked-list /
+    tree shape: ``Node{value, next: [null, Node]}``) returns a LAZY
+    ``('ref', name, env)`` node resolved at decode time, when the
+    env's entry has been completed.  Recursion is bounded by the
+    VALUE depth cap in :func:`_decode_spec` (2x schema depth = 32
+    nesting levels) — a deeper value quarantines loudly, so a crafted
+    body cannot stack-overflow the decoder."""
     if named is None:
         named = {}
     if depth > _MAX_SCHEMA_DEPTH:
@@ -457,9 +475,9 @@ def _parse_type_spec(t, depth: int = 0, named: dict | None = None):
         if t in named:
             spec = named[t]
             if spec is None:
-                raise ValueError(
-                    "recursive avro named type unsupported (boundary)"
-                )
+                # in-progress definition: a RECURSIVE reference —
+                # resolve lazily at decode time (bounded there)
+                return ("ref", t, named)
             return spec
         raise ValueError(f"avro type {t!r} unsupported (boundary)")
     if isinstance(t, list):
@@ -550,6 +568,11 @@ def _decode_spec(data: bytes, pos: int, spec, depth: int = 0):
         if spec[1] == "bytes":
             return _read_bytes(data, pos)
         return _decode_value(data, pos, spec[1])
+    if kind == "ref":
+        target = spec[2].get(spec[1])
+        if target is None or not isinstance(target, tuple):
+            raise ValueError("avro named-type reference unresolved")
+        return _decode_spec(data, pos, target, depth + 1)
     if kind == "union":
         branch, pos = _zigzag_read(data, pos)
         if not 0 <= branch < len(spec[1]):
@@ -648,10 +671,12 @@ def encode_avro_container(
 ) -> bytes:
     """Assemble a container around pre-encoded record bytes (the
     writer half the Iceberg fixtures use); ``codec`` may also be
-    ``deflate`` (raw DEFLATE per the spec, via stdlib zlib)."""
+    ``deflate`` (raw DEFLATE per the spec, via stdlib zlib) or
+    ``zstandard`` (one zstd frame per block, produced by pyarrow's
+    Codec — an independent compressor; the hand decoder reads it)."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "zstandard"):
         raise ValueError(f"encoder codec {codec!r} unsupported")
     out = bytearray(_MAGIC)
     out += _zigzag_write(2)
@@ -666,6 +691,10 @@ def encode_avro_container(
     body = b"".join(encoded_records)
     if codec == "deflate":
         body = zlib.compress(body)[2:-4]  # strip zlib header + adler
+    elif codec == "zstandard":
+        import pyarrow as pa
+
+        body = pa.Codec("zstd").compress(body, asbytes=True)
     out += _zigzag_write(len(encoded_records))
     out += _zigzag_write(len(body))
     out += body
@@ -706,6 +735,20 @@ def _complex_schema_json(seed: int) -> bytes:
     ]
     if seed % 2 == 1:
         fields.append({"name": "fp2", "type": "Fp"})
+    if seed % 3 == 2:
+        # round 13 (VERDICT r12 item 6): a BOUNDED RECURSIVE named
+        # type — the linked-list shape; depth is value-driven and
+        # capped by the decoder, the schema itself is legal Avro
+        fields.append({
+            "name": "chain",
+            "type": ["null", {
+                "type": "record", "name": "Node",
+                "fields": [
+                    {"name": "v", "type": "long"},
+                    {"name": "next", "type": ["null", "Node"]},
+                ],
+            }],
+        })
     return json.dumps(
         {"type": "record", "name": "event", "fields": fields}
     ).encode()
@@ -722,9 +765,21 @@ def synth_avro_complex_plan(seed: int) -> dict:
     ``(seed+i)%3``, fixed bytes ``(seed+i+b)%256``, and union branch
     ``i%3`` (long ``seed+i`` / string ``u{i}`` / null).  ODD seeds
     add ``fp2`` (the ``Fp`` fixed reused by NAME) with bytes
-    ``(i+b)%256`` — its contribution lands in ``fp_sum``."""
+    ``(i+b)%256`` — its contribution lands in ``fp_sum``.
+
+    Round 13: seeds with ``seed%3 == 2`` add ``chain`` — a BOUNDED
+    RECURSIVE linked list (``Node{v, next:[null,Node]}``) of depth
+    ``i%4`` whose node k carries ``(i*3+k) % 100``; and the
+    container codec rotates ``(seed>>1)%3`` through null / deflate /
+    zstandard (the zstd blocks compressed by pyarrow's codec, an
+    independent producer, decoded by the HAND zstd decoder)."""
     n = 10 + seed % 20
-    return {"n_records": n, "has_fp2": seed % 2 == 1}
+    return {
+        "n_records": n,
+        "has_fp2": seed % 2 == 1,
+        "has_chain": seed % 3 == 2,
+        "codec": ("null", "deflate", "zstandard")[(seed >> 1) % 3],
+    }
 
 
 def synth_avro_complex(seed: int) -> bytes:
@@ -760,9 +815,20 @@ def synth_avro_complex(seed: int) -> bytes:
             body += _zigzag_write(len(s)) + s
         if plan["has_fp2"]:
             body += bytes((i + b) % 256 for b in range(4))
+        if plan["has_chain"]:
+            depth = i % 4
+            if depth == 0:
+                body += _zigzag_write(0)  # chain = null
+            else:
+                body += _zigzag_write(1)  # chain = Node
+                for k in range(depth):
+                    body += _zigzag_write((i * 3 + k) % 100)
+                    body += _zigzag_write(1 if k < depth - 1 else 0)
         recs.append(bytes(body))
     sync = bytes((seed * 13 + j * 3 + 7) % 256 for j in range(16))
-    return encode_avro_container(_complex_schema_json(seed), recs, sync)
+    return encode_avro_container(
+        _complex_schema_json(seed), recs, sync, codec=plan["codec"]
+    )
 
 
 def scan_avro_complex(payload: bytes) -> dict:
@@ -777,9 +843,10 @@ def scan_avro_complex(payload: bytes) -> dict:
     fp_sum = 0
     u_long_sum = u_str_chars = u_nulls = 0
     id_sum = 0
+    chain_nodes = chain_sum = 0
     base_keys = {"id", "tags", "props", "color", "fp", "u"}
     for rec in records:
-        if set(rec) - {"fp2"} != base_keys:
+        if set(rec) - {"fp2", "chain"} != base_keys:
             raise ValueError("avro record does not match complex schema")
         if not isinstance(rec["id"], int):
             raise ValueError("complex id not an integer")
@@ -824,6 +891,23 @@ def scan_avro_complex(payload: bytes) -> dict:
             u_str_chars += len(u)
         else:
             raise ValueError("union value of unexpected type")
+        node = rec.get("chain")
+        hops = 0
+        while node is not None:
+            # the recursive named type, value-bounded: the decoder's
+            # depth cap already refused anything pathological, but a
+            # local hop cap keeps this WALK safe under drift too
+            hops += 1
+            if hops > 64:
+                raise ValueError("chain walk exceeds hop cap")
+            if not isinstance(node, dict) or "v" not in node:
+                raise ValueError("chain node malformed")
+            v = node["v"]
+            if not isinstance(v, int):
+                raise ValueError("chain node value not an integer")
+            chain_nodes += 1
+            chain_sum += v
+            node = node.get("next")
     for label, s in (
         ("id_sum", id_sum),
         ("prop_sum", prop_sum),
@@ -845,6 +929,8 @@ def scan_avro_complex(payload: bytes) -> dict:
         "u_long_sum": u_long_sum,
         "u_str_chars": u_str_chars,
         "u_nulls": u_nulls,
+        "chain_nodes": chain_nodes,
+        "chain_sum": chain_sum,
     }
 
 

@@ -3005,6 +3005,8 @@ AVRO_COMPLEX_SCHEMA = T.StructType(
         T.StructField("u_long_sum", T.LongType()),
         T.StructField("u_str_chars", T.LongType()),
         T.StructField("u_nulls", T.LongType()),
+        T.StructField("chain_nodes", T.LongType()),
+        T.StructField("chain_sum", T.LongType()),
     ]
 )
 

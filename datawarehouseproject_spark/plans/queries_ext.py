@@ -1662,6 +1662,14 @@ def q_avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT media_id,
              CAST(sum((i * 7 + j * 13) % 1000) AS BIGINT) AS prop_sum
       FROM props GROUP BY media_id),
+    chain AS (
+      SELECT media_id, i, unnest(generate_series(0, (i % 4) - 1)) AS k
+      FROM ii WHERE media_id % 3 = 2 AND i % 4 > 0),
+    csum AS (
+      SELECT media_id,
+             CAST(count(*) AS BIGINT) AS chain_nodes,
+             CAST(sum((i * 3 + k) % 100) AS BIGINT) AS chain_sum
+      FROM chain GROUP BY media_id),
     agg AS (
       SELECT media_id,
              CAST(count(*) AS BIGINT) AS n_records,
@@ -1685,8 +1693,11 @@ def q_avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.media_id, a.n_records, a.id_sum, a.tag_count, a.tag_chars,
            a.prop_count, coalesce(p.prop_sum, 0) AS prop_sum,
            a.n_red, a.n_green, a.n_blue, a.fp_sum,
-           a.u_long_sum, a.u_str_chars, a.u_nulls
+           a.u_long_sum, a.u_str_chars, a.u_nulls,
+           coalesce(c.chain_nodes, 0) AS chain_nodes,
+           coalesce(c.chain_sum, 0) AS chain_sum
     FROM agg a LEFT JOIN psum p USING (media_id)
+         LEFT JOIN csum c USING (media_id)
     """,
     tags=("sources", "avro", "complex-types", "union", "mapInPandas"),
 )
@@ -1699,10 +1710,14 @@ def q_avro_complex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     T]`` two-branch fast path can never have produced these values.
     Decoded by the SAME generic nested decoder the Iceberg manifests
     ride (``functions/avro_scan.py:_parse_type_spec`` /
-    ``_decode_spec``), extended this round; one aggregate per
-    complex field so any mis-framing (a lost array terminator, an
-    off-by-one fixed width, a swapped union branch) breaks the
-    oracle hash."""
+    ``_decode_spec``); one aggregate per complex field so any
+    mis-framing (a lost array terminator, an off-by-one fixed width,
+    a swapped union branch) breaks the oracle hash.  Round 13: seeds
+    with ``seed%3 == 2`` carry a BOUNDED RECURSIVE named type (the
+    ``Node{v, next:[null,Node]}`` linked list — value-depth capped,
+    so crafted bodies quarantine instead of recursing), and the
+    container codec rotates null / deflate / ZSTANDARD (zstd frames
+    by pyarrow's codec, decoded by the hand decoder)."""
     _utc(spark)
     from ..operators.multimodal import (
         extract_avro_complex_scan,
@@ -1714,6 +1729,7 @@ def q_avro_complex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "n_records", "id_sum", "tag_count", "tag_chars",
         "prop_count", "prop_sum", "n_red", "n_green", "n_blue",
         "fp_sum", "u_long_sum", "u_str_chars", "u_nulls",
+        "chain_nodes", "chain_sum",
     )
 
 

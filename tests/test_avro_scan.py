@@ -609,22 +609,31 @@ def test_named_reference_namespace_fullname():
     assert fields["b"] == fields["c"] == ("fixed", 3)
 
 
-def test_recursive_named_type_is_loud():
+def test_recursive_named_type_parses_lazily():
+    """Round 13 flipped the r12 loud-reject: an in-progress record
+    reference parses to a lazy ('ref', name, env) node (decode-time
+    bounded by the value depth cap — see
+    test_recursive_named_type_bounded)."""
     from datawarehouseproject_spark.functions.avro_scan import (
         _parse_type_spec,
     )
 
-    with pytest.raises(ValueError, match="recursive"):
-        _parse_type_spec(
-            {
-                "type": "record",
-                "name": "Node",
-                "fields": [
-                    {"name": "v", "type": "long"},
-                    {"name": "next", "type": ["null", "Node"]},
-                ],
-            }
-        )
+    spec = _parse_type_spec(
+        {
+            "type": "record",
+            "name": "Node",
+            "fields": [
+                {"name": "v", "type": "long"},
+                {"name": "next", "type": ["null", "Node"]},
+            ],
+        }
+    )
+    next_spec = dict(spec[1])["next"]
+    assert next_spec[0] == "union"
+    ref = next_spec[1][1]
+    assert ref[0] == "ref" and ref[1] == "Node"
+    # the env resolved after the full parse
+    assert ref[2]["Node"] is spec
 
 
 def test_named_type_redefinition_is_loud():
@@ -690,3 +699,90 @@ def test_complex_rotation_odd_seed_reuses_fp_by_name():
     want = sum((seed + i + b) % 256 for i in range(n) for b in range(4))
     want += sum((i + b) % 256 for i in range(n) for b in range(4))
     assert r["fp_sum"] == want
+
+
+def test_recursive_named_type_bounded():
+    """Round 13: the linked-list schema decodes to nested dicts;
+    value depth past the cap quarantines (never a RecursionError)."""
+    import json as _json
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        _decode_spec,
+        _parse_type_spec,
+        _zigzag_write,
+    )
+
+    schema = {
+        "type": "record", "name": "Node",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    spec = _parse_type_spec(schema)
+    body = (
+        _zigzag_write(5) + _zigzag_write(1)
+        + _zigzag_write(7) + _zigzag_write(1)
+        + _zigzag_write(9) + _zigzag_write(0)
+    )
+    val, pos = _decode_spec(body, 0, spec)
+    assert val == {"v": 5, "next": {"v": 7, "next": {"v": 9,
+                                                     "next": None}}}
+    assert pos == len(body)
+    bomb = b"".join(
+        _zigzag_write(1) + _zigzag_write(1) for _ in range(100)
+    ) + _zigzag_write(0)
+    with pytest.raises(ValueError, match="nests too deep"):
+        _decode_spec(bomb, 0, spec)
+    # a reference to a name that never completes must not decode
+    from datawarehouseproject_spark.functions.avro_scan import (
+        scan_avro_complex,
+        synth_avro_complex,
+    )
+
+    # the rotation's recursive seeds round-trip end to end
+    r = scan_avro_complex(synth_avro_complex(2))
+    assert r["chain_nodes"] > 0
+
+
+def test_avro_zstandard_and_bzip2_codecs():
+    """Round 13: zstandard blocks (pyarrow-compressed, hand-decoded)
+    and bzip2 blocks decode to the same records as the null codec."""
+    import pyarrow as pa
+    import bz2 as _bz2
+
+    from datawarehouseproject_spark.functions.avro_scan import (
+        decode_avro_blocks,
+        encode_avro_container,
+        _zigzag_write,
+    )
+
+    schema = (b'{"type":"record","name":"r","fields":'
+              b'[{"name":"x","type":"long"}]}')
+    recs = [_zigzag_write(i * 3 - 5) for i in range(50)]
+    sync = bytes(range(16))
+    base = decode_avro_blocks(
+        encode_avro_container(schema, recs, sync)
+    )
+    zst = encode_avro_container(schema, recs, sync, codec="zstandard")
+    assert decode_avro_blocks(zst) == base
+    # bzip2: hand-assemble (encoder doesn't emit it; stdlib produces)
+    body = b"".join(recs)
+    comp = _bz2.compress(body)
+    null_blob = encode_avro_container(schema, recs, sync)
+    # splice: rebuild the container with the bzip2 codec + body
+    out = bytearray(b"Obj\x01")
+    out += _zigzag_write(2)
+    for k, v in ((b"avro.schema", schema), (b"avro.codec", b"bzip2")):
+        out += _zigzag_write(len(k)) + k
+        out += _zigzag_write(len(v)) + v
+    out += _zigzag_write(0)
+    out += sync
+    out += _zigzag_write(len(recs)) + _zigzag_write(len(comp)) + comp
+    out += sync
+    assert decode_avro_blocks(bytes(out)) == base
+    # corrupt zstd bytes quarantine
+    bad = bytearray(zst)
+    bad[-20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_avro_blocks(bytes(bad))
