@@ -88,8 +88,17 @@ def main() -> None:
 
     # full passes, interleaved at the pass level so a transient load
     # spike cannot hit the same query in every sample
+    from datawarehouseproject_spark.plans.queries_ref import (
+        clear_two_day_cache,
+    )
+
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for p in range(passes):
+        # each pass pays exactly ONE two-day ETL: pipeline_two_day
+        # (first in registry order) rebuilds it, the quarterly mart
+        # reads it — the shared-run split VERDICT r12 item 7 asked
+        # for, kept per-pass so passes stay self-contained
+        clear_two_day_cache()
         for name in HEADLINE:
             t0 = time.time()
             df = fns[name](spark, sf_dir)
@@ -126,6 +135,10 @@ def main() -> None:
                 gap = s[1] - s[0]
                 if s[0] <= 0 or gap <= max(thresh * s[0], 0.03):
                     break
+                if name == "pipeline_two_day":
+                    # keep retry semantics identical to pass samples:
+                    # this query's time always includes the ETL
+                    clear_two_day_cache()
                 t0 = time.time()
                 fns[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"

@@ -11,6 +11,21 @@ profile/level and the true picture dimensions (macroblock counts
 minus frame cropping). Slice-level macroblock decode (CABAC/CAVLC →
 pixels) remains the documented extension point; structure is native.
 
+Round-13 scope note on CAVLC: extending the pixel path past I_PCM
+needs the spec's tabulated VLC codebooks (T-REC H.264 Table 9-5
+coeff_token over four nC contexts, Tables 9-7/9-8 total_zeros,
+Table 9-10 run_before).  This container has no network and no local
+copy of those tables, and this repo refuses to fabricate tabulated
+spec data from memory: a misremembered codeword would round-trip
+against our own encoder (the only producer available here — no
+ffmpeg/x264 in the container) and still be confidently WRONG on
+every real stream.  The formulaic parts that need no table — the
+exp-Golomb layer, slice-header walk, intra-prediction arithmetic,
+and the 4x4 integer transform — are the parts implemented; CAVLC
+entropy decode stays a LOUD boundary until a verifiable table
+source (spec text or an independent encoder) is present in the
+environment.
+
 The synthesizer emits a valid stream — SPS (with cropping when the
 size isn't a macroblock multiple), PPS, one IDR slice, and a
 deterministic number of non-IDR slices — whose payload bytes are

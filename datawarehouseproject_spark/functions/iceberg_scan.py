@@ -3226,6 +3226,25 @@ def synth_iceberg_inspect(seed: int) -> bytes:
             "current-snapshot-id": plan["current"],
             "snapshots": snapshots,
             "snapshot-log": log,
+            # round 13b: branches and tags (spec §refs) — `main`
+            # tracks the current snapshot (spec invariant), a
+            # retained tag pins s1, an audit branch pins s2
+            "refs": {
+                "main": {
+                    "snapshot-id": plan["current"],
+                    "type": "branch",
+                },
+                "v1": {
+                    "snapshot-id": 11,
+                    "type": "tag",
+                    "max-ref-age-ms": 86_400_000 * (1 + seed % 5),
+                },
+                "audit": {
+                    "snapshot-id": 22,
+                    "type": "branch",
+                    "min-snapshots-to-keep": 1 + seed % 3,
+                },
+            },
         }
     ).encode()
     return write_tar_bundle(files)
@@ -3505,3 +3524,162 @@ def iceberg_partitions_table(payload: bytes) -> list[dict]:
         {"partition_p": pv, "record_count": rc, "file_count": fc}
         for pv, (rc, fc) in sorted(agg.items())
     ]
+
+
+def _live_totals(files: dict[str, bytes], ml_blob: bytes) -> tuple[int, int]:
+    """(live data files, live data rows) under one manifest list —
+    status-2 tombstones and delete files (content != 0) excluded,
+    manifest lengths cross-checked.  Metadata bytes only."""
+    n_files = 0
+    n_rows = 0
+    for mf in decode_avro_blocks(ml_blob):
+        mpath = mf.get("manifest_path")
+        if not isinstance(mpath, str):
+            raise ValueError("manifest_path is not a string")
+        mblob = files.get(mpath)
+        if mblob is None:
+            raise ValueError(f"manifest {mpath!r} missing from bundle")
+        if mf.get("manifest_length") != len(mblob):
+            raise ValueError("manifest_length disagrees with bundle")
+        for e in decode_avro_blocks(mblob):
+            st = e.get("status")
+            if st == 2:
+                continue
+            if st not in (0, 1):
+                raise ValueError(f"manifest entry status {st} unknown")
+            df = e.get("data_file")
+            if not isinstance(df, dict):
+                raise ValueError("manifest entry without data_file")
+            if df.get("content", 0) != 0:
+                continue
+            rc = df.get("record_count")
+            if not isinstance(rc, int) or isinstance(rc, bool) or rc < 0:
+                raise ValueError("record_count malformed")
+            n_files += 1
+            n_rows += rc
+    return n_files, n_rows
+
+
+_REF_RETENTION_KEYS = (
+    "max-ref-age-ms", "min-snapshots-to-keep", "max-snapshot-age-ms",
+)
+
+
+def iceberg_refs_table(payload: bytes) -> list[dict]:
+    """``SELECT * FROM tbl.refs`` PLUS per-ref live totals: one row
+    per named branch/tag — name, type, the snapshot it pins, its
+    retention knobs, and the (files, rows) a read AT that ref would
+    plan, resolved through the ref's own manifest list (the
+    time-travel-by-name surface).  Spec invariants fenced: ``main``
+    must exist, be a branch, and point at the current snapshot;
+    every ref's snapshot must exist; ``min-snapshots-to-keep`` /
+    ``max-snapshot-age-ms`` are branch-only knobs (a tag carrying
+    one is the spec violation it sounds like)."""
+    files = read_tar_bundle(payload)
+    meta, snaps, _ml, _probe = _parse_table_meta(files)
+    refs = meta.get("refs")
+    if not isinstance(refs, dict) or not 1 <= len(refs) <= 1024:
+        raise ValueError("table refs malformed")
+    main = refs.get("main")
+    if not isinstance(main, dict) or main.get("type") != "branch" \
+            or main.get("snapshot-id") != meta["current-snapshot-id"]:
+        raise ValueError(
+            "main branch missing or not at the current snapshot"
+        )
+    out = []
+    for name in sorted(refs):
+        ref = refs[name]
+        if not isinstance(ref, dict):
+            raise ValueError("ref entry is not an object")
+        rtype = ref.get("type")
+        if rtype not in ("branch", "tag"):
+            raise ValueError(f"ref type {rtype!r} unknown")
+        sid = ref.get("snapshot-id")
+        if not isinstance(sid, int) or isinstance(sid, bool):
+            raise ValueError("ref snapshot-id malformed")
+        if sid not in snaps:
+            raise ValueError(f"ref {name!r} points at unknown snapshot")
+        row = {"ref_name": name, "ref_type": rtype, "snapshot_id": sid}
+        for key in _REF_RETENTION_KEYS:
+            v = ref.get(key)
+            if v is not None and (
+                not isinstance(v, int) or isinstance(v, bool) or v < 0
+            ):
+                raise ValueError(f"ref {key} malformed")
+            if v is not None and rtype == "tag" \
+                    and key != "max-ref-age-ms":
+                raise ValueError(f"{key} is a branch-only knob")
+            row[key.replace("-", "_")] = v
+        ml_blob = files.get(snaps[sid])
+        if ml_blob is None:
+            raise ValueError("ref manifest list missing from bundle")
+        n_files, n_rows = _live_totals(files, ml_blob)
+        row["live_files"] = n_files
+        row["live_rows"] = n_rows
+        out.append(row)
+    return out
+
+
+def iceberg_all_manifests_table(payload: bytes) -> list[dict]:
+    """``SELECT * FROM tbl.all_manifests``: one row per (snapshot,
+    manifest) pair across EVERY snapshot in the metadata — the view
+    that shows manifest reuse across commits (a manifest written
+    once appears under every later snapshot that still lists it).
+    Same count cross-checks as the current-snapshot ``manifests``
+    table, deduped per manifest so the entry statuses are only
+    re-counted once per distinct blob."""
+    files = read_tar_bundle(payload)
+    meta, snaps, _ml, _probe = _parse_table_meta(files)
+    by_id = _inspect_snapshots(meta)
+    counted_cache: dict[str, dict[int, int]] = {}
+    out = []
+    for sid in sorted(by_id):
+        ml_blob = files.get(by_id[sid]["manifest_list"])
+        if ml_blob is None:
+            raise ValueError("manifest list missing from bundle")
+        for mf in decode_avro_blocks(ml_blob):
+            mpath = mf.get("manifest_path")
+            if not isinstance(mpath, str):
+                raise ValueError("manifest_path is not a string")
+            mblob = files.get(mpath)
+            if mblob is None:
+                raise ValueError(
+                    f"manifest {mpath!r} missing from bundle"
+                )
+            if mf.get("manifest_length") != len(mblob):
+                raise ValueError("manifest_length disagrees with bundle")
+            row = {"reference_snapshot_id": sid, "manifest_path": mpath}
+            for field in (
+                "sequence_number", "added_snapshot_id",
+                "added_data_files_count", "existing_data_files_count",
+                "deleted_data_files_count",
+            ):
+                v = mf.get(field)
+                if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                    raise ValueError(f"manifest {field} malformed")
+                row[field] = v
+            counted = counted_cache.get(mpath)
+            if counted is None:
+                counted = {0: 0, 1: 0, 2: 0}
+                for e in decode_avro_blocks(mblob):
+                    st = e.get("status")
+                    if st not in (0, 1, 2):
+                        raise ValueError(
+                            f"manifest entry status {st} unknown"
+                        )
+                    counted[st] += 1
+                counted_cache[mpath] = counted
+            if (
+                counted[1] != row["added_data_files_count"]
+                or counted[0] != row["existing_data_files_count"]
+                or counted[2] != row["deleted_data_files_count"]
+            ):
+                raise ValueError(
+                    "manifest-list counts disagree with entry statuses"
+                )
+            out.append(row)
+    if not out:
+        raise ValueError("metadata has no manifests")
+    if len(out) > 1 << 16:
+        raise ValueError("all_manifests row count past cap (boundary)")
+    return out

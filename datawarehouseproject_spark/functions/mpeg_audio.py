@@ -165,6 +165,18 @@ def scan_mp3(payload: bytes) -> dict:
 # on non-negative integers), so the DuckDB oracle can recompute all
 # of it from the synthesis formulas.
 #
+# Round-13 scope note on that window: the coefficients are a
+# numerically-designed prototype filter with NO closed form — they
+# can only be transcribed from the ISO table (or dist10's dewindow).
+# This container has no network and no local copy of either, and
+# this repo refuses to fabricate tabulated spec data from memory:
+# 512 misremembered taps would produce PCM that passes any
+# self-consistent round-trip yet is confidently WRONG on real audio.
+# The matrixing half of the filterbank (the cos((16+i)(2k+1)π/64)
+# modulation) IS formulaic, but windowless "PCM" would be misleading
+# output, so the module keeps the exact subband-domain contract
+# until a verifiable table source is present in the environment.
+#
 # SCOPE BOUNDARY (round 8, deliberate): sample decode covers Layer I
 # ONLY; Layers II and III remain STRUCTURE-level (scan_mp3). Layer II
 # requantization needs the tabulated bit-allocation tables of

@@ -4063,3 +4063,48 @@ def explode_iceberg_partitions(media: DataFrame) -> DataFrame:
     return _explode_inspect(
         media, ICEBERG_PARTITIONS_SCHEMA, "iceberg_partitions_table"
     )
+
+
+ICEBERG_REFS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ref_name", T.StringType()),
+        T.StructField("ref_type", T.StringType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("max_ref_age_ms", T.LongType()),
+        T.StructField("min_snapshots_to_keep", T.IntegerType()),
+        T.StructField("max_snapshot_age_ms", T.LongType()),
+        T.StructField("live_files", T.IntegerType()),
+        T.StructField("live_rows", T.LongType()),
+    ]
+)
+
+ICEBERG_ALL_MANIFESTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("reference_snapshot_id", T.LongType()),
+        T.StructField("manifest_path", T.StringType()),
+        T.StructField("sequence_number", T.LongType()),
+        T.StructField("added_snapshot_id", T.LongType()),
+        T.StructField("added_data_files_count", T.IntegerType()),
+        T.StructField("existing_data_files_count", T.IntegerType()),
+        T.StructField("deleted_data_files_count", T.IntegerType()),
+    ]
+)
+
+
+def explode_iceberg_refs(media: DataFrame) -> DataFrame:
+    """One row per branch/tag with per-ref live totals —
+    ``tbl.refs`` (:func:`..functions.iceberg_scan.iceberg_refs_table`)."""
+    return _explode_inspect(
+        media, ICEBERG_REFS_SCHEMA, "iceberg_refs_table"
+    )
+
+
+def explode_iceberg_all_manifests(media: DataFrame) -> DataFrame:
+    """One row per (snapshot, manifest) — ``tbl.all_manifests``
+    (:func:`..functions.iceberg_scan.iceberg_all_manifests_table`)."""
+    return _explode_inspect(
+        media, ICEBERG_ALL_MANIFESTS_SCHEMA,
+        "iceberg_all_manifests_table",
+    )

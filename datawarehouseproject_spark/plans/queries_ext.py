@@ -8526,3 +8526,116 @@ def q_iceberg_partitions_table(
     return explode_iceberg_partitions(media).select(
         "media_id", "partition_p", "record_count", "file_count",
     )
+
+
+@register(
+    "iceberg_refs_table",
+    oracle=_ICEBERG_INSPECT_CTE + """
+    SELECT s AS media_id, ref_name, ref_type,
+           CAST(snapshot_id AS BIGINT) AS snapshot_id,
+           CAST(max_ref_age_ms AS BIGINT) AS max_ref_age_ms,
+           CAST(min_keep AS INTEGER) AS min_snapshots_to_keep,
+           CAST(NULL AS BIGINT) AS max_snapshot_age_ms,
+           CAST(live_files AS INTEGER) AS live_files,
+           CAST(live_rows AS BIGINT) AS live_rows
+    FROM (
+      SELECT s, 'main' AS ref_name, 'branch' AS ref_type,
+             CASE WHEN s % 2 = 0 THEN 33 ELSE 22 END AS snapshot_id,
+             NULL AS max_ref_age_ms, NULL AS min_keep,
+             4 AS live_files,
+             CASE WHEN s % 2 = 0 THEN r0 + r2 + r3 + r4
+                  ELSE r0 + r1 + r2 + r3 END AS live_rows
+      FROM m
+      UNION ALL
+      SELECT s, 'audit', 'branch', 22, NULL, 1 + s % 3,
+             4, r0 + r1 + r2 + r3
+      FROM m
+      UNION ALL
+      SELECT s, 'v1', 'tag', 11, 86400000 * (1 + s % 5), NULL,
+             2, r0 + r1
+      FROM m
+    )
+    """,
+    tags=("sources", "iceberg", "lakehouse", "metadata-table",
+          "branches-tags", "time-travel", "mapInPandas"),
+)
+def q_iceberg_refs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg ``refs`` METADATA TABLE (round 13) with per-ref
+    live totals: one row per named branch/tag — the snapshot it
+    pins, retention knobs, and the (files, rows) a read AT that ref
+    would plan, resolved through the ref's own manifest list (the
+    time-travel-by-NAME surface; `scan_iceberg_time_travel` is the
+    by-id twin).  Spec invariants fenced: ``main`` must exist, be a
+    branch, and sit at the current snapshot; tags cannot carry
+    branch-only retention knobs.  The rollback seeds flip main's
+    row count from the overwrite state (r0+r2+r3+r4) to the s2
+    state (r0+r1+r2+r3), so a reader that resolves refs through the
+    newest snapshot rather than the named one mismatches on every
+    odd seed (``functions/iceberg_scan.py:iceberg_refs_table``)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_iceberg_refs,
+        synthesize_iceberg_inspect_media,
+    )
+
+    media = synthesize_iceberg_inspect_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return explode_iceberg_refs(media).select(
+        "media_id", "ref_name", "ref_type", "snapshot_id",
+        "max_ref_age_ms", "min_snapshots_to_keep",
+        "max_snapshot_age_ms", "live_files", "live_rows",
+    )
+
+
+@register(
+    "iceberg_all_manifests_table",
+    oracle=_ICEBERG_INSPECT_CTE + """
+    SELECT s AS media_id,
+           CAST(ref_snap AS BIGINT) AS reference_snapshot_id,
+           manifest_path,
+           CAST(seq AS BIGINT) AS sequence_number,
+           CAST(added_snap AS BIGINT) AS added_snapshot_id,
+           CAST(a AS INTEGER) AS added_data_files_count,
+           CAST(e AS INTEGER) AS existing_data_files_count,
+           CAST(d AS INTEGER) AS deleted_data_files_count
+    FROM m CROSS JOIN (
+      VALUES (11, 'metadata/m1.avro', 1, 11, 2, 0, 0),
+             (22, 'metadata/m1.avro', 1, 11, 2, 0, 0),
+             (22, 'metadata/m2.avro', 2, 22, 2, 0, 0),
+             (33, 'metadata/m1r.avro', 3, 33, 0, 1, 1),
+             (33, 'metadata/m2.avro', 2, 22, 2, 0, 0),
+             (33, 'metadata/m3.avro', 3, 33, 1, 0, 0)
+    ) AS am(ref_snap, manifest_path, seq, added_snap, a, e, d)
+    """,
+    tags=("sources", "iceberg", "lakehouse", "metadata-table",
+          "mapInPandas"),
+)
+def q_iceberg_all_manifests_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Iceberg ``all_manifests`` METADATA TABLE (round 13): one
+    row per (snapshot, manifest) across EVERY snapshot in the
+    metadata — the view that shows manifest REUSE across commits
+    (``m1`` written at s1 appears under s1 AND s2; the s3 overwrite
+    rewrote it as ``m1r``).  Unlike the current-snapshot views this
+    one is rollback-INVARIANT (both parities list the same 6 rows),
+    pinning that ``all_*`` tables cover history, not the current
+    pointer.  Declared counts cross-checked against entry statuses
+    once per distinct manifest blob
+    (``functions/iceberg_scan.py:iceberg_all_manifests_table``)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_iceberg_all_manifests,
+        synthesize_iceberg_inspect_media,
+    )
+
+    media = synthesize_iceberg_inspect_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return explode_iceberg_all_manifests(media).select(
+        "media_id", "reference_snapshot_id", "manifest_path",
+        "sequence_number", "added_snapshot_id",
+        "added_data_files_count", "existing_data_files_count",
+        "deleted_data_files_count",
+    )

@@ -1178,21 +1178,35 @@ FROM agg GROUP BY 1, 2, 3, 4
 """
 
 
-@register(
-    "pipeline_two_day",
-    oracle=_two_day_oracle(),
-    tags=("pipeline", "end-to-end", "scd2-update", "dim-update", "partition-overwrite"),
-)
-def q_pipeline_two_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two consecutive daily runs through the real Pipeline: day 2
-    carries price changes (SCD2 expire/re-insert), brand-new products
-    (dim SK minting after existing max), and a second AGGREGATE
-    partition via dynamic overwrite — the monthly mart over BOTH days
-    checked against one SQL oracle."""
+
+
+#: (applicationId, sf_dir) -> warehouse root of a completed two-day
+#: run.  The monthly and quarterly mart queries SHARE one ETL replay
+#: (VERDICT r12 item 7: the two registry entries used to re-run the
+#: identical two-day pipeline back to back — ~13 s of duplicated
+#: work per registry sweep).  A real pipeline derives both marts
+#: from one run; the cache reproduces that while keeping each
+#: registry entry standalone (whichever runs first pays the ETL).
+#: bench.py clears this between passes so every timed pass is
+#: self-contained.
+_TWO_DAY_ROOTS: dict = {}
+
+
+def clear_two_day_cache() -> None:
+    """Forget completed two-day runs (bench calls this per pass)."""
+    _TWO_DAY_ROOTS.clear()
+
+
+def run_two_day(spark: SparkSession, sf_dir: str) -> str:
+    """Run the two-day pipeline once per (session, sf_dir) and
+    return its warehouse root; both mart queries read from it."""
     import datetime as _dtm
     import tempfile
 
-    _utc(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _TWO_DAY_ROOTS.get(key)
+    if root is not None:
+        return root
     from ..catalog import Catalog
     from ..plans.pipeline import Pipeline
 
@@ -1209,7 +1223,30 @@ def q_pipeline_two_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipe.run_day(raw1, _dtm.date(2024, 1, 5), now="2024-01-05 21:30:00")
     pipe.run_day(raw2, _dtm.date(2024, 1, 6), now="2024-01-06 21:30:00")
-    mart = pipe.cat.table("dm_product_daily_price", "mart")
+    # register only after BOTH days committed: a failed run must not
+    # leave a half-built root for the sibling query to read
+    _TWO_DAY_ROOTS[key] = root
+    return root
+
+
+@register(
+    "pipeline_two_day",
+    oracle=_two_day_oracle(),
+    tags=("pipeline", "end-to-end", "scd2-update", "dim-update", "partition-overwrite"),
+)
+def q_pipeline_two_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two consecutive daily runs through the real Pipeline: day 2
+    carries price changes (SCD2 expire/re-insert), brand-new products
+    (dim SK minting after existing max), and a second AGGREGATE
+    partition via dynamic overwrite — the monthly mart over BOTH days
+    checked against one SQL oracle.  The ETL replay is SHARED with
+    `pipeline_two_day_quarterly` via :func:`run_two_day` (one run
+    derives both marts, as a real pipeline would)."""
+    _utc(spark)
+    from ..catalog import Catalog
+
+    root = run_two_day(spark, sf_dir)
+    mart = Catalog(spark, root).table("dm_product_daily_price", "mart")
     return mart.select(
         "DATE_SK",
         "PRODUCT_SK",
@@ -1232,28 +1269,14 @@ def q_pipeline_two_day_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The QUARTERLY mart from the two-day pipeline run — both
     AGGREGATE partitions rolled up per quarter with the 'QQ1' label
     quirk, checked against one SQL oracle (completing mart-layer
-    oracle coverage; the monthly mart is pipeline_two_day)."""
-    import datetime as _dtm
-    import tempfile
-
+    oracle coverage; the monthly mart is pipeline_two_day).  The ETL
+    replay is SHARED with `pipeline_two_day` via
+    :func:`run_two_day`."""
     _utc(spark)
     from ..catalog import Catalog
-    from ..plans.pipeline import Pipeline
 
-    root = tempfile.mkdtemp(prefix="dw_pipeline_2dq_")
-    pipe = Pipeline(Catalog(spark, root))
-    part = _t(spark, sf_dir, "part")
-    raw1 = part.selectExpr(
-        *[f"{sql} AS {col}" for col, sql in DIRTY_FRAGMENTS.items()]
-    )
-    raw2 = part.selectExpr(
-        *[f"{sql} AS {col}" for col, sql in DIRTY2_FRAGMENTS.items()]
-    ).unionByName(
-        part.filter("p_partkey % 20 = 0").selectExpr(*NEW_PRODUCT_EXPRS)
-    )
-    pipe.run_day(raw1, _dtm.date(2024, 1, 5), now="2024-01-05 21:30:00")
-    pipe.run_day(raw2, _dtm.date(2024, 1, 6), now="2024-01-06 21:30:00")
-    mart = pipe.cat.table("dm_product_quarterly_trend", "mart")
+    root = run_two_day(spark, sf_dir)
+    mart = Catalog(spark, root).table("dm_product_quarterly_trend", "mart")
     return mart.select(
         "PRODUCT_SK",
         "BRAND_SK",

@@ -231,6 +231,16 @@ def _cases():
             iceberg_scan.synth_iceberg_inspect,
             iceberg_scan.iceberg_partitions_table,
         ),
+        (
+            "iceberg_refs",
+            iceberg_scan.synth_iceberg_inspect,
+            iceberg_scan.iceberg_refs_table,
+        ),
+        (
+            "iceberg_all_manifests",
+            iceberg_scan.synth_iceberg_inspect,
+            iceberg_scan.iceberg_all_manifests_table,
+        ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
         (
             "delta_partitioned",

@@ -1798,3 +1798,59 @@ def test_history_log_fences():
     f3["metadata/v2.metadata.json"] = _json.dumps(meta).encode()
     with pytest.raises(ValueError, match="decrease"):
         iceberg_history_table(write_tar_bundle(f3))
+
+
+def test_refs_table_fences():
+    import json as _json
+
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+        write_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        iceberg_refs_table,
+    )
+
+    files = dict(read_tar_bundle(_inspect_bundle(0)))
+
+    def mutate(fn, pattern):
+        meta = _json.loads(files["metadata/v2.metadata.json"])
+        fn(meta)
+        f2 = dict(files)
+        f2["metadata/v2.metadata.json"] = _json.dumps(meta).encode()
+        with pytest.raises(ValueError, match=pattern):
+            iceberg_refs_table(write_tar_bundle(f2))
+
+    # main must track the current snapshot
+    mutate(lambda m: m["refs"]["main"].update({"snapshot-id": 11}),
+           "main branch")
+    # main must exist
+    mutate(lambda m: m["refs"].pop("main"), "main branch")
+    # a tag cannot carry branch-only retention knobs
+    mutate(lambda m: m["refs"]["v1"].update(
+        {"min-snapshots-to-keep": 2}), "branch-only")
+    # dangling ref
+    mutate(lambda m: m["refs"]["v1"].update({"snapshot-id": 99}),
+           "unknown snapshot")
+    # unknown type
+    mutate(lambda m: m["refs"]["v1"].update({"type": "bookmark"}),
+           "ref type")
+
+
+def test_all_manifests_covers_history_and_reuse():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        iceberg_all_manifests_table,
+    )
+
+    for seed in (4, 5):  # rollback-invariant across parities
+        rows = iceberg_all_manifests_table(_inspect_bundle(seed))
+        pairs = [(r["reference_snapshot_id"], r["manifest_path"])
+                 for r in rows]
+        assert pairs == [
+            (11, "metadata/m1.avro"),
+            (22, "metadata/m1.avro"),
+            (22, "metadata/m2.avro"),
+            (33, "metadata/m1r.avro"),
+            (33, "metadata/m2.avro"),
+            (33, "metadata/m3.avro"),
+        ]

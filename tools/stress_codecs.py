@@ -1337,28 +1337,32 @@ def round16_kernels() -> None:
     }))
 
     from datawarehouseproject_spark.functions.iceberg_scan import (
+        iceberg_all_manifests_table,
         iceberg_history_table,
         iceberg_manifests_table,
         iceberg_partitions_table,
+        iceberg_refs_table,
         iceberg_snapshots_table,
         synth_iceberg_inspect,
     )
 
     tables = [synth_iceberg_inspect(s) for s in range(200)]
 
-    def all_four():
+    def all_six():
         total = 0
         for b in tables:
             total += len(iceberg_snapshots_table(b))
             total += len(iceberg_history_table(b))
             total += len(iceberg_manifests_table(b))
             total += len(iceberg_partitions_table(b))
+            total += len(iceberg_refs_table(b))
+            total += len(iceberg_all_manifests_table(b))
         return total
 
-    secs, n = _timeit(all_four)
+    secs, n = _timeit(all_six)
     print(json.dumps({
         "kernel": "iceberg_inspection_tables",
-        "media": f"200 tables x 4 views, {n} rows, zero data reads",
+        "media": f"200 tables x 6 views, {n} rows, zero data reads",
         "tables_per_s": int(200 / secs),
         "sec": round(secs, 4),
     }))
