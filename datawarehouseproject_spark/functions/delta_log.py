@@ -2829,3 +2829,307 @@ def _scan_cdf_impl(payload: bytes, allow_cm: bool) -> dict:
         "delete_sum": sums["delete"],
         "change_rows": total,
     }
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE HISTORY + VACUUM candidates (round 13): the two
+# table-ops views Delta users run daily, served from the JSON log
+# alone.  Delta's PROTOCOL.md defines commitInfo as free-form but
+# DESCRIBE HISTORY's columns (version, timestamp, operation,
+# operationMetrics) are the de-facto public contract; VACUUM
+# eligibility is deletionTimestamp age vs the table's
+# delta.deletedFileRetentionDuration.  The reference repo has no
+# lakehouse layer — beyond-reference scope, same as the Iceberg
+# inspection tables.
+# ---------------------------------------------------------------------------
+
+_HISTORY_OPS = (
+    "CREATE TABLE AS SELECT", "WRITE", "DELETE", "OPTIMIZE",
+    "MERGE", "UPDATE",
+)
+
+
+def synth_delta_history_plan(seed: int) -> dict:
+    """Mirrored in the DuckDB oracles of the history/vacuum queries.
+    ``r_j = 30 + (seed + 7*j) % 40``; ``t0 = 1.7e12 +
+    (seed%997)*1000`` ms; retention = ``24*(1+seed%3)`` hours:
+
+    - v0 CREATE TABLE AS SELECT at t0: adds f0(r0) + f1(r1);
+    - v1 WRITE (Append) at t0+60s: adds f2(r2);
+    - v2 DELETE at t0+120s: removes f0 (tombstone at t0+120s);
+    - v3 OPTIMIZE at t0+180s (ODD seeds only): removes f1+f2 /
+      adds c0(r1+r2), all dataChange=false;
+    - vacuum probe: now = t0 + retention + 150s, so the v2
+      tombstone is ELIGIBLE (120s <= 150s) and the v3 tombstones
+      are NOT (180s > 150s) — both classes present on odd seeds."""
+    rows = [30 + (seed + 7 * j) % 40 for j in range(3)]
+    t0 = 1_700_000_000_000 + (seed % 997) * 1000
+    retention_h = 24 * (1 + seed % 3)
+    return {
+        "rows": rows,
+        "t0_ms": t0,
+        "retention_hours": retention_h,
+        "now_ms": t0 + retention_h * 3_600_000 + 150_000,
+        "has_optimize": seed % 2 == 1,
+    }
+
+
+def synth_delta_history(seed: int) -> bytes:
+    """A Delta log with 3-4 commits, commitInfo on every commit
+    (operation + timestamp + operationMetrics with STRING values,
+    as the protocol serializes them), tombstones with
+    deletionTimestamp, and the vacuum probe declared in the table
+    configuration.  No checkpoint — history replay is the point."""
+    plan = synth_delta_history_plan(seed)
+    r = plan["rows"]
+    t0 = plan["t0_ms"]
+    files: dict[str, bytes] = {}
+    adds = [
+        _write_data_file(files, f"part-{j:05d}.parquet", r[j], j * 100)
+        for j in range(3)
+    ]
+    meta = {
+        "id": f"00000000-0000-4000-8000-{seed:012d}",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({
+            "type": "struct",
+            "fields": [{"name": "v", "type": "long",
+                        "nullable": False, "metadata": {}}],
+        }),
+        "partitionColumns": [],
+        "configuration": {
+            "delta.deletedFileRetentionDuration":
+                f"interval {plan['retention_hours']} hours",
+            "fixture.vacuum.now": str(plan["now_ms"]),
+        },
+    }
+
+    def ci(op: str, ts: int, metrics: dict) -> str:
+        return json.dumps({"commitInfo": {
+            "operation": op,
+            "timestamp": ts,
+            "operationMetrics": {k: str(v) for k, v in metrics.items()},
+        }})
+
+    commits = {
+        0: [
+            ci("CREATE TABLE AS SELECT", t0,
+               {"numFiles": 2, "numOutputRows": r[0] + r[1]}),
+            json.dumps({"protocol": {"minReaderVersion": 1,
+                                     "minWriterVersion": 2}}),
+            json.dumps({"metaData": meta}),
+            json.dumps({"add": adds[0]}),
+            json.dumps({"add": adds[1]}),
+        ],
+        1: [
+            ci("WRITE", t0 + 60_000,
+               {"numFiles": 1, "numOutputRows": r[2]}),
+            json.dumps({"add": adds[2]}),
+        ],
+        2: [
+            ci("DELETE", t0 + 120_000,
+               {"numRemovedFiles": 1, "numDeletedRows": r[0]}),
+            json.dumps({"remove": {
+                "path": "part-00000.parquet",
+                "deletionTimestamp": t0 + 120_000,
+                "dataChange": True,
+            }}),
+        ],
+    }
+    if plan["has_optimize"]:
+        compacted = _write_data_file(
+            files, "part-c0000.parquet", r[1] + r[2], 100
+        )
+        compacted["dataChange"] = False
+        commits[3] = [
+            ci("OPTIMIZE", t0 + 180_000,
+               {"numAddedFiles": 1, "numRemovedFiles": 2}),
+            json.dumps({"remove": {
+                "path": "part-00001.parquet",
+                "deletionTimestamp": t0 + 180_000,
+                "dataChange": False,
+            }}),
+            json.dumps({"remove": {
+                "path": "part-00002.parquet",
+                "deletionTimestamp": t0 + 180_000,
+                "dataChange": False,
+            }}),
+            json.dumps({"add": compacted}),
+        ]
+    for v, lines in commits.items():
+        files[f"{_LOG}/{v:020d}.json"] = (
+            "\n".join(lines) + "\n"
+        ).encode()
+    return write_tar_bundle(files)
+
+
+def _iter_history_commits(files: dict[str, bytes]):
+    """Yield (version, [action dict, ...]) for contiguous versions
+    from 0 — the checkpoint-less history walk (a gap means vacuumed
+    history, which DESCRIBE HISTORY would silently misreport)."""
+    import re as _re
+
+    pat = _re.compile(rf"^{_LOG}/(\d{{20}})\.json$")
+    versions = sorted(
+        int(m.group(1)) for n in files if (m := pat.match(n))
+    )
+    if not versions:
+        raise ValueError("delta log has no JSON commits")
+    if len(versions) > 4096:
+        raise ValueError("delta history too long (boundary)")
+    if versions != list(range(len(versions))):
+        raise ValueError("delta history has version gaps")
+    for v in versions:
+        blob = files[f"{_LOG}/{v:020d}.json"]
+        actions = []
+        for line in blob.splitlines():
+            if not line.strip():
+                continue
+            try:
+                act = json.loads(line)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"commit line not JSON: {e}") from None
+            if not isinstance(act, dict) or len(act) != 1:
+                raise ValueError("commit action malformed")
+            actions.append(act)
+        yield v, actions
+
+
+def delta_history_table(payload: bytes) -> list[dict]:
+    """``DESCRIBE HISTORY``: one row per commit — version, commit
+    timestamp, operation, and the operationMetrics counters, with
+    the metrics CROSS-CHECKED against the commit's actual add/remove
+    actions (a commitInfo that claims numFiles=2 over one add is the
+    drift this fence exists for).  Exactly one commitInfo per
+    commit, operations from the de-facto closed set, timestamps
+    non-decreasing."""
+    files = read_tar_bundle(payload)
+    out = []
+    prev_ts = -1
+    for v, actions in _iter_history_commits(files):
+        cis = [a["commitInfo"] for a in actions if "commitInfo" in a]
+        if len(cis) != 1:
+            raise ValueError("commit must carry exactly one commitInfo")
+        ci = cis[0]
+        if not isinstance(ci, dict):
+            raise ValueError("commitInfo malformed")
+        op = ci.get("operation")
+        if op not in _HISTORY_OPS:
+            raise ValueError(f"operation {op!r} unknown")
+        ts = ci.get("timestamp")
+        if not isinstance(ts, int) or isinstance(ts, bool) \
+                or not 0 <= ts < 2**53:
+            raise ValueError("commitInfo timestamp malformed")
+        if ts < prev_ts:
+            raise ValueError("commit timestamps decrease")
+        prev_ts = ts
+        metrics = ci.get("operationMetrics")
+        if not isinstance(metrics, dict):
+            raise ValueError("operationMetrics missing")
+        decoded = {}
+        for k, raw in metrics.items():
+            if not isinstance(raw, str) or not raw.isdigit() \
+                    or len(raw) > 18:
+                raise ValueError(f"metric {k} not a digit string")
+            decoded[k] = int(raw)
+        n_adds = sum(1 for a in actions if "add" in a)
+        n_removes = sum(1 for a in actions if "remove" in a)
+        claimed_adds = decoded.get("numFiles",
+                                   decoded.get("numAddedFiles", 0))
+        if claimed_adds != n_adds:
+            raise ValueError(
+                "operationMetrics file count disagrees with adds"
+            )
+        if decoded.get("numRemovedFiles", 0) != n_removes:
+            raise ValueError(
+                "operationMetrics removed count disagrees with removes"
+            )
+        out.append({
+            "version": v,
+            "timestamp_ms": ts,
+            "operation": op,
+            "num_added_files": n_adds,
+            "num_removed_files": n_removes,
+            "num_output_rows": decoded.get(
+                "numOutputRows", decoded.get("numDeletedRows")
+            ),
+        })
+    return out
+
+
+def delta_vacuum_candidates(payload: bytes) -> list[dict]:
+    """``VACUUM DRY RUN``: every tombstoned file with its deletion
+    timestamp and whether it is PAST the table's configured
+    ``delta.deletedFileRetentionDuration`` at the fixture-declared
+    probe instant — the listing a storage-reclamation job plans
+    from.  Correctness fences: a tombstone whose path is still LIVE
+    in the replayed state loud-rejects (vacuuming it would corrupt
+    the table — the one mistake this view must never make), and the
+    retention interval must parse exactly."""
+    import re as _re
+
+    files = read_tar_bundle(payload)
+    live: dict[str, bool] = {}
+    tombstones: dict[str, int] = {}
+    config = None
+    for _v, actions in _iter_history_commits(files):
+        for a in actions:
+            if "metaData" in a:
+                md = a["metaData"]
+                if not isinstance(md, dict):
+                    raise ValueError("metaData malformed")
+                config = md.get("configuration")
+            elif "add" in a:
+                path = a["add"].get("path") if isinstance(a["add"], dict) \
+                    else None
+                if not isinstance(path, str):
+                    raise ValueError("add path malformed")
+                live[path] = True
+                tombstones.pop(path, None)  # re-added: not vacuumable
+            elif "remove" in a:
+                rm = a["remove"]
+                if not isinstance(rm, dict):
+                    raise ValueError("remove malformed")
+                path = rm.get("path")
+                dts = rm.get("deletionTimestamp")
+                if not isinstance(path, str):
+                    raise ValueError("remove path malformed")
+                if not isinstance(dts, int) or isinstance(dts, bool) \
+                        or not 0 <= dts < 2**53:
+                    raise ValueError("deletionTimestamp malformed")
+                live.pop(path, None)
+                tombstones[path] = dts
+    if not isinstance(config, dict):
+        raise ValueError("table configuration missing")
+    interval = config.get("delta.deletedFileRetentionDuration")
+    if not isinstance(interval, str):
+        # a JSON number here would TypeError out of re.fullmatch —
+        # the quarantine-escape class the round-12 review pinned
+        raise ValueError("retention duration malformed")
+    m = _re.fullmatch(r"interval (\d{1,6}) hours", interval)
+    if m is None:
+        raise ValueError("retention duration malformed")
+    retention_ms = int(m.group(1)) * 3_600_000
+    now_raw = config.get("fixture.vacuum.now")
+    if not isinstance(now_raw, str) or not now_raw.isdigit() \
+            or len(now_raw) > 18:
+        raise ValueError("vacuum probe instant malformed")
+    now_ms = int(now_raw)
+    horizon = now_ms - retention_ms
+    out = []
+    for path in sorted(tombstones):
+        if path in live:
+            raise ValueError(
+                "tombstoned path is still live (vacuum would corrupt)"
+            )
+        if path not in files:
+            raise ValueError("tombstoned file missing from bundle")
+        dts = tombstones[path]
+        out.append({
+            "path": path,
+            "deletion_timestamp_ms": dts,
+            "eligible": dts <= horizon,
+        })
+    if not out:
+        raise ValueError("history has no tombstones")
+    return out

@@ -800,6 +800,13 @@ def scan_parquet_values(payload: bytes) -> dict:
         raise ValueError("column c decoded to non-bytes values")
     if any(not isinstance(v, float) for v in d):
         raise ValueError("column d decoded to non-float values")
+    import math as _math
+
+    if any(not _math.isfinite(v) for v in d):
+        # a corrupt byte-plane transpose can land on inf/NaN, and
+        # int(inf) is OverflowError — an escape from the ValueError
+        # quarantine, the round-12 recurring class
+        raise ValueError("column d decoded to non-finite values")
     if any(v != int(v) for v in d):
         # the fixture writes integer-valued doubles so the sum (and
         # the DuckDB oracle hash) is exact — a fractional value means

@@ -4108,3 +4108,78 @@ def explode_iceberg_all_manifests(media: DataFrame) -> DataFrame:
         media, ICEBERG_ALL_MANIFESTS_SCHEMA,
         "iceberg_all_manifests_table",
     )
+
+
+def synthesize_delta_history_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of checkpoint-less Delta
+    logs with commitInfo on every commit and tombstones
+    (``functions/delta_log.py:synth_delta_history``)."""
+
+    def loader():
+        from ..functions.delta_log import synth_delta_history
+
+        return synth_delta_history
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+DELTA_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("timestamp_ms", T.LongType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("num_added_files", T.IntegerType()),
+        T.StructField("num_removed_files", T.IntegerType()),
+        T.StructField("num_output_rows", T.LongType()),
+    ]
+)
+
+DELTA_VACUUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("deletion_timestamp_ms", T.LongType()),
+        T.StructField("eligible", T.BooleanType()),
+    ]
+)
+
+
+def _explode_delta(media: DataFrame, schema, fn_name: str) -> DataFrame:
+    """Shared mapInPandas explode for the Delta table-ops views
+    (one output row per list element of the named
+    ``functions.delta_log`` reader)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import delta_log
+
+        fn = getattr(delta_log, fn_name)
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for entry in fn(bytes(p)):
+                    rows["media_id"].append(int(mid))
+                    for k, v in entry.items():
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def explode_delta_history(media: DataFrame) -> DataFrame:
+    """One row per commit — ``DESCRIBE HISTORY``
+    (:func:`..functions.delta_log.delta_history_table`)."""
+    return _explode_delta(
+        media, DELTA_HISTORY_SCHEMA, "delta_history_table"
+    )
+
+
+def explode_delta_vacuum(media: DataFrame) -> DataFrame:
+    """One row per tombstone — ``VACUUM DRY RUN``
+    (:func:`..functions.delta_log.delta_vacuum_candidates`)."""
+    return _explode_delta(
+        media, DELTA_VACUUM_SCHEMA, "delta_vacuum_candidates"
+    )

@@ -8639,3 +8639,107 @@ def q_iceberg_all_manifests_table(
         "added_data_files_count", "existing_data_files_count",
         "deleted_data_files_count",
     )
+
+
+_DELTA_HISTORY_CTE = """
+    WITH m AS (
+      SELECT doc_id AS s,
+             30 + doc_id % 40 AS r0,
+             30 + (doc_id + 7) % 40 AS r1,
+             30 + (doc_id + 14) % 40 AS r2,
+             1700000000000 + (doc_id % 997) * 1000 AS t0
+      FROM documents)
+"""
+
+
+@register(
+    "delta_history_table",
+    oracle=_DELTA_HISTORY_CTE + """
+    SELECT s AS media_id, CAST(0 AS BIGINT) AS version,
+           CAST(t0 AS BIGINT) AS timestamp_ms,
+           'CREATE TABLE AS SELECT' AS operation,
+           CAST(2 AS INTEGER) AS num_added_files,
+           CAST(0 AS INTEGER) AS num_removed_files,
+           CAST(r0 + r1 AS BIGINT) AS num_output_rows
+    FROM m
+    UNION ALL
+    SELECT s, 1, t0 + 60000, 'WRITE', 1, 0, r2 FROM m
+    UNION ALL
+    SELECT s, 2, t0 + 120000, 'DELETE', 0, 1, r0 FROM m
+    UNION ALL
+    SELECT s, 3, t0 + 180000, 'OPTIMIZE', 1, 2, NULL
+    FROM m WHERE s % 2 = 1
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "metadata-table",
+          "table-ops", "mapInPandas"),
+)
+def q_delta_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``DESCRIBE HISTORY`` (round 13): one row per commit —
+    version, commit timestamp, operation, operationMetrics counters
+    (protocol-serialized as STRINGS, decoded with a digit fence) —
+    with the metrics CROSS-CHECKED against the commit's actual
+    add/remove actions, so a commitInfo that lies about its file
+    counts loud-rejects instead of misreporting table ops.  The
+    Delta twin of `iceberg_history_table`
+    (``functions/delta_log.py:delta_history_table``)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_delta_history,
+        synthesize_delta_history_media,
+    )
+
+    media = synthesize_delta_history_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return explode_delta_history(media).select(
+        "media_id", "version", "timestamp_ms", "operation",
+        "num_added_files", "num_removed_files", "num_output_rows",
+    )
+
+
+@register(
+    "delta_vacuum_candidates",
+    oracle=_DELTA_HISTORY_CTE + """
+    SELECT s AS media_id, path,
+           CAST(dts AS BIGINT) AS deletion_timestamp_ms, eligible
+    FROM (
+      SELECT s, 'part-00000.parquet' AS path, t0 + 120000 AS dts,
+             TRUE AS eligible
+      FROM m
+      UNION ALL
+      SELECT s, 'part-00001.parquet', t0 + 180000, FALSE
+      FROM m WHERE s % 2 = 1
+      UNION ALL
+      SELECT s, 'part-00002.parquet', t0 + 180000, FALSE
+      FROM m WHERE s % 2 = 1
+    )
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "table-ops",
+          "vacuum", "mapInPandas"),
+)
+def q_delta_vacuum_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta ``VACUUM DRY RUN`` (round 13): every tombstoned file
+    with its deletionTimestamp and whether it has aged past the
+    table's ``delta.deletedFileRetentionDuration`` at the declared
+    probe instant.  The DELETE tombstone (aged 150 s past a
+    retention-relative horizon of 150 s) is eligible; the OPTIMIZE
+    tombstones (180 s) are NOT — so an implementation that compares
+    with ``<`` instead of ``<=``, or vacuums by file age instead of
+    deletionTimestamp, flips rows.  A tombstone whose path is still
+    LIVE in the replayed state loud-rejects: vacuuming it would
+    corrupt the table, the one mistake this view must never make
+    (``functions/delta_log.py:delta_vacuum_candidates``)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_delta_vacuum,
+        synthesize_delta_history_media,
+    )
+
+    media = synthesize_delta_history_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return explode_delta_vacuum(media).select(
+        "media_id", "path", "deletion_timestamp_ms", "eligible",
+    )

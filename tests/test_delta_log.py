@@ -1429,3 +1429,89 @@ def test_multipart_stray_denominator_rejects():
           "0000000001.0000000003.parquet"] = part1
     with pytest.raises(ValueError, match="conflicting totalParts"):
         scan_delta(_retar(files))
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE HISTORY + VACUUM candidates
+# ---------------------------------------------------------------------------
+
+def _history_bundle(seed):
+    from datawarehouseproject_spark.functions.delta_log import (
+        synth_delta_history,
+    )
+
+    return synth_delta_history(seed)
+
+
+def test_history_metrics_crosscheck_rejects_drift():
+    from datawarehouseproject_spark.functions.delta_log import (
+        delta_history_table,
+    )
+
+    files = _untar(_history_bundle(2))
+    blob = files["_delta_log/00000000000000000001.json"]
+    files["_delta_log/00000000000000000001.json"] = blob.replace(
+        b'"numFiles": "1"', b'"numFiles": "2"'
+    )
+    with pytest.raises(ValueError, match="disagrees with adds"):
+        delta_history_table(_retar(files))
+
+
+def test_history_version_gap_rejects():
+    from datawarehouseproject_spark.functions.delta_log import (
+        delta_history_table,
+    )
+
+    files = _untar(_history_bundle(2))
+    del files["_delta_log/00000000000000000001.json"]
+    with pytest.raises(ValueError, match="version gaps"):
+        delta_history_table(_retar(files))
+
+
+def test_vacuum_live_tombstone_rejects():
+    """A remove for a path that is still live must refuse — vacuuming
+    it would corrupt the table."""
+    import json as _json
+
+    from datawarehouseproject_spark.functions.delta_log import (
+        delta_vacuum_candidates,
+    )
+
+    files = _untar(_history_bundle(0))
+    extra = _json.dumps({"remove": {
+        "path": "part-00002.parquet",  # still live (added at v1)
+        "deletionTimestamp": 1700000000000,
+        "dataChange": True,
+    }}) + "\n" + _json.dumps({"add": {
+        "path": "part-00002.parquet",
+        "size": 1, "dataChange": True,
+        "stats": "{\"numRecords\": 1, \"minValues\": {\"v\": 0}, "
+                 "\"maxValues\": {\"v\": 0}}",
+    }}) + "\n"
+    # craft a v3 that tombstones then re-adds: the re-add clears the
+    # tombstone, so part-00002 must NOT appear in the listing
+    files["_delta_log/00000000000000000003.json"] = (
+        _json.dumps({"commitInfo": {
+            "operation": "WRITE", "timestamp": 1700001200000,
+            "operationMetrics": {"numFiles": "1",
+                                 "numRemovedFiles": "1"},
+        }}) + "\n" + extra
+    ).encode()
+    rows = delta_vacuum_candidates(_retar(files))
+    assert [r["path"] for r in rows] == ["part-00000.parquet"]
+
+
+def test_vacuum_eligibility_boundary():
+    from datawarehouseproject_spark.functions.delta_log import (
+        delta_vacuum_candidates,
+        synth_delta_history_plan,
+    )
+
+    for seed in (1, 5):
+        plan = synth_delta_history_plan(seed)
+        rows = {r["path"]: r for r in
+                delta_vacuum_candidates(_history_bundle(seed))}
+        assert rows["part-00000.parquet"]["eligible"] is True
+        assert rows["part-00001.parquet"]["eligible"] is False
+        assert rows["part-00002.parquet"]["eligible"] is False
+        assert plan["has_optimize"]

@@ -243,6 +243,16 @@ def _cases():
         ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
         (
+            "delta_history",
+            delta_log.synth_delta_history,
+            delta_log.delta_history_table,
+        ),
+        (
+            "delta_vacuum",
+            delta_log.synth_delta_history,
+            delta_log.delta_vacuum_candidates,
+        ),
+        (
             "delta_partitioned",
             delta_log.synth_delta_partitioned,
             delta_log.scan_delta_partitioned,

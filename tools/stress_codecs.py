@@ -1367,6 +1367,29 @@ def round16_kernels() -> None:
         "sec": round(secs, 4),
     }))
 
+    from datawarehouseproject_spark.functions.delta_log import (
+        delta_history_table,
+        delta_vacuum_candidates,
+        synth_delta_history,
+    )
+
+    logs = [synth_delta_history(s) for s in range(200)]
+
+    def both_views():
+        total = 0
+        for b in logs:
+            total += len(delta_history_table(b))
+            total += len(delta_vacuum_candidates(b))
+        return total
+
+    secs, n = _timeit(both_views)
+    print(json.dumps({
+        "kernel": "delta_table_ops_views",
+        "media": f"200 logs x 2 views (history+vacuum), {n} rows",
+        "tables_per_s": int(200 / secs),
+        "sec": round(secs, 4),
+    }))
+
 
 
 if __name__ == "__main__":
