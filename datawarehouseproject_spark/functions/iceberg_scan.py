@@ -3683,3 +3683,247 @@ def iceberg_all_manifests_table(payload: bytes) -> list[dict]:
     if len(out) > 1 << 16:
         raise ValueError("all_manifests row count past cap (boundary)")
     return out
+
+
+def iceberg_expire_snapshots_plan(
+    payload: bytes, keep_last: int = 1
+) -> list[dict]:
+    """``expire_snapshots`` DRY RUN: which snapshots are REMOVABLE
+    and what each removal would orphan — the Iceberg twin of Delta's
+    vacuum listing, and the reachability computation a 100 TB
+    table's metadata GC runs.
+
+    Retention semantics (the spec's ref-based model):
+
+    - every snapshot pinned by ANY ref (branch head or tag) is kept;
+    - ancestors of a BRANCH head are kept while they are among the
+      branch's ``min-snapshots-to-keep`` most recent (default 1 —
+      the head itself);
+    - the ``keep_last`` most recent snapshots overall are kept (the
+      procedure's safety floor);
+    - everything else is removable.  A removable snapshot's ORPHANED
+      manifests/files are those reachable from it but from NO kept
+      snapshot — the set a GC could actually delete.
+
+    Output: one row per snapshot — removable flag, why it is kept
+    (``ref``/``ancestor``/``recent`` or '' when removable), and the
+    orphaned manifest count (0 for kept rows)."""
+    files = read_tar_bundle(payload)
+    meta, snaps, _ml, _probe = _parse_table_meta(files)
+    by_id = _inspect_snapshots(meta)
+    if not isinstance(keep_last, int) or isinstance(keep_last, bool) \
+            or not 1 <= keep_last <= 1024:
+        raise ValueError("keep_last out of range")
+    refs = meta.get("refs")
+    if not isinstance(refs, dict) or not refs:
+        raise ValueError("table refs malformed")
+    kept: dict[int, str] = {}
+
+    def keep(sid: int, why: str) -> None:
+        kept.setdefault(sid, why)
+
+    # recency floor first: the procedure's safety net outranks
+    # ref bookkeeping in every implementation
+    by_time = sorted(
+        by_id.values(),
+        key=lambda r: (r["committed_at_ms"], r["snapshot_id"]),
+    )
+    for rec in by_time[-keep_last:]:
+        keep(rec["snapshot_id"], "recent")
+    for name in sorted(refs):
+        ref = refs[name]
+        if not isinstance(ref, dict):
+            raise ValueError("ref entry is not an object")
+        sid = ref.get("snapshot-id")
+        rtype = ref.get("type")
+        if rtype not in ("branch", "tag"):
+            raise ValueError(f"ref type {rtype!r} unknown")
+        if sid not in by_id:
+            raise ValueError(f"ref {name!r} points at unknown snapshot")
+        keep(sid, "ref")
+        if rtype == "branch":
+            min_keep = ref.get("min-snapshots-to-keep", 1)
+            if not isinstance(min_keep, int) \
+                    or isinstance(min_keep, bool) \
+                    or not 1 <= min_keep <= 1024:
+                raise ValueError("min-snapshots-to-keep malformed")
+            cur = sid
+            hops = 0
+            while cur is not None and hops < min_keep:
+                keep(cur, "ref" if cur == sid else "ancestor")
+                cur = by_id[cur]["parent_id"]
+                hops += 1
+                if hops > len(by_id):
+                    raise ValueError("snapshot parent chain has a cycle")
+
+    def manifests_of(sid: int) -> set:
+        ml_blob = files.get(by_id[sid]["manifest_list"])
+        if ml_blob is None:
+            raise ValueError("manifest list missing from bundle")
+        out = set()
+        for mf in decode_avro_blocks(ml_blob):
+            mp = mf.get("manifest_path")
+            if not isinstance(mp, str):
+                raise ValueError("manifest_path is not a string")
+            out.add(mp)
+        return out
+
+    reachable_kept: set = set()
+    for sid in kept:
+        reachable_kept |= manifests_of(sid)
+    rows = []
+    for sid in sorted(by_id):
+        removable = sid not in kept
+        orphaned = (
+            len(manifests_of(sid) - reachable_kept) if removable else 0
+        )
+        rows.append({
+            "snapshot_id": sid,
+            "removable": removable,
+            "kept_reason": kept.get(sid, ""),
+            "orphaned_manifests": orphaned,
+        })
+    return rows
+
+
+def synth_iceberg_expire_plan(seed: int) -> dict:
+    """Mirrored in the ``iceberg_expire_snapshots_dry_run`` oracle:
+    a 5-snapshot linear chain (ids 10..50, one append each at
+    ``t0 + 60s*k``), every snapshot's manifest list = [m_base, m_k]
+    (an overwrite-heavy table: each commit rewrites its own
+    manifest, only m_base is shared).  Refs: ``main`` -> 50 with
+    ``min-snapshots-to-keep = 1 + seed%3``; a ``v2`` tag pins 20 on
+    EVEN seeds.  With keep_last=1:
+
+    - 10 is always removable (orphaning m_1);
+    - 20 is kept (ref) on even seeds, removable on odd;
+    - 30 is kept (ancestor) only when min_keep=3 (seed%3==2);
+    - 40 is kept (ancestor) when min_keep>=2 (seed%3 in 1,2);
+    - 50 is always kept; recency is assigned before ref
+      bookkeeping, so the head reports ``recent``."""
+    return {
+        "min_keep": 1 + seed % 3,
+        "tag_v2": seed % 2 == 0,
+        "t0_ms": 1_700_000_000_000 + (seed % 499) * 2000,
+        "rows": [20 + (seed + 5 * k) % 30 for k in range(6)],
+    }
+
+
+def synth_iceberg_expire(seed: int) -> bytes:
+    """The expire-snapshots fixture (plan above); no data parquet —
+    GC planning is a metadata computation."""
+    plan = synth_iceberg_expire_plan(seed)
+    r = plan["rows"]
+    t0 = plan["t0_ms"]
+    sync = bytes((seed * 23 + j * 11 + 9) % 256 for j in range(16))
+    files: dict[str, bytes] = {}
+
+    def entry(path: str, part: int, rows: int, eseq: int) -> bytes:
+        return (
+            _zigzag_write(1)
+            + _zigzag_write(1) + _zigzag_write(10)
+            + _zigzag_write(1) + _zigzag_write(eseq)
+            + _zigzag_write(0)
+            + _enc_string(path)
+            + _enc_string("PARQUET")
+            + _zigzag_write(part)
+            + _zigzag_write(rows)
+            + _zigzag_write(100 + rows * 10)
+            + _enc_bounds(part)
+            + _enc_bounds(part + rows - 1)
+            + _zigzag_write(0)
+        )
+
+    files["metadata/m_base.avro"] = encode_avro_container(
+        _MANIFEST_SCHEMA_SEQ,
+        [entry("data/b0.parquet", 0, r[0], 1),
+         entry("data/b1.parquet", 100, r[1], 1)],
+        sync,
+    )
+    for k in range(1, 6):
+        files[f"metadata/m{k}.avro"] = encode_avro_container(
+            _MANIFEST_SCHEMA_SEQ,
+            [entry(f"data/f{k}.parquet", 200 + k, r[k], k)],
+            sync,
+        )
+
+    def ml_record(mpath: str, seq: int, snap: int, n: int) -> bytes:
+        return (
+            _enc_string(mpath)
+            + _zigzag_write(len(files[mpath]))
+            + _zigzag_write(0)
+            + _zigzag_write(0)
+            + _zigzag_write(seq)
+            + _zigzag_write(snap)
+            + _zigzag_write(n)
+            + _zigzag_write(0)
+            + _zigzag_write(0)
+            + _zigzag_write(1)
+            + b"\x00"
+            + _zigzag_write(1) + _enc_bytes(struct.pack("<q", 0))
+            + _zigzag_write(1) + _enc_bytes(struct.pack("<q", 500))
+            + _zigzag_write(0)
+        )
+
+    snapshots = []
+    for k in range(1, 6):
+        sid = 10 * k
+        ml_path = f"metadata/ml{k}.avro"
+        files[ml_path] = encode_avro_container(
+            _MANIFEST_LIST_SCHEMA_INSPECT,
+            [ml_record("metadata/m_base.avro", 1, 10, 2),
+             ml_record(f"metadata/m{k}.avro", k, sid, 1)],
+            sync,
+        )
+        snap = {
+            "snapshot-id": sid,
+            "sequence-number": k,
+            "timestamp-ms": t0 + 60_000 * k,
+            "manifest-list": ml_path,
+            "summary": {
+                "operation": "overwrite",
+                "added-data-files": "1",
+                "added-records": str(r[k]),
+            },
+        }
+        if k > 1:
+            snap["parent-snapshot-id"] = 10 * (k - 1)
+        snapshots.append(snap)
+    refs = {
+        "main": {
+            "snapshot-id": 50,
+            "type": "branch",
+            "min-snapshots-to-keep": plan["min_keep"],
+        },
+    }
+    if plan["tag_v2"]:
+        refs["v2"] = {"snapshot-id": 20, "type": "tag"}
+    files["metadata/v2.metadata.json"] = json.dumps(
+        {
+            "format-version": 2,
+            "table-uuid": f"00000000-0000-4000-8000-{seed:012d}",
+            "properties": {"fixture.probe": "0"},
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": "p",
+                            "transform": "identity",
+                            "source-id": _V_FIELD_ID,
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ],
+            "current-snapshot-id": 50,
+            "snapshots": snapshots,
+            "snapshot-log": [
+                {"timestamp-ms": t0 + 60_000 * k, "snapshot-id": 10 * k}
+                for k in range(1, 6)
+            ],
+            "refs": refs,
+        }
+    ).encode()
+    return write_tar_bundle(files)

@@ -4183,3 +4183,38 @@ def explode_delta_vacuum(media: DataFrame) -> DataFrame:
     return _explode_delta(
         media, DELTA_VACUUM_SCHEMA, "delta_vacuum_candidates"
     )
+
+
+def synthesize_iceberg_expire_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of 5-snapshot Iceberg tables
+    with partially-pinned history
+    (``functions/iceberg_scan.py:synth_iceberg_expire``)."""
+
+    def loader():
+        from ..functions.iceberg_scan import synth_iceberg_expire
+
+        return synth_iceberg_expire
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+ICEBERG_EXPIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("removable", T.BooleanType()),
+        T.StructField("kept_reason", T.StringType()),
+        T.StructField("orphaned_manifests", T.IntegerType()),
+    ]
+)
+
+
+def explode_iceberg_expire(media: DataFrame) -> DataFrame:
+    """One row per snapshot with GC disposition —
+    ``expire_snapshots`` dry run (:func:`..functions.iceberg_scan.
+    iceberg_expire_snapshots_plan`)."""
+    return _explode_inspect(
+        media, ICEBERG_EXPIRE_SCHEMA, "iceberg_expire_snapshots_plan"
+    )

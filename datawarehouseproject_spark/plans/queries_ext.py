@@ -8743,3 +8743,249 @@ def q_delta_vacuum_candidates(
     return explode_delta_vacuum(media).select(
         "media_id", "path", "deletion_timestamp_ms", "eligible",
     )
+
+
+@register(
+    "iceberg_expire_snapshots_dry_run",
+    oracle="""
+    WITH m AS (SELECT doc_id AS s FROM documents)
+    SELECT s AS media_id, CAST(sid AS BIGINT) AS snapshot_id,
+           removable, kept_reason,
+           CAST(orphaned AS INTEGER) AS orphaned_manifests
+    FROM (
+      SELECT s, 10 AS sid, TRUE AS removable, '' AS kept_reason,
+             1 AS orphaned
+      FROM m
+      UNION ALL
+      SELECT s, 20, s % 2 = 1,
+             CASE WHEN s % 2 = 0 THEN 'ref' ELSE '' END,
+             CASE WHEN s % 2 = 1 THEN 1 ELSE 0 END
+      FROM m
+      UNION ALL
+      SELECT s, 30, s % 3 <> 2,
+             CASE WHEN s % 3 = 2 THEN 'ancestor' ELSE '' END,
+             CASE WHEN s % 3 <> 2 THEN 1 ELSE 0 END
+      FROM m
+      UNION ALL
+      SELECT s, 40, s % 3 = 0,
+             CASE WHEN s % 3 <> 0 THEN 'ancestor' ELSE '' END,
+             CASE WHEN s % 3 = 0 THEN 1 ELSE 0 END
+      FROM m
+      UNION ALL
+      SELECT s, 50, FALSE, 'recent', 0 FROM m
+    )
+    """,
+    tags=("sources", "iceberg", "lakehouse", "table-ops",
+          "snapshot-expiration", "mapInPandas"),
+)
+def q_iceberg_expire_snapshots_dry_run(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg ``expire_snapshots`` DRY RUN (round 13): per-snapshot
+    GC disposition over a 5-snapshot chain whose refs pin only a
+    subset — kept by ref (a tag on even seeds), kept as a branch
+    ancestor (``min-snapshots-to-keep`` rotating 1..3), kept by the
+    recency floor, or REMOVABLE with the manifests only it reaches
+    counted as orphans.  This is the reachability computation
+    metadata GC runs at 100 TB: manifests shared with any kept
+    snapshot (m_base here) must NEVER count as orphaned — an
+    implementation that unions per-snapshot listings without the
+    kept-set subtraction deletes live data
+    (``functions/iceberg_scan.py:iceberg_expire_snapshots_plan``)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        explode_iceberg_expire,
+        synthesize_iceberg_expire_media,
+    )
+
+    media = synthesize_iceberg_expire_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return explode_iceberg_expire(media).select(
+        "media_id", "snapshot_id", "removable", "kept_reason",
+        "orphaned_manifests",
+    )
+
+
+_ICEBERG_FILES_LIVE_CTE = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             20 + doc_id % 10 AS rows0,
+             20 + (doc_id + 1) % 10 AS rows1,
+             20 + (doc_id + 3) % 10 AS rows3,
+             (20 + doc_id % 10 + 2) // 3 AS d0
+      FROM documents),
+    inv AS (
+      SELECT media_id, 'data/f0.parquet' AS file_path,
+             CAST(rows0 AS BIGINT) AS record_count FROM m
+      UNION ALL
+      SELECT media_id, 'data/f1.parquet', rows1 FROM m
+      UNION ALL
+      SELECT media_id, 'data/f2.parquet', d0 FROM m
+      UNION ALL
+      SELECT media_id, 'data/f3.parquet', rows3 FROM m)
+"""
+
+
+@register(
+    "optimize_compaction_plan",
+    oracle=_ICEBERG_FILES_LIVE_CTE + """
+    , g AS (
+      SELECT media_id, file_path, record_count,
+             CAST(floor((sum(record_count) OVER (
+                    PARTITION BY media_id ORDER BY file_path
+                    ROWS UNBOUNDED PRECEDING) - record_count) / 45.0)
+                  AS INTEGER) AS group_id
+      FROM inv)
+    SELECT media_id, file_path, record_count, group_id,
+           CAST(count(*) OVER (PARTITION BY media_id, group_id)
+                AS INTEGER) AS group_files,
+           CAST(sum(record_count) OVER (PARTITION BY media_id, group_id)
+                AS BIGINT) AS group_rows,
+           count(*) OVER (PARTITION BY media_id, group_id) > 1
+             AS needs_compaction
+    FROM g
+    """,
+    tags=("maintenance", "optimize", "bin-packing", "window",
+          "iceberg", "lakehouse"),
+)
+def q_optimize_compaction_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE planning as a DISTRIBUTED computation (round 13):
+    the live-file inventory from the Iceberg ``files`` metadata
+    table (content=0 only — compacting a delete file corrupts the
+    table) is sequential-bin-packed into ~45-row groups with a
+    window PARTITIONED BY TABLE: running-sum the weights in
+    deterministic path order, ``group_id = floor((running - w) /
+    target)``.  No global sort, no driver loop — 10^6 tables plan in
+    parallel, which is the property that lets a 100 TB lakehouse run
+    maintenance planning as a regular query
+    (``operators/maintenance.py:plan_compaction``)."""
+    _utc(spark)
+    from ..operators.maintenance import plan_compaction
+    from ..operators.multimodal import (
+        explode_iceberg_files,
+        synthesize_iceberg_seq_media,
+    )
+
+    media = synthesize_iceberg_seq_media(_t(spark, sf_dir, "documents"))
+    inventory = explode_iceberg_files(media).filter(
+        F.col("content") == 0
+    ).select("media_id", "file_path", "record_count")
+    return plan_compaction(inventory, target_rows=45).select(
+        "media_id", "file_path", "record_count", "group_id",
+        "group_files", "group_rows", "needs_compaction",
+    )
+
+
+@register(
+    "table_fragmentation_report",
+    oracle=_ICEBERG_FILES_LIVE_CTE + """
+    SELECT media_id,
+           CAST(4 AS INTEGER) AS n_files,
+           CAST(rows0 + rows1 + d0 + rows3 AS BIGINT) AS total_rows,
+           CAST(CASE WHEN rows0 < 22.5 THEN 1 ELSE 0 END
+                + CASE WHEN rows1 < 22.5 THEN 1 ELSE 0 END
+                + CASE WHEN d0 < 22.5 THEN 1 ELSE 0 END
+                + CASE WHEN rows3 < 22.5 THEN 1 ELSE 0 END
+                AS INTEGER) AS small_files,
+           CAST(ceil((rows0 + rows1 + d0 + rows3) / 45.0) AS INTEGER)
+             AS files_after_optimize
+    FROM m
+    """,
+    tags=("maintenance", "optimize", "fragmentation", "iceberg",
+          "lakehouse"),
+)
+def q_table_fragmentation_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-table FRAGMENTATION summary (round 13): file count, total
+    rows, sub-half-target "small files", and the file count OPTIMIZE
+    would leave (``ceil(total/target)``) — the ranking a maintenance
+    scheduler uses to pick which of 10^6 tables to compact first.
+    One groupBy on the table key over the metadata-only inventory;
+    at 100 TB this prices the whole fleet's maintenance backlog
+    without reading a data byte
+    (``operators/maintenance.py:fragmentation_report``)."""
+    _utc(spark)
+    from ..operators.maintenance import fragmentation_report
+    from ..operators.multimodal import (
+        explode_iceberg_files,
+        synthesize_iceberg_seq_media,
+    )
+
+    media = synthesize_iceberg_seq_media(_t(spark, sf_dir, "documents"))
+    inventory = explode_iceberg_files(media).filter(
+        F.col("content") == 0
+    ).select("media_id", "file_path", "record_count")
+    return fragmentation_report(inventory, target_rows=45).select(
+        "media_id", "n_files", "total_rows", "small_files",
+        "files_after_optimize",
+    )
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of zorder_key(2 cols, 8 bits): generated
+    term-for-term so the interleave is pinned bit by bit."""
+    terms = []
+    for j in range(8):
+        terms.append(f"(((x >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((y >> {j}) & 1) << {2 * j + 1})")
+    z = " + ".join(terms)
+    return f"""
+    WITH q AS (
+      SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+      FROM lineitem),
+    zd AS (
+      SELECT x, y, ({z}) AS z FROM q),
+    b AS (
+      SELECT x, y, z // 256 AS z_bucket FROM zd)
+    SELECT CAST(z_bucket AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_x,
+           CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y,
+           CAST(max(y) AS BIGINT) AS max_y,
+           CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1)
+                AS BIGINT) AS span_product
+    FROM b
+    GROUP BY z_bucket
+    """
+
+
+@register(
+    "zorder_clustering",
+    oracle=_zorder_oracle(),
+    tags=("maintenance", "zorder", "data-layout", "clustering",
+          "bit-interleave"),
+)
+def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY as engine arithmetic (round 13): interleave
+    the low 8 bits of two lineitem key columns into a 16-bit
+    space-filling-curve value (bit j of column i at position 2j+i —
+    pinned term-for-term by the oracle), assign FIXED-WIDTH buckets
+    by ``z >> 8`` (no global sort, no partition-less window — one
+    map + one groupBy at any scale), and profile each bucket's
+    per-dimension min/max span.  The ``span_product`` column IS the
+    data-skipping story: z-order buckets bound BOTH dimensions
+    (~16x16 spans), where a linear sort's buckets would bound only
+    the leading key and span the full 256 on the other
+    (``operators/maintenance.py:zorder_key``)."""
+    _utc(spark)
+    from ..operators.maintenance import zorder_bucket_profile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).cast("long").alias("x"),
+        (F.col("l_suppkey") % 256).cast("long").alias("y"),
+    )
+    prof = zorder_bucket_profile(li, ["x", "y"], bits=8, bucket_shift=8)
+    return prof.select(
+        F.col("z_bucket").cast("long").alias("z_bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("min_x").cast("long").alias("min_x"),
+        F.col("max_x").cast("long").alias("max_x"),
+        F.col("min_y").cast("long").alias("min_y"),
+        F.col("max_y").cast("long").alias("max_y"),
+        F.col("span_product").cast("long").alias("span_product"),
+    )

@@ -241,6 +241,11 @@ def _cases():
             iceberg_scan.synth_iceberg_inspect,
             iceberg_scan.iceberg_all_manifests_table,
         ),
+        (
+            "iceberg_expire",
+            iceberg_scan.synth_iceberg_expire,
+            iceberg_scan.iceberg_expire_snapshots_plan,
+        ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
         (
             "delta_history",

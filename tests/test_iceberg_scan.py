@@ -1854,3 +1854,49 @@ def test_all_manifests_covers_history_and_reuse():
             (33, "metadata/m2.avro"),
             (33, "metadata/m3.avro"),
         ]
+
+
+def test_expire_shared_manifest_never_orphaned():
+    """m_base is reachable from every snapshot: no removable
+    snapshot may count it as orphaned (the delete-live-data trap)."""
+    from datawarehouseproject_spark.functions.bundles import (
+        read_tar_bundle,
+    )
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        decode_avro_blocks,
+        iceberg_expire_snapshots_plan,
+        synth_iceberg_expire,
+    )
+
+    blob = synth_iceberg_expire(3)  # seed 3: 10/20/30/40 removable
+    rows = {r["snapshot_id"]: r
+            for r in iceberg_expire_snapshots_plan(blob)}
+    assert [rows[sid]["removable"] for sid in (10, 20, 30, 40, 50)] \
+        == [True, True, True, True, False]
+    # every removable snapshot orphans exactly its OWN manifest,
+    # never the shared m_base
+    assert all(rows[sid]["orphaned_manifests"] == 1
+               for sid in (10, 20, 30, 40))
+    files = read_tar_bundle(blob)
+    for k, sid in ((1, 10), (2, 20)):
+        mls = list(decode_avro_blocks(files[f"metadata/ml{k}.avro"]))
+        assert {m["manifest_path"] for m in mls} == {
+            "metadata/m_base.avro", f"metadata/m{k}.avro",
+        }
+
+
+def test_expire_keep_last_floor():
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        iceberg_expire_snapshots_plan,
+        synth_iceberg_expire,
+    )
+
+    blob = synth_iceberg_expire(3)
+    rows = {r["snapshot_id"]: r
+            for r in iceberg_expire_snapshots_plan(blob, keep_last=4)}
+    # the floor keeps the 4 newest regardless of refs
+    assert [rows[sid]["removable"] for sid in (10, 20, 30, 40, 50)] \
+        == [True, False, False, False, False]
+    assert rows[20]["kept_reason"] == "recent"
+    with pytest.raises(ValueError, match="keep_last"):
+        iceberg_expire_snapshots_plan(blob, keep_last=0)
