@@ -3133,3 +3133,66 @@ def delta_vacuum_candidates(payload: bytes) -> list[dict]:
     if not out:
         raise ValueError("history has no tombstones")
     return out
+
+
+def delta_detail_table(payload: bytes) -> dict:
+    """``DESCRIBE DETAIL``: the one-row table summary — live file
+    count, live row count (from add-action stats), format/protocol
+    versions, partition column count, and the parsed retention —
+    computed by the SAME add/remove replay the scan uses, so a
+    reader that forgets tombstones reports phantom files.  Row
+    counts come from stats (never data parquet): DESCRIBE DETAIL is
+    a metadata answer at any scale."""
+    files = read_tar_bundle(payload)
+    live: dict[str, int] = {}
+    meta_d = None
+    protocol = None
+    for _v, actions in _iter_history_commits(files):
+        for a in actions:
+            if "metaData" in a:
+                meta_d = a["metaData"]
+            elif "protocol" in a:
+                protocol = a["protocol"]
+            elif "add" in a:
+                add = a["add"]
+                if not isinstance(add, dict):
+                    raise ValueError("add malformed")
+                path = add.get("path")
+                if not isinstance(path, str):
+                    raise ValueError("add path malformed")
+                nr, _lo, _hi = _parse_stats(add.get("stats"))
+                live[path] = nr
+            elif "remove" in a:
+                rm = a["remove"]
+                if not isinstance(rm, dict) \
+                        or not isinstance(rm.get("path"), str):
+                    raise ValueError("remove malformed")
+                live.pop(rm["path"], None)
+    if not isinstance(meta_d, dict) or not isinstance(protocol, dict):
+        raise ValueError("log missing metaData/protocol")
+    fmt = meta_d.get("format")
+    if not isinstance(fmt, dict) or fmt.get("provider") != "parquet":
+        raise ValueError("table format unsupported")
+    pcols = meta_d.get("partitionColumns")
+    if not isinstance(pcols, list):
+        raise ValueError("partitionColumns malformed")
+    config = meta_d.get("configuration")
+    if not isinstance(config, dict):
+        raise ValueError("configuration malformed")
+    mr = protocol.get("minReaderVersion")
+    mw = protocol.get("minWriterVersion")
+    for v in (mr, mw):
+        if not isinstance(v, int) or isinstance(v, bool) \
+                or not 1 <= v <= 7:
+            raise ValueError("protocol version malformed")
+    total = sum(live.values())
+    if not (0 <= total < 2**63):
+        raise ValueError("row total overflows int64 (boundary)")
+    return {
+        "num_files": len(live),
+        "num_records": total,
+        "min_reader_version": mr,
+        "min_writer_version": mw,
+        "n_partition_columns": len(pcols),
+        "n_properties": len(config),
+    }

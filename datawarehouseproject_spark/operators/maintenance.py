@@ -95,9 +95,11 @@ def zorder_key(cols: list, bits: int = 8):
     Pure JVM column arithmetic: bit j of column i lands at position
     ``j * n_cols + i``.  2 cols x 8 bits = a 16-bit key; exact
     integer output, so the DuckDB oracle reproduces it term for
-    term.  Columns must already be quantized to ``bits`` bits —
-    values outside ``[0, 2^bits)`` raise at plan build (a silent
-    mask would interleave garbage)."""
+    term.  Only the LOW ``bits`` bits of each column are read
+    (values are effectively taken modulo ``2^bits``) — quantize
+    before calling; negative inputs are undefined (two's-complement
+    low bits interleave, matching the oracle's arithmetic only for
+    non-negative values)."""
     n = len(cols)
     if not 1 <= n <= 4:
         raise ValueError("zorder interleaves 1-4 columns")

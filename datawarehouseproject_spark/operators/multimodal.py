@@ -4218,3 +4218,29 @@ def explode_iceberg_expire(media: DataFrame) -> DataFrame:
     return _explode_inspect(
         media, ICEBERG_EXPIRE_SCHEMA, "iceberg_expire_snapshots_plan"
     )
+
+
+DELTA_DETAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("num_files", T.IntegerType()),
+        T.StructField("num_records", T.LongType()),
+        T.StructField("min_reader_version", T.IntegerType()),
+        T.StructField("min_writer_version", T.IntegerType()),
+        T.StructField("n_partition_columns", T.IntegerType()),
+        T.StructField("n_properties", T.IntegerType()),
+    ]
+)
+
+
+def extract_delta_detail(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """One summary row per table — ``DESCRIBE DETAIL``
+    (:func:`..functions.delta_log.delta_detail_table`)."""
+
+    def loader():
+        from ..functions.delta_log import delta_detail_table
+
+        return delta_detail_table
+
+    return _extract_metadata(media, DELTA_DETAIL_SCHEMA, loader, permissive)

@@ -8989,3 +8989,226 @@ def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_y").cast("long").alias("max_y"),
         F.col("span_product").cast("long").alias("span_product"),
     )
+
+
+@register(
+    "delta_describe_detail",
+    oracle=_DELTA_HISTORY_CTE + """
+    SELECT s AS media_id,
+           CAST(CASE WHEN s % 2 = 0 THEN 2 ELSE 1 END AS INTEGER)
+             AS num_files,
+           CAST(r1 + r2 AS BIGINT) AS num_records,
+           CAST(1 AS INTEGER) AS min_reader_version,
+           CAST(2 AS INTEGER) AS min_writer_version,
+           CAST(0 AS INTEGER) AS n_partition_columns,
+           CAST(2 AS INTEGER) AS n_properties
+    FROM m
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "metadata-table",
+          "table-ops", "mapInPandas"),
+)
+def q_delta_describe_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta ``DESCRIBE DETAIL`` (round 13): the one-row table
+    summary — live files, live rows (stats-derived, never a data
+    read), protocol versions, partition/property counts — from the
+    same add/remove replay the scan uses.  The OPTIMIZE seeds pin
+    the tombstone arithmetic: after compaction the table is 1 file
+    carrying the SAME r1+r2 rows the even seeds hold in 2 files, so
+    a replay that misses OPTIMIZE's dataChange=false removes reports
+    3 phantom files (``functions/delta_log.py:delta_detail_table``)."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_delta_detail,
+        synthesize_delta_history_media,
+    )
+
+    media = synthesize_delta_history_media(
+        _t(spark, sf_dir, "documents")
+    )
+    return extract_delta_detail(media).select(
+        "media_id", "num_files", "num_records", "min_reader_version",
+        "min_writer_version", "n_partition_columns", "n_properties",
+    )
+
+
+@register(
+    "stream_windowed_counts",
+    oracle="""
+    WITH src AS (
+      SELECT ts, event_type, event_id FROM events),
+    mx AS (
+      SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM src),
+    w AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n_events, sum(event_id) AS id_sum
+      FROM src GROUP BY 1, 2)
+    SELECT hour_start,
+           event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(id_sum AS BIGINT) AS id_sum
+    FROM w, mx
+    WHERE epoch_ms(hour_start + INTERVAL 1 HOUR) <= wm_ms
+    """,
+    tags=("streaming", "watermark", "window", "availableNow",
+          "event-time"),
+)
+def q_stream_windowed_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRUCTURED STREAMING in the oracle gate (round 13): the
+    events table replayed through a REAL streaming query —
+    ``readStream`` over a parquet landing dir, a 10-minute event-time
+    watermark, 1-hour tumbling-window counts + id-checksums, append
+    mode to a parquet sink, ``Trigger.AvailableNow`` — then the sink
+    read back as the result.  Append mode only emits windows the
+    FINAL watermark (max event time minus delay, ms precision) has
+    closed; the trailing window(s) stay in state and must be absent,
+    which is exactly what the oracle's ``hour_end <= max_ts - 10min``
+    filter recomputes.  The single-file landing dir makes the replay
+    one deterministic micro-batch, so late-data drops cannot vary by
+    partitioning — the determinism condition a production
+    availableNow backfill relies on.  Engine surface:
+    ``streaming/`` (watermark dedup, stateful sessionization, stream
+    joins) is pytest-pinned; this entry puts the watermark+window
+    semantics under the DuckDB oracle too."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    _utc(spark)
+    root = tempfile.mkdtemp(prefix="dw_stream_wc_")
+    src_dir = f"{root}/src"
+    out_dir = f"{root}/out"
+    cp_dir = f"{root}/cp"
+    events = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", "event_id"
+    )
+    # ONE landing file -> one micro-batch -> deterministic watermark
+    events.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.col("window.start").alias("hour_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("id_sum").cast("long").alias("id_sum"),
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id FROM events),
+    mx AS (
+      SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS wm_us
+      FROM src),
+    o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > 300000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o),
+    agg AS (
+      SELECT user_id, sess,
+             min(ts) AS session_start,
+             max(epoch_us(ts)) + 300000000 AS end_us,
+             count(*) AS n_events,
+             sum(event_id) AS id_sum
+      FROM s GROUP BY 1, 2)
+    SELECT user_id, session_start,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(id_sum AS BIGINT) AS id_sum
+    FROM agg, mx
+    WHERE end_us <= wm_us
+    """,
+    tags=("streaming", "watermark", "session-window", "availableNow",
+          "event-time", "stateful"),
+)
+def q_stream_session_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING SESSION WINDOWS under the oracle (round 13):
+    per-user 5-minute-gap sessions over the events table through a
+    real ``session_window`` streaming aggregation (merging state),
+    append mode, availableNow.  Two boundary semantics are
+    EMPIRICALLY pinned (pytest `test_stream_semantics.py`) and
+    recomputed by the oracle's lag/cumsum sessionization: an event
+    at EXACTLY gap distance MERGES (break is ``gap > 300s`` strict),
+    and a session whose end equals the final watermark EMITS
+    (eviction is ``end <= wm``, ms-truncated).  The oracle builds
+    sessions the classic SQL way (lag -> break flags -> cumulative
+    session ids -> group), so the two independent formulations must
+    agree row-for-row on thousands of sessions."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    _utc(spark)
+    root = tempfile.mkdtemp(prefix="dw_stream_sw_")
+    src_dir = f"{root}/src"
+    out_dir = f"{root}/out"
+    cp_dir = f"{root}/cp"
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("id_sum").cast("long").alias("id_sum"),
+    )

@@ -1515,3 +1515,17 @@ def test_vacuum_eligibility_boundary():
         assert rows["part-00001.parquet"]["eligible"] is False
         assert rows["part-00002.parquet"]["eligible"] is False
         assert plan["has_optimize"]
+
+
+def test_detail_counts_survive_optimize():
+    from datawarehouseproject_spark.functions.delta_log import (
+        delta_detail_table,
+        synth_delta_history_plan,
+    )
+
+    for seed in (6, 7):
+        plan = synth_delta_history_plan(seed)
+        r = plan["rows"]
+        d = delta_detail_table(_history_bundle(seed))
+        assert d["num_records"] == r[1] + r[2]
+        assert d["num_files"] == (1 if plan["has_optimize"] else 2)

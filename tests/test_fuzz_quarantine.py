@@ -258,6 +258,11 @@ def _cases():
             delta_log.delta_vacuum_candidates,
         ),
         (
+            "delta_detail",
+            delta_log.synth_delta_history,
+            delta_log.delta_detail_table,
+        ),
+        (
             "delta_partitioned",
             delta_log.synth_delta_partitioned,
             delta_log.scan_delta_partitioned,
