@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# one z-order implementation repo-wide: the general interleave lives
+# with the layout helpers (sources/layout.py) next to its 2-column
+# special case and SQL twin
+from ..sources.layout import zorder_key_n as zorder_key  # noqa: F401
+
 
 def plan_compaction(
     inventory: DataFrame,
@@ -83,37 +88,6 @@ def fragmentation_report(
         F.ceil(F.sum(weight_col) / F.lit(target_rows))
          .cast("int").alias("files_after_optimize"),
     )
-
-
-def zorder_key(cols: list, bits: int = 8):
-    """Bit-interleaved Z-VALUE over ``len(cols)`` integer columns
-    (``bits`` low bits each) — the space-filling-curve key lakehouse
-    OPTIMIZE ZORDER BY sorts on so that files bound EVERY clustered
-    dimension at once (a linear sort bounds only its leading key;
-    min/max skipping on the others degrades to full scans).
-
-    Pure JVM column arithmetic: bit j of column i lands at position
-    ``j * n_cols + i``.  2 cols x 8 bits = a 16-bit key; exact
-    integer output, so the DuckDB oracle reproduces it term for
-    term.  Only the LOW ``bits`` bits of each column are read
-    (values are effectively taken modulo ``2^bits``) — quantize
-    before calling; negative inputs are undefined (two's-complement
-    low bits interleave, matching the oracle's arithmetic only for
-    non-negative values)."""
-    n = len(cols)
-    if not 1 <= n <= 4:
-        raise ValueError("zorder interleaves 1-4 columns")
-    if not 1 <= bits <= 16:
-        raise ValueError("zorder bits out of range")
-    z = F.lit(0)
-    for i, c in enumerate(cols):
-        col = F.col(c) if isinstance(c, str) else c
-        for j in range(bits):
-            z = z + F.shiftleft(
-                F.shiftright(col.cast("long"), j).bitwiseAND(F.lit(1)),
-                j * n + i,
-            )
-    return z
 
 
 def zorder_bucket_profile(

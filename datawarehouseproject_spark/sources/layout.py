@@ -41,34 +41,45 @@ def layout_for_scans(
     return parts.sortWithinPartitions(*(sort_cols or range_cols))
 
 
+def zorder_key_n(cols: list, bits: int = 8) -> Column:
+    """Morton (Z-order) key over 1-4 integer columns: bit j of
+    column i lands at position ``j * n_cols + i`` (column 0 in the
+    lowest lane).  Pure shifts/masks (codegen, no UDF); the
+    identical expression is writable in any SQL dialect, so oracle
+    checks are exact.  Only the LOW ``bits`` bits of each column are
+    read (values are effectively taken modulo ``2^bits``) —
+    quantize before calling; negative inputs are undefined."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if not 1 <= n <= 4:
+        raise ValueError("zorder interleaves 1-4 columns")
+    if not 1 <= bits <= 16:
+        raise ValueError("zorder bits out of range")
+    out = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        for j in range(bits):
+            out = out + F.shiftleft(
+                F.shiftright(col.cast("long"), j).bitwiseAND(1),
+                j * n + i,
+            )
+    return out
+
+
 def zorder_key(
     x: Column | str, y: Column | str, bits: int = 16
 ) -> Column:
-    """Morton (Z-order) key: interleave the low ``bits`` of two
-    non-negative integer columns — ``x`` in even positions, ``y`` in
-    odd.
+    """Two-column Morton key — ``x`` in even positions, ``y`` in
+    odd (the ``zorder_key_n([x, y], bits)`` special case kept for
+    the original call sites).
 
     Feed this to :func:`layout_for_scans` as the range column to
     cluster files on TWO dimensions at once: a range of the Z-key is
     a tile in (x, y) space, so min-max pruning bites for predicates
     on EITHER column — single-column range layout can only serve one.
-    Pure shifts/masks (codegen, no UDF), and the identical expression
-    is writable in any SQL dialect, so oracle checks are exact.
     """
-    from pyspark.sql import functions as F
-
-    cx = F.col(x) if isinstance(x, str) else x
-    cy = F.col(y) if isinstance(y, str) else y
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        out = (
-            out
-            + F.shiftleft(F.shiftright(cx.cast("long"), i).bitwiseAND(1), 2 * i)
-            + F.shiftleft(
-                F.shiftright(cy.cast("long"), i).bitwiseAND(1), 2 * i + 1
-            )
-        )
-    return out
+    return zorder_key_n([x, y], bits)
 
 
 def sql_zorder_key(x: str, y: str, bits: int = 16) -> str:
