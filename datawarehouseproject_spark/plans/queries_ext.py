@@ -9212,3 +9212,174 @@ def q_stream_session_windows(
         F.col("n_events").cast("long").alias("n_events"),
         F.col("id_sum").cast("long").alias("id_sum"),
     )
+
+
+@register(
+    "delta_native_roundtrip",
+    oracle="""
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    WHERE p_partkey % 7 = 0
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "roundtrip"),
+)
+def q_delta_native_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Delta write -> read roundtrip (round 13): the part
+    table committed through the engine's own Delta writer
+    (``sources/delta_native.py``) in TWO appends (even keys at v0,
+    odd at v1 — a real multi-commit log with per-file footer stats),
+    then read back through the native log-replay reader with a
+    filter that must reach the parquet scan as a pushed predicate
+    (the reader is a schema-pinned file scan below the log layer, so
+    Catalyst prunes untouched).  The oracle reads the SOURCE table:
+    any file lost by the commit, double-added by the replay, or
+    dropped by the rename step changes the row set."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import read_delta, write_delta
+
+    root = tempfile.mkdtemp(prefix="dw_delta_nat_") + "/tbl"
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    write_delta(part.filter("p_partkey % 2 = 0"), root,
+                mode="append", now_ms=1_700_000_000_000)
+    write_delta(part.filter("p_partkey % 2 = 1"), root,
+                mode="append", now_ms=1_700_000_060_000)
+    return read_delta(spark, root).filter("p_partkey % 7 = 0").select(
+        "p_partkey", "name_len",
+    )
+
+
+@register(
+    "delta_native_time_travel",
+    oracle="""
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    WHERE p_partkey % 2 = 0
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "time-travel"),
+)
+def q_delta_native_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Delta TIME TRAVEL (round 13): v0 holds the even part
+    keys, v1 OVERWRITES with the odd ones (remove tombstones for
+    every v0 file) — reading ``version=0`` must reproduce the even
+    set exactly, which fails two ways a naive reader breaks: replay
+    that applies v1's tombstones retroactively (empty result) or a
+    directory listing instead of a log replay (both versions'
+    files).  Writer and reader are both this engine's
+    (``sources/delta_native.py``) — the committed log is also
+    pytest-pinned against the forensics readers' expectations."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import read_delta, write_delta
+
+    root = tempfile.mkdtemp(prefix="dw_delta_tt_") + "/tbl"
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    write_delta(part.filter("p_partkey % 2 = 0"), root,
+                mode="append", now_ms=1_700_000_000_000)
+    write_delta(part.filter("p_partkey % 2 = 1"), root,
+                mode="overwrite", now_ms=1_700_000_060_000)
+    return read_delta(spark, root, version=0).select(
+        "p_partkey", "name_len",
+    )
+
+
+@register(
+    "iceberg_native_roundtrip",
+    oracle="""
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    WHERE p_partkey % 5 = 0
+    """,
+    tags=("sources", "iceberg", "lakehouse", "native-write",
+          "roundtrip"),
+)
+def q_iceberg_native_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Iceberg v2 write -> read roundtrip (round 13): the
+    part table committed through the engine's own Iceberg writer
+    (``sources/iceberg_native.py``) in TWO appends — real avro
+    manifests + manifest lists + versioned metadata JSON +
+    version-hint, the standard directory layout — then read back
+    through the native manifest-walk reader with a pushed filter.
+    The second append's manifest LIST must carry the first's
+    manifest forward (the spec's incremental-commit shape); a writer
+    that rebuilds from the directory listing or a reader that only
+    walks the newest manifest both change the row set against the
+    source-table oracle."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.iceberg_native import read_iceberg, write_iceberg
+
+    root = tempfile.mkdtemp(prefix="dw_ice_nat_") + "/tbl"
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    write_iceberg(part.filter("p_partkey % 2 = 0"), root,
+                  mode="append", now_ms=1_700_000_000_000)
+    write_iceberg(part.filter("p_partkey % 2 = 1"), root,
+                  mode="append", now_ms=1_700_000_060_000)
+    return read_iceberg(spark, root).filter("p_partkey % 5 = 0").select(
+        "p_partkey", "name_len",
+    )
+
+
+@register(
+    "iceberg_native_time_travel",
+    oracle="""
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    WHERE p_partkey % 2 = 0
+    """,
+    tags=("sources", "iceberg", "lakehouse", "native-write",
+          "time-travel"),
+)
+def q_iceberg_native_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Iceberg TIME TRAVEL (round 13): snapshot 1 holds the
+    even part keys, snapshot 2 OVERWRITES with the odd ones (a fresh
+    manifest list — prior snapshots keep their own, the spec's
+    snapshot isolation, no tombstones needed).  Reading the FIRST
+    snapshot id must reproduce the even set: a reader that resolves
+    through current-snapshot-id regardless of the requested id, or a
+    writer whose overwrite mutates the old manifest list in place,
+    both break against the oracle
+    (``sources/iceberg_native.py``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.iceberg_native import read_iceberg, write_iceberg
+
+    root = tempfile.mkdtemp(prefix="dw_ice_tt_") + "/tbl"
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    s0 = write_iceberg(part.filter("p_partkey % 2 = 0"), root,
+                       mode="append", now_ms=1_700_000_000_000)
+    write_iceberg(part.filter("p_partkey % 2 = 1"), root,
+                  mode="overwrite", now_ms=1_700_000_060_000)
+    return read_iceberg(spark, root, snapshot_id=s0).select(
+        "p_partkey", "name_len",
+    )
