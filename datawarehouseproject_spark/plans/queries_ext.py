@@ -9383,3 +9383,152 @@ def q_iceberg_native_time_travel(
     return read_iceberg(spark, root, snapshot_id=s0).select(
         "p_partkey", "name_len",
     )
+
+
+@register(
+    "delta_native_partition_pruning",
+    oracle="""
+    SELECT CAST(p_partkey % 8 AS BIGINT) AS pb, p_partkey,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    WHERE p_partkey % 8 = 3
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "partition-pruning"),
+)
+def q_delta_native_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Delta PARTITIONED write + LOG-LEVEL pruning
+    (round 13): the part table committed Hive-partitioned on
+    ``pb = p_partkey % 8`` (every add action records its
+    ``partitionValues``), then read with ``where={'pb': 3}`` — the
+    reader drops the other 7 partitions' files AT THE LOG LAYER,
+    before any listing or footer I/O, which is the property that
+    makes a partitioned 100 TB table readable at all.  A typo'd
+    partition key loud-rejects instead of silently full-scanning
+    (pytest-pinned).  Partition column values come back through the
+    Hive directory layout (``basePath``), so the oracle's
+    recomputed ``pb`` must agree with the directory-derived one
+    (``sources/delta_native.py``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import read_delta, write_delta
+
+    root = tempfile.mkdtemp(prefix="dw_delta_pp_") + "/tbl"
+    part = _t(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % 8).alias("pb"),
+        "p_partkey",
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    write_delta(part, root, now_ms=1_700_000_000_000,
+                partition_by=["pb"])
+    return read_delta(spark, root, where={"pb": 3}).select(
+        "pb", "p_partkey", "name_len",
+    )
+
+
+@register(
+    "delta_native_merge",
+    oracle="""
+    SELECT p_partkey AS k,
+           CAST(-length(p_name) AS INTEGER) AS v
+    FROM part WHERE p_partkey % 10 = 0
+    UNION ALL
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER)
+    FROM part WHERE p_partkey % 2 = 0 AND p_partkey % 10 <> 0
+    UNION ALL
+    SELECT p_partkey,
+           CAST(length(p_name) + 1000 AS INTEGER)
+    FROM part WHERE p_partkey % 2 = 1 AND p_partkey % 7 = 0
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "merge", "upsert", "copy-on-write"),
+)
+def q_delta_native_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE Delta MERGE (round 13): UPSERT into a multi-file
+    table through the engine's copy-on-write merge
+    (``sources/delta_native.py:merge_delta``) — update rows flip the
+    sign of matched evens divisible by 10, insert rows add odd
+    multiples of 7.  Planning is EXACT per file: a broadcast join of
+    the update keys against the per-file stats windows picks only
+    files actually containing a matched key (insert-only keys extend
+    the global range but rewrite NOTHING — the trap a min/max
+    overlap planner falls into, pytest-pinned via rewrite metrics).
+    Untouched evens must come through byte-identical from their
+    original files; the oracle recomputes all three row classes."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_delta_mrg_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_700_000_000_000,
+    )
+    updates = part.filter("p_partkey % 10 = 0").select(
+        F.col("p_partkey").alias("k"),
+        (-F.length("p_name")).cast("int").alias("v"),
+    ).unionByName(
+        part.filter("p_partkey % 2 = 1 AND p_partkey % 7 = 0").select(
+            F.col("p_partkey").alias("k"),
+            (F.length("p_name") + 1000).cast("int").alias("v"),
+        )
+    )
+    merge_delta(root, updates, "k", now_ms=1_700_000_060_000)
+    return read_delta(spark, root).select("k", "v")
+
+
+@register(
+    "delta_native_optimize",
+    oracle="""
+    SELECT p_partkey AS k,
+           CAST(length(p_name) AS INTEGER) AS v
+    FROM part WHERE p_partkey % 2 = 0
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "optimize", "compaction", "maintenance"),
+)
+def q_delta_native_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Delta OPTIMIZE (round 13): a deliberately fragmented
+    table (16 tiny files) compacted through the engine's own
+    small-file rewrite (``sources/delta_native.py:optimize_delta``,
+    the execution of ``operators/maintenance.py:plan_compaction``'s
+    packing rule) with ``dataChange=false`` on every remove/add —
+    the flag that keeps CDF/incremental readers from replaying a
+    compaction as data.  The oracle is the SOURCE rows: OPTIMIZE
+    must be row-invariant, so a lost file, a double-packed group, or
+    a rewrite that dropped late rows all hash-mismatch; the
+    file-count collapse itself is pytest-pinned."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import (
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_delta_opt_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_delta(base.repartition(16), root, now_ms=1_700_000_000_000)
+    optimize_delta(root, target_rows=400, now_ms=1_700_000_060_000)
+    return read_delta(spark, root).select("k", "v")

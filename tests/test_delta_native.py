@@ -96,3 +96,103 @@ def test_version_gap_rejects(spark, tmp_path):
     os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
     with pytest.raises(ValueError, match="version gaps"):
         read_delta(spark, root)
+
+
+def test_partitioned_write_and_log_pruning(spark, tmp_path):
+    root = _tbl(tmp_path)
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("p"), F.col("id").alias("k"))
+    write_delta(df, root, now_ms=1, partition_by=["p"])
+    from datawarehouseproject_spark.sources.delta_native import (
+        _replay_full,
+    )
+
+    live, _, pcols = _replay_full(root, None)
+    assert pcols == ["p"]
+    assert all(rel.startswith("p=") for rel in live)
+    pruned = read_delta(spark, root, where={"p": 3})
+    assert pruned.count() == 100
+    # LOG-level pruning: only partition-3 files enter the scan
+    files = pruned.inputFiles()
+    assert files and all("/p=3/" in f for f in files)
+    with pytest.raises(ValueError, match="not a partition column"):
+        read_delta(spark, root, where={"typo": 1})
+    # drifting layout on append rejects
+    with pytest.raises(ValueError, match="partition_by drift"):
+        write_delta(df, root, mode="append", now_ms=2,
+                    partition_by=["k"])
+
+
+def test_merge_plans_exact_rewrite_set(spark, tmp_path):
+    from datawarehouseproject_spark.sources.delta_native import (
+        merge_delta,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1,
+    )
+    ups = spark.range(100, 140).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    ).union(
+        spark.range(2000, 2010).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v"))
+    )
+    m = merge_delta(root, ups, "k", now_ms=2)
+    # keys 100-139 live in at most 2 of the 8 range files; the
+    # insert-only keys (2000+) must not inflate the rewrite set
+    assert m["files_rewritten"] <= 2
+    assert m["files_untouched"] >= 6
+    got = read_delta(spark, root)
+    assert got.count() == 1010
+    assert got.filter("k >= 100 and k < 140").agg(
+        F.sum("v")).first()[0] == -40
+    assert got.filter("k >= 2000").count() == 10
+    assert got.filter("k = 500").first()["v"] == 1000
+    # merge into a partitioned table is a declared boundary
+    root2 = str(tmp_path / "tbl2")
+    write_delta(
+        spark.range(10).select(
+            (F.col("id") % 2).alias("p"), F.col("id").alias("k"),
+            F.lit(0).cast("long").alias("v")),
+        root2, now_ms=1, partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partitioned table"):
+        merge_delta(root2, ups, "k", now_ms=2)
+
+
+def test_optimize_compacts_without_changing_rows(spark, tmp_path):
+    from datawarehouseproject_spark.sources.delta_native import (
+        optimize_delta,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_delta(base.repartition(16), root, now_ms=1)
+    before = read_delta(spark, root).agg(
+        F.sum("v"), F.count("*")).first()
+    m = optimize_delta(root, target_rows=300, now_ms=2)
+    assert m["files_before"] == 16
+    assert m["files_after"] < 16 // 2
+    after = read_delta(spark, root)
+    assert after.agg(F.sum("v"), F.count("*")).first() == before
+    assert len(after.inputFiles()) == m["files_after"]
+    # every OPTIMIZE action carries dataChange=false
+    import json as _json
+    import os as _os
+
+    log = open(_os.path.join(
+        root, "_delta_log", f"{1:020d}.json")).read().splitlines()
+    for ln in log:
+        act = _json.loads(ln)
+        kind = next(iter(act))
+        if kind in ("add", "remove"):
+            assert act[kind]["dataChange"] is False
+    # a second optimize at the same target is a near-no-op: no
+    # multi-file group remains at this packing
+    m2 = optimize_delta(root, target_rows=300, now_ms=3)
+    assert m2["files_removed"] <= m["files_after"]
