@@ -3960,17 +3960,22 @@ def synthesize_iceberg_inspect_media(
     return _synthesize_media(ids, id_col, loader)
 
 
-def _explode_inspect(media: DataFrame, schema, fn_name: str) -> DataFrame:
-    """Shared mapInPandas explode for the four inspection tables:
-    one output row per list element of the named
-    ``functions.iceberg_scan`` reader.  Metadata bytes only — the
-    bundles carry no data parquet, so a reader that tried to open
-    one would fail loudly in every row."""
+def _explode_rows(
+    media: DataFrame, schema, module_name: str, fn_name: str
+) -> DataFrame:
+    """Shared mapInPandas explode for the table-ops views: one
+    output row per list element of the named ``functions.<module>``
+    reader.  Metadata bytes only — the inspection bundles carry no
+    data parquet, so a reader that tried to open one would fail
+    loudly in every row."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import iceberg_scan
+        import importlib
 
-        fn = getattr(iceberg_scan, fn_name)
+        mod = importlib.import_module(
+            f"datawarehouseproject_spark.functions.{module_name}"
+        )
+        fn = getattr(mod, fn_name)
         cols = [f.name for f in schema.fields]
         for pdf in it:
             rows: dict[str, list] = {c: [] for c in cols}
@@ -3982,6 +3987,10 @@ def _explode_inspect(media: DataFrame, schema, fn_name: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=schema)
+
+
+def _explode_inspect(media: DataFrame, schema, fn_name: str) -> DataFrame:
+    return _explode_rows(media, schema, "iceberg_scan", fn_name)
 
 
 ICEBERG_SNAPSHOTS_SCHEMA = T.StructType(
@@ -4148,25 +4157,7 @@ DELTA_VACUUM_SCHEMA = T.StructType(
 
 
 def _explode_delta(media: DataFrame, schema, fn_name: str) -> DataFrame:
-    """Shared mapInPandas explode for the Delta table-ops views
-    (one output row per list element of the named
-    ``functions.delta_log`` reader)."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import delta_log
-
-        fn = getattr(delta_log, fn_name)
-        cols = [f.name for f in schema.fields]
-        for pdf in it:
-            rows: dict[str, list] = {c: [] for c in cols}
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                for entry in fn(bytes(p)):
-                    rows["media_id"].append(int(mid))
-                    for k, v in entry.items():
-                        rows[k].append(v)
-            yield pd.DataFrame(rows)
-
-    return media.mapInPandas(batches, schema=schema)
+    return _explode_rows(media, schema, "delta_log", fn_name)
 
 
 def explode_delta_history(media: DataFrame) -> DataFrame:

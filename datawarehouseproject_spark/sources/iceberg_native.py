@@ -27,7 +27,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import struct
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -142,6 +141,11 @@ def _current_meta(path: str):
     meta = json.loads(open(mpath).read())
     if not isinstance(meta, dict) or meta.get("format-version") != 2:
         raise ValueError("unsupported iceberg metadata")
+    seq = meta.get("last-sequence-number")
+    schemas = meta.get("schemas")
+    if not isinstance(seq, int) or isinstance(seq, bool) or seq < 0 \
+            or not isinstance(schemas, list) or not schemas:
+        raise ValueError("iceberg metadata missing writer fields")
     return v, meta
 
 
@@ -161,6 +165,8 @@ def write_iceberg(
     os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     seq = 1 if meta is None else meta["last-sequence-number"] + 1
+    if seq > 1 << 20:
+        raise ValueError("sequence number past cap (boundary)")
     snap_id = seq * 100 + 7  # deterministic, unique per sequence
     ice_schema = _schema_to_iceberg(df.schema)
     if meta is not None:
@@ -310,8 +316,13 @@ def read_iceberg(
     if snap is None:
         raise ValueError(f"snapshot {sid} does not exist")
     schema = _schema_to_spark(meta["schemas"][0])
-    ml_blob = open(os.path.join(path, snap["manifest-list"]),
-                   "rb").read()
+    ml_rel = snap.get("manifest-list")
+    if not isinstance(ml_rel, str):
+        raise ValueError("snapshot manifest-list malformed")
+    ml_path = os.path.join(path, ml_rel)
+    if not os.path.exists(ml_path):
+        raise ValueError("manifest list missing from table")
+    ml_blob = open(ml_path, "rb").read()
     paths = []
     for mf in decode_avro_blocks(ml_blob):
         m_blob = open(
