@@ -9532,3 +9532,53 @@ def q_delta_native_optimize(
     write_delta(base.repartition(16), root, now_ms=1_700_000_000_000)
     optimize_delta(root, target_rows=400, now_ms=1_700_000_060_000)
     return read_delta(spark, root).select("k", "v")
+
+
+@register(
+    "delta_native_delete_vacuum",
+    oracle="""
+    SELECT p_partkey AS k,
+           CAST(length(p_name) AS INTEGER) AS v
+    FROM part
+    WHERE p_partkey % 2 = 0
+      AND p_partkey NOT BETWEEN 200 AND 599
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "delete", "vacuum", "copy-on-write"),
+)
+def q_delta_native_delete_vacuum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Delta range DELETE + executed VACUUM (round 13):
+    ``DELETE WHERE k BETWEEN 200 AND 599`` rewrites only the files
+    whose stats window overlaps the range (a rewrite that comes back
+    empty is a pure remove — no zero-row file is committed), then
+    VACUUM physically deletes the aged tombstones and the read must
+    be unaffected — the files the latest version needs are never
+    eligible.  Old-version reads failing loudly AFTER vacuum is the
+    retention contract and is pytest-pinned
+    (``sources/delta_native.py:delete_delta`` / ``vacuum_delta``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import (
+        delete_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_delta_del_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_700_000_000_000,
+    )
+    delete_delta(root, "k", 200, 599, now_ms=1_700_000_060_000)
+    vacuum_delta(root, retention_hours=0,
+                 now_ms=1_700_010_000_000, dry_run=False)
+    return read_delta(spark, root).select("k", "v")

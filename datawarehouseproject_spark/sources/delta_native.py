@@ -159,7 +159,8 @@ def write_delta(
     prev_live = []
     if version:
         _live, _schema, prev_pcols = _replay_full(path, None)
-        if partition_by is not None                 and list(partition_by) != prev_pcols:
+        if partition_by is not None \
+                and list(partition_by) != prev_pcols:
             raise ValueError(
                 "partition_by drift against the table's layout"
             )
@@ -544,4 +545,166 @@ def optimize_delta(
         "files_removed": len(removed),
         "files_added": len(placed_all),
         "files_after": len(live) - len(removed) + len(placed_all),
+    }
+
+
+def delete_delta(
+    path: str,
+    key_col: str,
+    lo,
+    hi,
+    now_ms: int = 0,
+) -> dict:
+    """Range DELETE (``DELETE WHERE lo <= key <= hi``) on the native
+    Delta table — the third DML verb beside append/overwrite and
+    MERGE, same copy-on-write shape: stats-prune to the files whose
+    key window OVERLAPS [lo, hi], rewrite each with the matching
+    rows filtered out (a rewrite that comes back EMPTY is a pure
+    remove — no zero-row file is committed), remove+add in one
+    commit.  Files outside the range are untouched — at 100 TB a
+    date-range retention delete touches only the expired files."""
+    if lo is None or hi is None or lo > hi:
+        raise ValueError("delete range malformed")
+    versions = _log_versions(path)
+    if not versions:
+        raise ValueError(f"no delta log at {path}")
+    live, schema_str, pcols = _replay_full(path, None)
+    if pcols:
+        raise ValueError(
+            "delete on a partitioned table unsupported (boundary)"
+        )
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("delete needs an active SparkSession")
+    schema = T.StructType.fromJson(json.loads(schema_str))
+    candidates = []
+    untouched = 0
+    for rel, (_pv, stats_raw) in sorted(live.items()):
+        if not isinstance(stats_raw, str):
+            raise ValueError("live file without stats (foreign log)")
+        st = json.loads(stats_raw)
+        fmin = st.get("minValues", {}).get(key_col)
+        fmax = st.get("maxValues", {}).get(key_col)
+        if fmin is None or fmax is None:
+            raise ValueError(
+                f"stats missing the delete key window for {rel!r}"
+            )
+        if fmax < lo or fmin > hi:
+            untouched += 1
+        else:
+            candidates.append(rel)
+    version = len(versions)
+    placed: list[tuple[str, dict]] = []
+    if candidates:
+        kept = spark.read.schema(schema).parquet(
+            *[os.path.join(path, rel) for rel in candidates]
+        ).filter(
+            ~((F.col(key_col) >= F.lit(lo))
+              & (F.col(key_col) <= F.lit(hi)))
+        )
+        if kept.limit(1).count() > 0:
+            placed = _stage_and_place(kept, path, version, None)
+    lines = [json.dumps({"commitInfo": {
+        "operation": "DELETE",
+        "operationParameters": {
+            "predicate": f"{key_col} BETWEEN {lo} AND {hi}",
+        },
+        "timestamp": now_ms,
+        "operationMetrics": {
+            "numRemovedFiles": str(len(candidates)),
+            "numAddedFiles": str(len(placed)),
+        },
+    }})]
+    for rel in candidates:
+        lines.append(json.dumps({"remove": {
+            "path": rel, "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }}))
+    for rel, pvals in placed:
+        lines.append(json.dumps({"add": {
+            "path": rel,
+            "partitionValues": pvals,
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "dataChange": True,
+            "stats": _file_stats(path, rel),
+        }}))
+    log_dir = os.path.join(path, _LOG)
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    final = os.path.join(log_dir, f"{version:020d}.json")
+    if os.path.exists(final):
+        os.remove(tmp)
+        raise ValueError(f"delta version {version} already committed")
+    os.rename(tmp, final)
+    return {
+        "version": version,
+        "files_rewritten": len(candidates),
+        "files_untouched": untouched,
+        "files_added": len(placed),
+    }
+
+
+def vacuum_delta(
+    path: str,
+    retention_hours: int,
+    now_ms: int,
+    dry_run: bool = True,
+) -> dict:
+    """VACUUM: delete tombstoned data files whose deletionTimestamp
+    has aged past ``retention_hours`` (same eligibility arithmetic
+    as ``functions/delta_log.py:delta_vacuum_candidates``, executed
+    against the directory).  A tombstoned path that is live again
+    (re-added) is NEVER deleted; time travel to versions that needed
+    a vacuumed file fails loudly afterwards — that is the retention
+    contract, not a bug.  ``dry_run=True`` (the default) only
+    reports."""
+    if not isinstance(retention_hours, int) \
+            or isinstance(retention_hours, bool) or retention_hours < 0:
+        raise ValueError("retention_hours malformed")
+    versions = _log_versions(path)
+    if not versions:
+        raise ValueError(f"no delta log at {path}")
+    live: set[str] = set()
+    tombstones: dict[str, int] = {}
+    for v in versions:
+        with open(os.path.join(path, _LOG, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    rel = act["add"]["path"]
+                    live.add(rel)
+                    tombstones.pop(rel, None)
+                elif "remove" in act:
+                    rm = act["remove"]
+                    rel = rm["path"]
+                    dts = rm.get("deletionTimestamp")
+                    if not isinstance(dts, int) \
+                            or isinstance(dts, bool) or dts < 0:
+                        raise ValueError("deletionTimestamp malformed")
+                    live.discard(rel)
+                    tombstones[rel] = dts
+    horizon = now_ms - retention_hours * 3_600_000
+    eligible = sorted(
+        rel for rel, dts in tombstones.items()
+        if dts <= horizon and rel not in live
+    )
+    deleted = 0
+    for rel in eligible:
+        full = os.path.join(path, rel)
+        if not os.path.exists(full):
+            raise ValueError(f"tombstoned file {rel!r} already gone")
+        if not dry_run:
+            os.remove(full)
+            deleted += 1
+    return {
+        "tombstones": len(tombstones),
+        "eligible": len(eligible),
+        "deleted": deleted,
     }

@@ -196,3 +196,46 @@ def test_optimize_compacts_without_changing_rows(spark, tmp_path):
     # multi-file group remains at this packing
     m2 = optimize_delta(root, target_rows=300, now_ms=3)
     assert m2["files_removed"] <= m["files_after"]
+
+
+def test_delete_range_and_vacuum(spark, tmp_path):
+    from datawarehouseproject_spark.sources.delta_native import (
+        delete_delta,
+        vacuum_delta,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1000,
+    )
+    d = delete_delta(root, "k", 100, 299, now_ms=2000)
+    # keys 100-299 live in at most 3 of the 8 range files
+    assert d["files_rewritten"] <= 3
+    assert d["files_untouched"] >= 5
+    got = read_delta(spark, root)
+    assert got.count() == 800
+    assert got.filter("k between 100 and 299").count() == 0
+    # a fully-deleted file is a pure remove: adds < removes is legal
+    # dry run deletes nothing
+    v = vacuum_delta(root, retention_hours=0, now_ms=10_000_000_000)
+    assert v["deleted"] == 0 and v["eligible"] == d["files_rewritten"]
+    v2 = vacuum_delta(root, retention_hours=0, now_ms=10_000_000_000,
+                      dry_run=False)
+    assert v2["deleted"] == v["eligible"]
+    # the latest version is unaffected; version 0 now fails LOUDLY
+    assert read_delta(spark, root).count() == 800
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises((AnalysisException, Py4JJavaError)):
+        read_delta(spark, root, 0).count()
+    # unaged tombstones stay
+    root2 = str(tmp_path / "tbl2")
+    write_delta(base, root2, now_ms=1000)
+    delete_delta(root2, "k", 0, 10, now_ms=5_000_000_000)
+    v3 = vacuum_delta(root2, retention_hours=168,
+                      now_ms=5_000_000_001)
+    assert v3["eligible"] == 0
