@@ -3603,9 +3603,15 @@ def iceberg_refs_table(payload: bytes) -> list[dict]:
         for key in _REF_RETENTION_KEYS:
             v = ref.get(key)
             if v is not None and (
-                not isinstance(v, int) or isinstance(v, bool) or v < 0
+                not isinstance(v, int) or isinstance(v, bool)
+                or not 0 <= v < 2**53
             ):
+                # the int64/int32 output columns must never see a
+                # value Arrow would OverflowError on (quarantine
+                # escape class)
                 raise ValueError(f"ref {key} malformed")
+            if key == "min-snapshots-to-keep" and v is not None                     and v > 1 << 20:
+                raise ValueError(f"ref {key} out of range")
             if v is not None and rtype == "tag" \
                     and key != "max-ref-age-ms":
                 raise ValueError(f"{key} is a branch-only knob")

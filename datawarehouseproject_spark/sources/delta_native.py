@@ -369,6 +369,8 @@ def merge_delta(
             raise ValueError(
                 f"stats missing the merge key window for {rel!r}"
             )
+        if isinstance(fmin, bool) or isinstance(fmax, bool)                 or not isinstance(fmin, (int, float, str))                 or type(fmin) is not type(fmax):
+            raise ValueError("merge key window not comparable")
         windows.append((rel, fmin, fmax))
     key_type = schema[key_col].dataType
     win_df = spark.createDataFrame(
@@ -593,6 +595,8 @@ def delete_delta(
             raise ValueError(
                 f"stats missing the delete key window for {rel!r}"
             )
+        if isinstance(fmin, bool) or isinstance(fmax, bool)                 or not isinstance(fmin, type(lo))                 or not isinstance(fmax, type(hi)):
+            raise ValueError("delete key window not comparable")
         if fmax < lo or fmin > hi:
             untouched += 1
         else:

@@ -56,6 +56,11 @@ def zorder_key_n(cols: list, bits: int = 8) -> Column:
         raise ValueError("zorder interleaves 1-4 columns")
     if not 1 <= bits <= 16:
         raise ValueError("zorder bits out of range")
+    if bits * n > 62:
+        # bit 63 is the long's sign bit and bucket span products
+        # multiply up to 2^(bits*n): past 62 the key (or the profile
+        # arithmetic) silently wraps negative
+        raise ValueError("zorder key wider than a signed long")
     out = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c
