@@ -58,6 +58,12 @@ FLAGSHIPS = [
     "equi_depth_histogram_sketch",
     "forward_fill_series",
     "jpeg_image_features",
+    # round 13: maintenance planning + native lakehouse reads —
+    # the plans must show partitioned windows (no global sort),
+    # JVM-only bit arithmetic, and pushdown below the log replay
+    "optimize_compaction_plan",
+    "zorder_clustering",
+    "delta_native_roundtrip",
     "mp3_stream_scan",
     "h264_stream_scan",
     "l_diversity_report",
