@@ -152,7 +152,35 @@ def test_merge_plans_exact_rewrite_set(spark, tmp_path):
         F.sum("v")).first()[0] == -40
     assert got.filter("k >= 2000").count() == 10
     assert got.filter("k = 500").first()["v"] == 1000
-    # merge into a partitioned table is a declared boundary
+
+
+def test_merge_fences_duplicates_nulls_and_partition_key(
+    spark, tmp_path
+):
+    """ADVICE r13: duplicate update keys raise (real MERGE's
+    multiple-source-matches), null keys raise, and a partition-column
+    merge key is a loud boundary."""
+    from datawarehouseproject_spark.sources.delta_native import (
+        merge_delta,
+    )
+
+    root = _tbl(tmp_path)
+    # nullable schema so the fence-typed updates match the table
+    base = spark.createDataFrame(
+        [(i, i * 2) for i in range(100)], "k long, v long")
+    write_delta(base, root, now_ms=1)
+    dup = spark.createDataFrame(
+        [(5, 0), (5, 1)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_delta(root, dup, "k", now_ms=2)
+    mixed = spark.createDataFrame(
+        [(5, 0), (None, 1)], "k long, v long")
+    with pytest.raises(ValueError, match="null merge keys"):
+        merge_delta(root, mixed, "k", now_ms=2)
+    allnull = spark.createDataFrame(
+        [(None, 1)], "k long, v long")
+    with pytest.raises(ValueError, match="null merge keys"):
+        merge_delta(root, allnull, "k", now_ms=2)
     root2 = str(tmp_path / "tbl2")
     write_delta(
         spark.range(10).select(
@@ -160,8 +188,138 @@ def test_merge_plans_exact_rewrite_set(spark, tmp_path):
             F.lit(0).cast("long").alias("v")),
         root2, now_ms=1, partition_by=["p"],
     )
-    with pytest.raises(ValueError, match="partitioned table"):
-        merge_delta(root2, ups, "k", now_ms=2)
+    ups2 = spark.createDataFrame([(0, 3, 9)], "p long, k long, v long")
+    with pytest.raises(ValueError, match="partition column"):
+        merge_delta(root2, ups2, "p", now_ms=2)
+
+
+def test_partitioned_merge_routes_by_partition_first(spark, tmp_path):
+    """Round 14 (VERDICT item 2): MERGE into a partitioned table —
+    untouched partitions' files NEVER enter the rewrite set even
+    when their key windows overlap the update keys."""
+    import json as _json
+
+    from datawarehouseproject_spark.sources.delta_native import (
+        merge_delta,
+    )
+
+    root = _tbl(tmp_path)
+    # every partition holds the SAME key range 0..249, so a planner
+    # ignoring partitions would rewrite files in all four partitions
+    base = spark.range(1000).select(
+        (F.col("id") / 250).cast("long").alias("p"),
+        (F.col("id") % 250).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta(base, root, now_ms=1, partition_by=["p"])
+    # updates: matched keys 100..119 in p=0 ONLY + inserts in a NEW
+    # partition p=9
+    ups = spark.range(100, 120).select(
+        F.lit(0).cast("long").alias("p"),
+        F.col("id").alias("k"),
+        F.lit(-1).cast("long").alias("v"),
+    ).unionByName(spark.range(5).select(
+        F.lit(9).cast("long").alias("p"),
+        F.col("id").alias("k"),
+        F.lit(7).cast("long").alias("v"),
+    ))
+    m = merge_delta(root, ups, "k", now_ms=2)
+    assert m["files_rewritten"] >= 1
+    # the rewrite set stays inside p=0: every removed path proves it
+    log = open(os.path.join(
+        root, "_delta_log", f"{1:020d}.json")).read().splitlines()
+    removes = [
+        _json.loads(ln)["remove"]["path"] for ln in log
+        if '"remove"' in ln
+    ]
+    assert removes and all(r.startswith("p=0/") for r in removes)
+    got = read_delta(spark, root)
+    assert got.count() == 1005
+    assert got.filter("p = 0 and k between 100 and 119").agg(
+        F.sum("v")).first()[0] == -20
+    # the SAME keys in p=1 are untouched: v = (250 + k) * 2
+    assert got.filter("p = 1 and k between 100 and 119").agg(
+        F.sum("v")).first()[0] == sum((250 + k) * 2
+                                      for k in range(100, 120))
+    assert got.filter("p = 9").count() == 5
+    assert got.filter("p = 2 and k = 5").first()["v"] == 1010
+    # log-level pruning still exact after the merge
+    assert read_delta(spark, root, where={"p": 2}).count() == 250
+
+
+def test_partitioned_delete_is_log_level_partition_drop(
+    spark, tmp_path
+):
+    """Round 14: DELETE on a partition column tombstones whole
+    partitions with ZERO rewrite (files_added == 0) — the
+    retention-delete shape."""
+    from datawarehouseproject_spark.sources.delta_native import (
+        delete_delta,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(1000).select(
+        (F.col("id") % 5).alias("p"),
+        F.col("id").alias("k"),
+    )
+    write_delta(base, root, now_ms=1, partition_by=["p"])
+    d = delete_delta(root, "p", 1, 2, now_ms=2)
+    assert d["files_added"] == 0
+    assert d["files_rewritten"] >= 2
+    got = read_delta(spark, root)
+    assert got.count() == 600
+    assert got.filter("p in (1, 2)").count() == 0
+    # data-column delete on a partitioned table rewrites in place
+    d2 = delete_delta(root, "k", 0, 99, now_ms=3)
+    got2 = read_delta(spark, root)
+    assert got2.count() == 600 - got.filter("k < 100").count()
+    assert d2["files_added"] >= 1
+
+
+def test_partitioned_optimize_packs_within_partitions(
+    spark, tmp_path
+):
+    """Round 14 (VERDICT items 2+7): OPTIMIZE on a partitioned table
+    bin-packs via plan_compaction PER PARTITION — no group crosses a
+    Hive partition, rows are invariant, metrics match the plan."""
+    import json as _json
+
+    from datawarehouseproject_spark.sources.delta_native import (
+        optimize_delta,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(1000).select(
+        (F.col("id") % 4).alias("p"),
+        F.col("id").alias("k"),
+    )
+    write_delta(base.repartition(8), root, now_ms=1,
+                partition_by=["p"])
+    before = read_delta(spark, root)
+    n_before = len(before.inputFiles())
+    sum_before = before.agg(F.sum("k")).first()[0]
+    m = optimize_delta(root, target_rows=500, now_ms=2)
+    assert m["files_removed"] > m["files_added"]
+    after = read_delta(spark, root)
+    assert after.count() == 1000
+    assert after.agg(F.sum("k")).first()[0] == sum_before
+    assert len(after.inputFiles()) == m["files_after"] < n_before
+    # every rewritten file stays inside one partition dir and its
+    # add action records that partition
+    log = open(os.path.join(
+        root, "_delta_log", f"{1:020d}.json")).read().splitlines()
+    for ln in log:
+        act = _json.loads(ln)
+        kind = next(iter(act))
+        if kind == "add":
+            rel = act["add"]["path"]
+            pv = act["add"]["partitionValues"]
+            assert rel.startswith(f"p={pv['p']}/")
+            assert act["add"]["dataChange"] is False
+        elif kind == "remove":
+            assert act["remove"]["dataChange"] is False
+    # partition pruning still exact after optimize
+    assert read_delta(spark, root, where={"p": 3}).count() == 250
 
 
 def test_optimize_compacts_without_changing_rows(spark, tmp_path):
@@ -239,3 +397,148 @@ def test_delete_range_and_vacuum(spark, tmp_path):
     v3 = vacuum_delta(root2, retention_hours=168,
                       now_ms=5_000_000_001)
     assert v3["eligible"] == 0
+
+
+def test_checkpoint_write_replay_and_time_travel(spark, tmp_path):
+    """Round 14 (VERDICT item 3): a 22-commit log with
+    checkpoint_every=10 — replay starts from the v20 checkpoint,
+    time travel below it stays exact while the JSONs remain, and a
+    cleaned pre-checkpoint JSON only breaks reads that need it."""
+    root = _tbl(tmp_path)
+    for i in range(22):
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+            root, now_ms=i + 1, checkpoint_every=10,
+        )
+    log_dir = os.path.join(root, "_delta_log")
+    cps = [n for n in os.listdir(log_dir)
+           if n.endswith(".checkpoint.parquet")]
+    # v10's checkpoint was superseded and deleted; only v20 remains
+    assert cps == [f"{20:020d}.checkpoint.parquet"]
+    lc = json.loads(
+        open(os.path.join(log_dir, "_last_checkpoint")).read())
+    assert lc["version"] == 20
+    assert read_delta(spark, root).count() == 220
+    assert read_delta(spark, root, 4).count() == 50
+    assert read_delta(spark, root, 20).count() == 210
+    # a read at/above the checkpoint never touches early JSONs
+    os.remove(os.path.join(log_dir, f"{3:020d}.json"))
+    assert read_delta(spark, root).count() == 220
+    assert read_delta(spark, root, 21).count() == 220
+    with pytest.raises(ValueError, match="missing"):
+        read_delta(spark, root, 4)
+    # but a version the retained prefix still covers reads fine
+    assert read_delta(spark, root, 2).count() == 30
+
+
+def test_checkpoint_decodable_by_forensics_reader(spark, tmp_path):
+    """Cross-check (VERDICT item 3): the forensics reader
+    (functions/delta_log.py:_replay_log) decodes the NATIVE writer's
+    checkpoint — live set, checkpoint version, and post-checkpoint
+    replay all agree."""
+    from datawarehouseproject_spark.functions.delta_log import (
+        _replay_log,
+    )
+    from datawarehouseproject_spark.sources.delta_native import (
+        _replay_state,
+        checkpoint_delta,
+        delete_delta,
+    )
+
+    root = _tbl(tmp_path)
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    write_delta(df.repartition(4), root, now_ms=1)
+    write_delta(
+        spark.range(40, 60).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")),
+        root, now_ms=2,
+    )
+    delete_delta(root, "k", 0, 9, now_ms=3)  # creates tombstones
+    cp = checkpoint_delta(root)
+    assert cp["version"] == 2 and cp["tombstones"] >= 1
+    write_delta(
+        spark.range(60, 70).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")),
+        root, now_ms=4,
+    )
+    log_dir = os.path.join(root, "_delta_log")
+    files = {
+        f"_delta_log/{n}": open(os.path.join(log_dir, n), "rb").read()
+        for n in os.listdir(log_dir)
+    }
+    state, cp_version, current, replayed, at_cp = _replay_log(
+        files, require_stats=False
+    )
+    snap = _replay_state(root, None)
+    assert set(state.adds) == set(snap["live"])
+    assert cp_version == 2 and current == 3 and replayed == 1
+    assert at_cp == cp["live"]  # checkpointed live set decoded whole
+
+
+def test_vacuum_idempotent_and_live_missing_is_loud(spark, tmp_path):
+    """ADVICE r13: repeated VACUUM (the normal maintenance pattern)
+    never raises on already-deleted tombstones; the loud error is
+    reserved for a LIVE file missing from the table."""
+    from datawarehouseproject_spark.sources.delta_native import (
+        delete_delta,
+        vacuum_delta,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1000,
+    )
+    delete_delta(root, "k", 100, 299, now_ms=2000)
+    v1 = vacuum_delta(root, retention_hours=0,
+                      now_ms=10_000_000_000, dry_run=False)
+    assert v1["deleted"] == v1["eligible"] > 0
+    # second executed run AND a later dry run are clean no-ops
+    v2 = vacuum_delta(root, retention_hours=0,
+                      now_ms=10_000_000_000, dry_run=False)
+    assert v2["deleted"] == 0
+    assert v2["already_gone"] == v2["eligible"] == v1["eligible"]
+    v3 = vacuum_delta(root, retention_hours=0, now_ms=10_000_000_000)
+    assert v3["deleted"] == 0 and v3["already_gone"] == v3["eligible"]
+    # a missing LIVE file is real corruption: loud
+    live_rel = sorted(
+        f for f in os.listdir(root)
+        if f.endswith(".parquet") and os.path.exists(
+            os.path.join(root, f))
+    )
+    read_files = read_delta(spark, root).inputFiles()
+    victim = sorted(read_files)[0].replace("file://", "")
+    os.remove(victim)
+    with pytest.raises(ValueError, match="live file"):
+        vacuum_delta(root, retention_hours=0, now_ms=10_000_000_000)
+    del live_rel
+
+
+def test_commit_conflict_cleans_placed_files(spark, tmp_path):
+    """ADVICE r13: a lost commit race removes its own staged data
+    files (no permanent orphans) and never rename-overs the winning
+    commit."""
+    from datawarehouseproject_spark.sources.delta_native import (
+        _commit,
+    )
+
+    root = _tbl(tmp_path)
+    write_delta(
+        spark.range(10).select(F.col("id").alias("k")), root, now_ms=1
+    )
+    log_dir = os.path.join(root, "_delta_log")
+    winner = os.path.join(log_dir, f"{1:020d}.json")
+    open(winner, "w").write('{"commitInfo": {"operation": "WRITE"}}\n')
+    placed_rel = "part-00001-99999.parquet"
+    open(os.path.join(root, placed_rel), "wb").write(b"loser bytes")
+    with pytest.raises(ValueError, match="already committed"):
+        _commit(root, 1, ['{"commitInfo": {}}'], [(placed_rel, {})])
+    assert not os.path.exists(os.path.join(root, placed_rel))
+    # the winner's commit content is untouched
+    assert "WRITE" in open(winner).read()
+    assert not [n for n in os.listdir(log_dir)
+                if n.startswith(".tmp")]
