@@ -9843,3 +9843,171 @@ def q_iceberg_native_expire(
     if r["expired"] != 2 or r["deleted_data_files"] < 1:
         raise ValueError("expire did not run as planned")
     return read_iceberg(spark, root).select("k", "v")
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS purchase_id,
+           r.event_id AS click_id,
+           l.ts AS purchase_ts,
+           r.ts AS click_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'purchase' AND r.event_type = 'click'
+     AND r.ts <= l.ts
+     AND r.ts >= l.ts - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "stream-stream-join", "interval-join",
+          "watermark", "availableNow", "attribution"),
+)
+def q_stream_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM INTERVAL JOIN under the oracle (round 14 —
+    VERDICT r13 item 4, promoting ``streaming/joins.py:
+    stream_interval_join`` from pytest-only): purchases and clicks
+    replayed as two REAL file streams, joined on user with the click
+    required inside the 30 minutes before the purchase — the
+    attribution shape.  Both sides carry event-time watermarks (the
+    condition that lets Spark prove when a buffered row can never
+    match again and evict it — state is O(rate × interval), not
+    O(stream age), the property that makes this viable at 100 TB/day)
+    plus the time-range predicate; INNER join results emit as soon as
+    both sides arrive, so the single-micro-batch availableNow replay
+    is deterministic and the DuckDB oracle recomputes the identical
+    pair set with a plain interval join."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    _utc(spark)
+    from ..streaming.joins import stream_interval_join
+
+    root = tempfile.mkdtemp(prefix="dw_stream_ij_")
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    events.filter("event_type = 'purchase'").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{root}/left")
+    events.filter("event_type = 'click'").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{root}/right")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    left = (
+        spark.readStream.schema(schema).parquet(f"{root}/left")
+        .select("user_id", F.col("ts").alias("l_ts"),
+                F.col("event_id").alias("purchase_id"))
+    )
+    right = (
+        spark.readStream.schema(schema).parquet(f"{root}/right")
+        .select("user_id", F.col("ts").alias("r_ts"),
+                F.col("event_id").alias("click_id"))
+    )
+    joined = stream_interval_join(
+        left, right, on="user_id", left_ts="l_ts", right_ts="r_ts",
+        lookback="30 minutes", watermark="60 minutes",
+    )
+    # a stream-stream join runs FOUR state stores per shuffle
+    # partition and availableNow pays a finalization micro-batch on
+    # top: per-partition state commit overhead dominates at fixture
+    # scale (32 partitions: ~160 s; 4: ~6 s, same result).  Scope the
+    # state partition count to the stream and restore — production
+    # sizes this to throughput, not to the session default
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/cp")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(f"{root}/out").select(
+        "user_id",
+        "purchase_id",
+        F.col("r_click_id").alias("click_id"),
+        F.col("l_ts").alias("purchase_ts"),
+        F.col("r_r_ts").alias("click_ts"),
+    )
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT user_id, ts, event_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup", "watermark", "exactly-once",
+          "availableNow"),
+)
+def q_stream_dedup_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING DEDUP under the oracle (round 14 — VERDICT r13
+    item 4, promoting ``streaming/upsert_stream.py:
+    stream_dedup_events``): the events table with every third event
+    RE-DELIVERED (the at-least-once duplication a Kafka redelivery
+    or file re-drop produces), replayed through
+    ``dropDuplicatesWithinWatermark`` on event_id with a 1-hour
+    event-time horizon — exactly-once rows out, BOUNDED state (keys
+    evict once the watermark passes them; an unbounded
+    dropDuplicates would OOM the state store at 100 TB/day).
+    Duplicates are byte-identical copies, so whichever arrival
+    survives, the output row set equals the distinct source — which
+    is the oracle, making any dropped-original or surviving-duplicate
+    bug a hash mismatch."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    _utc(spark)
+    from ..streaming.upsert_stream import stream_dedup_events
+
+    root = tempfile.mkdtemp(prefix="dw_stream_dd_")
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    redelivered = events.unionByName(
+        events.filter("event_id % 3 = 0")
+    )
+    redelivered.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{root}/src")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(f"{root}/src")
+    deduped = stream_dedup_events(
+        stream, id_col="event_id", ts_col="ts", horizon="1 hour"
+    )
+    # same state-store economics as stream_interval_join: scope the
+    # state partition count to the stream, restore after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/cp")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(f"{root}/out").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
