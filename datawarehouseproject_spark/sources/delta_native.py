@@ -386,6 +386,7 @@ def write_delta(
     now_ms: int = 0,
     partition_by: list[str] | None = None,
     checkpoint_every: int | None = None,
+    allow_schema_change: bool = False,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path`` and return the
     new version.  ``mode='append'`` adds files; ``mode='overwrite'``
@@ -397,9 +398,24 @@ def write_delta(
     commit whose version is a positive multiple of N, so long-lived
     tables replay from the checkpoint instead of the whole JSON tail.
     ``now_ms`` stamps commitInfo/deletionTimestamp (callers pass a
-    deterministic clock in tests/fixtures)."""
+    deterministic clock in tests/fixtures).
+
+    SCHEMA contract (round 14): a write whose column names/types
+    differ from the table's loud-rejects — a silently-accepted
+    drifted append would make the schema-pinned reader return nulls
+    for the missing columns.  ``mode='overwrite'`` with
+    ``allow_schema_change=True`` is the sanctioned evolution path
+    (real Delta's ``overwriteSchema``): the commit carries a new
+    ``metaData`` action, the latest read uses the new schema, and
+    time travel below it still resolves the OLD schema because the
+    replay takes metaData as-of the requested version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write mode {mode!r} unsupported")
+    if allow_schema_change and mode != "overwrite":
+        raise ValueError(
+            "schema change requires mode='overwrite' (an append "
+            "cannot rewrite the files holding the old shape)"
+        )
     if checkpoint_every is not None and (
         not isinstance(checkpoint_every, int)
         or isinstance(checkpoint_every, bool) or checkpoint_every <= 0
@@ -408,16 +424,41 @@ def write_delta(
     latest, _cp, _jsons = _log_info(path)
     version = latest + 1
     prev_live = []
+    schema_changed = False
+    table_id = str(uuid.uuid4())
     if version:
-        _live, _schema, prev_pcols = _replay_full(path, None)
+        from pyspark.sql import types as T
+
+        snap = _replay_state(path, None)
+        prev_pcols = snap["pcols"]
+        mid = snap["meta"].get("id")
+        if isinstance(mid, str):
+            table_id = mid  # the table id is permanent
         if partition_by is not None \
                 and list(partition_by) != prev_pcols:
             raise ValueError(
                 "partition_by drift against the table's layout"
             )
         partition_by = prev_pcols or None
+        prev_schema = T.StructType.fromJson(
+            json.loads(snap["meta"]["schemaString"])
+        )
+        if [(f.name, f.dataType) for f in df.schema.fields] \
+                != [(f.name, f.dataType) for f in prev_schema.fields]:
+            if not allow_schema_change:
+                raise ValueError(
+                    "write schema differs from the table's "
+                    "(boundary: evolve via mode='overwrite' with "
+                    "allow_schema_change=True)"
+                )
+            for pc in partition_by or []:
+                if pc not in df.columns:
+                    raise ValueError(
+                        "schema change cannot drop a partition column"
+                    )
+            schema_changed = True
         if mode == "overwrite":
-            prev_live = sorted(_live)
+            prev_live = sorted(snap["live"])
     placed = _stage_and_place(df, path, version, partition_by)
     lines = [json.dumps({"commitInfo": {
         "operation": "WRITE",
@@ -429,8 +470,9 @@ def write_delta(
         lines.append(json.dumps({"protocol": {
             "minReaderVersion": 1, "minWriterVersion": 2,
         }}))
+    if version == 0 or schema_changed:
         lines.append(json.dumps({"metaData": {
-            "id": str(uuid.uuid4()),
+            "id": table_id,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": df.schema.json(),
             "partitionColumns": list(partition_by or []),

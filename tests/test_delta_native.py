@@ -542,3 +542,91 @@ def test_commit_conflict_cleans_placed_files(spark, tmp_path):
     assert "WRITE" in open(winner).read()
     assert not [n for n in os.listdir(log_dir)
                 if n.startswith(".tmp")]
+
+
+def test_append_schema_drift_is_loud_and_evolution_is_sanctioned(
+    spark, tmp_path
+):
+    """Round 14: a drifted append loud-rejects (the schema-pinned
+    reader would silently null the missing columns otherwise);
+    overwrite with allow_schema_change=True evolves the table —
+    latest reads use the new schema, time travel below the change
+    resolves the OLD one, and the table id stays permanent."""
+    from datawarehouseproject_spark.sources.delta_native import (
+        _replay_state,
+    )
+
+    root = _tbl(tmp_path)
+    write_delta(
+        spark.range(20).select(F.col("id").alias("k")), root, now_ms=1
+    )
+    drifted = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("extra"))
+    with pytest.raises(ValueError, match="write schema differs"):
+        write_delta(drifted, root, now_ms=2)
+    with pytest.raises(ValueError, match="requires mode='overwrite'"):
+        write_delta(drifted, root, now_ms=2,
+                    allow_schema_change=True)
+    id_before = _replay_state(root, None)["meta"]["id"]
+    write_delta(drifted, root, mode="overwrite", now_ms=3,
+                allow_schema_change=True)
+    got = read_delta(spark, root)
+    assert set(got.columns) == {"k", "extra"}
+    assert got.count() == 5
+    old = read_delta(spark, root, 0)
+    assert old.columns == ["k"] and old.count() == 20
+    assert _replay_state(root, None)["meta"]["id"] == id_before
+    # a partitioned table cannot drop its partition column
+    root2 = str(tmp_path / "tbl2")
+    write_delta(
+        spark.range(10).select(
+            (F.col("id") % 2).alias("p"), F.col("id").alias("k")),
+        root2, now_ms=1, partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        write_delta(
+            spark.range(3).select(F.col("id").alias("k")),
+            root2, mode="overwrite", now_ms=2,
+            allow_schema_change=True,
+        )
+
+
+def test_optimize_metrics_match_plan_compaction(spark, tmp_path):
+    """Round 14 (VERDICT item 7): the OPTIMIZE commit's
+    operationMetrics equal exactly what plan_compaction's
+    needs_compaction groups predict — the planner IS the executor's
+    grouping."""
+    import json as _json
+
+    from datawarehouseproject_spark.operators.maintenance import (
+        plan_compaction,
+    )
+    from datawarehouseproject_spark.sources.delta_native import (
+        _replay_state,
+        optimize_delta,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(900).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_delta(base.repartition(9), root, now_ms=1)
+    snap = _replay_state(root, None)
+    inv = spark.createDataFrame(
+        [("{}", rel,
+          _json.loads(b["stats"])["numRecords"])
+         for rel, b in sorted(snap["live"].items())],
+        "part string, rel string, rows long",
+    )
+    plan = plan_compaction(inv, 250, table_col="part",
+                           path_col="rel", weight_col="rows")
+    picked = plan.filter("needs_compaction")
+    expect_removed = picked.count()
+    expect_added = picked.select("group_id").distinct().count()
+    m = optimize_delta(root, target_rows=250, now_ms=2)
+    assert m["files_removed"] == expect_removed
+    assert m["files_added"] == expect_added
+    log = open(os.path.join(
+        root, "_delta_log", f"{1:020d}.json")).read().splitlines()
+    ci = _json.loads(log[0])["commitInfo"]["operationMetrics"]
+    assert int(ci["numRemovedFiles"]) == expect_removed
+    assert int(ci["numAddedFiles"]) == expect_added
