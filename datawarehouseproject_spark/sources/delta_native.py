@@ -137,9 +137,13 @@ def _load_checkpoint(path: str, cp_version: int):
 
     log = os.path.join(path, _LOG)
     lc = json.loads(open(os.path.join(log, "_last_checkpoint")).read())
-    table = pq.read_table(
-        os.path.join(log, f"{cp_version:020d}.checkpoint.parquet")
-    )
+    try:
+        table = pq.read_table(
+            os.path.join(log, f"{cp_version:020d}.checkpoint.parquet")
+        )
+    except Exception as e:  # pyarrow raises ArrowInvalid/OSError —
+        # both would escape the ValueError quarantine
+        raise ValueError(f"checkpoint unreadable: {e}") from None
     if table.num_rows != lc["size"]:
         raise ValueError("_last_checkpoint size disagrees with parquet")
     live: dict[str, dict] = {}

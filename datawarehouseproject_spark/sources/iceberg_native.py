@@ -420,9 +420,10 @@ def write_iceberg(
             s for s in meta["snapshots"]
             if s["snapshot-id"] == meta["current-snapshot-id"]
         )
-        prior_list = open(
-            os.path.join(path, cur_snap["manifest-list"]), "rb"
-        ).read()
+        pl_path = os.path.join(path, cur_snap["manifest-list"])
+        if not os.path.exists(pl_path):
+            raise ValueError("current manifest list missing from table")
+        prior_list = open(pl_path, "rb").read()
         for mf in decode_avro_blocks(prior_list):
             prior_records.append(ml_record(
                 mf["manifest_path"], mf["manifest_length"],
@@ -506,9 +507,12 @@ def _snapshot_files(path: str, meta: dict, snap: dict):
         raise ValueError("manifest list missing from table")
     out = []
     for mf in decode_avro_blocks(open(ml_path, "rb").read()):
-        m_blob = open(
-            os.path.join(path, mf["manifest_path"]), "rb"
-        ).read()
+        m_path = os.path.join(path, mf["manifest_path"])
+        if not os.path.exists(m_path):
+            raise ValueError(
+                f"manifest {mf['manifest_path']!r} missing from table"
+            )
+        m_blob = open(m_path, "rb").read()
         if mf.get("manifest_length") != len(m_blob):
             raise ValueError("manifest_length disagrees with file")
         for e in decode_avro_blocks(m_blob):
@@ -630,10 +634,13 @@ def expire_iceberg(
         lists, manifests, data = set(), set(), set()
         for s in snaps:
             ml_rel = s["manifest-list"]
+            ml_path = os.path.join(path, ml_rel)
+            if not os.path.exists(ml_path):
+                raise ValueError(
+                    f"manifest list {ml_rel!r} missing from table"
+                )
             lists.add(ml_rel)
-            for mf in decode_avro_blocks(
-                open(os.path.join(path, ml_rel), "rb").read()
-            ):
+            for mf in decode_avro_blocks(open(ml_path, "rb").read()):
                 manifests.add(mf["manifest_path"])
             for rel, _p in _snapshot_files(path, meta, s):
                 data.add(rel)

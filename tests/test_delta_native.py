@@ -630,3 +630,33 @@ def test_optimize_metrics_match_plan_compaction(spark, tmp_path):
     ci = _json.loads(log[0])["commitInfo"]["operationMetrics"]
     assert int(ci["numRemovedFiles"]) == expect_removed
     assert int(ci["numAddedFiles"]) == expect_added
+
+
+def test_corrupt_checkpoint_quarantines_as_valueerror(
+    spark, tmp_path
+):
+    """Round 14 quarantine-escape class: a truncated/garbage
+    checkpoint parquet must land as ValueError, never ArrowInvalid/
+    OSError."""
+    from datawarehouseproject_spark.sources.delta_native import (
+        checkpoint_delta,
+    )
+
+    root = _tbl(tmp_path)
+    write_delta(
+        spark.range(10).select(F.col("id").alias("k")), root, now_ms=1
+    )
+    checkpoint_delta(root)
+    cp = os.path.join(root, "_delta_log",
+                      f"{0:020d}.checkpoint.parquet")
+    blob = open(cp, "rb").read()
+    for mutant in (blob[: len(blob) // 2], b"not parquet", b""):
+        open(cp, "wb").write(mutant)
+        with pytest.raises(ValueError):
+            read_delta(spark, root)
+    # size-disagreeing but valid parquet also quarantines
+    open(cp, "wb").write(blob)
+    lc = os.path.join(root, "_delta_log", "_last_checkpoint")
+    open(lc, "w").write(json.dumps({"version": 0, "size": 999}))
+    with pytest.raises(ValueError, match="size disagrees"):
+        read_delta(spark, root)

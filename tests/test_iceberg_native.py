@@ -214,3 +214,28 @@ def test_expire_snapshots_executes_retention_contract(
     assert read_iceberg(spark, root).count() == 10
     assert read_iceberg(spark, root, s3).count() == 10
     del r3
+
+
+def test_missing_manifest_quarantines_as_valueerror(spark, tmp_path):
+    """Round 14 quarantine-escape class: a manifest (or manifest
+    list) deleted out from under the table must land as ValueError,
+    never FileNotFoundError."""
+    root = _tbl(tmp_path)
+    write_iceberg(
+        spark.range(10).select(F.col("id").alias("k")), root, now_ms=1
+    )
+    mdir = os.path.join(root, "metadata")
+    m = next(n for n in os.listdir(mdir) if n.startswith("m-"))
+    os.remove(os.path.join(mdir, m))
+    with pytest.raises(ValueError, match="missing"):
+        read_iceberg(spark, root)
+    # an append only copies the manifest-LIST records (it never
+    # opens prior manifests), so it still commits; the missing
+    # manifest list itself IS fenced
+    ml = next(n for n in os.listdir(mdir) if n.startswith("snap-"))
+    os.remove(os.path.join(mdir, ml))
+    with pytest.raises(ValueError, match="missing"):
+        write_iceberg(
+            spark.range(3).select(F.col("id").alias("k")),
+            root, mode="append", now_ms=2,
+        )
