@@ -10011,3 +10011,68 @@ def q_stream_dedup_events(
     return spark.read.parquet(f"{root}/out").select(
         "user_id", "ts", "event_id", "event_type"
     )
+
+
+@register(
+    "delta_native_table_changes",
+    oracle="""
+    SELECT p_partkey AS k,
+           CAST(-length(p_name) AS INTEGER) AS v,
+           'insert' AS _change_type
+    FROM part WHERE p_partkey % 10 = 0
+    UNION ALL
+    SELECT p_partkey, CAST(length(p_name) + 1000 AS INTEGER), 'insert'
+    FROM part WHERE p_partkey % 2 = 1 AND p_partkey % 7 = 0
+    UNION ALL
+    SELECT p_partkey, CAST(length(p_name) AS INTEGER), 'delete'
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "change-data-feed", "version-diff"),
+)
+def q_delta_native_table_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Delta CHANGE FEED as a version diff (round 14): the
+    evens of part at v0, a MERGE at v1 (sign-flip multiples of 10,
+    insert odd multiples of 7), then ``delta_table_changes(0, 1)`` —
+    updated keys surface as delete(old image) + insert(new image),
+    brand-new keys as inserts, and the MERGE-kept rows that were
+    REWRITTEN into new files (the same candidate files' other rows)
+    must cancel EXACTLY through the added/removed ``exceptAll``
+    pair.  Only between-version file churn is read — carried-over
+    files never enter the plan, the property that makes a daily diff
+    cost the day's churn at 100 TB
+    (``sources/delta_native.py:delta_table_changes``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import (
+        delta_table_changes,
+        merge_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_delta_cdf_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_700_000_000_000,
+    )
+    updates = part.filter("p_partkey % 10 = 0").select(
+        F.col("p_partkey").alias("k"),
+        (-F.length("p_name")).cast("int").alias("v"),
+    ).unionByName(
+        part.filter("p_partkey % 2 = 1 AND p_partkey % 7 = 0").select(
+            F.col("p_partkey").alias("k"),
+            (F.length("p_name") + 1000).cast("int").alias("v"),
+        )
+    )
+    merge_delta(root, updates, "k", now_ms=1_700_000_060_000)
+    return delta_table_changes(spark, root, 0, 1).select(
+        "k", "v", "_change_type",
+    )

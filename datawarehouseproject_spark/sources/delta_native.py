@@ -577,14 +577,47 @@ def checkpoint_delta(path: str) -> dict:
     }
 
 
+def version_at_timestamp(path: str, ts_ms: int) -> int:
+    """``timestampAsOf`` resolution: the LAST version whose
+    commitInfo timestamp is <= ``ts_ms`` (real Delta's contract).
+    Resolved from the retained JSON commits' first lines — a
+    timestamp older than the oldest retained commit is loud (its
+    version may have been cleaned past the checkpoint), as is one
+    before the table existed."""
+    latest, _cp, jsons = _log_info(path)
+    if latest < 0:
+        raise ValueError(f"no delta log at {path}")
+    stamps: list[tuple[int, int]] = []
+    for v in sorted(jsons):
+        with open(os.path.join(path, _LOG, f"{v:020d}.json")) as fh:
+            first = json.loads(fh.readline())
+        ci = first.get("commitInfo") if isinstance(first, dict) else None
+        t = ci.get("timestamp") if isinstance(ci, dict) else None
+        if not isinstance(t, int) or isinstance(t, bool):
+            raise ValueError(f"commit {v} missing commitInfo timestamp")
+        stamps.append((v, t))
+    if not stamps or ts_ms < stamps[0][1]:
+        raise ValueError(
+            "timestamp precedes the retained log (boundary: the "
+            "version it names may have been cleaned)"
+        )
+    out = stamps[0][0]
+    for v, t in stamps:
+        if t <= ts_ms:
+            out = v
+    return out
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     where: dict | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """The Delta table at ``path`` as a DataFrame — log replay to
-    the live file set (optionally AT a past version: time travel),
+    the live file set (optionally AT a past version: time travel,
+    by number or by ``timestamp_ms`` = real Delta's timestampAsOf),
     then a schema-pinned parquet scan over exactly those files, so
     Catalyst's pushdown/pruning applies untouched below the log
     layer.  Replay starts from the newest checkpoint when one covers
@@ -599,6 +632,12 @@ def read_delta(
     directory layout (``basePath``), same as any partitioned scan."""
     from pyspark.sql import types as T
 
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version OR timestamp_ms, not both"
+            )
+        version = version_at_timestamp(path, timestamp_ms)
     live, schema_str, pcols = _replay_full(path, version)
     schema = T.StructType.fromJson(json.loads(schema_str))
     if where:
@@ -1073,3 +1112,59 @@ def vacuum_delta(
         "deleted": deleted,
         "already_gone": already_gone,
     }
+
+
+def delta_table_changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Row-level changes between two versions (the change-data-feed
+    question answered from the copy-on-write log, round 14): returns
+    the table's columns plus ``_change_type`` ('insert' | 'delete').
+    An updated row surfaces as its old image deleted + new image
+    inserted — version-diff semantics, the well-defined contract a
+    log without explicit CDC files can honor.
+
+    Scale shape: only files ADDED or REMOVED between the versions
+    are read — carried-over files never enter the plan, and rows
+    that merely moved files (MERGE-kept neighbors, OPTIMIZE
+    rewrites, dataChange=false commits) cancel EXACTLY via
+    ``exceptAll`` on the two sides, so a compaction between the
+    versions reports zero changes.  At 100 TB a day's diff costs the
+    day's churn, not the table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if v_from > v_to:
+        raise ValueError("v_from must not exceed v_to")
+    live_from, schema_str_from, _p = _replay_full(path, v_from)
+    live_to, schema_str_to, pcols = _replay_full(path, v_to)
+    if schema_str_from != schema_str_to:
+        raise ValueError(
+            "schema changed between the versions (boundary: a "
+            "version diff across an evolution has no single row "
+            "shape)"
+        )
+    schema = T.StructType.fromJson(json.loads(schema_str_to))
+    added = sorted(set(live_to) - set(live_from))
+    removed = sorted(set(live_from) - set(live_to))
+
+    def scan(rels):
+        if not rels:
+            return spark.createDataFrame([], schema)
+        reader = spark.read.schema(schema)
+        if pcols:
+            reader = reader.option("basePath", path)
+        return reader.parquet(
+            *[os.path.join(path, rel) for rel in rels]
+        ).select(*[f.name for f in schema.fields])
+
+    new_rows = scan(added)
+    old_rows = scan(removed)
+    inserted = new_rows.exceptAll(old_rows).withColumn(
+        "_change_type", F.lit("insert"))
+    deleted = old_rows.exceptAll(new_rows).withColumn(
+        "_change_type", F.lit("delete"))
+    return inserted.unionByName(deleted)

@@ -537,14 +537,43 @@ def _snapshot_files(path: str, meta: dict, snap: dict):
     return out
 
 
+def snapshot_at_timestamp(path: str, ts_ms: int) -> int:
+    """``FOR TIMESTAMP AS OF`` resolution from the snapshot-log: the
+    LAST snapshot whose timestamp-ms is <= ``ts_ms``.  Metadata-only.
+    A timestamp before the log's first entry is loud — after an
+    expire, the snapshot it names no longer exists."""
+    _v, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    log = meta.get("snapshot-log", [])
+    eligible = [
+        e for e in log
+        if isinstance(e, dict)
+        and isinstance(e.get("timestamp-ms"), int)
+        and e["timestamp-ms"] <= ts_ms
+    ]
+    # the entry must also still RESOLVE (expire prunes the log too,
+    # but belt the contract)
+    ids = {s.get("snapshot-id") for s in meta.get("snapshots", [])}
+    eligible = [e for e in eligible if e.get("snapshot-id") in ids]
+    if not eligible:
+        raise ValueError(
+            "timestamp precedes the retained snapshot log (boundary:"
+            " the snapshot it names may have been expired)"
+        )
+    return eligible[-1]["snapshot-id"]
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     where: dict | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """The Iceberg table at ``path`` as a DataFrame — resolve the
-    snapshot (current, or a historical id: time travel), walk its
+    snapshot (current, a historical id, or ``as_of_ms`` timestamp =
+    the spec's FOR TIMESTAMP AS OF: time travel), walk its
     manifest list -> manifests -> live data files, then a
     schema-pinned parquet scan so Catalyst pushdown applies below
     the metadata layer.
@@ -554,6 +583,12 @@ def read_iceberg(
     partitions' files never reach the scan plan (asserted via
     ``inputFiles()`` in tests).  Keys must be declared partition
     fields; a typo loud-rejects instead of silently full-scanning."""
+    if as_of_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "pass snapshot_id OR as_of_ms, not both"
+            )
+        snapshot_id = snapshot_at_timestamp(path, as_of_ms)
     _v, meta = _current_meta(path)
     if meta is None:
         raise ValueError(f"no iceberg table at {path}")

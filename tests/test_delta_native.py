@@ -660,3 +660,72 @@ def test_corrupt_checkpoint_quarantines_as_valueerror(
     open(lc, "w").write(json.dumps({"version": 0, "size": 999}))
     with pytest.raises(ValueError, match="size disagrees"):
         read_delta(spark, root)
+
+
+def test_table_changes_version_diff(spark, tmp_path):
+    """Round 14: delta_table_changes reads ONLY the between-version
+    file churn — updates surface as delete+insert pairs, untouched
+    rows never appear, and a dataChange=false OPTIMIZE between the
+    versions reports zero changes."""
+    from datawarehouseproject_spark.sources.delta_native import (
+        delta_table_changes,
+        merge_delta,
+        optimize_delta,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1,
+    )  # v0
+    ups = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    ).union(spark.range(5000, 5003).select(
+        F.col("id").alias("k"), F.lit(7).cast("long").alias("v")))
+    merge_delta(root, ups, "k", now_ms=2)  # v1
+    ch = delta_table_changes(spark, root, 0, 1)
+    ins = ch.filter("_change_type = 'insert'")
+    dels = ch.filter("_change_type = 'delete'")
+    # inserts: 10 new images of updated keys + 3 brand-new keys
+    assert ins.count() == 13
+    assert dels.count() == 10  # old images of the updated keys
+    assert ins.filter("k >= 5000").count() == 3
+    assert dels.agg(F.sum("v")).first()[0] == sum(
+        2 * k for k in range(100, 110))
+    # v0 -> v0 is empty; OPTIMIZE-only diffs are empty
+    assert delta_table_changes(spark, root, 0, 0).count() == 0
+    optimize_delta(root, target_rows=600, now_ms=3)  # v2
+    assert delta_table_changes(spark, root, 1, 2).count() == 0
+    with pytest.raises(ValueError, match="must not exceed"):
+        delta_table_changes(spark, root, 1, 0)
+    # diffs across a schema change are a loud boundary
+    write_delta(
+        spark.range(4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            F.lit(1).alias("extra")),
+        root, mode="overwrite", now_ms=4, allow_schema_change=True,
+    )  # v3
+    with pytest.raises(ValueError, match="schema changed"):
+        delta_table_changes(spark, root, 2, 3)
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    """Round 14: read_delta(timestamp_ms=...) resolves the LAST
+    version committed at or before the timestamp (real Delta's
+    timestampAsOf), loud before the retained log."""
+    root = _tbl(tmp_path)
+    for i, ms in enumerate((1000, 2000, 3000)):
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k")),
+            root, now_ms=ms,
+        )
+    assert read_delta(spark, root, timestamp_ms=1000).count() == 10
+    assert read_delta(spark, root, timestamp_ms=2500).count() == 20
+    assert read_delta(spark, root, timestamp_ms=99999).count() == 30
+    with pytest.raises(ValueError, match="precedes"):
+        read_delta(spark, root, timestamp_ms=999)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, root, version=1, timestamp_ms=2000)

@@ -239,3 +239,29 @@ def test_missing_manifest_quarantines_as_valueerror(spark, tmp_path):
             spark.range(3).select(F.col("id").alias("k")),
             root, mode="append", now_ms=2,
         )
+
+
+def test_as_of_timestamp(spark, tmp_path):
+    """Round 14: read_iceberg(as_of_ms=...) resolves through the
+    snapshot-log; expired snapshots stop resolving."""
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        expire_iceberg,
+    )
+
+    root = _tbl(tmp_path)
+    for i, ms in enumerate((1000, 2000, 3000)):
+        write_iceberg(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k")),
+            root, mode="append", now_ms=ms,
+        )
+    assert read_iceberg(spark, root, as_of_ms=1500).count() == 10
+    assert read_iceberg(spark, root, as_of_ms=2000).count() == 20
+    assert read_iceberg(spark, root, as_of_ms=9999).count() == 30
+    with pytest.raises(ValueError, match="precedes"):
+        read_iceberg(spark, root, as_of_ms=1)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, root, snapshot_id=107, as_of_ms=2000)
+    expire_iceberg(root, older_than_ms=2500, now_ms=9000)
+    with pytest.raises(ValueError, match="precedes"):
+        read_iceberg(spark, root, as_of_ms=1500)
