@@ -1168,3 +1168,29 @@ def delta_table_changes(
     deleted = old_rows.exceptAll(new_rows).withColumn(
         "_change_type", F.lit("delete"))
     return inserted.unionByName(deleted)
+
+
+def clean_log_delta(path: str) -> dict:
+    """Log cleanup (real Delta's ``logRetentionDuration`` step):
+    delete JSON commits AT OR BELOW the current checkpoint — the
+    checkpoint then carries the whole prefix state, the log's file
+    count stays bounded (a 10^5-commit table would otherwise pay
+    10^5 opens per replay on an object store), and time travel below
+    the checkpoint becomes a loud boundary, which is the documented
+    retention contract.  Refuses when no checkpoint exists (cleaning
+    would orphan the table)."""
+    latest, cp, jsons = _log_info(path)
+    if latest < 0:
+        raise ValueError(f"no delta log at {path}")
+    if cp is None:
+        raise ValueError(
+            "log cleanup without a checkpoint would orphan the table"
+            " (boundary: checkpoint_delta first)"
+        )
+    removed = 0
+    for v in sorted(jsons):
+        if v <= cp:
+            os.remove(os.path.join(path, _LOG, f"{v:020d}.json"))
+            removed += 1
+    return {"checkpoint_version": cp, "removed_commits": removed,
+            "remaining_commits": len(jsons) - removed}

@@ -729,3 +729,37 @@ def test_timestamp_as_of(spark, tmp_path):
         read_delta(spark, root, timestamp_ms=999)
     with pytest.raises(ValueError, match="not both"):
         read_delta(spark, root, version=1, timestamp_ms=2000)
+
+
+def test_clean_log_bounds_the_json_tail(spark, tmp_path):
+    """Round 14: clean_log_delta removes the checkpointed JSON
+    prefix — the replay count stays bounded, reads at/above the
+    checkpoint are unaffected, below it the retention contract is a
+    loud boundary, and cleanup without a checkpoint refuses."""
+    from datawarehouseproject_spark.sources.delta_native import (
+        checkpoint_delta,
+        clean_log_delta,
+    )
+
+    root = _tbl(tmp_path)
+    for i in range(15):
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k")),
+            root, now_ms=i + 1, checkpoint_every=10,
+        )
+    r = clean_log_delta(root)
+    assert r == {"checkpoint_version": 10, "removed_commits": 11,
+                 "remaining_commits": 4}
+    assert read_delta(spark, root).count() == 150
+    assert read_delta(spark, root, 10).count() == 110
+    assert read_delta(spark, root, 12).count() == 130
+    with pytest.raises(ValueError, match="missing"):
+        read_delta(spark, root, 9)
+    # a table with no checkpoint refuses cleanup
+    root2 = str(tmp_path / "tbl2")
+    write_delta(
+        spark.range(5).select(F.col("id").alias("k")), root2, now_ms=1
+    )
+    with pytest.raises(ValueError, match="checkpoint"):
+        clean_log_delta(root2)
