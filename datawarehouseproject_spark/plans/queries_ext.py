@@ -10076,3 +10076,74 @@ def q_delta_native_table_changes(
     return delta_table_changes(spark, root, 0, 1).select(
         "k", "v", "_change_type",
     )
+
+
+@register(
+    "iceberg_native_merge_delete",
+    oracle="""
+    WITH merged AS (
+      SELECT p_partkey AS k,
+             CAST(-length(p_name) AS INTEGER) AS v
+      FROM part WHERE p_partkey % 10 = 0
+      UNION ALL
+      SELECT p_partkey, CAST(length(p_name) AS INTEGER)
+      FROM part WHERE p_partkey % 2 = 0 AND p_partkey % 10 <> 0
+      UNION ALL
+      SELECT p_partkey, CAST(length(p_name) + 1000 AS INTEGER)
+      FROM part WHERE p_partkey % 2 = 1 AND p_partkey % 7 = 0)
+    SELECT k, v FROM merged WHERE k NOT BETWEEN 200 AND 599
+    """,
+    tags=("sources", "iceberg", "lakehouse", "native-write",
+          "merge", "delete", "copy-on-write", "bounds"),
+)
+def q_iceberg_native_merge_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Iceberg MERGE + range DELETE (round 14 — full DML
+    parity with the Delta writer): the evens of part committed with
+    per-file ``lower_bounds``/``upper_bounds`` (spec field-ids
+    125/128, single-value little-endian serialization), then a COW
+    MERGE (sign-flip multiples of 10, insert odd multiples of 7)
+    whose rewrite set is the EXACT bound-window hit set — insert-only
+    keys extend the range but rewrite nothing — followed by a range
+    DELETE that rewrites only bound-overlapping files.  Each commit
+    is a self-contained v2 snapshot manifest: status=1 adds,
+    status=0 existing entries carrying their ORIGINAL
+    snapshot/sequence numbers, status=2 deletes — so time travel to
+    every prior snapshot still reads exactly (pytest-pinned).  The
+    oracle recomputes the final row set; a wrong candidate set,
+    double-kept existing entry, or resurrection through the deleted
+    range all hash-mismatch
+    (``sources/iceberg_native.py:merge_iceberg`` / ``delete_iceberg``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.iceberg_native import (
+        delete_iceberg,
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_ice_dml_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_iceberg(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1000,
+    )
+    updates = part.filter("p_partkey % 10 = 0").select(
+        F.col("p_partkey").alias("k"),
+        (-F.length("p_name")).cast("int").alias("v"),
+    ).unionByName(
+        part.filter("p_partkey % 2 = 1 AND p_partkey % 7 = 0").select(
+            F.col("p_partkey").alias("k"),
+            (F.length("p_name") + 1000).cast("int").alias("v"),
+        )
+    )
+    merge_iceberg(root, updates, "k", now_ms=2000)
+    delete_iceberg(root, "k", 200, 599, now_ms=3000)
+    return read_iceberg(spark, root).select("k", "v")

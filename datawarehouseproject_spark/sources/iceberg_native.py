@@ -111,6 +111,44 @@ def _manifest_schema_json(pfields: list[tuple[str, str]]) -> bytes:
                          "field-id": 103},
                         {"name": "file_size_in_bytes",
                          "type": "long", "field-id": 104},
+                        # bounds maps (spec field-ids 125/128): the
+                        # spec encodes map<int, binary> in Avro as an
+                        # array of key/value records; inner field-ids
+                        # are writer-assigned and deliberately
+                        # omitted here (annotating ids we cannot
+                        # verify would be fabrication)
+                        {
+                            "name": "lower_bounds",
+                            "field-id": 125,
+                            "type": {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "lower_kv",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value",
+                                         "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "field-id": 128,
+                            "type": {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "upper_kv",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value",
+                                         "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        },
                     ],
                 },
             },
@@ -252,6 +290,153 @@ def _encode_partition_value(value, itype: str) -> bytes:
     )
 
 
+def _single_value_bytes(value: int, itype: str) -> bytes:
+    """Iceberg single-value binary serialization (spec Appendix D)
+    for the bound types the writer emits: int = 4-byte / long =
+    8-byte little-endian two's complement."""
+    if not isinstance(value, int) or isinstance(value, bool):
+        raise ValueError("bound value not an int")
+    width = 4 if itype == "int" else 8
+    return value.to_bytes(width, "little", signed=True)
+
+
+def _bound_int(raw: bytes, itype: str) -> int:
+    if not isinstance(raw, bytes) \
+            or len(raw) != (4 if itype == "int" else 8):
+        raise ValueError("bound bytes malformed")
+    return int.from_bytes(raw, "little", signed=True)
+
+
+def _encode_bounds_array(bounds: dict[int, bytes]) -> bytes:
+    """map<int, binary> in its Avro array-of-records encoding."""
+    if not bounds:
+        return _zigzag_write(0)
+    out = _zigzag_write(len(bounds))
+    for k in sorted(bounds):
+        v = bounds[k]
+        out += _zigzag_write(k) + _zigzag_write(len(v)) + v
+    return out + _zigzag_write(0)
+
+
+def _decode_bounds(entry_df: dict, key: str) -> dict[int, bytes]:
+    """{field id: value bytes} from a decoded entry's bounds array
+    (absent on pre-bounds manifests -> {})."""
+    arr = entry_df.get(key)
+    if arr is None:
+        return {}
+    if not isinstance(arr, list):
+        raise ValueError(f"{key} malformed")
+    out = {}
+    for kv in arr:
+        if not isinstance(kv, dict) or not isinstance(
+                kv.get("key"), int) or not isinstance(
+                kv.get("value"), bytes):
+            raise ValueError(f"{key} entry malformed")
+        out[kv["key"]] = kv["value"]
+    return out
+
+
+def _footer_bounds(full: str, ice_schema: dict):
+    """(record count, {field id: lower bytes}, {field id: upper
+    bytes}) from the parquet footer, for the int/long columns —
+    one driver-side footer read per new file, the same commit cost
+    the Delta writer pays."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full).metadata
+    by_name = {
+        f["name"]: f for f in ice_schema["fields"]
+        if f["type"] in ("int", "long")
+    }
+    mins: dict[str, int] = {}
+    maxs: dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            name = col.path_in_schema
+            if st is None or not st.has_min_max or name not in by_name:
+                continue
+            lo, hi = st.min, st.max
+            if not isinstance(lo, int) or isinstance(lo, bool):
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    lower = {
+        by_name[n]["id"]: _single_value_bytes(v, by_name[n]["type"])
+        for n, v in mins.items()
+    }
+    upper = {
+        by_name[n]["id"]: _single_value_bytes(v, by_name[n]["type"])
+        for n, v in maxs.items()
+    }
+    return md.num_rows, lower, upper
+
+
+def _encode_entry(
+    status: int,
+    snap_id: int,
+    seq: int,
+    rel: str,
+    part_bytes: bytes,
+    nrec: int,
+    size: int,
+    lower: dict[int, bytes],
+    upper: dict[int, bytes],
+) -> bytes:
+    return (
+        _zigzag_write(status)
+        + _zigzag_write(1) + _zigzag_write(snap_id)
+        + _zigzag_write(1) + _zigzag_write(seq)
+        + _zigzag_write(0)  # data_file.content = data
+        + _encode_string(rel)
+        + _encode_string("PARQUET")
+        + part_bytes
+        + _zigzag_write(nrec)
+        + _zigzag_write(size)
+        + _encode_bounds_array(lower)
+        + _encode_bounds_array(upper)
+    )
+
+
+def _encode_partition_struct(
+    part: dict, pfields: list[tuple[str, str]]
+) -> bytes:
+    out = b""
+    for pname, ptype in pfields:
+        val = part.get(pname)
+        if val is None:
+            raise ValueError(
+                f"partition value for {pname!r} missing"
+            )
+        out += _encode_partition_value(val, ptype)
+    return out
+
+
+def _ml_record(mpath: str, mlen: int, mseq: int, mminseq: int,
+               msnap: int, n_added: int, rows_added: int,
+               n_existing: int = 0, rows_existing: int = 0,
+               n_deleted: int = 0, rows_deleted: int = 0) -> bytes:
+    return (
+        _encode_string(mpath)
+        + _zigzag_write(mlen)
+        + _zigzag_write(0)   # partition_spec_id
+        + _zigzag_write(0)   # content = data
+        + _zigzag_write(mseq)
+        + _zigzag_write(mminseq)
+        + _zigzag_write(msnap)
+        + _zigzag_write(n_added)
+        + _zigzag_write(n_existing)
+        + _zigzag_write(n_deleted)
+        + _zigzag_write(rows_added)
+        + _zigzag_write(rows_existing)
+        + _zigzag_write(rows_deleted)
+    )
+
+
 def _write_metadata(path: str, new_meta: dict, version: int) -> int:
     new_v = version + 1
     tmp = os.path.join(path, "metadata",
@@ -328,8 +513,6 @@ def write_iceberg(
     if pnames:
         writer = writer.partitionBy(*pnames)
     writer.parquet(staging)
-    import pyarrow.parquet as pq
-
     placed: list[tuple[str, dict]] = []
     i = 0
     for dirpath, _dn, fnames in sorted(os.walk(staging)):
@@ -367,53 +550,24 @@ def write_iceberg(
     total_rows = 0
     for rel, pvals in placed:
         full = os.path.join(path, rel)
-        nrec = pq.ParquetFile(full).metadata.num_rows
+        nrec, lower, upper = _footer_bounds(full, ice_schema)
         total_rows += nrec
-        part_bytes = b""
-        for pname, ptype in pfields:
-            raw = pvals.get(pname)
-            if raw is None:
-                raise ValueError(
-                    f"partition value for {pname!r} missing from "
-                    "the staged layout"
-                )
-            val = int(raw) if ptype in ("long", "int") else raw
-            part_bytes += _encode_partition_value(val, ptype)
-        entries.append(
-            _zigzag_write(1)  # status = added
-            + _zigzag_write(1) + _zigzag_write(snap_id)
-            + _zigzag_write(1) + _zigzag_write(seq)
-            + _zigzag_write(0)  # data_file.content = data
-            + _encode_string(rel)
-            + _encode_string("PARQUET")
-            + part_bytes
-            + _zigzag_write(nrec)
-            + _zigzag_write(os.path.getsize(full))
-        )
+        part = {
+            pname: (int(pvals[pname]) if ptype in ("long", "int")
+                    else pvals[pname])
+            for pname, ptype in pfields
+            if pvals.get(pname) is not None
+        }
+        part_bytes = _encode_partition_struct(part, pfields)
+        entries.append(_encode_entry(
+            1, snap_id, seq, rel, part_bytes, nrec,
+            os.path.getsize(full), lower, upper,
+        ))
     m_rel = f"metadata/m-{snap_id}.avro"
     files_manifest = encode_avro_container(
         _manifest_schema_json(pfields), entries, sync
     )
     open(os.path.join(path, m_rel), "wb").write(files_manifest)
-
-    def ml_record(mpath: str, mlen: int, mseq: int, mminseq: int,
-                  msnap: int, n_added: int, rows_added: int) -> bytes:
-        return (
-            _encode_string(mpath)
-            + _zigzag_write(mlen)
-            + _zigzag_write(0)   # partition_spec_id
-            + _zigzag_write(0)   # content = data
-            + _zigzag_write(mseq)
-            + _zigzag_write(mminseq)
-            + _zigzag_write(msnap)
-            + _zigzag_write(n_added)
-            + _zigzag_write(0)   # existing_data_files_count
-            + _zigzag_write(0)   # deleted_data_files_count
-            + _zigzag_write(rows_added)
-            + _zigzag_write(0)   # existing_rows_count
-            + _zigzag_write(0)   # deleted_rows_count
-        )
-
     prior_records = []
     if meta is not None and mode == "append":
         cur_snap = next(
@@ -425,18 +579,22 @@ def write_iceberg(
             raise ValueError("current manifest list missing from table")
         prior_list = open(pl_path, "rb").read()
         for mf in decode_avro_blocks(prior_list):
-            prior_records.append(ml_record(
+            prior_records.append(_ml_record(
                 mf["manifest_path"], mf["manifest_length"],
                 mf["sequence_number"],
                 mf.get("min_sequence_number", mf["sequence_number"]),
                 mf["added_snapshot_id"],
                 mf["added_data_files_count"],
                 mf.get("added_rows_count", 0),
+                mf.get("existing_data_files_count", 0),
+                mf.get("existing_rows_count", 0),
+                mf.get("deleted_data_files_count", 0),
+                mf.get("deleted_rows_count", 0),
             ))
     ml_rel = f"metadata/snap-{snap_id}.avro"
     ml_blob = encode_avro_container(
         _MANIFEST_LIST_SCHEMA,
-        prior_records + [ml_record(
+        prior_records + [_ml_record(
             m_rel, len(files_manifest), seq, seq, snap_id,
             len(placed), total_rows,
         )],
@@ -496,9 +654,12 @@ def write_iceberg(
     return snap_id
 
 
-def _snapshot_files(path: str, meta: dict, snap: dict):
-    """One snapshot's live data files as [(rel path, partition
-    dict)], integrity-checked against the manifest list."""
+def _snapshot_entries(path: str, snap: dict) -> list[dict]:
+    """One snapshot's LIVE manifest entries (status 0/1), decoded and
+    normalized: ``file_path`` / ``partition`` / ``record_count`` /
+    ``file_size`` / ``snapshot_id`` / ``sequence`` / ``lower`` /
+    ``upper`` ({field id: value bytes}; empty on pre-bounds
+    manifests).  Integrity-checked against the manifest list."""
     ml_rel = snap.get("manifest-list")
     if not isinstance(ml_rel, str):
         raise ValueError("snapshot manifest-list malformed")
@@ -533,8 +694,482 @@ def _snapshot_files(path: str, meta: dict, snap: dict):
             part = df_rec.get("partition", {})
             if not isinstance(part, dict):
                 raise ValueError("partition struct malformed")
-            out.append((df_rec["file_path"], part))
+            out.append({
+                "file_path": df_rec["file_path"],
+                "partition": part,
+                "record_count": df_rec.get("record_count", 0),
+                "file_size": df_rec.get("file_size_in_bytes", 0),
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence": e.get("data_sequence_number"),
+                "lower": _decode_bounds(df_rec, "lower_bounds"),
+                "upper": _decode_bounds(df_rec, "upper_bounds"),
+            })
     return out
+
+
+def _snapshot_files(path: str, meta: dict, snap: dict):
+    """One snapshot's live data files as [(rel path, partition
+    dict)] — the read-path view over :func:`_snapshot_entries`."""
+    return [
+        (e["file_path"], e["partition"])
+        for e in _snapshot_entries(path, snap)
+    ]
+
+
+def _stage_cow_files(
+    df, path: str, snap_id: int, pnames: list[str]
+) -> list[tuple[str, dict]]:
+    """Distributed write of rewrite output into ``data/`` (Hive
+    layout under partitioning) -> [(rel path, {col: str value})]."""
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
+    writer = df.write
+    if pnames:
+        writer = writer.partitionBy(*pnames)
+    writer.parquet(staging)
+    placed: list[tuple[str, dict]] = []
+    i = 0
+    for dirpath, _dn, fnames in sorted(os.walk(staging)):
+        reldir = os.path.relpath(dirpath, staging)
+        pvals: dict = {}
+        if reldir != ".":
+            for seg in reldir.split(os.sep):
+                if "=" not in seg:
+                    raise ValueError("staging layout not hive-shaped")
+                k, _, v = seg.partition("=")
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    raise ValueError(
+                        "null partition values unsupported by the "
+                        "native writer (boundary)"
+                    )
+                pvals[k] = v
+        for name in sorted(fnames):
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"data/part-{snap_id}-{i:05d}.parquet"
+            if reldir != ".":
+                rel = f"data/{reldir}/part-{snap_id}-{i:05d}.parquet"
+                os.makedirs(
+                    os.path.join(path, "data", reldir), exist_ok=True
+                )
+            os.rename(os.path.join(dirpath, name),
+                      os.path.join(path, rel))
+            placed.append((rel, pvals))
+            i += 1
+    import shutil
+
+    shutil.rmtree(staging)
+    return placed
+
+
+def _commit_cow(
+    path: str,
+    meta: dict,
+    version: int,
+    pfields: list[tuple[str, str]],
+    seq: int,
+    snap_id: int,
+    entry_bytes: list[bytes],
+    counts: dict,
+    min_seq: int,
+    op: str,
+    now_ms: int,
+) -> int:
+    """Write ONE self-contained manifest (added + existing + deleted
+    entries) + a manifest list referencing only it, then the new
+    metadata version — the copy-on-write snapshot shape MERGE and
+    DELETE commit.  Prior snapshots keep their own lists (time
+    travel untouched)."""
+    sync = bytes((snap_id * 31 + j * 7 + 1) % 256 for j in range(16))
+    m_rel = f"metadata/m-{snap_id}.avro"
+    manifest = encode_avro_container(
+        _manifest_schema_json(pfields), entry_bytes, sync
+    )
+    open(os.path.join(path, m_rel), "wb").write(manifest)
+    ml_rel = f"metadata/snap-{snap_id}.avro"
+    ml_blob = encode_avro_container(
+        _MANIFEST_LIST_SCHEMA,
+        [_ml_record(
+            m_rel, len(manifest), seq, min_seq, snap_id,
+            counts["n_added"], counts["rows_added"],
+            counts["n_existing"], counts["rows_existing"],
+            counts["n_deleted"], counts["rows_deleted"],
+        )],
+        sync,
+    )
+    open(os.path.join(path, ml_rel), "wb").write(ml_blob)
+    snapshots = list(meta["snapshots"])
+    snapshots.append({
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": meta["current-snapshot-id"],
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml_rel,
+        "summary": {
+            "operation": op,
+            "added-data-files": str(counts["n_added"]),
+            "deleted-data-files": str(counts["n_deleted"]),
+        },
+    })
+    log = list(meta.get("snapshot-log", []))
+    log.append({"timestamp-ms": now_ms, "snapshot-id": snap_id})
+    new_meta = dict(meta)
+    new_meta.update({
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "current-snapshot-id": snap_id,
+        "snapshots": snapshots,
+        "snapshot-log": log,
+        "refs": {"main": {"snapshot-id": snap_id, "type": "branch"}},
+    })
+    _write_metadata(path, new_meta, version)
+    return snap_id
+
+
+def _dml_candidates(
+    entries: list[dict],
+    updates,
+    key_col: str,
+    key_id: int,
+    key_type: str,
+    pcols: list[str],
+    spark,
+):
+    """The exact candidate file set for a keyed DML: a broadcast
+    join of the update (partition, key) tuples against the
+    driver-held per-file bound windows — partition equality FIRST,
+    then window containment, the same routing the Delta merge runs.
+    Entries without bounds for the key are loud (pre-bounds table)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    windows = []
+    for e in entries:
+        lo_b = e["lower"].get(key_id)
+        hi_b = e["upper"].get(key_id)
+        if lo_b is None or hi_b is None:
+            raise ValueError(
+                f"no {key_col!r} bounds for {e['file_path']!r} "
+                "(boundary: the table predates bounds emission — "
+                "rewrite it via overwrite first)"
+            )
+        windows.append((
+            e["file_path"],
+            *[
+                None if e["partition"].get(c) is None
+                else str(e["partition"][c])
+                for c in pcols
+            ],
+            _bound_int(lo_b, key_type),
+            _bound_int(hi_b, key_type),
+        ))
+    spark_key = T.LongType() if key_type == "long" else T.IntegerType()
+    win_df = spark.createDataFrame(
+        windows,
+        T.StructType(
+            [T.StructField("_rel", T.StringType())]
+            + [T.StructField(f"_p_{c}", T.StringType())
+               for c in pcols]
+            + [T.StructField("_lo", spark_key),
+               T.StructField("_hi", spark_key)]
+        ),
+    ) if windows else None
+    if win_df is None:
+        return []
+    cond = (
+        (F.col(key_col) >= F.col("_lo"))
+        & (F.col(key_col) <= F.col("_hi"))
+    )
+    for c in pcols:
+        cond = cond & (F.col(c).cast("string") == F.col(f"_p_{c}"))
+    touched = (
+        updates.select(key_col, *pcols)
+        .join(F.broadcast(win_df), cond)
+        .select("_rel").distinct().collect()
+    )  # bounded: one row per touched FILE
+    return sorted(r["_rel"] for r in touched)
+
+
+def merge_iceberg(
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    now_ms: int = 0,
+) -> dict:
+    """UPSERT into the native Iceberg table — the copy-on-write twin
+    of ``delta_native.merge_delta`` (round 14): candidates = files
+    whose partition matches an update row AND whose ``lower_bounds``/
+    ``upper_bounds`` window on ``key_col`` contains that row's key;
+    candidates are rewritten with the update keys replaced (anti
+    join on partition cols + key, union the updates), and the new
+    snapshot's single manifest carries status=1 adds, status=0
+    existing entries for every untouched file (with their ORIGINAL
+    snapshot/sequence numbers), and status=2 deletes for the
+    replaced ones — the self-contained v2 COW snapshot.  On a
+    partitioned table the ON predicate is (partition cols + key),
+    the date-partitioned-upsert shape.  Duplicate (partition, key)
+    tuples and null keys are loud, as is a partition-column merge
+    key (no bounds)."""
+    spark = updates.sparkSession
+    from pyspark.sql import functions as F
+
+    version, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    schema = _schema_to_spark(meta["schemas"][0])
+    pfields = _spec_fields(meta)
+    pcols = [n for n, _t in pfields]
+    if key_col in pcols:
+        raise ValueError(
+            "merge key cannot be a partition field (boundary: "
+            "partition fields carry no bound window)"
+        )
+    by_name = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    kf = by_name.get(key_col)
+    if kf is None or kf["type"] not in ("int", "long"):
+        raise ValueError(
+            "merge key must be an int/long schema column (boundary)"
+        )
+    if [(f.name, f.dataType) for f in updates.schema.fields] \
+            != [(f.name, f.dataType) for f in schema.fields]:
+        raise ValueError("updates schema differs from the table's")
+    counts = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(key_col).alias("nk"),
+        F.countDistinct(key_col, *pcols).alias("nd"),
+    ).first()
+    if counts["n"] == 0:
+        raise ValueError("updates carry no rows")
+    if counts["nk"] != counts["n"]:
+        raise ValueError("null merge keys in updates (boundary)")
+    if counts["nd"] != counts["n"]:
+        raise ValueError(
+            "duplicate merge keys in updates (multiple source rows "
+            "match one target row)"
+        )
+    cur_snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    entries = _snapshot_entries(path, cur_snap)
+    candidates = set(_dml_candidates(
+        entries, updates, key_col, kf["id"], kf["type"], pcols, spark,
+    ))
+    seq = meta["last-sequence-number"] + 1
+    if seq > 1 << 20:
+        raise ValueError("sequence number past cap (boundary)")
+    snap_id = seq * 100 + 7
+    on_cols = [key_col] + pcols
+    new_rows = updates
+    if candidates:
+        reader = spark.read.schema(schema)
+        if pcols:
+            reader = reader.option(
+                "basePath", os.path.join(path, "data"))
+        current = reader.parquet(
+            *sorted(os.path.join(path, rel) for rel in candidates)
+        )
+        kept = current.join(
+            updates.select(*on_cols), on=on_cols, how="left_anti"
+        ).select(*[f.name for f in schema.fields])
+        new_rows = kept.unionByName(
+            updates.select(*[f.name for f in schema.fields])
+        )
+    placed = _stage_cow_files(new_rows, path, snap_id, pcols)
+    ice_schema = meta["schemas"][0]
+    entry_bytes = []
+    c = {"n_added": 0, "rows_added": 0, "n_existing": 0,
+         "rows_existing": 0, "n_deleted": 0, "rows_deleted": 0}
+    for rel, pvals in placed:
+        full = os.path.join(path, rel)
+        nrec, lower, upper = _footer_bounds(full, ice_schema)
+        part = {
+            pname: (int(pvals[pname]) if ptype in ("long", "int")
+                    else pvals[pname])
+            for pname, ptype in pfields
+            if pvals.get(pname) is not None
+        }
+        entry_bytes.append(_encode_entry(
+            1, snap_id, seq, rel,
+            _encode_partition_struct(part, pfields),
+            nrec, os.path.getsize(full), lower, upper,
+        ))
+        c["n_added"] += 1
+        c["rows_added"] += nrec
+    min_seq = seq
+    for e in entries:
+        status = 2 if e["file_path"] in candidates else 0
+        eseq = e["sequence"] if isinstance(e["sequence"], int) else seq
+        esnap = e["snapshot_id"] \
+            if isinstance(e["snapshot_id"], int) else snap_id
+        if status == 0:
+            min_seq = min(min_seq, eseq)
+            c["n_existing"] += 1
+            c["rows_existing"] += e["record_count"]
+        else:
+            # a deleted entry records the snapshot that deleted it
+            esnap = snap_id
+            c["n_deleted"] += 1
+            c["rows_deleted"] += e["record_count"]
+        entry_bytes.append(_encode_entry(
+            status, esnap, eseq, e["file_path"],
+            _encode_partition_struct(e["partition"], pfields),
+            e["record_count"], e["file_size"], e["lower"], e["upper"],
+        ))
+    _commit_cow(path, meta, version, pfields, seq, snap_id,
+                entry_bytes, c, min_seq, "overwrite", now_ms)
+    return {
+        "snapshot_id": snap_id,
+        "files_rewritten": len(candidates),
+        "files_untouched": c["n_existing"],
+        "files_added": c["n_added"],
+    }
+
+
+def delete_iceberg(
+    path: str,
+    key_col: str,
+    lo,
+    hi,
+    now_ms: int = 0,
+) -> dict:
+    """Range DELETE on the native Iceberg table — COW twin of
+    ``delta_native.delete_delta`` (round 14).  When ``key_col`` IS a
+    partition field the delete is a pure METADATA operation: entries
+    whose partition value falls in [lo, hi] become status=2 with
+    ZERO rewrite (the retention-drop shape).  Otherwise files whose
+    bound window overlaps the range are rewritten with matching rows
+    filtered out (an empty rewrite is a pure delete)."""
+    if lo is None or hi is None or lo > hi:
+        raise ValueError("delete range malformed")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("delete needs an active SparkSession")
+    version, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    schema = _schema_to_spark(meta["schemas"][0])
+    pfields = _spec_fields(meta)
+    pcols = [n for n, _t in pfields]
+    by_name = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    cur_snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    entries = _snapshot_entries(path, cur_snap)
+    candidates: set[str] = set()
+    if key_col in pcols:
+        if isinstance(lo, bool) or not isinstance(lo, (int, str)) \
+                or type(lo) is not type(hi):
+            raise ValueError(
+                "partition delete range must be int or str (boundary)"
+            )
+        for e in entries:
+            val = e["partition"].get(key_col)
+            if val is None:
+                raise ValueError(
+                    f"partition struct missing {key_col!r}"
+                )
+            if isinstance(lo, int) and (
+                not isinstance(val, int) or isinstance(val, bool)
+            ):
+                raise ValueError("partition value not comparable")
+            if isinstance(lo, str) and not isinstance(val, str):
+                raise ValueError("partition value not comparable")
+            if lo <= val <= hi:
+                candidates.add(e["file_path"])
+        rewrite = False
+    else:
+        kf = by_name.get(key_col)
+        if kf is None or kf["type"] not in ("int", "long"):
+            raise ValueError(
+                "delete key must be an int/long schema column "
+                "(boundary)"
+            )
+        if not isinstance(lo, int) or isinstance(lo, bool) \
+                or not isinstance(hi, int) or isinstance(hi, bool):
+            raise ValueError("delete range must be ints (boundary)")
+        for e in entries:
+            lo_b = e["lower"].get(kf["id"])
+            hi_b = e["upper"].get(kf["id"])
+            if lo_b is None or hi_b is None:
+                raise ValueError(
+                    f"no {key_col!r} bounds for {e['file_path']!r} "
+                    "(boundary: pre-bounds table)"
+                )
+            fmin = _bound_int(lo_b, kf["type"])
+            fmax = _bound_int(hi_b, kf["type"])
+            if not (fmax < lo or fmin > hi):
+                candidates.add(e["file_path"])
+        rewrite = True
+    seq = meta["last-sequence-number"] + 1
+    if seq > 1 << 20:
+        raise ValueError("sequence number past cap (boundary)")
+    snap_id = seq * 100 + 7
+    placed: list[tuple[str, dict]] = []
+    if rewrite and candidates:
+        reader = spark.read.schema(schema)
+        if pcols:
+            reader = reader.option(
+                "basePath", os.path.join(path, "data"))
+        kept = reader.parquet(
+            *sorted(os.path.join(path, rel) for rel in candidates)
+        ).filter(
+            ~((F.col(key_col) >= F.lit(lo))
+              & (F.col(key_col) <= F.lit(hi)))
+        )
+        if kept.limit(1).count() > 0:
+            placed = _stage_cow_files(kept, path, snap_id, pcols)
+    ice_schema = meta["schemas"][0]
+    entry_bytes = []
+    c = {"n_added": 0, "rows_added": 0, "n_existing": 0,
+         "rows_existing": 0, "n_deleted": 0, "rows_deleted": 0}
+    for rel, pvals in placed:
+        full = os.path.join(path, rel)
+        nrec, lower, upper = _footer_bounds(full, ice_schema)
+        part = {
+            pname: (int(pvals[pname]) if ptype in ("long", "int")
+                    else pvals[pname])
+            for pname, ptype in pfields
+            if pvals.get(pname) is not None
+        }
+        entry_bytes.append(_encode_entry(
+            1, snap_id, seq, rel,
+            _encode_partition_struct(part, pfields),
+            nrec, os.path.getsize(full), lower, upper,
+        ))
+        c["n_added"] += 1
+        c["rows_added"] += nrec
+    min_seq = seq
+    for e in entries:
+        status = 2 if e["file_path"] in candidates else 0
+        eseq = e["sequence"] if isinstance(e["sequence"], int) else seq
+        esnap = e["snapshot_id"] \
+            if isinstance(e["snapshot_id"], int) else snap_id
+        if status == 0:
+            min_seq = min(min_seq, eseq)
+            c["n_existing"] += 1
+            c["rows_existing"] += e["record_count"]
+        else:
+            esnap = snap_id
+            c["n_deleted"] += 1
+            c["rows_deleted"] += e["record_count"]
+        entry_bytes.append(_encode_entry(
+            status, esnap, eseq, e["file_path"],
+            _encode_partition_struct(e["partition"], pfields),
+            e["record_count"], e["file_size"], e["lower"], e["upper"],
+        ))
+    _commit_cow(path, meta, version, pfields, seq, snap_id,
+                entry_bytes, c, min_seq, "delete", now_ms)
+    return {
+        "snapshot_id": snap_id,
+        "files_rewritten": len(candidates) if rewrite else 0,
+        "files_dropped": 0 if rewrite else len(candidates),
+        "files_untouched": c["n_existing"],
+        "files_added": c["n_added"],
+    }
 
 
 def snapshot_at_timestamp(path: str, ts_ms: int) -> int:

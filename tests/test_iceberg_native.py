@@ -265,3 +265,110 @@ def test_as_of_timestamp(spark, tmp_path):
     expire_iceberg(root, older_than_ms=2500, now_ms=9000)
     with pytest.raises(ValueError, match="precedes"):
         read_iceberg(spark, root, as_of_ms=1500)
+
+
+def test_merge_iceberg_cow(spark, tmp_path):
+    """Round 14: Iceberg COW MERGE — bound-window + partition
+    routing picks the exact rewrite set; the new snapshot's manifest
+    carries added/existing/deleted entries; time travel to the
+    pre-merge snapshot still reads the old rows."""
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        merge_iceberg,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    s0 = write_iceberg(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1000,
+    )
+    ups = spark.range(100, 140).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    ).union(spark.range(2000, 2010).select(
+        F.col("id").alias("k"), F.lit(7).cast("long").alias("v")))
+    m = merge_iceberg(root, ups, "k", now_ms=2000)
+    assert m["files_rewritten"] <= 2
+    assert m["files_untouched"] >= 6
+    got = read_iceberg(spark, root)
+    assert got.count() == 1010
+    assert got.filter("k >= 100 and k < 140").agg(
+        F.sum("v")).first()[0] == -40
+    assert got.filter("k = 500").first()["v"] == 1000
+    # pre-merge snapshot unchanged (COW isolation)
+    assert read_iceberg(spark, root, s0).count() == 1000
+    assert read_iceberg(spark, root, s0).filter(
+        "k = 100").first()["v"] == 200
+    # fences
+    dup = spark.range(2).select(
+        F.lit(5).cast("long").alias("k"),
+        F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_iceberg(root, dup, "k", now_ms=3000)
+
+
+def test_merge_iceberg_partitioned_routing(spark, tmp_path):
+    """Partitioned Iceberg MERGE: same key universe in every
+    partition — only the matched partition's files rewrite."""
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        merge_iceberg,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(1000).select(
+        (F.col("id") / 250).cast("long").alias("p"),
+        (F.col("id") % 250).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_iceberg(base, root, now_ms=1000, partition_by=["p"])
+    ups = spark.range(100, 110).select(
+        F.lit(0).cast("long").alias("p"),
+        F.col("id").alias("k"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    m = merge_iceberg(root, ups, "k", now_ms=2000)
+    got = read_iceberg(spark, root)
+    assert got.count() == 1000
+    assert got.filter("p = 0 and k between 100 and 109").agg(
+        F.sum("v")).first()[0] == -10
+    # p=1 rows with the SAME keys untouched
+    assert got.filter("p = 1 and k = 100").first()["v"] \
+        == (250 + 100) * 2
+    # rewrite stayed inside p=0
+    pruned = read_iceberg(spark, root, where={"p": 1})
+    assert all("/p=1/" in f for f in pruned.inputFiles())
+    assert m["files_rewritten"] >= 1
+    with pytest.raises(ValueError, match="partition field"):
+        merge_iceberg(root, ups, "p", now_ms=3000)
+
+
+def test_delete_iceberg_range_and_partition_drop(spark, tmp_path):
+    """Iceberg range DELETE rewrites only bound-overlapping files;
+    partition-field delete is a zero-rewrite metadata drop."""
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        delete_iceberg,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_iceberg(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1000,
+    )
+    d = delete_iceberg(root, "k", 100, 299, now_ms=2000)
+    assert d["files_rewritten"] <= 3
+    assert d["files_untouched"] >= 5
+    got = read_iceberg(spark, root)
+    assert got.count() == 800
+    assert got.filter("k between 100 and 299").count() == 0
+    # partitioned table: partition-field delete = metadata drop
+    root2 = str(tmp_path / "tbl2")
+    pdf = spark.range(1000).select(
+        (F.col("id") % 5).alias("p"), F.col("id").alias("k"))
+    write_iceberg(pdf, root2, now_ms=1000, partition_by=["p"])
+    d2 = delete_iceberg(root2, "p", 1, 2, now_ms=2000)
+    assert d2["files_added"] == 0 and d2["files_dropped"] >= 2
+    got2 = read_iceberg(spark, root2)
+    assert got2.count() == 600
+    assert got2.filter("p in (1, 2)").count() == 0
