@@ -10146,4 +10146,10 @@ def q_iceberg_native_merge_delete(
     )
     merge_iceberg(root, updates, "k", now_ms=2000)
     delete_iceberg(root, "k", 200, 599, now_ms=3000)
+    from ..sources.iceberg_native import optimize_iceberg
+
+    # compaction on top (operation='replace'): row-invariant by
+    # contract, so the SAME oracle pins it — a lost row or
+    # double-packed group hash-mismatches here
+    optimize_iceberg(root, target_rows=2000, now_ms=4000)
     return read_iceberg(spark, root).select("k", "v")

@@ -1343,3 +1343,130 @@ def expire_iceberg(
         "deleted_manifests": len(del_manifests),
         "deleted_manifest_lists": len(del_lists),
     }
+
+
+def optimize_iceberg(
+    path: str, target_rows: int, now_ms: int = 0
+) -> dict:
+    """OPTIMIZE (small-file compaction) on the native Iceberg table —
+    the COW twin of ``delta_native.optimize_delta`` (round 14): the
+    live-entry inventory goes through ``operators/maintenance.py:
+    plan_compaction`` partitioned by the partition struct (packing
+    never crosses a partition), each MULTI-file group is rewritten
+    into one file, and the new snapshot's manifest marks the packed
+    files status=2, the rewrites status=1, and everything else
+    status=0 with original snapshot/sequence numbers.  The summary
+    operation is ``replace`` (the spec's name for a
+    content-preserving rewrite) — row content is invariant, which
+    the registry oracle pins."""
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    from pyspark.sql import SparkSession
+
+    from ..operators.maintenance import plan_compaction
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("optimize needs an active SparkSession")
+    version, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    schema = _schema_to_spark(meta["schemas"][0])
+    pfields = _spec_fields(meta)
+    pcols = [n for n, _t in pfields]
+    cur_snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    entries = _snapshot_entries(path, cur_snap)
+    inv_rows = [
+        (json.dumps(e["partition"], sort_keys=True), e["file_path"],
+         e["record_count"])
+        for e in sorted(entries, key=lambda e: e["file_path"])
+    ]
+    inventory = spark.createDataFrame(
+        inv_rows, "part string, rel string, rows long"
+    )
+    plan = plan_compaction(
+        inventory, target_rows,
+        table_col="part", path_col="rel", weight_col="rows",
+    )
+    picked = plan.filter("needs_compaction").select(
+        "part", "group_id", "rel"
+    ).collect()  # bounded: file-granular plan
+    groups: dict[tuple, list[str]] = {}
+    for r in picked:
+        groups.setdefault((r["part"], r["group_id"]), []).append(
+            r["rel"])
+    candidates = {rel for g in groups.values() for rel in g}
+    seq = meta["last-sequence-number"] + 1
+    if seq > 1 << 20:
+        raise ValueError("sequence number past cap (boundary)")
+    snap_id = seq * 100 + 7
+    placed_all: list[tuple[str, dict]] = []
+    for gi, gkey in enumerate(sorted(groups)):
+        group = sorted(groups[gkey])
+        reader = spark.read.schema(schema)
+        if pcols:
+            reader = reader.option(
+                "basePath", os.path.join(path, "data"))
+        merged = reader.parquet(
+            *[os.path.join(path, rel) for rel in group]
+        ).coalesce(1)
+        placed = _stage_cow_files(merged, path, snap_id, pcols)
+        # disambiguate names across groups of one snapshot
+        fixed = []
+        for rel, pv in placed:
+            new_rel = rel.replace(".parquet", f"-g{gi:03d}.parquet")
+            os.rename(os.path.join(path, rel),
+                      os.path.join(path, new_rel))
+            fixed.append((new_rel, pv))
+        placed_all.extend(fixed)
+    ice_schema = meta["schemas"][0]
+    entry_bytes = []
+    c = {"n_added": 0, "rows_added": 0, "n_existing": 0,
+         "rows_existing": 0, "n_deleted": 0, "rows_deleted": 0}
+    for rel, pvals in placed_all:
+        full = os.path.join(path, rel)
+        nrec, lower, upper = _footer_bounds(full, ice_schema)
+        part = {
+            pname: (int(pvals[pname]) if ptype in ("long", "int")
+                    else pvals[pname])
+            for pname, ptype in pfields
+            if pvals.get(pname) is not None
+        }
+        entry_bytes.append(_encode_entry(
+            1, snap_id, seq, rel,
+            _encode_partition_struct(part, pfields),
+            nrec, os.path.getsize(full), lower, upper,
+        ))
+        c["n_added"] += 1
+        c["rows_added"] += nrec
+    min_seq = seq
+    for e in entries:
+        status = 2 if e["file_path"] in candidates else 0
+        eseq = e["sequence"] if isinstance(e["sequence"], int) else seq
+        esnap = e["snapshot_id"] \
+            if isinstance(e["snapshot_id"], int) else snap_id
+        if status == 0:
+            min_seq = min(min_seq, eseq)
+            c["n_existing"] += 1
+            c["rows_existing"] += e["record_count"]
+        else:
+            esnap = snap_id
+            c["n_deleted"] += 1
+            c["rows_deleted"] += e["record_count"]
+        entry_bytes.append(_encode_entry(
+            status, esnap, eseq, e["file_path"],
+            _encode_partition_struct(e["partition"], pfields),
+            e["record_count"], e["file_size"], e["lower"], e["upper"],
+        ))
+    _commit_cow(path, meta, version, pfields, seq, snap_id,
+                entry_bytes, c, min_seq, "replace", now_ms)
+    return {
+        "snapshot_id": snap_id,
+        "files_before": len(entries),
+        "files_removed": len(candidates),
+        "files_added": c["n_added"],
+        "files_after": len(entries) - len(candidates) + c["n_added"],
+    }

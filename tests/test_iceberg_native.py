@@ -372,3 +372,35 @@ def test_delete_iceberg_range_and_partition_drop(spark, tmp_path):
     got2 = read_iceberg(spark, root2)
     assert got2.count() == 600
     assert got2.filter("p in (1, 2)").count() == 0
+
+
+def test_optimize_iceberg_row_invariant(spark, tmp_path):
+    """Round 14: Iceberg compaction via plan_compaction — rows
+    invariant, file count collapses, packing never crosses a
+    partition, prior snapshots untouched."""
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        optimize_iceberg,
+    )
+
+    root = _tbl(tmp_path)
+    base = spark.range(1000).select(
+        (F.col("id") % 4).alias("p"), F.col("id").alias("k"))
+    s0 = write_iceberg(base.repartition(8), root, now_ms=1000,
+                       partition_by=["p"])
+    before = read_iceberg(spark, root)
+    n_before = len(before.inputFiles())
+    sum_before = before.agg(F.sum("k")).first()[0]
+    m = optimize_iceberg(root, target_rows=500, now_ms=2000)
+    after = read_iceberg(spark, root)
+    assert after.count() == 1000
+    assert after.agg(F.sum("k")).first()[0] == sum_before
+    assert len(after.inputFiles()) == m["files_after"] < n_before
+    # rewritten files stay inside one partition dir
+    for f in after.inputFiles():
+        assert "/p=" in f
+    # pre-optimize snapshot unchanged; pruning still exact
+    assert read_iceberg(spark, root, s0).count() == 1000
+    assert read_iceberg(spark, root, where={"p": 3}).count() == 250
+    # second run at the same target is a near-no-op
+    m2 = optimize_iceberg(root, target_rows=500, now_ms=3000)
+    assert m2["files_removed"] <= m["files_after"]
