@@ -1194,3 +1194,149 @@ def clean_log_delta(path: str) -> dict:
             removed += 1
     return {"checkpoint_version": cp, "removed_commits": removed,
             "remaining_commits": len(jsons) - removed}
+
+
+def zorder_delta(
+    path: str,
+    zorder_by: list[str],
+    target_rows: int,
+    now_ms: int = 0,
+    bits: int = 8,
+) -> dict:
+    """OPTIMIZE ZORDER BY on the native Delta table: a full rewrite
+    of the live files clustered on the Morton interleave of the
+    ``zorder_by`` columns (the single z-order implementation,
+    ``sources/layout.py:zorder_key_n``), committed with
+    ``dataChange=false`` like any compaction.
+
+    The quantization is ``width_bucket`` over each column's GLOBAL
+    [min, max] window — read from the driver-held per-file stats,
+    never from data — so the whole plan is: one distributed read of
+    the live files, one ``repartitionByRange`` on (partition cols...,
+    z) + ``sortWithinPartitions``, one write.  No partition-less
+    window, no global sort on the driver; at 100 TB this is the same
+    shuffle a sort-based OPTIMIZE pays, and afterwards every file's
+    min/max stats bound BOTH dimensions (~sqrt spans), which is the
+    data-skipping story the registry's ``zorder_clustering`` query
+    profiles.  Rows are invariant (pytest-pinned)."""
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    if not zorder_by:
+        raise ValueError("zorder_by must name at least one column")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .layout import zorder_key_n
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("zorder needs an active SparkSession")
+    snap = _replay_state(path, None)
+    live = snap["live"]
+    if not live:
+        raise ValueError("zorder on an empty table")
+    pcols = snap["pcols"]
+    for zc in zorder_by:
+        if zc in pcols:
+            raise ValueError(
+                "zorder column cannot be a partition column"
+            )
+    schema = T.StructType.fromJson(
+        json.loads(snap["meta"]["schemaString"])
+    )
+    # global per-column windows + total rows from the log stats
+    lo: dict[str, float] = {}
+    hi: dict[str, float] = {}
+    total = 0
+    for rel, body in live.items():
+        stats_raw = body.get("stats")
+        if not isinstance(stats_raw, str):
+            raise ValueError("live file without stats (foreign log)")
+        st = json.loads(stats_raw)
+        nrec = st.get("numRecords")
+        if not isinstance(nrec, int) or isinstance(nrec, bool):
+            raise ValueError("numRecords malformed")
+        total += nrec
+        for zc in zorder_by:
+            fmin = st.get("minValues", {}).get(zc)
+            fmax = st.get("maxValues", {}).get(zc)
+            if not isinstance(fmin, (int, float)) \
+                    or isinstance(fmin, bool) \
+                    or not isinstance(fmax, (int, float)) \
+                    or isinstance(fmax, bool):
+                raise ValueError(
+                    f"no numeric {zc!r} window for {rel!r} "
+                    "(boundary: zorder needs numeric stats)"
+                )
+            if zc not in lo or fmin < lo[zc]:
+                lo[zc] = fmin
+            if zc not in hi or fmax > hi[zc]:
+                hi[zc] = fmax
+    version = snap["version"] + 1
+    reader = spark.read.schema(schema)
+    if pcols:
+        reader = reader.option("basePath", path)
+    df = reader.parquet(
+        *[os.path.join(path, rel) for rel in sorted(live)]
+    )
+    nb = 1 << bits
+    quantized = []
+    for zi, zc in enumerate(zorder_by):
+        if hi[zc] <= lo[zc]:
+            q = F.lit(0).cast("long")
+        else:
+            q = (
+                F.width_bucket(
+                    F.col(zc).cast("double"),
+                    F.lit(float(lo[zc])),
+                    # upper edge exclusive: nudge past max so the
+                    # max value lands in the top bucket, not n+1
+                    F.lit(float(hi[zc]) + 1e-9
+                          + (float(hi[zc]) - float(lo[zc])) / 1e6),
+                    F.lit(nb),
+                ) - F.lit(1)
+            ).cast("long")
+        quantized.append(F.least(
+            F.greatest(q, F.lit(0)), F.lit(nb - 1)
+        ).cast("long").alias(f"__q{zi}"))
+    with_z = df.select("*", *quantized).withColumn(
+        "__z", zorder_key_n([f"__q{i}" for i in range(len(zorder_by))],
+                            bits=bits)
+    )
+    n_out = max(1, -(-total // target_rows))
+    clustered = (
+        with_z.repartitionByRange(n_out, *(pcols + ["__z"]))
+        .sortWithinPartitions(*(pcols + ["__z"]))
+        .drop("__z", *[f"__q{i}" for i in range(len(zorder_by))])
+    )
+    placed = _stage_and_place(
+        clustered, path, version, pcols or None
+    )
+    lines = [json.dumps({"commitInfo": {
+        "operation": "OPTIMIZE",
+        "operationParameters": {
+            "zOrderBy": json.dumps(list(zorder_by)),
+            "targetRows": str(target_rows),
+        },
+        "timestamp": now_ms,
+        "operationMetrics": {
+            "numRemovedFiles": str(len(live)),
+            "numAddedFiles": str(len(placed)),
+        },
+    }})]
+    for rel in sorted(live):
+        lines.append(json.dumps({"remove": {
+            "path": rel, "deletionTimestamp": now_ms,
+            "dataChange": False,
+        }}))
+    for rel, pvals in placed:
+        body = json.loads(_add_line(path, rel, pvals, True))
+        body["add"]["dataChange"] = False
+        lines.append(json.dumps(body))
+    _commit(path, version, lines, placed)
+    return {
+        "version": version,
+        "files_before": len(live),
+        "files_after": len(placed),
+    }

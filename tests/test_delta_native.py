@@ -763,3 +763,114 @@ def test_clean_log_bounds_the_json_tail(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="checkpoint"):
         clean_log_delta(root2)
+
+
+def test_zorder_rewrite_tightens_both_dimensions(spark, tmp_path):
+    """Round 14: OPTIMIZE ZORDER BY — rows invariant, and the
+    per-file stats windows after the rewrite bound BOTH dimensions
+    (total span product collapses vs the linear layout)."""
+    from datawarehouseproject_spark.sources.delta_native import (
+        _replay_state,
+        zorder_delta,
+    )
+
+    root = _tbl(tmp_path)
+    # x-sorted layout: each file spans ALL of y
+    base = spark.range(65536).select(
+        (F.col("id") % 256).alias("x"),
+        ((F.col("id") * 2654435761) % 256).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    write_delta(
+        base.repartitionByRange(16, "x").sortWithinPartitions("x"),
+        root, now_ms=1,
+    )
+
+    def windows():
+        snap = _replay_state(root, None)
+        out = []
+        for rel, body in snap["live"].items():
+            st = json.loads(body["stats"])
+            out.append((
+                st["minValues"]["x"], st["maxValues"]["x"],
+                st["minValues"]["y"], st["maxValues"]["y"],
+            ))
+        return out
+
+    def skipped_for_y_slice(win, lo, hi):
+        # files a min/max-pruning reader would SKIP for y in [lo,hi]
+        return sum(1 for _x0, _x1, y0, y1 in win if y1 < lo or y0 > hi)
+
+    before = windows()
+    # the x-sorted layout cannot prune on y: every file spans all 256
+    assert skipped_for_y_slice(before, 0, 31) == 0
+    sum_before = read_delta(spark, root).agg(
+        F.sum("payload")).first()[0]
+    m = zorder_delta(root, ["x", "y"], target_rows=4096, now_ms=2)
+    after = windows()
+    got = read_delta(spark, root)
+    assert got.count() == 65536
+    assert got.agg(F.sum("payload")).first()[0] == sum_before
+    # z-order balances the per-dimension spans: the same y-slice now
+    # skips most files, and the mean y-span collapses
+    assert skipped_for_y_slice(after, 0, 31) >= len(after) // 2
+    mean_span_y = lambda w: sum(  # noqa: E731
+        y1 - y0 + 1 for _x0, _x1, y0, y1 in w) / len(w)
+    assert mean_span_y(after) < mean_span_y(before) / 2
+    assert m["files_after"] == len(after)
+    # dataChange=false on every action
+    log = open(os.path.join(
+        root, "_delta_log", f"{1:020d}.json")).read().splitlines()
+    for ln in log[1:]:
+        act = json.loads(ln)
+        assert act[next(iter(act))]["dataChange"] is False
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_delta(root, [], 100)
+
+
+def test_stream_merge_delta_sink(spark, tmp_path):
+    """Round 14: streaming CDC-style upsert into a native Delta
+    table — one MERGE per micro-batch (maxFilesPerTrigger=1), the
+    log shows the WRITE + MERGE progression, and the final table is
+    the last-write-wins union."""
+    import json as _json
+
+    from datawarehouseproject_spark.streaming.upsert_stream import (
+        stream_merge_delta,
+    )
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    cp = str(tmp_path / "cp")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    # three landing files = three micro-batches
+    spark.createDataFrame(
+        [(i, i) for i in range(100)], schema
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(i, -i) for i in range(50, 120)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(i, 777) for i in range(110, 130)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream_merge_delta(spark, src, schema, tbl, "k", cp,
+                       now_ms_base=1000)
+    got = read_delta(spark, tbl)
+    assert got.count() == 130
+    # batch order is file mtime order: batch2 overwrote 110..119
+    assert got.filter("k between 110 and 129").agg(
+        F.sum("v")).first()[0] == 777 * 20
+    assert got.filter("k < 50").agg(F.sum("v")).first()[0] \
+        == sum(range(50))
+    ops = []
+    log_dir = os.path.join(tbl, "_delta_log")
+    for n in sorted(os.listdir(log_dir)):
+        if n.endswith(".json"):
+            first = _json.loads(open(
+                os.path.join(log_dir, n)).readline())
+            ops.append(first["commitInfo"]["operation"])
+    assert ops == ["WRITE", "MERGE", "MERGE"]
