@@ -10153,3 +10153,115 @@ def q_iceberg_native_merge_delete(
     # double-packed group hash-mismatches here
     optimize_iceberg(root, target_rows=2000, now_ms=4000)
     return read_iceberg(spark, root).select("k", "v")
+
+
+@register(
+    "delta_native_dv_delete",
+    oracle="""
+    SELECT p_partkey AS k, CAST(length(p_name) AS INTEGER) AS v
+    FROM part
+    WHERE p_partkey % 2 = 0
+      AND NOT (p_partkey BETWEEN 100 AND 360)
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "deletion-vectors", "merge-on-read", "delete"),
+)
+def q_delta_native_dv_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Delta merge-on-read DELETE via DELETION VECTORS
+    (round 14 continuation): two overlapping range deletes on a
+    multi-file table write roaring bitmaps instead of rewriting any
+    data file (``sources/delta_native.py:dv_delete_delta`` — the
+    PROTOCOL.md reader-3 "Deletion Vectors" layout the forensics
+    reader ``functions/delta_log.py`` independently decodes,
+    cross-checked in pytest).  The second delete overlaps the first,
+    exercising the superseding-descriptor UNION; a file whose every
+    row dies collapses to a pure remove.  The read applies the DVs
+    through a broadcast anti join on ``_metadata.row_index`` whose
+    positions side decodes EXECUTOR-side — the 100 TB
+    low-selectivity delete shape, where copy-on-write would rewrite
+    terabytes to drop a fraction of rows.  The oracle recomputes the
+    surviving rows; a dropped descriptor, wrong offset, or stale
+    bitmap all hash-mismatch."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import (
+        dv_delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_delta_dv_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_000,
+    )
+    dv_delete_delta(root, "k", 100, 280, now_ms=2_000)
+    dv_delete_delta(root, "k", 240, 360, now_ms=3_000)
+    return read_delta(spark, root).select("k", "v")
+
+
+@register(
+    "delta_native_dv_purge",
+    oracle="""
+    SELECT p_partkey AS k, CAST(length(p_name) AS INTEGER) AS v
+    FROM part
+    WHERE p_partkey % 2 = 0
+      AND NOT (p_partkey BETWEEN 100 AND 360)
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "deletion-vectors", "purge", "vacuum", "maintenance"),
+)
+def q_delta_native_dv_purge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The deletion-vector LIFECYCLE end-to-end (round 14
+    continuation): DV deletes -> OPTIMIZE purges the vectors (real
+    Delta's ``REORG ... APPLY (PURGE)`` effect — rewritten files
+    hold only live rows, dataChange=false stays honest) ->
+    checkpoint + log cleanup drop the descriptor references ->
+    VACUUM reclaims the now-unreferenced ``.bin`` (unreferenced ==
+    unreachable by every reader including time travel, so no
+    retention clock is needed).  The result must equal the plain
+    DV-delete query's oracle EXACTLY — purge and reclamation are
+    row-invariant by contract, so a purge that resurrects a deleted
+    row, loses a live one, or a vacuum that deletes a still-needed
+    bin all hash-mismatch (``sources/delta_native.py:optimize_delta``
+    / ``vacuum_delta``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import (
+        checkpoint_delta,
+        clean_log_delta,
+        dv_delete_delta,
+        optimize_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_delta_dvp_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_000,
+    )
+    dv_delete_delta(root, "k", 100, 280, now_ms=2_000)
+    dv_delete_delta(root, "k", 240, 360, now_ms=3_000)
+    optimize_delta(root, target_rows=100_000, now_ms=4_000)
+    checkpoint_delta(root)
+    clean_log_delta(root)
+    vacuum_delta(root, 0, now_ms=10**13, dry_run=False)
+    return read_delta(spark, root).select("k", "v")

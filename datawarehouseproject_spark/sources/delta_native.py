@@ -26,6 +26,24 @@ rewrite at all — the retention-delete shape); OPTIMIZE bin-packs per
 partition via ``operators/maintenance.py:plan_compaction`` (the
 planner IS the executor's grouping — VERDICT r13 item 7).
 
+Merge-on-read scope (round 14 continuation): ``dv_delete_delta``
+DELETEs by writing DELETION VECTORS (PROTOCOL.md "Deletion Vectors",
+reader 3 / writer 7) instead of rewriting files — the low-selectivity
+delete shape at 100 TB, where copy-on-write would rewrite terabytes
+to drop a few rows.  The descriptor/bin-file/roaring formats are the
+SAME ones the forensics reader already decodes
+(``functions/delta_log.py:986-1315``) — writer and independent reader
+cross-check each other in tests.  Every read path in this module is
+DV-aware through one helper (``_scan_live``): plain files scan
+untouched; DV'd files scan WITH ``_metadata.row_index`` and drop
+deleted positions via a broadcast anti join whose positions side is
+decoded executor-side (the driver holds one descriptor per file, not
+the bitmaps).  OPTIMIZE / ZORDER purge DVs on rewrite (real Delta's
+``REORG ... APPLY (PURGE)`` effect), and VACUUM reclaims ``.bin``
+files no retained log action references — unreferenced means
+unreachable by every reader including time travel, so no retention
+clock is needed.
+
 Scale posture: the data write is a normal distributed
 ``df.write.parquet``; only the COMMIT is driver-side — one parquet
 footer read per new file for stats and one JSON link, the same
@@ -540,6 +558,12 @@ def checkpoint_delta(path: str) -> dict:
         }
         if snap["pcols"]:
             add["partitionValues"] = body.get("partitionValues", {})
+        dv = _dv_of(body)
+        if dv is not None:
+            # the checkpoint must carry the descriptor — a replay
+            # from a checkpoint that dropped it would resurrect the
+            # deleted rows
+            add["deletionVector"] = dv
         add_bodies.append(add)
     rm_bodies = [
         {"path": rel, "deletionTimestamp": dts, "dataChange": True}
@@ -629,7 +653,15 @@ def read_delta(
     lists, opens, or plans the other partitions' files.  Keys must
     be declared partition columns (a typo would silently scan
     everything).  Partition column values come back from the Hive
-    directory layout (``basePath``), same as any partitioned scan."""
+    directory layout (``basePath``), same as any partitioned scan.
+
+    PROTOCOL fence: the reader honors reader version 1 and reader
+    version 3 with readerFeatures ⊆ {deletionVectors} — deletion
+    vectors are APPLIED (merge-on-read via ``_scan_live``).  Any
+    other reader requirement (columnMapping's version 2, v2
+    checkpoints, unknown features) loud-rejects: serving physical
+    rows while ignoring a feature the protocol says changes their
+    meaning would be silent corruption."""
     from pyspark.sql import types as T
 
     if timestamp_ms is not None:
@@ -638,26 +670,35 @@ def read_delta(
                 "pass version OR timestamp_ms, not both"
             )
         version = version_at_timestamp(path, timestamp_ms)
-    live, schema_str, pcols = _replay_full(path, version)
-    schema = T.StructType.fromJson(json.loads(schema_str))
+    snap = _replay_state(path, version)
+    proto = snap["proto"] or {}
+    mrv = proto.get("minReaderVersion", 1)
+    rfeat = set(proto.get("readerFeatures") or [])
+    if mrv not in (1, 3) or not rfeat <= {"deletionVectors"}:
+        raise ValueError(
+            f"reader protocol unsupported (minReaderVersion={mrv!r}, "
+            f"readerFeatures={sorted(rfeat)!r} — boundary: this "
+            "reader serves versions 1 and 3/deletionVectors)"
+        )
+    pcols = snap["pcols"]
+    schema = T.StructType.fromJson(
+        json.loads(snap["meta"]["schemaString"])
+    )
+    bodies = snap["live"]
     if where:
         for k in where:
             if k not in pcols:
                 raise ValueError(
                     f"{k!r} is not a partition column of this table"
                 )
-        live = {
-            rel: meta for rel, meta in live.items()
-            if all(meta[0].get(k) == str(v) for k, v in where.items())
+        bodies = {
+            rel: body for rel, body in bodies.items()
+            if all(
+                body.get("partitionValues", {}).get(k) == str(v)
+                for k, v in where.items()
+            )
         }
-    if not live:
-        return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema)
-    if pcols:
-        reader = reader.option("basePath", path)
-    return reader.parquet(
-        *[os.path.join(path, rel) for rel in sorted(live)]
-    )
+    return _scan_live(spark, path, bodies, schema, pcols)
 
 
 def _key_window(rel: str, stats_raw, key_col: str):
@@ -680,6 +721,159 @@ def _key_window(rel: str, stats_raw, key_col: str):
     ):
         raise ValueError("key window not comparable")
     return fmin, fmax
+
+
+def _dv_of(body) -> dict | None:
+    """An add action's deletionVector descriptor, or None.  A
+    checkpoint roundtrip turns absent struct fields into None values
+    (parquet has no 'absent'), so None-valued keys are stripped
+    before the descriptor parse sees them."""
+    dv = body.get("deletionVector")
+    if dv is None:
+        return None
+    if not isinstance(dv, dict):
+        raise ValueError("deletionVector descriptor malformed")
+    out = {k: v for k, v in dv.items() if v is not None}
+    return out or None
+
+
+def _dv_load(path: str, dv_raw: dict) -> list[int]:
+    """Driver-side decode of ONE descriptor to ascending positions —
+    used where the driver genuinely needs the bitmap (supersede-union
+    in ``dv_delete_delta``, bounded by one file's cardinality cap).
+    The scan path (``_scan_live``) decodes executor-side instead."""
+    from ..functions.delta_log import (
+        _dv_positions,
+        _dv_relative_path,
+        _parse_dv_descriptor,
+    )
+
+    d = _parse_dv_descriptor(dv_raw)
+    files: dict[str, bytes] = {}
+    if d["storageType"] == "u":
+        rel = _dv_relative_path(d["pathOrInlineDv"])
+        full = os.path.join(path, rel)
+        if not os.path.exists(full):
+            raise ValueError(f"deletion vector file {rel!r} missing")
+        with open(full, "rb") as fh:
+            files[rel] = fh.read()
+    return _dv_positions(files, d)
+
+
+def _scan_live(spark, path: str, bodies: dict[str, dict],
+               schema, pcols: list[str]) -> DataFrame:
+    """Schema-pinned merge-on-read scan of the given live adds.
+
+    Files WITHOUT a deletion vector go through one plain parquet
+    scan (pushdown/pruning untouched — the overwhelming majority at
+    any scale).  Files WITH one scan in a second branch carrying
+    ``_metadata.row_index`` and drop deleted positions via a
+    broadcast LEFT ANTI join against (file name, position) rows.
+    The positions side starts as ONE ROW PER FILE (descriptor JSON +
+    bin path) and explodes to positions in an Arrow-batched
+    ``mapInPandas`` on the executors — the driver never materializes
+    a bitmap, mirroring how delta-spark ships DV descriptors to
+    tasks.  Join key is the file BASENAME: ``_stage_and_place``
+    names embed version+index+tag, so basenames are unique
+    table-wide even under Hive partitioning."""
+    from pyspark.sql import functions as F
+
+    names = [f.name for f in schema.fields]
+
+    def reader():
+        r = spark.read.schema(schema)
+        if pcols:
+            r = r.option("basePath", path)
+        return r
+
+    plain, dvd = [], []
+    for rel in sorted(bodies):
+        (dvd if _dv_of(bodies[rel]) else plain).append(rel)
+    parts = []
+    if plain:
+        parts.append(
+            reader().parquet(
+                *[os.path.join(path, rel) for rel in plain]
+            ).select(*names)
+        )
+    if dvd:
+        from ..functions.delta_log import (
+            _dv_relative_path,
+            _parse_dv_descriptor,
+        )
+
+        meta_rows = []
+        for rel in dvd:
+            raw = _dv_of(bodies[rel])
+            d = _parse_dv_descriptor(raw)  # loud before the scan
+            bin_full = ""
+            if d["storageType"] == "u":
+                bin_rel = _dv_relative_path(d["pathOrInlineDv"])
+                bin_full = os.path.join(path, bin_rel)
+                if not os.path.exists(bin_full):
+                    raise ValueError(
+                        f"deletion vector file {bin_rel!r} missing"
+                    )
+            meta_rows.append(
+                (os.path.basename(rel), json.dumps(raw), bin_full)
+            )
+        meta_df = spark.createDataFrame(
+            meta_rows, "_dv_name string, _desc string, _bin string"
+        )
+
+        def expand(batches):
+            import json as _json
+
+            import pandas as _pd
+
+            from ..functions.delta_log import (
+                _dv_positions as _pos,
+                _dv_relative_path as _rel,
+                _parse_dv_descriptor as _parse,
+            )
+
+            for b in batches:
+                out_n: list = []
+                out_p: list = []
+                for name, desc, bin_full in zip(
+                    b["_dv_name"], b["_desc"], b["_bin"]
+                ):
+                    d = _parse(_json.loads(desc))
+                    files: dict = {}
+                    if bin_full:
+                        with open(bin_full, "rb") as fh:
+                            files[_rel(d["pathOrInlineDv"])] = fh.read()
+                    for p in _pos(files, d):
+                        out_n.append(name)
+                        out_p.append(p)
+                yield _pd.DataFrame(
+                    {"_dv_name": out_n, "_dv_pos": out_p}
+                )
+
+        pos_df = meta_df.mapInPandas(
+            expand, "_dv_name string, _dv_pos long"
+        )
+        scan = reader().parquet(
+            *[os.path.join(path, rel) for rel in dvd]
+        ).withColumn(
+            "_dv_name",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ),
+        ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+        parts.append(
+            scan.join(
+                F.broadcast(pos_df),
+                on=["_dv_name", "_dv_pos"],
+                how="left_anti",
+            ).select(*names)
+        )
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def merge_delta(
@@ -797,11 +991,14 @@ def merge_delta(
     version = snap["version"] + 1
     new_rows = updates
     if candidates:
-        reader = spark.read.schema(schema)
-        if pcols:
-            reader = reader.option("basePath", path)
-        current = reader.parquet(
-            *[os.path.join(path, rel) for rel in candidates]
+        # DV-aware: a candidate carrying a deletion vector is read
+        # merge-on-read so its deleted rows never resurrect through
+        # the rewrite (which drops the DV — the rewritten file is
+        # copy-on-write clean)
+        current = _scan_live(
+            spark, path,
+            {rel: snap["live"][rel] for rel in candidates},
+            schema, pcols,
         )
         kept = current.join(
             updates.select(*on_cols), on=on_cols, how="left_anti"
@@ -903,11 +1100,14 @@ def optimize_delta(
     placed_all: list[tuple[str, dict]] = []
     for gi, gkey in enumerate(sorted(groups)):
         group = sorted(groups[gkey])
-        reader = spark.read.schema(schema)
-        if pcols:
-            reader = reader.option("basePath", path)
-        merged = reader.parquet(
-            *[os.path.join(path, rel) for rel in group]
+        # DV-aware group read: compaction PURGES deletion vectors
+        # (real Delta's REORG ... APPLY (PURGE) effect) — the
+        # rewritten file holds only live rows, so the row content
+        # the reader serves is invariant and dataChange=false stays
+        # honest
+        merged = _scan_live(
+            spark, path, {rel: live[rel] for rel in group},
+            schema, pcols,
         ).coalesce(1)
         # the -g{gi} tag disambiguates file names across the groups
         # of one commit (each group stages separately)
@@ -1023,11 +1223,12 @@ def delete_delta(
             else:
                 candidates.append(rel)
         if candidates:
-            reader = spark.read.schema(schema)
-            if pcols:
-                reader = reader.option("basePath", path)
-            kept = reader.parquet(
-                *[os.path.join(path, rel) for rel in candidates]
+            # DV-aware rewrite source (deleted rows stay deleted;
+            # the rewritten files carry no DV)
+            kept = _scan_live(
+                spark, path,
+                {rel: snap["live"][rel] for rel in candidates},
+                schema, pcols,
             ).filter(
                 ~((F.col(key_col) >= F.lit(lo))
                   & (F.col(key_col) <= F.lit(hi)))
@@ -1060,6 +1261,229 @@ def delete_delta(
         "files_rewritten": len(candidates),
         "files_untouched": untouched,
         "files_added": len(placed),
+    }
+
+
+def dv_delete_delta(
+    path: str,
+    key_col: str,
+    lo,
+    hi,
+    now_ms: int = 0,
+) -> dict:
+    """Merge-on-read range DELETE (``DELETE WHERE lo <= key <= hi``)
+    via DELETION VECTORS — no data file is rewritten.  The
+    low-selectivity shape copy-on-write cannot afford at 100 TB:
+    dropping 0.1 % of rows from a terabyte of files costs a rewrite
+    of every touched file under ``delete_delta``, versus one small
+    ``.bin`` here.
+
+    Plan: stats-prune to files whose key window overlaps [lo, hi]
+    (identical pruning to the COW delete), then compute each touched
+    file's matching PHYSICAL row positions distributed — a scan with
+    ``_metadata.row_index``, grouped per file, each group serialized
+    to the 64-bit RoaringBitmapArray portable bytes EXECUTOR-side
+    (``functions/delta_log.py:dv_data_encode`` inside
+    ``applyInPandas``), so the driver collects one (file, compressed
+    bitmap) row per touched file — the same file-granular driver
+    state the MERGE planner holds.  A file that already carries a DV
+    gets the UNION (the superseding-descriptor semantics the
+    forensics fixtures pin); a file whose every row ends up deleted
+    becomes a pure ``remove`` (no zero-live-row add is committed).
+
+    Commit (Delta PROTOCOL.md "Deletion Vectors"): one bin file
+    ``deletion_vector_<uuid>.bin`` — version byte 1, then per DV
+    ``<size BE><data><crc32 BE>`` — shared by all touched files at
+    distinct offsets; per file a ``remove`` + re-``add`` carrying
+    {storageType "u", z85 uuid token, offset, sizeInBytes,
+    cardinality}; and, first time, the protocol upgrade to reader 3
+    / writer 7 with the deletionVectors feature.  Stats stay the
+    PHYSICAL counts (spec: numRecords counts file rows, not live
+    rows).  ``key_col`` must not be a partition column — that
+    delete is a pure log-level drop and strictly cheaper
+    (``delete_delta``)."""
+    import hashlib
+    import zlib
+
+    from ..functions.delta_log import (
+        dv_data_decode,
+        dv_data_encode,
+        z85_encode,
+    )
+
+    if lo is None or hi is None or lo > hi:
+        raise ValueError("delete range malformed")
+    snap = _replay_state(path, None)
+    pcols = snap["pcols"]
+    if key_col in pcols:
+        raise ValueError(
+            "partition-column delete is a log-level drop "
+            "(boundary: use delete_delta)"
+        )
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("dv delete needs an active SparkSession")
+    schema = T.StructType.fromJson(
+        json.loads(snap["meta"]["schemaString"])
+    )
+    live = snap["live"]
+    candidates: dict[str, dict] = {}
+    untouched = 0
+    for rel in sorted(live):
+        fmin, fmax = _key_window(rel, live[rel].get("stats"), key_col)
+        if not isinstance(fmin, type(lo)) \
+                or not isinstance(fmax, type(hi)):
+            raise ValueError("delete key window not comparable")
+        if fmax < lo or fmin > hi:
+            untouched += 1
+        else:
+            candidates[rel] = live[rel]
+    version = snap["version"] + 1
+
+    collected = []
+    if candidates:
+        reader = spark.read.schema(schema)
+        if pcols:
+            reader = reader.option("basePath", path)
+        matches = reader.parquet(
+            *[os.path.join(path, rel) for rel in sorted(candidates)]
+        ).filter(
+            (F.col(key_col) >= F.lit(lo))
+            & (F.col(key_col) <= F.lit(hi))
+        ).select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_dv_name"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+
+        def encode(pdf):
+            import pandas as _pd
+
+            from ..functions.delta_log import dv_data_encode as _enc
+
+            pos = sorted({int(p) for p in pdf["_dv_pos"]})
+            return _pd.DataFrame({
+                "name": [str(pdf["_dv_name"].iloc[0])],
+                "data": [_enc(pos)],
+                "card": [len(pos)],
+            })
+
+        collected = matches.groupBy("_dv_name").applyInPandas(
+            encode, "name string, data binary, card long"
+        ).collect()  # bounded: one row per touched FILE, the bitmap
+        # already roaring-compressed
+
+    rel_by_name = {os.path.basename(r): r for r in candidates}
+    pure_removes: list[str] = []
+    dv_adds: list[tuple[str, bytes, int]] = []
+    rows_deleted = 0
+    for row in sorted(collected, key=lambda r: r["name"]):
+        rel = rel_by_name.get(row["name"])
+        if rel is None:
+            raise ValueError(
+                f"matched file {row['name']!r} not a candidate"
+            )
+        data, card = bytes(row["data"]), row["card"]
+        old_raw = _dv_of(candidates[rel])
+        old_card = 0
+        if old_raw is not None:
+            old_pos = set(_dv_load(path, old_raw))
+            old_card = len(old_pos)
+            merged = sorted(old_pos | set(dv_data_decode(data)))
+            data, card = dv_data_encode(merged), len(merged)
+        rows_deleted += card - old_card
+        nrec = json.loads(candidates[rel]["stats"]).get("numRecords")
+        if not isinstance(nrec, int) or isinstance(nrec, bool):
+            raise ValueError("numRecords malformed")
+        if card > nrec:
+            raise ValueError("deleted positions exceed file rows")
+        if card == nrec:
+            pure_removes.append(rel)
+        else:
+            dv_adds.append((rel, data, card))
+
+    placed: list[tuple[str, dict]] = []
+    descriptors: dict[str, dict] = {}
+    if dv_adds:
+        table_id = snap["meta"].get("id", "")
+        u = uuid.UUID(bytes=hashlib.sha256(
+            f"{table_id}:{version}".encode()
+        ).digest()[:16])
+        token = z85_encode(u.bytes)
+        bin_rel = f"deletion_vector_{u}.bin"
+        blob = bytearray(b"\x01")
+        for rel, data, card in dv_adds:
+            off = len(blob)
+            blob += len(data).to_bytes(4, "big")
+            blob += data
+            blob += (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+            descriptors[rel] = {
+                "storageType": "u",
+                "pathOrInlineDv": token,
+                "offset": off,
+                "sizeInBytes": len(data),
+                "cardinality": card,
+            }
+        with open(os.path.join(path, bin_rel), "xb") as fh:
+            fh.write(bytes(blob))
+        placed = [(bin_rel, {})]  # cleaned up on a lost commit race
+
+    proto = snap["proto"] or {}
+    has_dv_feature = (
+        proto.get("minReaderVersion") == 3
+        and "deletionVectors" in (proto.get("readerFeatures") or [])
+    )
+    lines = [json.dumps({"commitInfo": {
+        "operation": "DELETE",
+        "operationParameters": {
+            "predicate": f"{key_col} BETWEEN {lo} AND {hi}",
+        },
+        "timestamp": now_ms,
+        "operationMetrics": {
+            "numRemovedFiles": str(len(pure_removes)),
+            "numDeletionVectorsAdded": str(len(dv_adds)),
+            "numDeletedRows": str(rows_deleted),
+        },
+    }})]
+    if dv_adds and not has_dv_feature:
+        lines.append(json.dumps({"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }}))
+    for rel in pure_removes:
+        lines.append(json.dumps({"remove": {
+            "path": rel, "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }}))
+    for rel, _data, _card in dv_adds:
+        body = candidates[rel]
+        lines.append(json.dumps({"remove": {
+            "path": rel, "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }}))
+        lines.append(json.dumps({"add": {
+            "path": rel,
+            "partitionValues": body.get("partitionValues") or {},
+            "size": body.get("size"),
+            "dataChange": True,
+            "stats": body.get("stats"),
+            "deletionVector": descriptors[rel],
+        }}))
+    _commit(path, version, lines, placed)
+    return {
+        "version": version,
+        "files_fully_removed": len(pure_removes),
+        "files_dv": len(dv_adds),
+        "files_untouched": untouched
+        + (len(candidates) - len(pure_removes) - len(dv_adds)),
+        "rows_deleted": rows_deleted,
     }
 
 
@@ -1106,11 +1530,53 @@ def vacuum_delta(
         if not dry_run:
             os.remove(full)
             deleted += 1
+    # deletion-vector bins: a ``.bin`` is protected while ANY
+    # retained log action references it — the current snapshot, an
+    # older retained JSON commit (time travel), or the checkpoint.
+    # An UNREFERENCED bin is unreachable by every reader, so it is
+    # reclaimable with no retention clock (references only drop when
+    # a log cleanup removes the commits that held them).
+    from ..functions.delta_log import _dv_relative_path
+
+    referenced: set[str] = set()
+
+    def note(body) -> None:
+        dv = _dv_of(body)
+        if dv is not None and dv.get("storageType") == "u":
+            referenced.add(_dv_relative_path(dv["pathOrInlineDv"]))
+
+    latest, cp, jsons = _log_info(path)
+    if cp is not None:
+        cp_live, _ts, _m, _p = _load_checkpoint(path, cp)
+        for body in cp_live.values():
+            note(body)
+    for v in sorted(jsons):
+        with open(os.path.join(path, _LOG, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if isinstance(act, dict) and "add" in act \
+                        and isinstance(act["add"], dict):
+                    note(act["add"])
+    on_disk = sorted(
+        n for n in os.listdir(path)
+        if n.startswith("deletion_vector_") and n.endswith(".bin")
+    )
+    dv_eligible = [n for n in on_disk if n not in referenced]
+    dv_deleted = 0
+    for n in dv_eligible:
+        if not dry_run:
+            os.remove(os.path.join(path, n))
+            dv_deleted += 1
     return {
         "tombstones": len(tombstones),
         "eligible": len(eligible),
         "deleted": deleted,
         "already_gone": already_gone,
+        "dv_bins": len(on_disk),
+        "dv_eligible": len(dv_eligible),
+        "dv_deleted": dv_deleted,
     }
 
 
@@ -1139,30 +1605,42 @@ def delta_table_changes(
 
     if v_from > v_to:
         raise ValueError("v_from must not exceed v_to")
-    live_from, schema_str_from, _p = _replay_full(path, v_from)
-    live_to, schema_str_to, pcols = _replay_full(path, v_to)
-    if schema_str_from != schema_str_to:
+    snap_from = _replay_state(path, v_from)
+    snap_to = _replay_state(path, v_to)
+    pcols = snap_to["pcols"]
+    if snap_from["meta"]["schemaString"] \
+            != snap_to["meta"]["schemaString"]:
         raise ValueError(
             "schema changed between the versions (boundary: a "
             "version diff across an evolution has no single row "
             "shape)"
         )
-    schema = T.StructType.fromJson(json.loads(schema_str_to))
-    added = sorted(set(live_to) - set(live_from))
-    removed = sorted(set(live_from) - set(live_to))
+    schema = T.StructType.fromJson(
+        json.loads(snap_to["meta"]["schemaString"])
+    )
 
-    def scan(rels):
-        if not rels:
-            return spark.createDataFrame([], schema)
-        reader = spark.read.schema(schema)
-        if pcols:
-            reader = reader.option("basePath", path)
-        return reader.parquet(
-            *[os.path.join(path, rel) for rel in rels]
-        ).select(*[f.name for f in schema.fields])
+    # a file's identity for the diff is (path, deletion vector): a
+    # DV delete re-adds the same path with a new descriptor, and the
+    # rows it deleted must surface — so descriptor churn puts the
+    # file on BOTH sides, each side scanned under its OWN descriptor,
+    # and exceptAll cancels everything but the newly-deleted rows
+    def sig(body) -> str:
+        return json.dumps(_dv_of(body), sort_keys=True)
 
-    new_rows = scan(added)
-    old_rows = scan(removed)
+    from_sigs = {
+        rel: sig(b) for rel, b in snap_from["live"].items()
+    }
+    to_sigs = {rel: sig(b) for rel, b in snap_to["live"].items()}
+    added = {
+        rel: snap_to["live"][rel]
+        for rel, s in to_sigs.items() if from_sigs.get(rel) != s
+    }
+    removed = {
+        rel: snap_from["live"][rel]
+        for rel, s in from_sigs.items() if to_sigs.get(rel) != s
+    }
+    new_rows = _scan_live(spark, path, added, schema, pcols)
+    old_rows = _scan_live(spark, path, removed, schema, pcols)
     inserted = new_rows.exceptAll(old_rows).withColumn(
         "_change_type", F.lit("insert"))
     deleted = old_rows.exceptAll(new_rows).withColumn(
@@ -1274,12 +1752,10 @@ def zorder_delta(
             if zc not in hi or fmax > hi[zc]:
                 hi[zc] = fmax
     version = snap["version"] + 1
-    reader = spark.read.schema(schema)
-    if pcols:
-        reader = reader.option("basePath", path)
-    df = reader.parquet(
-        *[os.path.join(path, rel) for rel in sorted(live)]
-    )
+    # DV-aware full read: a ZORDER rewrite purges deletion vectors
+    # like any compaction (row content invariant under
+    # merge-on-read, so dataChange=false stays honest)
+    df = _scan_live(spark, path, live, schema, pcols)
     nb = 1 << bits
     quantized = []
     for zi, zc in enumerate(zorder_by):
