@@ -10265,3 +10265,60 @@ def q_delta_native_dv_purge(
     clean_log_delta(root)
     vacuum_delta(root, 0, now_ms=10**13, dry_run=False)
     return read_delta(spark, root).select("k", "v")
+
+
+@register(
+    "iceberg_native_position_deletes",
+    oracle="""
+    SELECT p_partkey AS k, CAST(length(p_name) AS INTEGER) AS v
+    FROM part
+    WHERE p_partkey % 2 = 0
+      AND NOT (p_partkey BETWEEN 100 AND 360)
+    """,
+    tags=("sources", "iceberg", "lakehouse", "native-write",
+          "merge-on-read", "position-deletes", "delete"),
+)
+def q_iceberg_native_position_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE Iceberg merge-on-read DELETE via POSITION-DELETE files
+    (round 14 continuation — the v2 spec's content=1 path, twin of
+    the Delta deletion-vector query): two overlapping range deletes
+    write spec-shaped delete parquets (file_path + pos, sorted;
+    duplicate positions across files are legal and union) committed
+    as DELETE manifests (manifest-list content=1) beside
+    self-contained data manifests — NO data file is rewritten
+    (``sources/iceberg_native.py:mor_delete_iceberg``).  A purge
+    (``purge_deletes_iceberg`` = rewrite_position_delete_files)
+    then applies and drops the vectors, and ``expire_iceberg``
+    reclaims the superseded delete parquets — both row-invariant by
+    contract, so the SAME oracle pins the whole lifecycle.  The
+    forensics decoder cross-reads the delete files in pytest
+    (``functions/iceberg_scan.py:_load_positional_deletes``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.iceberg_native import (
+        expire_iceberg,
+        mor_delete_iceberg,
+        purge_deletes_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_ice_mor_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").cast("long").alias("k"),
+        F.length("p_name").cast("long").alias("v"),
+    )
+    write_iceberg(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_000,
+    )
+    mor_delete_iceberg(root, "k", 100, 280, now_ms=2_000)
+    mor_delete_iceberg(root, "k", 240, 360, now_ms=3_000)
+    purge_deletes_iceberg(root, now_ms=4_000)
+    expire_iceberg(root, older_than_ms=3_500, now_ms=5_000)
+    return read_iceberg(spark, root).select(
+        "k", F.col("v").cast("int").alias("v"))

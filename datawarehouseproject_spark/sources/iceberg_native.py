@@ -386,12 +386,14 @@ def _encode_entry(
     size: int,
     lower: dict[int, bytes],
     upper: dict[int, bytes],
+    content: int = 0,
 ) -> bytes:
     return (
         _zigzag_write(status)
         + _zigzag_write(1) + _zigzag_write(snap_id)
         + _zigzag_write(1) + _zigzag_write(seq)
-        + _zigzag_write(0)  # data_file.content = data
+        + _zigzag_write(content)  # data_file.content: 0 data,
+        #                           1 position deletes
         + _encode_string(rel)
         + _encode_string("PARQUET")
         + part_bytes
@@ -419,12 +421,13 @@ def _encode_partition_struct(
 def _ml_record(mpath: str, mlen: int, mseq: int, mminseq: int,
                msnap: int, n_added: int, rows_added: int,
                n_existing: int = 0, rows_existing: int = 0,
-               n_deleted: int = 0, rows_deleted: int = 0) -> bytes:
+               n_deleted: int = 0, rows_deleted: int = 0,
+               content: int = 0) -> bytes:
     return (
         _encode_string(mpath)
         + _zigzag_write(mlen)
         + _zigzag_write(0)   # partition_spec_id
-        + _zigzag_write(0)   # content = data
+        + _zigzag_write(content)  # 0 data manifest, 1 deletes
         + _zigzag_write(mseq)
         + _zigzag_write(mminseq)
         + _zigzag_write(msnap)
@@ -654,19 +657,26 @@ def write_iceberg(
     return snap_id
 
 
-def _snapshot_entries(path: str, snap: dict) -> list[dict]:
-    """One snapshot's LIVE manifest entries (status 0/1), decoded and
-    normalized: ``file_path`` / ``partition`` / ``record_count`` /
-    ``file_size`` / ``snapshot_id`` / ``sequence`` / ``lower`` /
-    ``upper`` ({field id: value bytes}; empty on pre-bounds
-    manifests).  Integrity-checked against the manifest list."""
+def _snapshot_entries_mor(
+    path: str, snap: dict
+) -> tuple[list[dict], list[dict]]:
+    """One snapshot's LIVE manifest entries (status 0/1), decoded
+    and normalized, split by ``data_file.content``: (data entries,
+    POSITION-DELETE entries).  Each entry carries ``file_path`` /
+    ``partition`` / ``record_count`` / ``file_size`` /
+    ``snapshot_id`` / ``sequence`` / ``lower`` / ``upper`` ({field
+    id: value bytes}; empty on pre-bounds manifests and on delete
+    files).  Equality deletes (content=2) stay a loud boundary —
+    silently treating them as positional would resurrect rows.
+    Integrity-checked against the manifest list."""
     ml_rel = snap.get("manifest-list")
     if not isinstance(ml_rel, str):
         raise ValueError("snapshot manifest-list malformed")
     ml_path = os.path.join(path, ml_rel)
     if not os.path.exists(ml_path):
         raise ValueError("manifest list missing from table")
-    out = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for mf in decode_avro_blocks(open(ml_path, "rb").read()):
         m_path = os.path.join(path, mf["manifest_path"])
         if not os.path.exists(m_path):
@@ -686,15 +696,16 @@ def _snapshot_entries(path: str, snap: dict) -> list[dict]:
             if not isinstance(df_rec, dict) \
                     or not isinstance(df_rec.get("file_path"), str):
                 raise ValueError("manifest data_file malformed")
-            if df_rec.get("content", 0) != 0:
+            content = df_rec.get("content", 0)
+            if content not in (0, 1):
                 raise ValueError(
-                    "delete files unsupported by the native reader "
-                    "(boundary: the forensics scan serves those)"
+                    "equality-delete files unsupported by the native "
+                    "reader (boundary: the forensics scan serves those)"
                 )
             part = df_rec.get("partition", {})
             if not isinstance(part, dict):
                 raise ValueError("partition struct malformed")
-            out.append({
+            (data if content == 0 else deletes).append({
                 "file_path": df_rec["file_path"],
                 "partition": part,
                 "record_count": df_rec.get("record_count", 0),
@@ -704,7 +715,23 @@ def _snapshot_entries(path: str, snap: dict) -> list[dict]:
                 "lower": _decode_bounds(df_rec, "lower_bounds"),
                 "upper": _decode_bounds(df_rec, "upper_bounds"),
             })
-    return out
+    return data, deletes
+
+
+def _snapshot_entries(path: str, snap: dict) -> list[dict]:
+    """Data entries only, LOUD when live position deletes exist —
+    the guard every copy-on-write DML path sits behind: rewriting a
+    file without subtracting its delete positions would resurrect
+    deleted rows.  ``purge_deletes_iceberg`` clears the state;
+    ``read_iceberg`` serves merge-on-read directly."""
+    data, deletes = _snapshot_entries_mor(path, snap)
+    if deletes:
+        raise ValueError(
+            "live position-delete files present (boundary: "
+            "purge_deletes_iceberg first — a copy-on-write rewrite "
+            "here would resurrect merge-on-read deleted rows)"
+        )
+    return data
 
 
 def _snapshot_files(path: str, meta: dict, snap: dict):
@@ -779,22 +806,59 @@ def _commit_cow(
     metadata version — the copy-on-write snapshot shape MERGE and
     DELETE commit.  Prior snapshots keep their own lists (time
     travel untouched)."""
-    sync = bytes((snap_id * 31 + j * 7 + 1) % 256 for j in range(16))
-    m_rel = f"metadata/m-{snap_id}.avro"
-    manifest = encode_avro_container(
-        _manifest_schema_json(pfields), entry_bytes, sync
+    return _commit_snapshot(
+        path, meta, version, seq, snap_id,
+        [{
+            "rel": f"metadata/m-{snap_id}.avro",
+            "entries": entry_bytes,
+            "pfields": pfields,
+            "content": 0,
+            "counts": counts,
+            "min_seq": min_seq,
+        }],
+        counts, op, now_ms,
     )
-    open(os.path.join(path, m_rel), "wb").write(manifest)
+
+
+def _commit_snapshot(
+    path: str,
+    meta: dict,
+    version: int,
+    seq: int,
+    snap_id: int,
+    manifests: list[dict],
+    summary_counts: dict,
+    op: str,
+    now_ms: int,
+) -> int:
+    """Write N manifests (each {rel, entries, pfields, content,
+    counts, min_seq}) + one manifest list referencing them all, then
+    the new metadata version.  ``content=1`` manifests are DELETE
+    manifests (position-delete files) — the merge-on-read snapshot
+    shape references a data manifest and a delete manifest side by
+    side, exactly how the spec separates them in the manifest list
+    (field-id 517)."""
+    sync = bytes((snap_id * 31 + j * 7 + 1) % 256 for j in range(16))
+    ml_records = []
+    for spec in manifests:
+        m_rel = spec["rel"]
+        manifest = encode_avro_container(
+            _manifest_schema_json(spec["pfields"]),
+            spec["entries"], sync,
+        )
+        open(os.path.join(path, m_rel), "wb").write(manifest)
+        c = spec["counts"]
+        ml_records.append(_ml_record(
+            m_rel, len(manifest), seq, spec["min_seq"], snap_id,
+            c["n_added"], c["rows_added"],
+            c["n_existing"], c["rows_existing"],
+            c["n_deleted"], c["rows_deleted"],
+            content=spec["content"],
+        ))
+    counts = summary_counts
     ml_rel = f"metadata/snap-{snap_id}.avro"
     ml_blob = encode_avro_container(
-        _MANIFEST_LIST_SCHEMA,
-        [_ml_record(
-            m_rel, len(manifest), seq, min_seq, snap_id,
-            counts["n_added"], counts["rows_added"],
-            counts["n_existing"], counts["rows_existing"],
-            counts["n_deleted"], counts["rows_deleted"],
-        )],
-        sync,
+        _MANIFEST_LIST_SCHEMA, ml_records, sync,
     )
     open(os.path.join(path, ml_rel), "wb").write(ml_blob)
     snapshots = list(meta["snapshots"])
@@ -1172,6 +1236,326 @@ def delete_iceberg(
     }
 
 
+def _existing_entry_bytes(
+    entries: list[dict], pfields, seq: int, snap_id: int,
+    content: int = 0, status_for: dict | None = None,
+) -> tuple[list[bytes], dict, int]:
+    """Re-encode prior live entries into a new self-contained
+    manifest: status 0 carrying ORIGINAL snapshot/sequence numbers
+    (or status 2 for paths in ``status_for``).  Returns (entry
+    bytes, counts, min_seq)."""
+    out: list[bytes] = []
+    c = {"n_added": 0, "rows_added": 0, "n_existing": 0,
+         "rows_existing": 0, "n_deleted": 0, "rows_deleted": 0}
+    min_seq = seq
+    drop = status_for or {}
+    for e in entries:
+        status = 2 if e["file_path"] in drop else 0
+        eseq = e["sequence"] if isinstance(e["sequence"], int) else seq
+        esnap = e["snapshot_id"] \
+            if isinstance(e["snapshot_id"], int) else snap_id
+        if status == 0:
+            min_seq = min(min_seq, eseq)
+            c["n_existing"] += 1
+            c["rows_existing"] += e["record_count"]
+        else:
+            esnap = snap_id
+            c["n_deleted"] += 1
+            c["rows_deleted"] += e["record_count"]
+        out.append(_encode_entry(
+            status, esnap, eseq, e["file_path"],
+            _encode_partition_struct(e["partition"], pfields),
+            e["record_count"], e["file_size"], e["lower"],
+            e["upper"], content=content,
+        ))
+    return out, c, min_seq
+
+
+def mor_delete_iceberg(
+    path: str,
+    key_col: str,
+    lo,
+    hi,
+    now_ms: int = 0,
+) -> dict:
+    """Merge-on-read range DELETE via a POSITION-DELETE file — the
+    Iceberg v2 twin of ``delta_native.dv_delete_delta``: NO data
+    file is rewritten.  The matching rows' physical positions are
+    computed distributed (``_metadata.row_index``), written as ONE
+    spec-shaped delete parquet (columns ``file_path`` string /
+    ``pos`` long, sorted by both — the schema
+    ``functions/iceberg_scan.py:_load_positional_deletes``
+    independently decodes), and committed as a DELETE manifest
+    (manifest-list content=1, data_file.content=1) beside a
+    self-contained data manifest whose entries keep their ORIGINAL
+    snapshot/sequence numbers.  Prior delete files carry over as
+    status-0 entries; duplicate positions across delete files are
+    legal (readers union).  Exact-path matching makes the spec's
+    sequence-number applicability rule a no-op for this writer
+    (paths are never reused).
+
+    Boundary: unpartitioned tables with an int/long key — a
+    partitioned MOR delete needs per-partition delete files, and a
+    partition-column delete is a pure metadata drop anyway
+    (``delete_iceberg``)."""
+    if lo is None or hi is None or lo > hi:
+        raise ValueError("delete range malformed")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("mor delete needs an active SparkSession")
+    version, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    pfields = _spec_fields(meta)
+    if pfields:
+        raise ValueError(
+            "merge-on-read delete on a partitioned table unsupported "
+            "(boundary: partition drops via delete_iceberg; "
+            "per-partition delete files are a declared gap)"
+        )
+    schema = _schema_to_spark(meta["schemas"][0])
+    by_name = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    kf = by_name.get(key_col)
+    if kf is None or kf["type"] not in ("int", "long"):
+        raise ValueError(
+            "delete key must be an int/long schema column (boundary)"
+        )
+    if not isinstance(lo, int) or isinstance(lo, bool) \
+            or not isinstance(hi, int) or isinstance(hi, bool):
+        raise ValueError("delete range must be ints (boundary)")
+    cur_snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    data_entries, delete_entries = _snapshot_entries_mor(
+        path, cur_snap)
+    candidates: list[str] = []
+    for e in data_entries:
+        lo_b = e["lower"].get(kf["id"])
+        hi_b = e["upper"].get(kf["id"])
+        if lo_b is None or hi_b is None:
+            raise ValueError(
+                f"no {key_col!r} bounds for {e['file_path']!r} "
+                "(boundary: pre-bounds table)"
+            )
+        if not (_bound_int(hi_b, kf["type"]) < lo
+                or _bound_int(lo_b, kf["type"]) > hi):
+            candidates.append(e["file_path"])
+    seq = meta["last-sequence-number"] + 1
+    if seq > 1 << 20:
+        raise ValueError("sequence number past cap (boundary)")
+    snap_id = seq * 100 + 7
+    del_rel = None
+    del_rows = 0
+    if candidates:
+        matches = spark.read.schema(schema).parquet(
+            *sorted(os.path.join(path, rel) for rel in candidates)
+        ).filter(
+            (F.col(key_col) >= F.lit(lo))
+            & (F.col(key_col) <= F.lit(hi))
+        ).select(
+            F.concat(
+                F.lit("data/"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            ).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        staging = os.path.join(
+            path, f".staging-{uuid.uuid4().hex[:12]}")
+        # spec: rows within a delete file sorted by file_path, pos
+        matches.repartition(1).sortWithinPartitions(
+            "file_path", "pos"
+        ).write.parquet(staging)
+        import shutil
+
+        part_files = sorted(
+            n for n in os.listdir(staging) if n.endswith(".parquet")
+        )
+        if len(part_files) != 1:
+            raise ValueError("delete staging not a single file")
+        del_rel = f"data/pos-delete-{snap_id}.parquet"
+        os.rename(os.path.join(staging, part_files[0]),
+                  os.path.join(path, del_rel))
+        shutil.rmtree(staging)
+        import pyarrow.parquet as pq
+
+        del_rows = pq.ParquetFile(
+            os.path.join(path, del_rel)).metadata.num_rows
+        if del_rows == 0:
+            os.remove(os.path.join(path, del_rel))
+            del_rel = None
+    data_bytes, data_counts, data_min = _existing_entry_bytes(
+        data_entries, pfields, seq, snap_id)
+    manifests = [{
+        "rel": f"metadata/m-{snap_id}.avro",
+        "entries": data_bytes,
+        "pfields": pfields,
+        "content": 0,
+        "counts": data_counts,
+        "min_seq": data_min,
+    }]
+    del_bytes, del_counts, del_min = _existing_entry_bytes(
+        delete_entries, pfields, seq, snap_id, content=1)
+    if del_rel is not None:
+        del_bytes.append(_encode_entry(
+            1, snap_id, seq, del_rel, b"",
+            del_rows, os.path.getsize(os.path.join(path, del_rel)),
+            {}, {}, content=1,
+        ))
+        del_counts["n_added"] += 1
+        del_counts["rows_added"] += del_rows
+    if del_bytes:
+        manifests.append({
+            "rel": f"metadata/dm-{snap_id}.avro",
+            "entries": del_bytes,
+            "pfields": pfields,
+            "content": 1,
+            "counts": del_counts,
+            "min_seq": del_min,
+        })
+    summary = dict(data_counts)
+    _commit_snapshot(path, meta, version, seq, snap_id, manifests,
+                     summary, "delete", now_ms)
+    return {
+        "snapshot_id": snap_id,
+        "files_rewritten": 0,
+        "files_with_candidates": len(candidates),
+        "delete_file": del_rel,
+        "delete_rows": del_rows,
+    }
+
+
+def purge_deletes_iceberg(path: str, now_ms: int = 0) -> dict:
+    """Apply and DROP all live position-delete files (the
+    ``rewrite_position_delete_files`` maintenance action): data
+    files that have at least one delete position are rewritten
+    merge-on-read (survivor rows only), untouched files carry over
+    with original snapshot/sequence numbers, and the new snapshot
+    references NO delete entries — unblocking the copy-on-write DML
+    paths that loud-reject MOR state.  The superseded delete parquet
+    files stay on disk for time travel until ``expire_iceberg``
+    reclaims them (same lifecycle as superseded data files)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("purge needs an active SparkSession")
+    version, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    pfields = _spec_fields(meta)
+    if pfields:
+        raise ValueError(
+            "purge on a partitioned table unsupported (boundary: "
+            "the MOR writer is unpartitioned-only)"
+        )
+    schema = _schema_to_spark(meta["schemas"][0])
+    cur_snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    data_entries, delete_entries = _snapshot_entries_mor(
+        path, cur_snap)
+    if not delete_entries:
+        return {"snapshot_id": None, "files_rewritten": 0,
+                "delete_files_dropped": 0}
+    del_paths = sorted(
+        os.path.join(path, e["file_path"]) for e in delete_entries
+    )
+    del_df = spark.read.schema(
+        "file_path string, pos long").parquet(*del_paths)
+    affected = {
+        r["file_path"]
+        for r in del_df.select("file_path").distinct().collect()
+    }  # bounded: one row per file with deletions
+    by_path = {e["file_path"]: e for e in data_entries}
+    # delete rows naming since-rewritten paths are legal dead weight
+    # (they match nothing) — only live data files rewrite
+    affected &= set(by_path)
+    seq = meta["last-sequence-number"] + 1
+    if seq > 1 << 20:
+        raise ValueError("sequence number past cap (boundary)")
+    snap_id = seq * 100 + 7
+    placed: list[tuple[str, dict]] = []
+    if affected:
+        names = [f.name for f in schema.fields]
+        scan = spark.read.schema(schema).parquet(
+            *sorted(os.path.join(path, rel) for rel in affected)
+        ).withColumn(
+            "_mor_name",
+            F.concat(
+                F.lit("data/"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            ),
+        ).withColumn("_mor_pos", F.col("_metadata.row_index"))
+        survivors = scan.join(
+            F.broadcast(del_df.select(
+                F.col("file_path").alias("_mor_name"),
+                F.col("pos").alias("_mor_pos"),
+            )),
+            on=["_mor_name", "_mor_pos"],
+            how="left_anti",
+        ).select(*names)
+        placed = _stage_cow_files(survivors, path, snap_id, [])
+    ice_schema = meta["schemas"][0]
+    entry_bytes = []
+    c = {"n_added": 0, "rows_added": 0, "n_existing": 0,
+         "rows_existing": 0, "n_deleted": 0, "rows_deleted": 0}
+    for rel, _pv in placed:
+        full = os.path.join(path, rel)
+        nrec, lower, upper = _footer_bounds(full, ice_schema)
+        entry_bytes.append(_encode_entry(
+            1, snap_id, seq, rel, b"",
+            nrec, os.path.getsize(full), lower, upper,
+        ))
+        c["n_added"] += 1
+        c["rows_added"] += nrec
+    carry_bytes, carry_counts, min_seq = _existing_entry_bytes(
+        data_entries, pfields, seq, snap_id,
+        status_for={p: 2 for p in affected},
+    )
+    entry_bytes.extend(carry_bytes)
+    for k in carry_counts:
+        c[k] += carry_counts[k]
+    # the delete manifest: every delete file goes status=2 — the new
+    # snapshot references zero live delete entries
+    dd_bytes, dd_counts, dd_min = _existing_entry_bytes(
+        delete_entries, pfields, seq, snap_id, content=1,
+        status_for={e["file_path"]: 2 for e in delete_entries},
+    )
+    manifests = [{
+        "rel": f"metadata/m-{snap_id}.avro",
+        "entries": entry_bytes,
+        "pfields": pfields,
+        "content": 0,
+        "counts": c,
+        "min_seq": min_seq,
+    }, {
+        "rel": f"metadata/dm-{snap_id}.avro",
+        "entries": dd_bytes,
+        "pfields": pfields,
+        "content": 1,
+        "counts": dd_counts,
+        "min_seq": dd_min,
+    }]
+    _commit_snapshot(path, meta, version, seq, snap_id, manifests,
+                     c, "replace", now_ms)
+    return {
+        "snapshot_id": snap_id,
+        "files_rewritten": len(affected),
+        "files_added": len(placed),
+        "delete_files_dropped": len(delete_entries),
+    }
+
+
 def snapshot_at_timestamp(path: str, ts_ms: int) -> int:
     """``FOR TIMESTAMP AS OF`` resolution from the snapshot-log: the
     LAST snapshot whose timestamp-ms is <= ``ts_ms``.  Metadata-only.
@@ -1239,7 +1623,8 @@ def read_iceberg(
     schema = _schema_to_spark(meta["schemas"][0])
     pfields = _spec_fields(meta)
     pnames = [n for n, _t in pfields]
-    files = _snapshot_files(path, meta, snap)
+    data_entries, delete_entries = _snapshot_entries_mor(path, snap)
+    files = [(e["file_path"], e["partition"]) for e in data_entries]
     if where:
         for k in where:
             if k not in pnames:
@@ -1258,9 +1643,45 @@ def read_iceberg(
         reader = reader.option(
             "basePath", os.path.join(path, "data")
         )
-    return reader.parquet(
+    scan = reader.parquet(
         *sorted(os.path.join(path, rel) for rel, _p in files)
     )
+    if not delete_entries:
+        return scan
+    # merge-on-read: subtract position deletes (spec schema
+    # file_path + pos) via a broadcast LEFT ANTI join on (file
+    # basename, _metadata.row_index).  Basenames are unique
+    # table-wide (writer names embed the snapshot id), and a delete
+    # row naming a since-rewritten path matches nothing — exact-path
+    # semantics make the sequence-number applicability rule a no-op
+    # here.  Delete files referencing PRUNED partitions' files also
+    # match nothing, so `where` stays manifest-layer pruning.
+    from pyspark.sql import functions as F
+
+    names = [f.name for f in schema.fields]
+    del_reader = spark.read.schema("file_path string, pos long")
+    del_df = del_reader.parquet(
+        *sorted(
+            os.path.join(path, e["file_path"])
+            for e in delete_entries
+        )
+    ).select(
+        F.element_at(
+            F.split(F.col("file_path"), "/"), -1
+        ).alias("_mor_name"),
+        F.col("pos").alias("_mor_pos"),
+    )
+    probed = scan.withColumn(
+        "_mor_name",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ),
+    ).withColumn("_mor_pos", F.col("_metadata.row_index"))
+    return probed.join(
+        F.broadcast(del_df),
+        on=["_mor_name", "_mor_pos"],
+        how="left_anti",
+    ).select(*names)
 
 
 def expire_iceberg(
@@ -1312,8 +1733,12 @@ def expire_iceberg(
             lists.add(ml_rel)
             for mf in decode_avro_blocks(open(ml_path, "rb").read()):
                 manifests.add(mf["manifest_path"])
-            for rel, _p in _snapshot_files(path, meta, s):
-                data.add(rel)
+            d_entries, del_entries = _snapshot_entries_mor(
+                path, s)
+            for e in d_entries + del_entries:
+                # position-delete parquet files are reachable state
+                # exactly like data files
+                data.add(e["file_path"])
         return lists, manifests, data
 
     keep_lists, keep_manifests, keep_data = reach(retained)

@@ -1,0 +1,196 @@
+"""Merge-on-read position deletes on native Iceberg tables —
+sources/iceberg_native.py:mor_delete_iceberg / purge_deletes_iceberg
+and the MOR-aware read.  The delete parquet is cross-decoded by the
+independent forensics reader
+(functions/iceberg_scan.py:_load_positional_deletes)."""
+
+from __future__ import annotations
+
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouseproject_spark.sources.iceberg_native import (
+    delete_iceberg,
+    expire_iceberg,
+    merge_iceberg,
+    mor_delete_iceberg,
+    optimize_iceberg,
+    purge_deletes_iceberg,
+    read_iceberg,
+    write_iceberg,
+)
+
+
+def _tbl(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _mk(spark, root, n=400, files=4):
+    base = spark.range(n).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 3).cast("long").alias("v"))
+    write_iceberg(
+        base.repartitionByRange(files, "k").sortWithinPartitions("k"),
+        root, now_ms=1_000,
+    )
+
+
+def _datafiles(root):
+    return sorted(
+        f for f in os.listdir(os.path.join(root, "data"))
+        if f.startswith("part-")
+    )
+
+
+def test_mor_delete_rewrites_nothing(spark, tmp_path):
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    before = {
+        f: os.path.getsize(os.path.join(root, "data", f))
+        for f in _datafiles(root)
+    }
+    m = mor_delete_iceberg(root, "k", 50, 149, now_ms=2_000)
+    assert m["files_rewritten"] == 0
+    assert m["files_with_candidates"] == 2
+    assert m["delete_rows"] == 100
+    after = {
+        f: os.path.getsize(os.path.join(root, "data", f))
+        for f in _datafiles(root)
+    }
+    assert before == after
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in range(400) if not 50 <= k <= 149]
+
+
+def test_mor_second_delete_unions(spark, tmp_path):
+    """Duplicate positions across delete files are legal — readers
+    union; the second delete file carries only its own matches."""
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    mor_delete_iceberg(root, "k", 50, 149, now_ms=2_000)
+    m2 = mor_delete_iceberg(root, "k", 120, 220, now_ms=3_000)
+    # 120..149 rematch (dupes, legal) + 150..220 fresh = 101 rows
+    assert m2["delete_rows"] == 101
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in range(400) if not 50 <= k <= 220]
+
+
+def test_mor_time_travel(spark, tmp_path):
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    m1 = mor_delete_iceberg(root, "k", 50, 149, now_ms=2_000)
+    mor_delete_iceberg(root, "k", 150, 199, now_ms=3_000)
+    assert read_iceberg(
+        spark, root, snapshot_id=m1["snapshot_id"]).count() == 300
+    assert read_iceberg(spark, root).count() == 250
+
+
+def test_mor_fences_cow_dml(spark, tmp_path):
+    """Every copy-on-write path loud-rejects while live position
+    deletes exist — a raw rewrite would resurrect deleted rows."""
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    mor_delete_iceberg(root, "k", 50, 149, now_ms=2_000)
+    upd = spark.range(10).select(
+        F.col("id").cast("long").alias("k"),
+        F.lit(-1).cast("long").alias("v"))
+    with pytest.raises(ValueError, match="position-delete"):
+        merge_iceberg(root, upd, "k", now_ms=3_000)
+    with pytest.raises(ValueError, match="position-delete"):
+        delete_iceberg(root, "k", 0, 5, now_ms=3_000)
+    with pytest.raises(ValueError, match="position-delete"):
+        optimize_iceberg(root, target_rows=1_000, now_ms=3_000)
+
+
+def test_mor_purge_applies_and_unblocks(spark, tmp_path):
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    mor_delete_iceberg(root, "k", 50, 149, now_ms=2_000)
+    before = sorted(
+        r["k"] for r in read_iceberg(spark, root).collect())
+    p = purge_deletes_iceberg(root, now_ms=3_000)
+    assert p["delete_files_dropped"] == 1
+    assert p["files_rewritten"] == 2
+    after = sorted(
+        r["k"] for r in read_iceberg(spark, root).collect())
+    assert before == after
+    # COW DML unblocked
+    upd = spark.range(300, 305).select(
+        F.col("id").cast("long").alias("k"),
+        F.lit(-1).cast("long").alias("v"))
+    merge_iceberg(root, upd, "k", now_ms=4_000)
+    got = {r["k"]: r["v"] for r in read_iceberg(spark, root).collect()}
+    assert got[301] == -1 and 70 not in got
+    # purge with no deletes is a no-op
+    p2 = purge_deletes_iceberg(root, now_ms=5_000)
+    assert p2["snapshot_id"] is None
+
+
+def test_mor_untouched_files_have_no_candidates(spark, tmp_path):
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    m = mor_delete_iceberg(root, "k", 0, 49, now_ms=2_000)
+    assert m["files_with_candidates"] == 1
+
+
+def test_mor_no_match_no_delete_file(spark, tmp_path):
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    m = mor_delete_iceberg(root, "k", 10_000, 20_000, now_ms=2_000)
+    assert m["delete_file"] is None and m["delete_rows"] == 0
+    assert read_iceberg(spark, root).count() == 400
+
+
+def test_mor_forensics_cross_decode(spark, tmp_path):
+    """The independent positional-delete decoder reads the native
+    writer's delete parquet to the exact (file, position) set."""
+    import pyarrow.parquet as pq
+
+    from datawarehouseproject_spark.functions.iceberg_scan import (
+        _load_positional_deletes,
+    )
+
+    root = _tbl(tmp_path)
+    _mk(spark, root, n=100, files=2)
+    m = mor_delete_iceberg(root, "k", 10, 19, now_ms=2_000)
+    files = {}
+    for dp, _dn, fns in os.walk(root):
+        for fn in fns:
+            full = os.path.join(dp, fn)
+            with open(full, "rb") as fh:
+                files[os.path.relpath(full, root)] = fh.read()
+    rel = m["delete_file"]
+    nrows = pq.read_table(io.BytesIO(files[rel])).num_rows
+    decoded = _load_positional_deletes(files, [(rel, nrows)])
+    assert len(decoded) == 1
+    (positions,) = decoded.values()
+    assert sorted(positions) == list(range(10, 20))
+
+
+def test_mor_expire_reclaims_superseded_deletes(spark, tmp_path):
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    mor_delete_iceberg(root, "k", 50, 149, now_ms=2_000)
+    purge_deletes_iceberg(root, now_ms=3_000)
+    keep = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    ex = expire_iceberg(root, older_than_ms=2_500, now_ms=4_000)
+    assert ex["expired"] >= 1
+    assert not [
+        f for f in os.listdir(os.path.join(root, "data"))
+        if f.startswith("pos-delete")
+    ]
+    assert sorted(
+        r["k"] for r in read_iceberg(spark, root).collect()) == keep
+
+
+def test_mor_partitioned_is_a_loud_boundary(spark, tmp_path):
+    root = _tbl(tmp_path)
+    base = spark.range(100).select(
+        (F.col("id") % 2).cast("long").alias("p"),
+        F.col("id").cast("long").alias("k"))
+    write_iceberg(base, root, now_ms=1_000, partition_by=["p"])
+    with pytest.raises(ValueError, match="partitioned"):
+        mor_delete_iceberg(root, "k", 0, 9, now_ms=2_000)
