@@ -10322,3 +10322,59 @@ def q_iceberg_native_position_deletes(
     expire_iceberg(root, older_than_ms=3_500, now_ms=5_000)
     return read_iceberg(spark, root).select(
         "k", F.col("v").cast("int").alias("v"))
+
+
+@register(
+    "delta_to_iceberg_uniform",
+    oracle="""
+    SELECT p_partkey AS k,
+           CAST(-length(p_name) AS INTEGER) AS v
+    FROM part WHERE p_partkey % 10 = 0
+    UNION ALL
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER)
+    FROM part WHERE p_partkey % 2 = 0 AND p_partkey % 10 <> 0
+    """,
+    tags=("sources", "delta-lake", "iceberg", "lakehouse",
+          "uniform", "interop", "metadata-only"),
+)
+def q_delta_to_iceberg_uniform(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UniForm-style METADATA-ONLY Delta -> Iceberg conversion
+    (round 14 continuation — ``sources/uniform.py``): a native Delta
+    table (write + MERGE) gains co-located Iceberg v2 metadata
+    referencing the SAME parquet files — zero data copy — and the
+    result is served through the ICEBERG reader
+    (``read_iceberg``).  The sync is incremental: the first convert
+    maps the initial file set, the post-MERGE re-sync commits one
+    Iceberg snapshot whose diff carries untouched files status-0
+    with their original snapshot ids (pytest-pinned).  The oracle
+    recomputes the post-merge rows; a dropped file, stale carried
+    entry, or a reader disagreement between the two formats all
+    hash-mismatch."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import merge_delta, write_delta
+    from ..sources.iceberg_native import read_iceberg
+    from ..sources.uniform import convert_delta_to_iceberg
+
+    root = tempfile.mkdtemp(prefix="dw_uniform_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_000,
+    )
+    convert_delta_to_iceberg(root, now_ms=1_500)
+    updates = part.filter("p_partkey % 10 = 0").select(
+        F.col("p_partkey").alias("k"),
+        (-F.length("p_name")).cast("int").alias("v"),
+    )
+    merge_delta(root, updates, "k", now_ms=2_000)
+    convert_delta_to_iceberg(root, now_ms=2_500)
+    return read_iceberg(spark, root).select("k", "v")

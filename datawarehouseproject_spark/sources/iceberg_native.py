@@ -1639,10 +1639,13 @@ def read_iceberg(
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema)
     if pnames:
-        # partition columns materialize from the Hive layout
-        reader = reader.option(
-            "basePath", os.path.join(path, "data")
-        )
+        # partition columns materialize from the Hive layout; a
+        # UniForm-converted table (sources/uniform.py) keeps its
+        # data files at the DELTA root rather than under data/
+        base = os.path.join(path, "data") if all(
+            rel.startswith("data/") for rel, _p in files
+        ) else path
+        reader = reader.option("basePath", base)
     scan = reader.parquet(
         *sorted(os.path.join(path, rel) for rel, _p in files)
     )
