@@ -10378,3 +10378,117 @@ def q_delta_to_iceberg_uniform(
     merge_delta(root, updates, "k", now_ms=2_000)
     convert_delta_to_iceberg(root, now_ms=2_500)
     return read_iceberg(spark, root).select("k", "v")
+
+
+@register(
+    "stream_left_outer_join",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    r AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click'),
+    cutoff AS (
+      SELECT least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r))
+             - INTERVAL 60 MINUTE AS wm)
+    SELECT l.user_id,
+           l.event_id AS purchase_id,
+           r.event_id AS click_id,
+           l.ts AS purchase_ts,
+           r.ts AS click_ts
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts <= l.ts
+     AND r.ts >= l.ts - INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT l.user_id, l.event_id, CAST(NULL AS BIGINT), l.ts,
+           CAST(NULL AS TIMESTAMP)
+    FROM l, cutoff
+    WHERE l.ts < cutoff.wm
+      AND NOT EXISTS (
+        SELECT 1 FROM r
+        WHERE r.user_id = l.user_id
+          AND r.ts <= l.ts
+          AND r.ts >= l.ts - INTERVAL 30 MINUTE)
+    """,
+    tags=("streaming", "stream-stream-join", "interval-join",
+          "left-outer", "watermark", "availableNow", "attribution"),
+)
+def q_stream_left_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join under the oracle
+    (round 14 continuation): the attribution join of
+    ``stream_interval_join`` with the UNMATCHED purchases kept —
+    the shape that surfaces un-attributed conversions in a live
+    pipeline.  Outer semantics are watermark-driven and the oracle
+    recomputes them EXPLICITLY: an unmatched purchase emits its
+    NULL-click row only once the GLOBAL watermark (min over both
+    streams of max event time - 60 min delay) passes it — pinned
+    empirically as STRICT ``l_ts < watermark`` (a row exactly AT the
+    watermark stays in state and is discarded at stream end, tested
+    at 1-second granularity in ``tests/test_stream_joins.py``).
+    Matched pairs emit exactly as the inner join does.  State stays
+    O(rate × interval) via the same eviction maths
+    (``streaming/joins.py:stream_interval_join`` with
+    ``how='left_outer'``)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    _utc(spark)
+    from ..streaming.joins import stream_interval_join
+
+    root = tempfile.mkdtemp(prefix="dw_stream_loj_")
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    events.filter("event_type = 'purchase'").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{root}/left")
+    events.filter("event_type = 'click'").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{root}/right")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    left = (
+        spark.readStream.schema(schema).parquet(f"{root}/left")
+        .select("user_id", F.col("ts").alias("l_ts"),
+                F.col("event_id").alias("purchase_id"))
+    )
+    right = (
+        spark.readStream.schema(schema).parquet(f"{root}/right")
+        .select("user_id", F.col("ts").alias("r_ts"),
+                F.col("event_id").alias("click_id"))
+    )
+    joined = stream_interval_join(
+        left, right, on="user_id", left_ts="l_ts", right_ts="r_ts",
+        lookback="30 minutes", watermark="60 minutes",
+        how="left_outer",
+    )
+    # same state-store economics as stream_interval_join: scope the
+    # shuffle-partition count to the stream and restore
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/cp")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(f"{root}/out").select(
+        "user_id",
+        "purchase_id",
+        F.col("r_click_id").alias("click_id"),
+        F.col("l_ts").alias("purchase_ts"),
+        F.col("r_r_ts").alias("click_ts"),
+    )

@@ -32,15 +32,27 @@ def stream_interval_join(
     right_ts: str,
     lookback: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Join right-side events occurring in ``[left_ts - lookback,
     left_ts]`` for the same ``on`` key.
 
     Both inputs get a watermark (required for state eviction on a
-    stream-stream inner join); on batch frames the same plan runs
-    with the watermarks ignored, so unit tests and the batch oracle
+    stream-stream join); on batch frames the same plan runs with
+    the watermarks ignored, so unit tests and the batch oracle
     share this code path.
+
+    ``how='left_outer'``: unmatched left rows emit with NULL right
+    columns — but only once the GLOBAL watermark (min over both
+    sides of max event time - delay) passes the point where the row
+    provably cannot match anymore; rows still inside the watermark
+    horizon when the stream ends are discarded with the state, NOT
+    emitted.  That trailing-edge semantics is the documented
+    Structured Streaming outer-join contract, and the registry
+    oracle recomputes the cutoff explicitly.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"join type {how!r} unsupported")
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = (
         right.withWatermark(right_ts, watermark)
@@ -55,7 +67,7 @@ def stream_interval_join(
             >= lw[left_ts] - F.expr(f"INTERVAL {lookback}")
         )
     )
-    return lw.join(rw, cond, "inner").select(
+    return lw.join(rw, cond, how).select(
         lw["*"],
         *[
             rw[c].alias(f"r_{c}")

@@ -114,3 +114,100 @@ def test_stream_static_enrich_end_to_end(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enriched").collect()
     }
     assert got == want
+
+
+def test_left_outer_watermark_boundary(spark, tmp_path):
+    """Outer-null emission is STRICTLY l_ts < global watermark
+    (min over both streams of max event time - delay): a row one
+    second before the watermark emits its null, a row exactly AT it
+    is discarded with the state — the boundary the registry oracle
+    (stream_left_outer_join) recomputes."""
+    left = [
+        (1, "2024-01-01 01:59:59", 200),   # < wm 02:00 -> null row
+        (1, "2024-01-01 02:00:00", 201),   # == wm -> discarded
+        (1, "2024-01-01 02:00:01", 202),   # > wm -> discarded
+        (7, "2024-01-01 02:15:00", 205),   # sets left max ts
+    ]
+    right = [
+        (9, "2024-01-01 02:15:00", 902),   # sets right max ts
+    ]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    _rows(spark, left).write.parquet(ldir)
+    _rows(spark, right).write.parquet(rdir)
+    ls = spark.readStream.schema(SCHEMA).parquet(ldir)
+    rs = spark.readStream.schema(SCHEMA).parquet(rdir)
+    joined = stream_interval_join(
+        ls, rs, on="user_id", left_ts="ts", right_ts="ts",
+        lookback="10 minutes", watermark="15 minutes",
+        how="left_outer",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("loj_boundary")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM loj_boundary").collect()
+    )
+    assert got == [(200, None)]
+
+
+def test_left_outer_matched_and_unmatched(spark, tmp_path):
+    """Matched pairs emit like the inner join; unmatched rows past
+    the watermark emit exactly one null row each."""
+    left = [
+        (1, "2024-01-01 00:00:00", 100),   # unmatched (click after)
+        (1, "2024-01-01 00:10:00", 101),   # matched by 900
+        (2, "2024-01-01 00:20:00", 102),   # unmatched
+        (7, "2024-01-01 02:15:00", 105),   # inside horizon: dropped
+    ]
+    right = [
+        (1, "2024-01-01 00:08:00", 900),
+        (9, "2024-01-01 02:15:00", 902),
+    ]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    _rows(spark, left).write.parquet(ldir)
+    _rows(spark, right).write.parquet(rdir)
+    ls = spark.readStream.schema(SCHEMA).parquet(ldir)
+    rs = spark.readStream.schema(SCHEMA).parquet(rdir)
+    joined = stream_interval_join(
+        ls, rs, on="user_id", left_ts="ts", right_ts="ts",
+        lookback="10 minutes", watermark="15 minutes",
+        how="left_outer",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("loj_mixed")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM loj_mixed").collect()
+    )
+    assert got == [(100, None), (101, 900), (102, None)]
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        stream_interval_join(
+            _rows(spark, ERRORS), _rows(spark, CLICKS),
+            on="user_id", left_ts="ts", right_ts="ts",
+            how="full_outer",
+        )
