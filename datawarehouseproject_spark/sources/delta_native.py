@@ -814,6 +814,15 @@ def _scan_live(spark, path: str, bodies: dict[str, dict],
                     raise ValueError(
                         f"deletion vector file {bin_rel!r} missing"
                     )
+                # size fence DRIVER-side so a truncated bin stays a
+                # ValueError (the executor decode re-validates crc
+                # and layout, but its errors surface as opaque task
+                # failures)
+                need = d["offset"] + 4 + d["sizeInBytes"] + 4
+                if os.path.getsize(bin_full) < need:
+                    raise ValueError(
+                        f"deletion vector file {bin_rel!r} truncated"
+                    )
             meta_rows.append(
                 (os.path.basename(rel), json.dumps(raw), bin_full)
             )

@@ -1662,6 +1662,12 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     names = [f.name for f in schema.fields]
+    for e in delete_entries:
+        if not os.path.exists(os.path.join(path, e["file_path"])):
+            raise ValueError(
+                f"position-delete file {e['file_path']!r} missing "
+                "from table"
+            )
     del_reader = spark.read.schema("file_path string, pos long")
     del_df = del_reader.parquet(
         *sorted(

@@ -331,3 +331,22 @@ def test_reader_protocol_fence(spark, tmp_path):
         }}) + "\n")
     with pytest.raises(ValueError, match="reader protocol"):
         read_delta(spark, root)
+
+
+def test_dv_missing_or_truncated_bin_is_loud(spark, tmp_path):
+    """Quarantine fences: a vanished or truncated .bin surfaces as
+    ValueError at PLAN time (driver-side), not an opaque task
+    failure mid-scan."""
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    dv_delete_delta(root, "k", 50, 149, now_ms=2_000)
+    (bin_name,) = _bins(root)
+    full = os.path.join(root, bin_name)
+    blob = open(full, "rb").read()
+    with open(full, "wb") as fh:
+        fh.write(blob[: len(blob) // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        read_delta(spark, root).collect()
+    os.remove(full)
+    with pytest.raises(ValueError, match="missing"):
+        read_delta(spark, root).collect()

@@ -194,3 +194,12 @@ def test_mor_partitioned_is_a_loud_boundary(spark, tmp_path):
     write_iceberg(base, root, now_ms=1_000, partition_by=["p"])
     with pytest.raises(ValueError, match="partitioned"):
         mor_delete_iceberg(root, "k", 0, 9, now_ms=2_000)
+
+
+def test_mor_missing_delete_file_is_loud(spark, tmp_path):
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    m = mor_delete_iceberg(root, "k", 50, 149, now_ms=2_000)
+    os.remove(os.path.join(root, m["delete_file"]))
+    with pytest.raises(ValueError, match="missing"):
+        read_iceberg(spark, root).collect()
