@@ -4235,3 +4235,48 @@ def extract_delta_detail(
         return delta_detail_table
 
     return _extract_metadata(media, DELTA_DETAIL_SCHEMA, loader, permissive)
+
+
+def synthesize_hudi_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """id column -> (media_id, payload) of Apache Hudi COPY_ON_WRITE
+    table bundles (timeline + file slices + write stats,
+    ``functions/hudi_scan.py:synth_hudi``)."""
+
+    def loader():
+        from ..functions.hudi_scan import synth_hudi
+
+        return synth_hudi
+
+    return _synthesize_media(ids, id_col, loader)
+
+
+HUDI_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_instants", T.IntegerType()),
+        T.StructField("n_completed", T.IntegerType()),
+        T.StructField("file_groups", T.IntegerType()),
+        T.StructField("live_files", T.IntegerType()),
+        T.StructField("skipped_inflight_files", T.IntegerType()),
+        T.StructField("replaced_slices", T.IntegerType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("v_sum", T.LongType()),
+        T.StructField("rows_asof_first", T.LongType()),
+        T.StructField("rows_written_by_last", T.LongType()),
+    ]
+)
+
+
+def extract_hudi_scan(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Hudi COW timeline + file-slice snapshot readout per payload
+    (:func:`..functions.hudi_scan.scan_hudi`)."""
+
+    def loader():
+        from ..functions.hudi_scan import scan_hudi
+
+        return scan_hudi
+
+    return _extract_metadata(media, HUDI_SCAN_SCHEMA, loader, permissive)

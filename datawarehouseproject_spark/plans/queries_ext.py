@@ -10492,3 +10492,73 @@ def q_stream_left_outer_join(
         F.col("l_ts").alias("purchase_ts"),
         F.col("r_r_ts").alias("click_ts"),
     )
+
+
+@register(
+    "hudi_cow_snapshot_scan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, 3 + doc_id % 3 AS ng FROM documents),
+    g AS (
+      SELECT media_id, ng, unnest(generate_series(0, ng - 1)) AS i
+      FROM m),
+    s AS (
+      SELECT media_id, ng, i,
+             20 + (media_id + i) % 30 AS rows1,
+             1000 * i + media_id % 50 AS lo,
+             CASE WHEN i % 3 = media_id % 3 THEN 1 ELSE 0 END AS upd
+      FROM g),
+    v AS (
+      SELECT media_id, ng, i, rows1, lo, upd,
+             rows1 + 5 * upd AS live
+      FROM s)
+    SELECT media_id,
+           CAST(3 AS INTEGER) AS n_instants,
+           CAST(2 AS INTEGER) AS n_completed,
+           CAST(max(ng) AS INTEGER) AS file_groups,
+           CAST(max(ng) AS INTEGER) AS live_files,
+           CAST(1 AS INTEGER) AS skipped_inflight_files,
+           CAST(sum(upd) AS INTEGER) AS replaced_slices,
+           CAST(sum(live) AS BIGINT) AS total_rows,
+           CAST(sum(lo * live + live * (live - 1) // 2) AS BIGINT)
+             AS v_sum,
+           CAST(sum(rows1) AS BIGINT) AS rows_asof_first,
+           CAST(sum(live * upd) AS BIGINT) AS rows_written_by_last
+    FROM v
+    GROUP BY media_id
+    """,
+    tags=("sources", "hudi", "lakehouse", "timeline", "file-slices",
+          "mapInPandas"),
+)
+def q_hudi_cow_snapshot_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apache Hudi COPY_ON_WRITE table layout (round 14
+    continuation — the THIRD lakehouse format family beside
+    Delta/Iceberg): per-document synthetic COW bundles decoded by
+    the hand timeline + file-slice reader
+    (``functions/hudi_scan.py``).  Each bundle carries two COMPLETED
+    commits (the second an UPSERT laying new file slices over a
+    subset of file groups — snapshot must serve the newest completed
+    slice per group and count the superseded ones), one INFLIGHT
+    instant whose orphan base file must stay invisible (the
+    crash-consistency rule a 'latest file by name' reader breaks,
+    oracle-visible via total_rows/v_sum), Hive partition dirs, and
+    per-commit write stats that the reader cross-checks
+    size/row-count/name field by field.  Time travel (rows as of the
+    first commit) and the incremental readout (rows written by the
+    last commit) come from the same timeline walk.  The oracle
+    recomputes every aggregate from the synth formula."""
+    _utc(spark)
+    from ..operators.multimodal import (
+        extract_hudi_scan,
+        synthesize_hudi_media,
+    )
+
+    media = synthesize_hudi_media(_t(spark, sf_dir, "documents"))
+    return extract_hudi_scan(media).select(
+        "media_id", "n_instants", "n_completed", "file_groups",
+        "live_files", "skipped_inflight_files", "replaced_slices",
+        "total_rows", "v_sum", "rows_asof_first",
+        "rows_written_by_last",
+    )

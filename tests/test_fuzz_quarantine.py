@@ -25,6 +25,7 @@ def _cases():
         flac,
         gif,
         h264,
+        hudi_scan,
         inflate,
         ico,
         delta_log,
@@ -247,6 +248,7 @@ def _cases():
             iceberg_scan.iceberg_expire_snapshots_plan,
         ),
         ("delta", delta_log.synth_delta, delta_log.scan_delta),
+        ("hudi", hudi_scan.synth_hudi, hudi_scan.scan_hudi),
         (
             "delta_history",
             delta_log.synth_delta_history,
