@@ -10562,3 +10562,116 @@ def q_hudi_cow_snapshot_scan(
         "total_rows", "v_sum", "rows_asof_first",
         "rows_written_by_last",
     )
+
+
+@register(
+    "delta_native_restore",
+    oracle="""
+    SELECT p_partkey AS k,
+           CAST(-length(p_name) AS INTEGER) AS v
+    FROM part WHERE p_partkey % 10 = 0
+    UNION ALL
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER)
+    FROM part WHERE p_partkey % 2 = 0 AND p_partkey % 10 <> 0
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "restore", "time-travel", "metadata-only"),
+)
+def q_delta_native_restore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTORE TO VERSION AS OF (round 14 continuation —
+    ``sources/delta_native.py:restore_delta``): write -> MERGE ->
+    deletion-vector DELETE -> restore to the post-MERGE version.
+    The restore is a NEW metadata-only commit (zero data files move,
+    pytest-pinned) that re-adds the target version's live set with
+    its ORIGINAL stats and DV descriptors and tombstones the rest;
+    history above it stays readable.  The oracle recomputes the
+    post-merge rows — a restore that lands on v0 (missing the
+    updates), stays on the DV-deleted head, or drops a descriptor
+    all hash-mismatch."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import (
+        dv_delete_delta,
+        merge_delta,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_delta_rst_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_000,
+    )
+    updates = part.filter("p_partkey % 10 = 0").select(
+        F.col("p_partkey").alias("k"),
+        (-F.length("p_name")).cast("int").alias("v"),
+    )
+    merge_delta(root, updates, "k", now_ms=2_000)       # v1
+    dv_delete_delta(root, "k", 100, 400, now_ms=3_000)  # v2
+    restore_delta(root, 1, now_ms=4_000)                # v3
+    return read_delta(spark, root).select("k", "v")
+
+
+@register(
+    "iceberg_native_rollback",
+    oracle="""
+    SELECT p_partkey AS k, CAST(length(p_name) AS INTEGER) AS v
+    FROM part WHERE p_partkey % 2 = 0
+    """,
+    tags=("sources", "iceberg", "lakehouse", "native-write",
+          "rollback", "tags", "refs", "metadata-only"),
+)
+def q_iceberg_native_rollback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg ROLLBACK + TAG refs (round 14 continuation —
+    ``sources/iceberg_native.py:rollback_iceberg`` / ``tag_iceberg``):
+    the base table is TAGGED, a MERGE advances main, then a
+    metadata-only rollback re-points ``current-snapshot-id`` (and
+    the main branch) at the tagged ancestor — no snapshot deleted,
+    the rolled-over one stays readable by id until expiry, and tags
+    survive intermediate commits (the refs-merge bug this round's
+    test caught: a commit that rebuilds ``refs`` with only ``main``
+    silently drops every tag).  The result is read THROUGH THE TAG,
+    which must equal the rolled-back main — the oracle recomputes
+    the pre-merge rows, so a rollback that stays on the merged head
+    or a tag resolving to the wrong snapshot hash-mismatches."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.iceberg_native import (
+        merge_iceberg,
+        read_iceberg,
+        rollback_iceberg,
+        tag_iceberg,
+        write_iceberg,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_ice_rb_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    s1 = write_iceberg(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_000,
+    )
+    tag_iceberg(root, "baseline")
+    updates = part.filter("p_partkey % 10 = 0").select(
+        F.col("p_partkey").alias("k"),
+        (-F.length("p_name")).cast("int").alias("v"),
+    )
+    merge_iceberg(root, updates, "k", now_ms=2_000)
+    rollback_iceberg(root, s1, now_ms=3_000)
+    return read_iceberg(spark, root, ref="baseline").select("k", "v")

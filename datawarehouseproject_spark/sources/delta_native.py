@@ -1496,6 +1496,87 @@ def dv_delete_delta(
     }
 
 
+def restore_delta(
+    path: str,
+    version: int,
+    now_ms: int = 0,
+) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF — real Delta's restore: a
+    NEW commit that re-adds every file live at the target version
+    (with its original stats, partitionValues, and deletion-vector
+    descriptor) and removes every currently-live file that was not.
+    History is preserved — the restore is itself a version, and time
+    travel above/below it still works.  METADATA-ONLY: zero data
+    files move.  Loud when a needed file (or its DV bin) was
+    vacuumed away — restoring to a version whose files are gone is
+    real Delta's error too.  Schema restores with the version (the
+    commit carries the target's metaData when it differs)."""
+    snap_now = _replay_state(path, None)
+    snap_to = _replay_state(path, version)
+    for rel, body in snap_to["live"].items():
+        if not os.path.exists(os.path.join(path, rel)):
+            raise ValueError(
+                f"restore needs {rel!r} which was vacuumed (boundary)"
+            )
+        dv = _dv_of(body)
+        if dv is not None and dv.get("storageType") == "u":
+            from ..functions.delta_log import _dv_relative_path
+
+            bin_rel = _dv_relative_path(dv["pathOrInlineDv"])
+            if not os.path.exists(os.path.join(path, bin_rel)):
+                raise ValueError(
+                    f"restore needs deletion vector {bin_rel!r} "
+                    "which was vacuumed (boundary)"
+                )
+    new_version = snap_now["version"] + 1
+
+    def sig(body) -> str:
+        return json.dumps(
+            {"dv": _dv_of(body)}, sort_keys=True)
+
+    now_live = snap_now["live"]
+    to_live = snap_to["live"]
+    removes = [
+        rel for rel in sorted(now_live)
+        if rel not in to_live
+        or sig(now_live[rel]) != sig(to_live[rel])
+    ]
+    adds = [
+        rel for rel in sorted(to_live)
+        if rel not in now_live
+        or sig(now_live[rel]) != sig(to_live[rel])
+    ]
+    lines = [json.dumps({"commitInfo": {
+        "operation": "RESTORE",
+        "operationParameters": {"version": str(version)},
+        "timestamp": now_ms,
+        "operationMetrics": {
+            "numRestoredFiles": str(len(adds)),
+            "numRemovedFiles": str(len(removes)),
+        },
+    }})]
+    if snap_to["meta"].get("schemaString") \
+            != snap_now["meta"].get("schemaString"):
+        lines.append(json.dumps({"metaData": snap_to["meta"]}))
+    for rel in removes:
+        lines.append(json.dumps({"remove": {
+            "path": rel, "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }}))
+    for rel in adds:
+        body = dict(snap_to["live"][rel])
+        body = {k: v for k, v in body.items() if v is not None}
+        body["dataChange"] = True
+        lines.append(json.dumps({"add": body}))
+    _commit(path, new_version, lines, [])
+    return {
+        "version": new_version,
+        "restored_to": version,
+        "files_restored": len(adds),
+        "files_removed": len(removes),
+    }
+
+
 def vacuum_delta(
     path: str,
     retention_hours: int,

@@ -651,7 +651,11 @@ def write_iceberg(
         "current-snapshot-id": snap_id,
         "snapshots": snapshots,
         "snapshot-log": log,
-        "refs": {"main": {"snapshot-id": snap_id, "type": "branch"}},
+        "refs": {
+            # tags/branches survive commits; main advances
+            **{k: v for k, v in (meta.get("refs", {}) if meta is not None else {}).items() if k != "main"},
+            "main": {"snapshot-id": snap_id, "type": "branch"},
+        },
     }
     _write_metadata(path, new_meta, version)
     return snap_id
@@ -883,7 +887,11 @@ def _commit_snapshot(
         "current-snapshot-id": snap_id,
         "snapshots": snapshots,
         "snapshot-log": log,
-        "refs": {"main": {"snapshot-id": snap_id, "type": "branch"}},
+        "refs": {
+            # tags/branches survive commits; main advances
+            **{k: v for k, v in (meta.get("refs", {}) if meta is not None else {}).items() if k != "main"},
+            "main": {"snapshot-id": snap_id, "type": "branch"},
+        },
     })
     _write_metadata(path, new_meta, version)
     return snap_id
@@ -1556,6 +1564,83 @@ def purge_deletes_iceberg(path: str, now_ms: int = 0) -> dict:
     }
 
 
+def rollback_iceberg(
+    path: str,
+    snapshot_id: int,
+    now_ms: int = 0,
+) -> dict:
+    """Rollback (the spec's ``rollback_to_snapshot`` procedure):
+    METADATA-ONLY — a new metadata version whose
+    ``current-snapshot-id`` (and the ``main`` branch ref) points at
+    the target ancestor snapshot.  No snapshot is deleted: the
+    rolled-back-over snapshots stay readable by id until
+    ``expire_iceberg`` reclaims them, and the snapshot-log records
+    the state change (time-travel-by-timestamp resolves the
+    rollback boundary correctly).  Loud when the target does not
+    exist — after an expire that is real Iceberg's error too."""
+    version, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    target = next(
+        (s for s in meta.get("snapshots", [])
+         if isinstance(s, dict)
+         and s.get("snapshot-id") == snapshot_id),
+        None,
+    )
+    if target is None:
+        raise ValueError(
+            f"snapshot {snapshot_id} does not exist (boundary: it "
+            "may have been expired)"
+        )
+    if meta["current-snapshot-id"] == snapshot_id:
+        return {"rolled_back": False, "current": snapshot_id}
+    log = list(meta.get("snapshot-log", []))
+    log.append({"timestamp-ms": now_ms, "snapshot-id": snapshot_id})
+    new_meta = dict(meta)
+    new_meta.update({
+        "last-updated-ms": now_ms,
+        "current-snapshot-id": snapshot_id,
+        "snapshot-log": log,
+        "refs": {
+            **meta.get("refs", {}),
+            "main": {"snapshot-id": snapshot_id, "type": "branch"},
+        },
+    })
+    _write_metadata(path, new_meta, version)
+    return {"rolled_back": True, "current": snapshot_id}
+
+
+def tag_iceberg(
+    path: str,
+    name: str,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Create a TAG ref (the spec's named-snapshot references):
+    metadata-only; ``read_iceberg(ref=...)`` resolves it, and
+    ``expire_iceberg`` already retains every ref target.  Defaults
+    to tagging the current snapshot."""
+    version, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    if not name or name == "main":
+        raise ValueError("tag name malformed (boundary)")
+    sid = snapshot_id if snapshot_id is not None \
+        else meta["current-snapshot-id"]
+    if not any(
+        isinstance(s, dict) and s.get("snapshot-id") == sid
+        for s in meta.get("snapshots", [])
+    ):
+        raise ValueError(f"snapshot {sid} does not exist")
+    refs = dict(meta.get("refs", {}))
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists (boundary)")
+    refs[name] = {"snapshot-id": sid, "type": "tag"}
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    _write_metadata(path, new_meta, version)
+    return {"tag": name, "snapshot_id": sid}
+
+
 def snapshot_at_timestamp(path: str, ts_ms: int) -> int:
     """``FOR TIMESTAMP AS OF`` resolution from the snapshot-log: the
     LAST snapshot whose timestamp-ms is <= ``ts_ms``.  Metadata-only.
@@ -1589,6 +1674,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     where: dict | None = None,
     as_of_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """The Iceberg table at ``path`` as a DataFrame — resolve the
     snapshot (current, a historical id, or ``as_of_ms`` timestamp =
@@ -1602,15 +1688,21 @@ def read_iceberg(
     partitions' files never reach the scan plan (asserted via
     ``inputFiles()`` in tests).  Keys must be declared partition
     fields; a typo loud-rejects instead of silently full-scanning."""
+    if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
+        raise ValueError(
+            "pass at most one of snapshot_id / as_of_ms / ref"
+        )
     if as_of_ms is not None:
-        if snapshot_id is not None:
-            raise ValueError(
-                "pass snapshot_id OR as_of_ms, not both"
-            )
         snapshot_id = snapshot_at_timestamp(path, as_of_ms)
     _v, meta = _current_meta(path)
     if meta is None:
         raise ValueError(f"no iceberg table at {path}")
+    if ref is not None:
+        r = meta.get("refs", {}).get(ref)
+        if not isinstance(r, dict) \
+                or not isinstance(r.get("snapshot-id"), int):
+            raise ValueError(f"ref {ref!r} does not exist")
+        snapshot_id = r["snapshot-id"]
     sid = snapshot_id if snapshot_id is not None \
         else meta["current-snapshot-id"]
     snap = next(

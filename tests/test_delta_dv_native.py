@@ -350,3 +350,45 @@ def test_dv_missing_or_truncated_bin_is_loud(spark, tmp_path):
     os.remove(full)
     with pytest.raises(ValueError, match="missing"):
         read_delta(spark, root).collect()
+
+
+def test_restore_is_metadata_only_and_dv_aware(spark, tmp_path):
+    """RESTORE re-points the live set (original stats + DV
+    descriptors) without moving a byte; history above the restore
+    stays readable."""
+    from datawarehouseproject_spark.sources.delta_native import (
+        restore_delta,
+    )
+
+    root = _tbl(tmp_path)
+    _mk(spark, root)                                   # v0
+    dv_delete_delta(root, "k", 10, 19, now_ms=2_000)   # v1
+    upd = spark.range(50, 60).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v"))
+    merge_delta(root, upd, "k", now_ms=3_000)          # v2
+    files_before = _parquets(root)
+    r = restore_delta(root, 1, now_ms=4_000)           # v3
+    assert r["restored_to"] == 1
+    assert _parquets(root) == files_before             # zero data moved
+    a = sorted(r["k"] for r in read_delta(spark, root).collect())
+    b = sorted(
+        r["k"] for r in read_delta(spark, root, version=1).collect())
+    assert a == b and len(a) == 390                    # DV still applies
+    assert read_delta(spark, root, version=2).count() == 390
+    # restore to v0 brings the DV-deleted rows back
+    restore_delta(root, 0, now_ms=5_000)
+    assert read_delta(spark, root).count() == 400
+
+
+def test_restore_after_vacuum_is_loud(spark, tmp_path):
+    from datawarehouseproject_spark.sources.delta_native import (
+        delete_delta,
+        restore_delta,
+    )
+
+    root = _tbl(tmp_path)
+    _mk(spark, root)                                    # v0
+    delete_delta(root, "k", 0, 99, now_ms=2_000)        # v1 (COW)
+    vacuum_delta(root, 0, now_ms=10**13, dry_run=False)
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore_delta(root, 0, now_ms=3_000)

@@ -203,3 +203,41 @@ def test_mor_missing_delete_file_is_loud(spark, tmp_path):
     os.remove(os.path.join(root, m["delete_file"]))
     with pytest.raises(ValueError, match="missing"):
         read_iceberg(spark, root).collect()
+
+
+def test_rollback_and_tags(spark, tmp_path):
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        rollback_iceberg,
+        tag_iceberg,
+    )
+
+    root = _tbl(tmp_path)
+    _mk(spark, root, n=200, files=2)
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        _current_meta,
+    )
+
+    _v, meta = _current_meta(root)
+    s1 = meta["current-snapshot-id"]
+    tag_iceberg(root, "golden")
+    upd = spark.range(5).select(
+        F.col("id").cast("long").alias("k"),
+        F.lit(-1).cast("long").alias("v"))
+    merge_iceberg(root, upd, "k", now_ms=2_000)
+    assert read_iceberg(spark, root).filter("v = -1").count() == 5
+    # tags survive commits
+    assert read_iceberg(spark, root, ref="golden").count() == 200
+    rb = rollback_iceberg(root, s1, now_ms=3_000)
+    assert rb["rolled_back"]
+    assert read_iceberg(spark, root).filter("v = -1").count() == 0
+    # rollback is idempotent; unknown targets and dup tags are loud
+    assert not rollback_iceberg(root, s1, now_ms=4_000)["rolled_back"]
+    with pytest.raises(ValueError, match="does not exist"):
+        rollback_iceberg(root, 999_999, now_ms=4_000)
+    with pytest.raises(ValueError, match="already exists"):
+        tag_iceberg(root, "golden")
+    with pytest.raises(ValueError, match="does not exist"):
+        read_iceberg(spark, root, ref="nope")
+    # expire retains every ref target
+    expire_iceberg(root, older_than_ms=10**13, now_ms=5_000)
+    assert read_iceberg(spark, root, ref="golden").count() == 200

@@ -260,7 +260,7 @@ def test_as_of_timestamp(spark, tmp_path):
     assert read_iceberg(spark, root, as_of_ms=9999).count() == 30
     with pytest.raises(ValueError, match="precedes"):
         read_iceberg(spark, root, as_of_ms=1)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         read_iceberg(spark, root, snapshot_id=107, as_of_ms=2000)
     expire_iceberg(root, older_than_ms=2500, now_ms=9000)
     with pytest.raises(ValueError, match="precedes"):
