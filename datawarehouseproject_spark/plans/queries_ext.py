@@ -10675,3 +10675,62 @@ def q_iceberg_native_rollback(
     merge_iceberg(root, updates, "k", now_ms=2_000)
     rollback_iceberg(root, s1, now_ms=3_000)
     return read_iceberg(spark, root, ref="baseline").select("k", "v")
+
+
+@register(
+    "iceberg_native_schema_evolution",
+    oracle="""
+    SELECT p_partkey AS k,
+           CAST(length(p_name) AS INTEGER) AS v,
+           CAST(NULL AS VARCHAR) AS label
+    FROM part WHERE p_partkey % 2 = 0
+    UNION ALL
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER),
+           p_brand
+    FROM part WHERE p_partkey % 2 = 1 AND p_partkey % 7 = 0
+    """,
+    tags=("sources", "iceberg", "lakehouse", "native-write",
+          "schema-evolution", "add-column"),
+)
+def q_iceberg_native_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg write-side SCHEMA EVOLUTION (round 14 continuation —
+    the VERDICT r13 'what's missing' item 4 write half): the evens
+    of part committed 2-column, then a trailing nullable ADD COLUMN
+    lands with a second append (odd multiples of 7 carrying
+    ``p_brand`` as the new ``label``).  The evolved table serves the
+    UNION: old files resolve the added column as NULL (pinned by the
+    oracle's ``CAST(NULL AS VARCHAR)`` leg), new files carry values;
+    field ids stay stable (prefix keeps the old ids, the added
+    column takes last-column-id+1 — the spec's one unbreakable
+    evolution rule) and time travel below the evolution resolves
+    the OLD 2-column schema (pytest-pinned).  Drops / renames /
+    retypes stay loud boundaries
+    (``sources/iceberg_native.py:write_iceberg``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.iceberg_native import read_iceberg, write_iceberg
+
+    root = tempfile.mkdtemp(prefix="dw_ice_evo_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_iceberg(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_000,
+    )
+    extra = part.filter(
+        "p_partkey % 2 = 1 AND p_partkey % 7 = 0"
+    ).select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+        F.col("p_brand").alias("label"),
+    )
+    write_iceberg(extra, root, now_ms=2_000,
+                  allow_schema_change=True)
+    return read_iceberg(spark, root).select("k", "v", "label")

@@ -223,6 +223,35 @@ def _schema_to_spark(ice: dict):
     return T.StructType(out)
 
 
+def _schema_at(meta: dict, snap: dict | None = None) -> dict:
+    """The Iceberg schema governing ``snap`` (or the current state):
+    resolved through the snapshot's recorded ``schema-id``, falling
+    back to ``current-schema-id`` — the evolution-aware lookup every
+    read/DML path shares.  Columns resolve by NAME below this (the
+    writer only supports trailing ADD COLUMN, never renames, so
+    name-resolution is unambiguous — renames are the case that
+    genuinely needs field-id resolution and they stay a loud
+    boundary)."""
+    sid = meta.get("current-schema-id", 0)
+    if snap is not None and isinstance(snap.get("schema-id"), int):
+        sid = snap["schema-id"]
+    for s in meta.get("schemas", []):
+        if isinstance(s, dict) and s.get("schema-id") == sid:
+            return s
+    raise ValueError(f"schema-id {sid} missing from metadata")
+
+
+def _fields_sig(ice_schema: dict) -> list[tuple]:
+    """Schema identity for drift checks: names + types.
+    Nullability is deliberately excluded — Spark marks computed
+    columns nullable even when every value is present, and on append
+    the TABLE's required flags win (``write_iceberg`` reuses the
+    stored schema, never the incoming frame's flags)."""
+    return [
+        (f["name"], f["type"]) for f in ice_schema["fields"]
+    ]
+
+
 def _current_meta(path: str):
     """(version, metadata dict) from version-hint.text, fenced
     against hint/file drift."""
@@ -255,7 +284,7 @@ def _spec_fields(meta: dict) -> list[tuple[str, str]]:
         raise ValueError("partition-specs malformed")
     spec = specs[0]
     by_id = {
-        f["id"]: f for f in meta["schemas"][0]["fields"]
+        f["id"]: f for f in _schema_at(meta)["fields"]
     }
     out = []
     for f in spec.get("fields", []):
@@ -463,6 +492,7 @@ def write_iceberg(
     mode: str = "append",
     now_ms: int = 0,
     partition_by: list[str] | None = None,
+    allow_schema_change: bool = False,
 ) -> int:
     """Commit ``df`` to the Iceberg table at ``path``; returns the
     new snapshot id.  ``append`` adds a manifest to the previous
@@ -482,12 +512,50 @@ def write_iceberg(
         raise ValueError("sequence number past cap (boundary)")
     snap_id = seq * 100 + 7  # deterministic, unique per sequence
     ice_schema = _schema_to_iceberg(df.schema)
+    schema_changed = False
     if meta is not None:
-        if meta["schemas"][0] != ice_schema:
-            raise ValueError(
-                "schema drift on write (boundary: evolution is the "
-                "forensics readers' scope, not the writer's)"
-            )
+        prev_schema = _schema_at(meta)
+        if _fields_sig(prev_schema) != _fields_sig(ice_schema):
+            if not allow_schema_change:
+                raise ValueError(
+                    "schema drift on write (boundary: evolve with "
+                    "allow_schema_change=True — trailing nullable "
+                    "ADD COLUMN only)"
+                )
+            old_f = prev_schema["fields"]
+            new_f = ice_schema["fields"]
+            if len(new_f) <= len(old_f) or [
+                (f["name"], f["type"]) for f in new_f[: len(old_f)]
+            ] != [(f["name"], f["type"]) for f in old_f]:
+                raise ValueError(
+                    "evolution supports ADDING trailing columns "
+                    "only (boundary: drops/renames/retypes need "
+                    "field-id resolution this writer does not claim)"
+                )
+            # stable field ids: the prefix keeps the OLD ids, added
+            # columns take the next ids after last-column-id — the
+            # spec's one unbreakable evolution rule.  Added columns
+            # become OPTIONAL regardless of the incoming frame's
+            # nullability: existing files hold no values for them
+            last_id = meta["last-column-id"]
+            fields = []
+            for i, f in enumerate(new_f):
+                f = dict(f)
+                if i < len(old_f):
+                    f["id"] = old_f[i]["id"]
+                else:
+                    last_id += 1
+                    f["id"] = last_id
+                    f["required"] = False
+                fields.append(f)
+            ice_schema = {
+                "type": "struct",
+                "schema-id": prev_schema["schema-id"] + 1,
+                "fields": fields,
+            }
+            schema_changed = True
+        else:
+            ice_schema = prev_schema
         prev_pnames = [n for n, _t in _spec_fields(meta)]
         if partition_by is not None \
                 and list(partition_by) != prev_pnames:
@@ -617,6 +685,7 @@ def write_iceberg(
             "operation": "append" if mode == "append" else "overwrite",
             "added-data-files": str(len(placed)),
         },
+        "schema-id": ice_schema["schema-id"],
     })
     log = list(meta.get("snapshot-log", [])) if meta is not None else []
     log.append({"timestamp-ms": now_ms, "snapshot-id": snap_id})
@@ -628,9 +697,15 @@ def write_iceberg(
         "location": path,
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": len(ice_schema["fields"]),
-        "schemas": [ice_schema],
-        "current-schema-id": 0,
+        "last-column-id": max(
+            f["id"] for f in ice_schema["fields"]
+        ),
+        "schemas": (
+            [ice_schema] if meta is None
+            else meta["schemas"] + [ice_schema] if schema_changed
+            else meta["schemas"]
+        ),
+        "current-schema-id": ice_schema["schema-id"],
         "default-spec-id": 0,
         "partition-specs": [{
             "spec-id": 0,
@@ -877,6 +952,7 @@ def _commit_snapshot(
             "added-data-files": str(counts["n_added"]),
             "deleted-data-files": str(counts["n_deleted"]),
         },
+        "schema-id": meta.get("current-schema-id", 0),
     })
     log = list(meta.get("snapshot-log", []))
     log.append({"timestamp-ms": now_ms, "snapshot-id": snap_id})
@@ -987,7 +1063,7 @@ def merge_iceberg(
     version, meta = _current_meta(path)
     if meta is None:
         raise ValueError(f"no iceberg table at {path}")
-    schema = _schema_to_spark(meta["schemas"][0])
+    schema = _schema_to_spark(_schema_at(meta))
     pfields = _spec_fields(meta)
     pcols = [n for n, _t in pfields]
     if key_col in pcols:
@@ -995,7 +1071,7 @@ def merge_iceberg(
             "merge key cannot be a partition field (boundary: "
             "partition fields carry no bound window)"
         )
-    by_name = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    by_name = {f["name"]: f for f in _schema_at(meta)["fields"]}
     kf = by_name.get(key_col)
     if kf is None or kf["type"] not in ("int", "long"):
         raise ValueError(
@@ -1047,7 +1123,7 @@ def merge_iceberg(
             updates.select(*[f.name for f in schema.fields])
         )
     placed = _stage_cow_files(new_rows, path, snap_id, pcols)
-    ice_schema = meta["schemas"][0]
+    ice_schema = _schema_at(meta)
     entry_bytes = []
     c = {"n_added": 0, "rows_added": 0, "n_existing": 0,
          "rows_existing": 0, "n_deleted": 0, "rows_deleted": 0}
@@ -1122,10 +1198,10 @@ def delete_iceberg(
     version, meta = _current_meta(path)
     if meta is None:
         raise ValueError(f"no iceberg table at {path}")
-    schema = _schema_to_spark(meta["schemas"][0])
+    schema = _schema_to_spark(_schema_at(meta))
     pfields = _spec_fields(meta)
     pcols = [n for n, _t in pfields]
-    by_name = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    by_name = {f["name"]: f for f in _schema_at(meta)["fields"]}
     cur_snap = next(
         s for s in meta["snapshots"]
         if s["snapshot-id"] == meta["current-snapshot-id"]
@@ -1194,7 +1270,7 @@ def delete_iceberg(
         )
         if kept.limit(1).count() > 0:
             placed = _stage_cow_files(kept, path, snap_id, pcols)
-    ice_schema = meta["schemas"][0]
+    ice_schema = _schema_at(meta)
     entry_bytes = []
     c = {"n_added": 0, "rows_added": 0, "n_existing": 0,
          "rows_existing": 0, "n_deleted": 0, "rows_deleted": 0}
@@ -1324,8 +1400,8 @@ def mor_delete_iceberg(
             "(boundary: partition drops via delete_iceberg; "
             "per-partition delete files are a declared gap)"
         )
-    schema = _schema_to_spark(meta["schemas"][0])
-    by_name = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    schema = _schema_to_spark(_schema_at(meta))
+    by_name = {f["name"]: f for f in _schema_at(meta)["fields"]}
     kf = by_name.get(key_col)
     if kf is None or kf["type"] not in ("int", "long"):
         raise ValueError(
@@ -1463,7 +1539,7 @@ def purge_deletes_iceberg(path: str, now_ms: int = 0) -> dict:
             "purge on a partitioned table unsupported (boundary: "
             "the MOR writer is unpartitioned-only)"
         )
-    schema = _schema_to_spark(meta["schemas"][0])
+    schema = _schema_to_spark(_schema_at(meta))
     cur_snap = next(
         s for s in meta["snapshots"]
         if s["snapshot-id"] == meta["current-snapshot-id"]
@@ -1513,7 +1589,7 @@ def purge_deletes_iceberg(path: str, now_ms: int = 0) -> dict:
             how="left_anti",
         ).select(*names)
         placed = _stage_cow_files(survivors, path, snap_id, [])
-    ice_schema = meta["schemas"][0]
+    ice_schema = _schema_at(meta)
     entry_bytes = []
     c = {"n_added": 0, "rows_added": 0, "n_existing": 0,
          "rows_existing": 0, "n_deleted": 0, "rows_deleted": 0}
@@ -1712,7 +1788,9 @@ def read_iceberg(
     )
     if snap is None:
         raise ValueError(f"snapshot {sid} does not exist")
-    schema = _schema_to_spark(meta["schemas"][0])
+    # time travel resolves the schema AS OF the snapshot (evolution-
+    # aware): an old snapshot reads with its own column set
+    schema = _schema_to_spark(_schema_at(meta, snap))
     pfields = _spec_fields(meta)
     pnames = [n for n, _t in pfields]
     data_entries, delete_entries = _snapshot_entries_mor(path, snap)
@@ -1897,7 +1975,7 @@ def optimize_iceberg(
     version, meta = _current_meta(path)
     if meta is None:
         raise ValueError(f"no iceberg table at {path}")
-    schema = _schema_to_spark(meta["schemas"][0])
+    schema = _schema_to_spark(_schema_at(meta))
     pfields = _spec_fields(meta)
     pcols = [n for n, _t in pfields]
     cur_snap = next(
@@ -1948,7 +2026,7 @@ def optimize_iceberg(
                       os.path.join(path, new_rel))
             fixed.append((new_rel, pv))
         placed_all.extend(fixed)
-    ice_schema = meta["schemas"][0]
+    ice_schema = _schema_at(meta)
     entry_bytes = []
     c = {"n_added": 0, "rows_added": 0, "n_existing": 0,
          "rows_existing": 0, "n_deleted": 0, "rows_deleted": 0}

@@ -36,6 +36,8 @@ from ..functions.avro_scan import encode_avro_container
 from .delta_native import _dv_of, _replay_state
 from .iceberg_native import (
     _MANIFEST_LIST_SCHEMA,
+    _fields_sig,
+    _schema_at,
     _PARTITIONABLE,
     _current_meta,
     _encode_entry,
@@ -91,7 +93,7 @@ def convert_delta_to_iceberg(path: str, now_ms: int = 0) -> dict:
                 "metadata/ belongs to a non-converted iceberg table "
                 "(boundary: refusing to overwrite foreign metadata)"
             )
-        if meta["schemas"][0] != ice_schema:
+        if _fields_sig(_schema_at(meta)) != _fields_sig(ice_schema):
             raise ValueError(
                 "schema evolved since the last sync (boundary: "
                 "re-convert into a fresh table)"

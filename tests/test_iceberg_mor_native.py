@@ -241,3 +241,60 @@ def test_rollback_and_tags(spark, tmp_path):
     # expire retains every ref target
     expire_iceberg(root, older_than_ms=10**13, now_ms=5_000)
     assert read_iceberg(spark, root, ref="golden").count() == 200
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Trailing nullable ADD COLUMN: field ids stable, old files
+    read null for the new column, time travel resolves the OLD
+    schema, post-evolution appends need no flag, and illegal
+    evolutions (drop / retype) stay loud."""
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        _current_meta,
+    )
+
+    root = _tbl(tmp_path)
+    b = spark.range(100).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 3).cast("long").alias("v"))
+    s1 = write_iceberg(b, root, now_ms=1_000)
+    b2 = spark.range(100, 150).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 3).cast("long").alias("v"),
+        F.concat(F.lit("t-"), F.col("id").cast("string"))
+        .alias("label"))
+    with pytest.raises(ValueError, match="allow_schema_change"):
+        write_iceberg(b2, root, now_ms=2_000)
+    write_iceberg(b2, root, now_ms=2_000, allow_schema_change=True)
+    cur = read_iceberg(spark, root)
+    assert cur.columns == ["k", "v", "label"]
+    assert cur.count() == 150
+    assert cur.filter("label IS NULL").count() == 100
+    old = read_iceberg(spark, root, snapshot_id=s1)
+    assert old.columns == ["k", "v"] and old.count() == 100
+    _v, meta = _current_meta(root)
+    assert meta["current-schema-id"] == 1
+    assert meta["last-column-id"] == 3
+    assert [f["id"] for f in meta["schemas"][1]["fields"]] \
+        == [1, 2, 3]
+    assert meta["schemas"][1]["fields"][2]["required"] is False
+    # merge over the evolved table carries the new column
+    u = spark.range(5).select(
+        F.col("id").cast("long").alias("k"),
+        F.lit(-1).cast("long").alias("v"),
+        F.lit("upd").alias("label"))
+    merge_iceberg(root, u, "k", now_ms=3_000)
+    got = read_iceberg(spark, root).filter("v = -1")
+    assert got.count() == 5
+    assert got.filter("label = 'upd'").count() == 5
+    # drop / retype are not evolution
+    with pytest.raises(ValueError, match="trailing"):
+        write_iceberg(
+            spark.range(5).select(F.col("id").cast("long").alias("k")),
+            root, now_ms=4_000, allow_schema_change=True)
+    with pytest.raises(ValueError, match="trailing"):
+        write_iceberg(
+            spark.range(5).select(
+                F.col("id").cast("string").alias("k"),
+                F.lit(1).cast("long").alias("v"),
+                F.lit("x").alias("label")),
+            root, now_ms=4_000, allow_schema_change=True)
