@@ -10734,3 +10734,59 @@ def q_iceberg_native_schema_evolution(
     write_iceberg(extra, root, now_ms=2_000,
                   allow_schema_change=True)
     return read_iceberg(spark, root).select("k", "v", "label")
+
+
+@register(
+    "iceberg_to_delta_reverse_sync",
+    oracle="""
+    SELECT p_partkey AS k,
+           CAST(-length(p_name) AS INTEGER) AS v
+    FROM part WHERE p_partkey % 10 = 0
+    UNION ALL
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER)
+    FROM part WHERE p_partkey % 2 = 0 AND p_partkey % 10 <> 0
+    """,
+    tags=("sources", "iceberg", "delta-lake", "lakehouse",
+          "uniform", "interop", "metadata-only"),
+)
+def q_iceberg_to_delta_reverse_sync(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REVERSE zero-copy sync (round 14 continuation —
+    ``sources/uniform.py:convert_iceberg_to_delta``, completing
+    bidirectional interop with ``delta_to_iceberg_uniform``): a
+    native Iceberg table (write + MERGE) gains a co-located
+    ``_delta_log`` referencing the SAME parquet files, and the
+    result is served through the DELTA reader.  Incremental like the
+    forward sync (the post-MERGE re-sync appends one Delta version
+    carrying the file diff; Delta time travel reaches the first
+    sync, pytest-pinned); add-action stats are derived from the
+    Iceberg manifests' typed bounds, so stats-window DML planning
+    works on the converted log too.  The oracle recomputes the
+    post-merge rows."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import read_delta
+    from ..sources.iceberg_native import merge_iceberg, write_iceberg
+    from ..sources.uniform import convert_iceberg_to_delta
+
+    root = tempfile.mkdtemp(prefix="dw_rev_uni_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_iceberg(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_000,
+    )
+    convert_iceberg_to_delta(root, now_ms=1_500)
+    updates = part.filter("p_partkey % 10 = 0").select(
+        F.col("p_partkey").alias("k"),
+        (-F.length("p_name")).cast("int").alias("v"),
+    )
+    merge_iceberg(root, updates, "k", now_ms=2_000)
+    convert_iceberg_to_delta(root, now_ms=2_500)
+    return read_delta(spark, root).select("k", "v")

@@ -252,3 +252,142 @@ def convert_delta_to_iceberg(path: str, now_ms: int = 0) -> dict:
         "files_dropped": c["n_deleted"],
         "noop": False,
     }
+
+
+_PROP_ICE_SYNCED = "uniform.iceberg-snapshot"
+
+
+def convert_iceberg_to_delta(path: str, now_ms: int = 0) -> dict:
+    """The REVERSE sync: write a ``_delta_log`` into a native
+    Iceberg table's directory so the DELTA reader serves the same
+    parquet files — completing bidirectional zero-copy interop.
+
+    The current Iceberg snapshot's live data files become Delta
+    ``add`` actions (path, size, typed-bounds-derived min/max stats,
+    partitionValues from the typed partition struct — the Hive
+    layout under ``data/`` resolves partition columns through
+    Delta's ``basePath`` untouched).  Re-running after new Iceberg
+    snapshots appends one Delta version with the file-level diff;
+    the synced snapshot id is recorded in the Delta ``metaData``
+    configuration, and the Delta table id is the Iceberg table-uuid
+    (permanent across syncs).
+
+    Boundaries (loud): live position-delete files
+    (``purge_deletes_iceberg`` first — a Delta log referencing the
+    raw files would resurrect deleted rows); schema evolution
+    between syncs; a foreign ``_delta_log`` is never overwritten."""
+    from pyspark.sql import types as T  # noqa: F401
+
+    from .delta_native import _commit, _log_info, _replay_state
+    from .iceberg_native import (
+        _bound_int,
+        _snapshot_entries_mor as _entries,
+    )
+
+    version, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    cur_snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    snap_id = meta["current-snapshot-id"]
+    ice_schema = _schema_at(meta, cur_snap)
+    from .iceberg_native import _schema_to_spark, _spec_fields
+
+    spark_schema = _schema_to_spark(ice_schema)
+    pfields = _spec_fields(meta)
+    pnames = [n for n, _t in pfields]
+    data_entries, delete_entries = _entries(path, cur_snap)
+    if delete_entries:
+        raise ValueError(
+            "live position-delete files cannot convert (boundary: "
+            "purge_deletes_iceberg first)"
+        )
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+
+    def stats_for(e) -> str:
+        st = {"numRecords": e["record_count"],
+              "minValues": {}, "maxValues": {}}
+        for side, key in (("minValues", "lower"),
+                          ("maxValues", "upper")):
+            for fid, raw in e[key].items():
+                f = by_id.get(fid)
+                if f is not None and f["type"] in ("int", "long"):
+                    st[side][f["name"]] = _bound_int(raw, f["type"])
+        return json.dumps(st)
+
+    latest, _cp, _jsons = _log_info(path)
+    prev_live: dict[str, dict] = {}
+    table_id = meta.get("table-uuid", str(uuid.uuid4()))
+    if latest >= 0:
+        dsnap = _replay_state(path, None)
+        conf = dsnap["meta"].get("configuration") or {}
+        if _PROP_ICE_SYNCED not in conf:
+            raise ValueError(
+                "_delta_log belongs to a non-converted delta table "
+                "(boundary: refusing to overwrite foreign metadata)"
+            )
+        if json.loads(dsnap["meta"]["schemaString"]) \
+                != json.loads(spark_schema.json()):
+            raise ValueError(
+                "schema evolved since the last sync (boundary: "
+                "re-convert into a fresh table)"
+            )
+        if int(conf[_PROP_ICE_SYNCED]) == snap_id:
+            return {"synced_snapshot": snap_id,
+                    "delta_version": dsnap["version"],
+                    "files_added": 0, "files_removed": 0,
+                    "noop": True}
+        prev_live = dsnap["live"]
+        table_id = dsnap["meta"].get("id", table_id)
+    new_version = latest + 1
+    live_now = {e["file_path"]: e for e in data_entries}
+    adds = sorted(set(live_now) - set(prev_live))
+    removes = sorted(set(prev_live) - set(live_now))
+    lines = [json.dumps({"commitInfo": {
+        "operation": "CONVERT",
+        "operationParameters": {
+            "icebergSnapshot": str(snap_id),
+        },
+        "timestamp": now_ms,
+        "operationMetrics": {
+            "numConvertedFiles": str(len(adds)),
+            "numRemovedFiles": str(len(removes)),
+        },
+    }})]
+    if new_version == 0:
+        lines.append(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2,
+        }}))
+    lines.append(json.dumps({"metaData": {
+        "id": table_id,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": spark_schema.json(),
+        "partitionColumns": pnames,
+        "configuration": {_PROP_ICE_SYNCED: str(snap_id)},
+    }}))
+    for rel in removes:
+        lines.append(json.dumps({"remove": {
+            "path": rel, "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }}))
+    for rel in adds:
+        e = live_now[rel]
+        lines.append(json.dumps({"add": {
+            "path": rel,
+            "partitionValues": {
+                n: str(e["partition"][n]) for n in pnames
+            },
+            "size": e["file_size"],
+            "dataChange": True,
+            "stats": stats_for(e),
+        }}))
+    _commit(path, new_version, lines, [])
+    return {
+        "synced_snapshot": snap_id,
+        "delta_version": new_version,
+        "files_added": len(adds),
+        "files_removed": len(removes),
+        "noop": False,
+    }

@@ -141,3 +141,82 @@ def test_foreign_metadata_is_never_overwritten(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="foreign metadata"):
         convert_delta_to_iceberg(root, now_ms=1_500)
+
+
+def test_reverse_sync_iceberg_to_delta(spark, tmp_path):
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        merge_iceberg,
+        mor_delete_iceberg,
+        purge_deletes_iceberg,
+        write_iceberg,
+    )
+    from datawarehouseproject_spark.sources.uniform import (
+        convert_iceberg_to_delta,
+    )
+
+    root = _tbl(tmp_path)
+    b = spark.range(300).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 3).cast("long").alias("v"))
+    write_iceberg(b.repartitionByRange(3, "k"), root, now_ms=1_000)
+    r = convert_iceberg_to_delta(root, now_ms=1_500)
+    assert r["files_added"] == 3 and not r["noop"]
+    assert _rows(read_delta(spark, root)) \
+        == _rows(read_iceberg(spark, root))
+    u = spark.range(5).select(
+        F.col("id").cast("long").alias("k"),
+        F.lit(-1).cast("long").alias("v"))
+    merge_iceberg(root, u, "k", now_ms=2_000)
+    r2 = convert_iceberg_to_delta(root, now_ms=2_500)
+    assert r2["files_removed"] == 1
+    assert _rows(read_delta(spark, root)) \
+        == _rows(read_iceberg(spark, root))
+    # delta time travel reaches the first sync
+    assert read_delta(spark, root, version=0).count() == 300
+    assert convert_iceberg_to_delta(root, now_ms=3_000)["noop"]
+    # live MOR deletes fence the conversion; purge unblocks
+    mor_delete_iceberg(root, "k", 0, 9, now_ms=4_000)
+    with pytest.raises(ValueError, match="position-delete"):
+        convert_iceberg_to_delta(root, now_ms=4_500)
+    purge_deletes_iceberg(root, now_ms=5_000)
+    convert_iceberg_to_delta(root, now_ms=5_500)
+    assert _rows(read_delta(spark, root)) \
+        == _rows(read_iceberg(spark, root))
+
+
+def test_reverse_sync_partitioned_prunes(spark, tmp_path):
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        write_iceberg,
+    )
+    from datawarehouseproject_spark.sources.uniform import (
+        convert_iceberg_to_delta,
+    )
+
+    root = _tbl(tmp_path)
+    bp = spark.range(200).select(
+        (F.col("id") % 2).cast("long").alias("p"),
+        F.col("id").cast("long").alias("k"))
+    write_iceberg(bp, root, now_ms=1_000, partition_by=["p"])
+    convert_iceberg_to_delta(root, now_ms=1_500)
+    pr = read_delta(spark, root, where={"p": "1"})
+    assert sorted(r["k"] for r in pr.collect()) \
+        == [k for k in range(200) if k % 2 == 1]
+    assert all("p=1" in f for f in pr.inputFiles())
+
+
+def test_reverse_sync_foreign_delta_log_is_loud(spark, tmp_path):
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        write_iceberg,
+    )
+    from datawarehouseproject_spark.sources.uniform import (
+        convert_iceberg_to_delta,
+    )
+
+    root = _tbl(tmp_path)
+    b = spark.range(10).select(
+        F.col("id").cast("long").alias("k"),
+        F.col("id").cast("long").alias("v"))
+    write_delta(b, root, now_ms=1_000)       # a REAL delta table
+    write_iceberg(b, root, now_ms=1_100)     # plus iceberg metadata
+    with pytest.raises(ValueError, match="foreign"):
+        convert_iceberg_to_delta(root, now_ms=1_500)
