@@ -10790,3 +10790,69 @@ def q_iceberg_to_delta_reverse_sync(
     merge_iceberg(root, updates, "k", now_ms=2_000)
     convert_iceberg_to_delta(root, now_ms=2_500)
     return read_delta(spark, root).select("k", "v")
+
+
+@register(
+    "delta_native_dv_merge",
+    oracle="""
+    SELECT p_partkey AS k,
+           CAST(-length(p_name) AS INTEGER) AS v
+    FROM part WHERE p_partkey % 10 = 0
+    UNION ALL
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER)
+    FROM part WHERE p_partkey % 2 = 0 AND p_partkey % 10 <> 0
+    UNION ALL
+    SELECT p_partkey,
+           CAST(length(p_name) + 1000 AS INTEGER)
+    FROM part WHERE p_partkey % 2 = 1 AND p_partkey % 7 = 0
+    """,
+    tags=("sources", "delta-lake", "lakehouse", "native-write",
+          "merge", "deletion-vectors", "low-shuffle"),
+)
+def q_delta_native_dv_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOW-SHUFFLE MERGE via deletion vectors (round 14
+    continuation — ``merge_delta(use_dv=True)``): the SAME upsert as
+    ``delta_native_merge`` (sign-flip matched evens divisible by 10,
+    insert odd multiples of 7) but matched target rows are MASKED
+    with a DV instead of rewritten — original files stay
+    byte-identical (pytest-pinned), update/insert images land as
+    fresh files, and the write cost is O(matches + updates) instead
+    of O(touched files).  The identical oracle to the copy-on-write
+    merge is the point: both strategies must produce the same table,
+    so a mask that misses a matched row (duplicate k) or masks a
+    kept neighbor (lost row) hash-mismatches here while the COW
+    twin stays green."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.delta_native import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_delta_dvm_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_delta(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_000,
+    )
+    updates = part.filter("p_partkey % 10 = 0").select(
+        F.col("p_partkey").alias("k"),
+        (-F.length("p_name")).cast("int").alias("v"),
+    ).unionByName(
+        part.filter("p_partkey % 2 = 1 AND p_partkey % 7 = 0").select(
+            F.col("p_partkey").alias("k"),
+            (F.length("p_name") + 1000).cast("int").alias("v"),
+        )
+    )
+    merge_delta(root, updates.coalesce(4), "k", now_ms=2_000,
+                use_dv=True)
+    return read_delta(spark, root).select("k", "v")

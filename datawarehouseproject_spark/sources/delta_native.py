@@ -890,6 +890,7 @@ def merge_delta(
     updates: DataFrame,
     key_col: str,
     now_ms: int = 0,
+    use_dv: bool = False,
 ) -> dict:
     """UPSERT (``MERGE INTO ... WHEN MATCHED UPDATE SET * WHEN NOT
     MATCHED INSERT *``) into the native Delta table at ``path``.
@@ -998,6 +999,53 @@ def merge_delta(
     candidates = sorted(r["_rel"] for r in touched_rows)
     untouched = len(live) - len(candidates)
     version = snap["version"] + 1
+    if use_dv:
+        # LOW-SHUFFLE MERGE: matched target rows are MASKED with
+        # deletion vectors instead of rewritten — kept neighbor rows
+        # in touched files never move, the update/insert images land
+        # as fresh files, and the write cost becomes O(matches +
+        # updates) instead of O(touched files).  The shape
+        # production engines call merge-with-DVs.
+        matches = None
+        if candidates:
+            reader = spark.read.schema(schema)
+            if pcols:
+                reader = reader.option("basePath", path)
+            scan = reader.parquet(
+                *[os.path.join(path, rel) for rel in candidates]
+            ).select(
+                *on_cols,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_dv_name"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            )
+            matches = scan.join(
+                F.broadcast(updates.select(*on_cols)),
+                on=on_cols, how="left_semi",
+            ).select("_dv_name", "_dv_pos")
+        res = _dv_mask_commit(
+            spark, path, snap,
+            {rel: snap["live"][rel] for rel in candidates},
+            matches, now_ms, version, "MERGE",
+            {"predicate": key_col,
+             "matchedStrategy": "deletion-vectors"},
+            new_rows=updates.select(
+                *[f.name for f in schema.fields]
+            ),
+        )
+        return {
+            "version": version,
+            "files_rewritten": 0,
+            "files_fully_removed": res["files_fully_removed"],
+            "files_dv": res["files_dv"],
+            "files_untouched": untouched + (
+                len(candidates) - res["files_fully_removed"]
+                - res["files_dv"]
+            ),
+            "files_added": res["files_added"],
+            "rows_updated": res["rows_deleted"],
+        }
     new_rows = updates
     if candidates:
         # DV-aware: a candidate carrying a deletion vector is read
@@ -1273,44 +1321,27 @@ def delete_delta(
     }
 
 
-def dv_delete_delta(
+def _dv_mask_commit(
+    spark,
     path: str,
-    key_col: str,
-    lo,
-    hi,
-    now_ms: int = 0,
+    snap: dict,
+    candidates: dict[str, dict],
+    matches,
+    now_ms: int,
+    version: int,
+    operation: str,
+    op_params: dict,
+    new_rows=None,
 ) -> dict:
-    """Merge-on-read range DELETE (``DELETE WHERE lo <= key <= hi``)
-    via DELETION VECTORS — no data file is rewritten.  The
-    low-selectivity shape copy-on-write cannot afford at 100 TB:
-    dropping 0.1 % of rows from a terabyte of files costs a rewrite
-    of every touched file under ``delete_delta``, versus one small
-    ``.bin`` here.
-
-    Plan: stats-prune to files whose key window overlaps [lo, hi]
-    (identical pruning to the COW delete), then compute each touched
-    file's matching PHYSICAL row positions distributed — a scan with
-    ``_metadata.row_index``, grouped per file, each group serialized
-    to the 64-bit RoaringBitmapArray portable bytes EXECUTOR-side
-    (``functions/delta_log.py:dv_data_encode`` inside
-    ``applyInPandas``), so the driver collects one (file, compressed
-    bitmap) row per touched file — the same file-granular driver
-    state the MERGE planner holds.  A file that already carries a DV
-    gets the UNION (the superseding-descriptor semantics the
-    forensics fixtures pin); a file whose every row ends up deleted
-    becomes a pure ``remove`` (no zero-live-row add is committed).
-
-    Commit (Delta PROTOCOL.md "Deletion Vectors"): one bin file
-    ``deletion_vector_<uuid>.bin`` — version byte 1, then per DV
-    ``<size BE><data><crc32 BE>`` — shared by all touched files at
-    distinct offsets; per file a ``remove`` + re-``add`` carrying
-    {storageType "u", z85 uuid token, offset, sizeInBytes,
-    cardinality}; and, first time, the protocol upgrade to reader 3
-    / writer 7 with the deletionVectors feature.  Stats stay the
-    PHYSICAL counts (spec: numRecords counts file rows, not live
-    rows).  ``key_col`` must not be a partition column — that
-    delete is a pure log-level drop and strictly cheaper
-    (``delete_delta``)."""
+    """Shared merge-on-read MASKING commit (the second half of every
+    DV-writing verb): serialize the matched positions executor-side
+    (one roaring bitmap per touched file, ``applyInPandas``), UNION
+    with any existing descriptor, split fully-masked files into pure
+    removes, write the commit's single ``.bin``, optionally stage
+    ``new_rows`` as fresh data files (the low-shuffle MERGE's
+    update/insert images), upgrade the protocol once, and commit
+    atomically — a lost race cleans both the bin and the staged
+    files.  ``matches`` is a DataFrame(_dv_name, _dv_pos) or None."""
     import hashlib
     import zlib
 
@@ -1320,56 +1351,9 @@ def dv_delete_delta(
         z85_encode,
     )
 
-    if lo is None or hi is None or lo > hi:
-        raise ValueError("delete range malformed")
-    snap = _replay_state(path, None)
     pcols = snap["pcols"]
-    if key_col in pcols:
-        raise ValueError(
-            "partition-column delete is a log-level drop "
-            "(boundary: use delete_delta)"
-        )
-    from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        raise ValueError("dv delete needs an active SparkSession")
-    schema = T.StructType.fromJson(
-        json.loads(snap["meta"]["schemaString"])
-    )
-    live = snap["live"]
-    candidates: dict[str, dict] = {}
-    untouched = 0
-    for rel in sorted(live):
-        fmin, fmax = _key_window(rel, live[rel].get("stats"), key_col)
-        if not isinstance(fmin, type(lo)) \
-                or not isinstance(fmax, type(hi)):
-            raise ValueError("delete key window not comparable")
-        if fmax < lo or fmin > hi:
-            untouched += 1
-        else:
-            candidates[rel] = live[rel]
-    version = snap["version"] + 1
-
     collected = []
-    if candidates:
-        reader = spark.read.schema(schema)
-        if pcols:
-            reader = reader.option("basePath", path)
-        matches = reader.parquet(
-            *[os.path.join(path, rel) for rel in sorted(candidates)]
-        ).filter(
-            (F.col(key_col) >= F.lit(lo))
-            & (F.col(key_col) <= F.lit(hi))
-        ).select(
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("_dv_name"),
-            F.col("_metadata.row_index").alias("_dv_pos"),
-        )
-
+    if matches is not None:
         def encode(pdf):
             import pandas as _pd
 
@@ -1416,7 +1400,12 @@ def dv_delete_delta(
         else:
             dv_adds.append((rel, data, card))
 
-    placed: list[tuple[str, dict]] = []
+    placed_new: list[tuple[str, dict]] = []
+    if new_rows is not None:
+        placed_new = _stage_and_place(
+            new_rows, path, version, pcols or None
+        )
+    placed = list(placed_new)
     descriptors: dict[str, dict] = {}
     if dv_adds:
         table_id = snap["meta"].get("id", "")
@@ -1440,7 +1429,7 @@ def dv_delete_delta(
             }
         with open(os.path.join(path, bin_rel), "xb") as fh:
             fh.write(bytes(blob))
-        placed = [(bin_rel, {})]  # cleaned up on a lost commit race
+        placed.append((bin_rel, {}))  # race loser cleans this too
 
     proto = snap["proto"] or {}
     has_dv_feature = (
@@ -1448,15 +1437,14 @@ def dv_delete_delta(
         and "deletionVectors" in (proto.get("readerFeatures") or [])
     )
     lines = [json.dumps({"commitInfo": {
-        "operation": "DELETE",
-        "operationParameters": {
-            "predicate": f"{key_col} BETWEEN {lo} AND {hi}",
-        },
+        "operation": operation,
+        "operationParameters": op_params,
         "timestamp": now_ms,
         "operationMetrics": {
             "numRemovedFiles": str(len(pure_removes)),
             "numDeletionVectorsAdded": str(len(dv_adds)),
             "numDeletedRows": str(rows_deleted),
+            "numAddedFiles": str(len(placed_new)),
         },
     }})]
     if dv_adds and not has_dv_feature:
@@ -1485,14 +1473,118 @@ def dv_delete_delta(
             "stats": body.get("stats"),
             "deletionVector": descriptors[rel],
         }}))
+    for rel, pvals in placed_new:
+        lines.append(_add_line(path, rel, pvals, True))
     _commit(path, version, lines, placed)
     return {
-        "version": version,
         "files_fully_removed": len(pure_removes),
         "files_dv": len(dv_adds),
-        "files_untouched": untouched
-        + (len(candidates) - len(pure_removes) - len(dv_adds)),
+        "files_added": len(placed_new),
         "rows_deleted": rows_deleted,
+    }
+
+
+def dv_delete_delta(
+    path: str,
+    key_col: str,
+    lo,
+    hi,
+    now_ms: int = 0,
+) -> dict:
+    """Merge-on-read range DELETE (``DELETE WHERE lo <= key <= hi``)
+    via DELETION VECTORS — no data file is rewritten.  The
+    low-selectivity shape copy-on-write cannot afford at 100 TB:
+    dropping 0.1 % of rows from a terabyte of files costs a rewrite
+    of every touched file under ``delete_delta``, versus one small
+    ``.bin`` here.
+
+    Plan: stats-prune to files whose key window overlaps [lo, hi]
+    (identical pruning to the COW delete), then compute each touched
+    file's matching PHYSICAL row positions distributed — a scan with
+    ``_metadata.row_index``, grouped per file, each group serialized
+    to the 64-bit RoaringBitmapArray portable bytes EXECUTOR-side
+    (``functions/delta_log.py:dv_data_encode`` inside
+    ``applyInPandas``), so the driver collects one (file, compressed
+    bitmap) row per touched file — the same file-granular driver
+    state the MERGE planner holds.  A file that already carries a DV
+    gets the UNION (the superseding-descriptor semantics the
+    forensics fixtures pin); a file whose every row ends up deleted
+    becomes a pure ``remove`` (no zero-live-row add is committed).
+
+    Commit (Delta PROTOCOL.md "Deletion Vectors"): one bin file
+    ``deletion_vector_<uuid>.bin`` — version byte 1, then per DV
+    ``<size BE><data><crc32 BE>`` — shared by all touched files at
+    distinct offsets; per file a ``remove`` + re-``add`` carrying
+    {storageType "u", z85 uuid token, offset, sizeInBytes,
+    cardinality}; and, first time, the protocol upgrade to reader 3
+    / writer 7 with the deletionVectors feature.  Stats stay the
+    PHYSICAL counts (spec: numRecords counts file rows, not live
+    rows).  ``key_col`` must not be a partition column — that
+    delete is a pure log-level drop and strictly cheaper
+    (``delete_delta``)."""
+    if lo is None or hi is None or lo > hi:
+        raise ValueError("delete range malformed")
+    snap = _replay_state(path, None)
+    pcols = snap["pcols"]
+    if key_col in pcols:
+        raise ValueError(
+            "partition-column delete is a log-level drop "
+            "(boundary: use delete_delta)"
+        )
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("dv delete needs an active SparkSession")
+    schema = T.StructType.fromJson(
+        json.loads(snap["meta"]["schemaString"])
+    )
+    live = snap["live"]
+    candidates: dict[str, dict] = {}
+    untouched = 0
+    for rel in sorted(live):
+        fmin, fmax = _key_window(rel, live[rel].get("stats"), key_col)
+        if not isinstance(fmin, type(lo)) \
+                or not isinstance(fmax, type(hi)):
+            raise ValueError("delete key window not comparable")
+        if fmax < lo or fmin > hi:
+            untouched += 1
+        else:
+            candidates[rel] = live[rel]
+    version = snap["version"] + 1
+
+    matches = None
+    if candidates:
+        reader = spark.read.schema(schema)
+        if pcols:
+            reader = reader.option("basePath", path)
+        matches = reader.parquet(
+            *[os.path.join(path, rel) for rel in sorted(candidates)]
+        ).filter(
+            (F.col(key_col) >= F.lit(lo))
+            & (F.col(key_col) <= F.lit(hi))
+        ).select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_dv_name"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+    res = _dv_mask_commit(
+        spark, path, snap, candidates, matches, now_ms, version,
+        "DELETE",
+        {"predicate": f"{key_col} BETWEEN {lo} AND {hi}"},
+    )
+    return {
+        "version": version,
+        "files_fully_removed": res["files_fully_removed"],
+        "files_dv": res["files_dv"],
+        "files_untouched": untouched + (
+            len(candidates) - res["files_fully_removed"]
+            - res["files_dv"]
+        ),
+        "rows_deleted": res["rows_deleted"],
     }
 
 

@@ -392,3 +392,39 @@ def test_restore_after_vacuum_is_loud(spark, tmp_path):
     vacuum_delta(root, 0, now_ms=10**13, dry_run=False)
     with pytest.raises(ValueError, match="vacuumed"):
         restore_delta(root, 0, now_ms=3_000)
+
+
+def test_dv_merge_low_shuffle(spark, tmp_path):
+    """merge_delta(use_dv=True): matched rows are MASKED, never
+    rewritten — original files stay byte-identical, update/insert
+    images land as new files, and a second DV merge over an
+    already-masked file unions."""
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    files0 = set(_parquets(root))
+    upd = spark.range(95, 105).select(
+        F.col("id").alias("k"), F.lit(-7).cast("long").alias("v")
+    ).unionByName(spark.range(1000, 1010).select(
+        F.col("id").alias("k"), F.lit(9).cast("long").alias("v")))
+    m = merge_delta(root, upd.coalesce(1), "k", now_ms=2_000,
+                    use_dv=True)
+    assert m["files_rewritten"] == 0
+    assert m["files_dv"] == 2          # keys 95..104 span two files
+    assert m["rows_updated"] == 10
+    assert files0 <= set(_parquets(root))
+    got = {r["k"]: r["v"] for r in read_delta(spark, root).collect()}
+    assert len(got) == 410
+    assert got[100] == -7 and got[1005] == 9 and got[50] == 150
+    assert read_delta(spark, root, version=0).count() == 400
+    # union with a prior DV delete
+    dv_delete_delta(root, "k", 0, 9, now_ms=3_000)
+    m2 = merge_delta(
+        root,
+        spark.range(5, 12).select(
+            F.col("id").alias("k"),
+            F.lit(-1).cast("long").alias("v")).coalesce(1),
+        "k", now_ms=4_000, use_dv=True)
+    assert m2["rows_updated"] == 2     # only 10 and 11 were live
+    got = {r["k"]: r["v"] for r in read_delta(spark, root).collect()}
+    assert len(got) == 405             # -10 deleted, -2 masked, +7 images
+    assert got[7] == -1 and got[11] == -1 and 3 not in got
