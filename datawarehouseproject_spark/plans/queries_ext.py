@@ -10856,3 +10856,64 @@ def q_delta_native_dv_merge(
     merge_delta(root, updates.coalesce(4), "k", now_ms=2_000,
                 use_dv=True)
     return read_delta(spark, root).select("k", "v")
+
+
+@register(
+    "iceberg_native_write_audit_publish",
+    oracle="""
+    SELECT p_partkey AS k, CAST(length(p_name) AS INTEGER) AS v
+    FROM part
+    WHERE p_partkey % 2 = 0 OR (p_partkey % 2 = 1 AND p_partkey % 7 = 0)
+    """,
+    tags=("sources", "iceberg", "lakehouse", "native-write",
+          "branches", "write-audit-publish", "refs"),
+)
+def q_iceberg_native_write_audit_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on native Iceberg branches (round 14
+    continuation — ``write_iceberg(branch=...)`` +
+    ``publish_iceberg``): the day's load (odd multiples of 7) lands
+    on an ``audit`` branch — main readers keep serving the evens
+    (pinned in-query: a main read mid-audit must NOT see the staged
+    rows, else ValueError) — then publish fast-forwards main after
+    validating the branch descends from main's head (the mid-audit
+    race is a loud refusal, pytest-pinned).  The oracle recomputes
+    the published union; a branch commit that leaked into main
+    early, or a publish that lost the staged rows, both
+    hash-mismatch."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.iceberg_native import (
+        publish_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_ice_wap_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_iceberg(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        root, now_ms=1_000,
+    )
+    staged = part.filter(
+        "p_partkey % 2 = 1 AND p_partkey % 7 = 0"
+    ).select(
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_iceberg(staged, root, now_ms=2_000, branch="audit")
+    n_main = read_iceberg(spark, root).count()
+    n_base = base.count()
+    if n_main != n_base:
+        raise ValueError(
+            f"audit isolation broken: main sees {n_main} rows "
+            f"mid-audit, expected {n_base}"
+        )
+    publish_iceberg(root, "audit", now_ms=3_000)
+    return read_iceberg(spark, root).select("k", "v")

@@ -493,6 +493,7 @@ def write_iceberg(
     now_ms: int = 0,
     partition_by: list[str] | None = None,
     allow_schema_change: bool = False,
+    branch: str = "main",
 ) -> int:
     """Commit ``df`` to the Iceberg table at ``path``; returns the
     new snapshot id.  ``append`` adds a manifest to the previous
@@ -501,7 +502,15 @@ def write_iceberg(
     only) declares identity-transform partition fields on
     long/int/string columns: data lands Hive-style under ``data/``,
     every manifest entry records the typed partition struct, and
-    ``read_iceberg(where=...)`` prunes at the manifest layer."""
+    ``read_iceberg(where=...)`` prunes at the manifest layer.
+
+    ``branch``: commit onto a named BRANCH ref instead of main —
+    the write half of WRITE-AUDIT-PUBLISH: main readers never see
+    the branch's snapshots (``current-snapshot-id`` and the
+    snapshot-log stay on main), auditors read via
+    ``read_iceberg(ref=...)``, and ``publish_iceberg`` fast-forwards
+    main once the audit passes.  A missing branch is created forking
+    from main's head; tags stay immutable (loud)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write mode {mode!r} unsupported")
     version, meta = _current_meta(path)
@@ -556,6 +565,11 @@ def write_iceberg(
             schema_changed = True
         else:
             ice_schema = prev_schema
+        if schema_changed and branch != "main":
+            raise ValueError(
+                "schema evolution must land on main (boundary: a "
+                "branch with its own schema cannot fast-forward)"
+            )
         prev_pnames = [n for n, _t in _spec_fields(meta)]
         if partition_by is not None \
                 and list(partition_by) != prev_pnames:
@@ -639,11 +653,32 @@ def write_iceberg(
         _manifest_schema_json(pfields), entries, sync
     )
     open(os.path.join(path, m_rel), "wb").write(files_manifest)
+    base_head = None
+    if meta is not None:
+        if branch == "main":
+            base_head = meta["current-snapshot-id"]
+        else:
+            bref = meta.get("refs", {}).get(branch)
+            if isinstance(bref, dict) \
+                    and isinstance(bref.get("snapshot-id"), int):
+                if bref.get("type") != "branch":
+                    raise ValueError(
+                        f"ref {branch!r} is a tag, not a branch "
+                        "(boundary: tags are immutable)"
+                    )
+                base_head = bref["snapshot-id"]
+            else:
+                # creating the branch: it forks from main's head
+                base_head = meta["current-snapshot-id"]
+    elif branch != "main":
+        raise ValueError(
+            "first commit must land on main (boundary)"
+        )
     prior_records = []
     if meta is not None and mode == "append":
         cur_snap = next(
             s for s in meta["snapshots"]
-            if s["snapshot-id"] == meta["current-snapshot-id"]
+            if s["snapshot-id"] == base_head
         )
         pl_path = os.path.join(path, cur_snap["manifest-list"])
         if not os.path.exists(pl_path):
@@ -675,9 +710,7 @@ def write_iceberg(
     snapshots = list(meta["snapshots"]) if meta is not None else []
     snapshots.append({
         "snapshot-id": snap_id,
-        "parent-snapshot-id": (
-            meta["current-snapshot-id"] if meta is not None else None
-        ),
+        "parent-snapshot-id": base_head,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": ml_rel,
@@ -688,7 +721,10 @@ def write_iceberg(
         "schema-id": ice_schema["schema-id"],
     })
     log = list(meta.get("snapshot-log", [])) if meta is not None else []
-    log.append({"timestamp-ms": now_ms, "snapshot-id": snap_id})
+    if branch == "main":
+        # the snapshot-log is MAIN's history (the spec's
+        # timestamp-travel source); branch commits do not enter it
+        log.append({"timestamp-ms": now_ms, "snapshot-id": snap_id})
     new_meta = {
         "format-version": 2,
         "table-uuid": (
@@ -723,13 +759,18 @@ def write_iceberg(
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {},
-        "current-snapshot-id": snap_id,
+        "current-snapshot-id": (
+            snap_id if branch == "main"
+            else meta["current-snapshot-id"]
+        ),
         "snapshots": snapshots,
         "snapshot-log": log,
         "refs": {
-            # tags/branches survive commits; main advances
-            **{k: v for k, v in (meta.get("refs", {}) if meta is not None else {}).items() if k != "main"},
-            "main": {"snapshot-id": snap_id, "type": "branch"},
+            # other refs survive commits; only the written branch
+            # advances (a branch commit leaves main untouched — the
+            # write-audit-publish isolation)
+            **{k: v for k, v in (meta.get("refs", {}) if meta is not None else {}).items() if k != branch},
+            branch: {"snapshot-id": snap_id, "type": "branch"},
         },
     }
     _write_metadata(path, new_meta, version)
@@ -1637,6 +1678,69 @@ def purge_deletes_iceberg(path: str, now_ms: int = 0) -> dict:
         "files_rewritten": len(affected),
         "files_added": len(placed),
         "delete_files_dropped": len(delete_entries),
+    }
+
+
+def publish_iceberg(
+    path: str,
+    branch: str,
+    now_ms: int = 0,
+    drop_branch: bool = True,
+) -> dict:
+    """PUBLISH (the fast-forward half of write-audit-publish):
+    advance main to ``branch``'s head after validating the
+    FAST-FORWARD condition — the branch head's parent chain must
+    reach main's current head, so publishing never discards a main
+    commit that landed mid-audit (that race is loud, exactly
+    Iceberg's ``fast_forward`` contract).  Metadata-only; the
+    branch ref is dropped after publishing by default."""
+    version, meta = _current_meta(path)
+    if meta is None:
+        raise ValueError(f"no iceberg table at {path}")
+    bref = meta.get("refs", {}).get(branch)
+    if not isinstance(bref, dict) \
+            or not isinstance(bref.get("snapshot-id"), int):
+        raise ValueError(f"branch {branch!r} does not exist")
+    if bref.get("type") != "branch":
+        raise ValueError(f"ref {branch!r} is a tag, not a branch")
+    target = bref["snapshot-id"]
+    main_head = meta["current-snapshot-id"]
+    by_id = {
+        s["snapshot-id"]: s for s in meta.get("snapshots", [])
+        if isinstance(s, dict)
+    }
+    node = target
+    hops = 0
+    while node is not None and node != main_head:
+        snap = by_id.get(node)
+        node = snap.get("parent-snapshot-id") if snap else None
+        hops += 1
+        if hops > len(by_id) + 1:
+            raise ValueError("snapshot parent chain cyclic")
+    if node != main_head:
+        raise ValueError(
+            f"branch {branch!r} does not descend from main's head "
+            "(boundary: main advanced mid-audit — rebase the branch)"
+        )
+    log = list(meta.get("snapshot-log", []))
+    log.append({"timestamp-ms": now_ms, "snapshot-id": target})
+    refs = {
+        k: v for k, v in meta.get("refs", {}).items()
+        if k != "main" and not (drop_branch and k == branch)
+    }
+    refs["main"] = {"snapshot-id": target, "type": "branch"}
+    new_meta = dict(meta)
+    new_meta.update({
+        "last-updated-ms": now_ms,
+        "current-snapshot-id": target,
+        "snapshot-log": log,
+        "refs": refs,
+    })
+    _write_metadata(path, new_meta, version)
+    return {
+        "published": target,
+        "fast_forwarded_commits": hops,
+        "branch_dropped": drop_branch,
     }
 
 

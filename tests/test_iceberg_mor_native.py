@@ -298,3 +298,51 @@ def test_schema_evolution_add_column(spark, tmp_path):
                 F.lit(1).cast("long").alias("v"),
                 F.lit("x").alias("label")),
             root, now_ms=4_000, allow_schema_change=True)
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """Branch writes are invisible to main until publish; publish
+    validates fast-forward ancestry; tags stay immutable."""
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        publish_iceberg,
+        tag_iceberg,
+    )
+
+    root = _tbl(tmp_path)
+    _mk(spark, root, n=100, files=1)
+    day = spark.range(100, 150).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 3).cast("long").alias("v"))
+    write_iceberg(day, root, now_ms=2_000, branch="audit")
+    assert read_iceberg(spark, root).count() == 100      # main isolated
+    assert read_iceberg(spark, root, ref="audit").count() == 150
+    write_iceberg(
+        spark.range(150, 160).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 3).cast("long").alias("v")),
+        root, now_ms=2_500, branch="audit")
+    p = publish_iceberg(root, "audit", now_ms=3_000)
+    assert p["fast_forwarded_commits"] == 2
+    assert read_iceberg(spark, root).count() == 160
+    with pytest.raises(ValueError, match="does not exist"):
+        read_iceberg(spark, root, ref="audit")           # dropped
+    # main advancing mid-audit makes publish refuse
+    write_iceberg(
+        spark.range(200, 210).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 3).cast("long").alias("v")),
+        root, now_ms=4_000, branch="audit2")
+    merge_iceberg(
+        root,
+        spark.range(3).select(
+            F.col("id").cast("long").alias("k"),
+            F.lit(-1).cast("long").alias("v")),
+        "k", now_ms=5_000)
+    with pytest.raises(ValueError, match="descend"):
+        publish_iceberg(root, "audit2", now_ms=6_000)
+    # tags are immutable: neither a branch write nor a publish target
+    tag_iceberg(root, "release")
+    with pytest.raises(ValueError, match="tag"):
+        write_iceberg(day, root, now_ms=7_000, branch="release")
+    with pytest.raises(ValueError, match="tag"):
+        publish_iceberg(root, "release", now_ms=7_000)
