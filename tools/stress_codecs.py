@@ -1392,6 +1392,29 @@ def round16_kernels() -> None:
 
 
 
+def round17_kernels() -> None:
+    """Round-14-continuation addition: the Hudi COPY_ON_WRITE
+    timeline + file-slice reader (synth bundles: 2 completed
+    commits, 1 inflight orphan, write-stats cross-checks, every
+    base file's parquet read through pyarrow)."""
+    from datawarehouseproject_spark.functions.hudi_scan import (
+        scan_hudi,
+        synth_hudi,
+    )
+
+    tables = [synth_hudi(s) for s in range(300)]
+    secs, n = _timeit(
+        lambda: sum(scan_hudi(t)["total_rows"] for t in tables)
+    )
+    print(json.dumps({
+        "kernel": "hudi_cow_scan",
+        "media": f"300 tables ({sum(map(len, tables))} bytes), "
+                 f"{n} live rows",
+        "tables_per_s": int(300 / secs),
+        "sec": round(secs, 4),
+    }))
+
+
 if __name__ == "__main__":
     main()
     archive_kernels()
@@ -1409,3 +1432,4 @@ if __name__ == "__main__":
     round14c_kernels()
     round15_kernels()
     round16_kernels()
+    round17_kernels()
