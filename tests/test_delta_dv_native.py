@@ -428,3 +428,27 @@ def test_dv_merge_low_shuffle(spark, tmp_path):
     got = {r["k"]: r["v"] for r in read_delta(spark, root).collect()}
     assert len(got) == 405             # -10 deleted, -2 masked, +7 images
     assert got[7] == -1 and got[11] == -1 and 3 not in got
+
+
+def test_dv_commit_race_cleans_the_bin(spark, tmp_path, monkeypatch):
+    """A lost commit race removes the already-placed .bin (and any
+    staged update files) — no orphans outlive a conflict.  The race
+    is simulated by freezing the snapshot at version 0 and landing a
+    concurrent version-1 commit underneath it."""
+    import datawarehouseproject_spark.sources.delta_native as dn
+
+    root = _tbl(tmp_path)
+    _mk(spark, root)
+    frozen = dn._replay_state(root, None)
+    log = os.path.join(root, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {
+            "operation": "WRITE", "timestamp": 1_500,
+        }}) + "\n")
+    monkeypatch.setattr(
+        dn, "_replay_state", lambda _p, _v: frozen)
+    with pytest.raises(ValueError, match="already committed"):
+        dv_delete_delta(root, "k", 50, 149, now_ms=2_000)
+    monkeypatch.undo()
+    assert not _bins(root)             # the placed bin was removed
+    assert read_delta(spark, root, version=0).count() == 400
