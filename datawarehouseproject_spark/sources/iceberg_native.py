@@ -854,15 +854,6 @@ def _snapshot_entries(path: str, snap: dict) -> list[dict]:
     return data
 
 
-def _snapshot_files(path: str, meta: dict, snap: dict):
-    """One snapshot's live data files as [(rel path, partition
-    dict)] — the read-path view over :func:`_snapshot_entries`."""
-    return [
-        (e["file_path"], e["partition"])
-        for e in _snapshot_entries(path, snap)
-    ]
-
-
 def _stage_cow_files(
     df, path: str, snap_id: int, pnames: list[str]
 ) -> list[tuple[str, dict]]:
