@@ -36,15 +36,15 @@ from ..functions.avro_scan import encode_avro_container
 from .delta_native import _dv_of, _replay_state
 from .iceberg_native import (
     _MANIFEST_LIST_SCHEMA,
-    _fields_sig,
-    _schema_at,
     _PARTITIONABLE,
     _current_meta,
     _encode_entry,
     _encode_partition_struct,
+    _fields_sig,
     _footer_bounds,
     _manifest_schema_json,
     _ml_record,
+    _schema_at,
     _schema_to_iceberg,
     _snapshot_entries_mor,
     _write_metadata,
