@@ -10917,3 +10917,61 @@ def q_iceberg_native_write_audit_publish(
         )
     publish_iceberg(root, "audit", now_ms=3_000)
     return read_iceberg(spark, root).select("k", "v")
+
+
+@register(
+    "iceberg_native_partitioned_mor",
+    oracle="""
+    SELECT CAST(p_partkey % 4 AS BIGINT) AS p,
+           p_partkey AS k,
+           CAST(length(p_name) AS INTEGER) AS v
+    FROM part
+    WHERE p_partkey % 2 = 0
+      AND NOT (p_partkey BETWEEN 100 AND 360)
+    """,
+    tags=("sources", "iceberg", "lakehouse", "native-write",
+          "merge-on-read", "position-deletes", "partitioned",
+          "global-deletes"),
+)
+def q_iceberg_native_partitioned_mor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONED merge-on-read Iceberg DELETE (round 14
+    continuation — lifting the unpartitioned-only boundary via the
+    spec's GLOBAL-delete shape): a 4-way identity-partitioned table
+    takes two overlapping range deletes as position-delete files
+    written under the UNPARTITIONED spec (id 1, registered in
+    metadata on first use; the delete manifest declares it in the
+    manifest list) — NO data file in ANY partition is rewritten,
+    and manifest-layer partition pruning keeps working on the MOR
+    table.  A purge then rewrites only the affected partitions'
+    files under the table spec.  The oracle recomputes the
+    surviving rows with their partition values; a delete that
+    leaked across the wrong partition's positions, or a purge that
+    dropped a partition column, hash-mismatches
+    (``sources/iceberg_native.py:mor_delete_iceberg``)."""
+    import tempfile
+
+    _utc(spark)
+    from ..sources.iceberg_native import (
+        mor_delete_iceberg,
+        purge_deletes_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    root = tempfile.mkdtemp(prefix="dw_ice_pmor_") + "/tbl"
+    part = _t(spark, sf_dir, "part")
+    base = part.filter("p_partkey % 2 = 0").select(
+        (F.col("p_partkey") % 4).cast("long").alias("p"),
+        F.col("p_partkey").alias("k"),
+        F.length("p_name").cast("int").alias("v"),
+    )
+    write_iceberg(
+        base.repartition(4, "p"), root, now_ms=1_000,
+        partition_by=["p"],
+    )
+    mor_delete_iceberg(root, "k", 100, 280, now_ms=2_000)
+    mor_delete_iceberg(root, "k", 240, 360, now_ms=3_000)
+    purge_deletes_iceberg(root, now_ms=4_000)
+    return read_iceberg(spark, root).select("p", "k", "v")

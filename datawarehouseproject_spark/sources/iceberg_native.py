@@ -451,11 +451,11 @@ def _ml_record(mpath: str, mlen: int, mseq: int, mminseq: int,
                msnap: int, n_added: int, rows_added: int,
                n_existing: int = 0, rows_existing: int = 0,
                n_deleted: int = 0, rows_deleted: int = 0,
-               content: int = 0) -> bytes:
+               content: int = 0, spec_id: int = 0) -> bytes:
     return (
         _encode_string(mpath)
         + _zigzag_write(mlen)
-        + _zigzag_write(0)   # partition_spec_id
+        + _zigzag_write(spec_id)  # partition_spec_id
         + _zigzag_write(content)  # 0 data manifest, 1 deletes
         + _zigzag_write(mseq)
         + _zigzag_write(mminseq)
@@ -743,18 +743,22 @@ def write_iceberg(
         ),
         "current-schema-id": ice_schema["schema-id"],
         "default-spec-id": 0,
-        "partition-specs": [{
-            "spec-id": 0,
-            "fields": [
-                {
-                    "name": n,
-                    "transform": "identity",
-                    "source-id": by_name[n]["id"],
-                    "field-id": 1000 + i,
-                }
-                for i, (n, _t) in enumerate(pfields)
-            ],
-        }],
+        # specs are append-only table state: preserve any registered
+        # beyond the default (the global-delete spec id 1)
+        "partition-specs": (
+            meta["partition-specs"] if meta is not None else [{
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": n,
+                        "transform": "identity",
+                        "source-id": by_name[n]["id"],
+                        "field-id": 1000 + i,
+                    }
+                    for i, (n, _t) in enumerate(pfields)
+                ],
+            }]
+        ),
         "last-partition-id": 999 + len(pfields),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
@@ -943,12 +947,15 @@ def _commit_snapshot(
     now_ms: int,
 ) -> int:
     """Write N manifests (each {rel, entries, pfields, content,
-    counts, min_seq}) + one manifest list referencing them all, then
-    the new metadata version.  ``content=1`` manifests are DELETE
-    manifests (position-delete files) — the merge-on-read snapshot
-    shape references a data manifest and a delete manifest side by
-    side, exactly how the spec separates them in the manifest list
-    (field-id 517)."""
+    counts, min_seq, optional spec_id}) + one manifest list
+    referencing them all, then the new metadata version.
+    ``content=1`` manifests are DELETE manifests (position-delete
+    files) — the merge-on-read snapshot shape references a data
+    manifest and a delete manifest side by side, exactly how the
+    spec separates them in the manifest list (field-id 517).  A
+    ``spec_id`` other than 0 marks a manifest written under a
+    different partition spec (the GLOBAL position-delete shape uses
+    the unpartitioned spec)."""
     sync = bytes((snap_id * 31 + j * 7 + 1) % 256 for j in range(16))
     ml_records = []
     for spec in manifests:
@@ -965,6 +972,7 @@ def _commit_snapshot(
             c["n_existing"], c["rows_existing"],
             c["n_deleted"], c["rows_deleted"],
             content=spec["content"],
+            spec_id=spec.get("spec_id", 0),
         ))
     counts = summary_counts
     ml_rel = f"metadata/snap-{snap_id}.avro"
@@ -1352,6 +1360,19 @@ def delete_iceberg(
     }
 
 
+def _with_unpartitioned_spec(meta: dict) -> dict:
+    """metadata with the GLOBAL-delete spec registered: partition
+    spec id 1 = no fields.  Idempotent; the default spec stays 0."""
+    specs = list(meta.get("partition-specs", []))
+    if not any(
+        isinstance(s, dict) and s.get("spec-id") == 1 for s in specs
+    ):
+        specs.append({"spec-id": 1, "fields": []})
+    out = dict(meta)
+    out["partition-specs"] = specs
+    return out
+
+
 def _existing_entry_bytes(
     entries: list[dict], pfields, seq: int, snap_id: int,
     content: int = 0, status_for: dict | None = None,
@@ -1410,10 +1431,13 @@ def mor_delete_iceberg(
     sequence-number applicability rule a no-op for this writer
     (paths are never reused).
 
-    Boundary: unpartitioned tables with an int/long key — a
-    partitioned MOR delete needs per-partition delete files, and a
-    partition-column delete is a pure metadata drop anyway
-    (``delete_iceberg``)."""
+    PARTITIONED tables (round 14 continuation) use the spec's
+    GLOBAL-delete shape: the delete file is written under the
+    UNPARTITIONED spec (its manifest declares partition-spec-id 1 —
+    registered in metadata on first use — with an empty partition
+    struct), so one file may name rows across partitions.  A
+    partition-COLUMN delete stays a pure metadata drop
+    (``delete_iceberg``); the key must be an int/long column."""
     if lo is None or hi is None or lo > hi:
         raise ValueError("delete range malformed")
     from pyspark.sql import SparkSession
@@ -1426,11 +1450,10 @@ def mor_delete_iceberg(
     if meta is None:
         raise ValueError(f"no iceberg table at {path}")
     pfields = _spec_fields(meta)
-    if pfields:
+    if key_col in [n for n, _t in pfields]:
         raise ValueError(
-            "merge-on-read delete on a partitioned table unsupported "
-            "(boundary: partition drops via delete_iceberg; "
-            "per-partition delete files are a declared gap)"
+            "partition-column delete is a metadata drop (boundary: "
+            "use delete_iceberg)"
         )
     schema = _schema_to_spark(_schema_at(meta))
     by_name = {f["name"]: f for f in _schema_at(meta)["fields"]}
@@ -1467,19 +1490,29 @@ def mor_delete_iceberg(
     del_rel = None
     del_rows = 0
     if candidates:
-        matches = spark.read.schema(schema).parquet(
+        reader = spark.read.schema(schema)
+        if pfields:
+            reader = reader.option(
+                "basePath", os.path.join(path, "data"))
+        # basename -> manifest-relative path, broadcast — under Hive
+        # partitioning the rel carries the partition dirs, so a
+        # "data/" + basename reconstruction would be wrong
+        rel_map = spark.createDataFrame(
+            [(os.path.basename(rel), rel) for rel in candidates],
+            "_name string, file_path string",
+        )
+        matches = reader.parquet(
             *sorted(os.path.join(path, rel) for rel in candidates)
         ).filter(
             (F.col(key_col) >= F.lit(lo))
             & (F.col(key_col) <= F.lit(hi))
         ).select(
-            F.concat(
-                F.lit("data/"),
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ),
-            ).alias("file_path"),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_name"),
             F.col("_metadata.row_index").alias("pos"),
+        ).join(F.broadcast(rel_map), on="_name").select(
+            "file_path", "pos",
         )
         staging = os.path.join(
             path, f".staging-{uuid.uuid4().hex[:12]}")
@@ -1515,8 +1548,10 @@ def mor_delete_iceberg(
         "counts": data_counts,
         "min_seq": data_min,
     }]
+    # delete manifests always use the UNPARTITIONED spec (global
+    # deletes): prior delete entries carry an empty partition struct
     del_bytes, del_counts, del_min = _existing_entry_bytes(
-        delete_entries, pfields, seq, snap_id, content=1)
+        delete_entries, [], seq, snap_id, content=1)
     if del_rel is not None:
         del_bytes.append(_encode_entry(
             1, snap_id, seq, del_rel, b"",
@@ -1529,11 +1564,14 @@ def mor_delete_iceberg(
         manifests.append({
             "rel": f"metadata/dm-{snap_id}.avro",
             "entries": del_bytes,
-            "pfields": pfields,
+            "pfields": [],
             "content": 1,
             "counts": del_counts,
             "min_seq": del_min,
+            "spec_id": 1 if pfields else 0,
         })
+        if pfields:
+            meta = _with_unpartitioned_spec(meta)
     summary = dict(data_counts)
     _commit_snapshot(path, meta, version, seq, snap_id, manifests,
                      summary, "delete", now_ms)
@@ -1566,11 +1604,7 @@ def purge_deletes_iceberg(path: str, now_ms: int = 0) -> dict:
     if meta is None:
         raise ValueError(f"no iceberg table at {path}")
     pfields = _spec_fields(meta)
-    if pfields:
-        raise ValueError(
-            "purge on a partitioned table unsupported (boundary: "
-            "the MOR writer is unpartitioned-only)"
-        )
+    pnames = [n for n, _t in pfields]
     schema = _schema_to_spark(_schema_at(meta))
     cur_snap = next(
         s for s in meta["snapshots"]
@@ -1601,35 +1635,48 @@ def purge_deletes_iceberg(path: str, now_ms: int = 0) -> dict:
     placed: list[tuple[str, dict]] = []
     if affected:
         names = [f.name for f in schema.fields]
-        scan = spark.read.schema(schema).parquet(
+        reader = spark.read.schema(schema)
+        if pnames:
+            reader = reader.option(
+                "basePath", os.path.join(path, "data"))
+        # join on BASENAME (unique table-wide): under Hive
+        # partitioning the delete rows carry partition dirs in
+        # file_path, the scan metadata a full URI
+        scan = reader.parquet(
             *sorted(os.path.join(path, rel) for rel in affected)
         ).withColumn(
             "_mor_name",
-            F.concat(
-                F.lit("data/"),
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
             ),
         ).withColumn("_mor_pos", F.col("_metadata.row_index"))
         survivors = scan.join(
             F.broadcast(del_df.select(
-                F.col("file_path").alias("_mor_name"),
+                F.element_at(
+                    F.split(F.col("file_path"), "/"), -1
+                ).alias("_mor_name"),
                 F.col("pos").alias("_mor_pos"),
             )),
             on=["_mor_name", "_mor_pos"],
             how="left_anti",
         ).select(*names)
-        placed = _stage_cow_files(survivors, path, snap_id, [])
+        placed = _stage_cow_files(survivors, path, snap_id, pnames)
     ice_schema = _schema_at(meta)
     entry_bytes = []
     c = {"n_added": 0, "rows_added": 0, "n_existing": 0,
          "rows_existing": 0, "n_deleted": 0, "rows_deleted": 0}
-    for rel, _pv in placed:
+    for rel, pvals in placed:
         full = os.path.join(path, rel)
         nrec, lower, upper = _footer_bounds(full, ice_schema)
+        part = {
+            pname: (int(pvals[pname]) if ptype in ("long", "int")
+                    else pvals[pname])
+            for pname, ptype in pfields
+            if pvals.get(pname) is not None
+        }
         entry_bytes.append(_encode_entry(
-            1, snap_id, seq, rel, b"",
+            1, snap_id, seq, rel,
+            _encode_partition_struct(part, pfields),
             nrec, os.path.getsize(full), lower, upper,
         ))
         c["n_added"] += 1
@@ -1644,7 +1691,7 @@ def purge_deletes_iceberg(path: str, now_ms: int = 0) -> dict:
     # the delete manifest: every delete file goes status=2 — the new
     # snapshot references zero live delete entries
     dd_bytes, dd_counts, dd_min = _existing_entry_bytes(
-        delete_entries, pfields, seq, snap_id, content=1,
+        delete_entries, [], seq, snap_id, content=1,
         status_for={e["file_path"]: 2 for e in delete_entries},
     )
     manifests = [{
@@ -1657,10 +1704,11 @@ def purge_deletes_iceberg(path: str, now_ms: int = 0) -> dict:
     }, {
         "rel": f"metadata/dm-{snap_id}.avro",
         "entries": dd_bytes,
-        "pfields": pfields,
+        "pfields": [],
         "content": 1,
         "counts": dd_counts,
         "min_seq": dd_min,
+        "spec_id": 1 if pfields else 0,
     }]
     _commit_snapshot(path, meta, version, seq, snap_id, manifests,
                      c, "replace", now_ms)

@@ -186,14 +186,49 @@ def test_mor_expire_reclaims_superseded_deletes(spark, tmp_path):
         r["k"] for r in read_iceberg(spark, root).collect()) == keep
 
 
-def test_mor_partitioned_is_a_loud_boundary(spark, tmp_path):
+def test_mor_partitioned_global_deletes(spark, tmp_path):
+    """Partitioned tables use GLOBAL position deletes: one delete
+    file under the unpartitioned spec (id 1, registered on first
+    use and preserved by later writes), data files untouched,
+    manifest-layer partition pruning intact, purge rewrites only
+    the affected partitions' files."""
+    from datawarehouseproject_spark.sources.iceberg_native import (
+        _current_meta,
+    )
+
     root = _tbl(tmp_path)
-    base = spark.range(100).select(
-        (F.col("id") % 2).cast("long").alias("p"),
-        F.col("id").cast("long").alias("k"))
-    write_iceberg(base, root, now_ms=1_000, partition_by=["p"])
-    with pytest.raises(ValueError, match="partitioned"):
-        mor_delete_iceberg(root, "k", 0, 9, now_ms=2_000)
+    base = spark.range(400).select(
+        (F.col("id") % 4).cast("long").alias("p"),
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 3).cast("long").alias("v"))
+    write_iceberg(base.repartition(4, "p"), root, now_ms=1_000,
+                  partition_by=["p"])
+    m = mor_delete_iceberg(root, "k", 100, 199, now_ms=2_000)
+    assert m["files_rewritten"] == 0 and m["delete_rows"] == 100
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in range(400) if not 100 <= k <= 199]
+    pr = read_iceberg(spark, root, where={"p": 1})
+    assert sorted(r["k"] for r in pr.collect()) == [
+        k for k in range(400)
+        if k % 4 == 1 and not 100 <= k <= 199]
+    _v, meta = _current_meta(root)
+    assert {s["spec-id"] for s in meta["partition-specs"]} == {0, 1}
+    # a partition-column delete stays the metadata drop
+    with pytest.raises(ValueError, match="metadata drop"):
+        mor_delete_iceberg(root, "p", 0, 0, now_ms=2_500)
+    p2 = purge_deletes_iceberg(root, now_ms=3_000)
+    assert p2["files_rewritten"] == 4
+    assert read_iceberg(spark, root).count() == 300
+    # spec 1 survives later writes
+    write_iceberg(
+        spark.range(400, 404).select(
+            (F.col("id") % 4).cast("long").alias("p"),
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 3).cast("long").alias("v")),
+        root, now_ms=4_000)
+    _v, meta = _current_meta(root)
+    assert {s["spec-id"] for s in meta["partition-specs"]} == {0, 1}
+    assert read_iceberg(spark, root).count() == 304
 
 
 def test_mor_missing_delete_file_is_loud(spark, tmp_path):
