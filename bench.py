@@ -23,6 +23,7 @@ regression-detection error bar the r9 artifact lacked.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -123,6 +124,17 @@ def main() -> None:
             # blocks (observed: minhash at 24s mid-run vs 6.6s
             # isolated, same code, same data)
             spark.catalog.clearCache()
+            # ALSO collect Python garbage (outside the timed region):
+            # localCheckpoint() blocks — used by every iterative
+            # operator — are NOT covered by clearCache(); they are
+            # freed only when the Python DataFrame proxy is GC'd and
+            # the JVM ContextCleaner reaps the unreferenced RDD.
+            # Without an explicit collect, checkpoint blocks from
+            # dozens of queries accumulate until CPython's collector
+            # happens to run, and late queries inherit the heap
+            # pressure (r13 verdict: untouched queries drifting 1.4-2x
+            # only in full-sweep runs, never isolated)
+            gc.collect()
 
     # r10 verdict item 6 / r11 item 5: with min-of-2, a single slow
     # sample leaves a phantom regression (session_window_agg: 5.5s
@@ -156,6 +168,7 @@ def main() -> None:
                 samples[name].append(dt)
                 print(f"# retry {name}: {dt:.2f}s", file=sys.stderr)
                 spark.catalog.clearCache()
+                gc.collect()
 
     timings = {n: round(min(s), 3) for n, s in samples.items()}
     # spread over the BEST TWO samples: a retired outlier shouldn't

@@ -189,6 +189,16 @@ def _check_schema(name: str, dtypes: dict[str, str]) -> None:
             )
 
 
+#: (applicationId, path, dir-mtime) -> raw file StructType.  Schema
+#: METADATA only (what a real catalog/metastore holds) — never row
+#: data: with 300+ registry queries each re-reading the same immutable
+#: test tables, the per-read footer-inference job is a measurable
+#: fixed cost per query (~0.1-0.3s × tables × queries).  The mtime in
+#: the key invalidates the memo when a fixture is regenerated at the
+#: same path within one session.
+_SCHEMA_MEMO: dict[tuple[str, str, float], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test-data table, normalizing timestamp precision.
 
@@ -202,11 +212,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     used as-is, cast to session-local ``timestamp`` for a stable
     downstream dtype. The shim is guarded on the OBSERVED dtype so a
     testdata regeneration cannot break the loader again.
+
+    The raw file schema is memoized per (session, path, mtime) so the
+    footer-inference pass runs once per session instead of once per
+    query — pure plan-time metadata reuse; every query still computes
+    its rows from the parquet files.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    schema = _SCHEMA_MEMO.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
     _check_schema(name, dict(df.dtypes))
     if name == "events":
         ts_dtype = dict(df.dtypes).get("ts")

@@ -42,16 +42,25 @@ class Pipeline:
         self.cat = catalog
         self.spark = catalog.spark
         self.ledger = ledger
+        self._dim_date: DataFrame | None = None
 
     # ---------------- stage 1: dim_date (one-time) ----------------
     def ensure_dim_date(self) -> DataFrame:
+        # memoized per Pipeline instance: dim_date is written once and
+        # immutable afterwards, but this accessor is hit 3x per
+        # run_day (clean, aggregate, marts) and each spark.read
+        # re-lists + re-infers the parquet schema — pure plan-time
+        # overhead for an unchanging table
+        if self._dim_date is not None:
+            return self._dim_date
         path = self.cat.path("dim_date", "warehouse")
         # os.path existence probes, not read-and-catch: a failed read
         # attempt logs an async analyzer error from the listener bus
         # (local FS here; a deployment would use the Hadoop FS API)
         if not os.path.exists(path):
             date_dim(self.spark).write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+        self._dim_date = self.spark.read.parquet(path)
+        return self._dim_date
 
     # ---------------- stage 2: clean (staging) ----------------
     def clean(self, raw: DataFrame) -> DataFrame:
