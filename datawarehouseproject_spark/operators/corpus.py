@@ -711,7 +711,7 @@ def bpe_learn(
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .alias("s"),
         "cnt",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     merges = []
     for rank in range(1, n_merges + 1):
@@ -755,12 +755,16 @@ def bpe_learn(
                 ),
             ).otherwise(F.concat(acc, F.array(x)))
 
+        # lazy checkpoint: the NEXT round's top-pair action is the
+        # materializer (orderBy().first() computes every partition),
+        # so each merge round costs its aggregation job only — the
+        # eager variant added one materialize-only job per rule
         syms = syms.select(
             F.aggregate(
                 "s", F.array().cast("array<string>"), _merge_step
             ).alias("s"),
             "cnt",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
     spark = docs.sparkSession
     from pyspark.sql import types as T

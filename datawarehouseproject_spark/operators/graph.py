@@ -63,7 +63,12 @@ def connected_components(
         # localCheckpoint (eager) truncates the lineage each round —
         # without it the plan doubles per iteration and the analyzer
         # stack-overflows after ~10 rounds (cache() alone does NOT
-        # truncate lineage for planning purposes)
+        # truncate lineage for planning purposes).  Eager on purpose:
+        # a lazy checkpoint materialized by the convergence count was
+        # measured 2.3x SLOWER per round (r14: dedup_components
+        # 3.5s -> 8.0s isolated at sf0.1) — the one-column count plan
+        # materializes the marked RDD less efficiently than the eager
+        # materialize job, so the "saved" job cost more than it saved
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -156,7 +161,20 @@ def bounded_bfs(
     ``localCheckpoint`` truncates lineage per round (same reason as
     :func:`connected_components`); the loop exits early when the
     frontier empties, so max_hops only bounds the work.
+
+    The edge list is materialized ONCE up front (localCheckpoint):
+    every round is a separate action (the frontier checkpoint), and
+    cross-action plans cannot share work — without this, an edge
+    list derived from an expensive upstream (e.g. a fact-table
+    self-join + distinct) is recomputed from scratch max_hops times.
+    Same per-round reuse as ``_canonical_edges(checkpoint=True)`` in
+    the peeling operators; at 100 TB this is the in-session analogue
+    of the persisted bucketed edge table a standing graph would use.
     """
+    if max_hops > 1:
+        edges = edges.select(
+            F.col(src).alias(src), F.col(dst).alias(dst)
+        ).localCheckpoint()
     reached = seeds.select(F.col(node).alias("node")).distinct().withColumn(
         "hops", F.lit(0)
     ).localCheckpoint()
@@ -456,7 +474,10 @@ def pagerank_integer(
         .distinct()
         .localCheckpoint()
     )
-    deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
+    # checkpointed too: deg is re-derived from sym inside EVERY
+    # round's action (the per-round ranks checkpoint) — materializing
+    # the one-time degree aggregate saves a shuffle stage per round
+    deg = sym.groupBy("s").agg(F.count("*").alias("deg")).localCheckpoint()
     base = int((100 - damp_pct) * one) // 100
     ranks = deg.select(
         F.col("s").alias("node"), F.lit(int(one)).cast("bigint").alias("r")
@@ -583,6 +604,10 @@ def k_core(
             e.join(keep.withColumnRenamed("n", "lo"), "lo", "left_semi")
             .join(keep.withColumnRenamed("n", "hi"), "hi", "left_semi")
             .select("lo", "hi")
+            # eager on purpose: a lazy checkpoint materialized by the
+            # convergence count below measured 1.7x slower per round
+            # (r14: part_k_core 3.1s -> 5.1s; same effect as
+            # connected_components)
             .localCheckpoint()
         )
         n_new = kept.count()  # n_old carried from the previous round

@@ -571,10 +571,17 @@ def _pq_lloyd(expl: DataFrame, seed_map: DataFrame, rounds: int):
     coordinates for the fine PQ of IVF-PQ). Returns (centroids,
     final best, final mind) — the LAST assignment pass is returned
     so callers never recompute it."""
+    # lazy checkpoints throughout the loop: there is no driver action
+    # between rounds, so eager materialization added one job per
+    # round purely to persist blocks the next round would compute
+    # anyway.  Lazy keeps the Catalyst plan truncated per round (the
+    # LogicalRDD leaf) while folding all round computations into the
+    # caller's first real action; each marked RDD still persists on
+    # first compute, so nothing is evaluated twice.
     cent = (
         expl.join(F.broadcast(seed_map), "vid")
         .select("s", "c", "dd", F.col("q").alias("val"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         best, _mind = _pq_assign(expl, cent)
@@ -586,7 +593,7 @@ def _pq_lloyd(expl: DataFrame, seed_map: DataFrame, rounds: int):
         cent = (
             cent.join(upd, ["s", "c", "dd"], "left")
             .select("s", "c", "dd", F.coalesce("nval", "val").alias("val"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     best, mind = _pq_assign(expl, cent)
     return cent, best, mind
@@ -607,7 +614,9 @@ def _pq_fit(
     pay the most expensive shuffles twice)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    expl = _pq_explode(emb, dim, m, id_col, vec_col).localCheckpoint()
+    expl = _pq_explode(emb, dim, m, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     cent, best, mind = _pq_lloyd(
         expl, _pq_seed_map(emb, k, id_col), rounds
     )
@@ -785,7 +794,9 @@ def ivf_pq_topk(
     sub = dim // m
     # one seed collect covers both quantizers (review r7 pass 2)
     seed_ids = _pq_seed_ids(emb, max(nlist, k), id_col)
-    expl1 = _pq_explode(emb, dim, 1, id_col, vec_col).localCheckpoint()
+    expl1 = _pq_explode(emb, dim, 1, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     coarse_cent, coarse_best, _cm = _pq_lloyd(
         expl1, _pq_seed_map(emb, nlist, id_col, seed_ids), coarse_rounds
     )
@@ -803,7 +814,7 @@ def ivf_pq_topk(
             (F.col("q") - F.col("cval") + F.lit(2_000_000)).alias("q"),
         )
         .withColumnRenamed("dd_f", "dd")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     fine_cent, fine_codes, _mind = _pq_lloyd(
         fine_expl, _pq_seed_map(emb, k, id_col, seed_ids), fine_rounds
