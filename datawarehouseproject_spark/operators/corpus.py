@@ -466,67 +466,116 @@ def subword_tokenize_counts(
     the corpus VOCABULARY (millions), not the token stream
     (trillions).
 
-    Dataflow:
+    Dataflow (all inside one codegen stage per distinct word — the
+    vocabulary is a LITERAL, so matching needs no table at all):
 
-    1. ``steps``: for every (word, position), the LONGEST vocab piece
-       matching there (one union of per-length broadcast substring
-       joins + a max).
-    2. ``walk``: iterate position += step from 1, max-word-length
-       times (driver-bounded loop like the connected-components
-       operator; each round is one broadcast-ish equi-join). Words
-       finish when the walk steps past their last char.
+    1. ``steps`` array: per word, ``transform(sequence(1, length))``
+       computes the LONGEST vocab piece matching at each position as
+       a longest-first CASE over ``substr(word, i, plen) IN
+       (<pieces of that length>)`` — the old per-length
+       ``createDataFrame`` broadcast joins cost ~0.4 s of py4j per
+       call and a 4-branch union + max aggregate.
+    2. ``walk``: the greedy walk is ONE ``aggregate`` higher-order
+       expression — ``length(word)`` fold steps, each advancing
+       ``p += steps[p]`` (every successful step advances at least 1,
+       so ``length`` iterations always suffice).  A position with no
+       matching piece nulls the position: the word is un-tokenizable
+       and drops.  This replaces a max-word-length JOIN LOOP whose
+       per-round "finished" branches unioned into an
+       O(max_len^2)-size plan (311 scan nodes, ~3 s of pure plan
+       construction per call at sf0.1) and needed a driver action
+       just to learn max_len.
     3. join subword counts back to the exploded corpus and aggregate
        per doc: ``(id, n_words, n_subwords)``.
 
     Un-tokenizable words (characters outside the vocab) drop from
-    BOTH the engine and the oracle (inner joins on both sides).
+    BOTH the engine and the oracle (the walk sticks at the unmatched
+    position in both, and ``done`` keeps only completed walks; the
+    ``cnt >= 1`` clause reproduces the old loop's drop of words with
+    no match anywhere — e.g. the empty word — which the join-based
+    round 1 eliminated structurally).
     """
     vocab = SUBWORD_VOCAB if vocab is None else vocab
     toks = docs.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("word")
     )
-    words = toks.select("word").distinct().cache()
-    spark = docs.sparkSession
+    words = toks.select("word").distinct()
 
-    pos = words.select(
-        "word",
-        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("p"),
-    )
     by_len: dict[int, list[str]] = {}
     for piece in vocab:
         by_len.setdefault(len(piece), []).append(piece)
-    match_parts = []
-    for plen, pieces in sorted(by_len.items()):
-        vdf = F.broadcast(
-            spark.createDataFrame([(p,) for p in pieces], "piece string")
-        )
-        match_parts.append(
-            pos.join(
-                vdf, F.col("word").substr(F.col("p"), F.lit(plen)) == F.col("piece")
-            ).select("word", "p", F.lit(plen).alias("step"))
-        )
-    matches = match_parts[0]
-    for m in match_parts[1:]:
-        matches = matches.unionByName(m)
-    steps = matches.groupBy("word", "p").agg(F.max("step").alias("step")).cache()
 
-    max_len = words.agg(F.max(F.length("word"))).first()[0] or 0
-    state = words.select("word", F.lit(1).alias("p"), F.lit(0).alias("cnt"))
-    finished = []
-    for i in range(int(max_len)):
-        advanced = state.join(steps, ["word", "p"]).select(
-            "word",
-            (F.col("p") + F.col("step")).alias("p"),
-            (F.col("cnt") + 1).alias("cnt"),
+    def _step_at(i):
+        # longest-first CASE == the old union + max(step)
+        e = None
+        for plen in sorted(by_len, reverse=True):
+            cond = F.col("word").substr(i, F.lit(plen)).isin(*by_len[plen])
+            branch = F.lit(plen).cast("int")
+            e = F.when(cond, branch) if e is None else e.when(cond, branch)
+        return e  # NULL when no piece matches at i
+
+    # The steps array is EXPLODED and re-aggregated to a map rather
+    # than kept as a projected column: Generate and Aggregate are
+    # materialization barriers, so the walk below references a plain
+    # map attribute.  Projected-column plumbing measured 4.5x slower
+    # — higher-order functions are CodegenFallback (interpreted), and
+    # project-collapse + filter-pushdown duplicated the
+    # transform+fold expression 7x in the physical plan, recomputing
+    # the 57-case matcher per fold iteration.  The groupBy reuses the
+    # distinct's hash(word) partitioning — no extra exchange.
+    pos_steps = words.select(
+        "word",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), F.length("word")), _step_at)
+        ).alias("i0", "step"),
+    ).filter(F.col("step").isNotNull())
+    smap = pos_steps.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct((F.col("i0") + 1).alias("p"), F.col("step"))
+            )
+        ).alias("m")
+    )
+
+    def _advance(acc, _):
+        # try_element_at: the stuck-position lookup is a genuine map
+        # miss and must stay NULL under ANSI mode
+        step_here = F.try_element_at(F.col("m"), acc["p"])
+        return F.when(
+            acc["p"].isNull() | (acc["p"] > F.length(F.col("word"))), acc
+        ).otherwise(
+            F.when(
+                step_here.isNull(),  # stuck: no piece matches here
+                F.struct(
+                    F.lit(None).cast("int").alias("p"),
+                    acc["cnt"].alias("cnt"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["p"] + step_here).cast("int").alias("p"),
+                    (acc["cnt"] + F.lit(1)).alias("cnt"),
+                )
+            )
         )
-        if i % 4 == 3:  # truncate the growing join lineage
-            advanced = advanced.localCheckpoint(eager=False)
-        finished.append(advanced.filter(F.col("p") == F.length("word") + 1))
-        state = advanced.filter(F.col("p") <= F.length("word"))
-    done = finished[0]
-    for f in finished[1:]:
-        done = done.unionByName(f)
-    done = done.select("word", F.col("cnt").alias("n_subwords"))
+
+    walked = smap.select(
+        "word",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("word")),
+            F.struct(
+                F.lit(1).cast("int").alias("p"),
+                F.lit(0).cast("int").alias("cnt"),
+            ),
+            _advance,
+        ).alias("w"),
+    )
+    # a piece never overshoots (substr equality needs the full piece
+    # length), so a completed walk ends at exactly length + 1; words
+    # with no matched position anywhere (including the empty word)
+    # never enter smap, matching the old loop's round-1 drop
+    done = walked.filter(
+        F.col("w.p") == F.length("word") + 1
+    ).select("word", F.col("w.cnt").alias("n_subwords"))
 
     return (
         toks.join(done, "word")

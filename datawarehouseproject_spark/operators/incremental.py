@@ -104,6 +104,16 @@ def incremental_dedup(
     every history-side input is an index frame.
     """
     # ---- stage 1: exact dedup (within new, then vs history hashes)
+    # new_keep / new_sh / new_bands are localCheckpoint-ed rather
+    # than cache()d: each is consumed by several independent branches
+    # (probe, verify union, size aggregates, survivor re-index), and
+    # a cached frame keeps its FULL lineage in every consumer's plan
+    # — the assembled probe plan measured 418 KB of formatted text
+    # and 237 AQE stage-jobs at sf0.1, with each cached relation
+    # re-materializing its own exchange cascade.  Checkpointing
+    # truncates the lineage at the three natural stage boundaries;
+    # blocks are freed when the frames are GC'd, same as the
+    # pre-existing shingle checkpoint in index_components.
     hashed = new_docs.withColumn("__h", F.md5(F.col(text_col)))
     keep_keys = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
     new_keep = (
@@ -112,15 +122,19 @@ def incremental_dedup(
             index.hashes.select(F.col("h").alias("__h")), "__h", "left_anti"
         )
         .drop("__h")
-        .cache()
+        .localCheckpoint()
     )
 
     # ---- stage 2: shingle + band the exact survivors only
-    new_sh = _shingle_hashes(new_keep, id_col, text_col, shingle_len).cache()
+    new_sh = _shingle_hashes(
+        new_keep, id_col, text_col, shingle_len
+    ).localCheckpoint()
     new_sig = minhash_signatures(
         new_keep, id_col, text_col, num_perm, shingle_len, shingles=new_sh
     )
-    new_bands = stacked_band_keys(new_sig, id_col, num_perm, bands)
+    new_bands = stacked_band_keys(
+        new_sig, id_col, num_perm, bands
+    ).localCheckpoint()
 
     # ---- stage 3: candidates via band-bucket probe (equi-joins on
     # (band_idx, band_key) — 3 longs per row, never text)
@@ -138,6 +152,11 @@ def incremental_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    # NOT checkpointed (measured): cand feeds three branches, but
+    # AQE's exchange reuse already dedupes the identical probe-join
+    # subtrees at runtime — an explicit checkpoint here measured MORE
+    # jobs (96 -> 132) because the synchronous materialization broke
+    # that reuse into separate cascades
     cand = cross.unionByName(within).distinct()
 
     # ---- stage 4: exact-Jaccard verify (shingle-hash equi-join

@@ -731,7 +731,11 @@ def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _shingle_hashes
 
     docs = _t(spark, sf_dir, "documents")
-    sh = _shingle_hashes(docs, "doc_id", "text", _SHINGLE).cache()
+    # localCheckpoint, not cache(): sh feeds the LSH stage and both
+    # sides of the verify join — same measured pattern as
+    # corpus_dedup's shingle frame (truncated lineage keeps each
+    # consumer plan flat; 84 -> fewer AQE stage-jobs)
+    sh = _shingle_hashes(docs, "doc_id", "text", _SHINGLE).localCheckpoint()
     cand = minhash_lsh_pairs(
         docs, num_perm=_NUM_PERM, shingle_len=_SHINGLE, bands=_BANDS, shingles=sh
     )
