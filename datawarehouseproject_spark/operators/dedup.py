@@ -440,7 +440,11 @@ def simhash_hamming_pairs(
     assert bits % bands == 0 and max_hamming < bands
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    hashes = simhash64(df, id_col, text_col, bits=bits)
+    # localCheckpoint: the simhash computation (shingling + per-bit
+    # majority aggregation) feeds BOTH sides of the band self-join;
+    # the two sides project different aliases so AQE exchange reuse
+    # cannot dedupe them and the hash subtree runs twice without it
+    hashes = simhash64(df, id_col, text_col, bits=bits).localCheckpoint()
     banded = hashes.select(
         F.col(id_col),
         F.col("simhash"),

@@ -219,7 +219,10 @@ def _canonical_edges(
 
 
 def triangle_enumeration(
-    edges: DataFrame, src: str = "u", dst: str = "v"
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    checkpoint_edges: bool = False,
 ) -> DataFrame:
     """Every triangle in an undirected graph, as sorted id triples
     (node_a < node_b < node_c), each exactly once.
@@ -235,8 +238,19 @@ def triangle_enumeration(
     id-ordered wedges but only sqrt(m)^2 oriented ones).
 
     ``edges`` holds each undirected edge once in any order; self
-    loops are dropped. Returns (node_a, node_b, node_c)."""
-    e = _canonical_edges(edges, src, dst)
+    loops are dropped. Returns (node_a, node_b, node_c).
+
+    ``checkpoint_edges`` eagerly materializes the canonical edge
+    list before the degree/orientation/wedge cascade consumes it
+    SIX times (deg union 2x, orientation join 1x, wedge self-join
+    2x, closing join 1x) — without it every consumer recomputes the
+    caller's full edge-derivation subtree (for the co-purchase
+    queries: a lineitem self-join + count-distinct aggregate).
+    Callers whose ``edges`` is already a materialized leaf (k_truss
+    peeling rounds) keep the default False: the extra
+    materialize-job per round costs more than recomputing cheap
+    projections of an existing checkpoint."""
+    e = _canonical_edges(edges, src, dst, checkpoint=checkpoint_edges)
     deg = (
         e.select(F.col("lo").alias("n"))
         .unionAll(e.select(F.col("hi").alias("n")))
@@ -285,6 +299,7 @@ def common_neighbor_candidates(
     src: str = "u",
     dst: str = "v",
     max_center_degree: int | None = None,
+    checkpoint_edges: bool = False,
 ) -> DataFrame:
     """Link prediction by common-neighbor count: NON-adjacent node
     pairs sharing ≥ ``min_common`` neighbors, with the count — the
@@ -318,8 +333,11 @@ def common_neighbor_candidates(
     small/pre-thresholded graphs.
 
     Returns (node_a, node_b, common_neighbors), node_a < node_b,
-    each pair once."""
-    e = _canonical_edges(edges, src, dst)
+    each pair once.  ``checkpoint_edges`` materializes the canonical
+    edge list once for its FOUR consumers (sym union 2x, the degree
+    cap's aggregate input, the final anti join) — same rationale as
+    :func:`triangle_enumeration`."""
+    e = _canonical_edges(edges, src, dst, checkpoint=checkpoint_edges)
     sym = e.select(F.col("lo").alias("s"), F.col("hi").alias("n")).unionAll(
         e.select(F.col("hi").alias("s"), F.col("lo").alias("n"))
     )

@@ -1778,10 +1778,14 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast-sized). Confidence and lift are integer basis points
     (floor division), so every row is bit-exact cross-engine."""
     _utc(spark)
+    # localCheckpoint: `items` feeds four consumers (scalar order
+    # count, per-part totals, both sides of the pair self-join);
+    # without it each consumer re-runs the scan + distinct
     items = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     pc = items.groupBy("l_partkey").agg(
@@ -3224,7 +3228,13 @@ def q_part_triangle_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from ..operators.graph import triangle_enumeration
 
-    return triangle_enumeration(_copurchase_edges(spark, sf_dir))
+    # checkpoint_edges: the canonical edge list feeds six consumers
+    # inside the wedge cascade; without materialization each one
+    # re-runs the lineitem self-join + count-distinct subtree
+    # (measured r14: see OPTIMIZATION_r14.md)
+    return triangle_enumeration(
+        _copurchase_edges(spark, sf_dir), checkpoint_edges=True
+    )
 
 
 @register(
@@ -3277,7 +3287,10 @@ def q_link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> Data
     from ..operators.graph import common_neighbor_candidates
 
     return common_neighbor_candidates(
-        _copurchase_edges(spark, sf_dir), min_common=2, max_center_degree=256
+        _copurchase_edges(spark, sf_dir),
+        min_common=2,
+        max_center_degree=256,
+        checkpoint_edges=True,
     )
 
 
@@ -3631,9 +3644,13 @@ def q_item_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores hash-match the oracle. At 100 TB everything is keyed on
     part ids; nothing touches the fact table after the edge build."""
     _utc(spark)
+    # localCheckpoint: the weighted edge list feeds three consumers
+    # (strength union 2x + the final pair join); without it each one
+    # recomputes the lineitem self-join + count-distinct subtree
     edges = (
         _copurchase_edges_weighted(spark, sf_dir)
         .select("u", "v", "w")
+        .localCheckpoint()
     )
     strength = (
         edges.select(F.col("u").alias("node"), "w")
