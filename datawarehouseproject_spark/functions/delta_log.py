@@ -573,9 +573,14 @@ def _replay_log(
     if cp_blob is None and part_blobs is None:
         raise ValueError("checkpoint parquet missing from log")
     tables = []
+    # use_threads=False on every kernel-side read_table: these run
+    # inside 32 parallel Python workers, where per-call Arrow thread
+    # pools oversubscribe the box (measured 1.45 -> 0.9 ms per tiny
+    # read at 32-way); the files are single-row-group bundle members
+    # that gain nothing from intra-read parallelism
     for blob in part_blobs if part_blobs is not None else [cp_blob]:
         try:
-            tables.append(pq.read_table(io.BytesIO(blob)))
+            tables.append(pq.read_table(io.BytesIO(blob), use_threads=False))
         except Exception as e:
             raise ValueError(f"checkpoint unreadable: {e}") from None
     if sum(t.num_rows for t in tables) != cp_size:
@@ -677,7 +682,7 @@ def _scan_parquet_matches(
     if blob is None:
         raise ValueError(f"data file {path!r} missing from bundle")
     try:
-        table = pq.read_table(io.BytesIO(blob))
+        table = pq.read_table(io.BytesIO(blob), use_threads=False)
     except Exception as e:
         raise ValueError(f"data file unreadable: {e}") from None
     if declared is not None and table.num_rows != declared:
@@ -1534,7 +1539,7 @@ def scan_delta_dv(payload: bytes) -> dict:
         if blob is None:
             raise ValueError(f"data file {path!r} missing from bundle")
         try:
-            table = pq.read_table(io.BytesIO(blob))
+            table = pq.read_table(io.BytesIO(blob), use_threads=False)
         except Exception as e:
             raise ValueError(f"data file unreadable: {e}") from None
         if st is not None and table.num_rows != st[0]:
@@ -1805,7 +1810,7 @@ def scan_delta_cm(payload: bytes) -> dict:
         if blob is None:
             raise ValueError(f"data file {path!r} missing from bundle")
         try:
-            table = pq.read_table(io.BytesIO(blob))
+            table = pq.read_table(io.BytesIO(blob), use_threads=False)
         except Exception as e:
             raise ValueError(f"data file unreadable: {e}") from None
         if "v" in table.column_names:
@@ -1917,6 +1922,11 @@ def scan_delta_time_travel(payload: bytes) -> dict:
         raise ValueError("time travel needs 2..64 versions (boundary)")
     probe = _probe_from_config(state)
     per = []
+    # a file live across K versions is byte-identical at each, so
+    # one read serves them all; the memo key carries the declared
+    # numRecords so a (corrupt) re-add with drifted stats still
+    # re-reads and hits the cross-check inside the scan
+    memo: dict[tuple[str, int], int] = {}
     for _version, adds in trace:
         live = sorted(adds.items())
         total = 0
@@ -1926,10 +1936,12 @@ def scan_delta_time_travel(payload: bytes) -> dict:
                 raise ValueError("time travel needs stats on every add")
             total += st[0]
             if st[1] <= probe <= st[2]:
-                _rows, m = _scan_parquet_matches(
-                    files, path, probe, st[0]
-                )
-                matches += m
+                key = (path, st[0])
+                if key not in memo:
+                    memo[key] = _scan_parquet_matches(
+                        files, path, probe, st[0]
+                    )[1]
+                matches += memo[key]
         per.append((len(live), total, matches))
         if not 0 <= total < 2**63:
             raise ValueError("delta tt total overflows int64 (boundary)")
@@ -2013,7 +2025,7 @@ def _apply_v2_checkpoint(
         if declared is not None and declared != len(blob):
             raise ValueError("sidecar sizeInBytes disagrees")
         try:
-            table = pq.read_table(io.BytesIO(blob))
+            table = pq.read_table(io.BytesIO(blob), use_threads=False)
         except Exception as e:
             raise ValueError(f"sidecar unreadable: {e}") from None
         for kind in ("add", "remove"):
@@ -2305,7 +2317,7 @@ def _read_mapped_column(
     if blob is None:
         raise ValueError(f"data file {path!r} missing from bundle")
     try:
-        table = pq.read_table(io.BytesIO(blob))
+        table = pq.read_table(io.BytesIO(blob), use_threads=False)
     except Exception as e:
         raise ValueError(f"data file unreadable: {e}") from None
     if "v" in table.column_names:
@@ -2405,7 +2417,7 @@ def _fetch_parquet(files: dict[str, bytes], path: str, what: str):
     if blob is None:
         raise ValueError(f"{what} {path!r} missing from bundle")
     try:
-        return pq.read_table(io.BytesIO(blob))
+        return pq.read_table(io.BytesIO(blob), use_threads=False)
     except Exception as e:
         raise ValueError(f"{what} unreadable: {e}") from None
 

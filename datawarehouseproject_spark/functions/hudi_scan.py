@@ -244,7 +244,7 @@ def _read_rows(files: dict[str, bytes], rel: str) -> list[int]:
     if blob is None:
         raise ValueError(f"base file {rel!r} missing from bundle")
     try:
-        table = pq.read_table(io.BytesIO(blob))
+        table = pq.read_table(io.BytesIO(blob), use_threads=False)
     except Exception as e:
         raise ValueError(f"base file unreadable: {e}") from None
     if "v" not in table.column_names:
@@ -276,6 +276,16 @@ def scan_hudi(payload: bytes) -> dict:
     COW bundle, every commit-stats claim cross-checked (module
     docstring)."""
     files = read_tar_bundle(payload)
+    # per-call memo: the stats cross-check, snapshot aggregate,
+    # as-of-first and written-by-last passes all read the same
+    # immutable base files; one decode serves all four
+    _rows_memo: dict[str, list[int]] = {}
+
+    def read_rows(rel: str) -> list[int]:
+        if rel not in _rows_memo:
+            _rows_memo[rel] = _read_rows(files, rel)
+        return _rows_memo[rel]
+
     props_blob = files.get(f"{_HOODIE}/hoodie.properties")
     if props_blob is None:
         raise ValueError("hoodie.properties missing")
@@ -336,7 +346,7 @@ def scan_hudi(payload: bytes) -> dict:
                     raise ValueError(
                         "write stats partition disagrees with path"
                     )
-                vals = _read_rows(files, rel)
+                vals = read_rows(rel)
                 if st.get("numWrites") != len(vals):
                     raise ValueError(
                         "numWrites disagrees with parquet rows"
@@ -354,7 +364,7 @@ def scan_hudi(payload: bytes) -> dict:
     v_sum = 0
     replaced = 0
     for (part, fid), (t, rel) in sorted(snapshot.items()):
-        vals = _read_rows(files, rel)
+        vals = read_rows(rel)
         total_rows += len(vals)
         v_sum += sum(vals)
         older = [
@@ -364,11 +374,11 @@ def scan_hudi(payload: bytes) -> dict:
         replaced += 1 if older else 0
     first = _slices_asof(bases, completed, completed[0])
     rows_asof_first = sum(
-        len(_read_rows(files, rel)) for _t, rel in first.values()
+        len(read_rows(rel)) for _t, rel in first.values()
     )
     last_t = completed[-1]
     rows_written_by_last = sum(
-        len(_read_rows(files, rel))
+        len(read_rows(rel))
         for _part, _fid, _tok, t, rel in bases
         if t == last_t
     )

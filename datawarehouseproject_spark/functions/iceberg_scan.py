@@ -353,7 +353,7 @@ def _read_parquet_checked(files: dict[str, bytes], path: str, rc: int):
     if blob is None:
         raise ValueError(f"data file {path!r} missing from bundle")
     try:
-        table = pq.read_table(io.BytesIO(blob))
+        table = pq.read_table(io.BytesIO(blob), use_threads=False)
     except Exception as e:  # pyarrow raises ArrowInvalid/OSError
         raise ValueError(f"data file unreadable: {e}") from None
     if table.num_rows != rc:
@@ -459,7 +459,7 @@ def _load_positional_deletes(
         if dblob is None:
             raise ValueError(f"delete file {dpath!r} missing from bundle")
         try:
-            dtable = pq.read_table(io.BytesIO(dblob))
+            dtable = pq.read_table(io.BytesIO(dblob), use_threads=False)
         except Exception as e:
             raise ValueError(f"delete file unreadable: {e}") from None
         if dtable.num_rows != dcount:
@@ -1143,7 +1143,7 @@ def scan_iceberg_v2(payload: bytes) -> dict:
         if dblob is None:
             raise ValueError(f"delete file {dpath!r} missing from bundle")
         try:
-            dtable = pq.read_table(io.BytesIO(dblob))
+            dtable = pq.read_table(io.BytesIO(dblob), use_threads=False)
         except Exception as e:
             raise ValueError(f"delete file unreadable: {e}") from None
         if dtable.num_rows != dcount:
@@ -1249,6 +1249,12 @@ def scan_iceberg_time_travel(payload: bytes) -> dict:
         raise ValueError("snapshot history too long (boundary)")
     per = {}
     walked: dict[str, dict] = {}  # ml path -> metrics (dedup re-walks)
+    # file-level memo across snapshots: a data file shared by two
+    # snapshots is byte-identical at both, so the probe result only
+    # depends on (path, declared rowcount, its delete positions) —
+    # distinct delete sets (or a corrupt rowcount drift) still
+    # re-read and hit the cross-checks inside _match_live_rows
+    fmemo: dict[tuple, int] = {}
     for sid in sorted(snaps):
         ml_path = snaps[sid]
         if ml_path in walked:
@@ -1265,11 +1271,14 @@ def scan_iceberg_time_travel(payload: bytes) -> dict:
         matches = 0
         scanned = 0
         for path, rc, _lo, _hi in survivors:
-            _rows, m = _match_live_rows(
-                files, path, rc, probe, deletes.get(path, set())
-            )
+            dels = deletes.get(path, set())
+            key = (path, rc, frozenset(dels))
+            if key not in fmemo:
+                fmemo[key] = _match_live_rows(
+                    files, path, rc, probe, dels
+                )[1]
             scanned += 1
-            matches += m
+            matches += fmemo[key]
         total = sum(c[1] for c in cands)
         if not (0 <= total < 2**63):
             raise ValueError("iceberg total_rows overflows int64")

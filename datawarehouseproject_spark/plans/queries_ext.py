@@ -9729,19 +9729,27 @@ def q_delta_native_checkpoint_replay(
     import tempfile
 
     _utc(spark)
-    from ..sources.delta_native import read_delta, write_delta
+    from ..sources.delta_native import (
+        read_delta,
+        write_delta,
+        write_delta_split,
+    )
 
     root = tempfile.mkdtemp(prefix="dw_delta_cp_") + "/tbl"
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("k"),
         F.length("p_name").cast("int").alias("v"),
     )
-    for r in range(21):
-        write_delta(
-            part.filter(F.col("k") % 21 == r), root,
-            now_ms=1_700_000_000_000 + r,
-            checkpoint_every=10,
-        )
+    # one staged write -> 21 commits (r14: the per-residue
+    # write_delta loop paid 21 scan+write Spark jobs of fixed
+    # overhead; the log shape — one append per residue, classic
+    # checkpoints at v10/v20 — is unchanged)
+    write_delta_split(
+        part.withColumn("r", F.col("k") % 21), root, "r",
+        values=list(range(21)),
+        now_ms=1_700_000_000_000,
+        checkpoint_every=10,
+    )
     keep = read_delta(spark, root).filter("k % 21 < 12")
     write_delta(keep, root, mode="overwrite",
                 now_ms=1_700_000_100_000, checkpoint_every=10)

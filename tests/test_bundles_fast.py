@@ -1,0 +1,69 @@
+"""The fast USTAR codec in ``functions/bundles.py`` must be
+byte-identical (write) and dict-identical (read) to the tarfile
+implementation it replaced, and every malformed/unusual shape must
+keep the old ValueError fencing by falling back to tarfile."""
+
+import io
+import tarfile
+
+import pytest
+
+from datawarehouseproject_spark.functions.bundles import (
+    _read_fast,
+    _write_slow,
+    read_tar_bundle,
+    write_tar_bundle,
+)
+
+
+CASES = [
+    {},
+    {"a.json": b""},
+    {"_delta_log/00000000000000000000.json": b'{"x":1}' * 100},
+    {
+        "part-00000.parquet": b"PAR1" + bytes(3000),
+        "_delta_log/0.json": b"{}",
+        "metadata/v1.metadata.json": b"m" * 511,
+        "data/pb=3/part-0.parquet": b"q" * 513,
+        "z" * 99: b"edge-name",
+    },
+    {f"f{i:03d}.bin": bytes(i * 37 % 256 for _ in range(i)) for i in range(40)},
+]
+
+
+@pytest.mark.parametrize("files", CASES)
+def test_write_byte_identical_to_tarfile(files):
+    assert write_tar_bundle(files) == _write_slow(files)
+
+
+@pytest.mark.parametrize("files", CASES)
+def test_read_roundtrip_and_parity(files):
+    payload = write_tar_bundle(files)
+    assert read_tar_bundle(payload) == files
+    assert _read_fast(payload) == files
+
+
+def test_long_name_falls_back_and_roundtrips():
+    files = {"d/" + "n" * 120: b"long-name member"}
+    payload = write_tar_bundle(files)
+    assert payload == _write_slow(files)
+    assert read_tar_bundle(payload) == files  # pax record -> tarfile path
+
+
+def test_malformed_payloads_raise_valueerror():
+    good = write_tar_bundle({"a.bin": b"x" * 700})
+    for bad in (b"", b"garbage" * 100, good[:512], good[:700], good[:100]):
+        with pytest.raises(ValueError):
+            read_tar_bundle(bad)
+
+
+def test_size_cap_enforced():
+    # forge a header declaring a huge member without carrying it:
+    # the fast path must reject it with the cap error, not OOM
+    files = {"big.bin": b"x"}
+    payload = bytearray(write_tar_bundle(files))
+    payload[124:136] = ("%011o" % (1 << 29)).encode() + b"\x00"
+    chk = sum(payload[0:148]) + sum(payload[156:512]) + 8 * 32
+    payload[148:156] = ("%06o" % chk).encode() + b"\x00 "
+    with pytest.raises(ValueError, match="size cap"):
+        read_tar_bundle(bytes(payload))

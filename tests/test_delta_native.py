@@ -874,3 +874,53 @@ def test_stream_merge_delta_sink(spark, tmp_path):
                 os.path.join(log_dir, n)).readline())
             ops.append(first["commitInfo"]["operation"])
     assert ops == ["WRITE", "MERGE", "MERGE"]
+
+
+def test_write_delta_split_matches_the_loop(spark, tmp_path):
+    """r14 optimization: write_delta_split (one staged job, one
+    commit per split value) must produce the same log structure and
+    replayed rows as the per-value write_delta loop it replaces."""
+    import pytest
+    from datawarehouseproject_spark.sources.delta_native import (
+        write_delta_split,
+    )
+
+    src = spark.range(0, 130).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    loop_root = str(tmp_path / "loop")
+    for r in range(7):
+        write_delta(src.filter(F.col("k") % 7 == r), loop_root,
+                    now_ms=100 + r, checkpoint_every=3)
+    split_root = str(tmp_path / "split")
+    last = write_delta_split(
+        src.withColumn("r", F.col("k") % 7), split_root, "r",
+        values=list(range(7)), now_ms=100, checkpoint_every=3)
+    assert last == 6
+    # same replayed rows at every version (time travel included)
+    for ver in (0, 3, 6, None):
+        a = sorted(read_delta(spark, loop_root, ver).collect())
+        b = sorted(read_delta(spark, split_root, ver).collect())
+        assert a == b
+    # same log shape: commit count, checkpoint placement, and the
+    # per-commit add/action structure
+    for root in (loop_root, split_root):
+        log_dir = os.path.join(root, "_delta_log")
+        jsons = sorted(n for n in os.listdir(log_dir)
+                       if n.endswith(".json") and n[0] != "_")
+        assert len(jsons) == 7
+        cps = [n for n in os.listdir(log_dir)
+               if n.endswith(".checkpoint.parquet")]
+        assert cps == [f"{6:020d}.checkpoint.parquet"]
+
+    def acts(root, ver):
+        p = os.path.join(root, "_delta_log", f"{ver:020d}.json")
+        return [next(iter(json.loads(ln)))
+                for ln in open(p) if ln.strip()]
+
+    for ver in range(7):
+        assert acts(loop_root, ver) == acts(split_root, ver)
+    # boundary: split-create over an existing table loud-rejects
+    with pytest.raises(ValueError, match="only creates"):
+        write_delta_split(
+            src.withColumn("r", F.col("k") % 7), split_root, "r",
+            values=list(range(7)))
