@@ -27,6 +27,22 @@ _MAX_BUNDLE = 1 << 28
 _ZERO_BLOCK = b"\x00" * 512
 
 
+def read_parquet_blob(blob: bytes):
+    """In-memory parquet -> Table for the kernel scans.
+
+    ``pq.ParquetFile(BufferReader).read(use_threads=False)`` returns
+    a table equal to ``pq.read_table(BytesIO(blob))`` (pinned by
+    ``tests/test_bundles_fast.py``) but skips the dataset-API layer:
+    measured 0.94 -> 0.04 ms per tiny file, and single-threaded so 32
+    parallel executor workers don't fight over Arrow thread pools.
+    Malformed bytes raise ArrowInvalid/OSError — callers keep their
+    ``except Exception`` -> ValueError quarantine."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(pa.BufferReader(blob)).read(use_threads=False)
+
+
 def _read_fast(payload: bytes) -> dict[str, bytes] | None:
     """Direct USTAR member walk; ``None`` = not the plain shape the
     fast path handles (caller falls back to tarfile). Raises only

@@ -49,7 +49,11 @@ import json
 import re
 import tarfile
 
-from .bundles import read_tar_bundle, write_tar_bundle
+from .bundles import (
+    read_parquet_blob,
+    read_tar_bundle,
+    write_tar_bundle,
+)
 
 _LOG = "_delta_log"
 _SUPPORTED_READER_VERSION = 1
@@ -573,14 +577,9 @@ def _replay_log(
     if cp_blob is None and part_blobs is None:
         raise ValueError("checkpoint parquet missing from log")
     tables = []
-    # use_threads=False on every kernel-side read_table: these run
-    # inside 32 parallel Python workers, where per-call Arrow thread
-    # pools oversubscribe the box (measured 1.45 -> 0.9 ms per tiny
-    # read at 32-way); the files are single-row-group bundle members
-    # that gain nothing from intra-read parallelism
     for blob in part_blobs if part_blobs is not None else [cp_blob]:
         try:
-            tables.append(pq.read_table(io.BytesIO(blob), use_threads=False))
+            tables.append(read_parquet_blob(blob))
         except Exception as e:
             raise ValueError(f"checkpoint unreadable: {e}") from None
     if sum(t.num_rows for t in tables) != cp_size:
@@ -682,7 +681,7 @@ def _scan_parquet_matches(
     if blob is None:
         raise ValueError(f"data file {path!r} missing from bundle")
     try:
-        table = pq.read_table(io.BytesIO(blob), use_threads=False)
+        table = read_parquet_blob(blob)
     except Exception as e:
         raise ValueError(f"data file unreadable: {e}") from None
     if declared is not None and table.num_rows != declared:
@@ -1539,7 +1538,7 @@ def scan_delta_dv(payload: bytes) -> dict:
         if blob is None:
             raise ValueError(f"data file {path!r} missing from bundle")
         try:
-            table = pq.read_table(io.BytesIO(blob), use_threads=False)
+            table = read_parquet_blob(blob)
         except Exception as e:
             raise ValueError(f"data file unreadable: {e}") from None
         if st is not None and table.num_rows != st[0]:
@@ -1810,7 +1809,7 @@ def scan_delta_cm(payload: bytes) -> dict:
         if blob is None:
             raise ValueError(f"data file {path!r} missing from bundle")
         try:
-            table = pq.read_table(io.BytesIO(blob), use_threads=False)
+            table = read_parquet_blob(blob)
         except Exception as e:
             raise ValueError(f"data file unreadable: {e}") from None
         if "v" in table.column_names:
@@ -2025,7 +2024,7 @@ def _apply_v2_checkpoint(
         if declared is not None and declared != len(blob):
             raise ValueError("sidecar sizeInBytes disagrees")
         try:
-            table = pq.read_table(io.BytesIO(blob), use_threads=False)
+            table = read_parquet_blob(blob)
         except Exception as e:
             raise ValueError(f"sidecar unreadable: {e}") from None
         for kind in ("add", "remove"):
@@ -2317,7 +2316,7 @@ def _read_mapped_column(
     if blob is None:
         raise ValueError(f"data file {path!r} missing from bundle")
     try:
-        table = pq.read_table(io.BytesIO(blob), use_threads=False)
+        table = read_parquet_blob(blob)
     except Exception as e:
         raise ValueError(f"data file unreadable: {e}") from None
     if "v" in table.column_names:
@@ -2417,7 +2416,7 @@ def _fetch_parquet(files: dict[str, bytes], path: str, what: str):
     if blob is None:
         raise ValueError(f"{what} {path!r} missing from bundle")
     try:
-        return pq.read_table(io.BytesIO(blob), use_threads=False)
+        return read_parquet_blob(blob)
     except Exception as e:
         raise ValueError(f"{what} unreadable: {e}") from None
 

@@ -42,7 +42,11 @@ import io
 import json
 import re
 
-from .bundles import read_tar_bundle, write_tar_bundle
+from .bundles import (
+    read_parquet_blob,
+    read_tar_bundle,
+    write_tar_bundle,
+)
 
 _HOODIE = ".hoodie"
 _T1 = "20240101000000000"
@@ -244,7 +248,7 @@ def _read_rows(files: dict[str, bytes], rel: str) -> list[int]:
     if blob is None:
         raise ValueError(f"base file {rel!r} missing from bundle")
     try:
-        table = pq.read_table(io.BytesIO(blob), use_threads=False)
+        table = read_parquet_blob(blob)
     except Exception as e:
         raise ValueError(f"base file unreadable: {e}") from None
     if "v" not in table.column_names:

@@ -43,7 +43,11 @@ import json
 import struct
 import tarfile
 
-from .bundles import read_tar_bundle, write_tar_bundle
+from .bundles import (
+    read_parquet_blob,
+    read_tar_bundle,
+    write_tar_bundle,
+)
 from .avro_scan import (
     _zigzag_write,
     decode_avro_blocks,
@@ -353,7 +357,7 @@ def _read_parquet_checked(files: dict[str, bytes], path: str, rc: int):
     if blob is None:
         raise ValueError(f"data file {path!r} missing from bundle")
     try:
-        table = pq.read_table(io.BytesIO(blob), use_threads=False)
+        table = read_parquet_blob(blob)
     except Exception as e:  # pyarrow raises ArrowInvalid/OSError
         raise ValueError(f"data file unreadable: {e}") from None
     if table.num_rows != rc:
@@ -459,7 +463,7 @@ def _load_positional_deletes(
         if dblob is None:
             raise ValueError(f"delete file {dpath!r} missing from bundle")
         try:
-            dtable = pq.read_table(io.BytesIO(dblob), use_threads=False)
+            dtable = read_parquet_blob(dblob)
         except Exception as e:
             raise ValueError(f"delete file unreadable: {e}") from None
         if dtable.num_rows != dcount:
@@ -1143,7 +1147,7 @@ def scan_iceberg_v2(payload: bytes) -> dict:
         if dblob is None:
             raise ValueError(f"delete file {dpath!r} missing from bundle")
         try:
-            dtable = pq.read_table(io.BytesIO(dblob), use_threads=False)
+            dtable = read_parquet_blob(dblob)
         except Exception as e:
             raise ValueError(f"delete file unreadable: {e}") from None
         if dtable.num_rows != dcount:

@@ -67,3 +67,31 @@ def test_size_cap_enforced():
     payload[148:156] = ("%06o" % chk).encode() + b"\x00 "
     with pytest.raises(ValueError, match="size cap"):
         read_tar_bundle(bytes(payload))
+
+
+def test_read_parquet_blob_equals_read_table():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datawarehouseproject_spark.functions.bundles import (
+        read_parquet_blob,
+    )
+
+    cases = [
+        pa.table({"v": list(range(60))}),
+        pa.table(
+            {"v": pa.array([1, None, 3], pa.int64()), "s": ["a", "b", None]}
+        ),
+        pa.table({"add": [{"path": "x", "size": 3}], "remove": [None]}),
+        pa.table({"v": pa.array([], pa.int64())}),
+    ]
+    for t in cases:
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        got = read_parquet_blob(buf.getvalue())
+        want = pq.read_table(io.BytesIO(buf.getvalue()))
+        assert got.equals(want) and got.schema == want.schema
+    with pytest.raises(Exception):
+        read_parquet_blob(b"garbage" * 10)
