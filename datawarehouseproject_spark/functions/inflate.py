@@ -46,47 +46,14 @@ _CLC_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
 _MAXBITS = 15
 
 
-class _LsbBits:
-    """LSB-first bit reader (DEFLATE packs Huffman codes starting at
-    each byte's low bit — the opposite of bzip2's reader)."""
-
-    __slots__ = ("data", "pos", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.nbits = len(data) * 8
-
-    def read(self, k: int) -> int:
-        pos = self.pos
-        if pos + k > self.nbits:
-            raise ValueError("deflate stream truncated")
-        data = self.data
-        v = 0
-        shift = 0
-        while k:
-            byte = data[pos >> 3]
-            off = pos & 7
-            take = 8 - off
-            if take > k:
-                take = k
-            v |= ((byte >> off) & ((1 << take) - 1)) << shift
-            shift += take
-            pos += take
-            k -= take
-        self.pos = pos
-        return v
-
-    def align_byte(self) -> None:
-        self.pos = (self.pos + 7) & ~7
-
-
 class _Huffman:
-    """Canonical decoder over code LENGTHS (RFC 1951 §3.2.2): codes
-    of each length are consecutive integers starting where the
+    """Canonical decoder TABLES over code LENGTHS (RFC 1951 §3.2.2):
+    codes of each length are consecutive integers starting where the
     previous length's codes left off, doubled. Decoding walks one
-    bit at a time, tracking the first code and symbol index of each
-    length — the per-length (count, symbols) formulation."""
+    bit at a time through the per-length (count, symbols)
+    formulation — the walk itself is inlined in :func:`inflate`'s
+    hot loop and in :func:`_decode` (r14: the per-bit method-call
+    pair cost ~60 % of every ORC/PDF/npz inflate)."""
 
     __slots__ = ("count", "symbols")
 
@@ -115,18 +82,52 @@ class _Huffman:
         self.count = count
         self.symbols = symbols
 
-    def decode(self, bits: _LsbBits) -> int:
-        count = self.count
-        code = first = index = 0
-        for ln in range(1, _MAXBITS + 1):
-            code |= bits.read(1)
-            n = count[ln]
-            if code - first < n:
-                return self.symbols[index + code - first]
-            index += n
-            first = (first + n) << 1
-            code <<= 1
-        raise ValueError("invalid huffman code (no symbol at any length)")
+
+def _readk(data: bytes, st: list, k: int) -> int:
+    """Pull ``k`` LSB-first bits through the accumulator state
+    ``st = [bytepos, buf, cnt]`` (cold paths: headers, dynamic-table
+    parsing; the literal/match loop inlines the same logic)."""
+    bytepos, buf, cnt = st
+    n = len(data)
+    while cnt < k:
+        if bytepos >= n:
+            raise ValueError("deflate stream truncated")
+        buf |= data[bytepos] << cnt
+        bytepos += 1
+        cnt += 8
+    st[0] = bytepos
+    st[1] = buf >> k
+    st[2] = cnt - k
+    return buf & ((1 << k) - 1)
+
+
+def _decode(data: bytes, st: list, huff: _Huffman) -> int:
+    """Canonical-walk decode against ``huff`` (cold paths)."""
+    bytepos, buf, cnt = st
+    n = len(data)
+    count = huff.count
+    code = first = index = 0
+    for ln in range(1, _MAXBITS + 1):
+        if not cnt:
+            if bytepos >= n:
+                raise ValueError("deflate stream truncated")
+            buf = data[bytepos]
+            bytepos += 1
+            cnt = 8
+        code |= buf & 1
+        buf >>= 1
+        cnt -= 1
+        c = count[ln]
+        t = code - first
+        if t < c:
+            st[0] = bytepos
+            st[1] = buf
+            st[2] = cnt
+            return huff.symbols[index + t]
+        index += c
+        first = (first + c) << 1
+        code <<= 1
+    raise ValueError("invalid huffman code (no symbol at any length)")
 
 
 def _fixed_tables() -> tuple[_Huffman, _Huffman]:
@@ -138,32 +139,32 @@ def _fixed_tables() -> tuple[_Huffman, _Huffman]:
 _FIXED: tuple[_Huffman, _Huffman] | None = None
 
 
-def _dynamic_tables(bits: _LsbBits) -> tuple[_Huffman, _Huffman]:
+def _dynamic_tables(data: bytes, st: list) -> tuple[_Huffman, _Huffman]:
     """§3.2.7: the block header carries the code lengths of a
     code-length code, which then decodes the (run-length-coded)
     lengths of the literal/length and distance codes."""
-    hlit = bits.read(5) + 257
-    hdist = bits.read(5) + 1
-    hclen = bits.read(4) + 4
+    hlit = _readk(data, st, 5) + 257
+    hdist = _readk(data, st, 5) + 1
+    hclen = _readk(data, st, 4) + 4
     if hlit > 286 or hdist > 30:
         raise ValueError(f"dynamic header out of range (hlit={hlit}, hdist={hdist})")
     clc_lengths = [0] * 19
     for i in range(hclen):
-        clc_lengths[_CLC_ORDER[i]] = bits.read(3)
+        clc_lengths[_CLC_ORDER[i]] = _readk(data, st, 3)
     clc = _Huffman(clc_lengths)
     lengths: list[int] = []
     while len(lengths) < hlit + hdist:
-        sym = clc.decode(bits)
+        sym = _decode(data, st, clc)
         if sym < 16:
             lengths.append(sym)
         elif sym == 16:
             if not lengths:
                 raise ValueError("length repeat with no previous length")
-            lengths.extend([lengths[-1]] * (3 + bits.read(2)))
+            lengths.extend([lengths[-1]] * (3 + _readk(data, st, 2)))
         elif sym == 17:
-            lengths.extend([0] * (3 + bits.read(3)))
+            lengths.extend([0] * (3 + _readk(data, st, 3)))
         else:  # 18
-            lengths.extend([0] * (11 + bits.read(7)))
+            lengths.extend([0] * (11 + _readk(data, st, 7)))
     if len(lengths) > hlit + hdist:
         raise ValueError("code-length runs overflow the declared counts")
     if lengths[256] == 0:
@@ -174,65 +175,149 @@ def _dynamic_tables(bits: _LsbBits) -> tuple[_Huffman, _Huffman]:
 def inflate(data: bytes, max_output: int = 1 << 26) -> bytes:
     """Decode one raw DEFLATE stream (what ``zlib.compressobj(...,
     wbits=-15)`` emits; gzip/zlib/ZIP wrappers strip to this).
-    ``max_output`` bounds decompression-bomb blowup."""
+    ``max_output`` bounds decompression-bomb blowup.
+
+    r14: the bit reader is a local-variable accumulator
+    ``(bytepos, buf, cnt)`` and the literal/match loop decodes with
+    the canonical walk INLINED — the previous per-bit
+    ``read(1)``/``decode`` method pair dominated every consumer's
+    profile (605k calls per 100 ORC payloads)."""
     global _FIXED
-    bits = _LsbBits(data)
+    n = len(data)
     out = bytearray()
+    st = [0, 0, 0]  # bytepos, buf (LSB-first unconsumed bits), cnt
     final = 0
     while not final:
-        final = bits.read(1)
-        btype = bits.read(2)
+        final = _readk(data, st, 1)
+        btype = _readk(data, st, 2)
         if btype == 3:
             raise ValueError("reserved deflate block type 3")
         if btype == 0:  # stored
-            bits.align_byte()
-            hdr_pos = bits.pos >> 3
-            if hdr_pos + 4 > len(data):
+            bytepos, buf, cnt = st
+            drop = cnt & 7  # byte-align: discard the partial byte
+            buf >>= drop
+            cnt -= drop
+            hdr_pos = bytepos - (cnt >> 3)  # whole bytes still cached
+            if hdr_pos + 4 > n:
                 raise ValueError("stored block header truncated")
             ln = data[hdr_pos] | (data[hdr_pos + 1] << 8)
             nln = data[hdr_pos + 2] | (data[hdr_pos + 3] << 8)
             if ln != (~nln & 0xFFFF):
                 raise ValueError("stored block LEN/NLEN mismatch")
             start = hdr_pos + 4
-            if start + ln > len(data):
+            if start + ln > n:
                 raise ValueError("stored block data truncated")
             out += data[start : start + ln]
-            bits.pos = (start + ln) * 8
+            st = [start + ln, 0, 0]
         else:
             if btype == 1:
                 if _FIXED is None:
                     _FIXED = _fixed_tables()
                 lit, dist = _FIXED
             else:
-                lit, dist = _dynamic_tables(bits)
+                lit, dist = _dynamic_tables(data, st)
+            bytepos, buf, cnt = st
+            lcount = lit.count
+            lsyms = lit.symbols
+            dcount = dist.count
+            dsyms = dist.symbols
             while True:
-                sym = lit.decode(bits)
+                # inline canonical walk over the literal/length code
+                code = first = index = 0
+                ln_ = 1
+                while True:
+                    if not cnt:
+                        if bytepos >= n:
+                            raise ValueError("deflate stream truncated")
+                        buf = data[bytepos]
+                        bytepos += 1
+                        cnt = 8
+                    code |= buf & 1
+                    buf >>= 1
+                    cnt -= 1
+                    c = lcount[ln_]
+                    t = code - first
+                    if t < c:
+                        sym = lsyms[index + t]
+                        break
+                    index += c
+                    first = (first + c) << 1
+                    code <<= 1
+                    ln_ += 1
+                    if ln_ > _MAXBITS:
+                        raise ValueError(
+                            "invalid huffman code (no symbol at any length)"
+                        )
                 if sym < 256:
                     out.append(sym)
-                elif sym == 256:
+                    continue
+                if sym == 256:
                     break
-                else:
-                    if sym > 285:
-                        raise ValueError(f"invalid length symbol {sym}")
-                    i = sym - 257
-                    length = _LEN_BASE[i] + bits.read(_LEN_EXTRA[i])
-                    dsym = dist.decode(bits)
-                    if dsym > 29:
-                        raise ValueError(f"invalid distance symbol {dsym}")
-                    distance = _DIST_BASE[dsym] + bits.read(_DIST_EXTRA[dsym])
-                    if distance > len(out):
+                if sym > 285:
+                    raise ValueError(f"invalid length symbol {sym}")
+                i = sym - 257
+                k = _LEN_EXTRA[i]
+                while cnt < k:
+                    if bytepos >= n:
+                        raise ValueError("deflate stream truncated")
+                    buf |= data[bytepos] << cnt
+                    bytepos += 1
+                    cnt += 8
+                length = _LEN_BASE[i] + (buf & ((1 << k) - 1))
+                buf >>= k
+                cnt -= k
+                # inline walk over the distance code
+                code = first = index = 0
+                ln_ = 1
+                while True:
+                    if not cnt:
+                        if bytepos >= n:
+                            raise ValueError("deflate stream truncated")
+                        buf = data[bytepos]
+                        bytepos += 1
+                        cnt = 8
+                    code |= buf & 1
+                    buf >>= 1
+                    cnt -= 1
+                    c = dcount[ln_]
+                    t = code - first
+                    if t < c:
+                        dsym = dsyms[index + t]
+                        break
+                    index += c
+                    first = (first + c) << 1
+                    code <<= 1
+                    ln_ += 1
+                    if ln_ > _MAXBITS:
                         raise ValueError(
-                            f"back-reference distance {distance} before start"
+                            "invalid huffman code (no symbol at any length)"
                         )
-                    # overlapping copies (distance < length) repeat
-                    # the window byte-serially — the LZ77 semantics
-                    if distance >= length:
-                        out += out[-distance : len(out) - distance + length]
-                    else:
-                        # overlapping copy == periodic repeat of the
-                        # last ``distance`` bytes, batched
-                        pat = bytes(out[len(out) - distance :])
-                        out += (pat * (length // distance + 1))[:length]
+                if dsym > 29:
+                    raise ValueError(f"invalid distance symbol {dsym}")
+                k = _DIST_EXTRA[dsym]
+                while cnt < k:
+                    if bytepos >= n:
+                        raise ValueError("deflate stream truncated")
+                    buf |= data[bytepos] << cnt
+                    bytepos += 1
+                    cnt += 8
+                distance = _DIST_BASE[dsym] + (buf & ((1 << k) - 1))
+                buf >>= k
+                cnt -= k
+                if distance > len(out):
+                    raise ValueError(
+                        f"back-reference distance {distance} before start"
+                    )
+                # overlapping copies (distance < length) repeat the
+                # window byte-serially — the LZ77 semantics
+                if distance >= length:
+                    out += out[-distance : len(out) - distance + length]
+                else:
+                    # overlapping copy == periodic repeat of the
+                    # last ``distance`` bytes, batched
+                    pat = bytes(out[len(out) - distance :])
+                    out += (pat * (length // distance + 1))[:length]
+            st = [bytepos, buf, cnt]
         if len(out) > max_output:
             raise ValueError(f"inflated output exceeds {max_output} bytes")
     return bytes(out)
