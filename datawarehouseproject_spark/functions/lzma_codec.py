@@ -254,6 +254,18 @@ class LzmaDecoder:
         pb_mask = (1 << self.pb) - 1
         lp_mask = (1 << self.lp) - 1
         lc = self.lc
+        # r14: the range coder runs on LOCALS (rng/code/rpos) with
+        # decode_bit inlined — the per-bit method call dominated the
+        # xz kernel profile (460k calls per 60 payloads). State syncs
+        # back into ``rc`` only around the per-MATCH helper calls
+        # (length/distance trees), which are rare next to literals.
+        data = rc.data
+        ndata = len(data)
+        rng = rc.range
+        code = rc.code
+        rpos = rc.pos
+        is_match = self.is_match
+        literal = self.literal
         while limit is None or len(out) < limit:
             if hard_cap is not None and len(out) > hard_cap:
                 # end-marker-terminated streams have no declared size;
@@ -261,14 +273,29 @@ class LzmaDecoder:
                 raise ValueError("LZMA output exceeds cap")
             pos = len(out) - dict_start
             pos_state = pos & pb_mask
-            if not rc.decode_bit(
-                self.is_match, self.state * _NUM_POS_STATES_MAX + pos_state
-            ):
+            idx = self.state * _NUM_POS_STATES_MAX + pos_state
+            prob = is_match[idx]
+            bound = (rng >> 11) * prob
+            if code < bound:
+                is_match[idx] = prob + ((2048 - prob) >> 5)
+                rng = bound
+                bit = 0
+            else:
+                is_match[idx] = prob - (prob >> 5)
+                code -= bound
+                rng -= bound
+                bit = 1
+            if rng < _TOP:
+                rng = (rng << 8) & _MASK32
+                if rpos >= ndata:
+                    raise ValueError("range decoder ran past input")
+                code = ((code << 8) | data[rpos]) & _MASK32
+                rpos += 1
+            if not bit:
                 prev = out[-1] if pos > 0 else 0
                 lit_base = (
                     ((pos & lp_mask) << lc) + (prev >> (8 - lc))
                 ) * 0x300
-                probs = self.literal
                 symbol = 1
                 if self.state >= 7:
                     if self.rep0 >= pos:
@@ -277,23 +304,76 @@ class LzmaDecoder:
                     while symbol < 0x100:
                         match_bit = (match_byte >> 7) & 1
                         match_byte = (match_byte << 1) & 0xFF
-                        bit = rc.decode_bit(
-                            probs,
-                            lit_base + ((1 + match_bit) << 8) + symbol,
-                        )
+                        idx = lit_base + ((1 + match_bit) << 8) + symbol
+                        prob = literal[idx]
+                        bound = (rng >> 11) * prob
+                        if code < bound:
+                            literal[idx] = prob + ((2048 - prob) >> 5)
+                            rng = bound
+                            bit = 0
+                        else:
+                            literal[idx] = prob - (prob >> 5)
+                            code -= bound
+                            rng -= bound
+                            bit = 1
+                        if rng < _TOP:
+                            rng = (rng << 8) & _MASK32
+                            if rpos >= ndata:
+                                raise ValueError(
+                                    "range decoder ran past input"
+                                )
+                            code = ((code << 8) | data[rpos]) & _MASK32
+                            rpos += 1
                         symbol = (symbol << 1) | bit
                         if match_bit != bit:
                             break
                 while symbol < 0x100:
-                    symbol = (symbol << 1) | rc.decode_bit(
-                        probs, lit_base + symbol
-                    )
+                    idx = lit_base + symbol
+                    prob = literal[idx]
+                    bound = (rng >> 11) * prob
+                    if code < bound:
+                        literal[idx] = prob + ((2048 - prob) >> 5)
+                        rng = bound
+                        symbol <<= 1
+                    else:
+                        literal[idx] = prob - (prob >> 5)
+                        code -= bound
+                        rng -= bound
+                        symbol = (symbol << 1) | 1
+                    if rng < _TOP:
+                        rng = (rng << 8) & _MASK32
+                        if rpos >= ndata:
+                            raise ValueError("range decoder ran past input")
+                        code = ((code << 8) | data[rpos]) & _MASK32
+                        rpos += 1
                 out.append(symbol & 0xFF)
                 s = self.state
                 self.state = 0 if s < 4 else (s - 3 if s < 10 else s - 6)
                 continue
-            # match path
-            if rc.decode_bit(self.is_rep, self.state):
+            # match path — the per-match bits stay inline; the
+            # length/distance TREES go through the shared helpers
+            # with the range state synced around them
+            prob = self.is_rep[self.state]
+            bound = (rng >> 11) * prob
+            if code < bound:
+                self.is_rep[self.state] = prob + ((2048 - prob) >> 5)
+                rng = bound
+                rep_bit = 0
+            else:
+                self.is_rep[self.state] = prob - (prob >> 5)
+                code -= bound
+                rng -= bound
+                rep_bit = 1
+            if rng < _TOP:
+                rng = (rng << 8) & _MASK32
+                if rpos >= ndata:
+                    raise ValueError("range decoder ran past input")
+                code = ((code << 8) | data[rpos]) & _MASK32
+                rpos += 1
+            rc.range = rng
+            rc.code = code
+            rc.pos = rpos
+            if rep_bit:
                 if pos == 0:
                     raise ValueError("LZMA rep match at stream start")
                 if not rc.decode_bit(self.is_rep_g0, self.state):
@@ -306,6 +386,9 @@ class LzmaDecoder:
                         if self.rep0 >= pos:
                             raise ValueError("LZMA shortrep before start")
                         out.append(out[len(out) - self.rep0 - 1])
+                        rng = rc.range
+                        code = rc.code
+                        rpos = rc.pos
                         continue
                     dist = self.rep0
                 else:
@@ -342,6 +425,9 @@ class LzmaDecoder:
                         )
                     return True
                 self.rep0 = dist
+            rng = rc.range
+            code = rc.code
+            rpos = rc.pos
             if self.rep0 >= pos:
                 raise ValueError("LZMA match distance beyond output")
             if limit is not None and len(out) + length > limit:
@@ -355,6 +441,9 @@ class LzmaDecoder:
                 # ``dist`` bytes (LZ77 semantics), batched
                 pat = bytes(out[src:])
                 out += (pat * (length // dist + 1))[:length]
+        rc.range = rng
+        rc.code = code
+        rc.pos = rpos
         return False
 
 
