@@ -191,34 +191,81 @@ def _decode_block(bits: _Bits, max_block: int) -> tuple[bytes, int]:
 
     tables = [_Huff(_read_lengths(bits, n_syms)) for _ in range(n_groups)]
 
-    # Huffman decode + RLE2 + MTF, straight into the BWT last column
+    # Huffman decode + RLE2 + MTF, straight into the BWT last column.
+    # r14: the canonical decode runs INLINE on a local MSB-first
+    # accumulator (the per-symbol method pair was the kernel's top
+    # profile line, 450k calls per 60 payloads); the output rides a
+    # plain list (numpy scalar stores are ~5x slower than list
+    # appends at this granularity).
     eob = n_syms - 1
     mtf = list(used)
-    out = np.empty(max_block + 8, dtype=np.uint8)
-    n_out = 0
+    out_l: list[int] = []
     run = 0
     run_bit = 0
     sel_idx = -1
     to_go = 0
+    data = bits.data
+    ndata = len(data)
+    pos = bits.pos
+    acc = bits.acc
+    nb = bits.n
     huff = tables[selectors[0]]
+    limit = huff.limit
+    base = huff.base
+    perm = huff.perm
+    min_len = huff.min_len
+    max_len = huff.max_len
+    nperm = len(perm)
     while True:
         if to_go == 0:
             sel_idx += 1
             if sel_idx >= len(selectors):
                 raise ValueError("bzip2 block ran out of selectors")
             huff = tables[selectors[sel_idx]]
+            limit = huff.limit
+            base = huff.base
+            perm = huff.perm
+            min_len = huff.min_len
+            max_len = huff.max_len
+            nperm = len(perm)
             to_go = 50
         to_go -= 1
-        sym = huff.decode(bits)
-        if sym in (_RUNA, _RUNB):
-            run += (1 + (sym == _RUNB)) << run_bit
+        # inline canonical decode (MSB-first)
+        ln = min_len
+        while nb < ln:
+            if pos >= ndata:
+                raise ValueError("truncated bzip2 bit stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nb += 8
+        nb -= ln
+        code = (acc >> nb) & ((1 << ln) - 1)
+        acc &= (1 << nb) - 1
+        while code > limit[ln]:
+            ln += 1
+            if ln > max_len:
+                raise ValueError("invalid bzip2 huffman code")
+            if not nb:
+                if pos >= ndata:
+                    raise ValueError("truncated bzip2 bit stream")
+                acc = data[pos]
+                pos += 1
+                nb = 8
+            nb -= 1
+            code = (code << 1) | ((acc >> nb) & 1)
+            acc &= (1 << nb) - 1
+        idx = code - base[ln]
+        if not 0 <= idx < nperm:
+            raise ValueError("bzip2 huffman code out of table")
+        sym = perm[idx]
+        if sym <= _RUNB:
+            run += (1 + sym) << run_bit
             run_bit += 1
             continue
         if run:
-            if n_out + run > max_block:
+            if len(out_l) + run > max_block:
                 raise ValueError("bzip2 zero-run overflows block size")
-            out[n_out : n_out + run] = mtf[0]
-            n_out += run
+            out_l.extend([mtf[0]] * run)
             run = 0
             run_bit = 0
         if sym == eob:
@@ -226,12 +273,15 @@ def _decode_block(bits: _Bits, max_block: int) -> tuple[bytes, int]:
         # MTF decode: symbol k means the k-th most recent byte
         v = mtf.pop(sym - 1)
         mtf.insert(0, v)
-        if n_out >= max_block:
+        if len(out_l) >= max_block:
             raise ValueError("bzip2 block overflows declared size")
-        out[n_out] = v
-        n_out += 1
+        out_l.append(v)
+    bits.pos = pos
+    bits.acc = acc
+    bits.n = nb
+    n_out = len(out_l)
 
-    bwt = out[:n_out]
+    bwt = np.array(out_l, dtype=np.uint8)
     if orig_ptr >= n_out:
         raise ValueError("bzip2 BWT origin pointer past block end")
 
@@ -241,13 +291,16 @@ def _decode_block(bits: _Bits, max_block: int) -> tuple[bytes, int]:
     counts = np.bincount(bwt, minlength=256)
     starts = np.zeros(256, dtype=np.int64)
     starts[1:] = np.cumsum(counts)[:-1]
-    order = np.argsort(bwt, kind="stable")
-    decoded = np.empty(n_out, dtype=np.uint8)
+    order = np.argsort(bwt, kind="stable").tolist()
+    bwt_l = out_l
+    decoded = bytearray(n_out)
     j = order[orig_ptr]
+    # the successor walk is inherently sequential; list indexing is
+    # ~5x numpy scalar indexing here (r14 measurement)
     for k in range(n_out):
-        decoded[k] = bwt[j]
+        decoded[k] = bwt_l[j]
         j = order[j]
-    block = decoded.tobytes()
+    block = bytes(decoded)
 
     # RLE1: 4 identical bytes are followed by a count of extras
     plain = bytearray()

@@ -57,7 +57,11 @@ def synth_ico(seed: int) -> bytes:
             bih = struct.pack(
                 "<IiiHHIIiiII", 40, s, 2 * s, 1, 32, 0, 0, 0, 0, 0, 0
             )
-            px = bytes(((seed + i + j) % 256 for j in range(4 * s * s)))
+            # vectorized (seed + i + j) % 256 over j — the per-byte
+            # genexpr was 1.1 s per 60 payloads (r14 profile)
+            px = (
+                (np.arange(4 * s * s, dtype=np.int64) + seed + i) % 256
+            ).astype(np.uint8).tobytes()
             blobs.append(bih + px)
     out = bytearray(struct.pack("<HHH", 0, 1, len(entries)))
     offset = 6 + 16 * len(entries)
