@@ -52,14 +52,24 @@ def _await_idle_host(cores: int) -> dict:
     the instantaneous check sampled it and the run was still
     load-contaminated.  The 5m average cannot dip-fake that way.
     The 15m average is recorded but not gated (it drains slower
-    than any reasonable wait budget)."""
+    than any reasonable wait budget).
+
+    The threshold is ``cores / 4`` (floor 4), not ``cores`` — this
+    round's first full sweep started ungated at load1=10.95 on 32
+    cores and still drifted the heavy untouched queries 1.3-2.6x
+    (BENCH archive): a third of the box busy is already enough to
+    starve a 32-slot stage. Override via SPARK_GRAFT_BENCH_MAXLOAD
+    when a shared host never drains that far."""
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "120"))
+    threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_MAXLOAD", max(4.0, cores / 4.0))
+    )
     waited = 0.0
     try:
         load1, load5, _l15 = os.getloadavg()
     except OSError:
         return {"load_at_start": -1.0, "waited_s": 0.0, "gated": False}
-    while max(load1, load5) >= cores and waited < budget:
+    while max(load1, load5) >= threshold and waited < budget:
         time.sleep(10.0)
         waited += 10.0
         try:
@@ -69,8 +79,9 @@ def _await_idle_host(cores: int) -> dict:
     return {
         "load_at_start": round(load1, 2),
         "load5_at_start": round(load5, 2),
+        "threshold": threshold,
         "waited_s": waited,
-        "gated": max(load1, load5) >= cores,
+        "gated": max(load1, load5) >= threshold,
     }
 
 
