@@ -211,6 +211,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "cpus": cores,
         "passes": passes,
         # r11 verdict item 5: record how many samples each query
         # actually took (base passes + retries), only where it
@@ -238,16 +239,61 @@ def main() -> None:
     #   3. a compact LAST line small enough to always fit whole in a
     #      tail window (metric/value/unit/sf + a pointer to the file).
     print(full_line)
-    bench_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    bench_path = os.path.join(here, "BENCH.json")
     try:
         with open(bench_path, "w") as fh:
             json.dump(payload, fh, indent=1)
             fh.write("\n")
     except OSError as exc:  # never let the artifact write kill the run
         print(f"# BENCH.json write failed: {exc}", file=sys.stderr)
+    # Round 15 (VERDICT r14 items 1-2): the driver runs the bench at
+    # TWO core counts and the second run overwrote BENCH.json,
+    # destroying the first run's per-query record (PERF_r14
+    # per_query: {} both rounds).  ALSO persist a per-core-count
+    # artifact so runs at different $SPARK_GRAFT_CPUS never clobber
+    # each other, and per-query scaling (c8 vs c32) is reconstructible
+    # from the worktree.  Additions only; BENCH.json and the stdout
+    # protocol above are unchanged.
+    try:
+        with open(os.path.join(here, f"BENCH_c{cores}.json"), "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# BENCH_c{cores}.json write failed: {exc}", file=sys.stderr)
     sys.stdout.flush()
+    # Second-to-last line: the per-query dict in compact chunks small
+    # enough that each line fits whole inside a bounded tail window
+    # (the full JSON first line has its head cut by tail capture —
+    # VERDICT r14 item 1).  Chunked because 356 queries ~ 10 KB on one
+    # line would be truncated just the same as the first line.
+    qitems = sorted(timings.items())
+    chunk: dict[str, float] = {}
+    chunks: list[dict[str, float]] = []
+    budget = 0
+    for k, v in qitems:
+        cost = len(k) + 12
+        if budget + cost > 2800 and chunk:
+            chunks.append(chunk)
+            chunk, budget = {}, 0
+        chunk[k] = v
+        budget += cost
+    if chunk:
+        chunks.append(chunk)
+    for i, ch in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_part",
+                    "part": i + 1,
+                    "of": len(chunks),
+                    "cpus": cores,
+                    "sf": sf_val,
+                    "queries": ch,
+                },
+                separators=(",", ":"),
+            )
+        )
     print(
         json.dumps(
             {
@@ -255,8 +301,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf_val,
+                "cpus": cores,
                 "n_queries": len(timings),
                 "queries_file": "BENCH.json",
+                "queries_file_per_core": f"BENCH_c{cores}.json",
             }
         )
     )
