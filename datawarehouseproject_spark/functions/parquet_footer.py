@@ -92,7 +92,20 @@ def _skip(data: bytes, pos: int, ftype: int, depth: int = 0,
             raise ValueError("truncated thrift byte")
         return pos + 1
     if ftype in (_I16, _I32, _I64):
-        return _varint(data, pos)[1]
+        # inlined continuation-bit walk (the value is discarded):
+        # varints are the hottest skip in column-chunk metadata and
+        # the call + shift/accumulate of _varint is pure overhead.
+        # Bounds and error strings match _varint exactly.
+        n = len(data)
+        end = pos + 10  # shift > 70 <=> an 11th varint byte
+        while True:
+            if pos >= n:
+                raise ValueError("truncated thrift varint")
+            if not data[pos] & 0x80:
+                return pos + 1
+            pos += 1
+            if pos > end:
+                raise ValueError("thrift varint too long")
     if ftype == _DOUBLE:
         if pos + 8 > len(data):
             raise ValueError("truncated thrift double")

@@ -557,6 +557,17 @@ def decode_column(payload: bytes, column: int) -> list:
     inconsistency (permissive-quarantine contract — no struct.error,
     no IndexError escapes)."""
     leaves, chunks, n_rows = _parse_schema_and_chunks(payload)
+    return _decode_column_parsed(payload, leaves, chunks, n_rows, column)
+
+
+def _decode_column_parsed(
+    payload: bytes, leaves: list, chunks: list, n_rows: int, column: int
+) -> list:
+    """:func:`decode_column` body over an already-parsed footer —
+    r15 optimization: ``scan_parquet_values`` decodes four columns
+    and paid the footer Thrift walk five times per payload (once
+    itself + once per column); the walk was 67% of the kernel
+    profile.  Parsing once changes nothing downstream."""
     if not 0 <= column < len(leaves):
         raise ValueError(f"column {column} out of range")
     leaf = leaves[column]
@@ -784,13 +795,13 @@ def scan_parquet_values(payload: bytes) -> dict:
     and return checked aggregates.  The footer row count pins the
     decoded lengths; the oracle recomputes every aggregate from the
     writer plan."""
-    leaves, _, n_rows = _parse_schema_and_chunks(payload)
+    leaves, chunks, n_rows = _parse_schema_and_chunks(payload)
     if len(leaves) < 4:
         raise ValueError(f"expected >=4 leaf columns, got {len(leaves)}")
-    a = decode_column(payload, 0)
-    b = decode_column(payload, 1)
-    c = decode_column(payload, 2)
-    d = decode_column(payload, 3)
+    a = _decode_column_parsed(payload, leaves, chunks, n_rows, 0)
+    b = _decode_column_parsed(payload, leaves, chunks, n_rows, 1)
+    c = _decode_column_parsed(payload, leaves, chunks, n_rows, 2)
+    d = _decode_column_parsed(payload, leaves, chunks, n_rows, 3)
     a_non_null = [v for v in a if v is not None]
     if any(not isinstance(v, int) for v in a_non_null):
         raise ValueError("column a decoded to non-integer values")

@@ -478,18 +478,31 @@ class _FrameState:
         self.reps = [1, 4, 8]
 
 
+#: lazily-built predefined FSE tables (ll/of/ml) — see mode 0 below
+_PREDEF_FSE: dict[str, list] = {}
+
+
 def _read_seq_table(
     kind: str, mode: int, data: bytes, pos: int, st: _FrameState
 ) -> int:
     """Resolve the FSE table for one sequence category; returns the
     new byte position."""
     if mode == 0:  # predefined
-        defaults = {
-            "ll": (_LL_DEFAULTS, _LL_ACC),
-            "of": (_OF_DEFAULTS, _OF_ACC),
-            "ml": (_ML_DEFAULTS, _ML_ACC),
-        }[kind]
-        st.fse[kind] = build_fse_table(*defaults)
+        # r15: the three predefined tables are pure constants of the
+        # RFC's default distributions, but were rebuilt per block —
+        # build_fse_table was 13% of the parquet_page_decode kernel
+        # profile.  Build each once per process; the table is a list
+        # of tuples no consumer mutates, so sharing is safe.
+        table = _PREDEF_FSE.get(kind)
+        if table is None:
+            defaults = {
+                "ll": (_LL_DEFAULTS, _LL_ACC),
+                "of": (_OF_DEFAULTS, _OF_ACC),
+                "ml": (_ML_DEFAULTS, _ML_ACC),
+            }[kind]
+            table = build_fse_table(*defaults)
+            _PREDEF_FSE[kind] = table
+        st.fse[kind] = table
         return pos
     if mode == 1:  # RLE: one byte symbol
         if pos >= len(data):
