@@ -42,12 +42,25 @@ NAL_NON_IDR = 1
 
 
 class _BitWriter:
+    """MSB-first bit assembler on (full-byte buffer, pending-bit
+    accumulator) locals — r15: the per-bit list (8 appends per raw
+    I_PCM byte, then a per-bit repack in rbsp) was 80% of the h264
+    synth profile.  Semantics are unchanged bit for bit."""
+
     def __init__(self) -> None:
-        self.bits: list[int] = []
+        self.buf = bytearray()
+        self.acc = 0  # pending bits, MSB-first, < 1 << nbits
+        self.nbits = 0  # 0..7
 
     def u(self, value: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.bits.append((value >> i) & 1)
+        acc = (self.acc << n) | (value & ((1 << n) - 1))
+        nbits = self.nbits + n
+        buf = self.buf
+        while nbits >= 8:
+            nbits -= 8
+            buf.append((acc >> nbits) & 0xFF)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
 
     def ue(self, value: int) -> None:
         """Unsigned exp-Golomb: (leading zeros)·0 + 1 + value+1 bits."""
@@ -62,56 +75,58 @@ class _BitWriter:
 
     def align_zero(self) -> None:
         """pcm_alignment_zero_bit padding to the next byte boundary."""
-        while len(self.bits) % 8:
-            self.bits.append(0)
+        if self.nbits:
+            self.u(0, 8 - self.nbits)
 
     def raw_bytes(self, data: bytes) -> None:
         """Byte-aligned raw samples (I_PCM); caller must align first."""
-        for b in data:
-            self.u(b, 8)
+        if self.nbits == 0:
+            self.buf += data
+        else:  # unaligned caller: keep the general per-byte path
+            for b in data:
+                self.u(b, 8)
 
     def rbsp(self) -> bytes:
-        """Close with the RBSP stop bit + alignment, then escape."""
-        bits = self.bits + [1]
-        while len(bits) % 8:
-            bits.append(0)
-        raw = bytearray()
-        for i in range(0, len(bits), 8):
-            b = 0
-            for bit in bits[i : i + 8]:
-                b = (b << 1) | bit
-            raw.append(b)
-        return _escape(bytes(raw))
+        """Close with the RBSP stop bit + alignment, then escape
+        (non-mutating, like the list version)."""
+        acc = (self.acc << 1) | 1
+        nbits = self.nbits + 1
+        raw = bytes(self.buf) + bytes([(acc << (8 - nbits) % 8) & 0xFF])
+        return _escape(raw)
 
 
 def _escape(rbsp: bytes) -> bytes:
     """Insert emulation-prevention 0x03 after any 0x0000 that would
-    otherwise form 0x000000/0x000001/0x000002/0x000003."""
+    otherwise form 0x000000/0x000001/0x000002/0x000003.
+
+    Scans with C-speed ``find`` over zero pairs instead of per byte
+    (r15); equivalence with the stateful per-byte loop (insertion
+    resets the zero count) is pinned by the fuzz property test."""
     out = bytearray()
-    zeros = 0
-    for b in rbsp:
-        if zeros >= 2 and b <= 3:
+    i = 0
+    j = 0
+    n = len(rbsp)
+    while True:
+        j = rbsp.find(b"\x00\x00", j)
+        if j < 0 or j + 2 >= n:
+            break
+        if rbsp[j + 2] <= 3:
+            out += rbsp[i : j + 2]
             out.append(3)
-            zeros = 0
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
+            i = j + 2  # zero count resets; the escaped byte starts fresh
+            j = i
+        else:
+            j += 3  # rbsp[j+2] >= 4 is nonzero: no pair ends before j+3
+    out += rbsp[i:]
     return bytes(out)
 
 
 def _unescape(ebsp: bytes) -> bytes:
-    out = bytearray()
-    zeros = 0
-    i = 0
-    while i < len(ebsp):
-        b = ebsp[i]
-        if zeros >= 2 and b == 3:
-            zeros = 0
-            i += 1
-            continue
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-        i += 1
-    return bytes(out)
+    # equivalent to the stateful walk (drop 0x03 after each 0x0000):
+    # left-to-right non-overlapping replacement consumes exactly the
+    # same three bytes and leaves the same reset state — fuzz-pinned
+    # against the per-byte reference in tests
+    return ebsp.replace(b"\x00\x00\x03", b"\x00\x00")
 
 
 class _BitReader:

@@ -91,6 +91,50 @@ def test_h264_escape_roundtrip_any_bytes(raw):
         )
 
 
+def _escape_reference(rbsp: bytes) -> bytes:
+    """The original stateful per-byte escape loop, kept as the spec
+    reference for the find()-based fast path (r15)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _unescape_reference(ebsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(ebsp):
+        b = ebsp[i]
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.binary(max_size=200),
+    st.lists(st.sampled_from(list(range(5)) + [255]), max_size=60),
+)
+def test_h264_escape_fast_paths_match_stateful_reference(raw, zeroish):
+    """The r15 find()/replace() escape fast paths must match the
+    stateful per-byte walk on arbitrary bytes AND zero-heavy runs
+    (where the reset-after-insert subtlety lives)."""
+    for data in (raw, bytes(zeroish), raw + bytes(zeroish) + raw):
+        assert _escape(data) == _escape_reference(data)
+        assert _unescape(data) == _unescape_reference(data)
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     w=st.integers(1, 2048).map(lambda x: x * 2),
