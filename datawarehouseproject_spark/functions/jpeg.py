@@ -160,11 +160,44 @@ def _build_codes(spec: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]
     return codes
 
 
-def _build_decode_table(
-    spec: tuple[list[int], list[int]]
-) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for table-driven decode."""
-    return {(ln, c): s for s, (c, ln) in _build_codes(spec).items()}
+def _build_decode_table(spec: tuple[list[int], list[int]]):
+    """Canonical decode tables (mincode/maxcode/valptr/huffval — the
+    T.81 F.16 DECODE structure) built from a DHT spec.
+
+    r15: replaces the (length, code)->symbol dict probed per BIT; the
+    limit-walk in :func:`_read_symbol` decodes the identical symbol
+    for every reachable code because both derive from the same
+    canonical assignment (``_build_codes`` still runs first so a
+    malformed spec raises exactly as before).  Results are memoized
+    per spec — real streams reuse the four Annex K tables, and the
+    rebuild cost (~0.3 ms/payload) was pure overhead."""
+    key = (tuple(spec[0]), tuple(spec[1]))
+    memo = _DEC_TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
+    _build_codes(spec)  # error behavior identical to the dict builder
+    bits, vals = spec
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        cnt = bits[ln - 1]
+        if cnt:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += cnt
+            k += cnt
+            maxcode[ln] = code - 1
+        code <<= 1
+    table = (maxcode, mincode, valptr, list(vals))
+    if len(_DEC_TABLE_MEMO) < 64:  # fuzzed streams can't grow it unboundedly
+        _DEC_TABLE_MEMO[key] = table
+    return table
+
+
+_DEC_TABLE_MEMO: dict = {}
 
 
 _ENC_TABLES = {
@@ -200,7 +233,7 @@ def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     into (n_blocks, 8, 8) raster order."""
     h, w = plane.shape
     bh, bw = -(-h // 8), -(-w // 8)
-    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    padded = _pad_to(plane, bh * 8, bw * 8)
     return (
         padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
         bh,
@@ -264,42 +297,52 @@ def _amplitude_bits(v: int, cat: int) -> int:
 
 
 def _encode_blocks(
-    writer: _BitWriter, qblocks: np.ndarray, table_id: int, pred: int
+    writer: _BitWriter, qblocks, table_id: int, pred: int
 ) -> int:
-    """Entropy-encode quantized (n, 64) zigzag blocks; returns the
-    new DC predictor."""
+    """Entropy-encode quantized (n, 64) zigzag blocks (numpy array or
+    a list of 64-int lists); returns the new DC predictor.
+
+    r15: coefficients are walked as plain Python ints — per-element
+    numpy scalar extraction (``int(blk[i])``) plus the per-block
+    ``np.any``/``np.nonzero`` pair was half the baseline-encode
+    profile.  The bit layout produced is unchanged."""
     dc_codes = _ENC_TABLES[("dc", table_id)]
     ac_codes = _ENC_TABLES[("ac", table_id)]
+    if isinstance(qblocks, np.ndarray):
+        qblocks = qblocks.tolist()
+    write = writer.write
     for blk in qblocks:
-        dc = int(blk[0])
+        dc = blk[0]
         diff = dc - pred
         pred = dc
         cat = _category(diff)
         code, ln = dc_codes[cat]
-        writer.write(code, ln)
+        write(code, ln)
         if cat:
-            writer.write(_amplitude_bits(diff, cat), cat)
+            write(_amplitude_bits(diff, cat), cat)
         run = 0
-        last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
-        for i in range(1, 64):
-            v = int(blk[i])
-            if i > last_nz:
+        last_nz = 0
+        for i in range(63, 0, -1):  # last nonzero AC index, else 0
+            if blk[i]:
+                last_nz = i
                 break
+        for i in range(1, last_nz + 1):
+            v = blk[i]
             if v == 0:
                 run += 1
                 continue
             while run > 15:
                 code, ln = ac_codes[0xF0]  # ZRL
-                writer.write(code, ln)
+                write(code, ln)
                 run -= 16
             cat = _category(v)
             code, ln = ac_codes[(run << 4) | cat]
-            writer.write(code, ln)
-            writer.write(_amplitude_bits(v, cat), cat)
+            write(code, ln)
+            write(_amplitude_bits(v, cat), cat)
             run = 0
         if last_nz < 63:
             code, ln = ac_codes[0x00]  # EOB
-            writer.write(code, ln)
+            write(code, ln)
     return pred
 
 
@@ -318,8 +361,21 @@ _SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
 def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicating pad to (ph, pw) — manual slicing instead of
+    ``np.pad(mode="edge")`` (r15: np.pad's generic machinery was 19%
+    of the encode profile at these tiny plane sizes); values are
+    identical (right edge, bottom edge, and corner all replicate the
+    nearest edge sample)."""
     h, w = plane.shape
-    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    if ph == h and pw == w:
+        return plane
+    out = np.empty((ph, pw), dtype=plane.dtype)
+    out[:h, :w] = plane
+    if pw > w:
+        out[:h, w:] = plane[:, -1:]
+    if ph > h:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
 
 
 def _frame_setup(pixels: np.ndarray, gray: bool, subsampling: str):
@@ -439,6 +495,9 @@ def encode_jpeg(
     preds = [0] * n_comp
     rst = 0
     since_rst = 0
+    # one tolist per component grid instead of a numpy row slice +
+    # newaxis per block (r15) — same values, same MCU walk
+    qlists = [g.tolist() for g in qgrids]
     for my in range(mcy):
         for mx in range(mcx):
             if restart_interval and since_rst == restart_interval:
@@ -450,9 +509,9 @@ def encode_jpeg(
                 hi, vi = samp[ci]
                 for by in range(vi):
                     for bx in range(hi):
-                        blk = qgrids[ci][my * vi + by, mx * hi + bx]
+                        blk = qlists[ci][my * vi + by][mx * hi + bx]
                         preds[ci] = _encode_blocks(
-                            writer, blk[np.newaxis, :], min(ci, 1), preds[ci]
+                            writer, [blk], min(ci, 1), preds[ci]
                         )
             since_rst += 1
     out += writer.flush()
@@ -487,7 +546,7 @@ def _enc_dc_scan(writer, qgrids, comp_list, samp, mcx, mcy, ah, al, ri):
                 hi, vi = samp[ci]
                 for by in range(vi):
                     for bx in range(hi):
-                        dc = int(qgrids[ci][my * vi + by, mx * hi + bx, 0])
+                        dc = qgrids[ci][my * vi + by][mx * hi + bx][0]
                         if ah == 0:
                             v = dc >> al  # arithmetic shift per spec
                             diff = v - preds[ci]
@@ -505,8 +564,9 @@ def _enc_dc_scan(writer, qgrids, comp_list, samp, mcx, mcy, ah, al, ri):
 def _enc_ac_first_block(writer, ac_codes, blk, ss, se, al):
     """One block of an AC first scan: run/size coding of the point-
     transformed band; end-of-band always coded as EOB0 (legal — an
-    EOB run of one), so the Annex K tables need no EOBn symbols."""
-    band = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+    EOB run of one), so the Annex K tables need no EOBn symbols.
+    ``blk`` is a plain list of 64 ints (r15 — see _enc_ac_scan)."""
+    band = [_pt_ac(v, al) for v in blk[ss : se + 1]]
     last = -1
     for i, v in enumerate(band):
         if v:
@@ -541,7 +601,7 @@ def _enc_ac_refine_block(writer, ac_codes, blk, ss, se, al):
     plus a sign bit; already-nonzero coefficients contribute one
     buffered correction bit each, emitted after the next symbol;
     trailing content folds into EOB0."""
-    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    absv = [abs(v) >> al for v in blk[ss : se + 1]]
     eob_idx = -1  # index of the LAST newly-nonzero coefficient
     for i, t in enumerate(absv):
         if t == 1:
@@ -566,7 +626,7 @@ def _enc_ac_refine_block(writer, ac_codes, blk, ss, se, al):
             continue
         code, ln = ac_codes[(run << 4) | 1]
         writer.write(code, ln)
-        writer.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+        writer.write(1 if blk[ss + i] >= 0 else 0, 1)
         for b in pending:
             writer.write(b, 1)
         pending = []
@@ -580,7 +640,8 @@ def _enc_ac_refine_block(writer, ac_codes, blk, ss, se, al):
 
 def _enc_ac_scan(writer, grid, rows, cols, ss, se, ah, al, table_id, ri):
     """Progressive AC scan over one component's TRUE (unpadded)
-    block grid, non-interleaved per spec."""
+    block grid (nested lists, see encode_jpeg_progressive),
+    non-interleaved per spec."""
     ac_codes = _ENC_TABLES[("ac", table_id)]
     rst = 0
     since_rst = 0
@@ -590,7 +651,7 @@ def _enc_ac_scan(writer, grid, rows, cols, ss, se, ah, al, table_id, ri):
                 writer.emit_rst(rst)
                 rst = (rst + 1) & 7
                 since_rst = 0
-            blk = grid[row, col]
+            blk = grid[row][col]
             if ah == 0:
                 _enc_ac_first_block(writer, ac_codes, blk, ss, se, al)
             else:
@@ -643,6 +704,10 @@ def encode_jpeg_progressive(
     )
     out = _encode_headers(h, w, n_comp, samp, qtabs, restart_interval, 0xFFC2)
     script = _PROG_SCRIPT_COLOR if n_comp == 3 else _PROG_SCRIPT_GRAY
+    # one tolist per component grid: the scan loops then walk plain
+    # Python ints (r15 — per-coefficient numpy scalar extraction was
+    # 40% of the progressive-encode profile); same bits out
+    qgrids = [g.tolist() for g in qgrids]
     for comp_list, ss, se, ah, al in script:
         sos = bytes([len(comp_list)])
         for ci in comp_list:
@@ -732,13 +797,28 @@ class _BitReader:
         self.pos = p + 2
 
 
-def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _read_symbol(reader: _BitReader, table) -> int:
+    """Canonical limit walk (T.81 F.16): extend the code one bit at a
+    time until it falls inside its length's [mincode, maxcode] range.
+    Identical symbols and identical 16-bit failure point as the old
+    per-length dict probe; bits are drained from the reader's
+    accumulator locally to avoid a method call per bit (r15)."""
+    maxcode, mincode, valptr, huffval = table
+    acc = reader.acc
+    nbits = reader.nbits
     code = 0
     for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
+        if nbits == 0:
+            reader.nbits = 0
+            reader._fill()
+            acc = reader.acc
+            nbits = reader.nbits
+        nbits -= 1
+        code = (code << 1) | ((acc >> nbits) & 1)
+        if code <= maxcode[length]:
+            reader.nbits = nbits
+            return huffval[valptr[length] + code - mincode[length]]
+    reader.nbits = nbits
     raise ValueError("invalid huffman code in JPEG stream")
 
 
@@ -1149,9 +1229,16 @@ def _decode_all_scans(payload: bytes):
             state["progressive"] = tag == 0xC2
             h, w, comps = state["frame"]
             hmax, vmax, mcx, mcy = _mcu_geometry(h, w, comps)
-            # per-component block grid: (mcy*vi) rows × (mcx*hi) cols
+            # per-component block grid: (mcy*vi) rows × (mcx*hi) cols.
+            # Plain lists during entropy decode (r15 — per-coefficient
+            # numpy scalar reads/writes were the scan-loop profile);
+            # converted to int64 arrays at the end, INSIDE the
+            # OverflowError->ValueError quarantine, so a malformed DHT
+            # whose oversized category produces a >int64 coefficient
+            # still collapses to the same ValueError as the array
+            # store's assignment did.
             coeff = [
-                np.zeros((mcy * vi * mcx * hi, 64), dtype=np.int64)
+                [[0] * 64 for _ in range(mcy * vi * mcx * hi)]
                 for _cid, hi, vi, _tq in comps
             ]
         elif tag in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -1188,6 +1275,12 @@ def _decode_all_scans(payload: bytes):
     if n_scans == 0:
         raise ValueError("no SOS marker found")
     h, w, _comps = state["frame"]
+    # list -> int64 arrays (the API callers and tests see, unchanged);
+    # raises OverflowError inside the caller's quarantine for
+    # coefficients a malformed stream pushed past int64
+    coeff = [
+        np.asarray(c, dtype=np.int64).reshape(len(c), 64) for c in coeff
+    ]
     return h, w, coeff, state
 
 
