@@ -22,8 +22,8 @@ Scale design: history is assumed large (years of daily runs at
 100 TB); staging is one day. Both joins are equi-joins on the
 business key — Catalyst/AQE picks broadcast when staging is small.
 The changed-keys intermediate (the reference's ``EXPIRED_KEYS``
-scratch table) is a cached DataFrame reused by three downstream
-branches. The rewrite only touches *current* rows; closed history
+scratch table) is a lineage-truncated (lazily localCheckpointed)
+DataFrame reused by three downstream branches. The rewrite only touches *current* rows; closed history
 partitions are carried over unchanged — when the history table is
 partitioned by an ``is_current`` flag or EXPIRED_AT date, only the
 current partition is rewritten (see :func:`..sources.parquet
@@ -182,10 +182,19 @@ def scd2_apply(
     payload_cols = staging.columns
 
     # staging feeds four branches (anti-join, change scan, re-insert,
-    # metrics) — cache it so upstream lineage (often a full
+    # metrics) — materialize it so upstream lineage (often a full
     # clean/aggregate pipeline) runs once, mirroring the reference's
-    # materialized PRODUCTS_TRANSFORM table.
-    staging = staging.cache()
+    # materialized PRODUCTS_TRANSFORM table.  LAZY localCheckpoint
+    # instead of cache (r15, measured): a cached frame keeps FULL
+    # lineage in every consumer's plan and AQE re-materializes its
+    # exchange cascade per consumer job — the same finding as r14's
+    # incremental_dedup.  eager=False because the caller's first real
+    # action (metrics() or the query's sink) materializes the marked
+    # RDD anyway; EAGER checkpoints here measured +1.2 s on
+    # pipeline_day (three materialize-only jobs).  Net, with the
+    # pipeline.load_dims twins: two-day replay 183 -> 136 jobs,
+    # isolated pipeline_two_day 15.8 -> 13.6 s, scd2_diff 2.6 -> 2.0 s.
+    staging = staging.localCheckpoint(eager=False)
 
     def as_current(df: DataFrame) -> DataFrame:
         return (
@@ -216,9 +225,11 @@ def scd2_apply(
     # 2. Post-insert history; change detection runs against THIS state
     #    (reference sequencing — the new-key INSERT precedes the
     #    EXPIRED_KEYS scan).
-    # hist1 feeds the change scan plus three output branches; cached
-    # for the same reason (the reference's history table is physical).
-    hist1 = history.unionByName(new_rows).cache()
+    # hist1 feeds the change scan plus three output branches;
+    # materialized for the same reason (the reference's history table
+    # is physical).  Same cache->localCheckpoint measurement as
+    # staging above.
+    hist1 = history.unionByName(new_rows).localCheckpoint(eager=False)
     current1 = hist1.filter(F.col("EXPIRED_AT") == open_ts)
 
     # 3. Changed keys (the EXPIRED_KEYS scratch table,
@@ -231,7 +242,9 @@ def scd2_apply(
         .filter(_neq_any("t", "s", list(compare_cols)))
         .select(*[F.col(f"t.{k}").alias(k) for k in track_keys])
         .distinct()
-        .cache()  # the EXPIRED_KEYS scratch table (db_staging.sql:4957)
+        # the EXPIRED_KEYS scratch table (db_staging.sql:4957);
+        # localCheckpoint per the same r15 measurement as staging
+        .localCheckpoint(eager=False)
     )
 
     # 4. Expire: current rows matching changed keys on the compound

@@ -134,13 +134,15 @@ class Pipeline:
         hist = self.cat.table("products_expired", "staging")
         # IS_CURRENT is the partition key: the filter prunes the scan
         # to the current partition (closed history is never read).
-        # cache(): this frame feeds three downstream jobs (brand
-        # distinct, the product-updates write, the dim_product write)
-        # that would each re-scan history + recompute the brand ladder
+        # This frame feeds three downstream jobs (brand distinct, the
+        # product-updates write, the dim_product write) that would
+        # each re-scan history + recompute the brand ladder;
+        # localCheckpoint instead of cache (r15, measured — same
+        # full-lineage-per-consumer finding as operators/scd2.py)
         current = (
             hist.filter(F.col("IS_CURRENT") == 1)
             .withColumn("BRAND_NAME", brand_ladder("TEN"))
-            .cache()
+            .localCheckpoint(eager=False)
         )
 
         brand_path = self.cat.path("dim_brand", "warehouse")
@@ -156,7 +158,7 @@ class Pipeline:
         )
         dim_brand = upsert_dim(
             dim_brand, brands, ["BRAND_NAME"], "BRAND_SK", order_col="__ord"
-        ).drop("__ord").cache()
+        ).drop("__ord").localCheckpoint(eager=False)
 
         product_updates = (
             current.join(F.broadcast(dim_brand), "BRAND_NAME")
