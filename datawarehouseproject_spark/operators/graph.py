@@ -411,13 +411,22 @@ def k_truss(
     the standard cohesive-community primitive one notch stronger than
     connected components (Cohen 2008; public algorithm).
 
-    Iterative peeling as a driver-side loop over distributed rounds:
-    each round computes per-edge support with the degree-oriented
-    triangle join (:func:`edge_support`, O(m^1.5) worst case,
-    hub-safe) and drops edges below k-2; removal can break other
-    edges' triangles, so the loop repeats until a round removes
-    nothing. Rounds needed = peeling depth (small in practice);
-    ``max_rounds`` bounds pathological chains and, like
+    Iterative peeling as a driver-side loop over distributed rounds
+    with DELTA recomputation (r15): the degree-oriented triangle join
+    (:func:`triangle_enumeration`, O(m^1.5) worst case, hub-safe)
+    runs ONCE; each peeling round then only retires triangles that
+    lost an edge (three anti-joins against the removed-edge set —
+    small after round one, so they broadcast) and recounts support
+    from the surviving triangle list (explode + groupBy, no wedge
+    self-join). This is exact, not approximate: a triangle survives
+    into round r iff all three of its edges survive, so the surviving
+    list IS the triangle set of the current subgraph and the recount
+    equals the full recomputation the loop used to run per round
+    (pinned by the peeling tests; the full-recompute loop this
+    replaces ran the whole wedge cascade every round).  Removal can
+    break other edges' triangles, so the loop repeats until a round
+    removes nothing. Rounds needed = peeling depth (small in
+    practice); ``max_rounds`` bounds pathological chains and, like
     :func:`connected_components`, the default is to RAISE rather
     than return a silently-non-maximal subgraph. ``localCheckpoint``
     truncates lineage per round.
@@ -430,8 +439,33 @@ def k_truss(
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     e = _canonical_edges(edges, src, dst, checkpoint=True)
     n_old = e.count()
+    tri = triangle_enumeration(e, src="lo", dst="hi").localCheckpoint()
     for _ in range(max_rounds):
-        sup = edge_support(e, src="lo", dst="hi")
+        # per-edge support from the current triangle list: each
+        # triangle contributes one count to each of its three edges
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("node_a").alias("lo"),
+                            F.col("node_b").alias("hi"),
+                        ),
+                        F.struct(
+                            F.col("node_a").alias("lo"),
+                            F.col("node_c").alias("hi"),
+                        ),
+                        F.struct(
+                            F.col("node_b").alias("lo"),
+                            F.col("node_c").alias("hi"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.lo", "e.hi")
+            .groupBy("lo", "hi")
+            .agg(F.count("*").alias("support"))
+        )
         kept = (
             e.join(sup, ["lo", "hi"], "left")
             .withColumn("support", F.coalesce("support", F.lit(0)))
@@ -439,13 +473,40 @@ def k_truss(
             .localCheckpoint()
         )
         n_new = kept.count()  # n_old carried from the previous round
-        e = kept.select("lo", "hi")
         if n_new == n_old or n_new == 0:
             return kept.select(
                 F.col("lo").alias("node_a"),
                 F.col("hi").alias("node_b"),
                 F.col("support").cast("bigint").alias("support"),
             )
+        removed = e.join(kept.select("lo", "hi"), ["lo", "hi"], "left_anti")
+        e = kept.select("lo", "hi")
+        # retire triangles that lost an edge; the remainder is exactly
+        # the triangle set of the new subgraph
+        tri = (
+            tri.join(
+                removed.select(
+                    F.col("lo").alias("node_a"), F.col("hi").alias("node_b")
+                ),
+                ["node_a", "node_b"],
+                "left_anti",
+            )
+            .join(
+                removed.select(
+                    F.col("lo").alias("node_a"), F.col("hi").alias("node_c")
+                ),
+                ["node_a", "node_c"],
+                "left_anti",
+            )
+            .join(
+                removed.select(
+                    F.col("lo").alias("node_b"), F.col("hi").alias("node_c")
+                ),
+                ["node_b", "node_c"],
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
         n_old = n_new
     msg = f"k_truss did not converge in {max_rounds} peeling rounds"
     if strict:
