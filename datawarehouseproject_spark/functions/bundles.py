@@ -46,7 +46,19 @@ def read_parquet_blob(blob: bytes):
 def _read_fast(payload: bytes) -> dict[str, bytes] | None:
     """Direct USTAR member walk; ``None`` = not the plain shape the
     fast path handles (caller falls back to tarfile). Raises only
-    the size-cap ValueError, identical to the slow path's."""
+    the size-cap ValueError, identical to the slow path's.
+
+    ADVICE r14: the first cut skipped three checks tarfile performs,
+    so corrupt/unusual bundles parsed silently instead of falling to
+    the quarantining tarfile path — the header CHECKSUM (sum of the
+    512 header bytes with the chksum field read as spaces) and a name
+    ending in ``/`` with typeflag 0 (tarfile reclassifies it as a
+    directory and the slow path raises "non-file tar member").  Both
+    now return None/fall back, restoring the r13 fencing.  (A
+    zero-block-only archive is NOT a divergence: tarfile mode "r:"
+    returns no members for it, same as the {} here — pinned in
+    tests; only a zero-LENGTH payload raises "empty file", and that
+    already fell through on the truncated-header check.)"""
     files: dict[str, bytes] = {}
     pos, total, n = 0, 0, len(payload)
     while True:
@@ -54,14 +66,23 @@ def _read_fast(payload: bytes) -> dict[str, bytes] | None:
             return None  # truncated header -> tarfile's error path
         hdr = payload[pos : pos + 512]
         if hdr == _ZERO_BLOCK:
-            return files  # end-of-archive marker
+            return files  # end-of-archive marker (tarfile parity
+            # even at pos 0: mode "r:" yields no members for a
+            # zero-block-only archive)
         if hdr[257:262] != b"ustar" or hdr[156:157] not in (b"0", b"\x00"):
             return None  # pax/gnu records, links, dirs, garbage
         try:
+            stored_chksum = int(
+                hdr[148:156].split(b"\x00")[0].strip() or b"-1", 8
+            )
             size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
             name = hdr[0:100].split(b"\x00")[0].decode("utf-8")
         except ValueError:
             return None
+        if stored_chksum != sum(hdr) - sum(hdr[148:156]) + 8 * 0x20:
+            return None  # bad checksum -> tarfile's ReadError path
+        if name.endswith("/"):
+            return None  # tarfile treats it as a directory entry
         prefix = hdr[345:500].split(b"\x00")[0]
         if prefix:
             return None  # split-name layout: not produced by us

@@ -58,9 +58,14 @@ def synth_ico(seed: int) -> bytes:
                 "<IiiHHIIiiII", 40, s, 2 * s, 1, 32, 0, 0, 0, 0, 0, 0
             )
             # vectorized (seed + i + j) % 256 over j — the per-byte
-            # genexpr was 1.1 s per 60 payloads (r14 profile)
+            # genexpr was 1.1 s per 60 payloads (r14 profile).  The
+            # scalar is reduced mod 256 BEFORE the int64 add (ADVICE
+            # r14): a seed past int64 raised OverflowError where the
+            # old pure-Python genexpr accepted arbitrary ints; the
+            # result is unchanged for every int seed
             px = (
-                (np.arange(4 * s * s, dtype=np.int64) + seed + i) % 256
+                (np.arange(4 * s * s, dtype=np.int64) + (seed + i) % 256)
+                % 256
             ).astype(np.uint8).tobytes()
             blobs.append(bih + px)
     out = bytearray(struct.pack("<HHH", 0, 1, len(entries)))

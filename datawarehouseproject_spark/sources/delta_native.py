@@ -563,6 +563,24 @@ def write_delta_split(
     data_schema = df.drop(split_col).schema
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
     df.write.partitionBy(split_col).parquet(staging)
+    # ADVICE r14: everything from here to the last commit runs under
+    # try/finally so a failed validation/place/commit never leaves
+    # the .staging-* directory inside the table root
+    try:
+        return _place_and_commit_splits(
+            df, path, split_col, values, now_ms, checkpoint_every,
+            data_schema, staging,
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _place_and_commit_splits(
+    df, path, split_col, values, now_ms, checkpoint_every,
+    data_schema, staging,
+) -> int:
     by_value: dict[str, list[str]] = {}
     for dirpath, _dnames, fnames in sorted(os.walk(staging)):
         reldir = os.path.relpath(dirpath, staging)
@@ -581,6 +599,16 @@ def write_delta_split(
         raise ValueError(
             f"staged splits {sorted(staged_values - asked)} not in "
             "the declared value list"
+        )
+    if not asked <= staged_values:
+        # ADVICE r14: a declared value with no rows would silently
+        # produce a zero-add commit, where the write_delta loop this
+        # replaces writes one empty parquet file per commit — refuse
+        # loudly instead of diverging from the loop's log shape
+        raise ValueError(
+            f"declared split values {sorted(asked - staged_values)} "
+            "have no staged rows (empty commits would diverge from "
+            "the write_delta loop)"
         )
     table_id = str(uuid.uuid4())
     version = -1
@@ -614,9 +642,6 @@ def write_delta_split(
         if checkpoint_every and version > 0 \
                 and version % checkpoint_every == 0:
             checkpoint_delta(path)
-    import shutil
-
-    shutil.rmtree(staging)
     return version
 
 

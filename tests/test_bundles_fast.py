@@ -57,6 +57,59 @@ def test_malformed_payloads_raise_valueerror():
             read_tar_bundle(bad)
 
 
+def test_corrupt_checksum_falls_back_to_tarfile_error():
+    # flip a payload byte inside the NAME field without fixing the
+    # checksum: tarfile raises ReadError -> ValueError; the fast path
+    # must not silently parse it (ADVICE r14)
+    payload = bytearray(write_tar_bundle({"a.bin": b"x" * 100}))
+    payload[0] ^= 0xFF
+    assert _read_fast(bytes(payload)) is None
+    with pytest.raises(ValueError):
+        read_tar_bundle(bytes(payload))
+
+
+def _forge_member(name: bytes, typeflag: bytes) -> bytes:
+    hdr = bytearray(512)
+    hdr[0 : len(name)] = name
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = b"00000000000\x00"
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b"        "
+    hdr[156:157] = typeflag
+    hdr[257:265] = b"ustar\x0000"
+    hdr[148:156] = ("%06o" % sum(hdr)).encode() + b"\x00 "
+    return bytes(hdr) + b"\x00" * 1024
+
+
+def test_trailing_slash_members_defer_to_tarfile():
+    # ADVICE r14: a '/'-ending name must go through tarfile, which
+    # reclassifies the V7 AREGTYPE (\x00) form as a DIRECTORY (the
+    # "non-file tar member" fence) but keeps the REGTYPE ('0') form a
+    # regular file — the fast path defers on both so the verdicts
+    # stay tarfile's either way
+    v7 = _forge_member(b"d/", b"\x00")
+    assert _read_fast(v7) is None
+    with pytest.raises(ValueError, match="non-file tar member"):
+        read_tar_bundle(v7)
+    reg = _forge_member(b"d/", b"0")
+    assert _read_fast(reg) is None
+    assert read_tar_bundle(reg) == {"d/": b""}
+
+
+def test_zero_block_archive_matches_tarfile():
+    # ADVICE r14 suspected a divergence here; in fact tarfile "r:"
+    # yields NO members for a zero-block-only archive (it is the
+    # zero-LENGTH payload that raises "empty file") — pin both
+    with tarfile.open(fileobj=io.BytesIO(b"\x00" * 10240), mode="r:") as tf:
+        assert tf.getmembers() == []
+    assert _read_fast(b"\x00" * 10240) == {}
+    assert read_tar_bundle(b"\x00" * 10240) == {}
+    with pytest.raises(ValueError, match="empty file"):
+        read_tar_bundle(b"")
+
+
 def test_size_cap_enforced():
     # forge a header declaring a huge member without carrying it:
     # the fast path must reject it with the cap error, not OOM

@@ -924,3 +924,28 @@ def test_write_delta_split_matches_the_loop(spark, tmp_path):
         write_delta_split(
             src.withColumn("r", F.col("k") % 7), split_root, "r",
             values=list(range(7)))
+
+
+def test_write_delta_split_rejects_empty_split_and_cleans_staging(
+    spark, tmp_path
+):
+    """ADVICE r14: a declared value with no staged rows must raise
+    loudly (the write_delta loop writes one empty parquet per commit
+    — a zero-add commit would silently diverge from its log shape),
+    and a failed run must not leave a .staging-* directory behind."""
+    import pytest
+    from datawarehouseproject_spark.sources.delta_native import (
+        write_delta_split,
+    )
+
+    src = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    root = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="no staged rows"):
+        write_delta_split(
+            src.withColumn("r", F.col("k") % 4), root, "r",
+            values=[0, 1, 2, 3, 9], now_ms=100)
+    leftovers = [n for n in os.listdir(root) if n.startswith(".staging")]
+    assert leftovers == []
+    # nothing was committed either
+    assert not os.path.exists(os.path.join(root, "_delta_log"))

@@ -40,6 +40,16 @@ def test_zero_byte_encodes_256():
     assert got["max_size"] == 256 and got["n_png"] == 1
 
 
+def test_synth_accepts_seeds_past_int64():
+    # ADVICE r14: the vectorized pixel synth overflowed int64 for
+    # huge seeds where the old per-byte genexpr accepted any int;
+    # the scalar is now reduced mod 256 first — same bytes out
+    big = synth_ico(1 << 80)
+    assert isinstance(big, bytes) and len(big) > 6
+    # and the reduction changes nothing for ordinary seeds
+    assert synth_ico(7) == synth_ico(7)
+
+
 def test_malformed_quarantines():
     good = bytearray(synth_ico(3))
     with pytest.raises(ValueError, match="bad header"):
