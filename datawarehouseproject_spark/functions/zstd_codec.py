@@ -411,14 +411,38 @@ def _huf_decode_stream(
     consumed = 0
     out = bytearray()
     mask = (1 << max_bits) - 1
-    val = back.read(max_bits)  # peek window (zero-padded at the tail)
-    while len(out) < out_len:
+    # r15: the backward reads run on LOCALS with _BackBits.read's
+    # zero-padding semantics inlined — the per-symbol method call was
+    # the kernel profile's second-hottest line (same treatment as
+    # inflate.py's bit accumulator in r14)
+    value = back.value
+    avail = back.avail
+    n = max_bits  # initial peek window (zero-padded at the tail)
+    if avail >= n:
+        avail -= n
+        val = (value >> avail) & mask
+    else:
+        got = avail if avail > 0 else 0
+        val = ((value & ((1 << got) - 1)) << (n - got)) if got > 0 else 0
+        avail -= n
+    append = out.append
+    produced = 0
+    while produced < out_len:
         sym, nb = table[val]
-        out.append(sym)
+        append(sym)
+        produced += 1
         consumed += nb
-        if len(out) == out_len:
+        if produced == out_len:
             break
-        more = back.read(nb)  # refill; may zero-pad past start
+        if avail >= nb:  # refill; may zero-pad past start
+            avail -= nb
+            more = (value >> avail) & ((1 << nb) - 1)
+        else:
+            got = avail if avail > 0 else 0
+            more = (
+                ((value & ((1 << got) - 1)) << (nb - got)) if got > 0 else 0
+            )
+            avail -= nb
         val = ((val << nb) | more) & mask
     if consumed != total:
         raise ValueError(
@@ -545,26 +569,71 @@ def _decode_sequences_exec(
     of_bits = (len(of_t) - 1).bit_length() if len(of_t) > 1 else 0
     ml_bits = (len(ml_t) - 1).bit_length() if len(ml_t) > 1 else 0
     back = _BackBits(seq_blob)
-    s_ll = back.read_strict(ll_bits) if ll_bits else 0
-    s_of = back.read_strict(of_bits) if of_bits else 0
-    s_ml = back.read_strict(ml_bits) if ml_bits else 0
+    # r15: all strict reads run inlined on LOCALS (value, avail) —
+    # the per-sequence read_strict method calls were the kernel
+    # profile's hottest line; semantics and the error string are
+    # _BackBits.read_strict's exactly.  Every inlined site is guarded
+    # to n >= 1 by the callers' `if <bits> else` defaults.
+    value = back.value
+    avail = back.avail
+    if ll_bits:
+        if avail < ll_bits:
+            raise ValueError("backward bitstream exhausted")
+        avail -= ll_bits
+        s_ll = (value >> avail) & ((1 << ll_bits) - 1)
+    else:
+        s_ll = 0
+    if of_bits:
+        if avail < of_bits:
+            raise ValueError("backward bitstream exhausted")
+        avail -= of_bits
+        s_of = (value >> avail) & ((1 << of_bits) - 1)
+    else:
+        s_of = 0
+    if ml_bits:
+        if avail < ml_bits:
+            raise ValueError("backward bitstream exhausted")
+        avail -= ml_bits
+        s_ml = (value >> avail) & ((1 << ml_bits) - 1)
+    else:
+        s_ml = 0
     lit_pos = 0
     reps = st.reps
     for i in range(n_seq):
         of_code = of_t[s_of][0]
         if of_code > 31:
             raise ValueError(f"offset code {of_code} out of range")
-        of_value = (1 << of_code) + back.read_strict(of_code) if of_code else 1
+        if of_code:
+            if avail < of_code:
+                raise ValueError("backward bitstream exhausted")
+            avail -= of_code
+            of_value = (1 << of_code) + (
+                (value >> avail) & ((1 << of_code) - 1)
+            )
+        else:
+            of_value = 1
         ml_code = ml_t[s_ml][0]
         if ml_code >= len(_ML_CODE):
             raise ValueError(f"match-length code {ml_code} out of range")
         ml_base, ml_extra = _ML_CODE[ml_code]
-        ml = ml_base + (back.read_strict(ml_extra) if ml_extra else 0)
+        if ml_extra:
+            if avail < ml_extra:
+                raise ValueError("backward bitstream exhausted")
+            avail -= ml_extra
+            ml = ml_base + ((value >> avail) & ((1 << ml_extra) - 1))
+        else:
+            ml = ml_base
         ll_code = ll_t[s_ll][0]
         if ll_code >= len(_LL_CODE):
             raise ValueError(f"literal-length code {ll_code} out of range")
         ll_base, ll_extra = _LL_CODE[ll_code]
-        ll = ll_base + (back.read_strict(ll_extra) if ll_extra else 0)
+        if ll_extra:
+            if avail < ll_extra:
+                raise ValueError("backward bitstream exhausted")
+            avail -= ll_extra
+            ll = ll_base + ((value >> avail) & ((1 << ll_extra) - 1))
+        else:
+            ll = ll_base
         # repcode resolution
         if of_value > 3:
             offset = of_value - 3
@@ -614,14 +683,32 @@ def _decode_sequences_exec(
         # state updates for all but the last sequence: LL, ML, OF
         if i + 1 < n_seq:
             _, nb, base = ll_t[s_ll]
-            s_ll = base + back.read_strict(nb) if nb else base
+            if nb:
+                if avail < nb:
+                    raise ValueError("backward bitstream exhausted")
+                avail -= nb
+                s_ll = base + ((value >> avail) & ((1 << nb) - 1))
+            else:
+                s_ll = base
             _, nb, base = ml_t[s_ml]
-            s_ml = base + back.read_strict(nb) if nb else base
+            if nb:
+                if avail < nb:
+                    raise ValueError("backward bitstream exhausted")
+                avail -= nb
+                s_ml = base + ((value >> avail) & ((1 << nb) - 1))
+            else:
+                s_ml = base
             _, nb, base = of_t[s_of]
-            s_of = base + back.read_strict(nb) if nb else base
-    if back.avail != 0:
+            if nb:
+                if avail < nb:
+                    raise ValueError("backward bitstream exhausted")
+                avail -= nb
+                s_of = base + ((value >> avail) & ((1 << nb) - 1))
+            else:
+                s_of = base
+    if avail != 0:
         raise ValueError(
-            f"sequence bitstream has {back.avail} bits left over"
+            f"sequence bitstream has {avail} bits left over"
         )
     if len(out) + len(literals) - lit_pos > max_output:
         raise ValueError("zstd output exceeds cap")
